@@ -1,0 +1,207 @@
+"""Query spec → DataFrame plan compiler.
+
+The architectural inversion vs the reference (SURVEY §3.2): where bullet-spark
+ships a serialized ``Query`` POJO to every executor and interprets it per
+record inside ``Querier`` (FilterStreaming.scala:105-124), we compile the spec
+to a Catalyst logical plan once. Filters become pushdown-eligible predicates,
+projections become column pruning at the parquet scan, and partial/final
+aggregation (the reference's byte-blob ``getData``/``combine`` dance,
+JoinStreaming.scala:126) is Spark's native HashAggregate partial→final split.
+
+Pipeline order matches bullet-core's Querier: filter → projection →
+aggregation → post-aggregations.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.functions.exprs import Expr
+from bullet_spark_spark.plans.spec import (
+    AggOp,
+    Computation,
+    CountDistinctAgg,
+    Culling,
+    DistributionAgg,
+    DistributionType,
+    GroupAgg,
+    Having,
+    OrderBy,
+    Projection,
+    Query,
+    RawAgg,
+    TopKAgg,
+    Window,
+    WindowUnit,
+)
+
+_AGG_FN = {
+    AggOp.COUNT: lambda f: F.count(F.lit(1)),
+    AggOp.COUNT_FIELD: lambda f: F.count(F.col(f)),
+    AggOp.SUM: lambda f: F.sum(F.col(f)),
+    AggOp.MIN: lambda f: F.min(F.col(f)),
+    AggOp.MAX: lambda f: F.max(F.col(f)),
+    AggOp.AVG: lambda f: F.avg(F.col(f)),
+}
+
+
+def compile_query(
+    spark: SparkSession, query: Query, df: DataFrame | None = None
+) -> DataFrame:
+    """Compile a Query spec against its source (a registered view, or an
+    explicitly provided DataFrame — e.g. a streaming source)."""
+    errors = query.validate()
+    if errors:
+        raise ValueError(f"invalid query: {errors}")
+
+    if df is None:
+        df = spark.table(query.source)
+
+    if query.filter is not None:
+        df = df.filter(query.filter.col())
+
+    df = _apply_projection(df, query.projection)
+    df = _apply_window_grouping(df, query)
+    df = _apply_aggregation(df, query)
+
+    for post in query.post_aggregations:
+        df = _apply_post(df, post)
+    return df
+
+
+def _apply_projection(df: DataFrame, proj: Projection) -> DataFrame:
+    if proj.fields is None:
+        return df
+    computed = [(name, e.col()) for name, e in proj.fields]
+    if proj.copy:
+        for name, c in computed:
+            df = df.withColumn(name, c)
+        return df
+    return df.select(*[c.alias(name) for name, c in computed])
+
+
+def _apply_window_grouping(df: DataFrame, query: Query) -> DataFrame:
+    """Event-time tumbling windows (our W3 upgrade: event-time instead of the
+    reference's processing-time batch clock, JoinStreaming.scala:118-122).
+    Adds a ``window_start`` column that GroupAgg then includes as a key."""
+    w = query.window
+    if (
+        w.emit_unit is WindowUnit.TIME
+        and w.event_time_field
+        and isinstance(query.aggregation, GroupAgg)
+    ):
+        dur = f"{w.emit_every // 1000} seconds" if w.emit_every % 1000 == 0 else f"{w.emit_every} milliseconds"
+        return df.withColumn(
+            "window_start", F.window(F.col(w.event_time_field), dur)["start"]
+        )
+    return df
+
+
+def _apply_aggregation(df: DataFrame, query: Query) -> DataFrame:
+    agg = query.aggregation
+    if isinstance(agg, RawAgg):
+        return df.limit(agg.limit)
+
+    if isinstance(agg, GroupAgg):
+        keys = list(agg.fields)
+        if "window_start" in df.columns and "window_start" not in keys:
+            keys = ["window_start", *keys]
+        exprs = [_AGG_FN[op](fld).alias(out) for op, fld, out in agg.operations]
+        if not exprs:
+            exprs = [F.count(F.lit(1)).alias("count")]
+        if keys:
+            return df.groupBy(*[F.col(k) for k in keys]).agg(*exprs)
+        return df.agg(*exprs)
+
+    if isinstance(agg, CountDistinctAgg):
+        cols = [F.col(f) for f in agg.fields]
+        if agg.approx:
+            return df.agg(F.approx_count_distinct(F.struct(*cols) if len(cols) > 1 else cols[0], agg.rsd).alias(agg.name))
+        return df.agg(F.count_distinct(*cols).alias(agg.name))
+
+    if isinstance(agg, DistributionAgg):
+        return _compile_distribution(df, agg)
+
+    if isinstance(agg, TopKAgg):
+        counted = df.groupBy(*[F.col(f) for f in agg.fields]).agg(
+            F.count(F.lit(1)).alias(agg.name)
+        )
+        if agg.threshold:
+            counted = counted.filter(F.col(agg.name) >= agg.threshold)
+        # deterministic tie-break on the key fields keeps results stable
+        # (and oracle-comparable) — bullet's sketch order is arbitrary
+        order = [F.col(agg.name).desc(), *[F.col(f).asc() for f in agg.fields]]
+        return counted.orderBy(*order).limit(agg.k)
+
+    raise TypeError(f"unknown aggregation {type(agg).__name__}")
+
+
+def _bucket_points(agg: DistributionAgg) -> list[float]:
+    if agg.points:
+        return list(agg.points)
+    step = (agg.end - agg.start) / agg.num_buckets
+    return [agg.start + i * step for i in range(agg.num_buckets + 1)]
+
+
+def _compile_distribution(df: DataFrame, agg: DistributionAgg) -> DataFrame:
+    col = F.col(agg.field)
+
+    if agg.type is DistributionType.QUANTILE:
+        probs = _bucket_points(agg) if not agg.points else list(agg.points)
+        if agg.approx:
+            q = df.agg(
+                F.percentile_approx(col, F.array(*[F.lit(p) for p in probs]), agg.accuracy).alias("v")
+            )
+        else:
+            # exact percentile: linear interpolation — same estimator as
+            # DuckDB quantile_cont, so oracle-hashable
+            q = df.agg(F.percentile(col, F.array(*[F.lit(p) for p in probs])).alias("v"))
+        return q.select(
+            F.posexplode(F.arrays_zip(F.array(*[F.lit(p) for p in probs]).alias("q"), F.col("v").alias("value")))
+        ).select(
+            F.col("col.q").alias("quantile"), F.col("col.value").alias("value")
+        )
+
+    # PMF / CDF: bucket index = #points <= value, i.e. ranges
+    # (-inf,p0) [p0,p1) ... [pn,inf) — bullet-core Distribution semantics
+    points = _bucket_points(agg)
+    bucket = reduce(
+        lambda acc, p: acc + F.when(col >= F.lit(p), 1).otherwise(0),
+        points,
+        F.lit(0),
+    )
+    pmf = (
+        df.filter(col.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if agg.type is DistributionType.PMF:
+        return pmf.orderBy("bucket")
+
+    from pyspark.sql.window import Window as W
+
+    cum = pmf.withColumn(
+        "cum_count", F.sum("count").over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
+    ).drop("count")
+    return cum.orderBy("bucket")
+
+
+def _apply_post(df: DataFrame, post) -> DataFrame:
+    if isinstance(post, Having):
+        return df.filter(post.expr.col())
+    if isinstance(post, OrderBy):
+        cols: list[Column] = []
+        for key, asc in post.keys:
+            c = F.col(key) if isinstance(key, str) else key.col()
+            cols.append(c.asc() if asc else c.desc())
+        return df.orderBy(*cols)
+    if isinstance(post, Computation):
+        for name, e in post.fields:
+            df = df.withColumn(name, e.col())
+        return df
+    if isinstance(post, Culling):
+        return df.drop(*post.fields)
+    raise TypeError(f"unknown post-aggregation {type(post).__name__}")
