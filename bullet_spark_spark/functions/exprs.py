@@ -204,8 +204,10 @@ class Unary(Expr):
             return F.upper(c)
         if op == "TRIM":
             return F.trim(c)
-        if op == "SIZEOF":
-            return F.when(c.isNotNull(), F.coalesce(F.size(c), F.length(c))).otherwise(F.lit(None))
+        if op == "SIZEOF":  # list/map size (bullet SIZEOF; strings → STRLEN)
+            return F.size(c)
+        if op == "STRLEN":
+            return F.length(c)
         if op == "HASH":
             return F.xxhash64(c)
         if op == "UNIX_TIMESTAMP":
@@ -307,6 +309,8 @@ class E:
     def abs(e): return Unary("ABS", _wrap(e))
     @staticmethod
     def sizeof(e): return Unary("SIZEOF", _wrap(e))
+    @staticmethod
+    def strlen(e): return Unary("STRLEN", _wrap(e))
     @staticmethod
     def hash(e): return Unary("HASH", _wrap(e))
     @staticmethod

@@ -1,0 +1,249 @@
+"""Deduplication operators for training-data pipelines (north-star M5).
+
+Five dedup families, all shuffle-conscious:
+
+- exact: hash-groupBy on a normalized key — one shuffle, map-side partial.
+- minhash + LSH: shingle → k minhashes → band buckets → candidate pairs only
+  within buckets (never all-pairs). The exact-verify step re-checks Jaccard
+  on candidates. All hashing is xxhash64 (JVM, codegen).
+- simhash: 64-bit sign-aggregated token hashes; near-dups share most bits.
+- n-gram Jaccard: exact pairwise similarity, bounded by a shared-shingle
+  pre-join (blocking) so the pair space is data-driven, not quadratic.
+- embedding cosine near-dup: delegated to operators.similarity.
+
+At 100 TB: every family keys its shuffle by doc/bucket id, avoids driver
+collects, and keeps candidate generation linear in (docs × shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def normalize_text(text: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row (min id) per exact key. Single shuffle on
+    the key hash; min() aggregates map-side first."""
+    key = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols]))
+    keep = (
+        df.withColumn("__key", key)
+        .groupBy("__key")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def exact_dedup_representatives(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One representative id (min) per normalized-text md5 — the common
+    'keep first copy' shape of corpus dedup. One shuffle on the 128-bit key."""
+    key = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.groupBy(key.alias("__k"))
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Character n-gram shingle set of normalized text (distinct). Built-ins
+    only: sequence + transform + substring, then array_distinct."""
+    norm = normalize_text(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    toks = F.split(normalize_text(text), " ")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), cnt - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 5
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — per-permutation min of
+    xxhash64(seed_i, shingle). Explode→groupBy(id) with k partial mins:
+    one shuffle keyed by doc id, state is k longs per doc."""
+    shingled = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    mins = shingled.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs that collide in ≥1 band.
+    (id_a, id_b) with id_a < id_b, distinct. The band join is an equi-join on
+    (band_idx, band_hash) — shuffle keyed by bucket, quadratic only within a
+    bucket (bounded by collision rate, not corpus size)."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_similarity(sigs: DataFrame, candidates: DataFrame, id_col: str) -> DataFrame:
+    """Estimated Jaccard = fraction of matching minhash components, for the
+    candidate pairs only."""
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = candidates.join(sa, "id_a").join(sb, "id_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return joined.select(
+        "id_a", "id_b", (matches / F.size(F.col("sig_a"))).alias("est_jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end MinHash/LSH near-dup pairs above an estimated-Jaccard
+    threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    sims = minhash_similarity(sigs, cands, id_col)
+    return sims.filter(F.col("est_jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    use_words: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥1 shingle (blocking join —
+    the SQL-oracle-checkable exact counterpart of minhash_dedup_pairs).
+
+    intersection via shingle-match counting, union = |A|+|B|-∩; never
+    materializes the quadratic pair space."""
+    sh = word_shingles(F.col(text_col), n) if use_words else char_shingles(F.col(text_col), n)
+    docs = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).withColumn(
+        "n_sh", F.size("shingles")
+    )
+    exploded = docs.select("id", "n_sh", F.explode("shingles").alias("sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = inter.select(
+        "id_a",
+        "id_b",
+        (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: bit i of the fingerprint is the sign
+    of Σ_tokens (±1 per token depending on bit i of xxhash64(token)).
+
+    Explode → one groupBy(id) with `bits` integer sums (map-side partial) —
+    a single shuffle, fixed 64-counter state per doc."""
+    # two's-complement care: bit 63 is the sign bit, so its mask/weight is
+    # the *negative* long -(1<<63); 1<<63 itself overflows a Java long
+    def mask(i: int) -> int:
+        return -(1 << 63) if i == 63 else (1 << i)
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64(F.col("tok")))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = sums.select(
+        F.col(id_col),
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(mask(i))).otherwise(F.lit(0)) for i in range(bits)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def simhash_near_dup_pairs(
+    fps: DataFrame, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates: block on the top ``prefix_bits`` of the simhash
+    (near-dups very likely share them), then filter by exact Hamming distance.
+    bit_count is a JVM built-in."""
+    blocked = fps.withColumn("block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

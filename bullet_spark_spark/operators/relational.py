@@ -1,0 +1,54 @@
+"""Relational extension operators: joins, set ops, rollup/cube, analytic
+window functions, global top-k.
+
+Absent from the reference (SURVEY §2.5 gap ledger — verified absent across
+all 27 Scala files); expressed as native DataFrame ops so Catalyst picks the
+physical strategy. Scale posture:
+
+- dimension joins take an explicit ``broadcast()`` hint (region/nation/
+  customer/supplier/part are small dims even at 100 TB fact scale);
+- fact-fact joins shuffle on the join key and rely on AQE skew-join
+  splitting (enabled in session.py);
+- global top-k is ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject,
+  a per-partition heap + driver merge of k rows, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | Column,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi/theta join. ``how`` ∈ inner/left/right/full/left_semi/left_anti/
+    cross. ``broadcast_right=True`` hints the small side (dimension)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)
+
+
+def intersect(a: DataFrame, b: DataFrame, all: bool = False) -> DataFrame:
+    return a.intersectAll(b) if all else a.intersect(b)
+
+
+def except_(a: DataFrame, b: DataFrame, all: bool = False) -> DataFrame:
+    return a.exceptAll(b) if all else a.subtract(b)
+
+
+def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    return df.cube(*keys).agg(*aggs)
+
+
+def global_topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Top-k by arbitrary measure (vs bullet's frequency-only TOP K).
+    Plans as TakeOrderedAndProject: O(k) memory per partition."""
+    return df.orderBy(*order).limit(k)

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (north-star M5).
+
+- ``cosine``: pure column expression (zip_with + ordered fold) — JVM-side,
+  deterministic accumulation order (important: makes results reproducible
+  and oracle-comparable bit-for-bit).
+- ``brute_force_topk``: exact k-NN baseline. The query side is broadcast
+  (queries ≪ corpus), the corpus side streams — no shuffle of the corpus;
+  per-query top-k via window rank over (query_id) partitions.
+- ``lsh_ann``: the scale path — random-hyperplane signatures bucket the
+  corpus; candidates come only from matching buckets, then exact re-rank.
+  Hyperplanes are seeded-deterministic and broadcast as literals.
+
+At 100 TB the brute-force path is a full corpus scan per query batch (fine
+for offline eval); LSH turns it into a bucket-local join. An IVF variant
+(k-means coarse quantizer) would slot in the same candidate-then-rerank
+shape; LSH is implemented here because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Ordered left-fold dot product — deterministic fp accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: every (query, corpus) pair scored, ranked per
+    query. Queries are broadcast; ties broken by corpus id for determinism."""
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 6).alias("sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-based; no numpy
+    needed at plan-build time, stable across runs)."""
+    state = seed
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / n for x in row])
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(dot(plane_i, v)).
+    Compiled to a single integer column expression."""
+    bits = []
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(dot(plane_arr, vec) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 12,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: bucket corpus and queries by hyperplane
+    signature, score only same-bucket candidates, exact re-rank within
+    candidates. Recall is tunable via num_planes (fewer planes → bigger
+    buckets → higher recall, more work)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(num_planes, dim, seed)
+    c = corpus.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
+    q = queries.withColumn("bucket", lsh_signature(F.col(query_vec_col), planes))
+    cands = c.join(F.broadcast(q), "bucket")
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 6).alias("sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. exact=True does the full n²
+    self-join (oracle-checkable at small sf); default blocks by LSH bucket
+    first so pair generation stays bucket-local at scale."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = _hyperplanes(num_planes, dim)
+        ab = embeddings.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
+        a = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+        b = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    sims = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("sim")
+    )
+    return sims.filter(F.col("sim") >= threshold)

@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines (north-star M5).
+
+Everything here is built-in ``pyspark.sql.functions`` only — no Python UDFs
+in the hot path. At 100 TB these run inside whole-stage codegen directly over
+the parquet scan, so throughput is bounded by IO, not by a Python worker pool.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID (public-knowledge word lists)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"],
+    "es": ["el", "la", "que", "de", "los", "se", "las", "por", "un", "para"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/null-safe."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.lit(0)
+    ).otherwise(F.size(tokens(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: split on word boundaries + punctuation
+    (a cheap regex stand-in for a BPE tokenizer; the plumbing point is a
+    deterministic per-document token budget column)."""
+    cleaned = F.regexp_replace(text, r"[^\p{L}\p{N}]+", " ")
+    words = F.filter(F.split(F.trim(cleaned), r"\s+"), lambda w: F.length(w) > 0)
+    # approx: 1 token per word plus one per 4 chars beyond the first 4
+    extra = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(F.ceil(F.length(w) / 4), F.lit(1)),
+    )
+    return extra
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    n_alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    return F.when(F.length(text) > 0, n_alpha / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+    )
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards alpha density and stopword
+    presence, penalizes extreme length and punctuation walls."""
+    length_ok = F.when((F.length(text) >= 20) & (F.length(text) <= 20000), 1.0).otherwise(0.3)
+    return F.round(
+        (alpha_ratio(text) * 0.4
+         + (1.0 - F.least(punct_ratio(text) * 4, F.lit(1.0))) * 0.2
+         + F.least(stopword_ratio(text) * 5, F.lit(1.0)) * 0.2
+         + length_ok * 0.2),
+        6,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID over the STOPWORDS table; 'und' when no
+    votes. Pure column expressions — the per-language scores become a single
+    projected row of counters, argmax via greatest+when chain."""
+    toks = tokens(text)
+
+    def hit_counter(sw):  # closure factory: keeps the lambda unary
+        return lambda t: t.isin(*sw)
+
+    scores = {
+        lang: F.size(F.filter(toks, hit_counter(sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic preference order on ties: en > de > fr > es
+    for lang in reversed(list(STOPWORDS)):
+        out = F.when((best > 0) & (scores[lang] == best), lang).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (md5 is identical across engines → oracle-checkable; a rolling/locality
+    hash variant lives in dedup.simhash.)"""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio_en"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )
