@@ -1,0 +1,70 @@
+"""Benchmark suite (BASELINE.md §'Our bench suite').
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": "total_wall_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query time is the median of 3 runs after a warmup pass (JVM/codegen and
+file-index warm, like a long-lived cluster session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import __spark_entry__ as entry
+from bullet_spark_spark import get_spark
+from bullet_spark_spark.plans import Query, TopKAgg, compile_query
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH = [
+    "bullet_group_agg",       # filtered group-agg on events
+    "bullet_count_distinct",  # count-distinct user_id
+    "bullet_quantile",        # quantiles of l_extendedprice
+    "bullet_topk_freq",       # top-k frequency
+    "window_tumbling_10m",    # tumbling-window count on events
+    "join_fact_fact",         # equi-join lineitem x orders
+    "dedup_exact",            # exact dedup on documents
+    "sim_cosine_topk",        # cosine top-k on embeddings
+    "tpch_q1_pricing",        # flagship wide aggregation
+    "dedup_minhash_lsh",      # minhash+LSH near-dup (scale path)
+]
+
+REPEATS = 3
+
+
+def main() -> None:
+    spark = get_spark(app_name="bullet-spark-spark-bench")
+    qs = entry.queries()
+
+    # warmup: file index + codegen + broadcast machinery
+    for name in BENCH:
+        qs[name](spark, SF_DIR).limit(1).collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH:
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            n = qs[name](spark, SF_DIR).count()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_wall_sec",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,8 +151,12 @@ def minhash_dedup_pairs(
     bands: int = 16,
 ) -> DataFrame:
     """End-to-end MinHash/LSH near-dup pairs above an estimated-Jaccard
-    threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    threshold.
+
+    The signature frame feeds both the band join and the verify step, so it
+    is persisted (memory+disk) rather than recomputed through the lineage —
+    at scale this is the difference between one and three corpus scans."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes).persist()
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
     sims = minhash_similarity(sigs, cands, id_col)
     return sims.filter(F.col("est_jaccard") >= threshold)
