@@ -49,10 +49,16 @@ _AGG_FN = {
 
 
 def compile_query(
-    spark: SparkSession, query: Query, df: DataFrame | None = None
+    spark: SparkSession, query: Query, df: DataFrame | None = None,
+    streaming: bool = False,
 ) -> DataFrame:
     """Compile a Query spec against its source (a registered view, or an
-    explicitly provided DataFrame — e.g. a streaming source)."""
+    explicitly provided DataFrame — e.g. a streaming source).
+
+    ``streaming=True`` adapts the plan to an unbounded source: RAW's limit is
+    enforced by the runtime sink instead of a Limit node, ORDER BY post-aggs
+    are deferred to the sink (global sort is undefined on unbounded input),
+    and TIME windows with an event-time field get a watermark."""
     errors = query.validate()
     if errors:
         raise ValueError(f"invalid query: {errors}")
@@ -64,10 +70,17 @@ def compile_query(
         df = df.filter(query.filter.col())
 
     df = _apply_projection(df, query.projection)
+    if streaming:
+        w = query.window
+        if w.emit_unit is WindowUnit.TIME and w.event_time_field and w.emit_every:
+            delay = f"{max(w.emit_every // 1000, 1)} seconds"
+            df = df.withWatermark(w.event_time_field, delay)
     df = _apply_window_grouping(df, query)
-    df = _apply_aggregation(df, query)
+    df = _apply_aggregation(df, query, streaming=streaming)
 
     for post in query.post_aggregations:
+        if streaming and isinstance(post, OrderBy):
+            continue  # sink-side concern on unbounded input
         df = _apply_post(df, post)
     return df
 
@@ -100,10 +113,13 @@ def _apply_window_grouping(df: DataFrame, query: Query) -> DataFrame:
     return df
 
 
-def _apply_aggregation(df: DataFrame, query: Query) -> DataFrame:
+def _apply_aggregation(df: DataFrame, query: Query, streaming: bool = False) -> DataFrame:
     agg = query.aggregation
     if isinstance(agg, RawAgg):
-        return df.limit(agg.limit)
+        # streaming: Limit is not a streaming plan node — the runtime sink
+        # counts rows and completes the query (ref querier.isDone,
+        # JoinStreaming.scala:142-146)
+        return df if streaming else df.limit(agg.limit)
 
     if isinstance(agg, GroupAgg):
         keys = list(agg.fields)

@@ -1,0 +1,70 @@
+"""Streaming source helpers — the Spark-first replacement for the
+reference's receiver/DSL producer stack (DataProducer.scala:22-58,
+DSLReceiver.scala:19-63): sources are ``readStream`` formats; deserialization
+is ``from_json``/``from_avro``; converters are column projections.
+
+``file_drip`` re-plays a batch DataFrame as a file stream in K chunks — the
+deterministic test source standing in for the reference's queueStream/
+MockDataProducer pattern (MockDataProducer.scala:15-47)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def file_drip(
+    spark: SparkSession,
+    df: DataFrame,
+    work_dir: str,
+    chunks: int = 4,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Write ``df`` as ``chunks`` parquet files, return an unbounded reader
+    that consumes them ``max_files_per_trigger`` at a time (micro-batch
+    boundaries become deterministic)."""
+    data_dir = os.path.join(work_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    df.repartition(chunks).write.mode("overwrite").parquet(data_dir)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(data_dir)
+    )
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Built-in rate source: (timestamp, value) — handy for soak tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def json_socket_source(
+    spark: SparkSession, host: str, port: int, schema: StructType
+) -> DataFrame:
+    """Socket lines of JSON → typed columns (the DSL deserializer/converter
+    path as a projection)."""
+    raw = spark.readStream.format("socket").option("host", host).option("port", port).load()
+    return raw.select(F.from_json(F.col("value"), schema).alias("r")).select("r.*")
+
+
+def kafka_json_source(
+    spark: SparkSession, bootstrap: str, topic: str, schema: StructType
+) -> DataFrame:
+    """Kafka JSON source (production path; requires the kafka connector jar
+    on the cluster — not exercised in this container)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")

@@ -1,0 +1,264 @@
+"""Engine runtime: query registry + lifecycle on Structured Streaming.
+
+The reference multiplexes every live query over each record inside one static
+DStream DAG (queries-as-data: FilterStreaming.scala:38-71 collects and
+re-broadcasts the query list every batch; JoinStreaming.scala:34-58 merges
+partial state per query id). Here each registered query IS a Catalyst plan
+running as its own StreamingQuery over a shared source (SURVEY §7.0
+queries-as-plans inversion), and this runtime recreates bullet's lifecycle
+semantics around those handles:
+
+- duration expiry  → COMPLETE + stop           (ref isTimedOut,
+  QueryDataUnioning.scala:71)
+- RAW limit done   → COMPLETE + stop           (ref querier.isDone,
+  JoinStreaming.scala:142-146; JoinStreamingTest.scala:55-67)
+- kill signal      → KILLED + stop             (ref Metadata.Signal.KILL,
+  JoinStreaming.scala:144-158)
+- rate limit       → FAIL + stop               (ref RateLimitError,
+  FilterStreaming.scala:129-133, JoinStreaming.scala:152-159)
+- status feedback  → status log entries        (ref feedback publisher,
+  ResultPublisher.scala:35-45)
+
+Unlike the reference, finished queries leave NO state behind (the reference
+tombstones them forever — JoinStreaming.scala:60-62; SURVEY §7.3 flags this
+as a leak we must not copy).
+
+Scale posture: N queries = N concurrent StreamingQuery handles sharing the
+scheduler; the state store is per-query and keyed by its own group-by keys,
+so state volume is output-cardinality, not input-cardinality. A
+broadcast-predicate multiplexer (single pass for very high query counts) is
+the documented follow-up, per the Structured Streaming SIGMOD'18 design.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.plans.spec import GroupAgg, Query, RawAgg, WindowUnit
+from bullet_spark_spark.plans.compiler import compile_query
+from bullet_spark_spark.streaming.sinks import MemorySink
+
+
+class QueryState(str, Enum):
+    RUNNING = "RUNNING"
+    COMPLETED = "COMPLETED"
+    KILLED = "KILLED"
+    FAILED = "FAILED"
+
+
+class Signal(str, Enum):
+    """Lifecycle signals (ref Metadata.Signal, BulletSparkUtils.scala:32-34)."""
+
+    COMPLETE = "COMPLETE"
+    KILL = "KILL"
+    FAIL = "FAIL"
+
+
+@dataclass
+class RateLimit:
+    """Max emissions per interval (ref bullet.query.rate.limit.*,
+    FilterStreamingTest.scala:278-280)."""
+
+    max_emits: int
+    interval_ms: int
+
+
+@dataclass
+class QueryHandle:
+    query_id: str
+    spec: Query
+    sink: MemorySink
+    state: QueryState = QueryState.RUNNING
+    stream: Any = None  # StreamingQuery
+    started_at: float = field(default_factory=time.time)
+    emit_times: list[float] = field(default_factory=list)
+    raw_rows_seen: int = 0
+    error: str | None = None
+
+    def is_active(self) -> bool:
+        return self.state is QueryState.RUNNING
+
+
+class EngineRuntime:
+    """Query registry + lifecycle supervisor (the engine's control plane)."""
+
+    def __init__(self, spark: SparkSession, sweep_interval_s: float = 0.2) -> None:
+        self.spark = spark
+        self.queries: dict[str, QueryHandle] = {}
+        self.status_log: list[tuple[str, Signal, float]] = []
+        self._lock = threading.Lock()
+        self._sweep_interval_s = sweep_interval_s
+        self._sweeper: threading.Thread | None = None
+        self._stop_sweeper = threading.Event()
+
+    # -- registration -------------------------------------------------------
+
+    def register(
+        self,
+        spec: Query,
+        stream_df: DataFrame,
+        query_id: str | None = None,
+        rate_limit: RateLimit | None = None,
+        trigger_ms: int = 200,
+        checkpoint_dir: str | None = None,
+    ) -> QueryHandle:
+        """Compile the spec against an unbounded DataFrame and launch it.
+
+        Output mode follows the window spec (SURVEY §2.4): group aggregations
+        run in ``update`` mode (per-trigger emission of changed groups ≈
+        bullet window close), ``complete`` for additive include=ALL windows;
+        RAW runs in ``append`` with the limit enforced by the runtime (limit
+        is not a streaming-supported plan node)."""
+        qid = query_id or uuid.uuid4().hex[:12]
+        sink = MemorySink()
+        handle = QueryHandle(query_id=qid, spec=spec, sink=sink)
+
+        df = compile_query(self.spark, spec, df=stream_df, streaming=True)
+
+        is_agg = not isinstance(spec.aggregation, RawAgg)
+        if is_agg:
+            mode = "complete" if spec.window.include is WindowUnit.ALL else "update"
+        else:
+            mode = "append"
+
+        raw_limit = spec.aggregation.limit if isinstance(spec.aggregation, RawAgg) else None
+
+        def emit(batch_df, epoch_id):  # runs on the stream-execution thread
+            if handle.state is not QueryState.RUNNING:
+                return
+            if raw_limit is not None:
+                remaining = raw_limit - handle.raw_rows_seen
+                if remaining <= 0:
+                    return
+                batch_df = batch_df.limit(remaining)
+            rows_before = len(sink.rows)
+            sink(batch_df, epoch_id)
+            emitted = len(sink.rows) - rows_before
+            now = time.time()
+            if emitted > 0:
+                handle.emit_times.append(now)
+            if raw_limit is not None:
+                handle.raw_rows_seen += emitted
+            if rate_limit is not None and emitted > 0:
+                window_start = now - rate_limit.interval_ms / 1000.0
+                recent = sum(1 for t in handle.emit_times if t >= window_start)
+                if recent > rate_limit.max_emits:
+                    handle.error = (
+                        f"rate limit exceeded: {recent} emits in "
+                        f"{rate_limit.interval_ms}ms (max {rate_limit.max_emits})"
+                    )
+
+        writer = df.writeStream.outputMode(mode).foreachBatch(emit)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        writer = writer.trigger(processingTime=f"{trigger_ms} milliseconds")
+        handle.stream = writer.start()
+
+        with self._lock:
+            self.queries[qid] = handle
+        self._ensure_sweeper()
+        return handle
+
+    def run_available(
+        self,
+        spec: Query,
+        stream_df: DataFrame,
+        query_id: str | None = None,
+        checkpoint_dir: str | None = None,
+        timeout_s: float = 120,
+    ) -> QueryHandle:
+        """Drain-everything-then-stop variant (Trigger.AvailableNow): used for
+        deterministic tests and bounded backfills."""
+        qid = query_id or uuid.uuid4().hex[:12]
+        sink = MemorySink()
+        handle = QueryHandle(query_id=qid, spec=spec, sink=sink)
+        df = compile_query(self.spark, spec, df=stream_df, streaming=True)
+        is_agg = not isinstance(spec.aggregation, RawAgg)
+        mode = "complete" if (is_agg and spec.window.include is WindowUnit.ALL) else (
+            "update" if is_agg else "append"
+        )
+        writer = df.writeStream.outputMode(mode).foreachBatch(sink)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        handle.stream = writer.trigger(availableNow=True).start()
+        handle.stream.awaitTermination(timeout_s)
+        handle.state = QueryState.COMPLETED
+        self._log(qid, Signal.COMPLETE)
+        with self._lock:
+            self.queries[qid] = handle
+        return handle
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def kill(self, query_id: str) -> None:
+        """External KILL signal (ref JoinStreaming.scala:144-158)."""
+        handle = self.queries[query_id]
+        if handle.is_active():
+            self._finish(handle, QueryState.KILLED, Signal.KILL)
+
+    def stop_all(self) -> None:
+        for h in list(self.queries.values()):
+            if h.is_active():
+                self._finish(h, QueryState.KILLED, Signal.KILL)
+        self._stop_sweeper.set()
+
+    def active(self) -> list[QueryHandle]:
+        return [h for h in self.queries.values() if h.is_active()]
+
+    # -- internals ----------------------------------------------------------
+
+    def _ensure_sweeper(self) -> None:
+        if self._sweeper is None or not self._sweeper.is_alive():
+            self._stop_sweeper.clear()
+            self._sweeper = threading.Thread(target=self._sweep_loop, daemon=True)
+            self._sweeper.start()
+
+    def _sweep_loop(self) -> None:
+        """Registry sweep: duration expiry, RAW-limit completion, rate-limit
+        failure (the reference's per-batch lifecycle checks,
+        QueryDataUnioning.scala:60-83 + JoinStreaming.scala:139-161)."""
+        while not self._stop_sweeper.is_set():
+            for h in list(self.queries.values()):
+                if not h.is_active():
+                    continue
+                if h.error is not None:
+                    self._finish(h, QueryState.FAILED, Signal.FAIL)
+                    continue
+                spec = h.spec
+                if (
+                    isinstance(spec.aggregation, RawAgg)
+                    and h.raw_rows_seen >= spec.aggregation.limit
+                ):
+                    self._finish(h, QueryState.COMPLETED, Signal.COMPLETE)
+                    continue
+                if (
+                    spec.duration_ms is not None
+                    and (time.time() - h.started_at) * 1000 >= spec.duration_ms
+                ):
+                    self._finish(h, QueryState.COMPLETED, Signal.COMPLETE)
+            if not any(h.is_active() for h in self.queries.values()):
+                break
+            self._stop_sweeper.wait(self._sweep_interval_s)
+
+    def _finish(self, handle: QueryHandle, state: QueryState, signal: Signal) -> None:
+        # log before state flips/stop: observers that see the query inactive
+        # must also see its terminal signal (stop() can block for a batch)
+        self._log(handle.query_id, signal)
+        handle.state = state
+        try:
+            if handle.stream is not None and handle.stream.isActive:
+                handle.stream.stop()
+        except Exception:  # stream may already be terminating
+            pass
+
+    def _log(self, query_id: str, signal: Signal) -> None:
+        with self._lock:
+            self.status_log.append((query_id, signal, time.time()))

@@ -1,0 +1,192 @@
+"""Streaming semantics + lifecycle tests — the scenarios of the reference's
+FilterStreamingTest/JoinStreamingTest (SURVEY §5.1) on Structured Streaming:
+windowed emission, RAW limit-done, duration expiry, kill signal, rate limit,
+record windows."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.functions.exprs import E
+from bullet_spark_spark.plans import (
+    AggOp,
+    GroupAgg,
+    Projection,
+    Query,
+    RawAgg,
+    Window,
+    WindowUnit,
+)
+from bullet_spark_spark.sources.streaming import file_drip
+from bullet_spark_spark.streaming import EngineRuntime, QueryState, Signal
+from bullet_spark_spark.streaming.runtime import RateLimit
+from bullet_spark_spark.streaming.windows import record_window_count
+
+
+@pytest.fixture()
+def runtime(spark):
+    rt = EngineRuntime(spark)
+    yield rt
+    rt.stop_all()
+
+
+def _events_stream(spark, tables, tmp_path, chunks=4):
+    return file_drip(spark, tables["events"], str(tmp_path), chunks=chunks)
+
+
+def test_group_agg_drain(spark, tables, tmp_path, runtime):
+    """Windowed group aggregation over a drained stream matches batch
+    (the reference's combine-then-compare pattern, FilterStreamingTest.scala:82-85)."""
+    stream = _events_stream(spark, tables, tmp_path)
+    spec = Query(
+        source="events",
+        filter=E.f("value") > 50,
+        aggregation=GroupAgg(
+            fields=["event_type"],
+            operations=[(AggOp.COUNT, None, "cnt"), (AggOp.SUM, "value", "sv")],
+        ),
+    )
+    handle = runtime.run_available(spec, stream, checkpoint_dir=str(tmp_path / "ck"))
+    assert handle.state is QueryState.COMPLETED
+    # update mode re-emits changed groups per batch; last emission per key wins
+    final = {}
+    for batch in handle.sink.batches:
+        for row in batch:
+            final[row[0]] = row
+    batch_rows = {
+        r["event_type"]: (r["event_type"], r["cnt"], r["sv"])
+        for r in tables["events"]
+        .filter(F.col("value") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert set(final) == set(batch_rows)
+    for k, row in final.items():
+        assert row[1] == batch_rows[k][1]
+        assert abs(row[2] - batch_rows[k][2]) < 1e-6
+
+
+def test_event_time_tumbling_window(spark, tables, tmp_path, runtime):
+    """W3: event-time tumbling window emits per-window groups."""
+    stream = _events_stream(spark, tables, tmp_path)
+    spec = Query(
+        source="events",
+        aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "cnt")]),
+        window=Window(
+            emit_every=3_600_000,
+            emit_unit=WindowUnit.TIME,
+            event_time_field="ts",
+        ),
+    )
+    handle = runtime.run_available(spec, stream, checkpoint_dir=str(tmp_path / "ck"))
+    final = {}
+    for batch in handle.sink.batches:
+        for row in batch:
+            final[row[0]] = row[1]
+    expected = {
+        r["window_start"]: r["cnt"]
+        for r in tables["events"]
+        .groupBy(F.window("ts", "1 hour")["start"].alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert final == expected
+
+
+def test_raw_limit_done(spark, tables, tmp_path, runtime):
+    """Q3/Q16: RAW completes once limit records emitted (ref
+    JoinStreamingTest.scala:55-67 — query done after 2 records)."""
+    stream = _events_stream(spark, tables, tmp_path, chunks=8)
+    spec = Query(
+        source="events",
+        projection=Projection(fields=[("event_id", E.f("event_id"))]),
+        aggregation=RawAgg(limit=5),
+    )
+    handle = runtime.register(spec, stream, trigger_ms=100)
+    deadline = time.time() + 60
+    while handle.is_active() and time.time() < deadline:
+        time.sleep(0.2)
+    assert handle.state is QueryState.COMPLETED
+    assert len(handle.sink.rows) == 5
+    assert (handle.query_id, Signal.COMPLETE) in [(q, s) for q, s, _ in runtime.status_log]
+
+
+def test_duration_expiry(spark, tables, tmp_path, runtime):
+    """Q15: query completes after its wall-clock duration (ref isTimedOut,
+    QueryDataUnioning.scala:71)."""
+    stream = _events_stream(spark, tables, tmp_path)
+    spec = Query(
+        source="events",
+        aggregation=GroupAgg(fields=["event_type"], operations=[(AggOp.COUNT, None, "cnt")]),
+        duration_ms=1500,
+    )
+    handle = runtime.register(spec, stream, trigger_ms=100)
+    deadline = time.time() + 60
+    while handle.is_active() and time.time() < deadline:
+        time.sleep(0.2)
+    assert handle.state is QueryState.COMPLETED
+    assert 1.0 <= time.time() - handle.started_at < 30
+
+
+def test_kill_signal(spark, tables, tmp_path, runtime):
+    """W8: external KILL stops the query and logs the signal (ref
+    JoinStreamingTest.scala:127-162)."""
+    stream = _events_stream(spark, tables, tmp_path)
+    spec = Query(
+        source="events",
+        aggregation=GroupAgg(fields=["event_type"], operations=[(AggOp.COUNT, None, "cnt")]),
+    )
+    handle = runtime.register(spec, stream, trigger_ms=100)
+    assert handle.is_active()
+    runtime.kill(handle.query_id)
+    assert handle.state is QueryState.KILLED
+    assert (handle.query_id, Signal.KILL) in [(q, s) for q, s, _ in runtime.status_log]
+    # duplicate signal is idempotent (ref JoinStreamingTest.scala:205-221)
+    runtime.kill(handle.query_id)
+    assert [s for q, s, _ in runtime.status_log if q == handle.query_id] == [Signal.KILL]
+
+
+def test_rate_limit_fail(spark, tables, tmp_path, runtime):
+    """W9: emit-rate violation fails the query (ref RateLimitError,
+    FilterStreamingTest.scala:277-309)."""
+    stream = _events_stream(spark, tables, tmp_path, chunks=8)
+    spec = Query(
+        source="events",
+        aggregation=GroupAgg(fields=["event_type"], operations=[(AggOp.COUNT, None, "cnt")]),
+    )
+    handle = runtime.register(
+        spec, stream, trigger_ms=100, rate_limit=RateLimit(max_emits=2, interval_ms=60_000)
+    )
+    deadline = time.time() + 60
+    while handle.is_active() and time.time() < deadline:
+        time.sleep(0.2)
+    assert handle.state is QueryState.FAILED
+    assert "rate limit" in (handle.error or "")
+    assert (handle.query_id, Signal.FAIL) in [(q, s) for q, s, _ in runtime.status_log]
+
+
+def test_record_window(spark, tables, tmp_path):
+    """W2: record-granularity window emits once per N records with reset
+    (ref FilterStreamingTest.scala:267-274: 2 records → 2 emissions)."""
+    stream = file_drip(spark, tables["events"].limit(100), str(tmp_path), chunks=4)
+    windowed = record_window_count(stream.filter(F.col("value") > 0), every_n=10, value_col="value")
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    sink = MemorySink()
+    q = (
+        windowed.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck_rw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(sink.rows, key=lambda r: r[0])  # (window_idx, cnt, sum_value)
+    n_match = tables["events"].limit(100).filter(F.col("value") > 0).count()
+    assert len(rows) == n_match // 10
+    assert all(r[1] == 10 for r in rows)  # every window exactly N records
+    assert [r[0] for r in rows] == list(range(len(rows)))  # contiguous windows
