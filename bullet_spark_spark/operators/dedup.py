@@ -52,6 +52,22 @@ def exact_dedup_representatives(
     )
 
 
+def streaming_dedup(
+    df: DataFrame, key_cols: list[str], event_time_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates keyed on ``key_cols``; with an
+    event-time column + watermark the dedup state is bounded (keys older
+    than the watermark are evicted) — without it, state grows with distinct
+    keys forever, which is exactly the reference's tombstone leak
+    (JoinStreaming.scala:60-62) we refuse to replicate."""
+    if event_time_col:
+        return df.withWatermark(event_time_col, watermark_delay).dropDuplicates(
+            [*key_cols, event_time_col] if event_time_col not in key_cols else key_cols
+        )
+    return df.dropDuplicates(key_cols)
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Character n-gram shingle set of normalized text (distinct). Built-ins
     only: sequence + transform + substring, then array_distinct."""

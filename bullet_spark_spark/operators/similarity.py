@@ -105,11 +105,17 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def _bucket_array(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """Array of per-table bucket signatures for multi-table LSH."""
+    return F.array(*[lsh_signature(vec, planes) for planes in tables])
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 12,
+    num_planes: int = 6,
+    num_tables: int = 8,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -117,16 +123,31 @@ def lsh_ann_topk(
     query_vec_col: str = "query_vec",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: bucket corpus and queries by hyperplane
-    signature, score only same-bucket candidates, exact re-rank within
-    candidates. Recall is tunable via num_planes (fewer planes → bigger
-    buckets → higher recall, more work)."""
+    """Approximate cosine top-k with multi-table hyperplane LSH: ``num_tables``
+    independent signature tables; a corpus vector is a candidate if it shares
+    a bucket with the query in ANY table (the classic E2LSH OR-construction —
+    per-table precision from num_planes, recall from num_tables).
+
+    Scale shape: corpus explodes to num_tables rows keyed by (table, bucket)
+    — a linear blow-up that buys bucket-local candidate generation instead of
+    the O(corpus × queries) brute-force scan; candidates dedup on
+    (query, id) before the exact re-rank."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(num_planes, dim, seed)
-    c = corpus.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
-    q = queries.withColumn("bucket", lsh_signature(F.col(query_vec_col), planes))
-    cands = c.join(F.broadcast(q), "bucket")
+    tables = [
+        _hyperplanes(num_planes, dim, seed + 1000 * t) for t in range(num_tables)
+    ]
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(_bucket_array(F.col(vec_col), tables)).alias("tbl", "bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col),
+        F.posexplode(_bucket_array(F.col(query_vec_col), tables)).alias("tbl", "bucket"),
+    )
+    cands = c.join(F.broadcast(q), ["tbl", "bucket"]).select(
+        query_id_col, query_vec_col, id_col, vec_col
+    ).dropDuplicates([query_id_col, id_col])
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),

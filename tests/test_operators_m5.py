@@ -1,0 +1,224 @@
+"""North-star operator tests (M5): dedup quality, ANN recall, text analysis,
+multimodal plumbing — the properties the oracle harness can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import dedup as dd
+from bullet_spark_spark.operators import multimodal as mm
+from bullet_spark_spark.operators import similarity as sim
+from bullet_spark_spark.operators import text as tx
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_exact_dedup_collapses_duplicates(spark, tables):
+    docs = tables["documents"].select("doc_id", "text")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)  # same text, new ids
+    both = docs.unionByName(dup)
+    kept = dd.exact_dedup_representatives(both)
+    # every duplicated text collapses to its min id → original ids only
+    assert kept.count() == docs.count()
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_exact_dedup_multi_column(spark, tables):
+    ev = tables["events"]
+    deduped = dd.exact_dedup(ev, ["user_id", "event_type"], "event_id")
+    expected = ev.select("user_id", "event_type").distinct().count()
+    assert deduped.count() == expected
+
+
+def test_minhash_estimates_jaccard(spark, tables):
+    """MinHash est_jaccard ≈ exact n-gram jaccard on the candidate pairs."""
+    docs = tables["documents"].limit(200)
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=128, shingle_n=5)
+    cands = dd.minhash_lsh_candidates(sigs, "doc_id", bands=32, rows_per_band=4)
+    est = dd.minhash_similarity(sigs, cands, "doc_id").collect()
+    if not est:
+        pytest.skip("no candidate pairs at this sf")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.0, use_words=False
+        ).collect()
+    }
+    for r in est:
+        ex = exact.get((r["id_a"], r["id_b"]), 0.0)
+        assert abs(r["est_jaccard"] - ex) < 0.25  # 128 hashes → se ~0.04, loose bound
+
+
+def test_simhash_identical_and_perturbed(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+        (4, "completely different words about spark query engines and columnar formats"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r["doc_id"]: r["simhash"] for r in dd.simhash(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]  # identical text → identical fingerprint
+    ham13 = bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1")
+    ham14 = bin((fps[1] ^ fps[4]) & ((1 << 64) - 1)).count("1")
+    assert ham13 < ham14  # one-word change ≪ different doc
+    pairs = dd.simhash_near_dup_pairs(
+        dd.simhash(df, "doc_id", "text"), "doc_id", max_hamming=0
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} >= {(1, 2)}
+
+
+def test_streaming_dedup(spark, tables, tmp_path):
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    ev = tables["events"].limit(200).select("event_id", "ts", "user_id")
+    doubled = ev.unionByName(ev)  # every record twice
+    stream = file_drip(spark, doubled, str(tmp_path), chunks=4)
+    deduped = dd.streaming_dedup(stream, ["event_id"])
+    sink = MemorySink()
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(sink.rows) == 200
+    ids = [r[0] for r in sink.rows]
+    assert len(set(ids)) == 200
+
+
+# -- similarity -------------------------------------------------------------
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark, tables):
+    import numpy as np
+
+    emb = tables["embeddings"]
+    res = sim.brute_force_topk(
+        emb.select("vec_id", "embedding"), _queries(emb), k=3, exclude_self=True
+    ).collect()
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for qid in range(5):
+        qv = data[qid]
+        sims = {
+            vid: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for vid, v in data.items()
+            if vid != qid
+        }
+        expect = sorted(sims, key=lambda v: (-round(sims[v], 6), v))[:3]
+        got = [r["vec_id"] for r in sorted(res, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert got == expect, f"query {qid}: {got} != {expect}"
+
+
+def test_lsh_ann_recall(spark, tables):
+    """LSH ANN recall vs exact top-k: with few planes (big buckets) recall
+    should be substantial; every returned neighbor must be a real corpus id."""
+    emb = tables["embeddings"]
+    q = _queries(emb, n=20)
+    exact = sim.brute_force_topk(emb.select("vec_id", "embedding"), q, k=5, exclude_self=True)
+    # random uniform vectors are a worst case (true neighbors only ~0.4
+    # cosine → plane-collision p≈0.63); 4 planes × 12 OR-tables predicts
+    # recall ≈ 1-(1-0.63^4)^12 ≈ 0.87. Real embedding corpora cluster much
+    # tighter, hence the leaner 6/8 defaults.
+    approx = sim.lsh_ann_topk(
+        emb.select("vec_id", "embedding"), q, k=5, num_planes=4, num_tables=12
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    # self-match is its own best neighbor; with 12 OR-tables recall of true
+    # top-5 on weakly-similar random vectors should be well above chance
+    assert sum(recalls) / len(recalls) > 0.5
+
+
+def test_cosine_near_dup_lsh_subset_of_exact(spark, tables):
+    emb = tables["embeddings"].limit(300)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.35, exact=True).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.35, num_planes=4).collect()
+    }
+    assert blocked <= exact  # blocking only prunes, never invents
+
+
+# -- text -------------------------------------------------------------------
+
+def test_text_analyze_columns(spark, tables):
+    out = tx.analyze(tables["documents"].limit(50))
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert len(r["fingerprint"]) == 32
+        assert r["lang_guess"] in {"en", "de", "fr", "es", "und"}
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy"),
+            (2, "der hund ist nicht mit der katze auf dem sofa"),
+            (3, "le chat est dans la maison et les oiseaux"),
+            (4, "xyzzy plugh quux"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", tx.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "  hello   world  "), (2, ""), (3, "a")], ["i", "t"])
+    got = {r["i"]: r["n"] for r in df.select("i", tx.token_count(F.col("t")).alias("n")).collect()}
+    assert got == {1: 2, 2: 0, 3: 1}
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_multimodal_plumbing(spark, tables):
+    media = mm.attach_fake_media(tables["documents"].limit(20), "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == ["media_id", "mime", "bytes", "meta"]
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # determinism: same input → same features
+    feats2 = mm.extract_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_multimodal_decode_stub_raises(spark, tables):
+    media = mm.attach_fake_media(tables["documents"].limit(5), "doc_id", "text")
+    decoded = mm.decode_image(media)  # plan builds fine
+    assert "height" in decoded.columns
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        decoded.collect()
+
+
+def test_frame_sampling(spark, tables):
+    media = mm.attach_fake_media(tables["documents"].limit(10), "doc_id", "text")
+    frames = mm.sample_frames(media, every_n_bytes=64, max_frames=4).collect()
+    assert all(r["frame_idx"] < 4 for r in frames)
+    assert len({r["media_id"] for r in frames}) == 10
