@@ -145,8 +145,9 @@ def bullet_raw_limit(spark, sf_dir):
        FROM events WHERE value > 50 GROUP BY event_type""",
 )
 def bullet_group_agg(spark, sf_dir):
-    """Q4 GROUP BY + COUNT/SUM/MIN/MAX/AVG (ref makeSimpleAggregationQuery)."""
-    df = compile_query(
+    """Q4 GROUP BY + COUNT/SUM/MIN/MAX/AVG (ref makeSimpleAggregationQuery);
+    single-pass plan — SUM_EXACT/AVG_EXACT are engine aggregation ops."""
+    return compile_query(
         spark,
         Query(
             source="events",
@@ -155,19 +156,14 @@ def bullet_group_agg(spark, sf_dir):
                 fields=["event_type"],
                 operations=[
                     (AggOp.COUNT, None, "cnt"),
+                    (AggOp.SUM_EXACT, "value", "sum_value"),
                     (AggOp.MIN, "value", "min_value"),
                     (AggOp.MAX, "value", "max_value"),
+                    (AggOp.AVG_EXACT, "value", "avg_value"),
                 ],
             ),
         ),
     )
-    # exact-decimal sum/avg joined in (engine GroupAgg keeps native double
-    # semantics; the oracle-facing variant needs engine-independent fp)
-    ev = spark.table("events").filter(F.col("value") > 50)
-    extra = ev.groupBy("event_type").agg(
-        _dsum(F.col("value"), "sum_value"), _davg(F.col("value"), "avg_value")
-    )
-    return df.join(extra, "event_type")
 
 
 @q(

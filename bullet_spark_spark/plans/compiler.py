@@ -45,6 +45,10 @@ _AGG_FN = {
     AggOp.MIN: lambda f: F.min(F.col(f)),
     AggOp.MAX: lambda f: F.max(F.col(f)),
     AggOp.AVG: lambda f: F.avg(F.col(f)),
+    AggOp.SUM_EXACT: lambda f: F.sum(F.col(f).cast("decimal(18,4)")).cast("double"),
+    AggOp.AVG_EXACT: lambda f: F.round(
+        F.sum(F.col(f).cast("decimal(18,4)")).cast("double") / F.count(F.col(f)), 6
+    ),
 }
 
 

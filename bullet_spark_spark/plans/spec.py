@@ -25,6 +25,11 @@ class AggOp(str, Enum):
     MAX = "MAX"
     AVG = "AVG"
     COUNT_FIELD = "COUNT_FIELD"  # non-null count of a field
+    # engine extensions: accumulation-order-independent aggregates (exact
+    # DECIMAL(18,4) accumulation surfaced as double) — reproducible across
+    # engines/partitionings, used by the oracle suite
+    SUM_EXACT = "SUM_EXACT"
+    AVG_EXACT = "AVG_EXACT"
 
 
 @dataclass(frozen=True)

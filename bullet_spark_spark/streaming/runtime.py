@@ -213,6 +213,20 @@ class EngineRuntime:
     def active(self) -> list[QueryHandle]:
         return [h for h in self.queries.values() if h.is_active()]
 
+    def metrics(self) -> dict[str, int]:
+        """Engine counters (ref BulletSparkMetrics accumulators,
+        BulletSparkMetrics.scala:14-103): received/running/done/killed/failed
+        plus total emissions."""
+        states = [h.state for h in self.queries.values()]
+        return {
+            "queries_received": len(states),
+            "queries_running": sum(s is QueryState.RUNNING for s in states),
+            "queries_done": sum(s is QueryState.COMPLETED for s in states),
+            "queries_killed": sum(s is QueryState.KILLED for s in states),
+            "queries_failed": sum(s is QueryState.FAILED for s in states),
+            "emissions": sum(h.sink.num_emissions for h in self.queries.values()),
+        }
+
     # -- internals ----------------------------------------------------------
 
     def _ensure_sweeper(self) -> None:
