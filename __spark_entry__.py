@@ -908,6 +908,55 @@ def sim_cosine_neardup(spark, sf_dir):
     return sim.cosine_near_dup_pairs(t["embeddings"], threshold=0.42, exact=True)
 
 
+@q(
+    "multiplex_one_pass",
+    """SELECT 'q_hi' AS query_id, count(*) AS n FROM events WHERE value > 90
+       UNION ALL
+       SELECT 'q_purchase', count(*) FROM events WHERE event_type = 'purchase'
+       UNION ALL
+       SELECT 'q_teens', count(*) FROM events WHERE value BETWEEN 10 AND 20""",
+)
+def multiplex_one_pass(spark, sf_dir):
+    """N query predicates in ONE scan (the reference's FilterStreaming
+    multiplexing, FilterStreaming.scala:54-67, without the per-batch driver
+    re-broadcast)."""
+    from bullet_spark_spark.operators.multiplex import multiplex_filter
+
+    t = _t(spark, sf_dir)
+    routed = multiplex_filter(
+        t["events"],
+        {
+            "q_hi": E.f("value") > 90,
+            "q_purchase": E.f("event_type") == "purchase",
+            "q_teens": E.f("value").between(10, 20),
+        },
+    )
+    return routed.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "scale_salted_agg",
+    """SELECT l_returnflag, count(*) AS cnt,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+              max(l_quantity) AS max_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def scale_salted_agg(spark, sf_dir):
+    """Skew-resistant two-phase (salted) aggregation — equals the plain
+    groupBy result; decimal cast keeps the double sum order-independent."""
+    from bullet_spark_spark.operators.relational import salted_group_agg
+
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].withColumn("q_dec", F.col("l_quantity").cast("decimal(18,4)"))
+    out = salted_group_agg(
+        li,
+        ["l_returnflag"],
+        [("count", None, "cnt"), ("sum", "q_dec", "sum_qty"), ("max", "l_quantity", "max_qty")],
+        salt_buckets=8,
+    )
+    return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
 @q("multimodal_features")  # rows-only: features computed in mapInPandas
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary media column → Arrow-batched feature

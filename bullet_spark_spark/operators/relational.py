@@ -52,3 +52,41 @@ def global_topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     """Top-k by arbitrary measure (vs bullet's frequency-only TOP K).
     Plans as TakeOrderedAndProject: O(k) memory per partition."""
     return df.orderBy(*order).limit(k)
+
+
+def salted_group_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant grouped aggregation: two-phase (salted partial →
+    unsalted final) for decomposable aggregates.
+
+    ``aggs``: (op, in_col, out_name) with op ∈ count/sum/min/max.
+    Spark's HashAggregate already combines map-side, which defuses most agg
+    skew; the explicit salt matters when the partial state itself is heavy
+    (wide composite state, agg over exploded containers) or when feeding a
+    downstream stage that must not see one giant key partition. AQE splits
+    skewed JOIN partitions but does not re-balance aggregation keys."""
+    _partial = {
+        "count": lambda c: F.count(F.lit(1)),
+        "sum": lambda c: F.sum(F.col(c)),
+        "min": lambda c: F.min(F.col(c)),
+        "max": lambda c: F.max(F.col(c)),
+    }
+    _merge = {
+        "count": F.sum,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+    }
+    salted = df.withColumn(
+        "__salt", (F.spark_partition_id() % salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[_partial[op](c).alias(f"__p_{out}") for op, c, out in aggs]
+    )
+    return partial.groupBy(*keys).agg(
+        *[_merge[op](F.col(f"__p_{out}")).alias(out) for op, c, out in aggs]
+    )

@@ -1,0 +1,28 @@
+"""Text-query surface.
+
+Bullet exposes BQL (a SQL dialect parsed by bullet-bql in the web service;
+the backend receives pre-compiled Query POJOs — reference
+BulletSparkStreamingBaseJobTest.scala:40-41 ships serialized ``Query``
+objects, never text). In a Spark-first engine the equivalent stance is:
+Spark SQL *is* the query language — every registered source is a view, so a
+BQL-style text query is just ``spark.sql`` against them, batch or streaming.
+This module is the thin facade that keeps that contract explicit, plus spec
+round-tripping for programmatic clients."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bullet_spark_spark.plans.spec import Query
+from bullet_spark_spark.plans.compiler import compile_query
+
+
+def sql(spark: SparkSession, text: str) -> DataFrame:
+    """Run a text query over the registered source views (batch; a streaming
+    view produces an unbounded DataFrame to hand to EngineRuntime)."""
+    return spark.sql(text)
+
+
+def run_spec(spark: SparkSession, spec: Query) -> DataFrame:
+    """Programmatic spec → DataFrame (the bullet-core Query POJO analogue)."""
+    return compile_query(spark, spec)

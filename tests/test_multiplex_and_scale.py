@@ -1,0 +1,164 @@
+"""Multiplexer, salted aggregation, concurrent queries, checkpoint recovery —
+the scale-posture behaviors (SURVEY §7.3)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.functions.exprs import E
+from bullet_spark_spark.operators.multiplex import multiplex_filter, multiplex_group_count
+from bullet_spark_spark.operators.relational import salted_group_agg
+from bullet_spark_spark.plans.spec import AggOp, GroupAgg, Query
+from bullet_spark_spark.sources.streaming import file_drip
+from bullet_spark_spark.streaming import EngineRuntime, QueryState
+
+
+def test_multiplex_filter_matches_individual(spark, tables):
+    ev = tables["events"]
+    preds = {
+        "q_hi": E.f("value") > 90,
+        "q_purchase": E.f("event_type") == "purchase",
+        "q_all": None,
+        "q_none": E.f("value") > 1000,
+    }
+    routed = multiplex_filter(ev, preds)
+    counts = {r["query_id"]: r["n"] for r in routed.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("q_hi") == ev.filter(F.col("value") > 90).count()
+    assert counts.get("q_purchase") == ev.filter(F.col("event_type") == "purchase").count()
+    assert counts.get("q_all") == ev.count()
+    assert "q_none" not in counts
+
+
+def test_multiplex_single_scan(spark, tables):
+    """The point of the multiplexer: one parquet scan for N queries."""
+    ev = tables["events"]
+    routed = multiplex_filter(ev, {f"q{i}": E.f("value") > i * 10 for i in range(8)})
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_multiplex_group_count(spark, tables):
+    ev = tables["events"]
+    out = multiplex_group_count(
+        ev,
+        {
+            "by_type": (E.f("value") > 50, GroupAgg(fields=["event_type"])),
+            "by_user_mod": (None, GroupAgg(fields=["user_id"])),
+        },
+    )
+    rows = out.collect()
+    by_type = {r["keys"]["event_type"]: r["cnt"] for r in rows if r["query_id"] == "by_type"}
+    expected = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(F.col("value") > 50).groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_type == expected
+    n_users = len([r for r in rows if r["query_id"] == "by_user_mod"])
+    assert n_users == ev.select("user_id").distinct().count()
+
+
+def test_salted_group_agg_equivalence(spark, tables):
+    ev = tables["events"]
+    salted = {
+        (r["event_type"],): (r["cnt"], r["sv"], r["mx"])
+        for r in salted_group_agg(
+            ev, ["event_type"],
+            [("count", None, "cnt"), ("sum", "value", "sv"), ("max", "value", "mx")],
+            salt_buckets=8,
+        ).collect()
+    }
+    plain = {
+        (r["event_type"],): (r["cnt"], r["sv"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k in plain:
+        assert salted[k][0] == plain[k][0]
+        assert abs(salted[k][1] - plain[k][1]) < 1e-6
+        assert salted[k][2] == plain[k][2]
+
+
+def test_concurrent_queries_shared_source(spark, tables, tmp_path):
+    """Bullet's raison d'être: N live queries multiplexed over one stream
+    (ref FilterStreaming.scala:24) — here as N concurrent plans; each has
+    independent lifecycle and results."""
+    rt = EngineRuntime(spark)
+    try:
+        stream = file_drip(spark, tables["events"], str(tmp_path), chunks=4)
+        specs = {
+            "by_type": Query(
+                source="events",
+                aggregation=GroupAgg(fields=["event_type"], operations=[(AggOp.COUNT, None, "cnt")]),
+            ),
+            "hi_only": Query(
+                source="events",
+                filter=E.f("value") > 90,
+                aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "cnt")]),
+            ),
+            "sum_by_user_parity": Query(
+                source="events",
+                aggregation=GroupAgg(fields=["event_type"], operations=[(AggOp.SUM, "value", "sv")]),
+            ),
+        }
+        handles = {name: rt.register(spec, stream, trigger_ms=150) for name, spec in specs.items()}
+        assert rt.metrics()["queries_running"] == 3
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if all(h.sink.num_emissions >= 1 for h in handles.values()):
+                break
+            time.sleep(0.3)
+        for name, h in handles.items():
+            assert h.sink.num_emissions >= 1, f"{name} never emitted"
+        rt.kill(handles["by_type"].query_id)
+        assert handles["by_type"].state is QueryState.KILLED
+        assert handles["hi_only"].is_active()
+        m = rt.metrics()
+        assert m["queries_received"] == 3 and m["queries_killed"] == 1
+    finally:
+        rt.stop_all()
+
+
+def test_checkpoint_recovery(spark, tables, tmp_path):
+    """P12: a query restarted on the same checkpoint resumes from its offset
+    instead of reprocessing (ref StreamingContext.getOrCreate,
+    BulletSparkStreamingBaseJob.scala:30-38)."""
+    import os
+
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    data_dir = str(tmp_path / "src")
+    os.makedirs(data_dir)
+    ck = str(tmp_path / "ck")
+    ev = tables["events"].select("event_id", "event_type", "value")
+    ev.filter(F.col("event_id") < 500).write.mode("append").parquet(data_dir)
+
+    def run_once(sink):
+        stream = (
+            spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(data_dir)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first = MemorySink()
+    run_once(first)
+    n_first = len(first.rows)
+    assert n_first == ev.filter(F.col("event_id") < 500).count()
+
+    # new data lands; a restarted query must process ONLY the new files
+    ev.filter(F.col("event_id") >= 500).write.mode("append").parquet(data_dir)
+    second = MemorySink()
+    run_once(second)
+    n_second = len(second.rows)
+    assert n_second == ev.filter(F.col("event_id") >= 500).count()
+    ids = {r[0] for r in second.rows}
+    assert all(i >= 500 for i in ids)
