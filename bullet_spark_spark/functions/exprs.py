@@ -161,10 +161,10 @@ class Binary(Expr):
                 return a.cast("boolean") != b.cast("boolean")
             return _BINARY_BUILTIN[self.op](a, b)
         if op == "RLIKE":
-            return a.rlike(self.right.value) if isinstance(self.right, Value) else a.rlike(b)
+            return a.rlike(self.right.value) if isinstance(self.right, Value) else F.regexp_like(a, b)
         if op == "RLIKE_ANY":
             # true if a matches ANY pattern in list b
-            return F.exists(b, lambda p: a.rlike(p))
+            return F.exists(b, lambda p: F.regexp_like(a, p))
         if op.endswith("_ANY") or op.endswith("_ALL"):
             base, quant = op[:-4], op[-3:]
             cmp = _CMP_FN[base]

@@ -86,6 +86,15 @@ class QueryHandle:
     def is_active(self) -> bool:
         return self.state is QueryState.RUNNING
 
+    def final_result(self) -> list[tuple]:
+        """Last non-empty emission — the 'final result at query end' of
+        bullet's one-shot window (W1: default `new Window()` emits only on
+        completion, ref QueryDataUnioningTest.scala:93)."""
+        for batch in reversed(self.sink.batches):
+            if batch:
+                return batch
+        return []
+
 
 class EngineRuntime:
     """Query registry + lifecycle supervisor (the engine's control plane)."""
@@ -118,6 +127,12 @@ class EngineRuntime:
         RAW runs in ``append`` with the limit enforced by the runtime (limit
         is not a streaming-supported plan node)."""
         qid = query_id or uuid.uuid4().hex[:12]
+        with self._lock:
+            existing = self.queries.get(qid)
+            if existing is not None and existing.is_active():
+                # duplicate registration is ignored, returning the live handle
+                # (ref query dedup in the union state, QueryDataUnioning.scala:60-83)
+                return existing
         sink = MemorySink()
         handle = QueryHandle(query_id=qid, spec=spec, sink=sink)
 

@@ -1,0 +1,100 @@
+"""Expression-language unit tests for the surfaces the parquet fixtures
+don't exercise: ANY/ALL quantified comparisons, container ops, FILTER,
+XOR/NOT, casts, hashing (SURVEY §2.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.functions.exprs import E
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    rows = [
+        (1, ["a", "b", "c"], [1.0, 50.0, 99.0], {"color": "red", "size": "L"}, True, -5, None),
+        (2, ["b"], [10.0], {"color": "blue"}, False, 3, "x"),
+        (3, [], [], {}, None, 0, "y"),
+        (4, ["spark", "fast"], [75.0, 80.0], {"origin": "eu"}, True, -2, None),
+    ]
+    return spark.createDataFrame(
+        rows, "rec_id int, tags array<string>, scores array<double>, attrs map<string,string>, flag boolean, small_int int, maybe_null string"
+    )
+
+
+def _vals(df, col_expr, alias="v"):
+    return {r["rec_id"]: r[alias] for r in df.select("rec_id", col_expr.col().alias(alias)).collect()}
+
+
+def test_any_all_quantifiers(nested):
+    # > ANY: any score above 60
+    got = _vals(nested, E.any(">", E.v(60.0), E.f("scores")))
+    # 60 > any score (note operand order: left cmp element)
+    assert got == {1: True, 2: True, 3: False, 4: False}
+    got = _vals(nested, E.all("<", E.v(0.0), E.f("scores")))
+    assert got == {1: True, 2: True, 3: True, 4: True}  # vacuous truth on empty
+    got = _vals(nested, E.any("=", E.v("b"), E.f("tags")))
+    assert got == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_container_ops(nested):
+    assert _vals(nested, E.sizeof(E.f("tags"))) == {1: 3, 2: 1, 3: 0, 4: 2}
+    assert _vals(nested, E.contains_key(E.f("attrs"), "color")) == {1: True, 2: True, 3: False, 4: False}
+    assert _vals(nested, E.contains_value(E.f("attrs"), E.v("eu"))) == {1: False, 2: False, 3: False, 4: True}
+    assert _vals(nested, E.in_list(E.v("spark"), E.f("tags"))) == {1: False, 2: False, 3: False, 4: True}
+    assert _vals(nested, E.size_is(E.f("tags"), 1)) == {1: False, 2: True, 3: False, 4: False}
+
+
+def test_list_filter_by_mask(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"], [True, False, True])],
+        "rec_id int, xs array<string>, mask array<boolean>",
+    )
+    got = {r["rec_id"]: r["v"] for r in df.select("rec_id", E.list_filter(E.f("xs"), E.f("mask")).col().alias("v")).collect()}
+    assert got == {1: ["a", "c"]}
+
+
+def test_field_subaccess(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": {"x": 10}}, [5, 6, 7])],
+        "rec_id int, nested map<string,map<string,bigint>>, arr array<int>",
+    )
+    row = df.select(
+        E.f("nested", key="a", subkey="x").col().alias("nx"),
+        E.f("arr", index=0).col().alias("a0"),
+    ).collect()[0]
+    assert row["nx"] == 10 and row["a0"] == 5
+
+
+def test_logic_and_null_tests(nested):
+    assert _vals(nested, ~E.f("flag")) == {1: False, 2: True, 3: None, 4: False}
+    assert _vals(nested, E.f("maybe_null").is_null()) == {1: True, 2: False, 3: False, 4: True}
+    xor = _vals(nested, E.f("flag") ^ (E.f("small_int") > 0))
+    assert xor == {1: True, 2: True, 3: None, 4: True}
+
+
+def test_abs_cast_hash_rlike(nested):
+    assert _vals(nested, E.abs(E.f("small_int"))) == {1: 5, 2: 3, 3: 0, 4: 2}
+    assert _vals(nested, E.f("small_int").cast("string")) == {1: "-5", 2: "3", 3: "0", 4: "-2"}
+    hashes = _vals(nested, E.hash(E.f("rec_id").cast("string")))
+    assert len(set(hashes.values())) == 4  # distinct, deterministic
+    # RLIKE is a regex search: pattern 'a' hits "sparkling" too
+    assert _vals(nested, E.rlike_any(E.v("sparkling"), E.f("tags"))) == {
+        1: True, 2: False, 3: False, 4: True,
+    }
+
+
+def test_not_in_not_between(nested):
+    assert _vals(nested, E.not_in(E.f("rec_id"), 1, 3)) == {1: False, 2: True, 3: False, 4: True}
+    assert _vals(nested, E.not_between(E.f("small_int"), 0, 5)) == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_iff_concat_substring(nested):
+    assert _vals(nested, E.iff(E.f("small_int") < 0, "neg", "nonneg")) == {
+        1: "neg", 2: "nonneg", 3: "nonneg", 4: "neg",
+    }
+    assert _vals(nested, E.concat(E.v("r"), E.f("rec_id").cast("string"))) == {
+        1: "r1", 2: "r2", 3: "r3", 4: "r4",
+    }
+    assert _vals(nested, E.substring(E.v("abcdef"), 2, 3)) == {i: "bcd" for i in (1, 2, 3, 4)}

@@ -130,6 +130,9 @@ def test_duration_expiry(spark, tables, tmp_path, runtime):
         time.sleep(0.2)
     assert handle.state is QueryState.COMPLETED
     assert 1.0 <= time.time() - handle.started_at < 30
+    # W1 one-shot semantics: final_result is the last non-empty emission
+    final = handle.final_result()
+    assert final and all(len(r) == 2 for r in final)
 
 
 def test_kill_signal(spark, tables, tmp_path, runtime):
@@ -142,6 +145,10 @@ def test_kill_signal(spark, tables, tmp_path, runtime):
     )
     handle = runtime.register(spec, stream, trigger_ms=100)
     assert handle.is_active()
+    # duplicate registration with the same id returns the live handle
+    # (ref query dedup, QueryDataUnioning.scala:60-83)
+    dup = runtime.register(spec, stream, query_id=handle.query_id)
+    assert dup is handle
     runtime.kill(handle.query_id)
     assert handle.state is QueryState.KILLED
     assert (handle.query_id, Signal.KILL) in [(q, s) for q, s, _ in runtime.status_log]
