@@ -713,12 +713,12 @@ def date_group_month(spark, sf_dir):
               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
               round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
               count(*) AS count_order
-       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
        GROUP BY l_returnflag, l_linestatus""",
 )
 def tpch_q1_pricing(spark, sf_dir):
     """Flagship: TPC-H-Q1-style pricing summary (filter → wide agg)."""
-    li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+    li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _dsum(F.col("l_quantity"), "sum_qty"),
         _dsum(F.col("l_extendedprice"), "sum_base_price"),
@@ -726,6 +726,119 @@ def tpch_q1_pricing(spark, sf_dir):
         _davg(F.col("l_quantity"), "avg_qty"),
         _davg(F.col("l_discount"), "avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "streaming_window_parity",
+    """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+              count(*) AS cnt
+       FROM events GROUP BY window_start""",
+)
+def streaming_window_parity(spark, sf_dir):
+    """Streaming == batch: drain events through a real Structured Streaming
+    query (file source, availableNow, event-time tumbling window, update
+    mode), take the last emission per window, and the result hash-matches a
+    batch DuckDB oracle — bullet's windowed-emission semantics proven on the
+    streaming path itself."""
+    import tempfile
+
+    from bullet_spark_spark.plans.spec import Window as BWindow, WindowUnit
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming import EngineRuntime
+
+    t = _t(spark, sf_dir)
+    rt = EngineRuntime(spark)
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, t["events"], work, chunks=4)
+        spec = Query(
+            source="events",
+            aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "cnt")]),
+            window=BWindow(
+                emit_every=3_600_000, emit_unit=WindowUnit.TIME, event_time_field="ts"
+            ),
+        )
+        handle = rt.run_available(spec, stream, checkpoint_dir=f"{work}/ck")
+        final: dict = {}
+        for batch in handle.sink.batches:
+            for row in batch:
+                final[row[0]] = row
+    return spark.createDataFrame(
+        sorted(final.values()), "window_start timestamp, cnt long"
+    )
+
+
+@q(
+    "tpch_q3_shipping",
+    """SELECT o_orderkey,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+             AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def tpch_q3_shipping(spark, sf_dir):
+    """TPC-H-Q3-style 3-way join + top-k revenue (dim broadcast, fact-fact
+    shuffle, TakeOrdered)."""
+    t = _t(spark, sf_dir)
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    j = (
+        t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+        .join(t["orders"].filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    agg = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    return rel.global_topk(
+        agg.select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.col("revenue").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@q(
+    "tpch_q5_region_revenue",
+    """SELECT r_name, n_name,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+)
+def tpch_q5_region_revenue(spark, sf_dir):
+    """TPC-H-Q5-style snowflake join: fact-fact shuffle + three broadcast
+    dims chained."""
+    t = _t(spark, sf_dir)
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+@q(
+    "dedup_events_exact",
+    """SELECT min(event_id) AS event_id FROM events
+       GROUP BY user_id, event_type, value""",
+)
+def dedup_events_exact(spark, sf_dir):
+    """Exact dedup on the stream table keyed by content columns."""
+    t = _t(spark, sf_dir)
+    return dd.exact_dedup(t["events"], ["user_id", "event_type", "value"], "event_id").select(
+        "event_id"
     )
 
 

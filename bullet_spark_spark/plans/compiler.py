@@ -76,8 +76,8 @@ def compile_query(
     df = _apply_projection(df, query.projection)
     if streaming:
         w = query.window
-        if w.emit_unit is WindowUnit.TIME and w.event_time_field and w.emit_every:
-            delay = f"{max(w.emit_every // 1000, 1)} seconds"
+        if w.event_time_field and w.watermark_delay_ms:
+            delay = f"{max(w.watermark_delay_ms // 1000, 1)} seconds"
             df = df.withWatermark(w.event_time_field, delay)
     df = _apply_window_grouping(df, query)
     df = _apply_aggregation(df, query, streaming=streaming)
@@ -103,7 +103,10 @@ def _apply_projection(df: DataFrame, proj: Projection) -> DataFrame:
 def _apply_window_grouping(df: DataFrame, query: Query) -> DataFrame:
     """Event-time tumbling windows (our W3 upgrade: event-time instead of the
     reference's processing-time batch clock, JoinStreaming.scala:118-122).
-    Adds a ``window_start`` column that GroupAgg then includes as a key."""
+
+    Groups on the ``window()`` struct itself — NOT a derived scalar — so the
+    event-time tag survives and a declared watermark can evict closed-window
+    state; GroupAgg projects ``window_start`` after aggregation."""
     w = query.window
     if (
         w.emit_unit is WindowUnit.TIME
@@ -111,9 +114,7 @@ def _apply_window_grouping(df: DataFrame, query: Query) -> DataFrame:
         and isinstance(query.aggregation, GroupAgg)
     ):
         dur = f"{w.emit_every // 1000} seconds" if w.emit_every % 1000 == 0 else f"{w.emit_every} milliseconds"
-        return df.withColumn(
-            "window_start", F.window(F.col(w.event_time_field), dur)["start"]
-        )
+        return df.withColumn("__window", F.window(F.col(w.event_time_field), dur))
     return df
 
 
@@ -127,14 +128,20 @@ def _apply_aggregation(df: DataFrame, query: Query, streaming: bool = False) -> 
 
     if isinstance(agg, GroupAgg):
         keys = list(agg.fields)
-        if "window_start" in df.columns and "window_start" not in keys:
-            keys = ["window_start", *keys]
+        windowed = "__window" in df.columns
+        if windowed:
+            keys = ["__window", *keys]
         exprs = [_AGG_FN[op](fld).alias(out) for op, fld, out in agg.operations]
         if not exprs:
             exprs = [F.count(F.lit(1)).alias("count")]
         if keys:
-            return df.groupBy(*[F.col(k) for k in keys]).agg(*exprs)
-        return df.agg(*exprs)
+            out = df.groupBy(*[F.col(k) for k in keys]).agg(*exprs)
+        else:
+            out = df.agg(*exprs)
+        if windowed:
+            rest = [c for c in out.columns if c != "__window"]
+            out = out.select(F.col("__window")["start"].alias("window_start"), *rest)
+        return out
 
     if isinstance(agg, CountDistinctAgg):
         cols = [F.col(f) for f in agg.fields]

@@ -154,6 +154,11 @@ class Window:
     # declared timestamp field; the reference is processing-time only
     # (JoinStreaming.scala:118-122)
     event_time_field: str | None = None
+    # streaming state eviction: rows later than this behind the max event
+    # time are dropped and closed windows evicted. None = no watermark —
+    # exact results on out-of-order input, but unbounded state (choose a
+    # delay covering source disorder for long-running queries at scale)
+    watermark_delay_ms: int | None = None
 
 
 @dataclass(frozen=True)

@@ -133,6 +133,16 @@ class EngineRuntime:
                 # duplicate registration is ignored, returning the live handle
                 # (ref query dedup in the union state, QueryDataUnioning.scala:60-83)
                 return existing
+        # processing-time TIME window (no event-time field) = emit cadence →
+        # becomes the micro-batch trigger interval (ref batch-duration-driven
+        # window close, JoinStreaming.scala:118-122)
+        w = spec.window
+        if (
+            w.emit_unit is WindowUnit.TIME
+            and w.event_time_field is None
+            and w.emit_every
+        ):
+            trigger_ms = w.emit_every
         sink = MemorySink()
         handle = QueryHandle(query_id=qid, spec=spec, sink=sink)
 

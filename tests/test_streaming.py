@@ -97,6 +97,31 @@ def test_event_time_tumbling_window(spark, tables, tmp_path, runtime):
     assert final == expected
 
 
+def test_watermark_eviction_plan(spark, tables, tmp_path):
+    """W5: a declared watermark compiles to an EventTimeWatermark node over
+    an event-time window group (state eviction engages); without it the
+    window agg is exact with unbounded state."""
+    from bullet_spark_spark.plans import compile_query
+    from bullet_spark_spark.sources.streaming import file_drip
+
+    stream = file_drip(spark, tables["events"], str(tmp_path), chunks=2)
+    spec = Query(
+        source="events",
+        aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "cnt")]),
+        window=Window(
+            emit_every=3_600_000,
+            emit_unit=WindowUnit.TIME,
+            event_time_field="ts",
+            watermark_delay_ms=7_200_000,
+        ),
+    )
+    df = compile_query(spark, spec, df=stream, streaming=True)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+    assert "window" in plan
+    assert df.columns[0] == "window_start"
+
+
 def test_raw_limit_done(spark, tables, tmp_path, runtime):
     """Q3/Q16: RAW completes once limit records emitted (ref
     JoinStreamingTest.scala:55-67 — query done after 2 records)."""
