@@ -1,0 +1,83 @@
+"""Distribution strategy tests: distributed exact quantiles == built-in
+percentile == DuckDB; approx sketch within tolerance (bullet's regime split,
+SURVEY §7.3)."""
+
+from __future__ import annotations
+
+from bullet_spark_spark.operators.distribution import exact_quantiles_distributed
+from bullet_spark_spark.plans import (
+    DistributionAgg,
+    DistributionType,
+    Query,
+    compile_query,
+)
+
+PROBS = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def test_distributed_exact_matches_builtin(spark, tables):
+    dist = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_distributed(tables["lineitem"], "l_extendedprice", PROBS).collect()
+    }
+    builtin = {
+        r["quantile"]: r["value"]
+        for r in compile_query(
+            spark,
+            Query(
+                source="lineitem",
+                aggregation=DistributionAgg(
+                    type=DistributionType.QUANTILE, field="l_extendedprice", points=PROBS
+                ),
+            ),
+        ).collect()
+    }
+    assert set(dist) == set(builtin)
+    for p in dist:
+        assert abs(dist[p] - builtin[p]) < 1e-9, p
+
+
+def test_distributed_exact_matches_duckdb(spark, tables, duck):
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_distributed(tables["lineitem"], "l_extendedprice", PROBS).collect()
+    }
+    probs_sql = "[" + ", ".join(map(str, PROBS)) + "]"
+    for p, v in duck.execute(
+        f"""SELECT unnest({probs_sql}) AS q,
+                   unnest(quantile_cont(l_extendedprice, {probs_sql})) AS v
+            FROM lineitem"""
+    ).fetchall():
+        assert abs(got[float(p)] - float(v)) < 1e-9, p
+
+
+def test_approx_quantile_tolerance(spark, tables, duck):
+    approx = {
+        r["quantile"]: r["value"]
+        for r in compile_query(
+            spark,
+            Query(
+                source="lineitem",
+                aggregation=DistributionAgg(
+                    type=DistributionType.QUANTILE,
+                    field="l_extendedprice",
+                    points=[0.25, 0.5, 0.75],
+                    approx=True,
+                    accuracy=10000,
+                ),
+            ),
+        ).collect()
+    }
+    lo, mid, hi = [
+        r[0]
+        for r in duck.execute(
+            "SELECT unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75])) FROM lineitem"
+        ).fetchall()
+    ]
+    span = hi - lo
+    assert abs(approx[0.5] - mid) <= max(0.02 * span, 1e-6)
+
+
+def test_empty_input(spark, tables):
+    empty = tables["lineitem"].filter("l_quantity < 0")
+    assert exact_quantiles_distributed(empty, "l_extendedprice", [0.5]).count() == 0
