@@ -145,11 +145,22 @@ def _apply_aggregation(df: DataFrame, query: Query, streaming: bool = False) -> 
 
     if isinstance(agg, CountDistinctAgg):
         cols = [F.col(f) for f in agg.fields]
-        if agg.approx:
+        # streaming: exact distinct aggregation is not a streaming plan node;
+        # the sketch estimator is the streaming mode — bullet's own posture
+        # (Theta sketch beyond the exact threshold [D], SURVEY §2.2 Q6).
+        if agg.approx or streaming:
             return df.agg(F.approx_count_distinct(F.struct(*cols) if len(cols) > 1 else cols[0], agg.rsd).alias(agg.name))
         return df.agg(F.count_distinct(*cols).alias(agg.name))
 
     if isinstance(agg, DistributionAgg):
+        if streaming and not agg.approx:
+            # exact percentile is not streaming-supported; use the mergeable
+            # sketch (bullet's DISTRIBUTION is a quantile sketch [D])
+            agg = DistributionAgg(
+                type=agg.type, field=agg.field, points=agg.points,
+                start=agg.start, end=agg.end, num_buckets=agg.num_buckets,
+                approx=True, accuracy=agg.accuracy,
+            )
         return _compile_distribution(df, agg)
 
     if isinstance(agg, TopKAgg):

@@ -42,7 +42,14 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bullet_spark_spark.plans.spec import GroupAgg, Query, RawAgg, WindowUnit
+from bullet_spark_spark.plans.spec import (
+    DistributionAgg,
+    GroupAgg,
+    Query,
+    RawAgg,
+    TopKAgg,
+    WindowUnit,
+)
 from bullet_spark_spark.plans.compiler import compile_query
 from bullet_spark_spark.streaming.sinks import MemorySink
 
@@ -96,6 +103,21 @@ class QueryHandle:
         return []
 
 
+def _output_mode(spec: Query) -> str:
+    """Emission-window → Structured Streaming output mode (SURVEY §2.4):
+    RAW → append; additive (include=ALL) → complete; TOP K / DISTRIBUTION →
+    complete (their sort/limit/explode shapes need the full result each
+    trigger); other aggregations → update (changed groups ≈ window close)."""
+    agg = spec.aggregation
+    if isinstance(agg, RawAgg):
+        return "append"
+    if isinstance(agg, (TopKAgg, DistributionAgg)):
+        return "complete"
+    if spec.window.include is WindowUnit.ALL:
+        return "complete"
+    return "update"
+
+
 class EngineRuntime:
     """Query registry + lifecycle supervisor (the engine's control plane)."""
 
@@ -147,13 +169,7 @@ class EngineRuntime:
         handle = QueryHandle(query_id=qid, spec=spec, sink=sink)
 
         df = compile_query(self.spark, spec, df=stream_df, streaming=True)
-
-        is_agg = not isinstance(spec.aggregation, RawAgg)
-        if is_agg:
-            mode = "complete" if spec.window.include is WindowUnit.ALL else "update"
-        else:
-            mode = "append"
-
+        mode = _output_mode(spec)
         raw_limit = spec.aggregation.limit if isinstance(spec.aggregation, RawAgg) else None
 
         def emit(batch_df, epoch_id):  # runs on the stream-execution thread
@@ -206,11 +222,7 @@ class EngineRuntime:
         sink = MemorySink()
         handle = QueryHandle(query_id=qid, spec=spec, sink=sink)
         df = compile_query(self.spark, spec, df=stream_df, streaming=True)
-        is_agg = not isinstance(spec.aggregation, RawAgg)
-        mode = "complete" if (is_agg and spec.window.include is WindowUnit.ALL) else (
-            "update" if is_agg else "append"
-        )
-        writer = df.writeStream.outputMode(mode).foreachBatch(sink)
+        writer = df.writeStream.outputMode(_output_mode(spec)).foreachBatch(sink)
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         handle.stream = writer.trigger(availableNow=True).start()

@@ -201,6 +201,40 @@ def test_rate_limit_fail(spark, tables, tmp_path, runtime):
     assert (handle.query_id, Signal.FAIL) in [(q, s) for q, s, _ in runtime.status_log]
 
 
+def test_streaming_topk_and_count_distinct(spark, tables, tmp_path, runtime):
+    """TOP K and COUNT DISTINCT on the streaming path (complete/update
+    modes) converge to the batch answers after drain."""
+    from bullet_spark_spark.plans import CountDistinctAgg, TopKAgg
+
+    stream = _events_stream(spark, tables, tmp_path)
+    topk = runtime.run_available(
+        Query(source="events", aggregation=TopKAgg(fields=["event_type"], k=3, name="cnt")),
+        stream,
+        checkpoint_dir=str(tmp_path / "ck_topk"),
+    )
+    expected = [
+        (r["event_type"], r["cnt"])
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("event_type"))
+        .limit(3)
+        .collect()
+    ]
+    assert topk.final_result() == expected
+
+    stream2 = file_drip(spark, tables["events"], str(tmp_path / "s2"), chunks=4)
+    cd = runtime.run_available(
+        Query(source="events", aggregation=CountDistinctAgg(fields=["user_id"], name="cd")),
+        stream2,
+        checkpoint_dir=str(tmp_path / "ck_cd"),
+    )
+    # streaming COUNT DISTINCT runs in sketch mode (exact distinct is not a
+    # streaming plan node) — tolerance check, bullet's own estimate regime
+    exact = tables["events"].select("user_id").distinct().count()
+    assert abs(cd.final_result()[0][0] - exact) / exact < 0.05
+
+
 def test_record_window(spark, tables, tmp_path):
     """W2: record-granularity window emits once per N records with reset
     (ref FilterStreamingTest.scala:267-274: 2 records → 2 emissions)."""
