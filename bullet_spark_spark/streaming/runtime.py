@@ -121,12 +121,18 @@ def _output_mode(spec: Query) -> str:
 class EngineRuntime:
     """Query registry + lifecycle supervisor (the engine's control plane)."""
 
-    def __init__(self, spark: SparkSession, sweep_interval_s: float = 0.2) -> None:
+    def __init__(
+        self, spark: SparkSession, sweep_interval_s: float | None = None,
+        config: "EngineConfig | None" = None,
+    ) -> None:
+        from bullet_spark_spark.config import EngineConfig
+
         self.spark = spark
+        self.config = config or EngineConfig()
         self.queries: dict[str, QueryHandle] = {}
         self.status_log: list[tuple[str, Signal, float]] = []
         self._lock = threading.Lock()
-        self._sweep_interval_s = sweep_interval_s
+        self._sweep_interval_s = sweep_interval_s or self.config.sweep_interval_s
         self._sweeper: threading.Thread | None = None
         self._stop_sweeper = threading.Event()
 
@@ -138,7 +144,7 @@ class EngineRuntime:
         stream_df: DataFrame,
         query_id: str | None = None,
         rate_limit: RateLimit | None = None,
-        trigger_ms: int = 200,
+        trigger_ms: int | None = None,
         checkpoint_dir: str | None = None,
     ) -> QueryHandle:
         """Compile the spec against an unbounded DataFrame and launch it.
@@ -149,12 +155,24 @@ class EngineRuntime:
         RAW runs in ``append`` with the limit enforced by the runtime (limit
         is not a streaming-supported plan node)."""
         qid = query_id or uuid.uuid4().hex[:12]
+        trigger_ms = trigger_ms or self.config.trigger_ms
         with self._lock:
             existing = self.queries.get(qid)
             if existing is not None and existing.is_active():
                 # duplicate registration is ignored, returning the live handle
                 # (ref query dedup in the union state, QueryDataUnioning.scala:60-83)
                 return existing
+            n_active = sum(1 for h in self.queries.values() if h.is_active())
+            if n_active >= self.config.max_concurrent_queries:
+                raise RuntimeError(
+                    f"max_concurrent_queries ({self.config.max_concurrent_queries}) reached"
+                )
+        if rate_limit is None and self.config.rate_limit_enable:
+            rate_limit = RateLimit(
+                self.config.rate_limit_max_emits, self.config.rate_limit_interval_ms
+            )
+        if checkpoint_dir is None and self.config.checkpoint_root:
+            checkpoint_dir = f"{self.config.checkpoint_root}/{qid}"
         # processing-time TIME window (no event-time field) = emit cadence →
         # becomes the micro-batch trigger interval (ref batch-duration-driven
         # window close, JoinStreaming.scala:118-122)
