@@ -483,6 +483,35 @@ def window_additive(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @q(
+    "window_session_30m",
+    """WITH marked AS (
+         SELECT user_id, ts,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events WHERE user_id < 5),
+       islands AS (
+         SELECT user_id, ts,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS island
+         FROM marked)
+       SELECT user_id, min(ts) AS session_start, count(*) AS cnt
+       FROM islands GROUP BY user_id, island""",
+)
+def window_session_30m(spark, sf_dir):
+    """W6 session windows (stretch beyond the reference, SURVEY §2.4):
+    Spark's session_window merges events within a 30-min gap; the oracle is
+    the classic gaps-and-islands rewrite."""
+    return (
+        spark.table("events")
+        .filter(F.col("user_id") < 5)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("user_id", F.col("w")["start"].alias("session_start"), "cnt")
+    )
+
+
+@q(
     "join_inner_broadcast",
     """SELECT c_mktsegment, count(*) AS n_orders,
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
