@@ -396,6 +396,30 @@ def expr_container(spark, sf_dir):
 
 
 @q(
+    "expr_any_all",
+    """WITH d AS (
+         SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents WHERE doc_id < 150)
+       SELECT doc_id,
+              len(list_filter(toks, t -> length(t) > 6)) > 0 AS any_long,
+              len(list_filter(toks, t -> length(t) >= 15)) = 0 AS all_short,
+              list_contains(toks, 'query') AS any_eq_query
+       FROM d""",
+)
+def expr_any_all(spark, sf_dir):
+    """ANY/ALL list-quantified comparisons (bullet-core quantified variants,
+    SURVEY §2.3) via exists/forall lambdas."""
+    toks = F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
+    d = spark.table("documents").filter(F.col("doc_id") < 150).select("doc_id", toks.alias("toks"))
+    return d.select(
+        "doc_id",
+        F.exists(F.col("toks"), lambda t: F.length(t) > 6).alias("any_long"),
+        F.forall(F.col("toks"), lambda t: F.length(t) < 15).alias("all_short"),
+        E.in_list(E.v("query"), E.f("toks")).col().alias("any_eq_query"),
+    )
+
+
+@q(
     "expr_json",
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
        FROM events WHERE event_type = 'signup' AND user_id < 30""",
@@ -700,6 +724,45 @@ def winfunc_lag_lead(spark, sf_dir):
             F.row_number().over(w).alias("rn"),
         )
     )
+
+
+@q(
+    "winfunc_frames",
+    """SELECT o_orderkey,
+              round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum
+       FROM orders WHERE o_custkey < 50""",
+)
+def winfunc_frames(spark, sf_dir):
+    """Analytic frame specs (ROWS BETWEEN): moving average + running sum.
+    Small frames keep fp accumulation order identical across engines."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        spark.table("orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_orderkey",
+            F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("mov_avg3"),
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 6).alias("run_sum"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
+
+@q("grouping_sets", _GROUPING_SETS_SQL)
+def grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the text-query facade — the same SQL string runs on
+    both engines (Spark SQL is the engine's query language; sql.py)."""
+    from bullet_spark_spark.sql import sql as engine_sql
+
+    return engine_sql(spark, _GROUPING_SETS_SQL)
 
 
 @q(
