@@ -59,14 +59,22 @@ def brute_force_topk(
     exclude_self: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: every (query, corpus) pair scored, ranked per
-    query. Queries are broadcast; ties broken by corpus id for determinism."""
-    pairs = corpus.crossJoin(F.broadcast(queries))
+    query. Queries are broadcast; ties broken by corpus id for determinism.
+
+    Norms are precomputed once per vector BEFORE the pair join — per pair
+    only the dot product remains (cuts the fold work ~3×; at scale the corpus
+    norm column is one extra double riding the scan)."""
+    c = corpus.withColumn("__cn", norm(F.col(vec_col)))
+    q = queries.withColumn("__qn", norm(F.col(query_vec_col)))
+    pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 6).alias("sim"),
+        F.round(
+            dot(F.col(query_vec_col), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
@@ -137,21 +145,23 @@ def lsh_ann_topk(
     tables = [
         _hyperplanes(num_planes, dim, seed + 1000 * t) for t in range(num_tables)
     ]
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col),
+    c = corpus.withColumn("__cn", norm(F.col(vec_col))).select(
+        F.col(id_col), F.col(vec_col), "__cn",
         F.posexplode(_bucket_array(F.col(vec_col), tables)).alias("tbl", "bucket"),
     )
-    q = queries.select(
-        F.col(query_id_col), F.col(query_vec_col),
+    q = queries.withColumn("__qn", norm(F.col(query_vec_col))).select(
+        F.col(query_id_col), F.col(query_vec_col), "__qn",
         F.posexplode(_bucket_array(F.col(query_vec_col), tables)).alias("tbl", "bucket"),
     )
     cands = c.join(F.broadcast(q), ["tbl", "bucket"]).select(
-        query_id_col, query_vec_col, id_col, vec_col
+        query_id_col, query_vec_col, "__qn", id_col, vec_col, "__cn"
     ).dropDuplicates([query_id_col, id_col])
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 6).alias("sim"),
+        F.round(
+            dot(F.col(query_vec_col), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
@@ -172,18 +182,20 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs. exact=True does the full n²
     self-join (oracle-checkable at small sf); default blocks by LSH bucket
     first so pair generation stays bucket-local at scale."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    normed = embeddings.withColumn("__n", norm(F.col(vec_col)))
+    a = normed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("__n").alias("n_a"))
+    b = normed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("__n").alias("n_b"))
     if exact:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         dim = len(embeddings.select(vec_col).first()[0])
         planes = _hyperplanes(num_planes, dim)
-        ab = embeddings.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
-        a = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-        b = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+        ab = normed.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
+        a = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("__n").alias("n_a"), "bucket")
+        b = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("__n").alias("n_b"), "bucket")
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     sims = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("sim")
+        "id_a", "id_b",
+        F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6).alias("sim"),
     )
     return sims.filter(F.col("sim") >= threshold)
