@@ -55,15 +55,47 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
 
+    streaming_rps = _streaming_ingest_rate(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "total_wall_sec",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
+        "streaming_rows_per_sec": streaming_rps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
+
+
+def _streaming_ingest_rate(spark) -> float:
+    """Drain the events table through a real Structured Streaming grouped
+    query (availableNow) and report rows/sec of ingest — the BASELINE.md
+    streaming-suite metric."""
+    import tempfile
+
+    from bullet_spark_spark.plans import AggOp, GroupAgg, Query
+    from bullet_spark_spark.sources.batch import load_table
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming import EngineRuntime
+
+    events = load_table(spark, "events", SF_DIR)
+    n_rows = events.count()
+    rt = EngineRuntime(spark)
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, events, work, chunks=8, max_files_per_trigger=4)
+        spec = Query(
+            source="events",
+            aggregation=GroupAgg(
+                fields=["event_type"],
+                operations=[(AggOp.COUNT, None, "cnt"), (AggOp.SUM, "value", "sv")],
+            ),
+        )
+        t0 = time.perf_counter()
+        rt.run_available(spec, stream, checkpoint_dir=f"{work}/ck")
+        wall = time.perf_counter() - t0
+    return round(n_rows / wall, 1)
 
 
 if __name__ == "__main__":

@@ -256,3 +256,34 @@ def test_record_window(spark, tables, tmp_path):
     assert len(rows) == n_match // 10
     assert all(r[1] == 10 for r in rows)  # every window exactly N records
     assert [r[0] for r in rows] == list(range(len(rows)))  # contiguous windows
+
+
+def test_record_window_per_key(spark, tables, tmp_path):
+    """W2 variant that scales: per-key record windows — each key gets its own
+    counter state partition."""
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    ev = tables["events"].limit(300).select("event_type", "value")
+    stream = file_drip(spark, ev, str(tmp_path), chunks=3)
+    windowed = record_window_count(stream, every_n=20, key_cols=["event_type"])
+    sink = MemorySink()
+    q = (
+        windowed.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck_rwk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    per_key = {}
+    for et, widx, cnt in sink.rows:  # (event_type, window_idx, cnt)
+        per_key.setdefault(et, []).append((widx, cnt))
+    expected = {
+        r["event_type"]: r["n"] // 20
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for et, n_windows in expected.items():
+        got = sorted(per_key.get(et, []))
+        assert len(got) == n_windows, et
+        assert all(c == 20 for _, c in got)
+        assert [w for w, _ in got] == list(range(n_windows))
