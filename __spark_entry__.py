@@ -1016,6 +1016,51 @@ def text_lang_id(spark, sf_dir):
 
 
 @q(
+    "text_quality",
+    """WITH d AS (
+         SELECT doc_id, text,
+                string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents WHERE doc_id < 250),
+       m AS (
+         SELECT doc_id,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha,
+                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct,
+                CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS DOUBLE)
+                  / len(toks) AS stop,
+                CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END AS len_ok
+         FROM d)
+       SELECT doc_id,
+              round(alpha * 0.4 + (1.0 - least(punct * 4, 1.0)) * 0.2
+                    + least(stop * 5, 1.0) * 0.2 + len_ok * 0.2, 6) AS quality
+       FROM m""",
+)
+def text_quality(spark, sf_dir):
+    """Composite quality heuristic (alpha density, punct walls, stopword
+    presence, length band) — the corpus-filter scoring stage."""
+    t = F.col("text")
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double") / F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")).cast("double") / F.length(t)
+    toks = F.split(F.regexp_replace(F.trim(F.lower(t)), r"\s+", " "), " ")
+    stop = (
+        F.size(F.filter(toks, lambda x: x.isin(*tx.STOPWORDS["en"]))).cast("double")
+        / F.size(toks)
+    )
+    len_ok = F.when((F.length(t) >= 20) & (F.length(t) <= 20000), 1.0).otherwise(0.3)
+    quality = F.round(
+        alpha * 0.4
+        + (F.lit(1.0) - F.least(punct * 4, F.lit(1.0))) * 0.2
+        + F.least(stop * 5, F.lit(1.0)) * 0.2
+        + len_ok * 0.2,
+        6,
+    )
+    return (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", quality.alias("quality"))
+    )
+
+
+@q(
     "dedup_ngram_jaccard",
     """WITH d AS (
          SELECT doc_id, list_distinct([
