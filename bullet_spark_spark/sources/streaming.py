@@ -45,13 +45,31 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+def decode_json(df: DataFrame, schema: StructType, col: str = "value") -> DataFrame:
+    """The deserialize+convert stage (ref DSLDataProducer.scala:25-30:
+    ``map(deserialize).map(convert)``) as a single typed projection —
+    JSON text column → flattened typed columns. Used by the socket/kafka
+    sources; works identically on batch and streaming frames."""
+    return df.select(F.from_json(F.col(col), schema).alias("r")).select("r.*")
+
+
+def union_sources(dfs: list[DataFrame]) -> DataFrame:
+    """Producer fan-in (ref ``ssc.union(bulletRecordStreams)``,
+    QueryDataUnioning.scala:85-91): N record streams, one logical stream.
+    unionByName keeps it schema-safe; works on unbounded frames."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def json_socket_source(
     spark: SparkSession, host: str, port: int, schema: StructType
 ) -> DataFrame:
     """Socket lines of JSON → typed columns (the DSL deserializer/converter
     path as a projection)."""
     raw = spark.readStream.format("socket").option("host", host).option("port", port).load()
-    return raw.select(F.from_json(F.col("value"), schema).alias("r")).select("r.*")
+    return decode_json(raw, schema)
 
 
 def kafka_json_source(
@@ -65,6 +83,4 @@ def kafka_json_source(
         .option("subscribe", topic)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("r")
-    ).select("r.*")
+    return decode_json(raw.withColumn("value", F.col("value").cast("string")), schema)
