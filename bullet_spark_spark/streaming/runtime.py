@@ -85,6 +85,7 @@ class QueryHandle:
     sink: MemorySink
     state: QueryState = QueryState.RUNNING
     stream: Any = None  # StreamingQuery
+    shared_stream: bool = False  # multiplexed: stream serves other queries too
     started_at: float = field(default_factory=time.time)
     emit_times: list[float] = field(default_factory=list)
     raw_rows_seen: int = 0
@@ -186,7 +187,23 @@ class EngineRuntime:
         sink = MemorySink()
         handle = QueryHandle(query_id=qid, spec=spec, sink=sink)
 
-        df = compile_query(self.spark, spec, df=stream_df, streaming=True)
+        # streaming CDF: the cumulative window step is not a streaming plan
+        # node — run the PMF in complete mode and accumulate in the sink
+        cdf_post = False
+        compile_spec = spec
+        if (
+            isinstance(spec.aggregation, DistributionAgg)
+            and spec.aggregation.type.value == "CDF"
+        ):
+            from dataclasses import replace as _replace
+            from bullet_spark_spark.plans.spec import DistributionType
+
+            cdf_post = True
+            compile_spec = _replace(
+                spec, aggregation=_replace(spec.aggregation, type=DistributionType.PMF)
+            )
+
+        df = compile_query(self.spark, compile_spec, df=stream_df, streaming=True)
         mode = _output_mode(spec)
         raw_limit = spec.aggregation.limit if isinstance(spec.aggregation, RawAgg) else None
 
@@ -199,7 +216,20 @@ class EngineRuntime:
                     return
                 batch_df = batch_df.limit(remaining)
             rows_before = len(sink.rows)
-            sink(batch_df, epoch_id)
+            if cdf_post:
+                # PMF (complete) → cumulative counts, tiny driver-side pass
+                pmf = sorted((r["bucket"], r["count"]) for r in batch_df.collect())
+                total = 0
+                out = []
+                for bucket, cnt in pmf:
+                    total += cnt
+                    out.append((bucket, total))
+                with sink._lock:
+                    if sink.columns is None:
+                        sink.columns = ["bucket", "cum_count"]
+                    sink.batches.append(out)
+            else:
+                sink(batch_df, epoch_id)
             emitted = len(sink.rows) - rows_before
             now = time.time()
             if emitted > 0:
@@ -250,6 +280,88 @@ class EngineRuntime:
         with self._lock:
             self.queries[qid] = handle
         return handle
+
+    def register_multiplexed(
+        self,
+        specs: dict[str, Query],
+        stream_df: DataFrame,
+        trigger_ms: int | None = None,
+        checkpoint_dir: str | None = None,
+        available_now: bool = False,
+        timeout_s: float = 120,
+    ) -> dict[str, QueryHandle]:
+        """Run N (filter + GROUP BY count) queries as ONE streaming stage —
+        the reference's FilterStreaming multiplexing (FilterStreaming.scala:
+        54-67) without the per-batch driver re-broadcast: predicates are baked
+        into a single plan (operators.multiplex), the shared aggregation is
+        keyed by (query_id, group keys), and the sink routes each micro-batch
+        row to its query's handle.
+
+        Use when query cardinality is high enough that plan-per-query's N
+        source subscriptions dominate. Trade-off (documented; bullet has the
+        same): the query set is fixed per multiplexer incarnation — register/
+        expire requires restarting the one stage (checkpointed state is keyed
+        by query_id, so a restart with overlapping specs resumes cleanly).
+        Lifecycle (duration expiry, kill) is enforced sink-side: expired
+        queries stop receiving results immediately and are marked terminal."""
+        from bullet_spark_spark.operators.multiplex import multiplex_group_count
+
+        trigger_ms = trigger_ms or self.config.trigger_ms
+        handles: dict[str, QueryHandle] = {}
+        for qid, spec in specs.items():
+            if not isinstance(spec.aggregation, GroupAgg):
+                raise ValueError(
+                    f"{qid}: multiplexed queries support GroupAgg (got "
+                    f"{type(spec.aggregation).__name__}) — use register() for others"
+                )
+            handles[qid] = QueryHandle(
+                query_id=qid, spec=spec, sink=MemorySink(), shared_stream=True
+            )
+
+        routed = multiplex_group_count(
+            stream_df, {qid: (s.filter, s.aggregation) for qid, s in specs.items()}
+        )
+
+        def emit(batch_df, epoch_id):
+            rows = batch_df.collect()
+            by_qid: dict[str, list] = {}
+            for r in rows:
+                by_qid.setdefault(r["query_id"], []).append(r)
+            now = time.time()
+            for qid, handle in handles.items():
+                if handle.state is not QueryState.RUNNING:
+                    continue  # sink-side lifecycle: expired/killed get nothing
+                batch_rows = [
+                    (dict(r["keys"] or {}), r["cnt"]) for r in by_qid.get(qid, [])
+                ]
+                if batch_rows:
+                    with handle.sink._lock:
+                        if handle.sink.columns is None:
+                            handle.sink.columns = ["keys", "cnt"]
+                        handle.sink.batches.append(batch_rows)
+                    handle.emit_times.append(now)
+
+        writer = routed.writeStream.outputMode("update").foreachBatch(emit)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            stream = writer.trigger(availableNow=True).start()
+            stream.awaitTermination(timeout_s)
+            for handle in handles.values():
+                handle.stream = stream
+                if handle.state is QueryState.RUNNING:
+                    handle.state = QueryState.COMPLETED
+                    self._log(handle.query_id, Signal.COMPLETE)
+        else:
+            stream = writer.trigger(processingTime=f"{trigger_ms} milliseconds").start()
+            for handle in handles.values():
+                handle.stream = stream
+
+        with self._lock:
+            self.queries.update(handles)
+        if not available_now:
+            self._ensure_sweeper()
+        return handles
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -322,6 +434,15 @@ class EngineRuntime:
         # must also see its terminal signal (stop() can block for a batch)
         self._log(handle.query_id, signal)
         handle.state = state
+        if handle.shared_stream:
+            # multiplexed: the stream serves other queries — lifecycle is
+            # sink-side (this handle stops receiving results); the shared
+            # stage stops when its last query finishes
+            if any(
+                h.is_active() and h.stream is handle.stream
+                for h in self.queries.values()
+            ):
+                return
         try:
             if handle.stream is not None and handle.stream.isActive:
                 handle.stream.stop()

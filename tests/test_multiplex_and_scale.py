@@ -122,6 +122,74 @@ def test_concurrent_queries_shared_source(spark, tables, tmp_path):
         rt.stop_all()
 
 
+def test_streaming_multiplexer(spark, tables, tmp_path):
+    """N queries, ONE streaming stage (the reference's FilterStreaming role):
+    results route to per-query handles and match per-query batch answers."""
+    rt = EngineRuntime(spark)
+    try:
+        stream = file_drip(spark, tables["events"], str(tmp_path), chunks=4)
+        specs = {
+            "hi_by_type": Query(
+                source="events",
+                filter=E.f("value") > 50,
+                aggregation=GroupAgg(fields=["event_type"]),
+            ),
+            "purchases": Query(
+                source="events",
+                filter=E.f("event_type") == "purchase",
+                aggregation=GroupAgg(fields=[]),
+            ),
+        }
+        handles = rt.register_multiplexed(
+            specs, stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True
+        )
+        assert all(h.state.value == "COMPLETED" for h in handles.values())
+
+        # last emission per key-tuple wins (update mode)
+        final = {}
+        for batch in handles["hi_by_type"].sink.batches:
+            for keys, cnt in batch:
+                final[keys.get("event_type")] = cnt
+        expected = {
+            r["event_type"]: r["n"]
+            for r in tables["events"]
+            .filter(F.col("value") > 50)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert final == expected
+
+        p_final = handles["purchases"].final_result()
+        n_purchases = tables["events"].filter(F.col("event_type") == "purchase").count()
+        assert p_final[-1][1] == n_purchases
+    finally:
+        rt.stop_all()
+
+
+def test_multiplexer_kill_is_sink_side(spark, tables, tmp_path):
+    """Killing one multiplexed query must not stop the shared stage."""
+    rt = EngineRuntime(spark)
+    try:
+        stream = file_drip(spark, tables["events"], str(tmp_path), chunks=8)
+        specs = {
+            "a": Query(source="events", aggregation=GroupAgg(fields=["event_type"])),
+            "b": Query(source="events", aggregation=GroupAgg(fields=[])),
+        }
+        handles = rt.register_multiplexed(specs, stream, trigger_ms=150)
+        rt.kill("a")
+        assert handles["a"].state.value == "KILLED"
+        assert handles["b"].is_active()
+        assert handles["b"].stream.isActive  # shared stage survives
+        deadline = time.time() + 60
+        while not handles["b"].sink.batches and time.time() < deadline:
+            time.sleep(0.2)
+        assert handles["b"].sink.batches  # b still receives results
+        assert not handles["a"].sink.batches or handles["a"].state.value == "KILLED"
+    finally:
+        rt.stop_all()
+
+
 def test_checkpoint_recovery(spark, tables, tmp_path):
     """P12: a query restarted on the same checkpoint resumes from its offset
     instead of reprocessing (ref StreamingContext.getOrCreate,

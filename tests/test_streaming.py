@@ -235,6 +235,37 @@ def test_streaming_topk_and_count_distinct(spark, tables, tmp_path, runtime):
     assert abs(cd.final_result()[0][0] - exact) / exact < 0.05
 
 
+def test_streaming_cdf_sink_side(spark, tables, tmp_path, runtime):
+    """Q9 streaming: CDF = PMF in complete mode + sink-side cumulative sum;
+    final emission matches the batch CDF."""
+    from bullet_spark_spark.plans import DistributionAgg, DistributionType
+
+    stream = _events_stream(spark, tables, tmp_path)
+    spec = Query(
+        source="events",
+        aggregation=DistributionAgg(
+            type=DistributionType.CDF, field="value", start=0.0, end=100.0, num_buckets=4
+        ),
+    )
+    handle = runtime.register(spec, stream, trigger_ms=150)
+    deadline = time.time() + 90
+    total = tables["events"].filter(F.col("value").isNotNull()).count()
+    while time.time() < deadline:
+        final = handle.final_result()
+        if final and final[-1][1] == total:
+            break
+        time.sleep(0.3)
+    runtime.kill(handle.query_id)
+    batch = {
+        r["bucket"]: r["cum_count"]
+        for r in __import__("bullet_spark_spark.plans", fromlist=["compile_query"])
+        .compile_query(spark, spec)
+        .collect()
+    }
+    got = dict(handle.final_result())
+    assert got == batch
+
+
 def test_record_window(spark, tables, tmp_path):
     """W2: record-granularity window emits once per N records with reset
     (ref FilterStreamingTest.scala:267-274: 2 records → 2 emissions)."""
