@@ -1,0 +1,168 @@
+"""Dynamic multiplexer: the reference's queries-as-data mode, re-expressed.
+
+bullet-spark re-collects and re-broadcasts the live query list every batch
+and runs each query's partition-local Querier over the records
+(FilterStreaming.scala:46-67), merging partials keyed by query id
+(JoinStreaming.scala:34-58). The Structured Streaming equivalent: inside
+``foreachBatch`` each micro-batch is a *batch* DataFrame, so the CURRENT
+registry's specs compile and run against it directly — add/remove queries
+between batches with no stage restart. Partial results merge into per-query
+driver state (counts/sums/mins/maxs are trivially mergeable, exactly the
+partial-aggregation contract the reference's byte blobs carried).
+
+Trade-offs vs the other two modes (all three are supported — SURVEY §7.0):
+- plan-per-query (EngineRuntime.register): maximal Catalyst specialization,
+  isolated lifecycle; N source subscriptions.
+- static multiplexer (register_multiplexed): one scan, one shuffle for all
+  queries; query set fixed per incarnation.
+- dynamic multiplexer (this): one scan, per-batch spec evaluation, fully
+  dynamic registry; per-batch plan compilation cost (~ms) and driver-side
+  final merge (fine for bullet-sized bounded results, which is the
+  reference's own constraint — results return through a message bus).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.functions.exprs import Expr
+from bullet_spark_spark.plans.spec import AggOp, GroupAgg, Query
+from bullet_spark_spark.streaming.runtime import QueryState, Signal
+
+_MERGEABLE = {
+    AggOp.COUNT: lambda a, b: a + b,
+    AggOp.COUNT_FIELD: lambda a, b: a + b,
+    AggOp.SUM: lambda a, b: a + b,
+    AggOp.MIN: min,
+    AggOp.MAX: max,
+}
+
+
+@dataclass
+class DynamicHandle:
+    query_id: str
+    spec: Query
+    state: QueryState = QueryState.RUNNING
+    # group-key tuple -> [op outputs] (merged partials across batches)
+    groups: dict[tuple, list] = field(default_factory=dict)
+    started_at: float = field(default_factory=time.time)
+
+    def result(self) -> list[tuple]:
+        """Current merged result rows: key columns + agg outputs."""
+        return [(*k, *v) for k, v in sorted(self.groups.items(), key=lambda kv: str(kv[0]))]
+
+
+class DynamicMultiplexer:
+    """Per-batch query evaluation over one shared stream (add/remove live)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.queries: dict[str, DynamicHandle] = {}
+        self.status_log: list[tuple[str, Signal, float]] = []
+        self._lock = threading.Lock()
+        self._stream: Any = None
+
+    def register(self, query_id: str, spec: Query) -> DynamicHandle:
+        agg = spec.aggregation
+        if not isinstance(agg, GroupAgg):
+            raise ValueError("dynamic multiplexer supports GroupAgg specs")
+        for op, _, _ in agg.operations or [(AggOp.COUNT, None, "count")]:
+            if op not in _MERGEABLE:
+                raise ValueError(f"{op} is not mergeable across batches")
+        handle = DynamicHandle(query_id=query_id, spec=spec)
+        with self._lock:
+            if query_id in self.queries and self.queries[query_id].state is QueryState.RUNNING:
+                return self.queries[query_id]  # dedup, as in the union state
+            self.queries[query_id] = handle
+        return handle
+
+    def kill(self, query_id: str) -> None:
+        with self._lock:
+            h = self.queries[query_id]
+            if h.state is QueryState.RUNNING:
+                h.state = QueryState.KILLED
+                self.status_log.append((query_id, Signal.KILL, time.time()))
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """The FilterStreaming.transformWith analogue: snapshot the registry,
+        run every live spec against this micro-batch, merge partials."""
+        with self._lock:
+            live = [
+                (h, h.spec)
+                for h in self.queries.values()
+                if h.state is QueryState.RUNNING
+            ]
+        if not live:
+            return
+        batch_df = batch_df.persist()
+        try:
+            for handle, spec in live:
+                agg: GroupAgg = spec.aggregation
+                ops = list(agg.operations) or [(AggOp.COUNT, None, "count")]
+                df = batch_df
+                if spec.filter is not None:
+                    df = df.filter(spec.filter.col())
+                from bullet_spark_spark.plans.compiler import _AGG_FN
+
+                exprs = [_AGG_FN[op](fld).alias(f"o{i}") for i, (op, fld, _) in enumerate(ops)]
+                if agg.fields:
+                    rows = df.groupBy(*[F.col(k) for k in agg.fields]).agg(*exprs).collect()
+                    key_len = len(agg.fields)
+                else:
+                    rows = df.agg(*exprs).collect()
+                    key_len = 0
+                for r in rows:
+                    vals = list(r)[key_len:]
+                    key = tuple(list(r)[:key_len])
+                    if vals[0] is None and key_len == 0:
+                        continue  # empty batch global agg
+                    cur = handle.groups.get(key)
+                    if cur is None:
+                        handle.groups[key] = vals
+                    else:
+                        handle.groups[key] = [
+                            _MERGEABLE[op](a, b) if a is not None else b
+                            for (op, _, _), a, b in zip(ops, cur, vals)
+                        ]
+                # duration expiry checked at batch boundaries (the reference's
+                # clock is the batch too, JoinStreaming.scala:118-122)
+                if (
+                    spec.duration_ms is not None
+                    and (time.time() - handle.started_at) * 1000 >= spec.duration_ms
+                ):
+                    handle.state = QueryState.COMPLETED
+                    self.status_log.append((handle.query_id, Signal.COMPLETE, time.time()))
+        finally:
+            batch_df.unpersist()
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        trigger_ms: int = 500,
+        checkpoint_dir: str | None = None,
+        available_now: bool = False,
+        timeout_s: float = 120,
+    ):
+        writer = stream_df.writeStream.foreachBatch(self._process_batch)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            self._stream = writer.trigger(availableNow=True).start()
+            self._stream.awaitTermination(timeout_s)
+            for h in self.queries.values():
+                if h.state is QueryState.RUNNING:
+                    h.state = QueryState.COMPLETED
+                    self.status_log.append((h.query_id, Signal.COMPLETE, time.time()))
+        else:
+            self._stream = writer.trigger(processingTime=f"{trigger_ms} milliseconds").start()
+        return self._stream
+
+    def stop(self) -> None:
+        if self._stream is not None and self._stream.isActive:
+            self._stream.stop()

@@ -1,0 +1,98 @@
+"""Dynamic multiplexer: queries added MID-STREAM see only subsequent batches
+(the reference's per-batch registry re-broadcast, FilterStreaming.scala:46-53);
+removal/kill is immediate; merged partials equal batch answers."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.functions.exprs import E
+from bullet_spark_spark.plans.spec import AggOp, GroupAgg, Query
+from bullet_spark_spark.sources.streaming import file_drip
+from bullet_spark_spark.streaming.dynamic import DynamicMultiplexer
+from bullet_spark_spark.streaming.runtime import QueryState
+
+
+def test_dynamic_merge_equals_batch(spark, tables, tmp_path):
+    mux = DynamicMultiplexer(spark)
+    h1 = mux.register(
+        "by_type",
+        Query(
+            source="events",
+            filter=E.f("value") > 50,
+            aggregation=GroupAgg(
+                fields=["event_type"],
+                operations=[(AggOp.COUNT, None, "cnt"), (AggOp.MAX, "value", "mx")],
+            ),
+        ),
+    )
+    h2 = mux.register(
+        "global",
+        Query(
+            source="events",
+            aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "cnt")]),
+        ),
+    )
+    stream = file_drip(spark, tables["events"], str(tmp_path), chunks=4)
+    mux.start(stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True)
+
+    expected = {
+        (r["event_type"],): [r["cnt"], r["mx"]]
+        for r in tables["events"]
+        .filter(F.col("value") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert h1.groups == expected
+    assert h2.groups[()][0] == tables["events"].count()
+    assert h1.state is QueryState.COMPLETED
+
+
+def test_register_mid_stream(spark, tables, tmp_path):
+    """A query registered while the stream runs sees only later batches —
+    exactly bullet's forward-looking query semantics (SURVEY §0)."""
+    mux = DynamicMultiplexer(spark)
+    mux.register(
+        "early",
+        Query(source="events", aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "c")])),
+    )
+    stream = file_drip(spark, tables["events"], str(tmp_path), chunks=8)
+    mux.start(stream, trigger_ms=400)
+    try:
+        # wait until some batches processed, then add a second query
+        deadline = time.time() + 60
+        while not mux.queries["early"].groups and time.time() < deadline:
+            time.sleep(0.2)
+        late = mux.register(
+            "late",
+            Query(source="events", aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "c")])),
+        )
+        deadline = time.time() + 60
+        total = tables["events"].count()
+        while time.time() < deadline:
+            early_n = mux.queries["early"].groups.get((), [0])[0]
+            if early_n >= total:
+                break
+            time.sleep(0.3)
+        early_n = mux.queries["early"].groups.get((), [0])[0]
+        late_n = late.groups.get((), [0])[0]
+        assert early_n == total
+        assert 0 < late_n < total  # forward-looking: missed earlier batches
+    finally:
+        mux.stop()
+
+
+def test_kill_immediate(spark, tables, tmp_path):
+    mux = DynamicMultiplexer(spark)
+    h = mux.register(
+        "victim",
+        Query(source="events", aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "c")])),
+    )
+    mux.kill("victim")
+    stream = file_drip(spark, tables["events"], str(tmp_path), chunks=2)
+    mux.start(stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True)
+    assert h.groups == {}  # never evaluated after kill
+    assert h.state is QueryState.KILLED
