@@ -189,6 +189,12 @@ def _compile_distribution(df: DataFrame, agg: DistributionAgg) -> DataFrame:
 
     if agg.type is DistributionType.QUANTILE:
         probs = _bucket_points(agg) if not agg.points else list(agg.points)
+        if not agg.approx and agg.distributed:
+            from bullet_spark_spark.operators.distribution import (
+                exact_quantiles_distributed,
+            )
+
+            return exact_quantiles_distributed(df, agg.field, probs)
         if agg.approx:
             q = df.agg(
                 F.percentile_approx(col, F.array(*[F.lit(p) for p in probs]), agg.accuracy).alias("v")

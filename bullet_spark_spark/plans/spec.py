@@ -94,6 +94,10 @@ class DistributionAgg:
     num_buckets: int | None = None
     approx: bool = False
     accuracy: int = 10000  # percentile_approx accuracy when approx=True
+    # exact-mode strategy: False = built-in percentile (one O(rows) buffer —
+    # fine to mid volume); True = sort + targeted-rank selection
+    # (operators.distribution.exact_quantiles_distributed — the 100 TB path)
+    distributed: bool = False
 
 
 @dataclass(frozen=True)

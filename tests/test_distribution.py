@@ -78,6 +78,31 @@ def test_approx_quantile_tolerance(spark, tables, duck):
     assert abs(approx[0.5] - mid) <= max(0.02 * span, 1e-6)
 
 
+def test_distributed_flag_in_spec(spark, tables):
+    """DistributionAgg(distributed=True) routes to the scale path and
+    matches the default strategy."""
+    base = Query(
+        source="lineitem",
+        aggregation=DistributionAgg(
+            type=DistributionType.QUANTILE, field="l_extendedprice", points=[0.25, 0.75]
+        ),
+    )
+    dist = Query(
+        source="lineitem",
+        aggregation=DistributionAgg(
+            type=DistributionType.QUANTILE,
+            field="l_extendedprice",
+            points=[0.25, 0.75],
+            distributed=True,
+        ),
+    )
+    a = {r["quantile"]: r["value"] for r in compile_query(spark, base).collect()}
+    b = {r["quantile"]: r["value"] for r in compile_query(spark, dist).collect()}
+    assert a.keys() == b.keys()
+    for p in a:
+        assert abs(a[p] - b[p]) < 1e-9
+
+
 def test_empty_input(spark, tables):
     empty = tables["lineitem"].filter("l_quantity < 0")
     assert exact_quantiles_distributed(empty, "l_extendedprice", [0.5]).count() == 0
