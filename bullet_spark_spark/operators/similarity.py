@@ -171,6 +171,69 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-flat approximate NN: partition the corpus into Voronoi cells of
+    ``num_centroids`` centroids; a query probes its ``nprobe`` nearest cells
+    and exact-ranks only those cells' vectors.
+
+    Centroids here are a deterministic sample (first ``num_centroids`` ids) —
+    a real deployment would k-means them; the *plan shape* is identical:
+    corpus assignment is one broadcast-join pass, the probe join is keyed by
+    cell id, and candidate volume is corpus/num_centroids × nprobe. Compare
+    with lsh_ann_topk: IVF adapts to data distribution (cells follow density)
+    at the cost of the training pass; LSH is oblivious but training-free."""
+    w_assign = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cid").asc())
+    cents = (
+        corpus.orderBy(id_col).limit(num_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    # assign each corpus vector to its nearest centroid (broadcast centroids)
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(
+            id_col, vec_col, "cid",
+            F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    # each query probes its nprobe nearest cells
+    w_probe = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("cid").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            query_id_col, query_vec_col, "cid",
+            F.round(cosine(F.col(query_vec_col), F.col("cvec")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "cid")
+    )
+    cands = assigned.join(F.broadcast(probes), "cid")
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 6).alias("sim"),
+    )
+    w_rank = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

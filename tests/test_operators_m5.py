@@ -147,6 +147,34 @@ def test_lsh_ann_recall(spark, tables):
     assert sum(recalls) / len(recalls) > 0.5
 
 
+def test_ivf_ann_recall(spark, tables):
+    """IVF-flat: valid results, deterministic, reasonable recall with wide
+    probing on worst-case random vectors."""
+    emb = tables["embeddings"]
+    q = _queries(emb, n=10)
+    exact_sets = {}
+    for r in sim.brute_force_topk(emb.select("vec_id", "embedding"), q, k=5, exclude_self=True).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = sim.ivf_ann_topk(
+        emb.select("vec_id", "embedding"), q, k=5, num_centroids=8, nprobe=4
+    )
+    rows = approx.collect()
+    approx_sets = {}
+    for r in rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # probing half the cells on direction-uniform data → expect ~half the
+    # true neighbors on average
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.3
+    rows2 = sim.ivf_ann_topk(
+        emb.select("vec_id", "embedding"), q, k=5, num_centroids=8, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))  # deterministic
+
+
 def test_cosine_near_dup_lsh_subset_of_exact(spark, tables):
     emb = tables["embeddings"].limit(300)
     exact = {
