@@ -90,6 +90,7 @@ class QueryHandle:
     emit_times: list[float] = field(default_factory=list)
     raw_rows_seen: int = 0
     error: str | None = None
+    _dead_sweeps: int = 0  # consecutive sweeps observing a dead stream
 
     def is_active(self) -> bool:
         return self.state is QueryState.RUNNING
@@ -412,6 +413,26 @@ class EngineRuntime:
                     continue
                 if h.error is not None:
                     self._finish(h, QueryState.FAILED, Signal.FAIL)
+                    continue
+                # stream died underneath us (source error / natural drain):
+                # reconcile handle state instead of leaving it RUNNING —
+                # the reference's ErrorData path (BulletSparkUtils.scala:38-44)
+                try:
+                    stream_dead = h.stream is not None and not h.stream.isActive
+                except Exception:
+                    stream_dead = True
+                h._dead_sweeps = h._dead_sweeps + 1 if stream_dead else 0
+                if h._dead_sweeps >= 2:  # debounce startup races
+                    exc = None
+                    try:
+                        exc = h.stream.exception()
+                    except Exception:
+                        pass
+                    if exc is not None:
+                        h.error = str(exc)[:500]
+                        self._finish(h, QueryState.FAILED, Signal.FAIL)
+                    else:
+                        self._finish(h, QueryState.COMPLETED, Signal.COMPLETE)
                     continue
                 spec = h.spec
                 if (

@@ -59,6 +59,24 @@ def test_multiplex_group_count(spark, tables):
     assert n_users == ev.select("user_id").distinct().count()
 
 
+def test_salted_group_agg_under_skew(spark, tables):
+    """Correctness under a manufactured heavy-hitter key (one key = ~90% of
+    rows) — the shape AQE does NOT rebalance for aggregations."""
+    ev = tables["events"]
+    hot = ev.withColumn("event_type", F.lit("HOT"))
+    skewed = ev.unionByName(hot).unionByName(hot)
+    got = {
+        r["event_type"]: r["cnt"]
+        for r in salted_group_agg(skewed, ["event_type"], [("count", None, "cnt")], salt_buckets=16).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in skewed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    assert got["HOT"] == 2 * ev.count()
+
+
 def test_salted_group_agg_equivalence(spark, tables):
     ev = tables["events"]
     salted = {

@@ -266,6 +266,24 @@ def test_streaming_cdf_sink_side(spark, tables, tmp_path, runtime):
     assert got == batch
 
 
+def test_stream_natural_drain_reconciles_state(spark, tables, tmp_path, runtime):
+    """A registered query whose stream terminates on its own (availableNow
+    drain) must be reconciled to COMPLETED, not left RUNNING forever."""
+    stream = _events_stream(spark, tables, tmp_path)
+    spec = Query(
+        source="events",
+        aggregation=GroupAgg(fields=["event_type"], operations=[(AggOp.COUNT, None, "cnt")]),
+    )
+    # register() normally uses a processing-time trigger; simulate a dying
+    # stream by stopping it out-of-band and letting the sweeper reconcile
+    handle = runtime.register(spec, stream, trigger_ms=100)
+    handle.stream.stop()
+    deadline = time.time() + 30
+    while handle.is_active() and time.time() < deadline:
+        time.sleep(0.2)
+    assert handle.state is QueryState.COMPLETED
+
+
 def test_record_window(spark, tables, tmp_path):
     """W2: record-granularity window emits once per N records with reset
     (ref FilterStreamingTest.scala:267-274: 2 records → 2 emissions)."""
