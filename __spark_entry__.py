@@ -766,6 +766,26 @@ def grouping_sets(spark, sf_dir):
 
 
 @q(
+    "pivot_status_by_priority",
+    """SELECT o_orderpriority,
+              CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+              CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+              CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+       FROM orders GROUP BY o_orderpriority""",
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (long→wide) with a fixed value list — deterministic columns,
+    single pass (Catalyst compiles pivot to one aggregation)."""
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@q(
     "global_topk_orders",
     """SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice FROM orders
        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
@@ -1128,6 +1148,19 @@ def sim_cosine_topk(spark, sf_dir):
     )
     return sim.brute_force_topk(
         emb.select("vec_id", "embedding"), queries, k=5, exclude_self=True
+    )
+
+
+@q("sim_ivf_ann")  # rows-only: centroid cells are engine-side choices
+def sim_ivf_ann(spark, sf_dir):
+    """IVF-flat approximate NN (density-adaptive centroid cells + nprobe)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivf_ann_topk(
+        emb.select("vec_id", "embedding"), queries, k=5, num_centroids=16, nprobe=4
     )
 
 

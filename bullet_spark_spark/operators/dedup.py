@@ -29,7 +29,18 @@ def normalize_text(text: Column) -> Column:
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep one representative row (min id) per exact key. Single shuffle on
     the key hash; min() aggregates map-side first."""
-    key = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols]))
+    # NULL gets a sentinel distinct from the empty string (concat_ws would
+    # silently drop nulls, colliding ("a", NULL) with ("a", ""))
+    key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.when(F.col(c).isNull(), F.lit("\x00<NULL>"))
+                .otherwise(F.col(c).cast("string"))
+                for c in key_cols
+            ],
+        )
+    )
     keep = (
         df.withColumn("__key", key)
         .groupBy("__key")
