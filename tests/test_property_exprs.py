@@ -69,6 +69,63 @@ def predicate(draw, depth=2):
     return (le | re_, f"({ls} OR {rs})")
 
 
+@st.composite
+def group_spec(draw):
+    """Random GroupAgg: keys ⊆ {event_type, user_id mod-bucket}, ops ⊆
+    {count, min, max, count_field} (fp-exact ops only — sums are covered by
+    the decimal-exact oracle entries)."""
+    keys = draw(st.sampled_from([[], ["event_type"], ["user_id"], ["event_type", "user_id"]]))
+    ops = draw(
+        st.lists(
+            st.sampled_from(["count", "min_value", "max_value", "count_value"]),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    return keys, ops
+
+
+_OP_EXPR = {
+    "count": ("count(*)", "COUNT"),
+    "min_value": ("min(value)", "MIN"),
+    "max_value": ("max(value)", "MAX"),
+    "count_value": ("count(value)", "COUNT_FIELD"),
+}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(spec=group_spec(), pred=predicate(depth=1))
+def test_random_group_aggs_match_duckdb(spark, tables, duck, spec, pred):
+    from bullet_spark_spark.plans import AggOp, GroupAgg
+
+    keys, ops = spec
+    expr, sql_pred = pred
+    operations = [(AggOp[_OP_EXPR[o][1]], "value" if "value" in o else None, o) for o in ops]
+    q = Query(
+        source="events",
+        filter=expr,
+        aggregation=GroupAgg(fields=keys, operations=operations),
+    )
+    df = compile_query(spark, q)
+    srows = sorted(tuple(r) for r in df.collect())
+    sel_keys = (", ".join(keys) + ", ") if keys else ""
+    sel_ops = ", ".join(f"{_OP_EXPR[o][0]} AS {o}" for o in ops)
+    group = f"GROUP BY {', '.join(keys)}" if keys else ""
+    drows = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT {sel_keys}{sel_ops} FROM events WHERE {sql_pred} {group}"
+        ).fetchall()
+    )
+    # (global agg on empty input: both engines return one row of 0/NULLs)
+    assert srows == drows
+
+
 @settings(
     max_examples=25,
     deadline=None,
