@@ -1108,6 +1108,37 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@q(
+    "dedup_keep_best",
+    f"""SELECT doc_id FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                                   ORDER BY n_chars DESC, doc_id DESC) = 1""",
+)
+def dedup_keep_best(spark, sf_dir):
+    """Dedup keeping the best representative (longest doc, ties by id) per
+    content key — the realistic corpus policy vs keep-first."""
+    t = _t(spark, sf_dir)
+    return dd.dedup_keep_best(t["documents"], "doc_id", "text", "n_chars").select("doc_id")
+
+
+@q(
+    "text_ngram_topk",
+    """WITH d AS (
+         SELECT string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+       g AS (
+         SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                        FOR i IN range(1, greatest(len(toks) - 1, 0) + 1)]) AS ngram
+         FROM d)
+       SELECT ngram, count(*) AS cnt FROM g
+       GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20""",
+)
+def text_ngram_topk(spark, sf_dir):
+    """Corpus-wide word-bigram frequency top-k (vocabulary analysis)."""
+    t = _t(spark, sf_dir)
+    return tx.ngram_topk(t["documents"], "text", n=2, k=20)
+
+
 @q("dedup_minhash_lsh")  # rows-only: xxhash64 minhashes are engine-specific
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (64 hashes, 16 bands × 4 rows)."""

@@ -63,6 +63,25 @@ def exact_dedup_representatives(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Dedup keeping the BEST representative per normalized-text key (by a
+    quality column, ties broken by id — deterministic). One window pass
+    partitioned by the content hash; at scale this is a single shuffle with
+    per-partition top-1 (rank short-circuits)."""
+    key = F.md5(normalize_text(F.col(text_col)))
+    w = W.partitionBy(key).orderBy(F.col(quality_col).desc(), F.col(id_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def streaming_dedup(
     df: DataFrame, key_cols: list[str], event_time_col: str | None = None,
     watermark_delay: str = "10 minutes",

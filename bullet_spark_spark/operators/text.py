@@ -107,6 +107,31 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def ngram_topk(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Top-k most frequent word n-grams across the corpus (vocabulary/
+    boilerplate analysis). Explode → count → TakeOrdered: the count shuffle
+    is keyed by n-gram with map-side partial aggregation; ties broken by
+    the n-gram string for determinism."""
+    toks = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+    )
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard empty docs
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     t = F.col(text_col)
