@@ -149,7 +149,17 @@ def _apply_aggregation(df: DataFrame, query: Query, streaming: bool = False) -> 
         # the sketch estimator is the streaming mode — bullet's own posture
         # (Theta sketch beyond the exact threshold [D], SURVEY §2.2 Q6).
         if agg.approx or streaming:
-            return df.agg(F.approx_count_distinct(F.struct(*cols) if len(cols) > 1 else cols[0], agg.rsd).alias(agg.name))
+            # estimator metadata alongside the estimate — bullet emits sketch
+            # std-error in result Meta [D] (SURVEY §2.2 Q6)
+            return df.agg(
+                F.approx_count_distinct(
+                    F.struct(*cols) if len(cols) > 1 else cols[0], agg.rsd
+                ).alias(agg.name)
+            ).select(
+                "*",
+                F.lit("hll++").alias("estimator"),
+                F.lit(agg.rsd).alias("rel_std_dev"),
+            )
         return df.agg(F.count_distinct(*cols).alias(agg.name))
 
     if isinstance(agg, DistributionAgg):
@@ -196,6 +206,7 @@ def _compile_distribution(df: DataFrame, agg: DistributionAgg) -> DataFrame:
 
             return exact_quantiles_distributed(df, agg.field, probs)
         if agg.approx:
+            # KLL-like mergeable sketch; accuracy → rank-error bound ~1/accuracy
             q = df.agg(
                 F.percentile_approx(col, F.array(*[F.lit(p) for p in probs]), agg.accuracy).alias("v")
             )
