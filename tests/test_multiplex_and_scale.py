@@ -208,6 +208,43 @@ def test_multiplexer_kill_is_sink_side(spark, tables, tmp_path):
         rt.stop_all()
 
 
+def test_bucketed_join_no_shuffle(spark, tables, tmp_path):
+    """Co-located join: both fact tables bucketed+sorted on the join key →
+    SortMergeJoin with NO Exchange on either side (the bucketing strategy
+    that turns the repeated fact⋈fact shuffle into a free join at 100 TB)."""
+    li = tables["lineitem"].select("l_orderkey", "l_extendedprice")
+    orders = tables["orders"].select("o_orderkey", "o_orderpriority")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("ord_bucketed")
+    )
+    # at this tiny sf AQE would broadcast; disable so the plan shows the
+    # bucket-driven SMJ a real fact⋈fact would use
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout satisfies distribution
+        assert j.count() == li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
 def test_checkpoint_recovery(spark, tables, tmp_path):
     """P12: a query restarted on the same checkpoint resumes from its offset
     instead of reprocessing (ref StreamingContext.getOrCreate,
