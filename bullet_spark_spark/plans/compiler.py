@@ -141,6 +141,11 @@ def _apply_aggregation(df: DataFrame, query: Query, streaming: bool = False) -> 
         if windowed:
             rest = [c for c in out.columns if c != "__window"]
             out = out.select(F.col("__window")["start"].alias("window_start"), *rest)
+        if agg.max_groups is not None and agg.fields and not streaming:
+            # deterministic cap: first max_groups groups by key order
+            # (TakeOrderedAndProject — no full sort). Streaming: unsupported
+            # plan node; cap belongs in the sink if needed
+            out = out.orderBy(*[F.col(k) for k in agg.fields]).limit(agg.max_groups)
         return out
 
     if isinstance(agg, CountDistinctAgg):

@@ -59,7 +59,10 @@ class GroupAgg:
 
     fields: Sequence[str] = ()
     operations: Sequence[tuple[AggOp, str | None, str]] = ()
-    max_groups: int = 512
+    # bullet caps result groups (exact up to max, sampled beyond [D]); we cap
+    # deterministically by key order so results stay oracle-comparable.
+    # None = uncapped (the engine has no bounded-result transport constraint)
+    max_groups: int | None = None
 
 
 @dataclass(frozen=True)

@@ -217,6 +217,24 @@ def test_post_aggregations(spark, tables, duck):
     )
 
 
+def test_max_groups_cap(spark, tables, duck):
+    q = Query(
+        source="events",
+        aggregation=GroupAgg(
+            fields=["user_id"],
+            operations=[(AggOp.COUNT, None, "cnt")],
+            max_groups=10,
+        ),
+    )
+    df = compile_query(spark, q)
+    assert_match(
+        df,
+        duck,
+        """SELECT user_id, count(*) AS cnt FROM events
+           GROUP BY user_id ORDER BY user_id LIMIT 10""",
+    )
+
+
 def test_validation_errors():
     q = Query(source="events", aggregation=RawAgg(limit=0))
     with pytest.raises(ValueError):
