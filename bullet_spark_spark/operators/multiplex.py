@@ -85,3 +85,50 @@ def multiplex_group_count(
             "query_id", F.map_from_entries("key_entries").alias("keys"), "cnt"
         )
     )
+
+
+def multiplex_group_agg(
+    df: DataFrame, queries: dict[str, tuple[Expr | None, GroupAgg]]
+) -> DataFrame:
+    """Generalization of multiplex_group_count to the full mergeable op set:
+    one pass, one shuffle for N (filter, GROUP BY {count,sum,min,max,avg})
+    queries. The aggregation computes the UNION of all queries' (op, field)
+    pairs — each is a native partial-aggregating expression, so the shared
+    exchange carries one combined partial state row per (query, group).
+
+    Output: (query_id, keys map<string,string>, aggs map<string,double>) —
+    ``aggs`` holds every computed (op_field) pair; the caller projects the
+    subset its query asked for (the runtime's multiplexed sink does this)."""
+    preds = {qid: p for qid, (p, _) in queries.items()}
+    routed = multiplex_filter(df, preds)
+
+    key_expr = None
+    for qid, (_, agg) in queries.items():
+        arr_k = F.array(*[F.lit(k) for k in agg.fields])
+        arr_v = F.array(*[F.col(k).cast("string") for k in agg.fields])
+        branch = F.map_from_arrays(arr_k, arr_v)
+        key_expr = (
+            F.when(F.col("query_id") == qid, branch)
+            if key_expr is None
+            else key_expr.when(F.col("query_id") == qid, branch)
+        )
+
+    # union of requested (op, field) pairs across queries
+    pairs: dict[str, tuple[AggOp, str | None]] = {"count_": (AggOp.COUNT, None)}
+    for _, agg in queries.values():
+        for op, fld, _out in agg.operations:
+            pairs[f"{op.value.lower()}_{fld or ''}"] = (op, fld)
+
+    agged = (
+        routed.withColumn("keys", key_expr)
+        .groupBy("query_id", F.map_entries("keys").alias("key_entries"))
+        .agg(*[_AGG_FN[op](fld).cast("double").alias(name) for name, (op, fld) in pairs.items()])
+    )
+    return agged.select(
+        "query_id",
+        F.map_from_entries("key_entries").alias("keys"),
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n in pairs]),
+            F.array(*[F.col(n) for n in pairs]),
+        ).alias("aggs"),
+    )

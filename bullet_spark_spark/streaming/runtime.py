@@ -305,7 +305,7 @@ class EngineRuntime:
         by query_id, so a restart with overlapping specs resumes cleanly).
         Lifecycle (duration expiry, kill) is enforced sink-side: expired
         queries stop receiving results immediately and are marked terminal."""
-        from bullet_spark_spark.operators.multiplex import multiplex_group_count
+        from bullet_spark_spark.operators.multiplex import multiplex_group_agg
 
         trigger_ms = trigger_ms or self.config.trigger_ms
         handles: dict[str, QueryHandle] = {}
@@ -319,9 +319,19 @@ class EngineRuntime:
                 query_id=qid, spec=spec, sink=MemorySink(), shared_stream=True
             )
 
-        routed = multiplex_group_count(
+        routed = multiplex_group_agg(
             stream_df, {qid: (s.filter, s.aggregation) for qid, s in specs.items()}
         )
+
+        # per-query output projection from the shared aggs map: the op list
+        # the spec asked for, or a bare count when it declared none
+        out_plan: dict[str, list[tuple[str, str]]] = {}
+        for qid, spec in specs.items():
+            ops = spec.aggregation.operations
+            if ops:
+                out_plan[qid] = [(f"{op.value.lower()}_{fld or ''}", out) for op, fld, out in ops]
+            else:
+                out_plan[qid] = [("count_", "cnt")]
 
         def emit(batch_df, epoch_id):
             rows = batch_df.collect()
@@ -332,13 +342,15 @@ class EngineRuntime:
             for qid, handle in handles.items():
                 if handle.state is not QueryState.RUNNING:
                     continue  # sink-side lifecycle: expired/killed get nothing
+                cols = out_plan[qid]
                 batch_rows = [
-                    (dict(r["keys"] or {}), r["cnt"]) for r in by_qid.get(qid, [])
+                    (dict(r["keys"] or {}), *[r["aggs"][name] for name, _ in cols])
+                    for r in by_qid.get(qid, [])
                 ]
                 if batch_rows:
                     with handle.sink._lock:
                         if handle.sink.columns is None:
-                            handle.sink.columns = ["keys", "cnt"]
+                            handle.sink.columns = ["keys", *[out for _, out in cols]]
                         handle.sink.batches.append(batch_rows)
                     handle.emit_times.append(now)
 

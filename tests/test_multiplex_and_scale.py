@@ -185,6 +185,53 @@ def test_streaming_multiplexer(spark, tables, tmp_path):
         rt.stop_all()
 
 
+def test_streaming_multiplexer_with_ops(spark, tables, tmp_path):
+    """Static multiplexer with heterogeneous op lists: each handle receives
+    exactly its spec's outputs, computed in the one shared aggregation."""
+    from bullet_spark_spark.plans.spec import AggOp
+
+    rt = EngineRuntime(spark)
+    try:
+        stream = file_drip(spark, tables["events"], str(tmp_path), chunks=3)
+        specs = {
+            "sum_by_type": Query(
+                source="events",
+                aggregation=GroupAgg(
+                    fields=["event_type"],
+                    operations=[(AggOp.SUM, "value", "sv"), (AggOp.MAX, "value", "mx")],
+                ),
+            ),
+            "cnt_hi": Query(
+                source="events",
+                filter=E.f("value") > 80,
+                aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "n")]),
+            ),
+        }
+        handles = rt.register_multiplexed(
+            specs, stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True
+        )
+        assert handles["sum_by_type"].sink.columns == ["keys", "sv", "mx"]
+        final = {}
+        for batch in handles["sum_by_type"].sink.batches:
+            for keys, sv, mx in batch:
+                final[keys["event_type"]] = (sv, mx)
+        expected = {
+            r["event_type"]: (r["sv"], r["mx"])
+            for r in tables["events"]
+            .groupBy("event_type")
+            .agg(F.sum("value").alias("sv"), F.max("value").alias("mx"))
+            .collect()
+        }
+        assert set(final) == set(expected)
+        for k in expected:
+            assert abs(final[k][0] - expected[k][0]) < 1e-6
+            assert final[k][1] == expected[k][1]
+        n_hi = tables["events"].filter(F.col("value") > 80).count()
+        assert handles["cnt_hi"].final_result()[-1][1] == n_hi
+    finally:
+        rt.stop_all()
+
+
 def test_multiplexer_kill_is_sink_side(spark, tables, tmp_path):
     """Killing one multiplexed query must not stop the shared stage."""
     rt = EngineRuntime(spark)
