@@ -225,10 +225,17 @@ class NAry(Expr):
     def col(self) -> Column:
         ops = [o.col() for o in self.operands]
         op = self.op.upper()
-        if op == "IN":
-            return ops[0].isin(*[o.value for o in self.operands[1:] if isinstance(o, Value)])
-        if op == "NOT IN":
-            return ~ops[0].isin(*[o.value for o in self.operands[1:] if isinstance(o, Value)])
+        if op in ("IN", "NOT IN"):
+            # fast path: all-literal list → Catalyst In (pushdown-eligible);
+            # general case (fields/computed operands) → OR-chain of
+            # equalities, which keeps SQL three-valued NULL semantics
+            if all(isinstance(o, Value) for o in self.operands[1:]):
+                mem = ops[0].isin(*[o.value for o in self.operands[1:]])
+            else:
+                from functools import reduce
+
+                mem = reduce(lambda a, b: a | b, [ops[0] == c for c in ops[1:]])
+            return ~mem if op == "NOT IN" else mem
         if op == "BETWEEN":
             return ops[0].between(ops[1], ops[2])
         if op == "NOT BETWEEN":

@@ -86,15 +86,16 @@ def streaming_dedup(
     df: DataFrame, key_cols: list[str], event_time_col: str | None = None,
     watermark_delay: str = "10 minutes",
 ) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates keyed on ``key_cols``; with an
-    event-time column + watermark the dedup state is bounded (keys older
-    than the watermark are evicted) — without it, state grows with distinct
-    keys forever, which is exactly the reference's tombstone leak
-    (JoinStreaming.scala:60-62) we refuse to replicate."""
+    """Streaming exact dedup keyed on ``key_cols`` only; with an event-time
+    column + watermark the dedup state is bounded (keys older than the
+    watermark are evicted via ``dropDuplicatesWithinWatermark``) — without
+    it, state grows with distinct keys forever, which is exactly the
+    reference's tombstone leak (JoinStreaming.scala:60-62) we refuse to
+    replicate."""
     if event_time_col:
-        return df.withWatermark(event_time_col, watermark_delay).dropDuplicates(
-            [*key_cols, event_time_col] if event_time_col not in key_cols else key_cols
-        )
+        return df.withWatermark(
+            event_time_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(key_cols)
     return df.dropDuplicates(key_cols)
 
 

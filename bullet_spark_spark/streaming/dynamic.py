@@ -126,8 +126,12 @@ class DynamicMultiplexer:
                     if cur is None:
                         handle.groups[key] = vals
                     else:
+                        # None-safe merge: a nullable agg field can yield a
+                        # NULL partial for an existing group (e.g. all values
+                        # NULL in this batch) — merge must not feed None into
+                        # sum/min/max
                         handle.groups[key] = [
-                            _MERGEABLE[op](a, b) if a is not None else b
+                            b if a is None else (a if b is None else _MERGEABLE[op](a, b))
                             for (op, _, _), a, b in zip(ops, cur, vals)
                         ]
                 # duration expiry checked at batch boundaries (the reference's

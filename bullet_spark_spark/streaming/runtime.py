@@ -96,9 +96,32 @@ class QueryHandle:
         return self.state is QueryState.RUNNING
 
     def final_result(self) -> list[tuple]:
-        """Last non-empty emission — the 'final result at query end' of
-        bullet's one-shot window (W1: default `new Window()` emits only on
-        completion, ref QueryDataUnioningTest.scala:93)."""
+        """Final result at query end — bullet's one-shot window (W1: default
+        `new Window()` emits only on completion, ref
+        QueryDataUnioningTest.scala:93).
+
+        Update-mode group aggregations emit only the *changed* groups each
+        micro-batch, so the final result merges across all emissions keyed by
+        the group columns (latest emission wins per group). Other modes
+        (append/complete) return the last non-empty emission."""
+        agg = self.spec.aggregation
+        if isinstance(agg, GroupAgg) and _output_mode(self.spec) == "update":
+            if self.shared_stream:
+                # multiplexed rows are (keys_dict, *aggs) — one key column
+                key_len = 1 if agg.fields else 0
+            else:
+                w = self.spec.window
+                windowed = (
+                    w.emit_unit is WindowUnit.TIME and w.event_time_field is not None
+                )
+                key_len = (1 if windowed else 0) + len(agg.fields)
+            merged: dict[tuple, tuple] = {}
+            for batch in self.sink.batches:
+                for row in batch:
+                    merged[tuple(str(x) for x in row[:key_len])] = row
+            if key_len:
+                return [merged[k] for k in sorted(merged)]
+            return list(merged.values())
         for batch in reversed(self.sink.batches):
             if batch:
                 return batch

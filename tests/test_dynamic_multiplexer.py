@@ -96,3 +96,25 @@ def test_kill_immediate(spark, tables, tmp_path):
     mux.start(stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True)
     assert h.groups == {}  # never evaluated after kill
     assert h.state is QueryState.KILLED
+
+
+def test_null_partial_merge(spark):
+    """A later batch yielding a NULL aggregate for an existing group must not
+    crash the merge (nullable agg fields make this ordinary data)."""
+    mux = DynamicMultiplexer(spark)
+    h = mux.register(
+        "sums",
+        Query(
+            source="x",
+            aggregation=GroupAgg(
+                fields=["k"],
+                operations=[(AggOp.SUM, "v", "sv"), (AggOp.MIN, "v", "mn")],
+            ),
+        ),
+    )
+    b1 = spark.createDataFrame([("a", 3.0), ("b", None)], "k string, v double")
+    b2 = spark.createDataFrame([("a", None), ("b", 2.0)], "k string, v double")
+    mux._process_batch(b1, 0)
+    mux._process_batch(b2, 1)
+    assert h.groups[("a",)] == [3.0, 3.0]
+    assert h.groups[("b",)] == [2.0, 2.0]

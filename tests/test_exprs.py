@@ -98,3 +98,16 @@ def test_iff_concat_substring(nested):
         1: "r1", 2: "r2", 3: "r3", 4: "r4",
     }
     assert _vals(nested, E.substring(E.v("abcdef"), 2, 3)) == {i: "bcd" for i in (1, 2, 3, 4)}
+
+
+def test_in_with_non_literal_operands(nested):
+    # IN lists containing fields / computed expressions must compile the
+    # general OR-chain, not silently drop non-literal operands
+    from bullet_spark_spark.functions.exprs import NAry
+
+    got = _vals(nested, E.f("rec_id").isin(1, E.f("small_int")))
+    assert got == {1: True, 2: False, 3: False, 4: False}
+    got = _vals(nested, NAry("IN", [E.f("small_int"), E.v(0), E.f("rec_id")]))
+    assert got == {1: False, 2: False, 3: True, 4: False}
+    got = _vals(nested, NAry("NOT IN", [E.f("small_int"), E.v(0), E.f("rec_id")]))
+    assert got == {1: True, 2: True, 3: False, 4: True}

@@ -336,3 +336,45 @@ def test_record_window_per_key(spark, tables, tmp_path):
         assert len(got) == n_windows, et
         assert all(c == 20 for _, c in got)
         assert [w for w, _ in got] == list(range(n_windows))
+
+
+def test_final_result_merges_update_mode_groups(spark):
+    """W1 one-shot result for update-mode group aggs merges across ALL
+    emissions keyed by group — groups last updated in an early micro-batch
+    must not be dropped."""
+    from bullet_spark_spark.streaming.runtime import QueryHandle
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    spec = Query(
+        source="events",
+        aggregation=GroupAgg(fields=["k"], operations=[(AggOp.COUNT, None, "c")]),
+    )
+    h = QueryHandle(query_id="q", spec=spec, sink=MemorySink())
+    h.sink.batches.extend([[("a", 1), ("b", 5)], [("a", 3)]])
+    assert h.final_result() == [("a", 3), ("b", 5)]
+
+
+def test_streaming_dedup_key_only(spark, tables, tmp_path):
+    """Watermarked streaming dedup is keyed on key_cols ONLY: the same key
+    arriving with different event times within the watermark is still a
+    duplicate (dropDuplicatesWithinWatermark semantics)."""
+    from bullet_spark_spark.operators import dedup as dd
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    base = tables["events"].limit(100).select("event_id", "ts", "user_id")
+    shifted = base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+    doubled = base.unionByName(shifted)  # same key, different event time
+    stream = file_drip(spark, doubled, str(tmp_path), chunks=4)
+    deduped = dd.streaming_dedup(stream, ["event_id"], event_time_col="ts",
+                                 watermark_delay="400 days")
+    sink = MemorySink()
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r[0] for r in sink.rows]
+    assert len(set(ids)) == 100 and len(ids) == 100
