@@ -26,3 +26,17 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
 def run_spec(spark: SparkSession, spec: Query) -> DataFrame:
     """Programmatic spec → DataFrame (the bullet-core Query POJO analogue)."""
     return compile_query(spark, spec)
+
+
+def bql(spark: SparkSession, text: str, df: DataFrame | None = None) -> DataFrame:
+    """BQL text → Query spec → DataFrame plan (batch; pass ``df`` to bind
+    ``FROM STREAM()`` or override the source — e.g. an unbounded stream).
+
+    The missing front door of the reference stack: bullet-bql parses query
+    text in the web service and ships compiled Query objects to the backend
+    (BulletSparkStreamingBaseJobTest.scala:40-41); ``parse_bql`` is that
+    parser, and the spec it emits is identical to one built via the
+    programmatic API."""
+    from bullet_spark_spark.plans.bql import parse_bql
+
+    return compile_query(spark, parse_bql(text), df=df)

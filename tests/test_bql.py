@@ -1,0 +1,154 @@
+"""BQL-subset parser tests: text → spec round-trips, parse errors, and
+differential equivalence between BQL-compiled plans and hand-built specs
+(the bullet-bql front door, exercised by the reference via serialized Query
+objects — BulletSparkStreamingBaseJobTest.scala:40-41)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.plans.bql import BQLError, parse_bql
+from bullet_spark_spark.plans.spec import (
+    AggOp,
+    CountDistinctAgg,
+    DistributionAgg,
+    DistributionType,
+    GroupAgg,
+    RawAgg,
+    TopKAgg,
+    WindowUnit,
+)
+from bullet_spark_spark.sql import bql
+
+
+def test_raw_query_spec():
+    q = parse_bql("SELECT * FROM STREAM(30000, TIME) WHERE value > 50 LIMIT 10")
+    assert isinstance(q.aggregation, RawAgg) and q.aggregation.limit == 10
+    assert q.duration_ms == 30000
+    assert q.source == "stream"
+    assert q.filter is not None
+
+
+def test_projection_spec():
+    q = parse_bql("SELECT event_id, value * 2 AS v2 FROM events")
+    assert q.projection.fields is not None
+    names = [n for n, _ in q.projection.fields]
+    assert names == ["event_id", "v2"]
+
+
+def test_group_agg_spec():
+    q = parse_bql(
+        "SELECT event_type, COUNT(*) AS cnt, SUM(value) AS sv "
+        "FROM events WHERE value > 50 GROUP BY event_type "
+        "HAVING cnt > 5 ORDER BY cnt DESC LIMIT 3"
+    )
+    agg = q.aggregation
+    assert isinstance(agg, GroupAgg)
+    assert list(agg.fields) == ["event_type"]
+    assert (AggOp.COUNT, None, "cnt") in list(agg.operations)
+    assert (AggOp.SUM, "value", "sv") in list(agg.operations)
+    assert len(q.post_aggregations) == 2
+
+
+def test_count_distinct_top_distribution_specs():
+    q = parse_bql("SELECT COUNT(DISTINCT user_id) AS cd FROM events")
+    assert isinstance(q.aggregation, CountDistinctAgg)
+    assert q.aggregation.name == "cd"
+
+    q = parse_bql("SELECT TOP(3, event_type) FROM events")
+    assert isinstance(q.aggregation, TopKAgg) and q.aggregation.k == 3
+
+    q = parse_bql("SELECT TOP(5, 100, event_type) FROM events")
+    assert q.aggregation.threshold == 100
+
+    q = parse_bql("SELECT QUANTILE(value, LINEAR, 5) FROM events")
+    agg = q.aggregation
+    assert isinstance(agg, DistributionAgg) and agg.type is DistributionType.QUANTILE
+    assert agg.points == [0.0, 0.25, 0.5, 0.75, 1.0]
+
+    q = parse_bql("SELECT FREQ(value, REGION, 0, 100, 25) FROM events")
+    assert q.aggregation.type is DistributionType.PMF
+    assert q.aggregation.points == [0.0, 25.0, 50.0, 75.0, 100.0]
+
+    q = parse_bql("SELECT CUMFREQ(value, MANUAL, 0, 50, 100) FROM events")
+    assert q.aggregation.type is DistributionType.CDF
+
+
+def test_windowing_spec():
+    q = parse_bql(
+        "SELECT COUNT(*) AS c FROM STREAM() GROUP BY dummy "
+        "WINDOWING EVERY(5000, TIME, ALL)"
+    )
+    assert q.window.emit_every == 5000
+    assert q.window.emit_unit is WindowUnit.TIME
+    assert q.window.include is WindowUnit.ALL
+
+    q = parse_bql("SELECT COUNT(*) AS c FROM STREAM() WINDOWING TUMBLING(50, RECORD)")
+    assert q.window.emit_unit is WindowUnit.RECORD and q.window.include is None
+
+
+def test_expression_surface():
+    q = parse_bql(
+        "SELECT * FROM events WHERE (value BETWEEN 10 AND 20 OR event_type IN "
+        "('a', 'b')) AND NOT (user_id = 7) AND props IS NOT NULL "
+        "AND event_type RLIKE '^p' AND ABS(value - 50) < 10"
+    )
+    assert q.filter is not None  # compilability checked in the spark test
+
+
+def test_parse_errors():
+    with pytest.raises(BQLError):
+        parse_bql("SELECT FROM events")
+    with pytest.raises(BQLError):
+        parse_bql("SELECT value FROM events GROUP BY other")  # non-agg not in group
+    with pytest.raises(BQLError):
+        parse_bql("SELECT COUNT(*) AS c, TOP(3, f) FROM events")  # TOP not combinable
+    with pytest.raises(BQLError):
+        parse_bql("SELECT * FROM events WHERE value >")
+
+
+def test_bql_matches_dataframe(spark, tables):
+    got = bql(
+        spark,
+        "SELECT event_type, COUNT(*) AS cnt, SUM(value) AS sv FROM events "
+        "WHERE value > 50 GROUP BY event_type HAVING cnt > 5 ORDER BY cnt DESC",
+    ).collect()
+    exp = (
+        tables["events"]
+        .filter(F.col("value") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+        .filter(F.col("cnt") > 5)
+        .orderBy(F.col("cnt").desc())
+        .collect()
+    )
+    assert [(r["event_type"], r["cnt"]) for r in got] == [
+        (r["event_type"], r["cnt"]) for r in exp
+    ]
+    for g, e in zip(got, exp):
+        assert abs(g["sv"] - e["sv"]) < 1e-6
+
+
+def test_bql_nested_field_and_functions(spark, tables):
+    df = bql(
+        spark,
+        "SELECT event_id, UPPER(event_type) AS et, CAST(value AS int) AS vi "
+        "FROM events WHERE user_id < 10 LIMIT 100000",
+    )
+    rows = df.collect()
+    assert rows and all(r["et"] == r["et"].upper() for r in rows)
+
+
+def test_bql_raw_filter_matches(spark, tables):
+    got = bql(
+        spark,
+        "SELECT event_id FROM events WHERE value > 99 AND event_type = 'error' "
+        "LIMIT 100000",
+    )
+    exp = (
+        tables["events"]
+        .filter((F.col("value") > 99) & (F.col("event_type") == "error"))
+        .select("event_id")
+    )
+    assert sorted(r[0] for r in got.collect()) == sorted(r[0] for r in exp.collect())
