@@ -17,68 +17,82 @@ Three quantile strategies, chosen by data volume:
 
 from __future__ import annotations
 
-from bisect import bisect_right
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def exact_quantiles_distributed(
-    df: DataFrame, col: str, probs: list[float]
+    df: DataFrame, col: str, probs: list[float], num_partitions: int | None = None
 ) -> DataFrame:
     """Exact linear-interpolation quantiles without collecting values to one
-    buffer: sort the column globally (distributed range partition), compute
-    per-partition row offsets, fetch only the ≤2·|probs| boundary ranks, and
-    interpolate. Returns (quantile, value) like DistributionAgg QUANTILE."""
+    buffer, 100% DataFrame ops (no Python-RDD row serialization):
+
+    1. range-repartition the column (distributed sort — each partition holds
+       a contiguous value range, spillable),
+    2. per-partition counts → global offsets (driver sees only
+       ``num_partitions`` integers — metadata, not data),
+    3. global rank = offset[pid] + per-partition ``row_number`` (a window
+       PARTITIONED by pid — fully parallel, never a single-partition window),
+    4. fetch exactly the ≤2·|probs| boundary ranks and interpolate.
+
+    Interpolation matches DuckDB ``quantile_cont`` (h = (n-1)p, linear
+    between floor/ceil ranks). Returns (quantile, value) like
+    DistributionAgg QUANTILE."""
     spark = df.sparkSession
-    vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull()).sort("v")
-    rdd = vals.rdd.map(lambda r: r[0])
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        vals.repartitionByRange(num_partitions, "v")
+        .sortWithinPartitions("v")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        total = sum(counts.values())
+        if total == 0:
+            return spark.createDataFrame([], "quantile double, value double")
 
-    # per-partition counts → global offsets (tiny driver-side array)
-    counts = rdd.mapPartitionsWithIndex(
-        lambda i, it: [(i, sum(1 for _ in it))]
-    ).collect()
-    counts.sort()
-    offsets = []
-    total = 0
-    for _, c in counts:
-        offsets.append(total)
-        total += c
-    if total == 0:
-        return spark.createDataFrame([], "quantile double, value double")
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
 
-    # target global ranks (floor and ceil around h = (n-1)*p)
-    targets: set[int] = set()
-    plan = []
-    for p in probs:
-        h = (total - 1) * p
-        lo, hi = int(h // 1), min(int(h // 1) + 1, total - 1)
-        frac = h - (h // 1)
-        plan.append((p, lo, hi, frac))
-        targets.update((lo, hi))
+        # target global ranks (floor and ceil around h = (n-1)*p)
+        targets: set[int] = set()
+        plan = []
+        for p in probs:
+            h = (total - 1) * p
+            lo, hi = int(h // 1), min(int(h // 1) + 1, total - 1)
+            frac = h - (h // 1)
+            plan.append((p, lo, hi, frac))
+            targets.update((lo, hi))
 
-    # fetch only the needed ranks: each partition knows its offset, emits
-    # (rank, value) for ranks it owns — O(|targets|) rows collected
-    b_offsets = offsets
-    b_targets = sorted(targets)
-
-    def pick(i, it):
-        base = b_offsets[i]
-        lo_idx = bisect_right(b_targets, base - 1)
-        wanted = b_targets[lo_idx:]
-        out = []
-        for j, v in enumerate(it):
-            rank = base + j
-            while wanted and wanted[0] < rank:
-                wanted = wanted[1:]
-            if not wanted:
-                break
-            if rank == wanted[0]:
-                out.append((rank, v))
-                wanted = wanted[1:]
-        return out
-
-    rank_vals = dict(rdd.mapPartitionsWithIndex(pick).collect())
+        off_map = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )
+        rank = (
+            off_map[F.col("pid")]
+            + F.row_number().over(W.partitionBy("pid").orderBy("v"))
+            - 1
+        )
+        rank_rows = (
+            ranged.withColumn("rank", rank)
+            .filter(F.col("rank").isin(*targets))
+            .select("rank", "v")
+            .collect()
+        )
+    finally:
+        ranged.unpersist()
+    rank_vals = {r["rank"]: r["v"] for r in rank_rows}
     rows = []
     for p, lo, hi, frac in plan:
         a, b = rank_vals[lo], rank_vals[hi]

@@ -171,6 +171,61 @@ def lsh_ann_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    num_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means centroids for the IVF coarse quantizer, trained on a
+    deterministic hash-ordered sample (the standard IVF training pass — FAISS
+    trains on a bounded sample too; the sample is metadata-sized, the corpus
+    is never collected).
+
+    Deterministic throughout: hash-ordered sampling, farthest-point
+    (k-means++-style) init from the sample, ``iters`` Lloyd iterations with
+    cosine assignment and normalized-mean updates; empty cells re-seed from
+    the worst-assigned point."""
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n = len(Xn)
+    k = min(num_centroids, n)
+
+    # farthest-point init (deterministic: start from sample row 0)
+    cent_idx = [0]
+    sims_to_nearest = Xn @ Xn[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(sims_to_nearest))
+        cent_idx.append(nxt)
+        sims_to_nearest = np.maximum(sims_to_nearest, Xn @ Xn[nxt])
+    C = Xn[cent_idx].copy()
+
+    for _ in range(iters):
+        sims = Xn @ C.T  # (n, k) cosine similarities
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = Xn[assign == c]
+            if len(members) == 0:
+                # re-seed an empty cell from the globally worst-assigned point
+                worst = int(np.argmin(sims[np.arange(n), assign]))
+                C[c] = Xn[worst]
+                continue
+            m = members.mean(axis=0)
+            C[c] = m / max(float(np.linalg.norm(m)), 1e-12)
+    return [[float(x) for x in row] for row in C]
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -181,21 +236,24 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate NN: partition the corpus into Voronoi cells of
-    ``num_centroids`` centroids; a query probes its ``nprobe`` nearest cells
-    and exact-ranks only those cells' vectors.
+    ``num_centroids`` k-means centroids (spherical k-means over a
+    deterministic sample — ``kmeans_centroids``); a query probes its
+    ``nprobe`` nearest cells and exact-ranks only those cells' vectors.
 
-    Centroids here are a deterministic sample (first ``num_centroids`` ids) —
-    a real deployment would k-means them; the *plan shape* is identical:
-    corpus assignment is one broadcast-join pass, the probe join is keyed by
-    cell id, and candidate volume is corpus/num_centroids × nprobe. Compare
-    with lsh_ann_topk: IVF adapts to data distribution (cells follow density)
-    at the cost of the training pass; LSH is oblivious but training-free."""
+    Plan shape at scale: one broadcast pass assigns corpus vectors to cells,
+    the probe join is keyed by cell id, and candidate volume is
+    corpus/num_centroids × nprobe. Compare with lsh_ann_topk: IVF cells
+    follow data density (better recall per candidate on clustered corpora)
+    at the cost of the training pass; LSH is oblivious but training-free.
+    Pass precomputed ``centroids`` to skip training (index reuse)."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, num_centroids, id_col, vec_col)
     w_assign = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cid").asc())
-    cents = (
-        corpus.orderBy(id_col).limit(num_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    cents = corpus.sparkSession.createDataFrame(
+        [(i, vec) for i, vec in enumerate(centroids)], "cid int, cvec array<double>"
     )
     # assign each corpus vector to its nearest centroid (broadcast centroids)
     assigned = (
@@ -241,17 +299,20 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs. exact=True does the full n²
     self-join (oracle-checkable at small sf); default blocks by LSH bucket
-    first so pair generation stays bucket-local at scale."""
+    first so pair generation stays bucket-local at scale. Pass ``dim`` to
+    avoid the plan-build-time row fetch for dimension discovery."""
     normed = embeddings.withColumn("__n", norm(F.col(vec_col)))
     a = normed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("__n").alias("n_a"))
     b = normed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("__n").alias("n_b"))
     if exact:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(embeddings.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(embeddings.select(vec_col).first()[0])
         planes = _hyperplanes(num_planes, dim)
         ab = normed.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
         a = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("__n").alias("n_a"), "bucket")

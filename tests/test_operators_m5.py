@@ -175,6 +175,53 @@ def test_ivf_ann_recall(spark, tables):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))  # deterministic
 
 
+def test_ivf_kmeans_centroids_quality(spark, tables):
+    """k-means centroids: unit-norm, correct count, and IVF recall with
+    trained centroids is at least LSH's at a comparable candidate budget
+    (density-adaptive cells beat oblivious hyperplanes on the same data)."""
+    import math
+
+    emb = tables["embeddings"]
+    cents = sim.kmeans_centroids(emb, 8, sample_size=512, iters=4)
+    assert len(cents) == 8
+    for c in cents:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+    # deterministic across invocations
+    assert cents == sim.kmeans_centroids(emb, 8, sample_size=512, iters=4)
+
+    q = _queries(emb, n=15)
+    exact_sets = {}
+    for r in sim.brute_force_topk(
+        emb.select("vec_id", "embedding"), q, k=5, exclude_self=True
+    ).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        rs = [
+            len(exact_sets[qid] & got.get(qid, set())) / len(exact_sets[qid])
+            for qid in exact_sets
+        ]
+        return sum(rs) / len(rs)
+
+    ivf_recall = recall(
+        sim.ivf_ann_topk(
+            emb.select("vec_id", "embedding"), q, k=5, num_centroids=8, nprobe=4,
+            centroids=cents,
+        )
+    )
+    # LSH at a roughly comparable candidate volume: 3 planes (1/8 bucket
+    # density) × 4 tables ≈ half the corpus, like nprobe=4 of 8 cells
+    lsh_recall = recall(
+        sim.lsh_ann_topk(
+            emb.select("vec_id", "embedding"), q, k=5, num_planes=3, num_tables=4
+        )
+    )
+    assert ivf_recall >= lsh_recall - 0.05  # density-adaptive ≥ oblivious
+
+
 def test_cosine_near_dup_lsh_subset_of_exact(spark, tables):
     emb = tables["embeddings"].limit(300)
     exact = {
