@@ -26,7 +26,7 @@ byte-blob merge for (JoinStreaming.scala:40).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bullet_spark_spark.functions.exprs import Expr
@@ -87,48 +87,103 @@ def multiplex_group_count(
     )
 
 
-def multiplex_group_agg(
-    df: DataFrame, queries: dict[str, tuple[Expr | None, GroupAgg]]
-) -> DataFrame:
-    """Generalization of multiplex_group_count to the full mergeable op set:
-    one pass, one shuffle for N (filter, GROUP BY {count,sum,min,max,avg})
-    queries. The aggregation computes the UNION of all queries' (op, field)
-    pairs — each is a native partial-aggregating expression, so the shared
-    exchange carries one combined partial state row per (query, group).
+def multiplex_partials(df: DataFrame, specs: dict[str, "Query"]) -> DataFrame:
+    """ONE pass + ONE shuffle computing *mergeable partial aggregates* for N
+    heterogeneous queries — the full reference multiplexing surface
+    (FilterStreaming.scala:54-67 runs every query type's
+    ``Querier(Mode.PARTITION)`` per partition; the partial byte blobs merge
+    downstream, JoinStreaming.scala:126). Supported spec families:
 
-    Output: (query_id, keys map<string,string>, aggs map<string,double>) —
-    ``aggs`` holds every computed (op_field) pair; the caller projects the
-    subset its query asked for (the runtime's multiplexed sink does this)."""
-    preds = {qid: p for qid, (p, _) in queries.items()}
-    routed = multiplex_filter(df, preds)
+    - GroupAgg with COUNT / COUNT_FIELD / SUM / MIN / MAX / AVG (AVG is
+      decomposed into mergeable SUM + COUNT_FIELD partials),
+    - TopKAgg (partial = per-group counts; top-k selection happens at merge),
+    - DistributionAgg PMF/CDF (partial = per-bucket counts; key is the
+      bucket index).
+
+    Keys are stringified into a map (different queries group by different
+    columns); aggregate columns keep their NATIVE types (sums of longs stay
+    long — no lossy double coercion). Output:
+    (query_id, keys map<string,string>, count_, [sum_f / min_f / max_f /
+    cntf_f ...]) with one column per (op, field) pair any query needs."""
+    from bullet_spark_spark.plans.spec import (
+        DistributionAgg,
+        GroupAgg as _GroupAgg,
+        TopKAgg,
+    )
+
+    routed = multiplex_filter(df, {qid: s.filter for qid, s in specs.items()})
 
     key_expr = None
-    for qid, (_, agg) in queries.items():
-        arr_k = F.array(*[F.lit(k) for k in agg.fields])
-        arr_v = F.array(*[F.col(k).cast("string") for k in agg.fields])
-        branch = F.map_from_arrays(arr_k, arr_v)
+    for qid, spec in specs.items():
+        agg = spec.aggregation
+        if isinstance(agg, (_GroupAgg, TopKAgg)):
+            arr_k = F.array(*[F.lit(k) for k in agg.fields])
+            arr_v = F.array(*[F.col(k).cast("string") for k in agg.fields])
+            branch = F.map_from_arrays(arr_k, arr_v)
+        elif isinstance(agg, DistributionAgg):
+            from functools import reduce
+
+            from bullet_spark_spark.plans.compiler import _bucket_points
+
+            c = F.col(agg.field)
+            bucket = reduce(
+                lambda acc, p: acc + F.when(c >= F.lit(p), 1).otherwise(0),
+                _bucket_points(agg),
+                F.lit(0),
+            )
+            branch = F.create_map(F.lit("__bucket"), bucket.cast("string"))
+        else:
+            raise ValueError(
+                f"{qid}: {type(agg).__name__} is not multiplexable — use register()"
+            )
         key_expr = (
             F.when(F.col("query_id") == qid, branch)
             if key_expr is None
             else key_expr.when(F.col("query_id") == qid, branch)
         )
 
-    # union of requested (op, field) pairs across queries
-    pairs: dict[str, tuple[AggOp, str | None]] = {"count_": (AggOp.COUNT, None)}
-    for _, agg in queries.values():
-        for op, fld, _out in agg.operations:
-            pairs[f"{op.value.lower()}_{fld or ''}"] = (op, fld)
-
-    agged = (
+    return (
         routed.withColumn("keys", key_expr)
         .groupBy("query_id", F.map_entries("keys").alias("key_entries"))
-        .agg(*[_AGG_FN[op](fld).cast("double").alias(name) for name, (op, fld) in pairs.items()])
+        .agg(
+            *[
+                col.alias(name)
+                for name, col in partial_agg_columns(specs.values()).items()
+            ]
+        )
+        .withColumn("keys", F.map_from_entries("key_entries"))
+        .drop("key_entries")
     )
-    return agged.select(
-        "query_id",
-        F.map_from_entries("key_entries").alias("keys"),
-        F.map_from_arrays(
-            F.array(*[F.lit(n) for n in pairs]),
-            F.array(*[F.col(n) for n in pairs]),
-        ).alias("aggs"),
-    )
+
+
+def partial_agg_columns(specs) -> dict[str, Column]:
+    """Union of mergeable partial-aggregate columns the spec set needs,
+    keyed by a stable column name. Native output types (no casts)."""
+    from bullet_spark_spark.plans.spec import GroupAgg as _GroupAgg
+
+    cols: dict[str, Column] = {"count_": F.count(F.lit(1))}
+    for spec in specs:
+        agg = spec.aggregation
+        if not isinstance(agg, _GroupAgg):
+            continue  # TopK / Distribution partials are just count_
+        for op, fld, _out in agg.operations:
+            if op is AggOp.COUNT:
+                continue
+            if op is AggOp.COUNT_FIELD:
+                cols[f"cntf_{fld}"] = F.count(F.col(fld))
+            elif op is AggOp.SUM:
+                cols[f"sum_{fld}"] = F.sum(F.col(fld))
+            elif op is AggOp.MIN:
+                cols[f"min_{fld}"] = F.min(F.col(fld))
+            elif op is AggOp.MAX:
+                cols[f"max_{fld}"] = F.max(F.col(fld))
+            elif op is AggOp.AVG:
+                # decomposed into mergeable partials; avg = sum/cnt at merge
+                cols[f"sum_{fld}"] = F.sum(F.col(fld))
+                cols[f"cntf_{fld}"] = F.count(F.col(fld))
+            else:
+                raise ValueError(
+                    f"{op} partials are not mergeable across batches — "
+                    "use register() for this query"
+                )
+    return cols

@@ -41,8 +41,10 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W_spark
 
 from bullet_spark_spark.plans.spec import (
+    AggOp,
     DistributionAgg,
     GroupAgg,
     Query,
@@ -314,70 +316,194 @@ class EngineRuntime:
         available_now: bool = False,
         timeout_s: float = 120,
     ) -> dict[str, QueryHandle]:
-        """Run N (filter + GROUP BY count) queries as ONE streaming stage —
-        the reference's FilterStreaming multiplexing (FilterStreaming.scala:
-        54-67) without the per-batch driver re-broadcast: predicates are baked
-        into a single plan (operators.multiplex), the shared aggregation is
-        keyed by (query_id, group keys), and the sink routes each micro-batch
-        row to its query's handle.
+        """Run N heterogeneous queries as ONE streaming stage — the
+        reference's FilterStreaming multiplexing across EVERY query type
+        (FilterStreaming.scala:54-67 runs each live query's partition
+        ``Querier`` over the records; QueryManager categorize :105-110)
+        without the per-batch driver re-broadcast: predicates are baked into
+        one compiled plan, and each micro-batch runs exactly TWO jobs
+        regardless of query count —
 
-        Use when query cardinality is high enough that plan-per-query's N
-        source subscriptions dominate. Trade-off (documented; bullet has the
-        same): the query set is fixed per multiplexer incarnation — register/
-        expire requires restarting the one stage (checkpointed state is keyed
-        by query_id, so a restart with overlapping specs resumes cleanly).
-        Lifecycle (duration expiry, kill) is enforced sink-side: expired
-        queries stop receiving results immediately and are marked terminal."""
-        from bullet_spark_spark.operators.multiplex import multiplex_group_agg
+        1. one unified partial aggregation (operators.multiplex
+           .multiplex_partials) covering all GroupAgg / TopK / Distribution
+           (PMF/CDF) specs: one scan, one shuffle keyed by (query_id, keys);
+           typed mergeable partials (count/sum/min/max; AVG decomposes into
+           sum+count) merge into per-query state here — the
+           JoinStreaming.scala:126 ``combine`` step with Catalyst partials
+           instead of byte blobs,
+        2. one routed RAW pass appending matched records up to each RAW
+           query's remaining limit.
+
+        Results are bounded (bullet's own message-bus constraint), so the
+        merged state is result-sized, not input-sized. Use when query
+        cardinality is high enough that plan-per-query's N source
+        subscriptions dominate. The query set is fixed per incarnation
+        (restart the stage to change it — bullet has the same trade-off);
+        lifecycle (duration expiry, kill, RAW limit) is enforced sink-side +
+        sweeper. CountDistinct / QUANTILE specs are rejected: their mergeable
+        form is a sketch, served by register() plan-per-query."""
+        from bullet_spark_spark.operators.multiplex import (
+            multiplex_filter,
+            multiplex_partials,
+            partial_agg_columns,
+        )
+        from bullet_spark_spark.plans.spec import DistributionAgg as _Dist
+        from bullet_spark_spark.plans.spec import DistributionType as _DT
 
         trigger_ms = trigger_ms or self.config.trigger_ms
-        handles: dict[str, QueryHandle] = {}
+        agg_specs: dict[str, Query] = {}
+        raw_specs: dict[str, Query] = {}
         for qid, spec in specs.items():
-            if not isinstance(spec.aggregation, GroupAgg):
-                raise ValueError(
-                    f"{qid}: multiplexed queries support GroupAgg (got "
-                    f"{type(spec.aggregation).__name__}) — use register() for others"
-                )
-            handles[qid] = QueryHandle(
-                query_id=qid, spec=spec, sink=MemorySink(), shared_stream=True
-            )
-
-        routed = multiplex_group_agg(
-            stream_df, {qid: (s.filter, s.aggregation) for qid, s in specs.items()}
-        )
-
-        # per-query output projection from the shared aggs map: the op list
-        # the spec asked for, or a bare count when it declared none
-        out_plan: dict[str, list[tuple[str, str]]] = {}
-        for qid, spec in specs.items():
-            ops = spec.aggregation.operations
-            if ops:
-                out_plan[qid] = [(f"{op.value.lower()}_{fld or ''}", out) for op, fld, out in ops]
+            agg = spec.aggregation
+            if isinstance(agg, RawAgg):
+                raw_specs[qid] = spec
+            elif isinstance(agg, (GroupAgg, TopKAgg)):
+                agg_specs[qid] = spec
+            elif isinstance(agg, _Dist) and agg.type in (_DT.PMF, _DT.CDF):
+                agg_specs[qid] = spec
             else:
-                out_plan[qid] = [("count_", "cnt")]
+                raise ValueError(
+                    f"{qid}: {type(agg).__name__} partials are not mergeable — "
+                    "use register() for this query"
+                )
+        partial_agg_columns(agg_specs.values())  # validate op set up front
+
+        handles: dict[str, QueryHandle] = {
+            qid: QueryHandle(query_id=qid, spec=spec, sink=MemorySink(), shared_stream=True)
+            for qid, spec in specs.items()
+        }
+        # per-query merged partial state: key-tuple -> {partial_col: value}
+        state: dict[str, dict[tuple, dict[str, object]]] = {qid: {} for qid in agg_specs}
+
+        def _merge_val(name: str, a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            if name.startswith(("count", "cntf", "sum")):
+                return a + b
+            if name.startswith("min"):
+                return min(a, b)
+            return max(a, b)
+
+        def _emit(handle: QueryHandle, columns: list[str], rows: list[tuple]) -> None:
+            if not rows:
+                return
+            with handle.sink._lock:
+                if handle.sink.columns is None:
+                    handle.sink.columns = columns
+                handle.sink.batches.append(rows)
+            handle.emit_times.append(time.time())
+
+        def _result_rows(qid: str) -> tuple[list[str], list[tuple]]:
+            """Current full merged result for one query (bounded)."""
+            spec = agg_specs[qid]
+            agg = spec.aggregation
+            groups = state[qid]
+            if isinstance(agg, GroupAgg):
+                ops = list(agg.operations) or [(AggOp.COUNT, None, "cnt")]
+                cols = ["keys", *[out for _, _, out in ops]]
+                rows = []
+                for key in sorted(groups, key=str):
+                    st = groups[key]
+                    vals = []
+                    for op, fld, _out in ops:
+                        if op is AggOp.COUNT:
+                            vals.append(st.get("count_"))
+                        elif op is AggOp.COUNT_FIELD:
+                            vals.append(st.get(f"cntf_{fld}"))
+                        elif op is AggOp.AVG:
+                            s, c = st.get(f"sum_{fld}"), st.get(f"cntf_{fld}")
+                            vals.append(s / c if s is not None and c else None)
+                        else:
+                            vals.append(st.get(f"{op.value.lower()}_{fld}"))
+                    rows.append((dict(key), *vals))
+                return cols, rows
+            if isinstance(agg, TopKAgg):
+                ranked = sorted(
+                    groups.items(), key=lambda kv: (-kv[1]["count_"], str(kv[0]))
+                )
+                if agg.threshold:
+                    ranked = [kv for kv in ranked if kv[1]["count_"] >= agg.threshold]
+                return ["keys", agg.name], [
+                    (dict(k), st["count_"]) for k, st in ranked[: agg.k]
+                ]
+            # Distribution PMF/CDF: key map is {"__bucket": idx}
+            buckets = sorted(
+                (int(dict(k)["__bucket"]), st["count_"]) for k, st in groups.items()
+            )
+            if agg.type is _DT.PMF:
+                return ["bucket", "count"], [(b, c) for b, c in buckets]
+            out, run = [], 0
+            for b, c in buckets:
+                run += c
+                out.append((b, run))
+            return ["bucket", "cum_count"], out
 
         def emit(batch_df, epoch_id):
-            rows = batch_df.collect()
-            by_qid: dict[str, list] = {}
-            for r in rows:
-                by_qid.setdefault(r["query_id"], []).append(r)
-            now = time.time()
-            for qid, handle in handles.items():
-                if handle.state is not QueryState.RUNNING:
-                    continue  # sink-side lifecycle: expired/killed get nothing
-                cols = out_plan[qid]
-                batch_rows = [
-                    (dict(r["keys"] or {}), *[r["aggs"][name] for name, _ in cols])
-                    for r in by_qid.get(qid, [])
-                ]
-                if batch_rows:
-                    with handle.sink._lock:
-                        if handle.sink.columns is None:
-                            handle.sink.columns = ["keys", *[out for _, out in cols]]
-                        handle.sink.batches.append(batch_rows)
-                    handle.emit_times.append(now)
+            batch_df = batch_df.persist()
+            try:
+                if agg_specs:
+                    partials = multiplex_partials(batch_df, agg_specs).collect()
+                    part_names = (
+                        [f for f in partials[0].__fields__ if f not in ("query_id", "keys")]
+                        if partials
+                        else []
+                    )
+                    touched: set[str] = set()
+                    for r in partials:
+                        qid = r["query_id"]
+                        if handles[qid].state is not QueryState.RUNNING:
+                            continue  # sink-side lifecycle: killed/expired
+                        key = tuple(sorted((r["keys"] or {}).items()))
+                        st = state[qid].setdefault(key, {})
+                        for name in part_names:
+                            st[name] = _merge_val(name, st.get(name), r[name])
+                        touched.add(qid)
+                    for qid in touched:
+                        cols, rows = _result_rows(qid)
+                        _emit(handles[qid], cols, rows)
+                if raw_specs:
+                    live_raw = {
+                        qid: s
+                        for qid, s in raw_specs.items()
+                        if handles[qid].state is QueryState.RUNNING
+                        and handles[qid].raw_rows_seen < s.aggregation.limit
+                    }
+                    if live_raw:
+                        remaining = F.create_map(
+                            *[
+                                F.lit(x)
+                                for qid, s in live_raw.items()
+                                for x in (
+                                    qid,
+                                    s.aggregation.limit - handles[qid].raw_rows_seen,
+                                )
+                            ]
+                        )
+                        routed = multiplex_filter(
+                            batch_df, {qid: s.filter for qid, s in live_raw.items()}
+                        )
+                        w = W_spark.partitionBy("query_id").orderBy(
+                            F.monotonically_increasing_id()
+                        )
+                        picked = (
+                            routed.withColumn("__rn", F.row_number().over(w))
+                            .filter(F.col("__rn") <= remaining[F.col("query_id")])
+                            .drop("__rn")
+                            .collect()
+                        )
+                        by_qid: dict[str, list] = {}
+                        for r in picked:
+                            by_qid.setdefault(r["query_id"], []).append(tuple(r)[1:])
+                        data_cols = [c for c in batch_df.columns]
+                        for qid, rows in by_qid.items():
+                            _emit(handles[qid], data_cols, rows)
+                            handles[qid].raw_rows_seen += len(rows)
+            finally:
+                batch_df.unpersist()
 
-        writer = routed.writeStream.outputMode("update").foreachBatch(emit)
+        writer = stream_df.writeStream.foreachBatch(emit)
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         if available_now:

@@ -332,3 +332,130 @@ def test_checkpoint_recovery(spark, tables, tmp_path):
     assert n_second == ev.filter(F.col("event_id") >= 500).count()
     ids = {r[0] for r in second.rows}
     assert all(i >= 500 for i in ids)
+
+
+def test_multiplexer_full_op_set(spark, tables, tmp_path):
+    """The reference multiplexes EVERY query type in one pass
+    (FilterStreaming.scala:54-67, categorize :105-110): one shared stage runs
+    RAW + TopK + GroupAgg(with AVG) + Distribution CDF together, and each
+    query's result matches its plan-per-query batch answer."""
+    from bullet_spark_spark.plans.spec import (
+        DistributionAgg,
+        DistributionType,
+        RawAgg,
+        TopKAgg,
+    )
+
+    rt = EngineRuntime(spark)
+    try:
+        ev = tables["events"]
+        stream = file_drip(spark, ev, str(tmp_path), chunks=4)
+        specs = {
+            "grp": Query(
+                source="events",
+                filter=E.f("value") > 50,
+                aggregation=GroupAgg(
+                    fields=["event_type"],
+                    operations=[
+                        (AggOp.COUNT, None, "cnt"),
+                        (AggOp.SUM, "value", "sv"),
+                        (AggOp.AVG, "value", "av"),
+                        (AggOp.MIN, "value", "mn"),
+                    ],
+                ),
+            ),
+            "topk": Query(
+                source="events",
+                aggregation=TopKAgg(fields=["event_type"], k=3, name="cnt"),
+            ),
+            "cdf": Query(
+                source="events",
+                aggregation=DistributionAgg(
+                    type=DistributionType.CDF, field="value",
+                    start=0.0, end=100.0, num_buckets=4,
+                ),
+            ),
+            "raw": Query(
+                source="events",
+                filter=(E.f("value") > 99) & (E.f("event_type") == "error"),
+                aggregation=RawAgg(limit=1_000_000),
+            ),
+        }
+        handles = rt.register_multiplexed(
+            specs, stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True
+        )
+        assert all(h.state.value == "COMPLETED" for h in handles.values())
+
+        # GroupAgg vs batch
+        exp = {
+            r["event_type"]: (r["cnt"], r["sv"], r["av"], r["mn"])
+            for r in ev.filter(F.col("value") > 50)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"),
+                F.avg("value").alias("av"), F.min("value").alias("mn"),
+            )
+            .collect()
+        }
+        got = {
+            keys["event_type"]: (cnt, sv, av, mn)
+            for keys, cnt, sv, av, mn in handles["grp"].sink.batches[-1]
+        }
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k][0] == exp[k][0] and got[k][3] == exp[k][3]
+            assert abs(got[k][1] - exp[k][1]) < 1e-6
+            assert abs(got[k][2] - exp[k][2]) < 1e-9
+
+        # TopK vs batch
+        exp_topk = [
+            (r["event_type"], r["cnt"])
+            for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("event_type")).limit(3).collect()
+        ]
+        got_topk = [(k["event_type"], c) for k, c in handles["topk"].sink.batches[-1]]
+        assert got_topk == exp_topk
+
+        # CDF vs compiled batch plan
+        from bullet_spark_spark.plans import compile_query
+
+        exp_cdf = [
+            (r["bucket"], r["cum_count"])
+            for r in compile_query(spark, specs["cdf"]).collect()
+        ]
+        assert handles["cdf"].sink.batches[-1] == exp_cdf
+
+        # RAW vs batch filter
+        exp_raw = sorted(
+            r["event_id"]
+            for r in ev.filter((F.col("value") > 99) & (F.col("event_type") == "error"))
+            .select("event_id").collect()
+        )
+        idx = handles["raw"].sink.columns.index("event_id")
+        got_raw = sorted(r[idx] for r in handles["raw"].sink.rows)
+        assert got_raw == exp_raw
+    finally:
+        rt.stop_all()
+
+
+def test_multiplexer_raw_limit_completes(spark, tables, tmp_path):
+    """A multiplexed RAW query stops at its limit and is marked COMPLETED by
+    the sweeper without stopping the shared stage."""
+    from bullet_spark_spark.plans.spec import RawAgg
+
+    rt = EngineRuntime(spark, sweep_interval_s=0.3)
+    try:
+        stream = file_drip(spark, tables["events"], str(tmp_path), chunks=8)
+        specs = {
+            "raw5": Query(source="events", aggregation=RawAgg(limit=5)),
+            "grp": Query(source="events", aggregation=GroupAgg(fields=["event_type"])),
+        }
+        handles = rt.register_multiplexed(specs, stream, trigger_ms=150)
+        deadline = time.time() + 60
+        while handles["raw5"].state is QueryState.RUNNING and time.time() < deadline:
+            time.sleep(0.2)
+        assert handles["raw5"].state is QueryState.COMPLETED
+        assert len(handles["raw5"].sink.rows) == 5
+        assert handles["grp"].is_active()  # shared stage survives
+    finally:
+        rt.stop_all()
