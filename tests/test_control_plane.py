@@ -1,0 +1,128 @@
+"""End-to-end control plane: a query submitted over the control transport
+while the stream runs receives windowed results, a final result, and a
+COMPLETE signal over the status transport — the reference's e2e job test
+with mock PubSub (BulletSparkStreamingBaseJobTest.scala:33-76)."""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import replace
+
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.sources.streaming import file_drip
+from bullet_spark_spark.streaming.control import (
+    ControlPlane,
+    read_status,
+    submit_kill,
+    submit_query,
+)
+from bullet_spark_spark.streaming.dynamic import DynamicMultiplexer
+from bullet_spark_spark.streaming.runtime import QueryState
+
+
+def _wait_for(pred, timeout=60, step=0.2):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(step)
+    return False
+
+
+def test_control_plane_e2e(spark, tables, tmp_path):
+    control_dir = str(tmp_path / "control")
+    status_path = str(tmp_path / "status" / "events.jsonl")
+    mux = DynamicMultiplexer(spark)
+    plane = ControlPlane(spark, mux, control_dir, status_path, poll_interval_s=0.1)
+    plane.start()
+    try:
+        # submit BEFORE the stream starts flowing — bullet's forward-looking
+        # semantics: the query runs against records that arrive afterward
+        submit_query(
+            control_dir,
+            "by_type",
+            "SELECT event_type, COUNT(*) AS cnt FROM STREAM() "
+            "WHERE value > 50 GROUP BY event_type",
+            duration_ms=30_000,
+        )
+        submit_query(
+            control_dir, "victim", "SELECT COUNT(*) AS n FROM STREAM()",
+            duration_ms=30_000,
+        )
+        submit_query(control_dir, "bad", "SELECT FROM nowhere")  # malformed
+        assert _wait_for(lambda: "by_type" in mux.queries and "victim" in mux.queries)
+
+        stream = file_drip(spark, tables["events"], str(tmp_path / "drip"), chunks=4)
+        mux.start(stream, trigger_ms=200, checkpoint_dir=str(tmp_path / "ck"))
+
+        # windowed (incremental) emissions arrive while the query runs
+        assert _wait_for(
+            lambda: any(
+                e["type"] == "WINDOW" and e.get("query_id") == "by_type"
+                for e in read_status(status_path)
+            )
+        )
+        # malformed query produced an ERROR event, stream kept running
+        assert any(e["type"] == "ERROR" for e in read_status(status_path))
+
+        # KILL over the control transport
+        submit_kill(control_dir, "victim")
+        assert _wait_for(lambda: mux.queries["victim"].state is QueryState.KILLED)
+        assert _wait_for(
+            lambda: any(
+                e["type"] == "SIGNAL"
+                and e.get("query_id") == "victim"
+                and e["signal"] == "KILL"
+                for e in read_status(status_path)
+            )
+        )
+
+        # drain all data, then expire by_type (duration) → RESULT + COMPLETE
+        assert _wait_for(
+            lambda: sum(v[0] for v in mux.queries["by_type"].groups.values())
+            == tables["events"].filter(F.col("value") > 50).count(),
+            timeout=90,
+        )
+        mux.queries["by_type"].spec = replace(
+            mux.queries["by_type"].spec, duration_ms=1
+        )
+        assert _wait_for(
+            lambda: any(
+                e["type"] == "SIGNAL"
+                and e.get("query_id") == "by_type"
+                and e["signal"] == "COMPLETE"
+                for e in read_status(status_path)
+            )
+        )
+        results = [
+            e
+            for e in read_status(status_path)
+            if e["type"] == "RESULT" and e.get("query_id") == "by_type"
+        ]
+        assert results, "final RESULT event missing"
+        got = {tuple(r)[0]: tuple(r)[1] for r in results[-1]["rows"]}
+        expected = {
+            r["event_type"]: r["cnt"]
+            for r in tables["events"]
+            .filter(F.col("value") > 50)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert got == expected
+    finally:
+        plane.stop()
+        mux.stop()
+
+
+def test_control_plane_messages_are_offset_ordered(tmp_path):
+    """Client helpers append to one offset-ordered log (kafka-topic shape)."""
+    control_dir = str(tmp_path / "c")
+    submit_query(control_dir, "q1", "SELECT COUNT(*) AS n FROM STREAM()")
+    submit_kill(control_dir, "q1")
+    lines = (tmp_path / "c" / "queries.jsonl").read_text().splitlines()
+    msgs = [json.loads(ln) for ln in lines]
+    assert msgs[0]["id"] == "q1" and "bql" in msgs[0]
+    assert msgs[1] == {"id": "q1", "signal": "KILL"}
