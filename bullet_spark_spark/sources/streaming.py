@@ -84,3 +84,37 @@ def kafka_json_source(
         .load()
     )
     return decode_json(raw.withColumn("value", F.col("value").cast("string")), schema)
+
+
+def kafka_avro_source(
+    spark: SparkSession, bootstrap: str, topic: str, avro_schema_json: str
+) -> DataFrame:
+    """Kafka Avro source: the reference's DSL Avro stack
+    (BulletSparkKryoRegistrator.scala:15 LazyBulletAvro; avro dep
+    pom.xml:130-134) as kafka → ``decode_avro`` (sources.avro — spark-avro
+    connector when loaded, Arrow-batched Python codec otherwise)."""
+    from bullet_spark_spark.sources.avro import decode_avro
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+        .select("value")
+    )
+    return decode_avro(raw, avro_schema_json)
+
+
+def pulsar_json_source(
+    spark: SparkSession, service_url: str, topic: str, schema: StructType
+) -> DataFrame:
+    """Pulsar source (the reference's second DSL connector, pom.xml:62-63).
+    Requires the pulsar-spark connector jar on the cluster (absent here);
+    the decode stage is the same typed projection as kafka's."""
+    raw = (
+        spark.readStream.format("pulsar")
+        .option("service.url", service_url)
+        .option("topics", topic)
+        .load()
+    )
+    return decode_json(raw.withColumn("value", F.col("value").cast("string")), schema)

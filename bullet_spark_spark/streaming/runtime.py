@@ -145,6 +145,40 @@ def _output_mode(spec: Query) -> str:
     return "update"
 
 
+class _ProgressListener:
+    """StreamingQueryListener bridging Spark's own progress accounting into
+    the engine's metrics (parity with the reference's custom metrics source
+    on the Spark metrics system, BulletSparkMetricsSource.scala:22-53,
+    accumulators BulletSparkMetrics.scala:14-103)."""
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        progress: dict[str, dict[str, float]] = {}
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event) -> None:  # noqa: N802
+                p = event.progress
+                d = progress.setdefault(
+                    str(p.id), {"batches": 0, "input_rows": 0, "last_rows_per_sec": 0.0}
+                )
+                d["batches"] += 1
+                d["input_rows"] += int(p.numInputRows or 0)
+                d["last_rows_per_sec"] = float(p.processedRowsPerSecond or 0.0)
+
+            def onQueryIdle(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event) -> None:  # noqa: N802
+                pass
+
+        self.progress = progress
+        self.listener = _L()
+
+
 class EngineRuntime:
     """Query registry + lifecycle supervisor (the engine's control plane)."""
 
@@ -162,6 +196,8 @@ class EngineRuntime:
         self._sweep_interval_s = sweep_interval_s or self.config.sweep_interval_s
         self._sweeper: threading.Thread | None = None
         self._stop_sweeper = threading.Event()
+        self._progress = _ProgressListener()
+        spark.streams.addListener(self._progress.listener)
 
     # -- registration -------------------------------------------------------
 
@@ -538,15 +574,34 @@ class EngineRuntime:
             if h.is_active():
                 self._finish(h, QueryState.KILLED, Signal.KILL)
         self._stop_sweeper.set()
+        try:
+            self.spark.streams.removeListener(self._progress.listener)
+        except Exception:
+            pass  # session may be tearing down
 
     def active(self) -> list[QueryHandle]:
         return [h for h in self.queries.values() if h.is_active()]
 
-    def metrics(self) -> dict[str, int]:
+    def metrics(self) -> dict[str, int | float]:
         """Engine counters (ref BulletSparkMetrics accumulators,
         BulletSparkMetrics.scala:14-103): received/running/done/killed/failed
-        plus total emissions."""
+        plus total emissions, and Spark's OWN progress accounting bridged in
+        via StreamingQueryListener (ref BulletSparkMetricsSource.scala:22-53):
+        micro-batches executed and input rows processed across this runtime's
+        streams — not engine-side estimates."""
         states = [h.state for h in self.queries.values()]
+        stream_ids: set[str] = set()
+        for h in self.queries.values():
+            try:
+                if h.stream is not None:
+                    stream_ids.add(str(h.stream.id))
+            except Exception:
+                pass
+        prog = [
+            self._progress.progress[sid]
+            for sid in stream_ids
+            if sid in self._progress.progress
+        ]
         return {
             "queries_received": len(states),
             "queries_running": sum(s is QueryState.RUNNING for s in states),
@@ -554,6 +609,8 @@ class EngineRuntime:
             "queries_killed": sum(s is QueryState.KILLED for s in states),
             "queries_failed": sum(s is QueryState.FAILED for s in states),
             "emissions": sum(h.sink.num_emissions for h in self.queries.values()),
+            "spark_batches": int(sum(p["batches"] for p in prog)),
+            "spark_input_rows": int(sum(p["input_rows"] for p in prog)),
         }
 
     # -- internals ----------------------------------------------------------

@@ -378,3 +378,26 @@ def test_streaming_dedup_key_only(spark, tables, tmp_path):
     q.awaitTermination(120)
     ids = [r[0] for r in sink.rows]
     assert len(set(ids)) == 100 and len(ids) == 100
+
+
+def test_listener_backed_metrics(spark, tables, tmp_path, runtime):
+    """metrics() surfaces Spark's own StreamingQueryListener progress
+    (batches, input rows) for this runtime's streams — not engine-side
+    estimates (ref BulletSparkMetricsSource.scala:22-53)."""
+    stream = _events_stream(spark, tables, tmp_path)
+    spec = Query(
+        source="events",
+        aggregation=GroupAgg(fields=["event_type"], operations=[(AggOp.COUNT, None, "cnt")]),
+    )
+    handle = runtime.register(spec, stream, trigger_ms=150)
+    n = tables["events"].count()
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        m = runtime.metrics()
+        if m["spark_input_rows"] >= n and m["spark_batches"] >= 1:
+            break
+        time.sleep(0.3)
+    m = runtime.metrics()
+    assert m["spark_batches"] >= 1
+    assert m["spark_input_rows"] >= n
+    runtime.kill(handle.query_id)
