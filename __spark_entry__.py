@@ -881,6 +881,7 @@ def streaming_window_parity(spark, sf_dir):
         for batch in handle.sink.batches:
             for row in batch:
                 final[row[0]] = row
+    rt.stop_all()  # deregisters the progress listener
     return spark.createDataFrame(
         sorted(final.values()), "window_start timestamp, cnt long"
     )

@@ -95,6 +95,7 @@ def _streaming_ingest_rate(spark) -> float:
         t0 = time.perf_counter()
         rt.run_available(spec, stream, checkpoint_dir=f"{work}/ck")
         wall = time.perf_counter() - t0
+    rt.stop_all()  # deregisters the progress listener before teardown
     return round(n_rows / wall, 1)
 
 

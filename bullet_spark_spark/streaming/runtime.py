@@ -197,7 +197,14 @@ class EngineRuntime:
         self._sweeper: threading.Thread | None = None
         self._stop_sweeper = threading.Event()
         self._progress = _ProgressListener()
-        spark.streams.addListener(self._progress.listener)
+        self._listener_on = False
+
+    def _ensure_listener(self) -> None:
+        """Register the progress listener on first stream launch (lazy: a
+        batch-only runtime never pays the Python callback channel)."""
+        if not self._listener_on:
+            self.spark.streams.addListener(self._progress.listener)
+            self._listener_on = True
 
     # -- registration -------------------------------------------------------
 
@@ -311,6 +318,7 @@ class EngineRuntime:
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         writer = writer.trigger(processingTime=f"{trigger_ms} milliseconds")
+        self._ensure_listener()
         handle.stream = writer.start()
 
         with self._lock:
@@ -335,6 +343,7 @@ class EngineRuntime:
         writer = df.writeStream.outputMode(_output_mode(spec)).foreachBatch(sink)
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
+        self._ensure_listener()
         handle.stream = writer.trigger(availableNow=True).start()
         handle.stream.awaitTermination(timeout_s)
         handle.state = QueryState.COMPLETED
@@ -542,6 +551,7 @@ class EngineRuntime:
         writer = stream_df.writeStream.foreachBatch(emit)
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
+        self._ensure_listener()
         if available_now:
             stream = writer.trigger(availableNow=True).start()
             stream.awaitTermination(timeout_s)
@@ -574,10 +584,13 @@ class EngineRuntime:
             if h.is_active():
                 self._finish(h, QueryState.KILLED, Signal.KILL)
         self._stop_sweeper.set()
-        try:
-            self.spark.streams.removeListener(self._progress.listener)
-        except Exception:
-            pass  # session may be tearing down
+        if self._listener_on:
+            self._listener_on = False
+            time.sleep(0.2)  # let queued terminate events flush off the bus
+            try:
+                self.spark.streams.removeListener(self._progress.listener)
+            except Exception:
+                pass  # session may be tearing down
 
     def active(self) -> list[QueryHandle]:
         return [h for h in self.queries.values() if h.is_active()]
