@@ -19,6 +19,9 @@ Trade-offs vs the other two modes (all three are supported — SURVEY §7.0):
   dynamic registry; per-batch plan compilation cost (~ms) and driver-side
   final merge (fine for bullet-sized bounded results, which is the
   reference's own constraint — results return through a message bus).
+  Queries sharing a group-by field set run as ONE conditional-aggregation
+  job per batch (filters compiled into when(pred, ...) guards), so the
+  per-batch job count is #distinct-fieldsets, not #queries.
 """
 
 from __future__ import annotations
@@ -91,7 +94,15 @@ class DynamicMultiplexer:
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """The FilterStreaming.transformWith analogue: snapshot the registry,
-        run every live spec against this micro-batch, merge partials."""
+        run every live spec against this micro-batch, merge partials.
+
+        Queries sharing a group-by field set batch into ONE conditional
+        aggregation (each query's filter becomes a ``when(pred, ...)`` guard
+        inside its aggregate expressions) — one scan + one shuffle per
+        distinct field set instead of one job per query, with group keys
+        keeping their native types. This is the Spark-expression form of the
+        reference's 'one pass over the records for all queries'
+        (FilterStreaming.scala:54-67)."""
         with self._lock:
             live = [
                 (h, h.spec)
@@ -100,50 +111,87 @@ class DynamicMultiplexer:
             ]
         if not live:
             return
+        by_fields: dict[tuple[str, ...], list[tuple[DynamicHandle, Query]]] = {}
+        for handle, spec in live:
+            by_fields.setdefault(tuple(spec.aggregation.fields), []).append(
+                (handle, spec)
+            )
         batch_df = batch_df.persist()
         try:
+            for fields, members in by_fields.items():
+                self._run_field_group(batch_df, list(fields), members)
+            now = time.time()
             for handle, spec in live:
-                agg: GroupAgg = spec.aggregation
-                ops = list(agg.operations) or [(AggOp.COUNT, None, "count")]
-                df = batch_df
-                if spec.filter is not None:
-                    df = df.filter(spec.filter.col())
-                from bullet_spark_spark.plans.compiler import _AGG_FN
-
-                exprs = [_AGG_FN[op](fld).alias(f"o{i}") for i, (op, fld, _) in enumerate(ops)]
-                if agg.fields:
-                    rows = df.groupBy(*[F.col(k) for k in agg.fields]).agg(*exprs).collect()
-                    key_len = len(agg.fields)
-                else:
-                    rows = df.agg(*exprs).collect()
-                    key_len = 0
-                for r in rows:
-                    vals = list(r)[key_len:]
-                    key = tuple(list(r)[:key_len])
-                    if vals[0] is None and key_len == 0:
-                        continue  # empty batch global agg
-                    cur = handle.groups.get(key)
-                    if cur is None:
-                        handle.groups[key] = vals
-                    else:
-                        # None-safe merge: a nullable agg field can yield a
-                        # NULL partial for an existing group (e.g. all values
-                        # NULL in this batch) — merge must not feed None into
-                        # sum/min/max
-                        handle.groups[key] = [
-                            b if a is None else (a if b is None else _MERGEABLE[op](a, b))
-                            for (op, _, _), a, b in zip(ops, cur, vals)
-                        ]
                 # duration expiry checked at batch boundaries (the reference's
                 # clock is the batch too, JoinStreaming.scala:118-122)
                 if (
-                    spec.duration_ms is not None
-                    and (time.time() - handle.started_at) * 1000 >= spec.duration_ms
+                    handle.state is QueryState.RUNNING
+                    and spec.duration_ms is not None
+                    and (now - handle.started_at) * 1000 >= spec.duration_ms
                 ):
                     handle.state = QueryState.COMPLETED
-                    self.status_log.append((handle.query_id, Signal.COMPLETE, time.time()))
+                    self.status_log.append((handle.query_id, Signal.COMPLETE, now))
         finally:
             batch_df.unpersist()
+
+    def _run_field_group(
+        self,
+        batch_df: DataFrame,
+        fields: list[str],
+        members: list[tuple["DynamicHandle", Query]],
+    ) -> None:
+        """One aggregation job for every live query grouping by ``fields``."""
+        exprs = []
+        plans: list[tuple[DynamicHandle, list, int]] = []  # handle, ops, col offset
+        offset = 0
+        for handle, spec in members:
+            agg: GroupAgg = spec.aggregation
+            ops = list(agg.operations) or [(AggOp.COUNT, None, "count")]
+            pred = spec.filter.col() if spec.filter is not None else F.lit(True)
+            for i, (op, fld, _out) in enumerate(ops):
+                if op in (AggOp.COUNT, AggOp.COUNT_FIELD):
+                    src = F.lit(1) if op is AggOp.COUNT else F.col(fld)
+                    col = F.count(F.when(pred, src))
+                elif op is AggOp.SUM:
+                    col = F.sum(F.when(pred, F.col(fld)))
+                elif op is AggOp.MIN:
+                    col = F.min(F.when(pred, F.col(fld)))
+                else:  # MAX (register() rejects anything non-mergeable)
+                    col = F.max(F.when(pred, F.col(fld)))
+                exprs.append(col.alias(f"c{offset + i}"))
+            plans.append((handle, ops, offset))
+            offset += len(ops)
+
+        if fields:
+            rows = batch_df.groupBy(*[F.col(k) for k in fields]).agg(*exprs).collect()
+        else:
+            rows = batch_df.agg(*exprs).collect()
+        key_len = len(fields)
+        for r in rows:
+            raw = list(r)
+            key = tuple(raw[:key_len])
+            for handle, ops, off in plans:
+                vals = raw[key_len + off : key_len + off + len(ops)]
+                # a query whose filter matched nothing in this group/batch
+                # contributes a zero count and NULL other partials — skip to
+                # keep groups result-sized (bullet's bounded-result posture)
+                matched = any(
+                    v not in (None, 0) if op in (AggOp.COUNT, AggOp.COUNT_FIELD) else v is not None
+                    for (op, _, _), v in zip(ops, vals)
+                )
+                if not matched:
+                    continue
+                cur = handle.groups.get(key)
+                if cur is None:
+                    handle.groups[key] = vals
+                else:
+                    # None-safe merge: a nullable agg field can yield a NULL
+                    # partial for an existing group — never feed None into
+                    # sum/min/max
+                    handle.groups[key] = [
+                        b if a is None else (a if b is None else _MERGEABLE[op](a, b))
+                        for (op, _, _), a, b in zip(ops, cur, vals)
+                    ]
 
     def start(
         self,

@@ -118,3 +118,39 @@ def test_null_partial_merge(spark):
     mux._process_batch(b2, 1)
     assert h.groups[("a",)] == [3.0, 3.0]
     assert h.groups[("b",)] == [2.0, 2.0]
+
+
+def test_shared_fieldset_batches_into_one_job(spark, monkeypatch):
+    """Queries sharing a group-by field set run as ONE conditional
+    aggregation per micro-batch (filters become when(pred,...) guards) —
+    job count per batch is #distinct-fieldsets, not #queries."""
+    from pyspark.sql.classic.dataframe import DataFrame  # concrete class in Spark 4
+
+    mux = DynamicMultiplexer(spark)
+    for i in range(3):
+        mux.register(
+            f"q{i}",
+            Query(
+                source="x",
+                filter=E.f("v") > i * 2,
+                aggregation=GroupAgg(fields=["k"], operations=[(AggOp.COUNT, None, "c"), (AggOp.SUM, "v", "s")]),
+            ),
+        )
+    mux.register(
+        "global",
+        Query(source="x", aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "c")])),
+    )
+    batch = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double"
+    )
+    calls = []
+    orig = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: (calls.append(1), orig(self))[1]
+    )
+    mux._process_batch(batch, 0)
+    assert len(calls) == 2  # ["k"] group + [] group — not 4
+    assert mux.queries["q0"].groups == {("a",): [2, 4.0], ("b",): [1, 5.0]}  # v>0
+    assert mux.queries["q1"].groups == {("a",): [1, 3.0], ("b",): [1, 5.0]}  # v>2
+    assert mux.queries["q2"].groups == {("b",): [1, 5.0]}  # v>4: group a absent
+    assert mux.queries["global"].groups == {(): [3]}
