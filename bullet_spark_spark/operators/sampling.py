@@ -1,0 +1,110 @@
+"""Deterministic sampling operators for training-data pipelines (M5).
+
+All sampling here is *hash-threshold* sampling: a row is kept iff the
+lowercase-hex md5 of ``"{key}:{seed}"`` is lexicographically below a
+threshold derived from the requested fraction. Because md5 is engine-stable,
+the SAME rows are selected by Spark, DuckDB, or any other engine given the
+same (key, seed, fraction) — unlike ``df.sample()``, whose RNG is tied to
+partition layout. That makes samples reproducible across reruns, resumable
+across pipeline stages, and oracle-checkable.
+
+Scale shape: the predicate is a pure projection (md5 + string compare) that
+runs inside whole-stage codegen directly over the scan — zero shuffle, and
+for stratified sampling zero per-stratum passes (one CASE expression). The
+exact-N variant is ``ORDER BY md5 LIMIT n`` = TakeOrderedAndProject (per-
+partition top-n, then a single merge on the driver/final stage) — never a
+full global sort.
+
+Reference parity: the reference engine has no sampling stage (it samples
+implicitly via RAW LIMIT queries, ``Querier`` raw-data path); these
+operators are part of the M5 training-data surface this engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8  # we compare on the first 8 hex chars = 32 bits
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Lowercase 8-hex-digit threshold t such that P[md5 < t] ~= fraction
+    (granularity 2^-32, exact for fractions that are multiples of it)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def sample_hash(key: Column, seed: int = 0) -> Column:
+    """The sampling hash itself: md5 of ``"{key}:{seed}"`` (UTF-8),
+    lowercase hex. Exposed so callers can order/partition by it too."""
+    return F.md5(F.encode(F.concat(key.cast("string"), F.lit(f":{seed}")), "UTF-8"))
+
+
+def keep_fraction(key: Column, fraction: float, seed: int = 0) -> Column:
+    """Boolean keep-predicate for deterministic fraction sampling."""
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
+    return sample_hash(key, seed) < F.lit(_threshold_hex(fraction))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic ~fraction sample keyed on ``key_col``."""
+    return df.filter(keep_fraction(F.col(key_col), fraction, seed))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum value gets its own
+    keep-fraction (e.g. downsample dominant languages, keep all of rare
+    ones). Compiles to ONE CASE expression — a single codegen'd scan pass
+    regardless of stratum count, vs ``df.sampleBy``'s non-reproducible RNG."""
+    pred = keep_fraction(F.col(key_col), default_fraction, seed)
+    for value, fraction in sorted(fractions.items()):
+        pred = F.when(
+            F.col(strata_col) == F.lit(value),
+            keep_fraction(F.col(key_col), fraction, seed),
+        ).otherwise(pred)
+    return df.filter(pred)
+
+
+def sample_exact_n(df: DataFrame, key_col: str, n: int, seed: int = 0) -> DataFrame:
+    """Exactly-n deterministic sample: the n rows with the smallest sampling
+    hash (a 'uniform random' n-subset under the md5 ordering, stable across
+    engines and partitionings). Physical plan is TakeOrderedAndProject —
+    per-partition heaps of size n, no global sort, no collect."""
+    h = sample_hash(F.col(key_col), seed)
+    return df.orderBy(h.asc(), F.col(key_col).asc()).limit(n)
+
+
+def split_train_holdout(
+    df: DataFrame, key_col: str, holdout_fraction: float, seed: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive train/holdout split on the same hash — a row's
+    assignment never changes as data grows, so the holdout stays clean
+    across incremental pipeline runs."""
+    keep = keep_fraction(F.col(key_col), holdout_fraction, seed)
+    return df.filter(~keep), df.filter(keep)
+
+
+def oracle_keep_sql(key_sql: str, fraction: float, seed: int = 0) -> str:
+    """The equivalent ANSI/DuckDB SQL keep-predicate, for oracle checks:
+    ``md5(CAST(key AS VARCHAR) || ':{seed}') < '{threshold}'``."""
+    if fraction >= 1.0:
+        return "TRUE"
+    if fraction <= 0.0:
+        return "FALSE"
+    return (
+        f"md5(CAST({key_sql} AS VARCHAR) || ':{seed}') < '{_threshold_hex(fraction)}'"
+    )

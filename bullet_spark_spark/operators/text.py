@@ -132,6 +132,82 @@ def ngram_topk(
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined) over whitespace tokens."""
+    toks = tokens(text)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def unique_word_ratio(text: Column) -> Column:
+    """distinct words / words — low values flag boilerplate/repetition
+    (Gopher-style quality filter). Pure array expression, zero shuffle."""
+    toks = tokens(text)
+    return F.when(F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks))
+
+
+def dup_ngram_fraction(text: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    (1 - distinct/total). Gopher uses duplicate 2..4-gram fractions to cull
+    templated/spammy documents. Pure array expression, zero shuffle."""
+    grams = word_ngrams(text, n)
+    return F.when(
+        F.size(grams) > 0, 1 - F.size(F.array_distinct(grams)) / F.size(grams)
+    )
+
+
+def top_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of n-grams equal to the single most frequent n-gram (modal
+    n-gram share — Gopher's "top n-gram fraction"). Computed as a pure array
+    expression (count each distinct gram, take the max): O(distinct*len) per
+    document but ZERO shuffle — for typical documents this stays cheap JVM
+    work inside codegen; for book-length outliers prefer the explode+groupBy
+    form (one (doc, gram) shuffle) as in repetition_metrics(explode=True)."""
+    grams = word_ngrams(text, n)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda d: F.size(F.filter(grams, lambda g: g == d)),
+    )
+    return F.when(F.size(grams) > 0, F.array_max(counts) / F.size(grams))
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    explode: bool = False,
+) -> DataFrame:
+    """Per-document repetition/boilerplate metrics: token count, unique-word
+    ratio, duplicate-trigram fraction, top-bigram fraction.
+
+    explode=False (default): all metrics as array expressions — single scan,
+    zero shuffle. explode=True: the top-bigram share goes through
+    explode → groupBy(doc, gram) → groupBy(doc) — two massively-parallel
+    shuffles, linear per-row cost, the safer shape when documents can be
+    arbitrarily long (100 TB web-crawl posture)."""
+    t = F.col(text_col)
+    base = df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        unique_word_ratio(t).alias("uniq_word_ratio"),
+        dup_ngram_fraction(t, 3).alias("dup_trigram_frac"),
+        *( [] if explode else [top_ngram_fraction(t, 2).alias("top_bigram_frac")] ),
+    )
+    if not explode:
+        return base
+    tops = (
+        df.select(id_col, F.explode(word_ngrams(t, 2)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    return base.join(tops, on=id_col, how="left")
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     t = F.col(text_col)

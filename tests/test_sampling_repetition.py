@@ -1,0 +1,145 @@
+"""Deterministic sampling + repetition-metric operators (M5 additions),
+differential-tested against DuckDB on the shared fixture tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import sampling as S
+from bullet_spark_spark.operators import text as T
+
+from tests.util import assert_match, spark_result
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_hash_sample_matches_duckdb(tables, duck):
+    df = S.hash_sample(tables["documents"], "doc_id", 0.25, seed=7).select(
+        "doc_id", "lang"
+    )
+    pred = S.oracle_keep_sql("doc_id", 0.25, seed=7)
+    assert_match(df, duck, f"SELECT doc_id, lang FROM documents WHERE {pred}")
+
+
+def test_hash_sample_fraction_is_close(tables):
+    total = tables["orders"].count()
+    kept = S.hash_sample(tables["orders"], "o_orderkey", 0.5, seed=1).count()
+    assert abs(kept / total - 0.5) < 0.1
+
+
+def test_hash_sample_deterministic_and_nested(tables):
+    """Same (key, seed, fraction) -> same rows; and a 0.1 sample is a strict
+    subset of the 0.3 sample (threshold monotonicity) — the property that
+    makes hash samples resumable across pipeline stages."""
+    a = {r.doc_id for r in S.hash_sample(tables["documents"], "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in S.hash_sample(tables["documents"], "doc_id", 0.3).collect()}
+    small = {r.doc_id for r in S.hash_sample(tables["documents"], "doc_id", 0.1).collect()}
+    assert a == b
+    assert small <= a
+
+
+def test_stratified_sample_matches_duckdb(tables, duck):
+    fr = {"en": 0.5, "zh": 1.0}
+    df = S.stratified_sample(
+        tables["documents"], "doc_id", "lang", fr, default_fraction=0.2, seed=3
+    ).select("doc_id", "lang")
+    case = (
+        "CASE lang "
+        f"WHEN 'en' THEN {S.oracle_keep_sql('doc_id', 0.5, 3)} "
+        f"WHEN 'zh' THEN {S.oracle_keep_sql('doc_id', 1.0, 3)} "
+        f"ELSE {S.oracle_keep_sql('doc_id', 0.2, 3)} END"
+    )
+    assert_match(df, duck, f"SELECT doc_id, lang FROM documents WHERE {case}")
+
+
+def test_sample_exact_n(tables, duck):
+    df = S.sample_exact_n(tables["customer"], "c_custkey", 17, seed=5).select(
+        "c_custkey"
+    )
+    assert_match(
+        df,
+        duck,
+        "SELECT c_custkey FROM customer "
+        "ORDER BY md5(CAST(c_custkey AS VARCHAR) || ':5'), c_custkey LIMIT 17",
+    )
+
+
+def test_split_train_holdout_disjoint_exhaustive(tables):
+    train, hold = S.split_train_holdout(tables["documents"], "doc_id", 0.2, seed=2)
+    t = {r.doc_id for r in train.select("doc_id").collect()}
+    h = {r.doc_id for r in hold.select("doc_id").collect()}
+    assert t.isdisjoint(h)
+    assert len(t) + len(h) == tables["documents"].count()
+
+
+def test_fraction_bounds():
+    with pytest.raises(ValueError):
+        S._threshold_hex(1.5)
+    assert S._threshold_hex(0.0) == "00000000"
+
+
+# ---------------------------------------------------- repetition metrics
+
+
+REP_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), arr AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         len(list_distinct(toks)) / len(toks) AS uniq_word_ratio,
+         1 - len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                FOR i IN range(1, len(toks) - 1)]))
+             / (len(toks) - 2) AS dup_trigram_frac,
+         [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS grams
+  FROM base
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM arr
+), c AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+), tops AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+  FROM c GROUP BY doc_id
+)
+SELECT arr.doc_id, n_tokens, uniq_word_ratio, dup_trigram_frac, top_bigram_frac
+FROM arr JOIN tops ON arr.doc_id = tops.doc_id
+"""
+
+
+def test_repetition_metrics_match_duckdb(tables, duck):
+    df = T.repetition_metrics(tables["documents"])
+    assert_match(df, duck, REP_ORACLE)
+
+
+def test_repetition_metrics_explode_variant_same(tables):
+    """The shuffle-based (explode=True) and array-expression forms agree."""
+    a = spark_result(T.repetition_metrics(tables["documents"]))
+    b = spark_result(T.repetition_metrics(tables["documents"], explode=True))
+    ka = {r[0]: r[1:] for r in a[1]}
+    kb = {r[0]: r[1:] for r in b[1]}
+    assert set(a[0]) == set(b[0])
+    # column order may differ between the two forms — compare by name
+    ia = [a[0].index(c) for c in ["n_tokens", "uniq_word_ratio", "dup_trigram_frac", "top_bigram_frac"]]
+    ib = [b[0].index(c) for c in ["n_tokens", "uniq_word_ratio", "dup_trigram_frac", "top_bigram_frac"]]
+    a_by_id = {r[a[0].index("doc_id")]: tuple(r[i] for i in ia) for r in a[1]}
+    b_by_id = {r[b[0].index("doc_id")]: tuple(r[i] for i in ib) for r in b[1]}
+    assert a_by_id.keys() == b_by_id.keys()
+    for k in a_by_id:
+        for x, y in zip(a_by_id[k], b_by_id[k]):
+            assert x == pytest.approx(y, abs=1e-12), (k, a_by_id[k], b_by_id[k])
+
+
+def test_repetition_flags_templated_doc(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "buy now buy now buy now buy now buy now buy now buy now buy now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.asDict() for r in T.repetition_metrics(df).collect()}
+    assert out[2]["top_bigram_frac"] > out[1]["top_bigram_frac"]
+    assert out[2]["uniq_word_ratio"] < out[1]["uniq_word_ratio"]
+    assert out[2]["dup_trigram_frac"] > 0.8
