@@ -1,0 +1,202 @@
+"""Temporal relational operators: as-of join, range/interval join,
+time-bucket hierarchical rollup.
+
+Absent from the reference (SURVEY §2.5 gap ledger — its only join is the
+keyed partial-aggregate merge, JoinStreaming.scala:20-27, and its only time
+notion is emission windows, §2.4). These are the time-series capabilities a
+Spark-native engine adds on top, expressed so Catalyst keeps the physical
+plan shuffle-minimal:
+
+- ``asof_join``: union + carry-forward window. ONE shuffle on the key, no
+  range-explosion, no per-row subquery. This is the scalable shape: a naive
+  ``l.ts >= r.ts`` theta-join is a quadratic BroadcastNestedLoop; sorting the
+  union and carrying the latest right row forward is O(n log n) within each
+  key partition and streams at 100 TB.
+- ``range_join_bucketed``: interval containment join via bucket-explode +
+  equi-join. Each interval lands in every bucket it overlaps; points join
+  their bucket only — candidate pairs are bucket-local, never the cross
+  product. For a small interval side, pass ``broadcast_intervals=True`` and
+  skip bucketing entirely (BroadcastNestedLoop over a tiny build side is
+  cheaper than exploding).
+- ``time_bucket_rollup``: hypertable-style continuous-aggregate hierarchy —
+  coarser resolutions re-aggregate the FINER level's partials, so the raw
+  table is scanned exactly once no matter how many resolutions are asked
+  for. Partial sums stay DECIMAL until the final projection so every level
+  is engine-order-independent (exact, mergeable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    tolerance_sec: float | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row with the
+    greatest ``right_ts <= left_ts`` for the same key (inclusive, like DuckDB
+    ``ASOF JOIN`` / pandas ``merge_asof``). Unmatched left rows keep NULLs.
+
+    Physical shape: tag both sides, union, sort each key partition by
+    (ts, side) with right rows ordered before left rows at equal ts, then
+    ``last(payload, ignorenulls=True)`` over an unbounded-preceding frame
+    carries the latest right payload onto each left row. Exactly one shuffle
+    (the window partitionBy), linear scan per partition.
+
+    ``tolerance_sec`` additionally voids matches older than the given
+    horizon (match kept only if ``left_ts - matched_ts <= tolerance``).
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__matched_ts"),
+        *[F.col(c) for c in right_value_cols],
+    )
+    r = right.select(
+        *[F.col(k) for k in key_cols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__r"),
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *[F.col(k) for k in key_cols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        l.unionByName(r)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance_sec is not None:
+        in_tol = (
+            F.col("__ts").cast("double")
+            - F.col("__match.__matched_ts").cast("double")
+        ) <= F.lit(float(tolerance_sec))
+        carried = carried.withColumn(
+            "__match", F.when(in_tol, F.col("__match"))
+        )
+    out_left = [F.col(f"__l_{c}").alias(c) for c in left.columns]
+    out_right = [
+        F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_value_cols
+    ]
+    return carried.select(
+        *out_left,
+        F.col("__match.__matched_ts").alias(f"{right_ts}{suffix}_matched"),
+        *out_right,
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Interval-containment join: every (point, interval) pair with
+    ``lo <= point < hi``.
+
+    ``broadcast_intervals=True`` (small interval side — price bands, SLA
+    tiers): plain theta-join over a broadcast build side; Catalyst plans
+    BroadcastNestedLoop, which is optimal when the build side is tiny.
+
+    Otherwise (fact-fact): both sides map to width-``bucket_width`` buckets —
+    points to ``floor(p/w)``, intervals exploded to every bucket they
+    overlap — and the join becomes a bucket equi-join + residual predicate.
+    Candidate pairs are bucket-local; shuffle keys are bucket ids, so skew
+    follows bucket occupancy (pick ``bucket_width`` near the median interval
+    width to bound the explode factor).
+    """
+    pred = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    if broadcast_intervals:
+        return points.join(F.broadcast(intervals), on=pred)
+    w = float(bucket_width)
+    p = points.withColumn("__b", F.floor(F.col(point_col) / F.lit(w)))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(w)),
+                # hi is exclusive: a hi exactly on a bucket edge never
+                # reaches that bucket
+                F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(w)),
+            )
+        ),
+    )
+    return p.join(iv, on="__b").filter(pred).drop("__b")
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    levels: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Multi-resolution time-bucket aggregation with partial reuse
+    (hypertable continuous-aggregate shape).
+
+    ``levels``: coarsening ``date_trunc`` units, finest first (e.g.
+    ``["day", "month", "year"]``). ``aggs``: (op, col, out_name) with op ∈
+    count/sum — the decomposable set, so level k+1 re-aggregates level k's
+    partials and the base table is scanned ONCE total. Sums accumulate in
+    DECIMAL(28,4) until the final projection: exact, order-independent, and
+    mergeable across levels without float drift.
+
+    Returns one frame: (level, bucket_start, <aggs...>), every level unioned.
+    """
+    partial_cols = []
+    for op, col, out in aggs:
+        if op == "count":
+            partial_cols.append(F.count(F.lit(1)).cast("decimal(28,4)").alias(f"__p_{out}"))
+        elif op == "sum":
+            partial_cols.append(
+                F.sum(F.col(col).cast("decimal(28,4)")).alias(f"__p_{out}")
+            )
+        else:
+            raise ValueError(f"time_bucket_rollup: non-decomposable op {op!r}")
+
+    fine = (
+        df.groupBy(F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_start"))
+        .agg(*partial_cols)
+    )
+
+    def finalize(frame: DataFrame, level: str) -> DataFrame:
+        outs = []
+        for op, _col, out in aggs:
+            c = F.col(f"__p_{out}")
+            outs.append(
+                c.cast("bigint").alias(out) if op == "count" else c.cast("double").alias(out)
+            )
+        return frame.select(
+            F.lit(level).alias("level"), "bucket_start", *outs
+        )
+
+    out = finalize(fine, levels[0])
+    prev = fine
+    for lvl in levels[1:]:
+        merge = [
+            F.sum(F.col(f"__p_{out_}")).alias(f"__p_{out_}") for _op, _c, out_ in aggs
+        ]
+        prev = prev.groupBy(
+            F.date_trunc(lvl, F.col("bucket_start")).alias("bucket_start")
+        ).agg(*merge)
+        out = out.unionByName(finalize(prev, lvl))
+    return out

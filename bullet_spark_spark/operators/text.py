@@ -222,3 +222,46 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    DISTINCT word n-grams that appear anywhere in the eval set — the
+    standard check that training data does not contain (near-)copies of
+    evaluation benchmarks.
+
+    Shape at 100 TB: the eval side is tiny relative to the corpus, so its
+    distinct n-gram set is aggregated once and broadcast; the corpus side
+    explodes to (doc, gram), joins the broadcast set, and re-aggregates per
+    doc — the only corpus-keyed shuffle is the per-doc groupBy. When the
+    eval n-gram set outgrows broadcast, drop the hint and the same plan
+    shuffles both sides on the gram key.
+
+    Returns (id_col, n_grams, n_hit, contamination) per corpus document
+    with at least one n-gram.
+    """
+    from .dedup import word_shingles
+
+    eval_grams = (
+        eval_set.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), on="gram", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .withColumn("contamination", F.col("n_hit") / F.col("n_grams"))
+    )

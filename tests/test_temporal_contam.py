@@ -1,0 +1,199 @@
+"""Differential tests for the temporal operators (as-of join, bucketed
+range join, time-bucket rollup) and n-gram decontamination — all vs DuckDB
+on the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import temporal as tp
+from bullet_spark_spark.operators import text as tx
+from bullet_spark_spark.operators.sampling import hash_sample, oracle_keep_sql
+
+from tests.util import assert_match
+
+
+# ---------------------------------------------------------------- asof join
+
+ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.value,
+       c.ts AS ts_matched, c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def test_asof_join_matches_duckdb(spark, tables, duck):
+    ev = tables["events"]
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = tp.asof_join(
+        left, right, ["user_id"], "ts", "ts", ["click_value"]
+    ).select("event_id", "user_id", "value", "ts_matched", "click_value")
+    assert_match(out, duck, ASOF_ORACLE)
+
+
+def test_asof_join_inclusive_tie_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (2, 5.0, "c")],
+        "k int, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 100.0), (1, 12.0, 200.0), (2, 9.0, 300.0)],
+        "k int, ts double, v double",
+    )
+    out = {
+        r["tag"]: (r["v"], r["ts_matched"])
+        for r in tp.asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert out["a"] == (100.0, 10.0)  # inclusive: right at equal ts matches
+    assert out["b"] == (200.0, 12.0)  # latest <= 20
+    assert out["c"] == (None, None)  # right ts 9 > left ts 5 → no match
+
+    tol = {
+        r["tag"]: r["v"]
+        for r in tp.asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], tolerance_sec=5.0
+        ).collect()
+    }
+    assert tol["a"] == 100.0  # staleness 0 <= 5
+    assert tol["b"] is None  # staleness 8 > 5 → voided
+
+
+# ---------------------------------------------------------- range join
+
+BANDS = [
+    ("low", 0.0, 100000.0),
+    ("mid", 100000.0, 250000.0),
+    ("high", 250000.0, 600000.0),
+]
+
+RANGE_ORACLE = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0), ('high', 250000.0, 600000.0))
+SELECT band, o_orderkey FROM orders JOIN bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+"""
+
+
+def test_range_join_both_modes_match_duckdb(spark, tables, duck):
+    bands = spark.createDataFrame(BANDS, "band string, lo double, hi double")
+    pts = tables["orders"].select("o_orderkey", "o_totalprice")
+    for kw in (dict(broadcast_intervals=True), dict(bucket_width=50000.0)):
+        out = tp.range_join_bucketed(
+            pts, bands, "o_totalprice", "lo", "hi", **{"bucket_width": 0.0, **kw}
+        ).select("band", "o_orderkey")
+        assert_match(out, duck, RANGE_ORACLE)
+
+
+def test_range_join_bucket_edges(spark):
+    """Points/interval bounds exactly on bucket edges: hi exclusive, lo
+    inclusive, intervals spanning many buckets."""
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 10.0, 19.999, 20.0, 35.0])],
+        "id int, p double",
+    )
+    iv = spark.createDataFrame(
+        [("a", 0.0, 20.0), ("b", 20.0, 40.0), ("c", 5.0, 36.0)],
+        "name string, lo double, hi double",
+    )
+    got = sorted(
+        (r["id"], r["name"])
+        for r in tp.range_join_bucketed(pts, iv, "p", "lo", "hi", 10.0).collect()
+    )
+    assert got == [
+        (0, "a"),
+        (1, "a"), (1, "c"),
+        (2, "a"), (2, "c"),
+        (3, "b"), (3, "c"),
+        (4, "b"), (4, "c"),
+    ]
+
+
+# ------------------------------------------------------ time-bucket rollup
+
+ROLLUP_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS bucket_start,
+         count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+  FROM orders GROUP BY 1),
+m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket_start,
+         count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+  FROM orders GROUP BY 1),
+y AS (
+  SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS bucket_start,
+         count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+  FROM orders GROUP BY 1)
+SELECT 'day' AS level, * FROM d
+UNION ALL SELECT 'month', * FROM m
+UNION ALL SELECT 'year', * FROM y
+"""
+
+
+def test_time_bucket_rollup_matches_duckdb(spark, tables, duck):
+    out = tp.time_bucket_rollup(
+        tables["orders"],
+        "o_orderdate",
+        ["day", "month", "year"],
+        [("count", "", "n"), ("sum", "o_totalprice", "total")],
+    )
+    assert_match(out, duck, ROLLUP_ORACLE)
+
+
+def test_time_bucket_rollup_reuses_fine_partials(spark, tables):
+    """The coarser levels must re-aggregate the finer level's partials —
+    the physical plan reuses the fine-level exchange instead of scanning
+    the base table once per level."""
+    out = tp.time_bucket_rollup(
+        tables["orders"], "o_orderdate", ["day", "month"], [("count", "", "n")]
+    )
+    out.collect()  # AQE applies ReuseExchange at runtime, not in the draft plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
+# ------------------------------------------------------- decontamination
+
+CONTAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+         {oracle_keep_sql('doc_id', 0.05, 7)} AS is_eval
+  FROM documents),
+ng AS (
+  SELECT doc_id, is_eval,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+  FROM tok),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM ng WHERE is_eval),
+tr AS (SELECT doc_id, unnest(grams) AS gram FROM ng WHERE NOT is_eval)
+SELECT tr.doc_id, count(*) AS n_grams, count(ev.gram) AS n_hit,
+       round(count(ev.gram) * 1.0 / count(*), 6) AS contamination
+FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+GROUP BY tr.doc_id
+"""
+
+
+def test_ngram_contamination_matches_duckdb(spark, tables, duck):
+    docs = tables["documents"]
+    eval_set = hash_sample(docs, "doc_id", 0.05, seed=7)
+    corpus = docs.join(eval_set.select("doc_id"), on="doc_id", how="left_anti")
+    out = tx.ngram_contamination(corpus, eval_set, "doc_id", "text", n=3).select(
+        "doc_id", "n_grams", "n_hit", F.round("contamination", 6).alias("contamination")
+    )
+    assert_match(out, duck, CONTAM_ORACLE)
+
+
+def test_contamination_self_is_total(spark, tables):
+    """A document evaluated against an eval set containing itself is 100%
+    contaminated — the sanity anchor for the metric."""
+    docs = tables["documents"].limit(20)
+    out = tx.ngram_contamination(docs, docs, "doc_id", "text", n=3)
+    assert out.count() == 20
+    assert out.filter(F.col("contamination") < 1.0).count() == 0
