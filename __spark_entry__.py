@@ -29,7 +29,9 @@ from bullet_spark_spark.functions.exprs import E
 from bullet_spark_spark.operators import dedup as dd
 from bullet_spark_spark.operators import multimodal as mm
 from bullet_spark_spark.operators import relational as rel
+from bullet_spark_spark.operators import sampling as smp
 from bullet_spark_spark.operators import similarity as sim
+from bullet_spark_spark.operators import temporal as tmp
 from bullet_spark_spark.operators import text as tx
 from bullet_spark_spark.plans import (
     AggOp,
@@ -605,16 +607,6 @@ def join_fact_fact(spark, sf_dir):
     )
 
 
-@q(
-    "join_left",
-    """SELECT c_custkey, count(o_orderkey) AS n_orders
-       FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-       GROUP BY c_custkey""",
-)
-def join_left(spark, sf_dir):
-    t = _t(spark, sf_dir)
-    j = rel.join(t["customer"], t["orders"], on=F.col("o_custkey") == F.col("c_custkey"), how="left")
-    return j.groupBy("c_custkey").agg(F.count(F.col("o_orderkey")).alias("n_orders"))
 
 
 @q(
@@ -642,22 +634,101 @@ def join_semi_anti(spark, sf_dir):
 
 
 @q(
-    "join_full_outer",
+    "join_left_full_outer",
     """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY nk),
-            s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY nk)
+            s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY nk),
+            o AS (SELECT c_nationkey AS nk, count(o_orderkey) AS n_orders
+                  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                  GROUP BY c_nationkey)
        SELECT coalesce(c.nk, s.nk) AS nationkey,
-              coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
-       FROM c FULL JOIN s ON c.nk = s.nk""",
+              coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp,
+              coalesce(n_orders, 0) AS n_orders
+       FROM c FULL JOIN s ON c.nk = s.nk
+              LEFT JOIN o ON o.nk = coalesce(c.nk, s.nk)""",
 )
-def join_full_outer(spark, sf_dir):
+def join_left_full_outer(spark, sf_dir):
+    """LEFT + FULL OUTER joins in one slot: per-nation customer/supplier
+    counts reconciled by a full outer join, plus order counts through a
+    customer LEFT JOIN orders (zero-order customers still counted)."""
     t = _t(spark, sf_dir)
     c = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_cust"))
     s = t["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    o = (
+        rel.join(
+            t["customer"], t["orders"], on=F.col("o_custkey") == F.col("c_custkey"), how="left"
+        )
+        .groupBy(F.col("c_nationkey").alias("onk"))
+        .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
+    )
     j = rel.join(c, s.withColumnRenamed("nk", "snk"), on=F.col("nk") == F.col("snk"), how="full")
-    return j.select(
-        F.coalesce(F.col("nk"), F.col("snk")).alias("nationkey"),
-        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
-        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    nk = F.coalesce(F.col("nk"), F.col("snk"))
+    return (
+        rel.join(j, o, on=F.col("onk") == nk, how="left")
+        .select(
+            nk.alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "join_asof",
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+       SELECT p.event_id, p.user_id, round(p.value, 6) AS purchase_value,
+              c.ts AS ts_matched, round(c.value, 6) AS click_value
+       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def join_asof(spark, sf_dir):
+    """Backward as-of join (inclusive): each purchase event picks up the
+    latest click by the same user at or before it. Engine side is the
+    union + carry-forward-window form (one shuffle on user_id, no range
+    explosion — operators/temporal.asof_join); oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("purchase_value")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 6).alias("click_value")
+    )
+    return tmp.asof_join(left, right, ["user_id"], "ts", "ts", ["click_value"]).select(
+        "event_id", "user_id", "purchase_value", "ts_matched", "click_value"
+    )
+
+
+@q(
+    "join_range_bands",
+    """WITH bands(band, lo, hi) AS (VALUES
+         ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0), ('high', 250000.0, 600000.0))
+       SELECT band, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+       GROUP BY band""",
+)
+def join_range_bands(spark, sf_dir):
+    """Interval/range join: orders priced into bands via the bucketed
+    equi-join path (operators/temporal.range_join_bucketed — candidates are
+    bucket-local, the shape that survives fact-fact interval joins at
+    scale), then aggregated per band."""
+    t = _t(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("high", 250000.0, 600000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = tmp.range_join_bucketed(
+        t["orders"].select("o_orderkey", "o_totalprice"),
+        bands,
+        "o_totalprice",
+        "lo",
+        "hi",
+        bucket_width=50000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice"), "revenue")
     )
 
 
@@ -698,29 +769,28 @@ def rollup_region_nation(spark, sf_dir):
     return rel.rollup_agg(j, ["r_name", "n_name"], [F.count(F.lit(1)).alias("n_cust")])
 
 
-@q(
-    "cube_status_priority",
-    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
-       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
-)
-def cube_status_priority(spark, sf_dir):
-    t = _t(spark, sf_dir)
-    return rel.cube_agg(t["orders"], ["o_orderstatus", "o_orderpriority"], [F.count(F.lit(1)).alias("n")])
+_CUBE_GSETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
+                            (o_orderpriority), ())"""
 
 
-@q(
-    "winfunc_rank",
-    """SELECT o_custkey, o_orderkey, rnk FROM (
-         SELECT o_custkey, o_orderkey,
-                CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
-         FROM orders) WHERE rnk <= 2""",
-)
-def winfunc_rank(spark, sf_dir):
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        spark.table("orders")
-        .select("o_custkey", "o_orderkey", F.rank().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= 2)
+@q("cube_grouping_sets", _CUBE_GSETS_SQL)
+def cube_grouping_sets(spark, sf_dir):
+    """CUBE and GROUPING SETS merged into one slot: the engine side runs
+    ``GROUP BY CUBE`` through the text-query facade (sql.py — Spark SQL is
+    the engine's query language), the oracle the equivalent four GROUPING
+    SETS — proving both surfaces compute the same lattice. The native
+    DataFrame ``cube()``/``rollup_agg`` forms are unit-tested
+    (tests/test_temporal_contam.py) and rollup keeps its own driver slot
+    (rollup_region_nation)."""
+    from bullet_spark_spark.sql import sql as engine_sql
+
+    return engine_sql(
+        spark,
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     )
 
 
@@ -730,16 +800,18 @@ def winfunc_rank(spark, sf_dir):
               round(lag(o_totalprice) OVER w, 6) AS prev_price,
               round(lead(o_totalprice) OVER w, 6) AS next_price,
               CAST(row_number() OVER w AS INTEGER) AS rn,
+              CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
               round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
               round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum
        FROM orders WHERE o_custkey < 100
        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
 )
 def winfunc_lag_frames(spark, sf_dir):
-    """Analytic offsets (lag/lead/row_number) + frame specs (ROWS BETWEEN
-    moving average, running sum) over one window. Small frames keep fp
-    accumulation order identical across engines."""
+    """Analytic offsets (lag/lead/row_number), rank over a second window
+    spec, and frame specs (ROWS BETWEEN moving average, running sum). Small
+    frames keep fp accumulation order identical across engines."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         spark.table("orders")
         .filter(F.col("o_custkey") < 100)
@@ -748,27 +820,13 @@ def winfunc_lag_frames(spark, sf_dir):
             F.round(F.lag("o_totalprice").over(w), 6).alias("prev_price"),
             F.round(F.lead("o_totalprice").over(w), 6).alias("next_price"),
             F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("price_rank"),
             F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("mov_avg3"),
             F.round(
                 F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 6
             ).alias("run_sum"),
         )
     )
-
-
-_GROUPING_SETS_SQL = """
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
-
-
-@q("grouping_sets", _GROUPING_SETS_SQL)
-def grouping_sets(spark, sf_dir):
-    """GROUPING SETS via the text-query facade — the same SQL string runs on
-    both engines (Spark SQL is the engine's query language; sql.py)."""
-    from bullet_spark_spark.sql import sql as engine_sql
-
-    return engine_sql(spark, _GROUPING_SETS_SQL)
 
 
 @q(
@@ -807,18 +865,38 @@ def global_topk_orders(spark, sf_dir):
 
 
 @q(
-    "date_group_month",
-    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
-              CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
-              count(*) AS n,
-              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-       FROM orders GROUP BY y, m""",
+    "time_bucket_rollup",
+    """WITH d AS (
+         SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS bucket_start,
+                count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1),
+       m AS (
+         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket_start,
+                count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1),
+       y AS (
+         SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS bucket_start,
+                count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1)
+       SELECT 'day' AS level, * FROM d
+       UNION ALL SELECT 'month', * FROM m
+       UNION ALL SELECT 'year', * FROM y""",
 )
-def date_group_month(spark, sf_dir):
-    return (
-        spark.table("orders")
-        .groupBy(F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m"))
-        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice"), "revenue"))
+def time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution time-bucket rollup (day → month →
+    year): coarser levels re-aggregate the finer level's DECIMAL partials,
+    so the base table is scanned once and the day-level exchange is
+    AQE-reused across levels (operators/temporal.time_bucket_rollup).
+    Subsumes plain calendar grouping (the old date_group_month slot)."""
+    t = _t(spark, sf_dir)
+    return tmp.time_bucket_rollup(
+        t["orders"],
+        "o_orderdate",
+        ["day", "month", "year"],
+        [("count", "", "n"), ("sum", "o_totalprice", "revenue")],
     )
 
 
@@ -986,19 +1064,6 @@ def bql_group_having(spark, sf_dir):
     )
 
 
-@q(
-    "dedup_events_exact",
-    """SELECT min(event_id) AS event_id FROM events
-       GROUP BY user_id, event_type, value""",
-)
-def dedup_events_exact(spark, sf_dir):
-    """Exact dedup on the stream table keyed by content columns."""
-    t = _t(spark, sf_dir)
-    return dd.exact_dedup(t["events"], ["user_id", "event_type", "value"], "event_id").select(
-        "event_id"
-    )
-
-
 # ---------------------------------------------------------------------------
 # North-star: dedup / text / similarity / multimodal (M5)
 # ---------------------------------------------------------------------------
@@ -1008,13 +1073,24 @@ _NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 @q(
     "dedup_exact",
-    f"""SELECT min(doc_id) AS doc_id FROM documents
-        GROUP BY md5({_NORM_SQL})""",
+    f"""SELECT 'documents' AS src, min(doc_id) AS id FROM documents
+        GROUP BY md5({_NORM_SQL})
+        UNION ALL
+        SELECT 'events', min(event_id) FROM events
+        GROUP BY user_id, event_type, value""",
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup: one representative (min id) per normalized-text hash."""
+    """Exact dedup on both corpora in one slot: one representative (min id)
+    per normalized-text hash on documents, and per content-column key
+    (NULL-sentinel keyed) on the events stream table."""
     t = _t(spark, sf_dir)
-    return dd.exact_dedup_representatives(t["documents"])
+    docs = dd.exact_dedup_representatives(t["documents"]).select(
+        F.lit("documents").alias("src"), F.col("doc_id").alias("id")
+    )
+    evs = dd.exact_dedup(
+        t["events"], ["user_id", "event_type", "value"], "event_id"
+    ).select(F.lit("events").alias("src"), F.col("event_id").alias("id"))
+    return docs.unionByName(evs)
 
 
 @q(
@@ -1046,54 +1122,39 @@ def text_fingerprint_stats(spark, sf_dir):
 
 
 @q(
-    "text_lang_id",
+    "text_lang_quality",
     """WITH d AS (
-         SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         SELECT doc_id, text,
+                string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
          FROM documents),
        scores AS (
-         SELECT doc_id,
+         SELECT doc_id, text, toks,
                 len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS s_en,
                 len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','sich','auf'))) AS s_de,
                 len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','pas','que','une','dans'))) AS s_fr,
                 len(list_filter(toks, t -> t IN ('el','la','que','de','los','se','las','por','un','para'))) AS s_es
-         FROM d)
+         FROM d),
+       m AS (
+         SELECT doc_id, s_en, s_de, s_fr, s_es,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha,
+                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct,
+                CAST(s_en AS DOUBLE) / len(toks) AS stop,
+                CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END AS len_ok
+         FROM scores)
        SELECT doc_id,
               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                   ELSE 'es' END AS lang_guess
-       FROM scores""",
-)
-def text_lang_id(spark, sf_dir):
-    """Stopword-vote language ID (n-gram heuristic family)."""
-    return spark.table("documents").select(
-        "doc_id", tx.lang_id(F.col("text")).alias("lang_guess")
-    )
-
-
-@q(
-    "text_quality",
-    """WITH d AS (
-         SELECT doc_id, text,
-                string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
-         FROM documents WHERE doc_id < 250),
-       m AS (
-         SELECT doc_id,
-                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha,
-                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct,
-                CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS DOUBLE)
-                  / len(toks) AS stop,
-                CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END AS len_ok
-         FROM d)
-       SELECT doc_id,
+                   ELSE 'es' END AS lang_guess,
               round(alpha * 0.4 + (1.0 - least(punct * 4, 1.0)) * 0.2
                     + least(stop * 5, 1.0) * 0.2 + len_ok * 0.2, 6) AS quality
        FROM m""",
 )
-def text_quality(spark, sf_dir):
-    """Composite quality heuristic (alpha density, punct walls, stopword
-    presence, length band) — the corpus-filter scoring stage."""
+def text_lang_quality(spark, sf_dir):
+    """Language ID (stopword vote) + composite quality heuristic (alpha
+    density, punct walls, stopword presence, length band) in one per-doc
+    scoring pass — the corpus-filter stage of a training-data pipeline."""
     t = F.col("text")
     alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double") / F.length(t)
     punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")).cast("double") / F.length(t)
@@ -1110,10 +1171,119 @@ def text_quality(spark, sf_dir):
         + len_ok * 0.2,
         6,
     )
-    return (
-        spark.table("documents")
-        .filter(F.col("doc_id") < 250)
-        .select("doc_id", quality.alias("quality"))
+    return spark.table("documents").select(
+        "doc_id", tx.lang_id(t).alias("lang_guess"), quality.alias("quality")
+    )
+
+
+@q(
+    "sampling_deterministic",
+    f"""SELECT 'hash' AS mode, doc_id FROM documents
+        WHERE {smp.oracle_keep_sql('doc_id', 0.2, 42)}
+        UNION ALL
+        SELECT 'strat', doc_id FROM documents
+        WHERE CASE lang
+                WHEN 'en' THEN {smp.oracle_keep_sql('doc_id', 0.2, 1)}
+                WHEN 'zh' THEN {smp.oracle_keep_sql('doc_id', 1.0, 1)}
+                ELSE {smp.oracle_keep_sql('doc_id', 0.5, 1)} END
+        UNION ALL
+        SELECT 'top64', doc_id FROM
+          (SELECT doc_id FROM documents
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id LIMIT 64)""",
+)
+def sampling_deterministic(spark, sf_dir):
+    """Deterministic sampling suite in one slot: md5-threshold fraction
+    sample, per-stratum (language) fractions as ONE CASE predicate, and an
+    exactly-64 smallest-hash sample (TakeOrderedAndProject). All three pick
+    the SAME rows on any engine for the same (key, seed, fraction) — unlike
+    partition-dependent RNG sampling — which is what makes corpus samples
+    reproducible and resumable (operators/sampling.py)."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    h = smp.hash_sample(docs, "doc_id", 0.2, seed=42).select(
+        F.lit("hash").alias("mode"), "doc_id"
+    )
+    s = smp.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "zh": 1.0}, default_fraction=0.5, seed=1
+    ).select(F.lit("strat").alias("mode"), "doc_id")
+    n = smp.sample_exact_n(docs, "doc_id", 64, seed=5).select(
+        F.lit("top64").alias("mode"), "doc_id"
+    )
+    return h.unionByName(s).unionByName(n)
+
+
+@q(
+    "text_repetition",
+    """WITH base AS (
+         SELECT doc_id,
+                string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+       arr AS (
+         SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                round(len(list_distinct(toks)) / len(toks), 6) AS uniq_word_ratio,
+                round(1 - len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                             FOR i IN range(1, len(toks) - 1)]))
+                          / (len(toks) - 2), 6) AS dup_trigram_frac,
+                [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS grams
+         FROM base),
+       g AS (SELECT doc_id, unnest(grams) AS gram FROM arr),
+       c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+       tops AS (
+         SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+         FROM c GROUP BY doc_id)
+       SELECT arr.doc_id, n_tokens, uniq_word_ratio, dup_trigram_frac, top_bigram_frac
+       FROM arr JOIN tops ON arr.doc_id = tops.doc_id""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition/boilerplate metrics per document: unique-word
+    ratio, duplicate-trigram fraction, modal-bigram share — shuffle-free
+    array expressions over one scan (operators/text.repetition_metrics)."""
+    t = _t(spark, sf_dir)
+    m = tx.repetition_metrics(t["documents"])
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("uniq_word_ratio", 6).alias("uniq_word_ratio"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+@q(
+    "decontam_ngram",
+    f"""WITH tok AS (
+          SELECT doc_id,
+                 string_split({_NORM_SQL}, ' ') AS toks,
+                 {smp.oracle_keep_sql('doc_id', 0.05, 7)} AS is_eval
+          FROM documents),
+        ng AS (
+          SELECT doc_id, is_eval,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+          FROM tok),
+        ev AS (SELECT DISTINCT unnest(grams) AS gram FROM ng WHERE is_eval),
+        tr AS (SELECT doc_id, unnest(grams) AS gram FROM ng WHERE NOT is_eval)
+        SELECT tr.doc_id, count(*) AS n_grams, count(ev.gram) AS n_hit,
+               round(count(ev.gram) * 1.0 / count(*), 6) AS contamination
+        FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+        GROUP BY tr.doc_id""",
+)
+def decontam_ngram(spark, sf_dir):
+    """Benchmark decontamination: a deterministic 5% hash sample of the
+    corpus plays the eval set; every training document reports the fraction
+    of its distinct word trigrams that appear in the eval set. Eval n-grams
+    aggregate once and broadcast; the corpus side is one explode + one
+    per-doc groupBy (operators/text.ngram_contamination)."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    eval_set = smp.hash_sample(docs, "doc_id", 0.05, seed=7)
+    corpus = docs.join(eval_set.select("doc_id"), on="doc_id", how="left_anti")
+    return tx.ngram_contamination(corpus, eval_set, "doc_id", "text", n=3).select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round("contamination", 6).alias("contamination"),
     )
 
 

@@ -159,19 +159,39 @@ def dup_ngram_fraction(text: Column, n: int = 3) -> Column:
     )
 
 
+def _modal_run_length(arr: Column) -> Column:
+    """Count of the most frequent element: sort the array, then the longest
+    run of equal adjacent elements — one O(n log n) sort + one linear fold
+    per row. Avoids the O(distinct·n) nested-lambda count-each-distinct
+    form, whose interpreted inner filter dominates at corpus scale."""
+    srt = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    return F.aggregate(srt, init, step).getField("best")
+
+
 def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     """Fraction of n-grams equal to the single most frequent n-gram (modal
-    n-gram share — Gopher's "top n-gram fraction"). Computed as a pure array
-    expression (count each distinct gram, take the max): O(distinct*len) per
-    document but ZERO shuffle — for typical documents this stays cheap JVM
-    work inside codegen; for book-length outliers prefer the explode+groupBy
-    form (one (doc, gram) shuffle) as in repetition_metrics(explode=True)."""
+    n-gram share — Gopher's "top n-gram fraction"). Pure array expression,
+    ZERO shuffle: sort + longest-equal-run per document. For book-length
+    outliers prefer the explode+groupBy form (one (doc, gram) shuffle) as
+    in repetition_metrics(explode=True)."""
     grams = word_ngrams(text, n)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda d: F.size(F.filter(grams, lambda g: g == d)),
-    )
-    return F.when(F.size(grams) > 0, F.array_max(counts) / F.size(grams))
+    return F.when(F.size(grams) > 0, _modal_run_length(grams) / F.size(grams))
 
 
 def repetition_metrics(
@@ -187,14 +207,37 @@ def repetition_metrics(
     zero shuffle. explode=True: the top-bigram share goes through
     explode → groupBy(doc, gram) → groupBy(doc) — two massively-parallel
     shuffles, linear per-row cost, the safer shape when documents can be
-    arbitrarily long (100 TB web-crawl posture)."""
+    arbitrarily long (100 TB web-crawl posture).
+
+    The gram/token arrays are materialized as columns FIRST and the ratio
+    expressions reference those attributes (lambda bodies re-evaluate their
+    argument expression per element — materializing keeps each array built
+    once per row); the modal count is a sort + longest-equal-run fold
+    (_modal_run_length), linear-ish per row with no nested lambda."""
     t = F.col(text_col)
-    base = df.select(
+    arrs = df.select(
         id_col,
         token_count(t).alias("n_tokens"),
-        unique_word_ratio(t).alias("uniq_word_ratio"),
-        dup_ngram_fraction(t, 3).alias("dup_trigram_frac"),
-        *( [] if explode else [top_ngram_fraction(t, 2).alias("top_bigram_frac")] ),
+        tokens(t).alias("__toks"),
+        word_ngrams(t, 3).alias("__tri"),
+        *([] if explode else [word_ngrams(t, 2).alias("__bi")]),
+    )
+    toks, tri, bi = F.col("__toks"), F.col("__tri"), F.col("__bi")
+    modal = _modal_run_length(bi)
+    base = arrs.select(
+        id_col,
+        "n_tokens",
+        F.when(
+            F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+        ).alias("uniq_word_ratio"),
+        F.when(
+            F.size(tri) > 0, 1 - F.size(F.array_distinct(tri)) / F.size(tri)
+        ).alias("dup_trigram_frac"),
+        *(
+            []
+            if explode
+            else [F.when(F.size(bi) > 0, modal / F.size(bi)).alias("top_bigram_frac")]
+        ),
     )
     if not explode:
         return base

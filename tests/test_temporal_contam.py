@@ -197,3 +197,34 @@ def test_contamination_self_is_total(spark, tables):
     out = tx.ngram_contamination(docs, docs, "doc_id", "text", n=3)
     assert out.count() == 20
     assert out.filter(F.col("contamination") < 1.0).count() == 0
+
+
+# ------------------------------------------- relational coverage (units)
+
+def test_cube_and_rollup_agg_match_duckdb(spark, tables, duck):
+    """Native DataFrame cube()/rollup() forms (the driver slot runs the SQL
+    facade; these keep the programmatic surface covered)."""
+    from bullet_spark_spark.operators import relational as rel
+
+    cube = rel.cube_agg(
+        tables["orders"],
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    assert_match(
+        cube,
+        duck,
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    )
+    roll = rel.rollup_agg(
+        tables["orders"],
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    assert_match(
+        roll,
+        duck,
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    )
