@@ -113,3 +113,200 @@ def pmf_buckets(df: DataFrame, col: str, points: list[float]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("bucket")
     )
+
+
+_ASINH_SCALE = 256.0  # ~0.4% relative bucket width across the double line
+
+
+def exact_quantiles_histogram(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    num_buckets: int = 8192,
+    max_collect: int = 2_000_000,
+) -> DataFrame:
+    """Exact linear-interpolation quantiles via histogram targeted-rank —
+    the fast 100 TB path.
+
+    The builtin ``percentile`` buffers every value in one
+    TypedImperativeAggregate (O(rows) memory, slow merge); the sort-based
+    ``exact_quantiles_distributed`` pays a full range-repartition of the
+    column. This path instead:
+
+    1. one groupBy over ``floor(asinh(v)·256)`` — a data-INDEPENDENT,
+       order-preserving bucketing of the whole double line (no min/max
+       pre-pass): per-bucket counts (shuffle of a few thousand tiny rows)
+       whose sum is also the total count, and whose cumulative offsets
+       locate the bucket holding each target rank h = (n-1)p;
+    2. one filtered scan collects ONLY the rows of the needed buckets
+       (bucket width is ~0.4% of the local value magnitude) and selects
+       the exact ranked values driver-side; interpolation matches DuckDB
+       ``quantile_cont``.
+
+    A bucket heavier than ``max_collect`` (mass points / extreme skew) is
+    re-histogrammed recursively within its value range with a linear grid;
+    each level divides the range by num_buckets, and an all-equal bucket
+    exits via min==max, so depth is logarithmic and bounded. Every Spark
+    job here is a small aggregation — no global sort, no O(rows)
+    driver/executor buffer, exactly two scans in the common case (the
+    information-theoretic floor for exact quantiles without buffering).
+    """
+    spark = df.sparkSession
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    b0 = F.floor(F.asinh(F.col("v")) * F.lit(_ASINH_SCALE)).cast("bigint")
+
+    counts = {
+        r["b"]: r["cnt"]
+        for r in vals.groupBy(b0.alias("b")).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return spark.createDataFrame([], "quantile double, value double")
+
+    # target global ranks (0-based) around h = (n-1)p per prob
+    plan = []
+    targets: set[int] = set()
+    for p in probs:
+        h = (total - 1) * p
+        lo_r, hi_r = int(h // 1), min(int(h // 1) + 1, total - 1)
+        plan.append((p, lo_r, hi_r, h - (h // 1)))
+        targets.update((lo_r, hi_r))
+
+    cum: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):  # asinh is monotone → bucket key order = value order
+        cum[b] = acc
+        acc += counts[b]
+
+    by_bucket: dict[int, list[int]] = {}
+    for r in sorted(targets):
+        for b in sorted(counts):
+            if cum[b] <= r < cum[b] + counts[b]:
+                by_bucket.setdefault(b, []).append(r)
+                break
+
+    rank_vals: dict[int, float] = {}
+    light = [b for b in by_bucket if counts[b] <= max_collect]
+    heavy = [b for b in by_bucket if counts[b] > max_collect]
+
+    if light:
+        rows = (
+            vals.withColumn("__b", b0)
+            .filter(F.col("__b").isin(*light))
+            .select("__b", "v")
+            .collect()
+        )
+        per_b: dict[int, list[float]] = {b: [] for b in light}
+        for row in rows:
+            per_b[row["__b"]].append(row["v"])
+        for b in light:
+            vs = sorted(per_b[b])
+            for r in by_bucket[b]:
+                rank_vals[r] = vs[r - cum[b]]
+
+    for b in heavy:
+        sub = vals.filter(b0 == b)
+        s_lo, s_hi = sub.agg(F.min("v"), F.max("v")).first()
+        rank_vals.update(
+            _ranks_by_histogram(
+                sub,
+                by_bucket[b],
+                float(s_lo),
+                float(s_hi),
+                num_buckets,
+                max_collect,
+                _offset=cum[b],
+            )
+        )
+
+    rows_out = [
+        (p, rank_vals[lo_r] + (rank_vals[hi_r] - rank_vals[lo_r]) * frac)
+        for p, lo_r, hi_r, frac in plan
+    ]
+    return spark.createDataFrame(rows_out, "quantile double, value double")
+
+
+def _ranks_by_histogram(
+    vals: DataFrame,
+    ranks: list[int],
+    lo: float,
+    hi: float,
+    num_buckets: int,
+    max_collect: int,
+    _offset: int = 0,
+) -> dict[int, float]:
+    """Resolve absolute ranks (within ``vals`` + _offset) to values.
+    ``ranks`` are global 0-based ranks; ``vals`` holds the value subset the
+    current level covers; lo/hi bound it."""
+    if lo == hi:  # all remaining values equal — every rank resolves to it
+        return {r: lo for r in ranks}
+
+    width = (hi - lo) / num_buckets
+    bucket = F.least(
+        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+        F.lit(num_buckets - 1),
+    ).cast("int")
+
+    counts = {
+        r["b"]: r["cnt"]
+        for r in vals.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    cum: dict[int, int] = {}
+    acc = _offset
+    for b in sorted(counts):
+        cum[b] = acc
+        acc += counts[b]
+
+    # map each rank to its bucket
+    by_bucket: dict[int, list[int]] = {}
+    for r in ranks:
+        target_b = None
+        for b in sorted(counts):
+            if cum[b] <= r < cum[b] + counts[b]:
+                target_b = b
+                break
+        if target_b is None:  # numeric edge: clamp to last non-empty bucket
+            target_b = max(counts)
+        by_bucket.setdefault(target_b, []).append(r)
+
+    out: dict[int, float] = {}
+    light = [b for b in by_bucket if counts[b] <= max_collect]
+    heavy = [b for b in by_bucket if counts[b] > max_collect]
+
+    if light:
+        light_set = set(light)
+        rows = (
+            vals.withColumn("__b", bucket)
+            .filter(F.col("__b").isin(*light_set))
+            .select("__b", "v")
+            .collect()
+        )
+        per_b: dict[int, list[float]] = {b: [] for b in light_set}
+        for row in rows:
+            per_b[row["__b"]].append(row["v"])
+        for b in light_set:
+            vs = sorted(per_b[b])
+            for r in by_bucket[b]:
+                out[r] = vs[r - cum[b]]
+
+    for b in heavy:
+        b_lo = lo + b * width
+        b_hi = hi if b == num_buckets - 1 else lo + (b + 1) * width
+        sub = vals.filter(bucket == b)
+        s_lo, s_hi = sub.agg(F.min("v"), F.max("v")).first()
+        out.update(
+            _ranks_by_histogram(
+                sub,
+                by_bucket[b],
+                float(s_lo if s_lo is not None else b_lo),
+                float(s_hi if s_hi is not None else b_hi),
+                num_buckets,
+                max_collect,
+                _offset=cum[b],
+            )
+        )
+    return out

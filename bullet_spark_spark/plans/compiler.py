@@ -204,6 +204,12 @@ def _compile_distribution(df: DataFrame, agg: DistributionAgg) -> DataFrame:
 
     if agg.type is DistributionType.QUANTILE:
         probs = _bucket_points(agg) if not agg.points else list(agg.points)
+        if not agg.approx and agg.histogram:
+            from bullet_spark_spark.operators.distribution import (
+                exact_quantiles_histogram,
+            )
+
+            return exact_quantiles_histogram(df, agg.field, probs)
         if not agg.approx and agg.distributed:
             from bullet_spark_spark.operators.distribution import (
                 exact_quantiles_distributed,

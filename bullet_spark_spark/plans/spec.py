@@ -101,6 +101,11 @@ class DistributionAgg:
     # fine to mid volume); True = sort + targeted-rank selection
     # (operators.distribution.exact_quantiles_distributed — the 100 TB path)
     distributed: bool = False
+    # exact-mode strategy: histogram targeted-rank (min/max/count agg →
+    # bucket counts → collect only target buckets) — exact results with no
+    # global sort and no O(rows) buffer, and the fastest exact path at any
+    # volume (operators.distribution.exact_quantiles_histogram)
+    histogram: bool = False
 
 
 @dataclass(frozen=True)

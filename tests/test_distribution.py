@@ -106,3 +106,80 @@ def test_distributed_flag_in_spec(spark, tables):
 def test_empty_input(spark, tables):
     empty = tables["lineitem"].filter("l_quantity < 0")
     assert exact_quantiles_distributed(empty, "l_extendedprice", [0.5]).count() == 0
+
+
+def test_histogram_exact_matches_builtin(spark, tables):
+    from bullet_spark_spark.operators.distribution import exact_quantiles_histogram
+
+    hist = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_histogram(
+            tables["lineitem"], "l_extendedprice", PROBS
+        ).collect()
+    }
+    builtin = {
+        r["quantile"]: r["value"]
+        for r in compile_query(
+            spark,
+            Query(
+                source="lineitem",
+                aggregation=DistributionAgg(
+                    type=DistributionType.QUANTILE, field="l_extendedprice", points=PROBS
+                ),
+            ),
+        ).collect()
+    }
+    assert set(hist) == set(builtin)
+    for p in hist:
+        assert abs(hist[p] - builtin[p]) < 1e-9, p
+
+
+def test_histogram_heavy_bucket_recursion(spark):
+    """Mass-point data: one value holds >half the rows, so its bucket
+    exceeds max_collect and forces the recursive re-histogram, which must
+    terminate via the min==max exit and still return exact quantiles."""
+    from bullet_spark_spark.operators.distribution import exact_quantiles_histogram
+
+    rows = [(7.0,)] * 500 + [(float(i),) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double")
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_histogram(
+            df, "x", [0.0, 0.5, 1.0], num_buckets=4, max_collect=50
+        ).collect()
+    }
+    import statistics
+
+    data = sorted(v for (v,) in rows)
+    assert got[0.0] == data[0]
+    assert got[1.0] == data[-1]
+    assert abs(got[0.5] - statistics.quantiles(data, n=2, method="inclusive")[0]) < 1e-9
+
+
+def test_histogram_flag_in_spec(spark, tables):
+    """DistributionAgg(histogram=True) routes to the targeted-rank path."""
+    out = compile_query(
+        spark,
+        Query(
+            source="events",
+            aggregation=DistributionAgg(
+                type=DistributionType.QUANTILE,
+                field="value",
+                points=[0.25, 0.75],
+                histogram=True,
+            ),
+        ),
+    )
+    base = compile_query(
+        spark,
+        Query(
+            source="events",
+            aggregation=DistributionAgg(
+                type=DistributionType.QUANTILE, field="value", points=[0.25, 0.75]
+            ),
+        ),
+    )
+    a = {r["quantile"]: r["value"] for r in out.collect()}
+    b = {r["quantile"]: r["value"] for r in base.collect()}
+    for p in a:
+        assert abs(a[p] - b[p]) < 1e-9
