@@ -200,3 +200,60 @@ def time_bucket_rollup(
         ).agg(*merge)
         out = out.unionByName(finalize(prev, lvl))
     return out
+
+
+def distinct_rollup(
+    df: DataFrame,
+    ts_col: str,
+    levels: list[str],
+    key_col: str,
+    out_name: str = "n_distinct",
+) -> DataFrame:
+    """Multi-resolution EXACT count-distinct rollup with partial reuse.
+
+    COUNT DISTINCT is not decomposable from counts, but it IS decomposable
+    from distinct (bucket, key) pairs: aggregate (finest_bucket, key) once —
+    one shuffle over the base table — then every coarser level re-dedups
+    the previous level's pair set, which is already ≤ |buckets|·|keys| and
+    shrinks at each step. The base table is scanned exactly once; no
+    sketch, no approximation (the HLL path stays available through
+    CountDistinctAgg(approx=True) for when estimates suffice).
+
+    The finest level aggregates a per-pair row count rather than a bare
+    ``distinct()``, and every level reports that count as ``n_rows``
+    alongside the distinct count. This is not just useful output — it is
+    what keeps the single-scan shape: a pure dedup-over-dedup chain gets
+    collapsed by Catalyst (RemoveRedundantAggregates after column pruning)
+    back into independent full-table dedups per level (one base scan and
+    one raw-row shuffle PER level); a counted aggregate whose count is
+    consumed downstream is not removable, so the (bucket, key) exchange
+    survives and AQE reuses it for every coarser level (plan-asserted in
+    tests).
+
+    Returns (level, bucket_start, <out_name>, n_rows), every level unioned,
+    finest first.
+    """
+    pairs = df.groupBy(
+        F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_start"),
+        F.col(key_col).alias("__k"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
+
+    def count_level(p: DataFrame, level: str) -> DataFrame:
+        return (
+            p.groupBy("bucket_start")
+            .agg(
+                F.count(F.lit(1)).alias(out_name),
+                F.sum("__c").cast("bigint").alias("n_rows"),
+            )
+            .select(F.lit(level).alias("level"), "bucket_start", out_name, "n_rows")
+        )
+
+    out = count_level(pairs, levels[0])
+    prev = pairs
+    for lvl in levels[1:]:
+        prev = prev.groupBy(
+            F.date_trunc(lvl, F.col("bucket_start")).alias("bucket_start"),
+            F.col("__k"),
+        ).agg(F.sum("__c").alias("__c"))
+        out = out.unionByName(count_level(prev, lvl))
+    return out

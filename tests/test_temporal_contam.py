@@ -228,3 +228,31 @@ def test_cube_and_rollup_agg_match_duckdb(spark, tables, duck):
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n
            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     )
+
+
+DISTINCT_ROLLUP_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+         count(DISTINCT user_id) AS n_distinct, count(*) AS n_rows
+  FROM events GROUP BY 1),
+m AS (
+  SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_start,
+         count(DISTINCT user_id) AS n_distinct, count(*) AS n_rows
+  FROM events GROUP BY 1)
+SELECT 'day' AS level, * FROM d
+UNION ALL SELECT 'month', * FROM m
+"""
+
+
+def test_distinct_rollup_matches_duckdb(spark, tables, duck):
+    out = tp.distinct_rollup(tables["events"], "ts", ["day", "month"], "user_id")
+    assert_match(out, duck, DISTINCT_ROLLUP_ORACLE)
+
+
+def test_distinct_rollup_single_base_scan(spark, tables):
+    """Coarser levels dedup the finer level's (bucket, key) pairs — the
+    executed plan reuses the pair-dedup exchange instead of re-scanning."""
+    out = tp.distinct_rollup(tables["events"], "ts", ["day", "month"], "user_id")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
