@@ -257,3 +257,36 @@ def distinct_rollup(
         ).agg(F.sum("__c").alias("__c"))
         out = out.unionByName(count_level(prev, lvl))
     return out
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    lookback_sec: float = 600.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound — the
+    streaming counterpart of the batch as-of/range joins.
+
+    Both sides are watermarked by ``max_delay`` and the join predicate
+    bounds ``right_ts ∈ [left_ts − lookback, left_ts]``. The time bound is
+    what makes the join's state finite: with watermarks on both inputs and
+    a range condition on the event times, Structured Streaming evicts
+    buffered rows as the watermark passes them — unbounded state otherwise
+    (the same discipline streaming_dedup applies, and the one the
+    reference's tombstone cache lacks, JoinStreaming.scala:60-62).
+
+    ``how``: inner (both sides bounded) or left_outer (NULLs emitted once
+    the watermark proves no match can arrive).
+    """
+    l_wm = left.withWatermark(left_ts, max_delay)
+    r_wm = right.withWatermark(right_ts, max_delay)
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    cond = (rt <= lt) & (rt >= lt - F.expr(f"INTERVAL {int(lookback_sec)} SECONDS"))
+    for k in key_cols:
+        cond = cond & (l_wm[k] == r_wm[k])
+    return l_wm.join(r_wm, on=cond, how=how)

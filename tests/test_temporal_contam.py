@@ -256,3 +256,52 @@ def test_distinct_rollup_single_base_scan(spark, tables):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+# ------------------------------------------- stream-stream interval join
+
+def test_stream_stream_interval_join_parity(spark, tables, tmp_path):
+    """Two real file streams (purchases, clicks) joined on user_id with an
+    event-time interval bound drain to the same rows as the equivalent
+    batch join — and the streaming plan carries watermarks on both sides
+    (bounded state)."""
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    ev = tables["events"]
+    lb = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    rb = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+
+    ls = file_drip(spark, lb, str(tmp_path / "l"), chunks=2)
+    rs = file_drip(spark, rb, str(tmp_path / "r"), chunks=2)
+    joined = tp.stream_stream_interval_join(
+        ls, rs, ["u"], "p_ts", "c_ts", max_delay="1 hour", lookback_sec=1800
+    ).select("event_id", "c_ts", "click_value")
+
+    sink = MemorySink()
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = (
+        lb.join(rb, on="u")
+        .filter(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1800 SECONDS"))
+        )
+        .select("event_id", "c_ts", "click_value")
+    )
+    got = sorted(sink.rows)
+    want = sorted((r["event_id"], r["c_ts"], r["click_value"]) for r in batch.collect())
+    assert len(got) > 0
+    assert got == want
