@@ -25,14 +25,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH = [
     "bullet_group_agg",       # filtered group-agg on events
     "bullet_count_distinct",  # count-distinct user_id
-    "bullet_quantile",        # quantiles of l_extendedprice
+    "bullet_quantile",        # quantiles of l_extendedprice (histogram targeted-rank)
     "bullet_topk_freq",       # top-k frequency
     "window_tumbling_10m",    # tumbling-window count on events
     "join_fact_fact",         # equi-join lineitem x orders
-    "dedup_exact",            # exact dedup on documents
+    "dedup_exact",            # exact dedup on documents + events
     "sim_cosine_topk",        # cosine top-k on embeddings
     "tpch_q1_pricing",        # flagship wide aggregation
     "dedup_minhash_lsh",      # minhash+LSH near-dup (scale path)
+    # round-2 additions (keep the 10 above stable for cross-round compare)
+    "join_asof",              # as-of join purchases x clicks per user
+    "time_bucket_rollup",     # day->month->year rollup, partial reuse
+    "text_repetition",        # Gopher repetition metrics per doc
+    "decontam_ngram",         # eval-set n-gram contamination
 ]
 
 REPEATS = 3

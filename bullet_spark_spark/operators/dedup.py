@@ -99,6 +99,19 @@ def streaming_dedup(
     return df.dropDuplicates(key_cols)
 
 
+def widen_thin_input(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to the cluster parallelism if (and only if) it
+    arrives in fewer partitions. The shingling/hashing stages below inherit
+    the scan's partitioning; a corpus landing as a handful of files would
+    run them near-serially. Already-wide inputs (the 100 TB case) pass
+    through without a shuffle."""
+    if target is None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Character n-gram shingle set of normalized text (distinct). Built-ins
     only: sequence + transform + substring, then array_distinct."""
@@ -122,6 +135,7 @@ def minhash_signatures(
     """(id, sig: array<bigint>[num_hashes]) — per-permutation min of
     xxhash64(seed_i, shingle). Explode→groupBy(id) with k partial mins:
     one shuffle keyed by doc id, state is k longs per doc."""
+    df = widen_thin_input(df)
     shingled = df.select(
         F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
@@ -223,6 +237,7 @@ def ngram_jaccard_pairs(
     intersection via shingle-match counting, union = |A|+|B|-∩; never
     materializes the quadratic pair space."""
     sh = word_shingles(F.col(text_col), n) if use_words else char_shingles(F.col(text_col), n)
+    df = widen_thin_input(df)
     docs = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).withColumn(
         "n_sh", F.size("shingles")
     )
@@ -258,6 +273,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     def mask(i: int) -> int:
         return -(1 << 63) if i == 63 else (1 << i)
 
+    df = widen_thin_input(df)
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),

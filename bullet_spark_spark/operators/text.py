@@ -289,7 +289,11 @@ def ngram_contamination(
     Returns (id_col, n_grams, n_hit, contamination) per corpus document
     with at least one n-gram.
     """
-    from .dedup import word_shingles
+    from .dedup import widen_thin_input, word_shingles
+
+    # shingling+explode is the dominant CPU cost and inherits the scan's
+    # partitioning — widen a corpus that arrives in few files
+    corpus = widen_thin_input(corpus)
 
     eval_grams = (
         eval_set.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
