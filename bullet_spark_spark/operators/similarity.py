@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # module-level: pandas_udf resolves postponed type hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -323,3 +324,80 @@ def cosine_near_dup_pairs(
         F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6).alias("sim"),
     )
     return sims.filter(F.col("sim") >= threshold)
+
+
+def kmeans_fit_assign(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed spherical k-means over the FULL corpus (semantic
+    clustering for corpus curation — cluster-then-dedup, topic slicing,
+    stratified eval splits). ``kmeans_centroids`` trains a coarse quantizer
+    on a driver-side sample; this runs Lloyd iterations over every row:
+
+    - assignment: centroids broadcast inside an Arrow-batched pandas UDF —
+      one ``X @ C.T`` argmax per batch, the vectorized path (a per-centroid
+      column-expression fold would be k×dim interpreted ops per row);
+    - update: per-cluster mean via ``dim`` codegen ``sum()`` columns + a
+      count — ONE small shuffle of k×(dim+1) partials per iteration, the
+      driver only ever sees k centroids (metadata, never data).
+
+    Deterministic: sample-trained init, fixed iteration count, argmax ties
+    break to the lowest centroid id. Returns (assignments, centroids) where
+    assignments = (id_col, cluster, sim).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    C = np.array(
+        kmeans_centroids(corpus, k, id_col, vec_col, seed=seed), dtype=np.float64
+    )
+
+    vecs = corpus.select(id_col, vec_col)
+
+    def assigner(cent: np.ndarray):
+        @pandas_udf("struct<cluster:int, sim:double>")
+        def assign(col: pd.Series) -> pd.DataFrame:
+            X = np.array(col.tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = Xn @ cent.T
+            best = np.argmax(sims, axis=1)  # first max = lowest cid (ties)
+            return pd.DataFrame(
+                {"cluster": best.astype("int32"), "sim": sims[np.arange(len(X)), best]}
+            )
+
+        return assign
+
+    for _ in range(iters):
+        assigned = vecs.withColumn("__a", assigner(C)(F.col(vec_col)))
+        sums = (
+            assigned.groupBy(F.col("__a.cluster").alias("cluster"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        newC = C.copy()
+        for r in sums:
+            m = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64) / r["n"]
+            nrm = float(np.linalg.norm(m))
+            if nrm > 1e-12:
+                newC[r["cluster"]] = m / nrm
+        C = newC
+
+    final = vecs.withColumn("__a", assigner(C)(F.col(vec_col))).select(
+        id_col,
+        F.col("__a.cluster").alias("cluster"),
+        F.round(F.col("__a.sim"), 6).alias("sim"),
+    )
+    return final, [[float(x) for x in row] for row in C]

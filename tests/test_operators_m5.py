@@ -297,3 +297,32 @@ def test_frame_sampling(spark, tables):
     frames = mm.sample_frames(media, every_n_bytes=64, max_frames=4).collect()
     assert all(r["frame_idx"] < 4 for r in frames)
     assert len({r["media_id"] for r in frames}) == 10
+
+
+def test_kmeans_fit_assign_valid_and_deterministic(spark, tables):
+    """Distributed Lloyd: every vector lands on its ACTUAL nearest final
+    centroid (verified with numpy on the collected fixture), two runs are
+    identical, and clustering into k>1 cells is non-degenerate."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    assigns, cents = sim.kmeans_fit_assign(emb, k=8, iters=3)
+    rows = assigns.collect()
+    assert len(rows) == emb.count()
+    C = np.array(cents)
+    assert C.shape[1] == 64
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    clusters = set()
+    for r in rows:
+        x = vecs[r["vec_id"]]
+        xn = x / max(np.linalg.norm(x), 1e-12)
+        sims = C @ xn
+        assert int(np.argmax(sims)) == r["cluster"], r
+        assert abs(float(np.max(sims)) - r["sim"]) < 1e-6
+        clusters.add(r["cluster"])
+    assert len(clusters) > 1
+
+    again, cents2 = sim.kmeans_fit_assign(emb, k=8, iters=3)
+    assert cents == cents2
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
