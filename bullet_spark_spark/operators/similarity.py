@@ -401,3 +401,60 @@ def kmeans_fit_assign(
         F.round(F.col("__a.sim"), 6).alias("sim"),
     )
     return final, [[float(x) for x in row] for row in C]
+
+
+def cluster_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    k: int = 16,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by k-means cluster (semantic
+    dedup's standard shape: cluster-then-compare). The alternative blocking
+    strategy to the LSH buckets of ``cosine_near_dup_pairs``: clusters
+    adapt to data density (LSH planes are data-oblivious), so near-dup
+    pairs co-locate even when the corpus occupies a thin manifold.
+
+    Each vector joins its ``probes`` nearest cells (multi-probe — a pair is
+    a candidate if ANY cell is shared), which recovers pairs straddling a
+    cluster boundary; candidates dedup on (id_a, id_b) before the exact
+    cosine re-check, so precision stays 1. Expected candidate volume is
+    ~probes²·|corpus|²/k; recall/cost dials are (k, probes), exactly
+    nprobe's role in IVF search.
+    """
+    _, cents = kmeans_fit_assign(
+        embeddings, k=k, id_col=id_col, vec_col=vec_col, iters=iters
+    )
+    cents_df = embeddings.sparkSession.createDataFrame(
+        [(i, vec) for i, vec in enumerate(cents)], "cluster int, cvec array<double>"
+    )
+    w_assign = W.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cluster").asc())
+    probed = (
+        embeddings.withColumn("__n", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents_df))
+        .withColumn("__cs", cosine(F.col(vec_col), F.col("cvec")))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") <= probes)
+        .select(id_col, vec_col, "__n", "cluster")
+    )
+    a = probed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        F.col("__n").alias("n_a"), "cluster",
+    )
+    b = probed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        F.col("__n").alias("n_b"), "cluster",
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sims = pairs.select(
+        "id_a", "id_b",
+        F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6).alias("sim"),
+    )
+    return sims.filter(F.col("sim") >= threshold)

@@ -326,3 +326,20 @@ def test_kmeans_fit_assign_valid_and_deterministic(spark, tables):
     again, cents2 = sim.kmeans_fit_assign(emb, k=8, iters=3)
     assert cents == cents2
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_cluster_near_dup_subset_of_exact_with_high_recall(spark, tables):
+    """Cluster-blocked pairs are a subset of the exact n^2 pairs (precision
+    1 by construction) and recover most of them at a modest k."""
+    emb = tables["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.4, exact=True).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cluster_near_dup_pairs(emb, threshold=0.4, k=8).collect()
+    }
+    assert blocked <= exact
+    assert len(exact) > 0
+    assert len(blocked) / len(exact) >= 0.5, (len(blocked), len(exact))
