@@ -104,7 +104,11 @@ def widen_thin_input(df: DataFrame, target: int | None = None) -> DataFrame:
     arrives in fewer partitions. The shingling/hashing stages below inherit
     the scan's partitioning; a corpus landing as a handful of files would
     run them near-serially. Already-wide inputs (the 100 TB case) pass
-    through without a shuffle."""
+    through without a shuffle. Streaming frames pass through unchanged (no
+    static partition count to inspect; micro-batch parallelism comes from
+    the source)."""
+    if df.isStreaming:
+        return df
     if target is None:
         target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

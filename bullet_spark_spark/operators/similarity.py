@@ -353,11 +353,11 @@ def kmeans_fit_assign(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
     C = np.array(
         kmeans_centroids(corpus, k, id_col, vec_col, seed=seed), dtype=np.float64
     )
+    # dim comes free from the trained centroids — no plan-build-time action
+    dim = C.shape[1]
 
     vecs = corpus.select(id_col, vec_col)
 

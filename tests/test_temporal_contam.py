@@ -305,3 +305,105 @@ def test_stream_stream_interval_join_parity(spark, tables, tmp_path):
     want = sorted((r["event_id"], r["c_ts"], r["click_value"]) for r in batch.collect())
     assert len(got) > 0
     assert got == want
+
+
+# ----------------------------------------- property-based asof differential
+
+def test_asof_join_property_random_data(spark):
+    """Randomized as-of differential: arbitrary (key, ts) layouts — keys
+    with no right rows, rights after every left, exact-tie timestamps —
+    against DuckDB's native ASOF LEFT JOIN. Right (key, ts) pairs are
+    unique so the match is well-defined in both engines."""
+    import duckdb
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def dataset(draw):
+        keys = draw(st.lists(st.integers(0, 4), min_size=1, max_size=6))
+        left = [
+            (i, k, float(draw(st.integers(0, 30))))
+            for i, k in enumerate(keys)
+        ]
+        n_right = draw(st.integers(0, 10))
+        pairs = draw(
+            st.lists(
+                st.tuples(st.integers(0, 4), st.integers(0, 30)),
+                min_size=n_right,
+                max_size=n_right,
+                unique=True,
+            )
+        )
+        right = [(k, float(ts), float(draw(st.integers(0, 99)))) for k, ts in pairs]
+        return left, right
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(data=dataset())
+    def run(data):
+        left_rows, right_rows = data
+        left = spark.createDataFrame(left_rows, "lid int, k int, ts double")
+        right = (
+            spark.createDataFrame(right_rows, "k int, ts double, v double")
+            if right_rows
+            else spark.createDataFrame([], "k int, ts double, v double")
+        )
+        got = sorted(
+            (r["lid"], r["ts_matched"], r["v"])
+            for r in tp.asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE l(lid INT, k INT, ts DOUBLE)")
+        con.execute("CREATE TABLE r(k INT, ts DOUBLE, v DOUBLE)")
+        if left_rows:
+            con.executemany("INSERT INTO l VALUES (?, ?, ?)", left_rows)
+        if right_rows:
+            con.executemany("INSERT INTO r VALUES (?, ?, ?)", right_rows)
+        want = sorted(
+            tuple(row)
+            for row in con.execute(
+                "SELECT l.lid, r.ts, r.v FROM l ASOF LEFT JOIN r"
+                " ON l.k = r.k AND l.ts >= r.ts"
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, (left_rows, right_rows)
+
+    run()
+
+
+def test_streaming_decontamination(spark, tables, tmp_path):
+    """Decontamination over a LIVE corpus stream against a static broadcast
+    eval set (stream-static): the drained complete-mode result equals the
+    batch operator's output — incoming training shards can be scored for
+    eval contamination as they arrive."""
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    docs = tables["documents"]
+    eval_set = hash_sample(docs, "doc_id", 0.05, seed=7)
+    corpus = docs.join(eval_set.select("doc_id"), on="doc_id", how="left_anti")
+
+    stream = file_drip(spark, corpus, str(tmp_path / "corpus"), chunks=3)
+    out = tx.ngram_contamination(stream, eval_set, "doc_id", "text", n=3)
+
+    sink = MemorySink()
+    q = (
+        out.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(sink.batches[-1])  # complete mode: last batch = full result
+    want = sorted(
+        tuple(r)
+        for r in tx.ngram_contamination(corpus, eval_set, "doc_id", "text", n=3).collect()
+    )
+    assert got == want
