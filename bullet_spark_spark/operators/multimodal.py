@@ -136,3 +136,144 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
 
     return df.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real codec path for uncompressed formats (no external libraries needed).
+# PPM (P6) is a header + raw RGB bytes: decodable with numpy alone, so the
+# decode → resize → feature pipeline below is REAL end-to-end. Compressed
+# formats (JPEG/PNG/...) still route to the decode_image stub until a codec
+# library is present; the Spark-side contract is identical either way.
+# --------------------------------------------------------------------------
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", BinaryType()),  # raw HxWxC uint8, row-major
+    ]
+)
+
+
+def encode_ppm(arr) -> bytes:
+    """numpy (H, W, 3) uint8 → binary PPM (P6). Test/fixture helper."""
+    h, w, c = arr.shape
+    assert c == 3, "PPM is RGB"
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _parse_ppm(data: bytes):
+    """P6 PPM → (height, width, 3, pixel bytes). Pure-python header parse +
+    numpy reshape; raises ValueError on malformed input."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to end of line
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(data) and not data[i : i + 1].isspace():
+            i += 1
+        tokens.append(data[start:i])
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pixels = data[i : i + h * w * 3]
+    if len(pixels) != h * w * 3:
+        raise ValueError("truncated pixel data")
+    return h, w, 3, pixels
+
+
+def decode_ppm(df: DataFrame) -> DataFrame:
+    """REAL image decode for binary PPM columns: mapInPandas over Arrow
+    batches, each row's bytes parsed to (height, width, channels, raw
+    pixels). The shape every decode stage shares — swapping the parser for
+    Pillow when available changes one inner function, not the plan."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["bytes"]):
+                h, w, c, px = _parse_ppm(bytes(blob))
+                rows.append((mid, h, w, c, px))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "height", "width", "channels", "pixels"]
+            )
+
+    return df.mapInPandas(decode, schema=IMAGE_SCHEMA)
+
+
+def resize_nearest(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """REAL nearest-neighbour resize of decoded images (numpy integer
+    indexing per Arrow batch) — the normalize-resolution stage of an image
+    training pipeline. Output keeps IMAGE_SCHEMA with the new dimensions."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, h, w, c, px in zip(
+                pdf["media_id"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
+            ):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, c)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = arr[ys][:, xs]
+                rows.append((mid, out_h, out_w, int(c), out.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "height", "width", "channels", "pixels"]
+            )
+
+    return df.mapInPandas(resize, schema=IMAGE_SCHEMA)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL per-image statistics over decoded pixels: per-channel means and
+    a luminance histogram sketch (8 buckets) — the quality/dedup features an
+    image curation pipeline computes after decode."""
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("mean_r", FloatType()),
+            StructField("mean_g", FloatType()),
+            StructField("mean_b", FloatType()),
+            StructField("luma_hist", ArrayType(FloatType())),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, h, w, c, px in zip(
+                pdf["media_id"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
+            ):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, c).astype(np.float64)
+                means = arr.reshape(-1, c).mean(axis=0)
+                luma = arr @ np.array([0.299, 0.587, 0.114])
+                hist, _ = np.histogram(luma, bins=8, range=(0.0, 255.0))
+                hist = hist / max(1, luma.size)
+                rows.append(
+                    (
+                        mid,
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                        [float(x) for x in hist],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mean_r", "mean_g", "mean_b", "luma_hist"]
+            )
+
+    return df.mapInPandas(stats, schema=out_schema)

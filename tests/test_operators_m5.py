@@ -343,3 +343,51 @@ def test_cluster_near_dup_subset_of_exact_with_high_recall(spark, tables):
     assert blocked <= exact
     assert len(exact) > 0
     assert len(blocked) / len(exact) >= 0.5, (len(blocked), len(exact))
+
+
+def test_ppm_decode_resize_stats_real_pipeline(spark):
+    """REAL multimodal pipeline end-to-end (no codec libs): synthesize PPM
+    images in numpy, decode -> nearest-neighbour resize -> per-channel
+    stats, verifying decoded dims, exact pixel values after resize, and
+    channel means against numpy ground truth."""
+    import numpy as np
+
+    imgs = {}
+    rows = []
+    rng = np.random.default_rng(7)
+    for mid, (h, w) in enumerate([(8, 12), (16, 16), (5, 9)]):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        imgs[mid] = arr
+        rows.append((mid, "image/x-portable-pixmap", bytearray(mm.encode_ppm(arr)), {}))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    decoded = mm.decode_ppm(media)
+    got = {r["media_id"]: r for r in decoded.collect()}
+    for mid, arr in imgs.items():
+        r = got[mid]
+        assert (r["height"], r["width"], r["channels"]) == arr.shape
+        assert bytes(r["pixels"]) == arr.tobytes()
+
+    small = mm.resize_nearest(decoded, 4, 4)
+    for r in small.collect():
+        arr = imgs[r["media_id"]]
+        h, w, _ = arr.shape
+        ys, xs = (np.arange(4) * h) // 4, (np.arange(4) * w) // 4
+        assert bytes(r["pixels"]) == arr[ys][:, xs].tobytes()
+
+    stats = {r["media_id"]: r for r in mm.image_stats(decoded).collect()}
+    for mid, arr in imgs.items():
+        means = arr.reshape(-1, 3).mean(axis=0)
+        assert abs(stats[mid]["mean_r"] - means[0]) < 1e-4
+        assert abs(stats[mid]["mean_b"] - means[2]) < 1e-4
+        assert abs(sum(stats[mid]["luma_hist"]) - 1.0) < 1e-6
+
+
+def test_ppm_decode_rejects_malformed(spark):
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"\x89PNG not a ppm"), {})], mm.MEDIA_SCHEMA
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        mm.decode_ppm(media).collect()
