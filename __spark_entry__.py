@@ -1499,11 +1499,23 @@ def sim_ivf_ann(spark, sf_dir):
 
 @q("multimodal_features")  # rows-only: features computed in mapInPandas
 def multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: binary media column → Arrow-batched feature
-    extraction via mapInPandas (decode stubbed per container limits)."""
+    """Multimodal pipeline through the REAL codec path: documents become
+    decodable PPM images (attach_ppm_media — utf-8 payload as the pixel
+    plane), then decode → per-channel means + luminance histogram run as
+    Arrow-batched mapInPandas stages (operators/multimodal.decode_ppm /
+    image_stats). Compressed formats keep the documented decode_image stub;
+    nothing in this query is faked past the synthetic pixels themselves."""
     t = _t(spark, sf_dir)
-    media = mm.attach_fake_media(t["documents"].filter(F.col("doc_id") < 100), "doc_id", "text")
-    return mm.extract_features(media)
+    media = mm.attach_ppm_media(
+        t["documents"].filter(F.col("doc_id") < 100), "doc_id", "text"
+    )
+    stats = mm.image_stats(mm.decode_ppm(media))
+    return stats.select(
+        "media_id",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -277,3 +277,117 @@ def image_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(stats, schema=out_schema)
+
+
+def attach_ppm_media(df: DataFrame, id_col: str, payload_col: str, side: int = 8) -> DataFrame:
+    """Build REAL (decodable) PPM media from any string column: the payload's
+    utf-8 bytes, right-padded/truncated to side×side×3, become the pixel
+    plane. Deterministic, pure column expressions — gives every fixture table
+    an image column the real decode path can exercise."""
+    n = side * side * 3
+    header = ("P6\n%d %d\n255\n" % (side, side)).encode()
+    pixels = F.encode(F.rpad(F.col(payload_col), n, " ").substr(1, n), "utf-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.concat(F.lit(header), pixels).alias("bytes"),
+        F.create_map(
+            F.lit("source"), F.lit("synthetic-ppm"),
+            F.lit("side"), F.lit(str(side)),
+        ).alias("meta"),
+    )
+
+
+# ------------------------------- audio (RIFF/WAV PCM — numpy-decodable) ----
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("samples", BinaryType()),  # int16 little-endian mono
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """numpy int16 mono array → minimal RIFF/WAV (PCM). Test/fixture helper."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio decode for RIFF/WAV PCM-16 mono columns (header walk +
+    numpy frombuffer — no audio library needed). Compressed codecs would
+    swap the inner parser; the mapInPandas contract is identical."""
+    import struct
+
+    def parse(data: bytes):
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        i, rate, samples = 12, None, None
+        while i + 8 <= len(data):
+            cid, size = data[i : i + 4], struct.unpack("<I", data[i + 4 : i + 8])[0]
+            body = data[i + 8 : i + 8 + size]
+            if cid == b"fmt ":
+                fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                if (fmt, ch, bits) != (1, 1, 16):
+                    raise ValueError("only PCM-16 mono supported")
+            elif cid == b"data":
+                samples = body
+            i += 8 + size + (size & 1)
+        if rate is None or samples is None:
+            raise ValueError("missing fmt/data chunk")
+        return rate, samples
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["bytes"]):
+                rate, samples = parse(bytes(blob))
+                rows.append((mid, rate, len(samples) // 2, samples))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_samples", "samples"]
+            )
+
+    return df.mapInPandas(decode, schema=AUDIO_SCHEMA)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL per-clip audio features over decoded PCM: duration, RMS level,
+    zero-crossing rate, clipping ratio — the filter signals an audio
+    curation pipeline computes after decode."""
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("duration_sec", FloatType()),
+            StructField("rms", FloatType()),
+            StructField("zero_cross_rate", FloatType()),
+            StructField("clip_ratio", FloatType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, rate, n, blob in zip(
+                pdf["media_id"], pdf["sample_rate"], pdf["n_samples"], pdf["samples"]
+            ):
+                x = np.frombuffer(bytes(blob), dtype="<i2").astype(np.float64) / 32768.0
+                dur = n / rate
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+                clip = float(np.mean(np.abs(x) > 0.999)) if n else 0.0
+                rows.append((mid, float(dur), rms, zcr, clip))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "duration_sec", "rms", "zero_cross_rate", "clip_ratio"],
+            )
+
+    return df.mapInPandas(stats, schema=out_schema)

@@ -391,3 +391,46 @@ def test_ppm_decode_rejects_malformed(spark):
 
     with _pytest.raises(Exception):
         mm.decode_ppm(media).collect()
+
+
+def test_wav_decode_and_stats_real_pipeline(spark):
+    """REAL audio pipeline: synthesize WAV PCM-16 clips (sine, silence,
+    clipped square), decode -> stats, verified against numpy ground truth."""
+    import numpy as np
+
+    t = np.arange(1600)
+    clips = {
+        0: (np.sin(2 * np.pi * 440 * t / 16000) * 16384).astype(np.int16),   # tone
+        1: np.zeros(800, dtype=np.int16),                                     # silence
+        2: np.where(t % 10 < 5, 32767, -32768).astype(np.int16),              # clipped square
+    }
+    rows = [
+        (mid, "audio/wav", bytearray(mm.encode_wav(x, 16000)), {})
+        for mid, x in clips.items()
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    decoded = {r["media_id"]: r for r in mm.decode_wav(media).collect()}
+    for mid, x in clips.items():
+        assert decoded[mid]["sample_rate"] == 16000
+        assert decoded[mid]["n_samples"] == len(x)
+        assert bytes(decoded[mid]["samples"]) == x.astype("<i2").tobytes()
+
+    stats = {r["media_id"]: r for r in mm.audio_stats(mm.decode_wav(media)).collect()}
+    assert abs(stats[0]["duration_sec"] - 0.1) < 1e-6
+    assert abs(stats[0]["rms"] - 0.3535) < 0.01        # sine rms = A/sqrt(2)
+    assert stats[1]["rms"] == 0.0
+    assert stats[1]["clip_ratio"] == 0.0
+    assert stats[2]["clip_ratio"] > 0.9                # square rails at full scale
+    assert stats[2]["zero_cross_rate"] > stats[0]["zero_cross_rate"]
+
+
+def test_attach_ppm_media_is_decodable(spark, tables):
+    """attach_ppm_media emits bytes the REAL decoder accepts — fixture
+    tables get an image column without any codec library."""
+    media = mm.attach_ppm_media(tables["documents"].limit(10), "doc_id", "text")
+    out = mm.image_stats(mm.decode_ppm(media)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert 0.0 <= r["mean_r"] <= 255.0
+        assert abs(sum(r["luma_hist"]) - 1.0) < 1e-6
