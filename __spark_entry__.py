@@ -1297,7 +1297,7 @@ def decontam_ngram(spark, sf_dir):
     """WITH d AS (
          SELECT doc_id, list_distinct([
                   array_to_string(toks[i:i+2], ' ')
-                  FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+                  FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
                 ]) AS shingles
          FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
                FROM documents)),

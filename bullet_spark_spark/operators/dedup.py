@@ -125,9 +125,15 @@ def char_shingles(text: Column, n: int = 5) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams; documents with fewer than n tokens produce an
+    EMPTY set (no partial shingles) — the same convention as
+    text.word_ngrams and the DuckDB oracle comprehensions, so short
+    documents cannot silently diverge between engine and oracle."""
     toks = F.split(normalize_text(text), " ")
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), cnt - 1)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.when(cnt >= 1, F.sequence(F.lit(0), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
@@ -210,14 +216,14 @@ def minhash_lsh_candidates(
     return pairs
 
 
-def minhash_similarity(
-    sigs: DataFrame, candidates: DataFrame, id_col: str, num_hashes: int = 64
-) -> DataFrame:
+def minhash_similarity(sigs: DataFrame, candidates: DataFrame, id_col: str) -> DataFrame:
     """Estimated Jaccard = fraction of matching minhash components, for the
-    candidate pairs only. (Measured note: the zip_with fold beats a
-    num_hashes-term static-index unroll here — the unrolled expression
-    blows past codegen method limits and falls back to slower interpreted
-    evaluation plus a long janino compile.)"""
+    candidate pairs only. The denominator is the signature array's own
+    length — self-consistent for any num_hashes the signatures were built
+    with, no parameter to keep in sync. (Measured note: the zip_with fold
+    beats a num_hashes-term static-index unroll here — the unrolled
+    expression blows past codegen method limits and falls back to slower
+    interpreted evaluation plus a long janino compile.)"""
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     joined = candidates.join(sa, "id_a").join(sb, "id_b")
@@ -248,7 +254,7 @@ def minhash_dedup_pairs(
     at scale this is the difference between one and three corpus scans."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes).persist()
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
-    sims = minhash_similarity(sigs, cands, id_col, num_hashes)
+    sims = minhash_similarity(sigs, cands, id_col)
     return sims.filter(F.col("est_jaccard") >= threshold)
 
 

@@ -359,7 +359,15 @@ def kmeans_fit_assign(
     # dim comes free from the trained centroids — no plan-build-time action
     dim = C.shape[1]
 
-    vecs = corpus.select(id_col, vec_col)
+    # spherical k-means updates average UNIT vectors (mean direction), so
+    # precompute 1/||x|| once: summing raw components instead would weight
+    # each member by its norm and let large-norm outliers drag the centroid
+    nrm = norm(F.col(vec_col))
+    vecs = corpus.select(
+        id_col,
+        vec_col,
+        F.when(nrm > 1e-12, F.lit(1.0) / nrm).otherwise(F.lit(0.0)).alias("__inv"),
+    )
 
     def assigner(cent: np.ndarray):
         @pandas_udf("struct<cluster:int, sim:double>")
@@ -381,7 +389,7 @@ def kmeans_fit_assign(
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
-                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                    F.sum(F.col(vec_col)[i].cast("double") * F.col("__inv")).alias(f"s{i}")
                     for i in range(dim)
                 ],
             )

@@ -130,16 +130,18 @@ def range_join_bucketed(
         return points.join(F.broadcast(intervals), on=pred)
     w = float(bucket_width)
     p = points.withColumn("__b", F.floor(F.col(point_col) / F.lit(w)))
-    iv = intervals.withColumn(
+    # degenerate/reversed intervals (hi <= lo) match nothing by definition —
+    # and MUST be dropped before the explode: sequence(start, stop) with
+    # stop < start generates a DESCENDING range, so one bad row would
+    # explode to millions of buckets. The exclusive hi is handled exactly
+    # (drop the last bucket iff hi sits on its edge), not with an absolute
+    # epsilon that underflows at large magnitudes.
+    stop = F.floor(F.col(hi_col) / F.lit(w)) - F.when(
+        F.col(hi_col) % F.lit(w) == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    iv = intervals.filter(F.col(lo_col) < F.col(hi_col)).withColumn(
         "__b",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / F.lit(w)),
-                # hi is exclusive: a hi exactly on a bucket edge never
-                # reaches that bucket
-                F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(w)),
-            )
-        ),
+        F.explode(F.sequence(F.floor(F.col(lo_col) / F.lit(w)), stop)),
     )
     return p.join(iv, on="__b").filter(pred).drop("__b")
 
@@ -285,7 +287,11 @@ def stream_stream_interval_join(
     """
     l_wm = left.withWatermark(left_ts, max_delay)
     r_wm = right.withWatermark(right_ts, max_delay)
-    lt, rt = F.col(left_ts), F.col(right_ts)
+    # side-qualified refs: with the natural call where both streams name
+    # their event-time column the same (e.g. "ts"), bare F.col() would be
+    # ambiguous (or resolve one-sided, making the bound vacuous and state
+    # unbounded)
+    lt, rt = l_wm[left_ts], r_wm[right_ts]
     cond = (rt <= lt) & (rt >= lt - F.expr(f"INTERVAL {int(lookback_sec)} SECONDS"))
     for k in key_cols:
         cond = cond & (l_wm[k] == r_wm[k])

@@ -387,12 +387,20 @@ class _Parser:
             }[name]
             if mode == "LINEAR":
                 n = int(args[0])
+                if not 1 <= n <= 10_000:
+                    raise BQLError(f"LINEAR point count must be in [1, 10000], got {n}")
                 if name == "QUANTILE":
-                    points = [i / (n - 1) for i in range(n)]
+                    points = [0.0] if n == 1 else [i / (n - 1) for i in range(n)]
                     return DistributionAgg(type=dtype, field=f, points=points), Projection()
                 raise BQLError("LINEAR region for FREQ/CUMFREQ needs REGION(start, end, step)")
             if mode == "REGION":
                 start, end, step = args
+                if step <= 0:
+                    raise BQLError(f"REGION step must be > 0, got {step}")
+                if end < start:
+                    raise BQLError(f"REGION end {end} < start {start}")
+                if (end - start) / step > 10_000:
+                    raise BQLError("REGION generates more than 10000 points")
                 points = []
                 p = start
                 while p <= end + 1e-12:

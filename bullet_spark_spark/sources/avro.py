@@ -170,15 +170,27 @@ def decode_avro(df: DataFrame, schema_json: str, col: str = "value") -> DataFram
     ``decode_json`` (sources.streaming): the deserialize+convert stage of the
     DSL path (DSLDataProducer.scala:25-30). Uses the spark-avro connector's
     ``from_avro`` when loaded (JVM, codegen); otherwise the Arrow-batched
-    pure-Python codec above. Works on batch and streaming frames."""
+    pure-Python codec above. Works on batch and streaming frames; BOTH paths
+    return the same schema — passthrough (non-``col``) columns first, then
+    the decoded record fields — so pipelines developed against one path
+    deploy unchanged on the other."""
+    passthrough = [c for c in df.columns if c != col]
     try:
         from pyspark.sql.avro.functions import from_avro
 
-        decoded = df.select(from_avro(F.col(col), schema_json).alias("r"))
+        decoded = df.select(
+            *[F.col(c) for c in passthrough],
+            from_avro(F.col(col), schema_json).alias("__r"),
+        )
         decoded.schema  # forces analysis → raises if connector missing
-        return decoded.select("r.*")
-    except Exception:
-        pass  # fall through to the Python codec
+        return decoded.select(*passthrough, "__r.*")
+    except ImportError:
+        pass  # no pyspark avro module at all → Python codec
+    except Exception as e:
+        # only a missing connector jar falls through; genuine analysis
+        # errors (bad schema, wrong column type) must surface
+        if "AVRO_DATA_SOURCE" not in str(e) and "avro" not in str(e).lower():
+            raise
 
     fields = parse_avro_schema(schema_json)
     out_type = avro_struct_type(schema_json)

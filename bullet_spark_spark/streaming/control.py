@@ -79,7 +79,13 @@ class ControlPlane:
 
     def _consume_loop(self) -> None:
         while not self._stop.is_set():
-            self._consume_once()
+            try:
+                self._consume_once()
+            except Exception as e:  # noqa: BLE001 — a dead consumer ignores all submissions
+                try:
+                    self._emit_status({"type": "ERROR", "error": f"consumer: {e}"})
+                except Exception:
+                    pass
             self._stop.wait(self.poll_interval_s)
 
     def _consume_once(self) -> None:
@@ -125,33 +131,47 @@ class ControlPlane:
 
                 spec = replace(spec, duration_ms=int(msg["duration_ms"]))
             self.mux.register(qid, spec)
-        except (BQLError, KeyError, ValueError) as e:
-            # the ErrorData path: bad queries produce a FAIL status, the
-            # stream keeps running (QueryDataUnioningTest.scala:40-51)
+        except Exception as e:  # noqa: BLE001
+            # the ErrorData path: ANY bad submission (parse error, wrong
+            # types, unsupported spec) produces an ERROR status and the
+            # stream keeps running (QueryDataUnioningTest.scala:40-51) —
+            # a narrow except here once let a TypeError kill the consumer
+            # thread silently
             self._emit_status({"query_id": qid, "type": "ERROR", "error": str(e)})
 
     # -- status publication (the ResultPublisher/feedback loop) -------------
 
     def _publish_loop(self) -> None:
         while not self._stop.is_set():
-            self._publish_once()
+            try:
+                self._publish_once()
+            except Exception as e:  # noqa: BLE001 — a dying publisher is silent data loss
+                try:
+                    self._emit_status({"type": "ERROR", "error": f"publisher: {e}"})
+                except Exception:
+                    pass
             self._stop.wait(self.poll_interval_s)
 
     def _publish_once(self) -> None:
         for qid, handle in list(self.mux.queries.items()):
             # duration expiry enforced wall-clock here (sweeper role) — the
             # reference's expiry is batch-clock driven (JoinStreaming.scala:
-            # 118-122) and so stalls when data stops; this does not
-            if (
-                handle.state is QueryState.RUNNING
-                and handle.spec.duration_ms is not None
-                and (time.time() - handle.started_at) * 1000 >= handle.spec.duration_ms
-            ):
-                from bullet_spark_spark.streaming.runtime import Signal
+            # 118-122) and so stalls when data stops; this does not.
+            # State reads/writes and the groups snapshot happen under the
+            # multiplexer lock: foreachBatch merges partials concurrently,
+            # and iterating a dict the batch thread is inserting into
+            # raises and would kill this publisher thread.
+            with self.mux._lock:
+                if (
+                    handle.state is QueryState.RUNNING
+                    and handle.spec.duration_ms is not None
+                    and (time.time() - handle.started_at) * 1000 >= handle.spec.duration_ms
+                ):
+                    from bullet_spark_spark.streaming.runtime import Signal
 
-                handle.state = QueryState.COMPLETED
-                self.mux.status_log.append((qid, Signal.COMPLETE, time.time()))
-            rows = handle.result()
+                    handle.state = QueryState.COMPLETED
+                    self.mux.status_log.append((qid, Signal.COMPLETE, time.time()))
+                rows = handle.result()
             if handle.state is QueryState.RUNNING:
                 if rows and self._published.get(qid) != tuple(map(tuple, rows)):
                     # incremental window emission (JoinStreaming.scala:148-151)

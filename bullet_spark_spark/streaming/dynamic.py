@@ -121,16 +121,18 @@ class DynamicMultiplexer:
             for fields, members in by_fields.items():
                 self._run_field_group(batch_df, list(fields), members)
             now = time.time()
-            for handle, spec in live:
-                # duration expiry checked at batch boundaries (the reference's
-                # clock is the batch too, JoinStreaming.scala:118-122)
-                if (
-                    handle.state is QueryState.RUNNING
-                    and spec.duration_ms is not None
-                    and (now - handle.started_at) * 1000 >= spec.duration_ms
-                ):
-                    handle.state = QueryState.COMPLETED
-                    self.status_log.append((handle.query_id, Signal.COMPLETE, now))
+            with self._lock:
+                for handle, spec in live:
+                    # duration expiry checked at batch boundaries (the
+                    # reference's clock is the batch too,
+                    # JoinStreaming.scala:118-122)
+                    if (
+                        handle.state is QueryState.RUNNING
+                        and spec.duration_ms is not None
+                        and (now - handle.started_at) * 1000 >= spec.duration_ms
+                    ):
+                        handle.state = QueryState.COMPLETED
+                        self.status_log.append((handle.query_id, Signal.COMPLETE, now))
         finally:
             batch_df.unpersist()
 
@@ -159,39 +161,45 @@ class DynamicMultiplexer:
                 else:  # MAX (register() rejects anything non-mergeable)
                     col = F.max(F.when(pred, F.col(fld)))
                 exprs.append(col.alias(f"c{offset + i}"))
+            # explicit matched-row sentinel per query: inferring "the filter
+            # matched" from the agg outputs drops groups whose matched rows
+            # have only NULL agg inputs (COUNT_FIELD=0 / MIN=NULL), which a
+            # plan-per-query run of the same spec would emit
+            exprs.append(F.count(F.when(pred, F.lit(1))).alias(f"c{offset + len(ops)}"))
             plans.append((handle, ops, offset))
-            offset += len(ops)
+            offset += len(ops) + 1
 
         if fields:
             rows = batch_df.groupBy(*[F.col(k) for k in fields]).agg(*exprs).collect()
         else:
             rows = batch_df.agg(*exprs).collect()
         key_len = len(fields)
-        for r in rows:
-            raw = list(r)
-            key = tuple(raw[:key_len])
-            for handle, ops, off in plans:
-                vals = raw[key_len + off : key_len + off + len(ops)]
-                # a query whose filter matched nothing in this group/batch
-                # contributes a zero count and NULL other partials — skip to
-                # keep groups result-sized (bullet's bounded-result posture)
-                matched = any(
-                    v not in (None, 0) if op in (AggOp.COUNT, AggOp.COUNT_FIELD) else v is not None
-                    for (op, _, _), v in zip(ops, vals)
-                )
-                if not matched:
-                    continue
-                cur = handle.groups.get(key)
-                if cur is None:
-                    handle.groups[key] = vals
-                else:
-                    # None-safe merge: a nullable agg field can yield a NULL
-                    # partial for an existing group — never feed None into
-                    # sum/min/max
-                    handle.groups[key] = [
-                        b if a is None else (a if b is None else _MERGEABLE[op](a, b))
-                        for (op, _, _), a, b in zip(ops, cur, vals)
-                    ]
+        # merge under the registry lock: the control-plane publisher thread
+        # snapshots handle.groups concurrently, and dict insertion during
+        # its iteration would raise there
+        with self._lock:
+            for r in rows:
+                raw = list(r)
+                key = tuple(raw[:key_len])
+                for handle, ops, off in plans:
+                    vals = raw[key_len + off : key_len + off + len(ops)]
+                    # sentinel: rows matched by this query's filter in this
+                    # group/batch — zero means the group exists only because
+                    # of OTHER queries in the shared job; skip to keep
+                    # groups result-sized (bullet's bounded-result posture)
+                    if raw[key_len + off + len(ops)] == 0:
+                        continue
+                    cur = handle.groups.get(key)
+                    if cur is None:
+                        handle.groups[key] = vals
+                    else:
+                        # None-safe merge: a nullable agg field can yield a
+                        # NULL partial for an existing group — never feed
+                        # None into sum/min/max
+                        handle.groups[key] = [
+                            b if a is None else (a if b is None else _MERGEABLE[op](a, b))
+                            for (op, _, _), a, b in zip(ops, cur, vals)
+                        ]
 
     def start(
         self,

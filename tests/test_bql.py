@@ -152,3 +152,25 @@ def test_bql_raw_filter_matches(spark, tables):
         .select("event_id")
     )
     assert sorted(r[0] for r in got.collect()) == sorted(r[0] for r in exp.collect())
+
+
+def test_region_and_linear_validation():
+    """Malformed distribution specs raise BQLError instead of looping
+    forever (step<=0) or ZeroDivisionError (LINEAR 1)."""
+    import pytest
+
+    from bullet_spark_spark.plans.bql import BQLError, parse_bql
+
+    for bad in [
+        "SELECT FREQ(value, REGION, 0, 1, 0) FROM STREAM()",
+        "SELECT FREQ(value, REGION, 0, 1, -5) FROM STREAM()",
+        "SELECT CUMFREQ(value, REGION, 5, 1, 1) FROM STREAM()",
+        "SELECT QUANTILE(value, LINEAR, 0) FROM STREAM()",
+        "SELECT QUANTILE(value, LINEAR, 99999) FROM STREAM()",
+        "SELECT FREQ(value, REGION, 0, 1000000, 0.001) FROM STREAM()",
+    ]:
+        with pytest.raises(BQLError):
+            parse_bql(bad)
+
+    spec = parse_bql("SELECT QUANTILE(value, LINEAR, 1) FROM STREAM()")
+    assert list(spec.aggregation.points) == [0.0]

@@ -126,3 +126,39 @@ def test_control_plane_messages_are_offset_ordered(tmp_path):
     msgs = [json.loads(ln) for ln in lines]
     assert msgs[0]["id"] == "q1" and "bql" in msgs[0]
     assert msgs[1] == {"id": "q1", "signal": "KILL"}
+
+
+def test_control_plane_survives_bad_typed_message(spark, tables, tmp_path):
+    """A message whose bql field has the wrong TYPE (not just bad text) must
+    produce an ERROR status, not silently kill the consumer thread — later
+    valid submissions still register."""
+    import json
+    import os
+    import time as _time
+
+    from bullet_spark_spark.streaming.control import ControlPlane, read_status
+    from bullet_spark_spark.streaming.dynamic import DynamicMultiplexer
+
+    control_dir = str(tmp_path / "ctl")
+    status = str(tmp_path / "status.jsonl")
+    os.makedirs(control_dir)
+    mux = DynamicMultiplexer(spark)
+    cp = ControlPlane(spark, mux, control_dir, status, poll_interval_s=0.1)
+    cp.start()
+    try:
+        with open(os.path.join(control_dir, "queries.jsonl"), "a") as fh:
+            fh.write(json.dumps({"id": "bad", "bql": 5}) + "\n")
+            fh.write(
+                json.dumps(
+                    {"id": "ok", "bql": "SELECT COUNT(*) AS n FROM STREAM() GROUP BY event_type"}
+                )
+                + "\n"
+            )
+        deadline = _time.time() + 10
+        while _time.time() < deadline and "ok" not in mux.queries:
+            _time.sleep(0.1)
+        assert "ok" in mux.queries, "consumer thread died on bad-typed message"
+        errs = [e for e in read_status(status) if e.get("type") == "ERROR"]
+        assert any(e.get("query_id") == "bad" for e in errs)
+    finally:
+        cp.stop()

@@ -154,3 +154,28 @@ def test_shared_fieldset_batches_into_one_job(spark, monkeypatch):
     assert mux.queries["q1"].groups == {("a",): [1, 3.0], ("b",): [1, 5.0]}  # v>2
     assert mux.queries["q2"].groups == {("b",): [1, 5.0]}  # v>4: group a absent
     assert mux.queries["global"].groups == {(): [3]}
+
+
+def test_dynamic_group_with_all_null_agg_inputs_survives(spark):
+    """A group whose matched rows carry only NULL agg inputs must still be
+    emitted (matching a plan-per-query run) — the matched decision comes
+    from an explicit filter-hit sentinel, not from the agg outputs."""
+    from bullet_spark_spark.plans import AggOp, GroupAgg, Query
+    from bullet_spark_spark.streaming.dynamic import DynamicMultiplexer
+
+    mux = DynamicMultiplexer(spark)
+    h = mux.register(
+        "q_null",
+        Query(
+            source="mem",
+            aggregation=GroupAgg(
+                fields=["k"], operations=[(AggOp.MIN, "x", "mn"), (AggOp.COUNT_FIELD, "x", "cf")]
+            ),
+        ),
+    )
+    batch = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 5.0)], "k string, x double"
+    )
+    mux._process_batch(batch, 0)
+    assert h.groups[("a",)] == [None, 0]  # matched rows, NULL min, zero count_field
+    assert h.groups[("b",)] == [5.0, 1]

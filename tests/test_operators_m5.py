@@ -434,3 +434,15 @@ def test_attach_ppm_media_is_decodable(spark, tables):
     for r in out:
         assert 0.0 <= r["mean_r"] <= 255.0
         assert abs(sum(r["luma_hist"]) - 1.0) < 1e-6
+
+
+def test_word_shingles_short_doc_empty(spark):
+    """Documents shorter than n tokens produce ZERO shingles — same
+    convention as the DuckDB oracle comprehensions and text.word_ngrams."""
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", dd.word_shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert rows[1] == []
+    assert rows[2] == ["a b c", "b c d"]

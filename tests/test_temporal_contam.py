@@ -407,3 +407,56 @@ def test_streaming_decontamination(spark, tables, tmp_path):
         for r in tx.ngram_contamination(corpus, eval_set, "doc_id", "text", n=3).collect()
     )
     assert got == want
+
+
+def test_stream_stream_join_same_ts_name(spark, tables, tmp_path):
+    """Both streams naming their event-time column identically ('ts') must
+    resolve side-qualified — the natural call shape."""
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    ev = tables["events"]
+    lb = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    rb = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    ls = file_drip(spark, lb, str(tmp_path / "l2"), chunks=1)
+    rs = file_drip(spark, rb, str(tmp_path / "r2"), chunks=1)
+    joined = tp.stream_stream_interval_join(
+        ls, rs, ["user_id"], "ts", "ts", max_delay="1 hour", lookback_sec=1800
+    )
+    sink = MemorySink()
+    q = (
+        joined.select("event_id", "click_value")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    want = (
+        lb.join(rb.withColumnRenamed("ts", "c_ts"), on="user_id")
+        .filter(
+            (F.col("c_ts") <= F.col("ts"))
+            & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1800 SECONDS"))
+        )
+        .count()
+    )
+    assert len(sink.rows) == want > 0
+
+
+def test_range_join_degenerate_and_edge_intervals(spark):
+    """Empty (hi == lo) and reversed (hi < lo) intervals match nothing and,
+    critically, never explode a descending bucket sequence; an interval
+    with hi exactly on a bucket edge excludes that bucket exactly."""
+    pts = spark.createDataFrame([(0, 5.0), (1, 20.0)], "id int, p double")
+    iv = spark.createDataFrame(
+        [("empty", 7.0, 7.0), ("reversed", 3_600_000.0, 0.0), ("edge", 0.0, 20.0)],
+        "name string, lo double, hi double",
+    )
+    got = sorted(
+        (r["id"], r["name"])
+        for r in tp.range_join_bucketed(pts, iv, "p", "lo", "hi", 10.0).collect()
+    )
+    assert got == [(0, "edge")]  # p=20.0 excluded: hi exclusive
