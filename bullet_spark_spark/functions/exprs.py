@@ -121,6 +121,7 @@ _BINARY_BUILTIN = {
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
     "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
     "=": lambda a, b: a == b,
     "!=": lambda a, b: a != b,
     ">": lambda a, b: a > b,
@@ -156,7 +157,7 @@ class Binary(Expr):
     def col(self) -> Column:
         a, b = self.left.col(), self.right.col()
         op = self.op.upper() if self.op not in _CMP_FN else self.op
-        if self.op in _CMP_FN or op in ("AND", "OR", "XOR", "+", "-", "*", "/"):
+        if self.op in _CMP_FN or op in ("AND", "OR", "XOR", "+", "-", "*", "/", "%"):
             if op == "XOR":
                 return a.cast("boolean") != b.cast("boolean")
             return _BINARY_BUILTIN[self.op](a, b)

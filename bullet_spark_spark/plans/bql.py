@@ -68,7 +68,7 @@ _TOKEN_RE = re.compile(
         (?P<num>\d+\.\d+|\.\d+|\d+)
       | (?P<str>'(?:[^']|'')*')
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op><=|>=|!=|<>|[=<>(),.*+\-/\[\]])
+      | (?P<op><=|>=|!=|<>|[=<>(),.*+\-/%\[\]])
     )""",
     re.VERBOSE,
 )
@@ -517,6 +517,8 @@ class _Parser:
                 left = Binary("*", left, self._unary())
             elif self.accept_op("/"):
                 left = Binary("/", left, self._unary())
+            elif self.accept_op("%"):
+                left = Binary("%", left, self._unary())
             else:
                 return left
 

@@ -174,3 +174,20 @@ def test_region_and_linear_validation():
 
     spec = parse_bql("SELECT QUANTILE(value, LINEAR, 1) FROM STREAM()")
     assert list(spec.aggregation.points) == [0.0]
+
+
+def test_modulo_in_where(spark, tables, duck):
+    """BQL % operator end-to-end: parse -> compile -> oracle match."""
+    from tests.util import assert_match
+
+    from bullet_spark_spark.sql import bql
+
+    out = bql(
+        spark,
+        "SELECT user_id, COUNT(*) AS n FROM events "
+        "WHERE user_id % 13 = 3 GROUP BY user_id",
+    )
+    assert_match(
+        out, duck,
+        "SELECT user_id, count(*) AS n FROM events WHERE user_id % 13 = 3 GROUP BY user_id",
+    )

@@ -162,3 +162,87 @@ def test_control_plane_survives_bad_typed_message(spark, tables, tmp_path):
         assert any(e.get("query_id") == "bad" for e in errs)
     finally:
         cp.stop()
+
+
+def test_control_plane_concurrent_submit_kill_stress(spark, tables, tmp_path):
+    """Locking smoke under real contention: queries register and die over
+    the transport WHILE micro-batches merge partials and the publisher
+    snapshots results. Pass = no thread dies (every query reaches a
+    terminal-or-running state with consistent results, late submissions
+    still land, and the status log keeps flowing)."""
+    import threading
+
+    control_dir = str(tmp_path / "control")
+    status_path = str(tmp_path / "status.jsonl")
+    mux = DynamicMultiplexer(spark)
+    plane = ControlPlane(spark, mux, control_dir, status_path, poll_interval_s=0.05)
+    plane.start()
+    try:
+        stream = file_drip(
+            spark, tables["events"], str(tmp_path / "drip"), chunks=8
+        )
+        submit_query(
+            control_dir, "q0",
+            "SELECT event_type, COUNT(*) AS cnt FROM STREAM() GROUP BY event_type",
+        )
+        assert _wait_for(lambda: "q0" in mux.queries, timeout=15)
+        mux.start(stream, trigger_ms=100, checkpoint_dir=str(tmp_path / "ck"))
+
+        def submitter():
+            for i in range(1, 13):
+                submit_query(
+                    control_dir,
+                    f"q{i}",
+                    "SELECT user_id, COUNT(*) AS n, MIN(value) AS mn FROM STREAM() "
+                    f"WHERE user_id % 13 = {i % 13} GROUP BY user_id",
+                )
+                time.sleep(0.05)
+                if i % 3 == 0:
+                    submit_kill(control_dir, f"q{i}")
+
+        t = threading.Thread(target=submitter)
+        t.start()
+        t.join(30)
+        assert not t.is_alive()
+
+        assert _wait_for(lambda: len(mux.queries) == 13, timeout=20), len(mux.queries)
+        # drain remaining batches, then verify consistency
+        assert _wait_for(
+            lambda: mux.queries["q0"].groups and len(mux.queries["q0"].groups) == 5,
+            timeout=60,
+        )
+        killed = {f"q{i}" for i in range(1, 13) if i % 3 == 0}
+        assert _wait_for(
+            lambda: all(
+                mux.queries[q].state is QueryState.KILLED for q in killed
+            ),
+            timeout=20,
+        )
+        # every live per-user query's groups respect its own filter
+        for i in range(1, 13):
+            h = mux.queries[f"q{i}"]
+            for (uid,), vals in list(h.groups.items()):
+                assert uid % 13 == i % 13, (i, uid)
+                assert vals[0] >= 1
+        # consumer + publisher threads are still alive: a late submission
+        # registers, and killing it forces a terminal RESULT + KILL signal
+        # through the publisher even though the stream has drained
+        submit_query(
+            control_dir, "late",
+            "SELECT COUNT(*) AS n FROM STREAM()",
+        )
+        assert _wait_for(lambda: "late" in mux.queries, timeout=15)
+        submit_kill(control_dir, "late")
+        assert _wait_for(
+            lambda: any(
+                e.get("type") == "SIGNAL"
+                and e.get("query_id") == "late"
+                and e.get("signal") == "KILL"
+                for e in read_status(status_path)
+            ),
+            timeout=15,
+        )
+    finally:
+        plane.stop()
+        if mux._stream is not None:
+            mux._stream.stop()
