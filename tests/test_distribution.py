@@ -183,3 +183,51 @@ def test_histogram_flag_in_spec(spark, tables):
     b = {r["quantile"]: r["value"] for r in base.collect()}
     for p in a:
         assert abs(a[p] - b[p]) < 1e-9
+
+
+def test_histogram_property_random_data(spark):
+    """Randomized differential for the histogram targeted-rank path:
+    arbitrary value multisets (duplicates, negatives, singletons, mass
+    points) against DuckDB quantile_cont."""
+    import duckdb
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bullet_spark_spark.operators.distribution import exact_quantiles_histogram
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.integers(-1000, 1000).map(float),
+                st.sampled_from([7.0, -3.5, 0.0]),  # encourage mass points
+            ),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def run(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {
+            r["quantile"]: r["value"]
+            for r in exact_quantiles_histogram(
+                df, "x", [0.0, 0.25, 0.5, 1.0], num_buckets=8, max_collect=16
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        want = con.execute(
+            "SELECT quantile_cont(x, 0.0), quantile_cont(x, 0.25),"
+            " quantile_cont(x, 0.5), quantile_cont(x, 1.0) FROM t"
+        ).fetchone()
+        con.close()
+        for p, w in zip([0.0, 0.25, 0.5, 1.0], want):
+            assert abs(got[p] - w) < 1e-9, (p, got[p], w, sorted(vals))
+
+    run()
