@@ -6,27 +6,40 @@ dedicated receiver thread, QueryReceiver.scala:21-68, buffer/commit :49-62)
 and results + lifecycle feedback return through publishers
 (``ResultPublisher.publish/publishFeedback``, ResultPublisher.scala:78-99;
 feedback loop :35-45 re-publishes KILL/COMPLETE into the query channel so
-all stages drop state).
+all stages drop state). The transport itself is config-selected
+(bullet_spark_defaults.yaml:94-97) — the same pluggability lives here as
+``ControlTransport`` implementations:
 
-This module recreates that contract Spark-side with an append-only
-JSON-lines log as the bus (drop-in for a Kafka topic — messages are
-line-delimited JSON in offset order; ``kafka_control_plane`` wires the same
-handlers to a real Kafka consumer/producer where the connector jar exists):
+- ``FileLogTransport`` — an append-only JSON-lines log as the bus
+  (offset-ordered line-delimited JSON, the Kafka-topic shape). The default,
+  and the one exercised end-to-end in tests.
+- ``KafkaTransport`` — the same handler interface over a real Kafka
+  consumer/producer (kafka-python, imported lazily; construct via
+  ``kafka_control_plane``). Client factories are injectable so the glue is
+  testable without a broker; the live test skips when kafka-python or a
+  broker is absent.
 
-- control topic  →  ``ControlPlane`` consumer thread: each message is either
-  a query submission ``{"id": ..., "bql": "SELECT ..."}`` (parsed by
-  plans.bql — the bullet-bql front door) and registered against the running
-  stream, or a signal ``{"id": ..., "signal": "KILL"}``. Malformed messages
-  produce ERROR status events, the reference's ErrorData path
-  (BulletSparkUtils.scala:38-44, QueryDataUnioningTest.scala:40-51).
-- status topic  ←  publisher thread: WINDOW events (incremental merged
-  results — JoinStreaming's window-close emissions), RESULT (final rows at
-  query end), SIGNAL (COMPLETE / KILL / FAIL), ERROR.
+Message schema (transport-agnostic, pinned by the interface-conformance
+test): control messages are either a submission ``{"id": ..., "bql":
+"SELECT ...", "duration_ms"?: N}`` (parsed by plans.bql — the bullet-bql
+front door) or a signal ``{"id": ..., "signal": "KILL"}``. Status events
+are ``{"type": WINDOW|RESULT|SIGNAL|ERROR, "ts": ..., ...}`` — WINDOW for
+incremental merged results (JoinStreaming's window-close emissions), RESULT
+for final rows, SIGNAL for COMPLETE/KILL/FAIL, ERROR for malformed input
+(the reference's ErrorData path, BulletSparkUtils.scala:38-44).
 
 Queries run on the ``DynamicMultiplexer`` (streaming.dynamic): ONE shared
 stream, specs evaluated per micro-batch, registry mutable mid-flight —
 exactly bullet's forward-looking query semantics (a query sees only records
-arriving after submission, SURVEY §0)."""
+arriving after submission, SURVEY §0).
+
+Restart recovery: a new ``ControlPlane`` over an existing bus replays the
+control log from offset 0 (the reference recovers its whole DAG including
+registered queries from checkpoint, BulletSparkStreamingBaseJob.scala:30-38
+``getOrCreate``). Replay semantics: queries whose terminal SIGNAL already
+exists on the status topic are NOT re-registered and their terminal events
+are NOT re-emitted; still-running queries re-register and resume.
+"""
 
 from __future__ import annotations
 
@@ -38,32 +51,165 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
-from bullet_spark_spark.plans.bql import BQLError, parse_bql
+from bullet_spark_spark.plans.bql import parse_bql
 from bullet_spark_spark.streaming.dynamic import DynamicMultiplexer
 from bullet_spark_spark.streaming.runtime import QueryState
 
 
+class ControlTransport:
+    """The pluggable bus: poll control messages in, emit status events out.
+
+    Implementations must return control messages in offset order (per
+    partition/file) from ``poll`` and publish JSON-serializable status
+    events from ``emit``. ``replay_status`` returns every status event
+    published so far (used for restart recovery); transports that cannot
+    replay may return []."""
+
+    def poll(self) -> list[str]:
+        raise NotImplementedError
+
+    def emit(self, event: dict) -> None:
+        raise NotImplementedError
+
+    def replay_status(self) -> list[dict]:
+        return []
+
+    def close(self) -> None:
+        pass
+
+
+class FileLogTransport(ControlTransport):
+    """Append-only JSON-lines control/status logs (Kafka-topic shape)."""
+
+    def __init__(self, control_dir: str, status_path: str) -> None:
+        self.control_dir = control_dir
+        self.status_path = status_path
+        self._offsets: dict[str, int] = {}  # file -> lines consumed
+        self._status_lock = threading.Lock()
+        os.makedirs(control_dir, exist_ok=True)
+        os.makedirs(os.path.dirname(status_path) or ".", exist_ok=True)
+
+    def poll(self) -> list[str]:
+        try:
+            files = sorted(
+                f for f in os.listdir(self.control_dir) if f.endswith((".json", ".jsonl"))
+            )
+        except FileNotFoundError:
+            return []
+        out: list[str] = []
+        for fname in files:
+            path = os.path.join(self.control_dir, fname)
+            offset = self._offsets.get(path, 0)
+            try:
+                with open(path) as fh:
+                    lines = fh.read().splitlines()
+            except OSError:
+                continue
+            out.extend(line for line in lines[offset:] if line.strip())
+            self._offsets[path] = len(lines)
+        return out
+
+    def emit(self, event: dict) -> None:
+        with self._status_lock:
+            with open(self.status_path, "a") as fh:
+                fh.write(json.dumps(event, default=str) + "\n")
+
+    def replay_status(self) -> list[dict]:
+        return read_status(self.status_path)
+
+
+class KafkaTransport(ControlTransport):
+    """The same handler interface over a real Kafka consumer/producer.
+
+    Control messages are consumed from ``query_topic`` (earliest offset, so
+    a restarted plane replays the full registration history — the recovery
+    contract above), status events are produced to ``status_topic``.
+    ``consumer_factory``/``producer_factory`` default to kafka-python's
+    ``KafkaConsumer``/``KafkaProducer`` and are injectable for tests."""
+
+    def __init__(
+        self,
+        bootstrap_servers: str,
+        query_topic: str = "bullet.queries",
+        status_topic: str = "bullet.status",
+        poll_timeout_ms: int = 100,
+        consumer_factory=None,
+        producer_factory=None,
+    ) -> None:
+        if consumer_factory is None or producer_factory is None:
+            try:
+                from kafka import KafkaConsumer, KafkaProducer  # type: ignore
+            except ImportError as e:  # pragma: no cover - exercised via test stub
+                raise ImportError(
+                    "KafkaTransport needs the kafka-python package (or injected "
+                    "consumer/producer factories); pip install kafka-python"
+                ) from e
+            consumer_factory = consumer_factory or (
+                lambda: KafkaConsumer(
+                    query_topic,
+                    bootstrap_servers=bootstrap_servers,
+                    auto_offset_reset="earliest",
+                    enable_auto_commit=False,
+                    consumer_timeout_ms=poll_timeout_ms,
+                )
+            )
+            producer_factory = producer_factory or (
+                lambda: KafkaProducer(bootstrap_servers=bootstrap_servers)
+            )
+        self.status_topic = status_topic
+        self.poll_timeout_ms = poll_timeout_ms
+        self._consumer = consumer_factory()
+        self._producer = producer_factory()
+
+    def poll(self) -> list[str]:
+        batches = self._consumer.poll(timeout_ms=self.poll_timeout_ms)
+        out: list[str] = []
+        # poll() returns {TopicPartition: [records]}; offset order holds
+        # within each partition, matching the file transport's per-file order
+        for records in batches.values():
+            for rec in records:
+                value = rec.value
+                out.append(value.decode("utf-8") if isinstance(value, bytes) else str(value))
+        return out
+
+    def emit(self, event: dict) -> None:
+        self._producer.send(
+            self.status_topic, json.dumps(event, default=str).encode("utf-8")
+        )
+        self._producer.flush()
+
+    def close(self) -> None:
+        self._consumer.close()
+        self._producer.close()
+
+
 @dataclass
 class ControlPlane:
-    """Consume a control log, drive a DynamicMultiplexer, publish status."""
+    """Consume a control bus, drive a DynamicMultiplexer, publish status."""
 
     spark: SparkSession
     mux: DynamicMultiplexer
-    control_dir: str
-    status_path: str
+    control_dir: str | None = None
+    status_path: str | None = None
     poll_interval_s: float = 0.2
+    transport: ControlTransport | None = None
 
     _stop: threading.Event = field(default_factory=threading.Event)
     _threads: list[threading.Thread] = field(default_factory=list)
-    _consumed: set[str] = field(default_factory=set)  # file -> fully consumed
-    _offsets: dict[str, int] = field(default_factory=dict)  # file -> lines read
     _published: dict[str, tuple] = field(default_factory=dict)  # qid -> last rows
     _terminal_published: set[str] = field(default_factory=set)
-    _status_lock: threading.Lock = field(default_factory=threading.Lock)
+    _recovered_terminal: set[str] = field(default_factory=set)
+
+    def __post_init__(self) -> None:
+        if self.transport is None:
+            if self.control_dir is None or self.status_path is None:
+                raise ValueError(
+                    "ControlPlane needs either a transport or control_dir+status_path"
+                )
+            self.transport = FileLogTransport(self.control_dir, self.status_path)
 
     def start(self) -> None:
-        os.makedirs(self.control_dir, exist_ok=True)
-        os.makedirs(os.path.dirname(self.status_path) or ".", exist_ok=True)
+        self._recover()
         for target in (self._consume_loop, self._publish_loop):
             t = threading.Thread(target=target, daemon=True)
             t.start()
@@ -74,13 +220,28 @@ class ControlPlane:
         for t in self._threads:
             t.join(timeout=5)
         self._publish_once()  # flush terminal states
+        self.transport.close()
+
+    # -- restart recovery ---------------------------------------------------
+
+    def _recover(self) -> None:
+        """Seed replay semantics from the status topic: a query whose
+        terminal SIGNAL is already published must not re-register when the
+        control log replays, and must not re-emit RESULT/SIGNAL (the
+        reference restarts from checkpoint with query state intact,
+        BulletSparkStreamingBaseJob.scala:30-38)."""
+        for event in self.transport.replay_status():
+            if event.get("type") == "SIGNAL" and event.get("query_id"):
+                self._recovered_terminal.add(event["query_id"])
+                self._terminal_published.add(event["query_id"])
 
     # -- control consumption (the QueryReceiver loop) -----------------------
 
     def _consume_loop(self) -> None:
         while not self._stop.is_set():
             try:
-                self._consume_once()
+                for line in self.transport.poll():
+                    self._handle_message(line)
             except Exception as e:  # noqa: BLE001 — a dead consumer ignores all submissions
                 try:
                     self._emit_status({"type": "ERROR", "error": f"consumer: {e}"})
@@ -88,32 +249,16 @@ class ControlPlane:
                     pass
             self._stop.wait(self.poll_interval_s)
 
-    def _consume_once(self) -> None:
-        try:
-            files = sorted(
-                f for f in os.listdir(self.control_dir) if f.endswith((".json", ".jsonl"))
-            )
-        except FileNotFoundError:
-            return
-        for fname in files:
-            path = os.path.join(self.control_dir, fname)
-            offset = self._offsets.get(path, 0)
-            try:
-                with open(path) as fh:
-                    lines = fh.read().splitlines()
-            except OSError:
-                continue
-            for line in lines[offset:]:
-                if line.strip():
-                    self._handle_message(line)
-            self._offsets[path] = len(lines)
-
     def _handle_message(self, line: str) -> None:
         try:
             msg = json.loads(line)
             qid = msg["id"]
         except (json.JSONDecodeError, KeyError, TypeError) as e:
             self._emit_status({"type": "ERROR", "error": f"malformed message: {e}"})
+            return
+        if qid in self._recovered_terminal:
+            # replayed traffic for a query that already reached a terminal
+            # state before restart: neither re-register nor re-signal
             return
         if "signal" in msg:
             if msg["signal"] == "KILL":
@@ -192,10 +337,29 @@ class ControlPlane:
                 )
 
     def _emit_status(self, event: dict) -> None:
-        event = {**event, "ts": time.time()}
-        with self._status_lock:
-            with open(self.status_path, "a") as fh:
-                fh.write(json.dumps(event, default=str) + "\n")
+        self.transport.emit({**event, "ts": time.time()})
+
+
+def kafka_control_plane(
+    spark: SparkSession,
+    mux: DynamicMultiplexer,
+    bootstrap_servers: str,
+    query_topic: str = "bullet.queries",
+    status_topic: str = "bullet.status",
+    poll_interval_s: float = 0.2,
+    **transport_kwargs,
+) -> ControlPlane:
+    """Wire the same handlers to a real Kafka consumer/producer — the
+    config-selected PubSub of the reference (bullet_spark_defaults.yaml:
+    94-97, QueryReceiver.scala:29-30). Requires kafka-python (or injected
+    client factories via ``transport_kwargs``)."""
+    transport = KafkaTransport(
+        bootstrap_servers,
+        query_topic=query_topic,
+        status_topic=status_topic,
+        **transport_kwargs,
+    )
+    return ControlPlane(spark, mux, poll_interval_s=poll_interval_s, transport=transport)
 
 
 def submit_query(
@@ -228,11 +392,3 @@ def read_status(status_path: str) -> list[dict]:
         return []
     with open(status_path) as fh:
         return [json.loads(line) for line in fh if line.strip()]
-
-
-# Production Kafka wiring (connector jar not in this container): the control
-# consumer becomes spark.readStream.format("kafka").option("subscribe",
-# query_topic) drained by foreachBatch into ControlPlane._handle_message, and
-# _emit_status becomes a KafkaProducer.send to the status topic. The message
-# schema (line-delimited JSON in offset order) is transport-agnostic, so the
-# file log and Kafka are drop-in replacements for each other.
