@@ -11,12 +11,15 @@ binary decoder run through ``mapInPandas`` (Arrow-batched, never
 row-at-a-time Python UDF) — the "custom deserializer" plug point of the
 reference, with identical output schema either way.
 
-Scope of the fallback codec (explicit, validated): Avro record schemas of
-primitive fields — null/boolean/int/long/float/double/string/bytes, plus
-2-branch nullable unions ``["null", T]``. That covers the flat
-BulletRecord-style payloads the reference's converters produce (typed maps
-of primitives, SURVEY §1.2); nested records/arrays/maps need the real
-connector and raise a clear error here.
+Scope of the fallback codec: full recursive Avro record schemas —
+primitives (null/boolean/int/long/float/double/string/bytes), nested
+records, arrays, maps, enums (decoded as their string symbol), fixed, and
+2-branch nullable unions ``["null", T]`` at any depth, plus named-type
+references. That covers the reference's record type system including
+LIST-of-MAP and MAP-of-MAP composites (SURVEY §1.2). Multi-branch
+non-null unions remain out of scope (they have no stable columnar shape;
+the spark-avro connector maps them to member structs) and raise a clear
+error.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ from typing import Any, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DataType,
@@ -35,12 +39,15 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
+    NullType,
     StringType,
     StructField,
     StructType,
 )
 
 _PRIMITIVES: dict[str, DataType] = {
+    "null": NullType(),
     "boolean": BooleanType(),
     "int": IntegerType(),
     "long": LongType(),
@@ -50,40 +57,106 @@ _PRIMITIVES: dict[str, DataType] = {
     "bytes": BinaryType(),
 }
 
+# AvroType: a tagged tuple —
+#   ("prim", name) | ("record", [(field_name, AvroType), ...])
+#   | ("array", item) | ("map", value) | ("nullable", inner)
+#   | ("enum", [symbols]) | ("fixed", size)
 
-def parse_avro_schema(schema_json: str) -> list[tuple[str, str, bool]]:
-    """Avro record schema JSON → [(field, primitive_type, nullable)]."""
+
+def _parse_type(t: Any, named: dict[str, tuple]) -> tuple:
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return ("prim", t)
+        if t in named:  # named-type reference (Avro spec: previously defined)
+            return named[t]
+        raise ValueError(f"unknown Avro type {t!r}")
+    if isinstance(t, list):  # union — only ["null", T] (either order)
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1 or len(t) > 2:
+            raise ValueError(f"unsupported union {t} (only 2-branch nullable)")
+        return ("nullable", _parse_type(branches[0], named))
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind == "record":
+            fields = [(f["name"], _parse_type(f["type"], named)) for f in t["fields"]]
+            parsed = ("record", fields)
+            if t.get("name"):
+                named[t["name"]] = parsed
+            return parsed
+        if kind == "array":
+            return ("array", _parse_type(t["items"], named))
+        if kind == "map":
+            return ("map", _parse_type(t["values"], named))
+        if kind == "enum":
+            parsed = ("enum", list(t["symbols"]))
+            if t.get("name"):
+                named[t["name"]] = parsed
+            return parsed
+        if kind == "fixed":
+            parsed = ("fixed", int(t["size"]))
+            if t.get("name"):
+                named[t["name"]] = parsed
+            return parsed
+        return _parse_type(kind, named)  # {"type": "int"} wrapper form
+    raise ValueError(f"malformed Avro type {t!r}")
+
+
+def parse_avro_schema(schema_json: str) -> list[tuple[str, tuple, bool]]:
+    """Top-level Avro record schema JSON → [(field, AvroType, nullable)].
+
+    ``nullable`` is surfaced separately for the top level so flat callers
+    keep a simple shape; nested nullability lives inside the AvroType tree
+    as ("nullable", inner) nodes."""
     schema = json.loads(schema_json)
-    if schema.get("type") != "record":
-        raise ValueError("decode_avro fallback supports record schemas")
-    fields: list[tuple[str, str, bool]] = []
-    for f in schema["fields"]:
-        ftype = f["type"]
-        nullable = False
-        if isinstance(ftype, list):  # union — only ["null", T] supported
-            branches = [t for t in ftype if t != "null"]
-            if len(branches) != 1 or len(ftype) > 2:
-                raise ValueError(f"unsupported union {ftype} for field {f['name']}")
-            ftype, nullable = branches[0], True
-        if not isinstance(ftype, str) or ftype not in _PRIMITIVES:
-            raise ValueError(
-                f"field {f['name']}: type {ftype!r} needs the spark-avro "
-                "connector (fallback codec is primitives-only)"
-            )
-        fields.append((f["name"], ftype, nullable))
-    return fields
+    root = _parse_type(schema, {})
+    if root[0] != "record":
+        raise ValueError("decode_avro supports record schemas at the top level")
+    out: list[tuple[str, tuple, bool]] = []
+    for name, ftype in root[1]:
+        if ftype[0] == "nullable":
+            out.append((name, ftype[1], True))
+        else:
+            out.append((name, ftype, False))
+    return out
+
+
+def _spark_type(t: tuple) -> DataType:
+    kind = t[0]
+    if kind == "prim":
+        return _PRIMITIVES[t[1]]
+    if kind == "nullable":
+        return _spark_type(t[1])
+    if kind == "record":
+        return StructType(
+            [
+                StructField(
+                    n, _spark_type(ft), ft[0] == "nullable" or ft == ("prim", "null")
+                )
+                for n, ft in t[1]
+            ]
+        )
+    if kind == "array":
+        return ArrayType(_spark_type(t[1]), containsNull=t[1][0] == "nullable")
+    if kind == "map":
+        return MapType(StringType(), _spark_type(t[1]), valueContainsNull=t[1][0] == "nullable")
+    if kind == "enum":
+        return StringType()
+    if kind == "fixed":
+        return BinaryType()
+    raise ValueError(f"no Spark type for {t!r}")
 
 
 def avro_struct_type(schema_json: str) -> StructType:
     return StructType(
         [
-            StructField(name, _PRIMITIVES[t], nullable)
+            StructField(name, _spark_type(t), nullable)
             for name, t, nullable in parse_avro_schema(schema_json)
         ]
     )
 
 
-# -- binary codec (Avro spec: zigzag varints, little-endian IEEE754) --------
+# -- binary codec (Avro spec: zigzag varints, little-endian IEEE754,
+#    count-prefixed blocks for arrays/maps) ---------------------------------
 
 def _zigzag_encode(n: int) -> bytes:
     z = (n << 1) ^ (n >> 63)
@@ -109,57 +182,136 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
             return (acc >> 1) ^ -(acc & 1), pos
 
 
+def _encode_value(v: Any, t: tuple, out: bytearray) -> None:
+    kind = t[0]
+    if kind == "nullable":
+        if v is None:
+            out += _zigzag_encode(0)  # union branch 0 = null
+            return
+        out += _zigzag_encode(1)
+        _encode_value(v, t[1], out)
+        return
+    if v is None and t != ("prim", "null"):
+        raise ValueError(f"null for non-nullable {t!r}")
+    if kind == "prim":
+        p = t[1]
+        if p == "null":
+            return  # zero bytes
+        if p in ("int", "long"):
+            out += _zigzag_encode(int(v))
+        elif p == "boolean":
+            out.append(1 if v else 0)
+        elif p == "float":
+            out += struct.pack("<f", float(v))
+        elif p == "double":
+            out += struct.pack("<d", float(v))
+        else:  # string | bytes
+            raw = v.encode() if p == "string" else bytes(v)
+            out += _zigzag_encode(len(raw)) + raw
+    elif kind == "record":
+        for name, ftype in t[1]:
+            _encode_value(v.get(name) if isinstance(v, dict) else getattr(v, name), ftype, out)
+    elif kind == "array":
+        items = list(v)
+        if items:
+            out += _zigzag_encode(len(items))
+            for item in items:
+                _encode_value(item, t[1], out)
+        out += _zigzag_encode(0)  # block terminator
+    elif kind == "map":
+        entries = list(v.items())
+        if entries:
+            out += _zigzag_encode(len(entries))
+            for k, val in entries:
+                raw = k.encode()
+                out += _zigzag_encode(len(raw)) + raw
+                _encode_value(val, t[1], out)
+        out += _zigzag_encode(0)
+    elif kind == "enum":
+        out += _zigzag_encode(t[1].index(v))
+    elif kind == "fixed":
+        raw = bytes(v)
+        if len(raw) != t[1]:
+            raise ValueError(f"fixed({t[1]}) got {len(raw)} bytes")
+        out += raw
+
+
+def _decode_value(buf: bytes, pos: int, t: tuple) -> tuple[Any, int]:
+    kind = t[0]
+    if kind == "nullable":
+        branch, pos = _zigzag_decode(buf, pos)
+        if branch == 0:
+            return None, pos
+        return _decode_value(buf, pos, t[1])
+    if kind == "prim":
+        p = t[1]
+        if p == "null":
+            return None, pos
+        if p in ("int", "long"):
+            return _zigzag_decode(buf, pos)
+        if p == "boolean":
+            return buf[pos] == 1, pos + 1
+        if p == "float":
+            return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        if p == "double":
+            return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        ln, pos = _zigzag_decode(buf, pos)
+        raw = buf[pos : pos + ln]
+        return (raw.decode() if p == "string" else bytes(raw)), pos + ln
+    if kind == "record":
+        row: dict[str, Any] = {}
+        for name, ftype in t[1]:
+            row[name], pos = _decode_value(buf, pos, ftype)
+        return row, pos
+    if kind == "array":
+        items: list = []
+        while True:
+            count, pos = _zigzag_decode(buf, pos)
+            if count == 0:
+                return items, pos
+            if count < 0:  # spec: negative count is followed by block byte size
+                _, pos = _zigzag_decode(buf, pos)
+                count = -count
+            for _ in range(count):
+                item, pos = _decode_value(buf, pos, t[1])
+                items.append(item)
+    if kind == "map":
+        entries: dict = {}
+        while True:
+            count, pos = _zigzag_decode(buf, pos)
+            if count == 0:
+                return entries, pos
+            if count < 0:
+                _, pos = _zigzag_decode(buf, pos)
+                count = -count
+            for _ in range(count):
+                ln, pos = _zigzag_decode(buf, pos)
+                key = buf[pos : pos + ln].decode()
+                pos += ln
+                entries[key], pos = _decode_value(buf, pos, t[1])
+    if kind == "enum":
+        idx, pos = _zigzag_decode(buf, pos)
+        return t[1][idx], pos
+    if kind == "fixed":
+        return bytes(buf[pos : pos + t[1]]), pos + t[1]
+    raise ValueError(f"cannot decode {t!r}")
+
+
 def encode_avro_row(values: dict[str, Any], schema_json: str) -> bytes:
     """Encode one record to Avro binary (test/producer side)."""
     out = bytearray()
     for name, t, nullable in parse_avro_schema(schema_json):
-        v = values.get(name)
-        if nullable:
-            if v is None:
-                out += _zigzag_encode(0)  # union branch 0 = null
-                continue
-            out += _zigzag_encode(1)
-        elif v is None:
-            raise ValueError(f"null for non-nullable field {name}")
-        if t in ("int", "long"):
-            out += _zigzag_encode(int(v))
-        elif t == "boolean":
-            out.append(1 if v else 0)
-        elif t == "float":
-            out += struct.pack("<f", float(v))
-        elif t == "double":
-            out += struct.pack("<d", float(v))
-        elif t in ("string", "bytes"):
-            raw = v.encode() if t == "string" else bytes(v)
-            out += _zigzag_encode(len(raw)) + raw
+        _encode_value(values.get(name), ("nullable", t) if nullable else t, out)
     return bytes(out)
 
 
-def decode_avro_row(buf: bytes, fields: list[tuple[str, str, bool]]) -> dict[str, Any]:
+def decode_avro_row(
+    buf: bytes, fields: list[tuple[str, tuple, bool]]
+) -> dict[str, Any]:
     pos = 0
     row: dict[str, Any] = {}
     for name, t, nullable in fields:
-        if nullable:
-            branch, pos = _zigzag_decode(buf, pos)
-            if branch == 0:
-                row[name] = None
-                continue
-        if t in ("int", "long"):
-            row[name], pos = _zigzag_decode(buf, pos)
-        elif t == "boolean":
-            row[name] = buf[pos] == 1
-            pos += 1
-        elif t == "float":
-            row[name] = struct.unpack_from("<f", buf, pos)[0]
-            pos += 4
-        elif t == "double":
-            row[name] = struct.unpack_from("<d", buf, pos)[0]
-            pos += 8
-        elif t in ("string", "bytes"):
-            ln, pos = _zigzag_decode(buf, pos)
-            raw = buf[pos : pos + ln]
-            pos += ln
-            row[name] = raw.decode() if t == "string" else bytes(raw)
+        row[name], pos = _decode_value(buf, pos, ("nullable", t) if nullable else t)
     return row
 
 
