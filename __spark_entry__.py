@@ -1503,8 +1503,9 @@ def multimodal_features(spark, sf_dir):
     decodable PPM images (attach_ppm_media — utf-8 payload as the pixel
     plane), then decode → per-channel means + luminance histogram run as
     Arrow-batched mapInPandas stages (operators/multimodal.decode_ppm /
-    image_stats). Compressed formats keep the documented decode_image stub;
-    nothing in this query is faked past the synthetic pixels themselves."""
+    image_stats). PNG decodes natively too (decode_image: zlib + numpy
+    unfilter); only JPEG keeps the documented NotImplementedError stub.
+    Nothing in this query is faked past the synthetic pixels themselves."""
     t = _t(spark, sf_dir)
     media = mm.attach_ppm_media(
         t["documents"].filter(F.col("doc_id") < 100), "doc_id", "text"

@@ -1,9 +1,10 @@
 """Multimodal (image/audio/video) column plumbing (north-star M5).
 
-Media travels as an opaque ``binary`` column plus a typed metadata struct —
-the schema/partitioning/UDF-shape layer is real and tested; the actual codec
-step is stubbed (image/audio libraries are not in this container) behind
-either ``NotImplementedError`` or a clearly-marked deterministic fake.
+Media travels as an opaque ``binary`` column plus a typed metadata struct.
+The schema/partitioning/UDF-shape layer is real and tested, and so are the
+codecs for PNG (stdlib zlib + numpy unfilter), binary PPM, and RIFF/WAV
+PCM; only entropy-coded formats (JPEG) remain stubbed behind
+``NotImplementedError`` (their decoders need Pillow/libvips, absent here).
 
 Scale posture: decode/feature-extract are ``mapInPandas`` stages — Arrow
 batches in and out, one Python worker per core, no driver involvement. The
@@ -75,26 +76,34 @@ def attach_fake_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame
 
 
 def decode_image(df: DataFrame) -> DataFrame:
-    """STUB: real implementation would Pillow-decode ``bytes`` to
-    (height, width, channels) inside mapInPandas. Raises at execution time;
-    the plan (schema, Arrow batching) is real."""
-
-    out_schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("height", IntegerType()),
-            StructField("width", IntegerType()),
-            StructField("channels", IntegerType()),
-        ]
-    )
+    """Image decode dispatching on magic bytes inside mapInPandas: REAL for
+    PNG (stdlib zlib inflate + numpy per-row unfilter, ``_parse_png``) and
+    binary PPM (``_parse_ppm``); JPEG and other compressed formats still
+    raise NotImplementedError (entropy decode needs Pillow/libvips — not in
+    this container). Output is IMAGE_SCHEMA (dims + raw pixel plane), so
+    ``resize_nearest``/``image_stats`` compose regardless of source format."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires Pillow/libvips — not available in this "
-            "container; plumbing (schema/Arrow/mapInPandas) is real"
-        )
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(blob or b"")
+                if data.startswith(PNG_SIGNATURE):
+                    h, w, c, px = _parse_png(data)
+                elif data.startswith(b"P6"):
+                    h, w, c, px = _parse_ppm(data)
+                else:
+                    raise NotImplementedError(
+                        "image decode for this format needs Pillow/libvips "
+                        "(only PNG and P6 PPM decode natively); plumbing "
+                        "(schema/Arrow/mapInPandas) is real"
+                    )
+                rows.append((mid, h, w, c, px))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "height", "width", "channels", "pixels"]
+            )
 
-    return df.mapInPandas(decode, schema=out_schema)
+    return df.mapInPandas(decode, schema=IMAGE_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -139,11 +148,12 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -
 
 
 # --------------------------------------------------------------------------
-# Real codec path for uncompressed formats (no external libraries needed).
-# PPM (P6) is a header + raw RGB bytes: decodable with numpy alone, so the
-# decode → resize → feature pipeline below is REAL end-to-end. Compressed
-# formats (JPEG/PNG/...) still route to the decode_image stub until a codec
-# library is present; the Spark-side contract is identical either way.
+# Real codec paths (no external libraries needed): PPM (P6) is a header +
+# raw RGB bytes, and PNG is zlib-deflated filtered scanlines — both
+# decodable with stdlib + numpy, so the decode → resize → feature pipeline
+# below is REAL end-to-end. JPEG (entropy coding) still routes to the
+# decode_image NotImplementedError until a codec library is present; the
+# Spark-side contract is identical either way.
 # --------------------------------------------------------------------------
 
 IMAGE_SCHEMA = StructType(
@@ -191,6 +201,121 @@ def _parse_ppm(data: bytes):
     if len(pixels) != h * w * 3:
         raise ValueError("truncated pixel data")
     return h, w, 3, pixels
+
+
+# ------------------------------- PNG (stdlib zlib + numpy — no codec lib) --
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type → channel count (8-bit, non-interlaced only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(arr) -> bytes:
+    """numpy (H, W, C) uint8 (C in {1,2,3,4}) → real PNG bytes (filter 0,
+    single IDAT). Test/fixture/producer helper — emits spec-conformant files
+    any PNG reader opens."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(data: bytes):
+    """PNG → (height, width, channels, raw pixel bytes): chunk walk, zlib
+    inflate of the concatenated IDAT stream, then per-scanline unfiltering
+    (all 5 filter types — None/Sub/Up/Average/Paeth). 8-bit non-interlaced
+    gray/gray+alpha/RGB/RGBA; palette (color type 3), 16-bit, and Adam7
+    interlace raise ValueError (they are rare in training corpora and would
+    route to a codec library)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not data.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = len(PNG_SIGNATURE), None, []
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # size + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace}): only 8-bit non-interlaced "
+            "gray/GA/RGB/RGBA decode natively"
+        )
+    c = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else zero
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up — vectorizes (no intra-row dependency)
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential along the row
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0
+                b = int(prev[i])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    cc = int(prev[i - c]) if i >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+    return h, w, c, out.tobytes()
 
 
 def decode_ppm(df: DataFrame) -> DataFrame:
