@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from bullet_spark_spark.functions.exprs import Expr
 from bullet_spark_spark.plans.spec import AggOp, GroupAgg, Query
-from bullet_spark_spark.streaming.runtime import QueryState, Signal
+from bullet_spark_spark.streaming.runtime import QueryState, RateLimit, Signal
 
 _MERGEABLE = {
     AggOp.COUNT: lambda a, b: a + b,
@@ -55,6 +55,9 @@ class DynamicHandle:
     # group-key tuple -> [op outputs] (merged partials across batches)
     groups: dict[tuple, list] = field(default_factory=dict)
     started_at: float = field(default_factory=time.time)
+    rate_limit: RateLimit | None = None
+    emit_times: list[float] = field(default_factory=list)
+    error: str | None = None
 
     def result(self) -> list[tuple]:
         """Current merged result rows: key columns + agg outputs."""
@@ -64,21 +67,28 @@ class DynamicHandle:
 class DynamicMultiplexer:
     """Per-batch query evaluation over one shared stream (add/remove live)."""
 
-    def __init__(self, spark: SparkSession) -> None:
+    def __init__(
+        self, spark: SparkSession, rate_limit: RateLimit | None = None
+    ) -> None:
         self.spark = spark
         self.queries: dict[str, DynamicHandle] = {}
         self.status_log: list[tuple[str, Signal, float]] = []
+        self.rate_limit = rate_limit  # default for every registered query
         self._lock = threading.Lock()
         self._stream: Any = None
 
-    def register(self, query_id: str, spec: Query) -> DynamicHandle:
+    def register(
+        self, query_id: str, spec: Query, rate_limit: RateLimit | None = None
+    ) -> DynamicHandle:
         agg = spec.aggregation
         if not isinstance(agg, GroupAgg):
             raise ValueError("dynamic multiplexer supports GroupAgg specs")
         for op, _, _ in agg.operations or [(AggOp.COUNT, None, "count")]:
             if op not in _MERGEABLE:
                 raise ValueError(f"{op} is not mergeable across batches")
-        handle = DynamicHandle(query_id=query_id, spec=spec)
+        handle = DynamicHandle(
+            query_id=query_id, spec=spec, rate_limit=rate_limit or self.rate_limit
+        )
         with self._lock:
             if query_id in self.queries and self.queries[query_id].state is QueryState.RUNNING:
                 return self.queries[query_id]  # dedup, as in the union state
@@ -178,6 +188,7 @@ class DynamicMultiplexer:
         # snapshots handle.groups concurrently, and dict insertion during
         # its iteration would raise there
         with self._lock:
+            matched: set[str] = set()
             for r in rows:
                 raw = list(r)
                 key = tuple(raw[:key_len])
@@ -189,6 +200,7 @@ class DynamicMultiplexer:
                     # groups result-sized (bullet's bounded-result posture)
                     if raw[key_len + off + len(ops)] == 0:
                         continue
+                    matched.add(handle.query_id)
                     cur = handle.groups.get(key)
                     if cur is None:
                         handle.groups[key] = vals
@@ -200,6 +212,26 @@ class DynamicMultiplexer:
                             b if a is None else (a if b is None else _MERGEABLE[op](a, b))
                             for (op, _, _), a, b in zip(ops, cur, vals)
                         ]
+            # per-query emit-rate guard, enforced in the shared stage too —
+            # the reference checks in BOTH stages (FilterStreaming.scala:
+            # 129-133, JoinStreaming.scala:152-159): a batch that updated a
+            # query's state counts as one emission
+            now = time.time()
+            for handle, _ops, _off in plans:
+                if handle.query_id not in matched or handle.state is not QueryState.RUNNING:
+                    continue
+                handle.emit_times.append(now)
+                rl = handle.rate_limit
+                if rl is not None:
+                    window_start = now - rl.interval_ms / 1000.0
+                    recent = sum(1 for t in handle.emit_times if t >= window_start)
+                    if recent > rl.max_emits:
+                        handle.error = (
+                            f"rate limit exceeded: {recent} emits in "
+                            f"{rl.interval_ms}ms (max {rl.max_emits})"
+                        )
+                        handle.state = QueryState.FAILED
+                        self.status_log.append((handle.query_id, Signal.FAIL, now))
 
     def start(
         self,

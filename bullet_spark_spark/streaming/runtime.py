@@ -360,6 +360,7 @@ class EngineRuntime:
         checkpoint_dir: str | None = None,
         available_now: bool = False,
         timeout_s: float = 120,
+        rate_limit: RateLimit | None = None,
     ) -> dict[str, QueryHandle]:
         """Run N heterogeneous queries as ONE streaming stage — the
         reference's FilterStreaming multiplexing across EVERY query type
@@ -396,6 +397,10 @@ class EngineRuntime:
         from bullet_spark_spark.plans.spec import DistributionType as _DT
 
         trigger_ms = trigger_ms or self.config.trigger_ms
+        if rate_limit is None and self.config.rate_limit_enable:
+            rate_limit = RateLimit(
+                self.config.rate_limit_max_emits, self.config.rate_limit_interval_ms
+            )
         agg_specs: dict[str, Query] = {}
         raw_specs: dict[str, Query] = {}
         for qid, spec in specs.items():
@@ -438,7 +443,19 @@ class EngineRuntime:
                 if handle.sink.columns is None:
                     handle.sink.columns = columns
                 handle.sink.batches.append(rows)
-            handle.emit_times.append(time.time())
+            now = time.time()
+            handle.emit_times.append(now)
+            # emit-rate guard in the shared stage (the reference enforces in
+            # both stages, FilterStreaming.scala:129-133 + JoinStreaming
+            # .scala:152-159); the sweeper turns error into FAIL + stop
+            if rate_limit is not None and handle.error is None:
+                window_start = now - rate_limit.interval_ms / 1000.0
+                recent = sum(1 for t in handle.emit_times if t >= window_start)
+                if recent > rate_limit.max_emits:
+                    handle.error = (
+                        f"rate limit exceeded: {recent} emits in "
+                        f"{rate_limit.interval_ms}ms (max {rate_limit.max_emits})"
+                    )
 
         def _result_rows(qid: str) -> tuple[list[str], list[tuple]]:
             """Current full merged result for one query (bounded)."""

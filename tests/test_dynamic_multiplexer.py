@@ -179,3 +179,51 @@ def test_dynamic_group_with_all_null_agg_inputs_survives(spark):
     mux._process_batch(batch, 0)
     assert h.groups[("a",)] == [None, 0]  # matched rows, NULL min, zero count_field
     assert h.groups[("b",)] == [5.0, 1]
+
+
+def test_dynamic_mux_rate_limit_fail(spark, tables, tmp_path):
+    """W9 on the shared-stage mode: a dynamic-mux query that updates state
+    in more micro-batches than its emit budget allows FAILs with a FAIL
+    signal, while other queries on the same stream keep running — the
+    reference enforces the rate guard in both stages
+    (FilterStreaming.scala:129-133, JoinStreaming.scala:152-159)."""
+    from bullet_spark_spark.streaming.runtime import RateLimit, Signal
+
+    mux = DynamicMultiplexer(spark)
+    throttled = mux.register(
+        "throttled",
+        Query(
+            source="events",
+            aggregation=GroupAgg(fields=["event_type"], operations=[(AggOp.COUNT, None, "cnt")]),
+        ),
+        rate_limit=RateLimit(max_emits=2, interval_ms=60_000),
+    )
+    unlimited = mux.register(
+        "unlimited",
+        Query(
+            source="events",
+            aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "c")]),
+        ),
+    )
+    stream = file_drip(spark, tables["events"], str(tmp_path), chunks=8)
+    mux.start(stream, trigger_ms=100, checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        deadline = time.time() + 60
+        while throttled.state is QueryState.RUNNING and time.time() < deadline:
+            time.sleep(0.2)
+        assert throttled.state is QueryState.FAILED
+        assert "rate limit" in (throttled.error or "")
+        assert ("throttled", Signal.FAIL) in [(q, s) for q, s, _ in mux.status_log]
+        # failed query stops being evaluated; its sibling keeps merging
+        frozen = dict(throttled.groups)
+        deadline = time.time() + 60
+        while (
+            unlimited.groups.get((), [0])[0] != tables["events"].count()
+            and time.time() < deadline
+        ):
+            time.sleep(0.2)
+        assert unlimited.groups[()][0] == tables["events"].count()
+        assert throttled.groups == frozen
+        assert unlimited.state is QueryState.RUNNING
+    finally:
+        mux.stop()

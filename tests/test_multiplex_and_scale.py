@@ -459,3 +459,38 @@ def test_multiplexer_raw_limit_completes(spark, tables, tmp_path):
         assert handles["grp"].is_active()  # shared stage survives
     finally:
         rt.stop_all()
+
+
+def test_multiplexer_rate_limit_fail(spark, tables, tmp_path):
+    """W9 on the static multiplexer: a query exceeding the stage's emit
+    budget is FAILed by the sweeper (error → FAIL signal for that handle) —
+    two-stage rate enforcement parity (FilterStreaming.scala:129-133,
+    JoinStreaming.scala:152-159)."""
+    from bullet_spark_spark.streaming.runtime import RateLimit, Signal
+
+    rt = EngineRuntime(spark, sweep_interval_s=0.3)
+    try:
+        stream = file_drip(spark, tables["events"], str(tmp_path), chunks=8)
+        specs = {
+            "throttled": Query(
+                source="events",
+                aggregation=GroupAgg(fields=["event_type"]),
+            ),
+            "grp": Query(source="events", aggregation=GroupAgg(fields=[])),
+        }
+        handles = rt.register_multiplexed(
+            specs,
+            stream,
+            trigger_ms=100,
+            rate_limit=RateLimit(max_emits=2, interval_ms=60_000),
+        )
+        deadline = time.time() + 60
+        while handles["throttled"].state is QueryState.RUNNING and time.time() < deadline:
+            time.sleep(0.2)
+        assert handles["throttled"].state is QueryState.FAILED
+        assert "rate limit" in (handles["throttled"].error or "")
+        assert ("throttled", Signal.FAIL) in [
+            (q, s) for q, s, _ in rt.status_log
+        ]
+    finally:
+        rt.stop_all()
