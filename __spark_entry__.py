@@ -1033,21 +1033,48 @@ def tpch_q5_region_revenue(spark, sf_dir):
 
 @q(
     "bql_filter_project",
-    """SELECT event_id, user_id AS who, round(value * 2, 6) AS v2 FROM events
-       WHERE value > 95 AND event_type = 'view'""",
+    """WITH d AS (
+         SELECT doc_id,
+                string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+                n_chars * 2 AS nc2
+         FROM documents WHERE doc_id < 150)
+       SELECT doc_id, nc2,
+              CAST(len(list_filter(toks, t -> length(t) > 4)) AS INTEGER) AS n_long,
+              len(toks) = 40 AS is_40
+       FROM d
+       WHERE list_contains(toks, 'query') OR regexp_matches(toks[1], '^qu|^sp')""",
 )
 def bql_filter_project(spark, sf_dir):
     """The BQL text front door (plans/bql.py — API parity with bullet-bql,
     which compiles text in the web service, BulletSparkStreamingBaseJobTest
-    .scala:40-41): a RAW filter+projection query expressed as BQL compiles
-    to the same plan the programmatic spec API builds."""
+    .scala:40-41): a RAW filter+projection query expressed as BQL text,
+    exercising the container grammar — FILTER(list, mask) (bullet-core NAry
+    FILTER), SIZEIS, list membership ``IN toks``, and ``RLIKE ANY`` — plus
+    arithmetic projection, compiling to the same plan the programmatic spec
+    API builds."""
     from bullet_spark_spark.sql import bql
 
+    toks = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.transform(toks, lambda t: F.length(t) > 4).alias("mask"),
+            F.array(F.lit("^qu"), F.lit("^sp")).alias("pats"),
+            (F.col("n_chars") * 2).alias("nc2"),
+        )
+        .createOrReplaceTempView("bql_doc_lists")
+    )
     return bql(
         spark,
-        "SELECT event_id, user_id AS who, value * 2 AS v2 FROM events "
-        "WHERE value > 95 AND event_type = 'view' LIMIT 100000000",
-    ).withColumn("v2", F.round(F.col("v2"), 6))
+        "SELECT doc_id, nc2, SIZEOF(FILTER(toks, mask)) AS n_long, "
+        "SIZEIS(toks, 40) AS is_40 FROM bql_doc_lists "
+        "WHERE 'query' IN toks OR toks[0] RLIKE ANY (pats) LIMIT 100000000",
+    )
 
 
 @q(

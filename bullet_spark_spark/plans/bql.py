@@ -27,12 +27,16 @@ Grammar (case-insensitive keywords)::
           | FREQ(f, REGION, start, end, step) | FREQ(f, MANUAL, p, ...)
           | CUMFREQ(f, REGION, start, end, step) | CUMFREQ(f, MANUAL, p, ...)
 
-Expressions: OR, AND, NOT, XOR, comparisons ``= != > >= < <=``, IN / NOT IN,
-BETWEEN / NOT BETWEEN, IS [NOT] NULL, RLIKE, SIZEIS, CONTAINSKEY,
-CONTAINSVALUE, arithmetic ``+ - * /``, unary ``-``, literals (numbers,
-'strings', TRUE/FALSE, NULL), field access ``a``, ``a.b``, ``a[0]``,
-``a[0].c``, and scalar calls ABS/LOWER/UPPER/TRIM/SUBSTRING/CONCAT/SIZEOF/
-HASH/UNIX_TIMESTAMP/IF/CAST(x AS type).
+Expressions: OR, AND, NOT, XOR, comparisons ``= != > >= < <=`` (plus
+quantified ``= ANY (list)`` / ``> ALL (list)`` forms), IN / NOT IN over a
+value list OR a list-valued expression (``x IN toks`` — bullet's list
+membership), BETWEEN / NOT BETWEEN, IS [NOT] NULL, RLIKE, ``RLIKE
+ANY (patterns)``, SIZEIS(x, n), CONTAINSKEY, CONTAINSVALUE, FILTER(list,
+mask) (bullet-core NAry FILTER — keep list[i] where mask[i]), arithmetic
+``+ - * / %``, unary ``-``, literals (numbers, 'strings', TRUE/FALSE,
+NULL), field access ``a``, ``a.b``, ``a[0]``, ``a[0].c``, and scalar calls
+ABS/LOWER/UPPER/TRIM/SUBSTRING/CONCAT/SIZEOF/HASH/UNIX_TIMESTAMP/IF/
+CAST(x AS type).
 """
 
 from __future__ import annotations
@@ -85,6 +89,7 @@ _AGG_KEYWORDS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE", "FREQ",
 _SCALAR_FNS = {
     "ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "HASH", "UNIX_TIMESTAMP",
     "SUBSTRING", "CONCAT", "IF", "CAST", "STRLEN", "CONTAINSKEY", "CONTAINSVALUE",
+    "FILTER", "SIZEIS",
 }
 
 
@@ -481,16 +486,30 @@ class _Parser:
             self.expect_kw("NULL")
             return Unary("ISNOTNULL" if negate else "ISNULL", left)
         if self.accept_kw("RLIKE") or self.accept_kw("LIKE"):
+            # RLIKE ANY (patterns): true if the string matches any pattern
+            # in a list-valued expression
+            if self.kw() == "ANY":
+                self.next()
+                self.expect_op("(")
+                pats = self._expr()
+                self.expect_op(")")
+                return Binary("RLIKE_ANY", left, pats)
             pat = self.next()
             return Binary("RLIKE", left, Value(_unquote(pat.text)))
         negate = self.accept_kw("NOT")
         if self.accept_kw("IN"):
-            self.expect_op("(")
-            operands = [left, self._expr()]
-            while self.accept_op(","):
-                operands.append(self._expr())
-            self.expect_op(")")
-            return NAry("NOT IN" if negate else "IN", operands)
+            # IN (v1, v2, ...) is value-list membership; IN <expr> (no
+            # parens) is membership in a LIST-valued expression (IN_LIST)
+            t = self.peek()
+            if t and t.kind == "op" and t.text == "(":
+                self.next()
+                operands = [left, self._expr()]
+                while self.accept_op(","):
+                    operands.append(self._expr())
+                self.expect_op(")")
+                return NAry("NOT IN" if negate else "IN", operands)
+            member = Binary("IN_LIST", left, self._additive())
+            return Unary("NOT", member) if negate else member
         if self.accept_kw("BETWEEN"):
             lo = self._additive()
             self.expect_kw("AND")
@@ -578,6 +597,14 @@ class _Parser:
             return NAry("SUBSTRING", args)
         if name == "CONCAT":
             return NAry("CONCAT", args)
+        if name == "FILTER":
+            if len(args) != 2:
+                raise BQLError("FILTER takes (list, mask)")
+            return NAry("FILTER", args)
+        if name == "SIZEIS":
+            if len(args) != 2:
+                raise BQLError("SIZEIS takes (container, size)")
+            return Binary("=", Unary("SIZEOF", args[0]), args[1])
         if name in ("CONTAINSKEY", "CONTAINSVALUE"):
             return Binary(name, args[0], args[1])
         return Unary(name, args[0])

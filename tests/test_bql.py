@@ -191,3 +191,59 @@ def test_modulo_in_where(spark, tables, duck):
         out, duck,
         "SELECT user_id, count(*) AS n FROM events WHERE user_id % 13 = 3 GROUP BY user_id",
     )
+
+
+def test_container_ops_via_text(spark):
+    """FILTER(list, mask), SIZEIS, list membership ``IN``, and RLIKE ANY
+    reach the full §2.3 container surface through the text front door, and
+    compile to the same results as the programmatic Expr API."""
+    from bullet_spark_spark.functions.exprs import E
+
+    df = spark.createDataFrame(
+        [
+            (1, ["alpha", "be", "gamma"], [True, False, True], ["^al", "^xx"]),
+            (2, ["query", "x"], [False, True], ["^zz"]),
+            (3, ["nope"], [False], ["^zz"]),
+        ],
+        "id long, toks array<string>, mask array<boolean>, pats array<string>",
+    )
+    df.createOrReplaceTempView("lists_t")
+    got = bql(
+        spark,
+        "SELECT id, SIZEOF(FILTER(toks, mask)) AS n_kept, SIZEIS(toks, 2) AS is2 "
+        "FROM lists_t WHERE 'query' IN toks OR toks[0] RLIKE ANY (pats) LIMIT 10",
+    )
+    rows = {r["id"]: (r["n_kept"], r["is2"]) for r in got.collect()}
+    assert rows == {1: (2, False), 2: (1, True)}  # id 3 filtered out
+
+    # differential: same predicate + projection built programmatically
+    prog = df.filter(
+        (
+            E.in_list(E.v("query"), E.f("toks"))
+            | E.rlike_any(E.f("toks", index=0), E.f("pats"))
+        ).col()
+    ).select(
+        "id",
+        E.sizeof(E.list_filter(E.f("toks"), E.f("mask"))).col().alias("n_kept"),
+        (E.sizeof(E.f("toks")) == E.v(2)).col().alias("is2"),
+    )
+    assert {r["id"]: (r["n_kept"], r["is2"]) for r in prog.collect()} == rows
+
+
+def test_not_in_list_field_via_text(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"])], "id long, toks array<string>"
+    )
+    df.createOrReplaceTempView("nil_t")
+    got = bql(spark, "SELECT id FROM nil_t WHERE 'a' NOT IN toks LIMIT 10")
+    assert [r["id"] for r in got.collect()] == [2]
+    # value-list IN is unchanged
+    q = parse_bql("SELECT id FROM nil_t WHERE id IN (1, 3) LIMIT 10")
+    assert q.filter is not None
+
+
+def test_container_grammar_errors():
+    with pytest.raises(BQLError, match="FILTER"):
+        parse_bql("SELECT FILTER(toks) AS x FROM t LIMIT 1")
+    with pytest.raises(BQLError, match="SIZEIS"):
+        parse_bql("SELECT SIZEIS(toks) AS x FROM t LIMIT 1")
