@@ -123,7 +123,7 @@ def exact_quantiles_histogram(
     col: str,
     probs: list[float],
     num_buckets: int = 8192,
-    max_collect: int = 2_000_000,
+    max_collect: int = 200_000,
 ) -> DataFrame:
     """Exact linear-interpolation quantiles via histogram targeted-rank —
     the fast 100 TB path.
@@ -192,19 +192,21 @@ def exact_quantiles_histogram(
     heavy = [b for b in by_bucket if counts[b] > max_collect]
 
     if light:
-        rows = (
+        # Arrow toPandas: ~16 B/row columnar on the driver vs several hundred
+        # bytes per collect() Row object — the bound is max_collect rows of
+        # two doubles, not a list of Python Rows
+        pdf = (
             vals.withColumn("__b", b0)
             .filter(F.col("__b").isin(*light))
             .select("__b", "v")
-            .collect()
+            .toPandas()
         )
-        per_b: dict[int, list[float]] = {b: [] for b in light}
-        for row in rows:
-            per_b[row["__b"]].append(row["v"])
-        for b in light:
-            vs = sorted(per_b[b])
+        for b, grp in pdf.groupby("__b"):
+            b = int(b)
+            vs = grp["v"].to_numpy()
+            vs.sort()
             for r in by_bucket[b]:
-                rank_vals[r] = vs[r - cum[b]]
+                rank_vals[r] = float(vs[r - cum[b]])
 
     for b in heavy:
         sub = vals.filter(b0 == b)
@@ -278,20 +280,18 @@ def _ranks_by_histogram(
     heavy = [b for b in by_bucket if counts[b] > max_collect]
 
     if light:
-        light_set = set(light)
-        rows = (
+        pdf = (
             vals.withColumn("__b", bucket)
-            .filter(F.col("__b").isin(*light_set))
+            .filter(F.col("__b").isin(*set(light)))
             .select("__b", "v")
-            .collect()
+            .toPandas()  # Arrow columnar — see exact_quantiles_histogram
         )
-        per_b: dict[int, list[float]] = {b: [] for b in light_set}
-        for row in rows:
-            per_b[row["__b"]].append(row["v"])
-        for b in light_set:
-            vs = sorted(per_b[b])
+        for b, grp in pdf.groupby("__b"):
+            b = int(b)
+            vs = grp["v"].to_numpy()
+            vs.sort()
             for r in by_bucket[b]:
-                out[r] = vs[r - cum[b]]
+                out[r] = float(vs[r - cum[b]])
 
     for b in heavy:
         b_lo = lo + b * width
