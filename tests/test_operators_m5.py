@@ -550,3 +550,52 @@ def test_png_decode_rejects_unsupported_and_jpeg_stays_stub(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|Pillow"):
         mm.decode_image(jpeg).collect()
+
+
+def test_minhash_positional_equals_shingle_array_path(spark, tables):
+    """The positional substring hashing inside minhash_signatures produces
+    EXACTLY the signatures of the materialize-distinct-shingles construction
+    (min over a multiset = min over its set), so the array_distinct-free
+    fast path cannot drift."""
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].limit(200)
+    _P = (1 << 31) - 1
+
+    def _perm_params(i):
+        s = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 63)
+        return (s % (_P - 1)) + 1, (s >> 32) % _P
+
+    k = 16
+    reference = (
+        docs.select(
+            "doc_id",
+            F.explode(dd.char_shingles(F.col("text"), 5)).alias("sh"),
+        )
+        .select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(_P)).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"h{i}")
+                for i, (a, b) in ((j, _perm_params(j)) for j in range(k))
+            ]
+        )
+        .select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("ref_sig"))
+    )
+    got = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=k)
+    mism = (
+        got.join(reference, "doc_id")
+        .filter(F.col("sig") != F.col("ref_sig"))
+        .count()
+    )
+    assert mism == 0
+    assert got.count() == 200
+
+
+def test_widen_thin_input_size_aware(spark, tables):
+    """Tiny inputs keep a small fan-out (scan-size-capped), larger corpora
+    widen toward cluster parallelism, wide inputs pass through unchanged."""
+    few = dd.widen_thin_input(tables["region"])
+    assert few.rdd.getNumPartitions() <= 4  # 5-row table: no 32-way fan-out
+    already_wide = tables["events"].repartition(64)
+    assert dd.widen_thin_input(already_wide).rdd.getNumPartitions() == 64
