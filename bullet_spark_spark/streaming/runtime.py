@@ -643,6 +643,47 @@ class EngineRuntime:
             "spark_input_rows": int(sum(p["input_rows"] for p in prog)),
         }
 
+    def register_metrics_source(self, prefix: str = "bullet") -> dict[str, object]:
+        """Expose the engine counters OUTSIDE Python — parity with the
+        reference's Codahale source registered into Spark's metrics system
+        (BulletSparkMetricsSource.scala:22-53, counter update :47-52).
+
+        Each counter becomes a named JVM ``LongAccumulator`` registered in
+        Spark's ``AccumulatorContext`` (the same registry task metrics live
+        in), so the values are queryable from any JVM-side tool, appear in
+        the Spark UI's accumulator tables when the UI is enabled, and
+        survive with the SparkContext rather than this Python object.
+        ``sync_metrics()`` pushes the current listener-backed counters into
+        them; call it from a reporting tick (the reference updates its
+        counters on each publish, BulletSparkMetrics.scala:14-103)."""
+        sc = self.spark.sparkContext._jsc.sc()
+        if not hasattr(self, "_jvm_metrics"):
+            self._jvm_metrics: dict[str, object] = {}
+        for name in (
+            "queries_received",
+            "queries_running",
+            "queries_done",
+            "queries_killed",
+            "queries_failed",
+            "emissions",
+            "spark_batches",
+            "spark_input_rows",
+        ):
+            if name not in self._jvm_metrics:
+                self._jvm_metrics[name] = sc.longAccumulator(f"{prefix}.{name}")
+        return self.sync_metrics()
+
+    def sync_metrics(self) -> dict[str, object]:
+        """Push metrics() into the registered JVM accumulators (no-op
+        counters that were never registered). Returns the accumulators."""
+        if not hasattr(self, "_jvm_metrics"):
+            return {}
+        for name, value in self.metrics().items():
+            acc = self._jvm_metrics.get(name)
+            if acc is not None:
+                acc.setValue(int(value))
+        return self._jvm_metrics
+
     # -- internals ----------------------------------------------------------
 
     def _ensure_sweeper(self) -> None:

@@ -401,3 +401,33 @@ def test_listener_backed_metrics(spark, tables, tmp_path, runtime):
     assert m["spark_batches"] >= 1
     assert m["spark_input_rows"] >= n
     runtime.kill(handle.query_id)
+
+
+def test_metrics_source_visible_outside_python(spark, tables, tmp_path, runtime):
+    """Engine counters registered as named JVM LongAccumulators in Spark's
+    AccumulatorContext (parity with BulletSparkMetricsSource.scala:22-53):
+    after a query runs, the values read back from the JVM-side registry —
+    not through this Python object — match runtime.metrics()."""
+    stream = _events_stream(spark, tables, tmp_path)
+    runtime.run_available(
+        Query(
+            source="events",
+            aggregation=GroupAgg(fields=["event_type"], operations=[(AggOp.COUNT, None, "cnt")]),
+        ),
+        stream,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    accs = runtime.register_metrics_source()
+    assert accs, "no accumulators registered"
+    m = runtime.metrics()
+    ctx = spark._jvm.org.apache.spark.util.AccumulatorContext
+    for name, acc in accs.items():
+        registered = ctx.get(acc.id())
+        assert registered.isDefined(), name  # visible in the JVM registry
+        assert registered.get().value() == m[name], name
+        assert acc.name().get() == f"bullet.{name}"
+    assert accs["queries_done"].value() >= 1
+    # listener progress is async — the exact row total may lag a batch, but
+    # the accumulator must mirror whatever metrics() reported (checked
+    # above) and be non-zero after a drained run
+    assert accs["spark_input_rows"].value() > 0
