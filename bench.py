@@ -61,6 +61,7 @@ def main() -> None:
         times[name] = round(statistics.median(samples), 4)
 
     streaming_rps = _streaming_ingest_rate(spark)
+    control_qps = _control_plane_rate(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -69,6 +70,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "streaming_rows_per_sec": streaming_rps,
+        "control_plane_queries_per_sec": control_qps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
@@ -102,6 +104,46 @@ def _streaming_ingest_rate(spark) -> float:
         wall = time.perf_counter() - t0
     rt.stop_all()  # deregisters the progress listener before teardown
     return round(n_rows / wall, 1)
+
+
+def _control_plane_rate(spark) -> float:
+    """Queries/sec through the external control plane + dynamic
+    multiplexer — the reference's raison-d'être metric (many concurrent
+    queries sharing one stream, BASELINE.md posture table): 32 BQL queries
+    submitted over the control transport, parsed, registered, evaluated
+    over a full drain of the events stream, and completed; rate = queries
+    fully served / wall."""
+    import tempfile
+
+    from bullet_spark_spark.sources.batch import load_table
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.control import ControlPlane, submit_query
+    from bullet_spark_spark.streaming.dynamic import DynamicMultiplexer
+
+    events = load_table(spark, "events", SF_DIR)
+    n_queries = 32
+    with tempfile.TemporaryDirectory() as work:
+        mux = DynamicMultiplexer(spark)
+        plane = ControlPlane(
+            spark, mux, f"{work}/control", f"{work}/status.jsonl", poll_interval_s=0.05
+        )
+        plane.start()
+        t0 = time.perf_counter()
+        for i in range(n_queries):
+            submit_query(
+                f"{work}/control",
+                f"q{i}",
+                "SELECT user_id, COUNT(*) AS n, MIN(value) AS mn FROM STREAM() "
+                f"WHERE user_id % {n_queries} = {i} GROUP BY user_id",
+            )
+        deadline = time.time() + 60
+        while len(mux.queries) < n_queries and time.time() < deadline:
+            time.sleep(0.02)
+        stream = file_drip(spark, events, f"{work}/drip", chunks=4)
+        mux.start(stream, checkpoint_dir=f"{work}/ck", available_now=True)
+        wall = time.perf_counter() - t0
+        plane.stop()
+    return round(n_queries / wall, 2)
 
 
 if __name__ == "__main__":
