@@ -143,7 +143,12 @@ def _control_plane_rate(spark) -> float:
         mux.start(stream, checkpoint_dir=f"{work}/ck", available_now=True)
         wall = time.perf_counter() - t0
         plane.stop()
-    return round(n_queries / wall, 2)
+        # count only queries that actually completed a full serve cycle —
+        # a registration stall must not inflate the reported rate
+        served = sum(
+            1 for h in mux.queries.values() if h.state.value == "COMPLETED"
+        )
+    return round(served / wall, 2)
 
 
 if __name__ == "__main__":

@@ -14,7 +14,8 @@ reference, with identical output schema either way.
 Scope of the fallback codec: full recursive Avro record schemas —
 primitives (null/boolean/int/long/float/double/string/bytes), nested
 records, arrays, maps, enums (decoded as their string symbol), fixed, and
-2-branch nullable unions ``["null", T]`` at any depth, plus named-type
+2-branch nullable unions — ``["null", T]`` or ``["T", null]``, with the
+union's wire-level branch order preserved — at any depth, plus named-type
 references. That covers the reference's record type system including
 LIST-of-MAP and MAP-of-MAP composites (SURVEY §1.2). Multi-branch
 non-null unions remain out of scope (they have no stable columnar shape;
@@ -59,7 +60,8 @@ _PRIMITIVES: dict[str, DataType] = {
 
 # AvroType: a tagged tuple —
 #   ("prim", name) | ("record", [(field_name, AvroType), ...])
-#   | ("array", item) | ("map", value) | ("nullable", inner)
+#   | ("array", item) | ("map", value)
+#   | ("nullable", inner, null_branch_index)
 #   | ("enum", [symbols]) | ("fixed", size)
 
 
@@ -74,7 +76,10 @@ def _parse_type(t: Any, named: dict[str, tuple]) -> tuple:
         branches = [b for b in t if b != "null"]
         if len(branches) != 1 or len(t) > 2:
             raise ValueError(f"unsupported union {t} (only 2-branch nullable)")
-        return ("nullable", _parse_type(branches[0], named))
+        # Avro union values are encoded as the BRANCH INDEX then the value,
+        # so ["null", T] and [T, "null"] differ on the wire — keep the null
+        # branch's position (spec-conformant interop with spark-avro/Java)
+        return ("nullable", _parse_type(branches[0], named), t.index("null"))
     if isinstance(t, dict):
         kind = t["type"]
         if kind == "record":
@@ -104,20 +109,14 @@ def _parse_type(t: Any, named: dict[str, tuple]) -> tuple:
 def parse_avro_schema(schema_json: str) -> list[tuple[str, tuple, bool]]:
     """Top-level Avro record schema JSON → [(field, AvroType, nullable)].
 
-    ``nullable`` is surfaced separately for the top level so flat callers
-    keep a simple shape; nested nullability lives inside the AvroType tree
-    as ("nullable", inner) nodes."""
+    The AvroType keeps its ("nullable", inner, null_idx) wrapper so the
+    codec preserves the union's wire-level branch order; ``nullable`` is
+    surfaced as a separate flag for schema-shaping callers."""
     schema = json.loads(schema_json)
     root = _parse_type(schema, {})
     if root[0] != "record":
         raise ValueError("decode_avro supports record schemas at the top level")
-    out: list[tuple[str, tuple, bool]] = []
-    for name, ftype in root[1]:
-        if ftype[0] == "nullable":
-            out.append((name, ftype[1], True))
-        else:
-            out.append((name, ftype, False))
-    return out
+    return [(name, ftype, ftype[0] == "nullable") for name, ftype in root[1]]
 
 
 def _spark_type(t: tuple) -> DataType:
@@ -185,10 +184,11 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
 def _encode_value(v: Any, t: tuple, out: bytearray) -> None:
     kind = t[0]
     if kind == "nullable":
+        null_idx = t[2]
         if v is None:
-            out += _zigzag_encode(0)  # union branch 0 = null
+            out += _zigzag_encode(null_idx)
             return
-        out += _zigzag_encode(1)
+        out += _zigzag_encode(1 - null_idx)
         _encode_value(v, t[1], out)
         return
     if v is None and t != ("prim", "null"):
@@ -240,7 +240,7 @@ def _decode_value(buf: bytes, pos: int, t: tuple) -> tuple[Any, int]:
     kind = t[0]
     if kind == "nullable":
         branch, pos = _zigzag_decode(buf, pos)
-        if branch == 0:
+        if branch == t[2]:
             return None, pos
         return _decode_value(buf, pos, t[1])
     if kind == "prim":
@@ -300,8 +300,8 @@ def _decode_value(buf: bytes, pos: int, t: tuple) -> tuple[Any, int]:
 def encode_avro_row(values: dict[str, Any], schema_json: str) -> bytes:
     """Encode one record to Avro binary (test/producer side)."""
     out = bytearray()
-    for name, t, nullable in parse_avro_schema(schema_json):
-        _encode_value(values.get(name), ("nullable", t) if nullable else t, out)
+    for name, t, _nullable in parse_avro_schema(schema_json):
+        _encode_value(values.get(name), t, out)
     return bytes(out)
 
 
@@ -310,8 +310,8 @@ def decode_avro_row(
 ) -> dict[str, Any]:
     pos = 0
     row: dict[str, Any] = {}
-    for name, t, nullable in fields:
-        row[name], pos = _decode_value(buf, pos, ("nullable", t) if nullable else t)
+    for name, t, _nullable in fields:
+        row[name], pos = _decode_value(buf, pos, t)
     return row
 
 

@@ -123,9 +123,14 @@ class KafkaTransport(ControlTransport):
 
     Control messages are consumed from ``query_topic`` (earliest offset, so
     a restarted plane replays the full registration history — the recovery
-    contract above), status events are produced to ``status_topic``.
-    ``consumer_factory``/``producer_factory`` default to kafka-python's
-    ``KafkaConsumer``/``KafkaProducer`` and are injectable for tests."""
+    contract above), status events are produced to ``status_topic``, and
+    ``replay_status`` drains the status topic from the beginning through a
+    throwaway consumer so the replayed registrations dedupe against
+    already-terminal queries exactly as on the file transport.
+    ``consumer_factory``/``producer_factory``/``status_replay_factory``
+    default to kafka-python clients and are injectable for tests; with
+    injected clients and no ``status_replay_factory``, replay returns []
+    (recovery off)."""
 
     def __init__(
         self,
@@ -135,6 +140,7 @@ class KafkaTransport(ControlTransport):
         poll_timeout_ms: int = 100,
         consumer_factory=None,
         producer_factory=None,
+        status_replay_factory=None,
     ) -> None:
         if consumer_factory is None or producer_factory is None:
             try:
@@ -156,8 +162,21 @@ class KafkaTransport(ControlTransport):
             producer_factory = producer_factory or (
                 lambda: KafkaProducer(bootstrap_servers=bootstrap_servers)
             )
+            # a throwaway earliest-offset consumer on the STATUS topic: the
+            # control topic replays from offset 0, so recovery needs the
+            # already-published terminal signals too (see replay_status)
+            status_replay_factory = status_replay_factory or (
+                lambda: KafkaConsumer(
+                    status_topic,
+                    bootstrap_servers=bootstrap_servers,
+                    auto_offset_reset="earliest",
+                    enable_auto_commit=False,
+                    consumer_timeout_ms=max(poll_timeout_ms, 1000),
+                )
+            )
         self.status_topic = status_topic
         self.poll_timeout_ms = poll_timeout_ms
+        self._status_replay_factory = status_replay_factory
         self._consumer = consumer_factory()
         self._producer = producer_factory()
 
@@ -177,6 +196,25 @@ class KafkaTransport(ControlTransport):
             self.status_topic, json.dumps(event, default=str).encode("utf-8")
         )
         self._producer.flush()
+
+    def replay_status(self) -> list[dict]:
+        """Drain the status topic from the beginning (restart recovery: the
+        consumer replays the control topic from offset 0, so already-
+        published terminal signals must be replayable too — matching
+        FileLogTransport's semantics)."""
+        if self._status_replay_factory is None:
+            return []
+        consumer = self._status_replay_factory()
+        events: list[dict] = []
+        try:
+            for rec in consumer:  # stops on consumer_timeout_ms
+                value = rec.value
+                events.append(
+                    json.loads(value.decode("utf-8") if isinstance(value, bytes) else value)
+                )
+        finally:
+            consumer.close()
+        return events
 
     def close(self) -> None:
         self._consumer.close()

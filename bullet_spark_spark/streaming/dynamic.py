@@ -218,20 +218,18 @@ class DynamicMultiplexer:
             # query's state counts as one emission
             now = time.time()
             for handle, _ops, _off in plans:
-                if handle.query_id not in matched or handle.state is not QueryState.RUNNING:
+                if (
+                    handle.rate_limit is None
+                    or handle.query_id not in matched
+                    or handle.state is not QueryState.RUNNING
+                ):
                     continue
                 handle.emit_times.append(now)
-                rl = handle.rate_limit
-                if rl is not None:
-                    window_start = now - rl.interval_ms / 1000.0
-                    recent = sum(1 for t in handle.emit_times if t >= window_start)
-                    if recent > rl.max_emits:
-                        handle.error = (
-                            f"rate limit exceeded: {recent} emits in "
-                            f"{rl.interval_ms}ms (max {rl.max_emits})"
-                        )
-                        handle.state = QueryState.FAILED
-                        self.status_log.append((handle.query_id, Signal.FAIL, now))
+                err = handle.rate_limit.check(handle.emit_times, now)
+                if err is not None:
+                    handle.error = err
+                    handle.state = QueryState.FAILED
+                    self.status_log.append((handle.query_id, Signal.FAIL, now))
 
     def start(
         self,

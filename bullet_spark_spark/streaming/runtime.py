@@ -79,6 +79,21 @@ class RateLimit:
     max_emits: int
     interval_ms: int
 
+    def check(self, emit_times: list[float], now: float) -> str | None:
+        """Shared guard for all three streaming modes: prunes entries older
+        than the window IN PLACE (they can never affect the count again, so
+        a long-lived query stays O(window), not O(lifetime)), then returns
+        an error string if the budget is exceeded, else None."""
+        window_start = now - self.interval_ms / 1000.0
+        if emit_times and emit_times[0] < window_start:
+            emit_times[:] = [t for t in emit_times if t >= window_start]
+        if len(emit_times) > self.max_emits:
+            return (
+                f"rate limit exceeded: {len(emit_times)} emits in "
+                f"{self.interval_ms}ms (max {self.max_emits})"
+            )
+        return None
+
 
 @dataclass
 class QueryHandle:
@@ -301,18 +316,15 @@ class EngineRuntime:
                 sink(batch_df, epoch_id)
             emitted = len(sink.rows) - rows_before
             now = time.time()
-            if emitted > 0:
-                handle.emit_times.append(now)
             if raw_limit is not None:
                 handle.raw_rows_seen += emitted
+            # emit_times exists only to feed the window check (which prunes
+            # it to window size) — with no limit, don't accumulate at all
             if rate_limit is not None and emitted > 0:
-                window_start = now - rate_limit.interval_ms / 1000.0
-                recent = sum(1 for t in handle.emit_times if t >= window_start)
-                if recent > rate_limit.max_emits:
-                    handle.error = (
-                        f"rate limit exceeded: {recent} emits in "
-                        f"{rate_limit.interval_ms}ms (max {rate_limit.max_emits})"
-                    )
+                handle.emit_times.append(now)
+                err = rate_limit.check(handle.emit_times, now)
+                if err is not None:
+                    handle.error = err
 
         writer = df.writeStream.outputMode(mode).foreachBatch(emit)
         if checkpoint_dir:
@@ -443,19 +455,15 @@ class EngineRuntime:
                 if handle.sink.columns is None:
                     handle.sink.columns = columns
                 handle.sink.batches.append(rows)
-            now = time.time()
-            handle.emit_times.append(now)
             # emit-rate guard in the shared stage (the reference enforces in
             # both stages, FilterStreaming.scala:129-133 + JoinStreaming
-            # .scala:152-159); the sweeper turns error into FAIL + stop
+            # .scala:152-159); the sweeper turns error into FAIL + stop.
+            # emit_times only feeds the pruned window check — skip entirely
+            # when no limit is set
             if rate_limit is not None and handle.error is None:
-                window_start = now - rate_limit.interval_ms / 1000.0
-                recent = sum(1 for t in handle.emit_times if t >= window_start)
-                if recent > rate_limit.max_emits:
-                    handle.error = (
-                        f"rate limit exceeded: {recent} emits in "
-                        f"{rate_limit.interval_ms}ms (max {rate_limit.max_emits})"
-                    )
+                now = time.time()
+                handle.emit_times.append(now)
+                handle.error = rate_limit.check(handle.emit_times, now)
 
         def _result_rows(qid: str) -> tuple[list[str], list[tuple]]:
             """Current full merged result for one query (bounded)."""

@@ -202,10 +202,60 @@ def test_kafka_control_plane_end_to_end_with_stub_clients(spark):
         plane.stop()
 
 
-def test_kafka_transport_requires_client_or_factories():
+def test_kafka_transport_requires_client_or_factories(monkeypatch):
     """Without kafka-python and without injected factories the binding
-    fails with a clear ImportError (and the live test below skips)."""
-    pytest.importorskip("kafka", reason="kafka-python not installed")  # noqa: F841
+    fails with a clear ImportError naming the missing package — forced in
+    every environment by masking the kafka import."""
+    import sys
+
+    monkeypatch.setitem(sys.modules, "kafka", None)  # import kafka → ImportError
+    with pytest.raises(ImportError, match="kafka-python"):
+        KafkaTransport("broker:9092")
+
+
+def test_kafka_transport_restart_recovery_with_stub_clients(spark):
+    """Restart recovery over the Kafka binding: replay_status drains the
+    status topic, so a replayed control topic does not re-register queries
+    whose terminal SIGNAL is already published."""
+    consumer, producer = _FakeConsumer(), _FakeProducer()
+
+    class _FakeReplayConsumer:
+        def __init__(self, records):
+            self._records = records
+            self.closed = False
+
+        def __iter__(self):
+            return iter(self._records)
+
+        def close(self):
+            self.closed = True
+
+    terminal = {"type": "SIGNAL", "query_id": "old", "signal": "COMPLETE", "ts": 1.0}
+    replay = _FakeReplayConsumer([_FakeRecord(json.dumps(terminal).encode())])
+    mux = DynamicMultiplexer(spark)
+    plane = kafka_control_plane(
+        spark,
+        mux,
+        "broker:9092",
+        poll_interval_s=0.05,
+        consumer_factory=lambda: consumer,
+        producer_factory=lambda: producer,
+        status_replay_factory=lambda: replay,
+    )
+    plane.start()
+    try:
+        # the control topic replays from offset 0: old (terminal) + fresh
+        consumer.push({"id": "old", "bql": "SELECT COUNT(*) AS n FROM STREAM()"})
+        consumer.push({"id": "fresh", "bql": "SELECT COUNT(*) AS n FROM STREAM()"})
+        assert _wait_for(lambda: "fresh" in mux.queries)
+        assert "old" not in mux.queries  # terminal query not re-registered
+        assert replay.closed
+        # and its terminal events are not re-emitted
+        assert not any(
+            json.loads(v).get("query_id") == "old" for _, v in producer.sent
+        )
+    finally:
+        plane.stop()
 
 
 def test_kafka_transport_live_broker():

@@ -247,3 +247,28 @@ def test_avro_named_type_reference(spark):
     )
     got = [r.asDict(recursive=True) for r in decode_avro(df, schema).collect()]
     assert got == rows
+
+
+def test_avro_union_branch_order_is_positional():
+    """Avro encodes union values as BRANCH INDEX + value, so ["null","long"]
+    and ["long","null"] differ on the wire. Pin the spec bytes directly:
+    interop with spark-avro/Java Avro depends on this, and a shared
+    encoder/decoder bug would be invisible to round-trip tests."""
+    from bullet_spark_spark.sources.avro import decode_avro_row, encode_avro_row, parse_avro_schema
+
+    null_first = '{"type":"record","name":"A","fields":[{"name":"x","type":["null","long"]}]}'
+    null_second = '{"type":"record","name":"B","fields":[{"name":"x","type":["long","null"]}]}'
+
+    # null-first: null → branch 0 (zigzag 0x00); value 1 → branch 1 (0x02) + zigzag(1)=0x02
+    assert encode_avro_row({"x": None}, null_first) == b"\x00"
+    assert encode_avro_row({"x": 1}, null_first) == b"\x02\x02"
+    # null-second: value 1 → branch 0 (0x00) + zigzag(1); null → branch 1 (0x02)
+    assert encode_avro_row({"x": 1}, null_second) == b"\x00\x02"
+    assert encode_avro_row({"x": None}, null_second) == b"\x02"
+
+    f1 = parse_avro_schema(null_first)
+    f2 = parse_avro_schema(null_second)
+    assert decode_avro_row(b"\x02\x02", f1) == {"x": 1}
+    assert decode_avro_row(b"\x00", f1) == {"x": None}
+    assert decode_avro_row(b"\x00\x02", f2) == {"x": 1}
+    assert decode_avro_row(b"\x02", f2) == {"x": None}
