@@ -19,9 +19,11 @@ Trade-offs vs the other two modes (all three are supported — SURVEY §7.0):
   dynamic registry; per-batch plan compilation cost (~ms) and driver-side
   final merge (fine for bullet-sized bounded results, which is the
   reference's own constraint — results return through a message bus).
-  Queries sharing a group-by field set run as ONE conditional-aggregation
-  job per batch (filters compiled into when(pred, ...) guards), so the
-  per-batch job count is #distinct-fieldsets, not #queries.
+  ALL live queries run as ONE conditional-aggregation job per batch:
+  filters compile into when(pred, ...) guards and the distinct group-by
+  field sets become GROUPING SETS of a single aggregation (grouping_id()
+  routes output rows back to their queries) — one scan + one shuffle per
+  batch regardless of query or field-set count.
 """
 
 from __future__ import annotations
@@ -106,13 +108,15 @@ class DynamicMultiplexer:
         """The FilterStreaming.transformWith analogue: snapshot the registry,
         run every live spec against this micro-batch, merge partials.
 
-        Queries sharing a group-by field set batch into ONE conditional
-        aggregation (each query's filter becomes a ``when(pred, ...)`` guard
-        inside its aggregate expressions) — one scan + one shuffle per
-        distinct field set instead of one job per query, with group keys
-        keeping their native types. This is the Spark-expression form of the
-        reference's 'one pass over the records for all queries'
-        (FilterStreaming.scala:54-67)."""
+        ALL live queries run as ONE aggregation job per micro-batch: each
+        query's filter becomes a ``when(pred, ...)`` guard inside its
+        aggregate expressions, and the distinct group-by field sets become
+        GROUPING SETS of one shared aggregation — one scan, one shuffle per
+        batch regardless of query count or field-set count, with group keys
+        keeping their native types. ``grouping_id()`` routes each output row
+        to exactly the queries of its field set. This is the
+        Spark-expression form of the reference's 'one pass over the records
+        for all queries' (FilterStreaming.scala:54-67)."""
         with self._lock:
             live = [
                 (h, h.spec)
@@ -126,64 +130,92 @@ class DynamicMultiplexer:
             by_fields.setdefault(tuple(spec.aggregation.fields), []).append(
                 (handle, spec)
             )
-        batch_df = batch_df.persist()
-        try:
-            for fields, members in by_fields.items():
-                self._run_field_group(batch_df, list(fields), members)
-            now = time.time()
-            with self._lock:
-                for handle, spec in live:
-                    # duration expiry checked at batch boundaries (the
-                    # reference's clock is the batch too,
-                    # JoinStreaming.scala:118-122)
-                    if (
-                        handle.state is QueryState.RUNNING
-                        and spec.duration_ms is not None
-                        and (now - handle.started_at) * 1000 >= spec.duration_ms
-                    ):
-                        handle.state = QueryState.COMPLETED
-                        self.status_log.append((handle.query_id, Signal.COMPLETE, now))
-        finally:
-            batch_df.unpersist()
+        self._run_grouping_sets(batch_df, by_fields)
+        now = time.time()
+        with self._lock:
+            for handle, spec in live:
+                # duration expiry checked at batch boundaries (the
+                # reference's clock is the batch too,
+                # JoinStreaming.scala:118-122)
+                if (
+                    handle.state is QueryState.RUNNING
+                    and spec.duration_ms is not None
+                    and (now - handle.started_at) * 1000 >= spec.duration_ms
+                ):
+                    handle.state = QueryState.COMPLETED
+                    self.status_log.append((handle.query_id, Signal.COMPLETE, now))
 
-    def _run_field_group(
+    def _run_grouping_sets(
         self,
         batch_df: DataFrame,
-        fields: list[str],
-        members: list[tuple["DynamicHandle", Query]],
+        by_fields: dict[tuple[str, ...], list[tuple["DynamicHandle", Query]]],
     ) -> None:
-        """One aggregation job for every live query grouping by ``fields``."""
-        exprs = []
-        plans: list[tuple[DynamicHandle, list, int]] = []  # handle, ops, col offset
-        offset = 0
-        for handle, spec in members:
-            agg: GroupAgg = spec.aggregation
-            ops = list(agg.operations) or [(AggOp.COUNT, None, "count")]
-            pred = spec.filter.col() if spec.filter is not None else F.lit(True)
-            for i, (op, fld, _out) in enumerate(ops):
-                if op in (AggOp.COUNT, AggOp.COUNT_FIELD):
-                    src = F.lit(1) if op is AggOp.COUNT else F.col(fld)
-                    col = F.count(F.when(pred, src))
-                elif op is AggOp.SUM:
-                    col = F.sum(F.when(pred, F.col(fld)))
-                elif op is AggOp.MIN:
-                    col = F.min(F.when(pred, F.col(fld)))
-                else:  # MAX (register() rejects anything non-mergeable)
-                    col = F.max(F.when(pred, F.col(fld)))
-                exprs.append(col.alias(f"c{offset + i}"))
-            # explicit matched-row sentinel per query: inferring "the filter
-            # matched" from the agg outputs drops groups whose matched rows
-            # have only NULL agg inputs (COUNT_FIELD=0 / MIN=NULL), which a
-            # plan-per-query run of the same spec would emit
-            exprs.append(F.count(F.when(pred, F.lit(1))).alias(f"c{offset + len(ops)}"))
-            plans.append((handle, ops, offset))
-            offset += len(ops) + 1
+        """One aggregation job for EVERY live query across all field sets."""
+        all_fields: list[str] = []
+        for fields in by_fields:
+            for f in fields:
+                if f not in all_fields:
+                    all_fields.append(f)
+        n = len(all_fields)
 
-        if fields:
-            rows = batch_df.groupBy(*[F.col(k) for k in fields]).agg(*exprs).collect()
+        exprs = []
+        # handle, ops, col offset, its field set, its grouping_id
+        plans: list[tuple[DynamicHandle, list, int, tuple[str, ...], int]] = []
+        offset = 0
+        for fields, members in by_fields.items():
+            # grouping_id bitmask: bit per groupBy column (groupBy order,
+            # MSB first), 1 = aggregated away in this grouping set
+            gid = sum(
+                1 << (n - 1 - i) for i, c in enumerate(all_fields) if c not in fields
+            )
+            for handle, spec in members:
+                agg: GroupAgg = spec.aggregation
+                ops = list(agg.operations) or [(AggOp.COUNT, None, "count")]
+                pred = spec.filter.col() if spec.filter is not None else F.lit(True)
+                for i, (op, fld, _out) in enumerate(ops):
+                    if op in (AggOp.COUNT, AggOp.COUNT_FIELD):
+                        src = F.lit(1) if op is AggOp.COUNT else F.col(fld)
+                        col = F.count(F.when(pred, src))
+                    elif op is AggOp.SUM:
+                        col = F.sum(F.when(pred, F.col(fld)))
+                    elif op is AggOp.MIN:
+                        col = F.min(F.when(pred, F.col(fld)))
+                    else:  # MAX (register() rejects anything non-mergeable)
+                        col = F.max(F.when(pred, F.col(fld)))
+                    exprs.append(col.alias(f"c{offset + i}"))
+                # explicit matched-row sentinel per query: inferring "the
+                # filter matched" from the agg outputs drops groups whose
+                # matched rows have only NULL agg inputs (COUNT_FIELD=0 /
+                # MIN=NULL), which a plan-per-query run would emit
+                exprs.append(
+                    F.count(F.when(pred, F.lit(1))).alias(f"c{offset + len(ops)}")
+                )
+                plans.append((handle, ops, offset, fields, gid))
+                offset += len(ops) + 1
+
+        if not all_fields:  # only the global field set is live
+            rows = [(*r, 0) for r in batch_df.agg(*exprs).collect()]
+        elif len(by_fields) == 1:
+            # single field set: plain groupBy — GROUPING SETS would add an
+            # Expand operator (and grouping_id computation) for no routing
+            # benefit; measured ~30% faster on the control-plane bench
+            only_gid = plans[0][4]
+            rows = [
+                (*r, only_gid)
+                for r in batch_df.groupBy(*[F.col(c) for c in all_fields])
+                .agg(*exprs)
+                .collect()
+            ]
         else:
-            rows = batch_df.agg(*exprs).collect()
-        key_len = len(fields)
+            rows = (
+                batch_df.groupingSets(
+                    [list(fields) for fields in by_fields], *all_fields
+                )
+                .agg(*exprs, F.grouping_id().alias("__gid"))
+                .collect()
+            )
+
+        field_pos = {c: i for i, c in enumerate(all_fields)}
         # merge under the registry lock: the control-plane publisher thread
         # snapshots handle.groups concurrently, and dict insertion during
         # its iteration would raise there
@@ -191,16 +223,19 @@ class DynamicMultiplexer:
             matched: set[str] = set()
             for r in rows:
                 raw = list(r)
-                key = tuple(raw[:key_len])
-                for handle, ops, off in plans:
-                    vals = raw[key_len + off : key_len + off + len(ops)]
+                gid = raw[-1]
+                for handle, ops, off, fields, fgid in plans:
+                    if fgid != gid:
+                        continue  # row belongs to another field set
+                    vals = raw[n + off : n + off + len(ops)]
                     # sentinel: rows matched by this query's filter in this
                     # group/batch — zero means the group exists only because
                     # of OTHER queries in the shared job; skip to keep
                     # groups result-sized (bullet's bounded-result posture)
-                    if raw[key_len + off + len(ops)] == 0:
+                    if raw[n + off + len(ops)] == 0:
                         continue
                     matched.add(handle.query_id)
+                    key = tuple(raw[field_pos[c]] for c in fields)
                     cur = handle.groups.get(key)
                     if cur is None:
                         handle.groups[key] = vals
@@ -217,7 +252,7 @@ class DynamicMultiplexer:
             # 129-133, JoinStreaming.scala:152-159): a batch that updated a
             # query's state counts as one emission
             now = time.time()
-            for handle, _ops, _off in plans:
+            for handle, _ops, _off, _fields, _gid in plans:
                 if (
                     handle.rate_limit is None
                     or handle.query_id not in matched

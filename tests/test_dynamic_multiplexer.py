@@ -121,9 +121,10 @@ def test_null_partial_merge(spark):
 
 
 def test_shared_fieldset_batches_into_one_job(spark, monkeypatch):
-    """Queries sharing a group-by field set run as ONE conditional
-    aggregation per micro-batch (filters become when(pred,...) guards) —
-    job count per batch is #distinct-fieldsets, not #queries."""
+    """ALL live queries run as ONE grouping-sets aggregation per
+    micro-batch (filters become when(pred,...) guards, field sets become
+    GROUPING SETS) — job count per batch is 1, not #queries or even
+    #distinct-fieldsets."""
     from pyspark.sql.classic.dataframe import DataFrame  # concrete class in Spark 4
 
     mux = DynamicMultiplexer(spark)
@@ -149,7 +150,7 @@ def test_shared_fieldset_batches_into_one_job(spark, monkeypatch):
         DataFrame, "collect", lambda self: (calls.append(1), orig(self))[1]
     )
     mux._process_batch(batch, 0)
-    assert len(calls) == 2  # ["k"] group + [] group — not 4
+    assert len(calls) == 1  # ["k"] sets + [] set share ONE grouping-sets job
     assert mux.queries["q0"].groups == {("a",): [2, 4.0], ("b",): [1, 5.0]}  # v>0
     assert mux.queries["q1"].groups == {("a",): [1, 3.0], ("b",): [1, 5.0]}  # v>2
     assert mux.queries["q2"].groups == {("b",): [1, 5.0]}  # v>4: group a absent
