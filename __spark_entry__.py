@@ -1530,8 +1530,8 @@ def multimodal_features(spark, sf_dir):
     decodable PPM images (attach_ppm_media — utf-8 payload as the pixel
     plane), then decode → per-channel means + luminance histogram run as
     Arrow-batched mapInPandas stages (operators/multimodal.decode_ppm /
-    image_stats). PNG decodes natively too (decode_image: zlib + numpy
-    unfilter); only JPEG keeps the documented NotImplementedError stub.
+    image_stats). PNG (zlib + numpy unfilter) and baseline JPEG
+    (operators/jpeg.py) decode natively through decode_image as well.
     Nothing in this query is faked past the synthetic pixels themselves."""
     t = _t(spark, sf_dir)
     media = mm.attach_ppm_media(

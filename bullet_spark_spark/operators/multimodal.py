@@ -2,9 +2,11 @@
 
 Media travels as an opaque ``binary`` column plus a typed metadata struct.
 The schema/partitioning/UDF-shape layer is real and tested, and so are the
-codecs for PNG (stdlib zlib + numpy unfilter), binary PPM, and RIFF/WAV
-PCM; only entropy-coded formats (JPEG) remain stubbed behind
-``NotImplementedError`` (their decoders need Pillow/libvips, absent here).
+codecs: PNG (stdlib zlib + numpy unfilter), baseline JPEG (operators.jpeg
+— Huffman + IDCT + chroma upsampling, pure numpy), binary PPM, and
+RIFF/WAV PCM. Only formats with no stdlib-expressible decoder
+(WebP/AVIF/progressive JPEG) raise ``NotImplementedError`` and would
+route to Pillow/libvips in production.
 
 Scale posture: decode/feature-extract are ``mapInPandas`` stages — Arrow
 batches in and out, one Python worker per core, no driver involvement. The
@@ -76,27 +78,33 @@ def attach_fake_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame
 
 
 def decode_image(df: DataFrame) -> DataFrame:
-    """Image decode dispatching on magic bytes inside mapInPandas: REAL for
-    PNG (stdlib zlib inflate + numpy per-row unfilter, ``_parse_png``) and
-    binary PPM (``_parse_ppm``); JPEG and other compressed formats still
-    raise NotImplementedError (entropy decode needs Pillow/libvips — not in
-    this container). Output is IMAGE_SCHEMA (dims + raw pixel plane), so
-    ``resize_nearest``/``image_stats`` compose regardless of source format."""
+    """Image decode dispatching on magic bytes inside mapInPandas — REAL
+    for PNG (stdlib zlib inflate + numpy per-row unfilter, ``_parse_png``),
+    baseline JPEG (operators.jpeg: Huffman entropy decode + vectorized
+    IDCT + chroma upsampling), and binary PPM (``_parse_ppm``). Formats
+    with no native codec here (WebP/AVIF/progressive JPEG/...) raise
+    NotImplementedError — they need Pillow/libvips. Output is IMAGE_SCHEMA
+    (dims + raw pixel plane), so ``resize_nearest``/``image_stats``
+    compose regardless of source format."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bullet_spark_spark.operators.jpeg import decode_jpeg
+
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["bytes"]):
                 data = bytes(blob or b"")
                 if data.startswith(PNG_SIGNATURE):
                     h, w, c, px = _parse_png(data)
+                elif data.startswith(b"\xff\xd8"):
+                    h, w, c, px = decode_jpeg(data)
                 elif data.startswith(b"P6"):
                     h, w, c, px = _parse_ppm(data)
                 else:
                     raise NotImplementedError(
                         "image decode for this format needs Pillow/libvips "
-                        "(only PNG and P6 PPM decode natively); plumbing "
-                        "(schema/Arrow/mapInPandas) is real"
+                        "(PNG, baseline JPEG, and P6 PPM decode natively); "
+                        "plumbing (schema/Arrow/mapInPandas) is real"
                     )
                 rows.append((mid, h, w, c, px))
             yield pd.DataFrame(

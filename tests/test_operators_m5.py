@@ -529,9 +529,9 @@ def test_png_all_filter_types_unfilter_exactly(spark):
     assert bytes(r["pixels"]) == arr.astype(np.uint8).tobytes()
 
 
-def test_png_decode_rejects_unsupported_and_jpeg_stays_stub(spark):
-    """Palette/16-bit/interlaced PNGs raise a clear ValueError; JPEG bytes
-    keep the honest NotImplementedError stub."""
+def test_png_decode_rejects_unsupported_and_unknown_stays_stub(spark):
+    """Palette/16-bit/interlaced PNGs raise a clear ValueError; formats
+    with no native codec (WebP here) keep the honest NotImplementedError."""
     import pytest as _pytest
 
     import numpy as np
@@ -544,12 +544,12 @@ def test_png_decode_rejects_unsupported_and_jpeg_stays_stub(spark):
     with _pytest.raises(Exception, match="unsupported PNG|16"):
         mm.decode_image(media).collect()
 
-    jpeg = spark.createDataFrame(
-        [(2, "image/jpeg", bytearray(b"\xff\xd8\xff\xe0fakejpeg"), {})],
+    webp = spark.createDataFrame(
+        [(2, "image/webp", bytearray(b"RIFF\x00\x00\x00\x00WEBPfake"), {})],
         mm.MEDIA_SCHEMA,
     )
     with _pytest.raises(Exception, match="NotImplementedError|Pillow"):
-        mm.decode_image(jpeg).collect()
+        mm.decode_image(webp).collect()
 
 
 def test_minhash_positional_equals_shingle_array_path(spark, tables):
