@@ -1537,12 +1537,55 @@ def multimodal_features(spark, sf_dir):
     media = mm.attach_ppm_media(
         t["documents"].filter(F.col("doc_id") < 100), "doc_id", "text"
     )
-    stats = mm.image_stats(mm.decode_ppm(media))
-    return stats.select(
-        "media_id",
-        F.round("mean_r", 4).alias("mean_r"),
-        F.round("mean_g", 4).alias("mean_g"),
-        F.round("mean_b", 4).alias("mean_b"),
+    decoded = mm.decode_ppm(media)
+
+    def reencode(fmt: str):
+        """Re-encode the decoded pixel planes as PNG/JPEG media rows —
+        every compressed codec then rides the SAME decode_image stage."""
+
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            from bullet_spark_spark.operators.jpeg import encode_jpeg
+
+            for pdf in batches:
+                rows = []
+                for mid, h, w, c, px in zip(
+                    pdf["media_id"], pdf["height"], pdf["width"],
+                    pdf["channels"], pdf["pixels"],
+                ):
+                    arr = np.frombuffer(bytes(px), np.uint8).reshape(h, w, c)
+                    blob = (
+                        mm.encode_png(arr) if fmt == "png" else encode_jpeg(arr, 95)
+                    )
+                    rows.append((mid, f"image/{fmt}", blob, {}))
+                yield pd.DataFrame(rows, columns=["media_id", "mime", "bytes", "meta"])
+
+        return fn
+
+    ppm = mm.image_stats(decoded)
+    png = mm.image_stats(
+        mm.decode_image(decoded.mapInPandas(reencode("png"), schema=mm.MEDIA_SCHEMA))
+    ).select(
+        F.col("media_id"), F.col("mean_r").alias("png_mean_r")
+    )
+    jpg = mm.image_stats(
+        mm.decode_image(decoded.mapInPandas(reencode("jpeg"), schema=mm.MEDIA_SCHEMA))
+    ).select(F.col("media_id"), F.col("mean_r").alias("jpeg_mean_r"))
+    return (
+        ppm.join(png, "media_id")
+        .join(jpg, "media_id")
+        .select(
+            "media_id",
+            F.round("mean_r", 4).alias("mean_r"),
+            F.round("mean_g", 4).alias("mean_g"),
+            F.round("mean_b", 4).alias("mean_b"),
+            # PNG is lossless: its decode must reproduce the PPM plane bit-
+            # for-bit; JPEG is quantization-bounded
+            (F.round("png_mean_r", 4) == F.round("mean_r", 4)).alias("png_lossless"),
+            (F.abs(F.col("jpeg_mean_r") - F.col("mean_r")) < 3.0).alias("jpeg_close"),
+        )
     )
 
 
