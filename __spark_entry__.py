@@ -1478,11 +1478,13 @@ def scale_salted_agg(spark, sf_dir):
 # CORRECTNESS window.
 # ---------------------------------------------------------------------------
 
-@q("dedup_minhash_lsh")  # rows-only: xxhash64 minhashes are engine-specific
+@q("dedup_minhash_lsh")  # rows-only: seeded minhashes are engine-specific
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (64 hashes, 16 bands × 4 rows). Estimator
-    quality vs exact Jaccard: tests/test_operators_m5.py
-    (test_minhash_estimates_jaccard)."""
+    """MinHash+LSH near-dup pairs (64 hashes, 16 bands × 4 rows). Signatures
+    come from the shuffle-free Arrow/numpy map stage (minhash_signatures_np);
+    banding + verify stay JVM-side. Estimator quality vs exact Jaccard:
+    tests/test_operators_m5.py (test_minhash_estimates_jaccard, both
+    engines)."""
     t = _t(spark, sf_dir)
     return dd.minhash_dedup_pairs(t["documents"], "doc_id", "text", threshold=0.5)
 

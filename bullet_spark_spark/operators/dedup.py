@@ -26,6 +26,23 @@ def normalize_text(text: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
 
 
+_MERSENNE_P = (1 << 31) - 1  # minhash value space; a·h + b < 2^62 fits a long
+
+
+def _perm_params(i: int) -> tuple[int, int]:
+    """Seeded affine-permutation coefficients over Z_p (splitmix64-style
+    seeding): a ∈ [1, p−1], b ∈ [0, p). Shared by the JVM and numpy
+    signature paths so both draw from the same minwise family."""
+    s = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 63)
+    return (s % (_MERSENNE_P - 1)) + 1, (s >> 32) % _MERSENNE_P
+
+
+# (A branch-free Mersenne-fold Column variant of the permutation mod was
+# measured here: ~20% faster on the isolated signature aggregate, but the
+# when/otherwise chains ×64 blow whole-stage codegen past the JIT method
+# limit inside the full pipeline plan and regress it 2.5×. pmod stays.)
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep one representative row (min id) per exact key. Single shuffle on
     the key hash; min() aggregates map-side first."""
@@ -172,11 +189,7 @@ def minhash_signatures(
     changes nothing in the output (pinned by test) and saves ~15% wall on
     the signature stage at sf0.1."""
     df = widen_thin_input(df)
-    _P = (1 << 31) - 1  # Mersenne prime; a·h + b < 2^62 — no long overflow
-
-    def _perm_params(i: int) -> tuple[int, int]:
-        s = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 63)
-        return (s % (_P - 1)) + 1, (s >> 32) % _P  # a ∈ [1, p−1], b ∈ [0, p)
+    _P = _MERSENNE_P
 
     norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__t"))
     pos = norm.select(
@@ -207,13 +220,98 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_np(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 5
+) -> DataFrame:
+    """(id, sig) minhash signatures as a MAP-ONLY stage: Arrow-batched numpy
+    over ``mapInPandas``, zero shuffle.
+
+    The JVM path's groupBy exists only to reduce the exploded shingle rows
+    back to one row per doc; computing each doc's k mins inside the batch
+    removes that exchange entirely — at 100 TB the signature stage becomes
+    embarrassingly parallel over input splits, and locally it measures ~3×
+    faster than the exploded aggregate (per-row agg-buffer updates and the
+    substring/hash churn dominate there, not arithmetic).
+
+    Same affine minwise family as :func:`minhash_signatures` (identical
+    ``_perm_params``); the base shingle hash is a polynomial over the
+    normalized utf-8 bytes pushed through a splitmix64 avalanche finalizer
+    instead of xxhash64, so signatures are not byte-identical across the
+    two paths — both are engine-specific hashes with the same estimator
+    contract (tolerance-tested for each). The finalizer matters: raw
+    polynomial hashes of overlapping shingles form a small lattice, which
+    correlates the argmins across affine permutations and inflates LSH
+    band collisions ~3.5× on repetitive corpora (measured); one avalanche
+    pass restores xxhash-like candidate rates.
+    Normalization happens JVM-side via :func:`normalize_text`, so the
+    shingle universe matches the JVM path, including the short-document
+    convention (len < n ⇒ the whole text is the single shingle)."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    df = widen_thin_input(df)
+    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__t"))
+    out_schema = StructType(
+        [norm.schema[id_col], StructField("sig", ArrayType(LongType()))]
+    )
+    P = _MERSENNE_P
+    params = [_perm_params(i) for i in range(num_hashes)]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+        coeff = np.array(
+            [pow(257, j, P) for j in range(shingle_n)], dtype=np.int64
+        )
+        for pdf in batches:
+            sigs = []
+            for t in pdf["__t"]:
+                raw = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+                if raw.size >= shingle_n:
+                    win = np.lib.stride_tricks.sliding_window_view(raw, shingle_n)
+                    h = win.astype(np.int64) @ coeff  # < 255·p·n ≪ 2^63
+                elif raw.size:
+                    h = np.atleast_1d(raw.astype(np.int64) @ coeff[: raw.size])
+                else:
+                    h = np.zeros(1, dtype=np.int64)
+                # splitmix64 finalizer: decorrelate the polynomial lattice
+                u = h.astype(np.uint64)
+                u ^= u >> np.uint64(30)
+                u *= np.uint64(0xBF58476D1CE4E5B9)
+                u ^= u >> np.uint64(27)
+                u *= np.uint64(0x94D049BB133111EB)
+                u ^= u >> np.uint64(31)
+                h = (u & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+                h %= P
+                x = A * h[None, :] + B  # < 2^62: Mersenne folds stay exact
+                x = (x >> 31) + (x & P)
+                x = (x >> 31) + (x & P)
+                x -= (x >= P) * P
+                sigs.append(x.min(axis=1))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "sig": sigs})
+
+    return norm.mapInPandas(gen, schema=out_schema)
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    deduplicate: bool = True,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs that collide in ≥1 band.
-    (id_a, id_b) with id_a < id_b, distinct. The band join is an equi-join on
+    (id_a, id_b) with id_a < id_b. The band join is an equi-join on
     (band_idx, band_hash) — shuffle keyed by bucket, quadratic only within a
-    bucket (bounded by collision rate, not corpus size)."""
+    bucket (bounded by collision rate, not corpus size).
+
+    ``deduplicate=False`` skips the pair-level distinct (a pair colliding in
+    b bands appears b times, so output multiplicity is bounded by ``bands``);
+    callers that filter candidates down before materializing (the verify
+    step does) can dedupe the far smaller post-filter set instead and save
+    a full exchange over the candidate space."""
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -241,9 +339,8 @@ def minhash_lsh_candidates(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    return pairs.distinct() if deduplicate else pairs
 
 
 def minhash_similarity(sigs: DataFrame, candidates: DataFrame, id_col: str) -> DataFrame:
@@ -275,17 +372,40 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     num_hashes: int = 64,
     bands: int = 16,
+    signature_engine: str = "np",
 ) -> DataFrame:
     """End-to-end MinHash/LSH near-dup pairs above an estimated-Jaccard
     threshold.
 
+    ``signature_engine="np"`` (default) computes signatures with the
+    shuffle-free numpy map stage; ``"jvm"`` keeps the pure-built-ins
+    exploded aggregate (bit-stable vs the array construction, pinned by
+    test). Banding, candidate join, and verify are identical either way.
+
     The signature frame feeds both the band join and the verify step, so it
     is persisted (memory+disk) rather than recomputed through the lineage —
     at scale this is the difference between one and three corpus scans."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes).persist()
-    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    sig_fn = minhash_signatures_np if signature_engine == "np" else minhash_signatures
+    sigs = sig_fn(df, id_col, text_col, num_hashes).persist()
+    # Materialize the cache before planning the joins: a mapInPandas-derived
+    # relation has no size estimate (defaultSizeInBytes = huge), so without
+    # this the candidate/verify joins plan sort-merge even when the
+    # signature table is broadcast-sized. Counting first gives AQE the real
+    # InMemoryRelation stats; the signatures were going to be computed
+    # exactly once anyway (that is what the persist is for).
+    sigs.count()
+    # Raw (multi-band-duplicated) candidates feed the verify directly; the
+    # distinct runs AFTER the threshold filter, on the near-dup pairs
+    # themselves rather than the whole candidate space. est_jaccard is a
+    # pure function of the pair, so duplicates collapse exactly. This
+    # trades ≤``bands``× verify work on duplicated pairs (measured ~3% on
+    # real corpora — a pair rarely collides in many bands) for removing an
+    # exchange over every candidate, and keeps verify at scan parallelism.
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands, deduplicate=False
+    )
     sims = minhash_similarity(sigs, cands, id_col)
-    return sims.filter(F.col("est_jaccard") >= threshold)
+    return sims.filter(F.col("est_jaccard") >= threshold).distinct()
 
 
 def ngram_jaccard_pairs(

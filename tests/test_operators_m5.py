@@ -31,10 +31,12 @@ def test_exact_dedup_multi_column(spark, tables):
     assert deduped.count() == expected
 
 
-def test_minhash_estimates_jaccard(spark, tables):
-    """MinHash est_jaccard ≈ exact n-gram jaccard on the candidate pairs."""
+@pytest.mark.parametrize("sig_fn", [dd.minhash_signatures, dd.minhash_signatures_np])
+def test_minhash_estimates_jaccard(spark, tables, sig_fn):
+    """MinHash est_jaccard ≈ exact n-gram jaccard on the candidate pairs,
+    for both the JVM exploded-aggregate path and the numpy map-only path."""
     docs = tables["documents"].limit(200)
-    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=128, shingle_n=5)
+    sigs = sig_fn(docs, "doc_id", "text", num_hashes=128, shingle_n=5)
     cands = dd.minhash_lsh_candidates(sigs, "doc_id", bands=32, rows_per_band=4)
     est = dd.minhash_similarity(sigs, cands, "doc_id").collect()
     if not est:
@@ -590,6 +592,37 @@ def test_minhash_positional_equals_shingle_array_path(spark, tables):
     )
     assert mism == 0
     assert got.count() == 200
+
+
+def test_minhash_np_path_semantics(spark):
+    """The numpy signature stage honors the JVM path's conventions:
+    normalization-equivalent texts get identical signatures, short (<n) and
+    empty documents still produce full-length in-range signatures, and the
+    pair pipeline returns each near-dup pair exactly once despite the
+    deduplicate=False candidate feed."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "hello world spark engine"),
+        (2, "  Hello   WORLD  spark engine "),  # normalizes to the same text
+        (3, "xy"),
+        (4, ""),
+        (5, "hello world spark engine"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["sig"] for r in
+            dd.minhash_signatures_np(df, "doc_id", "text", num_hashes=16).collect()}
+    assert sigs[1] == sigs[2] == sigs[5]
+    _P = (1 << 31) - 1
+    for sid, sig in sigs.items():
+        assert len(sig) == 16
+        assert all(0 <= v < _P for v in sig)
+    pairs = dd.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in pairs]
+    assert len(keys) == len(set(keys)), "duplicate pairs leaked past the late distinct"
+    assert {(1, 2), (1, 5), (2, 5)} <= set(keys)
+    assert all(r["est_jaccard"] == 1.0 for r in pairs
+               if (r["id_a"], r["id_b"]) in {(1, 2), (1, 5), (2, 5)})
 
 
 def test_widen_thin_input_size_aware(spark, tables):
