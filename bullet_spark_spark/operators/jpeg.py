@@ -216,6 +216,11 @@ def decode_jpeg(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        if data[pos + 1] == 0xFF:
+            # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+            # fill bytes — skip them, the marker code is the first non-FF
+            pos += 1
+            continue
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -15,12 +15,13 @@ Scope of the fallback codec: full recursive Avro record schemas —
 primitives (null/boolean/int/long/float/double/string/bytes), nested
 records, arrays, maps, enums (decoded as their string symbol), fixed, and
 2-branch nullable unions — ``["null", T]`` or ``["T", null]``, with the
-union's wire-level branch order preserved — at any depth, plus named-type
-references. That covers the reference's record type system including
-LIST-of-MAP and MAP-of-MAP composites (SURVEY §1.2). Multi-branch
-non-null unions remain out of scope (they have no stable columnar shape;
-the spark-avro connector maps them to member structs) and raise a clear
-error.
+union's wire-level branch order preserved — and single-branch non-null
+unions ``[T]`` (as emitted by schema normalizers), at any depth, plus
+named-type references. That covers the reference's record type system
+including LIST-of-MAP and MAP-of-MAP composites (SURVEY §1.2).
+Multi-branch non-null unions remain out of scope (they have no stable
+columnar shape; the spark-avro connector maps them to member structs) and
+raise a clear error.
 """
 
 from __future__ import annotations
@@ -61,7 +62,7 @@ _PRIMITIVES: dict[str, DataType] = {
 # AvroType: a tagged tuple —
 #   ("prim", name) | ("record", [(field_name, AvroType), ...])
 #   | ("array", item) | ("map", value)
-#   | ("nullable", inner, null_branch_index)
+#   | ("nullable", inner, null_branch_index) | ("union1", inner)
 #   | ("enum", [symbols]) | ("fixed", size)
 
 
@@ -72,10 +73,17 @@ def _parse_type(t: Any, named: dict[str, tuple]) -> tuple:
         if t in named:  # named-type reference (Avro spec: previously defined)
             return named[t]
         raise ValueError(f"unknown Avro type {t!r}")
-    if isinstance(t, list):  # union — only ["null", T] (either order)
+    if isinstance(t, list):  # union — ["null", T] (either order) or [T]
         branches = [b for b in t if b != "null"]
+        if len(t) == 1 and branches:
+            # single-branch non-null union [T]: legal per the spec (schema
+            # normalizers emit these); on the wire it is branch index 0
+            # then the value
+            return ("union1", _parse_type(branches[0], named))
         if len(branches) != 1 or len(t) > 2:
-            raise ValueError(f"unsupported union {t} (only 2-branch nullable)")
+            raise ValueError(
+                f"unsupported union {t} (only [T], [\"null\", T] / [T, \"null\"])"
+            )
         # Avro union values are encoded as the BRANCH INDEX then the value,
         # so ["null", T] and [T, "null"] differ on the wire — keep the null
         # branch's position (spec-conformant interop with spark-avro/Java)
@@ -124,6 +132,8 @@ def _spark_type(t: tuple) -> DataType:
     if kind == "prim":
         return _PRIMITIVES[t[1]]
     if kind == "nullable":
+        return _spark_type(t[1])
+    if kind == "union1":
         return _spark_type(t[1])
     if kind == "record":
         return StructType(
@@ -191,6 +201,10 @@ def _encode_value(v: Any, t: tuple, out: bytearray) -> None:
         out += _zigzag_encode(1 - null_idx)
         _encode_value(v, t[1], out)
         return
+    if kind == "union1":
+        out += _zigzag_encode(0)
+        _encode_value(v, t[1], out)
+        return
     if v is None and t != ("prim", "null"):
         raise ValueError(f"null for non-nullable {t!r}")
     if kind == "prim":
@@ -242,6 +256,11 @@ def _decode_value(buf: bytes, pos: int, t: tuple) -> tuple[Any, int]:
         branch, pos = _zigzag_decode(buf, pos)
         if branch == t[2]:
             return None, pos
+        return _decode_value(buf, pos, t[1])
+    if kind == "union1":
+        branch, pos = _zigzag_decode(buf, pos)
+        if branch != 0:
+            raise ValueError(f"union branch {branch} out of range for [T] union")
         return _decode_value(buf, pos, t[1])
     if kind == "prim":
         p = t[1]

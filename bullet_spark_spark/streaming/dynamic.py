@@ -127,7 +127,11 @@ class DynamicMultiplexer:
             return
         by_fields: dict[tuple[str, ...], list[tuple[DynamicHandle, Query]]] = {}
         for handle, spec in live:
-            by_fields.setdefault(tuple(spec.aggregation.fields), []).append(
+            # key by MEMBERSHIP (sorted), not declaration order: GROUP BY a,b
+            # and GROUP BY b,a are the same grouping set, and emitting both
+            # would return every group twice with the same grouping_id —
+            # the merge loop would then double-count each matching query
+            by_fields.setdefault(tuple(sorted(spec.aggregation.fields)), []).append(
                 (handle, spec)
             )
         self._run_grouping_sets(batch_df, by_fields)
@@ -190,7 +194,9 @@ class DynamicMultiplexer:
                 exprs.append(
                     F.count(F.when(pred, F.lit(1))).alias(f"c{offset + len(ops)}")
                 )
-                plans.append((handle, ops, offset, fields, gid))
+                # each query keeps ITS OWN declared field order for output
+                # keys, independent of the canonical grouping-set key
+                plans.append((handle, ops, offset, tuple(spec.aggregation.fields), gid))
                 offset += len(ops) + 1
 
         if not all_fields:  # only the global field set is live
