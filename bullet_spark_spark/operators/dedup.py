@@ -110,7 +110,9 @@ def streaming_dedup(
     reference's tombstone leak (JoinStreaming.scala:60-62) we refuse to
     replicate."""
     if event_time_col:
-        return df.withWatermark(
+        from bullet_spark_spark.sources.streaming import ensure_event_time
+
+        return ensure_event_time(df, event_time_col).withWatermark(
             event_time_col, watermark_delay
         ).dropDuplicatesWithinWatermark(key_cols)
     return df.dropDuplicates(key_cols)

@@ -285,8 +285,10 @@ def stream_stream_interval_join(
     ``how``: inner (both sides bounded) or left_outer (NULLs emitted once
     the watermark proves no match can arrive).
     """
-    l_wm = left.withWatermark(left_ts, max_delay)
-    r_wm = right.withWatermark(right_ts, max_delay)
+    from bullet_spark_spark.sources.streaming import ensure_event_time
+
+    l_wm = ensure_event_time(left, left_ts).withWatermark(left_ts, max_delay)
+    r_wm = ensure_event_time(right, right_ts).withWatermark(right_ts, max_delay)
     # side-qualified refs: with the natural call where both streams name
     # their event-time column the same (e.g. "ts"), bare F.col() would be
     # ambiguous (or resolve one-sided, making the bound vacuous and state

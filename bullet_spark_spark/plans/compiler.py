@@ -19,6 +19,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bullet_spark_spark.sources.streaming import ensure_event_time
+
 from bullet_spark_spark.functions.exprs import Expr
 from bullet_spark_spark.plans.spec import (
     AggOp,
@@ -78,6 +80,7 @@ def compile_query(
         w = query.window
         if w.event_time_field and w.watermark_delay_ms:
             delay = f"{max(w.watermark_delay_ms // 1000, 1)} seconds"
+            df = ensure_event_time(df, w.event_time_field)
             df = df.withWatermark(w.event_time_field, delay)
     df = _apply_window_grouping(df, query)
     df = _apply_aggregation(df, query, streaming=streaming)

@@ -13,7 +13,18 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructType, TimestampNTZType, TimestampType
+
+
+def ensure_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Make ``col`` usable as an event-time column. Parquet ``timestamp[us]``
+    without a zone arrives as TIMESTAMP_NTZ in Spark 4, and
+    ``withWatermark`` / stream-stream joins require instant-typed TIMESTAMP.
+    The cast is a zero-cost codegen projection; already-instant columns pass
+    through untouched."""
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast(TimestampType()))
+    return df
 
 
 def file_drip(
