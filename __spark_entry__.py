@@ -1471,6 +1471,45 @@ def scale_salted_agg(spark, sf_dir):
     return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
 
 
+@q(
+    "dedup_minhash_md5",
+    r"""WITH d AS (
+         SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+         FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+               FROM documents)),
+       e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+       h AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+             FROM e CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+       bk AS (SELECT doc_id, j // 2 AS b, string_agg(mh, '|' ORDER BY j) AS bkey
+              FROM h GROUP BY doc_id, j // 2),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       est AS (SELECT c.id_a, c.id_b,
+                      sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+               FROM cand c
+               JOIN h ha ON ha.doc_id = c.id_a
+               JOIN h hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+               GROUP BY c.id_a, c.id_b)
+       SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.4""",
+)
+def dedup_minhash_md5(spark, sf_dir):
+    """The FULL minhash/LSH near-dup pipeline — signatures, banding,
+    candidate join, verify, threshold — made oracle-checkable: permutation
+    j's component is min(md5('j:' || shingle)), a hex string any SQL engine
+    reproduces byte-for-byte, so the whole pipeline hash-matches the DuckDB
+    oracle (unlike the production xxhash64/numpy paths, whose seeded hashes
+    are engine-specific and can only be rows-checked). 16 hashes, 8 bands
+    × 2 rows, word-3-gram shingles."""
+    t = _t(spark, sf_dir)
+    pairs = dd.minhash_dedup_pairs_md5(
+        t["documents"], "doc_id", "text", threshold=0.4, num_hashes=16, bands=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (engine-specific hashing / seeded planes / mapInPandas —
 # no engine-independent SQL oracle exists; quality is asserted by tests).

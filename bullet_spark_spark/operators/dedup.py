@@ -367,6 +367,29 @@ def minhash_similarity(sigs: DataFrame, candidates: DataFrame, id_col: str) -> D
     )
 
 
+_live_sigs: DataFrame | None = None  # last persisted signature frame (see below)
+
+
+def _persist_sigs(sigs: DataFrame) -> DataFrame:
+    """Persist a signature frame, releasing the previous one. A
+    mapInPandas/UDF-derived plan carries fresh expression ids per call, so
+    the CacheManager can never dedupe it: without this release, every
+    invocation leaks one InMemoryRelation for the lifetime of the session (a
+    long-lived driver calling dedup in a loop accumulates them). The eager
+    count materializes the cache so AQE plans the downstream joins from real
+    InMemoryRelation stats instead of the no-estimate default.
+
+    A previously returned pair frame that is re-executed later simply
+    recomputes its signatures through the lineage — slower, never wrong."""
+    global _live_sigs
+    if _live_sigs is not None:
+        _live_sigs.unpersist()
+    sigs = sigs.persist()
+    _live_sigs = sigs
+    sigs.count()
+    return sigs
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -388,14 +411,7 @@ def minhash_dedup_pairs(
     is persisted (memory+disk) rather than recomputed through the lineage —
     at scale this is the difference between one and three corpus scans."""
     sig_fn = minhash_signatures_np if signature_engine == "np" else minhash_signatures
-    sigs = sig_fn(df, id_col, text_col, num_hashes).persist()
-    # Materialize the cache before planning the joins: a mapInPandas-derived
-    # relation has no size estimate (defaultSizeInBytes = huge), so without
-    # this the candidate/verify joins plan sort-merge even when the
-    # signature table is broadcast-sized. Counting first gives AQE the real
-    # InMemoryRelation stats; the signatures were going to be computed
-    # exactly once anyway (that is what the persist is for).
-    sigs.count()
+    sigs = _persist_sigs(sig_fn(df, id_col, text_col, num_hashes))
     # Raw (multi-band-duplicated) candidates feed the verify directly; the
     # distinct runs AFTER the threshold filter, on the near-dup pairs
     # themselves rather than the whole candidate space. est_jaccard is a
@@ -403,6 +419,73 @@ def minhash_dedup_pairs(
     # trades ≤``bands``× verify work on duplicated pairs (measured ~3% on
     # real corpora — a pair rarely collides in many bands) for removing an
     # exchange over every candidate, and keeps verify at scan parallelism.
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands, deduplicate=False
+    )
+    sims = minhash_similarity(sigs, cands, id_col)
+    return sims.filter(F.col("est_jaccard") >= threshold).distinct()
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<string>[num_hashes]) — ENGINE-PORTABLE minhash
+    signatures: permutation ``j``'s component is the lexicographic min of
+    ``md5('j:' || shingle)`` hex strings over the document's distinct word
+    n-gram shingles. Any SQL engine with ``md5()`` reproduces the exact
+    bytes (ASCII hex compares identically everywhere), which makes the
+    WHOLE minhash/LSH pipeline — banding, candidate join, verify,
+    threshold — hash-checkable against an external oracle, not just
+    rows-counted. The production paths (:func:`minhash_signatures` /
+    ``_np``) keep their faster engine-specific hashes; this variant pays k
+    md5 string hashes per shingle for cross-engine determinism.
+
+    Same plan shape as the JVM path: explode(shingles) → one groupBy(id)
+    with k partial mins — a single shuffle keyed by doc id, k·32-char state
+    per doc. Documents with fewer than ``shingle_n`` words produce no
+    shingles and are absent from the output (same convention as
+    :func:`word_shingles` and the DuckDB oracle comprehension)."""
+    df = widen_thin_input(df)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__sh")))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_dedup_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`minhash_dedup_pairs` on the engine-portable md5 signature
+    stage — banding, candidate join, and verify are the shared code paths.
+    Output (id_a, id_b, est_jaccard) is deterministic across engines, so an
+    external SQL oracle can hash-match it exactly.
+
+    One caveat keeps this honest: band keys are xxhash64 of the band's
+    component string (minhash_lsh_candidates), so Spark's candidate set
+    could in principle differ from an exact-string-equality oracle by a
+    64-bit hash collision — ~2⁻⁶⁴ per band pair, the same collision budget
+    every hash-partitioned join already accepts."""
+    sigs = _persist_sigs(minhash_signatures_md5(df, id_col, text_col, num_hashes, shingle_n))
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, num_hashes // bands, deduplicate=False
     )

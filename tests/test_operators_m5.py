@@ -594,6 +594,58 @@ def test_minhash_positional_equals_shingle_array_path(spark, tables):
     assert got.count() == 200
 
 
+def test_minhash_md5_matches_duckdb(spark, tables, duck):
+    """The engine-portable md5 minhash pipeline (signatures → bands →
+    candidates → verify → threshold) produces BYTE-IDENTICAL pairs in Spark
+    and DuckDB. The corpus is documents ∪ a copy under shifted ids, so
+    guaranteed est=1.0 pairs exist even at the tiny test SF."""
+    docs = tables["documents"].select("doc_id", "text")
+    both = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    pairs = dd.minhash_dedup_pairs_md5(
+        both, "doc_id", "text", threshold=0.4, num_hashes=16, bands=8
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 6)) for r in pairs.collect()
+    )
+    expected = sorted(
+        tuple(r)
+        for r in duck.execute(
+            r"""WITH corpus AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id + 1000000, text FROM documents),
+               d AS (
+                 SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+                 FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+                       FROM corpus)),
+               e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+               h AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+                     FROM e CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+               bk AS (SELECT doc_id, j // 2 AS b, string_agg(mh, '|' ORDER BY j) AS bkey
+                      FROM h GROUP BY doc_id, j // 2),
+               cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                        FROM bk a JOIN bk b
+                        ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+               est AS (SELECT c.id_a, c.id_b,
+                              sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+                       FROM cand c
+                       JOIN h ha ON ha.doc_id = c.id_a
+                       JOIN h hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+                       GROUP BY c.id_a, c.id_b)
+               SELECT id_a, id_b, round(ej, 6) FROM est WHERE ej >= 0.4"""
+        ).fetchall()
+    )
+    assert got == expected
+    # every doc with ≥3 words yields its (id, id+1e6) identity pair at est=1.0
+    eligible = docs.filter(
+        F.size(F.split(dd.normalize_text(F.col("text")), " ")) >= 3
+    ).count()
+    identity = [p for p in got if p[1] - p[0] == 1_000_000 and p[2] == 1.0]
+    assert len(identity) >= eligible
+
+
 def test_minhash_np_path_semantics(spark):
     """The numpy signature stage honors the JVM path's conventions:
     normalization-equivalent texts get identical signatures, short (<n) and
