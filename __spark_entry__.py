@@ -1510,6 +1510,50 @@ def dedup_minhash_md5(spark, sf_dir):
     )
 
 
+def _simhash_md5_oracle() -> str:
+    """DuckDB SQL for the portable simhash pipeline: 16 hex-digit columns →
+    64 signed bit-sums → 4 16-bit blocks → all pairs with Hamming ≤ 3.
+    Generated (64 sum terms) rather than hand-written; the all-pairs join is
+    oracle-scale-only — the Spark side blocks by pigeonhole, and the two
+    agree BECAUSE ≤3 differing bits guarantee ≥1 identical block."""
+    digits = ", ".join(
+        f"strpos('0123456789abcdef', substr(h,{p},1)) - 1 AS d{p}"
+        for p in range(1, 17)
+    )
+    bit = lambda i: f"((d{i // 4 + 1} >> {3 - i % 4}) & 1)"
+    sums = ", ".join(f"sum({bit(i)} * 2 - 1) AS s{i}" for i in range(64))
+    blocks = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN s{16 * k + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+        )
+        + f") AS blk{k}"
+        for k in range(4)
+    )
+    return f"""WITH t AS (SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok FROM documents),
+       hx AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM t),
+       dg AS (SELECT doc_id, {digits} FROM hx),
+       s AS (SELECT doc_id, {sums} FROM dg GROUP BY doc_id),
+       fp AS (SELECT doc_id, {blocks} FROM s),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.blk0, b.blk0)) + bit_count(xor(a.blk1, b.blk1)) +
+                bit_count(xor(a.blk2, b.blk2)) + bit_count(xor(a.blk3, b.blk3)) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+       SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"""
+
+
+@q("dedup_simhash_md5", _simhash_md5_oracle())
+def dedup_simhash_md5(spark, sf_dir):
+    """Portable SimHash near-dup: md5-derived 64-bit fingerprints as 4×16-bit
+    integer blocks, pigeonhole-blocked join (≤3 differing bits ⇒ ≥1 exact
+    block match — guaranteed recall, so the output is blocking-independent
+    and hash-matches the DuckDB all-pairs oracle exactly). The production
+    xxhash64 simhash stays the fast path (dedup_simhash, rows-only)."""
+    t = _t(spark, sf_dir)
+    return dd.simhash_md5_near_dup_pairs(t["documents"], "doc_id", "text", max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (engine-specific hashing / seeded planes / mapInPandas —
 # no engine-independent SQL oracle exists; quality is asserted by tests).

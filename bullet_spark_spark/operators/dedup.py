@@ -566,6 +566,112 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return fp
 
 
+_HEX = "0123456789abcdef"
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ENGINE-PORTABLE 64-bit SimHash: token hash = first 16 hex chars of
+    md5(token); bit i of the fingerprint is the sign (ties → 0) of
+    Σ_tokens (±1 by bit i of the token hash). The fingerprint is emitted as
+    FOUR 16-bit integer blocks ``blk0..blk3`` (bit i lives in block i//16
+    at weight 1<<(i%16), hex chars MSB-first) — small enough for exact
+    integer arithmetic in any SQL engine, and the blocks double as the
+    pigeonhole keys for the near-dup join.
+
+    Same plan shape as :func:`simhash`: explode tokens → one groupBy(id)
+    with 64 integer sums (map-side partial) → 4 block columns. The
+    production :func:`simhash` keeps xxhash64; this variant buys
+    cross-engine bit-exactness for the oracle harness."""
+    df = widen_thin_input(df)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.substring(F.md5(F.col("tok")), 1, 16))
+    # hex digit value per char (1-indexed); shared by the 4 bits of the char
+    digits = toks.select(
+        F.col(id_col),
+        *[
+            (F.instr(F.lit(_HEX), F.substring(F.col("h"), p, 1)) - 1).alias(f"d{p}")
+            for p in range(1, 17)
+        ],
+    )
+
+    def bit(i: int) -> Column:  # bit i of the 64-bit token hash
+        c, s = i // 4 + 1, 3 - i % 4
+        return F.shiftright(F.col(f"d{c}"), s).bitwiseAND(F.lit(1))
+
+    sums = digits.groupBy(id_col).agg(
+        *[F.sum(bit(i) * 2 - 1).alias(f"s{i}") for i in range(64)]
+    )
+    return sums.select(
+        F.col(id_col),
+        *[
+            sum(
+                [
+                    F.when(F.col(f"s{16 * k + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                    for j in range(16)
+                ],
+                F.lit(0),
+            ).alias(f"blk{k}")
+            for k in range(4)
+        ],
+    )
+
+
+def simhash_md5_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """ALL pairs within Hamming distance ``max_hamming`` (≤ 3) of their
+    portable simhash fingerprints — (id_a, id_b, hamming).
+
+    Pigeonhole blocking with guaranteed recall: a pair differing in ≤3 of
+    64 bits must agree EXACTLY on ≥1 of the 4 16-bit blocks, so candidates
+    are an equi-join on (block_idx, block_value) — linear blocking, never
+    all-pairs — and the output is independent of the blocking scheme. That
+    makes the result oracle-checkable: any engine computing "pairs with
+    hamming ≤ 3" by any method produces the same rows (unlike the
+    production prefix-blocked :func:`simhash_near_dup_pairs`, whose recall
+    depends on the prefix choice)."""
+    if max_hamming > 3:
+        raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
+    fps = _persist_sigs(simhash_md5(df, id_col, text_col))
+    blocked = fps.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"blk{k}") for k in range(4)])).alias(
+            "block_idx", "block_val"
+        ),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+    )
+    fa = fps.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"blk{k}").alias(f"a{k}") for k in range(4)]
+    )
+    fb = fps.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"blk{k}").alias(f"b{k}") for k in range(4)]
+    )
+    hamming = sum(
+        [F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)],
+        F.lit(0),
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_dup_pairs(
     fps: DataFrame, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
 ) -> DataFrame:

@@ -646,6 +646,34 @@ def test_minhash_md5_matches_duckdb(spark, tables, duck):
     assert len(identity) >= eligible
 
 
+def test_simhash_md5_matches_duckdb(spark, tables, duck):
+    """Portable simhash near-dup pairs (pigeonhole-blocked in Spark) equal
+    the DuckDB all-pairs oracle — recall is guaranteed by construction, so
+    the two different candidate strategies must produce identical rows."""
+    import __spark_entry__ as entry
+
+    docs = tables["documents"].select("doc_id", "text")
+    pairs = dd.simhash_md5_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    got = sorted(tuple(r) for r in pairs.collect())
+    expected = sorted(tuple(r) for r in duck.execute(entry._simhash_md5_oracle()).fetchall())
+    assert got == expected
+
+
+def test_simhash_md5_identity_and_perturbation(spark):
+    """A doc equals itself at hamming 0; flipping one rare word moves the
+    fingerprint only slightly (hamming small), keeping the pair in the ≤3
+    output — the property that makes simhash a near-dup detector."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(1, base), (2, base), (3, base.replace("lazy", "sleepy", 1))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_md5_near_dup_pairs(df, "doc_id", "text").collect()
+    }
+    assert out[(1, 2)] == 0
+    assert (1, 3) in out and out[(1, 3)] <= 3
+
+
 def test_minhash_np_path_semantics(spark):
     """The numpy signature stage honors the JVM path's conventions:
     normalization-equivalent texts get identical signatures, short (<n) and
