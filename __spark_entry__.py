@@ -1510,6 +1510,40 @@ def dedup_minhash_md5(spark, sf_dir):
     )
 
 
+@q(
+    "sketch_quantile_merge",
+    """WITH b AS (SELECT l_returnflag, CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS bk
+                  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       c AS (SELECT l_returnflag, bk, count(*) AS cnt FROM b GROUP BY 1, 2),
+       cum AS (SELECT l_returnflag, bk,
+                      sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bk) AS cum,
+                      sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+               FROM c),
+       qq AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS q),
+       hit AS (SELECT l_returnflag, q, min(bk) AS bk
+               FROM cum CROSS JOIN qq WHERE cum >= ceil(q * total)
+               GROUP BY 1, 2)
+       SELECT l_returnflag, q, (bk + 0.5) * 64.0 AS est FROM hit""",
+)
+def sketch_quantile_merge(spark, sf_dir):
+    """Mergeable quantile sketches (operators/sketch.py): per
+    (l_returnflag, l_linestatus) bucket-histogram maps built in ONE scan,
+    then merged to per-l_returnflag quantile estimates WITHOUT touching the
+    base table again — the slice-re-merge property HLL sketches have, for
+    quantiles. Linear floor(v/width) bucketing is exact IEEE arithmetic, so
+    the DuckDB oracle (which computes the same estimates straight from the
+    rows) hash-matches — merge invariance is part of what's being checked."""
+    from bullet_spark_spark.operators import sketch as sk
+
+    t = _t(spark, sf_dir)
+    sketches = sk.hist_group_sketches(
+        t["lineitem"], ["l_returnflag", "l_linestatus"], "l_extendedprice", 64.0
+    )
+    return sk.hist_merge_quantiles(
+        sketches, ["l_returnflag"], [0.25, 0.5, 0.75, 0.95], 64.0
+    )
+
+
 def _simhash_md5_oracle() -> str:
     """DuckDB SQL for the portable simhash pipeline: 16 hex-digit columns →
     64 signed bit-sums → 4 16-bit blocks → all pairs with Hamming ≤ 3.

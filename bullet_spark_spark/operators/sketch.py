@@ -19,6 +19,13 @@ engine exposes the blob-merge capability first-class:
 Exact counterparts: operators/temporal.distinct_rollup (exact,
 pair-dedup reuse) and CountDistinctAgg(approx=False). The HLL relative
 error is ~1.04/sqrt(2^lgk) (~1.6% at the default lgk=12).
+
+The QUANTILE counterpart (bullet-core's Distribution operators are
+DataSketches quantile sketches merged the same way) is the
+``hist_group_sketches`` / ``hist_merge_quantiles`` pair below: mergeable
+per-group bucket-count histograms (map columns, sum-mergeable) with
+engine-portable linear bucketing, every estimate within one bucket width
+of exact.
 """
 
 from __future__ import annotations
@@ -60,6 +67,107 @@ def hll_merge_slices(
         F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(out_name)
     )
     return out.drop("__all") if not slice_cols else out
+
+
+def hist_group_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: float,
+    sketch_col: str = "hist",
+) -> DataFrame:
+    """One scan → per-group bucket-count histogram of ``value_col`` as a
+    ``map<bigint,bigint>`` column — the QUANTILE counterpart of
+    :func:`hll_group_sketches` (bullet-core's Distribution operators are
+    DataSketches quantile sketches merged as blobs,
+    FilterStreaming.scala:124 / JoinStreaming.scala:126 [D]; our mergeable
+    state is bucket counts instead of an opaque blob).
+
+    Bucketing is LINEAR: ``floor(value / width)``. Division and floor are
+    exact IEEE-754 operations, so any engine assigns every value to the
+    same bucket bit-for-bit — which is what lets an external SQL oracle
+    hash-match quantile estimates derived from this sketch (a log/asinh
+    bucketing would hit libm differences at bucket edges). Accuracy:
+    every estimate is within ``width`` of an exact quantile. NULLs are
+    excluded, matching SQL aggregate convention.
+
+    Merge = per-bucket count sum (associative + commutative): any coarser
+    slice is answered from the sketch table without rescanning the base —
+    kilobytes of state per group at 100 TB."""
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            *group_cols,
+            F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("__bk"),
+        )
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return counts.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__bk", "__cnt")))
+        ).alias(sketch_col)
+    )
+
+
+def hist_merge_quantiles(
+    sketches: DataFrame,
+    slice_cols: list[str],
+    qs: list[float],
+    width: float,
+    sketch_col: str = "hist",
+    out_name: str = "est",
+) -> DataFrame:
+    """Re-aggregate a histogram-sketch table to any subset of its grouping
+    columns and estimate quantiles ``qs`` per slice: explode the maps,
+    sum counts per (slice, bucket), then targeted-rank over the cumulative
+    counts (rank ``ceil(q·n)``; estimate = bucket midpoint).
+
+    Returns (slice_cols..., q, <out_name>) — one row per slice × quantile.
+    The shuffle is keyed by (slice, bucket); per-slice state is the bucket
+    count, never the values. The window sort runs over #buckets rows per
+    slice (bounded by value-range/width, independent of row count)."""
+    from pyspark.sql.window import Window as W
+
+    exploded = sketches.select(
+        *slice_cols, F.explode(F.col(sketch_col)).alias("__bk", "__cnt")
+    )
+    merged = exploded.groupBy(*slice_cols, "__bk").agg(
+        F.sum("__cnt").alias("__cnt")
+    )
+    part = W.partitionBy(*slice_cols) if slice_cols else W.partitionBy(F.lit(1))
+    cum = merged.select(
+        *slice_cols,
+        "__bk",
+        F.sum("__cnt").over(part.orderBy("__bk")).alias("__cum"),
+        F.sum("__cnt").over(part).alias("__total"),
+    )
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(
+        F.col("__cum") >= F.ceil(F.col("q") * F.col("__total"))
+    )
+    return hit.groupBy(*slice_cols, "q").agg(
+        ((F.min("__bk") + 0.5) * F.lit(width)).alias(out_name)
+    )
+
+
+def hist_merge_property_check(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: float,
+) -> bool:
+    """True iff merging per-group sketches equals sketching the whole frame
+    — the mergeability invariant tests pin (sum-per-bucket is associative,
+    so this must hold exactly)."""
+    whole = hist_group_sketches(df, [], value_col, width).collect()[0]["hist"]
+    parts = hist_group_sketches(df, group_cols, value_col, width)
+    remerged = (
+        parts.select(F.explode("hist").alias("bk", "cnt"))
+        .groupBy("bk")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    return dict(whole) == {r["bk"]: r["cnt"] for r in remerged}
 
 
 def hll_distinct_rollup(

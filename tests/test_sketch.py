@@ -60,3 +60,51 @@ def test_hll_global_slice(spark, tables):
     [row] = sk.hll_merge_slices(pre, []).collect()
     exact = tables["events"].select("user_id").distinct().count()
     assert _close(row["n_distinct_est"], exact)
+
+
+# -- mergeable quantile (bucket-histogram) sketches -------------------------
+
+WIDTH = 0.5  # events.value spans ~[0, 100]
+
+
+def test_hist_merge_invariant(spark, tables):
+    """Sum-per-bucket merge is associative: merging per-event_type sketches
+    must reproduce the whole-table sketch EXACTLY (not approximately)."""
+    assert sk.hist_merge_property_check(tables["events"], ["event_type"], "value", WIDTH)
+
+
+def test_hist_quantiles_within_width(spark, tables, duck):
+    """Every sketch-derived quantile lies within one bucket width of the
+    exact quantile, per slice and globally."""
+    pre = sk.hist_group_sketches(
+        tables["events"], ["event_type", "user_id"], "value", WIDTH
+    )
+    qs = [0.1, 0.5, 0.9]
+    got = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in sk.hist_merge_quantiles(pre, ["event_type"], qs, WIDTH).collect()
+    }
+    for et, q, exact in duck.execute(
+        """SELECT event_type, CAST(0.1 AS DOUBLE) AS q, quantile_disc(value, 0.1) FROM events GROUP BY 1
+           UNION ALL
+           SELECT event_type, CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5) FROM events GROUP BY 1
+           UNION ALL
+           SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY 1"""
+    ).fetchall():
+        assert abs(got[(et, q)] - exact) <= WIDTH, (et, q, got[(et, q)], exact)
+
+    [gl] = sk.hist_merge_quantiles(pre, [], [0.5], WIDTH).collect()
+    [(exact_med,)] = duck.execute(
+        "SELECT quantile_disc(value, 0.5) FROM events"
+    ).fetchall()
+    assert abs(gl["est"] - exact_med) <= WIDTH
+
+
+def test_hist_sketch_excludes_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, 2.0), (1, 4.0), (2, None)], ["g", "v"]
+    )
+    rows = sk.hist_group_sketches(df, ["g"], "v", 1.0).collect()
+    by_g = {r["g"]: r["hist"] for r in rows}
+    assert sum(by_g[1].values()) == 2
+    assert 2 not in by_g  # all-NULL group vanishes, like SQL aggregates
