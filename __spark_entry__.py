@@ -1032,6 +1032,67 @@ def tpch_q5_region_revenue(spark, sf_dir):
 
 
 @q(
+    "tpch_q6_forecast",
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def tpch_q6_forecast(spark, sf_dir):
+    """TPC-H-Q6-style forecasting revenue: pure filter → global sum. The
+    plan showcase query — every predicate (shipdate range, discount band,
+    quantity cap) reaches the parquet scan as PushedFilters and the
+    ReadSchema prunes to the 4 referenced columns; at 100 TB this is the
+    difference between scanning a year's partition slice and the whole
+    table."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@q(
+    "tpch_q18_large_orders",
+    """WITH qual AS (
+         SELECT l_orderkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+       SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       FROM qual
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey""",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H-Q18-style large-volume customers. The aggregate that QUALIFIES
+    an order is also the aggregate the query RETURNS, so lineitem is
+    scanned exactly once: groupBy(l_orderkey) → HAVING filter → the tiny
+    surviving set broadcasts into orders, and that joined handful
+    broadcasts into customer. No second lineitem pass, no shuffle join
+    anywhere downstream of the one aggregation exchange."""
+    t = _t(spark, sf_dir)
+    qual = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    j = (
+        t["orders"]
+        .join(F.broadcast(qual), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(j), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@q(
     "bql_filter_project",
     """WITH d AS (
          SELECT doc_id,
