@@ -1769,6 +1769,43 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@q("multimodal_video_frames")  # rows-only: frame decode in mapInPandas
+def multimodal_video_frames(spark, sf_dir):
+    """REAL video pipeline: per-document MJPEG/AVI clips (attach_mjpeg_media
+    — JPEG-encoded gradient frames in a RIFF container), frame-sampled with
+    a stride (sample_video_frames — the pyav-keyframe-extraction shape),
+    each kept frame decoded by the baseline-JPEG codec and reduced to
+    per-frame channel means; per-video aggregates summarize the clip. No
+    video library anywhere — container walk + entropy decode are numpy/
+    stdlib (operators/multimodal.py, operators/jpeg.py)."""
+    t = _t(spark, sf_dir)
+    media = mm.attach_mjpeg_media(
+        t["documents"].filter(F.col("doc_id") < 40), "doc_id", n_frames=4, side=16
+    )
+    frames = mm.sample_video_frames(media, every_n=2)  # frames 0 and 2
+    stats = mm.image_stats(
+        mm.decode_image(
+            frames.select(
+                (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+                F.col("frame_bytes").alias("bytes"),
+            )
+        )
+    )
+    per_frame = stats.select(
+        (F.col("media_id") / 1000).cast("long").alias("video_id"),
+        (F.col("media_id") % 1000).cast("int").alias("frame_idx"),
+        "mean_r", "mean_g", "mean_b",
+    )
+    return per_frame.groupBy("video_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.round(F.avg("mean_r"), 4).alias("avg_r"),
+        F.round(F.avg("mean_g"), 4).alias("avg_g"),
+        F.round(F.avg("mean_b"), 4).alias("avg_b"),
+        # inter-frame motion signal: spread of the red mean across frames
+        F.round(F.max("mean_r") - F.min("mean_r"), 4).alias("r_spread"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------

@@ -524,3 +524,157 @@ def audio_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(stats, schema=out_schema)
+
+
+# ----------------------- video (AVI/MJPEG — numpy-decodable) ---------------
+#
+# The video analogue of the WAV and PNG/JPEG paths: Motion-JPEG inside a
+# minimal RIFF/AVI container. The RIFF walk is the same discipline as
+# decode_wav; each '00dc' chunk is a complete baseline JPEG the
+# operators.jpeg codec decodes — so frame-sampling + per-frame decode are
+# REAL end-to-end with no video library. Inter-frame codecs (H.264/VP9)
+# would swap the chunk parser for pyav behind the identical mapInPandas
+# contract.
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_sec", FloatType()),
+        StructField("frame_bytes", BinaryType()),  # one complete JPEG
+    ]
+)
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """List of JPEG byte strings → minimal spec-shaped AVI (RIFF 'AVI ' with
+    hdrl avih + strl strh/strf 'vids'/'MJPG', then the 'movi' LIST of
+    '00dc' chunks, even-padded). Test/fixture helper, like encode_wav."""
+    import struct
+
+    from bullet_spark_spark.operators.jpeg import decode_jpeg
+
+    h, w = (0, 0)
+    if frames:
+        h, w, _, _ = decode_jpeg(frames[0])
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0,
+        0, 0, w & 0xFFFF, h & 0xFFFF,
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", h * w * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def parse_avi_mjpeg(data: bytes):
+    """AVI bytes → (fps, [jpeg_frame_bytes, ...]). RIFF walk: read avih for
+    the frame clock, then every '00dc'/'00db' chunk inside LIST 'movi'."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    fps, frames = None, []
+
+    def walk(buf: bytes) -> None:
+        nonlocal fps
+        i = 0
+        while i + 8 <= len(buf):
+            cid, size = buf[i : i + 4], struct.unpack("<I", buf[i + 4 : i + 8])[0]
+            body = buf[i + 8 : i + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])  # recurse past the subtype fourcc
+            elif cid == b"avih":
+                usec = struct.unpack("<I", body[:4])[0]
+                fps = round(1_000_000 / usec) if usec else None
+            elif cid in (b"00dc", b"00db"):
+                frames.append(body)
+            i += 8 + size + (size & 1)
+
+    walk(data[12:])
+    if fps is None:
+        raise ValueError("missing avih header")
+    return fps, frames
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 1, max_frames: int | None = None
+) -> DataFrame:
+    """REAL video frame sampling: parse the AVI container, keep every
+    ``every_n``-th frame (≤ ``max_frames`` per video), emit one row per kept
+    frame with its stream timestamp. ``frame_bytes`` is a complete JPEG, so
+    the rows compose directly with ``decode_image``/``image_stats`` —
+    exactly how a keyframe-extraction stage feeds a vision pipeline.
+
+    Scale shape: mapInPandas over Arrow batches; fan-out is rows→frames
+    (bounded by max_frames), no shuffle — downstream repartitioning is the
+    caller's choice when frame work dominates."""
+
+    def frames_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["bytes"]):
+                fps, frames = parse_avi_mjpeg(bytes(blob or b""))
+                kept = frames[::every_n] if every_n > 1 else frames
+                if max_frames is not None:
+                    kept = kept[:max_frames]
+                for k, fb in enumerate(kept):
+                    idx = k * every_n
+                    rows.append((mid, idx, float(idx) / fps, fb))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_sec", "frame_bytes"]
+            )
+
+    return df.mapInPandas(frames_fn, schema=VIDEO_FRAME_SCHEMA)
+
+
+def attach_mjpeg_media(
+    df: DataFrame, id_col: str, n_frames: int = 4, side: int = 16, fps: int = 10
+) -> DataFrame:
+    """Build REAL (decodable) MJPEG/AVI media per row: ``n_frames`` gradient
+    frames whose phase is seeded by the row id, JPEG-encoded and boxed in
+    the AVI container. pandas-UDF (the encoder is numpy); deterministic per
+    id — gives any fixture table a video column the real path can decode."""
+    import numpy as np
+
+    from bullet_spark_spark.operators.jpeg import encode_jpeg
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid in pdf["__id"]:
+                frames = []
+                for f in range(n_frames):
+                    y, x = np.mgrid[0:side, 0:side]
+                    r = (x * 255 // max(side - 1, 1) + int(rid) * 11 + f * 29) % 256
+                    g = (y * 255 // max(side - 1, 1) + f * 53) % 256
+                    b = np.full_like(r, (int(rid) * 7 + f * 17) % 256)
+                    frames.append(
+                        encode_jpeg(np.stack([r, g, b], axis=-1).astype(np.uint8), quality=90)
+                    )
+                rows.append((int(rid), "video/x-msvideo", encode_avi_mjpeg(frames, fps)))
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "bytes"])
+
+    src = df.select(F.col(id_col).cast("long").alias("__id"))
+    return src.mapInPandas(
+        build,
+        schema=StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("mime", StringType()),
+                StructField("bytes", BinaryType()),
+            ]
+        ),
+    )

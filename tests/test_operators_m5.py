@@ -427,6 +427,67 @@ def test_wav_decode_and_stats_real_pipeline(spark):
     assert stats[2]["zero_cross_rate"] > stats[0]["zero_cross_rate"]
 
 
+def test_avi_mjpeg_frame_sampling_real_pipeline(spark):
+    """REAL video pipeline: MJPEG frames in an AVI container, frame-sampled
+    with stride + cap through mapInPandas, each emitted frame decoding
+    BYTE-IDENTICALLY to its source JPEG, timestamps on the fps clock."""
+    import numpy as np
+
+    from bullet_spark_spark.operators.jpeg import encode_jpeg
+
+    fps, n_frames = 5, 6
+    vids = {}
+    for mid in (0, 1):
+        frames = [
+            encode_jpeg(
+                np.random.RandomState(mid * 100 + f)
+                .randint(0, 255, (16, 16, 3))
+                .astype(np.uint8),
+                quality=90,
+            )
+            for f in range(n_frames)
+        ]
+        vids[mid] = frames
+    rows = [
+        (mid, "video/x-msvideo", bytearray(mm.encode_avi_mjpeg(fr, fps)), {})
+        for mid, fr in vids.items()
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    out = mm.sample_video_frames(media, every_n=2, max_frames=2).collect()
+    assert len(out) == 4  # 2 videos × (frames 0, 2)
+    for r in out:
+        assert r["frame_idx"] in (0, 2)
+        assert abs(r["ts_sec"] - r["frame_idx"] / fps) < 1e-6
+        assert bytes(r["frame_bytes"]) == vids[r["media_id"]][r["frame_idx"]]
+
+    # sampled frames flow straight into the real image decode path
+    frames_df = mm.sample_video_frames(media, every_n=3).selectExpr(
+        "media_id * 10 + frame_idx AS media_id", "frame_bytes AS bytes"
+    )
+    decoded = mm.decode_image(frames_df).collect()
+    assert len(decoded) == 4  # frames 0, 3 per video
+    for r in decoded:
+        assert (r["height"], r["width"], r["channels"]) == (16, 16, 3)
+        assert len(bytes(r["pixels"])) == 16 * 16 * 3
+
+
+def test_attach_mjpeg_media_is_decodable(spark, tables):
+    docs = tables["documents"].limit(3)
+    media = mm.attach_mjpeg_media(docs, "doc_id", n_frames=3, side=16, fps=10)
+    stats = mm.image_stats(
+        mm.decode_image(
+            mm.sample_video_frames(media).selectExpr(
+                "media_id * 100 + frame_idx AS media_id", "frame_bytes AS bytes"
+            )
+        )
+    ).collect()
+    assert len(stats) == 9  # 3 docs × 3 frames
+    assert all(
+        0 <= r[ch] <= 255 for r in stats for ch in ("mean_r", "mean_g", "mean_b")
+    )
+
+
 def test_attach_ppm_media_is_decodable(spark, tables):
     """attach_ppm_media emits bytes the REAL decoder accepts — fixture
     tables get an image column without any codec library."""
