@@ -1605,6 +1605,54 @@ def sketch_quantile_merge(spark, sf_dir):
     )
 
 
+@q(
+    "text_bm25_topk",
+    r"""WITH q(query_id, query_text) AS (VALUES (1, 'hash join strategy'), (2, 'stream window agg'), (3, 'vector scan filter')),
+       toks AS (SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       qt AS (SELECT DISTINCT query_id, term FROM
+                (SELECT query_id, unnest(string_split(trim(lower(query_text)), ' ')) AS term FROM q)),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       contrib AS (
+         SELECT qt.query_id, tf.doc_id,
+                CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 8)
+                     AS DECIMAL(18,8)) AS c
+         FROM tf JOIN dfreq USING (term) JOIN qt USING (term)
+                 JOIN dl USING (doc_id) CROSS JOIN stats),
+       scored AS (SELECT query_id, doc_id, sum(c) AS sd
+                  FROM contrib GROUP BY 1, 2)
+       SELECT query_id, doc_id, CAST(round(sd, 6) AS DOUBLE) AS score,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS INTEGER) AS rank
+       FROM scored
+       QUALIFY rank <= 10""",
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval: top-10 documents per query (operators/text.py
+    bm25_scores/bm25_topk). The corpus is tokenized once; the broadcast
+    query-term set restricts the postings aggregation to matched terms —
+    the inverted-index shuffle shape without materializing an index. Exact
+    cross-engine scores via per-term 8-dp rounding + DECIMAL sums (ln is
+    libm-1-ulp; float Σ is order-dependent — both are neutralized), so even
+    the rank column hash-matches."""
+    t = _t(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(1, "hash join strategy"), (2, "stream window agg"), (3, "vector scan filter")],
+        ["query_id", "query_text"],
+    )
+    out = tx.bm25_topk(t["documents"], qdf, k=10)
+    return out.select(
+        "query_id",
+        "doc_id",
+        # round the DECIMAL, then cast — see bm25_scores on why the order matters
+        F.round("score", 6).cast("double").alias("score"),
+        "rank",
+    )
+
+
 def _simhash_md5_oracle() -> str:
     """DuckDB SQL for the portable simhash pipeline: 16 hex-digit columns →
     64 signed bit-sums → 4 16-bit blocks → all pairs with Hamming ≤ 3.

@@ -312,3 +312,95 @@ def ngram_contamination(
         )
         .withColumn("contamination", F.col("n_hit") / F.col("n_grams"))
     )
+
+
+def bm25_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every corpus document against a query set —
+    (query_id, doc_id, score) for documents containing ≥1 query term.
+
+    Okapi BM25: score(q,d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Shape at 100 TB (the inverted-index discipline without materializing
+    one): the corpus is tokenized ONCE; the tiny distinct query-term set
+    broadcasts into that stream, so term frequencies are aggregated only
+    for matched terms — a shuffle keyed by (doc, term) over matched
+    postings, never the full vocabulary. Document lengths and the (N,
+    avgdl) scalars come from the same scan, join back broadcast-sized.
+
+    Determinism across engines: each term's contribution is rounded to 8
+    dp and summed as DECIMAL(18,8) — an exact, order-independent sum, so
+    results are reproducible run-to-run (float Σ under a shuffled groupBy
+    is not) and hash-comparable against an external SQL oracle (ln differs
+    from libm-to-libm in the last ulp; 8 dp is ~8 orders coarser)."""
+    toks = corpus.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(F.col(query_text_col))).alias("term"),
+    ).distinct()
+
+    tf = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * sat, 8).cast("decimal(18,8)")
+    # score stays DECIMAL: the exact sum ranks and thresholds identically
+    # everywhere. Surfacing as double belongs to the caller — and must go
+    # round(decimal)→double, never round(double): a sum like 0.51944750
+    # lands BELOW the tie as a double, so double-rounding breaks ties
+    # differently engine-to-engine (Spark rounds the shortest decimal
+    # representation, DuckDB the binary value).
+    return scored.groupBy("query_id", F.col(id_col)).agg(
+        F.sum(contrib).alias("score")
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k documents per query by BM25 (ties broken by doc id — total
+    order, deterministic). Per-query window over the scored pairs; the
+    pair space is already bounded by matched postings."""
+    from pyspark.sql.window import Window as W
+
+    scored = bm25_scores(corpus, queries, **kwargs)
+    id_col = [c for c in scored.columns if c not in ("query_id", "score")][0]
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -460,3 +460,53 @@ def test_range_join_degenerate_and_edge_intervals(spark):
         for r in tp.range_join_bucketed(pts, iv, "p", "lo", "hi", 10.0).collect()
     )
     assert got == [(0, "edge")]  # p=20.0 excluded: hi exclusive
+
+
+def test_bm25_matches_duckdb_and_ranks_sanely(spark, tables, duck):
+    """BM25 scored pairs hash-match the DuckDB oracle (per-term 8-dp
+    rounding + decimal sums neutralize libm/sum-order divergence), and a
+    document made of exactly the query terms outranks the corpus."""
+    docs = tables["documents"].select("doc_id", "text")
+    qdf = spark.createDataFrame(
+        [(1, "hash join strategy"), (2, "stream window agg")],
+        ["query_id", "query_text"],
+    )
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in tx.bm25_scores(docs, qdf)
+        # exact HALF_UP on the decimal, then double — round(double) diverges
+        .withColumn("score", F.round("score", 6).cast("double"))
+        .collect()
+    )
+    expected = sorted(
+        tuple(r)
+        for r in duck.execute(
+            r"""WITH q(query_id, query_text) AS (VALUES (1, 'hash join strategy'), (2, 'stream window agg')),
+           toks AS (SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+           stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+           qt AS (SELECT DISTINCT query_id, term FROM
+                    (SELECT query_id, unnest(string_split(trim(lower(query_text)), ' ')) AS term FROM q)),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+           dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           contrib AS (
+             SELECT qt.query_id, tf.doc_id,
+                    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                               * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 8)
+                         AS DECIMAL(18,8)) AS c
+             FROM tf JOIN dfreq USING (term) JOIN qt USING (term)
+                     JOIN dl USING (doc_id) CROSS JOIN stats)
+           SELECT query_id, doc_id, CAST(round(sum(c), 6) AS DOUBLE) AS score
+           FROM contrib GROUP BY 1, 2"""
+        ).fetchall()
+    )
+    assert got == expected
+
+    # ranking sanity: a pure-query-terms doc dominates its query
+    probe = spark.createDataFrame(
+        [(999_001, "hash join strategy hash join strategy")], ["doc_id", "text"]
+    )
+    top = tx.bm25_topk(docs.unionByName(probe), qdf, k=1).collect()
+    best = {r["query_id"]: r["doc_id"] for r in top}
+    assert best[1] == 999_001
