@@ -1653,6 +1653,54 @@ def text_bm25_topk(spark, sf_dir):
     )
 
 
+@q(
+    "decontam_minhash",
+    f"""WITH base AS (
+         SELECT doc_id, text, {smp.oracle_keep_sql('doc_id', 0.2, 7)} AS is_eval
+         FROM documents),
+       d AS (
+         SELECT doc_id, is_eval, list_distinct([array_to_string(toks[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+         FROM (SELECT doc_id, is_eval,
+                      string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+               FROM base)),
+       e AS (SELECT doc_id, is_eval, unnest(shingles) AS sh FROM d),
+       h AS (SELECT doc_id, is_eval, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+             FROM e CROSS JOIN range(16) r(j) GROUP BY 1, 2, 3),
+       bk AS (SELECT doc_id, is_eval, j // 2 AS b, string_agg(mh, '|' ORDER BY j) AS bkey
+              FROM h GROUP BY 1, 2, 3),
+       cand AS (SELECT DISTINCT c.doc_id AS corpus_id, v.doc_id AS eval_id
+                FROM bk c JOIN bk v ON c.b = v.b AND c.bkey = v.bkey
+                WHERE NOT c.is_eval AND v.is_eval),
+       est AS (SELECT cand.corpus_id, cand.eval_id,
+                      sum(CASE WHEN hc.mh = hv.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+               FROM cand
+               JOIN h hc ON hc.doc_id = cand.corpus_id
+               JOIN h hv ON hv.doc_id = cand.eval_id AND hv.j = hc.j
+               GROUP BY 1, 2)
+       SELECT corpus_id, eval_id, round(ej, 6) AS est_jaccard
+       FROM est WHERE ej >= 0.4""",
+)
+def decontam_minhash(spark, sf_dir):
+    """NEAR-DUP decontamination (operators/dedup.cross_corpus_minhash): a
+    deterministic 20% hash sample plays the eval benchmark; training docs
+    whose minhash similarity against any eval doc clears 0.4 are flagged —
+    the paraphrase-robust complement of decontam_ngram's exact-trigram
+    check. Eval bands AND signatures broadcast; the corpus never
+    self-joins. md5 signature engine ⇒ the whole pipeline hash-matches
+    the DuckDB oracle."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    eval_set = smp.hash_sample(docs, "doc_id", 0.2, seed=7)
+    corpus = docs.join(eval_set.select("doc_id"), on="doc_id", how="left_anti")
+    pairs = dd.cross_corpus_minhash(
+        corpus, eval_set, "doc_id", "text", threshold=0.4, num_hashes=16, bands=8
+    )
+    return pairs.select(
+        "corpus_id", "eval_id", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def _simhash_md5_oracle() -> str:
     """DuckDB SQL for the portable simhash pipeline: 16 hex-digit columns →
     64 signed bit-sums → 4 16-bit blocks → all pairs with Hamming ≤ 3.

@@ -297,6 +297,31 @@ def minhash_signatures_np(
     return norm.mapInPandas(gen, schema=out_schema)
 
 
+def _banded(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) — one row per signature band; the hash is
+    xxhash64 of the band's joined component string, so equal bands collide
+    regardless of the signature's element type (long or md5-hex string)."""
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str,
@@ -314,23 +339,7 @@ def minhash_lsh_candidates(
     callers that filter candidates down before materializing (the verify
     step does) can dedupe the far smaller post-filter set instead and save
     a full exchange over the candidate space."""
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = _banded(sigs, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -491,6 +500,74 @@ def minhash_dedup_pairs_md5(
     )
     sims = minhash_similarity(sigs, cands, id_col)
     return sims.filter(F.col("est_jaccard") >= threshold).distinct()
+
+
+def cross_corpus_minhash(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    signature_engine: str = "md5",
+) -> DataFrame:
+    """NEAR-DUP decontamination across two corpora: (corpus_id, eval_id,
+    est_jaccard) for every training document whose estimated Jaccard
+    against some eval document clears ``threshold``. Exact-n-gram
+    decontamination (text.ngram_contamination) misses paraphrased or
+    lightly-edited benchmark leaks; minhash similarity catches them.
+
+    Shape at 100 TB: the eval side is tiny, so its banded signatures AND
+    its full signatures broadcast — the corpus is signature-scanned once,
+    candidates come from a broadcast band join (no corpus shuffle beyond
+    the signature groupBy), and the verify step is another broadcast join.
+    The corpus never self-joins: cost is corpus × (collision rate), not
+    corpus².
+
+    ``signature_engine="md5"`` (default) keeps the pipeline oracle-exact
+    cross-engine; "np"/"jvm" swap in the production hashes."""
+    rows_per_band = num_hashes // bands
+    if signature_engine == "md5":
+        def sig_fn(d):
+            return minhash_signatures_md5(d, id_col, text_col, num_hashes, shingle_n)
+    elif signature_engine == "np":
+        def sig_fn(d):
+            return minhash_signatures_np(d, id_col, text_col, num_hashes, shingle_n)
+    else:
+        def sig_fn(d):
+            return minhash_signatures(d, id_col, text_col, num_hashes, shingle_n)
+
+    c_sigs = _persist_sigs(sig_fn(corpus))
+    e_sigs = sig_fn(eval_set)
+
+    c_band = _banded(c_sigs, id_col, bands, rows_per_band)
+    e_band = _banded(e_sigs, id_col, bands, rows_per_band)
+    cands = c_band.join(
+        F.broadcast(e_band.withColumnRenamed(id_col, "__eval_id")),
+        ["band_idx", "band_hash"],
+    ).select(F.col(id_col).alias("corpus_id"), F.col("__eval_id").alias("eval_id"))
+
+    ca = c_sigs.select(F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_a"))
+    eb = e_sigs.select(F.col(id_col).alias("eval_id"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        cands.join(ca, "corpus_id")
+        .join(F.broadcast(eb), "eval_id")
+        .select(
+            "corpus_id",
+            "eval_id",
+            (matches / F.size(F.col("sig_a"))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

@@ -735,6 +735,28 @@ def test_simhash_md5_identity_and_perturbation(spark):
     assert (1, 3) in out and out[(1, 3)] <= 3
 
 
+def test_cross_corpus_minhash_catches_paraphrase(spark, tables):
+    """A lightly-edited copy of an eval document is flagged by minhash
+    decontamination (exact n-gram overlap would shrink with every edit);
+    an unrelated doc is not. Eval side must broadcast."""
+    docs = tables["documents"].select("doc_id", "text").limit(50)
+    [probe] = docs.filter(F.col("doc_id") == docs.agg(F.min("doc_id")).collect()[0][0]).collect()
+    words = probe["text"].split()
+    edited = " ".join(w if i % 11 else "EDITED" for i, w in enumerate(words))
+    corpus = docs.unionByName(
+        spark.createDataFrame([(900_001, edited)], ["doc_id", "text"])
+    ).filter(F.col("doc_id") != probe["doc_id"])
+    eval_set = spark.createDataFrame([(probe["doc_id"], probe["text"])], ["doc_id", "text"])
+
+    pairs = dd.cross_corpus_minhash(
+        corpus, eval_set, "doc_id", "text", threshold=0.3, num_hashes=32, bands=16
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval side broadcasts, corpus never self-joins
+    flagged = {r["corpus_id"] for r in pairs.collect()}
+    assert 900_001 in flagged
+
+
 def test_minhash_np_path_semantics(spark):
     """The numpy signature stage honors the JVM path's conventions:
     normalization-equivalent texts get identical signatures, short (<n) and
