@@ -205,3 +205,80 @@ def hll_distinct_rollup(
         ).agg(F.hll_union_agg(F.col("__s")).alias("__s"))
         out = out.unionByName(estimate(prev, lvl))
     return out
+
+
+def freq_group_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    capacity: int = 32,
+    sketch_col: str = "freq",
+) -> DataFrame:
+    """Mergeable FREQUENT-ITEMS sketch per group — the TopK counterpart of
+    the HLL/histogram pre-aggregates (bullet-core's TOP K is a DataSketches
+    frequent-items sketch merged as blobs [D]; our mergeable state is the
+    top-``capacity`` counter map plus a certified remainder bound).
+
+    Per group: exact (key, count) aggregation, keep the ``capacity``
+    heaviest keys as a ``map<string,long>``; ``rest_weight`` (total dropped
+    count) and ``rest_max`` (heaviest dropped count) make the truncation
+    honest downstream. For any key and any later merge of sketches:
+
+        kept_sum(key)  ≤  true_count(key)  ≤  kept_sum(key) + Σ rest_max_g
+
+    summed over merged groups where the key was dropped — the
+    Misra-Gries-style deterministic bound ``freq_merge_topk`` reports.
+    Groups with ≤ capacity distinct keys are EXACT (rest_max = 0), so a
+    sketch table built with capacity ≥ per-group cardinality degrades to
+    exact top-k; heavier-tailed groups trade tail keys for fixed state —
+    capacity·(key+8B) per group at 100 TB, never the key universe.
+
+    Ties at the capacity boundary break by key string (deterministic)."""
+    from pyspark.sql.window import Window as W
+
+    counts = df.groupBy(
+        *group_cols, F.col(key_col).cast("string").alias("__k")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    part = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    ranked = counts.withColumn(
+        "__rn", F.row_number().over(part.orderBy(F.col("__c").desc(), F.col("__k")))
+    )
+    kept = F.map_from_entries(
+        F.array_sort(F.collect_list(F.when(F.col("__rn") <= capacity, F.struct("__k", "__c"))))
+    )
+    rest = F.when(F.col("__rn") > capacity, F.col("__c"))
+    return ranked.groupBy(*group_cols).agg(
+        kept.alias(sketch_col),
+        F.coalesce(F.sum(rest), F.lit(0)).alias("rest_weight"),
+        F.coalesce(F.max(rest), F.lit(0)).alias("rest_max"),
+    )
+
+
+def freq_merge_topk(
+    sketches: DataFrame,
+    slice_cols: list[str],
+    k: int = 10,
+    sketch_col: str = "freq",
+) -> DataFrame:
+    """Re-aggregate a frequent-items sketch table to any subset of its
+    grouping columns: sum kept counts per key, rank, return the top ``k``
+    per slice with the deterministic error bound.
+
+    Returns (slice_cols..., key, est, max_err, rank): ``est ≤ true ≤ est +
+    max_err``; ``max_err`` = Σ rest_max over the merged sketches (0 ⇒ the
+    slice's top-k is exact). State flowing through the merge is
+    #groups × capacity entries — never the base table."""
+    from pyspark.sql.window import Window as W
+
+    exploded = sketches.select(
+        *slice_cols, F.explode(F.col(sketch_col)).alias("key", "cnt")
+    )
+    merged = exploded.groupBy(*slice_cols, "key").agg(F.sum("cnt").alias("est"))
+    errs = sketches.groupBy(*slice_cols).agg(F.sum("rest_max").alias("max_err"))
+    part = W.partitionBy(*slice_cols) if slice_cols else W.partitionBy(F.lit(1))
+    ranked = merged.withColumn(
+        "rank", F.row_number().over(part.orderBy(F.col("est").desc(), F.col("key")))
+    ).filter(F.col("rank") <= k)
+    if slice_cols:
+        return ranked.join(errs, slice_cols)
+    return ranked.crossJoin(F.broadcast(errs))

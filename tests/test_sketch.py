@@ -108,3 +108,61 @@ def test_hist_sketch_excludes_nulls(spark):
     by_g = {r["g"]: r["hist"] for r in rows}
     assert sum(by_g[1].values()) == 2
     assert 2 not in by_g  # all-NULL group vanishes, like SQL aggregates
+
+
+# -- mergeable frequent-items (top-k) sketches ------------------------------
+
+
+def test_freq_sketch_exact_regime_equals_exact_topk(spark, tables):
+    """capacity ≥ per-group cardinality ⇒ rest_max = 0 everywhere and the
+    merged top-k IS the exact top-k (the degradation-to-exact contract)."""
+    pre = sk.freq_group_sketches(tables["events"], ["event_type"], "user_id", capacity=10_000)
+    assert pre.agg(F.max("rest_max")).collect()[0][0] == 0
+    got = sk.freq_merge_topk(pre, [], k=5).orderBy("rank").collect()
+    exact = (
+        tables["events"]
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(5)
+        .collect()
+    )
+    assert [(r["key"], r["est"]) for r in got] == [(r["key"], r["cnt"]) for r in exact]
+    assert all(r["max_err"] == 0 for r in got)
+
+
+def test_freq_sketch_bound_holds_under_truncation(spark, tables):
+    """With a tight capacity, every reported estimate satisfies
+    est ≤ true ≤ est + max_err against exact ground truth."""
+    pre = sk.freq_group_sketches(tables["events"], ["event_type"], "user_id", capacity=8)
+    got = sk.freq_merge_topk(pre, [], k=10).collect()
+    truth = {
+        r["key"]: r["cnt"]
+        for r in tables["events"]
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert len(got) == 10
+    for r in got:
+        true = truth[r["key"]]
+        assert r["est"] <= true <= r["est"] + r["max_err"], (r, true)
+
+
+def test_freq_sketch_slice_merge(spark, tables):
+    """Merging per-(event_type, day) sketches to event_type keeps the bound
+    per slice; exact regime per slice when capacity is generous."""
+    ev = tables["events"].withColumn("day", F.to_date("ts"))
+    pre = sk.freq_group_sketches(ev, ["event_type", "day"], "user_id", capacity=4)
+    out = sk.freq_merge_topk(pre, ["event_type"], k=3)
+    rows = out.collect()
+    assert {r["event_type"] for r in rows} == {
+        r["event_type"] for r in tables["events"].select("event_type").distinct().collect()
+    }
+    truth = {
+        (r["event_type"], str(r["user_id"])): r["cnt"]
+        for r in tables["events"].groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in rows:
+        true = truth[(r["event_type"], r["key"])]
+        assert r["est"] <= true <= r["est"] + r["max_err"], (r, true)
