@@ -1654,6 +1654,31 @@ def text_bm25_topk(spark, sf_dir):
 
 
 @q(
+    "scale_salted_join",
+    """SELECT o_orderpriority,
+              count(*) AS cnt,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def scale_salted_join(spark, sf_dir):
+    """Skew-resistant salted equi-join (operators/relational.salted_skew_join):
+    fact rows salt into 16 sub-keys, the other side replicates ×16, the
+    join runs on (key, salt) — a hot key spreads over 16 tasks instead of
+    one straggler, where AQE's skew split cannot reach (it splits observed
+    shuffle partitions, not a single giant build-side key). Result equals
+    the plain join exactly — that is what the oracle checks."""
+    from bullet_spark_spark.operators.relational import salted_skew_join
+
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    j = salted_skew_join(li, t["orders"].select("o_orderkey", "o_orderpriority"), "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), _dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@q(
     "decontam_minhash",
     f"""WITH base AS (
          SELECT doc_id, text, {smp.oracle_keep_sql('doc_id', 0.2, 7)} AS is_eval

@@ -90,3 +90,39 @@ def salted_group_agg(
     return partial.groupBy(*keys).agg(
         *[_merge[op](F.col(f"__p_{out}")).alias(out) for op, c, out in aggs]
     )
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join for when AQE's skew split can't help: the
+    fact side salts each row into one of ``salt_buckets`` sub-keys
+    (deterministically, from a hash of the whole row), the dim side
+    replicates every row across all buckets, and the join runs on
+    (key, salt) — a hot key's rows spread over ``salt_buckets`` tasks
+    instead of landing on one straggler.
+
+    Cost: dim side × salt_buckets (so keep the dim/replicated side the
+    smaller one — at broadcast size you'd just broadcast; this is for the
+    mid-range where dim is too big to broadcast and fact keys are skewed).
+    AQE's OptimizeSkewedJoin only splits partitions of a *shuffle* whose
+    sizes it can observe; it cannot split a single giant key being built
+    into one hash-table bucket on the build side, and it is disabled for
+    some join/plan shapes (e.g. under required distributions) — the salt
+    works everywhere because it changes the KEY, not the planner.
+
+    Result equals the plain join exactly (every (fact_row, dim_row) match
+    pairs on exactly one salt value)."""
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)).cast("int"),
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_fact.join(replicated_dim, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -77,6 +77,36 @@ def test_salted_group_agg_under_skew(spark, tables):
     assert got["HOT"] == 2 * ev.count()
 
 
+def test_salted_skew_join_equals_plain_join(spark, tables):
+    """Salted join == plain join under a manufactured hot key (90% of fact
+    rows on one orderkey); every match pairs on exactly one salt value, so
+    multiplicities survive exactly."""
+    from bullet_spark_spark.operators.relational import salted_skew_join
+
+    li = tables["lineitem"].select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    hot_key = tables["orders"].agg(F.min("o_orderkey")).collect()[0][0]
+    hot = li.withColumn("o_orderkey", F.lit(hot_key))
+    fact = li.unionByName(hot).unionByName(hot)  # ~2/3 of rows on one key
+    dim = tables["orders"].select("o_orderkey", "o_orderpriority")
+
+    got = (
+        salted_skew_join(fact, dim, "o_orderkey", salt_buckets=8)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+    )
+    want = (
+        fact.join(dim, "o_orderkey")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # outer flavors keep unmatched rows exactly once per fact row
+    lo = salted_skew_join(fact, dim.filter(F.col("o_orderkey") % 2 == 0), "o_orderkey", 8, how="left")
+    assert lo.count() == fact.join(dim.filter(F.col("o_orderkey") % 2 == 0), "o_orderkey", "left").count()
+
+
 def test_salted_group_agg_equivalence(spark, tables):
     ev = tables["events"]
     salted = {
