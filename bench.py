@@ -38,6 +38,9 @@ BENCH = [
     "time_bucket_rollup",     # day->month->year rollup, partial reuse
     "text_repetition",        # Gopher repetition metrics per doc
     "decontam_ngram",         # eval-set n-gram contamination
+    # round-3 additions
+    "tpch_q6_forecast",       # full-pushdown filter scan + single-row agg
+    "sketch_quantile_merge",  # mergeable quantile sketch build + slice re-merge
 ]
 
 REPEATS = 3
