@@ -1,0 +1,102 @@
+"""Plan contracts: the physical-plan properties PLANS.md documents,
+pinned as assertions so a regression in plan shape fails CI, not just
+the benchmark. These check the INITIAL plan (explicit broadcast hints,
+pushdown, exchange counts) — properties that hold at any scale factor,
+not AQE's runtime choices at a tiny one."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")  # full PushedFilters (toString truncates them)
+    return buf.getvalue()
+
+
+def _tree(plan: str) -> str:
+    """Just the plan tree (formatted explain repeats every node again in the
+    details section, which would double node counts)."""
+    lines = plan.splitlines()
+    end = next((i for i, l in enumerate(lines) if not l.strip() and i > 1), len(lines))
+    return "\n".join(lines[:end])
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_q6_all_predicates_pushed(spark, qs):
+    plan = _plan(qs["tpch_q6_forecast"](spark, SF_DIR))
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"predicate not pushed to scan: {pushed}"
+    # column-pruned read: exactly the 4 referenced columns
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert all(c in read for c in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+    assert "l_orderkey" not in read
+
+
+def test_q18_one_aggregation_exchange_then_broadcasts(spark, qs):
+    tree = _tree(_plan(qs["tpch_q18_large_orders"](spark, SF_DIR)))
+    # lineitem aggregated once; everything downstream is broadcast-joined
+    assert tree.count("Scan parquet") == 3  # lineitem + orders + customer, once each
+    non_broadcast_exchanges = [
+        l for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l and "Reused" not in l
+    ]
+    assert len(non_broadcast_exchanges) == 1, non_broadcast_exchanges
+    assert tree.count("BroadcastHashJoin") == 2
+
+
+def test_cross_corpus_minhash_broadcasts_eval_side(spark, tables):
+    from bullet_spark_spark.operators import dedup as dd
+
+    docs = tables["documents"].select("doc_id", "text").limit(30)
+    ev = docs.limit(5)
+    pairs = dd.cross_corpus_minhash(docs, ev, "doc_id", "text", num_hashes=16, bands=8)
+    plan = _plan(pairs)
+    assert "BroadcastHashJoin" in plan
+    # the corpus side never self-joins: no SortMergeJoin of two corpus scans
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_query_terms_broadcast_into_postings(spark, tables):
+    from bullet_spark_spark.operators import text as tx
+
+    qdf = spark.createDataFrame([(1, "hash join")], ["query_id", "query_text"])
+    plan = _plan(tx.bm25_scores(tables["documents"], qdf))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sketch_quantile_merge_no_base_rescan(spark, qs):
+    tree = _tree(_plan(qs["sketch_quantile_merge"](spark, SF_DIR)))
+    # ONE scan builds the sketches; the slice re-merge works on the maps
+    assert tree.count("Scan parquet") == 1
+
+
+def test_salted_join_key_includes_salt(spark, tables):
+    from bullet_spark_spark.operators.relational import salted_skew_join
+
+    li = tables["lineitem"].select(F.col("l_orderkey").alias("k"), "l_quantity")
+    dim = tables["orders"].select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+    plan = _plan(salted_skew_join(li, dim, "k", salt_buckets=8))
+    assert "__salt" in plan  # the join key is (k, __salt), not k alone
