@@ -282,3 +282,45 @@ def freq_merge_topk(
     if slice_cols:
         return ranked.join(errs, slice_cols)
     return ranked.crossJoin(F.broadcast(errs))
+
+
+def hist_quantile_rollup(
+    df: DataFrame,
+    ts_col: str,
+    levels: list[str],
+    value_col: str,
+    width: float,
+    qs: list[float],
+) -> DataFrame:
+    """Quantile counterpart of :func:`hll_distinct_rollup`: per-bucket
+    histogram sketches at the finest time resolution (one scan of the base
+    table); every coarser level re-merges the finer level's bucket counts —
+    the state flowing between levels is #buckets × (8+8) bytes per time
+    bucket, never the values. Returns (level, bucket_start, q, est),
+    finest first; every estimate within ``width`` of exact."""
+    fine = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_start"),
+            F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("__bk"),
+        )
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+    def estimate(counts: DataFrame, level: str) -> DataFrame:
+        sk_tbl = counts.groupBy("bucket_start").agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__bk", "__cnt")))
+            ).alias("hist")
+        )
+        out = hist_merge_quantiles(sk_tbl, ["bucket_start"], qs, width)
+        return out.select(F.lit(level).alias("level"), "bucket_start", "q", "est")
+
+    out = estimate(fine, levels[0])
+    prev = fine
+    for lvl in levels[1:]:
+        prev = prev.groupBy(
+            F.date_trunc(lvl, F.col("bucket_start")).alias("bucket_start"), "__bk"
+        ).agg(F.sum("__cnt").alias("__cnt"))
+        out = out.unionByName(estimate(prev, lvl))
+    return out

@@ -166,3 +166,24 @@ def test_freq_sketch_slice_merge(spark, tables):
     for r in rows:
         true = truth[(r["event_type"], r["key"])]
         assert r["est"] <= true <= r["est"] + r["max_err"], (r, true)
+
+
+def test_hist_quantile_rollup_within_width(spark, tables, duck):
+    """Day->month rollup quantiles from re-merged bucket counts stay within
+    one bucket width of exact at every level."""
+    out = {
+        (r["level"], r["bucket_start"], r["q"]): r["est"]
+        for r in sk.hist_quantile_rollup(
+            tables["events"], "ts", ["day", "month"], "value", WIDTH, [0.5]
+        ).collect()
+    }
+    exact = duck.execute(
+        """SELECT 'day' AS level, CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+                  quantile_disc(value, 0.5) AS m FROM events GROUP BY 2
+           UNION ALL
+           SELECT 'month', CAST(date_trunc('month', ts) AS TIMESTAMP),
+                  quantile_disc(value, 0.5) FROM events GROUP BY 2"""
+    ).fetchall()
+    assert len(out) == len(exact)
+    for level, b, m in exact:
+        assert abs(out[(level, b, 0.5)] - m) <= WIDTH, (level, b)
