@@ -767,3 +767,114 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def streaming_neardup_ingest(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    checkpoint_dir: str | None = None,
+    signature_engine: str = "np",
+):
+    """CONTINUOUS corpus near-dup ingest: every micro-batch is minhash-
+    deduplicated against (a) itself and (b) every document ever accepted,
+    using a persisted signature store — the realistic training-data intake
+    shape where history is unbounded but is never rescanned as text.
+
+    Per batch (foreachBatch, batch-mode DataFrames):
+      1. signature the batch once (persisted for its three uses);
+      2. within-batch LSH pairs → the LARGER id of a pair ≥ threshold drops
+         (first-occurrence-wins under monotone ids);
+      3. batch bands join the STORE's bands — the batch side broadcasts
+         (a micro-batch is small; history is big), so history is touched
+         only through its compact signature table, cost ∝ collisions;
+      4. survivors append their signatures to the store and their rows to
+         ``out_dir`` — both written per-epoch with overwrite, so a retried
+         epoch is idempotent (the write is the batch's only side effect).
+
+    State per accepted doc is num_hashes longs — at 100 TB of text the
+    store is ~0.05% of corpus bytes, and it is itself a parquet table any
+    batch job can reuse. Returns the StreamingQuery (Available-Now
+    trigger: drains what exists, then stops — call repeatedly for a cron
+    intake, or swap the trigger for 24/7)."""
+    import os
+
+    spark = stream.sparkSession
+    sig_store = os.path.join(state_dir, "signatures")
+    rpb = num_hashes // bands
+    sig_fn = {
+        "np": minhash_signatures_np,
+        "jvm": minhash_signatures,
+        "md5": minhash_signatures_md5,
+    }[signature_engine]
+
+    def verify(cands: DataFrame, a_sigs: DataFrame, b_sigs: DataFrame) -> DataFrame:
+        sa = a_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = b_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+        joined = cands.join(sa, "id_a").join(sb, "id_b")
+        matches = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        )
+        return joined.filter(
+            (matches / F.size(F.col("sig_a"))) >= threshold
+        )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_sigs = sig_fn(batch_df, id_col, text_col, num_hashes).persist()
+        new_band = _banded(new_sigs, id_col, bands, rpb)
+
+        # (2) within-batch: larger id of a verified pair drops
+        self_cands = minhash_lsh_candidates(new_sigs, id_col, bands, rpb, deduplicate=False)
+        dup_ids = (
+            verify(self_cands, new_sigs, new_sigs)
+            .select(F.col("id_b").alias(id_col))
+        )
+
+        # (3) vs the accepted-history store (absent on the first epoch)
+        hist_path_exists = os.path.isdir(sig_store) and any(
+            e.startswith("epoch=") for e in os.listdir(sig_store)
+        )
+        if hist_path_exists:
+            hist = (
+                spark.read.option("basePath", sig_store).parquet(sig_store)
+                .filter(F.col("epoch") != epoch_id)  # retry safety
+                .select(id_col, "sig")
+            )
+            hist_band = _banded(hist, id_col, bands, rpb)
+            hist_cands = (
+                hist_band.join(
+                    F.broadcast(
+                        new_band.withColumnRenamed(id_col, "__new_id")
+                    ),
+                    ["band_idx", "band_hash"],
+                )
+                .select(
+                    F.col(id_col).alias("id_a"), F.col("__new_id").alias("id_b")
+                )
+            )
+            dup_ids = dup_ids.unionByName(
+                verify(hist_cands, hist, new_sigs).select(
+                    F.col("id_b").alias(id_col)
+                )
+            )
+
+        dup_ids = dup_ids.distinct()
+        survivors = batch_df.join(dup_ids, id_col, "left_anti")
+        surviving_sigs = new_sigs.join(dup_ids, id_col, "left_anti")
+
+        # (4) idempotent per-epoch writes
+        surviving_sigs.write.mode("overwrite").parquet(f"{sig_store}/epoch={epoch_id}")
+        survivors.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        new_sigs.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -795,3 +795,51 @@ def test_widen_thin_input_size_aware(spark, tables):
     assert few.rdd.getNumPartitions() <= 4  # 5-row table: no 32-way fan-out
     already_wide = tables["events"].repartition(64)
     assert dd.widen_thin_input(already_wide).rdd.getNumPartitions() == 64
+
+
+def test_streaming_neardup_ingest(spark, tables, tmp_path):
+    """Continuous intake dedup: three micro-batches with planted duplicates
+    (exact repeats and near-copies of earlier batches). First occurrence
+    survives; later (near-)copies drop; the signature store holds exactly
+    the survivors."""
+    from bullet_spark_spark.sources.streaming import file_drip
+
+    base = [r["text"] for r in tables["documents"].limit(3).collect()]
+    rows = [
+        # batch boundaries come from repartition(3); ids are monotone
+        (0, base[0]),
+        (1, base[1]),
+        (2, base[0]),                                   # exact dup of 0
+        (3, base[0].replace(base[0].split()[0], "xx", 1)),  # near-copy of 0
+        (4, base[2]),
+        (5, base[1] + " " + base[1]),                   # self-repeat: near-copy of 1
+        (6, "a completely unrelated tiny document about nothing"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stream = file_drip(spark, df, str(tmp_path / "in"), chunks=3)
+
+    q = dd.streaming_neardup_ingest(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        "doc_id",
+        "text",
+        threshold=0.6,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out")
+    )
+    survivors = {r["doc_id"] for r in out.collect()}
+    # one representative per near-dup cluster, whatever the batch order
+    # (file_drip's repartition scatters rows across micro-batches)
+    assert len(survivors & {0, 2, 3}) == 1   # base[0] and its two (near-)copies
+    assert len(survivors & {1, 5}) == 1      # base[1] and its self-repeat
+    assert {4, 6} <= survivors               # singletons always survive
+    # the store holds exactly the survivors' signatures
+    sigs = spark.read.option(
+        "basePath", str(tmp_path / "state" / "signatures")
+    ).parquet(str(tmp_path / "state" / "signatures"))
+    assert {r["doc_id"] for r in sigs.collect()} == survivors
