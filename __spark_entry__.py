@@ -1796,6 +1796,20 @@ def dedup_simhash(spark, sf_dir):
     return dd.simhash_near_dup_pairs(fps, "doc_id", max_hamming=3)
 
 
+@q("sim_int8_topk")  # rows-only: int8 rounding (HALF_EVEN/HALF_UP) is engine-specific
+def sim_int8_topk(spark, sf_dir):
+    """Cosine top-k over int8-quantized embeddings — the memory-bound scale
+    variant (4-8× less data through scan/shuffle; integer dot in codegen;
+    per-vector scales cancel in cosine). Recall ≥0.9 of the exact float
+    top-k asserted in tests (test_int8_quantization_roundtrip_and_recall)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.brute_force_topk_int8(emb, queries, k=5, exclude_self=True)
+
+
 @q("sim_lsh_ann")  # rows-only: bucket membership depends on seeded planes
 def sim_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate NN (the 100 TB scale path); recall vs exact

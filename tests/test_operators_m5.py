@@ -843,3 +843,32 @@ def test_streaming_neardup_ingest(spark, tables, tmp_path):
         "basePath", str(tmp_path / "state" / "signatures")
     ).parquet(str(tmp_path / "state" / "signatures"))
     assert {r["doc_id"] for r in sigs.collect()} == survivors
+
+
+def test_int8_quantization_roundtrip_and_recall(spark, tables):
+    """Quantized vectors reconstruct within scale/2 per component, and
+    int8 cosine top-k recalls almost all of the exact float top-k (the
+    memory-bound scale path's quality contract)."""
+    import numpy as np
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    qz = sim.quantize_int8(emb).collect()
+    for r in qz[:20]:
+        x = np.array(r["embedding"])
+        back = np.array(r["q8"], dtype=np.float64) * r["q8_scale"]
+        assert np.abs(x - back).max() <= r["q8_scale"] / 2 + 1e-9
+        assert all(-127 <= c <= 127 for c in r["q8"])
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact_sets, approx_sets = {}, {}
+    for r in sim.brute_force_topk(emb, q, k=5, exclude_self=True).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in sim.brute_force_topk_int8(emb, q, k=5, exclude_self=True).collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[qid] & approx_sets[qid]) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
