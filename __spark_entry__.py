@@ -1726,6 +1726,74 @@ def decontam_minhash(spark, sf_dir):
     )
 
 
+@q(
+    "text_repeated_spans",
+    r"""WITH t AS (SELECT doc_id,
+                string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+       sp AS (SELECT doc_id, unnest([array_to_string(toks[i:i+11], ' ')
+                        FOR i IN range(1, greatest(len(toks) - 11, 0) + 1)]) AS span
+              FROM t)
+       SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+       FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2""",
+)
+def text_repeated_spans(spark, sf_dir):
+    """Exact-substring duplication detector (operators/text.repeated_spans —
+    the Lee et al. substring-dedup shape): every 12-word span occurring in
+    ≥2 distinct documents, with corpus frequency. One explode + one
+    span-keyed groupBy with map-side partials; the output IS the removal
+    candidate list of substring-level dedup."""
+    t = _t(spark, sf_dir)
+    return tx.repeated_spans(t["documents"], "doc_id", "text", w=12, min_docs=2)
+
+
+def _pii_oracle() -> str:
+    em, ph, ip, ssn = [p for _, p, _ in tx.PII_PATTERNS]
+    return f"""WITH inj AS (
+         SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     || ' or call 555-123-4567 from 10.0.'
+                     || CAST(doc_id % 99 AS VARCHAR) || '.25 ssn 123-45-6789' AS t2
+         FROM documents)
+       SELECT doc_id,
+              md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+                  '{ssn}', '<ID>', 'g'), '{em}', '<EMAIL>', 'g'),
+                  '{ip}', '<IP>', 'g'), '{ph}', '<PHONE>', 'g')) AS scrubbed_md5,
+              CAST(len(regexp_extract_all(t2, '{em}')) AS INTEGER) AS n_email,
+              CAST(len(regexp_extract_all(t2, '{ip}')) AS INTEGER) AS n_ipv4,
+              CAST(len(regexp_extract_all(t2, '{ssn}')) AS INTEGER) AS n_ssn_like
+       FROM inj"""
+
+
+@q("text_pii_scrub", _pii_oracle())
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/text.scrub_pii): emails, phones, IPv4s and
+    SSN-like ids become typed placeholders via chained regexp_replace —
+    pure codegen, no UDF; most-specific patterns run first so the loose
+    phone shape cannot eat half an IP. The fixtures carry no PII, so the
+    query injects synthetic PII per row and the DuckDB oracle must produce
+    the byte-identical scrubbed text (compared by md5) and match counts —
+    the regex dialect overlap (Java vs RE2) is part of what is pinned."""
+    t = _t(spark, sf_dir)
+    injected = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+            F.lit(" or call 555-123-4567 from 10.0."),
+            (F.col("doc_id") % 99).cast("string"), F.lit(".25 ssn 123-45-6789"),
+        ).alias("t2"),
+    )
+    hits = tx.pii_hit_counts(F.col("t2"))
+    return injected.select(
+        "doc_id",
+        F.md5(tx.scrub_pii(F.col("t2"))).alias("scrubbed_md5"),
+        hits.getField("email").alias("n_email"),
+        hits.getField("ipv4").alias("n_ipv4"),
+        hits.getField("ssn_like").alias("n_ssn_like"),
+    )
+
+
 def _simhash_md5_oracle() -> str:
     """DuckDB SQL for the portable simhash pipeline: 16 hex-digit columns →
     64 signed bit-sums → 4 16-bit blocks → all pairs with Hamming ≤ 3.

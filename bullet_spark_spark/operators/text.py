@@ -404,3 +404,80 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def word_spans(text: Column, w: int) -> Column:
+    """ALL ``w``-word spans (with multiplicity, unlike word_shingles'
+    distinct sets) — the unit of exact-substring dedup."""
+    toks = tokens(text)
+    cnt = F.greatest(F.size(toks) - (w - 1), F.lit(0))
+    idx = F.when(cnt >= 1, F.sequence(F.lit(0), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)))
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication detector (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" shape): every ``w``-word
+    span occurring in ≥ ``min_docs`` DISTINCT documents, with its corpus
+    frequency — the removal candidates of substring-level dedup, and the
+    diagnostic behind boilerplate discovery.
+
+    One explode + one groupBy keyed by the span: shuffle size is
+    (tokens − w + 1) rows per doc, aggregation state one counter pair per
+    distinct span. At 100 TB, span strings can be md5'd before the shuffle
+    to cap key width (identical grouping, 16-byte keys); kept as text here
+    so the output is directly human-readable."""
+    spans = df.select(
+        F.col(id_col), F.explode(word_spans(F.col(text_col), w)).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+# public-knowledge PII patterns (regex syntax valid in both Java and RE2,
+# so the same pattern string runs in Spark and external SQL oracles)
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ]?(\([0-9]{2,4}\)[-. ]?)?[0-9]{3,4}[-. ][0-9]{3,4}([-. ][0-9]{2,4})?", "<PHONE>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn_like", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace PII-shaped substrings (emails, phone numbers, IPv4s,
+    SSN-like ids) with typed placeholders — the redaction pass a
+    training-data pipeline runs before anything else sees the text. Chained
+    regexp_replace: pure codegen, no UDF; SSN before phone (a dashed SSN
+    also matches the looser phone shape)."""
+    out = text
+    # most-specific first: SSN and IPv4 shapes also match the looser phone
+    # pattern in part, so they must be replaced before it runs
+    for name, pat, repl in [PII_PATTERNS[3], PII_PATTERNS[0], PII_PATTERNS[2], PII_PATTERNS[1]]:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_hit_counts(text: Column) -> Column:
+    """struct of per-category PII match counts — the audit signal (how much
+    redaction happened) without storing the redacted content."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(name)
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )

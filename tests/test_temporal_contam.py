@@ -510,3 +510,27 @@ def test_bm25_matches_duckdb_and_ranks_sanely(spark, tables, duck):
     top = tx.bm25_topk(docs.unionByName(probe), qdf, k=1).collect()
     best = {r["query_id"]: r["doc_id"] for r in top}
     assert best[1] == 999_001
+
+
+def test_pii_scrub_and_spans(spark):
+    """Typed placeholders land where PII was; clean text passes untouched;
+    repeated spans finds exactly the planted cross-doc 10-word span."""
+    rows = [
+        (1, "reach me at jane.doe+x@corp.io or 192.168.1.4 tomorrow"),
+        (2, "ssn 123-45-6789 phone 555-867-5309 end"),
+        (3, "no personal data in this row at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {r["id"]: r["s"] for r in df.select("id", tx.scrub_pii(F.col("t")).alias("s")).collect()}
+    assert got[1] == "reach me at <EMAIL> or <IP> tomorrow"
+    assert got[2] == "ssn <ID> phone <PHONE> end"
+    assert got[3] == rows[2][1]
+
+    span = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, f"alpha {span} beta"), (2, f"gamma {span} delta"), (3, "unrelated words only here")],
+        ["doc_id", "text"],
+    )
+    out = tx.repeated_spans(docs, w=10, min_docs=2).collect()
+    assert [r["span"] for r in out] == [span]
+    assert out[0]["n_docs"] == 2 and out[0]["n_occurrences"] == 2
