@@ -1794,6 +1794,59 @@ def text_pii_scrub(spark, sf_dir):
     )
 
 
+@q(
+    "pack_sequences",
+    """WITH c AS (
+         SELECT doc_id, n_chars,
+                sum(n_chars) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM documents)
+       SELECT doc_id, n_chars,
+              CAST(floor((cum - 1) / 4096.0) AS BIGINT) AS bin_id,
+              cum - n_chars AS stream_offset
+       FROM c""",
+)
+def pack_sequences_q(spark, sf_dir):
+    """Token-budget sequence packing (operators/sampling.pack_sequences):
+    documents assigned to ~4096-char training bins via a running cumsum in
+    id order — deterministic window binning, no stateful first-fit; the
+    stream_offset column is the seek position a dataloader uses."""
+    t = _t(spark, sf_dir)
+    return smp.pack_sequences(t["documents"], "doc_id", "n_chars", 4096)
+
+
+@q(
+    "text_curation_funnel",
+    r"""WITH graded AS (
+         SELECT doc_id, text,
+                CASE WHEN length(text) < 120 THEN 'too_short'
+                     WHEN length(text) > 20000 THEN 'too_long'
+                     WHEN (CASE WHEN length(text) > 0
+                           THEN length(regexp_replace(text, '[^\p{L}]', '', 'g')) * 1.0 / length(text)
+                           ELSE 0.0 END) < 0.815 THEN 'low_alpha'
+                     WHEN (SELECT CASE WHEN len(g) > 0
+                                  THEN 1 - len(list_distinct(g)) * 1.0 / len(g)
+                                  ELSE NULL END
+                           FROM (SELECT [array_to_string(toks[i:i+2], ' ')
+                                         FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)] AS g
+                                 FROM (SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks))) > 0.05
+                          THEN 'repetitive'
+                     ELSE 'keep' END AS verdict
+         FROM documents)
+       SELECT doc_id, verdict FROM graded""",
+)
+def text_curation_funnel(spark, sf_dir):
+    """The composed curation funnel (operators/text.curate): every document
+    tagged with its first failing rule (too_short → too_long → low_alpha →
+    repetitive → keep) in ONE codegen CASE pass; the verdict histogram is
+    the rejection report a pipeline publishes. The funnel decision itself
+    is what the oracle hash-matches."""
+    t = _t(spark, sf_dir)
+    return tx.curate(
+        t["documents"], min_chars=120, min_alpha=0.815, max_dup3=0.05
+    ).select("doc_id", "verdict")
+
+
 def _simhash_md5_oracle() -> str:
     """DuckDB SQL for the portable simhash pipeline: 16 hex-digit columns →
     64 signed bit-sums → 4 16-bit blocks → all pairs with Hamming ≤ 3.

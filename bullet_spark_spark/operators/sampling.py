@@ -108,3 +108,40 @@ def oracle_keep_sql(key_sql: str, fraction: float, seed: int = 0) -> str:
     return (
         f"md5(CAST({key_sql} AS VARCHAR) || ':{seed}') < '{_threshold_hex(fraction)}'"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to ~``budget``-sized training bins: running token
+    cumsum in ``order_col`` (default: id) order, bin = which budget window
+    the document's cumulative END falls in — deterministic, engine-portable
+    (no stateful first-fit recurrence), every bin within one document of
+    the budget. Returns (id, size, bin_id, stream_offset) — stream_offset
+    is the document's global token start position, what a dataloader seeks
+    to.
+
+    The window is UNPARTITIONED by design — bin ids are globally
+    sequential, which is the contract a dataloader wants. At 100 TB,
+    partition first (e.g. by shard) and pack within shards: same helper,
+    one extra groupBy key. Sorting cost is the cumsum's single global sort
+    (Spark's range-partitioned sort, not a single-task bottleneck)."""
+    from pyspark.sql.window import Window as W
+
+    order = F.col(order_col or id_col)
+    w = W.orderBy(order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = df.select(
+        F.col(id_col),
+        F.col(size_col),
+        F.sum(size_col).over(w).alias("__cum"),
+    )
+    return cum.select(
+        id_col,
+        size_col,
+        F.floor((F.col("__cum") - 1) / F.lit(budget)).cast("long").alias("bin_id"),
+        (F.col("__cum") - F.col(size_col)).alias("stream_offset"),
+    )

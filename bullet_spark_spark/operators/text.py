@@ -481,3 +481,32 @@ def pii_hit_counts(text: Column) -> Column:
             for name, pat, _ in PII_PATTERNS
         ]
     )
+
+
+def curation_verdict(
+    text: Column,
+    min_chars: int = 20,
+    max_chars: int = 20000,
+    min_alpha: float = 0.6,
+    max_dup3: float = 0.5,
+) -> Column:
+    """The composed keep/drop decision of a curation funnel, with the FIRST
+    failing rule as the verdict (ordered: too_short → too_long →
+    low_alpha → repetitive → keep). One projected CASE expression — the
+    whole funnel is a single codegen pass over the scan, and grouping by
+    the verdict yields the per-reason rejection counts a pipeline reports.
+    Thresholds are corpus-tuned parameters; defaults suit prose."""
+    return (
+        F.when(F.length(text) < min_chars, F.lit("too_short"))
+        .when(F.length(text) > max_chars, F.lit("too_long"))
+        .when(alpha_ratio(text) < min_alpha, F.lit("low_alpha"))
+        .when(dup_ngram_fraction(text, 3) > max_dup3, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+
+
+def curate(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """Corpus through the funnel: every row tagged with its verdict;
+    ``df.filter(verdict == 'keep')`` is the surviving corpus, the verdict
+    histogram is the funnel report."""
+    return df.withColumn("verdict", curation_verdict(F.col(text_col), **thresholds))

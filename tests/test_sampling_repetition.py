@@ -143,3 +143,43 @@ def test_repetition_flags_templated_doc(spark):
     assert out[2]["top_bigram_frac"] > out[1]["top_bigram_frac"]
     assert out[2]["uniq_word_ratio"] < out[1]["uniq_word_ratio"]
     assert out[2]["dup_trigram_frac"] > 0.8
+
+
+def test_pack_sequences_invariants(spark, tables):
+    """Bins are contiguous in order, sizes within budget + one document,
+    offsets are the running sum — the dataloader contract."""
+    from bullet_spark_spark.operators.sampling import pack_sequences
+
+    budget = 2000
+    out = pack_sequences(tables["documents"], "doc_id", "n_chars", budget).collect()
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    cum = 0
+    prev_bin = 0
+    for r in rows:
+        assert r["stream_offset"] == cum
+        cum += r["n_chars"]
+        assert r["bin_id"] == (cum - 1) // budget
+        assert r["bin_id"] >= prev_bin  # bins never go backwards in order
+        prev_bin = r["bin_id"]
+    from collections import defaultdict
+    bins = defaultdict(int)
+    for r in rows:
+        bins[r["bin_id"]] += r["n_chars"]
+    max_doc = max(r["n_chars"] for r in rows)
+    for b, size in bins.items():
+        assert size <= budget + max_doc  # within one document of budget
+
+
+def test_curation_funnel_first_rule_wins(spark):
+    from bullet_spark_spark.operators import text as tx
+
+    rows = [
+        (1, "tiny"),                                        # too_short
+        (2, "x" * 30000),                                   # too_long
+        (3, "1234 5678 9012 3456 7890 1234 5678 9012"),     # low_alpha
+        (4, ("spam ham " * 40).strip()),                    # repetitive
+        (5, "a perfectly ordinary sentence about engines and data quality"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: r["verdict"] for r in tx.curate(df).collect()}
+    assert got == {1: "too_short", 2: "too_long", 3: "low_alpha", 4: "repetitive", 5: "keep"}
