@@ -64,6 +64,32 @@ def decode_json(df: DataFrame, schema: StructType, col: str = "value") -> DataFr
     return df.select(F.from_json(F.col(col), schema).alias("r")).select("r.*")
 
 
+def decode_json_with_dlq(
+    df: DataFrame, schema: StructType, col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Deserialize with a DEAD-LETTER path instead of silent drops: returns
+    (good, bad) frames from one decode. A record is bad when it fails to
+    parse OR parses to all-NULL fields (from_json's PERMISSIVE output for
+    schema-mismatched text). ``bad`` keeps the raw payload for replay.
+
+    The reference logs-and-drops malformed records
+    (DSLDataProducer.scala:25-30 deserialize/convert, errors swallowed per
+    record); at pipeline scale a drop is data loss with no audit trail —
+    the DLQ frame is writable to a quarantine sink and re-playable after a
+    schema fix. Both outputs are projections of the same decode (Catalyst
+    computes from_json once per branch; no shuffle, no UDF)."""
+    parsed = df.withColumn("__r", F.from_json(F.col(col), schema))
+    any_field = F.greatest(
+        *[F.col(f"__r.{f.name}").isNotNull() for f in schema.fields], F.lit(False)
+    )
+    all_null = ~any_field
+    bad = parsed.filter(F.col("__r").isNull() | all_null).select(
+        F.col(col).alias("raw"), F.current_timestamp().alias("dlq_ts")
+    )
+    good = parsed.filter(F.col("__r").isNotNull() & ~all_null).select("__r.*")
+    return good, bad
+
+
 def union_sources(dfs: list[DataFrame]) -> DataFrame:
     """Producer fan-in (ref ``ssc.union(bulletRecordStreams)``,
     QueryDataUnioning.scala:85-91): N record streams, one logical stream.

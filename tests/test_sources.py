@@ -33,6 +33,45 @@ def test_decode_json(spark):
     assert tuple(rows[2]) == (None, None)
 
 
+def test_decode_json_with_dlq(spark, tmp_path):
+    """Good rows decode; malformed AND schema-mismatched rows land in the
+    dead-letter frame with their raw payload — no silent loss. Works on
+    batch and streaming frames identically."""
+    from bullet_spark_spark.sources.streaming import decode_json_with_dlq
+
+    raw = spark.createDataFrame(
+        [
+            ('{"event_id": 1, "event_type": "a"}',),
+            ("not json at all",),
+            ('{"wrong_field": 9}',),   # parses but matches no schema field
+            ('{"event_id": 3}',),      # partial: still good (one field set)
+        ],
+        "value string",
+    )
+    good, bad = decode_json_with_dlq(raw, SCHEMA)
+    assert sorted(tuple(r) for r in good.collect()) == [(1, "a"), (3, None)]
+    assert sorted(r["raw"] for r in bad.collect()) == [
+        "not json at all", '{"wrong_field": 9}'
+    ]
+
+    # streaming: bad rows reach a quarantine sink via foreachBatch
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    stream = file_drip(spark, raw, str(tmp_path), chunks=2)
+    g, b = decode_json_with_dlq(stream, SCHEMA)
+    sink = MemorySink()
+    q = (
+        b.select("raw").writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted(r[0] for r in sink.rows) == ["not json at all", '{"wrong_field": 9}']
+
+
 def test_union_sources_streaming(spark, tables, tmp_path):
     """P4: two producer streams unioned into one record stream, queried
     once (ref ssc.union, QueryDataUnioning.scala:85-91)."""
