@@ -1282,7 +1282,11 @@ def text_lang_quality(spark, sf_dir):
         UNION ALL
         SELECT 'top64', doc_id FROM
           (SELECT doc_id FROM documents
-           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id LIMIT 64)""",
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id LIMIT 64)
+        UNION ALL
+        SELECT 'pergroup', doc_id FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':9'), doc_id) <= 10""",
 )
 def sampling_deterministic(spark, sf_dir):
     """Deterministic sampling suite in one slot: md5-threshold fraction
@@ -1302,7 +1306,10 @@ def sampling_deterministic(spark, sf_dir):
     n = smp.sample_exact_n(docs, "doc_id", 64, seed=5).select(
         F.lit("top64").alias("mode"), "doc_id"
     )
-    return h.unionByName(s).unionByName(n)
+    g = smp.sample_exact_n_per_group(docs, "doc_id", ["lang"], 10, seed=9).select(
+        F.lit("pergroup").alias("mode"), "doc_id"
+    )
+    return h.unionByName(s).unionByName(n).unionByName(g)
 
 
 @q(

@@ -145,3 +145,22 @@ def pack_sequences(
         F.floor((F.col("__cum") - 1) / F.lit(budget)).cast("long").alias("bin_id"),
         (F.col("__cum") - F.col(size_col)).alias("stream_offset"),
     )
+
+
+def sample_exact_n_per_group(
+    df: DataFrame, key_col: str, group_cols: list[str], n: int, seed: int = 0
+) -> DataFrame:
+    """Exactly-n-per-group deterministic sample: within each group, the n
+    rows with the smallest sampling hash (stable across engines,
+    partitionings, and reruns — the per-stratum counterpart of
+    sample_exact_n). One window pass partitioned by the group; rank
+    short-circuits at n per partition."""
+    from pyspark.sql.window import Window as W
+
+    h = sample_hash(F.col(key_col), seed)
+    w = W.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
