@@ -1,0 +1,82 @@
+"""Property-based differential for the engine-portable md5 minhash
+pipeline: random small corpora (with forced duplicate/near-duplicate
+structure) run through Spark's minhash_dedup_pairs_md5 AND the DuckDB
+SQL construction, and must emit IDENTICAL (id_a, id_b, est_jaccard)
+rows — signatures, banding, candidates, verify, and threshold all pinned
+at once, on adversarially-shaped inputs the fixture corpus can't cover
+(empty docs, 1-2 word docs, heavy repetition, shared prefixes)."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bullet_spark_spark.operators import dedup as dd
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "join", "scan", "row", "batch"]
+
+
+@st.composite
+def corpus(draw):
+    """3-10 docs of 0-12 words from a tiny vocabulary (forces shingle
+    collisions), plus one guaranteed duplicated doc when possible."""
+    n = draw(st.integers(3, 10))
+    docs = []
+    for i in range(n):
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12))
+        docs.append((i, " ".join(words)))
+    if n >= 2 and docs[0][1]:
+        docs[-1] = (docs[-1][0], docs[0][1])  # exact duplicate pair
+    return docs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus())
+def test_minhash_md5_random_corpora_match_duckdb(spark, data):
+    pairs = dd.minhash_dedup_pairs_md5(
+        spark.createDataFrame(data, ["doc_id", "text"]),
+        "doc_id",
+        "text",
+        threshold=0.25,
+        num_hashes=16,
+        bands=8,
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 6)) for r in pairs.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    expected = sorted(
+        tuple(r)
+        for r in con.execute(
+            r"""WITH d AS (
+             SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                      FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+             FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+                   FROM documents)),
+           e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+           h AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+                 FROM e CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+           bk AS (SELECT doc_id, j // 2 AS b, string_agg(mh, '|' ORDER BY j) AS bkey
+                  FROM h GROUP BY doc_id, j // 2),
+           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bk a JOIN bk b
+                    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           est AS (SELECT c.id_a, c.id_b,
+                          sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+                   FROM cand c
+                   JOIN h ha ON ha.doc_id = c.id_a
+                   JOIN h hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+                   GROUP BY c.id_a, c.id_b)
+           SELECT id_a, id_b, round(ej, 6) FROM est WHERE ej >= 0.25"""
+        ).fetchall()
+    )
+    con.close()
+    assert got == expected
