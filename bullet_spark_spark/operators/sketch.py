@@ -324,3 +324,60 @@ def hist_quantile_rollup(
         ).agg(F.sum("__cnt").alias("__cnt"))
         out = out.unionByName(estimate(prev, lvl))
     return out
+
+
+def streaming_windowed_hist(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    value_col: str,
+    width: float,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """STREAMING quantile state: per (event-time window, bucket) counts —
+    a standard streaming aggregation Catalyst merges incrementally
+    (update mode), with watermark-evicted state. Bucket counts are the
+    mergeable quantile sketch of hist_group_sketches, so the stream's
+    state per window is #buckets counters, never the values — this is how
+    windowed Distribution queries stay bounded on an unbounded stream.
+
+    Emit (window_start, bucket, cnt) rows; pair with
+    ``hist_counts_to_quantiles`` in the sink to turn any window's counts
+    into quantile estimates (within ``width`` of exact)."""
+    from bullet_spark_spark.sources.streaming import ensure_event_time
+
+    base = ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark_delay)
+    return (
+        base.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("__w"),
+            F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("__w.start").alias("window_start"), "bucket", "cnt")
+    )
+
+
+def hist_counts_to_quantiles(
+    counts: DataFrame, qs: list[float], width: float
+) -> DataFrame:
+    """(window_start, bucket, cnt) → (window_start, q, est): the batch-side
+    finalize of streaming_windowed_hist (targeted rank over cumulative
+    counts, same estimator as hist_merge_quantiles). Run it in
+    foreachBatch on the update stream, or once over the drained state."""
+    from pyspark.sql.window import Window as W
+
+    part = W.partitionBy("window_start")
+    cum = counts.select(
+        "window_start",
+        "bucket",
+        F.sum("cnt").over(part.orderBy("bucket")).alias("__cum"),
+        F.sum("cnt").over(part).alias("__total"),
+    )
+    qdf = counts.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(
+        F.col("__cum") >= F.ceil(F.col("q") * F.col("__total"))
+    )
+    return hit.groupBy("window_start", "q").agg(
+        ((F.min("bucket") + 0.5) * F.lit(width)).alias("est")
+    )

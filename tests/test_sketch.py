@@ -187,3 +187,57 @@ def test_hist_quantile_rollup_within_width(spark, tables, duck):
     assert len(out) == len(exact)
     for level, b, m in exact:
         assert abs(out[(level, b, 0.5)] - m) <= WIDTH, (level, b)
+
+
+def test_streaming_windowed_quantiles_parity(spark, tables, duck, tmp_path):
+    """Streaming == batch for windowed quantile state: drain events through
+    a real update-mode streaming aggregation of (window, bucket) counts,
+    take each key's LAST emission, finalize to quantiles — must stay
+    within one bucket width of DuckDB's exact per-window medians."""
+    from bullet_spark_spark.operators.sketch import (
+        hist_counts_to_quantiles,
+        streaming_windowed_hist,
+    )
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    stream = file_drip(spark, tables["events"], str(tmp_path), chunks=4)
+    # file_drip scatters rows across chunks with total event-time disorder,
+    # so the watermark must cover the whole span or real rows get evicted
+    counts = streaming_windowed_hist(
+        stream, "ts", "1 day", "value", WIDTH, watermark_delay="90 days"
+    )
+    sink = MemorySink()
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {}
+    for batch in sink.batches:
+        for w, bucket, cnt in batch:
+            final[(w, bucket)] = cnt  # update mode: last emission wins
+    drained = spark.createDataFrame(
+        [(w, b, c) for (w, b), c in final.items()],
+        "window_start timestamp, bucket long, cnt long",
+    )
+    got = {
+        r["window_start"]: r["est"]
+        for r in hist_counts_to_quantiles(drained, [0.5], WIDTH).collect()
+    }
+    # same rank convention as the estimator: the value at rank ceil(q*n)
+    exact = duck.execute(
+        """SELECT w, min(value) FROM (
+             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w, value,
+                    row_number() OVER (PARTITION BY date_trunc('day', ts) ORDER BY value) AS rn,
+                    count(*) OVER (PARTITION BY date_trunc('day', ts)) AS n
+             FROM events)
+           WHERE rn >= ceil(0.5 * n) GROUP BY w"""
+    ).fetchall()
+    assert len(got) == len(exact)
+    for w, m in exact:
+        assert abs(got[w] - m) <= WIDTH / 2 + 1e-9, (w, got[w], m)
