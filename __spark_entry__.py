@@ -1854,6 +1854,46 @@ def text_curation_funnel(spark, sf_dir):
     ).select("doc_id", "verdict")
 
 
+@q(
+    "pipeline_end_to_end",
+    f"""WITH curated AS (
+         SELECT doc_id, text, n_chars FROM documents
+         WHERE length(text) >= 120 AND length(text) <= 20000
+           AND length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0 / length(text) >= 0.815),
+       deduped AS (
+         SELECT min(doc_id) AS doc_id FROM curated
+         GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+       sampled AS (
+         SELECT c.doc_id, c.n_chars FROM deduped d JOIN curated c USING (doc_id)
+         WHERE {smp.oracle_keep_sql('d.doc_id', 0.5, 11)}),
+       packed AS (
+         SELECT doc_id, n_chars,
+                sum(n_chars) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM sampled)
+       SELECT doc_id, n_chars,
+              CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS bin_id,
+              cum - n_chars AS stream_offset
+       FROM packed""",
+)
+def pipeline_end_to_end(spark, sf_dir):
+    """The CAPSTONE composition — a full training-data intake in four
+    chained operators, every stage the engine's own: curation funnel
+    (keep-verdict filter) → exact dedup (first copy per normalized-text
+    md5) → deterministic 50% hash sample → token-budget sequence packing.
+    Each stage is individually oracle-checked elsewhere; this row checks
+    that they COMPOSE — the bin/offset output depends on every upstream
+    decision, so any drift anywhere in the funnel breaks the hash."""
+    t = _t(spark, sf_dir)
+    curated = tx.curate(
+        t["documents"], min_chars=120, min_alpha=0.815, max_dup3=1.1
+    ).filter(F.col("verdict") == "keep")
+    kept_ids = dd.exact_dedup_representatives(curated, "doc_id", "text")
+    deduped = curated.join(kept_ids, "doc_id", "left_semi")
+    sampled = smp.hash_sample(deduped, "doc_id", 0.5, seed=11)
+    return smp.pack_sequences(sampled, "doc_id", "n_chars", 2048)
+
+
 def _simhash_md5_oracle() -> str:
     """DuckDB SQL for the portable simhash pipeline: 16 hex-digit columns →
     64 signed bit-sums → 4 16-bit blocks → all pairs with Hamming ≤ 3.
