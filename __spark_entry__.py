@@ -1093,6 +1093,66 @@ def tpch_q18_large_orders(spark, sf_dir):
 
 
 @q(
+    "tpch_q4_late_orders",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o.o_orderkey
+                       AND l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+       GROUP BY o_orderpriority""",
+)
+def tpch_q4_late_orders(spark, sf_dir):
+    """TPC-H-Q4-shaped order-priority check: orders with ≥1 lineitem shipped
+    >30 days after the order date, counted per priority. The EXISTS
+    compiles to a LEFT SEMI join — each order contributes once no matter
+    how many late lineitems, and the semi join keeps only the key + date
+    columns flowing (pruned scans both sides)."""
+    t = _t(spark, sf_dir)
+    late = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+            "left_semi",
+        )
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@q(
+    "tpch_q14_promo_share",
+    """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS promo_share
+       FROM lineitem JOIN part ON l_partkey = p_partkey""",
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H-Q14-shaped promotion share: percentage of revenue from PROMO
+    parts. part broadcasts into the lineitem scan (dim ≪ fact); the
+    conditional revenue and the total come from ONE aggregate over the
+    joined stream (no second pass); decimal sums keep the ratio
+    order-independent."""
+    t = _t(spark, sf_dir)
+    j = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(promo.cast("decimal(18,4)")).cast("double")
+            / F.sum(rev.cast("decimal(18,4)")).cast("double"),
+            6,
+        ).alias("promo_share")
+    )
+
+
+@q(
     "bql_filter_project",
     """WITH d AS (
          SELECT doc_id,
