@@ -100,3 +100,21 @@ def test_salted_join_key_includes_salt(spark, tables):
     dim = tables["orders"].select(F.col("o_orderkey").alias("k"), "o_orderpriority")
     plan = _plan(salted_skew_join(li, dim, "k", salt_buckets=8))
     assert "__salt" in plan  # the join key is (k, __salt), not k alone
+
+
+def test_q4_semi_join_prunes_both_sides(spark, qs):
+    plan = _plan(qs["tpch_q4_late_orders"](spark, SF_DIR))
+    assert "LeftSemi" in plan  # each order contributes once
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li_read = next(l for l in reads if "l_orderkey" in l)
+    assert "l_extendedprice" not in li_read  # lineitem pruned to key + shipdate
+    o_read = next(l for l in reads if "o_orderkey" in l)
+    assert "o_totalprice" not in o_read
+
+
+def test_q14_single_aggregate_over_broadcast_join(spark, qs):
+    tree = _tree(_plan(qs["tpch_q14_promo_share"](spark, SF_DIR)))
+    assert "BroadcastHashJoin" in tree  # part is the broadcast dim
+    # conditional + total revenue in ONE partial/final aggregate pair
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Scan parquet") == 2
