@@ -1954,6 +1954,44 @@ def pipeline_end_to_end(spark, sf_dir):
     return smp.pack_sequences(sampled, "doc_id", "n_chars", 2048)
 
 
+@q(
+    "sketch_quantile_rollup",
+    """WITH fine AS (
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+                CAST(floor(value / 0.5) AS BIGINT) AS bk, count(*) AS cnt
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       monthly AS (
+         SELECT CAST(date_trunc('month', bucket_start) AS TIMESTAMP) AS bucket_start,
+                bk, sum(cnt) AS cnt
+         FROM fine GROUP BY 1, 2),
+       lvl AS (SELECT 'day' AS level, * FROM fine
+               UNION ALL SELECT 'month', * FROM monthly),
+       cum AS (SELECT level, bucket_start, bk,
+                      sum(cnt) OVER (PARTITION BY level, bucket_start ORDER BY bk) AS cum,
+                      sum(cnt) OVER (PARTITION BY level, bucket_start) AS total
+               FROM lvl),
+       qq AS (SELECT unnest(CAST([0.5, 0.9] AS DOUBLE[])) AS q),
+       hit AS (SELECT level, bucket_start, q, min(bk) AS bk
+               FROM cum CROSS JOIN qq WHERE cum >= ceil(q * total)
+               GROUP BY 1, 2, 3)
+       SELECT level, bucket_start, q, (bk + 0.5) * 0.5 AS est FROM hit""",
+)
+def sketch_quantile_rollup(spark, sf_dir):
+    """Time-hierarchy quantile rollup (operators/sketch.hist_quantile_rollup):
+    day-level bucket counts from ONE scan of events; the month level
+    re-merges the day buckets — inter-level state is counters, never
+    values. The estimator is deterministic (linear buckets, targeted rank,
+    midpoint), so the DuckDB oracle hash-matches every level exactly —
+    merge associativity across the time hierarchy is what's being
+    checked."""
+    from bullet_spark_spark.operators import sketch as sk
+
+    t = _t(spark, sf_dir)
+    return sk.hist_quantile_rollup(
+        t["events"], "ts", ["day", "month"], "value", 0.5, [0.5, 0.9]
+    )
+
+
 def _simhash_md5_oracle() -> str:
     """DuckDB SQL for the portable simhash pipeline: 16 hex-digit columns →
     64 signed bit-sums → 4 16-bit blocks → all pairs with Hamming ≤ 3.
