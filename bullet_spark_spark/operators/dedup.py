@@ -769,6 +769,65 @@ def simhash_near_dup_pairs(
     )
 
 
+def _sig_store_epochs(spark, sig_store: str) -> list[int]:
+    """List the ``epoch=N`` partition values present in the signature store
+    via the Hadoop FileSystem API — the check follows the path's ACTUAL
+    filesystem (S3/HDFS/local alike). A driver-local ``os.listdir`` would
+    silently see nothing on a remote store and every batch would skip
+    history dedup without an error."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.sc().hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(sig_store)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
+            try:
+                out.append(int(name[len("epoch="):]))
+            except ValueError:
+                pass
+    return out
+
+
+def _compact_sig_store(
+    spark, sig_store: str, keep_epoch: int, target_file_rows: int = 4_000_000
+) -> None:
+    """Fold every CLOSED epoch partition (epoch != keep_epoch) into one
+    consolidated ``epoch=-1`` partition so the store stays a bounded file
+    set instead of a one-dir-per-micro-batch small-file farm. keep_epoch
+    (the in-flight epoch) stays its own partition so the retry-safety
+    filter ``epoch != epoch_id`` keeps excluding it after a replay.
+
+    Not crash-atomic: the final delete+rename is two filesystem metadata
+    ops (same posture as sources/write.compact_small_files) — a
+    transactional table format is the real answer for a 24/7 store; for
+    AvailableNow cron intakes the exposure window is two metadata calls."""
+    closed = [e for e in _sig_store_epochs(spark, sig_store) if e != keep_epoch]
+    if len(closed) <= 1:
+        return
+    hist = (
+        spark.read.option("basePath", sig_store).parquet(sig_store)
+        .filter(F.col("epoch") != keep_epoch)
+        .drop("epoch")
+    )
+    n = hist.count()
+    files = max(1, -(-n // target_file_rows))
+    tmp = sig_store.rstrip("/") + "__compacting"
+    hist.repartition(files).write.mode("overwrite").parquet(tmp)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.sc().hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(sig_store).getFileSystem(hconf)
+    for e in closed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(sig_store, f"epoch={e}"), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(sig_store, "epoch=-1"),
+    )
+
+
 def streaming_neardup_ingest(
     stream: DataFrame,
     state_dir: str,
@@ -780,6 +839,7 @@ def streaming_neardup_ingest(
     bands: int = 16,
     checkpoint_dir: str | None = None,
     signature_engine: str = "np",
+    compact_every: int | None = 16,
 ):
     """CONTINUOUS corpus near-dup ingest: every micro-batch is minhash-
     deduplicated against (a) itself and (b) every document ever accepted,
@@ -799,7 +859,10 @@ def streaming_neardup_ingest(
 
     State per accepted doc is num_hashes longs — at 100 TB of text the
     store is ~0.05% of corpus bytes, and it is itself a parquet table any
-    batch job can reuse. Returns the StreamingQuery (Available-Now
+    batch job can reuse. Every ``compact_every`` closed epochs the store's
+    epoch partitions fold into one consolidated ``epoch=-1`` partition
+    (:func:`_compact_sig_store`) so file count stays bounded across
+    unbounded epochs. Returns the StreamingQuery (Available-Now
     trigger: drains what exists, then stops — call repeatedly for a cron
     intake, or swap the trigger for 24/7)."""
     import os
@@ -837,11 +900,10 @@ def streaming_neardup_ingest(
             .select(F.col("id_b").alias(id_col))
         )
 
-        # (3) vs the accepted-history store (absent on the first epoch)
-        hist_path_exists = os.path.isdir(sig_store) and any(
-            e.startswith("epoch=") for e in os.listdir(sig_store)
-        )
-        if hist_path_exists:
+        # (3) vs the accepted-history store (absent on the first epoch);
+        # existence check via the Hadoop FS API so it follows the store's
+        # actual filesystem (S3/HDFS), not the driver's local disk
+        if _sig_store_epochs(spark, sig_store):
             hist = (
                 spark.read.option("basePath", sig_store).parquet(sig_store)
                 .filter(F.col("epoch") != epoch_id)  # retry safety
@@ -873,6 +935,12 @@ def streaming_neardup_ingest(
         surviving_sigs.write.mode("overwrite").parquet(f"{sig_store}/epoch={epoch_id}")
         survivors.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
         new_sigs.unpersist()
+
+        # (5) periodic maintenance: bound the store's file count
+        if compact_every:
+            closed = [e for e in _sig_store_epochs(spark, sig_store) if e != epoch_id]
+            if len(closed) >= compact_every:
+                _compact_sig_store(spark, sig_store, keep_epoch=epoch_id)
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_dir:

@@ -115,8 +115,20 @@ def salted_skew_join(
     some join/plan shapes (e.g. under required distributions) — the salt
     works everywhere because it changes the KEY, not the planner.
 
-    Result equals the plain join exactly (every (fact_row, dim_row) match
-    pairs on exactly one salt value)."""
+    Result equals the plain join exactly for the supported fact-preserving
+    join types (every (fact_row, dim_row) match pairs on exactly one salt
+    value, and every fact row carries exactly one salt). Dim-preserving
+    types (right/full_outer) are NOT supported: the dim side is replicated
+    across all salts, so an unmatched dim row would surface once per salt
+    bucket instead of once — raise rather than silently duplicate."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_skew_join supports fact-preserving joins {sorted(allowed)}; "
+            f"got {how!r} (dim-preserving types would emit one row per salt "
+            "bucket for unmatched dim rows)"
+        )
     salted_fact = fact.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)).cast("int"),

@@ -125,20 +125,59 @@ def pack_sequences(
     is the document's global token start position, what a dataloader seeks
     to.
 
-    The window is UNPARTITIONED by design — bin ids are globally
-    sequential, which is the contract a dataloader wants. At 100 TB,
-    partition first (e.g. by shard) and pack within shards: same helper,
-    one extra groupBy key. Sorting cost is the cumsum's single global sort
-    (Spark's range-partitioned sort, not a single-task bottleneck)."""
+    Bin ids are globally sequential (the contract a dataloader wants), but
+    the global cumsum is NOT a single-partition window — an unpartitioned
+    ``Window.orderBy`` moves every row into one task (WindowExec warns
+    exactly this). Instead, a two-level cumsum: split the order domain into
+    contiguous range buckets (boundaries from one approxQuantile pass —
+    they only need to be order-ALIGNED, not exact, for the result to be
+    exact), running-sum WITHIN each bucket, and add each bucket's prefix.
+    Per-bucket totals are a #buckets-row table, so the prefix window is
+    trivially small and joins back as a broadcast. The only full-data
+    shuffle is the hash partition by bucket; the totals aggregation ships
+    one partial row per (task, bucket). Deterministic when the order key
+    is unique (id by default).
+
+    Falls back to the single-partition window when the order key is not
+    castable to double (exotic types) — correct, but not the scale path."""
     from pyspark.sql.window import Window as W
 
-    order = F.col(order_col or id_col)
-    w = W.orderBy(order).rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = df.select(
-        F.col(id_col),
-        F.col(size_col),
-        F.sum(size_col).over(w).alias("__cum"),
-    )
+    order = order_col or id_col
+    base = df.select(F.col(id_col), F.col(size_col), F.col(order).alias("__ord"))
+    nbuckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        probs = [i / nbuckets for i in range(1, nbuckets)]
+        bounds = sorted(
+            set(
+                base.select(F.col("__ord").cast("double").alias("__o"))
+                .filter(F.col("__o").isNotNull())
+                .stat.approxQuantile("__o", probs, 0.001)
+            )
+        )
+    except Exception:
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(F.filter(barr, lambda b: F.col("__ord").cast("double") > b))
+        w_in = (
+            W.partitionBy("__bkt")
+            .orderBy("__ord")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        bucketed = base.withColumn("__bkt", bkt)
+        cum_in = bucketed.withColumn("__cum_in", F.sum(size_col).over(w_in))
+        totals = bucketed.groupBy("__bkt").agg(F.sum(size_col).alias("__tot"))
+        w_pref = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+        prefix = totals.select(
+            "__bkt",
+            F.coalesce(F.sum("__tot").over(w_pref), F.lit(0)).alias("__prefix"),
+        )
+        cum = cum_in.join(F.broadcast(prefix), "__bkt").withColumn(
+            "__cum", F.col("__cum_in") + F.col("__prefix")
+        )
+    else:  # empty input or un-castable order key: single-window fallback
+        w = W.orderBy(F.col("__ord")).rowsBetween(W.unboundedPreceding, W.currentRow)
+        cum = base.withColumn("__cum", F.sum(size_col).over(w))
     return cum.select(
         id_col,
         size_col,

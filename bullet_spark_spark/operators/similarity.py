@@ -481,7 +481,10 @@ def quantize_int8(
     hot; the float originals stay in cold storage for exact re-scoring.
 
     Pure column expressions (transform + round), no UDF. Zero vectors get
-    scale 0 and all-zero codes.
+    scale 1.0 (a 0 scale would divide by zero in the code expression) and
+    all-zero codes; their quantized cosine is 0/0 = NULL downstream, so
+    :func:`brute_force_topk_int8` excludes them from rankings — same
+    posture as exact cosine, where a zero vector has no direction.
 
     For COSINE, per-vector symmetric scaling is exact in direction: the
     scale cancels in q·q'/(|q||q'|) up to rounding, so ranking degrades

@@ -233,12 +233,16 @@ def freq_group_sketches(
     exact top-k; heavier-tailed groups trade tail keys for fixed state —
     capacity·(key+8B) per group at 100 TB, never the key universe.
 
-    Ties at the capacity boundary break by key string (deterministic)."""
+    Ties at the capacity boundary break by key string (deterministic).
+    NULL keys are excluded (map keys cannot be null — same convention as
+    hist_group_sketches)."""
     from pyspark.sql.window import Window as W
 
-    counts = df.groupBy(
-        *group_cols, F.col(key_col).cast("string").alias("__k")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(*group_cols, F.col(key_col).cast("string").alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     part = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
     ranked = counts.withColumn(
         "__rn", F.row_number().over(part.orderBy(F.col("__c").desc(), F.col("__k")))

@@ -3,6 +3,8 @@ multimodal plumbing — the properties the oracle harness can't express."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -843,6 +845,68 @@ def test_streaming_neardup_ingest(spark, tables, tmp_path):
         "basePath", str(tmp_path / "state" / "signatures")
     ).parquet(str(tmp_path / "state" / "signatures"))
     assert {r["doc_id"] for r in sigs.collect()} == survivors
+
+
+def test_streaming_neardup_store_compaction(spark, tables, tmp_path):
+    """The signature store stays a BOUNDED file set across many epochs:
+    closed epoch partitions fold into one consolidated epoch=-1 partition
+    every ``compact_every`` epochs, and dedup against compacted history
+    still works (a late exact copy of an early-accepted doc is dropped
+    even after its epoch was folded away)."""
+    from bullet_spark_spark.sources.streaming import file_drip
+
+    import hashlib
+
+    def _words(i):  # 16 words with no shared substrings across docs
+        return " ".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:10] for j in range(16)
+        )
+
+    texts = [_words(i) for i in range(13)]
+    rows = [(i, texts[i]) for i in range(13)] + [(13, texts[0])]  # 13 = dup of 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stream = file_drip(spark, df, str(tmp_path / "in"), chunks=14)
+
+    q = dd.streaming_neardup_ingest(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        "doc_id",
+        "text",
+        threshold=0.6,
+        checkpoint_dir=str(tmp_path / "ck"),
+        compact_every=4,
+    )
+    q.awaitTermination(180)
+
+    out = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out")
+    )
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert len(survivors & {0, 13}) == 1          # the dup pair collapses
+    assert set(range(1, 13)) <= survivors         # distinct docs all survive
+    # store content unchanged by compaction: exactly the survivors' sigs
+    sig_store = str(tmp_path / "state" / "signatures")
+    sigs = spark.read.option("basePath", sig_store).parquet(sig_store)
+    assert {r["doc_id"] for r in sigs.collect()} == survivors
+    # and the store is bounded: ≤ compact_every open epochs + consolidated
+    # epoch=-1 + the final epoch, not one dir per micro-batch (14 here)
+    epoch_dirs = [d for d in os.listdir(sig_store) if d.startswith("epoch=")]
+    assert len(epoch_dirs) <= 4 + 2
+    assert "epoch=-1" in epoch_dirs
+
+
+def test_salted_skew_join_rejects_dim_preserving(spark, tables):
+    """right/full joins would emit one row per salt for unmatched dim rows —
+    the operator refuses them instead of silently duplicating."""
+    from bullet_spark_spark.operators.relational import salted_skew_join
+
+    fact = tables["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"))
+    dim = tables["orders"].select("o_orderkey", "o_custkey")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_skew_join(fact, dim, "o_orderkey", salt_buckets=4, how="right")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_skew_join(fact, dim, "o_orderkey", salt_buckets=4, how="full_outer")
 
 
 def test_int8_quantization_roundtrip_and_recall(spark, tables):
