@@ -1552,28 +1552,112 @@ def sim_cosine_neardup(spark, sf_dir):
 
 @q(
     "multiplex_one_pass",
-    """SELECT 'q_hi' AS query_id, count(*) AS n FROM events WHERE value > 90
+    """SELECT 'q_hi' AS query_id, CAST(count(*) AS DOUBLE) AS n
+       FROM events WHERE value > 90
        UNION ALL
-       SELECT 'q_purchase', count(*) FROM events WHERE event_type = 'purchase'
+       SELECT 'q_purchase', CAST(count(*) AS DOUBLE)
+       FROM events WHERE event_type = 'purchase'
        UNION ALL
-       SELECT 'q_teens', count(*) FROM events WHERE value BETWEEN 10 AND 20""",
+       SELECT 'q_teens', CAST(count(*) AS DOUBLE)
+       FROM events WHERE value BETWEEN 10 AND 20
+       UNION ALL
+       SELECT 'q_cd', CAST(count(DISTINCT user_id) AS DOUBLE)
+       FROM events WHERE value > 50
+       UNION ALL
+       SELECT 'q_p50', CAST((min(b) + 0.5) * 5.0 AS DOUBLE) FROM (
+         SELECT b, sum(c) OVER (ORDER BY b) AS cum, sum(c) OVER () AS tot
+         FROM (
+           SELECT CAST(floor(value / 5.0) AS BIGINT) AS b, count(*) AS c
+           FROM events WHERE event_type = 'view' AND value IS NOT NULL
+           GROUP BY 1))
+       WHERE cum >= ceil(0.5 * tot)""",
 )
 def multiplex_one_pass(spark, sf_dir):
-    """N query predicates in ONE scan (the reference's FilterStreaming
-    multiplexing, FilterStreaming.scala:54-67, without the per-batch driver
-    re-broadcast)."""
-    from bullet_spark_spark.operators.multiplex import multiplex_filter
+    """N heterogeneous queries in ONE scan + ONE shuffle via mergeable
+    partials (the reference's FilterStreaming multiplexing across every
+    aggregation type, FilterStreaming.scala:54-67 + :124 ``getData``
+    partials, without the per-batch driver re-broadcast): three counting
+    filters + an exact COUNT DISTINCT (key-set partials) + a mergeable
+    linear-histogram QUANTILE (bucket-count partials, est = bucket
+    midpoint — engine-portable, so the oracle reproduces it exactly)."""
+    from bullet_spark_spark.operators.multiplex import multiplex_partials
+    from bullet_spark_spark.plans import CountDistinctAgg as _CD
+    from bullet_spark_spark.plans import DistributionAgg as _DA
+    from bullet_spark_spark.plans import DistributionType as _DT
+    from bullet_spark_spark.plans import GroupAgg as _GA
+    from bullet_spark_spark.plans import Query as _Q
 
     t = _t(spark, sf_dir)
-    routed = multiplex_filter(
-        t["events"],
-        {
-            "q_hi": E.f("value") > 90,
-            "q_purchase": E.f("event_type") == "purchase",
-            "q_teens": E.f("value").between(10, 20),
-        },
+    specs = {
+        "q_hi": _Q(source="events", filter=E.f("value") > 90, aggregation=_GA()),
+        "q_purchase": _Q(
+            source="events", filter=E.f("event_type") == "purchase", aggregation=_GA()
+        ),
+        "q_teens": _Q(
+            source="events", filter=E.f("value").between(10, 20), aggregation=_GA()
+        ),
+        "q_cd": _Q(
+            source="events",
+            filter=E.f("value") > 50,
+            aggregation=_CD(fields=["user_id"], name="cd"),
+        ),
+        "q_p50": _Q(
+            source="events",
+            filter=E.f("event_type") == "view",
+            aggregation=_DA(
+                type=_DT.QUANTILE, field="value", points=[0.5], width=5.0
+            ),
+        ),
+    }
+    partials = multiplex_partials(t["events"], specs)
+
+    # finalize in ONE second aggregation over the (result-sized) partials —
+    # no per-family re-filtering, so the base table is scanned exactly once
+    final = partials.groupBy("query_id").agg(
+        F.sum("count_").alias("__sum"),
+        F.count(
+            F.when(~F.exists(F.map_values("keys"), lambda v: v.isNull()), 1)
+        ).alias("__nkeys"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("keys")["__bucket"].isNotNull(),
+                    F.struct(
+                        F.col("keys")["__bucket"].cast("long").alias("b"),
+                        F.col("count_").alias("c"),
+                    ),
+                )
+            )
+        ).alias("__bl"),
     )
-    return routed.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    total = F.aggregate("__bl", F.lit(0).cast("long"), lambda acc, x: acc + x["c"])
+    rank = F.greatest(F.ceil(F.lit(0.5) * total), F.lit(1))
+    p50_est = F.aggregate(
+        "__bl",
+        F.struct(
+            F.lit(0).cast("long").alias("run"),
+            F.lit(None).cast("double").alias("est"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["run"] + x["c"]).alias("run"),
+            F.coalesce(
+                acc["est"],
+                F.when(
+                    acc["run"] + x["c"] >= rank, (x["b"] + F.lit(0.5)) * F.lit(5.0)
+                ),
+            ).alias("est"),
+        ),
+        lambda acc: acc["est"],
+    )
+    n = (
+        F.when(
+            F.col("query_id").isin("q_hi", "q_purchase", "q_teens"),
+            F.col("__sum").cast("double"),
+        )
+        .when(F.col("query_id") == "q_cd", F.col("__nkeys").cast("double"))
+        .otherwise(p50_est)
+    )
+    return final.select("query_id", n.alias("n"))
 
 
 @q(

@@ -98,7 +98,17 @@ def multiplex_partials(df: DataFrame, specs: dict[str, "Query"]) -> DataFrame:
       decomposed into mergeable SUM + COUNT_FIELD partials),
     - TopKAgg (partial = per-group counts; top-k selection happens at merge),
     - DistributionAgg PMF/CDF (partial = per-bucket counts; key is the
-      bucket index).
+      bucket index),
+    - CountDistinctAgg exact mode (partial = presence of each distinct
+      field tuple — the key map itself is the mergeable state; merge =
+      key-set union, count = #keys with no NULL component, the reference's
+      exact-below-threshold regime [D]; approx mode belongs to
+      plan-per-query register(), where Catalyst's HLL partials merge
+      natively),
+    - DistributionAgg QUANTILE with ``width`` set (partial = per-bucket
+      counts under LINEAR bucketing floor(value/width) — the
+      sketch.hist_group_sketches state; merge = bucket-count sum; the
+      estimate at any quantile is within one width of exact).
 
     Keys are stringified into a map (different queries group by different
     columns); aggregate columns keep their NATIVE types (sums of longs stay
@@ -106,7 +116,9 @@ def multiplex_partials(df: DataFrame, specs: dict[str, "Query"]) -> DataFrame:
     (query_id, keys map<string,string>, count_, [sum_f / min_f / max_f /
     cntf_f ...]) with one column per (op, field) pair any query needs."""
     from bullet_spark_spark.plans.spec import (
+        CountDistinctAgg,
         DistributionAgg,
+        DistributionType,
         GroupAgg as _GroupAgg,
         TopKAgg,
     )
@@ -116,10 +128,25 @@ def multiplex_partials(df: DataFrame, specs: dict[str, "Query"]) -> DataFrame:
     key_expr = None
     for qid, spec in specs.items():
         agg = spec.aggregation
-        if isinstance(agg, (_GroupAgg, TopKAgg)):
+        if isinstance(agg, (_GroupAgg, TopKAgg, CountDistinctAgg)):
+            # CountDistinct reuses the group-key map: each distinct field
+            # tuple becomes one partial row; NULL components stay visible
+            # as NULL map values so the merge can apply SQL's
+            # exclude-NULL-tuples convention
             arr_k = F.array(*[F.lit(k) for k in agg.fields])
             arr_v = F.array(*[F.col(k).cast("string") for k in agg.fields])
             branch = F.map_from_arrays(arr_k, arr_v)
+        elif isinstance(agg, DistributionAgg) and agg.type is DistributionType.QUANTILE:
+            if not agg.width:
+                raise ValueError(
+                    f"{qid}: multiplexed QUANTILE needs DistributionAgg.width "
+                    "(linear mergeable bucketing) — or use register()"
+                )
+            c = F.col(agg.field)
+            bucket = F.when(
+                c.isNotNull(), F.floor(c / F.lit(agg.width)).cast("long")
+            )
+            branch = F.create_map(F.lit("__bucket"), bucket.cast("string"))
         elif isinstance(agg, DistributionAgg):
             from functools import reduce
 

@@ -45,6 +45,7 @@ from pyspark.sql.window import Window as W_spark
 
 from bullet_spark_spark.plans.spec import (
     AggOp,
+    CountDistinctAgg,
     DistributionAgg,
     GroupAgg,
     Query,
@@ -398,8 +399,17 @@ class EngineRuntime:
         subscriptions dominate. The query set is fixed per incarnation
         (restart the stage to change it — bullet has the same trade-off);
         lifecycle (duration expiry, kill, RAW limit) is enforced sink-side +
-        sweeper. CountDistinct / QUANTILE specs are rejected: their mergeable
-        form is a sketch, served by register() plan-per-query."""
+        sweeper.
+
+        CountDistinct (exact mode) multiplexes with the distinct key map
+        itself as the mergeable state (merge = key-set union — the
+        reference's exact-below-threshold regime [D]; state is bounded by
+        the field's cardinality, bullet's own posture). QUANTILE
+        multiplexes when ``DistributionAgg.width`` declares the linear
+        mergeable bucketing (per-bucket counts, sketch.hist_group_sketches
+        semantics; estimates within one width of exact). Approx
+        CountDistinct stays plan-per-query — its HLL partials merge inside
+        Catalyst, not in the sink."""
         from bullet_spark_spark.operators.multiplex import (
             multiplex_filter,
             multiplex_partials,
@@ -421,7 +431,21 @@ class EngineRuntime:
                 raw_specs[qid] = spec
             elif isinstance(agg, (GroupAgg, TopKAgg)):
                 agg_specs[qid] = spec
+            elif isinstance(agg, CountDistinctAgg):
+                if agg.approx:
+                    raise ValueError(
+                        f"{qid}: approx COUNT DISTINCT merges its HLL partials "
+                        "inside Catalyst — use register() plan-per-query"
+                    )
+                agg_specs[qid] = spec
             elif isinstance(agg, _Dist) and agg.type in (_DT.PMF, _DT.CDF):
+                agg_specs[qid] = spec
+            elif isinstance(agg, _Dist) and agg.type is _DT.QUANTILE:
+                if not agg.width:
+                    raise ValueError(
+                        f"{qid}: multiplexed QUANTILE needs DistributionAgg.width "
+                        "(linear mergeable bucketing) — or use register()"
+                    )
                 agg_specs[qid] = spec
             else:
                 raise ValueError(
@@ -498,6 +522,36 @@ class EngineRuntime:
                 return ["keys", agg.name], [
                     (dict(k), st["count_"]) for k, st in ranked[: agg.k]
                 ]
+            if isinstance(agg, CountDistinctAgg):
+                # merged state IS the distinct key set; SQL convention:
+                # tuples with any NULL component don't count
+                n = sum(
+                    1
+                    for k in groups
+                    if k and all(v is not None for _, v in k)
+                )
+                return [agg.name], [(n,)]
+            if agg.type is _DT.QUANTILE:
+                # merged per-bucket counts -> targeted rank, est = midpoint
+                import math as _math
+
+                buckets = sorted(
+                    (int(dict(k)["__bucket"]), st["count_"])
+                    for k, st in groups.items()
+                    if dict(k).get("__bucket") is not None
+                )
+                total = sum(c for _, c in buckets)
+                rows = []
+                for p in [float(x) for x in (agg.points or [0.5])]:
+                    rank = max(1, _math.ceil(p * total))
+                    run, est = 0, None
+                    for b, c in buckets:
+                        run += c
+                        if run >= rank:
+                            est = (b + 0.5) * agg.width
+                            break
+                    rows.append((p, est))
+                return ["q", "est"], rows
             # Distribution PMF/CDF: key map is {"__bucket": idx}
             buckets = sorted(
                 (int(dict(k)["__bucket"]), st["count_"]) for k, st in groups.items()

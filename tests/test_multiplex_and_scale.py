@@ -367,9 +367,12 @@ def test_checkpoint_recovery(spark, tables, tmp_path):
 def test_multiplexer_full_op_set(spark, tables, tmp_path):
     """The reference multiplexes EVERY query type in one pass
     (FilterStreaming.scala:54-67, categorize :105-110): one shared stage runs
-    RAW + TopK + GroupAgg(with AVG) + Distribution CDF together, and each
-    query's result matches its plan-per-query batch answer."""
+    RAW + TopK + GroupAgg(with AVG) + Distribution CDF + COUNT DISTINCT +
+    QUANTILE together, and each query's result matches its plan-per-query
+    batch answer (the reference's filter stage produces mergeable partials
+    for every aggregation type, FilterStreaming.scala:124)."""
     from bullet_spark_spark.plans.spec import (
+        CountDistinctAgg,
         DistributionAgg,
         DistributionType,
         RawAgg,
@@ -409,6 +412,19 @@ def test_multiplexer_full_op_set(spark, tables, tmp_path):
                 source="events",
                 filter=(E.f("value") > 99) & (E.f("event_type") == "error"),
                 aggregation=RawAgg(limit=1_000_000),
+            ),
+            "cd": Query(
+                source="events",
+                filter=E.f("value") > 50,
+                aggregation=CountDistinctAgg(fields=["user_id"], name="cd"),
+            ),
+            "qnt": Query(
+                source="events",
+                filter=E.f("event_type") == "view",
+                aggregation=DistributionAgg(
+                    type=DistributionType.QUANTILE, field="value",
+                    points=[0.5, 0.9], width=5.0,
+                ),
             ),
         }
         handles = rt.register_multiplexed(
@@ -464,6 +480,36 @@ def test_multiplexer_full_op_set(spark, tables, tmp_path):
         idx = handles["raw"].sink.columns.index("event_id")
         got_raw = sorted(r[idx] for r in handles["raw"].sink.rows)
         assert got_raw == exp_raw
+
+        # COUNT DISTINCT vs batch exact
+        exp_cd = (
+            ev.filter(F.col("value") > 50)
+            .select("user_id").distinct().filter(F.col("user_id").isNotNull())
+            .count()
+        )
+        assert handles["cd"].sink.batches[-1] == [(exp_cd,)]
+
+        # QUANTILE vs batch-side linear-histogram targeted rank
+        import math
+
+        vals = sorted(
+            r["value"]
+            for r in ev.filter(
+                (F.col("event_type") == "view") & F.col("value").isNotNull()
+            ).select("value").collect()
+        )
+        counts: dict[int, int] = {}
+        for v in vals:
+            counts[math.floor(v / 5.0)] = counts.get(math.floor(v / 5.0), 0) + 1
+        exp_q = []
+        for p in (0.5, 0.9):
+            rank, run = max(1, math.ceil(p * len(vals))), 0
+            for b in sorted(counts):
+                run += counts[b]
+                if run >= rank:
+                    exp_q.append((p, (b + 0.5) * 5.0))
+                    break
+        assert handles["qnt"].sink.batches[-1] == exp_q
     finally:
         rt.stop_all()
 
