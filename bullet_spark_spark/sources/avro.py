@@ -22,10 +22,22 @@ including LIST-of-MAP and MAP-of-MAP composites (SURVEY §1.2).
 Multi-branch non-null unions remain out of scope (they have no stable
 columnar shape; the spark-avro connector maps them to member structs) and
 raise a clear error.
+
+Logical types (Avro 1.11 spec §Logical Types), matching spark-avro's
+mapping: ``decimal`` on bytes/fixed → DecimalType(precision, scale)
+(big-endian two's-complement unscaled value on the wire), ``date`` on int
+→ DateType (days since epoch), ``timestamp-millis``/``timestamp-micros``
+on long → TimestampType (UTC instant), ``local-timestamp-millis``/
+``local-timestamp-micros`` on long → TimestampNTZType. Per the spec,
+unrecognized logical types (time-millis/micros, uuid, duration, …) fall
+back to their underlying type — an annotation a reader may ignore, never
+an error.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
 import struct
 from typing import Any, Iterator
@@ -37,6 +49,8 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     DataType,
+    DateType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -46,7 +60,12 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
 
 _PRIMITIVES: dict[str, DataType] = {
     "null": NullType(),
@@ -64,6 +83,33 @@ _PRIMITIVES: dict[str, DataType] = {
 #   | ("array", item) | ("map", value)
 #   | ("nullable", inner, null_branch_index) | ("union1", inner)
 #   | ("enum", [symbols]) | ("fixed", size)
+#   | ("decimal", precision, scale, fixed_size_or_None)
+#   | ("date",) | ("ts", micros_per_unit, is_ntz)
+
+
+def _parse_logical(t: dict, lt: str, named: dict[str, tuple]) -> tuple | None:
+    """Logical-type annotation → tagged type, or None to fall back to the
+    underlying type (the spec's required behavior for unknown annotations)."""
+    base = t["type"]
+    if lt == "decimal" and base in ("bytes", "fixed"):
+        prec = int(t.get("precision", 10))
+        scale = int(t.get("scale", 0))
+        size = int(t["size"]) if base == "fixed" else None
+        parsed = ("decimal", prec, scale, size)
+        if base == "fixed" and t.get("name"):
+            named[t["name"]] = parsed
+        return parsed
+    if lt == "date" and base == "int":
+        return ("date",)
+    if lt == "timestamp-millis" and base == "long":
+        return ("ts", 1000, False)
+    if lt == "timestamp-micros" and base == "long":
+        return ("ts", 1, False)
+    if lt == "local-timestamp-millis" and base == "long":
+        return ("ts", 1000, True)
+    if lt == "local-timestamp-micros" and base == "long":
+        return ("ts", 1, True)
+    return None  # time-millis/micros, uuid, duration, unknown: underlying type
 
 
 def _parse_type(t: Any, named: dict[str, tuple]) -> tuple:
@@ -89,6 +135,11 @@ def _parse_type(t: Any, named: dict[str, tuple]) -> tuple:
         # branch's position (spec-conformant interop with spark-avro/Java)
         return ("nullable", _parse_type(branches[0], named), t.index("null"))
     if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt and isinstance(t["type"], str):
+            parsed = _parse_logical(t, lt, named)
+            if parsed is not None:
+                return parsed
         kind = t["type"]
         if kind == "record":
             fields = [(f["name"], _parse_type(f["type"], named)) for f in t["fields"]]
@@ -152,6 +203,12 @@ def _spark_type(t: tuple) -> DataType:
         return StringType()
     if kind == "fixed":
         return BinaryType()
+    if kind == "decimal":
+        return DecimalType(t[1], t[2])
+    if kind == "date":
+        return DateType()
+    if kind == "ts":
+        return TimestampNTZType() if t[2] else TimestampType()
     raise ValueError(f"no Spark type for {t!r}")
 
 
@@ -248,6 +305,31 @@ def _encode_value(v: Any, t: tuple, out: bytearray) -> None:
         if len(raw) != t[1]:
             raise ValueError(f"fixed({t[1]}) got {len(raw)} bytes")
         out += raw
+    elif kind == "decimal":
+        _prec, scale, size = t[1], t[2], t[3]
+        unscaled = int(
+            _decimal.Decimal(str(v)).scaleb(scale).to_integral_value(
+                rounding=_decimal.ROUND_HALF_UP
+            )
+        )
+        if size is None:  # bytes-backed: minimal two's-complement, len-prefixed
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            raw = unscaled.to_bytes(nbytes, "big", signed=True)
+            out += _zigzag_encode(len(raw)) + raw
+        else:  # fixed-backed: sign-extended to the fixed size
+            out += unscaled.to_bytes(size, "big", signed=True)
+    elif kind == "date":
+        days = (v - _EPOCH_DATE).days if isinstance(v, _dt.date) else int(v)
+        out += _zigzag_encode(days)
+    elif kind == "ts":
+        per_unit = t[1]
+        if isinstance(v, _dt.datetime):
+            micros = (v.replace(tzinfo=None) - _EPOCH_DT) // _dt.timedelta(
+                microseconds=1
+            )
+        else:
+            micros = int(v)
+        out += _zigzag_encode(micros // per_unit)
 
 
 def _decode_value(buf: bytes, pos: int, t: tuple) -> tuple[Any, int]:
@@ -313,6 +395,23 @@ def _decode_value(buf: bytes, pos: int, t: tuple) -> tuple[Any, int]:
         return t[1][idx], pos
     if kind == "fixed":
         return bytes(buf[pos : pos + t[1]]), pos + t[1]
+    if kind == "decimal":
+        _prec, scale, size = t[1], t[2], t[3]
+        if size is None:
+            ln, pos = _zigzag_decode(buf, pos)
+            raw = bytes(buf[pos : pos + ln])
+            pos += ln
+        else:
+            raw = bytes(buf[pos : pos + size])
+            pos += size
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(-scale), pos
+    if kind == "date":
+        days, pos = _zigzag_decode(buf, pos)
+        return _EPOCH_DATE + _dt.timedelta(days=days), pos
+    if kind == "ts":
+        units, pos = _zigzag_decode(buf, pos)
+        return _EPOCH_DT + _dt.timedelta(microseconds=units * t[1]), pos
     raise ValueError(f"cannot decode {t!r}")
 
 

@@ -148,6 +148,131 @@ def test_avro_roundtrip_streaming(spark, tmp_path):
     ]
 
 
+_LOGICAL_SCHEMA = """{
+  "type": "record", "name": "Tx",
+  "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                "precision": 18, "scale": 4}},
+    {"name": "amount_fx", "type": {"type": "fixed", "name": "Dec8", "size": 8,
+                                   "logicalType": "decimal",
+                                   "precision": 18, "scale": 2}},
+    {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+    {"name": "at_ms", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+    {"name": "at_us", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+    {"name": "local_us", "type": {"type": "long",
+                                  "logicalType": "local-timestamp-micros"}},
+    {"name": "maybe_amt", "type": ["null", {"type": "bytes",
+        "logicalType": "decimal", "precision": 9, "scale": 3}]},
+    {"name": "t_ms", "type": {"type": "int", "logicalType": "time-millis"}}
+  ]}"""
+
+
+def test_avro_logical_types_roundtrip_batch(spark):
+    """Logical types decode to the spark-avro mapping (decimal → Decimal,
+    date → Date, timestamp-millis/micros → Timestamp, local-* → NTZ) and
+    round-trip exactly; unknown/unsupported annotations (time-millis) fall
+    back to the underlying type per the Avro spec."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from bullet_spark_spark.sources.avro import (
+        avro_struct_type,
+        decode_avro,
+        encode_avro_row,
+    )
+
+    rows = [
+        {
+            "id": 1,
+            "amount": Decimal("12345.6789"),
+            "amount_fx": Decimal("-99.25"),
+            "day": dt.date(2024, 2, 29),
+            "at_ms": dt.datetime(2024, 2, 29, 12, 30, 45, 123000),
+            "at_us": dt.datetime(2024, 2, 29, 12, 30, 45, 123456),
+            "local_us": dt.datetime(1999, 12, 31, 23, 59, 59, 999999),
+            "maybe_amt": Decimal("-0.001"),
+            "t_ms": 86_399_000,
+        },
+        {
+            "id": 2,
+            "amount": Decimal("-0.0001"),
+            "amount_fx": Decimal("0.01"),
+            "day": dt.date(1969, 7, 20),
+            "at_ms": dt.datetime(1969, 7, 20, 20, 17, 0),
+            "at_us": dt.datetime(1901, 1, 1, 0, 0, 1),
+            "local_us": dt.datetime(2038, 1, 19, 3, 14, 7),
+            "maybe_amt": None,
+            "t_ms": 0,
+        },
+    ]
+    st = avro_struct_type(_LOGICAL_SCHEMA)
+    assert str(st["amount"].dataType) == "DecimalType(18,4)"
+    assert str(st["amount_fx"].dataType) == "DecimalType(18,2)"
+    assert str(st["day"].dataType) == "DateType()"
+    assert str(st["at_ms"].dataType) == "TimestampType()"
+    assert str(st["local_us"].dataType) == "TimestampNTZType()"
+    assert str(st["t_ms"].dataType) == "IntegerType()"  # annotation ignored
+
+    df = spark.createDataFrame(
+        [(bytearray(encode_avro_row(r, _LOGICAL_SCHEMA)),) for r in rows],
+        "value binary",
+    )
+    got = [r.asDict() for r in decode_avro(df, _LOGICAL_SCHEMA).collect()]
+    for g, e in zip(got, rows):
+        assert g["id"] == e["id"]
+        assert g["amount"] == e["amount"]
+        assert g["amount_fx"] == e["amount_fx"]
+        assert g["day"] == e["day"]
+        assert g["at_ms"] == e["at_ms"]
+        assert g["at_us"] == e["at_us"]
+        assert g["local_us"] == e["local_us"]
+        assert g["maybe_amt"] == e["maybe_amt"]
+        assert g["t_ms"] == e["t_ms"]
+
+
+def test_avro_logical_types_roundtrip_streaming(spark, tmp_path):
+    """The logical-type codec works identically inside an unbounded frame."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from bullet_spark_spark.sources.avro import decode_avro, encode_avro_row
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    rows = [
+        {
+            "id": i,
+            "amount": Decimal(f"{i}.{i:04d}"),
+            "amount_fx": Decimal(f"{i}.25"),
+            "day": dt.date(2020, 1, 1) + dt.timedelta(days=i),
+            "at_ms": dt.datetime(2020, 1, 1) + dt.timedelta(seconds=i),
+            "at_us": dt.datetime(2020, 1, 1) + dt.timedelta(microseconds=i),
+            "local_us": dt.datetime(2020, 6, 1) + dt.timedelta(minutes=i),
+            "maybe_amt": None if i % 2 else Decimal(f"0.{i:03d}"),
+            "t_ms": i * 1000,
+        }
+        for i in range(20)
+    ]
+    batch = spark.createDataFrame(
+        [(bytearray(encode_avro_row(r, _LOGICAL_SCHEMA)),) for r in rows],
+        "value binary",
+    )
+    stream = file_drip(spark, batch, str(tmp_path), chunks=2)
+    sink = MemorySink()
+    q = (
+        decode_avro(stream, _LOGICAL_SCHEMA).writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((tuple(r) for r in sink.rows), key=lambda t: t[0])
+    for g, e in zip(got, rows):
+        assert g[1] == e["amount"] and g[3] == e["day"] and g[5] == e["at_us"]
+
+
 def test_avro_rejects_multibranch_union(spark):
     """Multi-branch non-null unions have no stable columnar shape — the
     codec refuses them with a clear error (spark-avro maps them to member
