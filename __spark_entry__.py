@@ -172,6 +172,35 @@ def bullet_group_agg(spark, sf_dir):
 
 
 @q(
+    "bullet_group_agg_sampled",
+    """SELECT user_id, cnt,
+              (SELECT count(DISTINCT user_id) FROM events WHERE value > 50) > 25
+                  AS sampled
+       FROM (SELECT user_id, count(*) AS cnt FROM events
+             WHERE value > 50 GROUP BY user_id)
+       ORDER BY md5(CAST(user_id AS VARCHAR) || ':0'), user_id LIMIT 25""",
+)
+def bullet_group_agg_sampled(spark, sf_dir):
+    """Q4 beyond-max-groups semantics: bullet uniform-samples groups past
+    the cap [D]; the engine's deterministic analogue keeps the max_groups
+    smallest md5 sampling hashes (engine-portable — the oracle reproduces
+    the SAME sampled subset) and reports `sampled` meta, the compiled
+    equivalent of bullet's result-Meta flag."""
+    return compile_query(
+        spark,
+        Query(
+            source="events",
+            filter=E.f("value") > 50,
+            aggregation=GroupAgg(
+                fields=["user_id"],
+                operations=[(AggOp.COUNT, None, "cnt")],
+                max_groups=25,
+            ),
+        ),
+    )
+
+
+@q(
     "bullet_group_all",
     """SELECT count(*) AS n,
               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -2339,6 +2368,7 @@ _WINDOW_R4 = [
     "bullet_filter_project",
     "bullet_raw_limit",
     "bullet_group_agg",
+    "bullet_group_agg_sampled",  # NEW r4: max_groups hash-sample cap
     "bullet_group_all",
     "bullet_count_distinct",
     "bullet_topk_freq",
@@ -2369,7 +2399,8 @@ _WINDOW_R4 = [
     "decontam_ngram",
     "sampling_deterministic",
     "text_ngram_topk",
-    "text_fingerprint_stats",
+    # text_fingerprint_stats rotated out to make room for
+    # bullet_group_agg_sampled (driver-green r01-r03; rotate back r5+)
 ]
 
 

@@ -145,10 +145,32 @@ def _apply_aggregation(df: DataFrame, query: Query, streaming: bool = False) -> 
             rest = [c for c in out.columns if c != "__window"]
             out = out.select(F.col("__window")["start"].alias("window_start"), *rest)
         if agg.max_groups is not None and agg.fields and not streaming:
-            # deterministic cap: first max_groups groups by key order
-            # (TakeOrderedAndProject — no full sort). Streaming: unsupported
-            # plan node; cap belongs in the sink if needed
-            out = out.orderBy(*[F.col(k) for k in agg.fields]).limit(agg.max_groups)
+            # bullet uniform-samples groups beyond the cap [D]; the
+            # deterministic analogue: rank groups by the engine-portable
+            # sampling hash (md5, operators.sampling) and keep the
+            # max_groups smallest — a uniform random subset under the hash,
+            # reproducible by any engine, so the cap stays oracle-checkable.
+            # Physical plan: TakeOrderedAndProject (per-partition top-k, no
+            # global sort). The `sampled` meta column reports whether the
+            # cap actually bit — bullet surfaces the same fact in result
+            # Meta [D]; its group count comes from a result-sized count
+            # branch over the aggregation output (broadcast 1-row join),
+            # never a rescan of the base data. Streaming: unsupported plan
+            # node; cap belongs in the sink if needed.
+            from bullet_spark_spark.operators.sampling import sample_hash
+
+            key = F.concat_ws(
+                "\x1f", *[F.col(k).cast("string") for k in agg.fields]
+            )
+            capped = out.orderBy(
+                sample_hash(key).asc(), *[F.col(k) for k in agg.fields]
+            ).limit(agg.max_groups)
+            total = out.agg(F.count(F.lit(1)).alias("__total"))
+            out = (
+                capped.crossJoin(F.broadcast(total))
+                .withColumn("sampled", F.col("__total") > F.lit(agg.max_groups))
+                .drop("__total")
+            )
         return out
 
     if isinstance(agg, CountDistinctAgg):

@@ -218,6 +218,9 @@ def test_post_aggregations(spark, tables, duck):
 
 
 def test_max_groups_cap(spark, tables, duck):
+    """Beyond-cap groups are a deterministic uniform hash-sample (bullet
+    uniform-samples past max_groups [D]): md5-ranked group selection any
+    engine reproduces, plus a `sampled` meta flag saying the cap bit."""
     q = Query(
         source="events",
         aggregation=GroupAgg(
@@ -230,8 +233,30 @@ def test_max_groups_cap(spark, tables, duck):
     assert_match(
         df,
         duck,
-        """SELECT user_id, count(*) AS cnt FROM events
-           GROUP BY user_id ORDER BY user_id LIMIT 10""",
+        """SELECT user_id, cnt,
+                  (SELECT count(DISTINCT user_id) FROM events) > 10 AS sampled
+           FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+           ORDER BY md5(CAST(user_id AS VARCHAR) || ':0'), user_id LIMIT 10""",
+    )
+
+
+def test_max_groups_not_sampled_below_cap(spark, tables, duck):
+    """A cap wider than the group count keeps every group and reports
+    sampled = false."""
+    q = Query(
+        source="events",
+        aggregation=GroupAgg(
+            fields=["event_type"],
+            operations=[(AggOp.COUNT, None, "cnt")],
+            max_groups=1000,
+        ),
+    )
+    df = compile_query(spark, q)
+    assert_match(
+        df,
+        duck,
+        """SELECT event_type, count(*) AS cnt, FALSE AS sampled
+           FROM events GROUP BY event_type""",
     )
 
 
