@@ -16,14 +16,17 @@ Trade-offs vs the other two modes (all three are supported — SURVEY §7.0):
 - static multiplexer (register_multiplexed): one scan, one shuffle for all
   queries; query set fixed per incarnation.
 - dynamic multiplexer (this): one scan, per-batch spec evaluation, fully
-  dynamic registry; per-batch plan compilation cost (~ms) and driver-side
-  final merge (fine for bullet-sized bounded results, which is the
-  reference's own constraint — results return through a message bus).
-  ALL live queries run as ONE conditional-aggregation job per batch:
-  filters compile into when(pred, ...) guards and the distinct group-by
-  field sets become GROUPING SETS of a single aggregation (grouping_id()
-  routes output rows back to their queries) — one scan + one shuffle per
-  batch regardless of query or field-set count.
+  dynamic registry; driver-side final merge (fine for bullet-sized bounded
+  results, which is the reference's own constraint — results return
+  through a message bus). ALL live queries run as ONE routed-aggregation
+  job per batch: each row explodes to the query ids whose filter it
+  matches (the static multiplexer's routing), then a single aggregation
+  keyed by (query_id, group keys) computes the UNION of (op, field) pairs
+  any query needs — aggregate state per group is #distinct-(op,field)
+  pairs, not #queries × ops; distinct group-by field sets become GROUPING
+  SETS over (query_id, union of fields). One scan + one shuffle per batch
+  regardless of query or field-set count, and the compiled Column tree is
+  cached across batches while the registry is unchanged.
 """
 
 from __future__ import annotations
@@ -78,6 +81,17 @@ class DynamicMultiplexer:
         self.rate_limit = rate_limit  # default for every registered query
         self._lock = threading.Lock()
         self._stream: Any = None
+        # compiled-plan cache, keyed by the frozenset of live query ids:
+        # building the conditional-agg Column tree costs ~0.35 s of py4j
+        # round-trips for 32 queries (measured) — pure per-batch overhead
+        # when the registry hasn't changed between batches, which is the
+        # common case (the reference pays the same shape of cost in its
+        # per-batch re-broadcast, FilterStreaming.scala:48-53). Keyed by
+        # (registry epoch, live id set): the epoch invalidates on every
+        # register/kill (covers same-id re-registration with a new spec),
+        # the id set on lifecycle transitions (expiry, rate-limit fail).
+        self._epoch = 0
+        self._plan_cache: tuple[tuple, tuple] | None = None
 
     def register(
         self, query_id: str, spec: Query, rate_limit: RateLimit | None = None
@@ -95,6 +109,7 @@ class DynamicMultiplexer:
             if query_id in self.queries and self.queries[query_id].state is QueryState.RUNNING:
                 return self.queries[query_id]  # dedup, as in the union state
             self.queries[query_id] = handle
+            self._epoch += 1
         return handle
 
     def kill(self, query_id: str) -> None:
@@ -102,21 +117,19 @@ class DynamicMultiplexer:
             h = self.queries[query_id]
             if h.state is QueryState.RUNNING:
                 h.state = QueryState.KILLED
+                self._epoch += 1
                 self.status_log.append((query_id, Signal.KILL, time.time()))
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """The FilterStreaming.transformWith analogue: snapshot the registry,
         run every live spec against this micro-batch, merge partials.
 
-        ALL live queries run as ONE aggregation job per micro-batch: each
-        query's filter becomes a ``when(pred, ...)`` guard inside its
-        aggregate expressions, and the distinct group-by field sets become
-        GROUPING SETS of one shared aggregation — one scan, one shuffle per
+        ALL live queries run as ONE routed-aggregation job per micro-batch
+        (see _compile_live for the plan shape) — one scan, one shuffle per
         batch regardless of query count or field-set count, with group keys
-        keeping their native types. ``grouping_id()`` routes each output row
-        to exactly the queries of its field set. This is the
-        Spark-expression form of the reference's 'one pass over the records
-        for all queries' (FilterStreaming.scala:54-67)."""
+        keeping their native types. This is the Spark-expression form of
+        the reference's 'one pass over the records for all queries'
+        (FilterStreaming.scala:54-67)."""
         with self._lock:
             live = [
                 (h, h.spec)
@@ -125,16 +138,13 @@ class DynamicMultiplexer:
             ]
         if not live:
             return
-        by_fields: dict[tuple[str, ...], list[tuple[DynamicHandle, Query]]] = {}
-        for handle, spec in live:
-            # key by MEMBERSHIP (sorted), not declaration order: GROUP BY a,b
-            # and GROUP BY b,a are the same grouping set, and emitting both
-            # would return every group twice with the same grouping_id —
-            # the merge loop would then double-count each matching query
-            by_fields.setdefault(tuple(sorted(spec.aggregation.fields)), []).append(
-                (handle, spec)
-            )
-        self._run_grouping_sets(batch_df, by_fields)
+        key = (self._epoch, frozenset(h.query_id for h, _ in live))
+        if self._plan_cache is not None and self._plan_cache[0] == key:
+            compiled = self._plan_cache[1]
+        else:
+            compiled = self._compile_live(live)
+            self._plan_cache = (key, compiled)
+        self._run_grouping_sets(batch_df, compiled)
         now = time.time()
         with self._lock:
             for handle, spec in live:
@@ -149,12 +159,35 @@ class DynamicMultiplexer:
                     handle.state = QueryState.COMPLETED
                     self.status_log.append((handle.query_id, Signal.COMPLETE, now))
 
-    def _run_grouping_sets(
-        self,
-        batch_df: DataFrame,
-        by_fields: dict[tuple[str, ...], list[tuple["DynamicHandle", Query]]],
-    ) -> None:
-        """One aggregation job for EVERY live query across all field sets."""
+    def _compile_live(
+        self, live: list[tuple["DynamicHandle", Query]]
+    ) -> tuple:
+        """Build the shared routed-aggregation plan for the live set —
+        cached across batches by _process_batch while the registry is
+        unchanged (Column construction is py4j-bound and batch-invariant).
+
+        Plan shape (the static multiplexer's routing applied dynamically):
+        each row EXPLODES to the query ids whose filter it matches, then ONE
+        aggregation groups by (query_id, group keys) computing the UNION of
+        (op, field) pairs any live query needs — e.g. 32 COUNT+MIN queries
+        share exactly two aggregate buffers instead of 3-per-query
+        conditional aggregates. Distinct group-by field sets become
+        GROUPING SETS over (query_id, union of fields); a row routed to a
+        query exists in that query's field set, so group presence itself is
+        the matched-row sentinel (a group whose agg inputs are all NULL
+        still surfaces — COUNT_FIELD=0 / MIN=NULL, matching plan-per-query).
+        Aggregate state per group is #distinct-(op,field) pairs, and the
+        explode emits each row once per MATCHING query (Σ selectivity),
+        not once per query."""
+        by_fields: dict[tuple[str, ...], list[tuple[DynamicHandle, Query]]] = {}
+        for handle, spec in live:
+            # key by MEMBERSHIP (sorted), not declaration order: GROUP BY a,b
+            # and GROUP BY b,a are the same grouping set, and emitting both
+            # would return every group twice with the same grouping_id —
+            # the merge loop would then double-count each matching query
+            by_fields.setdefault(tuple(sorted(spec.aggregation.fields)), []).append(
+                (handle, spec)
+            )
         all_fields: list[str] = []
         for fields in by_fields:
             for f in fields:
@@ -162,66 +195,116 @@ class DynamicMultiplexer:
                     all_fields.append(f)
         n = len(all_fields)
 
-        exprs = []
-        # handle, ops, col offset, its field set, its grouping_id
-        plans: list[tuple[DynamicHandle, list, int, tuple[str, ...], int]] = []
-        offset = 0
+        # the routing column: explode the matching query ids per row
+        # (operators.multiplex.multiplex_filter's expression, prebuilt once)
+        tagged = F.array(
+            *[
+                F.struct(
+                    F.lit(h.query_id).alias("qid"),
+                    (
+                        spec.filter.col() if spec.filter is not None else F.lit(True)
+                    ).alias("m"),
+                )
+                for h, spec in live
+            ]
+        )
+        route_col = F.explode(
+            F.transform(
+                F.filter(tagged, lambda s: F.coalesce(s["m"], F.lit(False))),
+                lambda s: s["qid"],
+            )
+        )
+
+        # union of aggregate columns any query needs, computed once each
+        shared: dict[str, object] = {}
+        for _h, spec in live:
+            for op, fld, _out in (
+                list(spec.aggregation.operations) or [(AggOp.COUNT, None, "count")]
+            ):
+                name = f"{op.value}_{fld or ''}"
+                if name in shared:
+                    continue
+                if op is AggOp.COUNT:
+                    shared[name] = F.count(F.lit(1))
+                elif op is AggOp.COUNT_FIELD:
+                    shared[name] = F.count(F.col(fld))
+                elif op is AggOp.SUM:
+                    shared[name] = F.sum(F.col(fld))
+                elif op is AggOp.MIN:
+                    shared[name] = F.min(F.col(fld))
+                else:  # MAX (register() rejects anything non-mergeable)
+                    shared[name] = F.max(F.col(fld))
+        shared_names = list(shared)
+        shared_exprs = [col.alias(f"a_{i}") for i, col in enumerate(shared.values())]
+        agg_pos = {name: 1 + n + i for i, name in enumerate(shared_names)}
+
+        # per-query routing: qid -> (handle, declared fields, grouping_id,
+        # op metadata [(op, row position)])
+        n2 = n + 1  # grouping columns: __qid + all_fields
+        plans_by_qid: dict[str, tuple] = {}
+        gsets: list[list[str]] = []
         for fields, members in by_fields.items():
-            # grouping_id bitmask: bit per groupBy column (groupBy order,
-            # MSB first), 1 = aggregated away in this grouping set
+            gsets.append(["__qid", *fields])
+            # grouping_id bitmask over (__qid, *all_fields), MSB first;
+            # __qid is in every set so its bit is always 0
             gid = sum(
-                1 << (n - 1 - i) for i, c in enumerate(all_fields) if c not in fields
+                1 << (n2 - 1 - (1 + i))
+                for i, c in enumerate(all_fields)
+                if c not in fields
             )
             for handle, spec in members:
-                agg: GroupAgg = spec.aggregation
-                ops = list(agg.operations) or [(AggOp.COUNT, None, "count")]
-                pred = spec.filter.col() if spec.filter is not None else F.lit(True)
-                for i, (op, fld, _out) in enumerate(ops):
-                    if op in (AggOp.COUNT, AggOp.COUNT_FIELD):
-                        src = F.lit(1) if op is AggOp.COUNT else F.col(fld)
-                        col = F.count(F.when(pred, src))
-                    elif op is AggOp.SUM:
-                        col = F.sum(F.when(pred, F.col(fld)))
-                    elif op is AggOp.MIN:
-                        col = F.min(F.when(pred, F.col(fld)))
-                    else:  # MAX (register() rejects anything non-mergeable)
-                        col = F.max(F.when(pred, F.col(fld)))
-                    exprs.append(col.alias(f"c{offset + i}"))
-                # explicit matched-row sentinel per query: inferring "the
-                # filter matched" from the agg outputs drops groups whose
-                # matched rows have only NULL agg inputs (COUNT_FIELD=0 /
-                # MIN=NULL), which a plan-per-query run would emit
-                exprs.append(
-                    F.count(F.when(pred, F.lit(1))).alias(f"c{offset + len(ops)}")
+                ops = list(spec.aggregation.operations) or [
+                    (AggOp.COUNT, None, "count")
+                ]
+                op_meta = [
+                    (op, agg_pos[f"{op.value}_{fld or ''}"]) for op, fld, _ in ops
+                ]
+                plans_by_qid[handle.query_id] = (
+                    handle,
+                    tuple(spec.aggregation.fields),
+                    gid,
+                    op_meta,
                 )
-                # each query keeps ITS OWN declared field order for output
-                # keys, independent of the canonical grouping-set key
-                plans.append((handle, ops, offset, tuple(spec.aggregation.fields), gid))
-                offset += len(ops) + 1
+        return (route_col, all_fields, n, shared_exprs, plans_by_qid, gsets)
 
-        if not all_fields:  # only the global field set is live
-            rows = [(*r, 0) for r in batch_df.agg(*exprs).collect()]
-        elif len(by_fields) == 1:
+    @staticmethod
+    def _collect_rows(df: DataFrame) -> list:
+        """Arrow-batched result transfer: ~5× faster than Row collect for
+        the wide-and-short frames this stage produces; nulls stay None
+        (to_pylist), types stay native."""
+        try:
+            tbl = df.toArrow()
+            cols = [c.to_pylist() for c in tbl.columns]
+            return list(zip(*cols)) if cols and tbl.num_rows else []
+        except Exception:
+            return [tuple(r) for r in df.collect()]
+
+    def _run_grouping_sets(self, batch_df: DataFrame, compiled: tuple) -> None:
+        """One aggregation job for EVERY live query across all field sets."""
+        route_col, all_fields, n, shared_exprs, plans_by_qid, gsets = compiled
+
+        routed = batch_df.select(route_col.alias("__qid"), "*")
+        if len(gsets) == 1:
             # single field set: plain groupBy — GROUPING SETS would add an
             # Expand operator (and grouping_id computation) for no routing
-            # benefit; measured ~30% faster on the control-plane bench
-            only_gid = plans[0][4]
+            # benefit
+            only_gid = next(iter(plans_by_qid.values()))[2]
             rows = [
                 (*r, only_gid)
-                for r in batch_df.groupBy(*[F.col(c) for c in all_fields])
-                .agg(*exprs)
-                .collect()
+                for r in self._collect_rows(
+                    routed.groupBy("__qid", *[F.col(c) for c in all_fields]).agg(
+                        *shared_exprs
+                    )
+                )
             ]
         else:
-            rows = (
-                batch_df.groupingSets(
-                    [list(fields) for fields in by_fields], *all_fields
+            rows = self._collect_rows(
+                routed.groupingSets(gsets, "__qid", *all_fields).agg(
+                    *shared_exprs, F.grouping_id().alias("__gid")
                 )
-                .agg(*exprs, F.grouping_id().alias("__gid"))
-                .collect()
             )
 
-        field_pos = {c: i for i, c in enumerate(all_fields)}
+        field_pos = {c: 1 + i for i, c in enumerate(all_fields)}
         # merge under the registry lock: the control-plane publisher thread
         # snapshots handle.groups concurrently, and dict insertion during
         # its iteration would raise there
@@ -229,36 +312,30 @@ class DynamicMultiplexer:
             matched: set[str] = set()
             for r in rows:
                 raw = list(r)
-                gid = raw[-1]
-                for handle, ops, off, fields, fgid in plans:
-                    if fgid != gid:
-                        continue  # row belongs to another field set
-                    vals = raw[n + off : n + off + len(ops)]
-                    # sentinel: rows matched by this query's filter in this
-                    # group/batch — zero means the group exists only because
-                    # of OTHER queries in the shared job; skip to keep
-                    # groups result-sized (bullet's bounded-result posture)
-                    if raw[n + off + len(ops)] == 0:
-                        continue
-                    matched.add(handle.query_id)
-                    key = tuple(raw[field_pos[c]] for c in fields)
-                    cur = handle.groups.get(key)
-                    if cur is None:
-                        handle.groups[key] = vals
-                    else:
-                        # None-safe merge: a nullable agg field can yield a
-                        # NULL partial for an existing group — never feed
-                        # None into sum/min/max
-                        handle.groups[key] = [
-                            b if a is None else (a if b is None else _MERGEABLE[op](a, b))
-                            for (op, _, _), a, b in zip(ops, cur, vals)
-                        ]
+                entry = plans_by_qid.get(raw[0])
+                if entry is None or entry[2] != raw[-1]:
+                    continue  # row belongs to another field set's grouping
+                handle, fields, _gid, op_meta = entry
+                matched.add(handle.query_id)
+                key = tuple(raw[field_pos[c]] for c in fields)
+                vals = [raw[pos] for _op, pos in op_meta]
+                cur = handle.groups.get(key)
+                if cur is None:
+                    handle.groups[key] = vals
+                else:
+                    # None-safe merge: a nullable agg field can yield a
+                    # NULL partial for an existing group — never feed
+                    # None into sum/min/max
+                    handle.groups[key] = [
+                        b if a is None else (a if b is None else _MERGEABLE[op](a, b))
+                        for (op, _pos), a, b in zip(op_meta, cur, vals)
+                    ]
             # per-query emit-rate guard, enforced in the shared stage too —
             # the reference checks in BOTH stages (FilterStreaming.scala:
             # 129-133, JoinStreaming.scala:152-159): a batch that updated a
             # query's state counts as one emission
             now = time.time()
-            for handle, _ops, _off, _fields, _gid in plans:
+            for handle, _fields, _gid, _meta in plans_by_qid.values():
                 if (
                     handle.rate_limit is None
                     or handle.query_id not in matched

@@ -145,9 +145,13 @@ def test_shared_fieldset_batches_into_one_job(spark, monkeypatch):
         [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double"
     )
     calls = []
-    orig = DataFrame.collect
+    orig_collect = DataFrame.collect
+    orig_arrow = DataFrame.toArrow
     monkeypatch.setattr(
-        DataFrame, "collect", lambda self: (calls.append(1), orig(self))[1]
+        DataFrame, "collect", lambda self: (calls.append(1), orig_collect(self))[1]
+    )
+    monkeypatch.setattr(
+        DataFrame, "toArrow", lambda self: (calls.append(1), orig_arrow(self))[1]
     )
     mux._process_batch(batch, 0)
     assert len(calls) == 1  # ["k"] sets + [] set share ONE grouping-sets job
