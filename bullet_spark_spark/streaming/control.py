@@ -130,7 +130,20 @@ class KafkaTransport(ControlTransport):
     ``consumer_factory``/``producer_factory``/``status_replay_factory``
     default to kafka-python clients and are injectable for tests; with
     injected clients and no ``status_replay_factory``, replay returns []
-    (recovery off)."""
+    (recovery off).
+
+    ORDERING CONTRACT: Kafka guarantees offset order only WITHIN a
+    partition, so a multi-partition control topic may interleave messages
+    across partitions (unlike FileLogTransport, which is totally ordered).
+    The ControlPlane registry is insensitive to that interleaving:
+    submissions dedupe by query id (first consumed wins; duplicate
+    submissions of one id must carry the same BQL — retries, not
+    redefinitions), and a KILL consumed before its submission defers until
+    the submission lands (registered-then-killed, never lost). For strict
+    per-query ordering, produce control messages KEYED BY QUERY ID —
+    Kafka then routes every message of one query to one partition — or
+    use a single-partition control topic. Pinned by
+    test_kafka_interleaved_partitions_*."""
 
     def __init__(
         self,
@@ -237,6 +250,10 @@ class ControlPlane:
     _published: dict[str, tuple] = field(default_factory=dict)  # qid -> last rows
     _terminal_published: set[str] = field(default_factory=set)
     _recovered_terminal: set[str] = field(default_factory=set)
+    # KILLs that arrived before their submission (cross-partition
+    # transports reorder across partitions — see KafkaTransport contract):
+    # the kill applies the moment the submission lands
+    _killed_early: set[str] = field(default_factory=set)
 
     def __post_init__(self) -> None:
         if self.transport is None:
@@ -303,8 +320,18 @@ class ControlPlane:
                 try:
                     self.mux.kill(qid)
                 except KeyError:
+                    # the registry must be insensitive to cross-partition
+                    # interleaving (a Kafka control topic orders messages
+                    # only within a partition): a KILL consumed before its
+                    # submission DEFERS — the query is killed the moment
+                    # its submission lands — instead of being lost
+                    self._killed_early.add(qid)
                     self._emit_status(
-                        {"query_id": qid, "type": "ERROR", "error": "unknown query"}
+                        {
+                            "query_id": qid,
+                            "type": "ERROR",
+                            "error": "unknown query (kill deferred)",
+                        }
                     )
             return
         try:
@@ -314,6 +341,9 @@ class ControlPlane:
 
                 spec = replace(spec, duration_ms=int(msg["duration_ms"]))
             self.mux.register(qid, spec)
+            if qid in self._killed_early:
+                self._killed_early.discard(qid)
+                self.mux.kill(qid)
         except Exception as e:  # noqa: BLE001
             # the ErrorData path: ANY bad submission (parse error, wrong
             # types, unsupported spec) produces an ERROR status and the

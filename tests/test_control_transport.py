@@ -202,6 +202,77 @@ def test_kafka_control_plane_end_to_end_with_stub_clients(spark):
         plane.stop()
 
 
+class _FakeMultiPartitionConsumer:
+    """Stub consumer with N partitions: poll returns per-partition record
+    lists, offset order preserved only WITHIN each partition — Kafka's
+    real delivery contract (a multi-partition topic interleaves)."""
+
+    def __init__(self, n_partitions: int = 2) -> None:
+        self.partitions: dict[int, list[_FakeRecord]] = {
+            i: [] for i in range(n_partitions)
+        }
+        self.closed = False
+
+    def push(self, partition: int, msg: dict) -> None:
+        self.partitions[partition].append(
+            _FakeRecord(json.dumps(msg).encode("utf-8"))
+        )
+
+    def poll(self, timeout_ms=0):
+        out = {}
+        for p, recs in self.partitions.items():
+            if recs:
+                out[("topic", p)] = recs
+                self.partitions[p] = []
+        return out
+
+    def close(self) -> None:
+        self.closed = True
+
+
+def test_kafka_interleaved_partitions_kill_defers_and_dedup_holds(spark):
+    """The ordering contract pinned (KafkaTransport docstring): with a
+    multi-partition control topic, a KILL can be consumed BEFORE the
+    submission it refers to. The registry is interleaving-insensitive —
+    the kill defers and applies the moment the submission lands (query
+    ends KILLED, never runs unbounded), and duplicate submissions of one
+    id across partitions dedupe to one registration."""
+    consumer, producer = _FakeMultiPartitionConsumer(), _FakeProducer()
+    mux = DynamicMultiplexer(spark)
+    plane = kafka_control_plane(
+        spark,
+        mux,
+        "broker:9092",
+        poll_interval_s=0.05,
+        consumer_factory=lambda: consumer,
+        producer_factory=lambda: producer,
+    )
+    plane.start()
+    try:
+        bql = "SELECT COUNT(*) AS n FROM STREAM() GROUP BY event_type"
+        # partition 0 (flattened first): the KILL; partition 1: the submission
+        consumer.push(0, {"id": "qx", "signal": "KILL"})
+        consumer.push(1, {"id": "qx", "bql": bql})
+        # a retried submission of another query on BOTH partitions
+        consumer.push(0, {"id": "qy", "bql": bql})
+        consumer.push(1, {"id": "qy", "bql": bql})
+
+        assert _wait_for(
+            lambda: mux.queries.get("qx") is not None
+            and mux.queries["qx"].state is QueryState.KILLED
+        )
+        assert _wait_for(lambda: "qy" in mux.queries)
+        assert mux.queries["qy"].state is QueryState.RUNNING
+        # the deferred kill surfaced as a (non-fatal) notice
+        events = [json.loads(v) for _, v in producer.sent]
+        assert any(
+            e["type"] == "ERROR" and "deferred" in e.get("error", "")
+            for e in events
+        )
+    finally:
+        plane.stop()
+
+
 def test_kafka_transport_requires_client_or_factories(monkeypatch):
     """Without kafka-python and without injected factories the binding
     fails with a clear ImportError naming the missing package — forced in
