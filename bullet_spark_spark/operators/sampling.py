@@ -110,6 +110,23 @@ def oracle_keep_sql(key_sql: str, fraction: float, seed: int = 0) -> str:
     )
 
 
+_live_pack_base: DataFrame | None = None
+
+
+def _persist_pack_base(base: DataFrame) -> DataFrame:
+    """Persist the pack input, releasing the previous call's (plans get
+    fresh expression ids per call, so the CacheManager never dedupes them
+    — without the release a driver packing in a loop leaks one
+    InMemoryRelation per call). Eager count materializes the cache."""
+    global _live_pack_base
+    if _live_pack_base is not None:
+        _live_pack_base.unpersist()
+    base = base.persist()
+    _live_pack_base = base
+    base.count()
+    return base
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -139,11 +156,21 @@ def pack_sequences(
     is unique (id by default).
 
     Falls back to the single-partition window when the order key is not
-    castable to double (exotic types) — correct, but not the scale path."""
+    castable to double (exotic types) — correct, but not the scale path.
+
+    The projected (id, size, order) frame is PERSISTED for the call's
+    three readers — the approxQuantile boundary pass, the in-bucket
+    cumsum, and the bucket totals — so a pack at the end of a long
+    pipeline materializes its reduced input once instead of re-deriving
+    the whole upstream lineage three times (pinned by the
+    pipeline_end_to_end plan contract). Three narrow columns of the
+    already-reduced corpus: ~24 GB per billion docs, MEMORY_AND_DISK."""
     from pyspark.sql.window import Window as W
 
     order = order_col or id_col
-    base = df.select(F.col(id_col), F.col(size_col), F.col(order).alias("__ord"))
+    base = _persist_pack_base(
+        df.select(F.col(id_col), F.col(size_col), F.col(order).alias("__ord"))
+    )
     nbuckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     try:
         probs = [i / nbuckets for i in range(1, nbuckets)]

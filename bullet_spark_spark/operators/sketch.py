@@ -288,6 +288,25 @@ def freq_merge_topk(
     return ranked.crossJoin(F.broadcast(errs))
 
 
+_live_rollup_fine: DataFrame | None = None
+
+
+def _persist_rollup_fine(counts: DataFrame) -> DataFrame:
+    """Persist the finest-level bucket-count frame, releasing the previous
+    rollup's (grouped plans get fresh expression ids per call, so the
+    CacheManager never dedupes them — without the release a long-lived
+    driver calling the rollup in a loop leaks one InMemoryRelation per
+    call). The eager count materializes the cache so the level branches
+    plan against real InMemoryRelation stats."""
+    global _live_rollup_fine
+    if _live_rollup_fine is not None:
+        _live_rollup_fine.unpersist()
+    counts = counts.persist()
+    _live_rollup_fine = counts
+    counts.count()
+    return counts
+
+
 def hist_quantile_rollup(
     df: DataFrame,
     ts_col: str,
@@ -310,6 +329,12 @@ def hist_quantile_rollup(
         )
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
+    # materialize the finest-level counts: the finest estimate AND every
+    # coarser level read this frame, and without a persist each union
+    # branch re-derives it from the base scan — defeating the no-rescan
+    # property the mergeable sketch exists for (pinned by plan contract).
+    # The frame is result-sized: #time-buckets × #value-buckets counters.
+    fine = _persist_rollup_fine(fine)
 
     def estimate(counts: DataFrame, level: str) -> DataFrame:
         sk_tbl = counts.groupBy("bucket_start").agg(

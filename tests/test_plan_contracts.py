@@ -93,6 +93,63 @@ def test_sketch_quantile_merge_no_base_rescan(spark, qs):
     assert tree.count("Scan parquet") == 1
 
 
+def _live_scan_counts(df) -> tuple[int, int]:
+    """(live parquet scans, InMemoryTableScan reads) in the physical plan —
+    'live' means executed by THIS job: the walk does not descend into
+    cached relations, whose lineage explain() prints but execution reads
+    from the cache."""
+    node = df._jdf.queryExecution().sparkPlan()
+
+    def walk(n) -> tuple[int, int]:
+        name = n.getClass().getSimpleName()
+        if "InMemoryTableScan" in name:
+            return 0, 1
+        scans = 1 if ("FileSourceScan" in name or "BatchScan" in name) else 0
+        imts = 0
+        for i in range(n.children().size()):
+            s, t = walk(n.children().apply(i))
+            scans += s
+            imts += t
+        return scans, imts
+
+    return walk(node)
+
+
+def test_sketch_quantile_rollup_no_base_rescan(spark, qs):
+    """Day→month rollup re-merges the day sketches' bucket maps: the
+    finest-level counts materialize once (result-sized), and the final job
+    touches NO parquet — both the day estimate and the month re-merge read
+    the cached counters (the mergeable-sketch property that matters at
+    100 TB: coarser slices never rescan the base)."""
+    df = qs["sketch_quantile_rollup"](spark, SF_DIR)
+    live, imts = _live_scan_counts(df)
+    assert live == 0, f"rollup rescans the base table ({live} live scans)"
+    assert imts == 2  # day estimate + month re-merge, both from the cache
+
+
+def test_pipeline_end_to_end_single_scan_semi_broadcast(spark, qs):
+    """The composed curate→dedup→sample→pack capstone: the reduced
+    pre-pack frame materializes once and the packing job reads only the
+    cache (no re-derivation of the upstream funnel); inside the funnel the
+    dedup survivor filter is a broadcast LeftSemi."""
+    df = qs["pipeline_end_to_end"](spark, SF_DIR)
+    live, imts = _live_scan_counts(df)
+    assert live == 0, f"packing re-derives upstream lineage ({live} live scans)"
+    assert imts == 2  # in-bucket cumsum + bucket totals, both from the cache
+    tree = _tree(_plan(df))
+    assert "LeftSemi" in tree
+    assert "BroadcastExchange" in tree
+
+
+def test_decontam_minhash_eval_broadcast_corpus_never_self_joins(spark, qs):
+    """Cross-corpus decontamination: the eval set's bands and signatures
+    broadcast; the corpus side joins them without ever self-joining (no
+    sort-merge join of two corpus branches)."""
+    plan = _plan(qs["decontam_minhash"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_salted_join_key_includes_salt(spark, tables):
     from bullet_spark_spark.operators.relational import salted_skew_join
 
