@@ -1536,6 +1536,74 @@ def text_ngram_topk(spark, sf_dir):
 
 
 @q(
+    "sampling_stratified",
+    f"""SELECT doc_id, lang FROM documents
+       WHERE CASE lang
+         WHEN 'en' THEN {smp.oracle_keep_sql('doc_id', 0.1, 3)}
+         WHEN 'zh' THEN {smp.oracle_keep_sql('doc_id', 0.5, 3)}
+         ELSE {smp.oracle_keep_sql('doc_id', 1.0, 3)} END""",
+)
+def sampling_stratified(spark, sf_dir):
+    """Deterministic per-stratum downsampling (e.g. downsample the dominant
+    language, keep rare ones whole): one CASE keep-predicate compiled over
+    the scan — zero shuffle, reproducible by any engine via md5-threshold
+    hashing (vs df.sampleBy's partition-layout-bound RNG)."""
+    t = _t(spark, sf_dir)
+    out = smp.stratified_sample(
+        t["documents"], "doc_id", "lang",
+        {"en": 0.1, "zh": 0.5}, default_fraction=1.0, seed=3,
+    )
+    return out.select("doc_id", "lang")
+
+
+@q(
+    "sampling_exact_n_per_group",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0'), doc_id) AS rn
+         FROM documents) t WHERE rn <= 20""",
+)
+def sampling_exact_n_per_group(spark, sf_dir):
+    """Exactly-n-per-group deterministic sample (operators/sampling
+    .sample_exact_n_per_group): within each language, the 20 docs with the
+    smallest md5 sampling hash — a uniform random n-subset per stratum,
+    stable across engines/partitionings/reruns; one window pass."""
+    t = _t(spark, sf_dir)
+    out = smp.sample_exact_n_per_group(t["documents"], "doc_id", ["lang"], 20)
+    return out.select("doc_id", "lang")
+
+
+@q(
+    "decontam_semantic",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id < 50),
+       c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id >= 50)
+       SELECT c.vec_id, e.vec_id AS eval_id,
+              round(list_dot_product(c.v, e.v) /
+                    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+       FROM c, e
+       WHERE round(list_dot_product(c.v, e.v) /
+                   (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(e.v, e.v))), 6) >= 0.4""",
+)
+def decontam_semantic(spark, sf_dir):
+    """EMBEDDING-space decontamination (operators/similarity
+    .semantic_decontaminate): corpus vectors ≥ threshold cosine to any
+    eval vector — the semantic complement of decontam_ngram /
+    decontam_minhash that catches paraphrases with no lexical overlap.
+    Eval side broadcasts; corpus never self-joins; ordered-fold dot
+    product keeps the estimate bit-identical across engines."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    ev = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    return sim.semantic_decontaminate(corpus, ev, threshold=0.4)
+
+
+@q(
     "sim_cosine_topk",
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                   FROM embeddings WHERE vec_id < 10),
@@ -2381,9 +2449,6 @@ _WINDOW_R4 = [
     "window_record_perkey",
     "join_inner_broadcast",
     "join_asof",
-    "join_range_bands",
-    "rollup_region_nation",
-    "winfunc_lag_frames",
     "time_bucket_rollup",
     "tpch_q1_pricing",
     "tpch_q6_forecast",
@@ -2399,8 +2464,13 @@ _WINDOW_R4 = [
     "decontam_ngram",
     "sampling_deterministic",
     "text_ngram_topk",
-    # text_fingerprint_stats rotated out to make room for
-    # bullet_group_agg_sampled (driver-green r01-r03; rotate back r5+)
+    # NEW r4 operators — certified in their birth round:
+    "sampling_stratified",
+    "sampling_exact_n_per_group",
+    "decontam_semantic",
+    # Rotated out to make room for the r4-new rows (driver-green r01-r03;
+    # rotate back r5+): text_fingerprint_stats, join_range_bands,
+    # rollup_region_nation, winfunc_lag_frames
 ]
 
 

@@ -468,6 +468,48 @@ def cluster_near_dup_pairs(
     return sims.filter(F.col("sim") >= threshold)
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    eval_vec_col: str = "eval_vec",
+) -> DataFrame:
+    """EMBEDDING-space cross-corpus decontamination — the semantic
+    counterpart of text.ngram_contamination / dedup.cross_corpus_minhash:
+    flags corpus rows whose embedding is ≥ ``threshold`` cosine to ANY
+    eval vector, catching paraphrases and translations that share no
+    lexical surface (n-grams and minhash shingles both miss them).
+
+    Plan shape: the eval side (norms precomputed) BROADCASTS — eval sets
+    are result-sized; the corpus streams through ONE scan and never
+    self-joins (same posture as cross_corpus_minhash); the pair loop runs
+    in codegen (ordered-fold dot product). Returns (id, eval_id, sim) per
+    contaminated pair, sim rounded to 6 dp for cross-engine determinism.
+    For eval sets too large to broadcast, bucket both sides through
+    lsh_ann / ivf first and decontaminate per bucket."""
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    e = eval_df.select(
+        F.col(eval_id_col),
+        F.col(eval_vec_col).alias("__ev"),
+        norm(F.col(eval_vec_col)).alias("__en"),
+    )
+    pairs = c.crossJoin(F.broadcast(e))
+    sim = F.round(
+        dot(F.col("__v"), F.col("__ev")) / (F.col("__cn") * F.col("__en")), 6
+    )
+    return (
+        pairs.select(F.col(id_col), F.col(eval_id_col), sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 # ----------------------- int8 embedding quantization -----------------------
 
 

@@ -909,6 +909,31 @@ def test_salted_skew_join_rejects_dim_preserving(spark, tables):
         salted_skew_join(fact, dim, "o_orderkey", salt_buckets=4, how="full_outer")
 
 
+def test_semantic_decontaminate_matches_bruteforce(spark, tables):
+    """Embedding-space decontamination flags exactly the corpus vectors
+    whose cosine to some eval vector clears the threshold (checked against
+    a numpy brute force away from the rounding boundary)."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    ev = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    got = sim.semantic_decontaminate(corpus, ev, threshold=0.4)
+    assert set(got.columns) == {"vec_id", "eval_id", "sim"}
+    hits = {(r["vec_id"], r["eval_id"]) for r in got.collect()}
+    assert hits  # the fixture has cross-split pairs above 0.4
+
+    evs = {r["eval_id"]: np.array(r["eval_vec"], dtype=np.float64) for r in ev.collect()}
+    for r in corpus.limit(40).collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        for eid, e_ in evs.items():
+            s = float(v @ e_ / (np.linalg.norm(v) * np.linalg.norm(e_)))
+            if abs(s - 0.4) > 1e-4:  # away from fp-rounding ambiguity
+                assert ((r["vec_id"], eid) in hits) == (s >= 0.4)
+
+
 def test_int8_quantization_roundtrip_and_recall(spark, tables):
     """Quantized vectors reconstruct within scale/2 per component, and
     int8 cosine top-k recalls almost all of the exact float top-k (the

@@ -150,6 +150,14 @@ def test_decontam_minhash_eval_broadcast_corpus_never_self_joins(spark, qs):
     assert "SortMergeJoin" not in plan
 
 
+def test_semantic_decontam_broadcasts_eval_no_self_join(spark, qs):
+    """Embedding decontamination: the eval side broadcasts (result-sized)
+    and the corpus never self-joins or shuffles for the pair scan."""
+    plan = _plan(qs["decontam_semantic"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_salted_join_key_includes_salt(spark, tables):
     from bullet_spark_spark.operators.relational import salted_skew_join
 
