@@ -21,8 +21,10 @@ all stages drop state). The transport itself is config-selected
 
 Message schema (transport-agnostic, pinned by the interface-conformance
 test): control messages are either a submission ``{"id": ..., "bql":
-"SELECT ...", "duration_ms"?: N}`` (parsed by plans.bql — the bullet-bql
-front door) or a signal ``{"id": ..., "signal": "KILL"}``. Status events
+"SELECT ...", "duration_ms"?: N, "quantile_width"?: W}`` (parsed by
+plans.bql — the bullet-bql front door; ``quantile_width`` supplies the
+mergeable linear bucketing a dynamically-multiplexed QUANTILE needs) or a
+signal ``{"id": ..., "signal": "KILL"}``. Status events
 are ``{"type": WINDOW|RESULT|SIGNAL|ERROR, "ts": ..., ...}`` — WINDOW for
 incremental merged results (JoinStreaming's window-close emissions), RESULT
 for final rows, SIGNAL for COMPLETE/KILL/FAIL, ERROR for malformed input
@@ -335,11 +337,24 @@ class ControlPlane:
                     )
             return
         try:
+            from dataclasses import replace
+
             spec = parse_bql(msg["bql"])
             if msg.get("duration_ms"):
-                from dataclasses import replace
-
                 spec = replace(spec, duration_ms=int(msg["duration_ms"]))
+            if msg.get("quantile_width"):
+                # mergeable linear bucketing for dynamically-multiplexed
+                # QUANTILE (an execution knob, not BQL surface): estimates
+                # land within one width of exact
+                from bullet_spark_spark.plans.spec import DistributionAgg
+
+                if isinstance(spec.aggregation, DistributionAgg):
+                    spec = replace(
+                        spec,
+                        aggregation=replace(
+                            spec.aggregation, width=float(msg["quantile_width"])
+                        ),
+                    )
             self.mux.register(qid, spec)
             if qid in self._killed_early:
                 self._killed_early.discard(qid)
@@ -431,7 +446,11 @@ def kafka_control_plane(
 
 
 def submit_query(
-    control_dir: str, query_id: str, bql: str, duration_ms: int | None = None
+    control_dir: str,
+    query_id: str,
+    bql: str,
+    duration_ms: int | None = None,
+    quantile_width: float | None = None,
 ) -> None:
     """Client-side submission helper: append a query message to the control
     log (what an external submitter does to the query topic)."""
@@ -439,6 +458,8 @@ def submit_query(
     msg: dict = {"id": query_id, "bql": bql}
     if duration_ms is not None:
         msg["duration_ms"] = duration_ms
+    if quantile_width is not None:
+        msg["quantile_width"] = quantile_width
     _append(control_dir, msg)
 
 

@@ -40,7 +40,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bullet_spark_spark.functions.exprs import Expr
-from bullet_spark_spark.plans.spec import AggOp, GroupAgg, Query
+from bullet_spark_spark.plans.spec import (
+    AggOp,
+    CountDistinctAgg,
+    DistributionAgg,
+    DistributionType,
+    GroupAgg,
+    Query,
+    RawAgg,
+    TopKAgg,
+)
 from bullet_spark_spark.streaming.runtime import QueryState, RateLimit, Signal
 
 _MERGEABLE = {
@@ -63,9 +72,57 @@ class DynamicHandle:
     rate_limit: RateLimit | None = None
     emit_times: list[float] = field(default_factory=list)
     error: str | None = None
+    # RAW: matched records accumulated up to the spec's limit (Q16)
+    raw_rows: list[tuple] = field(default_factory=list)
+    raw_columns: list[str] | None = None
 
     def result(self) -> list[tuple]:
-        """Current merged result rows: key columns + agg outputs."""
+        """Current merged result rows, shaped per aggregation family:
+        GroupAgg → (keys..., ops...); TopK → (keys..., count) ranked;
+        CountDistinct → [(n,)]; Distribution → (bucket, count|cum) or
+        (q, est) for QUANTILE; RAW → the collected records."""
+        agg = self.spec.aggregation
+        if isinstance(agg, RawAgg):
+            return list(self.raw_rows)
+        if isinstance(agg, TopKAgg):
+            ranked = sorted(
+                self.groups.items(), key=lambda kv: (-kv[1][0], str(kv[0]))
+            )
+            if agg.threshold:
+                ranked = [kv for kv in ranked if kv[1][0] >= agg.threshold]
+            return [(*k, v[0]) for k, v in ranked[: agg.k]]
+        if isinstance(agg, CountDistinctAgg):
+            n = sum(
+                1 for k in self.groups if k and all(v is not None for v in k)
+            )
+            return [(n,)]
+        if isinstance(agg, DistributionAgg):
+            buckets = sorted(
+                (k[0], v[0]) for k, v in self.groups.items() if k[0] is not None
+            )
+            if agg.type is DistributionType.PMF:
+                return buckets
+            if agg.type is DistributionType.CDF:
+                out, run = [], 0
+                for b, c in buckets:
+                    run += c
+                    out.append((b, run))
+                return out
+            # QUANTILE: targeted rank over merged linear-bucket counts
+            import math
+
+            total = sum(c for _, c in buckets)
+            rows = []
+            for p in [float(x) for x in (agg.points or [0.5])]:
+                rank = max(1, math.ceil(p * total)) if total else 0
+                run, est = 0, None
+                for b, c in buckets:
+                    run += c
+                    if run >= rank:
+                        est = (b + 0.5) * agg.width
+                        break
+                rows.append((p, est))
+            return rows
         return [(*k, *v) for k, v in sorted(self.groups.items(), key=lambda kv: str(kv[0]))]
 
 
@@ -97,11 +154,30 @@ class DynamicMultiplexer:
         self, query_id: str, spec: Query, rate_limit: RateLimit | None = None
     ) -> DynamicHandle:
         agg = spec.aggregation
-        if not isinstance(agg, GroupAgg):
-            raise ValueError("dynamic multiplexer supports GroupAgg specs")
-        for op, _, _ in agg.operations or [(AggOp.COUNT, None, "count")]:
-            if op not in _MERGEABLE:
-                raise ValueError(f"{op} is not mergeable across batches")
+        if isinstance(agg, GroupAgg):
+            for op, _, _ in agg.operations or [(AggOp.COUNT, None, "count")]:
+                if op not in _MERGEABLE:
+                    raise ValueError(f"{op} is not mergeable across batches")
+        elif isinstance(agg, CountDistinctAgg):
+            if agg.approx:
+                raise ValueError(
+                    "approx COUNT DISTINCT merges its HLL partials inside "
+                    "Catalyst — use EngineRuntime.register() plan-per-query"
+                )
+        elif isinstance(agg, DistributionAgg):
+            if agg.type is DistributionType.QUANTILE and not agg.width:
+                raise ValueError(
+                    "dynamic-multiplexed QUANTILE needs DistributionAgg.width "
+                    "(linear mergeable bucketing) — or use register()"
+                )
+            if agg.type is not DistributionType.QUANTILE and not (
+                agg.points or (agg.start is not None and agg.num_buckets)
+            ):
+                raise ValueError("PMF/CDF needs points or a (start,end,n) region")
+        elif not isinstance(agg, (TopKAgg, RawAgg)):
+            raise ValueError(
+                f"{type(agg).__name__} is not dynamically multiplexable"
+            )
         handle = DynamicHandle(
             query_id=query_id, spec=spec, rate_limit=rate_limit or self.rate_limit
         )
@@ -144,7 +220,11 @@ class DynamicMultiplexer:
         else:
             compiled = self._compile_live(live)
             self._plan_cache = (key, compiled)
-        self._run_grouping_sets(batch_df, compiled)
+        agg_compiled, raw_compiled = compiled
+        if agg_compiled is not None:
+            self._run_grouping_sets(batch_df, agg_compiled)
+        if raw_compiled is not None:
+            self._run_raw(batch_df, raw_compiled)
         now = time.time()
         with self._lock:
             for handle, spec in live:
@@ -162,41 +242,23 @@ class DynamicMultiplexer:
     def _compile_live(
         self, live: list[tuple["DynamicHandle", Query]]
     ) -> tuple:
-        """Build the shared routed-aggregation plan for the live set —
-        cached across batches by _process_batch while the registry is
-        unchanged (Column construction is py4j-bound and batch-invariant).
+        """Build the shared routed plans for the live set — cached across
+        batches by _process_batch while the registry is unchanged (Column
+        construction is py4j-bound and batch-invariant). Returns
+        (aggregation plan or None, RAW plan or None)."""
+        agg_live = [
+            (h, s) for h, s in live if not isinstance(s.aggregation, RawAgg)
+        ]
+        raw_live = [(h, s) for h, s in live if isinstance(s.aggregation, RawAgg)]
+        return (
+            self._compile_agg(agg_live) if agg_live else None,
+            self._compile_raw(raw_live) if raw_live else None,
+        )
 
-        Plan shape (the static multiplexer's routing applied dynamically):
-        each row EXPLODES to the query ids whose filter it matches, then ONE
-        aggregation groups by (query_id, group keys) computing the UNION of
-        (op, field) pairs any live query needs — e.g. 32 COUNT+MIN queries
-        share exactly two aggregate buffers instead of 3-per-query
-        conditional aggregates. Distinct group-by field sets become
-        GROUPING SETS over (query_id, union of fields); a row routed to a
-        query exists in that query's field set, so group presence itself is
-        the matched-row sentinel (a group whose agg inputs are all NULL
-        still surfaces — COUNT_FIELD=0 / MIN=NULL, matching plan-per-query).
-        Aggregate state per group is #distinct-(op,field) pairs, and the
-        explode emits each row once per MATCHING query (Σ selectivity),
-        not once per query."""
-        by_fields: dict[tuple[str, ...], list[tuple[DynamicHandle, Query]]] = {}
-        for handle, spec in live:
-            # key by MEMBERSHIP (sorted), not declaration order: GROUP BY a,b
-            # and GROUP BY b,a are the same grouping set, and emitting both
-            # would return every group twice with the same grouping_id —
-            # the merge loop would then double-count each matching query
-            by_fields.setdefault(tuple(sorted(spec.aggregation.fields)), []).append(
-                (handle, spec)
-            )
-        all_fields: list[str] = []
-        for fields in by_fields:
-            for f in fields:
-                if f not in all_fields:
-                    all_fields.append(f)
-        n = len(all_fields)
-
-        # the routing column: explode the matching query ids per row
-        # (operators.multiplex.multiplex_filter's expression, prebuilt once)
+    @staticmethod
+    def _route_col(members: list[tuple["DynamicHandle", Query]]):
+        """Explode each row to the query ids whose filter it matches
+        (operators.multiplex.multiplex_filter's expression, prebuilt once)."""
         tagged = F.array(
             *[
                 F.struct(
@@ -205,22 +267,86 @@ class DynamicMultiplexer:
                         spec.filter.col() if spec.filter is not None else F.lit(True)
                     ).alias("m"),
                 )
-                for h, spec in live
+                for h, spec in members
             ]
         )
-        route_col = F.explode(
+        return F.explode(
             F.transform(
                 F.filter(tagged, lambda s: F.coalesce(s["m"], F.lit(False))),
                 lambda s: s["qid"],
             )
         )
 
+    def _compile_agg(self, live: list[tuple["DynamicHandle", Query]]) -> tuple:
+        """The shared routed-aggregation plan (the static multiplexer's
+        routing applied dynamically): each row EXPLODES to its matching
+        query ids, then ONE aggregation groups by (query_id, group keys)
+        computing the UNION of (op, field) pairs any live query needs —
+        aggregate state per group is #distinct-(op,field) pairs, not
+        #queries × ops. Distinct group-by field sets become GROUPING SETS
+        over (query_id, union of fields); a row routed to a query exists in
+        that query's field set, so group presence itself is the matched-row
+        sentinel (a group whose agg inputs are all NULL still surfaces —
+        COUNT_FIELD=0 / MIN=NULL, matching plan-per-query). TopK and exact
+        CountDistinct group on their field tuple with a count; Distribution
+        specs group on a DERIVED bucket column (linear floor(v/width) for
+        QUANTILE, point thresholds for PMF/CDF). The explode emits each row
+        once per MATCHING query (Σ selectivity), not once per query."""
+
+        def spec_ops(agg) -> list[tuple[AggOp, str | None, str]]:
+            if isinstance(agg, GroupAgg):
+                return list(agg.operations) or [(AggOp.COUNT, None, "count")]
+            return [(AggOp.COUNT, None, "count")]  # TopK / CD / Distribution
+
+        # derived bucket columns for Distribution specs (one per query)
+        derived: list[tuple[str, object]] = []
+        key_fields: dict[str, tuple[str, ...]] = {}
+        for j, (handle, spec) in enumerate(live):
+            agg = spec.aggregation
+            if isinstance(agg, DistributionAgg):
+                name = f"__bk_q{j}"
+                c = F.col(agg.field)
+                if agg.type is DistributionType.QUANTILE:
+                    bucket = F.when(
+                        c.isNotNull(), F.floor(c / F.lit(agg.width)).cast("long")
+                    )
+                else:
+                    from functools import reduce
+
+                    from bullet_spark_spark.plans.compiler import _bucket_points
+
+                    bucket = reduce(
+                        lambda acc, p: acc + F.when(c >= F.lit(p), 1).otherwise(0),
+                        _bucket_points(agg),
+                        F.lit(0),
+                    )
+                derived.append((name, bucket))
+                key_fields[handle.query_id] = (name,)
+            else:
+                key_fields[handle.query_id] = tuple(agg.fields)
+
+        by_fields: dict[tuple[str, ...], list[tuple[DynamicHandle, Query]]] = {}
+        for handle, spec in live:
+            # key by MEMBERSHIP (sorted), not declaration order: GROUP BY a,b
+            # and GROUP BY b,a are the same grouping set, and emitting both
+            # would return every group twice with the same grouping_id —
+            # the merge loop would then double-count each matching query
+            by_fields.setdefault(
+                tuple(sorted(key_fields[handle.query_id])), []
+            ).append((handle, spec))
+        all_fields: list[str] = []
+        for fields in by_fields:
+            for f in fields:
+                if f not in all_fields:
+                    all_fields.append(f)
+        n = len(all_fields)
+
+        route_col = self._route_col(live)
+
         # union of aggregate columns any query needs, computed once each
         shared: dict[str, object] = {}
         for _h, spec in live:
-            for op, fld, _out in (
-                list(spec.aggregation.operations) or [(AggOp.COUNT, None, "count")]
-            ):
+            for op, fld, _out in spec_ops(spec.aggregation):
                 name = f"{op.value}_{fld or ''}"
                 if name in shared:
                     continue
@@ -238,7 +364,7 @@ class DynamicMultiplexer:
         shared_exprs = [col.alias(f"a_{i}") for i, col in enumerate(shared.values())]
         agg_pos = {name: 1 + n + i for i, name in enumerate(shared_names)}
 
-        # per-query routing: qid -> (handle, declared fields, grouping_id,
+        # per-query routing: qid -> (handle, key fields, grouping_id,
         # op metadata [(op, row position)])
         n2 = n + 1  # grouping columns: __qid + all_fields
         plans_by_qid: dict[str, tuple] = {}
@@ -253,19 +379,27 @@ class DynamicMultiplexer:
                 if c not in fields
             )
             for handle, spec in members:
-                ops = list(spec.aggregation.operations) or [
-                    (AggOp.COUNT, None, "count")
-                ]
                 op_meta = [
-                    (op, agg_pos[f"{op.value}_{fld or ''}"]) for op, fld, _ in ops
+                    (op, agg_pos[f"{op.value}_{fld or ''}"])
+                    for op, fld, _ in spec_ops(spec.aggregation)
                 ]
                 plans_by_qid[handle.query_id] = (
                     handle,
-                    tuple(spec.aggregation.fields),
+                    key_fields[handle.query_id],
                     gid,
                     op_meta,
                 )
-        return (route_col, all_fields, n, shared_exprs, plans_by_qid, gsets)
+        return (route_col, all_fields, n, shared_exprs, plans_by_qid, gsets, derived)
+
+    def _compile_raw(self, live: list[tuple["DynamicHandle", Query]]) -> tuple:
+        """Routed RAW collection plan: one explode over the raw specs'
+        filters; per batch the live remainder caps each query's take
+        (bullet Q16 — a RAW query completes at its limit)."""
+        return (
+            self._route_col(live),
+            {h.query_id: h for h, _ in live},
+            {h.query_id: s.aggregation.limit for h, s in live},
+        )
 
     @staticmethod
     def _collect_rows(df: DataFrame) -> list:
@@ -279,11 +413,61 @@ class DynamicMultiplexer:
         except Exception:
             return [tuple(r) for r in df.collect()]
 
+    def _run_raw(self, batch_df: DataFrame, compiled: tuple) -> None:
+        """Routed RAW take: append matched records up to each query's
+        remaining limit; reaching the limit completes the query (Q16,
+        JoinStreaming.scala:142-146)."""
+        route_col, handles_by_qid, limits = compiled
+        with self._lock:
+            live_now = {
+                qid: h
+                for qid, h in handles_by_qid.items()
+                if h.state is QueryState.RUNNING and len(h.raw_rows) < limits[qid]
+            }
+        if not live_now:
+            return
+        from pyspark.sql.window import Window as W_spark
+
+        remaining = F.create_map(
+            *[
+                F.lit(x)
+                for qid, h in live_now.items()
+                for x in (qid, limits[qid] - len(h.raw_rows))
+            ]
+        )
+        routed = batch_df.select(route_col.alias("__qid"), "*").filter(
+            F.col("__qid").isin(*live_now)
+        )
+        w = W_spark.partitionBy("__qid").orderBy(F.monotonically_increasing_id())
+        picked = (
+            routed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= remaining[F.col("__qid")])
+            .drop("__rn")
+        )
+        rows = self._collect_rows(picked)
+        cols = list(batch_df.columns)
+        with self._lock:
+            for r in rows:
+                h = live_now[r[0]]
+                if h.raw_columns is None:
+                    h.raw_columns = cols
+                h.raw_rows.append(tuple(r[1:]))
+            now = time.time()
+            for qid, h in live_now.items():
+                if len(h.raw_rows) >= limits[qid] and h.state is QueryState.RUNNING:
+                    del h.raw_rows[limits[qid]:]
+                    h.state = QueryState.COMPLETED
+                    self.status_log.append((qid, Signal.COMPLETE, now))
+
     def _run_grouping_sets(self, batch_df: DataFrame, compiled: tuple) -> None:
         """One aggregation job for EVERY live query across all field sets."""
-        route_col, all_fields, n, shared_exprs, plans_by_qid, gsets = compiled
+        route_col, all_fields, n, shared_exprs, plans_by_qid, gsets, derived = compiled
 
-        routed = batch_df.select(route_col.alias("__qid"), "*")
+        routed = batch_df.select(
+            route_col.alias("__qid"),
+            "*",
+            *[c.alias(name) for name, c in derived],
+        )
         if len(gsets) == 1:
             # single field set: plain groupBy — GROUPING SETS would add an
             # Expand operator (and grouping_id computation) for no routing

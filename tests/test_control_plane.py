@@ -117,6 +117,89 @@ def test_control_plane_e2e(spark, tables, tmp_path):
         mux.stop()
 
 
+def test_control_plane_full_bql_op_set(spark, tables, tmp_path):
+    """Every BQL aggregation family works THROUGH the control bus into the
+    dynamic multiplexer (the reference's front door serves every query
+    type): TOP K, COUNT DISTINCT, FREQ (PMF), RAW with limit-done, and
+    QUANTILE with the quantile_width execution knob."""
+    import math
+
+    control_dir = str(tmp_path / "control")
+    status_path = str(tmp_path / "status" / "events.jsonl")
+    mux = DynamicMultiplexer(spark)
+    plane = ControlPlane(spark, mux, control_dir, status_path, poll_interval_s=0.1)
+    plane.start()
+    ev = tables["events"]
+    try:
+        submit_query(
+            control_dir, "topk",
+            "SELECT TOP(3, event_type) AS cnt FROM STREAM()",
+        )
+        submit_query(
+            control_dir, "cd",
+            "SELECT COUNT(DISTINCT user_id) AS cd FROM STREAM() WHERE value > 50",
+        )
+        submit_query(
+            control_dir, "freq",
+            "SELECT FREQ(value, MANUAL, 0.0, 25.0, 50.0, 75.0) FROM STREAM()",
+        )
+        submit_query(control_dir, "raw5", "SELECT * FROM STREAM() LIMIT 5")
+        submit_query(
+            control_dir, "p50",
+            "SELECT QUANTILE(value, MANUAL, 0.5) FROM STREAM()",
+            quantile_width=5.0,
+        )
+        assert _wait_for(
+            lambda: all(
+                q in mux.queries for q in ("topk", "cd", "freq", "raw5", "p50")
+            )
+        )
+        stream = file_drip(spark, ev, str(tmp_path / "drip"), chunks=3)
+        mux.start(stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True)
+        plane.stop()
+
+        exp_topk = [
+            (r["event_type"], r["c"])
+            for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("event_type")).limit(3).collect()
+        ]
+        assert mux.queries["topk"].result() == exp_topk
+
+        exp_cd = (
+            ev.filter(F.col("value") > 50).select("user_id").distinct().count()
+        )
+        assert mux.queries["cd"].result() == [(exp_cd,)]
+
+        freq = dict(mux.queries["freq"].result())
+        assert sum(freq.values()) == ev.count()
+
+        assert len(mux.queries["raw5"].raw_rows) == 5
+        assert mux.queries["raw5"].state is QueryState.COMPLETED
+
+        vals = sorted(r["value"] for r in ev.select("value").collect())
+        counts: dict[int, int] = {}
+        for v in vals:
+            counts[math.floor(v / 5.0)] = counts.get(math.floor(v / 5.0), 0) + 1
+        rank, run, est = max(1, math.ceil(0.5 * len(vals))), 0, None
+        for b in sorted(counts):
+            run += counts[b]
+            if run >= rank:
+                est = (b + 0.5) * 5.0
+                break
+        assert mux.queries["p50"].result() == [(0.5, est)]
+
+        # the status topic carried terminal signals for all five
+        events = read_status(status_path)
+        done = {
+            e["query_id"]
+            for e in events
+            if e.get("type") == "SIGNAL" and e.get("signal") == "COMPLETE"
+        }
+        assert {"topk", "cd", "freq", "raw5", "p50"} <= done
+    finally:
+        plane.stop()
+
+
 def test_control_plane_messages_are_offset_ordered(tmp_path):
     """Client helpers append to one offset-ordered log (kafka-topic shape)."""
     control_dir = str(tmp_path / "c")

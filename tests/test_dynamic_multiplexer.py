@@ -51,6 +51,132 @@ def test_dynamic_merge_equals_batch(spark, tables, tmp_path):
     assert h1.state is QueryState.COMPLETED
 
 
+def test_dynamic_full_op_set(spark, tables, tmp_path):
+    """The dynamic (mid-stream-mutation) mode now multiplexes EVERY query
+    family — GroupAgg + TopK + exact CountDistinct + Distribution
+    (PMF/CDF/QUANTILE-with-width) + RAW — in one routed job per batch,
+    matching the static multiplexer's coverage and the reference's
+    every-type filter stage (FilterStreaming.scala:54-67)."""
+    import math
+
+    from bullet_spark_spark.plans.spec import (
+        CountDistinctAgg,
+        DistributionAgg,
+        DistributionType,
+        RawAgg,
+        TopKAgg,
+    )
+
+    ev = tables["events"]
+    mux = DynamicMultiplexer(spark)
+    mux.register(
+        "topk", Query(source="events", aggregation=TopKAgg(fields=["event_type"], k=3))
+    )
+    mux.register(
+        "cd",
+        Query(
+            source="events",
+            filter=E.f("value") > 50,
+            aggregation=CountDistinctAgg(fields=["user_id"], name="cd"),
+        ),
+    )
+    mux.register(
+        "qnt",
+        Query(
+            source="events",
+            filter=E.f("event_type") == "view",
+            aggregation=DistributionAgg(
+                type=DistributionType.QUANTILE, field="value",
+                points=[0.5], width=5.0,
+            ),
+        ),
+    )
+    mux.register(
+        "cdf",
+        Query(
+            source="events",
+            aggregation=DistributionAgg(
+                type=DistributionType.CDF, field="value",
+                start=0.0, end=100.0, num_buckets=4,
+            ),
+        ),
+    )
+    mux.register(
+        "raw",
+        Query(
+            source="events",
+            filter=(E.f("value") > 99) & (E.f("event_type") == "error"),
+            aggregation=RawAgg(limit=1_000_000),
+        ),
+    )
+    stream = file_drip(spark, ev, str(tmp_path), chunks=3)
+    mux.start(stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True)
+
+    # TopK vs batch
+    exp_topk = [
+        (r["event_type"], r["cnt"])
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("event_type")).limit(3).collect()
+    ]
+    assert mux.queries["topk"].result() == exp_topk
+
+    # CountDistinct vs batch exact
+    exp_cd = (
+        ev.filter(F.col("value") > 50).select("user_id").distinct()
+        .filter(F.col("user_id").isNotNull()).count()
+    )
+    assert mux.queries["cd"].result() == [(exp_cd,)]
+
+    # QUANTILE vs linear-histogram targeted rank
+    vals = sorted(
+        r["value"]
+        for r in ev.filter(
+            (F.col("event_type") == "view") & F.col("value").isNotNull()
+        ).select("value").collect()
+    )
+    counts: dict[int, int] = {}
+    for v in vals:
+        counts[math.floor(v / 5.0)] = counts.get(math.floor(v / 5.0), 0) + 1
+    rank, run, est = max(1, math.ceil(0.5 * len(vals))), 0, None
+    for b in sorted(counts):
+        run += counts[b]
+        if run >= rank:
+            est = (b + 0.5) * 5.0
+            break
+    assert mux.queries["qnt"].result() == [(0.5, est)]
+
+    # CDF monotone, totals match
+    cdf = mux.queries["cdf"].result()
+    assert cdf[-1][1] == ev.filter(F.col("value").isNotNull()).count()
+    assert all(a[1] <= b[1] for a, b in zip(cdf, cdf[1:]))
+
+    # RAW vs batch filter
+    exp_raw = sorted(
+        r["event_id"]
+        for r in ev.filter((F.col("value") > 99) & (F.col("event_type") == "error"))
+        .select("event_id").collect()
+    )
+    h = mux.queries["raw"]
+    idx = h.raw_columns.index("event_id")
+    assert sorted(r[idx] for r in h.result()) == exp_raw
+
+
+def test_dynamic_raw_limit_completes(spark, tables, tmp_path):
+    """A RAW query completes the moment its limit fills (Q16,
+    JoinStreaming.scala:142-146) — with exactly limit rows kept."""
+    from bullet_spark_spark.plans.spec import RawAgg
+
+    mux = DynamicMultiplexer(spark)
+    h = mux.register(
+        "raw3", Query(source="events", aggregation=RawAgg(limit=3))
+    )
+    stream = file_drip(spark, tables["events"], str(tmp_path), chunks=4)
+    mux.start(stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True)
+    assert len(h.raw_rows) == 3
+    assert h.state is QueryState.COMPLETED
+    assert any(q == "raw3" and s.value == "COMPLETE" for q, s, _ in mux.status_log)
+
+
 def test_register_mid_stream(spark, tables, tmp_path):
     """A query registered while the stream runs sees only later batches —
     exactly bullet's forward-looking query semantics (SURVEY §0)."""
