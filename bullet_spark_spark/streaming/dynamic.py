@@ -61,6 +61,20 @@ _MERGEABLE = {
 }
 
 
+def _none_safe(fn, a, b):
+    return b if a is None else (a if b is None else fn(a, b))
+
+
+def _merge_partial(op: AggOp, a, b):
+    """Merge two partials of one op; AVG partials are (sum, count) pairs."""
+    if op is AggOp.AVG:
+        return (
+            _none_safe(lambda x, y: x + y, a[0], b[0]),
+            _none_safe(lambda x, y: x + y, a[1], b[1]),
+        )
+    return _none_safe(_MERGEABLE[op], a, b)
+
+
 @dataclass
 class DynamicHandle:
     query_id: str
@@ -123,7 +137,19 @@ class DynamicHandle:
                         break
                 rows.append((p, est))
             return rows
-        return [(*k, *v) for k, v in sorted(self.groups.items(), key=lambda kv: str(kv[0]))]
+        # GroupAgg: finalize AVG from its merged (sum, count) partial pair
+        ops = list(agg.operations) or [(AggOp.COUNT, None, "count")]
+        out = []
+        for k, v in sorted(self.groups.items(), key=lambda kv: str(kv[0])):
+            vals = []
+            for (op, _fld, _name), x in zip(ops, v):
+                if op is AggOp.AVG:
+                    s, c = x
+                    vals.append(s / c if (s is not None and c) else None)
+                else:
+                    vals.append(x)
+            out.append((*k, *vals))
+        return out
 
 
 class DynamicMultiplexer:
@@ -156,7 +182,7 @@ class DynamicMultiplexer:
         agg = spec.aggregation
         if isinstance(agg, GroupAgg):
             for op, _, _ in agg.operations or [(AggOp.COUNT, None, "count")]:
-                if op not in _MERGEABLE:
+                if op not in _MERGEABLE and op is not AggOp.AVG:
                     raise ValueError(f"{op} is not mergeable across batches")
         elif isinstance(agg, CountDistinctAgg):
             if agg.approx:
@@ -343,23 +369,31 @@ class DynamicMultiplexer:
 
         route_col = self._route_col(live)
 
-        # union of aggregate columns any query needs, computed once each
+        # union of aggregate columns any query needs, computed once each;
+        # AVG decomposes into its mergeable SUM + COUNT_FIELD partials
+        # (finalized sink-side), sharing buffers with explicit SUM/COUNT ops
         shared: dict[str, object] = {}
         for _h, spec in live:
             for op, fld, _out in spec_ops(spec.aggregation):
-                name = f"{op.value}_{fld or ''}"
-                if name in shared:
-                    continue
-                if op is AggOp.COUNT:
-                    shared[name] = F.count(F.lit(1))
-                elif op is AggOp.COUNT_FIELD:
-                    shared[name] = F.count(F.col(fld))
-                elif op is AggOp.SUM:
-                    shared[name] = F.sum(F.col(fld))
-                elif op is AggOp.MIN:
-                    shared[name] = F.min(F.col(fld))
-                else:  # MAX (register() rejects anything non-mergeable)
-                    shared[name] = F.max(F.col(fld))
+                needed = (
+                    [(AggOp.SUM, fld), (AggOp.COUNT_FIELD, fld)]
+                    if op is AggOp.AVG
+                    else [(op, fld)]
+                )
+                for op2, fld2 in needed:
+                    name = f"{op2.value}_{fld2 or ''}"
+                    if name in shared:
+                        continue
+                    if op2 is AggOp.COUNT:
+                        shared[name] = F.count(F.lit(1))
+                    elif op2 is AggOp.COUNT_FIELD:
+                        shared[name] = F.count(F.col(fld2))
+                    elif op2 is AggOp.SUM:
+                        shared[name] = F.sum(F.col(fld2))
+                    elif op2 is AggOp.MIN:
+                        shared[name] = F.min(F.col(fld2))
+                    else:  # MAX (register() rejects anything non-mergeable)
+                        shared[name] = F.max(F.col(fld2))
         shared_names = list(shared)
         shared_exprs = [col.alias(f"a_{i}") for i, col in enumerate(shared.values())]
         agg_pos = {name: 1 + n + i for i, name in enumerate(shared_names)}
@@ -380,7 +414,15 @@ class DynamicMultiplexer:
             )
             for handle, spec in members:
                 op_meta = [
-                    (op, agg_pos[f"{op.value}_{fld or ''}"])
+                    (
+                        op,
+                        (
+                            agg_pos[f"SUM_{fld}"],
+                            agg_pos[f"COUNT_FIELD_{fld}"],
+                        )
+                        if op is AggOp.AVG
+                        else agg_pos[f"{op.value}_{fld or ''}"],
+                    )
                     for op, fld, _ in spec_ops(spec.aggregation)
                 ]
                 plans_by_qid[handle.query_id] = (
@@ -502,16 +544,20 @@ class DynamicMultiplexer:
                 handle, fields, _gid, op_meta = entry
                 matched.add(handle.query_id)
                 key = tuple(raw[field_pos[c]] for c in fields)
-                vals = [raw[pos] for _op, pos in op_meta]
+                vals = [
+                    (raw[pos[0]], raw[pos[1]]) if op is AggOp.AVG else raw[pos]
+                    for op, pos in op_meta
+                ]
                 cur = handle.groups.get(key)
                 if cur is None:
                     handle.groups[key] = vals
                 else:
                     # None-safe merge: a nullable agg field can yield a
                     # NULL partial for an existing group — never feed
-                    # None into sum/min/max
+                    # None into sum/min/max. AVG merges its (sum, count)
+                    # partial pair component-wise.
                     handle.groups[key] = [
-                        b if a is None else (a if b is None else _MERGEABLE[op](a, b))
+                        _merge_partial(op, a, b)
                         for (op, _pos), a, b in zip(op_meta, cur, vals)
                     ]
             # per-query emit-rate guard, enforced in the shared stage too —

@@ -109,6 +109,16 @@ def test_dynamic_full_op_set(spark, tables, tmp_path):
             aggregation=RawAgg(limit=1_000_000),
         ),
     )
+    mux.register(
+        "avg",
+        Query(
+            source="events",
+            aggregation=GroupAgg(
+                fields=["event_type"],
+                operations=[(AggOp.AVG, "value", "av"), (AggOp.COUNT, None, "c")],
+            ),
+        ),
+    )
     stream = file_drip(spark, ev, str(tmp_path), chunks=3)
     mux.start(stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True)
 
@@ -159,6 +169,19 @@ def test_dynamic_full_op_set(spark, tables, tmp_path):
     h = mux.queries["raw"]
     idx = h.raw_columns.index("event_id")
     assert sorted(r[idx] for r in h.result()) == exp_raw
+
+    # AVG decomposed into mergeable sum+count partials, finalized sink-side
+    exp_avg = {
+        r["event_type"]: (r["av"], r["c"])
+        for r in ev.groupBy("event_type")
+        .agg(F.avg("value").alias("av"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    got_avg = {k: (av, c) for k, av, c in mux.queries["avg"].result()}
+    assert set(got_avg) == set(exp_avg)
+    for k in exp_avg:
+        assert got_avg[k][1] == exp_avg[k][1]
+        assert abs(got_avg[k][0] - exp_avg[k][0]) < 1e-9
 
 
 def test_dynamic_raw_limit_completes(spark, tables, tmp_path):
