@@ -1122,6 +1122,83 @@ def tpch_q18_large_orders(spark, sf_dir):
 
 
 @q(
+    "tpch_q13_custdist",
+    """SELECT c_count, count(*) AS custdist FROM (
+         SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+         FROM customer c LEFT OUTER JOIN orders o
+           ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY c.c_custkey) t
+       GROUP BY c_count""",
+)
+def tpch_q13_custdist(spark, sf_dir):
+    """TPC-H-Q13-style customer order-count distribution (adapted to the
+    fixture's columns: the order-side predicate filters on priority).
+    The JOIN-side predicate belongs in the join CONDITION, not a WHERE —
+    a WHERE would turn the left outer into an inner and drop zero-order
+    customers, the rows Q13 exists to count. Two aggregations: per-customer
+    count (shuffle on custkey — the join's own partitioning, reused), then
+    the tiny count-of-counts histogram."""
+    t = _t(spark, sf_dir)
+    joined = t["customer"].alias("c").join(
+        t["orders"].alias("o"),
+        (F.col("c.c_custkey") == F.col("o.o_custkey"))
+        & (F.col("o.o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c.c_custkey").agg(
+        F.count("o.o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q(
+    "tpch_q19_disjunctive",
+    """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 1 AND 11)
+          OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+              AND l.l_quantity BETWEEN 10 AND 20)
+          OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+              AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H-Q19-style disjunctive-predicate revenue (adapted to the
+    fixture's columns). The OR-of-ANDs showcase: Catalyst derives the
+    IMPLIED single-side predicates and pushes them below the join — the
+    part scan reads only the three brands (p_brand IN ... reaches
+    PushedFilters) and lineitem only quantities 1-30 — while the full
+    disjunction evaluates as the join's residual condition. The part side
+    broadcasts."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].alias("l")
+    p = t["part"].alias("p")
+    cond = (
+        (
+            (F.col("p.p_brand") == "Brand#11")
+            & F.col("p.p_size").between(1, 15)
+            & F.col("l.l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p.p_brand") == "Brand#22")
+            & F.col("p.p_size").between(1, 25)
+            & F.col("l.l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p.p_brand") == "Brand#33")
+            & F.col("p.p_size").between(1, 35)
+            & F.col("l.l_quantity").between(20, 30)
+        )
+    )
+    joined = li.join(
+        F.broadcast(p), F.col("p.p_partkey") == F.col("l.l_partkey")
+    ).filter(cond)
+    return joined.agg(
+        _dsum(F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")), "revenue")
+    )
+
+
+@q(
     "tpch_q4_late_orders",
     """SELECT o_orderpriority, count(*) AS order_count
        FROM orders o
@@ -2457,8 +2534,6 @@ _WINDOW_R4 = [
     "bql_filter_project",
     "bql_group_having",
     "dedup_exact",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
     "text_lang_quality",
     "text_repetition",
     "decontam_ngram",
@@ -2468,9 +2543,12 @@ _WINDOW_R4 = [
     "sampling_stratified",
     "sampling_exact_n_per_group",
     "decontam_semantic",
+    "tpch_q13_custdist",
+    "tpch_q19_disjunctive",
     # Rotated out to make room for the r4-new rows (driver-green r01-r03;
     # rotate back r5+): text_fingerprint_stats, join_range_bands,
-    # rollup_region_nation, winfunc_lag_frames
+    # rollup_region_nation, winfunc_lag_frames, dedup_keep_best,
+    # dedup_ngram_jaccard
 ]
 
 

@@ -150,6 +150,20 @@ def test_decontam_minhash_eval_broadcast_corpus_never_self_joins(spark, qs):
     assert "SortMergeJoin" not in plan
 
 
+def test_q19_implied_predicates_pushed_and_broadcast(spark, qs):
+    """The disjunctive OR-of-ANDs query: Catalyst derives the implied
+    single-side predicates and pushes them below the join — the part scan
+    carries a brand filter, lineitem a quantity bound — and the part side
+    broadcasts; the full disjunction stays as the residual condition."""
+    plan = _plan(qs["tpch_q19_disjunctive"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    reads = [l for l in plan.splitlines() if "PushedFilters" in l]
+    part_read = next((l for l in reads if "p_brand" in l), None)
+    assert part_read is not None, "no brand predicate pushed to the part scan"
+    li_read = next((l for l in reads if "l_quantity" in l), None)
+    assert li_read is not None, "no quantity bound pushed to the lineitem scan"
+
+
 def test_semantic_decontam_broadcasts_eval_no_self_join(spark, qs):
     """Embedding decontamination: the eval side broadcasts (result-sized)
     and the corpus never self-joins or shuffles for the pair scan."""
