@@ -1582,6 +1582,50 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "dedup_neardup_components",
+    """WITH RECURSIVE d AS (
+         SELECT doc_id, list_distinct([
+                  array_to_string(toks[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+                ]) AS shingles
+         FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+               FROM documents)),
+       e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM d),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                count(*) AS n_inter
+         FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4),
+       pairs AS (
+         SELECT id_a, id_b FROM inter
+         WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.12),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       walk(node, comp) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.node)
+       SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node""",
+)
+def dedup_neardup_components(spark, sf_dir):
+    """Transitive near-dup CLUSTER resolution (operators/dedup
+    .connected_components): exact Jaccard pairs → min-label-propagation
+    connected components, so keep-one-per-cluster follows chains the
+    pair-local drop policy cannot (pairs (b,d),(c,d) collapse b,c,d into
+    ONE cluster). The iterative DataFrame loop is hash-matched against
+    DuckDB's recursive-CTE transitive closure — an oracle-exact iterative
+    graph algorithm."""
+    t = _t(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.12
+    )
+    comps = dd.connected_components(pairs.select("id_a", "id_b"))
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+@q(
     "dedup_keep_best",
     f"""SELECT doc_id FROM documents
         QUALIFY row_number() OVER (PARTITION BY md5({_NORM_SQL})
@@ -2535,7 +2579,6 @@ _WINDOW_R4 = [
     "bql_group_having",
     "dedup_exact",
     "text_lang_quality",
-    "text_repetition",
     "decontam_ngram",
     "sampling_deterministic",
     "text_ngram_topk",
@@ -2545,10 +2588,11 @@ _WINDOW_R4 = [
     "decontam_semantic",
     "tpch_q13_custdist",
     "tpch_q19_disjunctive",
+    "dedup_neardup_components",
     # Rotated out to make room for the r4-new rows (driver-green r01-r03;
     # rotate back r5+): text_fingerprint_stats, join_range_bands,
     # rollup_region_nation, winfunc_lag_frames, dedup_keep_best,
-    # dedup_ngram_jaccard
+    # dedup_ngram_jaccard, text_repetition
 ]
 
 

@@ -749,6 +749,83 @@ def simhash_md5_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into transitive clusters: (node, component)
+    where component = the smallest node id reachable through any chain of
+    pairs — the canonical keep-one-per-cluster semantics. Pair-local
+    policies ('drop the larger of each pair') under-merge chains whose
+    endpoints share no direct edge: pairs (b,d),(c,d) leave b and c both
+    surviving although they are transitive near-dups; the component view
+    keeps exactly one representative per cluster.
+
+    Min-label propagation: every node starts as its own label; each
+    iteration a node adopts the smallest label among itself and its
+    neighbors; converges in graph-diameter iterations (near-dup clusters
+    are shallow). Exceeding ``max_iterations`` raises — a pathological
+    chain becomes an error, not an endless job.
+
+    Scale shape: each iteration is one shuffle join of the label frame
+    against the edge list — both PAIR-space frames (collision-bounded,
+    never corpus-bounded), persisted with the previous iteration released;
+    convergence is a driver-side count of changed labels. This is the
+    standard large-graph CC loop (GraphX/GraphFrames posture) expressed in
+    DataFrames. The returned frame is persisted; callers that keep it
+    long-term own its release."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    converged = False
+    for _ in range(max_iterations):
+        neighbor_min = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).groupBy("src").agg(F.min("comp").alias("__ncomp"))
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["comp"], F.coalesce(F.col("__ncomp"), labels["comp"])
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    return labels
+
+
 def simhash_near_dup_pairs(
     fps: DataFrame, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
 ) -> DataFrame:

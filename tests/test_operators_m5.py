@@ -909,6 +909,48 @@ def test_salted_skew_join_rejects_dim_preserving(spark, tables):
         salted_skew_join(fact, dim, "o_orderkey", salt_buckets=4, how="full_outer")
 
 
+def test_connected_components_transitive_chains(spark):
+    """Chains collapse into one component even when endpoints share no
+    direct pair — the case pair-local drop policies under-merge — and the
+    representative is the cluster minimum."""
+    pairs = spark.createDataFrame(
+        [(2, 4), (3, 4), (7, 8), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["comp"] for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {2: 2, 3: 2, 4: 2, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_connected_components_matches_union_find(spark, tables):
+    """On real near-dup pairs the distributed loop equals a driver-side
+    union-find over the same edges."""
+    pairs = dd.ngram_jaccard_pairs(
+        tables["documents"], "doc_id", "text", n=3, threshold=0.12
+    ).select("id_a", "id_b")
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    got = {
+        r["node"]: r["comp"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
 def test_semantic_decontaminate_matches_bruteforce(spark, tables):
     """Embedding-space decontamination flags exactly the corpus vectors
     whose cosine to some eval vector clears the threshold (checked against
