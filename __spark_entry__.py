@@ -1199,6 +1199,49 @@ def tpch_q19_disjunctive(spark, sf_dir):
 
 
 @q(
+    "tpch_q10_returned_items",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-07-01'
+         AND l.l_returnflag = 'R'
+       GROUP BY 1, 2, 3
+       ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H-Q10-style returned-item revenue: the 4-table join shape. The
+    fact⋈fact core (filtered orders ⋈ lineitem) shuffles on the orderkey;
+    customer and nation are broadcast dims layered after the aggregation
+    input is reduced; revenue sums are exact DECIMAL (ties at the top-20
+    boundary are deterministic across engines); TakeOrderedAndProject for
+    the final cut."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    fact = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_custkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    per_cust = fact.groupBy("o_custkey").agg(_dsum(F.col("rev"), "revenue"))
+    c = t["customer"].select("c_custkey", "c_name", "c_nationkey")
+    n = t["nation"].select("n_nationkey", "n_name")
+    out = (
+        per_cust.join(
+            F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@q(
     "tpch_q4_late_orders",
     """SELECT o_orderpriority, count(*) AS order_count
        FROM orders o
@@ -2567,7 +2610,7 @@ _WINDOW_R4 = [
     "expr_scalar",
     "expr_container_anyall",
     "window_tumbling_10m",
-    "window_record_perkey",
+    # window_record_perkey rotated out r4 (driver-green r01-r03)
     "join_inner_broadcast",
     "join_asof",
     "time_bucket_rollup",
@@ -2588,6 +2631,7 @@ _WINDOW_R4 = [
     "decontam_semantic",
     "tpch_q13_custdist",
     "tpch_q19_disjunctive",
+    "tpch_q10_returned_items",
     "dedup_neardup_components",
     # Rotated out to make room for the r4-new rows (driver-green r01-r03;
     # rotate back r5+): text_fingerprint_stats, join_range_bands,
