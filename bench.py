@@ -94,7 +94,9 @@ def main() -> None:
 def _streaming_ingest_rate(spark) -> float:
     """Drain the events table through a real Structured Streaming grouped
     query (availableNow) and report rows/sec of ingest — the BASELINE.md
-    streaming-suite metric."""
+    streaming-suite metric. Warmup + median-of-REPEATS, like the query
+    suite and the control-plane metric."""
+    import statistics as _stats
     import tempfile
 
     from bullet_spark_spark.plans import AggOp, GroupAgg, Query
@@ -104,21 +106,26 @@ def _streaming_ingest_rate(spark) -> float:
 
     events = load_table(spark, "events", SF_DIR)
     n_rows = events.count()
-    rt = EngineRuntime(spark)
-    with tempfile.TemporaryDirectory() as work:
-        stream = file_drip(spark, events, work, chunks=8, max_files_per_trigger=4)
-        spec = Query(
-            source="events",
-            aggregation=GroupAgg(
-                fields=["event_type"],
-                operations=[(AggOp.COUNT, None, "cnt"), (AggOp.SUM, "value", "sv")],
-            ),
-        )
-        t0 = time.perf_counter()
-        rt.run_available(spec, stream, checkpoint_dir=f"{work}/ck")
-        wall = time.perf_counter() - t0
-    rt.stop_all()  # deregisters the progress listener before teardown
-    return round(n_rows / wall, 1)
+
+    def cycle() -> float:
+        rt = EngineRuntime(spark)
+        with tempfile.TemporaryDirectory() as work:
+            stream = file_drip(spark, events, work, chunks=8, max_files_per_trigger=4)
+            spec = Query(
+                source="events",
+                aggregation=GroupAgg(
+                    fields=["event_type"],
+                    operations=[(AggOp.COUNT, None, "cnt"), (AggOp.SUM, "value", "sv")],
+                ),
+            )
+            t0 = time.perf_counter()
+            rt.run_available(spec, stream, checkpoint_dir=f"{work}/ck")
+            wall = time.perf_counter() - t0
+        rt.stop_all()  # deregisters the progress listener before teardown
+        return n_rows / wall
+
+    cycle()  # warmup
+    return round(_stats.median(cycle() for _ in range(REPEATS)), 1)
 
 
 def _control_plane_rate(spark) -> float:
