@@ -204,6 +204,10 @@ class DynamicMultiplexer:
             raise ValueError(
                 f"{type(agg).__name__} is not dynamically multiplexable"
             )
+        # NOTE: shared-stage RAW emits FULL records (same as the static
+        # multiplexer's routed take); a RAW projection applies in
+        # plan-per-query mode (EngineRuntime.register), where the compiled
+        # plan owns the select list.
         handle = DynamicHandle(
             query_id=query_id, spec=spec, rate_limit=rate_limit or self.rate_limit
         )
