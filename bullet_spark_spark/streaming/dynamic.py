@@ -505,10 +505,11 @@ class DynamicMultiplexer:
                     h.state = QueryState.COMPLETED
                     self.status_log.append((qid, Signal.COMPLETE, now))
 
-    def _run_grouping_sets(self, batch_df: DataFrame, compiled: tuple) -> None:
-        """One aggregation job for EVERY live query across all field sets."""
-        route_col, all_fields, n, shared_exprs, plans_by_qid, gsets, derived = compiled
-
+    @staticmethod
+    def _agg_frame(batch_df: DataFrame, compiled: tuple):
+        """The shared routed-aggregation DataFrame for one batch (exposed
+        for plan-contract tests); returns (frame, single_gid_or_None)."""
+        route_col, all_fields, _n, shared_exprs, plans_by_qid, gsets, derived = compiled
         routed = batch_df.select(
             route_col.alias("__qid"),
             "*",
@@ -519,20 +520,28 @@ class DynamicMultiplexer:
             # Expand operator (and grouping_id computation) for no routing
             # benefit
             only_gid = next(iter(plans_by_qid.values()))[2]
-            rows = [
-                (*r, only_gid)
-                for r in self._collect_rows(
-                    routed.groupBy("__qid", *[F.col(c) for c in all_fields]).agg(
-                        *shared_exprs
-                    )
-                )
-            ]
-        else:
-            rows = self._collect_rows(
-                routed.groupingSets(gsets, "__qid", *all_fields).agg(
-                    *shared_exprs, F.grouping_id().alias("__gid")
-                )
+            return (
+                routed.groupBy("__qid", *[F.col(c) for c in all_fields]).agg(
+                    *shared_exprs
+                ),
+                only_gid,
             )
+        return (
+            routed.groupingSets(gsets, "__qid", *all_fields).agg(
+                *shared_exprs, F.grouping_id().alias("__gid")
+            ),
+            None,
+        )
+
+    def _run_grouping_sets(self, batch_df: DataFrame, compiled: tuple) -> None:
+        """One aggregation job for EVERY live query across all field sets."""
+        _route_col, all_fields, n, _shared_exprs, plans_by_qid, _gsets, _derived = compiled
+
+        frame, only_gid = self._agg_frame(batch_df, compiled)
+        if only_gid is not None:
+            rows = [(*r, only_gid) for r in self._collect_rows(frame)]
+        else:
+            rows = self._collect_rows(frame)
 
         field_pos = {c: 1 + i for i, c in enumerate(all_fields)}
         # merge under the registry lock: the control-plane publisher thread

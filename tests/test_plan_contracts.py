@@ -172,6 +172,34 @@ def test_semantic_decontam_broadcasts_eval_no_self_join(spark, qs):
     assert "SortMergeJoin" not in plan
 
 
+def test_dynamic_mux_shared_buffers_one_explode(spark, tables):
+    """The dynamic multiplexer's headline scale property, pinned: 16
+    COUNT+MIN queries share exactly TWO aggregate buffers (count(1),
+    min(value)) plus the group keys — not 3-per-query — and the routing is
+    ONE explode (Generate) over the scan."""
+    from bullet_spark_spark.plans.bql import parse_bql
+    from bullet_spark_spark.streaming.dynamic import DynamicMultiplexer
+
+    mux = DynamicMultiplexer(spark)
+    for i in range(16):
+        mux.register(
+            f"q{i}",
+            parse_bql(
+                "SELECT user_id, COUNT(*) AS n, MIN(value) AS mn FROM STREAM() "
+                f"WHERE user_id % 16 = {i} GROUP BY user_id"
+            ),
+        )
+    live = [(h, h.spec) for h in mux.queries.values()]
+    agg_compiled, _raw = mux._compile_live(live)
+    frame, _gid = DynamicMultiplexer._agg_frame(tables["events"], agg_compiled)
+    plan = _plan(frame)
+    tree = _tree(plan)
+    assert tree.count("Generate") == 1  # one explode routes all 16 queries
+    # the final aggregate computes exactly 2 shared functions
+    func_lines = [l for l in plan.splitlines() if "Functions [" in l]
+    assert func_lines and all("Functions [2]" in l for l in func_lines), func_lines
+
+
 def test_salted_join_key_includes_salt(spark, tables):
     from bullet_spark_spark.operators.relational import salted_skew_join
 
