@@ -1984,6 +1984,55 @@ def dedup_minhash_md5(spark, sf_dir):
 
 
 @q(
+    "dedup_minhash_survivors",
+    r"""WITH RECURSIVE d AS (
+         SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+         FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+               FROM documents)),
+       e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+       h AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+             FROM e CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+       bk AS (SELECT doc_id, j // 2 AS b, string_agg(mh, '|' ORDER BY j) AS bkey
+              FROM h GROUP BY doc_id, j // 2),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       est AS (SELECT c.id_a, c.id_b,
+                      sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+               FROM cand c
+               JOIN h ha ON ha.doc_id = c.id_a
+               JOIN h hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+               GROUP BY c.id_a, c.id_b),
+       pairs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.4),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       walk(node, comp) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.node),
+       drops AS (SELECT node FROM walk GROUP BY node HAVING min(comp) <> node)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT node FROM drops)""",
+)
+def dedup_minhash_survivors(spark, sf_dir):
+    """END-TO-END near-dup DEDUP, oracle-exact: portable md5 minhash →
+    banded LSH candidates → verify → transitive components → keep the
+    smallest id per cluster (operators/dedup.neardup_survivors). The
+    complete signatures-to-survivors path — including the iterative
+    closure — hash-matched against DuckDB (minhash via md5 components,
+    closure via recursive CTE). Production corpora swap in the xxhash64 /
+    numpy signature engines with identical downstream shape."""
+    t = _t(spark, sf_dir)
+    pairs = dd.minhash_dedup_pairs_md5(
+        t["documents"], "doc_id", "text", threshold=0.4, num_hashes=16, bands=8
+    )
+    out = dd.neardup_survivors(
+        t["documents"], pairs.select("id_a", "id_b"), "doc_id"
+    )
+    return out.select("doc_id")
+
+
+@q(
     "sketch_quantile_merge",
     """WITH b AS (SELECT l_returnflag, CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS bk
                   FROM lineitem WHERE l_extendedprice IS NOT NULL),
@@ -2608,7 +2657,7 @@ _WINDOW_R4 = [
     "bullet_pmf_cdf",
     "bullet_having_orderby",
     "expr_scalar",
-    "expr_container_anyall",
+    # expr_container_anyall rotated out r4 (driver-green r01-r03)
     "window_tumbling_10m",
     # window_record_perkey rotated out r4 (driver-green r01-r03)
     "join_inner_broadcast",
@@ -2633,6 +2682,7 @@ _WINDOW_R4 = [
     "tpch_q19_disjunctive",
     "tpch_q10_returned_items",
     "dedup_neardup_components",
+    "dedup_minhash_survivors",
     # Rotated out to make room for the r4-new rows (driver-green r01-r03;
     # rotate back r5+): text_fingerprint_stats, join_range_bands,
     # rollup_region_nation, winfunc_lag_frames, dedup_keep_best,

@@ -774,8 +774,9 @@ def connected_components(
     never corpus-bounded), persisted with the previous iteration released;
     convergence is a driver-side count of changed labels. This is the
     standard large-graph CC loop (GraphX/GraphFrames posture) expressed in
-    DataFrames. The returned frame is persisted; callers that keep it
-    long-term own its release."""
+    DataFrames. The returned frame is persisted (downstream consumers must
+    not replay the iteration lineage); the previous call's frame is
+    released on the next call — the repo's UDF-plan cache discipline."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -823,7 +824,31 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} iterations"
         )
+    global _live_cc
+    if _live_cc is not None:
+        _live_cc.unpersist()
+    _live_cc = labels
     return labels
+
+
+_live_cc: DataFrame | None = None
+
+
+def neardup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Keep-one-per-cluster near-dup DEDUP: resolve ``pairs`` into
+    transitive components (:func:`connected_components`) and drop every
+    doc whose component representative is a different (smaller) id;
+    unpaired docs pass through untouched. The drop set is pair-space-
+    bounded but can be a large corpus fraction on webby data, so the
+    anti-join is left unhinted — AQE broadcasts it when it is small."""
+    comps = connected_components(pairs, id_a, id_b)
+    drops = comps.filter(F.col("comp") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
 
 
 def simhash_near_dup_pairs(

@@ -951,6 +951,23 @@ def test_connected_components_matches_union_find(spark, tables):
     assert got == expected
 
 
+def test_neardup_survivors_keeps_one_per_cluster(spark):
+    """Survivors = cluster minima + unpaired docs; transitive chains
+    collapse to ONE survivor even without a direct endpoint pair."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 4), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dd.neardup_survivors(docs, pairs, "doc_id").collect()
+    )
+    # cluster {2,3,4} -> keep 2; {7,8} -> keep 7; 1,5,6,9 unpaired
+    assert kept == [1, 2, 5, 6, 7, 9]
+
+
 def test_semantic_decontaminate_matches_bruteforce(spark, tables):
     """Embedding-space decontamination flags exactly the corpus vectors
     whose cosine to some eval vector clears the threshold (checked against
