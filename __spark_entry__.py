@@ -1242,6 +1242,69 @@ def tpch_q10_returned_items(spark, sf_dir):
 
 
 @q(
+    "tpch_q7_volume_shipping",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem l
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+       JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+       WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l.l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY 1, 2, 3""",
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H-Q7-style bilateral shipping volume: the 6-table join shape
+    (two roles of the nation dim). supplier/customer/nation broadcast;
+    the fact⋈fact core (filtered lineitem ⋈ orders) is the only shuffle
+    join; the two nation filters prune each broadcast side BEFORE the
+    join while the bilateral OR evaluates as the residual."""
+    t = _t(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    s = t["supplier"].join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    c = t["customer"].join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+@q(
     "tpch_q4_late_orders",
     """SELECT o_orderpriority, count(*) AS order_count
        FROM orders o
@@ -2661,7 +2724,7 @@ _WINDOW_R4 = [
     "window_tumbling_10m",
     # window_record_perkey rotated out r4 (driver-green r01-r03)
     "join_inner_broadcast",
-    "join_asof",
+    # join_asof rotated out r4 (driver-green r01-r03)
     "time_bucket_rollup",
     "tpch_q1_pricing",
     "tpch_q6_forecast",
@@ -2683,6 +2746,7 @@ _WINDOW_R4 = [
     "tpch_q10_returned_items",
     "dedup_neardup_components",
     "dedup_minhash_survivors",
+    "tpch_q7_volume_shipping",
     # Rotated out to make room for the r4-new rows (driver-green r01-r03;
     # rotate back r5+): text_fingerprint_stats, join_range_bands,
     # rollup_region_nation, winfunc_lag_frames, dedup_keep_best,

@@ -80,3 +80,52 @@ def test_minhash_md5_random_corpora_match_duckdb(spark, data):
     )
     con.close()
     assert got == expected
+
+
+# -- connected components: differential vs union-find on random graphs ------
+
+
+@st.composite
+def edge_list(draw):
+    """Random small undirected graphs, edge-dense enough to form chains."""
+    n_nodes = draw(st.integers(2, 12))
+    n_edges = draw(st.integers(0, 16))
+    edges = []
+    for _ in range(n_edges):
+        a = draw(st.integers(0, n_nodes - 1))
+        b = draw(st.integers(0, n_nodes - 1))
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    return sorted(set(edges))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_list())
+def test_connected_components_equals_union_find(spark, edges):
+    """The distributed min-label-propagation loop equals a union-find on
+    arbitrary random graphs — chains, cliques, isolated pairs, multi-edges."""
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    got = {
+        r["node"]: r["comp"] for r in dd.connected_components(pairs).collect()
+    }
+    assert got == expected
