@@ -2665,6 +2665,608 @@ def multimodal_video_frames(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion sweep: q2 q8 q9 q11 q12 q15 q16 q17 q20 q21 q22
+# ---------------------------------------------------------------------------
+# The fixture schema has no partsupp / l_commitdate / l_receiptdate /
+# l_shipmode / c_phone, so each query is ADAPTED to the available columns
+# while preserving the characteristic plan shape the original exercises:
+# correlated min subquery (q2), share-of-total over an 8-table join (q8),
+# multi-dim profit rollup (q9), scalar-subquery HAVING (q11), conditional
+# two-way counts (q12), scalar-subquery max (q15), count-distinct with a
+# NOT IN exclusion (q16), correlated avg threshold (q17), nested-aggregate
+# semi-join (q20), EXISTS / NOT EXISTS (q21), anti-join + scalar-subquery
+# avg (q22). partsupp's (part, supplier) bridge is derived from lineitem:
+# unit supply cost := min(l_extendedprice / l_quantity) per (part, supp) —
+# IEEE division is bit-identical across engines, so min/equality compares
+# are exact without rounding.
+
+
+@q(
+    "tpch_q2_min_cost_supp",
+    """WITH cost AS (
+         SELECT l_partkey, l_suppkey,
+                min(l_extendedprice / l_quantity) AS supp_cost
+         FROM lineitem GROUP BY 1, 2)
+       SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+              round(c.supp_cost, 6) AS supp_cost
+       FROM cost c
+       JOIN part p ON p.p_partkey = c.l_partkey
+       JOIN supplier s ON s.s_suppkey = c.l_suppkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       JOIN region r ON r.r_regionkey = n.n_regionkey
+       WHERE p.p_size BETWEEN 10 AND 15 AND p.p_type = 'LARGE'
+         AND r.r_name = 'EUROPE'
+         AND c.supp_cost = (
+           SELECT min(c2.supp_cost) FROM cost c2
+           JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+           JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+           JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+           WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+       ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+       LIMIT 25""",
+)
+def tpch_q2_min_cost_supp(spark, sf_dir):
+    """TPC-H-Q2-style minimum-cost supplier. The correlated min subquery
+    becomes a window min over the candidate set — one exchange on
+    l_partkey over the ALREADY-AGGREGATED (part, supp) rows instead of a
+    rescan self-join against lineitem. Dims (part, supplier ⋈ nation ⋈
+    region) broadcast; the only full-size shuffle is the (part, supp)
+    cost aggregation; TakeOrderedAndProject for the final cut."""
+    t = _t(spark, sf_dir)
+    cost = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey"), F.col("l_suppkey"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supp_cost"))
+    )
+    parts = t["part"].filter(
+        F.col("p_size").between(10, 15) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    euro_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = cost.join(
+        F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    min_w = W.partitionBy("l_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("supp_cost").over(min_w))
+        .filter(F.col("supp_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supp_cost", 6).alias("supp_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(25)
+    )
+
+
+@q(
+    "tpch_q8_market_share",
+    """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+              round(CAST(sum(CASE WHEN ns.n_name = 'NATION_7'
+                                  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+                    6) AS mkt_share
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer cu ON cu.c_custkey = o.o_custkey
+       JOIN nation nc ON nc.n_nationkey = cu.c_nationkey
+       JOIN region r ON r.r_regionkey = nc.n_regionkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+       WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY 1""",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H-Q8-style national market share: the 8-table join. Customer's
+    region membership is resolved dim-side first (customer ⋈ broadcast
+    nation ⋈ broadcast region → keys-only), so the fact chain is
+    orders ⋈ customer_asia, then lineitem ⋈ orders on the orderkey — the
+    two real shuffles. Part filter and the 100-row supplier⋈nation map
+    broadcast. Share = exact-decimal conditional sum / exact-decimal total,
+    divided as doubles (identical bits both engines)."""
+    t = _t(spark, sf_dir)
+    asia_cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o_asia = o.join(asia_cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t["lineitem"].join(
+        F.broadcast(t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    supp_n = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    fact = li.join(o_asia, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    return (
+        fact.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero))
+            .cast("double")
+            .alias("num"),
+            F.sum(rev).cast("double").alias("den"),
+        )
+        .select("o_year", F.round(F.col("num") / F.col("den"), 6).alias("mkt_share"))
+    )
+
+
+@q(
+    "tpch_q9_product_profit",
+    """SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            - 0.4 * p.p_retailprice * l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       WHERE p.p_name LIKE '%widget%'
+       GROUP BY 1, 2""",
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H-Q9-style product-type profit (supply cost proxied as
+    0.4 * p_retailprice per unit — partsupp has no fixture table). Part
+    filter and supplier⋈nation broadcast onto lineitem; the one fact-fact
+    shuffle is lineitem ⋈ orders on the orderkey for the order year.
+    Profit summed as exact decimal."""
+    t = _t(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_n = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    fact = li.join(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return fact.groupBy(
+        "nation", F.year("o_orderdate").alias("o_year")
+    ).agg(F.sum(profit).cast("double").alias("sum_profit"))
+
+
+@q(
+    "tpch_q11_important_parts",
+    """WITH val AS (
+         SELECT l.l_partkey,
+                sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS value
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE n.n_name IN ('NATION_3', 'NATION_8')
+         GROUP BY 1)
+       SELECT l_partkey, CAST(value AS DOUBLE) AS value
+       FROM val
+       WHERE CAST(value AS DOUBLE) > CAST((SELECT sum(value) FROM val) AS DOUBLE) * 0.002""",
+)
+def tpch_q11_important_parts(spark, sf_dir):
+    """TPC-H-Q11-style important parts: scalar-subquery HAVING. Per-part
+    decimal value sums (one shuffle over the nation-filtered lineitem);
+    the grand total re-aggregates the ALREADY-reduced per-part rows (no
+    base rescan) and broadcasts as a 1-row cross join — the Spark idiom
+    for `HAVING sum(...) > (SELECT sum(...) * f)`. All compares on exact
+    decimals surfaced as doubles."""
+    t = _t(spark, sf_dir)
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_8"))
+        .select("s_suppkey")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").cast("double").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("total") * 0.002)
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+@q(
+    "tpch_q12_late_priority",
+    """SELECT l.l_returnflag,
+              CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+         AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l.l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY 1""",
+)
+def tpch_q12_late_priority(spark, sf_dir):
+    """TPC-H-Q12-style late-shipment priority counts (l_returnflag stands
+    in for the absent l_shipmode; 'late' = shipped >60 days after the
+    order date, since commit/receipt dates are absent). The shipdate year
+    range pushes to the lineitem scan; one orderkey shuffle; the two-way
+    conditional counts are a single codegen aggregate."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = li.join(
+        t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+@q(
+    "tpch_q15_top_supplier",
+    """WITH revenue AS (
+         SELECT l_suppkey,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1)
+       SELECT s.s_suppkey, s.s_name, r.total_revenue
+       FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+       WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H-Q15-style top supplier: scalar-subquery max over a revenue
+    view. Per-supplier revenue (one shuffle over the date-pruned scan);
+    the max re-aggregates the reduced rows and broadcasts as a 1-row
+    cross join; equality is exact because revenue is a decimal sum
+    surfaced as double identically on both engines. Supplier broadcast."""
+    t = _t(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "tpch_q16_supplier_cnt",
+    """SELECT p.p_brand, p.p_type, p.p_size,
+              CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+         AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+         AND l.l_suppkey NOT IN (
+           SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY 1, 2, 3""",
+)
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H-Q16-style supplier counts by part attributes (negative
+    account balance proxies the 'customer complaints' exclusion). The
+    NOT IN compiles to a broadcast LEFT ANTI join (s_suppkey is non-null,
+    so NOT IN ≡ anti-join); part filter broadcasts; the distinct count
+    is a two-phase partial/final aggregate on the (brand, type, size)
+    keys."""
+    t = _t(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return li.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@q(
+    "tpch_q17_small_qty",
+    """WITH li AS (
+         SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#14' AND p.p_type = 'SMALL'),
+       thresh AS (
+         SELECT l_partkey,
+                0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                       / count(*)) AS qty_thresh
+         FROM li GROUP BY 1)
+       SELECT round(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+       FROM li JOIN thresh t ON t.l_partkey = li.l_partkey
+       WHERE li.l_quantity < t.qty_thresh""",
+)
+def tpch_q17_small_qty(spark, sf_dir):
+    """TPC-H-Q17-style small-quantity revenue: correlated per-part average
+    threshold. The brand+type filter broadcasts onto lineitem; per-part
+    thresholds aggregate the filtered rows (tiny — one row per qualifying
+    part) and broadcast back. The threshold is an exact-decimal sum over
+    an exact count, divided as doubles, so the strict < compare is
+    bit-identical across engines. Lineitem is scanned twice (threshold +
+    probe) — the canonical q17 shape; at scale the filtered intermediate
+    would be cached."""
+    t = _t(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") == "Brand#14") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_thresh")
+    )
+    probed = li.join(
+        F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey")
+    ).filter(F.col("l_quantity") < F.col("qty_thresh"))
+    return probed.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0,
+            6,
+        ).alias("avg_yearly")
+    )
+
+
+@q(
+    "tpch_q20_dominant_supp",
+    """WITH shipped AS (
+         SELECT l.l_partkey, l.l_suppkey,
+                sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS qty
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_name LIKE 'red%'
+         GROUP BY 1, 2),
+       dominant AS (
+         SELECT DISTINCT s2.l_suppkey
+         FROM shipped s2
+         WHERE CAST(s2.qty AS DOUBLE) > 0.02 * (
+           SELECT CAST(sum(s3.qty) AS DOUBLE) FROM shipped s3
+           WHERE s3.l_partkey = s2.l_partkey))
+       SELECT s.s_name, s.s_acctbal
+       FROM supplier s
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+         AND n.n_regionkey = 0""",
+)
+def tpch_q20_dominant_supp(spark, sf_dir):
+    """TPC-H-Q20-style supplier promotion shortlist (availqty > half of
+    shipped becomes: the supplier moved > 2% of a 'red%' part's total
+    shipped quantity — same nested-aggregate + semi-join shape). Per
+    (part, supp) decimal quantity sums; per-part totals re-aggregate the
+    reduced rows (no rescan) and join back on the partitioning the first
+    groupBy produced; the dominant-supplier keys semi-join the 100-row
+    supplier dim."""
+    t = _t(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").cast("double").alias("part_total")
+    )
+    dominant = (
+        shipped.join(F.broadcast(totals), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty").cast("double") > 0.02 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_regionkey") == 0)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@q(
+    "tpch_q21_waiting_supp",
+    """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM supplier s
+       JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+       JOIN orders o ON o.o_orderkey = l1.l_orderkey
+       WHERE o.o_orderstatus = 'F'
+         AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+       GROUP BY 1
+       ORDER BY numwait DESC, s.s_name
+       LIMIT 20""",
+)
+def tpch_q21_waiting_supp(spark, sf_dir):
+    """TPC-H-Q21-style waiting suppliers ('late' = shipped > 90 days
+    after the order date; the fixture has no commit/receipt dates). The
+    oracle keeps the authentic EXISTS / NOT EXISTS pair; the Spark plan
+    is the scalable rewrite: aggregate ONCE to (order, supplier)
+    granularity — late-row count + any-late flag — then derive per-order
+    supplier/late-supplier counts as WINDOWS over those reduced rows
+    (supplier late ∧ ≥2 suppliers ∧ exactly-1 late supplier ⇔ the EXISTS
+    pair; numwait = Σ late_rows preserves the original's row-level
+    count). ONE scan of the fact join, no countDistinct Expand, no
+    correlated rescans; every post-aggregation stage runs on
+    per-(order, supplier) rows."""
+    t = _t(spark, sf_dir)
+    o_f = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).cast("int"),
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("late_rows"),
+        F.max("is_late").alias("any_late"),
+    )
+    # per-order flags as windows over the reduced rows — ONE lineage, so the
+    # fact join + first aggregation is planned (and scanned) exactly once;
+    # a groupBy+join formulation would recompute per_os per consumer
+    per_order = W.partitionBy("l_orderkey")
+    waiting = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(per_order))
+        .withColumn("n_late_supp", F.sum("any_late").over(per_order))
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.sum("late_rows").alias("numwait"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q22_idle_customers",
+    """WITH pool AS (
+         SELECT c.c_custkey, c.c_acctbal, n.n_name
+         FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+         WHERE n.n_name IN ('NATION_1', 'NATION_4', 'NATION_9', 'NATION_13',
+                            'NATION_17', 'NATION_20', 'NATION_24'))
+       SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       FROM pool
+       WHERE c_acctbal > (
+           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+           FROM pool WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+       GROUP BY 1""",
+)
+def tpch_q22_idle_customers(spark, sf_dir):
+    """TPC-H-Q22-style global sales opportunity (nation membership proxies
+    the absent phone-prefix country codes; 'never ordered' becomes 'no
+    URGENT order' because every fixture customer has orders). Scalar-
+    subquery average (exact-decimal sum / exact count, broadcast 1-row
+    cross join) + LEFT ANTI join against the filtered orders — the
+    anti-join shuffles on custkey, everything else broadcasts."""
+    t = _t(spark, sf_dir)
+    nations = (
+        "NATION_1", "NATION_4", "NATION_9", "NATION_13",
+        "NATION_17", "NATION_20", "NATION_24",
+    )
+    pool = t["customer"].join(
+        F.broadcast(t["nation"].filter(F.col("n_name").isin(*nations))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_acctbal", "n_name")
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = pool.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias(
+            "totacctbal"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 oracle-eligible
@@ -2710,33 +3312,38 @@ _WINDOW_R4 = [
     "scale_salted_agg",
     # representative long-green core (driver-green r01-r03)
     "bullet_filter_project",
-    "bullet_raw_limit",
     "bullet_group_agg",
     "bullet_group_agg_sampled",  # NEW r4: max_groups hash-sample cap
-    "bullet_group_all",
     "bullet_count_distinct",
     "bullet_topk_freq",
     "bullet_quantile",
-    "bullet_pmf_cdf",
-    "bullet_having_orderby",
     "expr_scalar",
-    # expr_container_anyall rotated out r4 (driver-green r01-r03)
-    "window_tumbling_10m",
-    # window_record_perkey rotated out r4 (driver-green r01-r03)
+    # rotated out r4 to make room for the TPC-H completion sweep
+    # (driver-green r01-r03; rotate back r5+): bullet_raw_limit,
+    # bullet_group_all, bullet_pmf_cdf, bullet_having_orderby,
+    # expr_container_anyall, window_tumbling_10m, window_record_perkey,
+    # join_asof, time_bucket_rollup, tpch_q18_large_orders,
+    # bql_filter_project, text_lang_quality, text_ngram_topk,
+    # sampling_deterministic
     "join_inner_broadcast",
-    # join_asof rotated out r4 (driver-green r01-r03)
-    "time_bucket_rollup",
     "tpch_q1_pricing",
     "tpch_q6_forecast",
-    "tpch_q18_large_orders",
     "streaming_window_parity",
-    "bql_filter_project",
     "bql_group_having",
     "dedup_exact",
-    "text_lang_quality",
     "decontam_ngram",
-    "sampling_deterministic",
-    "text_ngram_topk",
+    # NEW r4: TPC-H completion sweep — certified in their birth round:
+    "tpch_q2_min_cost_supp",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q20_dominant_supp",
+    "tpch_q21_waiting_supp",
+    "tpch_q22_idle_customers",
     # NEW r4 operators — certified in their birth round:
     "sampling_stratified",
     "sampling_exact_n_per_group",

@@ -225,3 +225,35 @@ def test_q14_single_aggregate_over_broadcast_join(spark, qs):
     # conditional + total revenue in ONE partial/final aggregate pair
     assert tree.count("HashAggregate") == 2
     assert tree.count("Scan parquet") == 2
+
+
+def test_q2_correlated_min_no_fact_rescan(spark, qs):
+    tree = _tree(_plan(qs["tpch_q2_min_cost_supp"](spark, SF_DIR)))
+    # the correlated min subquery must NOT rescan lineitem: one fact scan,
+    # the min computed as a window over the already-aggregated rows
+    scans = [l for l in tree.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 5, scans  # lineitem + part + supplier + nation + region
+    assert "Window" in tree
+    # dims all broadcast; only the cost agg + window repartition shuffle rows
+    non_broadcast = [
+        l for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l and "Reused" not in l
+    ]
+    assert len(non_broadcast) == 2, non_broadcast
+
+
+def test_q17_threshold_broadcasts_back(spark, qs):
+    tree = _tree(_plan(qs["tpch_q17_small_qty"](spark, SF_DIR)))
+    # per-part avg thresholds are tiny after aggregation -> broadcast probe,
+    # never a fact-fact shuffle join
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") == 3  # part filter x2 + threshold probe
+
+
+def test_q21_single_fact_scan_no_expand(spark, qs):
+    tree = _tree(_plan(qs["tpch_q21_waiting_supp"](spark, SF_DIR)))
+    # the EXISTS/NOT-EXISTS rewrite aggregates to (order, supplier) first:
+    # lineitem and orders each scanned ONCE, and no countDistinct Expand
+    scans = [l for l in tree.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 3, scans  # lineitem + orders + supplier
+    assert "Expand" not in tree
