@@ -3266,6 +3266,90 @@ def tpch_q22_idle_customers(spark, sf_dir):
     )
 
 
+@q(
+    "text_unigram_logprob",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         FROM documents),
+       counts AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+       vocab AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT 20),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM counts),
+       scored AS (
+         SELECT t.doc_id,
+                CAST(round(ln(coalesce(CAST(v.c AS DOUBLE), 0.5) / tot.total), 8)
+                     AS DECIMAL(18,8)) AS lp
+         FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logprob
+       FROM scored GROUP BY 1""",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram LM quality scoring (CCNet-style filtering
+    signal): train on the corpus's own token counts, score each doc by
+    mean per-token ln-probability. vocab_size=20 of the fixture's 31
+    distinct tokens, so the out-of-vocabulary floor path (half-count
+    smoothing) is exercised. Contributions rounded to 8 dp and summed as
+    exact DECIMAL — the bm25 cross-engine posture for libm ln."""
+    t = _t(spark, sf_dir)
+    return tx.unigram_logprob_scores(
+        t["documents"], "doc_id", "text", vocab_size=20
+    )
+
+
+@q(
+    "text_scrub_spans",
+    """WITH base AS (
+         SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         FROM documents),
+       toks_pos AS (
+         SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                unnest(toks) AS tok
+         FROM base),
+       spans AS (
+         SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS span
+         FROM (SELECT doc_id, toks,
+                      unnest(range(1, len(toks) - 5 + 2)) AS pos
+               FROM base)),
+       freq AS (
+         SELECT span FROM spans GROUP BY 1
+         HAVING count(DISTINCT doc_id) >= 2),
+       covered AS (
+         SELECT DISTINCT s.doc_id,
+                unnest(range(s.pos, s.pos + 5)) AS cov
+         FROM spans s JOIN freq USING (span)),
+       kept AS (
+         SELECT t.doc_id, t.pos, t.tok
+         FROM toks_pos t LEFT JOIN covered c
+           ON c.doc_id = t.doc_id AND c.cov = t.pos
+         WHERE c.cov IS NULL)
+       SELECT b.doc_id,
+              coalesce(k.clean_text, '') AS clean_text,
+              len(b.toks) AS n_tokens,
+              len(b.toks) - coalesce(k.n_kept, 0) AS n_removed
+       FROM base b LEFT JOIN (
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                count(*) AS n_kept
+         FROM kept GROUP BY 1) k USING (doc_id)""",
+)
+def text_scrub_spans(spark, sf_dir):
+    """Exact-substring dedup REMOVAL (Lee et al. §4.1): every 5-token
+    span repeating in ≥2 documents is deleted from every document, and
+    the text is rebuilt from the surviving tokens — order preserved,
+    fully-covered docs become empty strings. The DuckDB oracle replays
+    the same span/coverage/rebuild algebra in SQL, so clean_text
+    hash-matches verbatim."""
+    t = _t(spark, sf_dir)
+    out = tx.scrub_repeated_spans(t["documents"], "doc_id", "text", w=5, min_docs=2)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -3325,13 +3409,15 @@ _WINDOW_R4 = [
     # join_asof, time_bucket_rollup, tpch_q18_large_orders,
     # bql_filter_project, text_lang_quality, text_ngram_topk,
     # sampling_deterministic
-    "join_inner_broadcast",
+    # join_inner_broadcast + decontam_ngram rotated out r4 late (driver-green
+    # r01-r03) to make room for the two NEW r4 text operators:
+    "text_unigram_logprob",
+    "text_scrub_spans",
     "tpch_q1_pricing",
     "tpch_q6_forecast",
     "streaming_window_parity",
     "bql_group_having",
     "dedup_exact",
-    "decontam_ngram",
     # NEW r4: TPC-H completion sweep — certified in their birth round:
     "tpch_q2_min_cost_supp",
     "tpch_q8_market_share",

@@ -510,3 +510,132 @@ def curate(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
     ``df.filter(verdict == 'keep')`` is the surviving corpus, the verdict
     histogram is the funnel report."""
     return df.withColumn("verdict", curation_verdict(F.col(text_col), **thresholds))
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 5000,
+    floor_count: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained unigram language-model quality score per document —
+    (id, n_tokens, logprob) where logprob is the mean per-token
+    ln P(token) under the corpus's own unigram distribution. The CCNet /
+    Wikipedia-LM filtering signal: documents whose tokens are collectively
+    improbable (gibberish, boilerplate alphabets, wrong language) score
+    low; fluent in-distribution text scores high. Reference analog: a
+    post-aggregation COMPUTATION over corpus statistics (bullet-core
+    PostAggregation), exercised here as a two-pass train+score pipeline.
+
+    Shape at 100 TB: tokenize once per pass; the count aggregation is
+    map-side combinable (state = one counter per distinct token, vocab ≪
+    data); the top-``vocab_size`` cut is a TakeOrdered over the reduced
+    counts (ties broken by token — total order); the vocabulary + the
+    (total-token, floor) scalars broadcast back into the scoring pass,
+    which regroups by document. Out-of-vocabulary tokens get the floor
+    probability ``floor_count / total`` (a half-count by default) — the
+    standard smoothing so rare-token documents are penalized, not NaN'd.
+
+    Determinism across engines: each token's ln-contribution is rounded
+    to 8 dp and summed as DECIMAL(18,8) (exact, order-independent — the
+    bm25_scores posture; libm ln differs in the last ulp), and the mean
+    divides the exact decimal sum by the exact token count as doubles."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.orderBy(F.desc("c"), "term").limit(vocab_size)
+    total = counts.agg(F.sum("c").cast("double").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            F.round(
+                F.log(
+                    F.coalesce(F.col("c").cast("double"), F.lit(float(floor_count)))
+                    / F.col("total")
+                ),
+                8,
+            ).cast("decimal(18,8)"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("logprob"),
+    )
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup, the REMOVAL half (Lee et al. §4.1: delete
+    every ``w``-token span that repeats across the corpus, keep the
+    remainder) — (id, clean_text, n_tokens, n_removed). repeated_spans
+    finds the candidates; this rebuilds each document with every token
+    covered by a ≥``min_docs``-document span deleted.
+
+    Plan: spans with their 0-based start positions (posexplode over the
+    word_spans array), corpus-frequent spans via one span-keyed groupBy,
+    covered token indices = exploded [pos, pos+w) ranges of matching
+    spans, de-duplicated and re-grouped per document, then one
+    index-aware array filter rebuilds the text — all built-ins, no UDF.
+    At 100 TB the span key would be md5'd before the shuffle (16-byte
+    keys, identical grouping) and the span stream persisted across its
+    two consumers (frequency + coverage); kept readable here.
+
+    Documents shorter than ``w`` tokens have no spans and pass through
+    unchanged; a fully-covered document yields an empty clean_text (its
+    content exists verbatim elsewhere) — dropping or keeping those rows
+    is the caller's policy decision."""
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(word_spans(F.col(text_col), w)).alias("pos", "span"),
+    )
+    frequent = (
+        spans.groupBy("span")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
+    covered = (
+        spans.join(frequent, "span", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias(
+                "cov"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("cov").alias("__cov"))
+    )
+    rebuilt = (
+        base.join(covered, id_col, "left")
+        .withColumn(
+            "__cov",
+            F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "__kept",
+            F.filter(
+                "__toks", lambda x, i: ~F.array_contains(F.col("__cov"), i)
+            ),
+        )
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.concat_ws(" ", "__kept").alias("clean_text"),
+        F.size("__toks").alias("n_tokens"),
+        F.size("__cov").alias("n_removed"),
+    )

@@ -1020,3 +1020,52 @@ def test_int8_quantization_roundtrip_and_recall(spark, tables):
         for qid in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_unigram_logprob_floor_and_ranking(spark):
+    # corpus: 'common' dominates; doc 3 is all rare tokens -> lowest score
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare1 common"),
+            (3, "rare1 rare2 rare3 rare4"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.unigram_logprob_scores(
+            df, vocab_size=2, floor_count=0.5
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 4
+    # all-common doc scores highest, all-rare doc lowest
+    assert out[1]["logprob"] > out[2]["logprob"] > out[3]["logprob"]
+    # OOV tokens (outside the top-2 vocab) got the floor, not NULL/NaN
+    assert out[3]["logprob"] is not None
+
+
+def test_scrub_repeated_spans_rebuild(spark):
+    shared = "alpha beta gamma delta epsilon"  # 5-token span in docs 1+2
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),
+            (2, "zero " + shared),
+            (3, "totally different words here now"),
+            (4, "tiny doc"),  # shorter than w -> passes through
+            (5, shared),  # fully covered -> empty clean_text
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.scrub_repeated_spans(df, w=5, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "one two three"
+    assert out[1]["n_removed"] == 5
+    assert out[2]["clean_text"] == "zero"
+    assert out[3]["clean_text"] == "totally different words here now"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "tiny doc"
+    assert out[5]["clean_text"] == ""
+    assert out[5]["n_removed"] == 5
