@@ -41,6 +41,10 @@ BENCH = [
     # round-3 additions
     "tpch_q6_forecast",       # full-pushdown filter scan + single-row agg
     "sketch_quantile_merge",  # mergeable quantile sketch build + slice re-merge
+    # round-4 additions
+    "tpch_q21_waiting_supp",  # EXISTS/NOT-EXISTS via single-scan per-(order,supp) agg
+    "text_unigram_logprob",   # corpus-trained unigram LM scoring (2-pass tokenize)
+    "text_scrub_spans",       # exact-substring span scrub + text rebuild
 ]
 
 REPEATS = 3
