@@ -541,10 +541,17 @@ def unigram_logprob_scores(
     to 8 dp and summed as DECIMAL(18,8) (exact, order-independent — the
     bm25_scores posture; libm ln differs in the last ulp), and the mean
     divides the exact decimal sum by the exact token count as doubles."""
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: vocab-sized (one row per distinct token, ≪ corpus) and read
+    # by BOTH the top-V cut and the grand total — without it each consumer
+    # re-tokenizes the corpus (the minhash-signature persistence discipline)
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     vocab = counts.orderBy(F.desc("c"), "term").limit(vocab_size)
     total = counts.agg(F.sum("c").cast("double").alias("total"))
     scored = (
