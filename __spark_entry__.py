@@ -3350,6 +3350,28 @@ def text_scrub_spans(spark, sf_dir):
     )
 
 
+@q("text_bpe_vocab")  # rows-only: iterative merge loop (SQL-inexpressible)
+def text_bpe_vocab(spark, sf_dir):
+    """BPE tokenizer induction on the documents corpus: 15 merge rounds
+    over the word-count frame (the Sennrich word-count formulation — the
+    corpus is scanned once; every round aggregates vocab-sized data and
+    the driver sees exactly one (pair, count) row per round). Returns the
+    learned subword vocabulary with usage counts. Iterative and therefore
+    not DuckDB-expressible as one SQL statement; exactness is proven by
+    tests/test_bpe.py's differential against a sequential reference
+    implementation, and determinism by the total-order tie break
+    (max count, then lexicographic pair)."""
+    from bullet_spark_spark.operators import bpe
+
+    t = _t(spark, sf_dir)
+    merges, segmented = bpe.bpe_train(t["documents"], num_merges=15)
+    return (
+        bpe.bpe_vocab(segmented)
+        .orderBy(F.desc("total"), "token")
+        .select("token", "n_words", "total")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
