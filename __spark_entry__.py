@@ -3350,6 +3350,38 @@ def text_scrub_spans(spark, sf_dir):
     )
 
 
+@q(
+    "sampling_temperature_mixture",
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       w AS (SELECT lang, round(pow(CAST(n AS DOUBLE), -0.5), 12) AS w
+             FROM counts),
+       th AS (SELECT lang,
+                     round(w / (SELECT max(w) FROM w), 8) AS rate,
+                     lpad(lower(hex(CAST(least(floor(round(w / (SELECT max(w) FROM w), 8)
+                                                     * 4294967296.0),
+                                               4294967295.0) AS BIGINT))),
+                          8, '0') AS thresh
+              FROM w)
+       SELECT d.doc_id, d.lang, t.rate
+       FROM documents d JOIN th t USING (lang)
+       WHERE md5(CAST(d.doc_id AS VARCHAR) || ':7') < t.thresh""",
+)
+def sampling_temperature_mixture(spark, sf_dir):
+    """Temperature-smoothed mixture rebalancing (mT5 exponentiated
+    sampling, α=0.5) over the documents corpus by language: dominant 'en'
+    (218 docs at sf0.01) is downsampled toward the rare languages'
+    volume, the smallest language keeps rate 1. Rates derive from the
+    data inside BOTH engines (pow → round 12 → ratio → round 8 →
+    explicit-floor md5 threshold), so the oracle reproduces the whole
+    derivation, not just the application."""
+    t = _t(spark, sf_dir)
+    out = smp.temperature_mixture_sample(
+        t["documents"].select("doc_id", "lang"), "doc_id", "lang",
+        alpha=0.5, seed=7,
+    )
+    return out.select("doc_id", "lang", "rate")
+
+
 @q("text_bpe_vocab")  # rows-only: iterative merge loop (SQL-inexpressible)
 def text_bpe_vocab(spark, sf_dir):
     """BPE tokenizer induction on the documents corpus: 15 merge rounds
@@ -3421,7 +3453,9 @@ _WINDOW_R4 = [
     "bullet_group_agg",
     "bullet_group_agg_sampled",  # NEW r4: max_groups hash-sample cap
     "bullet_count_distinct",
-    "bullet_topk_freq",
+    # bullet_topk_freq rotated out r4 late (driver-green r01-r03) for the
+    # NEW r4 temperature-mixture row:
+    "sampling_temperature_mixture",
     "bullet_quantile",
     "expr_scalar",
     # rotated out r4 to make room for the TPC-H completion sweep

@@ -230,3 +230,62 @@ def sample_exact_n_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-smoothed corpus mixing (the mT5 / multilingual-BERT
+    exponentiated-sampling scheme): each source s with n_s rows is kept at
+    rate r_s ∝ n_s^(α−1), normalized so the smallest source's rate is 1 —
+    α < 1 flattens the mixture (dominant sources downsampled, rare ones
+    kept whole), α = 1 keeps everything, α = 0 equalizes expected counts.
+    The standard rebalancing step between curation and packing when one
+    domain/language dwarfs the rest.
+
+    Entirely in-engine and cross-engine exact: source counts are one
+    map-side-combinable aggregation (state = one counter per source); the
+    per-source rate — round(pow(n, α−1), 12) ratioed against the max and
+    rounded to 8 dp — converts to an md5 keep-threshold with explicit
+    floor() (Spark CASTs doubles by truncation, DuckDB by rounding; floor
+    pins both), and the tiny (source, rate, threshold) frame broadcasts
+    back onto the scan, so sampling is the same single-pass md5 predicate
+    as keep_fraction. No collect, no RNG, reproducible across engines,
+    partitionings and reruns. Returns the sampled rows with the applied
+    ``rate`` attached (the mixture report)."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    weighted = counts.withColumn(
+        "__w", F.round(F.pow(F.col("n").cast("double"), alpha - 1.0), 12)
+    )
+    mx = weighted.agg(F.max("__w").alias("__mx"))
+    rates = (
+        weighted.crossJoin(F.broadcast(mx))
+        .withColumn("rate", F.round(F.col("__w") / F.col("__mx"), 8))
+        .withColumn(
+            "__thresh",
+            F.lower(
+                F.lpad(
+                    F.hex(
+                        F.least(
+                            F.floor(F.col("rate") * F.lit(4294967296.0)).cast(
+                                "bigint"
+                            ),
+                            F.lit(4294967295),
+                        )
+                    ),
+                    8,
+                    "0",
+                )
+            ),
+        )
+        .select(source_col, "rate", "__thresh")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(sample_hash(F.col(key_col), seed) < F.col("__thresh"))
+        .drop("__thresh")
+    )

@@ -183,3 +183,31 @@ def test_curation_funnel_first_rule_wins(spark):
     df = spark.createDataFrame(rows, ["id", "text"])
     got = {r["id"]: r["verdict"] for r in tx.curate(df).collect()}
     assert got == {1: "too_short", 2: "too_long", 3: "low_alpha", 4: "repetitive", 5: "keep"}
+
+
+def test_temperature_mixture_rates_and_determinism(spark):
+    from bullet_spark_spark.operators import sampling as smp
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+
+    out = smp.temperature_mixture_sample(df, "doc_id", "src", alpha=0.5, seed=3)
+    got = out.groupBy("src").count().collect()
+    by_src = {r["src"]: r["count"] for r in got}
+    rates = {r["src"]: r["rate"] for r in out.select("src", "rate").distinct().collect()}
+
+    # smallest source keeps rate 1 (all rows); dominant source ~ sqrt ratio
+    assert rates["small"] == 1.0
+    assert by_src["small"] == 25
+    expected_big_rate = round(400 ** -0.5 / 25 ** -0.5, 8)  # = (25/400)^0.5 = 0.25
+    assert rates["big"] == expected_big_rate
+    assert abs(by_src["big"] - 400 * expected_big_rate) < 40  # md5 binomial slack
+
+    # deterministic: identical output on rerun
+    again = smp.temperature_mixture_sample(df, "doc_id", "src", alpha=0.5, seed=3)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+    # alpha=1 keeps everything
+    assert smp.temperature_mixture_sample(df, "doc_id", "src", alpha=1.0).count() == 425
