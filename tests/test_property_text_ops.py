@@ -1,0 +1,103 @@
+"""Property-based differentials for the round-4 text operators: random
+small corpora (tiny vocabulary to force span collisions; empty docs,
+1-word docs, full-duplicate docs) through Spark's scrub_repeated_spans
+and unigram_logprob_scores vs sequential Python references — rebuild
+indices, OOV floors and decimal summation pinned on adversarial shapes
+the fixture corpus can't cover."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bullet_spark_spark.operators import text as tx
+
+
+def _toks(t):
+    """Engine tokenization convention: split(trim(lower(text)), '\\s+').
+    Both Spark and DuckDB yield [''] for empty text — one empty token."""
+    import re as _re
+
+    return _re.split(r"\s+", t.strip().lower())
+
+
+_WORDS = ["a", "bb", "ccc", "scan", "row"]
+
+
+@st.composite
+def corpus(draw):
+    n = draw(st.integers(2, 7))
+    docs = []
+    for i in range(n):
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10))
+        docs.append((i, " ".join(words)))
+    if n >= 2:
+        docs[-1] = (docs[-1][0], docs[0][1])  # force one exact duplicate
+    return docs
+
+
+def _ref_scrub(docs, w, min_docs):
+    toks = {i: _toks(t) for i, t in docs}
+    span_docs: dict[str, set[int]] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - w + 1):
+            span_docs.setdefault(" ".join(ts[p : p + w]), set()).add(i)
+    frequent = {s for s, ds in span_docs.items() if len(ds) >= min_docs}
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - w + 1):
+            if " ".join(ts[p : p + w]) in frequent:
+                covered.update(range(p, p + w))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[i] = (" ".join(kept), len(ts), len(covered))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus())
+def test_scrub_spans_random_corpora(spark, data):
+    w = 3
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in tx.scrub_repeated_spans(
+            spark.createDataFrame(data, ["doc_id", "text"]), w=w, min_docs=2
+        ).collect()
+    }
+    assert got == _ref_scrub(data, w, 2)
+
+
+def _ref_unigram(docs, vocab_size, floor):
+    counts: dict[str, int] = {}
+    for _, t in docs:
+        for w in _toks(t):
+            counts[w] = counts.get(w, 0) + 1
+    total = float(sum(counts.values()))
+    vocab = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size])
+    out = {}
+    for i, t in docs:
+        ws = _toks(t)
+        s = sum(
+            Decimal(str(round(math.log(vocab.get(w, floor) / total), 8)))
+            for w in ws
+        )
+        out[i] = (len(ws), round(float(s) / len(ws), 6))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus())
+def test_unigram_logprob_random_corpora(spark, data):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logprob"])
+        for r in tx.unigram_logprob_scores(
+            spark.createDataFrame(data, ["doc_id", "text"]),
+            vocab_size=3, floor_count=0.5,
+        ).collect()
+    }
+    assert got == _ref_unigram(data, 3, 0.5)
