@@ -2519,12 +2519,45 @@ def dedup_simhash(spark, sf_dir):
     return dd.simhash_near_dup_pairs(fps, "doc_id", max_hamming=3)
 
 
-@q("sim_int8_topk")  # rows-only: int8 rounding (HALF_EVEN/HALF_UP) is engine-specific
+@q(
+    "sim_int8_topk",
+    """WITH base AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       scaled AS (
+         SELECT vec_id, v,
+                CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS s
+         FROM (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS amax
+               FROM base)),
+       norms AS (
+         SELECT vec_id, q, sqrt(list_sum(list_transform(q, x -> x * x))) AS n
+         FROM (SELECT vec_id,
+                      list_transform(v, x -> floor(x / s + 0.5)) AS q
+               FROM scaled)),
+       pairs AS (
+         SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id,
+                round(list_sum(list_transform(range(1, len(qs.q) + 1),
+                                              i -> qs.q[i] * cs.q[i]))
+                      / (qs.n * cs.n), 6) AS sim
+         FROM norms cs, norms qs
+         WHERE qs.vec_id < 10 AND cs.vec_id <> qs.vec_id)
+       SELECT query_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+         SELECT query_id, vec_id, sim,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC NULLS LAST, vec_id) AS rank
+         FROM pairs)
+       WHERE rank <= 5""",
+)
 def sim_int8_topk(spark, sf_dir):
     """Cosine top-k over int8-quantized embeddings — the memory-bound scale
     variant (4-8× less data through scan/shuffle; integer dot in codegen;
-    per-vector scales cancel in cosine). Recall ≥0.9 of the exact float
-    top-k asserted in tests (test_int8_quantization_roundtrip_and_recall)."""
+    per-vector scales cancel in cosine). ORACLE-exact since round 4:
+    quantization uses floor(x/s + 0.5) (pure IEEE, engine-independent —
+    engine round() differs HALF_UP vs HALF_EVEN at .5 boundaries), dots
+    are exact integers in doubles, norms are IEEE sqrt — so codes, sims,
+    and ranks hash-match DuckDB end-to-end. Recall ≥0.9 of the exact
+    float top-k asserted in tests."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -3457,7 +3490,9 @@ _WINDOW_R4 = [
     # NEW r4 temperature-mixture row:
     "sampling_temperature_mixture",
     "bullet_quantile",
-    "expr_scalar",
+    # expr_scalar rotated out r4 late (driver-green r01-r03) for the int8
+    # top-k's NEW oracle row (rows-only -> oracle-exact this round):
+    "sim_int8_topk",
     # rotated out r4 to make room for the TPC-H completion sweep
     # (driver-green r01-r03; rotate back r5+): bullet_raw_limit,
     # bullet_group_all, bullet_pmf_cdf, bullet_having_orderby,

@@ -522,11 +522,18 @@ def quantize_int8(
     arrays) — at 100 TB of embeddings the quantized table is what you keep
     hot; the float originals stay in cold storage for exact re-scoring.
 
-    Pure column expressions (transform + round), no UDF. Zero vectors get
+    Pure column expressions (transform + floor), no UDF. Zero vectors get
     scale 1.0 (a 0 scale would divide by zero in the code expression) and
     all-zero codes; their quantized cosine is 0/0 = NULL downstream, so
     :func:`brute_force_topk_int8` excludes them from rankings — same
     posture as exact cosine, where a zero vector has no direction.
+
+    Rounding is ``floor(x/scale + 0.5)`` — round-half-toward-+inf — NOT
+    the engine round(): Spark rounds half up (away from zero), DuckDB/C
+    half to even, so engine round() makes codes differ at exact .5
+    boundaries; the floor form is pure IEEE arithmetic and bit-identical
+    everywhere, which is what lets the int8 top-k be ORACLE-exact (codes,
+    integer dots, and IEEE sqrt norms are all engine-independent).
 
     For COSINE, per-vector symmetric scaling is exact in direction: the
     scale cancels in q·q'/(|q||q'|) up to rounding, so ranking degrades
@@ -534,7 +541,7 @@ def quantize_int8(
     amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
     codes = F.transform(
-        F.col(vec_col), lambda x: F.round(x / scale).cast("tinyint")
+        F.col(vec_col), lambda x: F.floor(x / scale + 0.5).cast("tinyint")
     )
     return df.withColumn(out_col, codes).withColumn(f"{out_col}_scale", scale.cast("float"))
 
