@@ -3415,6 +3415,53 @@ def sampling_temperature_mixture(spark, sf_dir):
     return out.select("doc_id", "lang", "rate")
 
 
+@q(
+    "corpus_report",
+    """WITH base AS (
+         SELECT lang,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+                md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents)
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+              CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+              round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate,
+              round(CAST(sum(CAST(round(len(list_distinct(toks)) * 1.0
+                                        / len(toks), 8) AS DECIMAL(18,8)))
+                         AS DOUBLE) / count(*), 6) AS mean_uniq_ratio
+       FROM base GROUP BY 1""",
+)
+def corpus_report(spark, sf_dir):
+    """The corpus card: per-language doc volume, token volume, exact-dedup
+    fingerprint cardinality, duplicate rate, and mean unique-word ratio —
+    the summary table a curation pipeline publishes alongside a dataset
+    release. ONE scan, one partial/final aggregate on lang (the distinct
+    fingerprint rides the same shuffle); per-doc ratios are rounded to
+    8 dp and summed as exact decimals so the means hash-match DuckDB."""
+    t = _t(spark, sf_dir)
+    toks = tx.tokens(F.col("text"))
+    per_doc = t["documents"].select(
+        "lang",
+        F.size(toks).alias("n_toks"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+        F.round(
+            F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 8
+        ).cast("decimal(18,8)").alias("uniq"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("fp") * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(F.sum("uniq").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_uniq_ratio"
+        ),
+    )
+
+
 @q("text_bpe_vocab")  # rows-only: iterative merge loop (SQL-inexpressible)
 def text_bpe_vocab(spark, sf_dir):
     """BPE tokenizer induction on the documents corpus: 15 merge rounds
@@ -3508,7 +3555,9 @@ _WINDOW_R4 = [
     "tpch_q6_forecast",
     "streaming_window_parity",
     "bql_group_having",
-    "dedup_exact",
+    # dedup_exact rotated out r4 late (driver-green r01-r03; the dedup
+    # family keeps 4 other window rows) for the NEW corpus_report row:
+    "corpus_report",
     # NEW r4: TPC-H completion sweep — certified in their birth round:
     "tpch_q2_min_cost_supp",
     "tpch_q8_market_share",
