@@ -3462,6 +3462,34 @@ def corpus_report(spark, sf_dir):
     )
 
 
+@q(
+    "text_chunk_windows",
+    """WITH base AS (
+         SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         FROM documents),
+       starts AS (
+         SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS s
+         FROM base)
+       SELECT doc_id,
+              CAST(s // 32 AS INTEGER) AS chunk_id,
+              array_to_string(toks[s + 1 : s + 40], ' ') AS chunk_text,
+              CAST(len(regexp_split_to_array(
+                     trim(lower(array_to_string(toks[s + 1 : s + 40], ' '))),
+                     '\\s+')) AS INTEGER) AS n_chunk_tokens
+       FROM starts""",
+)
+def text_chunk_windows(spark, sf_dir):
+    """Sliding-window document chunking (max_tokens=40, stride=32 →
+    8-token overlap): the long-document preprocessing step before
+    sequence packing, per the HF return_overflowing_tokens contract.
+    Narrow per-row work — sequence → slice → posexplode, no shuffle."""
+    t = _t(spark, sf_dir)
+    return tx.chunk_documents(
+        t["documents"], "doc_id", "text", max_tokens=40, stride=32
+    )
+
+
 @q("text_bpe_vocab")  # rows-only: iterative merge loop (SQL-inexpressible)
 def text_bpe_vocab(spark, sf_dir):
     """BPE tokenizer induction on the documents corpus: 15 merge rounds
@@ -3532,7 +3560,10 @@ _WINDOW_R4 = [
     "bullet_filter_project",
     "bullet_group_agg",
     "bullet_group_agg_sampled",  # NEW r4: max_groups hash-sample cap
-    "bullet_count_distinct",
+    # bullet_count_distinct rotated out r4 late (driver-green r01-r03;
+    # countDistinct stays covered by q16 + corpus_report rows) for the NEW
+    # chunking row:
+    "text_chunk_windows",
     # bullet_topk_freq rotated out r4 late (driver-green r01-r03) for the
     # NEW r4 temperature-mixture row:
     "sampling_temperature_mixture",

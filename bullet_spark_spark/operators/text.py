@@ -646,3 +646,37 @@ def scrub_repeated_spans(
         F.size("__toks").alias("n_tokens"),
         F.size("__cov").alias("n_removed"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split long documents into overlapping fixed-token training windows
+    (the long-document preprocessing step before sequence packing: window
+    w starts at token w·stride and takes ``max_tokens`` tokens; overlap =
+    max_tokens − stride). Emits (id, chunk_id, chunk_text,
+    n_chunk_tokens); a document shorter than ``max_tokens`` yields one
+    chunk of itself, and windows are emitted while their start is inside
+    the document — the Hugging-Face return_overflowing_tokens contract.
+
+    Pure built-ins (sequence → slice → posexplode) — per-row narrow work,
+    no shuffle, no UDF: chunking distributes trivially at any scale."""
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, max_tokens))
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).withColumn(
+        "n_chunk_tokens", F.size(tokens(F.col("chunk_text")))
+    )

@@ -1069,3 +1069,24 @@ def test_scrub_repeated_spans_rebuild(spark):
     assert out[4]["clean_text"] == "tiny doc"
     assert out[5]["clean_text"] == ""
     assert out[5]["n_removed"] == 5
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "short doc")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in tx.chunk_documents(df, max_tokens=4, stride=3).collect()
+    )
+    # doc 1 (10 tokens): starts 0,3,6,9 -> 4 windows, last one partial
+    assert out == [
+        (1, 0, "t0 t1 t2 t3"),
+        (1, 1, "t3 t4 t5 t6"),
+        (1, 2, "t6 t7 t8 t9"),
+        (1, 3, "t9"),
+        (2, 0, "short doc"),
+    ]
+    with pytest.raises(ValueError):
+        tx.chunk_documents(df, max_tokens=0)
