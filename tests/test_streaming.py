@@ -431,3 +431,42 @@ def test_metrics_source_visible_outside_python(spark, tables, tmp_path, runtime)
     # the accumulator must mirror whatever metrics() reported (checked
     # above) and be non-zero after a drained run
     assert accs["spark_input_rows"].value() > 0
+
+
+def test_streaming_curation_funnel(spark, tables, tmp_path):
+    """The curation funnel running over a micro-batch stream: per-batch
+    verdict histograms accumulate to EXACTLY the batch funnel's report
+    (streaming curate ≡ batch curate — the funnel is a stateless
+    projected CASE, so update-mode aggregation over the drained stream
+    reconciles with one batch pass)."""
+    from bullet_spark_spark.operators.text import curation_verdict
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    docs = tables["documents"].select("doc_id", "text")
+    stream = file_drip(spark, docs, str(tmp_path), chunks=4)
+    funnel = (
+        stream.withColumn("verdict", curation_verdict(F.col("text")))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = MemorySink()
+    q = (
+        funnel.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last complete-mode emission = the final histogram
+    final = {}
+    for r in sink.rows:
+        final[r[0]] = r[1]  # later batches overwrite earlier (complete mode)
+    expected = {
+        r["verdict"]: r["n"]
+        for r in docs.withColumn("verdict", curation_verdict(F.col("text")))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == expected
