@@ -3490,6 +3490,95 @@ def text_chunk_windows(spark, sf_dir):
     )
 
 
+@q(
+    "pipeline_release_v2",
+    f"""WITH curated AS (
+         SELECT doc_id, lang, text FROM documents
+         WHERE length(text) >= 120 AND length(text) <= 20000
+           AND length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0 / length(text) >= 0.815),
+       base AS (
+         SELECT doc_id, lang,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         FROM curated),
+       spans AS (
+         SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS span
+         FROM (SELECT doc_id, toks,
+                      unnest(range(1, len(toks) - 5 + 2)) AS pos
+               FROM base)),
+       freq AS (
+         SELECT span FROM spans GROUP BY 1
+         HAVING count(DISTINCT doc_id) >= 2),
+       covered AS (
+         SELECT DISTINCT s.doc_id, unnest(range(s.pos, s.pos + 5)) AS cov
+         FROM spans s JOIN freq USING (span)),
+       toks_pos AS (
+         SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                unnest(toks) AS tok
+         FROM base),
+       clean AS (
+         SELECT b.doc_id, b.lang, coalesce(k.clean_text, '') AS clean_text
+         FROM base b LEFT JOIN (
+           SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+           FROM toks_pos t LEFT JOIN covered c
+             ON c.doc_id = t.doc_id AND c.cov = t.pos
+           WHERE c.cov IS NULL GROUP BY 1) k USING (doc_id)),
+       nonempty AS (SELECT * FROM clean WHERE clean_text <> ''),
+       counts AS (SELECT lang, count(*) AS n FROM nonempty GROUP BY 1),
+       w AS (SELECT lang, round(pow(CAST(n AS DOUBLE), -0.5), 12) AS w
+             FROM counts),
+       th AS (SELECT lang,
+                     lpad(lower(hex(CAST(least(floor(round(w / (SELECT max(w) FROM w), 8)
+                                                     * 4294967296.0),
+                                               4294967295.0) AS BIGINT))),
+                          8, '0') AS thresh
+              FROM w),
+       mixed AS (
+         SELECT ne.doc_id, ne.clean_text
+         FROM nonempty ne JOIN th USING (lang)
+         WHERE md5(CAST(ne.doc_id AS VARCHAR) || ':13') < th.thresh),
+       ctoks AS (
+         SELECT doc_id,
+                regexp_split_to_array(trim(lower(clean_text)), '\\s+') AS toks
+         FROM mixed),
+       starts AS (
+         SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s
+         FROM ctoks)
+       SELECT doc_id,
+              CAST(s // 24 AS INTEGER) AS chunk_id,
+              array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text,
+              CAST(len(regexp_split_to_array(
+                     trim(lower(array_to_string(toks[s + 1 : s + 32], ' '))),
+                     '\\s+')) AS INTEGER) AS n_chunk_tokens
+       FROM starts""",
+)
+def pipeline_release_v2(spark, sf_dir):
+    """CAPSTONE v2 — the round-4 operators composed into a second full
+    training-data release pipeline: curation funnel (keep verdict) →
+    exact-substring span scrubbing over the curated corpus (5-token
+    spans repeating in ≥2 docs deleted, fully-scrubbed docs dropped) →
+    temperature-smoothed language rebalancing (α=0.5, rates derived from
+    the post-scrub mixture) → sliding-window chunking (32/24) of the
+    scrubbed text. Every stage is individually oracle-checked elsewhere;
+    this row checks the COMPOSITION — chunk boundaries depend on every
+    upstream scrub/sample decision, so any drift anywhere breaks the
+    hash."""
+    t = _t(spark, sf_dir)
+    curated = tx.curate(
+        t["documents"], min_chars=120, min_alpha=0.815, max_dup3=1.1
+    ).filter(F.col("verdict") == "keep")
+    scrubbed = tx.scrub_repeated_spans(curated, "doc_id", "text", w=5, min_docs=2)
+    clean = (
+        scrubbed.filter(F.col("clean_text") != "")
+        .join(curated.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "clean_text")
+    )
+    mixed = smp.temperature_mixture_sample(clean, "doc_id", "lang", alpha=0.5, seed=13)
+    return tx.chunk_documents(
+        mixed.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id", "text", max_tokens=32, stride=24,
+    )
+
+
 @q("text_bpe_vocab")  # rows-only: iterative merge loop (SQL-inexpressible)
 def text_bpe_vocab(spark, sf_dir):
     """BPE tokenizer induction on the documents corpus: 15 merge rounds
@@ -3558,7 +3647,10 @@ _WINDOW_R4 = [
     "scale_salted_agg",
     # representative long-green core (driver-green r01-r03)
     "bullet_filter_project",
-    "bullet_group_agg",
+    # bullet_group_agg rotated out r4 late (driver-green r01-r03; the same
+    # compile path is certified via bullet_group_agg_sampled) for the NEW
+    # capstone-v2 row:
+    "pipeline_release_v2",
     "bullet_group_agg_sampled",  # NEW r4: max_groups hash-sample cap
     # bullet_count_distinct rotated out r4 late (driver-green r01-r03;
     # countDistinct stays covered by q16 + corpus_report rows) for the NEW
