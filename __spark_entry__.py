@@ -3579,6 +3579,42 @@ def pipeline_release_v2(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_semantic_survivors",
+    """WITH RECURSIVE ev AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       p AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.42),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                 UNION SELECT id_b, id_a FROM p),
+       walk(node, comp) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.node),
+       drops AS (SELECT node FROM walk GROUP BY node HAVING min(comp) <> node)
+       SELECT vec_id FROM embeddings
+       WHERE vec_id NOT IN (SELECT node FROM drops)""",
+)
+def dedup_semantic_survivors(spark, sf_dir):
+    """SEMANTIC near-dup dedup end-to-end: embedding-cosine pairs
+    (≥0.42) → transitive connected components (min-label propagation) →
+    keep the smallest id per cluster — the embedding-space counterpart
+    of dedup_minhash_survivors, catching paraphrases that share no
+    lexical surface. Same survivors algebra, different pair source; the
+    iterative closure hash-matches DuckDB's recursive CTE. At 100 TB
+    the exact pair stage swaps for lsh_ann/ivf bucketed candidates with
+    identical downstream shape."""
+    t = _t(spark, sf_dir)
+    pairs = sim.cosine_near_dup_pairs(t["embeddings"], threshold=0.42, exact=True)
+    out = dd.neardup_survivors(
+        t["embeddings"], pairs.select("id_a", "id_b"), "vec_id"
+    )
+    return out.select("vec_id")
+
+
 @q("text_bpe_vocab")  # rows-only: iterative merge loop (SQL-inexpressible)
 def text_bpe_vocab(spark, sf_dir):
     """BPE tokenizer induction on the documents corpus: 15 merge rounds
