@@ -3,11 +3,13 @@
 ``entry(spark)`` — flagship query (TPC-H-ish Q1 pricing summary) at sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + M4/M5
 extensions), each (spark, sf_dir) -> DataFrame. Registration order is the
-driver's check order: the 50 oracle-checked queries come FIRST (inside the
-driver's CORRECTNESS window), the 5 rows-only queries last (engine-specific
-hashing/sketching that no engine-independent SQL reproduces: minhash/simhash/
-LSH use Spark's xxhash64, IVF cells are engine-trained, multimodal features
-run in mapInPandas — each is quality-asserted in tests instead).
+driver's check order: the driver certifies the FIRST 50 oracle-eligible
+registrations, so `_WINDOW_R4` (end of file) rotates which 50 sit inside
+the window each round; the 7 rows-only queries register last
+(engine-specific hashing/sketching or iteration that no engine-independent
+SQL reproduces: minhash/simhash/LSH use Spark's xxhash64, IVF cells are
+engine-trained, multimodal features run in mapInPandas, BPE merges are an
+iterative loop — each is quality-asserted in tests instead).
 ``oracle_sql()`` — matching DuckDB SQL per oracle-checked query.
 
 Float determinism: double SUMs across engines differ at ~1e-11 relative
