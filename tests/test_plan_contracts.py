@@ -257,3 +257,19 @@ def test_q21_single_fact_scan_no_expand(spark, qs):
     scans = [l for l in tree.splitlines() if "Scan parquet" in l]
     assert len(scans) == 3, scans  # lineitem + orders + supplier
     assert "Expand" not in tree
+
+
+def test_temperature_mixture_broadcasts_rates(spark, qs):
+    tree = _tree(_plan(qs["sampling_temperature_mixture"](spark, SF_DIR)))
+    # the rate frame (one row per source) must broadcast back onto the
+    # scan — never a shuffle join of the corpus against its own counts
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_corpus_report_single_aggregation_pass(spark, qs):
+    tree = _tree(_plan(qs["corpus_report"](spark, SF_DIR)))
+    # one scan of documents; the distinct fingerprint rides the same
+    # lang-keyed aggregation (Expand for the distinct, no second scan)
+    scans = [l for l in tree.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 1, scans
