@@ -61,12 +61,23 @@ _MERGEABLE = {
 }
 
 
+# pseudo-op marker for approx COUNT DISTINCT's HLL blob partials (not an
+# AggOp: it never appears in user specs, only in the compiled shared stage)
+_HLL = "HLL"
+
+
 def _none_safe(fn, a, b):
     return b if a is None else (a if b is None else fn(a, b))
 
 
-def _merge_partial(op: AggOp, a, b):
-    """Merge two partials of one op; AVG partials are (sum, count) pairs."""
+def _merge_partial(op, a, b):
+    """Merge two partials of one op; AVG partials are (sum, count) pairs;
+    HLL partials accumulate as a blob list (unioned once, at emit)."""
+    if op is _HLL:
+        if b is None:
+            return a
+        acc = a if isinstance(a, list) else ([] if a is None else [a])
+        return acc + [b]
     if op is AggOp.AVG:
         return (
             _none_safe(lambda x, y: x + y, a[0], b[0]),
@@ -106,6 +117,28 @@ class DynamicHandle:
                 ranked = [kv for kv in ranked if kv[1][0] >= agg.threshold]
             return [(*k, v[0]) for k, v in ranked[: agg.k]]
         if isinstance(agg, CountDistinctAgg):
+            if agg.approx:
+                blobs: list[bytes] = []
+                for v in self.groups.values():
+                    x = v[0]
+                    blobs.extend(x if isinstance(x, list) else [x])
+                blobs = [bytes(b) for b in blobs if b is not None]
+                if not blobs:
+                    return [(0,)]
+                # ONE tiny job over #batches blobs — the byte-blob combine
+                # step (JoinStreaming.scala:126 querier.combine) on
+                # DataSketches-compatible state
+                spark = SparkSession.getActiveSession()
+                est = (
+                    spark.createDataFrame([(b,) for b in blobs], "s binary")
+                    .agg(
+                        F.hll_sketch_estimate(
+                            F.hll_union_agg(F.col("s"))
+                        ).alias("n")
+                    )
+                    .collect()[0]["n"]
+                )
+                return [(int(est),)]
             n = sum(
                 1 for k in self.groups if k and all(v is not None for v in k)
             )
@@ -185,11 +218,10 @@ class DynamicMultiplexer:
                 if op not in _MERGEABLE and op is not AggOp.AVG:
                     raise ValueError(f"{op} is not mergeable across batches")
         elif isinstance(agg, CountDistinctAgg):
-            if agg.approx:
-                raise ValueError(
-                    "approx COUNT DISTINCT merges its HLL partials inside "
-                    "Catalyst — use EngineRuntime.register() plan-per-query"
-                )
+            pass  # exact rides the group-key map; approx rides HLL blobs
+            # (hll_sketch_agg in the shared stage, DataSketches-compatible
+            # binary partials accumulated per batch and unioned at emit —
+            # the reference's byte-blob contract, FilterStreaming.scala:124)
         elif isinstance(agg, DistributionAgg):
             if agg.type is DistributionType.QUANTILE and not agg.width:
                 raise ValueError(
@@ -323,10 +355,14 @@ class DynamicMultiplexer:
         QUANTILE, point thresholds for PMF/CDF). The explode emits each row
         once per MATCHING query (Σ selectivity), not once per query."""
 
-        def spec_ops(agg) -> list[tuple[AggOp, str | None, str]]:
+        def spec_ops(agg) -> list[tuple]:
             if isinstance(agg, GroupAgg):
                 return list(agg.operations) or [(AggOp.COUNT, None, "count")]
-            return [(AggOp.COUNT, None, "count")]  # TopK / CD / Distribution
+            if isinstance(agg, CountDistinctAgg) and agg.approx:
+                # pseudo-op: one HLL sketch blob per batch over the field
+                # tuple; ~1.04/sqrt(2^12) rsd, DataSketches-compatible
+                return [(_HLL, "\x1f".join(agg.fields), "hll")]
+            return [(AggOp.COUNT, None, "count")]  # TopK / exact CD / Dist
 
         # derived bucket columns for Distribution specs (one per query)
         derived: list[tuple[str, object]] = []
@@ -352,6 +388,8 @@ class DynamicMultiplexer:
                     )
                 derived.append((name, bucket))
                 key_fields[handle.query_id] = (name,)
+            elif isinstance(agg, CountDistinctAgg) and agg.approx:
+                key_fields[handle.query_id] = ()  # state is the HLL blob
             else:
                 key_fields[handle.query_id] = tuple(agg.fields)
 
@@ -385,10 +423,18 @@ class DynamicMultiplexer:
                     else [(op, fld)]
                 )
                 for op2, fld2 in needed:
-                    name = f"{op2.value}_{fld2 or ''}"
+                    name = f"{getattr(op2, 'value', op2)}_{fld2 or ''}"
                     if name in shared:
                         continue
-                    if op2 is AggOp.COUNT:
+                    if op2 is _HLL:
+                        cols = fld2.split("\x1f")
+                        key = F.concat_ws(
+                            "\x1f", *[F.col(cc).cast("string") for cc in cols]
+                        )
+                        for cc in cols:  # a NULL component voids the tuple
+                            key = F.when(F.col(cc).isNotNull(), key)
+                        shared[name] = F.hll_sketch_agg(key, F.lit(12))
+                    elif op2 is AggOp.COUNT:
                         shared[name] = F.count(F.lit(1))
                     elif op2 is AggOp.COUNT_FIELD:
                         shared[name] = F.count(F.col(fld2))
@@ -425,7 +471,7 @@ class DynamicMultiplexer:
                             agg_pos[f"COUNT_FIELD_{fld}"],
                         )
                         if op is AggOp.AVG
-                        else agg_pos[f"{op.value}_{fld or ''}"],
+                        else agg_pos[f"{getattr(op, 'value', op)}_{fld or ''}"],
                     )
                     for op, fld, _ in spec_ops(spec.aggregation)
                 ]

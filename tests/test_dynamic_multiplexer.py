@@ -381,3 +381,57 @@ def test_dynamic_mux_rate_limit_fail(spark, tables, tmp_path):
         assert unlimited.state is QueryState.RUNNING
     finally:
         mux.stop()
+
+
+def test_dynamic_approx_count_distinct_hll(spark, tables, tmp_path):
+    """Approx COUNT DISTINCT in the shared routed stage: hll_sketch_agg
+    blobs ride the same aggregation (one per batch), accumulate driver-
+    side, and union at emit — the byte-blob partial contract
+    (FilterStreaming.scala:124 getData / JoinStreaming.scala:126 combine)
+    on DataSketches-compatible state. At the fixture's cardinality the
+    sketch is in exact (sparse) mode, so the estimate must EQUAL the
+    exact distinct count despite the multi-batch merge; an exact-CD query
+    and a GroupAgg run alongside to prove buffer sharing still routes."""
+    from bullet_spark_spark.plans.spec import CountDistinctAgg
+
+    ev = tables["events"]
+    mux = DynamicMultiplexer(spark)
+    mux.register(
+        "acd",
+        Query(
+            source="events",
+            filter=E.f("value") > 50,
+            aggregation=CountDistinctAgg(fields=["user_id"], approx=True),
+        ),
+    )
+    mux.register(
+        "ecd",
+        Query(
+            source="events",
+            filter=E.f("value") > 50,
+            aggregation=CountDistinctAgg(fields=["user_id"]),
+        ),
+    )
+    mux.register(
+        "g",
+        Query(
+            source="events",
+            aggregation=GroupAgg(
+                fields=["event_type"],
+                operations=[(AggOp.COUNT, None, "n")],
+            ),
+        ),
+    )
+    stream = file_drip(spark, ev, str(tmp_path), chunks=4)
+    mux.start(stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True)
+
+    exact = ev.filter(F.col("value") > 50).select("user_id").distinct().count()
+    assert mux.queries["ecd"].result() == [(exact,)]
+    # 4 batches -> 4 blobs merged; sparse-mode HLL is exact at this n
+    assert mux.queries["acd"].result() == [(exact,)]
+    got_g = {r[0]: r[1] for r in mux.queries["g"].result()}
+    expect_g = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_g == expect_g
