@@ -102,9 +102,11 @@ def multiplex_partials(df: DataFrame, specs: dict[str, "Query"]) -> DataFrame:
     - CountDistinctAgg exact mode (partial = presence of each distinct
       field tuple — the key map itself is the mergeable state; merge =
       key-set union, count = #keys with no NULL component, the reference's
-      exact-below-threshold regime [D]; approx mode belongs to
-      plan-per-query register(), where Catalyst's HLL partials merge
-      natively),
+      exact-below-threshold regime [D]),
+    - CountDistinctAgg approx mode (partial = a DataSketches-compatible
+      HLL blob per batch via hll_sketch_agg; merge = blob-list append,
+      finalize = one hll_union_agg job — the byte-blob combine contract,
+      JoinStreaming.scala:126),
     - DistributionAgg QUANTILE with ``width`` set (partial = per-bucket
       counts under LINEAR bucketing floor(value/width) — the
       sketch.hist_group_sketches state; merge = bucket-count sum; the
@@ -128,7 +130,12 @@ def multiplex_partials(df: DataFrame, specs: dict[str, "Query"]) -> DataFrame:
     key_expr = None
     for qid, spec in specs.items():
         agg = spec.aggregation
-        if isinstance(agg, (_GroupAgg, TopKAgg, CountDistinctAgg)):
+        if isinstance(agg, CountDistinctAgg) and agg.approx:
+            # approx CD's state is the HLL blob, not the key map: one
+            # group per query (empty key map), one blob partial per batch
+            empty = F.array().cast("array<string>")
+            branch = F.map_from_arrays(empty, empty)
+        elif isinstance(agg, (_GroupAgg, TopKAgg, CountDistinctAgg)):
             # CountDistinct reuses the group-key map: each distinct field
             # tuple becomes one partial row; NULL components stay visible
             # as NULL map values so the merge can apply SQL's
@@ -186,11 +193,26 @@ def multiplex_partials(df: DataFrame, specs: dict[str, "Query"]) -> DataFrame:
 def partial_agg_columns(specs) -> dict[str, Column]:
     """Union of mergeable partial-aggregate columns the spec set needs,
     keyed by a stable column name. Native output types (no casts)."""
-    from bullet_spark_spark.plans.spec import GroupAgg as _GroupAgg
+    from bullet_spark_spark.plans.spec import (
+        CountDistinctAgg as _CD,
+        GroupAgg as _GroupAgg,
+    )
 
     cols: dict[str, Column] = {"count_": F.count(F.lit(1))}
     for spec in specs:
         agg = spec.aggregation
+        if isinstance(agg, _CD) and agg.approx:
+            # DataSketches-compatible HLL blob partial (hll_union_agg
+            # re-merges it — the byte-blob combine contract); a NULL in any
+            # tuple component voids the row, matching exact CD's convention
+            name = "hll_" + "_".join(agg.fields)
+            key = F.concat_ws(
+                "\x1f", *[F.col(cc).cast("string") for cc in agg.fields]
+            )
+            for cc in agg.fields:
+                key = F.when(F.col(cc).isNotNull(), key)
+            cols[name] = F.hll_sketch_agg(key, F.lit(12))
+            continue
         if not isinstance(agg, _GroupAgg):
             continue  # TopK / Distribution partials are just count_
         for op, fld, _out in agg.operations:

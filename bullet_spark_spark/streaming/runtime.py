@@ -408,8 +408,11 @@ class EngineRuntime:
         multiplexes when ``DistributionAgg.width`` declares the linear
         mergeable bucketing (per-bucket counts, sketch.hist_group_sketches
         semantics; estimates within one width of exact). Approx
-        CountDistinct stays plan-per-query — its HLL partials merge inside
-        Catalyst, not in the sink."""
+        CountDistinct multiplexes too: hll_sketch_agg emits one
+        DataSketches-compatible blob per batch (partial_agg_columns),
+        blobs append to the merged state, and ONE hll_union_agg job
+        finalizes at read — the reference's byte-blob combine
+        (JoinStreaming.scala:126)."""
         from bullet_spark_spark.operators.multiplex import (
             multiplex_filter,
             multiplex_partials,
@@ -432,12 +435,7 @@ class EngineRuntime:
             elif isinstance(agg, (GroupAgg, TopKAgg)):
                 agg_specs[qid] = spec
             elif isinstance(agg, CountDistinctAgg):
-                if agg.approx:
-                    raise ValueError(
-                        f"{qid}: approx COUNT DISTINCT merges its HLL partials "
-                        "inside Catalyst — use register() plan-per-query"
-                    )
-                agg_specs[qid] = spec
+                agg_specs[qid] = spec  # exact: key map; approx: HLL blobs
             elif isinstance(agg, _Dist) and agg.type in (_DT.PMF, _DT.CDF):
                 agg_specs[qid] = spec
             elif isinstance(agg, _Dist) and agg.type is _DT.QUANTILE:
@@ -466,8 +464,11 @@ class EngineRuntime:
                 return b
             if b is None:
                 return a
-            if name.startswith(("count", "cntf", "sum")):
+            if name.startswith("count") or name.startswith("cntf") or name.startswith("sum"):
                 return a + b
+            if name.startswith("hll_"):
+                acc = a if isinstance(a, list) else [a]
+                return acc + [b]
             if name.startswith("min"):
                 return min(a, b)
             return max(a, b)
@@ -523,6 +524,27 @@ class EngineRuntime:
                     (dict(k), st["count_"]) for k, st in ranked[: agg.k]
                 ]
             if isinstance(agg, CountDistinctAgg):
+                if agg.approx:
+                    name = "hll_" + "_".join(agg.fields)
+                    blobs: list[bytes] = []
+                    for st in groups.values():
+                        x = st.get(name)
+                        blobs.extend(x if isinstance(x, list) else [x])
+                    blobs = [bytes(b) for b in blobs if b is not None]
+                    if not blobs:
+                        return [agg.name], [(0,)]
+                    est = (
+                        self.spark.createDataFrame(
+                            [(b,) for b in blobs], "s binary"
+                        )
+                        .agg(
+                            F.hll_sketch_estimate(
+                                F.hll_union_agg(F.col("s"))
+                            ).alias("n")
+                        )
+                        .collect()[0]["n"]
+                    )
+                    return [agg.name], [(int(est),)]
                 # merged state IS the distinct key set; SQL convention:
                 # tuples with any NULL component don't count
                 n = sum(

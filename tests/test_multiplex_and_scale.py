@@ -570,3 +570,48 @@ def test_multiplexer_rate_limit_fail(spark, tables, tmp_path):
         ]
     finally:
         rt.stop_all()
+
+
+def test_multiplexed_approx_count_distinct(spark, tables, tmp_path):
+    """Approx COUNT DISTINCT in the STATIC multiplexer: one HLL blob per
+    batch rides the shared partial aggregation (empty key map — the
+    query's state is the blob, not the key set), blobs append across
+    batches, one hll_union_agg job finalizes. Sparse-mode HLL is exact at
+    the fixture's cardinality, so the estimate must equal the exact-CD
+    answer running alongside in the same shared stage."""
+    from bullet_spark_spark.functions.exprs import E
+    from bullet_spark_spark.plans.spec import CountDistinctAgg, GroupAgg, Query
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming import EngineRuntime
+
+    ev = tables["events"]
+    rt = EngineRuntime(spark)
+    specs = {
+        "acd": Query(
+            source="events",
+            filter=E.f("value") > 50,
+            aggregation=CountDistinctAgg(fields=["user_id"], approx=True),
+        ),
+        "ecd": Query(
+            source="events",
+            filter=E.f("value") > 50,
+            aggregation=CountDistinctAgg(fields=["user_id"]),
+        ),
+        "g": Query(
+            source="events",
+            aggregation=GroupAgg(
+                fields=["event_type"], operations=[(AggOp.COUNT, None, "n")]
+            ),
+        ),
+    }
+    stream = file_drip(spark, ev, str(tmp_path), chunks=4)
+    handles = rt.register_multiplexed(
+        specs, stream, checkpoint_dir=str(tmp_path / "ck"), available_now=True
+    )
+    rt.stop_all()
+
+    exact = ev.filter(F.col("value") > 50).select("user_id").distinct().count()
+    final_ecd = handles["ecd"].sink.batches[-1]
+    final_acd = handles["acd"].sink.batches[-1]
+    assert final_ecd == [(exact,)]
+    assert final_acd == [(exact,)]
