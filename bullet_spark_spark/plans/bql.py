@@ -22,7 +22,8 @@ Grammar (case-insensitive keywords)::
                  | (expr [AS alias]) (, ...)*           -- projection / RAW
                  | agg (, ...)* with optional group fields interleaved
     agg  := COUNT(*) | COUNT(field) | SUM(f) | MIN(f) | MAX(f) | AVG(f)
-          | COUNT(DISTINCT f, ...) | TOP(k[, threshold], f, ...)
+          | COUNT(DISTINCT f, ...) | APPROX_COUNT_DISTINCT(f, ...)
+          | TOP(k[, threshold], f, ...)
           | QUANTILE(f, LINEAR, n) | QUANTILE(f, MANUAL, p, ...)
           | FREQ(f, REGION, start, end, step) | FREQ(f, MANUAL, p, ...)
           | CUMFREQ(f, REGION, start, end, step) | CUMFREQ(f, MANUAL, p, ...)
@@ -84,7 +85,7 @@ _KEYWORDS = {
     "STREAM", "EVERY", "TUMBLING", "TIME", "RECORD", "FIRST", "ALL",
 }
 
-_AGG_KEYWORDS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE", "FREQ", "CUMFREQ"}
+_AGG_KEYWORDS = {"COUNT", "APPROX_COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE", "FREQ", "CUMFREQ"}
 
 _SCALAR_FNS = {
     "ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "HASH", "UNIX_TIMESTAMP",
@@ -245,6 +246,12 @@ class _Parser:
             f = self._field_name()
             self.expect_op(")")
             return ("COUNT_FIELD", f)
+        if name == "APPROX_COUNT_DISTINCT":
+            # Spark SQL's function name; compiles to the HLL-sketch CD,
+            # which both shared-stage multiplexers carry as blob partials
+            fields = self._field_name_list()
+            self.expect_op(")")
+            return ("COUNT_DISTINCT_APPROX", fields)
         if name in ("SUM", "MIN", "MAX", "AVG"):
             f = self._field_name()
             self.expect_op(")")
@@ -370,10 +377,14 @@ class _Parser:
             return RawAgg(limit=limit or 500), projection
 
         # single special aggregation forms
-        if len(aggs) == 1 and aggs[0][0][0] == "COUNT_DISTINCT":
+        if len(aggs) == 1 and aggs[0][0][0] in ("COUNT_DISTINCT", "COUNT_DISTINCT_APPROX"):
             fields = aggs[0][0][1]
             return (
-                CountDistinctAgg(fields=tuple(fields), name=aggs[0][1] or "count_distinct"),
+                CountDistinctAgg(
+                    fields=tuple(fields),
+                    name=aggs[0][1] or "count_distinct",
+                    approx=aggs[0][0][0] == "COUNT_DISTINCT_APPROX",
+                ),
                 Projection(),
             )
         if len(aggs) == 1 and aggs[0][0][0] == "TOP":

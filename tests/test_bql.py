@@ -247,3 +247,21 @@ def test_container_grammar_errors():
         parse_bql("SELECT FILTER(toks) AS x FROM t LIMIT 1")
     with pytest.raises(BQLError, match="SIZEIS"):
         parse_bql("SELECT SIZEIS(toks) AS x FROM t LIMIT 1")
+
+
+def test_bql_approx_count_distinct(spark, tables):
+    """APPROX_COUNT_DISTINCT (Spark SQL's function name) parses to the
+    HLL-sketch CD; at the fixture's cardinality HLL++ is in sparse
+    (exact) mode, so the batch-compiled estimate equals exact."""
+    from bullet_spark_spark.plans import compile_query
+    from bullet_spark_spark.plans.bql import parse_bql
+
+    spec = parse_bql(
+        "SELECT APPROX_COUNT_DISTINCT(user_id) AS cd FROM STREAM() WHERE value > 50"
+    )
+    assert spec.aggregation.approx is True
+    got = compile_query(spark, spec, df=tables["events"]).collect()[0]["cd"]
+    exact = (
+        tables["events"].filter(F.col("value") > 50).select("user_id").distinct().count()
+    )
+    assert abs(got - exact) <= max(2, exact * 0.05)
