@@ -771,12 +771,15 @@ def connected_components(
 
     Scale shape: each iteration is one shuffle join of the label frame
     against the edge list — both PAIR-space frames (collision-bounded,
-    never corpus-bounded), persisted with the previous iteration released;
-    convergence is a driver-side count of changed labels. This is the
-    standard large-graph CC loop (GraphX/GraphFrames posture) expressed in
-    DataFrames. The returned frame is persisted (downstream consumers must
-    not replay the iteration lineage); the previous call's frame is
-    released on the next call — the repo's UDF-plan cache discipline."""
+    never corpus-bounded); convergence is a driver-side count of changed
+    labels. Each iteration's frame is localCheckpoint'ed (eager), which
+    BOTH caches it and truncates the logical plan — plain persist() keeps
+    the full nested lineage, and on graphs with diameter ≳8 the
+    compounding plan tree overflows the JVM stack during analysis (found
+    by the union-find property differential). This is the standard
+    large-graph CC loop (GraphX/GraphFrames posture) expressed in
+    DataFrames; the returned frame is checkpoint-backed, so downstream
+    consumers never replay the iteration lineage."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -805,7 +808,10 @@ def connected_components(
                     labels["comp"], F.coalesce(F.col("__ncomp"), labels["comp"])
                 ).alias("comp"),
             )
-            .persist()
+            # eager localCheckpoint: caches AND cuts the plan tree — the
+            # nested per-iteration lineage otherwise overflows the JVM
+            # stack at diameter ≳8
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

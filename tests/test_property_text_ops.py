@@ -8,7 +8,15 @@ the fixture corpus can't cover."""
 from __future__ import annotations
 
 import math
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _round_half_up(x, n):
+    """Spark/DuckDB round(): decimal HALF_UP on the shortest repr of the
+    double (Python's round() is banker's HALF_EVEN — differs exactly at
+    .5 boundaries, which hypothesis finds)."""
+    q = Decimal(1).scaleb(-n)
+    return Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -81,11 +89,8 @@ def _ref_unigram(docs, vocab_size, floor):
     out = {}
     for i, t in docs:
         ws = _toks(t)
-        s = sum(
-            Decimal(str(round(math.log(vocab.get(w, floor) / total), 8)))
-            for w in ws
-        )
-        out[i] = (len(ws), round(float(s) / len(ws), 6))
+        s = sum(_round_half_up(math.log(vocab.get(w, floor) / total), 8) for w in ws)
+        out[i] = (len(ws), float(_round_half_up(float(s) / len(ws), 6)))
     return out
 
 
