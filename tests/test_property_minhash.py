@@ -129,3 +129,14 @@ def test_connected_components_equals_union_find(spark, edges):
         r["node"]: r["comp"] for r in dd.connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_connected_components_long_chain(spark):
+    """Regression: a 30-node path graph (diameter 29) — per-iteration
+    lineage must be truncated (localCheckpoint), or the compounding plan
+    tree overflows the JVM stack during analysis around diameter 8."""
+    edges = [(i, i + 1) for i in range(29)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    comps = dd.connected_components(df, max_iterations=40).collect()
+    assert {r["comp"] for r in comps} == {0}
+    assert len(comps) == 30
