@@ -21,10 +21,11 @@ Scale shape (100 TB corpus):
   round only the fixed pair (a, b) merges, and a freshly formed ``a+b``
   token can never string-equal ``a`` (b is non-empty), so the fold is
   exactly the sequential left-to-right merge.
-- The word frame persists per round (MEMORY_AND_DISK) and the previous
-  round's cache is released; lineage is truncated by localCheckpoint
-  every ``checkpoint_every`` rounds so plan compile time stays flat over
-  hundreds of merges.
+- The word frame is localCheckpoint'ed (eager) every round — caching
+  it AND truncating the fold lineage, so plan depth and compile time
+  stay flat over hundreds of merges (nested per-round plans are the
+  same compounding-tree hazard that overflowed the JVM stack in
+  connected_components before its fix).
 
 Encoding applies the trained merge table with the standard rank-priority
 loop inside an Arrow-batched pandas UDF — tokenizer application is
@@ -79,7 +80,6 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 30,
-    checkpoint_every: int = 8,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``num_merges`` BPE merges from a corpus. Returns
     (merges, segmented) where ``merges`` is the ordered merge table
@@ -126,13 +126,13 @@ def bpe_train(
         a, b = top[0]["p"]["a"], top[0]["p"]["b"]
         merges.append((a, b))
 
-        nxt = prev.withColumn("syms", _merge_pair(F.col("syms"), a, b)).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        if (round_no + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)  # truncate the fold lineage
-        else:
-            nxt.count()  # materialize before releasing the previous cache
+        # eager localCheckpoint every round: caches the (vocab-sized) word
+        # frame AND truncates the fold lineage — nested per-round plans
+        # are the same compounding-tree hazard connected_components hit
+        # (JVM stack overflow during analysis once deep enough)
+        nxt = prev.withColumn(
+            "syms", _merge_pair(F.col("syms"), a, b)
+        ).localCheckpoint(eager=True)
         prev.unpersist()
         prev = nxt
 

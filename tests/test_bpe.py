@@ -59,7 +59,7 @@ def test_bpe_train_matches_reference(spark, corpus_df):
             wc[w] = wc.get(w, 0) + 1
     ref_merges, ref_words = _ref_bpe(wc, 12)
 
-    merges, segmented = bpe.bpe_train(corpus_df, num_merges=12, checkpoint_every=4)
+    merges, segmented = bpe.bpe_train(corpus_df, num_merges=12)
     assert merges == ref_merges
     got = {r["word"]: list(r["syms"]) for r in segmented.collect()}
     assert got == ref_words
