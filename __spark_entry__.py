@@ -2938,9 +2938,14 @@ def tpch_q11_important_parts(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(rev).alias("value_dec"))
     )
-    total = per_part.agg(F.sum("value_dec").cast("double").alias("total"))
+    # grand total as an unpartitioned window over the REDUCED rows — one
+    # lineage, so lineitem scans once (re-aggregating per_part in a cross
+    # join planned a second base scan: column pruning diverges the
+    # subtrees, so Spark cannot reuse the exchange); the single-partition
+    # window input is result-sized (#parts)
+    total = F.sum("value_dec").over(W.partitionBy()).cast("double")
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("total", total)
         .filter(F.col("value_dec").cast("double") > F.col("total") * 0.002)
         .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
     )
@@ -3014,9 +3019,12 @@ def tpch_q15_top_supplier(spark, sf_dir):
             )
         )
     )
-    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    # scalar max as an unpartitioned window over the per-supplier rows
+    # (result-sized) — one lineage, one lineitem scan; a re-aggregating
+    # cross join planned a second scan (pruning diverges the subtrees)
+    mx = F.max("total_revenue").over(W.partitionBy())
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("max_rev", mx)
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(
             F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
@@ -3152,11 +3160,12 @@ def tpch_q20_dominant_supp(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
     )
-    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("qty").cast("double").alias("part_total")
-    )
+    # per-part totals as a keyed window over the reduced (part, supp)
+    # rows — one lineage, one lineitem scan (groupBy + join-back planned
+    # the shipped subtree twice)
+    part_total = F.sum("qty").over(W.partitionBy("l_partkey")).cast("double")
     dominant = (
-        shipped.join(F.broadcast(totals), F.col("l_partkey") == F.col("t_partkey"))
+        shipped.withColumn("part_total", part_total)
         .filter(F.col("qty").cast("double") > 0.02 * F.col("part_total"))
         .select("l_suppkey")
         .distinct()
@@ -3277,13 +3286,17 @@ def tpch_q22_idle_customers(spark, sf_dir):
         F.broadcast(t["nation"].filter(F.col("n_name").isin(*nations))),
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).select("c_custkey", "c_acctbal", "n_name")
-    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_bal")
+    # scalar positive-balance average as a CONDITIONAL unpartitioned
+    # window over the pool (result-sized after the nation filter) — one
+    # lineage, customer/nation scan once; sum/count stay exact decimal /
+    # exact count so the strict > compare is engine-identical
+    pos = F.when(F.col("c_acctbal") > 0.0, F.col("c_acctbal"))
+    w_all = W.partitionBy()
+    avg_bal = (
+        F.sum(pos.cast("decimal(18,4)")).over(w_all).cast("double")
+        / F.count(pos).over(w_all)
     )
-    rich = pool.crossJoin(F.broadcast(avg_bal)).filter(
+    rich = pool.withColumn("avg_bal", avg_bal).filter(
         F.col("c_acctbal") > F.col("avg_bal")
     )
     idle = rich.join(

@@ -273,3 +273,19 @@ def test_corpus_report_single_aggregation_pass(spark, qs):
     # lang-keyed aggregation (Expand for the distinct, no second scan)
     scans = [l for l in tree.splitlines() if "Scan parquet" in l]
     assert len(scans) == 1, scans
+
+
+def test_scalar_subqueries_never_rescan_base(spark, qs):
+    # q11 / q15 / q20 / q22: scalar and per-group totals are windows over
+    # the REDUCED frame, one lineage — a re-aggregating cross join planned
+    # the base subtree twice (column pruning diverges it past exchange
+    # reuse)
+    for name, max_scans in (
+        ("tpch_q11_important_parts", 3),
+        ("tpch_q15_top_supplier", 2),
+        ("tpch_q20_dominant_supp", 4),
+        ("tpch_q22_idle_customers", 3),
+    ):
+        tree = _tree(_plan(qs[name](spark, SF_DIR)))
+        scans = tree.count("Scan parquet")
+        assert scans <= max_scans, (name, scans)
