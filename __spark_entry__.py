@@ -3630,6 +3630,51 @@ def dedup_semantic_survivors(spark, sf_dir):
     return out.select("vec_id")
 
 
+@q(
+    "text_perplexity_buckets",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         FROM documents),
+       counts AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+       vocab AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT 20),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM counts),
+       scored AS (
+         SELECT t.doc_id,
+                CAST(round(ln(coalesce(CAST(v.c AS DOUBLE), 0.5) / tot.total), 8)
+                     AS DECIMAL(18,8)) AS lp
+         FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot),
+       scores AS (
+         SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logprob
+         FROM scored GROUP BY 1),
+       sl AS (
+         SELECT s.doc_id, d.lang, s.logprob
+         FROM scores s JOIN documents d USING (doc_id))
+       SELECT doc_id, lang, logprob,
+              CASE WHEN pr < 1.0/3.0 THEN 'head'
+                   WHEN pr < 2.0/3.0 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+       FROM (SELECT doc_id, lang, logprob,
+                    percent_rank() OVER (PARTITION BY lang
+                                         ORDER BY logprob DESC, doc_id) AS pr
+             FROM sl)""",
+)
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split: unigram-LM scores ranked
+    within each language, bucketed by percent_rank thirds — head is the
+    most in-distribution text (CCNet trains on head+middle, drops tail).
+    The (score, id) total order makes bucket assignment deterministic
+    across engines; one exchange on lang over the doc-count-sized score
+    frame."""
+    t = _t(spark, sf_dir)
+    scores = tx.unigram_logprob_scores(
+        t["documents"], "doc_id", "text", vocab_size=20
+    ).join(t["documents"].select("doc_id", "lang"), "doc_id")
+    return tx.perplexity_buckets(
+        scores, "doc_id", "logprob", lang_col="lang"
+    ).select("doc_id", "lang", "logprob", "bucket")
+
+
 @q("text_bpe_vocab")  # rows-only: iterative merge loop (SQL-inexpressible)
 def text_bpe_vocab(spark, sf_dir):
     """BPE tokenizer induction on the documents corpus: 15 merge rounds

@@ -680,3 +680,33 @@ def chunk_documents(
     ).withColumn(
         "n_chunk_tokens", F.size(tokens(F.col("chunk_text")))
     )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "logprob",
+    lang_col: str | None = None,
+    bounds: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by LM score within
+    each language and bucket by rank fraction — 'head' is the most
+    in-distribution (lowest perplexity = highest mean log-prob) third,
+    'tail' the least; CCNet trains on head+middle and drops tail. Input
+    is a scores frame (e.g. unigram_logprob_scores joined with a lang
+    column); the split is a percent_rank window per language with a
+    (score, id) total order, so bucket assignment is deterministic
+    across engines and reruns. One exchange on the language key (or one
+    single-partition window when lang_col is None — score frames are
+    doc-count-sized, far below corpus bytes)."""
+    from pyspark.sql.window import Window as _W
+
+    w = (
+        _W.partitionBy(lang_col) if lang_col is not None else _W.partitionBy()
+    ).orderBy(F.col(score_col).desc(), F.col(id_col))
+    pr = F.percent_rank().over(w)
+    b0, b1 = bounds
+    return scores.withColumn(
+        "bucket",
+        F.when(pr < b0, "head").when(pr < b1, "middle").otherwise("tail"),
+    )
