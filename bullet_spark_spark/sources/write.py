@@ -103,3 +103,35 @@ def compact_small_files(
     fs.delete(p_old, True)
     fs.rename(p_tmp, p_old)
     return files
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Idempotent incremental backfill: replace ONLY the partition values
+    present in ``df``, leaving every other partition untouched — Spark's
+    dynamic partition overwrite, scoped to this one write so the session
+    default (static overwrite, which would DELETE the whole table) is
+    never changed globally. This is the daily-pipeline write pattern at
+    100 TB: re-running a day's job rewrites that day's directories
+    byte-identically and cannot damage the other ~n thousand days.
+
+    Same small-file discipline as write_partitioned (one shuffle keyed on
+    the partition columns → one file per value)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer.partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

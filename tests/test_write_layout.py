@@ -95,3 +95,44 @@ def test_compact_small_files(spark, tables, tmp_path):
     assert files == 4
     assert len(glob.glob(os.path.join(path, "*.parquet"))) == 4
     assert spark.read.parquet(path).count() == total
+
+
+def test_overwrite_partitions_is_incremental(spark, tables, tmp_path):
+    """Dynamic partition overwrite replaces only the partition values in
+    the incoming frame; other partitions survive byte-for-byte — the
+    idempotent daily-backfill contract (a static overwrite would delete
+    the whole table)."""
+    import bullet_spark_spark.sources.write as wr
+
+    path = str(tmp_path / "events_by_type")
+    ev = tables["events"].select("event_id", "event_type", "value")
+    wr.write_partitioned(ev, path, ["event_type"])
+    before = spark.read.parquet(path)
+    n_total = before.count()
+    n_click = before.filter(F.col("event_type") == "click").count()
+
+    # backfill ONLY the 'click' partition with doubled values
+    patch = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    wr.overwrite_partitions(patch, path, ["event_type"])
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_total  # nothing else was deleted
+    assert after.filter(F.col("event_type") == "click").count() == n_click
+    # the patched partition changed; an untouched one did not
+    s_before = before.filter(F.col("event_type") == "view").agg(F.sum("value")).collect()
+    s_after = after.filter(F.col("event_type") == "view").agg(F.sum("value")).collect()
+    assert s_before == s_after
+    c_after = after.filter(F.col("event_type") == "click").agg(
+        F.round(F.sum("value"), 4).alias("s")
+    ).collect()[0]["s"]
+    c_expected = ev.filter(F.col("event_type") == "click").agg(
+        F.round(F.sum("value") * 2, 4).alias("s")
+    ).collect()[0]["s"]
+    assert abs(c_after - c_expected) < 1e-6
+    # session default restored (the dynamic mode was scoped to the write)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == "static"
+    )
