@@ -1090,3 +1090,22 @@ def test_chunk_documents_windows(spark):
     ]
     with pytest.raises(ValueError):
         tx.chunk_documents(df, max_tokens=0)
+
+
+def test_chunk_documents_empty_and_exact_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a b c d"), (3, "a b c d e")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in tx.chunk_documents(df, max_tokens=4, stride=4).collect()
+    )
+    # empty text follows the engine tokenization convention ([''] -> one
+    # empty chunk); an exact-multiple doc yields no empty trailing window
+    assert out == [
+        (1, 0, ""),
+        (2, 0, "a b c d"),
+        (3, 0, "a b c d"),
+        (3, 1, "e"),
+    ]
