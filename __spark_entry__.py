@@ -3675,6 +3675,85 @@ def text_perplexity_buckets(spark, sf_dir):
     ).select("doc_id", "lang", "logprob", "bucket")
 
 
+@q(
+    "quality_validate",
+    """SELECT 'quantity_in_range' AS rule, count(*) AS n_rows,
+              CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                            AND l_quantity BETWEEN 1 AND 50
+                            THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+              round(1.0 - sum(CASE WHEN l_quantity IS NOT NULL
+                                   AND l_quantity BETWEEN 1 AND 50
+                                   THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
+                AS pass_fraction
+       FROM lineitem
+       UNION ALL
+       SELECT 'discount_in_range', count(*),
+              CAST(sum(CASE WHEN l_discount IS NOT NULL
+                            AND l_discount BETWEEN 0 AND 1
+                            THEN 0 ELSE 1 END) AS BIGINT),
+              round(1.0 - sum(CASE WHEN l_discount IS NOT NULL
+                                   AND l_discount BETWEEN 0 AND 1
+                                   THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
+       FROM lineitem
+       UNION ALL
+       SELECT 'returnflag_accepted', count(*),
+              CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                            THEN 0 ELSE 1 END) AS BIGINT),
+              round(1.0 - sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                                   THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
+       FROM lineitem
+       UNION ALL
+       SELECT 'shipdate_complete', count(*),
+              CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+              round(1.0 - sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) * 1.0
+                    / count(*), 6)
+       FROM lineitem""",
+)
+def quality_validate(spark, sf_dir):
+    """Deequ-style declarative data-quality gate (operators/quality.py):
+    four row-level constraints over lineitem — range, range, accepted
+    values, completeness — evaluated in ONE aggregation pass (each rule
+    is a conditional count riding the same partial/final split; adding
+    rules adds codegen expressions, not jobs)."""
+    from bullet_spark_spark.operators import quality as qc
+
+    t = _t(spark, sf_dir)
+    return qc.validate(
+        t["lineitem"],
+        {
+            "quantity_in_range": qc.in_range("l_quantity", 1, 50),
+            "discount_in_range": qc.in_range("l_discount", 0, 1),
+            "returnflag_accepted": qc.accepted_values(
+                "l_returnflag", ["A", "N", "R"]
+            ),
+            "shipdate_complete": qc.complete("l_shipdate"),
+        },
+    )
+
+
+@q(
+    "quality_uniqueness",
+    """WITH per_key AS (
+         SELECT l_orderkey, l_linenumber, count(*) AS c
+         FROM lineitem GROUP BY 1, 2)
+       SELECT 'l_orderkey,l_linenumber' AS key,
+              CAST(sum(c) AS BIGINT) AS n_rows,
+              CAST(count(*) AS BIGINT) AS n_distinct,
+              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows,
+              round(count(*) * 1.0 / sum(c), 6) AS unique_fraction
+       FROM per_key""",
+)
+def quality_uniqueness(spark, sf_dir):
+    """Key-uniqueness report: (l_orderkey, l_linenumber) must be a
+    primary key of lineitem — one shuffle on the key, then a one-row
+    summary over the reduced frame (n_dup_rows counts every row a dedup
+    would have to arbitrate)."""
+    from bullet_spark_spark.operators import quality as qc
+
+    t = _t(spark, sf_dir)
+    return qc.uniqueness(t["lineitem"], ["l_orderkey", "l_linenumber"])
+
+
 @q("text_bpe_vocab")  # rows-only: iterative merge loop (SQL-inexpressible)
 def text_bpe_vocab(spark, sf_dir):
     """BPE tokenizer induction on the documents corpus: 15 merge rounds

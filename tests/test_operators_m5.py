@@ -1109,3 +1109,29 @@ def test_chunk_documents_empty_and_exact_boundary(spark):
         (3, 0, "a b c d"),
         (3, 1, "e"),
     ]
+
+
+def test_quality_validate_and_uniqueness(spark):
+    from bullet_spark_spark.operators import quality as qc
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (3, None, "B"), (3, 20.0, None)],
+        ["id", "v", "cat"],
+    )
+    rep = {
+        r["rule"]: (r["violations"], r["pass_fraction"])
+        for r in qc.validate(
+            df,
+            {
+                "v_nonneg": qc.non_negative("v"),
+                "v_complete": qc.complete("v"),
+                "cat_accepted": qc.accepted_values("cat", ["A", "B"]),
+            },
+        ).collect()
+    }
+    assert rep["v_nonneg"] == (2, 0.5)       # -5 and NULL both violate
+    assert rep["v_complete"] == (1, 0.75)
+    assert rep["cat_accepted"] == (1, 0.75)  # NULL cat violates (no 3VL pass)
+
+    u = qc.uniqueness(df, ["id"]).collect()[0]
+    assert (u["n_rows"], u["n_distinct"], u["n_dup_rows"]) == (4, 3, 2)
