@@ -3754,6 +3754,49 @@ def quality_uniqueness(spark, sf_dir):
     return qc.uniqueness(t["lineitem"], ["l_orderkey", "l_linenumber"])
 
 
+@q(
+    "temporal_zscore_anomalies",
+    """WITH per AS (
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                count(*) AS n,
+                CAST(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                           / count(*), 6) AS DECIMAL(18,6)) AS m
+         FROM events GROUP BY 1),
+       win AS (
+         SELECT bucket, n, m,
+                CAST(sum(m) OVER tw AS DOUBLE) AS s1,
+                CAST(sum(m * m) OVER tw AS DOUBLE) AS s2,
+                count(m) OVER tw AS c
+         FROM per
+         WINDOW tw AS (ORDER BY bucket ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       calc AS (
+         SELECT bucket, n, CAST(m AS DOUBLE) AS mean,
+                CASE WHEN c >= 3
+                          AND sqrt(greatest((s2 - c * (s1/c) * (s1/c)) / (c - 1), 0.0)) > 0
+                     THEN round((CAST(m AS DOUBLE) - s1/c)
+                                / sqrt(greatest((s2 - c * (s1/c) * (s1/c)) / (c - 1), 0.0)), 6)
+                     END AS z,
+                (c >= 3
+                 AND sqrt(greatest((s2 - c * (s1/c) * (s1/c)) / (c - 1), 0.0)) = 0
+                 AND CAST(m AS DOUBLE) <> s1/c) AS flat_shift
+         FROM win)
+       SELECT bucket, CAST(n AS BIGINT) AS n, mean, z,
+              ((z IS NOT NULL AND abs(z) >= 2.0) OR coalesce(flat_shift, FALSE))
+                AS is_anomaly
+       FROM calc""",
+)
+def temporal_zscore_anomalies(spark, sf_dir):
+    """Stream-monitoring anomaly flags: daily mean of events.value vs the
+    7-day trailing baseline, |z| ≥ 2 flagged. Decimal-quantized bucket
+    means make the trailing Σx/Σx² exact (float window-frame
+    accumulation differs engine-to-engine), so z-scores and flags
+    hash-match DuckDB."""
+    t = _t(spark, sf_dir)
+    return tmp.zscore_anomalies(
+        t["events"], "ts", "value", bucket="day", trailing=7, z_thresh=2.0
+    )
+
+
 @q("text_bpe_vocab")  # rows-only: iterative merge loop (SQL-inexpressible)
 def text_bpe_vocab(spark, sf_dir):
     """BPE tokenizer induction on the documents corpus: 15 merge rounds

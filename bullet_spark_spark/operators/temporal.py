@@ -298,3 +298,65 @@ def stream_stream_interval_join(
     for k in key_cols:
         cond = cond & (l_wm[k] == r_wm[k])
     return l_wm.join(r_wm, on=cond, how=how)
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "day",
+    trailing: int = 7,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Time-series anomaly flags — the monitoring read of the engine's
+    own domain (bullet watches live streams; this is the 'did today's
+    metric move' question asked of any pipeline): bucket the stream,
+    compare each bucket's mean against the mean/std of the ``trailing``
+    preceding buckets, flag |z| ≥ ``z_thresh``. Buckets with fewer than
+    3 trailing observations yield NULL z and no verdict. A zero-variance
+    baseline yields NULL z too (the score is undefined) but DOES flag
+    when the bucket deviates from it — a constant metric suddenly moving
+    is the canonical incident, not a division-by-zero edge to swallow.
+
+    Cross-engine exact: bucket means are decimal-quantized (18,6) BEFORE
+    the trailing-window sums, so Σx and Σx² are exact decimals (window
+    frame accumulation order — segment trees vs running sums — differs
+    between engines for floats, and would flip borderline flags); the
+    variance ((Σx² − n·mean²)/(n−1)) then evaluates in identical IEEE
+    arithmetic everywhere. One shuffle for the bucket aggregation; the
+    trailing window runs single-partition over the BUCKET-count-sized
+    frame (add a series key to the window partition for per-metric
+    monitoring at scale)."""
+    from pyspark.sql.window import Window as _W
+
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("timestamp")
+    per = df.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).cast("decimal(18,6)").alias("m"),
+    )
+    w = _W.orderBy("bucket").rowsBetween(-trailing, -1)
+    s1 = F.sum("m").over(w).cast("double")
+    s2 = F.sum(F.col("m") * F.col("m")).over(w).cast("double")
+    c = F.count("m").over(w)
+    mean_b = s1 / c
+    var = (s2 - c * mean_b * mean_b) / (c - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    zcol = F.when(
+        (c >= 3) & (std > 0),
+        F.round((F.col("m").cast("double") - mean_b) / std, 6),
+    )
+    flat_shift = (c >= 3) & (std == 0) & (F.col("m").cast("double") != mean_b)
+    return per.select(
+        "bucket",
+        "n",
+        F.col("m").cast("double").alias("mean"),
+        zcol.alias("z"),
+        (
+            (zcol.isNotNull() & (F.abs(zcol) >= z_thresh))
+            | F.coalesce(flat_shift, F.lit(False))
+        ).alias("is_anomaly"),
+    )

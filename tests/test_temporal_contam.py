@@ -534,3 +534,43 @@ def test_pii_scrub_and_spans(spark):
     out = tx.repeated_spans(docs, w=10, min_docs=2).collect()
     assert [r["span"] for r in out] == [span]
     assert out[0]["n_docs"] == 2 and out[0]["n_occurrences"] == 2
+
+
+def test_zscore_anomalies_flags_spike(spark):
+    """A planted 10x spike on day 9 must flag; steady days must not."""
+    import datetime as dt
+
+    from bullet_spark_spark.operators import temporal as tmp
+
+    rows = []
+    for d in range(12):
+        v = 100.0 if d != 9 else 1000.0
+        for i in range(5):
+            rows.append(
+                (dt.datetime(2024, 1, 1 + d, 6 + i), v + (i - 2) * 0.5)
+            )
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = {r["bucket"].day: r for r in tmp.zscore_anomalies(df, trailing=7, z_thresh=3.0).collect()}
+    # the baseline is flat (std 0): z is undefined but the shift FLAGS
+    assert out[10]["is_anomaly"] is True and out[10]["z"] is None
+    # warmup days (insufficient history) give no verdict, not a flag
+    assert out[1]["z"] is None and out[1]["is_anomaly"] is False
+    for d in (5, 6, 7, 8):
+        assert out[d]["is_anomaly"] is False
+
+
+def test_zscore_anomalies_noisy_baseline(spark):
+    """With a noisy (non-degenerate) baseline the z path itself flags."""
+    import datetime as dt
+
+    from bullet_spark_spark.operators import temporal as tmp
+
+    means = [100, 102, 98, 101, 99, 103, 97, 100, 101, 180]  # day 10 spikes
+    rows = [
+        (dt.datetime(2024, 2, 1 + d, 12), float(m))
+        for d, m in enumerate(means)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = {r["bucket"].day: r for r in tmp.zscore_anomalies(df, trailing=7, z_thresh=3.0).collect()}
+    assert out[10]["is_anomaly"] is True and out[10]["z"] > 3
+    assert all(out[d]["is_anomaly"] is False for d in range(4, 10))
