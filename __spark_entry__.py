@@ -3797,6 +3797,92 @@ def temporal_zscore_anomalies(spark, sf_dir):
     )
 
 
+@q(
+    "behavior_sessionize",
+    """WITH o AS (
+         SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events),
+       f AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) > 1800.0
+                     THEN 1 ELSE 0 END AS ns
+         FROM o)
+       SELECT user_id, event_id,
+              CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - 1 AS BIGINT) AS session_idx
+       FROM f""",
+)
+def behavior_sessionize(spark, sf_dir):
+    """Batch sessionization (30-min gap) — the stored-history counterpart
+    of streaming session windows: one shuffle on user_id, gap detection
+    + running session index as two windows over the same partitioning,
+    deterministic via the (ts, event_id) total order."""
+    from bullet_spark_spark.operators import behavior as bh
+
+    t = _t(spark, sf_dir)
+    out = bh.sessionize(
+        t["events"].select("user_id", "event_id", "ts"),
+        "user_id", "ts", gap_minutes=30.0, tiebreak_col="event_id",
+    )
+    return out.select("user_id", "event_id", "session_idx")
+
+
+@q(
+    "behavior_funnel",
+    """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+       s1 AS (SELECT e.user_id, min(e.ts) AS t1
+              FROM events e JOIN s0 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+       s2 AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+       SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step,
+              CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_converted
+       UNION ALL
+       SELECT 1, 'click', (SELECT count(*) FROM s1)
+       UNION ALL
+       SELECT 2, 'purchase', (SELECT count(*) FROM s2)""",
+)
+def behavior_funnel(spark, sf_dir):
+    """Ordered product funnel view → click → purchase with first-touch
+    attribution (step k counts only strictly after the user's first
+    qualifying step k-1) — n_converted non-increasing down the funnel;
+    per-step conditional mins reuse one user_id exchange."""
+    from bullet_spark_spark.operators import behavior as bh
+
+    t = _t(spark, sf_dir)
+    return bh.funnel_conversion(
+        t["events"], ["view", "click", "purchase"], "user_id", "event_type", "ts"
+    )
+
+
+@q(
+    "behavior_retention",
+    """WITH active AS (
+         SELECT DISTINCT user_id,
+                CAST(date_trunc('week', ts) AS TIMESTAMP) AS period
+         FROM events),
+       cohort AS (SELECT user_id, min(period) AS cohort FROM active GROUP BY 1)
+       SELECT c.cohort,
+              CAST((epoch(a.period) - epoch(c.cohort)) / 604800 AS BIGINT) AS offset,
+              CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+       FROM active a JOIN cohort c USING (user_id)
+       GROUP BY 1, 2""",
+)
+def behavior_retention(spark, sf_dir):
+    """Weekly retention cohorts: users bucketed by first-active week, the
+    count of each cohort active at every week offset — two map-side
+    combinable aggregations; offsets via integer epoch arithmetic (no
+    date-diff dialect drift)."""
+    from bullet_spark_spark.operators import behavior as bh
+
+    t = _t(spark, sf_dir)
+    return bh.retention_cohorts(t["events"], "user_id", "ts", "week")
+
+
 @q("text_bpe_vocab")  # rows-only: iterative merge loop (SQL-inexpressible)
 def text_bpe_vocab(spark, sf_dir):
     """BPE tokenizer induction on the documents corpus: 15 merge rounds

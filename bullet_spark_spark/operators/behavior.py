@@ -1,0 +1,136 @@
+"""Behavioral / product-analytics operators over event streams at rest:
+batch sessionization, ordered funnel conversion, retention cohorts —
+the analytics a stored event table answers that the reference's
+forward-only streams cannot (bullet sees each record once;
+JoinStreaming.scala merges partials and moves on). All pure
+DataFrame/window algebra, engine-portable, oracle-checkable.
+
+Scale shapes:
+- sessionize: ONE shuffle on the session key; the gap detection and the
+  running session index are two window functions over the same
+  (key, ts) partitioning — no self-joins, no state.
+- funnel: one conditional aggregation per step over the same per-key
+  partitioning (step k's first-hit time is a conditional min bounded by
+  step k-1's) — a single aggregation job computing all steps at once is
+  impossible because each step's predicate references the previous
+  step's result, but the per-step aggs all reuse one exchange.
+- retention: two aggregations (per-user cohort, then cohort × offset
+  counts) — both map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assign batch session ids: a new session starts when the gap to the
+    key's previous event exceeds ``gap_minutes`` (the batch counterpart
+    of Spark's streaming session_window, answering retrospective
+    questions over stored history). Adds ``session_idx`` (0-based per
+    key) and ``session_id`` ("key#idx"). Deterministic given a total
+    event order — pass ``tiebreak_col`` when timestamps can tie."""
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = W.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    # TIMESTAMP_NTZ (the fixtures' parquet flavor) cannot cast straight to
+    # double — bridge through TIMESTAMP (the watermark-site convention)
+    gap_s = F.col(ts_col).cast("timestamp").cast("double") - prev_ts.cast(
+        "timestamp"
+    ).cast("double")
+    new_session = F.when(
+        prev_ts.isNull() | (gap_s > gap_minutes * 60.0), 1
+    ).otherwise(0)
+    idx = (
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0)) - 1
+    ).cast("long")
+    return df.withColumn("session_idx", idx).withColumn(
+        "session_id",
+        F.concat_ws("#", F.col(key_col).cast("string"), F.col("session_idx")),
+    )
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: for each key, step k counts only if it occurs
+    STRICTLY AFTER the key's first qualifying step k-1 (first-touch
+    attribution, the standard product-funnel semantics). Returns one row
+    per step: (step_idx, step, n_converted) with n_converted
+    monotonically non-increasing down the funnel.
+
+    One aggregation per step over the same key partitioning: step k's
+    first-hit time is min(ts | event = step_k ∧ ts > t_{k-1}) — the
+    sequential dependency is inherent to funnel semantics, but every agg
+    reuses the one exchange and the per-key frame shrinks as keys drop
+    out."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = df.filter(F.col(event_col) == steps[0]).groupBy(key_col).agg(
+        F.min(ts_col).alias("t0")
+    )
+    counts = [cur.count()]
+    for k, step in enumerate(steps[1:], start=1):
+        nxt = (
+            df.filter(F.col(event_col) == step)
+            .join(cur.select(key_col, f"t{k-1}"), key_col)
+            .filter(F.col(ts_col) > F.col(f"t{k-1}"))
+            .groupBy(key_col)
+            .agg(F.min(ts_col).alias(f"t{k}"))
+        )
+        counts.append(nxt.count())
+        cur = nxt
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, s, int(c)) for i, (s, c) in enumerate(zip(steps, counts))],
+        "step_idx int, step string, n_converted long",
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their FIRST active
+    period; for each (cohort, periods-since-cohort offset) the count of
+    cohort members active in that period. Two map-side-combinable
+    aggregations: per-(user, period) presence → per-user cohort join →
+    (cohort, offset) counts. Offsets in periods via integer timestamp
+    arithmetic (engine-portable, no date-diff dialect drift)."""
+    period = F.date_trunc(granularity, F.col(ts_col)).cast("timestamp")
+    active = df.select(
+        F.col(key_col), period.alias("period")
+    ).distinct()
+    cohort = active.groupBy(key_col).agg(F.min("period").alias("cohort"))
+    seconds = {"day": 86400, "week": 7 * 86400}[granularity]
+    joined = active.join(cohort, key_col)
+    return (
+        joined.groupBy(
+            "cohort",
+            (
+                (
+                    F.col("period").cast("long") - F.col("cohort").cast("long")
+                )
+                / seconds
+            )
+            .cast("long")
+            .alias("offset"),
+        )
+        .agg(F.countDistinct(key_col).alias("n_active"))
+    )

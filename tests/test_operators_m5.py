@@ -1135,3 +1135,58 @@ def test_quality_validate_and_uniqueness(spark):
 
     u = qc.uniqueness(df, ["id"]).collect()[0]
     assert (u["n_rows"], u["n_distinct"], u["n_dup_rows"]) == (4, 3, 2)
+
+
+def test_behavior_sessionize_and_funnel(spark):
+    import datetime as dt
+
+    from bullet_spark_spark.operators import behavior as bh
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    rows = [
+        # user 1: two sessions (40-min gap), funnel completes in order
+        (1, 1, t0, "view"),
+        (1, 2, t0 + dt.timedelta(minutes=5), "click"),
+        (1, 3, t0 + dt.timedelta(minutes=45), "purchase"),
+        # user 2: purchase BEFORE view -> ordered funnel stops at view
+        (2, 4, t0, "purchase"),
+        (2, 5, t0 + dt.timedelta(minutes=1), "view"),
+        # user 3: never clicks
+        (3, 6, t0, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+
+    sess = {
+        r["event_id"]: r["session_idx"]
+        for r in bh.sessionize(df, gap_minutes=30, tiebreak_col="event_id").collect()
+    }
+    assert sess == {1: 0, 2: 0, 3: 1, 4: 0, 5: 0, 6: 0}
+
+    funnel = {
+        r["step"]: r["n_converted"]
+        for r in bh.funnel_conversion(df, ["view", "click", "purchase"]).collect()
+    }
+    # user 1's purchase came after click (later session is irrelevant —
+    # funnels are order-, not session-, scoped) so it converts; user 2's
+    # pre-view purchase must NOT count
+    assert funnel == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_behavior_retention_offsets(spark):
+    import datetime as dt
+
+    from bullet_spark_spark.operators import behavior as bh
+
+    monday = dt.datetime(2024, 3, 4)  # a Monday: clean week buckets
+    rows = [
+        (1, monday), (1, monday + dt.timedelta(days=7)),
+        (1, monday + dt.timedelta(days=21)),
+        (2, monday), (2, monday + dt.timedelta(days=7)),
+        (3, monday + dt.timedelta(days=7)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort"].day, r["offset"]): r["n_active"]
+        for r in bh.retention_cohorts(df).collect()
+    }
+    assert out == {(4, 0): 2, (4, 1): 2, (4, 3): 1, (11, 0): 1}
