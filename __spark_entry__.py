@@ -3949,8 +3949,11 @@ _WINDOW_R4 = [
     "sim_cosine_neardup",
     "multiplex_one_pass",
     "scale_salted_agg",
-    # representative long-green core (driver-green r01-r03)
-    "bullet_filter_project",
+    # representative long-green core (driver-green r01-r03).
+    # bullet_filter_project, bullet_quantile, tpch_q6_forecast,
+    # bql_group_having rotated out r4 final (driver-green r01-r03) for the
+    # newest rows — rotate back r5+:
+    "dedup_semantic_survivors",
     # bullet_group_agg rotated out r4 late (driver-green r01-r03; the same
     # compile path is certified via bullet_group_agg_sampled) for the NEW
     # capstone-v2 row:
@@ -3963,7 +3966,7 @@ _WINDOW_R4 = [
     # bullet_topk_freq rotated out r4 late (driver-green r01-r03) for the
     # NEW r4 temperature-mixture row:
     "sampling_temperature_mixture",
-    "bullet_quantile",
+    "text_perplexity_buckets",
     # expr_scalar rotated out r4 late (driver-green r01-r03) for the int8
     # top-k's NEW oracle row (rows-only -> oracle-exact this round):
     "sim_int8_topk",
@@ -3979,9 +3982,9 @@ _WINDOW_R4 = [
     "text_unigram_logprob",
     "text_scrub_spans",
     "tpch_q1_pricing",
-    "tpch_q6_forecast",
+    "quality_validate",
     "streaming_window_parity",
-    "bql_group_having",
+    "behavior_funnel",
     # dedup_exact rotated out r4 late (driver-green r01-r03; the dedup
     # family keeps 4 other window rows) for the NEW corpus_report row:
     "corpus_report",
