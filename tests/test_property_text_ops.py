@@ -106,3 +106,56 @@ def test_unigram_logprob_random_corpora(spark, data):
         ).collect()
     }
     assert got == _ref_unigram(data, 3, 0.5)
+
+
+def _ref_sessionize(rows, gap_minutes):
+    """Sequential reference: per user, sorted by (ts, event_id), new
+    session when gap > gap_minutes (strictly)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, eid, ts in rows:
+        by_user[uid].append((ts, eid))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        idx = -1
+        prev = None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_minutes * 60:
+                idx += 1
+            out[eid] = idx
+            prev = ts
+    return out
+
+
+@st.composite
+def event_sets(draw):
+    import datetime as dt
+
+    n = draw(st.integers(2, 25))
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for eid in range(n):
+        uid = draw(st.integers(0, 2))
+        # minute offsets cluster around session-gap boundaries (30 min)
+        mins = draw(st.sampled_from([0, 1, 29, 30, 31, 60, 90, 1440]))
+        extra = draw(st.integers(0, 3))
+        rows.append((uid, eid, base + dt.timedelta(minutes=mins + extra)))
+    return rows
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(event_sets())
+def test_sessionize_random_events(spark, rows):
+    from bullet_spark_spark.operators import behavior as bh
+
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in bh.sessionize(
+            df, gap_minutes=30, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == _ref_sessionize(rows, 30)
