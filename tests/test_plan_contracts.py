@@ -289,3 +289,35 @@ def test_scalar_subqueries_never_rescan_base(spark, qs):
         tree = _tree(_plan(qs[name](spark, SF_DIR)))
         scans = tree.count("Scan parquet")
         assert scans <= max_scans, (name, scans)
+
+
+def test_multiplex_partials_hll_rides_shared_aggregation(spark, tables):
+    from bullet_spark_spark.functions.exprs import E
+    from bullet_spark_spark.operators.multiplex import multiplex_partials
+    from bullet_spark_spark.plans.spec import CountDistinctAgg, GroupAgg, Query
+    from bullet_spark_spark.plans.spec import AggOp as _Op
+
+    specs = {
+        "acd": Query(
+            source="events",
+            filter=E.f("value") > 50,
+            aggregation=CountDistinctAgg(fields=["user_id"], approx=True),
+        ),
+        "g": Query(
+            source="events",
+            aggregation=GroupAgg(
+                fields=["event_type"], operations=[(_Op.COUNT, None, "n")]
+            ),
+        ),
+    }
+    plan = _plan(multiplex_partials(tables["events"], specs))
+    tree = _tree(plan)
+    # the HLL blob is ONE MORE aggregate buffer in the one shared
+    # aggregation — one scan, one shuffle for both queries
+    assert "hll_sketch_agg" in plan
+    assert tree.count("Scan parquet") == 1
+    non_broadcast = [
+        l for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l and "Reused" not in l
+    ]
+    assert len(non_broadcast) == 1, non_broadcast
