@@ -3578,15 +3578,20 @@ def pipeline_release_v2(spark, sf_dir):
     upstream scrub/sample decision, so any drift anywhere breaks the
     hash."""
     t = _t(spark, sf_dir)
+    from pyspark import StorageLevel
+
     curated = tx.curate(
         t["documents"], min_chars=120, min_alpha=0.815, max_dup3=1.1
     ).filter(F.col("verdict") == "keep")
     scrubbed = tx.scrub_repeated_spans(curated, "doc_id", "text", w=5, min_docs=2)
+    # persisted: the mixture stage consumes the scrubbed frame TWICE
+    # (per-language counts for the rates, then the sampling join) — without
+    # the cache the whole span-scrub pipeline re-executes per consumer
     clean = (
         scrubbed.filter(F.col("clean_text") != "")
         .join(curated.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "clean_text")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     mixed = smp.temperature_mixture_sample(clean, "doc_id", "lang", alpha=0.5, seed=13)
     return tx.chunk_documents(
         mixed.select("doc_id", F.col("clean_text").alias("text")),

