@@ -64,22 +64,31 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             ).alias(f"__v{i}")
         )
     row = df.agg(*aggs)
-    reports = []
-    for i, name in enumerate(rules):
-        reports.append(
-            row.select(
-                F.lit(name).alias("rule"),
-                F.col("__n").alias("n_rows"),
-                F.col(f"__v{i}").alias("violations"),
-                F.when(F.col("__n") > 0, F.round(1.0 - F.col(f"__v{i}") / F.col("__n"), 6))
-                .otherwise(F.lit(1.0))
-                .alias("pass_fraction"),
+    # ONE plan consuming the aggregate once: the tidy per-rule frame is an
+    # explode over an array of structs (a per-rule select + union would
+    # physically re-run the whole aggregation — and its scan — per rule)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(f"__v{i}").alias("violations")
             )
+            for i, name in enumerate(rules)
+        ]
+    )
+    return (
+        row.select(F.col("__n"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.rule").alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col("e.violations").alias("violations"),
+            F.when(
+                F.col("__n") > 0,
+                F.round(1.0 - F.col("e.violations") / F.col("__n"), 6),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("pass_fraction"),
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+    )
 
 
 def uniqueness(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -257,13 +257,17 @@ def temperature_mixture_sample(
     as keep_fraction. No collect, no RNG, reproducible across engines,
     partitionings and reruns. Returns the sampled rows with the applied
     ``rate`` attached (the mixture report)."""
+    from pyspark.sql.window import Window as _W
+
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
     weighted = counts.withColumn(
         "__w", F.round(F.pow(F.col("n").cast("double"), alpha - 1.0), 12)
     )
-    mx = weighted.agg(F.max("__w").alias("__mx"))
+    # max as an unpartitioned window over the #sources-sized rows — one
+    # lineage, so the source-count aggregation (and its corpus scan) runs
+    # once; a re-aggregating cross join planned it per consumer
     rates = (
-        weighted.crossJoin(F.broadcast(mx))
+        weighted.withColumn("__mx", F.max("__w").over(_W.partitionBy()))
         .withColumn("rate", F.round(F.col("__w") / F.col("__mx"), 8))
         .withColumn(
             "__thresh",

@@ -342,10 +342,17 @@ def bm25_scores(
     results are reproducible run-to-run (float Σ under a shuffled groupBy
     is not) and hash-comparable against an external SQL oracle (ln differs
     from libm-to-libm in the last ulp; 8 dp is ~8 orders coarser)."""
+    from pyspark import StorageLevel
+
     toks = corpus.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # persisted: doc-count-sized and consumed TWICE (the (N, avgdl) scalar
+    # aggregate + the per-pair length join) — unpersisted, each consumer
+    # re-tokenized the corpus
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
