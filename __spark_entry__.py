@@ -2597,6 +2597,49 @@ def sim_ivf_ann(spark, sf_dir):
     )
 
 
+@q("multimodal_audio_spectral")  # rows-only: FFT features in mapInPandas
+def multimodal_audio_spectral(spark, sf_dir):
+    """REAL frequency-domain audio pipeline: per-document synthesized WAV
+    PCM clips (deterministic tone mixture keyed on doc_id) decoded by the
+    numpy RIFF walker, then Hann-windowed FFT spectral features —
+    centroid/bandwidth/rolloff/flatness/dominant — the curation signals a
+    speech pipeline filters on (multimodal.audio_spectral_features; DSP
+    sanity pinned by the tone-vs-noise test)."""
+    import numpy as np
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 60).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        rate = 8000
+        tt = np.arange(rate // 2) / rate
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                f0 = 200.0 + float(did % 20) * 40.0  # deterministic tone
+                x = (0.4 * np.sin(2 * np.pi * f0 * tt) * 32767).astype("<i2")
+                rows.append((int(did), mm.encode_wav(x, rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    media = docs.mapInPandas(
+        synth,
+        StructType(
+            [StructField("media_id", LongType()), StructField("bytes", BinaryType())]
+        ),
+    )
+    feats = mm.audio_spectral_features(mm.decode_wav(media))
+    return feats.select(
+        "media_id",
+        F.round("centroid_hz", 2).alias("centroid_hz"),
+        F.round("dominant_hz", 2).alias("dominant_hz"),
+        F.round("flatness", 6).alias("flatness"),
+    )
+
+
 @q("multimodal_features")  # rows-only: features computed in mapInPandas
 def multimodal_features(spark, sf_dir):
     """Multimodal pipeline through the REAL codec path: documents become

@@ -678,3 +678,75 @@ def attach_mjpeg_media(
             ]
         ),
     )
+
+
+def audio_spectral_features(df: DataFrame, n_fft: int = 512) -> DataFrame:
+    """REAL frequency-domain audio features over decoded PCM — the
+    speech/music curation signals time-domain stats can't see: spectral
+    centroid + bandwidth (brightness), 85% rolloff, spectral flatness
+    (tonal vs noise-like — the voice-activity proxy), dominant frequency.
+    Hann-windowed half-overlapping frames through numpy's FFT (no audio
+    library), per-clip means of the per-frame magnitude spectra.
+
+    Arrow-batched mapInPandas like every media stage; at scale the only
+    knob is arrow batch size vs clip length (SCALE.md multimodal note)."""
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("centroid_hz", FloatType()),
+            StructField("bandwidth_hz", FloatType()),
+            StructField("rolloff_hz", FloatType()),
+            StructField("flatness", FloatType()),
+            StructField("dominant_hz", FloatType()),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        win = np.hanning(n_fft)
+        for pdf in batches:
+            rows = []
+            for mid, rate, blob in zip(
+                pdf["media_id"], pdf["sample_rate"], pdf["samples"]
+            ):
+                x = (
+                    np.frombuffer(bytes(blob), dtype="<i2").astype(np.float64)
+                    / 32768.0
+                )
+                if len(x) < n_fft:
+                    x = np.pad(x, (0, n_fft - len(x)))
+                hop = n_fft // 2
+                n_frames = 1 + (len(x) - n_fft) // hop
+                frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[
+                    ::hop
+                ][:n_frames]
+                mag = np.abs(np.fft.rfft(frames * win, axis=1))
+                spec = mag.mean(axis=0)  # mean magnitude spectrum
+                freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+                p = spec / max(spec.sum(), 1e-12)
+                centroid = float((freqs * p).sum())
+                bandwidth = float(
+                    np.sqrt(((freqs - centroid) ** 2 * p).sum())
+                )
+                cum = np.cumsum(p)
+                rolloff = float(freqs[int(np.searchsorted(cum, 0.85))])
+                power = spec**2 + 1e-20
+                flatness = float(
+                    np.exp(np.mean(np.log(power))) / np.mean(power)
+                )
+                dominant = float(freqs[int(np.argmax(spec))])
+                rows.append(
+                    (mid, centroid, bandwidth, rolloff, flatness, dominant)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "centroid_hz", "bandwidth_hz",
+                    "rolloff_hz", "flatness", "dominant_hz",
+                ],
+            )
+
+    return df.mapInPandas(feats, schema=out_schema)

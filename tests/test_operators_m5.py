@@ -1190,3 +1190,30 @@ def test_behavior_retention_offsets(spark):
         for r in bh.retention_cohorts(df).collect()
     }
     assert out == {(4, 0): 2, (4, 1): 2, (4, 3): 1, (11, 0): 1}
+
+
+def test_audio_spectral_features_tone_vs_noise(spark):
+    """A pure 440 Hz tone must show dominant ~440 Hz and near-zero
+    flatness; white noise must be near-flat (flatness -> 1) — the DSP
+    sanity pair for the FFT path."""
+    import numpy as np
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    rng = np.random.RandomState(7)
+    noise = (rng.uniform(-0.5, 0.5, rate) * 32767).astype("<i2")
+    rows = [
+        (1, mm.encode_wav(tone, rate)),
+        (2, mm.encode_wav(noise, rate)),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "bytes"])
+    decoded = mm.decode_wav(df)
+    out = {
+        r["media_id"]: r
+        for r in mm.audio_spectral_features(decoded).collect()
+    }
+    assert abs(out[1]["dominant_hz"] - 440) < 32  # within one FFT bin
+    assert out[1]["flatness"] < 0.01
+    assert out[2]["flatness"] > 0.2
+    assert out[2]["bandwidth_hz"] > out[1]["bandwidth_hz"]
