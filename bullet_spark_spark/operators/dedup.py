@@ -1054,3 +1054,82 @@ def streaming_neardup_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def text_segments(text: Column, seg_words: int = 10) -> Column:
+    """Non-overlapping ``seg_words``-word segments of a document, in
+    order. The unit of cross-document exact-substring dedup: fine enough
+    to catch shared boilerplate, coarse enough that the duplicated-segment
+    set stays small. Pure array expressions (split → sequence → slice →
+    join) — whole-stage codegen, no UDF."""
+    words = F.split(F.trim(text), r"\s+")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * seg_words + 1, seg_words), " "
+        ),
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+    max_df: int = 1,
+) -> DataFrame:
+    """Cross-document segment-level dedup (the C4 / RefinedWeb posture:
+    drop text that repeats ACROSS the corpus — shared boilerplate,
+    licenses, navigation chrome — while keeping each document's unique
+    content). Splits every document into non-overlapping ``seg_words``-
+    word segments, finds segments present in more than ``max_df``
+    DISTINCT documents, and rebuilds each document from its surviving
+    segments in order.
+
+    Returns (id, n_segments, n_removed, text_clean); documents whose
+    every segment was boilerplate survive with text_clean = ''.
+
+    Scale shape: ONE corpus-sized shuffle — explode to (md5(segment))
+    keyed counts with a map-side-combining countDistinct-by-doc — whose
+    output is only the duplicated-segment set (∝ boilerplate, ≪ corpus;
+    the same bound as LSH candidate generation). That small set
+    aggregates to ONE array and broadcasts back as a literal column, so
+    the rebuild is a pure map-side projection over the original rows: no
+    second shuffle, no re-keying of the corpus by doc id. Exact
+    duplicated-within-one-doc segments are NOT removed (distinct-doc
+    frequency 1) — within-document repetition is repeated_spans' job.
+
+    Reference analog: none (bullet has no dedup surface); this is the
+    M5 extension family, cited from the C4 paper's three-sentence-span
+    rule and RefinedWeb's exact-substring pass.
+    """
+    segs = F.explode(text_segments(F.col(text_col), seg_words)).alias("seg")
+    seg_freq = (
+        df.select(F.col(id_col), segs)
+        .groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .agg(F.collect_set("seg").alias("__dup"))
+    )
+    # crossJoin against the ONE-row dup-set frame: broadcast nested loop
+    # over a single row = a literal array column on every partition
+    return (
+        df.crossJoin(F.broadcast(seg_freq))
+        .withColumn("__segs", text_segments(F.col(text_col), seg_words))
+        .withColumn(
+            "__kept",
+            F.filter(
+                F.col("__segs"),
+                lambda s: ~F.coalesce(
+                    F.array_contains(F.col("__dup"), s), F.lit(False)
+                ),
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__segs").alias("n_segments"),
+            (F.size("__segs") - F.size("__kept")).alias("n_removed"),
+            F.array_join("__kept", " ").alias("text_clean"),
+        )
+    )

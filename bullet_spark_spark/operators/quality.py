@@ -107,3 +107,95 @@ def uniqueness(df: DataFrame, cols: list[str]) -> DataFrame:
         ),
         F.round(F.count(F.lit(1)) / F.sum("__c"), 6).alias("unique_fraction"),
     )
+
+
+def bucketize(col: Column, edges: list[float]) -> Column:
+    """Deterministic bucket id for drift reports: the number of ``edges``
+    that ``col`` is >= to (0 .. len(edges)); NULL stays NULL and is
+    dropped by drift_report. Pure comparisons + integer adds — identical
+    in every engine (no division, no float rounding at the boundary)."""
+    if not edges:
+        raise ValueError("bucketize() needs at least one edge")
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(col >= F.lit(float(e)), 1).otherwise(0)
+    return F.when(col.isNotNull(), b)
+
+
+def oracle_bucketize_sql(col_sql: str, edges: list[float]) -> str:
+    """The equivalent ANSI-SQL bucket expression, for oracle checks."""
+    terms = " + ".join(
+        f"(CASE WHEN {col_sql} >= {float(e)!r} THEN 1 ELSE 0 END)" for e in edges
+    )
+    return f"(CASE WHEN {col_sql} IS NOT NULL THEN {terms} END)"
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    bucket: Column,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability drift between a reference snapshot and a
+    current one — the monitoring gate a training-data pipeline runs before
+    accepting a new crawl/day against the distribution it trained on.
+    ``bucket`` is any Column producing a bucket label over BOTH frames
+    (``bucketize(...)`` for numeric, the raw column for categorical).
+
+    Returns one row per bucket observed in either frame:
+    (bucket, ref_count, cur_count, ref_frac, cur_frac, psi) where psi is
+    this bucket's Population Stability Index contribution
+    ``(cur_frac - ref_frac) * ln(cur_frac / ref_frac)`` with both
+    fractions floored at ``eps`` (the standard smoothing so empty buckets
+    contribute a finite penalty instead of ±inf). Total PSI = SUM(psi);
+    the usual reading: <0.1 stable, 0.1-0.25 drifting, >0.25 shifted.
+
+    Scale shape: each side aggregates to per-bucket counts independently
+    (map-side combinable, state = #buckets ≪ data), the two tiny grouped
+    frames full-outer-join on bucket, and totals ride a window over the
+    #buckets-row frame — no corpus-sized shuffle, no second scan of
+    either input. NULL buckets are excluded (a NULL never compares into a
+    numeric bucket; categorical NULLs should be coalesced by the caller
+    if they are meaningful).
+
+    Determinism: counts are exact; fractions are exact double divisions;
+    ln differs in the last ulp across libms, so psi is rounded to 6 dp
+    (the repo-wide oracle convention)."""
+    from pyspark.sql.window import Window
+
+    r = (
+        ref.select(bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ref_count"))
+    )
+    c = (
+        cur.select(bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cur_count"))
+    )
+    both = (
+        r.join(c, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ref_count", F.lit(0)).alias("ref_count"),
+            F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
+        )
+    )
+    # window over the per-bucket frame: #buckets rows, driver-trivial
+    w = Window.partitionBy()
+    rf = F.greatest(
+        F.col("ref_count") / F.sum("ref_count").over(w), F.lit(float(eps))
+    )
+    cf = F.greatest(
+        F.col("cur_count") / F.sum("cur_count").over(w), F.lit(float(eps))
+    )
+    return both.select(
+        "bucket",
+        "ref_count",
+        "cur_count",
+        F.round(rf, 6).alias("ref_frac"),
+        F.round(cf, 6).alias("cur_frac"),
+        F.round((cf - rf) * F.log(cf / rf), 6).alias("psi"),
+    )

@@ -293,3 +293,55 @@ def temperature_mixture_sample(
         .filter(sample_hash(F.col(key_col), seed) < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+# 16^13 + 1: md5's first 13 hex chars are 52 bits — exact as a double in
+# both engines; +1 keeps u strictly positive so ln(u) is finite
+_U_DENOM = float(16**13 + 1)
+
+
+def weighted_key(key: Column, weight: Column, seed: int = 0) -> Column:
+    """Efraimidis-Spirakis weighted-sampling key: ``ln(u) / w`` where
+    ``u`` is a deterministic uniform in (0, 1] derived from the sampling
+    hash. Taking the n LARGEST keys yields a weighted-without-replacement
+    sample where P[row in sample] scales with its weight — the standard
+    one-pass distributed formulation (Efraimidis & Spirakis 2006, via the
+    equivalent log transform of u^(1/w)).
+
+    Engine-portable: u = (first 13 md5 hex chars as int + 1) / (16^13+1)
+    is exact integer arithmetic in doubles; ln differs in the last ulp
+    across libms, so the key is rounded to 12 dp — callers must tie-break
+    on the row key for a total order (weighted_sample_n does)."""
+    u = (
+        F.conv(F.substring(sample_hash(key, seed), 1, 13), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_U_DENOM)
+    return F.round(F.log(u) / weight, 12)
+
+
+def weighted_sample_n(
+    df: DataFrame, key_col: str, weight_col: str, n: int, seed: int = 0
+) -> DataFrame:
+    """Exactly-n deterministic WEIGHTED sample (without replacement):
+    the n rows with the largest Efraimidis-Spirakis keys. Rows with
+    NULL or non-positive weight are excluded (a zero weight must never
+    be sampled; ln(u)/w would flip its sign). Physical plan is
+    TakeOrderedAndProject — per-partition size-n heaps, no global sort —
+    the same scale shape as sample_exact_n."""
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .orderBy(
+            weighted_key(F.col(key_col), w, seed).desc(), F.col(key_col).asc()
+        )
+        .limit(n)
+    )
+
+
+def oracle_weighted_key_sql(key_sql: str, weight_sql: str, seed: int = 0) -> str:
+    """The equivalent DuckDB SQL for weighted_key, for oracle checks."""
+    u = (
+        f"((('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':{seed}'), 1, 13))"
+        f"::UBIGINT + 1) / {_U_DENOM!r})"
+    )
+    return f"round(ln({u}) / ({weight_sql}), 12)"

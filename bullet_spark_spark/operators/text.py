@@ -734,3 +734,76 @@ def perplexity_buckets(
         "bucket",
         F.when(pr < b0, "head").when(pr < b1, "middle").otherwise("tail"),
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document —
+    (id, n_bigrams, logprob) where logprob is the mean per-position
+    ln of  lam·P(w2|w1) + (1−lam)·P(w2)  under the corpus's own counts
+    (Jelinek-Mercer interpolation; the step up from
+    unigram_logprob_scores that also penalizes improbable WORD ORDER —
+    shuffled or machine-mangled text scores near its unigram bound,
+    fluent text scores higher). Documents with fewer than 2 tokens have
+    no bigram positions and are absent from the output.
+
+    Shape at 100 TB: tokenize once into a persisted position frame read
+    by all three consumers (bigram counts, unigram counts, scoring); the
+    two count aggregations are map-side combinable (state = #distinct
+    grams ≪ data). Scoring joins positions→bigram counts on the bigram
+    key — ONE corpus-sized shuffle join (the bigram table is too big to
+    broadcast at scale) — while the unigram side rides a broadcast.
+    Every ln term is rounded to 8 dp and summed as DECIMAL(18,8), the
+    engine-portable arithmetic used by bm25/unigram scoring.
+    """
+    from pyspark import StorageLevel
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    pairs = (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("pos", "bg"),
+        )
+        .select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uni = (
+        pairs.select(F.col("w2").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # unigram context counts c(w1) over the same positions: sum of cb by w1
+    ctx = big.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    total = uni.agg(F.sum("cu").cast("double").alias("total"))
+    lp = F.round(
+        F.log(
+            F.lit(float(lam)) * F.col("cb") / F.col("cc")
+            + F.lit(1.0 - float(lam)) * F.col("cu") / F.col("total")
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    scored = (
+        pairs.join(big, ["w1", "w2"])  # every pair exists in its own counts
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__lp", lp)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("__lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "logprob"
+        ),
+    )
