@@ -155,3 +155,46 @@ def pulsar_json_source(
         .load()
     )
     return decode_json(raw.withColumn("value", F.col("value").cast("string")), schema)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    right events for the same ``key`` whose time lies in
+    [left_time, left_time + max_delay] — the attribution pattern
+    (click ⇄ purchase within N minutes) the reference cannot express at
+    all (its only join is the per-query state merge,
+    JoinStreaming.scala:20-27; SURVEY §2.5 gap ledger).
+
+    Both sides get a watermark, and the join condition bounds BOTH event
+    times, which is what lets Structured Streaming expire join state: a
+    buffered left row can be dropped once the right watermark passes
+    left_time + max_delay (and vice versa) — without the time bound the
+    state grows forever at 100 TB/day. Outer variants emit the unmatched
+    row only when the watermark proves no match can still arrive.
+
+    The key equality keeps the join a hash join keyed on ``key`` —
+    state and shuffle both partition by key, no all-pairs interval scan."""
+    lt, rt = f"__l_{left_time}", f"__r_{right_time}"
+    l = ensure_event_time(left, left_time).withColumnRenamed(left_time, lt)
+    r = ensure_event_time(right, right_time).withColumnRenamed(right_time, rt)
+    l = l.withWatermark(lt, watermark)
+    r = r.withWatermark(rt, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    joined = l.join(r, cond, how).drop(r[key])
+    return (
+        joined.withColumnRenamed(lt, left_time)
+        .withColumnRenamed(rt, right_time)
+    )

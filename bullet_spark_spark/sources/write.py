@@ -135,3 +135,71 @@ def overwrite_partitions(
         writer.partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def zorder_key(
+    ranks: list, bits: int
+) -> "F.Column":
+    """Interleave the low ``bits`` bits of per-dimension bucket ranks into
+    one Morton (Z-order) value — bit b of dimension d lands at position
+    b*D + d. Pure shift/or column arithmetic, ~bits×dims terms."""
+    dims = len(ranks)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, r in enumerate(ranks):
+            bit = F.shiftright(r.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * dims + d))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int,
+    bits: int = 6,
+    rel_err: float = 0.01,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: rows are range-partitioned and sorted by
+    a Morton interleave of per-column QUANTILE ranks, so every file's
+    min/max footer statistics are narrow in EVERY z-ordered dimension at
+    once. A box predicate on (a, b) then skips files/row-groups on both
+    columns — where a linear sort gives narrow stats only for its leading
+    column and every later dimension degrades to the full range. This is
+    the Delta/Iceberg OPTIMIZE ZORDER posture, built from Spark
+    primitives.
+
+    Mechanics: per-dimension bucket edges come from ``approxQuantile``
+    (driver materialization bounded at 2^bits-1 doubles per column;
+    quantile — not uniform — edges keep the grid balanced under skew),
+    the rank is `#edges <= x` evaluated as one array expression (no
+    2^bits-deep CASE chain — whole-stage codegen stays within JIT method
+    limits), and the write is ``repartitionByRange`` on the z-value (one
+    skew-aware shuffle) + ``sortWithinPartitions`` so row groups inside
+    each file are z-contiguous too. NULLs rank 0 (the first cell).
+
+    At 100 TB: pick ``num_files`` for ~1 GB files; the quantile pass is
+    one extra scan — amortized over every downstream box query."""
+    if len(zorder_cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns (use sort_cols for 1)")
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    ranks = []
+    for c in zorder_cols:
+        edges = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+            c, probs, rel_err
+        )
+        arr = F.array(*[F.lit(float(e)) for e in edges])
+        x = F.col(c).cast("double")
+        ranks.append(
+            F.coalesce(
+                F.size(F.filter(arr, lambda e: e <= x)), F.lit(0)
+            )
+        )
+    out = (
+        df.withColumn("__z", zorder_key(ranks, bits))
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode(mode).parquet(path)

@@ -321,3 +321,40 @@ def test_multiplex_partials_hll_rides_shared_aggregation(spark, tables):
         if "Exchange" in l and "BroadcastExchange" not in l and "Reused" not in l
     ]
     assert len(non_broadcast) == 1, non_broadcast
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tables):
+    """The 100 TB selective-dim join posture (SCALE.md): with runtime
+    bloom filters on (Spark default) and the scan-size threshold met, a
+    shuffle join fact ⋈ σ(dim) gets a might_contain(bloom) predicate
+    injected on the FACT side — rows that cannot match are dropped at the
+    scan, before the exchange. Pinned here with the thresholds forced so
+    the contract is testable at sf0.001."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = tables["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        li = tables["lineitem"]
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # the filter must sit on the lineitem (application) side scan
+        mc_line = next(l for l in plan.splitlines() if "might_contain" in l)
+        assert "l_orderkey" in mc_line
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -89,3 +89,51 @@ def test_stream_static_enrichment_join(spark, tables, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_stream_stream_interval_join(spark, tables, tmp_path):
+    """Watermarked stream-stream interval join (clicks ⇄ purchases per user
+    within 10 minutes) reconciles with the equivalent batch join."""
+    from bullet_spark_spark.sources.streaming import (
+        ensure_event_time,
+        stream_stream_interval_join,
+    )
+
+    ev = tables["events"].select("event_id", "user_id", "event_type", "ts")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    buys_b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", F.col("ts").alias("buy_ts")
+    )
+    clicks = file_drip(spark, clicks_b, str(tmp_path / "c"), chunks=3)
+    buys = file_drip(spark, buys_b, str(tmp_path / "b"), chunks=3)
+
+    joined = stream_stream_interval_join(
+        clicks, buys, "user_id", "click_ts", "buy_ts", max_delay="10 minutes"
+    ).select("click_id", "buy_id")
+    sink = MemorySink()
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted((r[0], r[1]) for batch in sink.batches for r in batch)
+
+    cb = ensure_event_time(clicks_b, "click_ts")
+    bb = ensure_event_time(buys_b, "buy_ts")
+    expected = sorted(
+        (r["click_id"], r["buy_id"])
+        for r in cb.join(bb, "user_id")
+        .filter(
+            (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes"))
+        )
+        .select("click_id", "buy_id")
+        .collect()
+    )
+    assert len(expected) > 0
+    assert got == expected

@@ -136,3 +136,75 @@ def test_overwrite_partitions_is_incremental(spark, tables, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         == "static"
     )
+
+
+def test_write_zordered_prunes_both_dims(spark, tables, tmp_path):
+    """Z-order layout keeps per-file min/max stats narrow in BOTH
+    dimensions: a small box predicate on (user_id, value) must intersect
+    fewer files than a linear user_id-sorted layout with the same file
+    count."""
+    import pyarrow.parquet as pq
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+    n_files = 32
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    wr.write_zordered(ev, zpath, ["user_id", "value"], num_files=n_files, bits=5)
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(lpath)
+    )
+
+    lo = ev.selectExpr(
+        "min(user_id) umin", "max(user_id) umax",
+        "min(value) vmin", "max(value) vmax",
+    ).collect()[0]
+
+    def files_hit(path, ubox, vbox):
+        """-> (intersecting files, total files)"""
+        import glob
+
+        hit = total = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            umin = vmin = float("inf")
+            umax = vmax = float("-inf")
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    if name == "user_id":
+                        umin, umax = min(umin, st.min), max(umax, st.max)
+                    elif name == "value":
+                        vmin, vmax = min(vmin, st.min), max(vmax, st.max)
+            total += 1
+            if umin <= ubox[1] and umax >= ubox[0] and vmin <= vbox[1] and vmax >= vbox[0]:
+                hit += 1
+        return hit, total
+
+    full_u = (lo["umin"], lo["umax"])
+    full_v = (lo["vmin"], lo["vmax"])
+    narrow_v = (lo["vmin"], lo["vmin"] + (lo["vmax"] - lo["vmin"]) * 0.1)
+    narrow_u = (lo["umin"], lo["umin"] + (lo["umax"] - lo["umin"]) * 0.1)
+
+    # the z-order payoff: a filter on the NON-LEADING dimension alone.
+    # linear (user-sorted) files all span the full value range -> 0 skipped;
+    # z-ordered files have narrow value stats -> most are skipped
+    z_v, z_n = files_hit(zpath, full_u, narrow_v)
+    l_v, l_n = files_hit(lpath, full_u, narrow_v)
+    assert l_v == l_n  # linear layout cannot skip a single file
+    assert z_v / z_n <= 0.5, (z_v, z_n)
+    # and the leading dimension still prunes most z files too (partial
+    # pruning in EVERY dimension is the contract, perfection in none)
+    z_u, _ = files_hit(zpath, narrow_u, full_v)
+    assert z_u / z_n <= 0.5, z_u
+    # and the rewrite is lossless
+    assert spark.read.parquet(zpath).count() == ev.count()
+    got = spark.read.parquet(zpath).agg(F.sum("event_id")).collect()[0][0]
+    want = ev.agg(F.sum("event_id")).collect()[0][0]
+    assert got == want
