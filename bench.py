@@ -45,6 +45,8 @@ BENCH = [
     "tpch_q21_waiting_supp",  # EXISTS/NOT-EXISTS via single-scan per-(order,supp) agg
     "text_unigram_logprob",   # corpus-trained unigram LM scoring (2-pass tokenize)
     "text_scrub_spans",       # exact-substring span scrub + text rebuild
+    "dedup_segments",         # cross-doc segment dedup (freq shuffle + broadcast rebuild)
+    "text_bigram_logprob",    # interpolated bigram LM (persisted pairs, 1 shuffle join)
 ]
 
 REPEATS = 3

@@ -55,6 +55,11 @@ QUERIES = {
     "behavior_retention": "two map-side-combinable aggs; epoch-arithmetic offsets",
     "temporal_zscore_anomalies": "decimal-quantized bucket means -> exact trailing moments",
     "tpch_q11_important_parts": "scalar HAVING as window over reduced rows; one base scan",
+    # round-4 late additions
+    "quality_drift_psi": "per-bucket counts per side; PSI window over the #buckets frame",
+    "sampling_weighted": "TakeOrderedAndProject on the E-S key; per-partition heaps, no sort",
+    "dedup_segments": "one segment-keyed shuffle; dup set collapses to ONE broadcast array",
+    "text_bigram_logprob": "pair frame persisted for 3 consumers; vocab-sized sides broadcast",
 }
 
 
