@@ -4082,6 +4082,115 @@ def text_bigram_logprob(spark, sf_dir):
     return tx.bigram_logprob_scores(t["documents"], lam=0.8)
 
 
+@q(
+    "text_collocations_pmi",
+    """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') tk
+                  FROM documents),
+         w AS (SELECT unnest(tk) w FROM t),
+         uni AS (SELECT w, count(*) cu FROM w GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) t FROM w),
+         p AS (SELECT tk[i] w1, tk[i+1] w2
+               FROM t, UNNEST(generate_series(1, len(tk)-1)) g(i)),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) n FROM p),
+         big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) pair_count FROM p
+                 GROUP BY 1, 2 HAVING count(*) >= 10)
+       SELECT b.w1, b.w2, b.pair_count,
+              round(ln((b.pair_count / nn.n) /
+                       ((u1.cu / tot.t) * (u2.cu / tot.t))), 6) AS pmi
+       FROM big b JOIN uni u1 ON u1.w = b.w1
+                  JOIN uni u2 ON u2.w = b.w2, nn, tot
+       ORDER BY pmi DESC, b.w1, b.w2 LIMIT 25""",
+)
+def text_collocations_pmi(spark, sf_dir):
+    """Top-25 collocations by pointwise mutual information
+    (operators/text.py:collocations_pmi) — word pairs glued together far
+    beyond their independent frequencies (fixed phrases, templated
+    boilerplate). Gram counts are map-side combinable; unigram counts
+    broadcast into the pair frame; the cut is TakeOrderedAndProject on
+    the (rounded pmi, w1, w2) total order."""
+    t = _t(spark, sf_dir)
+    return tx.collocations_pmi(t["documents"], min_count=10, top_n=25)
+
+
+@q(
+    "text_char_entropy",
+    """WITH c AS (SELECT doc_id, lang, unnest(string_split(text, '')) ch,
+                         len(text) n
+                  FROM documents WHERE len(text) > 0),
+         f AS (SELECT doc_id, lang, ch, n, count(*) cnt FROM c GROUP BY 1,2,3,4)
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              round(avg(entropy), 6) AS avg_entropy,
+              round(min(entropy), 6) AS min_entropy,
+              round(max(entropy), 6) AS max_entropy
+       FROM (SELECT doc_id, lang,
+                    round(CAST(sum(CAST(round(
+                          -(cnt * 1.0 / n) * ln(cnt * 1.0 / n), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE), 6) entropy
+             FROM f GROUP BY doc_id, lang)
+       GROUP BY lang""",
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-entropy quality profile per language
+    (operators/text.py:char_entropy): Shannon entropy of each document's
+    char distribution — gibberish/repetition detector — computed as a
+    pure array expression (split → distinct → per-char counts →
+    decimal-quantized aggregate), ZERO shuffle until the per-language
+    rollup. The 9-dp DECIMAL(28,9) per-term sum keeps libm ln
+    accumulation engine-exact."""
+    t = _t(spark, sf_dir)
+    per_doc = t["documents"].filter(F.length("text") > 0).select(
+        "lang", tx.char_entropy(F.col("text")).alias("entropy")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.round(F.min("entropy"), 6).alias("min_entropy"),
+        F.round(F.max("entropy"), 6).alias("max_entropy"),
+    )
+
+
+@q("multimodal_phash_neardup")  # rows-only: DCT hash in mapInPandas
+def multimodal_phash_neardup(spark, sf_dir):
+    """Image near-duplicate detection through the REAL codec path:
+    documents render as PPM media → re-encoded PNG (lossless zlib codec)
+    → decode_image → 64-bit perceptual hash (grayscale → block-mean
+    resize → 2-D DCT → median-threshold bits, multimodal.phash_images)
+    → dedup.hamming_near_dup_pairs' 4×16-bit pigeonhole join (guaranteed
+    recall ≤ Hamming 3). Each doc also gets a +8-brightness re-encode —
+    a guaranteed perceptual duplicate — so every base/bright pair must
+    be found. Engine-specific DCT arithmetic → rows-only; recall is
+    asserted in tests/test_phash_pmi_entropy.py."""
+    import numpy as np
+    import pandas as pd
+
+    t = _t(spark, sf_dir)
+    media = mm.attach_ppm_media(
+        t["documents"].filter(F.col("doc_id") < 40), "doc_id", "text"
+    )
+    decoded = mm.decode_ppm(media)
+
+    def brighten_pair(batches):
+        for pdf in batches:
+            rows = []
+            for mid, h, w, c, px in zip(
+                pdf["media_id"], pdf["height"], pdf["width"],
+                pdf["channels"], pdf["pixels"],
+            ):
+                arr = np.frombuffer(bytes(px), np.uint8).reshape(h, w, c)
+                bright = np.clip(arr.astype(np.int16) + 8, 0, 255).astype(np.uint8)
+                rows.append((int(mid), "image/png", mm.encode_png(arr), {}))
+                rows.append(
+                    (int(mid) + 100000, "image/png", mm.encode_png(bright), {})
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "bytes", "meta"])
+
+    both = decoded.mapInPandas(brighten_pair, schema=mm.MEDIA_SCHEMA)
+    fps = mm.phash_images(mm.decode_image(both))
+    pairs = dd.hamming_near_dup_pairs(fps, "media_id", "phash", max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

@@ -1133,3 +1133,50 @@ def segment_dedup(
             F.array_join("__kept", " ").alias("text_clean"),
         )
     )
+
+
+def hamming_near_dup_pairs(
+    fps: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """ALL pairs within Hamming distance ``max_hamming`` (≤ 3) over ANY
+    64-bit signature column — (id_a, id_b, hamming). The generic form of
+    :func:`simhash_md5_near_dup_pairs`' pigeonhole join, reused by image
+    perceptual hashes (multimodal.phash_images) and any other 64-bit
+    fingerprint: a pair differing in ≤3 of 64 bits must agree exactly on
+    ≥1 of the 4 16-bit blocks, so candidates are an equi-join on
+    (block_idx, block_value) — linear blocking with guaranteed recall,
+    never all-pairs. Arithmetic shiftright sign-extends on longs; the
+    0xFFFF mask makes each block extraction unsigned-correct."""
+    if max_hamming > 3:
+        raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
+    sig = F.col(sig_col).cast("long")
+    blocks = [
+        (F.shiftright(sig, 16 * k).bitwiseAND(F.lit(0xFFFF))).alias(f"blk{k}")
+        for k in range(4)
+    ]
+    base = _persist_sigs(fps.select(F.col(id_col), sig.alias("__sig"), *blocks))
+    blocked = base.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"blk{k}") for k in range(4)])).alias(
+            "block_idx", "block_val"
+        ),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.block_idx") == F.col("b.block_idx"))
+        & (F.col("a.block_val") == F.col("b.block_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    fa = base.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
+    fb = base.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -750,3 +750,69 @@ def audio_spectral_features(df: DataFrame, n_fft: int = 512) -> DataFrame:
             )
 
     return df.mapInPandas(feats, schema=out_schema)
+
+
+def phash_images(decoded: DataFrame, hash_size: int = 8, highfreq: int = 4) -> DataFrame:
+    """64-bit perceptual hash per decoded image — (media_id, phash).
+    The classic pHash recipe: grayscale → block-mean resize to
+    (hash_size·highfreq)² → 2-D DCT-II → keep the hash_size×hash_size
+    low-frequency corner → bit i = coefficient > median. Images that are
+    re-encoded, slightly blurred, or brightness-shifted keep most bits,
+    so near-duplicate detection becomes a Hamming-distance problem on
+    64-bit ints — feeding dedup.hamming_near_dup_pairs' pigeonhole join
+    exactly like text simhash.
+
+    Input is IMAGE_SCHEMA from decode_image (any codec). Pure numpy
+    inside mapInPandas (Arrow-batched; the DCT is two 32×32 matmuls per
+    image). Engine-specific by nature → rows-only in the oracle suite."""
+    import numpy as np
+
+    n = hash_size * highfreq  # 32 by default
+
+    # DCT-II matrix, orthonormal — same convention as scipy.fft.dct(norm='ortho')
+    k = np.arange(n)
+    dct_m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct_m[0, :] /= np.sqrt(2.0)
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for mid, h, w, c, px in zip(
+                pdf["media_id"], pdf["height"], pdf["width"],
+                pdf["channels"], pdf["pixels"],
+            ):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, c)
+                gray = arr.astype(np.float64).mean(axis=2)
+                # per-axis resize to n: bucket means when shrinking,
+                # nearest-index replication when growing
+                def _resize_axis(a, m, axis):
+                    if m >= n:
+                        idx = np.arange(m) * n // m
+                        out = np.add.reduceat(
+                            a, np.searchsorted(idx, np.arange(n)), axis=axis
+                        )
+                        cnt = np.bincount(idx, minlength=n)
+                        shape = [1, 1]
+                        shape[axis] = n
+                        return out / cnt.reshape(shape)
+                    return np.take(a, np.arange(n) * m // n, axis=axis)
+
+                rs = _resize_axis(_resize_axis(gray, h, 0), w, 1)
+                coef = dct_m @ rs @ dct_m.T
+                block = coef[:hash_size, :hash_size].ravel()
+                bits = block > np.median(block)
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                # wrap to signed 64-bit (Spark LongType)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                rows.append((int(mid), v))
+        yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return decoded.mapInPandas(
+        hashes,
+        schema=StructType(
+            [StructField("media_id", LongType()), StructField("phash", LongType())]
+        ),
+    )

@@ -807,3 +807,110 @@ def bigram_logprob_scores(
             "logprob"
         ),
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information —
+    (w1, w2, pair_count, pmi): word pairs that co-occur adjacently far
+    more than their independent frequencies predict (fixed phrases,
+    named entities, templated boilerplate). The lexical-analysis
+    companion to bigram_logprob_scores: the LM asks "how probable is
+    this document", PMI asks "which pairs glue the corpus together".
+
+    pmi = ln( (cb/N) / ((c1/T)·(c2/T)) ) with cb = adjacent-pair count
+    (N pairs total), c1/c2 = token counts over all T tokens;
+    ``min_count`` suppresses the classic PMI low-frequency explosion.
+
+    Scale shape: two tokenize passes (unigram, pair), each aggregating to
+    a gram-vocab-sized count frame with map-side partials; BOTH totals
+    derive from those reduced frames (a one-row agg cross-joined back /
+    a window over vocab rows) — never a driver-side count() that would
+    re-tokenize the corpus. Unigram counts broadcast into the pair
+    frame; the top-n is TakeOrderedAndProject on (rounded pmi, w1, w2) —
+    a total order, so the cut is deterministic cross-engine."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window as _W
+
+    toks = df.select(tokens(F.col(text_col)).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        # vocab-sized; read by the totals window AND two broadcast joins
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("__tot_t", F.sum("cu").over(_W.partitionBy()).cast("double"))
+    )
+    bigc = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot_n = bigc.agg(F.sum("pair_count").cast("double").alias("__tot_n"))
+    big = bigc.filter(F.col("pair_count") >= min_count)
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count") / F.col("__tot_n"))
+            / ((F.col("c1") / F.col("__tot_t")) * (F.col("c2") / F.col("__tot_t")))
+        ),
+        6,
+    )
+    return (
+        big.join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1"), "__tot_t")
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot_n))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_n)
+    )
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (nats) of a document's character distribution —
+    the gibberish/boilerplate detector: natural text sits in a band,
+    repeated-char spam scores near 0, uniform random bytes score high.
+    Pure array expressions (split → distinct → per-char counts →
+    aggregate), zero shuffle, whole-stage codegen. Each term is rounded
+    to 9 dp and summed as DECIMAL(28,9) so the result is engine-exact
+    despite ln's last-ulp libm differences (the repo-wide convention);
+    final value rounded to 6 dp. Empty/NULL text scores 0."""
+    chars = F.split(text, "")
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    term = lambda c: F.round(  # noqa: E731
+        -(F.size(F.filter(chars, lambda x: x == c)) / n)
+        * F.log(F.size(F.filter(chars, lambda x: x == c)) / n),
+        9,
+    ).cast("decimal(28,9)")
+    h = F.aggregate(
+        distinct,
+        F.lit(0).cast("decimal(28,9)"),
+        # decimal + widens to (29,9); cast back so the accumulator type is
+        # stable (entropy <= ln(n_chars) — nowhere near 28 digits)
+        lambda acc, c: (acc + term(c)).cast("decimal(28,9)"),
+    )
+    return F.when(
+        text.isNull() | (F.length(text) == 0), F.lit(0.0)
+    ).otherwise(F.round(h.cast("double"), 6))
