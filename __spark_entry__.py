@@ -29,6 +29,7 @@ from pyspark.sql.window import Window as W
 
 from bullet_spark_spark.functions.exprs import E
 from bullet_spark_spark.operators import dedup as dd
+from bullet_spark_spark.operators import graph as gr
 from bullet_spark_spark.operators import multimodal as mm
 from bullet_spark_spark.operators import relational as rel
 from bullet_spark_spark.operators import sampling as smp
@@ -4191,6 +4192,54 @@ def multimodal_phash_neardup(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+_PAGERANK_EDGES_CTE = """base AS (
+    SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+           count(*) AS w
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2),
+  edges AS (SELECT src, dst, w FROM base
+            UNION ALL SELECT dst, src, w FROM base)"""
+
+
+@q(
+    "graph_pagerank_trade",
+    gr.oracle_pagerank_sql(
+        _PAGERANK_EDGES_CTE,
+        iterations=5,
+        select="SELECT node, rank FROM {last} ORDER BY rank DESC, node LIMIT 20",
+    ),
+)
+def graph_pagerank_trade(spark, sf_dir):
+    """Weighted PageRank (operators/graph.pagerank) over the symmetrized
+    customer⇄supplier trade graph — the corpus-curation read is
+    domain-authority ranking for source weighting (CCNet posture). An
+    ITERATIVE distributed graph algorithm made oracle-EXACT: per-iteration
+    contributions are single IEEE expressions rounded 10 dp and summed as
+    exact decimals, the DuckDB side unrolls the same fixed point as chained
+    CTEs (oracle_pagerank_sql emits it from the same parameters). Reference
+    has no graph surface (nearest analogue: the keyed state merge,
+    JoinStreaming.scala:40); extension per SURVEY §2.5."""
+    t = _t(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            "w",
+        )
+    )
+    edges = base.unionByName(
+        base.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    ranks = gr.pagerank(edges, iterations=5)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -4305,6 +4354,8 @@ _WINDOW_R4 = [
     # rotate back r5+): text_fingerprint_stats, join_range_bands,
     # rollup_region_nation, winfunc_lag_frames, dedup_keep_best,
     # dedup_ngram_jaccard, text_repetition
+    # graph_pagerank_trade (NEW r4 late) deferred to the r5 window like
+    # tpch_q12/q16 — locally certified via tools/check_oracle.py this round.
 ]
 
 

@@ -1,0 +1,150 @@
+"""Graph centrality over DataFrame edge lists — the corpus-curation use is
+domain/source authority ranking (CCNet/RefinedWeb-style: weight a web corpus
+by the link authority of its origin), here exercised on the trade graph the
+fixtures carry (customer ⇄ supplier volume).
+
+The reference has no graph surface at all (its only keyed iteration is the
+`mapWithState` partial-merge, JoinStreaming.scala:40); this module extends
+the engine the same way `dedup.connected_components` does: an iterative
+DataFrame loop with eager `localCheckpoint` per round so the lineage never
+compounds (the diameter-8 stack-overflow lesson from the components
+differential).
+
+Engine-exactness: every floating-point step is either (a) a single IEEE-754
+double expression written token-for-token the same in the DuckDB oracle
+(`round(rank * w / out_w, dp)`), or (b) an EXACT decimal sum of those
+pre-rounded contributions — so N-iteration ranks hash-match across engines.
+`oracle_pagerank_sql` emits the matching unrolled-CTE SQL from the same
+parameters, which keeps the two sides in lockstep by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 5,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+    round_dp: int = 10,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list → (node, rank).
+
+    Semantics: rank_{i+1}(v) = round(teleport/n + damping * Σ_{(u,v)}
+    round(rank_i(u) * w(u,v) / out_w(u), dp), dp), ranks initialized to
+    round(1/n, dp). ``damping``/``teleport`` are taken as two independent
+    literals (not 1-d) so the oracle can use the same decimal literals —
+    1-0.85 in IEEE is 0.15000000000000002, not 0.15.
+
+    Dangling nodes (out-degree 0) contribute nothing — callers that need
+    mass conservation should symmetrize the edge list (the trade-graph
+    entry does), which also matches the undirected-authority reading.
+
+    Scale shape: ``out_w`` is a window sum over the edge partitioning by
+    ``src`` — ONE shuffle, reused by every iteration through the persisted
+    normalized edge frame. Each iteration is one join of the rank frame
+    (node-sized) against the edges (edge-sized) + one groupBy(dst) with
+    map-side partial sums, then a left join back onto the node frame; the
+    per-round result is eagerly localCheckpoint'ed, so iteration K's plan
+    never re-derives rounds 1..K-1. The only driver materialization is the
+    node COUNT (one scalar). At 100 TB of edges the per-iteration cost is
+    two shuffles of the edge frame — the canonical distributed-PageRank
+    shape (Pregel/GraphX formulation expressed in DataFrames).
+    """
+    e_norm = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+        )
+        .withColumn("out_w", F.sum("w").over(Window.partitionBy("src")))
+        .persist()
+    )
+    nodes = (
+        e_norm.select(F.col("src").alias("node"))
+        .unionByName(e_norm.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = float(nodes.count())  # bounded: one scalar
+
+    ranks = nodes.withColumn(
+        "rank", F.round(F.lit(1.0) / F.lit(n), round_dp)
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contribs = (
+            e_norm.join(ranks, e_norm["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.round(F.col("rank") * F.col("w") / F.col("out_w"), round_dp)
+                    .cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("s")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport) / F.lit(n)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    round_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    e_norm.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def oracle_pagerank_sql(
+    edges_cte: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+    round_dp: int = 10,
+    select: str = "SELECT node, rank FROM {last}",
+) -> str:
+    """Build the DuckDB oracle for :func:`pagerank`: the same fixed-point
+    arithmetic unrolled as chained CTEs (standard SQL forbids aggregation
+    in a recursive member, so fixed iteration count = fixed CTE chain).
+
+    ``edges_cte`` must define a relation ``edges(src, dst, w)``; ``select``
+    is the final projection with ``{last}`` substituted by the last rank CTE.
+    """
+    dp = round_dp
+    parts = [
+        f"WITH {edges_cte}",
+        """nodes AS (SELECT src AS node FROM edges
+                     UNION SELECT dst FROM edges)""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        """e AS (SELECT src, dst, w,
+                        sum(w) OVER (PARTITION BY src) AS out_w FROM edges)""",
+        f"r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), {dp}) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+              SELECT nd.node,
+                     round({teleport} / (SELECT n FROM nn)
+                           + {damping} * coalesce(c.s, 0.0), {dp}) AS rank
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum(CAST(round(r.rank * e.w / e.out_w, {dp})
+                                     AS DECIMAL(28,12))) AS DOUBLE) AS s
+                FROM e JOIN r{i - 1} r ON e.src = r.node
+                GROUP BY e.dst) c
+              ON nd.node = c.node)"""
+        )
+    return ",\n".join(parts) + "\n" + select.format(last=f"r{iterations}")
