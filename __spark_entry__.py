@@ -4192,6 +4192,70 @@ def multimodal_phash_neardup(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+@q(
+    "text_tfidf_keywords",
+    f"""WITH d AS (
+         SELECT doc_id,
+                string_split({_NORM_SQL}, ' ') AS toks
+         FROM documents),
+       p AS (SELECT doc_id, unnest(toks) AS term FROM d),
+       tf AS (SELECT doc_id, term, count(*) AS tf
+              FROM p WHERE term <> '' GROUP BY 1, 2),
+       w AS (SELECT doc_id, term, tf,
+                    sum(tf) OVER (PARTITION BY doc_id) AS dl,
+                    count(*) OVER (PARTITION BY term) AS dfq,
+                    (SELECT count(DISTINCT doc_id) FROM tf) AS n
+             FROM tf),
+       s AS (SELECT doc_id, term,
+                    round((CAST(tf AS DOUBLE) / dl)
+                          * ln(CAST(n AS DOUBLE) / dfq), 8) AS tfidf
+             FROM w)
+       SELECT doc_id, term, tfidf
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM s)
+       WHERE rk <= 3""",
+)
+def text_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 keywords by TF-IDF (text.tfidf_keywords) — the
+    corpus-summarization signal complementing bm25's query-directed
+    scoring. Both corpus statistics ride windows over ONE (doc, term)
+    aggregate; ln rounded 8 dp (bm25 posture) keeps ranks engine-exact."""
+    t = _t(spark, sf_dir)
+    return tx.tfidf_keywords(t["documents"], "doc_id", "text", k=3)
+
+
+@q(
+    "dedup_source_overlap",
+    f"""WITH d AS (
+         SELECT source, string_split({_NORM_SQL}, ' ') AS toks
+         FROM documents),
+       g AS (SELECT DISTINCT source,
+                    unnest([array_to_string(toks[i:i+4], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 4, 0) + 1)]) AS fp
+             FROM d),
+       sizes AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+       shared AS (
+         SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT source_a, source_b, n_shared,
+              round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+       FROM shared
+       JOIN sizes sa ON sa.source = source_a
+       JOIN sizes sb ON sb.source = source_b""",
+)
+def dedup_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (dedup.source_overlap_matrix) at
+    word-5-gram granularity: which sources share content, and how much —
+    the between-corpora contamination/provenance read (which crawls copy
+    from which). Segment-keyed join: groups bounded by #sources, never
+    all-pairs over rows."""
+    t = _t(spark, sf_dir)
+    return dd.source_overlap_matrix(
+        t["documents"], tx.word_ngrams(F.col("text"), 5), "source"
+    )
+
+
 _PAGERANK_EDGES_CTE = """base AS (
     SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
            count(*) AS w

@@ -914,3 +914,55 @@ def char_entropy(text: Column) -> Column:
     return F.when(
         text.isNull() | (F.length(text) == 0), F.lit(0.0)
     ).otherwise(F.round(h.cast("double"), 6))
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF → (id, term, tfidf) — the
+    classic corpus-summarization signal (what is this document ABOUT),
+    complementing bm25_scores' query-directed ranking.
+
+    tfidf(d,t) = round((tf/dl) · ln(N/df), 8): relative term frequency
+    times inverse document frequency; ties broken by term ASC → a total
+    order, so top-k is deterministic and cross-engine identical (ln's
+    last-ulp libm variance is 8 orders below the rounding, the bm25
+    posture).
+
+    Shape at 100 TB: ONE tokenize scan → (doc, term) count aggregate; both
+    corpus statistics ride WINDOWS over that pair frame (dl partitioned by
+    doc, df partitioned by term — no separate vocabulary table to join);
+    N is the single driver scalar. The final per-doc top-k is a window
+    partitioned by doc — never a global sort."""
+    from pyspark.sql.window import Window as W
+
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = float(
+        pairs.select(id_col).distinct().count()
+    )  # bounded: one scalar
+    scored = pairs.select(
+        F.col(id_col),
+        "term",
+        F.round(
+            (F.col("tf").cast("double") / F.sum("tf").over(W.partitionBy(id_col)))
+            * F.log(
+                F.lit(n_docs)
+                / F.count(F.lit(1)).over(W.partitionBy("term"))
+            ),
+            8,
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
