@@ -948,17 +948,21 @@ def tfidf_keywords(
     n_docs = float(
         pairs.select(id_col).distinct().count()
     )  # bounded: one scalar
-    scored = pairs.select(
-        F.col(id_col),
-        "term",
-        F.round(
-            (F.col("tf").cast("double") / F.sum("tf").over(W.partitionBy(id_col)))
-            * F.log(
-                F.lit(n_docs)
-                / F.count(F.lit(1)).over(W.partitionBy("term"))
-            ),
-            8,
-        ).alias("tfidf"),
+    # term window FIRST, doc window second: the final rank window is also
+    # doc-partitioned, so it reuses the dl exchange (Sort only, no extra
+    # Exchange) — 2 window shuffles of the pair frame, not 3
+    scored = (
+        pairs.withColumn("dfq", F.count(F.lit(1)).over(W.partitionBy("term")))
+        .withColumn("dl", F.sum("tf").over(W.partitionBy(id_col)))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                (F.col("tf").cast("double") / F.col("dl"))
+                * F.log(F.lit(n_docs) / F.col("dfq")),
+                8,
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
     return (

@@ -60,6 +60,10 @@ QUERIES = {
     "sampling_weighted": "TakeOrderedAndProject on the E-S key; per-partition heaps, no sort",
     "dedup_segments": "one segment-keyed shuffle; dup set collapses to ONE broadcast array",
     "text_bigram_logprob": "pair frame persisted for 3 consumers; vocab-sized sides broadcast",
+    # round-4 final additions
+    "graph_pagerank_trade": "per-iteration: edge join + dst agg, checkpoint-backed ranks; out_w via one window",
+    "text_tfidf_keywords": "dl/df as windows over ONE (doc,term) agg; per-doc top-k window, no global sort",
+    "dedup_source_overlap": "distinct (source,shingle) shuffle; pair join keyed by shingle; sizes broadcast 2x",
 }
 
 
