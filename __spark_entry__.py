@@ -4256,6 +4256,66 @@ def dedup_source_overlap(spark, sf_dir):
     )
 
 
+@q(
+    "sampling_shards",
+    """WITH s AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT % 8 AS shard,
+                md5(CAST(doc_id AS VARCHAR) || ':7') AS h
+         FROM documents)
+       SELECT doc_id, shard,
+              row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+       FROM s""",
+)
+def sampling_shards(spark, sf_dir):
+    """Deterministic global shuffle → training shards
+    (sampling.shard_and_order): reproducible random permutation fanned
+    into 8 shards with a per-shard position — the export step between
+    packing and writing that destroys source/time locality (curriculum
+    leakage) identically on every engine. One exchange on shard + an
+    in-partition sort; follow with write_partitioned for shard-per-dir
+    output."""
+    t = _t(spark, sf_dir)
+    return smp.shard_and_order(
+        t["documents"].select("doc_id"), "doc_id", n_shards=8, seed=7
+    )
+
+
+@q(
+    "quality_profile",
+    """WITH stats AS (
+         SELECT count(*) AS n,
+           count(value) AS nn0, count(DISTINCT value) AS d0,
+             CAST(min(value) AS DOUBLE) AS mn0, CAST(max(value) AS DOUBLE) AS mx0,
+             round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value), 6) AS a0,
+           count(user_id) AS nn1, count(DISTINCT user_id) AS d1,
+             CAST(min(user_id) AS DOUBLE) AS mn1, CAST(max(user_id) AS DOUBLE) AS mx1,
+             round(CAST(sum(CAST(user_id AS DECIMAL(28,6))) AS DOUBLE) / count(user_id), 6) AS a1,
+           count(length(event_type)) AS nn2, count(DISTINCT length(event_type)) AS d2,
+             CAST(min(length(event_type)) AS DOUBLE) AS mn2,
+             CAST(max(length(event_type)) AS DOUBLE) AS mx2,
+             round(CAST(sum(CAST(length(event_type) AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(length(event_type)), 6) AS a2
+         FROM events)
+       SELECT 'value' AS "column", 'numeric' AS kind, n AS n_rows, n - nn0 AS nulls,
+              d0 AS n_distinct, mn0 AS min_num, mx0 AS max_num, a0 AS mean FROM stats
+       UNION ALL SELECT 'user_id', 'numeric', n, n - nn1, d1, mn1, mx1, a1 FROM stats
+       UNION ALL SELECT 'event_type', 'string', n, n - nn2, d2, mn2, mx2, a2 FROM stats""",
+)
+def quality_profile(spark, sf_dir):
+    """Column profiling report (quality.profile_columns): nulls / exact
+    distinct / min / max / exact-decimal mean for two numeric columns and
+    one string column's lengths — ALL in ONE aggregation job over one
+    scan (multi-column exact distinct rides Catalyst's Expand; the tidy
+    frame explodes an array of structs, the quality_validate posture)."""
+    from bullet_spark_spark.operators import quality as qc
+
+    t = _t(spark, sf_dir)
+    return qc.profile_columns(
+        t["events"], numeric_cols=["value", "user_id"], string_cols=["event_type"]
+    )
+
+
 _PAGERANK_EDGES_CTE = """base AS (
     SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
            count(*) AS w

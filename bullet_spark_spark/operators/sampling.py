@@ -345,3 +345,51 @@ def oracle_weighted_key_sql(key_sql: str, weight_sql: str, seed: int = 0) -> str
         f"::UBIGINT + 1) / {_U_DENOM!r})"
     )
     return f"round(ln({u}) / ({weight_sql}), 12)"
+
+
+def hash32(key: Column, seed: int = 0) -> Column:
+    """First 32 bits of the sampling md5 as a non-negative BIGINT —
+    engine-portable (DuckDB: ``('0x' || substr(md5(k || ':seed'), 1, 8))
+    ::BIGINT``), for modulo-style assignment where the hex-compare
+    predicates don't fit (shards, buckets)."""
+    return F.conv(F.substring(sample_hash(key, seed), 1, 8), 16, 10).cast("long")
+
+
+def shard_and_order(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE for training-data export: every row
+    gets (shard, pos) — a reproducible random permutation of the corpus,
+    fanned into ``n_shards`` equal-ish shards. The step between packing
+    and writing: raw corpus order carries source/time locality that a
+    sequential trainer would see as curriculum; md5 order destroys it,
+    identically on every engine and every partitioning (unlike
+    ``df.orderBy(rand())``, which is neither reproducible nor stable
+    under retries).
+
+    shard = hash32(key) mod n_shards; pos = dense row index within the
+    shard in (hash, key) order — key ASC breaks 32-bit collisions, so the
+    permutation is a total order.
+
+    Shape at 100 TB: ONE hash-partitioned exchange on shard + an
+    in-partition sort — exactly the shuffle a sharded write needs anyway
+    (follow with ``write.write_partitioned(..., ["shard"])`` and the
+    files land shard-per-directory, pre-sorted). Never a global sort;
+    per-shard row_number is embarrassingly parallel across shards."""
+    from pyspark.sql.window import Window as W
+
+    h = sample_hash(F.col(key_col), seed)
+    out = df.withColumn("shard", F.pmod(hash32(F.col(key_col), seed), F.lit(n_shards)))
+    w = W.partitionBy("shard").orderBy(h.asc(), F.col(key_col).asc())
+    return out.withColumn("pos", F.row_number().over(w))
+
+
+def oracle_shard_sql(key_sql: str, n_shards: int, seed: int = 0) -> str:
+    """DuckDB expression matching :func:`hash32` mod ``n_shards``."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':{seed}'), 1, 8))"
+        f"::BIGINT % {n_shards})"
+    )

@@ -1,0 +1,94 @@
+"""shard_and_order (sampling.py) and profile_columns (quality.py) tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import quality as ql
+from bullet_spark_spark.operators import sampling as smp
+
+
+def test_shard_and_order_is_a_partitioned_permutation(spark):
+    df = spark.range(200).withColumnRenamed("id", "k")
+    out = smp.shard_and_order(df, "k", n_shards=4, seed=1).collect()
+    assert len(out) == 200
+    assert {r["k"] for r in out} == set(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # pos is dense 1..k within every shard
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shard_and_order_partitioning_invariant(spark):
+    # the permutation must not depend on the input's physical layout
+    df1 = spark.range(100).withColumnRenamed("id", "k").repartition(1)
+    df2 = spark.range(100).withColumnRenamed("id", "k").repartition(13)
+    a = {(r["k"], r["shard"], r["pos"]) for r in
+         smp.shard_and_order(df1, "k", 5, seed=3).collect()}
+    b = {(r["k"], r["shard"], r["pos"]) for r in
+         smp.shard_and_order(df2, "k", 5, seed=3).collect()}
+    assert a == b
+
+
+def test_shard_and_order_seed_changes_permutation(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    a = {(r["k"], r["shard"]) for r in smp.shard_and_order(df, "k", 5, 0).collect()}
+    b = {(r["k"], r["shard"]) for r in smp.shard_and_order(df, "k", 5, 1).collect()}
+    assert a != b
+
+
+def test_hash32_matches_duckdb(spark, duck):
+    keys = ["0", "42", "doc-7"]
+    got = (
+        spark.createDataFrame([(k,) for k in keys], "k string")
+        .select("k", smp.hash32(F.col("k"), seed=9).alias("h"))
+        .collect()
+    )
+    for r in got:
+        (exp,) = duck.execute(
+            f"SELECT ('0x' || substr(md5('{r['k']}:9'), 1, 8))::BIGINT"
+        ).fetchone()
+        assert r["h"] == exp
+
+
+def test_profile_columns_known_stats(spark):
+    df = spark.createDataFrame(
+        [(1.0, "ab"), (2.0, "abcd"), (None, "ab"), (3.0, None)],
+        "v double, s string",
+    )
+    rows = {
+        r["column"]: r
+        for r in ql.profile_columns(df, numeric_cols=["v"], string_cols=["s"]).collect()
+    }
+    v = rows["v"]
+    assert (v["kind"], v["n_rows"], v["nulls"], v["n_distinct"]) == ("numeric", 4, 1, 3)
+    assert (v["min_num"], v["max_num"]) == (1.0, 3.0)
+    assert v["mean"] == pytest.approx(2.0)
+    s = rows["s"]  # string column profiles LENGTHS
+    assert (s["kind"], s["nulls"], s["n_distinct"]) == ("string", 1, 2)
+    assert (s["min_num"], s["max_num"]) == (2.0, 4.0)
+    assert s["mean"] == pytest.approx((2 + 4 + 2) / 3, abs=1e-6)
+
+
+def test_profile_columns_single_job(spark):
+    # the report is ONE aggregation plan — no per-column union of scans
+    df = spark.range(10).select(
+        F.col("id").cast("double").alias("a"), F.col("id").cast("string").alias("b")
+    )
+    plan = (
+        ql.profile_columns(df, ["a"], ["b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan") <= 1
+
+
+def test_profile_columns_approx_mode_and_errors(spark):
+    df = spark.range(100).select(F.col("id").cast("double").alias("a"))
+    (row,) = ql.profile_columns(df, ["a"], approx_distinct=True).collect()
+    assert abs(row["n_distinct"] - 100) <= 5
+    with pytest.raises(ValueError):
+        ql.profile_columns(df)
