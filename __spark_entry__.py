@@ -4316,6 +4316,55 @@ def quality_profile(spark, sf_dir):
     )
 
 
+@q(
+    "quality_snapshot_diff",
+    """WITH oldv AS (SELECT doc_id, text FROM documents),
+       newv AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+         FROM documents WHERE doc_id % 7 <> 0
+         UNION ALL
+         SELECT doc_id + 100000, text || ' new'
+         FROM documents WHERE doc_id % 11 = 0),
+       fo AS (
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN md5(coalesce(CAST(o.text AS VARCHAR), chr(0)))
+                          <> md5(coalesce(CAST(n.text AS VARCHAR), chr(0)))
+                       THEN 'changed'
+                     ELSE 'unchanged' END AS change
+         FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+       SELECT doc_id, change FROM fo WHERE change <> 'unchanged'""",
+)
+def quality_snapshot_diff(spark, sf_dir):
+    """Row-level change-data capture between corpus snapshots
+    (quality.snapshot_diff): added / removed / changed rows by key with
+    engine-portable md5 content fingerprints — the minimal-reprocessing
+    set for incremental pipelines and the deletion-propagation audit.
+    The 'new' snapshot is derived deterministically in-query (drop
+    doc_id%7, edit %5, add %11 under shifted ids) so both engines diff
+    identical inputs. ONE full-outer key join; unchanged rows never
+    leave the join."""
+    from bullet_spark_spark.operators import quality as qc
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    edited = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+    )
+    return qc.snapshot_diff(
+        docs, edited.unionByName(added), ["doc_id"], ["text"]
+    )
+
+
 _PAGERANK_EDGES_CTE = """base AS (
     SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
            count(*) AS w

@@ -203,3 +203,54 @@ def write_zordered(
         .drop("__z")
     )
     out.write.mode(mode).parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Keyed UPSERT into a parquet table without a transactional format:
+    rows in ``updates`` replace target rows sharing their key; new keys
+    insert — the CDC-apply step (pair with quality.snapshot_diff to
+    compute the minimal update set first).
+
+    Partitioned tables rewrite ONLY the directories holding partition
+    values present in ``updates`` (the overwrite_partitions discipline):
+    read those partitions, anti-join out superseded keys, union the
+    updates, dynamic-overwrite. Affected partition values are collected
+    to build static pruning filters — bounded by #touched partitions
+    (days, sources), never rows. At 100 TB the rewrite cost is
+    proportional to touched data, not table size.
+
+    Unpartitioned tables rewrite whole (documented honestly — without a
+    table format there is no finer unit); the merged frame is eagerly
+    localCheckpoint'ed first, both to break the self-overwrite cycle
+    (Spark refuses plans that read the path they write) and so the read
+    completes before any file is replaced."""
+    partition_cols = partition_cols or []
+    if not partition_cols:
+        target = spark.read.parquet(path)
+        merged = target.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(updates)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+        return
+    touched = [
+        tuple(r) for r in updates.select(*partition_cols).distinct().collect()
+    ]  # bounded: #touched partitions
+    pred = F.lit(False)
+    for values in touched:
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, values):
+            clause = clause & (F.col(c) == F.lit(v))
+        pred = pred | clause
+    target = spark.read.parquet(path).filter(pred)
+    merged = target.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).unionByName(updates.select(*target.columns))
+    merged = merged.localCheckpoint(eager=True)
+    overwrite_partitions(merged, path, partition_cols)

@@ -1,0 +1,95 @@
+"""snapshot_diff (quality.py) and merge_upsert (sources/write.py) tests."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import quality as ql
+from bullet_spark_spark.sources import write as wr
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish"), (4, None)],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (5, "brand new"), (4, None)],
+        "k long, v string",
+    )
+    got = {r["k"]: r["change"] for r in ql.snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_empty_differ(spark):
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "")], "k long, v string")
+    (row,) = ql.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert row["change"] == "changed"
+
+
+def test_snapshot_diff_include_unchanged(spark):
+    old = spark.createDataFrame([(1, "a")], "k long, v string")
+    got = ql.snapshot_diff(old, old, ["k"], ["v"], include_unchanged=True).collect()
+    assert [(r["k"], r["change"]) for r in got] == [(1, "unchanged")]
+
+
+def _read_state(spark, path):
+    return {
+        (r["k"], r["day"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_merge_upsert_partitioned_touches_only_affected_dirs(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "d")],
+        "k long, day string, v string",
+    )
+    wr.write_partitioned(base, path, ["day"])
+    untouched_dir = os.path.join(path, "day=d3")
+    before = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+        if f.endswith(".parquet")
+    }
+    updates = spark.createDataFrame(
+        [(2, "d1", "B2"), (9, "d2", "new")], "k long, day string, v string"
+    )
+    wr.merge_upsert(spark, path, updates, ["k"], ["day"])
+    assert _read_state(spark, path) == {
+        (1, "d1"): "a", (2, "d1"): "B2", (3, "d2"): "c",
+        (9, "d2"): "new", (4, "d3"): "d",
+    }
+    after = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+        if f.endswith(".parquet")
+    }
+    assert after == before  # untouched partition's files not rewritten
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    wr.merge_upsert(spark, path, updates, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_merge_upsert_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "idem")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b")], "k long, day string, v string"
+    )
+    wr.write_partitioned(base, path, ["day"])
+    updates = spark.createDataFrame([(1, "d1", "A")], "k long, day string, v string")
+    wr.merge_upsert(spark, path, updates, ["k"], ["day"])
+    wr.merge_upsert(spark, path, updates, ["k"], ["day"])  # re-run = same state
+    assert _read_state(spark, path) == {(1, "d1"): "A", (2, "d2"): "b"}
