@@ -4317,6 +4317,83 @@ def quality_profile(spark, sf_dir):
 
 
 @q(
+    "relational_scd2_history",
+    """WITH e AS (
+         SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                lag(o_orderpriority) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+         FROM orders),
+       c AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+             FROM e WHERE prev IS NULL OR o_orderpriority <> prev)
+       SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+              lead(o_orderdate) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+              lead(o_orderdate) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+                AS is_current
+       FROM c""",
+)
+def relational_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension history from a change-event log
+    (relational.events_to_scd2): each customer's order-priority states
+    collapsed to consecutive runs with [valid_from, valid_to) validity
+    and an open current row — the warehouse-dimension derivation from
+    CDC. One key shuffle; dedup-lag and chain-lead share the Exchange."""
+    t = _t(spark, sf_dir)
+    return rel.events_to_scd2(
+        t["orders"],
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    ).drop("o_orderkey")
+
+
+@q(
+    "temporal_resample_ffill",
+    """WITH pb AS (
+         SELECT user_id,
+                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, value,
+                row_number() OVER (
+                  PARTITION BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                  ORDER BY ts DESC, value DESC) AS rn
+         FROM events WHERE user_id < 30),
+       pb1 AS (SELECT user_id, b, value FROM pb WHERE rn = 1),
+       spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM pb1 GROUP BY user_id),
+       grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM spans),
+       j AS (SELECT g.user_id, g.b, p.value
+             FROM grid g LEFT JOIN pb1 p ON p.user_id = g.user_id AND p.b = g.b)
+       SELECT user_id, b * 3600 AS bucket_epoch,
+              last_value(value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+              value IS NULL AS is_gap
+       FROM j""",
+)
+def temporal_resample_ffill(spark, sf_dir):
+    """Time-series regularization (temporal.resample_ffill): every user's
+    irregular event series resampled onto an hourly grid with
+    forward-fill and gap flags — the densification step before trailing
+    windows / anomaly scoring assume a fixed cadence. Grid generated by
+    sequence()+explode per key (rows ∝ output, no calendar join); fill is
+    one last-non-null window per key."""
+    t = _t(spark, sf_dir)
+    out = tmp.resample_ffill(
+        t["events"].filter(F.col("user_id") < 30),
+        "user_id",
+        "ts",
+        ["value"],
+        3600,
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "value",
+        "is_gap",
+    )
+
+
+@q(
     "quality_snapshot_diff",
     """WITH oldv AS (SELECT doc_id, text FROM documents),
        newv AS (

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def join(
@@ -138,3 +139,57 @@ def salted_skew_join(
     )
     out = salted_fact.join(replicated_dim, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def events_to_scd2(
+    events: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] = (),
+) -> DataFrame:
+    """Collapse a change-event log into SCD Type-2 dimension history ->
+    (keys..., attrs..., valid_from, valid_to, is_current): one row per
+    CONSECUTIVE attribute state per key, valid over [valid_from,
+    valid_to), open-ended (valid_to NULL, is_current true) for the latest
+    state. The warehouse-dimension derivation from a CDC/event stream --
+    consecutive duplicate states (events that change nothing) collapse
+    into their first occurrence. Attribute-state equality uses the
+    unit-separator/NUL encoding of quality.row_fingerprint, so NULL,
+    empty string, and separator-containing values stay distinct.
+
+    ``tiebreak_cols`` must make (key, ts, tiebreaks) a total order when
+    one key can emit several events at the same timestamp -- the collapse
+    depends on event order, so determinism requires it.
+
+    Incremental apply is re-derivation: union the existing history's
+    (valid_from, attrs) version-start rows with the new change batch and
+    run this again -- idempotent by construction. At 100 TB pair it with
+    write.merge_upsert keyed on the dimension key so only touched keys'
+    partitions rewrite.
+
+    Shape: ONE shuffle on the key; both the consecutive-dedup (lag) and
+    the validity chaining (lead) are windows over that same partitioning
+    -- Catalyst plans a single Exchange + sorts."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    parts: list[Column] = []
+    for i, c in enumerate(attr_cols):
+        if i:
+            parts.append(F.lit("\u001f"))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\u0000")))
+    changed = (
+        events.withColumn("__fp", F.concat(*parts))
+        .withColumn("__prev", F.lag("__fp").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__fp") != F.col("__prev")))
+    )
+    return (
+        changed.withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+        .select(
+            *key_cols,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -360,3 +360,70 @@ def zscore_anomalies(
             | F.coalesce(flat_shift, F.lit(False))
         ).alias("is_anomaly"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    step_seconds: int,
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid with
+    forward-fill → (key, bucket_ts, values…, is_gap): every key gets one
+    row per ``step_seconds`` bucket between its first and last
+    observation; buckets with no observation carry the latest prior
+    values (is_gap = true). The resample step before any
+    window/anomaly/retention computation that assumes a dense grid
+    (zscore_anomalies' trailing windows, charting, rate-of-change).
+
+    Multiple observations in one bucket keep the LATEST (by raw ts, ties
+    by value for a total order). The grid is per key — a key's series is
+    never padded beyond its own observed range (global padding would
+    manufacture data before a key existed).
+
+    Shape at 100 TB: one shuffle on the key computes each key's
+    (min, max) bucket span; the dense grid is generated by
+    ``sequence()`` + explode — rows ∝ output size, no join against a
+    calendar table; the fill is one last-non-null window per key in
+    bucket order. Pathologically long spans (a key observed once a year
+    on a 1 s grid) inflate the explode — callers choose ``step_seconds``
+    to match the series cadence."""
+    from pyspark.sql.window import Window as W
+
+    bucket = (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
+    per_bucket = (
+        df.withColumn("__b", bucket)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(key_col, "__b").orderBy(
+                    F.col(ts_col).desc(), *[F.col(c).desc() for c in value_cols]
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "__b", *value_cols)
+    )
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = spans.select(
+        key_col, F.explode(F.sequence("__lo", "__hi")).alias("__b")
+    )
+    joined = grid.join(per_bucket, [key_col, "__b"], "left")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = joined.select(
+        F.col(key_col),
+        F.to_timestamp(F.col("__b") * step_seconds).alias("bucket_ts"),
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+        F.col(value_cols[0]).isNull().alias("is_gap"),
+    )
+    return filled

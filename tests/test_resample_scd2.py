@@ -1,0 +1,106 @@
+"""resample_ffill (temporal.py) and events_to_scd2 (relational.py) tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import relational as rel
+from bullet_spark_spark.operators import temporal as tmp
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_resample_fills_gaps_and_flags_them(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(0, 30), 1.0), ("a", _ts(3, 10), 4.0)],
+        "k string, ts timestamp, v double",
+    )
+    rows = sorted(
+        tmp.resample_ffill(df, "k", "ts", ["v"], 3600).collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    # hourly grid from hour 0 to hour 3 inclusive
+    assert [r["bucket_ts"].hour for r in rows] == [0, 1, 2, 3]
+    assert [r["v"] for r in rows] == [1.0, 1.0, 1.0, 4.0]
+    assert [r["is_gap"] for r in rows] == [False, True, True, False]
+
+
+def test_resample_latest_wins_within_bucket(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(0, 10), 1.0), ("a", _ts(0, 50), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    (row,) = tmp.resample_ffill(df, "k", "ts", ["v"], 3600).collect()
+    assert row["v"] == 2.0 and not row["is_gap"]
+
+
+def test_resample_grid_is_per_key(spark):
+    # key b observed only at hour 5: no padding back to key a's range
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", _ts(2), 2.0), ("b", _ts(5), 9.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = tmp.resample_ffill(df, "k", "ts", ["v"], 3600)
+    assert out.filter(F.col("k") == "b").count() == 1
+    assert out.filter(F.col("k") == "a").count() == 3
+
+
+def test_scd2_collapses_runs_and_chains_validity(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", "LOW", _ts(1), 1),
+            ("c1", "LOW", _ts(2), 2),     # no-op event: same state
+            ("c1", "HIGH", _ts(3), 3),
+            ("c1", "LOW", _ts(4), 4),     # back to LOW = NEW version
+        ],
+        "k string, prio string, ts timestamp, seq long",
+    )
+    rows = sorted(
+        rel.events_to_scd2(df, ["k"], ["prio"], "ts", ["seq"]).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["prio"], r["valid_from"].hour) for r in rows] == [
+        ("LOW", 1), ("HIGH", 3), ("LOW", 4)
+    ]
+    assert [r["valid_to"].hour if r["valid_to"] else None for r in rows] == [3, 4, None]
+    assert [r["is_current"] for r in rows] == [False, False, True]
+
+
+def test_scd2_null_vs_empty_attr_are_distinct_states(spark):
+    df = spark.createDataFrame(
+        [("c1", None, _ts(1), 1), ("c1", "", _ts(2), 2)],
+        "k string, a string, ts timestamp, seq long",
+    )
+    rows = rel.events_to_scd2(df, ["k"], ["a"], "ts", ["seq"]).collect()
+    assert len(rows) == 2  # NULL -> '' is a real change
+
+
+def test_scd2_reapply_is_idempotent(spark):
+    # re-deriving from history's version starts + an empty batch = same history
+    df = spark.createDataFrame(
+        [("c1", "A", _ts(1), 1), ("c1", "B", _ts(5), 2)],
+        "k string, a string, ts timestamp, seq long",
+    )
+    hist = rel.events_to_scd2(df, ["k"], ["a"], "ts", ["seq"])
+    replay = hist.select(
+        "k", "a", F.col("valid_from").alias("ts"), F.lit(0).alias("seq")
+    )
+    hist2 = rel.events_to_scd2(replay, ["k"], ["a"], "ts", ["seq"])
+    a = {(r["k"], r["a"], r["valid_from"], r["valid_to"]) for r in hist.collect()}
+    b = {(r["k"], r["a"], r["valid_from"], r["valid_to"]) for r in hist2.collect()}
+    assert a == b
+
+
+def test_scd2_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("c1", "A", _ts(1), 1)], "k string, a string, ts timestamp, seq long"
+    )
+    plan = (
+        rel.events_to_scd2(df, ["k"], ["a"], "ts", ["seq"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1  # lag + lead share one key shuffle
