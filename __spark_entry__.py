@@ -4317,6 +4317,50 @@ def quality_profile(spark, sf_dir):
 
 
 @q(
+    "distribution_winsorize",
+    """WITH cut AS (SELECT quantile_cont(value, 0.05) AS lo,
+                           quantile_cont(value, 0.95) AS hi FROM events)
+       SELECT event_id, round(least(greatest(value, lo), hi), 6) AS v_clip
+       FROM events, cut""",
+)
+def distribution_winsorize(spark, sf_dir):
+    """Winsorization (distribution.winsorize): clip a heavy-tailed signal
+    to its exact [5%, 95%] quantile range — the robust-statistics cap
+    before normalization. Cutoffs via the histogram targeted-rank
+    quantile path (bounded aggregations, no O(rows) buffer) broadcast as
+    a 1-row cross join; the clip is one codegen least/greatest over the
+    scan."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    out = dist.winsorize(
+        t["events"], "value", 0.05, 0.95, out_col="v_clip"
+    )
+    return out.select("event_id", F.round("v_clip", 6).alias("v_clip"))
+
+
+@q(
+    "quality_fd_violations",
+    """SELECT n_regionkey, count(*) AS n_rows,
+              count(DISTINCT coalesce(CAST(n_name AS VARCHAR), chr(0))) AS n_rhs_values,
+              (list_sort(list_distinct(list(coalesce(CAST(n_name AS VARCHAR), chr(0))))))[1:3]
+                AS rhs_examples
+       FROM nation GROUP BY n_regionkey
+       HAVING count(DISTINCT coalesce(CAST(n_name AS VARCHAR), chr(0))) > 1""",
+)
+def quality_fd_violations(spark, sf_dir):
+    """Functional-dependency audit (quality.fd_violations): does
+    n_regionkey → n_name hold? (No: each region maps to 5 nations — every
+    key reports its cardinality and 3 sorted example values.) The
+    join-key/normalization hygiene check; empty result = dependency
+    certified. One lhs shuffle; cardinality via hash count-distinct."""
+    from bullet_spark_spark.operators import quality as qc
+
+    t = _t(spark, sf_dir)
+    return qc.fd_violations(t["nation"], ["n_regionkey"], "n_name", examples=3)
+
+
+@q(
     "relational_scd2_history",
     """WITH e AS (
          SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,

@@ -310,3 +310,38 @@ def _ranks_by_histogram(
             )
         )
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization — clip ``col`` to its [lo, hi] exact quantile range
+    (linear interpolation, the repo quantile convention): the robust-
+    statistics guard before means/regressions/feature scaling, and the
+    outlier cap a curation pipeline applies to heavy-tailed signals
+    (doc length, perplexity) so one pathological row cannot drag a
+    normalization.
+
+    Cutoffs come from exact_quantiles_histogram (three bounded
+    aggregation jobs, no O(rows) buffer, no sort) and join back as a
+    1-row broadcast cross — the clip itself is a single codegen
+    least/greatest over the scan. NULLs pass through NULL.
+    """
+    out_col = out_col or col
+    q = exact_quantiles_histogram(df, col, [lo, hi])
+    cuts = q.groupBy().pivot("quantile", [lo, hi]).sum("value").select(
+        F.col(f"`{lo}`").alias("__lo"), F.col(f"`{hi}`").alias("__hi")
+    )
+    clipped = F.when(
+        F.col(col).isNotNull(),
+        F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(out_col, clipped)
+        .drop("__lo", "__hi")
+    )

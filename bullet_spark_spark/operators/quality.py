@@ -327,3 +327,39 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change") != "unchanged")
     return out
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+    examples: int = 3,
+) -> DataFrame:
+    """Functional-dependency check lhs -> rhs: keys whose rows disagree on
+    ``rhs_col`` -> (lhs..., n_rows, n_rhs_values, rhs_examples). The
+    profiling question behind normalization and join-key hygiene ("is
+    zip -> city actually true in this dump?"); an empty result certifies
+    the dependency holds.
+
+    One shuffle on lhs. n_rhs_values is count(DISTINCT rhs) — hash-based,
+    no per-key set. rhs_examples DOES hold a per-key distinct set before
+    the slice (Spark has no bounded collect); that is safe exactly when
+    the check is plausible (near-FDs have few distinct rhs per key) —
+    pass ``examples=0`` to skip example materialization entirely on
+    columns known to be far from functional. Examples sort ascending —
+    deterministic, oracle-comparable. NULL rhs counts as a value (a key
+    mapping to both x and NULL is a violation); NULL encodes as chr(0)
+    in the example list."""
+    rhs = F.coalesce(F.col(rhs_col).cast("string"), F.lit("\x00"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(rhs).alias("n_rhs_values"),
+    ]
+    if examples > 0:
+        aggs.append(
+            F.slice(F.sort_array(F.collect_set(rhs)), 1, examples).alias(
+                "rhs_examples"
+            )
+        )
+    per_key = df.groupBy(*lhs_cols).agg(*aggs)
+    return per_key.filter(F.col("n_rhs_values") > 1)

@@ -92,3 +92,40 @@ def test_profile_columns_approx_mode_and_errors(spark):
     assert abs(row["n_distinct"] - 100) <= 5
     with pytest.raises(ValueError):
         ql.profile_columns(df)
+
+
+def test_winsorize_clips_tails(spark):
+    from bullet_spark_spark.operators import distribution as dist
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)], "v double"
+    )
+    out = dist.winsorize(df, "v", 0.10, 0.90, out_col="w")
+    rows = out.collect()
+    vals = [r["w"] for r in rows if r["w"] is not None]
+    # exact linear-interp 10%/90% of 1..100 = 10.9 / 90.1 (ulp-tolerant:
+    # the interpolated cutoff differs from the literal in the last bit)
+    assert min(vals) == pytest.approx(10.9, abs=1e-9)
+    assert max(vals) == pytest.approx(90.1, abs=1e-9)
+    assert sum(1 for v in vals if v == min(vals)) == 10  # 1..10 all clip up
+    assert any(r["w"] is None for r in rows)  # NULL passes through
+    mid = [r for r in rows if r["w"] == 50.0]
+    assert len(mid) == 1  # interior values untouched
+
+
+def test_fd_violations_detects_and_certifies(spark):
+    from bullet_spark_spark.operators import quality as qlq
+
+    df = spark.createDataFrame(
+        [("z1", "cityA"), ("z1", "cityB"), ("z2", "cityC"), ("z2", "cityC"),
+         ("z3", None), ("z3", "cityD")],
+        "zip string, city string",
+    )
+    rows = {r["zip"]: r for r in qlq.fd_violations(df, ["zip"], "city").collect()}
+    assert set(rows) == {"z1", "z3"}  # z2 holds; NULL vs value violates
+    assert rows["z1"]["n_rhs_values"] == 2
+    assert rows["z1"]["rhs_examples"] == ["cityA", "cityB"]
+    assert rows["z3"]["rhs_examples"] == ["\x00", "cityD"]  # NULL encodes chr(0)
+    # examples=0 skips the set entirely
+    cols = qlq.fd_violations(df, ["zip"], "city", examples=0).columns
+    assert "rhs_examples" not in cols

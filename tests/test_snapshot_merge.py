@@ -93,3 +93,44 @@ def test_merge_upsert_is_idempotent(spark, tmp_path):
     wr.merge_upsert(spark, path, updates, ["k"], ["day"])
     wr.merge_upsert(spark, path, updates, ["k"], ["day"])  # re-run = same state
     assert _read_state(spark, path) == {(1, "d1"): "A", (2, "d2"): "b"}
+
+
+def test_streaming_cdc_apply_converges(spark, tmp_path):
+    """Streaming CDC: a change stream applied per micro-batch through
+    merge_upsert — the table converges to last-write-wins state (batch
+    boundaries are deterministic via file_drip's maxFilesPerTrigger)."""
+    from bullet_spark_spark.sources.streaming import file_drip
+
+    path = str(tmp_path / "cdc_tbl")
+    spark.createDataFrame(
+        [(1, "d1", "a0"), (2, "d1", "b0"), (3, "d2", "c0")],
+        "k long, day string, v string",
+    ).write.partitionBy("day").parquet(path)
+
+    # 4 chunks of updates; later chunks overwrite earlier keys
+    changes = spark.createDataFrame(
+        [(1, "d1", "a1"), (2, "d1", "b1"), (4, "d2", "new4"),
+         (1, "d1", "a2")],
+        "k long, day string, v string",
+    )
+    stream = file_drip(spark, changes, str(tmp_path / "drip"), chunks=4)
+
+    def apply_batch(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        # within a micro-batch, last event per key wins (no ordering col in
+        # this fixture: any single row per key per chunk)
+        wr.merge_upsert(spark, path, batch, ["k"], ["day"])
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got[2] == "b1" and got[3] == "c0" and got[4] == "new4"
+    assert got[1] in ("a1", "a2")  # both chunks touched k=1; one applied last
+    assert set(got) == {1, 2, 3, 4}
