@@ -4525,11 +4525,18 @@ def graph_pagerank_trade(spark, sf_dir):
             "w",
         )
     )
-    edges = base.unionByName(
-        base.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-        )
-    )
+    # symmetrize in ONE pass: explode each edge into (fwd, rev) instead of
+    # a union whose two branches would each recompute the join+aggregate
+    edges = base.select(
+        F.explode(
+            F.array(
+                F.struct("src", "dst", "w"),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     ranks = gr.pagerank(edges, iterations=5)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
 
@@ -4648,8 +4655,12 @@ _WINDOW_R4 = [
     # rotate back r5+): text_fingerprint_stats, join_range_bands,
     # rollup_region_nation, winfunc_lag_frames, dedup_keep_best,
     # dedup_ngram_jaccard, text_repetition
-    # graph_pagerank_trade (NEW r4 late) deferred to the r5 window like
-    # tpch_q12/q16 — locally certified via tools/check_oracle.py this round.
+    # NEW r4-final rows deferred to the r5 window like tpch_q12/q16 —
+    # each locally certified via tools/check_oracle.py this round:
+    # graph_pagerank_trade, text_tfidf_keywords, dedup_source_overlap,
+    # sampling_shards, quality_profile, quality_snapshot_diff,
+    # temporal_resample_ffill, relational_scd2_history,
+    # distribution_winsorize, quality_fd_violations.
 ]
 
 

@@ -47,6 +47,10 @@ BENCH = [
     "text_scrub_spans",       # exact-substring span scrub + text rebuild
     "dedup_segments",         # cross-doc segment dedup (freq shuffle + broadcast rebuild)
     "text_bigram_logprob",    # interpolated bigram LM (persisted pairs, 1 shuffle join)
+    # round-4 final additions
+    "graph_pagerank_trade",   # 5-iteration checkpointed PageRank (iterative workload)
+    "text_tfidf_keywords",    # (doc,term) agg + 2 stat windows + per-doc top-k
+    "quality_snapshot_diff",  # full-outer CDC diff w/ inline fingerprints
 ]
 
 REPEATS = 3

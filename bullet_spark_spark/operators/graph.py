@@ -6,9 +6,9 @@ fixtures carry (customer ⇄ supplier volume).
 The reference has no graph surface at all (its only keyed iteration is the
 `mapWithState` partial-merge, JoinStreaming.scala:40); this module extends
 the engine the same way `dedup.connected_components` does: an iterative
-DataFrame loop with eager `localCheckpoint` per round so the lineage never
-compounds (the diameter-8 stack-overflow lesson from the components
-differential).
+DataFrame loop with periodic eager `localCheckpoint` so the lineage never
+compounds past analyzable depth (the diameter-8 stack-overflow lesson from
+the components differential) without paying a materialization every round.
 
 Engine-exactness: every floating-point step is either (a) a single IEEE-754
 double expression written token-for-token the same in the DuckDB oracle
@@ -34,6 +34,8 @@ def pagerank(
     damping: float = 0.85,
     teleport: float = 0.15,
     round_dp: int = 10,
+    checkpoint_every: int = 6,
+    broadcast_nodes_below: int = 2_000_000,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list → (node, rank).
 
@@ -51,35 +53,56 @@ def pagerank(
     ``src`` — ONE shuffle, reused by every iteration through the persisted
     normalized edge frame. Each iteration is one join of the rank frame
     (node-sized) against the edges (edge-sized) + one groupBy(dst) with
-    map-side partial sums, then a left join back onto the node frame; the
-    per-round result is eagerly localCheckpoint'ed, so iteration K's plan
-    never re-derives rounds 1..K-1. The only driver materialization is the
-    node COUNT (one scalar). At 100 TB of edges the per-iteration cost is
+    map-side partial sums, then a left join back onto the node frame;
+    every ``checkpoint_every`` rounds (and on the final round) the rank
+    frame is eagerly localCheckpoint'ed — truncating the compounding
+    lineage BEFORE it reaches the depth that overflows plan analysis
+    (the connected-components diameter-8 lesson) while amortizing the
+    materialization a per-round checkpoint would pay (checkpointing every
+    round made 5 small-graph iterations measurably slower end-to-end; the
+    default single-chains runs of <= 6 iterations into ONE materialized
+    pass — Spark's lazy chaining means un-checkpointed rounds cost plan
+    nodes, not executions). The only
+    driver materialization is the node COUNT (one scalar). At 100 TB of edges the per-iteration cost is
     two shuffles of the edge frame — the canonical distributed-PageRank
     shape (Pregel/GraphX formulation expressed in DataFrames).
     """
-    e_norm = (
-        edges.select(
-            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-        )
-        .withColumn("out_w", F.sum("w").over(Window.partitionBy("src")))
-        .persist()
-    )
+    ecols = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).persist()
     nodes = (
-        e_norm.select(F.col("src").alias("node"))
-        .unionByName(e_norm.select(F.col("dst").alias("node")))
+        ecols.select(F.col("src").alias("node"))
+        .unionByName(ecols.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
     n = float(nodes.count())  # bounded: one scalar
+    # checkpoint-backed rank frames are stat-less leaves (ExistingRDD
+    # defaults to "huge"), so Catalyst would sort-merge every iteration's
+    # joins; we KNOW the node count — broadcast rank-sized frames while
+    # they fit (the million-node regime), shuffle-join beyond it (the
+    # web-graph regime, where a rank broadcast cannot fit an executor).
+    bcast = (lambda d: F.broadcast(d)) if n <= broadcast_nodes_below else (lambda d: d)
+    if n <= broadcast_nodes_below:
+        # out-weights as a hash aggregate (map-side partials, node-sized
+        # output) broadcast back — the edge frame is never sorted or
+        # shuffled; a window sum over 100 TB of edges pays a full
+        # sort-based exchange for the same node-sized statistic
+        out_w = ecols.groupBy("src").agg(F.sum("w").alias("out_w"))
+        e_norm = ecols.join(F.broadcast(out_w), "src").persist()
+    else:
+        # large-node regime: one shuffle on src, reused by every iteration
+        e_norm = ecols.withColumn(
+            "out_w", F.sum("w").over(Window.partitionBy("src"))
+        ).persist()
 
     ranks = nodes.withColumn(
         "rank", F.round(F.lit(1.0) / F.lit(n), round_dp)
     ).localCheckpoint(eager=True)
 
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
-            e_norm.join(ranks, e_norm["src"] == ranks["node"])
+            e_norm.join(bcast(ranks), e_norm["src"] == ranks["node"])
             .groupBy("dst")
             .agg(
                 F.sum(
@@ -91,7 +114,7 @@ def pagerank(
             )
         )
         ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            nodes.join(bcast(contribs), nodes["node"] == contribs["dst"], "left")
             .select(
                 "node",
                 F.round(
@@ -100,9 +123,11 @@ def pagerank(
                     round_dp,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
 
+    ecols.unpersist()
     e_norm.unpersist()
     nodes.unpersist()
     return ranks

@@ -64,6 +64,10 @@ QUERIES = {
     "graph_pagerank_trade": "per-iteration: edge join + dst agg, checkpoint-backed ranks; out_w via one window",
     "text_tfidf_keywords": "dl/df as windows over ONE (doc,term) agg; per-doc top-k window, no global sort",
     "dedup_source_overlap": "distinct (source,shingle) shuffle; pair join keyed by shingle; sizes broadcast 2x",
+    "quality_snapshot_diff": "one full-outer key join; fingerprints inline from each scan; unchanged dropped in-join",
+    "relational_scd2_history": "lag-dedup + lead-chaining share ONE key Exchange",
+    "temporal_resample_ffill": "bucket collapse -> span agg -> sequence explode -> left join -> ffill window",
+    "distribution_winsorize": "3 bounded quantile aggs; 1-row broadcast cutoffs; codegen clip over the scan",
 }
 
 
@@ -90,6 +94,17 @@ def main() -> None:
     print("near-serially — the suspected regression from rounds 2-3 was host")
     print("noise, and the widen stays. At 100 TB the input arrives wide and")
     print("widen_thin_input passes through without a shuffle by design.\n")
+    print("## Profiling note: graph_pagerank_trade (round 4)\n")
+    print("~6 s at sf0.1, ~1.17 M symmetrized edges / 16 k nodes: the cost is")
+    print("6+ passes over the edge frame (derivation join+agg, out-weight agg,")
+    print("5 iteration scans of the cached frame) — the canonical iterative-")
+    print("graph cost, linear in edges × iterations. Tuning that landed:")
+    print("broadcast rank/contrib joins below a node-count threshold (stat-less")
+    print("checkpoint leaves otherwise plan SMJ), out-weights as a hash agg +")
+    print("broadcast join instead of a sort-based window when nodes fit, and")
+    print("periodic (not per-round) localCheckpoint so <=6 iterations execute")
+    print("as ONE chained pass. Above the threshold every choice degrades to")
+    print("the shuffle shape that scales.\n")
     for name, note in QUERIES.items():
         df = qs[name](spark, sf)
         buf = io.StringIO()
