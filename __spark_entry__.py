@@ -4317,6 +4317,30 @@ def quality_profile(spark, sf_dir):
 
 
 @q(
+    "relational_unpivot",
+    """SELECT o_orderkey, metric, round(value, 6) AS value
+       FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+                    CAST(o_custkey AS DOUBLE) AS custkey
+             FROM orders WHERE o_orderkey < 500)
+       UNPIVOT (value FOR metric IN (totalprice, custkey))""",
+)
+def relational_unpivot(spark, sf_dir):
+    """Unpivot/melt (relational.unpivot — the inverse of the pivot row):
+    wide metric columns to tidy (id, metric, value) rows via Spark's
+    native Expand — one scan, rows ×k, no shuffle. Mixed metric types
+    surface as the least common type (double here, pinned by casts so
+    the oracle schema agrees)."""
+    t = _t(spark, sf_dir)
+    wide = t["orders"].filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    out = rel.unpivot(wide, ["o_orderkey"], ["totalprice", "custkey"])
+    return out.select("o_orderkey", "metric", F.round("value", 6).alias("value"))
+
+
+@q(
     "distribution_winsorize",
     """WITH cut AS (SELECT quantile_cont(value, 0.05) AS lo,
                            quantile_cont(value, 0.95) AS hi FROM events)
@@ -4660,7 +4684,7 @@ _WINDOW_R4 = [
     # graph_pagerank_trade, text_tfidf_keywords, dedup_source_overlap,
     # sampling_shards, quality_profile, quality_snapshot_diff,
     # temporal_resample_ffill, relational_scd2_history,
-    # distribution_winsorize, quality_fd_violations.
+    # distribution_winsorize, quality_fd_violations, relational_unpivot.
 ]
 
 

@@ -193,3 +193,24 @@ def events_to_scd2(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def unpivot(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Unpivot/melt — wide metrics to tidy (ids…, metric, value) rows, the
+    inverse of pivot and the shape every per-metric groupBy/window wants.
+    Built on Spark's native ``DataFrame.unpivot`` (Expand: one scan, rows
+    ×len(value_cols), no shuffle); values are cast to a common type by
+    Spark's least-common-type rule, so mixed int/double metric sets
+    surface as double."""
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )

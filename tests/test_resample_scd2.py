@@ -104,3 +104,24 @@ def test_scd2_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 1  # lag + lead share one key shuffle
+
+
+def test_unpivot_round_trips_pivot(spark):
+    wide = spark.createDataFrame(
+        [(1, 10.0, 0.5), (2, 20.0, 0.7)], "k long, a double, b double"
+    )
+    tall = rel.unpivot(wide, ["k"], ["a", "b"], "m", "v")
+    assert tall.count() == 4
+    got = {(r["k"], r["m"]): r["v"] for r in tall.collect()}
+    assert got == {(1, "a"): 10.0, (1, "b"): 0.5, (2, "a"): 20.0, (2, "b"): 0.7}
+    back = tall.groupBy("k").pivot("m", ["a", "b"]).sum("v")
+    assert {tuple(r) for r in back.collect()} == {(1, 10.0, 0.5), (2, 20.0, 0.7)}
+
+
+def test_unpivot_no_shuffle(spark):
+    wide = spark.createDataFrame([(1, 1.0, 2.0)], "k long, a double, b double")
+    plan = (
+        rel.unpivot(wide, ["k"], ["a", "b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
