@@ -4317,6 +4317,76 @@ def quality_profile(spark, sf_dir):
 
 
 @q(
+    "quality_correlations",
+    """WITH s AS (SELECT count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s0,
+         CAST(sum(CAST(round(l_quantity * l_quantity, 8) AS DECIMAL(28,8))) AS DOUBLE) AS q0,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(l_extendedprice * l_extendedprice, 8) AS DECIMAL(28,8))) AS DOUBLE) AS q1,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(round(l_discount * l_discount, 8) AS DECIMAL(28,8))) AS DOUBLE) AS q2,
+         CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s3,
+         CAST(sum(CAST(round(l_tax * l_tax, 8) AS DECIMAL(28,8))) AS DOUBLE) AS q3,
+         CAST(sum(CAST(round(l_quantity * l_extendedprice, 8) AS DECIMAL(28,8))) AS DOUBLE) AS p0_1,
+         CAST(sum(CAST(round(l_quantity * l_discount, 8) AS DECIMAL(28,8))) AS DOUBLE) AS p0_2,
+         CAST(sum(CAST(round(l_quantity * l_tax, 8) AS DECIMAL(28,8))) AS DOUBLE) AS p0_3,
+         CAST(sum(CAST(round(l_extendedprice * l_discount, 8) AS DECIMAL(28,8))) AS DOUBLE) AS p1_2,
+         CAST(sum(CAST(round(l_extendedprice * l_tax, 8) AS DECIMAL(28,8))) AS DOUBLE) AS p1_3,
+         CAST(sum(CAST(round(l_discount * l_tax, 8) AS DECIMAL(28,8))) AS DOUBLE) AS p2_3
+         FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
+       SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+              CASE WHEN sqrt((CAST(n AS DOUBLE) * q0 - s0 * s0) * (CAST(n AS DOUBLE) * q1 - s1 * s1)) > 0 THEN round((CAST(n AS DOUBLE) * p0_1 - s0 * s1) / sqrt((CAST(n AS DOUBLE) * q0 - s0 * s0) * (CAST(n AS DOUBLE) * q1 - s1 * s1)), 6) END AS corr
+       FROM s
+       UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+              CASE WHEN sqrt((CAST(n AS DOUBLE) * q0 - s0 * s0) * (CAST(n AS DOUBLE) * q2 - s2 * s2)) > 0 THEN round((CAST(n AS DOUBLE) * p0_2 - s0 * s2) / sqrt((CAST(n AS DOUBLE) * q0 - s0 * s0) * (CAST(n AS DOUBLE) * q2 - s2 * s2)), 6) END AS corr
+       FROM s
+       UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+              CASE WHEN sqrt((CAST(n AS DOUBLE) * q0 - s0 * s0) * (CAST(n AS DOUBLE) * q3 - s3 * s3)) > 0 THEN round((CAST(n AS DOUBLE) * p0_3 - s0 * s3) / sqrt((CAST(n AS DOUBLE) * q0 - s0 * s0) * (CAST(n AS DOUBLE) * q3 - s3 * s3)), 6) END AS corr
+       FROM s
+       UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+              CASE WHEN sqrt((CAST(n AS DOUBLE) * q1 - s1 * s1) * (CAST(n AS DOUBLE) * q2 - s2 * s2)) > 0 THEN round((CAST(n AS DOUBLE) * p1_2 - s1 * s2) / sqrt((CAST(n AS DOUBLE) * q1 - s1 * s1) * (CAST(n AS DOUBLE) * q2 - s2 * s2)), 6) END AS corr
+       FROM s
+       UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+              CASE WHEN sqrt((CAST(n AS DOUBLE) * q1 - s1 * s1) * (CAST(n AS DOUBLE) * q3 - s3 * s3)) > 0 THEN round((CAST(n AS DOUBLE) * p1_3 - s1 * s3) / sqrt((CAST(n AS DOUBLE) * q1 - s1 * s1) * (CAST(n AS DOUBLE) * q3 - s3 * s3)), 6) END AS corr
+       FROM s
+       UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+              CASE WHEN sqrt((CAST(n AS DOUBLE) * q2 - s2 * s2) * (CAST(n AS DOUBLE) * q3 - s3 * s3)) > 0 THEN round((CAST(n AS DOUBLE) * p2_3 - s2 * s3) / sqrt((CAST(n AS DOUBLE) * q2 - s2 * s2) * (CAST(n AS DOUBLE) * q3 - s3 * s3)), 6) END AS corr
+       FROM s""",
+)
+def quality_correlations(spark, sf_dir):
+    """Pairwise Pearson correlation matrix (quality.correlation_matrix)
+    over lineitem's numeric measures — the feature-redundancy report next
+    to quality_profile. Every moment is an exact DECIMAL sum in ONE
+    aggregation pass (k(k+3)/2 codegen expressions, one job); the
+    correlation formula runs in double over those exact sums, so the
+    matrix hash-matches DuckDB."""
+    from bullet_spark_spark.operators import quality as qc
+
+    t = _t(spark, sf_dir)
+    return qc.correlation_matrix(
+        t["lineitem"], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@q("sim_pca_project")  # rows-only: eigenvectors are engine-side numerics
+def sim_pca_project(spark, sf_dir):
+    """Distributed PCA (similarity.pca_components/pca_project): embedding
+    compression to the top-8 principal components before ANN/clustering.
+    One mapInPandas pass emits per-batch moment partials (count, Σx,
+    Σxᵀx), reduced engine-side by position with exact decimal sums; the
+    driver eigendecomposes the dim×dim covariance (bounded) and the
+    projection is an Arrow-batched matmul, no shuffle. Eigenvector
+    arithmetic is numpy-side → rows-only; orthonormality, variance
+    ordering and reconstruction error are asserted in tests."""
+    t = _t(spark, sf_dir)
+    out = sim.pca_project(t["embeddings"], "embedding", k=8, out_col="pca")
+    return out.select(
+        "vec_id", F.round(F.element_at("pca", 1), 6).alias("pc1"),
+        F.round(F.element_at("pca", 2), 6).alias("pc2"),
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -4684,7 +4754,8 @@ _WINDOW_R4 = [
     # graph_pagerank_trade, text_tfidf_keywords, dedup_source_overlap,
     # sampling_shards, quality_profile, quality_snapshot_diff,
     # temporal_resample_ffill, relational_scd2_history,
-    # distribution_winsorize, quality_fd_violations, relational_unpivot.
+    # distribution_winsorize, quality_fd_violations, relational_unpivot,
+    # quality_correlations (sim_pca_project is rows-only).
 ]
 
 

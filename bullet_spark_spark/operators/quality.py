@@ -363,3 +363,64 @@ def fd_violations(
         )
     per_key = df.groupBy(*lhs_cols).agg(*aggs)
     return per_key.filter(F.col("n_rhs_values") > 1)
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations → (col_a, col_b, corr) for every
+    unordered column pair — the feature-redundancy report next to
+    profile_columns. Listwise NULL handling: rows with a NULL in ANY of
+    ``cols`` are excluded first (documented; pairwise-complete would need
+    per-pair conditional counts).
+
+    Moments: Σx accumulates as an exact DECIMAL(18,6); each product
+    (x·x, x·y) is ONE IEEE multiplication — bit-identical in every
+    engine — rounded to 8 dp and summed as exact DECIMAL(28,8) (the bm25
+    posture; decimal×decimal would overflow one engine's 38-digit cap or
+    silently lose scale in the other). Everything rides ONE aggregation
+    pass over one scan — k(k+3)/2 codegen expressions, not jobs — and
+    the correlation itself is a single double expression over the exact
+    sums (rounded 6 dp), so the matrix is oracle-exact. The tidy frame
+    explodes an array of structs (the validate() posture)."""
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix() needs at least two columns")
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    prod = lambda a, b: F.round(F.col(a) * F.col(b), 8).cast(  # noqa: E731
+        "decimal(28,8)"
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(18,6)")).cast("double").alias(f"__s{i}")
+        )
+        aggs.append(F.sum(prod(c, c)).cast("double").alias(f"__q{i}"))
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    for i, j in pairs:
+        aggs.append(
+            F.sum(prod(cols[i], cols[j])).cast("double").alias(f"__p{i}_{j}")
+        )
+    row = base.agg(*aggs)
+    n = F.col("__n").cast("double")
+
+    def corr(i, j):
+        num = n * F.col(f"__p{i}_{j}") - F.col(f"__s{i}") * F.col(f"__s{j}")
+        den = F.sqrt(
+            (n * F.col(f"__q{i}") - F.col(f"__s{i}") * F.col(f"__s{i}"))
+            * (n * F.col(f"__q{j}") - F.col(f"__s{j}") * F.col(f"__s{j}"))
+        )
+        return F.when(den > 0, F.round(num / den, 6))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                corr(i, j).alias("corr"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select(
+        "e.col_a", "e.col_b", "e.corr"
+    )

@@ -591,3 +591,120 @@ def brute_force_topk_int8(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+def pca_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit distributed PCA over an ``array<float>`` column → (mean,
+    components[k][dim], explained_variance[k]) — the embedding
+    compression/whitening step before ANN indexing or clustering
+    (k floats per row instead of dim).
+
+    Shape at 100 TB: one mapInPandas pass computes per-Arrow-batch
+    moment partials (count, Σx, flattened Σxᵀx — (1 + dim + dim²)
+    numbers per batch, numpy BLAS inside); partials are reduced
+    ENGINE-side with exact decimal sums keyed by position (a
+    posexplode + groupBy(pos) — associative, order-independent), so the
+    driver sees exactly dim² + dim + 1 scalars regardless of corpus
+    size. Eigendecomposition of the dim×dim covariance runs on the
+    driver (dim ≲ few thousand — numpy eigh on a 4096² matrix is
+    seconds); eigenvector SIGN is normalized (largest-|coord| positive)
+    so the fit is deterministic up to eigenvalue ties."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "xtx": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(
+        partials, schema="n double, s array<double>, xtx array<double>"
+    )
+    # engine-side exact reduce: decimal sums per position over the tiny
+    # partial frame; n rides as position 0 so ONE pass covers everything
+    moments = (
+        part.select(
+            F.posexplode(
+                F.concat(F.array(F.col("n")), F.col("s"), F.col("xtx"))
+            )
+        )
+        .groupBy("pos")
+        .agg(F.sum(F.col("col").cast("decimal(38,12)")).cast("double").alias("v"))
+        .collect()
+    )  # bounded: 1 + dim + dim^2 rows
+    vals = {r["pos"]: r["v"] for r in moments}
+    n_total = vals[0]
+    if not n_total:
+        raise ValueError("pca_components: empty input")
+    s = np.array([vals[1 + i] for i in range(dim)])
+    xtx = np.array(
+        [vals[1 + dim + i] for i in range(dim * dim)]
+    ).reshape(dim, dim)
+    mean = s / n_total
+    cov = xtx / n_total - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:k]
+    comps = []
+    variances = []
+    for idx in order:
+        v = eigvec[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:  # deterministic sign
+            v = -v
+        comps.append(v.tolist())
+        variances.append(float(max(eigval[idx], 0.0)))
+    return mean.tolist(), comps, variances
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    out_col: str = "pca",
+    fitted: tuple | None = None,
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components →
+    ``out_col`` (array<double>, length k). ``fitted`` re-uses a
+    (mean, components, variances) fit from :func:`pca_components`
+    (train-once / apply-everywhere); otherwise fits on ``df``. The
+    projection is one Arrow-batched matmul per batch — no shuffle, no
+    per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    mean, comps, _ = fitted or pca_components(df, vec_col, k)
+    M = np.asarray(comps)  # k x dim
+    mu = np.asarray(mean)
+
+    def project(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = pdf.copy()
+            out[out_col] = ((X - mu) @ M.T).tolist() if len(X) else []
+            yield out
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    # StructType.add MUTATES in place — never call it on df.schema
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    return df.mapInPandas(project, schema=schema)
