@@ -4386,6 +4386,22 @@ def sim_pca_project(spark, sf_dir):
     )
 
 
+@q("sim_pca_ann")  # rows-only: eigenvector arithmetic is engine-side
+def sim_pca_ann(spark, sf_dir):
+    """PCA-compressed ANN (similarity.pca_ann_topk): coarse Euclidean
+    ranking in the top-8 component space (8× cheaper per pair than
+    64-dim cosine), k×4 candidates per query, exact full-dimension
+    cosine re-rank — the third ANN family beside LSH and IVF. Recall vs
+    brute force asserted in tests/test_pca_corr.py."""
+    t = _t(spark, sf_dir)
+    queries = (
+        t["embeddings"].filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    )
+    return sim.pca_ann_topk(t["embeddings"], queries, k=5, pca_k=8)
+
+
 @q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value

@@ -708,3 +708,81 @@ def pca_project(
         + [StructField(out_col, ArrayType(DoubleType()))]
     )
     return df.mapInPandas(project, schema=schema)
+
+
+def pca_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pca_k: int = 8,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k through PCA compression: coarse-rank by
+    EUCLIDEAN distance in the top-``pca_k`` component space (distances
+    are preserved best-in-class under a linear projection; cosine is not,
+    since projection does not commute with normalization), keep
+    ``k × rerank_factor`` candidates per query, then re-rank those by
+    exact full-dimension cosine. The third ANN family next to LSH
+    (random hyperplanes) and IVF (trained centroids): best when the
+    spectrum decays fast — pca_k of 8-32 captures most variance of
+    typical text embeddings, an 8-32× cheaper coarse pass.
+
+    Scale shape: the fit is pca_components (one corpus pass, bounded
+    reduce); both sides project via Arrow matmul; the coarse pass is a
+    crossJoin against BROADCAST projected queries scoring pca_k-dim
+    distances (cheap row-local arithmetic), pruned per query by a
+    window; only candidate rows join back (by id) for exact scoring —
+    the full-dim vectors never pairwise-join."""
+    fit = pca_components(corpus, vec_col, pca_k)
+    pc = pca_project(corpus, vec_col, pca_k, out_col="__p", fitted=fit).select(
+        id_col, "__p"
+    )
+    pq = pca_project(
+        queries.withColumnRenamed(query_vec_col, vec_col),
+        vec_col,
+        pca_k,
+        out_col="__q",
+        fitted=fit,
+    ).select(query_id_col, "__q")
+    d2 = F.aggregate(
+        F.zip_with(F.col("__p"), F.col("__q"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        pc.crossJoin(F.broadcast(pq))
+        .select(query_id_col, id_col, d2.alias("__d2"))
+    )
+    wc = W.partitionBy(query_id_col).orderBy(F.col("__d2").asc(), F.col(id_col).asc())
+    cands = (
+        coarse.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= k * rerank_factor)
+        .select(query_id_col, id_col)
+    )
+    # exact re-rank on the candidate set only
+    cand_vecs = cands.join(corpus.select(id_col, vec_col), id_col)
+    q_full = queries.select(query_id_col, query_vec_col).withColumn(
+        "__qn", norm(F.col(query_vec_col))
+    )
+    scored = (
+        cand_vecs.join(F.broadcast(q_full), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot(F.col(query_vec_col), F.col(vec_col))
+                / (F.col("__qn") * norm(F.col(vec_col))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

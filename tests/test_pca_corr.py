@@ -101,3 +101,28 @@ def test_correlation_matrix_single_scan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan") <= 1
+
+
+def test_pca_ann_recall_vs_exact(spark):
+    rng = np.random.default_rng(11)
+    # clustered corpus: fast-decaying spectrum (PCA-friendly)
+    centers = rng.normal(size=(5, 16)) * 3.0
+    X = np.vstack([c + rng.normal(size=(40, 16)) * 0.4 for c in centers])
+    corpus = _vec_df(spark, X)
+    Q = X[:8] + rng.normal(size=(8, 16)) * 0.05
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(Q)],
+        "query_id long, query_vec array<float>",
+    )
+    exact = sim.brute_force_topk(corpus, queries, k=5)
+    approx = sim.pca_ann_topk(corpus, queries, k=5, pca_k=4, rerank_factor=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8  # coarse PCA prune + exact re-rank keeps most
+    # and the sims it reports are EXACT (full-dim cosine)
+    e_sims = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in e_sims:
+            assert r["sim"] == e_sims[key]
