@@ -4403,6 +4403,46 @@ def sim_pca_ann(spark, sf_dir):
 
 
 @q(
+    "text_chunk_sentences",
+    """WITH raw AS (
+         SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_extract_all(text, '([^.!?]+[.!?]+|[^.!?]+$)', 1),
+                    x -> trim(x)),
+                  x -> len(x) > 0) AS sents
+         FROM documents),
+       e AS (SELECT doc_id,
+                    unnest([{'i': i, 's': sents[i]}
+                            FOR i IN range(1, len(sents) + 1)]) AS u
+             FROM raw),
+       tok AS (SELECT doc_id, u.i AS i, u.s AS s,
+                      len(string_split(regexp_replace(trim(lower(u.s)),
+                                                      '\\s+', ' ', 'g'), ' ')) AS nt
+               FROM e),
+       cum AS (SELECT doc_id, i, s, nt,
+                      coalesce(sum(nt) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+               FROM tok)
+       SELECT doc_id, CAST(floor(before / 40) AS BIGINT) AS chunk,
+              string_agg(s, ' ' ORDER BY i) AS text,
+              sum(nt) AS n_tokens
+       FROM cum GROUP BY doc_id, CAST(floor(before / 40) AS BIGINT)""",
+)
+def text_chunk_sentences(spark, sf_dir):
+    """Sentence-aware chunking (text.chunk_by_sentences): sentences packed
+    into ~40-token chunks WITHOUT cutting mid-sentence (soft budget:
+    chunk = floor(tokens_before / budget)) — the RAG/embedding-index
+    chunker beside text_chunk_windows' fixed windows. RE2-safe sentence
+    regex → identical splits in both engines; reassembly is an
+    array_sort over collected (idx, sentence) structs, deterministic
+    under any partitioning."""
+    t = _t(spark, sf_dir)
+    return tx.chunk_by_sentences(t["documents"], "doc_id", "text", 40)
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -4771,7 +4811,8 @@ _WINDOW_R4 = [
     # sampling_shards, quality_profile, quality_snapshot_diff,
     # temporal_resample_ffill, relational_scd2_history,
     # distribution_winsorize, quality_fd_violations, relational_unpivot,
-    # quality_correlations (sim_pca_project is rows-only).
+    # quality_correlations, text_chunk_sentences (sim_pca_project and
+    # sim_pca_ann are rows-only).
 ]
 
 

@@ -970,3 +970,80 @@ def tfidf_keywords(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+_SENTENCE_RE = r"([^.!?]+[.!?]+|[^.!?]+$)"
+
+
+def split_sentences(text: Column) -> Column:
+    """Array of sentences: maximal runs ending in ./!/? (or the trailing
+    fragment), trimmed, empties dropped. RE2-safe pattern (no lookbehind)
+    so Spark's Java regex and DuckDB's RE2 produce identical arrays —
+    the splitter is oracle-exact. A heuristic splitter by design:
+    abbreviation periods ("Dr.") split — the price of engine-portable
+    regex; a model-based splitter belongs in a mapInPandas stage.
+    Punctuation-only text ("...") has no sentence content and yields
+    an empty array (every run needs >= 1 non-terminator char)."""
+    parts = F.regexp_extract_all(text, F.lit(_SENTENCE_RE), 1)
+    return F.filter(
+        F.transform(parts, lambda s: F.trim(s)), lambda s: F.length(s) > 0
+    )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 40,
+) -> DataFrame:
+    """Sentence-aware document chunking → (id, chunk, text, n_tokens):
+    sentences are packed left-to-right into chunks of ~``budget_tokens``
+    whitespace tokens WITHOUT splitting any sentence — the
+    RAG/embedding-index chunker that respects meaning boundaries, vs
+    chunk_documents' fixed token windows that cut mid-sentence.
+
+    Soft-budget semantics (deterministic and SQL-expressible): sentence
+    j goes to chunk floor(tokens_before_j / budget) — a chunk may
+    overflow by its last sentence (never undershoots; a sentence longer
+    than the budget gets its own chunk). True greedy reset-packing is
+    sequential; this cumulative formulation gives the same boundaries
+    whenever sentences are shorter than the budget, and it runs as one
+    window, not a loop.
+
+    Shape at 100 TB: sentence explode (rows ∝ sentences) → ONE window
+    partitioned by doc (cumulative token count) → one groupBy (doc,
+    chunk) whose order-sensitive reassembly is an array_sort over
+    collected (idx, sentence) structs — deterministic under any
+    partitioning, no driver involvement."""
+    from pyspark.sql.window import Window as W
+
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(split_sentences(F.col(text_col))).alias("__i", "__s"),
+    ).withColumn("__nt", F.size(tokens(F.col("__s"))))
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("__i")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = sents.withColumn(
+        "chunk",
+        F.floor(
+            F.coalesce(F.sum("__nt").over(w), F.lit(0)) / F.lit(budget_tokens)
+        ).cast("long"),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__i"), F.col("__s")))
+                    ),
+                    lambda x: x["__s"],
+                ),
+            ).alias("text"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+    )

@@ -108,3 +108,48 @@ def test_source_overlap_dedups_within_source(spark):
     # shingle one, shingle two} = 3, B's = 2
     assert row["n_shared"] == 1
     assert row["jaccard"] == pytest.approx(1 / (3 + 2 - 1), abs=1e-6)
+
+
+def test_split_sentences_edges(spark):
+    df = spark.createDataFrame(
+        [("One. Two! Three?",), ("no terminator",), ("",), (None,),
+         ("...",), ("Tail. fragment",)],
+        "text string",
+    )
+    rows = df.select(tx.split_sentences(F.col("text")).alias("s")).collect()
+    assert rows[0]["s"] == ["One.", "Two!", "Three?"]
+    assert rows[1]["s"] == ["no terminator"]
+    assert rows[2]["s"] == []
+    assert rows[3]["s"] is None
+    assert rows[4]["s"] == []  # punctuation-only: no sentence content
+    assert rows[5]["s"] == ["Tail.", "fragment"]
+
+
+def test_chunk_by_sentences_respects_boundaries(spark):
+    # 3 sentences of 4 tokens each, budget 8: sentences 1-2 (before=0,4)
+    # land in chunk 0; sentence 3 (before=8) starts chunk 1. No sentence
+    # is ever split across chunks.
+    text = "a b c d. e f g h. i j k l."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        tx.chunk_by_sentences(df, "doc_id", "text", 8).collect(),
+        key=lambda r: r["chunk"],
+    )
+    assert [(r["chunk"], r["text"], r["n_tokens"]) for r in rows] == [
+        (0, "a b c d. e f g h.", 8),
+        (1, "i j k l.", 4),
+    ]
+
+
+def test_chunk_by_sentences_oversized_sentence_gets_own_chunk(spark):
+    text = "short one. " + " ".join(f"w{i}" for i in range(20)) + ". tail."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        tx.chunk_by_sentences(df, "doc_id", "text", 5).collect(),
+        key=lambda r: r["chunk"],
+    )
+    texts = [r["text"] for r in rows]
+    # the 21-token sentence appears intact in exactly one chunk
+    assert sum("w0" in t and "w19" in t for t in texts) == 1
+    # chunk ids strictly increase and reassembly preserves order
+    assert " ".join(texts) == text

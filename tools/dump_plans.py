@@ -68,6 +68,8 @@ QUERIES = {
     "relational_scd2_history": "lag-dedup + lead-chaining share ONE key Exchange",
     "temporal_resample_ffill": "bucket collapse -> span agg -> sequence explode -> left join -> ffill window",
     "distribution_winsorize": "3 bounded quantile aggs; 1-row broadcast cutoffs; codegen clip over the scan",
+    "quality_correlations": "k(k+3)/2 moments in ONE agg over one scan; explode of a struct array",
+    "relational_unpivot": "native Expand inside the scan stage; zero Exchange",
 }
 
 
