@@ -120,7 +120,9 @@ def test_stream_stream_interval_join(spark, tables, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # availableNow terminates on completion; under a loaded host 180 s was
+    # not always enough and a silent timeout read a half-filled sink
+    assert q.awaitTermination(600), "interval-join stream did not finish"
     got = sorted((r[0], r[1]) for batch in sink.batches for r in batch)
 
     cb = ensure_event_time(clicks_b, "click_ts")
