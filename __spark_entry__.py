@@ -4443,6 +4443,29 @@ def text_chunk_sentences(spark, sf_dir):
 
 
 @q(
+    "bql_lateral_explode",
+    """SELECT word, count(*) AS cnt
+       FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+       GROUP BY word HAVING count(*) >= 50 ORDER BY cnt DESC, word ASC""",
+)
+def bql_lateral_explode(spark, sf_dir):
+    """BQL LATERAL VIEW EXPLODE front door (bullet-core 1.5 table
+    functions via bullet-bql's LATERAL VIEW grammar [D]): tokenize inside
+    the query text, aggregate over the exploded rows. Compiles to
+    Catalyst Generate inside the scan stage — the explode itself never
+    shuffles."""
+    from bullet_spark_spark.sql import bql
+
+    _t(spark, sf_dir)
+    return bql(
+        spark,
+        "SELECT word, COUNT(*) AS cnt FROM documents "
+        "LATERAL VIEW EXPLODE(SPLIT(LOWER(text), ' ')) AS word "
+        "GROUP BY word HAVING cnt >= 50 ORDER BY cnt DESC, word ASC",
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -4811,7 +4834,8 @@ _WINDOW_R4 = [
     # sampling_shards, quality_profile, quality_snapshot_diff,
     # temporal_resample_ffill, relational_scd2_history,
     # distribution_winsorize, quality_fd_violations, relational_unpivot,
-    # quality_correlations, text_chunk_sentences (sim_pca_project and
+    # quality_correlations, text_chunk_sentences, bql_lateral_explode
+    # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]
 

@@ -248,6 +248,12 @@ class NAry(Expr):
             return F.substring(ops[0], ops[1], length)
         if op == "IF":
             return F.when(ops[0], ops[1]).otherwise(ops[2])
+        if op == "SPLIT":
+            # pattern must be a literal: F.split takes a Java-regex STRING
+            pat = self.operands[1]
+            if not isinstance(pat, Value):
+                raise ValueError("SPLIT pattern must be a literal string")
+            return F.split(ops[0], str(pat.value))
         if op == "FILTER":
             # FILTER(list, mask-list): keep list[i] where mask[i] (bullet-core NAry FILTER)
             return F.filter(

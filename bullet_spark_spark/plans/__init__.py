@@ -1,5 +1,6 @@
 from bullet_spark_spark.plans.spec import (
     Query,
+    Explode,
     Projection,
     RawAgg,
     GroupAgg,
@@ -18,7 +19,7 @@ from bullet_spark_spark.plans.spec import (
 from bullet_spark_spark.plans.compiler import compile_query
 
 __all__ = [
-    "Query", "Projection", "RawAgg", "GroupAgg", "CountDistinctAgg",
+    "Query", "Explode", "Projection", "RawAgg", "GroupAgg", "CountDistinctAgg",
     "DistributionAgg", "DistributionType", "TopKAgg", "Having", "OrderBy",
     "Computation", "Culling", "Window", "WindowUnit", "AggOp", "compile_query",
 ]

@@ -13,6 +13,7 @@ Grammar (case-insensitive keywords)::
 
     SELECT select_list
     FROM ( STREAM([duration_ms[, TIME]]) | identifier )
+    [LATERAL VIEW [OUTER] EXPLODE(expr) AS alias[, alias2]]
     [WHERE expr] [GROUP BY fields] [HAVING expr]
     [ORDER BY field [ASC|DESC] (, ...)*]
     [WINDOWING ( EVERY(n, TIME|RECORD, FIRST|ALL) | TUMBLING(n, TIME|RECORD) )]
@@ -83,6 +84,7 @@ _KEYWORDS = {
     "WINDOWING", "AS", "AND", "OR", "NOT", "XOR", "IN", "BETWEEN", "IS",
     "NULL", "TRUE", "FALSE", "LIKE", "RLIKE", "ASC", "DESC", "DISTINCT",
     "STREAM", "EVERY", "TUMBLING", "TIME", "RECORD", "FIRST", "ALL",
+    "LATERAL", "VIEW", "OUTER", "EXPLODE",
 }
 
 _AGG_KEYWORDS = {"COUNT", "APPROX_COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE", "FREQ", "CUMFREQ"}
@@ -90,7 +92,7 @@ _AGG_KEYWORDS = {"COUNT", "APPROX_COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG", "
 _SCALAR_FNS = {
     "ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "HASH", "UNIX_TIMESTAMP",
     "SUBSTRING", "CONCAT", "IF", "CAST", "STRLEN", "CONTAINSKEY", "CONTAINSVALUE",
-    "FILTER", "SIZEIS",
+    "FILTER", "SIZEIS", "SPLIT",
 }
 
 
@@ -171,6 +173,7 @@ class _Parser:
         select_items = self._select_list()
         self.expect_kw("FROM")
         source, duration_ms = self._from_clause()
+        explode = self._lateral_view() if self.accept_kw("LATERAL") else None
         filter_expr = self._expr() if self.accept_kw("WHERE") else None
         group_fields: list[str] = []
         if self.accept_kw("GROUP", "BY"):
@@ -197,6 +200,7 @@ class _Parser:
             projection=projection,
             filter=filter_expr,
             aggregation=agg,
+            explode=explode,
             post_aggregations=tuple(post),
             window=window,
             duration_ms=duration_ms,
@@ -279,6 +283,33 @@ class _Parser:
             self.expect_op(")")
             return ("DIST", (name, f, mode, args))
         raise BQLError(f"unknown aggregation {name}")
+
+    def _lateral_view(self):
+        """LATERAL VIEW [OUTER] EXPLODE(expr) AS alias [, key2] — bullet-core
+        1.5 table functions via bullet-bql's LATERAL VIEW grammar [D]. Two
+        aliases = map explode (key, value): ``AS k, v`` or ``AS (k, v)``."""
+        from bullet_spark_spark.plans.spec import Explode
+
+        self.expect_kw("VIEW")
+        outer = bool(self.accept_kw("OUTER"))
+        self.expect_kw("EXPLODE")
+        self.expect_op("(")
+        expr = self._expr()
+        self.expect_op(")")
+        self.expect_kw("AS")
+        parens = bool(self.accept_op("("))
+        names = [self.next().text]
+        while self.accept_op(","):
+            names.append(self.next().text)
+        if parens:
+            self.expect_op(")")
+        if len(names) == 1:
+            return Explode(expr=expr, alias=names[0], outer=outer)
+        if len(names) == 2:
+            return Explode(
+                expr=expr, alias=names[1], key_alias=names[0], outer=outer
+            )
+        raise BQLError("EXPLODE takes one alias (list) or two (map: key, value)")
 
     def _from_clause(self) -> tuple[str, int | None]:
         if self.kw() == "STREAM":
@@ -612,6 +643,10 @@ class _Parser:
             if len(args) != 2:
                 raise BQLError("FILTER takes (list, mask)")
             return NAry("FILTER", args)
+        if name == "SPLIT":
+            if len(args) != 2:
+                raise BQLError("SPLIT takes (string, pattern)")
+            return NAry("SPLIT", args)
         if name == "SIZEIS":
             if len(args) != 2:
                 raise BQLError("SIZEIS takes (container, size)")

@@ -29,6 +29,7 @@ from bullet_spark_spark.plans.spec import (
     Culling,
     DistributionAgg,
     DistributionType,
+    Explode,
     GroupAgg,
     Having,
     OrderBy,
@@ -71,6 +72,15 @@ def compile_query(
 
     if df is None:
         df = spark.table(query.source)
+
+    if query.explode is not None:
+        ex = query.explode
+        gen = F.explode_outer if ex.outer else F.explode
+        col = gen(ex.expr.col())
+        if ex.key_alias:  # map explode emits (key, value)
+            df = df.select("*", col.alias(ex.key_alias, ex.alias))
+        else:
+            df = df.select("*", col.alias(ex.alias))
 
     if query.filter is not None:
         df = df.filter(query.filter.col())

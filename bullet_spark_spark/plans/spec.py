@@ -180,6 +180,21 @@ class Window:
 
 
 @dataclass(frozen=True)
+class Explode:
+    """Table function: LATERAL VIEW [OUTER] EXPLODE — one output row per
+    element of a list (or entry of a map) expression, joined laterally to
+    its source row. bullet-core 1.5 table-function surface exercised via
+    bullet-bql's LATERAL VIEW grammar [D] (the reference executes it
+    inside Querier; our compiler maps it to Catalyst Generate, which
+    stays inside the scan stage — no shuffle)."""
+
+    expr: "Expr"
+    alias: str  # element alias (value alias for maps)
+    key_alias: str | None = None  # set for map explode: (key, value)
+    outer: bool = False  # OUTER: keep rows with empty/null containers
+
+
+@dataclass(frozen=True)
 class Query:
     """The engine's logical query: compiled by plans.compiler to a DataFrame
     plan (batch) or a StreamingQuery spec (streaming.runtime)."""
@@ -188,6 +203,7 @@ class Query:
     projection: Projection = field(default_factory=Projection)
     filter: Expr | None = None
     aggregation: Aggregation = field(default_factory=lambda: RawAgg())
+    explode: Explode | None = None  # LATERAL VIEW, applied before filter
     post_aggregations: Sequence[PostAggregation] = ()
     window: Window = field(default_factory=Window)
     duration_ms: int | None = None  # streaming lifecycle; batch: ignored

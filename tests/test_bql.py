@@ -265,3 +265,68 @@ def test_bql_approx_count_distinct(spark, tables):
         tables["events"].filter(F.col("value") > 50).select("user_id").distinct().count()
     )
     assert abs(got - exact) <= max(2, exact * 0.05)
+
+
+def test_lateral_view_explode_list(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b"]), (3, [])], "id long, tags array<string>"
+    )
+    df.createOrReplaceTempView("tagged")
+    out = bql(
+        spark,
+        "SELECT tag, COUNT(*) AS cnt FROM tagged "
+        "LATERAL VIEW EXPLODE(tags) AS tag GROUP BY tag ORDER BY tag",
+    )
+    assert [(r["tag"], r["cnt"]) for r in out.collect()] == [("a", 1), ("b", 2)]
+
+
+def test_lateral_view_outer_keeps_empty(spark):
+    df = spark.createDataFrame(
+        [(1, ["a"]), (2, [])], "id long, tags array<string>"
+    )
+    df.createOrReplaceTempView("tagged2")
+    out = bql(
+        spark,
+        "SELECT id, tag FROM tagged2 LATERAL VIEW OUTER EXPLODE(tags) AS tag",
+    )
+    got = {(r["id"], r["tag"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, None)}  # OUTER keeps the empty-container row
+
+
+def test_lateral_view_explode_map(spark):
+    df = spark.createDataFrame(
+        [(1, {"x": 10, "y": 20})], "id long, m map<string,int>"
+    )
+    df.createOrReplaceTempView("mapped")
+    out = bql(
+        spark,
+        "SELECT id, k, v FROM mapped "
+        "LATERAL VIEW EXPLODE(m) AS (k, v) ORDER BY k",
+    )
+    assert [(r["k"], r["v"]) for r in out.collect()] == [("x", 10), ("y", 20)]
+
+
+def test_lateral_view_where_sees_exploded_column(spark):
+    df = spark.createDataFrame(
+        [(1, ["keep", "drop"])], "id long, tags array<string>"
+    )
+    df.createOrReplaceTempView("tagged3")
+    out = bql(
+        spark,
+        "SELECT id, tag FROM tagged3 LATERAL VIEW EXPLODE(tags) AS tag "
+        "WHERE tag = 'keep'",
+    )
+    assert [(r["id"], r["tag"]) for r in out.collect()] == [(1, "keep")]
+
+
+def test_split_requires_literal_pattern():
+    q = parse_bql(
+        "SELECT w FROM t LATERAL VIEW EXPLODE(SPLIT(text, ' ')) AS w"
+    )
+    assert q.explode is not None and q.explode.alias == "w"
+    with pytest.raises(BQLError):
+        parse_bql("SELECT w FROM t LATERAL VIEW EXPLODE(SPLIT(text)) AS w")
+    with pytest.raises(BQLError):
+        parse_bql(
+            "SELECT a FROM t LATERAL VIEW EXPLODE(x) AS (a, b, c)"
+        )
