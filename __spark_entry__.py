@@ -4466,6 +4466,24 @@ def bql_lateral_explode(spark, sf_dir):
 
 
 @q(
+    "bql_select_distinct",
+    """SELECT DISTINCT event_type, user_id FROM events WHERE user_id < 40""",
+)
+def bql_select_distinct(spark, sf_dir):
+    """BQL SELECT DISTINCT (bullet-bql sugar for GROUP BY on the selected
+    fields [D]): distinct tuples through the text front door — compiles
+    to the same partial/final HashAggregate as a grouped query with no
+    ops."""
+    from bullet_spark_spark.sql import bql
+
+    _t(spark, sf_dir)
+    return bql(
+        spark,
+        "SELECT DISTINCT event_type, user_id FROM events WHERE user_id < 40",
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -4834,7 +4852,8 @@ _WINDOW_R4 = [
     # sampling_shards, quality_profile, quality_snapshot_diff,
     # temporal_resample_ffill, relational_scd2_history,
     # distribution_winsorize, quality_fd_violations, relational_unpivot,
-    # quality_correlations, text_chunk_sentences, bql_lateral_explode
+    # quality_correlations, text_chunk_sentences, bql_lateral_explode,
+    # bql_select_distinct
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]

@@ -11,7 +11,7 @@ spec compile to the identical Catalyst plan.
 
 Grammar (case-insensitive keywords)::
 
-    SELECT select_list
+    SELECT [DISTINCT] select_list
     FROM ( STREAM([duration_ms[, TIME]]) | identifier )
     [LATERAL VIEW [OUTER] EXPLODE(expr) AS alias[, alias2]]
     [WHERE expr] [GROUP BY fields] [HAVING expr]
@@ -50,6 +50,7 @@ from bullet_spark_spark.functions.exprs import Binary, E, Expr, NAry, Unary, Val
 from bullet_spark_spark.plans.spec import (
     AggOp,
     CountDistinctAgg,
+    Culling,
     DistributionAgg,
     DistributionType,
     GroupAgg,
@@ -170,6 +171,7 @@ class _Parser:
 
     def parse(self) -> Query:
         self.expect_kw("SELECT")
+        distinct = bool(self.accept_kw("DISTINCT"))
         select_items = self._select_list()
         self.expect_kw("FROM")
         source, duration_ms = self._from_clause()
@@ -189,8 +191,17 @@ class _Parser:
         if self.peek() is not None:
             raise BQLError(f"trailing tokens starting at {self.peek()}")
 
+        if distinct:
+            if group_fields:
+                raise BQLError("SELECT DISTINCT cannot be combined with GROUP BY")
+            group_fields = self._distinct_fields(select_items)
         agg, projection = self._build_aggregation(select_items, group_fields, limit)
         post = []
+        if distinct:
+            # GroupAgg with no ops emits bullet's default `count` column;
+            # SELECT DISTINCT surfaces only the fields — cull it (the same
+            # post-agg a user would write, Q14)
+            post.append(Culling(("count",)))
         if having is not None:
             post.append(Having(having))
         if order:
@@ -283,6 +294,22 @@ class _Parser:
             self.expect_op(")")
             return ("DIST", (name, f, mode, args))
         raise BQLError(f"unknown aggregation {name}")
+
+    def _distinct_fields(self, items) -> list[str]:
+        """SELECT DISTINCT f1, f2 — bullet-bql sugar for GROUP BY on the
+        selected fields [D] (distinct tuples, no aggregation ops). Plain
+        field references only, matching bullet's documented semantics."""
+        from bullet_spark_spark.functions.exprs import Field
+
+        names: list[str] = []
+        for kind, payload, alias in items:
+            if kind != "expr" or not isinstance(payload, Field) or alias:
+                raise BQLError(
+                    "SELECT DISTINCT takes plain field names (no *, "
+                    "aggregations, computed expressions, or aliases)"
+                )
+            names.append(_default_name(payload))
+        return names
 
     def _lateral_view(self):
         """LATERAL VIEW [OUTER] EXPLODE(expr) AS alias [, key2] — bullet-core

@@ -330,3 +330,20 @@ def test_split_requires_literal_pattern():
         parse_bql(
             "SELECT a FROM t LATERAL VIEW EXPLODE(x) AS (a, b, c)"
         )
+
+
+def test_select_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k long, v string"
+    )
+    df.createOrReplaceTempView("dup_rows")
+    out = bql(spark, "SELECT DISTINCT k, v FROM dup_rows")
+    assert out.columns == ["k", "v"]
+    assert {(r["k"], r["v"]) for r in out.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_select_distinct_rejections():
+    with pytest.raises(BQLError):
+        parse_bql("SELECT DISTINCT * FROM t")
+    with pytest.raises(BQLError):
+        parse_bql("SELECT DISTINCT k FROM t GROUP BY k")
