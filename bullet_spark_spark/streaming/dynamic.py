@@ -212,6 +212,12 @@ class DynamicMultiplexer:
     def register(
         self, query_id: str, spec: Query, rate_limit: RateLimit | None = None
     ) -> DynamicHandle:
+        if spec.explode is not None:
+            raise ValueError(
+                f"query {query_id!r} uses LATERAL VIEW EXPLODE — the shared-"
+                "scan dynamic multiplexer evaluates all queries over ONE row "
+                "space; run explode queries through EngineRuntime.register()"
+            )
         agg = spec.aggregation
         if isinstance(agg, GroupAgg):
             for op, _, _ in agg.operations or [(AggOp.COUNT, None, "count")]:

@@ -422,6 +422,14 @@ class EngineRuntime:
         from bullet_spark_spark.plans.spec import DistributionType as _DT
 
         trigger_ms = trigger_ms or self.config.trigger_ms
+        for qid, spec in specs.items():
+            if spec.explode is not None:
+                raise ValueError(
+                    f"query {qid!r} uses LATERAL VIEW EXPLODE — the shared-"
+                    "scan multiplexer evaluates all queries over ONE row "
+                    "space and cannot expand rows per query; run explode "
+                    "queries through plan-per-query register()"
+                )
         if rate_limit is None and self.config.rate_limit_enable:
             rate_limit = RateLimit(
                 self.config.rate_limit_max_emits, self.config.rate_limit_interval_ms

@@ -347,3 +347,20 @@ def test_select_distinct_rejections():
         parse_bql("SELECT DISTINCT * FROM t")
     with pytest.raises(BQLError):
         parse_bql("SELECT DISTINCT k FROM t GROUP BY k")
+
+
+def test_explode_spec_rejected_by_multiplexers(spark):
+    from bullet_spark_spark.config import EngineConfig
+    from bullet_spark_spark.streaming.dynamic import DynamicMultiplexer
+    from bullet_spark_spark.streaming.runtime import EngineRuntime
+
+    q = parse_bql(
+        "SELECT w, COUNT(*) AS c FROM STREAM() "
+        "LATERAL VIEW EXPLODE(SPLIT(text, ' ')) AS w GROUP BY w"
+    )
+    rt = EngineRuntime(spark, EngineConfig())
+    with pytest.raises(ValueError, match="EXPLODE"):
+        rt.register_multiplexed({"q1": q}, spark.range(1).toDF("text"))
+    dyn = DynamicMultiplexer(spark, EngineConfig())
+    with pytest.raises(ValueError, match="EXPLODE"):
+        dyn.register("q1", q)
