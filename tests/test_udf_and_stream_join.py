@@ -109,8 +109,15 @@ def test_stream_stream_interval_join(spark, tables, tmp_path):
     clicks = file_drip(spark, clicks_b, str(tmp_path / "c"), chunks=3)
     buys = file_drip(spark, buys_b, str(tmp_path / "b"), chunks=3)
 
+    # file_drip chunks are hash-partitioned, NOT time-ordered: with the
+    # default 10-minute watermark, rows older than an already-advanced
+    # watermark drop nondeterministically depending on which chunk a
+    # batch happens to process first (surfaced as a rare full-suite
+    # flake). A watermark wider than the fixture's whole time span makes
+    # every interleaving lossless; production tunes it to real disorder.
     joined = stream_stream_interval_join(
-        clicks, buys, "user_id", "click_ts", "buy_ts", max_delay="10 minutes"
+        clicks, buys, "user_id", "click_ts", "buy_ts",
+        max_delay="10 minutes", watermark="40 days",
     ).select("click_id", "buy_id")
     sink = MemorySink()
     q = (
