@@ -4484,6 +4484,48 @@ def bql_select_distinct(spark, sf_dir):
 
 
 @q(
+    "relational_incremental_agg",
+    """WITH newsnap AS (
+         SELECT doc_id, lang,
+                CASE WHEN doc_id % 5 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+         FROM documents WHERE doc_id % 7 <> 0
+         UNION ALL
+         SELECT doc_id + 100000, lang, n_chars + 5
+         FROM documents WHERE doc_id % 11 = 0)
+       SELECT lang, count(*) AS n_rows,
+              CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sum_chars
+       FROM newsnap GROUP BY lang""",
+)
+def relational_incremental_agg(spark, sf_dir):
+    """Materialized-view maintenance (relational.incremental_group_update):
+    a per-language aggregate over the OLD corpus is patched with only the
+    CDC change rows (before-images negative, after-images positive) — and
+    the oracle checks it against a FULL re-aggregation of the new corpus,
+    proving incremental ≡ recompute exactly (decimal arithmetic
+    end-to-end). Δ-sized work: one change-row groupBy + one key join."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang", "n_chars")
+    base = rel.group_snapshot_agg(docs, ["lang"], [("n_chars", "sum_chars")])
+    changed = F.col("doc_id") % 5 == 0
+    removed = F.col("doc_id") % 7 == 0
+    old_rows = docs.filter(removed | (changed & ~removed))
+    new_rows = (
+        docs.filter(changed & ~removed)
+        .withColumn("n_chars", F.col("n_chars") + 10)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "lang",
+                (F.col("n_chars") + 5).alias("n_chars"),
+            )
+        )
+    )
+    return rel.incremental_group_update(
+        base, old_rows, new_rows, ["lang"], [("n_chars", "sum_chars")]
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -4853,7 +4895,7 @@ _WINDOW_R4 = [
     # temporal_resample_ffill, relational_scd2_history,
     # distribution_winsorize, quality_fd_violations, relational_unpivot,
     # quality_correlations, text_chunk_sentences, bql_lateral_explode,
-    # bql_select_distinct
+    # bql_select_distinct, relational_incremental_agg
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]

@@ -214,3 +214,85 @@ def unpivot(
         var_name,
         value_name,
     )
+
+
+def group_snapshot_agg(
+    rows: DataFrame,
+    keys: list[str],
+    sum_cols: list[tuple[str, str]],
+) -> DataFrame:
+    """The maintainable grouped aggregate: (keys..., n_rows, sums...) with
+    every sum an EXACT DECIMAL(28,6) — the representation
+    incremental_group_update can patch without float drift (a double base
+    plus double deltas diverges from a fresh re-aggregation in the last
+    bits; exact decimals make incremental ≡ recompute, provable by
+    hash)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias(out)
+        for c, out in sum_cols
+    ]
+    return rows.groupBy(*keys).agg(*aggs)
+
+
+def incremental_group_update(
+    base: DataFrame,
+    old_rows: DataFrame,
+    new_rows: DataFrame,
+    keys: list[str],
+    sum_cols: list[tuple[str, str]],
+) -> DataFrame:
+    """Materialized-view maintenance for decomposable aggregates: patch a
+    group_snapshot_agg table with a CDC change set instead of rescanning
+    the corpus — ``old_rows`` are the before-images of changed/removed
+    rows, ``new_rows`` the after-images of changed/added rows (pair with
+    quality.snapshot_diff to find them). count and sum only: they admit
+    retraction (min/max do not — a deleted minimum needs a rescan of its
+    group; callers needing min/max re-aggregate affected groups via
+    write.merge_upsert instead).
+
+    Work is Δ-sized: one union of the change rows → one groupBy(keys)
+    producing per-key deltas (negative for before-images) → one
+    full-outer join against the base (key-partitioned both sides; a
+    bucketed base joins with zero exchange). Groups whose row count
+    reaches zero disappear, new groups appear — the result equals
+    group_snapshot_agg over the post-change corpus EXACTLY (decimal
+    arithmetic end-to-end)."""
+    def tagged(df: DataFrame, sign: int) -> DataFrame:
+        return df.select(
+            *keys,
+            F.lit(sign).cast("long").alias("__dn"),
+            *[
+                (F.col(c).cast("decimal(28,6)") * sign).alias(f"__ds_{out}")
+                for c, out in sum_cols
+            ],
+        )
+
+    delta = (
+        tagged(old_rows, -1)
+        .unionByName(tagged(new_rows, 1))
+        .groupBy(*keys)
+        .agg(
+            F.sum("__dn").alias("__dn"),
+            *[
+                F.sum(f"__ds_{out}").cast("decimal(28,6)").alias(f"__ds_{out}")
+                for _, out in sum_cols
+            ],
+        )
+    )
+    joined = base.join(delta, keys, "full_outer")
+    zero = F.lit(0).cast("decimal(28,6)")
+    out_cols = [
+        (
+            (F.coalesce(F.col(out), zero) + F.coalesce(F.col(f"__ds_{out}"), zero))
+            .cast("decimal(28,6)")
+            .alias(out)
+        )
+        for _, out in sum_cols
+    ]
+    n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
+    return (
+        joined.select(*keys, n.alias("n_rows"), *out_cols)
+        .filter(F.col("n_rows") > 0)
+    )

@@ -125,3 +125,40 @@ def test_unpivot_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_incremental_agg_matches_recompute(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "a", 20.0), (3, "b", 5.25), (4, "c", 1.0)],
+        "k long, g string, v double",
+    )
+    # change k=1 (a: 10.5 -> 11.0), remove k=3 (kills group b... no, b
+    # had only k=3 -> group disappears), add k=9 (new group d)
+    new = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "a", 20.0), (4, "c", 1.0), (9, "d", 7.0)],
+        "k long, g string, v double",
+    )
+    base = rel.group_snapshot_agg(old, ["g"], [("v", "sv")])
+    old_changed = old.filter(F.col("k").isin(1, 3))
+    new_changed = new.filter(F.col("k").isin(1, 9))
+    got = {
+        r["g"]: (r["n_rows"], float(r["sv"]))
+        for r in rel.incremental_group_update(
+            base, old_changed, new_changed, ["g"], [("v", "sv")]
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], float(r["sv"]))
+        for r in rel.group_snapshot_agg(new, ["g"], [("v", "sv")]).collect()
+    }
+    assert got == want
+    assert "b" not in got and got["d"] == (1, 7.0)
+
+
+def test_incremental_agg_noop_change_cancels(spark):
+    old = spark.createDataFrame([(1, "a", 3.0)], "k long, g string, v double")
+    base = rel.group_snapshot_agg(old, ["g"], [("v", "sv")])
+    out = rel.incremental_group_update(
+        base, old, old, ["g"], [("v", "sv")]
+    ).collect()
+    assert [(r["g"], r["n_rows"], float(r["sv"])) for r in out] == [("a", 1, 3.0)]
