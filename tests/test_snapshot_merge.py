@@ -134,3 +134,48 @@ def test_streaming_cdc_apply_converges(spark, tmp_path):
     assert got[2] == "b1" and got[3] == "c0" and got[4] == "new4"
     assert got[1] in ("a1", "a2")  # both chunks touched k=1; one applied last
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_streaming_incremental_view_maintenance(spark, tmp_path):
+    """Streaming materialized view: per micro-batch, arriving after-images
+    patch a grouped aggregate via incremental_group_update; the final
+    table equals a fresh aggregation over everything that arrived."""
+    from bullet_spark_spark.operators import relational as rel
+    from bullet_spark_spark.sources.streaming import file_drip
+
+    seed = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, g string, v double"
+    )
+    view = {"df": rel.group_snapshot_agg(seed, ["g"], [("v", "sv")])
+            .localCheckpoint(eager=True)}
+
+    arrivals = spark.createDataFrame(
+        [(3, "a", 10.0), (4, "c", 5.0), (5, "b", 0.5), (6, "c", 2.5)],
+        "k long, g string, v double",
+    )
+    stream = file_drip(spark, arrivals, str(tmp_path / "drip"), chunks=2)
+
+    def apply_batch(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        empty = batch.filter(F.lit(False))  # inserts only: no before-images
+        view["df"] = rel.incremental_group_update(
+            view["df"], empty, batch, ["g"], [("v", "sv")]
+        ).localCheckpoint(eager=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+
+    got = {r["g"]: (r["n_rows"], float(r["sv"])) for r in view["df"].collect()}
+    want = {
+        r["g"]: (r["n_rows"], float(r["sv"]))
+        for r in rel.group_snapshot_agg(
+            seed.unionByName(arrivals), ["g"], [("v", "sv")]
+        ).collect()
+    }
+    assert got == want
