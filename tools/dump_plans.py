@@ -70,6 +70,8 @@ QUERIES = {
     "distribution_winsorize": "3 bounded quantile aggs; 1-row broadcast cutoffs; codegen clip over the scan",
     "quality_correlations": "k(k+3)/2 moments in ONE agg over one scan; explode of a struct array",
     "relational_unpivot": "native Expand inside the scan stage; zero Exchange",
+    "relational_incremental_agg": "delta-sized change groupBy + one full-outer key join against the base",
+    "bql_lateral_explode": "Generate (explode) inside the scan stage; agg after",
 }
 
 
