@@ -4526,6 +4526,59 @@ def relational_incremental_agg(spark, sf_dir):
 
 
 @q(
+    "behavior_transitions",
+    """WITH s AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events),
+       p AS (SELECT prev AS from_event, event_type AS to_event, count(*) AS n
+             FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+       SELECT from_event, to_event, n,
+              round(CAST(n AS DOUBLE)
+                    / sum(n) OVER (PARTITION BY from_event), 6) AS prob
+       FROM p""",
+)
+def behavior_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (behavior.event_transitions):
+    per-user next-event probabilities — the state-flow model behind
+    funnel design. One user-keyed lag window; the count state is
+    |event types|²; normalization is a window over that tiny frame."""
+    from bullet_spark_spark.operators import behavior as bh
+
+    t = _t(spark, sf_dir)
+    return bh.event_transitions(
+        t["events"], "user_id", "event_type", "ts", tiebreak_col="event_id"
+    )
+
+
+@q(
+    "behavior_top_paths",
+    """WITH r AS (
+         SELECT user_id, event_type,
+                row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS i
+         FROM events),
+       f AS (SELECT user_id, string_agg(event_type, '>' ORDER BY i) AS path
+             FROM r WHERE i <= 5 GROUP BY user_id)
+       SELECT path, count(*) AS n_users FROM f
+       GROUP BY path ORDER BY n_users DESC, path LIMIT 10""",
+)
+def behavior_top_paths(spark, sf_dir):
+    """Top-k initial user journeys (behavior.top_paths): each user's
+    first-5-event sequence, counted across users — the entry-path
+    report. Deterministic reassembly via array_sort of (idx, event)
+    structs; final ranking is TakeOrderedAndProject."""
+    from bullet_spark_spark.operators import behavior as bh
+
+    t = _t(spark, sf_dir)
+    return bh.top_paths(
+        t["events"], "user_id", "event_type", "ts",
+        path_len=5, k=10, tiebreak_col="event_id",
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -4895,7 +4948,8 @@ _WINDOW_R4 = [
     # temporal_resample_ffill, relational_scd2_history,
     # distribution_winsorize, quality_fd_violations, relational_unpivot,
     # quality_correlations, text_chunk_sentences, bql_lateral_explode,
-    # bql_select_distinct, relational_incremental_agg
+    # bql_select_distinct, relational_incremental_agg,
+    # behavior_transitions, behavior_top_paths
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]

@@ -134,3 +134,88 @@ def retention_cohorts(
         )
         .agg(F.countDistinct(key_col).alias("n_active"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences →
+    (from_event, to_event, n, prob): how users move between states, the
+    next-step model behind funnel design and anomaly watch ("purchase →
+    refund spiked"). prob = n / Σ n over the same from_event, rounded 6 dp
+    (exact count ratios — engine-portable).
+
+    ``tiebreak_col`` makes (key, ts, tiebreak) a total order when one key
+    emits simultaneous events (same requirement as events_to_scd2).
+
+    Shape at 100 TB: ONE shuffle keyed by user (the lag window), then a
+    transition-count aggregate whose state is |event types|² — tiny; the
+    per-from normalization is a window over that tiny frame."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = W.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__prev", F.lag(F.col(event_col)).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_event"),
+            F.col(event_col).alias("to_event"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy("from_event"))
+    return pairs.withColumn(
+        "prob", F.round(F.col("n").cast("double") / total, 6)
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    path_len: int = 5,
+    k: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-k initial user journeys → (path, n_users): each key's first
+    ``path_len`` events (in time order) joined with '>', counted across
+    keys — the entry-path report (which onboarding sequences dominate).
+    Ties in the ranking break by path string; ties in event order break
+    by ``tiebreak_col`` (required for a deterministic path when
+    timestamps collide).
+
+    Shape: one user-keyed window (rank events, keep first path_len), one
+    per-user reassembly via array_sort of (idx, event) structs — the
+    chunk_by_sentences discipline, deterministic under any partitioning —
+    then a path-keyed count and TakeOrderedAndProject."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = W.partitionBy(key_col).orderBy(*order)
+    firsts = (
+        df.withColumn("__i", F.row_number().over(w))
+        .filter(F.col("__i") <= path_len)
+    )
+    paths = firsts.groupBy(key_col).agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__i"), F.col(event_col)))
+                ),
+                lambda x: x[event_col],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(k)
+    )

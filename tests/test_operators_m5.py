@@ -1217,3 +1217,41 @@ def test_audio_spectral_features_tone_vs_noise(spark):
     assert out[1]["flatness"] < 0.01
     assert out[2]["flatness"] > 0.2
     assert out[2]["bandwidth_hz"] > out[1]["bandwidth_hz"]
+
+
+def test_event_transitions_probabilities(spark):
+    import datetime as dt
+
+    from bullet_spark_spark.operators import behavior as bh
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # u1: A->B->A ; u2: A->B ; so from A: B twice (prob 1.0); from B: A once
+    for i, (u, ev) in enumerate(
+        [(1, "A"), (1, "B"), (1, "A"), (2, "A"), (2, "B")]
+    ):
+        rows.append((u, ev, t0 + dt.timedelta(minutes=i), i))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    got = {
+        (r["from_event"], r["to_event"]): (r["n"], r["prob"])
+        for r in bh.event_transitions(df, tiebreak_col="event_id").collect()
+    }
+    assert got == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+def test_top_paths_orders_and_truncates(spark):
+    import datetime as dt
+
+    from bullet_spark_spark.operators import behavior as bh
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # two users share path A>B; one user has a 7-event path truncated to 5
+    for u, evs in [(1, "AB"), (2, "AB"), (3, "ABCDEFG")]:
+        for i, ev in enumerate(evs):
+            rows.append((u, ev, t0 + dt.timedelta(minutes=i), i))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    out = bh.top_paths(df, path_len=5, k=10, tiebreak_col="event_id").collect()
+    assert [(r["path"], r["n_users"]) for r in out] == [
+        ("A>B", 2), ("A>B>C>D>E", 1)
+    ]
