@@ -4579,6 +4579,31 @@ def behavior_top_paths(spark, sf_dir):
 
 
 @q(
+    "distribution_mad_outliers",
+    """WITH m AS (SELECT round(quantile_cont(value, 0.5), 6) AS med FROM events),
+       d AS (SELECT round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+             FROM events, m)
+       SELECT event_id, round(value, 6) AS value,
+              abs(value - med) > 3.0 * mad AS is_outlier
+       FROM events, m, d""",
+)
+def distribution_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier flags (distribution.mad_outliers): the
+    50%-breakdown sibling of zscore_anomalies — both statistics via the
+    histogram targeted-rank quantile path (bounded aggregations, two
+    scans), stats rounded 6 dp on both engines so fence-sitting rows
+    flag identically; the flag is one codegen comparison over the
+    scan."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    out = dist.mad_outliers(t["events"], "value", k=3.0, round_stats_dp=6)
+    return out.select(
+        "event_id", F.round("value", 6).alias("value"), "is_outlier"
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -4949,7 +4974,7 @@ _WINDOW_R4 = [
     # distribution_winsorize, quality_fd_violations, relational_unpivot,
     # quality_correlations, text_chunk_sentences, bql_lateral_explode,
     # bql_select_distinct, relational_incremental_agg,
-    # behavior_transitions, behavior_top_paths
+    # behavior_transitions, behavior_top_paths, distribution_mad_outliers
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]

@@ -345,3 +345,45 @@ def winsorize(
         .withColumn(out_col, clipped)
         .drop("__lo", "__hi")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    k: float = 3.0,
+    flag_col: str = "is_outlier",
+    round_stats_dp: int | None = None,
+) -> DataFrame:
+    """Median-absolute-deviation outlier flags: a row is an outlier when
+    |x − median| > k · MAD, MAD = median(|x − median|) — the robust
+    sibling of zscore_anomalies (mean/std are dragged by the very
+    outliers they hunt; median/MAD have a 50% breakdown point) and of
+    winsorize (which caps instead of flagging). k≈3 on MAD corresponds
+    to ≈2σ under normality (1 MAD ≈ 0.6745σ).
+
+    Both statistics ride exact_quantiles_histogram — bounded
+    aggregations, no O(rows) buffer, no sort — and broadcast back as
+    1-row crosses; the flag itself is one codegen comparison over the
+    scan. Zero-MAD columns (>50% constant values) flag any deviation
+    from the median, not nothing. NULLs get NULL flags.
+    ``round_stats_dp`` rounds med/MAD before comparing — the cross-engine
+    oracle posture (interpolated medians differ in the last ulp between
+    engines, which could flip a row sitting exactly on the fence)."""
+    med = float(
+        exact_quantiles_histogram(df, col, [0.5]).collect()[0]["value"]
+    )  # bounded: one scalar
+    if round_stats_dp is not None:
+        med = round(med, round_stats_dp)
+    dev = df.select(F.abs(F.col(col) - F.lit(med)).alias("__d"))
+    mad = float(
+        exact_quantiles_histogram(dev, "__d", [0.5]).collect()[0]["value"]
+    )
+    if round_stats_dp is not None:
+        mad = round(mad, round_stats_dp)
+    threshold = F.lit(k) * F.lit(mad)
+    flag = F.when(
+        F.col(col).isNotNull(),
+        F.when(F.lit(mad) > 0, F.abs(F.col(col) - F.lit(med)) > threshold)
+        .otherwise(F.abs(F.col(col) - F.lit(med)) > 0),
+    )
+    return df.withColumn(flag_col, flag)

@@ -129,3 +129,19 @@ def test_fd_violations_detects_and_certifies(spark):
     # examples=0 skips the set entirely
     cols = qlq.fd_violations(df, ["zip"], "city", examples=0).columns
     assert "rhs_examples" not in cols
+
+
+def test_mad_outliers_flags_and_zero_mad(spark):
+    from bullet_spark_spark.operators import distribution as dist
+
+    # median 5, MAD = 1 (deviations 0..4 -> median 2? construct simply):
+    vals = [1.0, 4.0, 5.0, 5.0, 6.0, 9.0, 100.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r["v"]: r["is_outlier"] for r in dist.mad_outliers(df, "v", k=3.0).collect()}
+    assert rows[100.0] is True     # far tail flagged
+    assert rows[5.0] is False      # the median is never an outlier
+    assert rows[None] is None      # NULL passes through as NULL
+    # zero-MAD: >50% constant — any deviation flags
+    df2 = spark.createDataFrame([(2.0,), (2.0,), (2.0,), (7.0,)], "v double")
+    rows2 = [(r["v"], r["is_outlier"]) for r in dist.mad_outliers(df2, "v").collect()]
+    assert (7.0, True) in rows2 and (2.0, False) in rows2
