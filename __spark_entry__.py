@@ -4604,6 +4604,67 @@ def distribution_mad_outliers(spark, sf_dir):
 
 
 @q(
+    "temporal_period_over_period",
+    """WITH b AS (
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+                CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+         FROM events GROUP BY 1)
+       SELECT bucket_start, value,
+              lag(value) OVER (ORDER BY bucket_start) AS prev_value,
+              CASE WHEN lag(value) OVER (ORDER BY bucket_start) IS NOT NULL
+                    AND lag(value) OVER (ORDER BY bucket_start) <> 0
+                   THEN round((value - lag(value) OVER (ORDER BY bucket_start))
+                              / lag(value) OVER (ORDER BY bucket_start), 6)
+              END AS pct_change
+       FROM b""",
+)
+def temporal_period_over_period(spark, sf_dir):
+    """Day-over-day growth (temporal.period_over_period): exact-decimal
+    daily sums + a lag window over the bucket-count-sized frame —
+    pct_change NULL for the first day and zero-denominator days."""
+    t = _t(spark, sf_dir)
+    return tmp.period_over_period(t["events"], "ts", "value", "day", "sum")
+
+
+@q(
+    "behavior_ab_test",
+    """WITH a AS (
+         SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_c,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_t,
+                sum(CASE WHEN event_type = 'click'
+                         THEN coalesce(CAST(value > 100 AS INT), 0) ELSE 0 END) AS s_c,
+                sum(CASE WHEN event_type = 'purchase'
+                         THEN coalesce(CAST(value > 100 AS INT), 0) ELSE 0 END) AS s_t
+         FROM events)
+       SELECT n_c AS n_control, n_t AS n_treatment,
+              CASE WHEN n_c > 0 THEN round(s_c / n_c, 6) END AS rate_control,
+              CASE WHEN n_t > 0 THEN round(s_t / n_t, 6) END AS rate_treatment,
+              CASE WHEN n_c > 0 AND n_t > 0 AND s_c / n_c <> 0
+                   THEN round((s_t / n_t - s_c / n_c) / (s_c / n_c), 6) END AS lift,
+              CASE WHEN n_c > 0 AND n_t > 0
+                    AND sqrt(((s_c + s_t) / (n_c + n_t))
+                             * (1 - (s_c + s_t) / (n_c + n_t))
+                             * (1.0 / n_c + 1.0 / n_t)) > 0
+                   THEN round((s_t / n_t - s_c / n_c)
+                              / sqrt(((s_c + s_t) / (n_c + n_t))
+                                     * (1 - (s_c + s_t) / (n_c + n_t))
+                                     * (1.0 / n_c + 1.0 / n_t)), 6)
+              END AS z_score
+       FROM a""",
+)
+def behavior_ab_test(spark, sf_dir):
+    """Two-proportion z-test (behavior.ab_test_report): click-cohort vs
+    purchase-cohort high-value rates — exact counts, single-expression
+    double ratios identical across engines, one aggregation pass."""
+    from bullet_spark_spark.operators import behavior as bh
+
+    t = _t(spark, sf_dir)
+    return bh.ab_test_report(
+        t["events"], "event_type", F.col("value") > 100, "click", "purchase"
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -4974,7 +5035,8 @@ _WINDOW_R4 = [
     # distribution_winsorize, quality_fd_violations, relational_unpivot,
     # quality_correlations, text_chunk_sentences, bql_lateral_explode,
     # bql_select_distinct, relational_incremental_agg,
-    # behavior_transitions, behavior_top_paths, distribution_mad_outliers
+    # behavior_transitions, behavior_top_paths, distribution_mad_outliers,
+    # temporal_period_over_period, behavior_ab_test
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]

@@ -20,7 +20,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -218,4 +218,55 @@ def top_paths(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(k)
+    )
+
+
+def ab_test_report(
+    df: DataFrame,
+    variant_col: str,
+    success: Column,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Two-proportion z-test between a control and a treatment variant →
+    one row: (n_control, n_treatment, rate_control, rate_treatment,
+    lift, z_score) — the experimentation readout over stored events the
+    reference's forward-only streams cannot answer retroactively.
+
+    z = (p_t − p_c) / sqrt(p̂(1−p̂)(1/n_c + 1/n_t)) with p̂ the pooled
+    rate. Counts are exact; every ratio is a single double expression
+    (identical in any engine); rates/lift/z rounded 6 dp. Degenerate
+    inputs (an empty variant, pooled rate 0 or 1) yield NULL z rather
+    than a division error.
+
+    ONE aggregation pass over one scan — four conditional counts."""
+    is_c = F.col(variant_col) == control
+    is_t = F.col(variant_col) == treatment
+    s = F.coalesce(success.cast("int"), F.lit(0))
+    row = df.agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(is_c, s).otherwise(0)).alias("s_c"),
+        F.sum(F.when(is_t, s).otherwise(0)).alias("s_t"),
+    )
+    p_c = F.col("s_c") / F.col("n_c")
+    p_t = F.col("s_t") / F.col("n_t")
+    pooled = (F.col("s_c") + F.col("s_t")) / (F.col("n_c") + F.col("n_t"))
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
+    )
+    z = F.when(
+        (F.col("n_c") > 0) & (F.col("n_t") > 0) & (se > 0),
+        F.round((p_t - p_c) / se, 6),
+    )
+    return row.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.when(F.col("n_c") > 0, F.round(p_c, 6)).alias("rate_control"),
+        F.when(F.col("n_t") > 0, F.round(p_t, 6)).alias("rate_treatment"),
+        F.when(
+            (F.col("n_c") > 0) & (F.col("n_t") > 0) & (p_c != 0),
+            F.round((p_t - p_c) / p_c, 6),
+        ).alias("lift"),
+        z.alias("z_score"),
     )

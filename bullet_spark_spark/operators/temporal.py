@@ -427,3 +427,44 @@ def resample_ffill(
         F.col(value_cols[0]).isNull().alias("is_gap"),
     )
     return filled
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+    agg: str = "sum",
+) -> DataFrame:
+    """Period-over-period growth → (bucket_start, value, prev_value,
+    pct_change): the BI staple (DoD/WoW/MoM deltas). ``agg`` ∈ sum/count;
+    sums accumulate as exact decimals (engine-order-independent), the
+    comparison is against the PREVIOUS EXISTING bucket (gaps compare to
+    the last observed period — resample_ffill first if strict-calendar
+    adjacency is required). pct_change = (v − prev)/prev rounded 6 dp,
+    NULL for the first bucket and for prev = 0.
+
+    One aggregation to #buckets rows; the lag window runs over that tiny
+    frame (single partition by construction — harmless at any corpus
+    size because the frame is bucket-count-sized)."""
+    from pyspark.sql.window import Window as W
+
+    if agg == "sum":
+        a = F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
+    elif agg == "count":
+        a = F.count(F.lit(1)).cast("double")
+    else:
+        raise ValueError(f"period_over_period supports sum/count, got {agg!r}")
+    b = (
+        df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket_start"))
+        .agg(a.alias("value"))
+    )
+    w = W.partitionBy().orderBy("bucket_start")
+    out = b.withColumn("prev_value", F.lag("value").over(w))
+    pct = F.when(
+        F.col("prev_value").isNotNull() & (F.col("prev_value") != 0),
+        F.round(
+            (F.col("value") - F.col("prev_value")) / F.col("prev_value"), 6
+        ),
+    )
+    return out.withColumn("pct_change", pct)

@@ -1255,3 +1255,45 @@ def test_top_paths_orders_and_truncates(spark):
     assert [(r["path"], r["n_users"]) for r in out] == [
         ("A>B", 2), ("A>B>C>D>E", 1)
     ]
+
+
+def test_period_over_period_growth(spark):
+    import datetime as dt
+
+    from bullet_spark_spark.operators import temporal as tp
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 5), 10.0),
+        (dt.datetime(2024, 1, 1, 9), 10.0),
+        (dt.datetime(2024, 1, 2, 3), 30.0),
+        (dt.datetime(2024, 1, 4, 1), 15.0),  # Jan 3 missing: compares to Jan 2
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = sorted(
+        tp.period_over_period(df, "ts", "value", "day").collect(),
+        key=lambda r: r["bucket_start"],
+    )
+    assert [r["value"] for r in out] == [20.0, 30.0, 15.0]
+    assert out[0]["pct_change"] is None          # first bucket
+    assert out[1]["pct_change"] == 0.5           # 20 -> 30
+    assert out[2]["pct_change"] == -0.5          # 30 -> 15 (gap skips Jan 3)
+
+
+def test_ab_test_report_math_and_degenerates(spark):
+    from bullet_spark_spark.operators import behavior as bh
+
+    rows = [("c", 1)] * 20 + [("c", 0)] * 80 + [("t", 1)] * 40 + [("t", 0)] * 60
+    df = spark.createDataFrame(rows, "variant string, success int")
+    (r,) = bh.ab_test_report(
+        df, "variant", F.col("success") == 1, "c", "t"
+    ).collect()
+    assert (r["n_control"], r["n_treatment"]) == (100, 100)
+    assert (r["rate_control"], r["rate_treatment"]) == (0.2, 0.4)
+    assert r["lift"] == 1.0
+    # z = (0.4-0.2)/sqrt(0.3*0.7*(0.02)) ~= 3.086067
+    assert abs(r["z_score"] - 3.086067) < 1e-6
+    # degenerate: missing treatment variant -> NULLs, no crash
+    (r2,) = bh.ab_test_report(
+        df.filter(F.col("variant") == "c"), "variant", F.col("success") == 1, "c", "t"
+    ).collect()
+    assert r2["n_treatment"] == 0 and r2["z_score"] is None
