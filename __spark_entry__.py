@@ -4665,6 +4665,82 @@ def behavior_ab_test(spark, sf_dir):
 
 
 @q(
+    "pipeline_warehouse_sync",
+    """WITH oldsnap AS (SELECT doc_id, lang, n_chars FROM documents),
+       newsnap AS (
+         SELECT doc_id, lang,
+                CASE WHEN doc_id % 5 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+         FROM documents WHERE doc_id % 7 <> 0
+         UNION ALL
+         SELECT doc_id + 100000, lang, n_chars + 5
+         FROM documents WHERE doc_id % 11 = 0),
+       full_agg AS (
+         SELECT lang, count(*) AS n_rows,
+                CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sum_chars
+         FROM newsnap GROUP BY lang),
+       old_agg AS (SELECT lang, count(*) AS old_n FROM oldsnap GROUP BY lang)
+       SELECT f.lang, f.n_rows, f.sum_chars,
+              round(CAST(f.n_rows - o.old_n AS DOUBLE) / o.old_n, 6) AS rows_change_pct
+       FROM full_agg f JOIN old_agg o ON f.lang = o.lang""",
+)
+def pipeline_warehouse_sync(spark, sf_dir):
+    """CAPSTONE (warehouse family): the CDC loop composed end-to-end and
+    hash-checked as ONE row set — snapshot_diff finds the change rows
+    (diff-DRIVEN, not predicate-driven: the before/after images are
+    selected by semi-joining the diff), incremental_group_update patches
+    the per-language aggregate with Δ-sized work, and the report adds
+    row-count drift vs the old base. The oracle computes the aggregate
+    by FULL re-aggregation of the new corpus — so the hash match proves
+    diff → patch ≡ recompute through the whole composition."""
+    from bullet_spark_spark.operators import quality as qc
+
+    t = _t(spark, sf_dir)
+    old = t["documents"].select("doc_id", "lang", "n_chars")
+    new = (
+        old.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.col("n_chars") + 10
+            ).otherwise(F.col("n_chars")),
+        )
+        .unionByName(
+            old.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "lang",
+                (F.col("n_chars") + 5).alias("n_chars"),
+            )
+        )
+    )
+    diff = qc.snapshot_diff(old, new, ["doc_id"], ["lang", "n_chars"]).persist()
+    old_changed = old.join(
+        diff.filter(F.col("change").isin("changed", "removed")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    new_changed = new.join(
+        diff.filter(F.col("change").isin("changed", "added")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    base = rel.group_snapshot_agg(old, ["lang"], [("n_chars", "sum_chars")]).persist()
+    updated = rel.incremental_group_update(
+        base, old_changed, new_changed, ["lang"], [("n_chars", "sum_chars")]
+    )
+    report = updated.join(
+        F.broadcast(base.select("lang", F.col("n_rows").alias("old_n"))), "lang"
+    ).select(
+        "lang",
+        "n_rows",
+        "sum_chars",
+        F.round(
+            (F.col("n_rows") - F.col("old_n")).cast("double") / F.col("old_n"), 6
+        ).alias("rows_change_pct"),
+    )
+    return report
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -5036,7 +5112,7 @@ _WINDOW_R4 = [
     # quality_correlations, text_chunk_sentences, bql_lateral_explode,
     # bql_select_distinct, relational_incremental_agg,
     # behavior_transitions, behavior_top_paths, distribution_mad_outliers,
-    # temporal_period_over_period, behavior_ab_test
+    # temporal_period_over_period, behavior_ab_test, pipeline_warehouse_sync
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]
