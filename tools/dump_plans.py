@@ -72,6 +72,8 @@ QUERIES = {
     "relational_unpivot": "native Expand inside the scan stage; zero Exchange",
     "relational_incremental_agg": "delta-sized change groupBy + one full-outer key join against the base",
     "bql_lateral_explode": "Generate (explode) inside the scan stage; agg after",
+    "pipeline_warehouse_sync": "diff -> semi-join change sets -> delta patch -> drift join; base persisted 2 consumers",
+    "behavior_transitions": "one user-keyed lag window; |events|^2 count state; windowed normalization",
 }
 
 
