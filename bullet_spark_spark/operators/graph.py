@@ -39,11 +39,16 @@ def pagerank(
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list → (node, rank).
 
-    Semantics: rank_{i+1}(v) = round(teleport/n + damping * Σ_{(u,v)}
-    round(rank_i(u) * w(u,v) / out_w(u), dp), dp), ranks initialized to
-    round(1/n, dp). ``damping``/``teleport`` are taken as two independent
-    literals (not 1-d) so the oracle can use the same decimal literals —
-    1-0.85 in IEEE is 0.15000000000000002, not 0.15.
+    Semantics: rank_{i+1}(v) = q(teleport/n + damping * Σ_{(u,v)}
+    q(rank_i(u) * w(u,v) / out_w(u))), ranks initialized to q(1/n),
+    where q(x) = floor(x·10^dp)/10^dp — FLOOR quantization, not round():
+    Spark rounds the shortest decimal repr of a double while DuckDB
+    rounds its binary value, so round() flips exact-tie digits between
+    engines (surfaced at sf0.1: rank 0.000715137 vs ...136); floor of an
+    IEEE product is bit-identical everywhere (the int8-quantization
+    lesson). ``damping``/``teleport`` are two independent literals (not
+    1-d) so the oracle can use the same decimal literals — 1-0.85 in
+    IEEE is 0.15000000000000002, not 0.15.
 
     Dangling nodes (out-degree 0) contribute nothing — callers that need
     mass conservation should symmetrize the edge list (the trade-graph
@@ -96,8 +101,13 @@ def pagerank(
             "out_w", F.sum("w").over(Window.partitionBy("src"))
         ).persist()
 
+    scale = float(10 ** round_dp)
+
+    def q(col):  # floor quantization: IEEE-identical in every engine
+        return F.floor(col * F.lit(scale)) / F.lit(scale)
+
     ranks = nodes.withColumn(
-        "rank", F.round(F.lit(1.0) / F.lit(n), round_dp)
+        "rank", q(F.lit(1.0) / F.lit(n))
     ).localCheckpoint(eager=True)
 
     for it in range(iterations):
@@ -105,9 +115,12 @@ def pagerank(
             e_norm.join(bcast(ranks), e_norm["src"] == ranks["node"])
             .groupBy("dst")
             .agg(
+                # exact integer-unit sum: floor(x*scale) is an exact small
+                # integer in a double; the decimal sum is associative
                 F.sum(
-                    F.round(F.col("rank") * F.col("w") / F.col("out_w"), round_dp)
-                    .cast("decimal(28,12)")
+                    F.floor(
+                        F.col("rank") * F.col("w") / F.col("out_w") * F.lit(scale)
+                    ).cast("decimal(28,0)")
                 )
                 .cast("double")
                 .alias("s")
@@ -117,10 +130,10 @@ def pagerank(
             nodes.join(bcast(contribs), nodes["node"] == contribs["dst"], "left")
             .select(
                 "node",
-                F.round(
+                q(
                     F.lit(teleport) / F.lit(n)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
-                    round_dp,
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(scale))
                 ).alias("rank"),
             )
         )
@@ -148,7 +161,7 @@ def oracle_pagerank_sql(
     ``edges_cte`` must define a relation ``edges(src, dst, w)``; ``select``
     is the final projection with ``{last}`` substituted by the last rank CTE.
     """
-    dp = round_dp
+    sc = float(10 ** round_dp)
     parts = [
         f"WITH {edges_cte}",
         """nodes AS (SELECT src AS node FROM edges
@@ -156,18 +169,21 @@ def oracle_pagerank_sql(
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
         """e AS (SELECT src, dst, w,
                         sum(w) OVER (PARTITION BY src) AS out_w FROM edges)""",
-        f"r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), {dp}) AS rank FROM nodes)",
+        f"""r0 AS (SELECT node,
+                     floor(1.0 / (SELECT n FROM nn) * {sc}) / {sc} AS rank
+                   FROM nodes)""",
     ]
     for i in range(1, iterations + 1):
         parts.append(
             f"""r{i} AS (
               SELECT nd.node,
-                     round({teleport} / (SELECT n FROM nn)
-                           + {damping} * coalesce(c.s, 0.0), {dp}) AS rank
+                     floor(({teleport} / (SELECT n FROM nn)
+                            + {damping} * (coalesce(c.s, 0.0) / {sc})) * {sc})
+                       / {sc} AS rank
               FROM nodes nd LEFT JOIN (
                 SELECT e.dst AS node,
-                       CAST(sum(CAST(round(r.rank * e.w / e.out_w, {dp})
-                                     AS DECIMAL(28,12))) AS DOUBLE) AS s
+                       CAST(sum(CAST(floor(r.rank * e.w / e.out_w * {sc})
+                                     AS DECIMAL(28,0))) AS DOUBLE) AS s
                 FROM e JOIN r{i - 1} r ON e.src = r.node
                 GROUP BY e.dst) c
               ON nd.node = c.node)"""
