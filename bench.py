@@ -69,6 +69,11 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in BENCH:
+        # independent measurements: without this, ~24 queries' persisted
+        # frames accumulate in the executor heap and the later (iterative,
+        # cache-heavy) queries measure GC pressure from their predecessors
+        # (pagerank: 9.0 s in-suite vs 6.3 s standalone on an idle host)
+        spark.catalog.clearCache()
         samples = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
