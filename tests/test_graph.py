@@ -94,3 +94,50 @@ def test_oracle_sql_matches_engine(spark, duck):
     )
     oracle = dict(duck.execute(sql).fetchall())
     assert engine == oracle
+
+
+def _pagerank_reference(edges, iterations=4, damping=0.85, teleport=0.15, dp=10):
+    """Sequential replica of the quantized fixed point: q(x) = floor(x*s)/s."""
+    import math
+
+    s = float(10**dp)
+    q = lambda x: math.floor(x * s) / s  # noqa: E731
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = float(len(nodes))
+    out_w = {}
+    for src, _, w in edges:
+        out_w[src] = out_w.get(src, 0) + w
+    ranks = {v: q(1.0 / n) for v in nodes}
+    for _ in range(iterations):
+        # exact integer-unit sums, like the engine's decimal aggregation
+        units = {}
+        for src, dst, w in edges:
+            units[dst] = units.get(dst, 0) + math.floor(
+                ranks[src] * w / out_w[src] * s
+            )
+        ranks = {
+            v: q(teleport / n + damping * (units.get(v, 0) / s)) for v in nodes
+        }
+    return ranks
+
+
+def test_pagerank_matches_sequential_reference_on_random_graphs(spark):
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        nodes = [f"n{i}" for i in range(rng.randint(3, 8))]
+        edges = []
+        seen = set()
+        for _ in range(rng.randint(2, 14)):
+            a, b = rng.sample(nodes, 2)
+            if (a, b) not in seen:
+                seen.add((a, b))
+                edges.append((a, b, rng.randint(1, 9)))
+        got = {
+            r["node"]: r["rank"]
+            for r in gr.pagerank(
+                _edges(spark, edges), iterations=4
+            ).collect()
+        }
+        assert got == _pagerank_reference(edges, iterations=4), f"seed {seed}"
