@@ -4741,6 +4741,32 @@ def pipeline_warehouse_sync(spark, sf_dir):
 
 
 @q(
+    "temporal_trailing_window",
+    """SELECT event_id, user_id,
+              round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+                PARTITION BY user_id ORDER BY epoch(ts)
+                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+              ) AS DOUBLE), 6) AS trailing_sum,
+              count(*) OVER (
+                PARTITION BY user_id ORDER BY epoch(ts)
+                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+              ) AS trailing_sum_n
+       FROM events""",
+)
+def temporal_trailing_window(spark, sf_dir):
+    """Trailing 7-day per-user value sum (temporal.trailing_window_agg):
+    a time-RANGE window frame over each user's sorted partition — no
+    self-join, no resampling prerequisite; rows at equal timestamps are
+    frame peers (standard RANGE semantics, identical in DuckDB). Exact
+    decimal sums surfaced as rounded doubles."""
+    t = _t(spark, sf_dir)
+    out = tmp.trailing_window_agg(
+        t["events"], "user_id", "ts", "value", 7 * 86400
+    )
+    return out.select("event_id", "user_id", "trailing_sum", "trailing_sum_n")
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -5112,7 +5138,8 @@ _WINDOW_R4 = [
     # quality_correlations, text_chunk_sentences, bql_lateral_explode,
     # bql_select_distinct, relational_incremental_agg,
     # behavior_transitions, behavior_top_paths, distribution_mad_outliers,
-    # temporal_period_over_period, behavior_ab_test, pipeline_warehouse_sync
+    # temporal_period_over_period, behavior_ab_test, pipeline_warehouse_sync,
+    # temporal_trailing_window
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]

@@ -468,3 +468,37 @@ def period_over_period(
         ),
     )
     return out.withColumn("pct_change", pct)
+
+
+def trailing_window_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    out_col: str = "trailing_sum",
+) -> DataFrame:
+    """Per-key trailing time-RANGE aggregate: for every row, the exact
+    decimal sum of ``value_col`` over [ts − window_sec, ts] for the same
+    key — the rolling-revenue/rolling-volume signal (time-based frame, so
+    irregular series need no resampling first; a ROWS frame would count
+    events, not time). Event-count over the same range rides along as
+    ``<out>_n``.
+
+    One shuffle (the key partition); the RANGE frame is Spark's native
+    running-frame scan over each key's sorted partition — no self-join,
+    no explode. Rows sharing (key, ts) are frame-PEERS under RANGE
+    semantics: each includes the other (standard SQL; identical in
+    DuckDB), so no tiebreak is needed for determinism. Sums accumulate
+    as DECIMAL (exact, order-independent within the frame) and surface
+    as double rounded 6 dp."""
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-window_sec, 0)
+    )
+    s = F.round(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).over(w).cast("double"), 6
+    )
+    n = F.count(F.lit(1)).over(w)
+    return df.withColumn(out_col, s).withColumn(f"{out_col}_n", n)

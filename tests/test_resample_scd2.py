@@ -162,3 +162,30 @@ def test_incremental_agg_noop_change_cancels(spark):
         base, old, old, ["g"], [("v", "sv")]
     ).collect()
     assert [(r["g"], r["n_rows"], float(r["sv"])) for r in out] == [("a", 1, 3.0)]
+
+
+def test_trailing_window_agg_semantics(spark):
+    import datetime as dt
+
+    from bullet_spark_spark.operators import temporal as tp
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", t0, 1.0),
+        ("u", t0 + dt.timedelta(seconds=50), 2.0),
+        ("u", t0 + dt.timedelta(seconds=200), 4.0),   # first two fall out (>100s)
+        ("u", t0 + dt.timedelta(seconds=200), 8.0),   # same-ts peer: included
+        ("v", t0 + dt.timedelta(seconds=60), 16.0),   # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = tp.trailing_window_agg(df, "k", "ts", "v", 100, "tr")
+    got = sorted(
+        (r["k"], r["v"], r["tr"], r["tr_n"]) for r in out.collect()
+    )
+    assert got == [
+        ("u", 1.0, 1.0, 1),
+        ("u", 2.0, 3.0, 2),       # 1+2 within 100 s
+        ("u", 4.0, 12.0, 2),      # peers at t=200 include each other; old out
+        ("u", 8.0, 12.0, 2),
+        ("v", 16.0, 16.0, 1),
+    ]
