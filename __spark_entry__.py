@@ -4744,12 +4744,12 @@ def pipeline_warehouse_sync(spark, sf_dir):
     "temporal_trailing_window",
     """SELECT event_id, user_id,
               round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
-                PARTITION BY user_id ORDER BY epoch(ts)
-                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
               ) AS DOUBLE), 6) AS trailing_sum,
               count(*) OVER (
-                PARTITION BY user_id ORDER BY epoch(ts)
-                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
               ) AS trailing_sum_n
        FROM events""",
 )

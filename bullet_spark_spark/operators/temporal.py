@@ -489,13 +489,17 @@ def trailing_window_agg(
     running-frame scan over each key's sorted partition — no self-join,
     no explode. Rows sharing (key, ts) are frame-PEERS under RANGE
     semantics: each includes the other (standard SQL; identical in
-    DuckDB), so no tiebreak is needed for determinism. Sums accumulate
-    as DECIMAL (exact, order-independent within the frame) and surface
-    as double rounded 6 dp."""
+    DuckDB), so no tiebreak is needed for determinism. The frame orders
+    by MICROSECOND epoch (unix_micros / DuckDB epoch_us) — second-level
+    truncation silently widens frames at sub-second event rates AND
+    diverges from engines whose epoch keeps fractions (surfaced by the
+    sf0.1 cross-engine sweep). Sums accumulate as DECIMAL (exact,
+    order-independent within the frame) and surface as double rounded
+    6 dp."""
     w = (
         W.partitionBy(key_col)
-        .orderBy(F.unix_timestamp(F.col(ts_col)))
-        .rangeBetween(-window_sec, 0)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-window_sec * 1_000_000, 0)
     )
     s = F.round(
         F.sum(F.col(value_col).cast("decimal(28,6)")).over(w).cast("double"), 6
