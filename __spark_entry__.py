@@ -4766,6 +4766,74 @@ def temporal_trailing_window(spark, sf_dir):
     return out.select("event_id", "user_id", "trailing_sum", "trailing_sum_n")
 
 
+_CENTROID_CTE = """e AS (
+    SELECT label,
+           unnest([{'p': i - 1, 'v': embedding[i]}
+                   FOR i IN range(1, len(embedding) + 1)]) AS u
+    FROM embeddings),
+  g AS (SELECT label, u.p AS p,
+               round(CAST(sum(CAST(u.v AS DECIMAL(28,9))) AS DOUBLE)
+                     / count(*), 6) AS m,
+               count(*) AS n
+        FROM e GROUP BY label, u.p),
+  cents AS (SELECT label, list(m ORDER BY p) AS centroid, max(n) AS n
+            FROM g GROUP BY label)"""
+
+
+@q(
+    "sim_group_centroids",
+    f"""WITH {_CENTROID_CTE}
+       SELECT label, centroid, n FROM cents""",
+)
+def sim_group_centroids(spark, sf_dir):
+    """Per-label prototype embeddings (similarity.group_centroids): exact
+    decimal per-dimension means, engine-portable coordinates — one
+    (label, pos) aggregate with map-side partials, ordered array
+    reassembly, no driver collect."""
+    t = _t(spark, sf_dir)
+    return sim.group_centroids(t["embeddings"], "label", "embedding")
+
+
+@q(
+    "sim_nearest_centroid",
+    f"""WITH {_CENTROID_CTE},
+       pairs AS (
+         SELECT v.vec_id, v.label AS true_label, c.label AS cand,
+                v.embedding AS ve, c.centroid AS ce
+         FROM embeddings v, cents c),
+       terms AS (
+         SELECT vec_id, true_label, cand,
+                unnest([CAST(round((ve[i] - ce[i]) * (ve[i] - ce[i]), 9)
+                             AS DECIMAL(28,9))
+                        FOR i IN range(1, len(ve) + 1)]) AS t
+         FROM pairs),
+       d AS (SELECT vec_id, true_label, cand, sum(t) AS d2
+             FROM terms GROUP BY 1, 2, 3),
+       a AS (SELECT vec_id, true_label, cand,
+                    row_number() OVER (
+                      PARTITION BY vec_id ORDER BY d2, cand) AS r
+             FROM d)
+       SELECT true_label AS label, cand AS assigned, count(*) AS n
+       FROM a WHERE r = 1 GROUP BY 1, 2""",
+)
+def sim_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid confusion matrix (similarity
+    .nearest_centroid_assign): every embedding assigned to its closest
+    label prototype by EXACT decimal squared-L2 (per-dimension IEEE terms
+    rounded 9 dp, order-independent sums → the argmin is engine-exact),
+    cross-tabbed against the true label. Centroids broadcast; scoring is
+    row-local."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = sim.group_centroids(emb, "label", "embedding")
+    assigned = sim.nearest_centroid_assign(emb, cents, "vec_id", "embedding")
+    return (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy(F.col("label"), F.col("assigned"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
@@ -5139,7 +5207,7 @@ _WINDOW_R4 = [
     # bql_select_distinct, relational_incremental_agg,
     # behavior_transitions, behavior_top_paths, distribution_mad_outliers,
     # temporal_period_over_period, behavior_ab_test, pipeline_warehouse_sync,
-    # temporal_trailing_window
+    # temporal_trailing_window, sim_group_centroids, sim_nearest_centroid
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]

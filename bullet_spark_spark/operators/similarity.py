@@ -786,3 +786,85 @@ def pca_ann_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label mean vectors → (label, centroid, n) — prototype
+    embeddings (nearest-centroid classification seeds, cluster summaries,
+    per-source semantic profiles). Exact decimal per-dimension sums
+    divided by exact counts, each coordinate rounded ``round_dp`` — the
+    centroid is engine-portable.
+
+    Shape: posexplode → ONE groupBy (label, pos) with map-side partials
+    (state = |labels| × dim) → per-label array_sort reassembly. No
+    driver collect."""
+    per_dim = (
+        df.select(F.col(label_col), F.posexplode(F.col(vec_col)))
+        .groupBy(label_col, "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("col").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                round_dp,
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda x: x["m"],
+        ).alias("centroid"),
+        F.max("n").alias("n"),
+    )
+
+
+def nearest_centroid_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by squared L2 →
+    (id, assigned, d2): nearest-prototype classification / cluster
+    assignment. Distances are EXACT decimal sums of per-dimension terms
+    rounded 9 dp (a single IEEE subtract-square each — identical in any
+    engine; the decimal sum is order-independent, so the argmin is too);
+    ties break by label ASC. Centroids broadcast (|labels| rows); the
+    scoring is row-local — no shuffle of the vector side."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(centroid_col),
+            lambda a, b: F.round((a - b) * (a - b), 9).cast("decimal(28,9)"),
+        ),
+        F.lit(0).cast("decimal(38,9)"),
+        lambda acc, x: (acc + x).cast("decimal(38,9)"),
+    )
+    cands = centroids.select(
+        F.col(label_col).alias("__cand"), F.col(centroid_col)
+    )  # renamed: the vector side may carry its own label column
+    scored = df.crossJoin(F.broadcast(cands)).select(
+        F.col(id_col),
+        F.col("__cand"),
+        d2.alias("__d2"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("__d2").asc(), F.col("__cand").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            id_col,
+            F.col("__cand").alias("assigned"),
+            F.col("__d2").cast("double").alias("d2"),
+        )
+    )

@@ -126,3 +126,44 @@ def test_pca_ann_recall_vs_exact(spark):
         key = (r["query_id"], r["vec_id"])
         if key in e_sims:
             assert r["sim"] == e_sims[key]
+
+
+def test_group_centroids_exact_means(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], "a"), (2, [3.0, 4.0], "a"), (3, [10.0, 0.0], "b")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    got = {r["label"]: (r["centroid"], r["n"]) for r in
+           sim.group_centroids(df, "label", "embedding").collect()}
+    assert got["a"] == ([2.0, 3.0], 2)
+    assert got["b"] == ([10.0, 0.0], 1)
+
+
+def test_nearest_centroid_assignment_and_ties(spark):
+    cents = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [10.0, 0.0])],
+        "label string, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [9.0, 0.0]), (3, [5.0, 0.0])],  # 3 is EQUIDISTANT
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["assigned"] for r in
+           sim.nearest_centroid_assign(vecs, cents).collect()}
+    assert got == {1: "a", 2: "b", 3: "a"}  # tie -> label ASC
+
+
+def test_nearest_centroid_majority_diagonal_on_clustered_data(spark):
+    rng = np.random.default_rng(2)
+    centers = rng.normal(size=(4, 8)) * 5.0
+    rows = []
+    for lbl, c in enumerate(centers):
+        for i in range(25):
+            v = c + rng.normal(size=8) * 0.3
+            rows.append((lbl * 100 + i, [float(x) for x in v], str(lbl)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    cents = sim.group_centroids(df, "label", "embedding")
+    assigned = sim.nearest_centroid_assign(df, cents)
+    joined = assigned.join(df.select("vec_id", "label"), "vec_id")
+    acc = joined.filter(F.col("assigned") == F.col("label")).count() / 100
+    assert acc == 1.0  # tight, well-separated clusters classify perfectly
