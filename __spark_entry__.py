@@ -4835,6 +4835,44 @@ def sim_nearest_centroid(spark, sf_dir):
 
 
 @q(
+    "sim_cluster_inertia",
+    f"""WITH {_CENTROID_CTE},
+       pairs AS (
+         SELECT v.vec_id, c.label AS cand, v.embedding AS ve, c.centroid AS ce
+         FROM embeddings v, cents c),
+       terms AS (
+         SELECT vec_id, cand,
+                unnest([CAST(round((ve[i] - ce[i]) * (ve[i] - ce[i]), 9)
+                             AS DECIMAL(28,9))
+                        FOR i IN range(1, len(ve) + 1)]) AS t
+         FROM pairs),
+       d AS (SELECT vec_id, cand, sum(t) AS d2 FROM terms GROUP BY 1, 2),
+       a AS (SELECT vec_id, cand, d2,
+                    row_number() OVER (
+                      PARTITION BY vec_id ORDER BY d2, cand) AS r
+             FROM d)
+       SELECT cand AS assigned, count(*) AS n,
+              CAST(sum(d2) AS DECIMAL(38,9)) AS inertia
+       FROM a WHERE r = 1 GROUP BY cand""",
+)
+def sim_cluster_inertia(spark, sf_dir):
+    """Within-cluster sum of squares per assigned prototype (k-means
+    inertia, the elbow-method statistic): the nearest-centroid
+    assignment's exact decimal d2 summed per cluster — cluster-quality
+    evaluation with zero extra scans beyond the assignment itself."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = sim.group_centroids(emb, "label", "embedding")
+    assigned = sim.nearest_centroid_assign(emb, cents, "vec_id", "embedding")
+    return assigned.groupBy(F.col("assigned")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d2").cast("decimal(38,9)"))
+        .cast("decimal(38,9)")
+        .alias("inertia"),
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -5207,7 +5245,8 @@ _WINDOW_R4 = [
     # bql_select_distinct, relational_incremental_agg,
     # behavior_transitions, behavior_top_paths, distribution_mad_outliers,
     # temporal_period_over_period, behavior_ab_test, pipeline_warehouse_sync,
-    # temporal_trailing_window, sim_group_centroids, sim_nearest_centroid
+    # temporal_trailing_window, sim_group_centroids, sim_nearest_centroid,
+    # sim_cluster_inertia
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]

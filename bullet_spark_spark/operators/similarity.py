@@ -839,14 +839,19 @@ def nearest_centroid_assign(
     engine; the decimal sum is order-independent, so the argmin is too);
     ties break by label ASC. Centroids broadcast (|labels| rows); the
     scoring is row-local — no shuffle of the vector side."""
+    # accumulator stays DECIMAL(28,9): (28,9)+(28,9) widens to (29,9),
+    # still inside the 38-digit cap, and the cast back is exact. A (38,9)
+    # accumulator would widen to (39,9) and Spark silently REDUCES the
+    # scale to 8 — every accumulation step then rounds to 8 dp (found as
+    # a 1.5e-8 inertia drift vs the oracle's exact sums).
     d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col),
             F.col(centroid_col),
             lambda a, b: F.round((a - b) * (a - b), 9).cast("decimal(28,9)"),
         ),
-        F.lit(0).cast("decimal(38,9)"),
-        lambda acc, x: (acc + x).cast("decimal(38,9)"),
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, x: (acc + x).cast("decimal(28,9)"),
     )
     cands = centroids.select(
         F.col(label_col).alias("__cand"), F.col(centroid_col)
