@@ -4873,6 +4873,65 @@ def sim_cluster_inertia(spark, sf_dir):
 
 
 @q(
+    "dedup_ensemble_survivors",
+    r"""WITH RECURSIVE d AS (
+         SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+         FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+               FROM documents)),
+       e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+       h AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+             FROM e CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+       bk AS (SELECT doc_id, j // 2 AS b, string_agg(mh, '|' ORDER BY j) AS bkey
+              FROM h GROUP BY doc_id, j // 2),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       est AS (SELECT c.id_a, c.id_b,
+                      sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+               FROM cand c
+               JOIN h ha ON ha.doc_id = c.id_a
+               JOIN h hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+               GROUP BY c.id_a, c.id_b),
+       lex AS (SELECT id_a, id_b FROM est WHERE ej >= 0.4),
+       ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       sem AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.42),
+       pairs AS (SELECT id_a, id_b FROM lex UNION SELECT id_a, id_b FROM sem),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       walk(node, comp) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.node),
+       drops AS (SELECT node FROM walk GROUP BY node HAVING min(comp) <> node)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT node FROM drops)""",
+)
+def dedup_ensemble_survivors(spark, sf_dir):
+    """ENSEMBLE near-dup dedup: lexical pairs (portable md5 minhash LSH,
+    Jaccard >= 0.4 on word bigrams) UNIONED with semantic pairs
+    (embedding cosine >= 0.42, vec_id == doc_id in the fixture model) —
+    a copy found by EITHER signal drops, and transitive chains may mix
+    signals (doc A ~lex~ B ~sem~ C collapses to one survivor). One
+    components closure + keep-min over the union, hash-matched through
+    DuckDB's recursive CTE. The production dedup posture: surface-form
+    AND paraphrase duplicates in a single keep-set."""
+    t = _t(spark, sf_dir)
+    lex = dd.minhash_dedup_pairs_md5(
+        t["documents"], "doc_id", "text", threshold=0.4, num_hashes=16, bands=8
+    ).select("id_a", "id_b")
+    sem = sim.cosine_near_dup_pairs(
+        t["embeddings"], threshold=0.42, exact=True
+    ).select("id_a", "id_b")
+    pairs = lex.unionByName(sem).distinct()
+    out = dd.neardup_survivors(t["documents"], pairs, "doc_id")
+    return out.select("doc_id")
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -5246,7 +5305,7 @@ _WINDOW_R4 = [
     # behavior_transitions, behavior_top_paths, distribution_mad_outliers,
     # temporal_period_over_period, behavior_ab_test, pipeline_warehouse_sync,
     # temporal_trailing_window, sim_group_centroids, sim_nearest_centroid,
-    # sim_cluster_inertia
+    # sim_cluster_inertia, dedup_ensemble_survivors
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]
