@@ -4932,6 +4932,81 @@ def dedup_ensemble_survivors(spark, sf_dir):
 
 
 @q(
+    "sim_cluster_silhouette",
+    f"""WITH {_CENTROID_CTE},
+       pairs AS (
+         SELECT v.vec_id, c.label AS cand, v.embedding AS ve, c.centroid AS ce
+         FROM embeddings v, cents c),
+       terms AS (
+         SELECT vec_id, cand,
+                unnest([CAST(round((ve[i] - ce[i]) * (ve[i] - ce[i]), 9)
+                             AS DECIMAL(28,9))
+                        FOR i IN range(1, len(ve) + 1)]) AS t
+         FROM pairs),
+       d AS (SELECT vec_id, cand, sum(t) AS d2 FROM terms GROUP BY 1, 2),
+       rk AS (SELECT vec_id, cand, d2,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cand) AS r
+              FROM d),
+       ab AS (SELECT a.vec_id, a.cand AS assigned,
+                     sqrt(CAST(a.d2 AS DOUBLE)) AS da,
+                     sqrt(CAST(b.d2 AS DOUBLE)) AS db
+              FROM rk a JOIN rk b ON b.vec_id = a.vec_id AND b.r = 2
+              WHERE a.r = 1),
+       s AS (SELECT vec_id, assigned,
+                    CASE WHEN greatest(da, db) > 0
+                         THEN CAST(round((db - da) / greatest(da, db), 6)
+                                   AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END AS sil
+             FROM ab)
+       SELECT assigned, count(*) AS n,
+              round(CAST(sum(sil) AS DOUBLE) / count(*), 6) AS mean_silhouette
+       FROM s GROUP BY assigned""",
+)
+def sim_cluster_silhouette(spark, sf_dir):
+    """Simplified silhouette per cluster (centroid-based: a = distance to
+    own prototype, b = distance to the nearest OTHER prototype,
+    s = (b−a)/max(a,b)) — the cluster-separation report beside inertia's
+    compactness. Built on the shared centroid_distances frame: one
+    window ranks the candidates, sqrt/ratio are single IEEE expressions,
+    per-vector scores rounded 6 dp and averaged via exact decimal sums."""
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = sim.group_centroids(emb, "label", "embedding")
+    d = sim.centroid_distances(emb, cents, "vec_id", "embedding")
+    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cand").asc())
+    rk = d.withColumn("r", F.row_number().over(w))
+    a = rk.filter(F.col("r") == 1).select(
+        "vec_id",
+        F.col("cand").alias("assigned"),
+        F.sqrt(F.col("d2").cast("double")).alias("da"),
+    )
+    b = rk.filter(F.col("r") == 2).select(
+        "vec_id", F.sqrt(F.col("d2").cast("double")).alias("db")
+    )
+    s = a.join(b, "vec_id").select(
+        "vec_id",
+        "assigned",
+        F.when(
+            F.greatest("da", "db") > 0,
+            F.round(
+                (F.col("db") - F.col("da")) / F.greatest("da", "db"), 6
+            ).cast("decimal(18,6)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+        .alias("sil"),
+    )
+    return s.groupBy("assigned").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("sil").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_silhouette"),
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -5305,7 +5380,7 @@ _WINDOW_R4 = [
     # behavior_transitions, behavior_top_paths, distribution_mad_outliers,
     # temporal_period_over_period, behavior_ab_test, pipeline_warehouse_sync,
     # temporal_trailing_window, sim_group_centroids, sim_nearest_centroid,
-    # sim_cluster_inertia, dedup_ensemble_survivors
+    # sim_cluster_inertia, dedup_ensemble_survivors, sim_cluster_silhouette
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]

@@ -824,6 +824,36 @@ def group_centroids(
     )
 
 
+def centroid_distances(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Exact squared-L2 of every vector to every centroid → (id, cand,
+    d2 DECIMAL) — the shared scoring frame behind nearest-centroid
+    assignment and silhouette evaluation. Per-dimension IEEE terms
+    rounded 9 dp, order-independent decimal sums (engine-exact);
+    centroids broadcast, scoring row-local."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(centroid_col),
+            lambda a, b: F.round((a - b) * (a - b), 9).cast("decimal(28,9)"),
+        ),
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, x: (acc + x).cast("decimal(28,9)"),
+    )
+    cands = centroids.select(
+        F.col(label_col).alias("cand"), F.col(centroid_col)
+    )
+    return df.crossJoin(F.broadcast(cands)).select(
+        F.col(id_col), F.col("cand"), d2.alias("d2")
+    )
+
+
 def nearest_centroid_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -839,37 +869,22 @@ def nearest_centroid_assign(
     engine; the decimal sum is order-independent, so the argmin is too);
     ties break by label ASC. Centroids broadcast (|labels| rows); the
     scoring is row-local — no shuffle of the vector side."""
-    # accumulator stays DECIMAL(28,9): (28,9)+(28,9) widens to (29,9),
-    # still inside the 38-digit cap, and the cast back is exact. A (38,9)
-    # accumulator would widen to (39,9) and Spark silently REDUCES the
-    # scale to 8 — every accumulation step then rounds to 8 dp (found as
-    # a 1.5e-8 inertia drift vs the oracle's exact sums).
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col(centroid_col),
-            lambda a, b: F.round((a - b) * (a - b), 9).cast("decimal(28,9)"),
-        ),
-        F.lit(0).cast("decimal(28,9)"),
-        lambda acc, x: (acc + x).cast("decimal(28,9)"),
-    )
-    cands = centroids.select(
-        F.col(label_col).alias("__cand"), F.col(centroid_col)
-    )  # renamed: the vector side may carry its own label column
-    scored = df.crossJoin(F.broadcast(cands)).select(
-        F.col(id_col),
-        F.col("__cand"),
-        d2.alias("__d2"),
+    # NOTE the accumulator discipline inside centroid_distances: it stays
+    # DECIMAL(28,9) — a (38,9) accumulator widens the add to (39,9) and
+    # Spark silently REDUCES the scale to 8, rounding every fold step
+    # (found as a 1.5e-8 inertia drift vs the oracle's exact sums).
+    scored = centroid_distances(
+        df, centroids, id_col, vec_col, label_col, centroid_col
     )
     from pyspark.sql.window import Window as W
 
-    w = W.partitionBy(id_col).orderBy(F.col("__d2").asc(), F.col("__cand").asc())
+    w = W.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cand").asc())
     return (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
         .select(
             id_col,
-            F.col("__cand").alias("assigned"),
-            F.col("__d2").cast("double").alias("d2"),
+            F.col("cand").alias("assigned"),
+            F.col("d2").cast("double").alias("d2"),
         )
     )

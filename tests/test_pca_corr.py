@@ -167,3 +167,22 @@ def test_nearest_centroid_majority_diagonal_on_clustered_data(spark):
     joined = assigned.join(df.select("vec_id", "label"), "vec_id")
     acc = joined.filter(F.col("assigned") == F.col("label")).count() / 100
     assert acc == 1.0  # tight, well-separated clusters classify perfectly
+
+
+def test_centroid_distances_and_silhouette_bounds(spark):
+    cents = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [10.0, 0.0])],
+        "label string, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [9.9, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    d = sim.centroid_distances(vecs, cents)
+    got = {(r["vec_id"], r["cand"]): float(r["d2"]) for r in d.collect()}
+    assert len(got) == 4  # every (vector, centroid) pair scored
+    assert got[(1, "a")] < got[(1, "b")] and got[(2, "b")] < got[(2, "a")]
+    # tight clusters near distinct prototypes: silhouette approaches 1
+    import math
+    a1 = math.sqrt(got[(1, "a")]); b1 = math.sqrt(got[(1, "b")])
+    assert (b1 - a1) / max(a1, b1) > 0.97
