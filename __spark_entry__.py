@@ -5007,6 +5007,50 @@ def sim_cluster_silhouette(spark, sf_dir):
 
 
 @q(
+    "dedup_source_novelty",
+    f"""WITH fp AS (
+         SELECT DISTINCT source, md5({_NORM_SQL}) AS fp FROM documents),
+       owners AS (SELECT fp, count(*) AS n_sources FROM fp GROUP BY fp)
+       SELECT f.source, count(*) AS n_fp,
+              sum(CASE WHEN o.n_sources = 1 THEN 1 ELSE 0 END) AS n_unique,
+              round(CAST(sum(CASE WHEN o.n_sources = 1 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*), 6) AS novelty
+       FROM fp f JOIN owners o ON o.fp = f.fp
+       GROUP BY f.source""",
+)
+def dedup_source_novelty(spark, sf_dir):
+    """Per-source novelty report: how much of each source's distinct
+    content exists NOWHERE else — the complement of the overlap matrix
+    (a source with low novelty is mostly re-crawl; weight it down).
+    One distinct (source, fp) shuffle; the ownership count is a
+    fingerprint-keyed aggregate joined back."""
+    t = _t(spark, sf_dir)
+    fp = (
+        t["documents"]
+        .select("source", tx.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    owners = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_sources"))
+    return (
+        fp.join(owners, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0)).alias(
+                "n_unique"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_sources") == 1, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -5380,7 +5424,8 @@ _WINDOW_R4 = [
     # behavior_transitions, behavior_top_paths, distribution_mad_outliers,
     # temporal_period_over_period, behavior_ab_test, pipeline_warehouse_sync,
     # temporal_trailing_window, sim_group_centroids, sim_nearest_centroid,
-    # sim_cluster_inertia, dedup_ensemble_survivors, sim_cluster_silhouette
+    # sim_cluster_inertia, dedup_ensemble_survivors, sim_cluster_silhouette,
+    # dedup_source_novelty
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]
