@@ -470,3 +470,37 @@ def test_streaming_curation_funnel(spark, tables, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_lateral_explode_streams_plan_per_query(spark, tables, tmp_path, runtime):
+    """A LATERAL VIEW EXPLODE query (rejected by the shared-scan
+    multiplexers) runs fine through plan-per-query: word counts over a
+    drained document stream reconcile with the batch explode."""
+    from bullet_spark_spark.plans.bql import parse_bql
+
+    docs = tables["documents"].select("doc_id", "text")
+    stream = file_drip(spark, docs, str(tmp_path / "docs"), chunks=3)
+    spec = parse_bql(
+        "SELECT word, COUNT(*) AS cnt FROM STREAM() "
+        "LATERAL VIEW EXPLODE(SPLIT(LOWER(text), ' ')) AS word GROUP BY word"
+    )
+    handle = runtime.run_available(
+        spec, stream, checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert handle.state is QueryState.COMPLETED
+    final = {}
+    for batch in handle.sink.batches:
+        for row in batch:
+            final[row[0]] = row[1]  # update mode: last emission per word wins
+
+    batch_expected = {
+        r["word"]: r["cnt"]
+        for r in docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert final == batch_expected
