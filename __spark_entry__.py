@@ -5051,6 +5051,49 @@ def dedup_source_novelty(spark, sf_dir):
 
 
 @q(
+    "text_corpus_pareto",
+    r"""WITH t AS (
+         SELECT source,
+                sum(len(string_split(regexp_replace(trim(lower(text)),
+                                                    '\s+', ' ', 'g'), ' '))) AS toks
+         FROM documents GROUP BY source),
+       tot AS (SELECT CAST(sum(toks) AS DOUBLE) AS total FROM t)
+       SELECT source, toks,
+              round(toks / total, 6) AS share,
+              round(CAST(sum(toks) OVER (ORDER BY toks DESC, source)
+                         AS DOUBLE) / total, 6) AS cum_share
+       FROM t, tot""",
+)
+def text_corpus_pareto(spark, sf_dir):
+    """Corpus composition Pareto: token mass per source with cumulative
+    coverage in descending order — 'which K sources are 90% of the
+    corpus', the first chart of any data-mixture discussion. One
+    tokenize aggregate to #sources rows; shares and the cumulative
+    window run over that tiny frame (total via 1-row cross join)."""
+    from pyspark.sql.window import Window as W
+
+    t = _t(spark, sf_dir)
+    per_src = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.sum(F.size(tx.tokens(F.col("text")))).alias("toks"))
+    )
+    total = per_src.agg(F.sum("toks").cast("double").alias("total"))
+    w = W.orderBy(F.col("toks").desc(), F.col("source"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "toks",
+            F.round(F.col("toks") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.sum("toks").over(w).cast("double") / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+@q(
     "relational_unpivot",
     """SELECT o_orderkey, metric, round(value, 6) AS value
        FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
@@ -5425,7 +5468,7 @@ _WINDOW_R4 = [
     # temporal_period_over_period, behavior_ab_test, pipeline_warehouse_sync,
     # temporal_trailing_window, sim_group_centroids, sim_nearest_centroid,
     # sim_cluster_inertia, dedup_ensemble_survivors, sim_cluster_silhouette,
-    # dedup_source_novelty
+    # dedup_source_novelty, text_corpus_pareto
     # (sim_pca_project and
     # sim_pca_ann are rows-only).
 ]
