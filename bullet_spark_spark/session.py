@@ -8,6 +8,20 @@ Configuration posture (designed for a large cluster; exercised on local[N]):
   in columnar batches, not rows.
 - Session timezone pinned to UTC so timestamp semantics match the DuckDB
   oracle (naive timestamps).
+- RocksDB state store (``rocksdb_state=True`` or
+  ``SPARK_GRAFT_ROCKSDB_STATE=1``): every stateful streaming operator in
+  this engine — stream-stream interval joins (operators/temporal.py),
+  windowed quantile sketches (operators/sketch.py), per-key record windows
+  (streaming/windows.py), and the dynamic multiplexer's routed aggregations
+  (streaming/dynamic.py) — keeps per-key state between micro-batches. The
+  default HDFSBackedStateStoreProvider holds that state ON-HEAP in every
+  executor; at 100× key cardinality that is executor OOM, not a tuning
+  note. RocksDBStateStoreProvider spills state to local SSD with changelog
+  checkpointing, bounding heap usage by the RocksDB block cache instead of
+  by key count (reference posture: SURVEY §2.1 P12 "RocksDB state store at
+  scale"). Off by default locally because the tiny test states gain
+  nothing from the native store's startup cost; flag it on for any real
+  deployment.
 """
 
 from __future__ import annotations
@@ -19,11 +33,17 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = "bullet-spark-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool | None = None,
 ) -> SparkSession:
     """Create (or fetch) a SparkSession tuned for this engine.
 
@@ -50,6 +70,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if rocksdb_state is None:
+        rocksdb_state = os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "") in ("1", "true")
+    if rocksdb_state:
+        builder = (
+            builder.config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+            # changelog checkpointing: upload per-batch deltas, not full
+            # SST snapshots — the difference between O(changed keys) and
+            # O(total state) per commit on a big stateful job
+            .config(
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                "true",
+            )
+            # bound the native memory RocksDB takes per executor
+            .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

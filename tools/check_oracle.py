@@ -3,12 +3,29 @@ at sf0.01 through Spark AND the matching oracle_sql() through DuckDB, compare
 row-count + column names + canonicalized values (FIXTURES.md rules: sort cols
 by name, sort rows, floats rounded 1e-9, NULL literal).
 
-Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
+Round-5 additions (VERDICT r4 tasks 1 & 8):
+
+* A **typed audit**: the r4 driver-red rows (`pack_sequences`,
+  `pipeline_end_to_end`) passed this tool's value-level compare while failing
+  the driver's hash, because DuckDB types `sum(int) OVER` as HUGEINT (int128)
+  while Spark emits LONG — and ``str(170) == str(170)`` regardless of dtype.
+  The compare now ALSO fetches the DuckDB result via Arrow and diffs the
+  logical type class per column (int vs float vs decimal vs string/bool/
+  temporal/nested) against Spark's schema; any HUGEINT (or other class
+  mismatch) is a FAIL even when values stringify identically, so the class of
+  bug behind the r4 red rows can't re-enter through a new oracle string.
+* ``--emit PATH``: write a JSON artifact (per-query status, rows, seconds,
+  sf) so a sweep at --sf /root/testdata/sf0.1 lands in the repo as
+  ``ORACLE_SF01.json`` instead of being a builder claim.
+
+Usage:
+  python tools/check_oracle.py [--sf DIR] [--emit PATH] [name ...]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import os
 import sys
@@ -45,9 +62,84 @@ def canon_rows(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def _arrow_class(t) -> str:
+    """Collapse a pyarrow DataType to the logical class the driver's typed
+    hasher distinguishes. int64 vs int32 hash alike after upcast, but
+    int128/HUGEINT does not fit the int64 lane — call it out explicitly."""
+    import pyarrow as pa
+
+    s = str(t)
+    if s in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32"):
+        return "int"
+    if s in ("uint64", "int128") or "128" in s and "decimal" not in s:
+        return "HUGEINT"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("float", "double", "halffloat", "float32", "float64"):
+        return "float"
+    if s == "bool":
+        return "bool"
+    if s.startswith(("timestamp", "date", "time")):
+        return "temporal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return s
+
+
+def _spark_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "temporal"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_class(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    return dt.simpleString()
+
+
+def type_mismatches(sdf, cur) -> list[str]:
+    """Compare Spark schema vs DuckDB Arrow schema per column name; return
+    human-readable mismatch strings (empty = typed-hash-safe)."""
+    try:
+        duck_schema = cur.fetch_arrow_table().schema
+    except Exception:
+        return []
+    duck = {f.name: _arrow_class(f.type) for f in duck_schema}
+    out = []
+    for f in sdf.schema.fields:
+        if f.name not in duck:
+            continue
+        sc, dc = _spark_class(f.dataType), duck[f.name]
+        # decimal-vs-decimal with different precision hashes alike once the
+        # value is equal; int-vs-decimal or int-vs-HUGEINT does not.
+        if sc != dc and not (sc == "decimal" and dc == "decimal"):
+            out.append(f"{f.name}: spark={sc} duck={dc}")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--emit", default=None, help="write a JSON artifact here")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -69,6 +161,7 @@ def main():
     names = args.names or list(qs)
     n_pass = n_fail = n_rowsonly = 0
     failures = []
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -79,11 +172,13 @@ def main():
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "fail", "err": f"spark: {type(e).__name__}"}
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows ({dt:.1f}s) [no oracle — rows-only]")
             n_rowsonly += 1
+            report[name] = {"status": "rows_only", "rows": len(srows), "sec": round(dt, 2)}
             continue
         try:
             cur = conn.execute(oracles[name])
@@ -93,17 +188,28 @@ def main():
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "fail", "err": f"duckdb: {type(e).__name__}"}
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(dcols)}")
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "fail", "err": "columns"}
+            continue
+        # typed audit needs a fresh cursor (fetchall consumed the first)
+        tmis = type_mismatches(df, conn.execute(oracles[name]))
+        if tmis:
+            print(f"FAIL  {name}: dtype mismatch (driver typed-hash risk): {'; '.join(tmis)}")
+            n_fail += 1
+            failures.append(name)
+            report[name] = {"status": "fail", "err": f"dtype: {'; '.join(tmis)}"}
             continue
         a, b = canon_rows(scols, srows), canon_rows(dcols, drows)
         if len(a) != len(b):
             print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "fail", "err": "rowcount"}
             continue
         diff = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), None)
         if diff is not None:
@@ -112,11 +218,28 @@ def main():
             print(f"      duck:  {b[diff]}")
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "fail", "err": "values"}
             continue
         print(f"PASS  {name}: {len(a)} rows ({dt:.1f}s)")
         n_pass += 1
+        report[name] = {"status": "pass", "rows": len(a), "sec": round(dt, 2)}
 
     print(f"\n{n_pass} pass / {n_fail} fail / {n_rowsonly} rows-only of {len(names)}")
+    if args.emit:
+        with open(args.emit, "w") as f:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rowsonly,
+                    "queries": report,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.emit}")
     if failures:
         print("failures:", " ".join(failures))
         sys.exit(1)
