@@ -1090,13 +1090,23 @@ def segment_dedup(
     Returns (id, n_segments, n_removed, text_clean); documents whose
     every segment was boilerplate survive with text_clean = ''.
 
-    Scale shape: ONE corpus-sized shuffle — explode to (md5(segment))
-    keyed counts with a map-side-combining countDistinct-by-doc — whose
-    output is only the duplicated-segment set (∝ boilerplate, ≪ corpus;
-    the same bound as LSH candidate generation). That small set
-    aggregates to ONE array and broadcasts back as a literal column, so
-    the rebuild is a pure map-side projection over the original rows: no
-    second shuffle, no re-keying of the corpus by doc id. Exact
+    Scale shape (round-5 rewrite of the broadcast-array design): the
+    exploded (id, seg_idx, seg) frame is computed ONCE and persisted
+    across its two consumers. Shuffle 1 (segment-keyed, the only
+    corpus-sized exchange on the discovery side) finds segments in more
+    than ``max_df`` distinct documents. The duplicated POSITIONS per doc
+    come from a left-semi join of the exploded frame against that dup
+    set — Spark broadcasts the dup side while it is small and falls back
+    to a shuffled semi join when boilerplate is heavy, so there is no
+    driver-side ceiling: the previous design collapsed the dup set into
+    ONE collect_set row (2 GB single-row cap) and probed it with a linear
+    array_contains per segment — O(|segments| x |dup set|) on a
+    boilerplate-heavy crawl where the dup set reaches millions. The
+    rebuild then joins each doc to its (small, covered-docs-only) dup-
+    index set and recovers surviving segments via array_except over
+    INDEX arrays — hash-based set difference, O(segments + dups) per doc
+    (the scrub_repeated_spans pattern, text.py); at test scale AQE turns
+    that join into a broadcast, keeping the corpus un-re-shuffled. Exact
     duplicated-within-one-doc segments are NOT removed (distinct-doc
     frequency 1) — within-document repetition is repeated_spans' job.
 
@@ -1104,33 +1114,49 @@ def segment_dedup(
     M5 extension family, cited from the C4 paper's three-sentence-span
     rule and RefinedWeb's exact-substring pass.
     """
-    segs = F.explode(text_segments(F.col(text_col), seg_words)).alias("seg")
-    seg_freq = (
-        df.select(F.col(id_col), segs)
-        .groupBy("seg")
-        .agg(F.count_distinct(F.col(id_col)).alias("df"))
-        .filter(F.col("df") > max_df)
-        .agg(F.collect_set("seg").alias("__dup"))
+    from pyspark import StorageLevel
+
+    base = df.select(
+        F.col(id_col), text_segments(F.col(text_col), seg_words).alias("__segs")
     )
-    # crossJoin against the ONE-row dup-set frame: broadcast nested loop
-    # over a single row = a literal array column on every partition
+    segs = base.select(
+        F.col(id_col), F.posexplode("__segs").alias("__idx", "__seg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        segs.groupBy("__seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__seg")
+    )
+    dup_idx = (
+        segs.join(dup, "__seg", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__idx").alias("__dupidx"))
+    )
     return (
-        df.crossJoin(F.broadcast(seg_freq))
-        .withColumn("__segs", text_segments(F.col(text_col), seg_words))
+        base.join(dup_idx, id_col, "left")
         .withColumn(
-            "__kept",
-            F.filter(
-                F.col("__segs"),
-                lambda s: ~F.coalesce(
-                    F.array_contains(F.col("__dup"), s), F.lit(False)
-                ),
+            "__dupidx",
+            F.coalesce(F.col("__dupidx"), F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "__keep_idx",
+            F.array_sort(
+                F.array_except(
+                    F.sequence(F.lit(0), F.size("__segs") - 1), F.col("__dupidx")
+                )
             ),
         )
         .select(
             F.col(id_col),
             F.size("__segs").alias("n_segments"),
-            (F.size("__segs") - F.size("__kept")).alias("n_removed"),
-            F.array_join("__kept", " ").alias("text_clean"),
+            (F.size("__segs") - F.size("__keep_idx")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.col("__keep_idx"), lambda i: F.col("__segs")[i]
+                ),
+                " ",
+            ).alias("text_clean"),
         )
     )
 

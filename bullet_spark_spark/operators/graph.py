@@ -36,6 +36,7 @@ def pagerank(
     round_dp: int = 10,
     checkpoint_every: int = 6,
     broadcast_nodes_below: int = 2_000_000,
+    checkpoint_final: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list → (node, rank).
 
@@ -137,7 +138,11 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+        if (it + 1) % checkpoint_every == 0 or (
+            it == iterations - 1 and checkpoint_final
+        ):
+            # checkpoint_final=False leaves the last iteration's plan live so
+            # tests can pin its shape (broadcast joins, exchange count)
             ranks = ranks.localCheckpoint(eager=True)
 
     ecols.unpersist()

@@ -358,3 +358,107 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tables):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_segment_dedup_no_broadcast_array_no_one_row_agg(spark, tables):
+    """Round-5 rewrite contract (VERDICT r4 task 4): segment_dedup's dup
+    probe must be a JOIN against the dup-segment frame, not a literal
+    array scan — the old design collapsed the dup set into ONE
+    collect_set row (2 GB single-row ceiling) cross-joined back and
+    probed with array_contains per segment (O(|segs| x |dups|)). Pinned:
+    no nested-loop/cartesian anywhere, no grouping-free aggregate, the
+    probe is a semi join, and the rebuild joins per-doc dup INDICES back
+    broadcast — the corpus is never re-exchanged by doc id."""
+    from bullet_spark_spark.operators import dedup as dd
+
+    df = dd.segment_dedup(tables["documents"])
+    plan = _plan(df)
+    tree = _tree(plan)
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "LeftSemi" in tree  # dup probe is a (broadcast) semi join
+    # no single-row aggregate: every Keys list in the details is non-empty
+    assert "Keys []" not in plan
+    # rebuild side: per-doc dup indices broadcast back onto the corpus
+    assert "BroadcastHashJoin LeftOuter" in tree
+    # exchanges: segs-keyed distinct + countDistinct + covered-docs groupBy;
+    # the corpus-sized base frame itself is never exchanged
+    non_broadcast = [
+        l for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l and "Reused" not in l
+    ]
+    assert len(non_broadcast) <= 3, non_broadcast
+
+
+def test_pagerank_iteration_broadcast_rank_bounded_exchanges(spark, tables):
+    """PageRank per-iteration shape below the broadcast-nodes threshold
+    (graph.py): the rank frame and the contribution frame are node-sized
+    and BROADCAST into their joins (checkpoint leaves are stat-less, so
+    without the explicit hint Catalyst would sort-merge every round);
+    the only non-broadcast exchange per iteration is the groupBy(dst)
+    partial-sum — the canonical Pregel-in-DataFrames step. Pinned on a
+    live (un-checkpointed) final iteration."""
+    from bullet_spark_spark.operators import graph as gr
+
+    edges = (
+        tables["orders"]
+        .limit(500)
+        .select(
+            (F.col("o_custkey") % 50).alias("src"),
+            (F.col("o_orderkey") % 50).alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    ranks = gr.pagerank(edges, iterations=1, checkpoint_final=False)
+    tree = _tree(_plan(ranks))
+    # both per-iteration joins are broadcast: edges x ranks and nodes x contribs
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+    assert "SortMergeJoin" not in tree
+
+    # live (non-cached-lineage) shuffle exchanges: the groupBy(dst) partial
+    # sum, plus at most the one-time out_w aggregate whose cache is not yet
+    # materialized at plan time — never a per-join sort exchange
+    def live_exchanges(df) -> int:
+        node = df._jdf.queryExecution().sparkPlan()
+
+        def walk(n) -> int:
+            name = n.getClass().getSimpleName()
+            if "InMemoryTableScan" in name:
+                return 0
+            c = 1 if ("ShuffleExchange" in name) else 0
+            for i in range(n.children().size()):
+                c += walk(n.children().apply(i))
+            return c
+
+        return walk(node)
+
+    assert live_exchanges(ranks) <= 2, _plan(ranks)
+
+
+def test_ensemble_survivors_single_corpus_scan_anti_join(spark, qs):
+    """dedup_ensemble_survivors: the lexical+semantic components closure
+    materializes ONCE (checkpointed RDD leaf); the final job is a single
+    anti join of the corpus against the non-survivor ids — one parquet
+    scan of documents, no second pair materialization, no rescan of the
+    signature pipeline."""
+    df = qs["dedup_ensemble_survivors"](spark, SF_DIR)
+    tree = _tree(_plan(df))
+    assert "LeftAnti" in tree
+    assert tree.count("Scan parquet") == 1, tree
+    # the dup-id side is a materialized closure, not a live recompute
+    assert "Scan ExistingRDD" in tree
+
+
+def test_warehouse_sync_no_cartesian_bounded_scans(spark, qs):
+    """pipeline_warehouse_sync (CDC snapshot diff -> SCD2 merge): the
+    sync must stay linear — every join keyed (full-outer diff, semi
+    probes), no nested-loop/cartesian anywhere, and the CDC/SCD2 stages
+    read cached intermediates instead of rescanning the base tables
+    (bounded live parquet scans)."""
+    df = qs["pipeline_warehouse_sync"](spark, SF_DIR)
+    plan = _plan(df)
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    live, _ = _live_scan_counts(df)
+    assert live <= 6, f"warehouse sync rescans base tables ({live} live scans)"
