@@ -30,8 +30,43 @@ of exact.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+HLL_DEFAULT_LGK = 12
+
+
+def hll_result_meta(estimate: float, lgk: int = HLL_DEFAULT_LGK) -> dict:
+    """bullet-style sketch metadata for an HLL-estimated COUNT DISTINCT.
+
+    bullet attaches a meta section to every sketch-estimated result —
+    whether the value was estimated, the sketch family, and the standard-
+    deviation error bounds around the estimate [D] (the reference's theta-
+    sketch metadata; its Spark harness forwards it untouched). The Spark
+    builtins expose only the point estimate, so the envelope is computed
+    from the HLL family's asymptotic relative standard error
+    rse = 1.04 / sqrt(2^lgk) (~1.625% at the default lgk=12): the
+    z-sigma bounds are estimate / (1 ± z·rse) — the same first-order
+    interval DataSketches' getLowerBound/getUpperBound linearize to.
+
+    Keys mirror bullet's result meta: ``was_estimated``, ``family``,
+    ``lg_k``, ``estimate``, ``relative_std_error`` and per-sigma
+    ``bounds`` {"1": {lower, upper}, "2": ..., "3": ...}."""
+    rse = 1.04 / math.sqrt(2.0 ** lgk)
+    est = float(estimate)
+    return {
+        "was_estimated": True,
+        "family": "HLL",
+        "lg_k": lgk,
+        "estimate": est,
+        "relative_std_error": rse,
+        "bounds": {
+            str(z): {"lower": est / (1.0 + z * rse), "upper": est / (1.0 - z * rse)}
+            for z in (1, 2, 3)
+        },
+    }
 
 
 def hll_group_sketches(

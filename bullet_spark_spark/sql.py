@@ -40,3 +40,31 @@ def bql(spark: SparkSession, text: str, df: DataFrame | None = None) -> DataFram
     from bullet_spark_spark.plans.bql import parse_bql
 
     return compile_query(spark, parse_bql(text), df=df)
+
+
+def bql_result(
+    spark: SparkSession, text: str, df: DataFrame | None = None
+) -> dict:
+    """BQL text → bullet's RESULT ENVELOPE: ``{"records": [...], "meta":
+    {...}}`` — the JSON shape bullet's PubSub publishes per query, where
+    sketch-estimated aggregations carry sketch metadata (was_estimated,
+    family, std-error bounds) beside the records [D].
+
+    For APPROX COUNT DISTINCT (``APPROX_COUNT_DISTINCT(...)`` in BQL) the
+    meta is the HLL envelope from ``operators.sketch.hll_result_meta``
+    (estimate, relative_std_error = 1.04/sqrt(2^lgk), 1/2/3-sigma
+    bounds). Exact aggregations return ``meta: {"was_estimated": False}``
+    — the reference's non-estimated results likewise carry no sketch
+    section."""
+    from bullet_spark_spark.operators.sketch import hll_result_meta
+    from bullet_spark_spark.plans.bql import parse_bql
+    from bullet_spark_spark.plans.spec import CountDistinctAgg
+
+    spec = parse_bql(text)
+    out = compile_query(spark, spec, df=df)
+    records = [r.asDict(recursive=True) for r in out.collect()]
+    agg = spec.aggregation
+    if isinstance(agg, CountDistinctAgg) and agg.approx and records:
+        estimate = next(iter(records[0].values()))
+        return {"records": records, "meta": hll_result_meta(estimate)}
+    return {"records": records, "meta": {"was_estimated": False}}

@@ -400,16 +400,24 @@ class ControlPlane:
                     handle.state = QueryState.COMPLETED
                     self.mux.status_log.append((qid, Signal.COMPLETE, time.time()))
                 rows = handle.result()
+            # sketch-estimated results carry bullet's meta section (estimate
+            # + std-error bounds) alongside the rows [D]; exact results
+            # leave meta unset
+            meta = getattr(handle, "meta", None)
             if handle.state is QueryState.RUNNING:
                 if rows and self._published.get(qid) != tuple(map(tuple, rows)):
                     # incremental window emission (JoinStreaming.scala:148-151)
                     self._published[qid] = tuple(map(tuple, rows))
-                    self._emit_status(
-                        {"query_id": qid, "type": "WINDOW", "rows": rows}
-                    )
+                    event = {"query_id": qid, "type": "WINDOW", "rows": rows}
+                    if meta is not None:
+                        event["meta"] = meta
+                    self._emit_status(event)
             elif qid not in self._terminal_published:
                 self._terminal_published.add(qid)
-                self._emit_status({"query_id": qid, "type": "RESULT", "rows": rows})
+                event = {"query_id": qid, "type": "RESULT", "rows": rows}
+                if meta is not None:
+                    event["meta"] = meta
+                self._emit_status(event)
                 signal = {
                     QueryState.COMPLETED: "COMPLETE",
                     QueryState.KILLED: "KILL",

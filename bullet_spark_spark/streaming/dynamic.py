@@ -100,6 +100,13 @@ class DynamicHandle:
     # RAW: matched records accumulated up to the spec's limit (Q16)
     raw_rows: list[tuple] = field(default_factory=list)
     raw_columns: list[str] | None = None
+    # sketch metadata for estimated results (bullet's result meta [D]):
+    # set by result() when the value came from a sketch, None when exact
+    meta: dict | None = None
+    # session for the HLL blob-combine job: getActiveSession() is
+    # THREAD-LOCAL and returns None on the control plane's publisher
+    # thread, so result() must not rely on it
+    spark: SparkSession | None = None
 
     def result(self) -> list[tuple]:
         """Current merged result rows, shaped per aggregation family:
@@ -124,11 +131,14 @@ class DynamicHandle:
                     blobs.extend(x if isinstance(x, list) else [x])
                 blobs = [bytes(b) for b in blobs if b is not None]
                 if not blobs:
+                    from bullet_spark_spark.operators.sketch import hll_result_meta
+
+                    self.meta = hll_result_meta(0)
                     return [(0,)]
                 # ONE tiny job over #batches blobs — the byte-blob combine
                 # step (JoinStreaming.scala:126 querier.combine) on
                 # DataSketches-compatible state
-                spark = SparkSession.getActiveSession()
+                spark = self.spark or SparkSession.getActiveSession()
                 est = (
                     spark.createDataFrame([(b,) for b in blobs], "s binary")
                     .agg(
@@ -138,6 +148,9 @@ class DynamicHandle:
                     )
                     .collect()[0]["n"]
                 )
+                from bullet_spark_spark.operators.sketch import hll_result_meta
+
+                self.meta = hll_result_meta(int(est))
                 return [(int(est),)]
             n = sum(
                 1 for k in self.groups if k and all(v is not None for v in k)
@@ -247,7 +260,10 @@ class DynamicMultiplexer:
         # plan-per-query mode (EngineRuntime.register), where the compiled
         # plan owns the select list.
         handle = DynamicHandle(
-            query_id=query_id, spec=spec, rate_limit=rate_limit or self.rate_limit
+            query_id=query_id,
+            spec=spec,
+            rate_limit=rate_limit or self.rate_limit,
+            spark=self.spark,
         )
         with self._lock:
             if query_id in self.queries and self.queries[query_id].state is QueryState.RUNNING:

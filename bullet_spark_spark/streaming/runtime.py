@@ -108,6 +108,9 @@ class QueryHandle:
     emit_times: list[float] = field(default_factory=list)
     raw_rows_seen: int = 0
     error: str | None = None
+    # sketch metadata for estimated results (bullet's result meta [D]):
+    # set when a result came from a sketch estimate, None when exact
+    meta: dict | None = None
     _dead_sweeps: int = 0  # consecutive sweeps observing a dead stream
 
     def is_active(self) -> bool:
@@ -539,7 +542,10 @@ class EngineRuntime:
                         x = st.get(name)
                         blobs.extend(x if isinstance(x, list) else [x])
                     blobs = [bytes(b) for b in blobs if b is not None]
+                    from bullet_spark_spark.operators.sketch import hll_result_meta
+
                     if not blobs:
+                        handles[qid].meta = hll_result_meta(0)
                         return [agg.name], [(0,)]
                     est = (
                         self.spark.createDataFrame(
@@ -552,6 +558,7 @@ class EngineRuntime:
                         )
                         .collect()[0]["n"]
                     )
+                    handles[qid].meta = hll_result_meta(int(est))
                     return [agg.name], [(int(est),)]
                 # merged state IS the distinct key set; SQL convention:
                 # tuples with any NULL component don't count
