@@ -83,6 +83,7 @@ def main() -> None:
 
     streaming_rps = _streaming_ingest_rate(spark)
     control_qps, control_register_qps = _control_plane_rate(spark)
+    control_qps_128, _ = _control_plane_rate(spark, n_queries=128)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_after = os.getloadavg()
@@ -94,6 +95,7 @@ def main() -> None:
         "queries": times,
         "streaming_rows_per_sec": streaming_rps,
         "control_plane_queries_per_sec": control_qps,
+        "control_plane_queries_per_sec_128": control_qps_128,
         "control_plane_register_per_sec": control_register_qps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # run context for cross-round adjudication (judge/VERDICT r03 ask):
@@ -144,15 +146,24 @@ def _streaming_ingest_rate(spark) -> float:
     return round(_stats.median(cycle() for _ in range(REPEATS)), 1)
 
 
-def _control_plane_rate(spark) -> tuple[float, float]:
+def _control_plane_rate(spark, n_queries: int = 32) -> tuple[float, float]:
     """Queries/sec through the external control plane + dynamic
     multiplexer — the reference's raison-d'être metric (many concurrent
-    queries sharing one stream, BASELINE.md posture table): 32 BQL queries
-    submitted over the control transport, parsed, registered, evaluated
-    over a full drain of the events stream, and completed; rate = queries
-    fully served / wall. Same warmup+median methodology as the query
-    suite (one warmup cycle for JVM/codegen/Arrow init — a long-lived
-    cluster session — then the median of REPEATS timed cycles)."""
+    queries sharing one stream, BASELINE.md posture table): ``n_queries``
+    BQL queries submitted over the control transport, parsed, registered,
+    evaluated over a full drain of the events stream, and completed;
+    rate = queries fully served / wall. Same warmup+median methodology as
+    the query suite (one warmup cycle for JVM/codegen/Arrow init — a
+    long-lived cluster session — then the median of REPEATS timed cycles).
+
+    The 32-query figure is floor-dominated, not capacity-dominated: a
+    cycle's wall is ~0.65 s of micro-batch machinery (4 batches x offset/
+    commit logs + batch planning) + ~0.2 s/batch of fresh-frame Catalyst
+    analysis, while the MARGINAL cost per extra query is ~5-8 ms (shared
+    scan, one routed aggregation regardless of N) — so the served rate
+    SCALES with concurrency (~34 q/s at 64, ~51 q/s at 128, measured
+    r5). The 128-query companion metric below reports the reference's
+    actual posture (hundreds of live queries on one stream)."""
     import tempfile
 
     from bullet_spark_spark.sources.batch import load_table
@@ -161,7 +172,6 @@ def _control_plane_rate(spark) -> tuple[float, float]:
     from bullet_spark_spark.streaming.dynamic import DynamicMultiplexer
 
     events = load_table(spark, "events", SF_DIR)
-    n_queries = 32
 
     def cycle() -> tuple[float, float]:
         with tempfile.TemporaryDirectory() as work:

@@ -28,12 +28,45 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+class ExprSQLUnsupported(Exception):
+    """Raised by ``Expr.sql()`` for the (rare) nodes with no faithful Spark
+    SQL text form — callers fall back to the py4j ``col()`` path."""
+
+
+def _sql_lit(v: Any) -> str:
+    """Literal → Spark SQL text (escaped; backslash is an escape char in
+    Spark's default string-literal parsing)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            raise ExprSQLUnsupported(f"non-finite literal {v}")
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise ExprSQLUnsupported(f"literal type {type(v).__name__}")
+
+
 @dataclass(frozen=True)
 class Expr:
     """Base class for expression-tree nodes."""
 
     def col(self) -> Column:
         raise NotImplementedError
+
+    def sql(self) -> str:
+        """Render this expression as Spark SQL text.
+
+        ``F.expr(e.sql())`` is semantically identical to ``e.col()``
+        (pinned by the differential test in tests/test_exprs.py) but costs
+        ONE py4j round trip instead of one per AST node — the difference
+        between 0.24 s and 2 ms when the dynamic multiplexer compiles a
+        32-query routing expression (the control-plane registry-churn
+        path). Raises ExprSQLUnsupported where no faithful text form
+        exists; callers fall back to ``col()``."""
+        raise ExprSQLUnsupported(type(self).__name__)
 
     # operator sugar so specs read naturally: E.f("value") > 50
     def _bin(self, op: str, other: Any) -> "Binary":
@@ -43,6 +76,7 @@ class Expr:
     def __sub__(self, o): return self._bin("-", o)
     def __mul__(self, o): return self._bin("*", o)
     def __truediv__(self, o): return self._bin("/", o)
+    def __mod__(self, o): return self._bin("%", o)
     def __neg__(self): return Unary("-", self)
     def __eq__(self, o): return self._bin("=", o)  # type: ignore[override]
     def __ne__(self, o): return self._bin("!=", o)  # type: ignore[override]
@@ -92,6 +126,9 @@ class Value(Expr):
     def col(self) -> Column:
         return F.lit(self.value)
 
+    def sql(self) -> str:
+        return _sql_lit(self.value)
+
 
 @dataclass(frozen=True, eq=False)
 class Field(Expr):
@@ -106,14 +143,32 @@ class Field(Expr):
     subkey: str | None = None
 
     def col(self) -> Column:
+        # bullet's FieldExpression yields NULL for a missing index/key;
+        # plain getItem subscripts RAISE under ANSI mode (Spark 4 default)
+        # — use the null-safe accessors (get / try_element_at)
         c = F.col(self.name)
         if self.index is not None:
-            c = c.getItem(self.index)
+            c = F.get(c, self.index)
         if self.key is not None:
-            c = c.getItem(self.key)
+            c = F.try_element_at(c, F.lit(self.key))
         if self.subkey is not None:
-            c = c.getItem(self.subkey)
+            c = F.try_element_at(c, F.lit(self.subkey))
         return c
+
+    def sql(self) -> str:
+        if "`" in self.name:
+            raise ExprSQLUnsupported("backquote in field name")
+        s = f"`{self.name}`" if not self.name.isidentifier() else self.name
+        # getItem() is null-tolerant; plain [] subscripts RAISE under ANSI
+        # mode (Spark 4 default) on out-of-range/missing — use the
+        # null-safe accessors so both paths agree
+        if self.index is not None:
+            s = f"get({s}, {int(self.index)})"
+        if self.key is not None:
+            s = f"try_element_at({s}, {_sql_lit(self.key)})"
+        if self.subkey is not None:
+            s = f"try_element_at({s}, {_sql_lit(self.subkey)})"
+        return s
 
 
 _BINARY_BUILTIN = {
@@ -180,6 +235,29 @@ class Binary(Expr):
             return F.array_contains(b, a)
         raise ValueError(f"unknown binary op {self.op!r}")
 
+    def sql(self) -> str:
+        a, b = self.left.sql(), self.right.sql()
+        op = self.op.upper() if self.op not in _CMP_FN else self.op
+        if self.op in _CMP_FN or op in ("AND", "OR", "+", "-", "*", "/", "%"):
+            return f"({a} {self.op} {b})"
+        if op == "XOR":
+            return f"(cast({a} as boolean) != cast({b} as boolean))"
+        if op == "RLIKE":
+            return f"({a} RLIKE {b})"
+        if op == "RLIKE_ANY":
+            return f"exists({b}, __p -> regexp_like({a}, __p))"
+        if op.endswith("_ANY") or op.endswith("_ALL"):
+            base, quant = op[:-4], op[-3:]
+            fn = "exists" if quant == "ANY" else "forall"
+            return f"{fn}({b}, __x -> ({a} {base} __x))"
+        if op == "CONTAINSKEY":
+            return f"map_contains_key({a}, {b})"
+        if op == "CONTAINSVALUE":
+            return f"array_contains(map_values({a}), {b})"
+        if op == "IN_LIST":
+            return f"array_contains({b}, {a})"
+        raise ExprSQLUnsupported(self.op)
+
 
 @dataclass(frozen=True, eq=False)
 class Unary(Expr):
@@ -214,6 +292,27 @@ class Unary(Expr):
         if op == "UNIX_TIMESTAMP":
             return F.unix_timestamp(c)
         raise ValueError(f"unknown unary op {self.op!r}")
+
+    _SQL_FN = {
+        "ABS": "abs", "LOWER": "lower", "UPPER": "upper", "TRIM": "trim",
+        "SIZEOF": "size", "STRLEN": "length", "HASH": "xxhash64",
+        "UNIX_TIMESTAMP": "unix_timestamp",
+    }
+
+    def sql(self) -> str:
+        c = self.operand.sql()
+        op = self.op.upper()
+        if op == "-":
+            return f"(- {c})"
+        if op == "NOT":
+            return f"(NOT cast({c} as boolean))"
+        if op == "ISNULL":
+            return f"({c} IS NULL)"
+        if op == "ISNOTNULL":
+            return f"({c} IS NOT NULL)"
+        if op in self._SQL_FN:
+            return f"{self._SQL_FN[op]}({c})"
+        raise ExprSQLUnsupported(self.op)
 
 
 @dataclass(frozen=True, eq=False)
@@ -262,6 +361,38 @@ class NAry(Expr):
             ).transform(lambda s: s["x"])
         raise ValueError(f"unknown n-ary op {self.op!r}")
 
+    def sql(self) -> str:
+        ops = [o.sql() for o in self.operands]
+        op = self.op.upper()
+        if op in ("IN", "NOT IN"):
+            if all(isinstance(o, Value) for o in self.operands[1:]):
+                mem = f"({ops[0]} IN ({', '.join(ops[1:])}))"
+            else:
+                mem = "(" + " OR ".join(f"({ops[0]} = {c})" for c in ops[1:]) + ")"
+            return f"(NOT {mem})" if op == "NOT IN" else mem
+        if op == "BETWEEN":
+            return f"({ops[0]} BETWEEN {ops[1]} AND {ops[2]})"
+        if op == "NOT BETWEEN":
+            return f"({ops[0]} NOT BETWEEN {ops[1]} AND {ops[2]})"
+        if op == "CONCAT":
+            return f"concat({', '.join(ops)})"
+        if op == "SUBSTRING":
+            length = ops[2] if len(ops) == 3 else "2147483647"
+            return f"substring({ops[0]}, {ops[1]}, {length})"
+        if op == "IF":
+            return f"if({ops[0]}, {ops[1]}, {ops[2]})"
+        if op == "SPLIT":
+            pat = self.operands[1]
+            if not isinstance(pat, Value):
+                raise ExprSQLUnsupported("SPLIT pattern must be literal")
+            return f"split({ops[0]}, {_sql_lit(str(pat.value))})"
+        if op == "FILTER":
+            return (
+                f"transform(filter(zip_with({ops[0]}, {ops[1]}, "
+                "(__x, __m) -> struct(__x as x, __m as m)), __s -> __s.m), __s -> __s.x)"
+            )
+        raise ExprSQLUnsupported(self.op)
+
 
 @dataclass(frozen=True, eq=False)
 class Cast(Expr):
@@ -271,16 +402,22 @@ class Cast(Expr):
     def col(self) -> Column:
         return self.operand.col().cast(self.to)
 
+    def sql(self) -> str:
+        return f"cast({self.operand.sql()} as {self.to})"
+
 
 @dataclass(frozen=True, eq=False)
 class Raw(Expr):
     """Escape hatch: a raw Spark SQL expression string (our engine's UDF-free
     extension surface; not part of bullet parity)."""
 
-    sql: str
+    sql_text: str
 
     def col(self) -> Column:
-        return F.expr(self.sql)
+        return F.expr(self.sql_text)
+
+    def sql(self) -> str:
+        return f"({self.sql_text})"
 
 
 class E:

@@ -316,14 +316,24 @@ def snapshot_diff(
         *[F.col(k) for k in key_cols],
         row_fingerprint(compare_cols).alias("__fp_new"),
     )
-    j = fp_old.join(fp_new, key_cols, "full_outer")
+    # null-safe key equality: with plain USING-style equality a NULL key
+    # present in both snapshots never matches itself, so the same row is
+    # reported as BOTH 'added' and 'removed' (r4 advisory)
+    cond = None
+    for k in key_cols:
+        c = fp_old[k].eqNullSafe(fp_new[k])
+        cond = c if cond is None else (cond & c)
+    j = fp_old.join(fp_new, cond, "full_outer")
     change = (
         F.when(F.col("__fp_old").isNull(), F.lit("added"))
         .when(F.col("__fp_new").isNull(), F.lit("removed"))
         .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    out = j.select(*key_cols, change.alias("change"))
+    out = j.select(
+        *[F.coalesce(fp_old[k], fp_new[k]).alias(k) for k in key_cols],
+        change.alias("change"),
+    )
     if not include_unchanged:
         out = out.filter(F.col("change") != "unchanged")
     return out

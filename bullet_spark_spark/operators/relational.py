@@ -285,7 +285,17 @@ def incremental_group_update(
     zero = F.lit(0).cast("decimal(28,6)")
     out_cols = [
         (
-            (F.coalesce(F.col(out), zero) + F.coalesce(F.col(f"__ds_{out}"), zero))
+            # preserve SQL NULL-sum semantics so the result equals a fresh
+            # group_snapshot_agg recompute EXACTLY: a group whose values
+            # are all NULL sums to NULL, not 0 (r4 advisory) — coalesce
+            # only when at least one side carries a real sum
+            F.when(
+                F.col(out).isNull() & F.col(f"__ds_{out}").isNull(),
+                F.lit(None).cast("decimal(28,6)"),
+            )
+            .otherwise(
+                F.coalesce(F.col(out), zero) + F.coalesce(F.col(f"__ds_{out}"), zero)
+            )
             .cast("decimal(28,6)")
             .alias(out)
         )

@@ -403,7 +403,11 @@ def resample_ffill(
             ),
         )
         .filter(F.col("__rn") == 1)
-        .select(key_col, "__b", *value_cols)
+        # join-presence marker: is_gap must flag MISSING buckets, not
+        # buckets whose observed first value column happens to be NULL —
+        # deriving it from value_cols[0] IS NULL conflated the two and
+        # forward-filled over real NULL observations (r4 advisory)
+        .select(key_col, "__b", *value_cols, F.lit(True).alias("__present"))
     )
     spans = per_bucket.groupBy(key_col).agg(
         F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
@@ -424,7 +428,7 @@ def resample_ffill(
             F.last(F.col(c), ignorenulls=True).over(w).alias(c)
             for c in value_cols
         ],
-        F.col(value_cols[0]).isNull().alias("is_gap"),
+        F.col("__present").isNull().alias("is_gap"),
     )
     return filled
 

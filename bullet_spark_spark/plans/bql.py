@@ -311,6 +311,23 @@ class _Parser:
             names.append(_default_name(payload))
         return names
 
+    _RESERVED_ALIAS = frozenset(
+        "FROM WHERE GROUP HAVING ORDER WINDOWING LATERAL LIMIT AS BY SELECT".split()
+    )
+
+    def _alias_ident(self) -> str:
+        """Consume an alias token, validating it IS an identifier: keywords
+        and operators are rejected with a BQLError (matching the parser's
+        other error paths) instead of being silently accepted as column
+        names — and EOF raises the parser's standard error rather than an
+        AttributeError (r4 advisory)."""
+        t = self.peek()
+        if t is None:
+            raise BQLError("unexpected end of query: expected alias")
+        if t.kind != "ident" or t.text.upper() in self._RESERVED_ALIAS:
+            raise BQLError(f"expected alias identifier, got {t.text!r}")
+        return self.next().text
+
     def _lateral_view(self):
         """LATERAL VIEW [OUTER] EXPLODE(expr) AS alias [, key2] — bullet-core
         1.5 table functions via bullet-bql's LATERAL VIEW grammar [D]. Two
@@ -325,9 +342,9 @@ class _Parser:
         self.expect_op(")")
         self.expect_kw("AS")
         parens = bool(self.accept_op("("))
-        names = [self.next().text]
+        names = [self._alias_ident()]
         while self.accept_op(","):
-            names.append(self.next().text)
+            names.append(self._alias_ident())
         if parens:
             self.expect_op(")")
         if len(names) == 1:

@@ -246,7 +246,11 @@ def merge_upsert(
     for values in touched:
         clause = F.lit(True)
         for c, v in zip(partition_cols, values):
-            clause = clause & (F.col(c) == F.lit(v))
+            # null-safe: `col == lit(None)` is never true, so a NULL
+            # partition value would read back ZERO existing rows while
+            # dynamic overwrite still replaces that partition directory —
+            # silently dropping its non-superseded keys (r4 advisory)
+            clause = clause & F.col(c).eqNullSafe(F.lit(v))
         pred = pred | clause
     target = spark.read.parquet(path).filter(pred)
     merged = target.join(

@@ -202,12 +202,25 @@ class DynamicMultiplexer:
     """Per-batch query evaluation over one shared stream (add/remove live)."""
 
     def __init__(
-        self, spark: SparkSession, rate_limit: RateLimit | None = None
+        self,
+        spark: SparkSession,
+        rate_limit: RateLimit | None = None,
+        batch_shuffle_partitions: int | None = 8,
     ) -> None:
         self.spark = spark
         self.queries: dict[str, DynamicHandle] = {}
         self.status_log: list[tuple[str, Signal, float]] = []
         self.rate_limit = rate_limit  # default for every registered query
+        # reducer count for the per-batch routed-aggregation jobs. The
+        # job's OUTPUT is bounded partials (per-query groups, not data),
+        # and map-side partial aggregation collapses the batch before the
+        # exchange, so reducer fan-out buys nothing — but AQE (which would
+        # coalesce those reducers at runtime) is DISABLED inside streaming
+        # foreachBatch, so the session default (sized for data-plane
+        # shuffles) schedules dead tasks every batch: 32 reducers ≈ +90 ms
+        # per micro-batch at sf0.1 (measured). None = inherit the session
+        # conf.
+        self.batch_shuffle_partitions = batch_shuffle_partitions
         self._lock = threading.Lock()
         self._stream: Any = None
         # compiled-plan cache, keyed by the frozenset of live query ids:
@@ -305,10 +318,33 @@ class DynamicMultiplexer:
             compiled = self._compile_live(live)
             self._plan_cache = (key, compiled)
         agg_compiled, raw_compiled = compiled
-        if agg_compiled is not None:
-            self._run_grouping_sets(batch_df, agg_compiled)
-        if raw_compiled is not None:
-            self._run_raw(batch_df, raw_compiled)
+        # Per-batch job confs (restored after): the routed-aggregation job's
+        # output is bounded partials, its plan is a scan→explode→hash-agg
+        # with no joins — so (a) reducer fan-out buys nothing and AQE
+        # (which would coalesce it at runtime) can't: Spark disables AQE
+        # coalescing benefits inside foreachBatch and each fresh frame pays
+        # AQE's replan rounds as pure latency (~50 ms/batch measured);
+        # (b) constraint propagation walks the 32-branch routing expression
+        # for join-filter inference that can never apply (~30 ms/batch).
+        # Both matter because this body runs at MICRO-BATCH cadence — per-
+        # batch driver latency is the control plane's serving floor.
+        confs = {}
+        if self.batch_shuffle_partitions is not None:
+            confs["spark.sql.shuffle.partitions"] = str(self.batch_shuffle_partitions)
+        confs["spark.sql.adaptive.enabled"] = "false"
+        confs["spark.sql.constraintPropagation.enabled"] = "false"
+        prev: dict[str, str] = {}
+        for k, v in confs.items():
+            prev[k] = self.spark.conf.get(k)
+            self.spark.conf.set(k, v)
+        try:
+            if agg_compiled is not None:
+                self._run_grouping_sets(batch_df, agg_compiled)
+            if raw_compiled is not None:
+                self._run_raw(batch_df, raw_compiled)
+        finally:
+            for k, v in prev.items():
+                self.spark.conf.set(k, v)
         now = time.time()
         with self._lock:
             for handle, spec in live:
@@ -342,7 +378,30 @@ class DynamicMultiplexer:
     @staticmethod
     def _route_col(members: list[tuple["DynamicHandle", Query]]):
         """Explode each row to the query ids whose filter it matches
-        (operators.multiplex.multiplex_filter's expression, prebuilt once)."""
+        (operators.multiplex.multiplex_filter's expression, prebuilt once).
+
+        Fast path: render the whole routing expression as ONE SQL string
+        via the expression AST's ``sql()`` (a single F.expr py4j round
+        trip). Building it node-by-node through py4j costs ~0.24 s for 32
+        queries — pure driver latency paid on EVERY registry change, the
+        dominant term of the control plane's registry-churn cost (the
+        reference re-broadcasts hundreds of queries per batch; compile
+        latency IS the serving metric). Falls back to the per-node Column
+        path for filters with no SQL text form."""
+        from bullet_spark_spark.functions.exprs import ExprSQLUnsupported
+
+        try:
+            parts = []
+            for h, spec in members:
+                if "'" in h.query_id or "\\" in h.query_id:
+                    raise ExprSQLUnsupported("quote in query id")
+                pred = "true" if spec.filter is None else spec.filter.sql()
+                parts.append(
+                    f"if(coalesce(({pred}), false), '{h.query_id}', null)"
+                )
+            return F.explode(F.expr(f"array_compact(array({', '.join(parts)}))"))
+        except ExprSQLUnsupported:
+            pass
         tagged = F.array(
             *[
                 F.struct(

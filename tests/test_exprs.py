@@ -111,3 +111,63 @@ def test_in_with_non_literal_operands(nested):
     assert got == {1: False, 2: False, 3: True, 4: False}
     got = _vals(nested, NAry("NOT IN", [E.f("small_int"), E.v(0), E.f("rec_id")]))
     assert got == {1: True, 2: True, 3: False, 4: True}
+
+
+def test_sql_renderer_differential(nested):
+    """Expr.sql() (the one-py4j-call fast path the dynamic multiplexer's
+    routing compiler uses) must be semantically IDENTICAL to Expr.col():
+    every expression family evaluated both ways over the nested fixture,
+    row for row, nulls included."""
+    exprs = [
+        (E.f("small_int") + 2) * E.v(3) - E.f("rec_id") / E.v(2.0),
+        -E.f("small_int"),
+        E.f("rec_id") % 3,
+        (E.f("small_int") > 0) & (E.f("flag") == True),  # noqa: E712
+        (E.f("rec_id") >= 3) | ~(E.f("flag")),
+        (E.f("rec_id") > 2) ^ (E.f("small_int") < 0),
+        E.f("maybe_null").is_null(),
+        E.f("maybe_null").is_not_null(),
+        E.f("rec_id").isin(1, 3),
+        E.not_in(E.f("rec_id"), 1, 3),
+        E.f("rec_id").between(2, 3),
+        E.not_between(E.f("rec_id"), 2, 3),
+        E.f("tags", index=0),
+        E.f("attrs", key="color"),
+        E.any("=", E.f("tags", index=0), E.f("tags")),
+        E.all(">", E.v(100.0), E.f("scores")),
+        E.contains_key(E.f("attrs"), "color"),
+        E.contains_value(E.f("attrs"), "red"),
+        E.in_list(E.v("b"), E.f("tags")),
+        E.sizeof(E.f("tags")),
+        E.size_is(E.f("tags"), 1),
+        E.strlen(E.f("maybe_null")),
+        E.lower(E.f("maybe_null")),
+        E.upper(E.f("maybe_null")),
+        E.trim(E.f("maybe_null")),
+        E.abs(E.f("small_int")),
+        E.hash(E.f("rec_id")),
+        E.f("maybe_null").rlike("^[xy]$"),
+        E.rlike_any(E.f("maybe_null"), E.f("tags")),
+        E.concat(E.f("maybe_null"), E.v("_"), E.f("rec_id").cast("string")),
+        E.substring(E.f("maybe_null"), 1, 1),
+        E.iff(E.f("rec_id") > 2, E.v("hi"), E.v("lo")),
+        E.list_filter(E.f("tags"), E.raw("transform(tags, t -> t = 'b')")),
+        E.f("rec_id").cast("double"),
+        E.raw("rec_id * 2"),
+    ]
+    for e in exprs:
+        sql_text = e.sql()
+        got_col = _vals(nested, e)
+        got_sql = {
+            r["rec_id"]: r["v"]
+            for r in nested.select("rec_id", F.expr(sql_text).alias("v")).collect()
+        }
+        assert got_col == got_sql, f"sql() diverges for {sql_text}"
+
+
+def test_sql_renderer_escaping(spark):
+    """String literals with quotes/backslashes survive the SQL round trip."""
+    df = spark.createDataFrame([("it's a \\ test",)], "s string")
+    e = E.f("s") == E.v("it's a \\ test")
+    got = df.select(F.expr(e.sql()).alias("v")).collect()[0]["v"]
+    assert got is True
