@@ -5343,6 +5343,157 @@ def graph_pagerank_trade(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions
+# ---------------------------------------------------------------------------
+
+_EWMA_C = repr(1.0 - 0.25)  # identical literal in plan and oracle
+
+
+@q(
+    "temporal_ewma",
+    f"""WITH s AS (
+         SELECT user_id, ts, value,
+                list(CAST(value AS DOUBLE)) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), value
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         FROM events WHERE user_id % 50 = 0)
+       SELECT user_id, ts, value,
+              round(
+                CAST(list_reduce(arr, (acc, x) -> acc * {_EWMA_C} + x) AS DOUBLE)
+                / CAST(list_reduce(list_transform(arr, x -> CAST(1.0 AS DOUBLE)),
+                                   (acc, x) -> acc * {_EWMA_C} + x) AS DOUBLE),
+                6) AS ewma
+       FROM s""",
+)
+def temporal_ewma(spark, sf_dir):
+    """Trailing exponentially-weighted moving average (temporal.ewma):
+    Horner-fold numerator/denominator over the frame's ordered value list
+    — pure multiply-add in a fixed order, so the N-term smoothing is
+    bit-identical across engines (no pow(), whose libm last-ulp rounding
+    differs). The per-key monitoring baseline of the temporal family."""
+    t = _t(spark, sf_dir)
+    sub = t["events"].filter(F.col("user_id") % 50 == 0)
+    return tmp.ewma(sub, "user_id", "ts", "value", alpha=0.25, span_rows=20).select(
+        "user_id", "ts", "value", "ewma"
+    )
+
+
+@q(
+    "dedup_lexical_cosine",
+    """WITH post AS (
+         SELECT doc_id AS id, t.term, count(*) AS tf
+         FROM (SELECT doc_id,
+                      unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS term
+               FROM documents) t
+         WHERE len(t.term) > 0
+         GROUP BY 1, 2),
+       n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+       stats AS (
+         SELECT term, round(ln(n.n_docs / count(*)), 8) AS idf
+         FROM post, n GROUP BY term, n.n_docs),
+       wt AS (
+         SELECT p.id, p.term, CAST(p.tf AS DOUBLE) * s.idf AS w
+         FROM post p JOIN stats s USING (term)),
+       norms AS (
+         SELECT id, sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+         FROM wt GROUP BY id),
+       dots AS (
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS dot
+         FROM wt a JOIN wt b ON a.term = b.term AND a.id < b.id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+       FROM dots
+       JOIN norms na ON na.id = id_a
+       JOIN norms nb ON nb.id = id_b
+       WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9""",
+)
+def dedup_lexical_cosine(spark, sf_dir):
+    """tf-idf cosine near-dup pairs (dedup.tfidf_cosine_pairs): inverted-
+    index self-join — the sparse-lexical complement of embedding cosine.
+    Dot/norm terms rounded 9 dp then decimal-summed (order-independent);
+    idf rounded 8 dp before use."""
+    t = _t(spark, sf_dir)
+    return dd.tfidf_cosine_pairs(t["documents"], "doc_id", "text", min_cos=0.9)
+
+
+@q(
+    "dedup_containment_pairs",
+    """WITH d AS (
+         SELECT doc_id, list_distinct([
+                  array_to_string(toks[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+                ]) AS shingles
+         FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+               FROM documents)),
+       e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
+             FROM d WHERE len(shingles) > 0),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                least(a.n_sh, b.n_sh) AS n_small, count(*) AS shared
+         FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3)
+       SELECT id_a, id_b, n_small, CAST(shared AS BIGINT) AS shared,
+              round(CAST(shared AS DOUBLE) / n_small, 6) AS containment
+       FROM inter
+       WHERE round(CAST(shared AS DOUBLE) / n_small, 6) >= 0.5""",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Broder containment near-dup (dedup.containment_pairs): asymmetric
+    |A∩B| / min(|A|,|B|) over distinct word-3-gram sets — catches the
+    doc-embedded-in-doc duplication (quotes, syndication, aggregator
+    pages) that symmetric Jaccard scores near zero."""
+    t = _t(spark, sf_dir)
+    out = dd.containment_pairs(
+        t["documents"], "doc_id", "text", n=3, min_containment=0.5
+    )
+    return out.select(
+        "id_a", "id_b", "n_small", F.col("shared").cast("long").alias("shared"),
+        "containment",
+    )
+
+
+def _benford_expected_sql() -> str:
+    import math as _m
+
+    pairs = ", ".join(
+        f"({d}, {round(_m.log10(1.0 + 1.0 / d), 6)!r})" for d in range(1, 10)
+    )
+    return pairs
+
+
+@q(
+    "quality_benford",
+    f"""WITH exp_t(digit, expected) AS (VALUES {_benford_expected_sql()}),
+       c AS (
+         SELECT CAST(regexp_extract(CAST(CAST(abs(o_totalprice) AS DECIMAL(28,6)) AS VARCHAR),
+                                    '([1-9])', 1) AS INT) AS digit,
+                count(*) AS n
+         FROM orders
+         WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+           AND regexp_extract(CAST(CAST(abs(o_totalprice) AS DECIMAL(28,6)) AS VARCHAR),
+                              '([1-9])', 1) <> ''
+         GROUP BY 1),
+       tot AS (SELECT sum(n) AS total FROM c)
+       SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+              round(c.n / tot.total, 6) AS share,
+              CAST(e.expected AS DOUBLE) AS expected,
+              round(round(c.n / tot.total, 6) - CAST(e.expected AS DOUBLE), 6) AS deviation
+       FROM c, tot JOIN exp_t e ON e.digit = c.digit""",
+)
+def quality_benford(spark, sf_dir):
+    """Benford first-digit screen (quality.benford_digit_report) over
+    order totals: leading digit extracted from the DECIMAL STRING form
+    (log10/pow at exact powers of ten round differently across libms);
+    expected shares are identical Python-computed literals in both
+    engines. One aggregation pass."""
+    from bullet_spark_spark.operators import quality as ql
+
+    t = _t(spark, sf_dir)
+    return ql.benford_digit_report(t["orders"], "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 oracle-eligible

@@ -1272,3 +1272,148 @@ def source_overlap_matrix(
         )
     )
     return out
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_cos: float = 0.30,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Lexical near-duplicate PAIRS by tf-idf cosine over an inverted
+    index → (id_a, id_b, cos) with id_a < id_b and cos ≥ ``min_cos`` —
+    the sparse-vector complement of the embedding-cosine path
+    (semantic_cosine_pairs): catches template/boilerplate rewrites whose
+    embeddings drift apart but whose vocabulary barely changes.
+
+    Plan: tokenize once → (doc, term, tf) postings; document frequency
+    and idf = ln(N/df) from ONE postings aggregate; per-doc L2 norms from
+    a second postings aggregate (both term-pruned identically); candidate
+    pairs from the postings SELF-JOIN keyed on term — pair cost is
+    Σ_t df(t)², so ``max_df`` caps the posting list any term may carry
+    (stop-term blocking, the classic inverted-index bound; None = exact).
+    Dot products and norms accumulate as ROUNDED-then-DECIMAL terms
+    (order-independent, engine-exact); idf is rounded 8 dp before use so
+    ln() differences below 1e-8 can't flip the hash.
+
+    Reference analog: none (no text surface); M5 dedup-family extension,
+    the SpotSigs/shingle-free lexical near-dup posture.
+    """
+    from bullet_spark_spark.operators.text import tokens
+
+    postings = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(id_col).distinct().count()  # bounded: one scalar
+    stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    if max_df is not None:
+        stats = stats.filter(F.col("df_t") <= max_df)
+    stats = stats.withColumn(
+        "idf",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("df_t")), 8),
+    )
+    weighted = postings.join(F.broadcast(stats), "term").select(
+        "id",
+        "term",
+        (F.col("tf").cast("double") * F.col("idf")).alias("w"),
+    )
+    from pyspark import StorageLevel
+
+    weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
+    norms = weighted.groupBy("id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 9).cast("decimal(28,9)")).cast(
+                "double"
+            )
+        ).alias("norm")
+    )
+    a, b = weighted.alias("a"), weighted.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.w") * F.col("b.w"), 9).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: pairs where the smaller document's n-gram set
+    is mostly CONTAINED in the larger's → (id_a, id_b, n_small, shared,
+    containment) with containment = |A∩B| / min(|A|, |B|).
+
+    Jaccard (dedup_ngram_jaccard) misses subset relationships: a tweet
+    quoted inside an article scores near-zero Jaccard but 1.0
+    containment — exactly the 'document embedded in document' duplication
+    a training corpus accumulates (quotes, syndication, scraped snippets
+    inside aggregator pages). Broder's containment coefficient is the
+    standard fix.
+
+    Plan: DISTINCT n-gram posting lists per doc + per-doc set sizes from
+    one tokenize pass; shared counts from the posting self-join (same
+    Σ df² bound as every inverted-index pass — the LSH candidate
+    generation bound); containment is a pure projection. Exact, fully
+    cross-engine (md5-free: grams compare as text).
+    """
+    # word_shingles: same normalization + empty-set-below-n convention as
+    # ngram_jaccard_pairs and its DuckDB oracle comprehension
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+        )
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("ga"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("gb"))
+    return (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.least("ga", "gb").alias("n_small"),
+            "shared",
+            F.round(
+                F.col("shared").cast("double") / F.least("ga", "gb"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

@@ -434,3 +434,60 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.select(F.explode(entries).alias("e")).select(
         "e.col_a", "e.col_b", "e.corr"
     )
+
+
+def benford_digit_report(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law → one row per
+    digit 1-9: (digit, n, share, expected, deviation) — the classic
+    fabricated-data / broken-ETL screen for naturally-occurring amounts
+    (invoice totals, populations, trade volumes): organic multi-scale data
+    follows P(d) = log10(1 + 1/d); synthetic or truncated feeds don't.
+
+    Engine-exactness: the leading digit comes from the DECIMAL STRING form
+    of the value (cast to DECIMAL(28,6) → text → first [1-9]) rather than
+    log10/pow arithmetic, whose libm rounding at exact powers of ten can
+    disagree between engines; the nine expected shares are Python-computed
+    literals, identical bytes in the plan and the oracle. One aggregation
+    pass; NULLs and zeros drop (no leading significant digit).
+
+    Reference analog: none; M5 quality-family extension (the profiling
+    companion to quality.drift_psi).
+    """
+    import math as _math
+
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("decimal(28,6)").cast("string"), "([1-9])", 1
+    )
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .select(digit.alias("d"))
+        .filter(F.col("d") != "")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    expected = F.create_map(
+        *[
+            x
+            for dd in range(1, 10)
+            for x in (
+                F.lit(str(dd)),
+                F.lit(round(_math.log10(1.0 + 1.0 / dd), 6)),
+            )
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").cast("int").alias("digit"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            expected[F.col("d")].alias("expected"),
+            F.round(
+                F.round(F.col("n") / F.col("__total"), 6) - expected[F.col("d")], 6
+            ).alias("deviation"),
+        )
+    )

@@ -510,3 +510,50 @@ def trailing_window_agg(
     )
     n = F.count(F.lit(1)).over(w)
     return df.withColumn(out_col, s).withColumn(f"{out_col}_n", n)
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    span_rows: int = 20,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over the trailing
+    ``span_rows`` observations → every input row + ``out_col`` — the
+    smoothing baseline for drift/anomaly monitors (pandas ``ewm(alpha,
+    adjust=True)`` semantics, truncated to a bounded frame so state never
+    grows with series length):
+
+        y_i = Σ_k (1-α)^k · x_{i-k}  /  Σ_k (1-α)^k,   k < span_rows
+
+    Engine-exactness: both numerator and denominator evaluate as a HORNER
+    FOLD over the frame's ordered value list (acc·(1-α) + x, oldest →
+    newest) — pure IEEE multiply-add in a fixed order, bit-identical in
+    any engine, with no pow() call whose libm rounding could differ in
+    the last ulp (DuckDB oracle: windowed list + list_reduce — same fold,
+    same order). Ordering ties on (ts, value): rows with equal timestamps
+    AND equal values permute without changing the fold, so the result is
+    total-order-independent where the sort is.
+
+    Scale shape: ONE key-partition shuffle; the frame is a ROWS window
+    over each key's sorted run — no self-join, per-row state is the
+    ``span_rows``-element list (bounded). The reference has no smoothing
+    surface; M5 temporal-family extension.
+    """
+    c = F.lit(1.0 - alpha)
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")), F.col(value_col))
+        .rowsBetween(-(span_rows - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    num = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc * c + x)
+    den = F.aggregate(
+        F.transform(arr, lambda _: F.lit(1.0)),
+        F.lit(0.0),
+        lambda acc, x: acc * c + x,
+    )
+    return df.withColumn(out_col, F.round(num / den, 6))

@@ -1,0 +1,68 @@
+"""Round-5 operator semantics: ewma, tf-idf cosine pairs, containment
+pairs, Benford digit report (each also oracle-checked via __spark_entry__)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import dedup as dd
+from bullet_spark_spark.operators import quality as ql
+from bullet_spark_spark.operators import temporal as tmp
+
+
+def test_ewma_constant_series_is_constant(spark):
+    df = spark.createDataFrame(
+        [("k", f"2024-01-01 00:0{i}:00", 5.0) for i in range(5)],
+        "key string, ts string, v double",
+    ).select("key", F.to_timestamp("ts").alias("ts"), "v")
+    out = tmp.ewma(df, "key", "ts", "v", alpha=0.3, span_rows=3)
+    assert all(r["ewma"] == 5.0 for r in out.collect())
+
+
+def test_ewma_matches_hand_computation(spark):
+    # alpha=0.5 -> c=0.5; series 1,2,4 with span 3:
+    # row2 ewma = (4 + 0.5*2 + 0.25*1) / (1 + 0.5 + 0.25) = 5.25/1.75 = 3.0
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1.0),
+         ("k", "2024-01-01 00:01:00", 2.0),
+         ("k", "2024-01-01 00:02:00", 4.0)],
+        "key string, ts string, v double",
+    ).select("key", F.to_timestamp("ts").alias("ts"), "v")
+    out = {r["v"]: r["ewma"] for r in tmp.ewma(df, "key", "ts", "v", 0.5, 3).collect()}
+    assert out[1.0] == 1.0
+    assert out[2.0] == pytest.approx((2 + 0.5 * 1) / 1.5)
+    assert out[4.0] == pytest.approx(3.0)
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in dd.tfidf_cosine_pairs(df, min_cos=0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_containment_detects_embedded_doc(spark):
+    small = "the quick brown fox jumps over dogs"
+    big = "breaking news today " + small + " more unrelated trailing content here"
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, "totally different text about spark engines")],
+        "doc_id int, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in dd.containment_pairs(df, n=3, min_containment=0.9).collect()}
+    assert out == {(1, 2): 1.0}  # every 3-gram of the small doc is in the big
+
+
+def test_benford_report_shape(spark, tables):
+    rows = ql.benford_digit_report(tables["orders"], "o_totalprice").collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["expected"] == pytest.approx(math.log10(1 + 1 / r["digit"]), abs=1e-6)
+        assert r["deviation"] == pytest.approx(r["share"] - r["expected"], abs=1e-5)
