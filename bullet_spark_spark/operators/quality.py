@@ -318,10 +318,16 @@ def snapshot_diff(
     )
     # null-safe key equality: with plain USING-style equality a NULL key
     # present in both snapshots never matches itself, so the same row is
-    # reported as BOTH 'added' and 'removed' (r4 advisory)
+    # reported as BOTH 'added' and 'removed' (r4 advisory). The new side's
+    # keys are RENAMED (not referenced through dataframe instances): when
+    # old and new derive from the same source frame, instance refs share
+    # expression ids and the join condition is ambiguous
+    fp_new = fp_new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols], "__fp_new"
+    )
     cond = None
     for k in key_cols:
-        c = fp_old[k].eqNullSafe(fp_new[k])
+        c = F.col(k).eqNullSafe(F.col(f"__nk_{k}"))
         cond = c if cond is None else (cond & c)
     j = fp_old.join(fp_new, cond, "full_outer")
     change = (
@@ -331,7 +337,10 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     out = j.select(
-        *[F.coalesce(fp_old[k], fp_new[k]).alias(k) for k in key_cols],
+        *[
+            F.coalesce(F.col(k), F.col(f"__nk_{k}")).alias(k)
+            for k in key_cols
+        ],
         change.alias("change"),
     )
     if not include_unchanged:
