@@ -5493,6 +5493,37 @@ def quality_benford(spark, sf_dir):
     return ql.benford_digit_report(t["orders"], "o_totalprice")
 
 
+@q(
+    "multimodal_warc_roundtrip",
+    """SELECT doc_id, md5(text) AS payload_md5, 'response' AS warc_type
+       FROM documents""",
+)
+def multimodal_warc_roundtrip(spark, sf_dir):
+    """WARC ingest plumbing proven end-to-end (operators/warc.py): every
+    document composed into a spec-conformant WARC/1.0 response record
+    (codegen concat — no UDF), then parsed BACK by the real streaming
+    WARC parser (mapInPandas, Content-Length-driven, binary-safe) — the
+    recovered payload's md5 and the record type must match the source
+    corpus exactly. The Common Crawl entry stage of a training pipeline,
+    exercised as a round trip because the fixtures carry no .warc files."""
+    from bullet_spark_spark.operators import warc as wc
+
+    t = _t(spark, sf_dir)
+    built = t["documents"].select(
+        wc.warc_record_col(
+            F.concat(F.lit("http://corpus/"), F.col("doc_id").cast("string")),
+            F.col("text"),
+            F.col("doc_id").cast("string"),
+        ).alias("warc")
+    )
+    parsed = wc.parse_warc(built, "warc")
+    return parsed.select(
+        F.regexp_extract("warc_uri", r"corpus/(\d+)", 1).cast("long").alias("doc_id"),
+        F.md5("payload").alias("payload_md5"),
+        "warc_type",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
