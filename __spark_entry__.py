@@ -5493,6 +5493,49 @@ def quality_benford(spark, sf_dir):
     return ql.benford_digit_report(t["orders"], "o_totalprice")
 
 
+_HITS_EDGES_CTE = """base AS (
+    SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+           count(*) AS w
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2),
+  edges AS (SELECT src, dst, w FROM base)"""
+
+
+@q(
+    "graph_hits_trade",
+    gr.oracle_hits_sql(
+        _HITS_EDGES_CTE,
+        iterations=3,
+        select="SELECT node, hub, authority FROM {last} "
+        "ORDER BY authority DESC, hub DESC, node LIMIT 20",
+    ),
+)
+def graph_hits_trade(spark, sf_dir):
+    """Kleinberg HITS (operators/graph.hits) over the DIRECTED
+    customer→supplier trade graph: customers are pure hubs, suppliers
+    pure authorities — the aggregator-vs-content decomposition a corpus
+    curator uses to downweight index pages. Same oracle-exactness
+    machinery as pagerank (floor-quantized products, exact decimal sums,
+    max-normalization as selection + one IEEE division), unrolled by
+    oracle_hits_sql from the same parameters."""
+    t = _t(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            "w",
+        )
+    )
+    scores = gr.hits(edges, iterations=3)
+    return scores.orderBy(
+        F.desc("authority"), F.desc("hub"), "node"
+    ).limit(20)
+
+
 @q(
     "multimodal_warc_roundtrip",
     """SELECT doc_id, md5(text) AS payload_md5, 'response' AS warc_type

@@ -194,3 +194,191 @@ def oracle_pagerank_sql(
               ON nd.node = c.node)"""
         )
     return ",\n".join(parts) + "\n" + select.format(last=f"r{iterations}")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 5,
+    round_dp: int = 10,
+    checkpoint_every: int = 6,
+    broadcast_nodes_below: int = 2_000_000,
+    checkpoint_final: bool = True,
+) -> DataFrame:
+    """Kleinberg HITS over a weighted directed edge list → (node, hub,
+    authority): the hub/authority decomposition PageRank flattens — in a
+    corpus-curation setting, authorities are heavily-cited content
+    domains, hubs are the aggregator/index pages that point at them
+    (downweight hubs, keep authorities).
+
+    Per iteration: authority(v) = Σ_{(u,v)} hub(u)·w, then hub(u) =
+    Σ_{(u,v)} authority(v)·w, each MAX-normalized. Engine-exactness uses
+    the pagerank conventions (same module): every product floor-quantizes
+    to 10^-dp integer units summed as exact decimals; normalization
+    divides by the exact MAX (selection, not arithmetic) and re-quantizes
+    — so ``oracle_hits_sql`` reproduces the fixed point digit-for-digit.
+
+    Scale shape mirrors :func:`pagerank`: node-sized score frames are
+    BROADCAST into the edge joins below ``broadcast_nodes_below`` (the
+    checkpoint leaves are stat-less; Catalyst would otherwise sort-merge
+    every round), shuffle-join beyond; two groupBy shuffles of the edge
+    frame per iteration (the dst-keyed and src-keyed partial sums);
+    periodic eager localCheckpoint truncates the compounding lineage.
+    """
+    ecols = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).persist()
+    nodes = (
+        ecols.select(F.col("src").alias("node"))
+        .unionByName(ecols.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # bounded: one scalar
+    bcast = (lambda d: F.broadcast(d)) if n <= broadcast_nodes_below else (lambda d: d)
+    scale = float(10 ** round_dp)
+
+    def q(col):
+        return F.floor(col * F.lit(scale)) / F.lit(scale)
+
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    ).localCheckpoint(eager=True)
+
+    # The raw-score frames each feed TWO consumers (the max aggregate and
+    # the normalized projection), so unlike pagerank's single-consumer
+    # chain the logical plan TREE doubles per iteration — Catalyst
+    # analysis goes exponential even when a cache would dedupe execution
+    # (measured 2.7/6.1/45.6 s for 1/2/3 iterations with persist alone).
+    # Eager localCheckpoint per iteration truncates the lineage: plan size
+    # stays constant per round, and the materialized frame is node-sized
+    # (cheap) — the HITS-specific variant of the connected-components
+    # lineage lesson.
+    for it in range(iterations):
+        a_raw = (
+            ecols.join(bcast(scores.select("node", "hub")), ecols["src"] == F.col("node"))
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.floor(F.col("hub") * F.col("w") * F.lit(scale)).cast(
+                        "decimal(28,0)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
+            .select(F.col("dst").alias("node"), (F.col("s") / F.lit(scale)).alias("a_raw"))
+        )
+        a_frame = (
+            nodes.join(bcast(a_raw), "node", "left")
+            .select("node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+            .localCheckpoint(eager=True)
+        )
+        amax = a_frame.agg(F.max("a_raw").alias("m"))
+        auth = (
+            a_frame.crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.when(F.col("m") > 0, q(F.col("a_raw") / F.col("m")))
+                .otherwise(F.lit(0.0))
+                .alias("authority"),
+            )
+        )
+        h_raw = (
+            ecols.join(bcast(auth), ecols["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(
+                F.sum(
+                    F.floor(F.col("authority") * F.col("w") * F.lit(scale)).cast(
+                        "decimal(28,0)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
+            .select(F.col("src").alias("node"), (F.col("s") / F.lit(scale)).alias("h_raw"))
+        )
+        h_frame = (
+            nodes.join(bcast(h_raw), "node", "left")
+            .select("node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"))
+            .localCheckpoint(eager=True)
+        )
+        hmax = h_frame.agg(F.max("h_raw").alias("m"))
+        hub = (
+            h_frame.crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.when(F.col("m") > 0, q(F.col("h_raw") / F.col("m")))
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+            )
+        )
+        scores = hub.join(bcast(auth), "node").select("node", "hub", "authority")
+        if (it + 1) % checkpoint_every == 0 or (
+            it == iterations - 1 and checkpoint_final
+        ):
+            scores = scores.localCheckpoint(eager=True)
+
+    ecols.unpersist()
+    nodes.unpersist()
+    return scores
+
+
+def oracle_hits_sql(
+    edges_cte: str,
+    iterations: int = 5,
+    round_dp: int = 10,
+    select: str = "SELECT node, hub, authority FROM {last}",
+) -> str:
+    """DuckDB oracle for :func:`hits`: the same fixed point unrolled as
+    chained CTEs (see oracle_pagerank_sql). ``edges_cte`` must define
+    ``edges(src, dst, w)``."""
+    sc = float(10 ** round_dp)
+    parts = [
+        f"WITH {edges_cte}",
+        """nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                     UNION SELECT dst FROM edges)""",
+        "s0 AS MATERIALIZED (SELECT node, 1.0 AS hub, 1.0 AS authority FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+              SELECT nd.node, coalesce(c.s / {sc}, 0.0) AS a_raw
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum(CAST(floor(s.hub * e.w * {sc}) AS DECIMAL(28,0)))
+                            AS DOUBLE) AS s
+                FROM edges e JOIN s{p} s ON e.src = s.node
+                GROUP BY e.dst) c ON nd.node = c.node)"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+              SELECT node,
+                     CASE WHEN (SELECT max(a_raw) FROM ar{i}) > 0
+                          THEN floor(a_raw / (SELECT max(a_raw) FROM ar{i}) * {sc}) / {sc}
+                          ELSE 0.0 END AS authority
+              FROM ar{i})"""
+        )
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (
+              SELECT nd.node, coalesce(c.s / {sc}, 0.0) AS h_raw
+              FROM nodes nd LEFT JOIN (
+                SELECT e.src AS node,
+                       CAST(sum(CAST(floor(a.authority * e.w * {sc}) AS DECIMAL(28,0)))
+                            AS DOUBLE) AS s
+                FROM edges e JOIN a{i} a ON e.dst = a.node
+                GROUP BY e.src) c ON nd.node = c.node)"""
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+              SELECT h.node,
+                     CASE WHEN (SELECT max(h_raw) FROM hr{i}) > 0
+                          THEN floor(h.h_raw / (SELECT max(h_raw) FROM hr{i}) * {sc}) / {sc}
+                          ELSE 0.0 END AS hub,
+                     a.authority
+              FROM hr{i} h JOIN a{i} a ON a.node = h.node)"""
+        )
+    return ",\n".join(parts) + "\n" + select.format(last=f"s{iterations}")

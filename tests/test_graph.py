@@ -141,3 +141,47 @@ def test_pagerank_matches_sequential_reference_on_random_graphs(spark):
             ).collect()
         }
         assert got == _pagerank_reference(edges, iterations=4), f"seed {seed}"
+
+
+def test_hits_bipartite_roles(spark):
+    """On a bipartite customer->supplier graph, sources are pure hubs
+    (authority 0) and sinks pure authorities (hub 0); the best-cited
+    sink has authority 1.0 after max-normalization."""
+    from bullet_spark_spark.operators import graph as gr
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("c1", "s1", 2.0), ("c1", "s2", 1.0), ("c2", "s1", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in gr.hits(edges, iterations=3).collect()}
+    assert got["s1"][0] == 0.0 and got["s2"][0] == 0.0  # sinks: no hub mass
+    assert got["c1"][1] == 0.0 and got["c2"][1] == 0.0  # sources: no authority
+    assert got["s1"][1] == 1.0          # most-cited sink is the max-normalized 1
+    assert 0 < got["s2"][1] < 1.0
+    assert got["c1"][0] == 1.0          # strongest hub normalizes to 1
+    assert 0 < got["c2"][0] <= 1.0
+
+
+def test_hits_oracle_differential_small(spark, duck):
+    """oracle_hits_sql reproduces the DataFrame fixed point digit-for-digit
+    on a small cyclic graph (both directions carry mass)."""
+    from bullet_spark_spark.operators import graph as gr
+    from pyspark.sql import functions as F
+
+    rows = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("a", "c", 3.0)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w double")
+    got = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in gr.hits(edges, iterations=4).collect()
+    )
+    vals = ", ".join(f"('{s}', '{d}', {w!r})" for s, d, w in rows)
+    sql = gr.oracle_hits_sql(
+        f"edges(src, dst, w) AS (VALUES {vals})", iterations=4
+    )
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(float(w[1]), abs=1e-12)
+        assert g[2] == pytest.approx(float(w[2]), abs=1e-12)
