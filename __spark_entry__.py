@@ -5493,6 +5493,42 @@ def quality_benford(spark, sf_dir):
     return ql.benford_digit_report(t["orders"], "o_totalprice")
 
 
+@q("streaming_ewma_anomalies")
+def streaming_ewma_anomalies(spark, sf_dir):
+    """Stateful streaming per-key EWMA anomaly monitor
+    (streaming/monitor.ewma_anomalies, applyInPandasWithState): drain a
+    user-keyed event stream, judge every record against the key's
+    running exponential mean/variance, flag |z| > threshold past warmup.
+    Rows-only by nature (custom stateful streaming — cross-batch fold
+    order is arrival order, not SQL-reproducible); state math is
+    replica-differential-tested in tests/test_stream_monitor.py."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import ewma_anomalies as _ew
+
+    t = _t(spark, sf_dir)
+    sub = t["events"].filter(F.col("user_id") % 50 == 0).select(
+        "user_id", "ts", F.col("value").alias("v")
+    )
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, sub, work, chunks=2)
+        out = _ew(stream, ["user_id"], "ts", "v", alpha=0.2, z_threshold=3.0, warmup=5)
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName("__ewma_anomalies")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(180)
+    return spark.sql(
+        "SELECT user_id, ts, value, round(ewma, 6) AS ewma, is_anomaly "
+        "FROM __ewma_anomalies"
+    )
+
+
 _HITS_EDGES_CTE = """base AS (
     SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
            count(*) AS w
