@@ -5493,6 +5493,30 @@ def quality_benford(spark, sf_dir):
     return ql.benford_digit_report(t["orders"], "o_totalprice")
 
 
+@q("sim_mmr_rerank")
+def sim_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (similarity.mmr_rerank) after exact ANN:
+    top-15 cosine candidates per query greedily re-ranked by
+    λ·relevance − (1−λ)·max-sim-to-selected — the RAG/curation
+    anti-redundancy selector. Rows-only (greedy k-step iteration, not
+    SQL-expressible); numpy-replica differential in tests."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    cands = sim.brute_force_topk(emb, queries, k=15, exclude_self=True).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    out = sim.mmr_rerank(cands, k=8, lam=0.7)
+    return out.select(
+        "query_id", "rank", "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
 @q("streaming_ewma_anomalies")
 def streaming_ewma_anomalies(spark, sf_dir):
     """Stateful streaming per-key EWMA anomaly monitor

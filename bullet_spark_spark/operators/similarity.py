@@ -888,3 +888,66 @@ def nearest_centroid_assign(
             F.col("d2").cast("double").alias("d2"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "sim",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    → (query_id, rank, id, relevance, mmr_score): greedily pick the
+    candidate maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)`` — the
+    diversity-aware top-k every retrieval/RAG stack runs AFTER ANN, and
+    the anti-redundancy selector a curation pipeline uses to sample
+    training examples that aren't near-copies of each other.
+
+    Scale shape: MMR is inherently sequential in k, so it runs AFTER the
+    distributed candidate generation (brute_force_topk / lsh / ivf — a
+    bounded N candidates per query), as an ``applyInPandas`` per
+    query-id group: numpy pairwise cosines over N×N within the group,
+    greedy loop of k steps, queries parallel across the cluster. Ties
+    break by candidate id (deterministic)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{query_id_col} long, rank int, {id_col} long, "
+        "relevance double, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[query_id_col].iloc[0]
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = unit @ unit.T  # N×N candidate-candidate cosines
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        rows = []
+        for rank in range(min(k, n)):
+            best_i, best_score = None, None
+            for i in remaining:
+                diversity = max((sims[i, j] for j in selected), default=0.0)
+                score = lam * rel[i] - (1.0 - lam) * diversity
+                # strict > with id-ascending iteration order = deterministic
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            remaining.remove(best_i)
+            rows.append((qid, rank + 1, ids[best_i], rel[best_i], best_score))
+        return pd.DataFrame(
+            rows,
+            columns=[query_id_col, "rank", id_col, "relevance", "mmr_score"],
+        )
+
+    return candidates.groupBy(query_id_col).applyInPandas(rerank, out_schema)

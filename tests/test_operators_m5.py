@@ -1297,3 +1297,73 @@ def test_ab_test_report_math_and_degenerates(spark):
         df.filter(F.col("variant") == "c"), "variant", F.col("success") == 1, "c", "t"
     ).collect()
     assert r2["n_treatment"] == 0 and r2["z_score"] is None
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR: top relevance wins rank 1; an exact duplicate of the winner is
+    pushed BELOW a less-relevant but diverse candidate."""
+    from bullet_spark_spark.operators import similarity as sim
+
+    rows = [
+        # (query_id, vec_id, embedding, sim) — vec 1 and 2 identical dirs,
+        # vec 3 orthogonal with lower relevance
+        (0, 1, [1.0, 0.0], 0.99),
+        (0, 2, [1.0, 0.0], 0.98),
+        (0, 3, [0.0, 1.0], 0.60),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, embedding array<double>, sim double"
+    )
+    out = sorted(
+        (r["rank"], r["vec_id"])
+        for r in sim.mmr_rerank(df, k=3, lam=0.5).collect()
+    )
+    # rank1 = most relevant (1); rank2 = the ORTHOGONAL 3 (0.5*0.60 - 0 = 0.30
+    # beats 0.5*0.98 - 0.5*1.0 = -0.01); duplicate 2 drops to rank 3
+    assert out == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_mmr_matches_numpy_replica(spark, tables):
+    """MMR over real candidates == a sequential numpy replica."""
+    import numpy as np
+
+    from bullet_spark_spark.operators import similarity as sim
+
+    emb = tables["embeddings"].limit(40)
+    queries = (
+        tables["embeddings"]
+        .limit(2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    cands = sim.brute_force_topk(emb, queries, k=15).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in sim.mmr_rerank(cands, k=5, lam=0.7).collect()
+    }
+
+    cand_rows = cands.collect()
+    by_q: dict = {}
+    for r in cand_rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r["vec_id"])
+        vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+        sims = unit @ unit.T
+        rel = np.array([r["sim"] for r in rows])
+        sel, rem = [], list(range(len(rows)))
+        for rank in range(5):
+            best, bs = None, None
+            for i in rem:
+                div = max((sims[i, j] for j in sel), default=0.0)
+                s = 0.7 * rel[i] - 0.3 * div
+                if bs is None or s > bs:
+                    best, bs = i, s
+            sel.append(best)
+            rem.remove(best)
+            assert got[(qid, rank + 1)] == rows[best]["vec_id"]
