@@ -5493,6 +5493,74 @@ def quality_benford(spark, sf_dir):
     return ql.benford_digit_report(t["orders"], "o_totalprice")
 
 
+@q(
+    "pipeline_ingest_warc",
+    r"""WITH curated AS (
+         SELECT doc_id, source, text FROM documents
+         WHERE length(text) >= 120 AND length(text) <= 20000
+           AND length(regexp_replace(text, '[^\p{L}]', '', 'g')) * 1.0 / length(text) >= 0.815),
+       deduped AS (
+         SELECT min(doc_id) AS doc_id FROM curated
+         GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+       kept AS (SELECT c.doc_id, c.source, c.text
+                FROM deduped d JOIN curated c USING (doc_id))
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(string_split(regexp_replace(trim(lower(text)),
+                                                       '\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens,
+              md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS keep_set_md5
+       FROM kept GROUP BY source""",
+)
+def pipeline_ingest_warc(spark, sf_dir):
+    """The INGEST capstone: a crawl-shaped intake run end-to-end from
+    WARC bytes — compose records (codegen), parse them back with the
+    real WARC parser (mapInPandas), recover (doc_id, source, text) from
+    the record headers/payload, then curation filter → exact dedup →
+    per-source keep-set report (doc count, token mass, md5 of the kept
+    id set). The oracle runs the SAME funnel on the documents table
+    directly, so the row proves the WARC stage is transparent to the
+    whole downstream pipeline — any parser byte-slip anywhere breaks
+    the keep-set md5."""
+    from bullet_spark_spark.operators import warc as wc
+
+    t = _t(spark, sf_dir)
+    built = t["documents"].select(
+        wc.warc_record_col(
+            F.concat(
+                F.lit("http://crawl/"), F.col("source"),
+                F.lit("/"), F.col("doc_id").cast("string"),
+            ),
+            F.col("text"),
+            F.col("doc_id").cast("string"),
+        ).alias("warc")
+    )
+    parsed = wc.parse_warc(built, "warc").select(
+        F.regexp_extract("warc_uri", r"crawl/([^/]+)/", 1).alias("source"),
+        F.regexp_extract("warc_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+    )
+    curated = tx.curate(parsed, min_chars=120, min_alpha=0.815, max_dup3=1.1).filter(
+        F.col("verdict") == "keep"
+    )
+    keep_ids = dd.exact_dedup_representatives(curated, "doc_id", "text")
+    kept = curated.join(keep_ids, "doc_id", "left_semi")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("keep_set_md5"),
+    )
+
+
 @q("sim_mmr_rerank")
 def sim_mmr_rerank(spark, sf_dir):
     """MMR diversity re-ranking (similarity.mmr_rerank) after exact ANN:
