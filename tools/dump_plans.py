@@ -58,7 +58,7 @@ QUERIES = {
     # round-4 late additions
     "quality_drift_psi": "per-bucket counts per side; PSI window over the #buckets frame",
     "sampling_weighted": "TakeOrderedAndProject on the E-S key; per-partition heaps, no sort",
-    "dedup_segments": "one segment-keyed shuffle; dup set collapses to ONE broadcast array",
+    "dedup_segments": "persisted posexplode; broadcast semi-join dup probe; index-aware array_except rebuild — corpus never re-exchanged by doc id (r5 rewrite)",
     "text_bigram_logprob": "pair frame persisted for 3 consumers; vocab-sized sides broadcast",
     # round-4 final additions
     "graph_pagerank_trade": "per-iteration: edge join + dst agg, checkpoint-backed ranks; out_w via one window",
@@ -74,6 +74,14 @@ QUERIES = {
     "bql_lateral_explode": "Generate (explode) inside the scan stage; agg after",
     "pipeline_warehouse_sync": "diff -> semi-join change sets -> delta patch -> drift join; base persisted 2 consumers",
     "behavior_transitions": "one user-keyed lag window; |events|^2 count state; windowed normalization",
+    # round-5 additions
+    "temporal_ewma": "collect_list ROWS frame + Horner fold; ONE key exchange, no self-join",
+    "dedup_lexical_cosine": "inverted-index self-join keyed by term; idf/norms broadcast; decimal dot accumulation",
+    "dedup_containment_pairs": "distinct gram postings persisted; shared counts from the posting self-join; sizes broadcast 2x",
+    "quality_benford": "ONE aggregation pass; digit from decimal-string form; expected map is a literal",
+    "multimodal_warc_roundtrip": "codegen record composition -> mapInPandas parse; narrow, no shuffle",
+    "pipeline_ingest_warc": "WARC build+parse -> curation CASE -> dedup groupBy -> source report: one agg exchange after the parse stage",
+    "graph_hits_trade": "per-iteration: 2 edge-frame groupBys + broadcast score joins; per-round localCheckpoint (two-consumer lineage)",
 }
 
 
@@ -111,6 +119,19 @@ def main() -> None:
     print("periodic (not per-round) localCheckpoint so <=6 iterations execute")
     print("as ONE chained pass. Above the threshold every choice degrades to")
     print("the shuffle shape that scales.\n")
+    print("## Profiling note: control-plane serving + two-consumer loops (round 5)\n")
+    print("Dynamic-mux routing now compiles via the expression AST's SQL")
+    print("renderer — ONE F.expr py4j round trip (2 ms) instead of ~1000")
+    print("(0.24 s) per registry change; per-batch jobs pin right-sized")
+    print("reducers and drop AQE/constraint-propagation (pure latency on")
+    print("bounded-partial micro-batch jobs). 32-query serve cycle 16 -> ~22")
+    print("q/s; ~51 q/s at 128 concurrent (marginal query cost is ms on the")
+    print("shared scan; the residual wall is micro-batch machinery + fresh-")
+    print("frame Catalyst analysis, measured in SCALE.md). HITS lesson: a")
+    print("TWO-consumer iterative frame doubles the logical plan per round —")
+    print("Catalyst analysis goes exponential even when persist() dedupes")
+    print("execution (2.7/6.1/45.6 s for 1/2/3 iterations); eager per-round")
+    print("localCheckpoint makes it linear (2.6/3.2/4.1 s for 1/3/5).\n")
     for name, note in QUERIES.items():
         df = qs[name](spark, sf)
         buf = io.StringIO()
