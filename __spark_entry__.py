@@ -5493,6 +5493,85 @@ def quality_benford(spark, sf_dir):
     return ql.benford_digit_report(t["orders"], "o_totalprice")
 
 
+def _url_inject_sql() -> str:
+    return (
+        "('HTTPS://WWW.' || source || '.Example.CO.UK:443/Path/' || CAST(doc_id AS VARCHAR)"
+        " || '/?utm_campaign=x&id=' || CAST(doc_id AS VARCHAR) || '&fbclid=zz#Frag')"
+    )
+
+
+@q(
+    "text_url_normalize",
+    f"""SELECT doc_id,
+              {tx.oracle_normalize_url_sql(_url_inject_sql())} AS url_norm,
+              {tx.oracle_url_registrable_domain_sql(_url_inject_sql())} AS domain
+       FROM documents""",
+)
+def text_url_normalize(spark, sf_dir):
+    """URL canonicalization + registrable-domain extraction
+    (text.normalize_url / url_registrable_domain): fragment/tracking-param
+    strip, scheme+host lowercase, default-port and www. removal, co.uk-
+    style public-suffix approximation — the keys URL-exact dedup and
+    per-site aggregation block on. Fixtures carry no URLs, so each doc
+    synthesizes a messy one (mixed case, :443, utm/fbclid, fragment) and
+    BOTH engines must normalize it to the identical canonical form."""
+    t = _t(spark, sf_dir)
+    injected = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.CO.UK:443/Path/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_campaign=x&id="), F.col("doc_id").cast("string"),
+            F.lit("&fbclid=zz#Frag"),
+        ).alias("url"),
+    )
+    return injected.select(
+        "doc_id",
+        tx.normalize_url(F.col("url")).alias("url_norm"),
+        tx.url_registrable_domain(F.col("url")).alias("domain"),
+    )
+
+
+@q(
+    "distribution_ks_test",
+    """WITH ca AS (SELECT value AS v, count(*) AS ca FROM events
+                   WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1),
+       cb AS (SELECT value AS v, count(*) AS cb FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+       m AS (SELECT coalesce(ca.v, cb.v) AS v,
+                    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+             FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+       t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb FROM m),
+       g AS (SELECT round(abs(CAST(sum(ca) OVER w AS DOUBLE) / t.na
+                             - CAST(sum(cb) OVER w AS DOUBLE) / t.nb), 9) AS gap,
+                    t.na, t.nb
+             FROM m, t
+             WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT max(gap) AS d_stat,
+              CAST(max(na) AS BIGINT) AS n_a,
+              CAST(max(nb) AS BIGINT) AS n_b,
+              round(2.0 * exp(-2.0 * (max(gap) * max(gap))
+                              * (max(na) * max(nb) / (max(na) + max(nb)))), 6) AS p_approx
+       FROM g""",
+)
+def distribution_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift test
+    (distribution.ks_two_sample): click-values vs purchase-values —
+    bin-free supremum of |F_a − F_b| over the exact empirical CDFs,
+    computed with the two-level cumsum (range-bucket + broadcast
+    prefixes), so a continuous column never lands in one window task.
+    Complements quality_drift_psi's binned PSI."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    return dist.ks_two_sample(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
 @q(
     "pipeline_ingest_warc",
     r"""WITH curated AS (

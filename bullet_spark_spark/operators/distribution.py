@@ -387,3 +387,130 @@ def mad_outliers(
         .otherwise(F.abs(F.col(col) - F.lit(med)) > 0),
     )
     return df.withColumn(flag_col, flag)
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test → one row
+    (d_stat, n_a, n_b, p_approx): the distribution-level drift gate that
+    complements quality.drift_report's binned PSI — KS is bin-free (the
+    supremum of |F_a(x) − F_b(x)| over the EXACT empirical CDFs), so it
+    catches shape drift PSI's bucketing can wash out.
+
+    Plan: per-side value counts (map-side combinable), full-outer merged
+    on value, then the running CDFs via the TWO-LEVEL cumsum pattern
+    (pack_sequences, sampling.py): range-bucket the value domain with one
+    approxQuantile pass (boundaries only need to be order-aligned, not
+    exact), running-sum within each bucket, add broadcast per-bucket
+    prefixes — a continuous column (every value distinct) never lands in
+    a single-partition window. The gap maximum is a plain aggregate.
+    p_approx is the asymptotic two-sided tail
+    2·exp(−2·d²·n_a·n_b/(n_a+n_b)) rounded 6 dp.
+
+    NULLs drop (no order position). Exact counts make each CDF a ratio of
+    integers; the gap is rounded 9 dp before the max so evaluation order
+    can't flip the supremum's last bit."""
+    ca = (
+        a.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    cb = (
+        b.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    from pyspark import StorageLevel
+
+    merged = (
+        ca.join(cb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nbuckets = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        probs = [i / nbuckets for i in range(1, nbuckets)]
+        bounds = sorted(
+            set(
+                merged.select(F.col("v").cast("double").alias("__o"))
+                .stat.approxQuantile("__o", probs, 0.001)
+            )
+        )
+    except Exception:
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(F.filter(barr, lambda bb: F.col("v").cast("double") > bb))
+        bucketed = merged.withColumn("__bkt", bkt)
+        w_in = (
+            W.partitionBy("__bkt")
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        totals = bucketed.groupBy("__bkt").agg(
+            F.sum("ca").alias("__ta"), F.sum("cb").alias("__tb")
+        )
+        w_pref = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+        prefix = totals.select(
+            "__bkt",
+            F.coalesce(F.sum("__ta").over(w_pref), F.lit(0)).alias("__pa"),
+            F.coalesce(F.sum("__tb").over(w_pref), F.lit(0)).alias("__pb"),
+        )
+        cum = (
+            bucketed.withColumn("__cra", F.sum("ca").over(w_in))
+            .withColumn("__crb", F.sum("cb").over(w_in))
+            .join(F.broadcast(prefix), "__bkt")
+            .select(
+                (F.col("__cra") + F.col("__pa")).alias("__cum_a"),
+                (F.col("__crb") + F.col("__pb")).alias("__cum_b"),
+            )
+        )
+    else:
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        cum = merged.select(
+            F.sum("ca").over(w).alias("__cum_a"), F.sum("cb").over(w).alias("__cum_b")
+        )
+    totals_row = merged.agg(
+        F.sum("ca").alias("__na"), F.sum("cb").alias("__nb")
+    )
+    gaps = cum.crossJoin(F.broadcast(totals_row)).select(
+        F.round(
+            F.abs(
+                F.col("__cum_a") / F.col("__na") - F.col("__cum_b") / F.col("__nb")
+            ),
+            9,
+        ).alias("gap"),
+        "__na",
+        "__nb",
+    )
+    return gaps.agg(
+        F.max("gap").alias("d_stat"),
+        F.max("__na").cast("bigint").alias("n_a"),
+        F.max("__nb").cast("bigint").alias("n_b"),
+        F.round(
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-2.0)
+                # plain multiply, not pow(x, 2): libm pow may differ from
+                # x*x in the last ulp across engines
+                * (F.max("gap") * F.max("gap"))
+                # doubles BEFORE the product: na*nb overflows long at
+                # ~3e9 rows per side
+                * (
+                    F.max("__na").cast("double")
+                    * F.max("__nb").cast("double")
+                    / (F.max("__na") + F.max("__nb")).cast("double")
+                )
+            ),
+            6,
+        ).alias("p_approx"),
+    )

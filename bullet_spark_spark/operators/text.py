@@ -1047,3 +1047,84 @@ def chunk_by_sentences(
             F.sum("__nt").alias("n_tokens"),
         )
     )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for crawl-level dedup keys — the normalization every
+    web-corpus pipeline applies before URL-exact dedup (the cheapest dedup
+    signal: ~30-40% of a recrawl is URL-identical). Steps, all chained
+    regexp_replace (codegen, engine-portable — simple patterns shared by
+    Java regex and RE2):
+
+    1. strip the fragment (``#...`` never reaches the server);
+    2. lowercase scheme + host (path/query stay case-sensitive);
+    3. drop default ports (``:80`` on http, ``:443`` on https);
+    4. drop tracking params (utm_*, fbclid, gclid, ref) wherever they sit
+       in the query, then tidy dangling ``?``/``&`` separators;
+    5. strip ``www.``;
+    6. strip one trailing slash on a bare path.
+    """
+    u = F.trim(url)
+    # 1. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase scheme://host (group-referencing lower() isn't portable,
+    #    so lowercase the prefix segment via a split: scheme+host end at the
+    #    first '/' after '//' (or end of string))
+    prefix = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    rest = F.substring(u, F.length(prefix) + 1, F.lit(2147483647))
+    u = F.concat(F.lower(prefix), rest)
+    # 3. default ports
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    # 4. tracking params (mid-query keeps the separator of the NEXT param)
+    u = F.regexp_replace(u, r"([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&", r"$1")
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    # 5. www.
+    u = F.regexp_replace(u, r"^([a-z]+://)www\.", r"$1")
+    # 6. trailing slash on a bare path (not before a query)
+    u = F.regexp_replace(u, r"^([a-z]+://[^?]*[^/?])/$", r"$1")
+    return u
+
+
+def oracle_normalize_url_sql(col_sql: str) -> str:
+    """The identical normalization as DuckDB SQL (RE2 'g' flags; same
+    patterns, same order) for oracle checks."""
+    u = f"trim({col_sql})"
+    u = f"regexp_replace({u}, '#.*$', '')"
+    prefix = f"regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)"
+    u = f"(lower({prefix}) || {u}[length({prefix}) + 1:])"
+    u = f"regexp_replace({u}, '^(http://[^/:]+):80(/|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(https://[^/:]+):443(/|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '\\1', 'g')"
+    u = f"regexp_replace({u}, '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '')"
+    u = f"regexp_replace({u}, '\\?$', '')"
+    u = f"regexp_replace({u}, '^([a-z]+://)www\\.', '\\1')"
+    u = f"regexp_replace({u}, '^([a-z]+://[^?]*[^/?])/$', '\\1')"
+    return u
+
+
+_TWO_LEVEL_TLD_SECONDS = "co|com|net|org|gov|ac|edu"
+
+
+def url_registrable_domain(url: Column) -> Column:
+    """Registrable domain of a URL (public-suffix approximation): the last
+    two host labels, or three when the penultimate label is a common
+    second-level registry (co.uk, com.au, ...) under a 2-letter ccTLD —
+    the blocking/grouping key for per-site aggregation (crawl politeness,
+    per-domain quality stats, domain-authority joins)."""
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    three = F.regexp_extract(
+        host, rf"([^.]+\.(?:{_TWO_LEVEL_TLD_SECONDS})\.[a-z][a-z])$", 1
+    )
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(three != "", three).otherwise(two)
+
+
+def oracle_url_registrable_domain_sql(col_sql: str) -> str:
+    host = f"lower(regexp_extract({col_sql}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
+    three = (
+        f"regexp_extract({host}, '([^.]+\\.(?:{_TWO_LEVEL_TLD_SECONDS})\\.[a-z][a-z])$', 1)"
+    )
+    two = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+    return f"(CASE WHEN {three} <> '' THEN {three} ELSE {two} END)"

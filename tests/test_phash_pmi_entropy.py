@@ -159,3 +159,38 @@ def test_char_entropy_oracle_differential(spark, tables, duck):
     assert len(oracle) > 0
     for doc_id, h in oracle:
         assert abs(got[doc_id] - h) < 1e-9, doc_id
+
+
+def test_url_normalization_cases(spark):
+    from bullet_spark_spark.operators import text as tx
+
+    cases = [
+        ("HTTPS://WWW.Site.COM:443/A/B/?utm_source=x&q=1&fbclid=z#top",
+         "https://site.com/A/B/?q=1"),
+        ("http://Example.org:80/", "http://example.org"),
+        ("http://example.org:8080/x", "http://example.org:8080/x"),
+        ("https://a.co.uk/path/", "https://a.co.uk/path"),
+        ("https://b.com/?utm_medium=m", "https://b.com"),
+        ("https://c.com/p?id=3&utm_term=t&key=v", "https://c.com/p?id=3&key=v"),
+        ("https://d.com/CaseSensitive/Path", "https://d.com/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["n"] for r in df.select(tx.normalize_url(F.col("u")).alias("n")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_url_registrable_domain(spark):
+    from bullet_spark_spark.operators import text as tx
+
+    cases = [
+        ("https://www.news.bbc.co.uk/story", "bbc.co.uk"),
+        ("http://a.b.example.com/x", "example.com"),
+        ("https://example.org", "example.org"),
+        ("https://deep.sub.gov.ac.jp/", "gov.ac.jp"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [
+        r["d"]
+        for r in df.select(tx.url_registrable_domain(F.col("u")).alias("d")).collect()
+    ]
+    assert got == [w for _, w in cases]
