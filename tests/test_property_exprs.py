@@ -145,3 +145,29 @@ def test_random_filters_match_duckdb(spark, tables, duck, pred):
         r[0] for r in duck.execute(f"SELECT event_id FROM events WHERE {sql_text}").fetchall()
     )
     assert got == want, f"mismatch for: {sql_text} ({len(got)} vs {len(want)} rows)"
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pred=predicate())
+def test_sql_renderer_matches_col_path(spark, tables, pred):
+    """Random expression trees: Expr.sql() (the dynamic multiplexer's
+    one-py4j-call compile path) must select EXACTLY the rows the
+    Column path selects — the renderer is load-bearing for the control
+    plane, so it gets the same randomized differential as the engine
+    itself. Raw nodes are skipped only if they fail to render (none of
+    the generated atoms should)."""
+    import pyspark.sql.functions as F
+
+    expr, _ = pred
+    ev = tables["events"]
+    got_col = sorted(
+        r[0] for r in ev.filter(expr.col()).select("event_id").collect()
+    )
+    got_sql = sorted(
+        r[0] for r in ev.filter(F.expr(expr.sql())).select("event_id").collect()
+    )
+    assert got_col == got_sql
