@@ -5493,6 +5493,40 @@ def quality_benford(spark, sf_dir):
     return ql.benford_digit_report(t["orders"], "o_totalprice")
 
 
+@q(
+    "quality_k_anonymity",
+    """WITH cls AS (
+         SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS vband,
+                count(*) AS n, count(DISTINCT user_id) AS l
+         FROM events GROUP BY 1, 2)
+       SELECT 5 AS k_threshold,
+              CAST(sum(n) AS BIGINT) AS n_rows,
+              CAST(count(*) AS BIGINT) AS n_classes,
+              CAST(min(n) AS BIGINT) AS min_class_size,
+              CAST(min(n) AS BIGINT) AS anonymity_k,
+              CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+              CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_violating_rows,
+              CAST(min(l) AS BIGINT) AS min_l_diversity
+       FROM cls""",
+)
+def quality_k_anonymity(spark, sf_dir):
+    """k-anonymity + worst-case l-diversity audit
+    (quality.k_anonymity_report): equivalence classes over the quasi-
+    identifier tuple (event_type, value-band), one quasi-keyed
+    aggregation + one-row summary — the pre-publication privacy gate for
+    user-derived corpora (Sweeney 2002 k-anonymity; Machanavajjhala 2007
+    l-diversity over the user id as the sensitive attribute)."""
+    from bullet_spark_spark.operators import quality as ql
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].withColumn(
+        "vband", F.floor(F.col("value") / 100.0).cast("long")
+    )
+    return ql.k_anonymity_report(
+        ev, ["event_type", "vband"], k=5, sensitive_col="user_id"
+    )
+
+
 def _url_inject_sql() -> str:
     return (
         "('HTTPS://WWW.' || source || '.Example.CO.UK:443/Path/' || CAST(doc_id AS VARCHAR)"
@@ -5550,8 +5584,8 @@ def text_url_normalize(spark, sf_dir):
        SELECT max(gap) AS d_stat,
               CAST(max(na) AS BIGINT) AS n_a,
               CAST(max(nb) AS BIGINT) AS n_b,
-              round(2.0 * exp(-2.0 * (max(gap) * max(gap))
-                              * (max(na) * max(nb) / (max(na) + max(nb)))), 6) AS p_approx
+              round(least(1.0, 2.0 * exp(-2.0 * (max(gap) * max(gap))
+                              * (max(na) * max(nb) / (max(na) + max(nb))))), 6) AS p_approx
        FROM g""",
 )
 def distribution_ks_test(spark, sf_dir):

@@ -497,19 +497,24 @@ def ks_two_sample(
         F.max("__na").cast("bigint").alias("n_a"),
         F.max("__nb").cast("bigint").alias("n_b"),
         F.round(
-            F.lit(2.0)
-            * F.exp(
-                F.lit(-2.0)
-                # plain multiply, not pow(x, 2): libm pow may differ from
-                # x*x in the last ulp across engines
-                * (F.max("gap") * F.max("gap"))
-                # doubles BEFORE the product: na*nb overflows long at
-                # ~3e9 rows per side
-                * (
-                    F.max("__na").cast("double")
-                    * F.max("__nb").cast("double")
-                    / (F.max("__na") + F.max("__nb")).cast("double")
-                )
+            # the asymptotic tail exceeds 1 at small d — clamp (a
+            # probability), matching scipy's convention
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * F.exp(
+                    F.lit(-2.0)
+                    # plain multiply, not pow(x, 2): libm pow may differ
+                    # from x*x in the last ulp across engines
+                    * (F.max("gap") * F.max("gap"))
+                    # doubles BEFORE the product: na*nb overflows long at
+                    # ~3e9 rows per side
+                    * (
+                        F.max("__na").cast("double")
+                        * F.max("__nb").cast("double")
+                        / (F.max("__na") + F.max("__nb")).cast("double")
+                    )
+                ),
             ),
             6,
         ).alias("p_approx"),

@@ -500,3 +500,51 @@ def benford_digit_report(
             ).alias("deviation"),
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Privacy audit for a release candidate → ONE row: (k_threshold,
+    n_rows, n_classes, min_class_size, anonymity_k, n_violating_classes,
+    n_violating_rows[, min_l_diversity]) — k-anonymity over the quasi-
+    identifier columns (every row must share its quasi tuple with ≥ k−1
+    others) plus, when ``sensitive_col`` is given, the worst-case
+    l-diversity (min distinct sensitive values within any equivalence
+    class; a class with one sensitive value leaks it even when
+    k-anonymous). The pre-publication gate for training corpora carrying
+    user-derived fields (Sweeney 2002 / Machanavajjhala 2007).
+
+    Shape: one quasi-keyed aggregation to equivalence classes (map-side
+    combinable; l-diversity rides the same shuffle as a count_distinct),
+    then a one-row summary over the class frame. NULL quasi values form
+    their own class (SQL grouping semantics — NULLs group together,
+    which is the conservative reading: a NULL tuple is still a tuple)."""
+    per_class = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *(
+            [F.count_distinct(F.col(sensitive_col)).alias("__l")]
+            if sensitive_col
+            else []
+        ),
+    )
+    aggs = [
+        F.lit(k).alias("k_threshold"),
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("__n").cast("bigint").alias("min_class_size"),
+        # the dataset IS min_class_size-anonymous — the headline number
+        F.min("__n").cast("bigint").alias("anonymity_k"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0)).cast("bigint").alias(
+            "n_violating_classes"
+        ),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_rows"),
+    ]
+    if sensitive_col:
+        aggs.append(F.min("__l").cast("bigint").alias("min_l_diversity"))
+    return per_class.agg(*aggs)

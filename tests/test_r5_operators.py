@@ -66,3 +66,32 @@ def test_benford_report_shape(spark, tables):
     for r in rows:
         assert r["expected"] == pytest.approx(math.log10(1 + 1 / r["digit"]), abs=1e-6)
         assert r["deviation"] == pytest.approx(r["share"] - r["expected"], abs=1e-5)
+
+
+def test_k_anonymity_report_semantics(spark):
+    from bullet_spark_spark.operators import quality as ql
+
+    rows = [("a", 1, "x")] * 5 + [("a", 2, "y")] * 2 + [("b", 1, "x")] * 3
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    r = ql.k_anonymity_report(df, ["q1", "q2"], k=3, sensitive_col="s").collect()[0]
+    assert r["n_rows"] == 10
+    assert r["n_classes"] == 3
+    assert r["min_class_size"] == 2      # the ("a",2) class
+    assert r["anonymity_k"] == 2         # dataset is only 2-anonymous
+    assert r["n_violating_classes"] == 1
+    assert r["n_violating_rows"] == 2
+    assert r["min_l_diversity"] == 1     # every class has one sensitive value
+
+
+def test_ks_two_sample_extremes(spark):
+    from bullet_spark_spark.operators import distribution as dist
+
+    same = spark.createDataFrame([(float(i % 7),) for i in range(100)], "v double")
+    r = dist.ks_two_sample(same, same, "v").collect()[0]
+    assert r["d_stat"] == 0.0 and r["p_approx"] == 1.0
+    lo = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    hi = spark.createDataFrame([(float(i + 1000),) for i in range(50)], "v double")
+    r2 = dist.ks_two_sample(lo, hi, "v").collect()[0]
+    assert r2["d_stat"] == 1.0  # disjoint supports: maximal separation
+    assert r2["p_approx"] == 0.0
+    assert (r2["n_a"], r2["n_b"]) == (50, 50)
