@@ -5494,6 +5494,51 @@ def quality_benford(spark, sf_dir):
 
 
 @q(
+    "text_flesch",
+    r"""WITH base AS (
+         SELECT doc_id, text,
+                string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+         FROM documents),
+       syl AS (
+         SELECT doc_id, text, len(toks) AS n_words,
+                list_sum([
+                  greatest(
+                    (length(regexp_replace(t, '[aeiouy]+', chr(1), 'g'))
+                     - length(replace(regexp_replace(t, '[aeiouy]+', chr(1), 'g'),
+                                      chr(1), '')))
+                    - (CASE WHEN regexp_matches(t, '[^aeiouy]e$')
+                             AND NOT regexp_matches(t, 'le$')
+                        THEN 1 ELSE 0 END),
+                    1)
+                  FOR t IN toks
+                ]) AS n_syllables
+         FROM base),
+       sent AS (
+         SELECT doc_id,
+                len(list_filter(string_split_regex(text, '[.!?]+'),
+                                s -> length(trim(s)) > 0)) AS n_sentences,
+                n_words, n_syllables
+         FROM syl)
+       SELECT doc_id, CAST(n_sentences AS INT) AS n_sentences,
+              CAST(n_words AS INT) AS n_words,
+              CAST(n_syllables AS INT) AS n_syllables,
+              CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+                round(206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+              END AS flesch
+       FROM sent""",
+)
+def text_flesch(spark, sf_dir):
+    """Flesch Reading Ease (text.flesch_reading_ease): sentence/word/
+    vowel-group-syllable counts and the 206.835 − 1.015·W/S − 84.6·Y/W
+    score, all codegen expressions in one narrow pass — the readability
+    gate and audience-level stratifier of the curation family."""
+    t = _t(spark, sf_dir)
+    return tx.flesch_reading_ease(t["documents"])
+
+
+@q(
     "quality_k_anonymity",
     """WITH cls AS (
          SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS vband,
