@@ -462,3 +462,46 @@ def test_warehouse_sync_no_cartesian_bounded_scans(spark, qs):
     assert "BroadcastNestedLoopJoin" not in tree
     live, _ = _live_scan_counts(df)
     assert live <= 6, f"warehouse sync rescans base tables ({live} live scans)"
+
+
+def test_ks_two_sample_no_data_sized_single_partition_window(spark, tables):
+    """ks_two_sample must take the two-level-cumsum path on continuous
+    input: the merged per-value frame is range-BUCKETED (__bkt) and the
+    running CDFs are per-bucket windows — the only unpartitioned window
+    runs over the #buckets-row prefix frame, never the data."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    ev = tables["events"]
+    df = dist.ks_two_sample(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+    plan = _plan(df)
+    assert "__bkt" in plan, "two-level cumsum path not taken on continuous input"
+    assert "CartesianProduct" not in _tree(plan)
+
+
+def test_tfidf_cosine_small_sides_broadcast(spark, tables):
+    """tfidf_cosine_pairs: idf stats and per-doc norms are node-sized and
+    BROADCAST into their joins; the only corpus-scale joins are the
+    term-keyed posting self-join. No nested-loop anywhere."""
+    from bullet_spark_spark.operators import dedup as dd
+
+    df = dd.tfidf_cosine_pairs(tables["documents"].limit(50), min_cos=0.5)
+    tree = _tree(_plan(df))
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastHashJoin") >= 3  # stats + na + nb
+
+
+def test_flesch_is_single_narrow_pass(spark, tables):
+    """flesch_reading_ease is pure codegen over one scan: NO exchange of
+    any kind — sentence/word/syllable counts and the score are all
+    expressions in one projection."""
+    from bullet_spark_spark.operators import text as tx
+
+    df = tx.flesch_reading_ease(tables["documents"])
+    tree = _tree(_plan(df))
+    assert "Exchange" not in tree, tree
+    assert tree.count("Scan parquet") == 1
