@@ -5390,7 +5390,8 @@ def temporal_ewma(spark, sf_dir):
        n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
        stats AS (
          SELECT term, round(ln(n.n_docs / count(*)), 8) AS idf
-         FROM post, n GROUP BY term, n.n_docs),
+         FROM post, n GROUP BY term, n.n_docs
+         HAVING count(*) <= CAST(floor(0.3 * n.n_docs) AS BIGINT)),
        wt AS (
          SELECT p.id, p.term, CAST(p.tf AS DOUBLE) * s.idf AS w
          FROM post p JOIN stats s USING (term)),
