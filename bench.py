@@ -51,6 +51,12 @@ BENCH = [
     "graph_pagerank_trade",   # 5-iteration checkpointed PageRank (iterative workload)
     "text_tfidf_keywords",    # (doc,term) agg + 2 stat windows + per-doc top-k
     "quality_snapshot_diff",  # full-outer CDC diff w/ inline fingerprints
+    # round-5 additions
+    "dedup_lexical_cosine",   # inverted-index tf-idf cosine pairs (stop-term-pruned)
+    "dedup_containment_pairs", # Broder containment via posting self-join
+    "distribution_ks_test",   # exact two-sample KS (two-level cumsum CDFs)
+    "multimodal_warc_roundtrip",  # WARC compose (codegen) + parse (mapInPandas)
+    "text_flesch",            # readability scoring, single codegen pass
 ]
 
 REPEATS = 3
