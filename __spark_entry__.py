@@ -5494,6 +5494,18 @@ def quality_benford(spark, sf_dir):
     return ql.benford_digit_report(t["orders"], "o_totalprice")
 
 
+@q("text_compression_ratio")
+def text_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio degeneracy signal (text.compression_ratio):
+    highly compressible = template spam, incompressible = binary junk —
+    the language-agnostic companion to the Gopher heuristics. Arrow-
+    batched mapInPandas (zlib has no Catalyst form); deterministic for a
+    fixed level but not SQL-expressible → rows-only, separation asserted
+    in tests."""
+    t = _t(spark, sf_dir)
+    return tx.compression_ratio(t["documents"])
+
+
 @q(
     "text_flesch",
     r"""WITH base AS (

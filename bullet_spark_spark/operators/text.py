@@ -1189,3 +1189,48 @@ def flesch_reading_ease(
         n_syll.cast("int").alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio → (id, n_bytes, n_compressed,
+    compression_ratio) — the cheap, language-agnostic degeneracy signal
+    production filters pair with the Gopher heuristics: highly
+    compressible text (ratio ≪ typical prose's ~0.3-0.5) is repetitive
+    boilerplate/template spam, incompressible text (ratio → 1) is
+    encrypted/binary/random junk; both get dropped or downweighted.
+
+    Runs as an Arrow-batched ``mapInPandas`` stage (zlib is per-row
+    imperative work with no Catalyst form — the sanctioned Python path);
+    zlib output is deterministic for a fixed level, so results are
+    reproducible run-to-run, though not SQL-oracle-expressible
+    (rows-only in the driver contract, asserted in tests instead)."""
+    import pandas as pd
+    import zlib
+
+    out_schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "n_bytes int, n_compressed int, compression_ratio double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, nb, nc, rat = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ids.append(i)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                rat.append(round(len(comp) / max(len(raw), 1), 6))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_ratio": rat,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

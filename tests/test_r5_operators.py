@@ -98,3 +98,24 @@ def test_ks_two_sample_extremes(spark):
     assert r2["d_stat"] == 1.0  # disjoint supports: maximal separation
     assert r2["p_approx"] == 0.0
     assert (r2["n_a"], r2["n_b"]) == (50, 50)
+
+
+def test_compression_ratio_separates_degenerate_text(spark):
+    from bullet_spark_spark.operators import text as tx
+
+    import random
+
+    rng = random.Random(7)
+    prose = (
+        "the quick brown fox jumps over the lazy dog while a distributed "
+        "engine aggregates partial results across many executor cores "
+    ) * 4
+    repetitive = "spam " * 120
+    noise = "".join(chr(rng.randint(33, 0x2FA0)) for _ in range(400))
+    df = spark.createDataFrame(
+        [(1, prose), (2, repetitive), (3, noise)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in tx.compression_ratio(df).collect()}
+    assert got[2] < got[1] < got[3]       # boilerplate << prose << noise
+    assert got[2] < 0.1 and got[3] > 0.7

@@ -83,3 +83,32 @@ def test_warc_corpus_roundtrip(spark, tables):
     ).join(docs.select("doc_id", "text"), "doc_id")
     assert joined.filter(F.col("rt") != F.col("text")).count() == 0
     assert joined.count() == 100
+
+
+def test_warc_roundtrip_fuzz(spark):
+    """Property fuzz: arbitrary unicode payloads — including CRLFs, fake
+    'WARC/1.0' markers, and empty strings — survive compose→parse
+    byte-exactly (Content-Length framing, not delimiter scanning)."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=15, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(
+        payloads=st.lists(
+            st.text(max_size=200), min_size=1, max_size=6
+        )
+    )
+    def run(payloads):
+        rows = [(i, f"http://f/{i}", p) for i, p in enumerate(payloads)]
+        built = _build(spark, rows).withColumn("g", F.lit("f"))
+        packed = wc.pack_warc(built, "g", "warc")
+        got = {
+            r["warc_uri"]: bytes(r["payload"]).decode("utf-8")
+            for r in wc.parse_warc(packed, "warc_file", keep_cols=["g"]).collect()
+        }
+        assert got == {f"http://f/{i}": p for i, p in enumerate(payloads)}
+
+    run()
