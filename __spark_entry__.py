@@ -5494,6 +5494,56 @@ def quality_benford(spark, sf_dir):
     return ql.benford_digit_report(t["orders"], "o_totalprice")
 
 
+@q(
+    "relational_incremental_join",
+    """WITH a_old AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 <> 0),
+       a_new AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 <> 0),
+       b_old AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 5 <> 0),
+       b_new AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0),
+       vold AS (SELECT o_orderkey, o_custkey, c_mktsegment
+                FROM a_old JOIN b_old ON o_custkey = c_custkey),
+       vnew AS (SELECT o_orderkey, o_custkey, c_mktsegment
+                FROM a_new JOIN b_new ON o_custkey = c_custkey),
+       co AS (SELECT o_orderkey, o_custkey, c_mktsegment, count(*) AS c
+              FROM vold GROUP BY 1, 2, 3),
+       cn AS (SELECT o_orderkey, o_custkey, c_mktsegment, count(*) AS c
+              FROM vnew GROUP BY 1, 2, 3)
+       SELECT coalesce(co.o_orderkey, cn.o_orderkey) AS o_orderkey,
+              coalesce(co.o_custkey, cn.o_custkey) AS o_custkey,
+              coalesce(co.c_mktsegment, cn.c_mktsegment) AS c_mktsegment,
+              CAST(coalesce(cn.c, 0) - coalesce(co.c, 0) AS BIGINT) AS net_delta
+       FROM co FULL OUTER JOIN cn
+         ON co.o_orderkey = cn.o_orderkey AND co.o_custkey = cn.o_custkey
+        AND co.c_mktsegment = cn.c_mktsegment
+       WHERE coalesce(cn.c, 0) - coalesce(co.c, 0) <> 0""",
+)
+def relational_incremental_join(spark, sf_dir):
+    """Incremental INNER-JOIN view maintenance
+    (relational.incremental_join_delta, the Gupta–Mumick counting
+    algorithm): the view's net change set from delta-sized joins against
+    snapshots — never a full view recompute. The oracle computes the
+    SAME net deltas by brute force (new view minus old view, per-row
+    counting), so the row proves incremental ≡ recompute including
+    multiplicities."""
+    t = _t(spark, sf_dir)
+    a_old = t["orders"].filter(F.col("o_orderkey") % 10 != 0).select("o_orderkey", "o_custkey")
+    a_new = t["orders"].filter(F.col("o_orderkey") % 7 != 0).select("o_orderkey", "o_custkey")
+    b_old = (
+        t["customer"].filter(F.col("c_custkey") % 5 != 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    b_new = (
+        t["customer"].filter(F.col("c_custkey") % 3 != 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    delta = rel.incremental_join_delta(a_old, a_new, b_old, b_new, on=["o_custkey"])
+    return (
+        delta.groupBy("o_orderkey", "o_custkey", "c_mktsegment")
+        .agg(F.sum("__delta").cast("long").alias("net_delta"))
+        .filter(F.col("net_delta") != 0)
+    )
+
+
 @q("text_compression_ratio")
 def text_compression_ratio(spark, sf_dir):
     """zlib compression-ratio degeneracy signal (text.compression_ratio):

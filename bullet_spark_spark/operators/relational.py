@@ -306,3 +306,74 @@ def incremental_group_update(
         joined.select(*keys, n.alias("n_rows"), *out_cols)
         .filter(F.col("n_rows") > 0)
     )
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_new: DataFrame,
+    b_old: DataFrame,
+    b_new: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an INNER JOIN view V = A ⋈ B:
+    given both relations' old and new snapshots, return the view's
+    CHANGE SET — (row columns…, __delta ∈ {+1, −1}) multiset — without
+    recomputing the full join:
+
+        ΔV  =  ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+
+    (signed multiset union: each output row carries the sign of its
+    delta-side row). The identity: A_new⋈B_new − A_old⋈B_old =
+    ΔA⋈B_old + A_old⋈ΔB + ΔA⋈ΔB, and ΔA⋈B_new folds the ΔA⋈ΔB corner
+    into the first term exactly once — the standard two-term form of the
+    counting algorithm (Gupta–Mumick). ΔA/ΔB are signed row multisets
+    (per-row count differences, so duplicate rows maintain correctly);
+    applying the change set to the old view equals a fresh recompute
+    EXACTLY, multiplicities included (asserted by the oracle row and
+    test).
+
+    Scale shape: every term joins a DELTA-sized side against a snapshot
+    — with CDC-sized deltas the join work is proportional to the CHANGE,
+    not the view; delta sides are marked broadcast-eligible via their
+    size (AQE), snapshots never join snapshots. Multiset diffs are one
+    groupBy per relation over (all columns) with map-side combine."""
+
+    def multiset_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+        cols = new.columns
+        o = old.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c_old"))
+        n = new.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c_new"))
+        j = o.join(n, cols, "full_outer").select(
+            *cols,
+            (F.coalesce("__c_new", F.lit(0)) - F.coalesce("__c_old", F.lit(0))).alias(
+                "__d"
+            ),
+        )
+        return j.filter(F.col("__d") != 0)
+
+    da = multiset_delta(a_old, a_new)
+    db = multiset_delta(b_old, b_new)
+    da_pos = da.filter(F.col("__d") > 0)
+    da_neg = da.filter(F.col("__d") < 0)
+    db_pos = db.filter(F.col("__d") > 0)
+    db_neg = db.filter(F.col("__d") < 0)
+
+    def expand(df: DataFrame, sign: int) -> DataFrame:
+        # a multiset delta of magnitude k expands to k unit rows so the
+        # join multiplicities come out exactly (bounded: |k| = CDC burst)
+        return df.select(
+            *[c for c in df.columns if c != "__d"],
+            F.explode(F.sequence(F.lit(1), F.abs(F.col("__d")))).alias("__i"),
+        ).drop("__i").withColumn("__delta", F.lit(sign))
+
+    terms = [
+        # ΔA (both signs) against the NEW B snapshot
+        expand(da_pos, 1).join(b_new, on),
+        expand(da_neg, -1).join(b_new, on),
+        # ΔB (both signs) against the OLD A snapshot
+        a_old.withColumn("__delta", F.lit(1)).join(expand(db_pos, 1).drop("__delta"), on),
+        a_old.withColumn("__delta", F.lit(-1)).join(expand(db_neg, -1).drop("__delta"), on),
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t, allowMissingColumns=False)
+    return out

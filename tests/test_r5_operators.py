@@ -119,3 +119,35 @@ def test_compression_ratio_separates_degenerate_text(spark):
            for r in tx.compression_ratio(df).collect()}
     assert got[2] < got[1] < got[3]       # boilerplate << prose << noise
     assert got[2] < 0.1 and got[3] > 0.7
+
+
+def test_incremental_join_delta_equals_recompute(spark):
+    """Applying the incremental change set to the old view reproduces the
+    new view EXACTLY — multiplicities included (duplicate rows on both
+    sides exercise the counting algorithm's multiset arithmetic)."""
+    from collections import Counter
+
+    from bullet_spark_spark.operators import relational as rel
+
+    a_old = spark.createDataFrame(
+        [(1, "k1"), (1, "k1"), (2, "k2"), (3, "k3")], "aid int, k string"
+    )
+    a_new = spark.createDataFrame(
+        [(1, "k1"), (2, "k2"), (2, "k2"), (4, "k1")], "aid int, k string"
+    )
+    b_old = spark.createDataFrame(
+        [("k1", "x"), ("k2", "y"), ("k2", "y")], "k string, v string"
+    )
+    b_new = spark.createDataFrame(
+        [("k1", "x"), ("k1", "z"), ("k2", "y")], "k string, v string"
+    )
+    delta = rel.incremental_join_delta(a_old, a_new, b_old, b_new, on=["k"])
+    applied = Counter()
+    for r in a_old.join(b_old, "k").collect():
+        applied[(r["k"], r["aid"], r["v"])] += 1
+    for r in delta.collect():
+        applied[(r["k"], r["aid"], r["v"])] += r["__delta"]
+    want = Counter()
+    for r in a_new.join(b_new, "k").collect():
+        want[(r["k"], r["aid"], r["v"])] += 1
+    assert {k: v for k, v in applied.items() if v} == dict(want)
