@@ -5495,6 +5495,42 @@ def quality_benford(spark, sf_dir):
 
 
 @q(
+    "join_asof_nearest",
+    """WITH l AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click' AND user_id % 25 = 0),
+       r AS (SELECT user_id, ts FROM events
+             WHERE event_type = 'purchase' AND user_id % 25 = 0),
+       m AS (SELECT l.user_id, l.ts,
+                    (SELECT max(r.ts) FROM r
+                     WHERE r.user_id = l.user_id AND r.ts <= l.ts) AS bk,
+                    (SELECT min(r.ts) FROM r
+                     WHERE r.user_id = l.user_id AND r.ts >= l.ts) AS fw
+             FROM l)
+       SELECT user_id, ts,
+              CASE WHEN bk IS NOT NULL AND (fw IS NULL
+                        OR epoch_us(ts) - epoch_us(bk) <= epoch_us(fw) - epoch_us(ts))
+                   THEN bk ELSE fw END AS ts_matched
+       FROM m""",
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join (temporal.asof_join_directional): per click the
+    closest purchase in either time direction, ties backward — pandas
+    merge_asof(direction='nearest') parity via two carry-forward window
+    passes (never a per-row subquery or range explosion); the oracle is
+    the brute-force correlated form."""
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") % 25 == 0)
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("rts"), F.col("value").alias("rv")
+    )
+    out = tmp.asof_join_directional(
+        left, right, ["user_id"], "ts", "rts", ["rv"], direction="nearest"
+    )
+    return out.select("user_id", "ts", F.col("rts_matched").alias("ts_matched"))
+
+
+@q(
     "relational_incremental_join",
     """WITH a_old AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 <> 0),
        a_new AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 <> 0),

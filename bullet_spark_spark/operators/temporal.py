@@ -557,3 +557,90 @@ def ewma(
         lambda acc, x: acc * c + x,
     )
     return df.withColumn(out_col, F.round(num / den, 6))
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """As-of join with a DIRECTION — backward (greatest right_ts ≤
+    left_ts; delegates to :func:`asof_join`), forward (smallest
+    right_ts ≥ left_ts), or nearest (closer of the two, ties backward):
+    pandas ``merge_asof(direction=...)`` parity, the missing two thirds
+    of the as-of family (sensor alignment joins forward; gap-tolerant
+    enrichment joins nearest).
+
+    Forward is the backward algorithm on NEGATED microsecond timestamps
+    (one key-partition shuffle, carry-forward window — same linear
+    shape); nearest runs both passes and picks per row (two shuffles,
+    still never a range-explosion or per-row subquery).
+    """
+    if direction == "backward":
+        return asof_join(
+            left, right, key_cols, left_ts, right_ts, right_value_cols,
+            tolerance_sec=tolerance_sec, suffix=suffix,
+        )
+
+    def _forward(l_df: DataFrame, sfx: str) -> DataFrame:
+        # negate time: backward-on-(-t) == forward-on-t (inclusive both)
+        l_neg = l_df.withColumn("__negts", -F.unix_micros(F.col(left_ts).cast("timestamp")))
+        r_neg = right.withColumn("__negts", -F.unix_micros(F.col(right_ts).cast("timestamp")))
+        out = asof_join(
+            l_neg,
+            r_neg.withColumn("__orig_rts", F.col(right_ts)),
+            key_cols,
+            "__negts",
+            "__negts",
+            ["__orig_rts", *right_value_cols],
+            suffix=sfx,
+        )
+        matched = f"__orig_rts{sfx}"
+        out = out.drop("__negts", f"__negts{sfx}_matched").withColumnRenamed(
+            matched, f"{right_ts}{sfx}_matched"
+        )
+        if tolerance_sec is not None:
+            in_tol = (
+                F.col(f"{right_ts}{sfx}_matched").cast("double")
+                - F.col(left_ts).cast("double")
+            ) <= F.lit(float(tolerance_sec))
+            for c in [f"{right_ts}{sfx}_matched", *[f"{v}{sfx}" for v in right_value_cols]]:
+                out = out.withColumn(c, F.when(in_tol, F.col(c)))
+        return out
+
+    if direction == "forward":
+        return _forward(left, suffix)
+    if direction != "nearest":
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+
+    back = asof_join(
+        left, right, key_cols, left_ts, right_ts, right_value_cols,
+        tolerance_sec=tolerance_sec, suffix="__b",
+    )
+    both = _forward(back, "__f")
+    lt = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    bt = F.unix_micros(F.col(f"{right_ts}__b_matched").cast("timestamp"))
+    ft = F.unix_micros(F.col(f"{right_ts}__f_matched").cast("timestamp"))
+    use_back = F.when(
+        bt.isNotNull() & (ft.isNull() | ((lt - bt) <= (ft - lt))), F.lit(True)
+    ).otherwise(F.lit(False))
+    out = both.withColumn("__use_back", use_back)
+    sel = [F.col(c) for c in left.columns]
+    sel.append(
+        F.when(F.col("__use_back"), F.col(f"{right_ts}__b_matched"))
+        .otherwise(F.col(f"{right_ts}__f_matched"))
+        .alias(f"{right_ts}{suffix}_matched")
+    )
+    for v in right_value_cols:
+        sel.append(
+            F.when(F.col("__use_back"), F.col(f"{v}__b"))
+            .otherwise(F.col(f"{v}__f"))
+            .alias(f"{v}{suffix}")
+        )
+    return out.select(*sel)

@@ -151,3 +151,61 @@ def test_incremental_join_delta_equals_recompute(spark):
     for r in a_new.join(b_new, "k").collect():
         want[(r["k"], r["aid"], r["v"])] += 1
     assert {k: v for k, v in applied.items() if v} == dict(want)
+
+
+def test_asof_directional_semantics(spark):
+    from bullet_spark_spark.operators import temporal as tmp2
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:10:00"), ("k", "2024-01-01 00:20:00"),
+         ("k", "2024-01-01 00:30:00")],
+        "key string, ts string",
+    ).select("key", F.to_timestamp("ts").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:08:00", 1.0),   # 2 min before first
+         ("k", "2024-01-01 00:21:00", 2.0),   # 1 min after second
+         ("k", "2024-01-01 00:45:00", 3.0)],  # far after third
+        "key string, rts string, v double",
+    ).select("key", F.to_timestamp("rts").alias("rts"), "v")
+
+    def run(direction):
+        out = tmp2.asof_join_directional(
+            left, right, ["key"], "ts", "rts", ["v"], direction=direction
+        )
+        return {r["ts"].minute: r["v"] for r in out.collect()}
+
+    assert run("backward") == {10: 1.0, 20: 1.0, 30: 2.0}
+    assert run("forward") == {10: 2.0, 20: 2.0, 30: 3.0}
+    # nearest: 00:10 -> 00:08 (2min back beats 11min fwd);
+    # 00:20 -> 00:21 (1min fwd beats 12min back); 00:30 -> 00:21 (9 vs 15)
+    assert run("nearest") == {10: 1.0, 20: 2.0, 30: 2.0}
+
+
+def test_asof_directional_matches_duckdb(spark, tables, duck):
+    """Forward/nearest against correlated-subquery oracles on real data
+    (matched timestamps compared; values ride the same match)."""
+    from bullet_spark_spark.operators import temporal as tmp2
+
+    ev = tables["events"].filter(F.col("user_id") % 25 == 0)
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("rts"), "value"
+    )
+    got = {
+        (r["user_id"], r["ts"]): r["rts_matched"]
+        for r in tmp2.asof_join_directional(
+            left, right, ["user_id"], "ts", "rts", ["value"], direction="forward"
+        ).collect()
+    }
+    want = {
+        (r[0], r[1]): r[2]
+        for r in duck.execute(
+            """SELECT l.user_id, l.ts,
+                      (SELECT min(r.ts) FROM events r
+                       WHERE r.event_type = 'purchase' AND r.user_id % 25 = 0
+                         AND r.user_id = l.user_id AND r.ts >= l.ts) AS m
+               FROM events l
+               WHERE l.event_type = 'click' AND l.user_id % 25 = 0"""
+        ).fetchall()
+    }
+    assert got == want
