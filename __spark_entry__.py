@@ -5495,6 +5495,30 @@ def quality_benford(spark, sf_dir):
 
 
 @q(
+    "quality_hot_keys",
+    """WITH pk AS (SELECT event_type, user_id % 100 AS ub, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+       st AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                     CAST(count(*) AS DOUBLE) AS nkeys FROM pk)
+       SELECT event_type, ub, CAST(n AS BIGINT) AS n,
+              round(n / st.total, 6) AS share,
+              round(n / (st.total / st.nkeys), 6) AS skew_factor
+       FROM pk, st
+       ORDER BY n DESC, event_type, ub LIMIT 20""",
+)
+def quality_hot_keys(spark, sf_dir):
+    """Hot-key skew report (quality.hot_keys_report): the top-20 heaviest
+    (event_type, user-bucket) tuples with row share and skew factor vs
+    the mean key — the diagnosis that routes keys to the salted
+    join/aggregation path before a straggler does."""
+    from bullet_spark_spark.operators import quality as ql
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].withColumn("ub", F.col("user_id") % 100)
+    return ql.hot_keys_report(ev, ["event_type", "ub"], top=20)
+
+
+@q(
     "join_asof_nearest",
     """WITH l AS (SELECT user_id, ts FROM events
                   WHERE event_type = 'click' AND user_id % 25 = 0),

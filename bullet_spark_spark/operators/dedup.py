@@ -1425,3 +1425,26 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= min_containment)
     )
+
+
+def plan_lsh_bands(
+    target_jaccard: float, num_hashes: int
+) -> tuple[int, int, float]:
+    """Choose the (bands, rows_per_band) factorization of ``num_hashes``
+    whose S-curve threshold (1/b)^(1/r) sits closest to the similarity
+    you want to catch → (bands, rows, achieved_threshold). The knob
+    users actually have is "catch pairs above J≈0.8", not band counts —
+    this is the planner that turns one into the other (Mining of Massive
+    Datasets §3.4.3; pure arithmetic, no data touched)."""
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError("target_jaccard must be in (0, 1)")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        thr = (1.0 / b) ** (1.0 / r)
+        score = abs(thr - target_jaccard)
+        if best is None or score < best[0]:
+            best = (score, b, r, thr)
+    return best[1], best[2], best[3]

@@ -548,3 +548,33 @@ def k_anonymity_report(
     if sensitive_col:
         aggs.append(F.min("__l").cast("bigint").alias("min_l_diversity"))
     return per_class.agg(*aggs)
+
+
+def hot_keys_report(
+    df: DataFrame, key_cols: list[str], top: int = 20
+) -> DataFrame:
+    """Skew diagnosis → the ``top`` heaviest key tuples with their share
+    of all rows and a skew factor vs the mean key (keys…, n, share,
+    skew_factor): the report that tells you WHICH keys need the salted
+    join/agg path (operators/relational.salted_*) before a straggler
+    tells you at hour three. One key-keyed aggregation (map-side
+    combinable) + a TakeOrderedAndProject over the per-key frame; the
+    mean rides a one-row broadcast."""
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    stats = per_key.agg(
+        F.sum("n").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__nkeys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            *key_cols,
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("n") / (F.col("__total") / F.col("__nkeys")), 6).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("n"), *key_cols)
+        .limit(top)
+    )

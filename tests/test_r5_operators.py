@@ -209,3 +209,27 @@ def test_asof_directional_matches_duckdb(spark, tables, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_plan_lsh_bands():
+    from bullet_spark_spark.operators import dedup as dd2
+
+    b, r, thr = dd2.plan_lsh_bands(0.8, 64)
+    assert b * r == 64
+    assert abs(thr - 0.8) < 0.1
+    # monotonic: a lower target picks MORE bands (lower threshold)
+    b_lo, _, thr_lo = dd2.plan_lsh_bands(0.4, 64)
+    assert b_lo >= b and thr_lo < thr
+    with pytest.raises(ValueError):
+        dd2.plan_lsh_bands(1.5, 64)
+
+
+def test_hot_keys_report(spark):
+    from bullet_spark_spark.operators import quality as ql
+
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["k"]: (r["n"], r["share"], r["skew_factor"])
+           for r in ql.hot_keys_report(df, ["k"], top=2).collect()}
+    assert set(got) == {"hot", "warm"}  # top-2 only
+    assert got["hot"] == (80, 0.8, pytest.approx(80 / (100 / 3), abs=1e-6))
