@@ -5495,6 +5495,35 @@ def quality_benford(spark, sf_dir):
 
 
 @q(
+    "quality_referential_integrity",
+    """WITH par AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 7 <> 0)
+       SELECT CAST(count(*) AS BIGINT) AS n_child,
+              CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_child_null_fk,
+              CAST(sum(CASE WHEN o_custkey IS NOT NULL AND p.c_custkey IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+              round(sum(CASE WHEN o_custkey IS NOT NULL AND p.c_custkey IS NULL
+                        THEN 1 ELSE 0 END)
+                    / greatest(count(*) - sum(CASE WHEN o_custkey IS NULL
+                                              THEN 1 ELSE 0 END), 1), 6)
+                AS orphan_fraction
+       FROM orders LEFT JOIN par p ON o_custkey = p.c_custkey""",
+)
+def quality_referential_integrity(spark, sf_dir):
+    """Foreign-key audit (quality.referential_integrity_report): orphaned
+    order rows against a deliberately-holed customer dimension (every 7th
+    key removed) — one hit-marker left join + one aggregation pass; the
+    gate that catches rows INNER joins would silently drop downstream."""
+    from bullet_spark_spark.operators import quality as ql
+
+    t = _t(spark, sf_dir)
+    holed = t["customer"].filter(F.col("c_custkey") % 7 != 0)
+    return ql.referential_integrity_report(
+        t["orders"], holed, ["o_custkey"], ["c_custkey"]
+    )
+
+
+@q(
     "quality_hot_keys",
     """WITH pk AS (SELECT event_type, user_id % 100 AS ub, count(*) AS n
                    FROM events GROUP BY 1, 2),

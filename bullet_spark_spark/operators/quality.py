@@ -578,3 +578,47 @@ def hot_keys_report(
         .orderBy(F.desc("n"), *key_cols)
         .limit(top)
     )
+
+
+def referential_integrity_report(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_cols: list[str],
+    pk_cols: list[str] | None = None,
+) -> DataFrame:
+    """Foreign-key audit → ONE row (n_child, n_child_null_fk, n_orphans,
+    orphan_fraction): child rows whose FK tuple exists in no parent row —
+    the join-integrity gate a warehouse sync runs after every load
+    (orphans silently vanish from INNER joins downstream, which is how a
+    revenue number loses rows without an error anywhere). NULL FKs count
+    separately (SQL FK semantics: NULL never violates) and are excluded
+    from the orphan fraction's denominator.
+
+    Shape: ONE left join of the child against the distinct parent keys
+    (a hit marker, not payload — dimension-sized side broadcasts) and
+    ONE aggregation pass computing all three counts; no driver loops,
+    one job, lazily composable."""
+    pk = pk_cols or fk_cols
+    par = (
+        parent.select(*[F.col(p).alias(f) for p, f in zip(pk, fk_cols)])
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    null_pred = None
+    for c in fk_cols:
+        p = F.col(c).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    j = child.join(par, fk_cols, "left")
+    n_child = F.count(F.lit(1))
+    n_null = F.sum(F.when(null_pred, 1).otherwise(0))
+    n_orph = F.sum(
+        F.when(~null_pred & F.col("__hit").isNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        n_child.cast("bigint").alias("n_child"),
+        n_null.cast("bigint").alias("n_child_null_fk"),
+        n_orph.cast("bigint").alias("n_orphans"),
+        F.round(
+            n_orph / F.greatest(n_child - n_null, F.lit(1)), 6
+        ).alias("orphan_fraction"),
+    )

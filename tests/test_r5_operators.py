@@ -233,3 +233,17 @@ def test_hot_keys_report(spark):
            for r in ql.hot_keys_report(df, ["k"], top=2).collect()}
     assert set(got) == {"hot", "warm"}  # top-2 only
     assert got["hot"] == (80, 0.8, pytest.approx(80 / (100 / 3), abs=1e-6))
+
+
+def test_referential_integrity_report(spark):
+    from bullet_spark_spark.operators import quality as ql
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None), (5, 20)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    r = ql.referential_integrity_report(child, parent, ["fk"], ["pk"]).collect()[0]
+    assert r["n_child"] == 5
+    assert r["n_child_null_fk"] == 1   # NULL FK never violates
+    assert r["n_orphans"] == 1         # fk=99
+    assert r["orphan_fraction"] == 0.25
