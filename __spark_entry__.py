@@ -5495,6 +5495,111 @@ def quality_benford(spark, sf_dir):
 
 
 @q(
+    "quality_profile_diff",
+    """WITH so AS (
+         SELECT count(*) AS n,
+                count(value) AS nnv, count(DISTINCT value) AS dv,
+                round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                      / count(value), 6) AS av,
+                count(length(event_type)) AS nns,
+                count(DISTINCT length(event_type)) AS ds,
+                round(CAST(sum(CAST(length(event_type) AS DECIMAL(28,6))) AS DOUBLE)
+                      / count(length(event_type)), 6) AS asym
+         FROM events WHERE event_id % 2 = 0),
+       sn AS (
+         SELECT count(*) AS n,
+                count(value) AS nnv, count(DISTINCT value) AS dv,
+                round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                      / count(value), 6) AS av,
+                count(length(event_type)) AS nns,
+                count(DISTINCT length(event_type)) AS ds,
+                round(CAST(sum(CAST(length(event_type) AS DECIMAL(28,6))) AS DOUBLE)
+                      / count(length(event_type)), 6) AS asym
+         FROM events WHERE event_id % 2 = 1)
+       SELECT 'value' AS "column", 'numeric' AS kind,
+              round((so.n - so.nnv) * 1.0 / greatest(so.n, 1), 6) AS null_frac_old,
+              round((sn.n - sn.nnv) * 1.0 / greatest(sn.n, 1), 6) AS null_frac_new,
+              round(round((sn.n - sn.nnv) * 1.0 / greatest(sn.n, 1), 6)
+                    - round((so.n - so.nnv) * 1.0 / greatest(so.n, 1), 6), 6)
+                AS null_frac_delta,
+              so.dv AS distinct_old, sn.dv AS distinct_new,
+              so.av AS mean_old, sn.av AS mean_new,
+              round(coalesce(sn.av, 0.0) - coalesce(so.av, 0.0), 6) AS mean_delta
+       FROM so, sn
+       UNION ALL
+       SELECT 'event_type', 'string',
+              round((so.n - so.nns) * 1.0 / greatest(so.n, 1), 6),
+              round((sn.n - sn.nns) * 1.0 / greatest(sn.n, 1), 6),
+              round(round((sn.n - sn.nns) * 1.0 / greatest(sn.n, 1), 6)
+                    - round((so.n - so.nns) * 1.0 / greatest(so.n, 1), 6), 6),
+              so.ds, sn.ds, so.asym, sn.asym,
+              round(coalesce(sn.asym, 0.0) - coalesce(so.asym, 0.0), 6)
+       FROM so, sn""",
+)
+def quality_profile_diff(spark, sf_dir):
+    """Column-profile drift (quality.profile_diff): null-rate / distinct /
+    mean deltas per column between two snapshots (here: even vs odd
+    event halves) — the schema-level break detector that fires before
+    any value distribution moves. Two one-pass profiles + a broadcast
+    column-sized join."""
+    from bullet_spark_spark.operators import quality as ql
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    return ql.profile_diff(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        numeric_cols=["value"],
+        string_cols=["event_type"],
+    )
+
+
+@q(
+    "streaming_static_enrich_parity",
+    """SELECT c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def streaming_static_enrich_parity(spark, sf_dir):
+    """Stream-static dimension enrichment == batch: a real Structured
+    Streaming drain of the orders stream joined per micro-batch against
+    the BROADCAST static customer dimension (the enrichment join the
+    reference cannot express at all — its only 'join' is the keyed state
+    merge), aggregated to per-segment revenue in update mode; the merged
+    final emission hash-matches the batch oracle. Decimal revenue sums —
+    exact across the batch/stream accumulation orders."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+
+    t = _t(spark, sf_dir)
+    dim = F.broadcast(t["customer"].select("c_custkey", "c_mktsegment"))
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, t["orders"], work, chunks=3)
+        enriched = stream.join(dim, stream["o_custkey"] == dim["c_custkey"])
+        agg = enriched.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        q_ = (
+            agg.writeStream.format("memory")
+            .queryName("__enrich_parity")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(180)
+    return spark.sql(
+        "SELECT c_mktsegment, n_orders, revenue FROM __enrich_parity"
+    )
+
+
+@q(
     "quality_referential_integrity",
     """WITH par AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 7 <> 0)
        SELECT CAST(count(*) AS BIGINT) AS n_child,

@@ -622,3 +622,58 @@ def referential_integrity_report(
             n_orph / F.greatest(n_child - n_null, F.lit(1)), 6
         ).alias("orphan_fraction"),
     )
+
+
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    numeric_cols: list[str] = (),
+    string_cols: list[str] = (),
+) -> DataFrame:
+    """Column-profile DRIFT between two snapshots → one row per column:
+    (column, kind, null_frac_old, null_frac_new, null_frac_delta,
+    distinct_old, distinct_new, mean_old, mean_new, mean_delta) — the
+    schema-level companion to drift_report (value distributions) and
+    snapshot_diff (row lineage): a null-rate jump or a distinct-count
+    collapse is usually an upstream extractor breaking, visible here
+    before any value-level statistic moves.
+
+    Each side runs ONE profile_columns aggregation pass; the diff joins
+    the two column-sized reports (broadcast). Deltas are rounded 6 dp
+    (the cross-engine convention)."""
+    po = profile_columns(old, numeric_cols, string_cols)
+    pn = profile_columns(new, numeric_cols, string_cols)
+    o = po.select(
+        "column",
+        "kind",
+        (F.col("nulls") / F.greatest(F.col("n_rows"), F.lit(1))).alias("__nfo"),
+        F.col("n_distinct").alias("distinct_old"),
+        F.col("mean").alias("mean_old"),
+    )
+    n = pn.select(
+        "column",
+        (F.col("nulls") / F.greatest(F.col("n_rows"), F.lit(1))).alias("__nfn"),
+        F.col("n_distinct").alias("distinct_new"),
+        F.col("mean").alias("mean_new"),
+    )
+    return (
+        o.join(F.broadcast(n), "column")
+        .select(
+            "column",
+            "kind",
+            F.round("__nfo", 6).alias("null_frac_old"),
+            F.round("__nfn", 6).alias("null_frac_new"),
+            F.round(F.round("__nfn", 6) - F.round("__nfo", 6), 6).alias(
+                "null_frac_delta"
+            ),
+            "distinct_old",
+            "distinct_new",
+            "mean_old",
+            "mean_new",
+            F.round(
+                F.coalesce(F.col("mean_new"), F.lit(0.0))
+                - F.coalesce(F.col("mean_old"), F.lit(0.0)),
+                6,
+            ).alias("mean_delta"),
+        )
+    )
