@@ -247,3 +247,20 @@ def test_referential_integrity_report(spark):
     assert r["n_child_null_fk"] == 1   # NULL FK never violates
     assert r["n_orphans"] == 1         # fk=99
     assert r["orphan_fraction"] == 0.25
+
+
+def test_profile_diff_detects_null_and_mean_drift(spark):
+    from bullet_spark_spark.operators import quality as ql
+
+    old = spark.createDataFrame(
+        [(float(i),) for i in range(10)], "v double"
+    )
+    new = spark.createDataFrame(
+        [(float(i) + 100,) for i in range(8)] + [(None,), (None,)], "v double"
+    )
+    r = {row["column"]: row
+         for row in ql.profile_diff(old, new, numeric_cols=["v"]).collect()}["v"]
+    assert r["null_frac_old"] == 0.0
+    assert r["null_frac_new"] == 0.2
+    assert r["null_frac_delta"] == 0.2
+    assert r["mean_delta"] == pytest.approx(103.5 - 4.5, abs=1e-6)
