@@ -17,6 +17,21 @@ Float determinism: double SUMs across engines differ at ~1e-11 relative
 sums therefore go through DECIMAL(18,4) (exact, engine-independent) and are
 cast back to DOUBLE; averages divide the exact decimal sum by the exact
 count; everything fractional is rounded to 6 dp on BOTH sides.
+
+OUTPUT-SURFACE CONTRACT (permanent — r4 HUGEINT reds, r5 decimal/array
+reds): every oracle-checked query's FINAL output schema may contain ONLY
+bigint / double / string / bool / date / timestamp columns.
+  * DECIMAL intermediates are fine (they're the determinism mechanism) but
+    must surface as round(CAST(x AS DOUBLE), 6) on BOTH engines — the
+    driver's hasher fetches DECIMAL through different paths per engine and
+    mismatches even on identical values (same class as DuckDB HUGEINT).
+  * ARRAY/MAP/STRUCT outputs crash the driver's pandas canonicalizer
+    (unhashable cells). Serialize: fixed-scale CSV via
+    array_join(transform(a, x -> CAST(CAST(x AS DECIMAL(18,6)) AS STRING)))
+    / array_to_string([CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR) FOR x IN a])
+    for numeric arrays, plain array_join/array_to_string for strings.
+tools/check_oracle.py enforces this (surface audit + strict type classes);
+run it before rotating any query into the driver window.
 """
 
 from __future__ import annotations
@@ -4493,7 +4508,7 @@ def bql_select_distinct(spark, sf_dir):
          SELECT doc_id + 100000, lang, n_chars + 5
          FROM documents WHERE doc_id % 11 = 0)
        SELECT lang, count(*) AS n_rows,
-              CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sum_chars
+              round(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_chars
        FROM newsnap GROUP BY lang""",
 )
 def relational_incremental_agg(spark, sf_dir):
@@ -4502,7 +4517,9 @@ def relational_incremental_agg(spark, sf_dir):
     CDC change rows (before-images negative, after-images positive) — and
     the oracle checks it against a FULL re-aggregation of the new corpus,
     proving incremental ≡ recompute exactly (decimal arithmetic
-    end-to-end). Δ-sized work: one change-row groupBy + one key join."""
+    end-to-end; the exact decimal sum surfaces as a rounded DOUBLE per the
+    driver-hash contract). Δ-sized work: one change-row groupBy + one key
+    join."""
     t = _t(spark, sf_dir)
     docs = t["documents"].select("doc_id", "lang", "n_chars")
     base = rel.group_snapshot_agg(docs, ["lang"], [("n_chars", "sum_chars")])
@@ -4520,8 +4537,13 @@ def relational_incremental_agg(spark, sf_dir):
             )
         )
     )
-    return rel.incremental_group_update(
+    out = rel.incremental_group_update(
         base, old_rows, new_rows, ["lang"], [("n_chars", "sum_chars")]
+    )
+    return out.select(
+        "lang",
+        "n_rows",
+        F.round(F.col("sum_chars").cast("double"), 6).alias("sum_chars"),
     )
 
 
@@ -4676,7 +4698,7 @@ def behavior_ab_test(spark, sf_dir):
          FROM documents WHERE doc_id % 11 = 0),
        full_agg AS (
          SELECT lang, count(*) AS n_rows,
-                CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sum_chars
+                round(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_chars
          FROM newsnap GROUP BY lang),
        old_agg AS (SELECT lang, count(*) AS old_n FROM oldsnap GROUP BY lang)
        SELECT f.lang, f.n_rows, f.sum_chars,
@@ -4732,7 +4754,7 @@ def pipeline_warehouse_sync(spark, sf_dir):
     ).select(
         "lang",
         "n_rows",
-        "sum_chars",
+        F.round(F.col("sum_chars").cast("double"), 6).alias("sum_chars"),
         F.round(
             (F.col("n_rows") - F.col("old_n")).cast("double") / F.col("old_n"), 6
         ).alias("rows_change_pct"),
@@ -4783,15 +4805,30 @@ _CENTROID_CTE = """e AS (
 @q(
     "sim_group_centroids",
     f"""WITH {_CENTROID_CTE}
-       SELECT label, centroid, n FROM cents""",
+       SELECT label,
+              array_to_string([CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)
+                               FOR x IN centroid], ',') AS centroid_csv,
+              n FROM cents""",
 )
 def sim_group_centroids(spark, sf_dir):
     """Per-label prototype embeddings (similarity.group_centroids): exact
     decimal per-dimension means, engine-portable coordinates — one
     (label, pos) aggregate with map-side partials, ordered array
-    reassembly, no driver collect."""
+    reassembly, no driver collect. The ARRAY column serializes to a
+    fixed-scale CSV for the driver hash (its pandas canonicalizer cannot
+    sort list cells); API users call sim.group_centroids for the array."""
     t = _t(spark, sf_dir)
-    return sim.group_centroids(t["embeddings"], "label", "embedding")
+    cents = sim.group_centroids(t["embeddings"], "label", "embedding")
+    return cents.select(
+        "label",
+        F.array_join(
+            F.transform(
+                "centroid", lambda x: x.cast("decimal(18,6)").cast("string")
+            ),
+            ",",
+        ).alias("centroid_csv"),
+        "n",
+    )
 
 
 @q(
@@ -4852,7 +4889,7 @@ def sim_nearest_centroid(spark, sf_dir):
                       PARTITION BY vec_id ORDER BY d2, cand) AS r
              FROM d)
        SELECT cand AS assigned, count(*) AS n,
-              CAST(sum(d2) AS DECIMAL(38,9)) AS inertia
+              round(CAST(sum(d2) AS DOUBLE), 6) AS inertia
        FROM a WHERE r = 1 GROUP BY cand""",
 )
 def sim_cluster_inertia(spark, sf_dir):
@@ -4866,9 +4903,9 @@ def sim_cluster_inertia(spark, sf_dir):
     assigned = sim.nearest_centroid_assign(emb, cents, "vec_id", "embedding")
     return assigned.groupBy(F.col("assigned")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("d2").cast("decimal(38,9)"))
-        .cast("decimal(38,9)")
-        .alias("inertia"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(38,9)")).cast("double"), 6
+        ).alias("inertia"),
     )
 
 
@@ -5144,8 +5181,9 @@ def distribution_winsorize(spark, sf_dir):
     "quality_fd_violations",
     """SELECT n_regionkey, count(*) AS n_rows,
               count(DISTINCT coalesce(CAST(n_name AS VARCHAR), chr(0))) AS n_rhs_values,
-              (list_sort(list_distinct(list(coalesce(CAST(n_name AS VARCHAR), chr(0))))))[1:3]
-                AS rhs_examples
+              array_to_string(
+                (list_sort(list_distinct(list(coalesce(CAST(n_name AS VARCHAR), chr(0))))))[1:3],
+                ',') AS rhs_examples
        FROM nation GROUP BY n_regionkey
        HAVING count(DISTINCT coalesce(CAST(n_name AS VARCHAR), chr(0))) > 1""",
 )
@@ -5154,11 +5192,16 @@ def quality_fd_violations(spark, sf_dir):
     n_regionkey → n_name hold? (No: each region maps to 5 nations — every
     key reports its cardinality and 3 sorted example values.) The
     join-key/normalization hygiene check; empty result = dependency
-    certified. One lhs shuffle; cardinality via hash count-distinct."""
+    certified. One lhs shuffle; cardinality via hash count-distinct. The
+    example ARRAY serializes to CSV for the driver hash (list cells are
+    unhashable in its canonicalizer); the operator keeps the array API."""
     from bullet_spark_spark.operators import quality as qc
 
     t = _t(spark, sf_dir)
-    return qc.fd_violations(t["nation"], ["n_regionkey"], "n_name", examples=3)
+    out = qc.fd_violations(t["nation"], ["n_regionkey"], "n_name", examples=3)
+    return out.withColumn(
+        "rhs_examples", F.array_join("rhs_examples", ",")
+    )
 
 
 @q(

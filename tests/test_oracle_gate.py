@@ -1,0 +1,96 @@
+"""Regression tests for the local oracle gate's r5 blind spots.
+
+CORRECTNESS_r05 went 45/50 red on queries the local gate green-lit: raw
+DECIMAL output columns (driver hasher fetches decimals differently per
+engine) and ARRAY output columns (driver's pandas canonicalizer raises
+``unhashable type: 'list'``). tools/check_oracle.py now carries a surface
+audit + strict type classes + a container-refusing canon(); these tests pin
+each of those behaviors so the blind spot cannot silently reopen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tools.check_oracle import canon, surface_violations, type_mismatches
+
+
+def test_surface_audit_flags_decimal(spark):
+    df = spark.range(3).select(
+        F.col("id"), F.col("id").cast("decimal(28,6)").alias("total")
+    )
+    viol = surface_violations(df)
+    assert viol == ["total: decimal(28,6)"]
+
+
+def test_surface_audit_flags_array_map_struct(spark):
+    df = spark.range(2).select(
+        F.array(F.col("id")).alias("a"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        F.struct(F.col("id")).alias("s"),
+    )
+    names = [v.split(":")[0] for v in surface_violations(df)]
+    assert names == ["a", "m", "s"]
+
+
+def test_surface_audit_passes_driver_safe_schema(spark):
+    df = spark.range(2).select(
+        F.col("id"),
+        F.col("id").cast("double").alias("d"),
+        F.lit("x").alias("s"),
+        F.lit(True).alias("b"),
+        F.current_date().alias("dt"),
+    )
+    assert surface_violations(df) == []
+
+
+def test_canon_refuses_containers():
+    with pytest.raises(TypeError, match="driver-unhashable"):
+        canon([1.0, 2.0])
+    with pytest.raises(TypeError):
+        canon((1, 2))
+
+
+def test_typed_audit_no_decimal_whitelist(spark, duck):
+    """r5 red #3 class: spark decimal vs duck decimal used to be whitelisted
+    even though the driver hash-mismatches it. Now it only passes when BOTH
+    sides agree AND the surface audit would separately reject the decimal —
+    here we assert the strict class compare flags decimal-vs-float."""
+    sdf = spark.range(1).select(F.lit(1).cast("decimal(18,6)").alias("v"))
+    cur = duck.execute("SELECT CAST(1 AS DOUBLE) AS v")
+    assert type_mismatches(sdf, cur) == ["v: spark=decimal duck=float"]
+
+
+def test_typed_audit_flags_hugeint(spark, duck):
+    """The original r4 class: DuckDB sum(int) OVER → HUGEINT vs Spark LONG.
+    HUGEINT arrives through Arrow as decimal128(38,0) — either label must
+    fail the strict class compare against spark=int."""
+    sdf = spark.range(1).select(F.lit(170).cast("long").alias("v"))
+    cur = duck.execute("SELECT CAST(170 AS HUGEINT) AS v")
+    mis = type_mismatches(sdf, cur)
+    assert len(mis) == 1 and mis[0].startswith("v: spark=int duck=")
+
+
+def test_fixed_scale_csv_matches_across_engines(spark, duck):
+    """The array-serialization convention: fixed-scale DECIMAL(18,6)→string
+    renders identically in Spark and DuckDB (padding included)."""
+    vals = [0.5, -1.25, 0.0, 123.456789, -0.000001]
+    srow = (
+        spark.createDataFrame([(vals,)], "a array<double>")
+        .select(
+            F.array_join(
+                F.transform(
+                    "a", lambda x: x.cast("decimal(18,6)").cast("string")
+                ),
+                ",",
+            ).alias("csv")
+        )
+        .first()["csv"]
+    )
+    drow = duck.execute(
+        "SELECT array_to_string([CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)"
+        " FOR x IN [0.5, -1.25, 0.0, 123.456789, -0.000001]], ',') AS csv"
+    ).fetchone()[0]
+    assert srow == drow
+    assert srow == "0.500000,-1.250000,0.000000,123.456789,-0.000001"

@@ -18,6 +18,21 @@ Round-5 additions (VERDICT r4 tasks 1 & 8):
   sf) so a sweep at --sf /root/testdata/sf0.1 lands in the repo as
   ``ORACLE_SF01.json`` instead of being a builder claim.
 
+Round-6 hardening (VERDICT r5 task 2): the r5 driver reds passed this tool
+because (a) the typed audit whitelisted decimal-vs-decimal — but the driver's
+hasher fetches DECIMAL differently per engine, so raw DECIMAL output columns
+hash-mismatch even when values are identical — and (b) ``canon()``
+stringified lists, while the driver's pandas canonicalizer raises
+``TypeError: unhashable type: 'list'`` on ARRAY output columns. The gate is
+now strictly MORE demanding than the driver:
+
+* **Surface audit** — any oracle-checked query whose *Spark output schema*
+  contains DecimalType, ArrayType, MapType or StructType FAILS outright.
+  Driver-hash-safe surface = bigint / rounded double / string / bool /
+  date-time only (the repo convention at ``__spark_entry__.py:15-20``).
+* The typed audit no longer whitelists decimal-vs-decimal, and ``canon()``
+  refuses lists instead of stringifying them.
+
 Usage:
   python tools/check_oracle.py [--sf DIR] [--emit PATH] [name ...]
 """
@@ -45,8 +60,13 @@ def canon(v):
         return str(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(str(canon(x)) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)):
+        # The driver's pandas canonicalizer cannot sort rows containing
+        # containers (unhashable) — an output that reaches here would be a
+        # guaranteed driver red. Refuse instead of stringifying.
+        raise TypeError(
+            f"container value in oracle-checked output (driver-unhashable): {v!r}"
+        )
     try:
         import decimal
 
@@ -129,11 +149,29 @@ def type_mismatches(sdf, cur) -> list[str]:
         if f.name not in duck:
             continue
         sc, dc = _spark_class(f.dataType), duck[f.name]
-        # decimal-vs-decimal with different precision hashes alike once the
-        # value is equal; int-vs-decimal or int-vs-HUGEINT does not.
-        if sc != dc and not (sc == "decimal" and dc == "decimal"):
+        # NO decimal-vs-decimal whitelist (r5 lesson): the driver's hasher
+        # fetches DECIMAL through different paths per engine, so even
+        # value-identical decimal columns hash-mismatch. Strict class
+        # equality only.
+        if sc != dc:
             out.append(f"{f.name}: spark={sc} duck={dc}")
     return out
+
+
+def surface_violations(sdf) -> list[str]:
+    """Driver-hash-safe output surface = bigint / double / string / bool /
+    temporal / binary. DECIMAL columns hash differently per engine fetch
+    path (r4 HUGEINT reds, r5 decimal reds); ARRAY/MAP/STRUCT columns crash
+    the driver's pandas sort (unhashable). Any hit = FAIL."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for f in sdf.schema.fields:
+        if isinstance(
+            f.dataType, (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+        ):
+            bad.append(f"{f.name}: {f.dataType.simpleString()}")
+    return bad
 
 
 def main():
@@ -190,6 +228,16 @@ def main():
             failures.append(name)
             report[name] = {"status": "fail", "err": f"duckdb: {type(e).__name__}"}
             continue
+        sviol = surface_violations(df)
+        if sviol:
+            print(
+                f"FAIL  {name}: forbidden output surface "
+                f"(decimal/array/map/struct): {'; '.join(sviol)}"
+            )
+            n_fail += 1
+            failures.append(name)
+            report[name] = {"status": "fail", "err": f"surface: {'; '.join(sviol)}"}
+            continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(dcols)}")
             n_fail += 1
@@ -204,7 +252,14 @@ def main():
             failures.append(name)
             report[name] = {"status": "fail", "err": f"dtype: {'; '.join(tmis)}"}
             continue
-        a, b = canon_rows(scols, srows), canon_rows(dcols, drows)
+        try:
+            a, b = canon_rows(scols, srows), canon_rows(dcols, drows)
+        except TypeError as e:
+            print(f"FAIL  {name}: {e}")
+            n_fail += 1
+            failures.append(name)
+            report[name] = {"status": "fail", "err": f"canon: {str(e)[:120]}"}
+            continue
         if len(a) != len(b):
             print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
             n_fail += 1
