@@ -1887,9 +1887,12 @@ def sim_cosine_topk(spark, sf_dir):
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.42""",
 )
 def sim_cosine_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, exact (oracle regime)."""
+    """Embedding-cosine near-duplicate pairs — EXACT results via the
+    grid-GEMM blocked path (similarity.cosine_pairs_blocked): no n²-row
+    crossJoin/shuffle; the oracle's all-pairs SQL certifies that the
+    blocked layout reproduces the exact pair set value-for-value."""
     t = _t(spark, sf_dir)
-    return sim.cosine_near_dup_pairs(t["embeddings"], threshold=0.42, exact=True)
+    return sim.cosine_near_dup_pairs(t["embeddings"], threshold=0.42)
 
 
 @q(
@@ -3683,11 +3686,12 @@ def dedup_semantic_survivors(spark, sf_dir):
     keep the smallest id per cluster — the embedding-space counterpart
     of dedup_minhash_survivors, catching paraphrases that share no
     lexical surface. Same survivors algebra, different pair source; the
-    iterative closure hash-matches DuckDB's recursive CTE. At 100 TB
-    the exact pair stage swaps for lsh_ann/ivf bucketed candidates with
-    identical downstream shape."""
+    iterative closure hash-matches DuckDB's recursive CTE. The pair stage
+    is the grid-GEMM blocked exact join (cosine_pairs_blocked — n×B
+    shuffle, BLAS per block-pair, never an n²-row crossJoin); at high
+    thresholds cosine_pairs_lsh_banded slots into the same shape."""
     t = _t(spark, sf_dir)
-    pairs = sim.cosine_near_dup_pairs(t["embeddings"], threshold=0.42, exact=True)
+    pairs = sim.cosine_near_dup_pairs(t["embeddings"], threshold=0.42)
     out = dd.neardup_survivors(
         t["embeddings"], pairs.select("id_a", "id_b"), "vec_id"
     )
@@ -4961,7 +4965,7 @@ def dedup_ensemble_survivors(spark, sf_dir):
         t["documents"], "doc_id", "text", threshold=0.4, num_hashes=16, bands=8
     ).select("id_a", "id_b")
     sem = sim.cosine_near_dup_pairs(
-        t["embeddings"], threshold=0.42, exact=True
+        t["embeddings"], threshold=0.42
     ).select("id_a", "id_b")
     pairs = lex.unionByName(sem).distinct()
     out = dd.neardup_survivors(t["documents"], pairs, "doc_id")

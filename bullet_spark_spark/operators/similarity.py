@@ -293,6 +293,153 @@ def ivf_ann_topk(
     )
 
 
+def cosine_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT cosine threshold self-join via a blocked grid of dense GEMMs —
+    the scale-structured exact path (no n²-row crossJoin, no n²-row
+    shuffle).
+
+    Why: at moderate thresholds (the near-random-similarity regime, e.g.
+    0.4 on 64-dim embeddings where passing and failing pairs are 0.004
+    apart) NO sublinear candidate scheme can reach recall 1.0 — hyperplane
+    LSH's per-plane collision odds for a threshold pair (0.64) barely beat
+    a random pair's (0.5). Exact all-pairs is then inherently O(n²) FLOPs;
+    the engineering question is only how those FLOPs are laid out. The
+    row-explosion crossJoin shuffles O(n²) rows and evaluates a
+    per-element fold on each; this operator instead:
+
+    - assigns each vector to one of B deterministic hash blocks,
+    - replicates each vector to its B grid groups (shuffle = n×B rows,
+      NOT n²; pick B ≈ sqrt(n·dim·8B / executor_target) so a group's two
+      blocks fit an Arrow batch),
+    - computes each block-pair's similarities as ONE numpy float64 matrix
+      multiply inside ``applyInPandas`` (BLAS: ~100× the per-row fold),
+    - emits only the pairs ≥ threshold (output is result-sized).
+
+    Each unordered vector pair lands in exactly one grid group, so the
+    result is exactly the crossJoin path's, modulo float64 accumulation
+    order inside the dot product (identical after the 6-dp round in
+    practice). Output: (id_a, id_b, sim) with id_a < id_b, id dtypes
+    derived from the input schema."""
+    import numpy as np
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, sim double"
+
+    rep = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        )
+        .select(
+            "id", "v", "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("c"),
+        )
+        .select(
+            F.least("blk", "c").alias("gi"),
+            F.greatest("blk", "c").alias("gj"),
+            "id", "v", "blk",
+        )
+    )
+
+    def gemm(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        left = pdf[pdf.blk == gi]
+        X = np.array(left.v.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.DataFrame(columns=["id_a", "id_b", "sim"])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        ids_x = left.id.to_numpy()
+        if gi == gj:
+            S = np.round(Xn @ Xn.T, 6)
+            ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+        else:
+            right = pdf[pdf.blk == gj]
+            Y = np.array(right.v.tolist(), dtype=np.float64)
+            if Y.size == 0:
+                return pd.DataFrame(columns=["id_a", "id_b", "sim"])
+            Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-300)
+            S = np.round(Xn @ Yn.T, 6)
+            ii, jj = np.nonzero(S >= threshold)
+        if len(ii) == 0:
+            return pd.DataFrame(columns=["id_a", "id_b", "sim"])
+        ida = ids_x[ii]
+        idb = (ids_x if gi == gj else right.id.to_numpy())[jj]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": S[ii, jj]})
+
+    return rep.groupBy("gi", "gj").applyInPandas(gemm, out_schema)
+
+
+def cosine_pairs_lsh_banded(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 24,
+    rows_per_band: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """APPROXIMATE cosine threshold self-join for the HIGH-threshold regime:
+    banded random-hyperplane LSH candidates + exact re-rank.
+
+    A pair at similarity s collides on one plane with p = 1 − arccos(s)/π;
+    a band of r planes matches with p^r; any of L bands → recall
+    1 − (1 − p^r)^L. Defaults r = 12, L = 24: at s = 0.9 (p = 0.856)
+    recall ≈ 0.98 and ≈ 1.0 at s = 0.95, while a random pair (p = 0.5)
+    becomes a candidate with probability ≈ 0.006 — candidate volume stays
+    ≪ n². Below s ≈ 0.7 the p-gap collapses (recall and candidate rate
+    converge) and this path is the WRONG tool — use
+    ``cosine_pairs_blocked`` (exact, grid-GEMM) instead; the two are the
+    high/low-threshold halves of one design.
+
+    Candidates are (band, band-signature) bucket joins (shuffle = n×L
+    signature rows); sims are re-ranked with the deterministic ordered-fold
+    ``dot`` so emitted values are bit-identical to the exact path — only
+    recall, never precision, is approximate."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(bands * rows_per_band, dim, seed=seed)
+    band_sigs = F.array(
+        *[
+            lsh_signature(
+                F.col(vec_col), planes[b * rows_per_band : (b + 1) * rows_per_band]
+            )
+            for b in range(bands)
+        ]
+    )
+    sig = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), band_sigs.alias("sigs")
+    )
+    keyed = sig.select(
+        "id", "v", F.posexplode("sigs").alias("band", "bsig")
+    )
+    a = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "bsig")
+    b = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "bsig")
+    cands = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sims = cands.select(
+        "id_a", "id_b",
+        F.round(
+            dot(F.col("v_a"), F.col("v_b"))
+            / (norm(F.col("v_a")) * norm(F.col("v_b"))),
+            6,
+        ).alias("sim"),
+    )
+    return sims.filter(F.col("sim") >= threshold)
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -301,29 +448,31 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     exact: bool = False,
     dim: int | None = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. exact=True does the full n²
-    self-join (oracle-checkable at small sf); default blocks by LSH bucket
-    first so pair generation stays bucket-local at scale. Pass ``dim`` to
-    avoid the plan-build-time row fetch for dimension discovery."""
-    normed = embeddings.withColumn("__n", norm(F.col(vec_col)))
-    a = normed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("__n").alias("n_a"))
-    b = normed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("__n").alias("n_b"))
+    """Embedding-cosine near-duplicate pairs → (id_a, id_b, sim).
+
+    ``exact=True`` keeps the n²-row crossJoin with the deterministic
+    ordered-fold dot — the reference/differential path, small-sf only.
+    The DEFAULT now routes to ``cosine_pairs_blocked``: the SAME exact
+    result set, but grid-GEMM-blocked so no n²-row shuffle ever
+    materializes (the pre-r6 default was a single 8-plane LSH bucket,
+    which at moderate thresholds had ~3% recall — silently wrong as a
+    default). For high thresholds (≥ ~0.8) where sub-quadratic candidate
+    generation is sound, call ``cosine_pairs_lsh_banded`` explicitly."""
     if exact:
+        normed = embeddings.withColumn("__n", norm(F.col(vec_col)))
+        a = normed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("__n").alias("n_a"))
+        b = normed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("__n").alias("n_b"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        if dim is None:
-            dim = len(embeddings.select(vec_col).first()[0])
-        planes = _hyperplanes(num_planes, dim)
-        ab = normed.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
-        a = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("__n").alias("n_a"), "bucket")
-        b = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("__n").alias("n_b"), "bucket")
-        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    sims = pairs.select(
-        "id_a", "id_b",
-        F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6).alias("sim"),
+        sims = pairs.select(
+            "id_a", "id_b",
+            F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6).alias("sim"),
+        )
+        return sims.filter(F.col("sim") >= threshold)
+    return cosine_pairs_blocked(
+        embeddings, threshold, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
     )
-    return sims.filter(F.col("sim") >= threshold)
 
 
 def kmeans_fit_assign(
@@ -915,8 +1064,12 @@ def mmr_rerank(
     import numpy as np
     import pandas as pd
 
+    # id dtypes come from the candidates schema (string doc ids etc. pass
+    # through untouched) — hardcoding long would miscast them at runtime
+    qid_type = candidates.schema[query_id_col].dataType.simpleString()
+    id_type = candidates.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{query_id_col} long, rank int, {id_col} long, "
+        f"{query_id_col} {qid_type}, rank int, {id_col} {id_type}, "
         "relevance double, mmr_score double"
     )
 

@@ -1,0 +1,98 @@
+"""Blocked-GEMM exact cosine pairs + banded LSH (the r6 scale-safe
+near-dup certification, VERDICT r5 task 4).
+
+The certified semantic-dedup queries used to run the n²-row crossJoin
+(`exact=True`); they now run `cosine_pairs_blocked` — same exact result
+set, grid-partitioned GEMM layout (n×B shuffle, BLAS per block pair).
+These tests pin blocked ≡ crossJoin on the fixture, and the banded-LSH
+high-threshold contract (candidates ⊆ exact, recall ≥ target, exact-path
+sim values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bullet_spark_spark.operators import similarity as sim
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b, r.sim) for r in df.collect()}
+
+
+def test_blocked_equals_crossjoin_on_fixture(tables):
+    emb = tables["embeddings"]
+    exact = _pairs(sim.cosine_near_dup_pairs(emb, threshold=0.42, exact=True))
+    blocked = _pairs(sim.cosine_pairs_blocked(emb, 0.42))
+    assert exact == blocked
+    assert len(exact) > 0
+
+
+def test_blocked_block_count_invariance(tables):
+    """The grid size is a layout knob, not a semantics knob."""
+    emb = tables["embeddings"]
+    b4 = _pairs(sim.cosine_pairs_blocked(emb, 0.42, n_blocks=4))
+    b13 = _pairs(sim.cosine_pairs_blocked(emb, 0.42, n_blocks=13))
+    assert b4 == b13
+
+
+def test_near_dup_default_routes_to_blocked(tables):
+    emb = tables["embeddings"]
+    default = _pairs(sim.cosine_near_dup_pairs(emb, threshold=0.42))
+    exact = _pairs(sim.cosine_near_dup_pairs(emb, threshold=0.42, exact=True))
+    assert default == exact
+
+
+@pytest.fixture(scope="module")
+def neardup_corpus(spark):
+    """80 random 32-dim vectors + a 0.05-σ perturbed near-dup for every
+    4th — the high-similarity regime banded LSH is built for."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(80, 32)
+    rows, vid = [], 0
+    for i in range(80):
+        rows.append((vid, base[i].tolist()))
+        vid += 1
+        if i % 4 == 0:
+            rows.append((vid, (base[i] + 0.05 * rng.randn(32)).tolist()))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_banded_subset_and_recall(neardup_corpus):
+    exact = _pairs(sim.cosine_near_dup_pairs(neardup_corpus, threshold=0.9, exact=True))
+    lsh = _pairs(sim.cosine_pairs_lsh_banded(neardup_corpus, threshold=0.9))
+    assert lsh <= exact  # precision 1.0: re-rank uses the exact fold dot
+    assert len(exact) >= 15
+    assert len(lsh & exact) / len(exact) >= 0.95  # r=12, L=24 → ~0.98 @ s=0.9
+
+
+def test_lsh_banded_sims_bit_identical_to_exact(neardup_corpus):
+    """Re-rank uses the same ordered-fold dot as the exact path, so any
+    emitted (pair, sim) matches the exact path's value exactly."""
+    exact = dict(
+        ((a, b), s)
+        for a, b, s in _pairs(
+            sim.cosine_near_dup_pairs(neardup_corpus, threshold=0.9, exact=True)
+        )
+    )
+    for a, b, s in _pairs(sim.cosine_pairs_lsh_banded(neardup_corpus, threshold=0.9)):
+        assert exact[(a, b)] == s
+
+
+def test_mmr_rerank_string_ids(spark):
+    """ADVICE r5: output id dtypes derive from the candidates schema —
+    string doc ids must round-trip."""
+    rows = [
+        ("q1", "docB", [1.0, 0.0], 0.9),
+        ("q1", "docA", [0.9, 0.1], 0.8),
+        ("q1", "docC", [0.0, 1.0], 0.7),
+    ]
+    cands = spark.createDataFrame(
+        rows, "query_id string, vec_id string, embedding array<double>, sim double"
+    )
+    out = sim.mmr_rerank(cands, k=2, lam=0.5).collect()
+    assert {r.query_id for r in out} == {"q1"}
+    assert all(isinstance(r.vec_id, str) for r in out)
+    assert len(out) == 2
