@@ -5474,23 +5474,32 @@ def dedup_lexical_cosine(spark, sf_dir):
                 ]) AS shingles
          FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
                FROM documents)),
-       e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
-             FROM d WHERE len(shingles) > 0),
+       e0 AS (SELECT doc_id, unnest(shingles) AS sh FROM d WHERE len(shingles) > 0),
+       nd AS (SELECT count(*) AS n FROM documents),
+       keep AS (SELECT sh FROM (SELECT sh, count(*) AS df_g FROM e0 GROUP BY sh), nd
+                WHERE df_g <= CAST(floor(0.5 * n) AS BIGINT)),
+       e AS (SELECT e0.doc_id, e0.sh FROM e0 JOIN keep USING (sh)),
+       sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
        inter AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                least(a.n_sh, b.n_sh) AS n_small, count(*) AS shared
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         GROUP BY 1, 2, 3)
-       SELECT id_a, id_b, n_small, CAST(shared AS BIGINT) AS shared,
-              round(CAST(shared AS DOUBLE) / n_small, 6) AS containment
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, least(sa.n_sh, sb.n_sh) AS n_small,
+              CAST(shared AS BIGINT) AS shared,
+              round(CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
        FROM inter
-       WHERE round(CAST(shared AS DOUBLE) / n_small, 6) >= 0.5""",
+       JOIN sz sa ON sa.doc_id = id_a
+       JOIN sz sb ON sb.doc_id = id_b
+       WHERE round(CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= 0.5""",
 )
 def dedup_containment_pairs(spark, sf_dir):
     """Broder containment near-dup (dedup.containment_pairs): asymmetric
     |A∩B| / min(|A|,|B|) over distinct word-3-gram sets — catches the
     doc-embedded-in-doc duplication (quotes, syndication, aggregator
-    pages) that symmetric Jaccard scores near zero."""
+    pages) that symmetric Jaccard scores near zero. Certified WITH the
+    production stop-gram prune (max_df_frac=0.5: grams in >half the
+    corpus are boilerplate and alone make the posting self-join
+    quadratic); the oracle replicates the prune, sizes post-prune."""
     t = _t(spark, sf_dir)
     out = dd.containment_pairs(
         t["documents"], "doc_id", "text", n=3, min_containment=0.5

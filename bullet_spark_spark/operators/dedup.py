@@ -1281,6 +1281,7 @@ def tfidf_cosine_pairs(
     min_cos: float = 0.30,
     max_df: int | None = None,
     max_df_frac: float | None = 0.3,
+    broadcast_below: int = 2_000_000,
 ) -> DataFrame:
     """Lexical near-duplicate PAIRS by tf-idf cosine over an inverted
     index → (id_a, id_b, cos) with id_a < id_b and cos ≥ ``min_cos`` —
@@ -1303,6 +1304,13 @@ def tfidf_cosine_pairs(
     (order-independent, engine-exact); idf is rounded 8 dp before use so
     ln() differences below 1e-8 can't flip the hash.
 
+    The per-doc norm frames and the term-idf frame broadcast only when the
+    corpus is under ``broadcast_below`` documents — an unconditional
+    broadcast hint on a corpus-row-count-sized frame bypasses Spark's size
+    thresholds and OOMs the driver at exactly the scale the docstring
+    claims; above the gate AQE picks the join strategy from observed
+    sizes.
+
     Reference analog: none (no text surface); M5 dedup-family extension,
     the SpotSigs/shingle-free lexical near-dup posture.
     """
@@ -1324,7 +1332,9 @@ def tfidf_cosine_pairs(
         "idf",
         F.round(F.log(F.lit(float(n_docs)) / F.col("df_t")), 8),
     )
-    weighted = postings.join(F.broadcast(stats), "term").select(
+    if n_docs <= broadcast_below:
+        stats = F.broadcast(stats)
+    weighted = postings.join(stats, "term").select(
         "id",
         "term",
         (F.col("tf").cast("double") * F.col("idf")).alias("w"),
@@ -1353,9 +1363,11 @@ def tfidf_cosine_pairs(
     )
     na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("na"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("nb"))
+    if n_docs <= broadcast_below:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     return (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -1371,6 +1383,9 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     min_containment: float = 0.8,
+    max_df: int | None = None,
+    max_df_frac: float | None = 0.5,
+    broadcast_below: int = 2_000_000,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: pairs where the smaller document's n-gram set
     is mostly CONTAINED in the larger's → (id_a, id_b, n_small, shared,
@@ -1383,11 +1398,21 @@ def containment_pairs(
     inside aggregator pages). Broder's containment coefficient is the
     standard fix.
 
-    Plan: DISTINCT n-gram posting lists per doc + per-doc set sizes from
-    one tokenize pass; shared counts from the posting self-join (same
-    Σ df² bound as every inverted-index pass — the LSH candidate
-    generation bound); containment is a pure projection. Exact, fully
-    cross-engine (md5-free: grams compare as text).
+    Plan: DISTINCT n-gram posting lists per doc; a document-frequency
+    aggregate prunes HOT grams before the self-join (``max_df_frac``,
+    default 0.5: a gram present in more than that fraction of documents
+    is boilerplate — a gram at document frequency f·N alone contributes
+    (f·N)² candidate pairs, so the unpruned Σ df² bound is quadratic at
+    web scale; this is the same corpus-relative stop-term prune
+    ``tfidf_cosine_pairs`` carries, and SpotSigs' stopword-anchor
+    argument). Per-doc set sizes are computed AFTER the prune so
+    containment stays a well-defined statistic (|A∩B| / min|A|,|B|) on
+    the pruned gram space; ``max_df``/``max_df_frac=None`` = exact
+    (small-sf / test only). Shared counts from the posting self-join —
+    bounded Σ_t df(t)² with df ≤ max(max_df, max_df_frac·N); containment
+    is a pure projection. Fully cross-engine (md5-free: grams compare as
+    text). Per-doc size frames broadcast only under ``broadcast_below``
+    docs (~32 MB at the default) — above that AQE picks the join.
     """
     # word_shingles: same normalization + empty-set-below-n convention as
     # ngram_jaccard_pairs and its DuckDB oracle comprehension
@@ -1399,6 +1424,21 @@ def containment_pairs(
         .filter(F.length("gram") > 0)
         .distinct()
     )
+    if max_df_frac is not None or max_df is not None:
+        n_docs = df.select(id_col).distinct().count()  # bounded: one scalar
+        cap = min(
+            int(max_df_frac * n_docs) if max_df_frac is not None else n_docs,
+            max_df if max_df is not None else n_docs,
+        )
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df_g"))
+            .filter(F.col("df_g") <= cap)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram", "left_semi")
+    else:
+        n_docs = None
     from pyspark import StorageLevel
 
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1411,9 +1451,11 @@ def containment_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("ga"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("gb"))
+    if n_docs is not None and n_docs <= broadcast_below:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
-        shared.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -57,9 +57,35 @@ def test_containment_detects_embedded_doc(spark):
         [(1, big), (2, small), (3, "totally different text about spark engines")],
         "doc_id int, text string",
     )
+    # max_df_frac=None: same 3-row-fixture convention as the tfidf test
+    # above — the corpus-relative stop-gram prune is for real corpora
     out = {(r["id_a"], r["id_b"]): r["containment"]
-           for r in dd.containment_pairs(df, n=3, min_containment=0.9).collect()}
+           for r in dd.containment_pairs(
+               df, n=3, min_containment=0.9, max_df_frac=None).collect()}
     assert out == {(1, 2): 1.0}  # every 3-gram of the small doc is in the big
+
+
+def test_containment_max_df_prunes_universal_gram(spark):
+    """VERDICT r5 task 5: a boilerplate trigram present in EVERY document
+    must not make every document pair a candidate. With the prune, only
+    genuinely-overlapping docs pair; without it, the universal gram makes
+    all C(n,2) pairs candidates."""
+    boiler = "all rights reserved"
+    rows = [(i, f"unique{i}a word{i}b token{i}c {boiler}") for i in range(1, 11)]
+    rows.append((11, rows[0][1]))  # one true duplicate of doc 1
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    exact = dd.containment_pairs(
+        df, n=3, min_containment=0.01, max_df_frac=None
+    ).count()
+    pruned_pairs = dd.containment_pairs(
+        df, n=3, min_containment=0.01, max_df_frac=0.5
+    ).collect()
+    # unpruned: the shared boiler gram links every pair → 55 candidates
+    assert exact == 55
+    # pruned: only the true duplicate pair survives, at full containment
+    assert {(r["id_a"], r["id_b"]) for r in pruned_pairs} == {(1, 11)}
+    assert pruned_pairs[0]["containment"] == 1.0
 
 
 def test_benford_report_shape(spark, tables):
