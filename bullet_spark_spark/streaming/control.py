@@ -236,6 +236,126 @@ class KafkaTransport(ControlTransport):
         self._producer.close()
 
 
+class PulsarTransport(ControlTransport):
+    """The handler interface over Apache Pulsar — the reference's second
+    shipped PubSub client (pom.xml:62-63 declares both kafka-clients and
+    pulsar-client; the PubSub implementation is config-selected,
+    bullet_spark_defaults.yaml:94-97). Same contract as KafkaTransport:
+
+    - control messages consumed from ``query_topic`` via an
+      Earliest-position shared subscription, so a restarted plane replays
+      the full registration history (the recovery contract);
+    - status events produced to ``status_topic``;
+    - ``replay_status`` drains the status topic through a throwaway
+      Earliest reader (Pulsar's non-subscription read path — no consumer
+      group bookkeeping for a one-shot recovery scan).
+
+    ORDERING CONTRACT: Pulsar orders messages per partition like Kafka, so
+    the same registry insensitivity applies (dedupe-by-id, deferred KILL);
+    key control messages by query id (Pulsar routes by key hash) or use a
+    non-partitioned control topic for total order.
+
+    ``consumer_factory``/``producer_factory``/``status_reader_factory``
+    default to pulsar-client objects and are injectable for tests; with
+    injected clients and no ``status_reader_factory``, replay returns []
+    (recovery off). Poll uses ``receive(timeout)`` drained until the
+    client's timeout error — pulsar-client raises on an empty queue rather
+    than returning None, hence the broad except around the drain loop."""
+
+    def __init__(
+        self,
+        service_url: str,
+        query_topic: str = "bullet.queries",
+        status_topic: str = "bullet.status",
+        subscription: str = "bullet-control-plane",
+        poll_timeout_ms: int = 100,
+        consumer_factory=None,
+        producer_factory=None,
+        status_reader_factory=None,
+    ) -> None:
+        self._client = None
+        if consumer_factory is None or producer_factory is None:
+            try:
+                import pulsar  # type: ignore
+            except ImportError as e:  # pragma: no cover - exercised via test stub
+                raise ImportError(
+                    "PulsarTransport needs the pulsar-client package (or "
+                    "injected consumer/producer factories); pip install "
+                    "pulsar-client"
+                ) from e
+            client = pulsar.Client(service_url)
+            self._client = client
+            consumer_factory = consumer_factory or (
+                lambda: client.subscribe(
+                    query_topic,
+                    subscription,
+                    initial_position=pulsar.InitialPosition.Earliest,
+                )
+            )
+            producer_factory = producer_factory or (
+                lambda: client.create_producer(status_topic)
+            )
+            status_reader_factory = status_reader_factory or (
+                lambda: client.create_reader(
+                    status_topic, start_message_id=pulsar.MessageId.earliest
+                )
+            )
+        self.poll_timeout_ms = poll_timeout_ms
+        self._status_reader_factory = status_reader_factory
+        self._consumer = consumer_factory()
+        self._producer = producer_factory()
+
+    def poll(self) -> list[str]:
+        out: list[str] = []
+        while True:
+            try:
+                msg = self._consumer.receive(timeout_millis=self.poll_timeout_ms)
+            except Exception:
+                break  # pulsar-client raises _pulsar.Timeout on empty queue
+            if msg is None:
+                break
+            data = msg.data()
+            out.append(data.decode("utf-8") if isinstance(data, bytes) else str(data))
+            self._consumer.acknowledge(msg)
+        return out
+
+    def emit(self, event: dict) -> None:
+        self._producer.send(json.dumps(event, default=str).encode("utf-8"))
+
+    def replay_status(self) -> list[dict]:
+        """Drain the status topic from the beginning via a throwaway
+        Earliest reader — same restart-recovery semantics as the Kafka and
+        file transports."""
+        if self._status_reader_factory is None:
+            return []
+        reader = self._status_reader_factory()
+        events: list[dict] = []
+        try:
+            while True:
+                try:
+                    msg = reader.read_next(timeout_millis=max(self.poll_timeout_ms, 1000))
+                except Exception:
+                    break
+                if msg is None:
+                    break
+                data = msg.data()
+                events.append(
+                    json.loads(data.decode("utf-8") if isinstance(data, bytes) else data)
+                )
+        finally:
+            try:
+                reader.close()
+            except Exception:
+                pass
+        return events
+
+    def close(self) -> None:
+        self._consumer.close()
+        self._producer.close()
+        if self._client is not None:
+            self._client.close()
+
+
 @dataclass
 class ControlPlane:
     """Consume a control bus, drive a DynamicMultiplexer, publish status."""
@@ -446,6 +566,27 @@ def kafka_control_plane(
     client factories via ``transport_kwargs``)."""
     transport = KafkaTransport(
         bootstrap_servers,
+        query_topic=query_topic,
+        status_topic=status_topic,
+        **transport_kwargs,
+    )
+    return ControlPlane(spark, mux, poll_interval_s=poll_interval_s, transport=transport)
+
+
+def pulsar_control_plane(
+    spark: SparkSession,
+    mux: DynamicMultiplexer,
+    service_url: str,
+    query_topic: str = "bullet.queries",
+    status_topic: str = "bullet.status",
+    poll_interval_s: float = 0.2,
+    **transport_kwargs,
+) -> ControlPlane:
+    """Wire the same handlers to a Pulsar consumer/producer — the
+    reference's other shipped PubSub client (pom.xml:62-63). Requires
+    pulsar-client (or injected client factories via ``transport_kwargs``)."""
+    transport = PulsarTransport(
+        service_url,
         query_topic=query_topic,
         status_topic=status_topic,
         **transport_kwargs,

@@ -199,7 +199,20 @@ class DynamicHandle:
 
 
 class DynamicMultiplexer:
-    """Per-batch query evaluation over one shared stream (add/remove live)."""
+    """Per-batch query evaluation over one shared stream (add/remove live).
+
+    SINGLE-TENANT-SESSION ASSUMPTION: ``_evaluate_batch`` temporarily sets
+    session-global SQL confs (shuffle.partitions, AQE, constraint
+    propagation — restored in a ``finally``) for the duration of each
+    micro-batch, because the batch's ``foreachBatch`` DataFrame is bound to
+    this session (a ``spark.newSession()`` clone has isolated confs but
+    cannot re-plan another session's frame without re-registering it, which
+    would defeat the per-batch latency budget this exists for). Any
+    concurrent job planned on the SAME SparkSession during that window
+    inherits the batch confs. Run unrelated batch/data-plane work on its
+    own session (``spark.newSession()``), or accept the multiplexer owning
+    this one — the deployment posture matching the reference, where the
+    streaming harness is the application."""
 
     def __init__(
         self,
