@@ -6056,6 +6056,46 @@ def sim_mmr_rerank(spark, sf_dir):
     )
 
 
+@q("sketch_theta_count_distinct")  # rows-only: xxhash64 bottom-k state is
+# engine-specific (like dedup_minhash_lsh); estimator properties are
+# differential-tested in tests/test_theta_sketch.py
+def sketch_theta_count_distinct(spark, sf_dir):
+    """Theta-family APPROX COUNT DISTINCT (sketch.theta_group_sketches /
+    theta_merge_slices): bottom-k KMV sketches — the estimator FAMILY
+    bullet-core actually deploys (DataSketches theta blobs,
+    FilterStreaming.scala:124 partials, JoinStreaming.scala:126 combine)
+    vs the repo's default Spark-native HLL. Builds a per-(event_type,
+    user_id-bucket) sketch table, answers the coarser per-event_type
+    slice by Theta union, and attaches the Theta meta envelope
+    (rse = 1/√(k−2)) alongside the estimate. HLL stays the default
+    (Tungsten-native); this closes the documented estimator divergence
+    for deployments that must match bullet-core's numbers."""
+    from bullet_spark_spark.operators import sketch as sk
+
+    t = _t(spark, sf_dir)
+    fine = sk.theta_group_sketches(
+        t["events"].withColumn("bucket", F.col("user_id") % 8),
+        ["event_type", "bucket"],
+        "user_id",
+        k=1024,
+    )
+    est = sk.theta_merge_slices(fine, ["event_type"], k=1024)
+    meta = sk.theta_result_meta(0.0, k=1024)
+    return est.select(
+        "event_type",
+        "n_distinct_est",
+        F.lit(meta["family"]).alias("family"),
+        F.lit(True).alias("was_estimated"),
+        F.round(F.lit(meta["relative_std_error"]), 9).alias("rse"),
+        F.round(
+            F.col("n_distinct_est") / (1.0 + 2 * meta["relative_std_error"]), 6
+        ).alias("lb_2sigma"),
+        F.round(
+            F.col("n_distinct_est") / (1.0 - 2 * meta["relative_std_error"]), 6
+        ).alias("ub_2sigma"),
+    )
+
+
 @q("streaming_ewma_anomalies")
 def streaming_ewma_anomalies(spark, sf_dir):
     """Stateful streaming per-key EWMA anomaly monitor
