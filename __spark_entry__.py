@@ -6224,6 +6224,73 @@ def multimodal_warc_roundtrip(spark, sf_dir):
 # families (bullet core, TPC-H, windows, joins, dedup, exprs, streaming
 # parity). 40 + 10 = 50 fills the driver window exactly; after a green r5,
 # every oracle-eligible query will have ≥1 driver certification.
+# Round-6 window (VERDICT r5 tasks 1+3): FROZEN at round start — no query
+# added after this list was cut enters the window, so the "every
+# oracle-eligible query has ≥1 driver row" claim can finally close.
+# Composition: the 22 never-driver-green oracle-eligible queries (the 5 r5
+# reds, now surface-fixed per the OUTPUT-SURFACE CONTRACT above, + the 17
+# late-r5 additions that landed after the r5 window was cut), then the 3
+# near-dup queries whose implementation switched from the n² crossJoin to
+# the blocked-GEMM exact path this round (green r4/r5 but on the OLD path —
+# a changed implementation re-certifies), then 25 long-green sentinels
+# spanning every family (the r4 "rotate back r5+" promises honored).
+_WINDOW_R6 = [
+    # -- the 5 r5 reds, output surfaces fixed (re-certify first) --
+    "relational_incremental_agg",
+    "pipeline_warehouse_sync",
+    "sim_group_centroids",
+    "sim_cluster_inertia",
+    "quality_fd_violations",
+    # -- the 17 late-r5 additions, never driver-checked --
+    "temporal_ewma",
+    "dedup_lexical_cosine",
+    "dedup_containment_pairs",
+    "quality_benford",
+    "quality_profile_diff",
+    "streaming_static_enrich_parity",
+    "quality_referential_integrity",
+    "quality_hot_keys",
+    "join_asof_nearest",
+    "relational_incremental_join",
+    "text_flesch",
+    "quality_k_anonymity",
+    "text_url_normalize",
+    "distribution_ks_test",
+    "pipeline_ingest_warc",
+    "graph_hits_trade",
+    "multimodal_warc_roundtrip",
+    # -- re-implemented this round (crossJoin → blocked GEMM) --
+    "sim_cosine_neardup",
+    "dedup_semantic_survivors",
+    "dedup_ensemble_survivors",
+    # -- 25 long-green sentinels, one-per-family coverage --
+    "bullet_raw_limit",
+    "bullet_group_all",
+    "bullet_pmf_cdf",
+    "bullet_having_orderby",
+    "bullet_topk_freq",
+    "expr_container_anyall",
+    "window_record_perkey",
+    "join_asof",
+    "time_bucket_rollup",
+    "tpch_q18_large_orders",
+    "tpch_q6_forecast",
+    "bql_filter_project",
+    "bql_group_having",
+    "text_lang_quality",
+    "text_ngram_topk",
+    "sampling_deterministic",
+    "text_fingerprint_stats",
+    "join_range_bands",
+    "rollup_region_nation",
+    "winfunc_lag_frames",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "text_repetition",
+    "join_inner_broadcast",
+    "decontam_ngram",
+]
+
 _WINDOW_R5 = [
     # the two r4 hash-red rows — first, so a regression is unmissable
     "pack_sequences",
@@ -6397,7 +6464,7 @@ def _rotate_window(priority: list[str]) -> None:
         d.update(snap)
 
 
-_rotate_window(_WINDOW_R5)
+_rotate_window(_WINDOW_R6)
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,12 @@ BENCH = [
     "distribution_ks_test",   # exact two-sample KS (two-level cumsum CDFs)
     "multimodal_warc_roundtrip",  # WARC compose (codegen) + parse (mapInPandas)
     "text_flesch",            # readability scoring, single codegen pass
+    # round-6 additions (VERDICT r5 task 6): the heaviest oracle-sweep
+    # queries tracked round-over-round so the expensive paths can't
+    # regress silently
+    "dedup_ensemble_survivors",  # minhash-LSH ∪ blocked-GEMM cosine + closure
+    "pipeline_release_v2",    # full curation capstone composition
+    "pipeline_ingest_warc",   # WARC parse → extract → quality-gate capstone
 ]
 
 REPEATS = 3
