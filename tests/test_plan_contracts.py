@@ -505,3 +505,33 @@ def test_flesch_is_single_narrow_pass(spark, tables):
     tree = _tree(_plan(df))
     assert "Exchange" not in tree, tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_blocked_gemm_cosine_no_cartesian(spark, tables):
+    """cosine_pairs_blocked (the certified exact near-dup path since r6):
+    the grid replication is an explode (rows ×B, no join), grouping is ONE
+    hash exchange on (gi, gj), GEMM runs in ArrowEvalPython/FlatMapGroups —
+    there must be NO CartesianProduct / nested-loop ANYWHERE (the plan
+    shape that made the old exact=True path a 100×-scale-killer)."""
+    from bullet_spark_spark.operators import similarity as sim
+
+    df = sim.cosine_pairs_blocked(tables["embeddings"], 0.42)
+    tree = _tree(_plan(df))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
+    assert tree.count("Scan parquet") == 1
+    assert "FlatMapGroupsInPandas" in tree
+
+
+def test_lsh_banded_no_cartesian_single_selfjoin(spark, tables):
+    """cosine_pairs_lsh_banded: candidates come from ONE (band, bsig)
+    equi-self-join over exploded signatures — never a cross join."""
+    from bullet_spark_spark.operators import similarity as sim
+
+    df = sim.cosine_pairs_lsh_banded(
+        tables["embeddings"], threshold=0.9, bands=4, rows_per_band=4
+    )
+    tree = _tree(_plan(df))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
