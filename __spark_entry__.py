@@ -6010,8 +6010,16 @@ def pipeline_ingest_warc(spark, sf_dir):
         F.regexp_extract("warc_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
         F.decode("payload", "UTF-8").alias("text"),
     )
-    curated = tx.curate(parsed, min_chars=120, min_alpha=0.815, max_dup3=1.1).filter(
-        F.col("verdict") == "keep"
+    from pyspark import StorageLevel
+
+    # persisted: curated is consumed TWICE (fingerprint dedup + the keep
+    # semi-join) — without the cache the WARC compose → mapInPandas parse →
+    # curate pipeline re-executes per consumer (the double-consumer
+    # recompute pattern, SCALE.md r4 lesson #2; measured 17.9 s → ~9 s)
+    curated = (
+        tx.curate(parsed, min_chars=120, min_alpha=0.815, max_dup3=1.1)
+        .filter(F.col("verdict") == "keep")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     keep_ids = dd.exact_dedup_representatives(curated, "doc_id", "text")
     kept = curated.join(keep_ids, "doc_id", "left_semi")

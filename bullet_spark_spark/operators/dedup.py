@@ -159,13 +159,19 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     EMPTY set (no partial shingles) — the same convention as
     text.word_ngrams and the DuckDB oracle comprehensions, so short
     documents cannot silently diverge between engine and oracle."""
+    # arrays_zip of n shifted slices, NOT slice-inside-the-lambda: HOF
+    # lambdas are interpreted, so a tokenizer captured in the lambda body
+    # re-normalizes+re-splits the document once PER SHINGLE — O(tokens²)
+    # chars/doc (same fix as text.word_ngrams; measured ~5× on the
+    # curation funnel). The zip form evaluates the split n times per ROW.
     toks = F.split(normalize_text(text), " ")
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.when(cnt >= 1, F.sequence(F.lit(0), cnt - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
+        )
     )
 
 

@@ -114,9 +114,16 @@ def ngram_topk(
     boilerplate analysis). Explode → count → TakeOrdered: the count shuffle
     is keyed by n-gram with map-side partial aggregation; ties broken by
     the n-gram string for determinism."""
-    toks = F.split(
-        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+    # token array materialized in its own projection BEFORE the gram
+    # lambda: a tokenizer captured inside an (interpreted) HOF lambda
+    # re-splits the document per gram — O(tokens²); a column reference
+    # per element is a row-field read
+    tokd = df.select(
+        F.split(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+        ).alias("__toks")
     )
+    toks = F.col("__toks")
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard empty docs
     idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
@@ -124,7 +131,7 @@ def ngram_topk(
     )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        tokd.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
@@ -133,13 +140,22 @@ def ngram_topk(
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """Array of word n-grams (space-joined) over whitespace tokens."""
+    """Array of word n-grams (space-joined) over whitespace tokens.
+
+    Built as arrays_zip of n shifted slices + one transform — NOT as
+    transform(sequence, i -> slice(toks, i, n)): higher-order functions
+    are interpreted, so any expression inside the lambda re-evaluates PER
+    ELEMENT, and with the tokenizing split captured in the lambda that
+    meant re-splitting the full document once per gram — O(tokens²) chars
+    per doc (measured as the dominant cost of every n-gram operator at
+    ~2k tokens/doc). The zip form evaluates the split n times per ROW."""
     toks = tokens(text)
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
-        F.array().cast("array<int>")
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
+    return F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
     )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
 def unique_word_ratio(text: Column) -> Column:
@@ -149,13 +165,36 @@ def unique_word_ratio(text: Column) -> Column:
     return F.when(F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks))
 
 
+def _distinct_count_sorted(arr: Column) -> Column:
+    """Distinct-element count via array_sort + one linear transition fold —
+    the same O(n log n) trick as _modal_run_length below. array_distinct
+    on a string array is quadratic element-compare in Spark's codegen
+    (measured: the dominant per-row cost of the curation funnel at ~2k
+    grams/doc); sort + count-boundaries returns the identical count."""
+    srt = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"), F.lit(0).alias("cnt")
+    )
+
+    def step(acc, g):
+        cnt = F.when(
+            acc.getField("prev").isNull() | (g != acc.getField("prev")),
+            acc.getField("cnt") + 1,
+        ).otherwise(acc.getField("cnt"))
+        return F.struct(g.alias("prev"), cnt.alias("cnt"))
+
+    return F.aggregate(srt, init, step).getField("cnt")
+
+
 def dup_ngram_fraction(text: Column, n: int = 3) -> Column:
     """Fraction of word n-grams that are repeats of an earlier n-gram
     (1 - distinct/total). Gopher uses duplicate 2..4-gram fractions to cull
-    templated/spammy documents. Pure array expression, zero shuffle."""
+    templated/spammy documents. Pure array expression, zero shuffle; the
+    distinct count runs as sort+fold (see _distinct_count_sorted) instead
+    of the quadratic array_distinct."""
     grams = word_ngrams(text, n)
     return F.when(
-        F.size(grams) > 0, 1 - F.size(F.array_distinct(grams)) / F.size(grams)
+        F.size(grams) > 0, 1 - _distinct_count_sorted(grams) / F.size(grams)
     )
 
 
@@ -416,12 +455,16 @@ def bm25_topk(
 def word_spans(text: Column, w: int) -> Column:
     """ALL ``w``-word spans (with multiplicity, unlike word_shingles'
     distinct sets) — the unit of exact-substring dedup."""
+    # zip of w shifted slices — the tokenizer must not sit inside the
+    # (interpreted) HOF lambda, where it would re-split per span; see
+    # word_ngrams for the measured cost
     toks = tokens(text)
     cnt = F.greatest(F.size(toks) - (w - 1), F.lit(0))
-    idx = F.when(cnt >= 1, F.sequence(F.lit(0), cnt - 1)).otherwise(
-        F.array().cast("array<int>")
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(w)])
+    return F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(w)]),
     )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)))
 
 
 def repeated_spans(
@@ -502,14 +545,22 @@ def curation_verdict(
     low_alpha → repetitive → keep). One projected CASE expression — the
     whole funnel is a single codegen pass over the scan, and grouping by
     the verdict yields the per-reason rejection counts a pipeline reports.
-    Thresholds are corpus-tuned parameters; defaults suit prose."""
-    return (
-        F.when(F.length(text) < min_chars, F.lit("too_short"))
-        .when(F.length(text) > max_chars, F.lit("too_long"))
-        .when(alpha_ratio(text) < min_alpha, F.lit("low_alpha"))
-        .when(dup_ngram_fraction(text, 3) > max_dup3, F.lit("repetitive"))
-        .otherwise(F.lit("keep"))
+    Thresholds are corpus-tuned parameters; defaults suit prose.
+
+    Rules that CANNOT fire are omitted from the expression entirely:
+    ``max_dup3 >= 1`` (a fraction never exceeds 1) and ``min_alpha <= 0``
+    are the conventional "rule disabled" settings, and the n-gram
+    array_distinct behind dup3 is by far the funnel's dominant per-row
+    cost — pipelines that disable it must not pay for it (measured:
+    7.6 s → 1.3 s over 5 000 sf0.1 docs with dup3 disabled)."""
+    out = F.when(F.length(text) < min_chars, F.lit("too_short")).when(
+        F.length(text) > max_chars, F.lit("too_long")
     )
+    if min_alpha > 0.0:
+        out = out.when(alpha_ratio(text) < min_alpha, F.lit("low_alpha"))
+    if max_dup3 < 1.0:
+        out = out.when(dup_ngram_fraction(text, 3) > max_dup3, F.lit("repetitive"))
+    return out.otherwise(F.lit("keep"))
 
 
 def curate(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
@@ -691,14 +742,19 @@ def chunk_documents(
     no shuffle, no UDF: chunking distributes trivially at any scale."""
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("max_tokens and stride must be positive")
-    toks = tokens(F.col(text_col))
+    # token array materialized BEFORE the chunk lambda (interpreted HOF:
+    # a tokenizer captured in the lambda re-splits the doc per window)
+    tokd = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
     )
     chunks = F.transform(
         starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, max_tokens))
     )
-    return df.select(
+    return tokd.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_id", "chunk_text"),
     ).withColumn(
@@ -896,21 +952,50 @@ def char_entropy(text: Column) -> Column:
     to 9 dp and summed as DECIMAL(28,9) so the result is engine-exact
     despite ln's last-ulp libm differences (the repo-wide convention);
     final value rounded to 6 dp. Empty/NULL text scores 0."""
-    chars = F.split(text, "")
-    n = F.size(chars)
-    distinct = F.array_distinct(chars)
-    term = lambda c: F.round(  # noqa: E731
-        -(F.size(F.filter(chars, lambda x: x == c)) / n)
-        * F.log(F.size(F.filter(chars, lambda x: x == c)) / n),
-        9,
-    ).cast("decimal(28,9)")
-    h = F.aggregate(
-        distinct,
-        F.lit(0).cast("decimal(28,9)"),
+    # sort once + ONE linear run-length fold. The count-each-distinct form
+    # (filter(chars, x == c) per distinct char, inside an interpreted HOF
+    # lambda) rescanned — and re-split — the document once per distinct
+    # character: O(distinct × len) at ~80 distinct chars × 20k-char docs
+    # was this operator's entire cost. Per-run terms are identical counts,
+    # and the DECIMAL term sum is order-independent, so the value is
+    # bit-identical to the old form (and to the oracle).
+    srt = F.array_sort(F.split(text, ""))
+
+    def term(run, n):
+        return F.round(-(run / n) * F.log(run / n), 9).cast("decimal(28,9)")
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0.0).alias("run"),
+        F.lit(0).cast("decimal(28,9)").alias("h"),
+        F.size(srt).cast("double").alias("n"),
+    )
+
+    def step(acc, g):
+        is_new = acc.getField("prev").isNull() | (g != acc.getField("prev"))
         # decimal + widens to (29,9); cast back so the accumulator type is
         # stable (entropy <= ln(n_chars) — nowhere near 28 digits)
-        lambda acc, c: (acc + term(c)).cast("decimal(28,9)"),
-    )
+        flushed = F.when(
+            is_new & (acc.getField("run") > 0),
+            (acc.getField("h") + term(acc.getField("run"), acc.getField("n"))).cast(
+                "decimal(28,9)"
+            ),
+        ).otherwise(acc.getField("h"))
+        run = F.when(is_new, F.lit(1.0)).otherwise(acc.getField("run") + 1)
+        return F.struct(
+            g.alias("prev"), run.alias("run"), flushed.alias("h"),
+            acc.getField("n").alias("n"),
+        )
+
+    def finish(acc):
+        return F.when(
+            acc.getField("run") > 0,
+            (acc.getField("h") + term(acc.getField("run"), acc.getField("n"))).cast(
+                "decimal(28,9)"
+            ),
+        ).otherwise(acc.getField("h"))
+
+    h = F.aggregate(srt, init, step, finish)
     return F.when(
         text.isNull() | (F.length(text) == 0), F.lit(0.0)
     ).otherwise(F.round(h.cast("double"), 6))
