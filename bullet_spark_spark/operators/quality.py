@@ -384,7 +384,9 @@ def fd_violations(
     return per_key.filter(F.col("n_rhs_values") > 1)
 
 
-def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def correlation_matrix(
+    df: DataFrame, cols: list[str], exact: bool = True
+) -> DataFrame:
     """Pairwise Pearson correlations → (col_a, col_b, corr) for every
     unordered column pair — the feature-redundancy report next to
     profile_columns. Listwise NULL handling: rows with a NULL in ANY of
@@ -399,20 +401,34 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     pass over one scan — k(k+3)/2 codegen expressions, not jobs — and
     the correlation itself is a single double expression over the exact
     sums (rounded 6 dp), so the matrix is oracle-exact. The tidy frame
-    explodes an array of structs (the validate() posture)."""
+    explodes an array of structs (the validate() posture).
+
+    ``exact=False`` swaps the decimal moment sums for plain double sums:
+    Spark's Decimal aggregation path is a measured ~30× constant factor
+    over Tungsten double sums (5.6 s vs 0.18 s for the 10 product moments
+    over sf0.1 lineitem) — the exact regime is the CERTIFICATION
+    mechanism (bit-stable hash vs the oracle), while production profiling
+    at 100 TB wants the double path, whose accumulation-order wobble is
+    ~1e-11 relative — far inside any statistical use of a correlation."""
     if len(cols) < 2:
         raise ValueError("correlation_matrix() needs at least two columns")
     base = df
     for c in cols:
         base = base.filter(F.col(c).isNotNull())
-    prod = lambda a, b: F.round(F.col(a) * F.col(b), 8).cast(  # noqa: E731
-        "decimal(28,8)"
-    )
+    if exact:
+        prod = lambda a, b: F.round(F.col(a) * F.col(b), 8).cast(  # noqa: E731
+            "decimal(28,8)"
+        )
+    else:
+        prod = lambda a, b: F.col(a) * F.col(b)  # noqa: E731
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
-        aggs.append(
-            F.sum(F.col(c).cast("decimal(18,6)")).cast("double").alias(f"__s{i}")
+        s = (
+            F.sum(F.col(c).cast("decimal(18,6)"))
+            if exact
+            else F.sum(F.col(c).cast("double"))
         )
+        aggs.append(s.cast("double").alias(f"__s{i}"))
         aggs.append(F.sum(prod(c, c)).cast("double").alias(f"__q{i}"))
     pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
     for i, j in pairs:

@@ -186,3 +186,22 @@ def test_centroid_distances_and_silhouette_bounds(spark):
     import math
     a1 = math.sqrt(got[(1, "a")]); b1 = math.sqrt(got[(1, "b")])
     assert (b1 - a1) / max(a1, b1) > 0.97
+
+
+def test_correlation_matrix_fast_path_agrees(spark, tables):
+    """exact=False (Tungsten double sums, the production regime — ~30×
+    cheaper than the decimal certification regime) agrees with exact=True
+    to well inside any statistical tolerance."""
+    from bullet_spark_spark.operators import quality as ql
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ex = {(r["col_a"], r["col_b"]): r["corr"]
+          for r in ql.correlation_matrix(tables["lineitem"], cols).collect()}
+    fast = {(r["col_a"], r["col_b"]): r["corr"]
+            for r in ql.correlation_matrix(tables["lineitem"], cols, exact=False).collect()}
+    assert set(ex) == set(fast)
+    for k in ex:
+        if ex[k] is None:
+            assert fast[k] is None
+        else:
+            assert abs(ex[k] - fast[k]) < 1e-5
