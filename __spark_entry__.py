@@ -6235,6 +6235,11 @@ def multimodal_warc_roundtrip(spark, sf_dir):
 # Round-6 window (VERDICT r5 tasks 1+3): FROZEN at round start — no query
 # added after this list was cut enters the window, so the "every
 # oracle-eligible query has ≥1 driver row" claim can finally close.
+# Operators built later in r6 (cosine_join_blocked / blocked semantic
+# decontam, the exact=False correlation regime) deliberately got NO new
+# oracle registration this round — they are pytest-certified
+# (test_similarity_blocked.py, test_pca_corr.py) and queue for the r7
+# window, keeping the no-additions-after-cut discipline intact.
 # Composition: the 22 never-driver-green oracle-eligible queries (the 5 r5
 # reds, now surface-fixed per the OUTPUT-SURFACE CONTRACT above, + the 17
 # late-r5 additions that landed after the r5 window was cut), then the 3

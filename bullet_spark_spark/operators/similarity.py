@@ -411,6 +411,87 @@ def cosine_pairs_blocked(
     return rep.groupBy("gi", "gj").applyInPandas(gemm, out_schema)
 
 
+def cosine_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    left_id: str = "vec_id",
+    left_vec: str = "embedding",
+    right_id: str = "eval_id",
+    right_vec: str = "eval_vec",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT cosine threshold JOIN between two corpora via the same grid-
+    GEMM layout as :func:`cosine_pairs_blocked` — the scale path for
+    cross-corpus work (semantic decontamination, dataset-overlap audits)
+    when the right side is too large to broadcast.
+
+    Each left vector hashes to one of B left blocks and replicates to the
+    B grid groups (i, 0..B-1); each right vector symmetrically to
+    (0..B-1, j) — shuffle = (n_l + n_r)×B rows, never n_l×n_r. Every
+    (left, right) pair lands in exactly one (i, j) group, where ONE
+    float64 GEMM scores it. Output: (left_id, right_id, sim ≥ threshold),
+    id dtypes from the input schemas. For eval sets that DO fit a
+    broadcast, ``semantic_decontaminate``'s broadcast crossJoin is the
+    cheaper plan (no replication at all)."""
+    import numpy as np
+
+    lt = left.schema[left_id].dataType.simpleString()
+    rt = right.schema[right_id].dataType.simpleString()
+    out_schema = f"{left_id} {lt}, {right_id} {rt}, sim double"
+
+    l_rep = (
+        left.select(
+            F.col(left_id).alias("id"),
+            F.col(left_vec).alias("v"),
+            F.pmod(F.xxhash64(F.col(left_id)), F.lit(n_blocks)).alias("gi"),
+            F.lit(0).alias("side"),
+        )
+        .select(
+            "id", "v", "gi", "side",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("gj"),
+        )
+    )
+    r_rep = (
+        right.select(
+            F.col(right_id).alias("id"),
+            F.col(right_vec).alias("v"),
+            F.pmod(F.xxhash64(F.col(right_id)), F.lit(n_blocks)).alias("gj"),
+            F.lit(1).alias("side"),
+        )
+        .select(
+            "id", "v",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("gi"),
+            "side", "gj",
+        )
+        .select("id", "v", "gi", "side", "gj")
+    )
+    rep = l_rep.unionByName(r_rep)
+
+    def gemm(key, pdf):
+        lrows = pdf[pdf.side == 0]
+        rrows = pdf[pdf.side == 1]
+        if len(lrows) == 0 or len(rrows) == 0:
+            return pd.DataFrame(columns=[left_id, right_id, "sim"])
+        X = np.array(lrows.v.tolist(), dtype=np.float64)
+        Y = np.array(rrows.v.tolist(), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-300)
+        S = np.round(Xn @ Yn.T, 6)
+        ii, jj = np.nonzero(S >= threshold)
+        if len(ii) == 0:
+            return pd.DataFrame(columns=[left_id, right_id, "sim"])
+        return pd.DataFrame(
+            {
+                left_id: lrows.id.to_numpy()[ii],
+                right_id: rrows.id.to_numpy()[jj],
+                "sim": S[ii, jj],
+            }
+        )
+
+    return rep.groupBy("gi", "gj").applyInPandas(gemm, out_schema)
+
+
 def cosine_pairs_lsh_banded(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -657,6 +738,7 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     eval_id_col: str = "eval_id",
     eval_vec_col: str = "eval_vec",
+    blocked: bool = False,
 ) -> DataFrame:
     """EMBEDDING-space cross-corpus decontamination — the semantic
     counterpart of text.ngram_contamination / dedup.cross_corpus_minhash:
@@ -669,8 +751,15 @@ def semantic_decontaminate(
     self-joins (same posture as cross_corpus_minhash); the pair loop runs
     in codegen (ordered-fold dot product). Returns (id, eval_id, sim) per
     contaminated pair, sim rounded to 6 dp for cross-engine determinism.
-    For eval sets too large to broadcast, bucket both sides through
-    lsh_ann / ivf first and decontaminate per bucket."""
+    For eval sets too large to broadcast, pass ``blocked=True`` — the
+    grid-GEMM cross join (:func:`cosine_join_blocked`): (n_c + n_e)×B
+    shuffle, one float64 GEMM per grid cell, same exact result set."""
+    if blocked:
+        return cosine_join_blocked(
+            corpus, eval_df, threshold,
+            left_id=id_col, left_vec=vec_col,
+            right_id=eval_id_col, right_vec=eval_vec_col,
+        )
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),

@@ -96,3 +96,34 @@ def test_mmr_rerank_string_ids(spark):
     assert {r.query_id for r in out} == {"q1"}
     assert all(isinstance(r.vec_id, str) for r in out)
     assert len(out) == 2
+
+
+def test_cosine_join_blocked_equals_broadcast_crossjoin(tables):
+    """The cross-corpus grid join (decontam scale path) reproduces the
+    broadcast-crossJoin result set exactly on the fixture."""
+    emb = tables["embeddings"]
+    corpus = emb.filter("vec_id % 2 = 0")
+    evals = emb.filter("vec_id % 2 = 1").selectExpr(
+        "vec_id as eval_id", "embedding as eval_vec"
+    )
+    bc = {
+        (r.vec_id, r.eval_id, r.sim)
+        for r in sim.semantic_decontaminate(corpus, evals, threshold=0.42).collect()
+    }
+    gr = {
+        (r.vec_id, r.eval_id, r.sim)
+        for r in sim.semantic_decontaminate(
+            corpus, evals, threshold=0.42, blocked=True
+        ).collect()
+    }
+    assert bc == gr
+    assert len(bc) > 0
+
+
+def test_cosine_join_blocked_plan_no_cartesian(spark, tables):
+    emb = tables["embeddings"]
+    evals = emb.selectExpr("vec_id as eval_id", "embedding as eval_vec")
+    df = sim.cosine_join_blocked(emb, evals, 0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
