@@ -94,3 +94,21 @@ def test_fixed_scale_csv_matches_across_engines(spark, duck):
     ).fetchone()[0]
     assert srow == drow
     assert srow == "0.500000,-1.250000,0.000000,123.456789,-0.000001"
+
+
+def test_r6_window_is_first_50_oracle_registrations():
+    """The driver certifies the FIRST 50 oracle-eligible registrations;
+    the r6 window list must exactly occupy those slots (frozen at round
+    start — a stray registration reordering would silently rotate an
+    uncertified query out of the gate)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    src = open(entry.__file__).read()
+    win = re.search(r"_WINDOW_R6 = \[(.*?)\]", src, re.S).group(1)
+    names = re.findall(r'"([^"]+)"', win)
+    assert len(names) == 50
+    oracles = entry.oracle_sql()
+    first50 = [n for n in entry.queries() if n in oracles][:50]
+    assert first50 == names

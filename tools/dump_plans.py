@@ -98,6 +98,21 @@ def main() -> None:
     print("signals to check per plan: `PushedFilters` reaching the Scan, pruned")
     print("`ReadSchema`, partial→final HashAggregate pairs, broadcast joins on")
     print("dimension sides, TakeOrderedAndProject for top-k, exchange count.\n")
+    print("## Profiling note: interpreted HOF lambdas + blocked GEMM (round 6)\n")
+    print("Two structural wins this round (full analysis in SCALE.md):")
+    print("(1) HOF lambdas (transform/filter/aggregate) are interpreted and")
+    print("re-evaluate captured expressions PER ELEMENT — a tokenizer inside")
+    print("the lambda made every n-gram operator O(tokens²)/doc. Fixed via")
+    print("arrays_zip of shifted slices / pre-materialized token columns /")
+    print("sort+run-length folds: curation funnel 8.9→0.3 s, char entropy")
+    print("8.8→0.6 s, WARC capstone 21.2→1.3 s, lsh_ann signatures (one GEMM")
+    print("per Arrow batch instead of 4k interpreted fold steps/row)")
+    print("7.9→0.9 s — identical oracle-checked outputs. (2) The certified")
+    print("semantic near-dup path moved from an n²-row crossJoin to")
+    print("cosine_pairs_blocked (grid applyInPandas GEMM, n×B shuffle, no")
+    print("join operator at all — plan pinned cartesian-free by")
+    print("test_blocked_gemm_cosine_no_cartesian); ensemble survivors")
+    print("23.6→5.8 s in the sf0.1 sweep, sweep total 327→204 s.\n")
     print("## Profiling note: dedup_minhash_lsh stage breakdown (round 4)\n")
     print("Measured at sf0.1 (5000 docs, loadavg 0.78, median of 3 after")
     print("warmup): signatures(np) 0.53 s — the dominant stage; band+join")
