@@ -38,6 +38,24 @@ _ACCEPTED = {
     "text_perplexity_buckets": "two-pass train+score, counts persisted",
     "text_bm25_topk": "dl persisted; remaining scans are the 2 tokenize passes",
     "pipeline_release_v2": "scrub spans + clean frame persisted; raw-source scans prune",
+    # r6 review — CDC/demo fixture-derivation artifacts: the old/new/delta
+    # sides are DERIVED from one base table because the fixture has no real
+    # change stream; a production CDC pipeline reads delta tables (one scan
+    # each). The extra scans are pruned parquet rereads of the demo base,
+    # not operator costs — the operators themselves take the sides as
+    # separate frames.
+    "relational_incremental_agg": "old/changed/new sides derived from one demo base",
+    "pipeline_warehouse_sync": "old/new/diff/semi-join sides derived from one demo base; diff+base persisted",
+    "relational_incremental_join": "both relations' old/new/delta derived from demo bases",
+    "quality_snapshot_diff": "old and new snapshots both constructed from the demo base",
+    # nearest-aware as-of unions forward and backward candidate passes over
+    # the same (pruned) events scan — two directions by definition
+    "join_asof_nearest": "forward + backward passes + tie-break rescan, all pruned",
+    # centroid pipelines: train pass (per-dim aggregate) + score pass +
+    # label join-back on the same embeddings table — multi-pass by design,
+    # each pass column-pruned; at scale centroids are k×dim broadcast state
+    "sim_nearest_centroid": "centroid train pass + scoring pass + label join-back",
+    "sim_cluster_silhouette": "centroid train pass + scoring pass + rank windows",
 }
 
 
