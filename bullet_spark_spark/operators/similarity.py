@@ -49,6 +49,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def safe_cos(d: Column, na: Column, nb: Column, decimals: int = 6) -> Column:
+    """Rounded cosine from a precomputed dot and two norms, zero-norm-safe:
+    a zero vector scores 0.0 against everything (matching the blocked-GEMM
+    path's ``X / max(‖x‖, 1e-300)`` convention) instead of raising
+    ANSI DIVIDE_BY_ZERO — Spark 4 runs ANSI-on by default, so a single
+    all-zero embedding row would otherwise kill the whole job (found by
+    the blocked≡exact property test)."""
+    prod = na * nb
+    return F.when(prod > 0, F.round(d / prod, decimals)).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -73,8 +84,8 @@ def brute_force_topk(
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
-            dot(F.col(query_vec_col), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 6
+        safe_cos(
+            dot(F.col(query_vec_col), F.col(vec_col)), F.col("__qn"), F.col("__cn")
         ).alias("sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -194,8 +205,8 @@ def lsh_ann_topk(
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
-            dot(F.col(query_vec_col), F.col(vec_col)) / (F.col("__qn") * F.col("__cn")), 6
+        safe_cos(
+            dot(F.col(query_vec_col), F.col(vec_col)), F.col("__qn"), F.col("__cn")
         ).alias("sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -580,7 +591,7 @@ def cosine_near_dup_pairs(
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
         sims = pairs.select(
             "id_a", "id_b",
-            F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6).alias("sim"),
+            safe_cos(dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b")).alias("sim"),
         )
         return sims.filter(F.col("sim") >= threshold)
     return cosine_pairs_blocked(
@@ -725,7 +736,7 @@ def cluster_near_dup_pairs(
     )
     sims = pairs.select(
         "id_a", "id_b",
-        F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6).alias("sim"),
+        safe_cos(dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b")).alias("sim"),
     )
     return sims.filter(F.col("sim") >= threshold)
 
@@ -771,9 +782,7 @@ def semantic_decontaminate(
         norm(F.col(eval_vec_col)).alias("__en"),
     )
     pairs = c.crossJoin(F.broadcast(e))
-    sim = F.round(
-        dot(F.col("__v"), F.col("__ev")) / (F.col("__cn") * F.col("__en")), 6
-    )
+    sim = safe_cos(dot(F.col("__v"), F.col("__ev")), F.col("__cn"), F.col("__en"))
     return (
         pairs.select(F.col(id_col), F.col(eval_id_col), sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
@@ -851,8 +860,8 @@ def brute_force_topk_int8(
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
-            dot(F.col("qq8"), F.col("q8")) / (F.col("__qn") * F.col("__cn")), 6
+        safe_cos(
+            dot(F.col("qq8"), F.col("q8")), F.col("__qn"), F.col("__cn")
         ).alias("sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
