@@ -272,6 +272,30 @@ def kmeans_centroids(
     return [[float(x) for x in row] for row in C]
 
 
+def _nearest_cells_udf(centroids: list[list[float]], nprobe: int):
+    """pandas UDF: per vector, the ``nprobe`` nearest centroid ids by
+    rounded-6dp cosine, ties to the lowest id — one ``X @ C.T`` + stable
+    argsort per Arrow batch (the vectorized form of the old
+    crossJoin-then-window assignment)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    @pandas_udf("array<int>")
+    def cells(col: pd.Series) -> pd.Series:
+        X = np.array(col.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        S = np.round(Xn @ Cn.T, 6)
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.tolist() for row in idx.astype(np.int32)])
+
+    return cells
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -297,32 +321,21 @@ def ivf_ann_topk(
     Pass precomputed ``centroids`` to skip training (index reuse)."""
     if centroids is None:
         centroids = kmeans_centroids(corpus, num_centroids, id_col, vec_col)
-    w_assign = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cid").asc())
-    cents = corpus.sparkSession.createDataFrame(
-        [(i, vec) for i, vec in enumerate(centroids)], "cid int, cvec array<double>"
+    # cell assignment/probing as ONE vectorized argsort per Arrow batch:
+    # the old crossJoin(×num_centroids) + row_number form exploded the
+    # corpus 16× and then SHUFFLED it for a window over interpreted
+    # fold-cosines (3 folds × dim × centroids interpreted steps per row);
+    # this is a narrow projection with no exchange at all. Semantics
+    # preserved: sims rounded 6 dp, ties to the lowest cell id (stable
+    # argsort = the row_number (sim desc, cid asc) order).
+    top_cells = _nearest_cells_udf(centroids, nprobe)
+    assigned = corpus.select(
+        id_col, vec_col,
+        F.element_at(_nearest_cells_udf(centroids, 1)(F.col(vec_col)), 1).alias("cid"),
     )
-    # assign each corpus vector to its nearest centroid (broadcast centroids)
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select(
-            id_col, vec_col, "cid",
-            F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cid")
-    )
-    # each query probes its nprobe nearest cells
-    w_probe = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col("cid").asc())
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .select(
-            query_id_col, query_vec_col, "cid",
-            F.round(cosine(F.col(query_vec_col), F.col("cvec")), 6).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select(query_id_col, query_vec_col, "cid")
+    probes = queries.select(
+        query_id_col, query_vec_col,
+        F.explode(top_cells(F.col(query_vec_col))).alias("cid"),
     )
     cands = assigned.join(F.broadcast(probes), "cid")
     scored = cands.select(
@@ -709,17 +722,14 @@ def cluster_near_dup_pairs(
     _, cents = kmeans_fit_assign(
         embeddings, k=k, id_col=id_col, vec_col=vec_col, iters=iters
     )
-    cents_df = embeddings.sparkSession.createDataFrame(
-        [(i, vec) for i, vec in enumerate(cents)], "cluster int, cvec array<double>"
-    )
-    w_assign = W.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cluster").asc())
-    probed = (
-        embeddings.withColumn("__n", norm(F.col(vec_col)))
-        .crossJoin(F.broadcast(cents_df))
-        .withColumn("__cs", cosine(F.col(vec_col), F.col("cvec")))
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") <= probes)
-        .select(id_col, vec_col, "__n", "cluster")
+    # multi-probe assignment via the vectorized argsort UDF — the old
+    # crossJoin(×k) + row_number form exploded the corpus k× and shuffled
+    # it for the per-id window (see ivf_ann_topk's identical fix)
+    probed = embeddings.withColumn("__n", norm(F.col(vec_col))).select(
+        id_col, vec_col, "__n",
+        F.explode(
+            _nearest_cells_udf(cents, probes)(F.col(vec_col))
+        ).alias("cluster"),
     )
     a = probed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
