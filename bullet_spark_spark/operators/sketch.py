@@ -488,6 +488,7 @@ def theta_group_sketches(
     key_col: str,
     k: int = THETA_DEFAULT_K,
     sketch_col: str = "theta",
+    merge_fanin: int = 64,
 ) -> DataFrame:
     """One scan → per-group bottom-k Theta sketch state of ``key_col``: the
     k smallest distinct xxhash64 values, as a sorted ``array<bigint>``
@@ -504,10 +505,13 @@ def theta_group_sketches(
        keys inside ``mapInPandas`` — numpy unique + partition, O(k) state
        per group per partition, nothing unbounded;
     2. reduce: per group, the partials merge with pure codegen set algebra
-       (flatten → array_distinct → array_sort → slice k) — collect_list
-       holds ≤ #partitions arrays of ≤ k longs per group, i.e. the same
-       partial-merge shape as Spark's own HLL union, visible instead of
-       opaque.
+       (flatten → array_distinct → array_sort → slice k) as a SALTED TREE:
+       a first level merges each group's partials within ``merge_fanin``
+       salt buckets, the second merges the ≤ ``merge_fanin`` survivors —
+       without it one row per group would hold #partitions × k longs
+       (≈3 GB at 100k input partitions, k=4096); with it the worst row is
+       max(#partitions/fanin, fanin) × k. The union is a set operation, so
+       the salt assignment cannot change the result.
 
     The sketch table is a persistable pre-aggregate exactly like
     ``hll_group_sketches``: any coarser slice is answered by
@@ -540,14 +544,22 @@ def theta_group_sketches(
             )
             yield out
 
-    partials = hashed.mapInPandas(partial, schema=part_schema)
-    return partials.groupBy(*group_cols).agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
-            1,
-            k,
-        ).alias(sketch_col)
+    def _merge(frame: DataFrame, keys: list) -> DataFrame:
+        return frame.groupBy(*keys).agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(sketch_col)))
+                ),
+                1,
+                k,
+            ).alias(sketch_col)
+        )
+
+    partials = hashed.mapInPandas(partial, schema=part_schema).withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(merge_fanin))
     )
+    level1 = _merge(partials, [*group_cols, "__salt"])
+    return _merge(level1, list(group_cols))
 
 
 def _theta_estimate_col(sketch: F.Column | str, k: int) -> F.Column:
@@ -570,23 +582,32 @@ def theta_merge_slices(
     k: int = THETA_DEFAULT_K,
     sketch_col: str = "theta",
     out_name: str = "n_distinct_est",
+    merge_fanin: int = 64,
 ) -> DataFrame:
     """Re-aggregate a Theta sketch table to any subset of its grouping
     columns: union the bottom-k states per slice (flatten → distinct →
     sort → slice — set union then re-truncate, the Theta union rule) and
-    estimate. Mirror of ``hll_merge_slices``."""
-    grouped = (
-        sketches.groupBy(*slice_cols)
-        if slice_cols
-        else sketches.groupBy(F.lit(1).alias("__all"))
+    estimate. Mirror of ``hll_merge_slices``. Merges as the same salted
+    two-level tree as ``theta_group_sketches`` — a slice covering millions
+    of fine groups must not flatten them all into one row."""
+    salted = sketches.withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(merge_fanin))
     )
-    merged = grouped.agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
-            1,
-            k,
-        ).alias(sketch_col)
-    )
+
+    def _merge(frame: DataFrame, keys: list) -> DataFrame:
+        grouped = frame.groupBy(*keys) if keys else frame.groupBy(F.lit(1).alias("__all"))
+        return grouped.agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(sketch_col)))
+                ),
+                1,
+                k,
+            ).alias(sketch_col)
+        )
+
+    level1 = _merge(salted, [*slice_cols, "__salt"])
+    merged = _merge(level1, list(slice_cols))
     out = merged.select(
         *(slice_cols if slice_cols else []),
         F.round(_theta_estimate_col(sketch_col, k), 6).alias(out_name),
