@@ -360,28 +360,37 @@ def fd_violations(
     zip -> city actually true in this dump?"); an empty result certifies
     the dependency holds.
 
-    One shuffle on lhs. n_rhs_values is count(DISTINCT rhs) — hash-based,
-    no per-key set. rhs_examples DOES hold a per-key distinct set before
-    the slice (Spark has no bounded collect); that is safe exactly when
-    the check is plausible (near-FDs have few distinct rhs per key) —
-    pass ``examples=0`` to skip example materialization entirely on
-    columns known to be far from functional. Examples sort ascending —
-    deterministic, oracle-comparable. NULL rhs counts as a value (a key
-    mapping to both x and NULL is a violation); NULL encodes as chr(0)
-    in the example list."""
+    One shuffle on lhs for the counts. n_rhs_values is count(DISTINCT
+    rhs) — hash-based, no per-key set. rhs_examples are BOUNDED before
+    any collect: a (lhs, rhs)-distinct pass ranks each key's values
+    ascending and keeps only the first ``examples`` (row_number ≤ e), so
+    per-key state is e strings even for a key with millions of distinct
+    rhs values (the old collect_set-then-slice held the full distinct
+    set in one row — a 2 GB-row kill on far-from-functional columns).
+    Pass ``examples=0`` to skip example materialization. Examples sort
+    ascending — deterministic, oracle-comparable. NULL rhs counts as a
+    value (a key mapping to both x and NULL is a violation); NULL
+    encodes as chr(0) in the example list."""
     rhs = F.coalesce(F.col(rhs_col).cast("string"), F.lit("\x00"))
-    aggs = [
+    per_key = df.groupBy(*lhs_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(rhs).alias("n_rhs_values"),
-    ]
+    )
+    out = per_key.filter(F.col("n_rhs_values") > 1)
     if examples > 0:
-        aggs.append(
-            F.slice(F.sort_array(F.collect_set(rhs)), 1, examples).alias(
-                "rhs_examples"
-            )
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy(*lhs_cols).orderBy(F.col("__rhs").asc())
+        ex = (
+            df.select(*lhs_cols, rhs.alias("__rhs"))
+            .distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= examples)
+            .groupBy(*lhs_cols)
+            .agg(F.sort_array(F.collect_list("__rhs")).alias("rhs_examples"))
         )
-    per_key = df.groupBy(*lhs_cols).agg(*aggs)
-    return per_key.filter(F.col("n_rhs_values") > 1)
+        out = out.join(ex, list(lhs_cols), "left")
+    return out
 
 
 def correlation_matrix(
