@@ -1322,6 +1322,11 @@ def tfidf_cosine_pairs(
     """
     from bullet_spark_spark.operators.text import tokens
 
+    # NO widen_thin_input here (unlike containment_pairs): this stage is a
+    # plain whitespace split — measured 1.3 s thin vs 1.85 s widened at
+    # sf0.1; the repartition shuffle of raw text costs more than the
+    # serial tokenize saves. The heavy work (posting self-join) is already
+    # wide after its own exchange.
     postings = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
         .filter(F.length("term") > 0)
@@ -1421,7 +1426,10 @@ def containment_pairs(
     docs (~32 MB at the default) — above that AQE picks the join.
     """
     # word_shingles: same normalization + empty-set-below-n convention as
-    # ngram_jaccard_pairs and its DuckDB oracle comprehension
+    # ngram_jaccard_pairs and its DuckDB oracle comprehension. Widened:
+    # 3-gram construction + distinct inherit the scan's partitioning and
+    # run near-serially on a few-file corpus (4.2 → 3.4 s at sf0.1).
+    df = widen_thin_input(df)
     grams = (
         df.select(
             F.col(id_col).alias("id"),
