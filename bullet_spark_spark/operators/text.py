@@ -870,6 +870,7 @@ def collocations_pmi(
     text_col: str = "text",
     min_count: int = 5,
     top_n: int = 50,
+    broadcast_vocab_below: int | None = 5_000_000,
 ) -> DataFrame:
     """Top collocations by pointwise mutual information —
     (w1, w2, pair_count, pmi): word pairs that co-occur adjacently far
@@ -884,23 +885,33 @@ def collocations_pmi(
 
     Scale shape: two tokenize passes (unigram, pair), each aggregating to
     a gram-vocab-sized count frame with map-side partials; BOTH totals
-    derive from those reduced frames (a one-row agg cross-joined back /
-    a window over vocab rows) — never a driver-side count() that would
-    re-tokenize the corpus. Unigram counts broadcast into the pair
-    frame; the top-n is TakeOrderedAndProject on (rounded pmi, w1, w2) —
-    a total order, so the cut is deterministic cross-engine."""
+    are one-row aggs over those persisted reduced frames, cross-joined
+    back as broadcasts — never a driver-side count() that would
+    re-tokenize the corpus, and never an unpartitioned window that would
+    funnel the whole vocab through one task. Unigram counts broadcast
+    into the pair frame only below ``broadcast_vocab_below`` distinct
+    terms (~300 MB at the default; a web-scale typo/URL-heavy vocab can
+    exceed any broadcast budget — above it AQE picks the join); the
+    top-n is TakeOrderedAndProject on (rounded pmi, w1, w2) — a total
+    order, so the cut is deterministic cross-engine."""
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window as _W
 
     toks = df.select(tokens(F.col(text_col)).alias("__t"))
     uni = (
         toks.select(F.explode("__t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
-        # vocab-sized; read by the totals window AND two broadcast joins
+        # vocab-sized; read by the totals agg AND the two c1/c2 joins
         .persist(StorageLevel.MEMORY_AND_DISK)
-        .withColumn("__tot_t", F.sum("cu").over(_W.partitionBy()).cast("double"))
     )
+    tot_t = uni.agg(F.sum("cu").cast("double").alias("__tot_t"))
+    if broadcast_vocab_below is not None:
+        # bounded: one scalar over the persisted vocab frame (which the
+        # joins below materialize anyway)
+        vocab_small = uni.count() <= broadcast_vocab_below
+    else:
+        vocab_small = False
+    _b = F.broadcast if vocab_small else (lambda d: d)
     bigc = (
         toks.select(
             F.explode(
@@ -927,16 +938,15 @@ def collocations_pmi(
     )
     return (
         big.join(
-            F.broadcast(
-                uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1"), "__tot_t")
-            ),
+            _b(uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1"))),
             "w1",
         )
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))),
+            _b(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))),
             "w2",
         )
         .crossJoin(F.broadcast(tot_n))
+        .crossJoin(F.broadcast(tot_t))
         .select("w1", "w2", "pair_count", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_n)
