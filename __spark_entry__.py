@@ -6104,6 +6104,43 @@ def sketch_theta_count_distinct(spark, sf_dir):
     )
 
 
+@q("sketch_bloom_prune")  # rows-only THIS round: fully SQL-expressible with
+# exact=True (result ≡ left_semi join) but the r6 driver window is frozen —
+# oracle registration queues for r7. Membership/FPR/merge/plan properties
+# are certified in tests/test_bloom.py.
+def sketch_bloom_prune(spark, sf_dir):
+    """Bloom-filter semi-join pruning (sketch.bloom_build/bloom_probe/
+    bloom_prune_join): build a 1%-FPR filter from a selective customer
+    segment, prune the orders scan against it WITHOUT shuffling the scan
+    (k reused broadcast joins of the ≤m/64-row words frame + codegen bit
+    tests), then verify exactly — the cross-query scan-pruning primitive
+    Spark's own runtime bloom join (AQE, single-query) does not cover.
+    The words frame is a mergeable pre-aggregate like the HLL/Theta
+    tables (bullet-core's DataSketches blob posture,
+    FilterStreaming.scala:124)."""
+    from bullet_spark_spark.operators import sketch as sk
+
+    t = _t(spark, sf_dir)
+    keys = t["customer"].filter(F.col("c_custkey") % 13 == 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    pruned = sk.bloom_prune_join(
+        t["orders"], keys, "o_custkey", target_fpr=0.01, exact=True
+    )
+    return (
+        pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)"))
+                .cast("double"),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @q("streaming_ewma_anomalies")
 def streaming_ewma_anomalies(spark, sf_dir):
     """Stateful streaming per-key EWMA anomaly monitor

@@ -613,3 +613,184 @@ def theta_merge_slices(
         F.round(_theta_estimate_col(sketch_col, k), 6).alias(out_name),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: distributed build / probe / merge for semi-join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_DEFAULT_M = 1 << 20  # bits (128 KiB of filter state)
+BLOOM_DEFAULT_K = 5
+
+# single-bit masks as one 64-long literal array: mask for bit b is
+# element b+1. Bit 63 must be the SIGNED minimum (1<<63 overflows long);
+# bitwise AND/OR on two's complement longs is unaffected by the sign.
+_MASKS64 = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def bloom_fpr(n_keys: int, m_bits: int = BLOOM_DEFAULT_M, k: int = BLOOM_DEFAULT_K) -> float:
+    """Expected false-positive rate (1 − e^(−kn/m))^k for ``n_keys``
+    inserted keys — the standard Bloom bound (Bloom 1970)."""
+    if n_keys <= 0:
+        return 0.0
+    return (1.0 - math.exp(-float(k) * n_keys / float(m_bits))) ** k
+
+
+def bloom_size(n_keys: int, target_fpr: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) sized for ``target_fpr`` at ``n_keys`` keys:
+    m = ⌈−n·ln p / ln²2⌉ rounded up to a multiple of 64, k = round(m/n·ln2)
+    — the textbook optimum (~9.6 bits/key and k=7 at 1%)."""
+    n = max(int(n_keys), 1)
+    m = int(math.ceil(-n * math.log(target_fpr) / (math.log(2.0) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2.0)))
+    return m, k
+
+
+def _bloom_pos(key: F.Column, i: int, m_bits: int, seed: int) -> F.Column:
+    """i-th bit position for a key: pmod(xxhash64(key, seed, i), m) —
+    k independent hash functions from one xxhash64 by mixing the probe
+    index into the hashed tuple (the same per-seed trick minhash uses)."""
+    return F.pmod(F.xxhash64(key, F.lit(seed), F.lit(i)), F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_DEFAULT_M,
+    k: int = BLOOM_DEFAULT_K,
+    seed: int = 0,
+) -> DataFrame:
+    """Distributed Bloom-filter build → a SPARSE bitmap frame
+    (word int, bits long) with one row per set 64-bit word, ≤ m/64 rows
+    total (16 Ki rows / 128 KiB at the default m) regardless of input
+    size. The reference's sketch posture applied to membership: like the
+    HLL/Theta tables above, the words frame is a persistable, mergeable
+    pre-aggregate — never collected to the driver.
+
+    Plan: k positions per key explode inside the scan stage, the word/
+    mask projection stays in codegen, and ONE map-side-combinable
+    ``bit_or`` aggregation reduces to the words frame — state per reducer
+    is bounded by the filter size, not the key count. NULL keys are
+    skipped (a semi-join never matches NULL; hashing it would pin every
+    NULL to one phantom position).
+
+    Spark's AQE injects runtime bloom joins within one query; this
+    explicit build is for CROSS-query pruning — build once from the
+    selective side, persist, probe any number of later scans
+    (``bloom_probe`` / ``bloom_prune_join``)."""
+    masks = F.lit(_MASKS64)
+    key = F.col(key_col)
+    pos_arr = F.array(*[_bloom_pos(key, i, m_bits, seed) for i in range(k)])
+    return (
+        df.filter(key.isNotNull())
+        .select(F.explode(pos_arr).alias("__pos"))
+        .select(
+            F.shiftright(F.col("__pos"), 6).cast("int").alias("word"),
+            F.element_at(
+                masks, (F.col("__pos").bitwiseAND(F.lit(63)) + 1).cast("int")
+            ).alias("__mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two bloom word frames built with the SAME (m, k, seed):
+    bit_or per word — the filter of the unioned key sets, exactly
+    (Bloom filters are lossless under union). Mergeable like every
+    sketch in this module: per-shard filters roll up to a corpus filter
+    without touching the corpus."""
+    return (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = BLOOM_DEFAULT_M,
+    k: int = BLOOM_DEFAULT_K,
+    seed: int = 0,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Membership test against a ``bloom_build`` words frame → ``df``
+    plus a boolean ``out_col`` (false ⇒ DEFINITELY absent; true ⇒ present
+    or a false positive at the ``bloom_fpr`` rate). NULL keys test false.
+
+    Scale shape — the entire point of the operator: the PROBE SIDE NEVER
+    SHUFFLES. Each of the k bit tests is a broadcast-hash left join of
+    the ≤ m/64-row words frame onto the scan (one BroadcastExchange,
+    reused k times), and the bit arithmetic is plain codegen — so
+    filtering a 100 TB fact scan down to the rows that might match a
+    selective key set costs one pass over the scan and zero exchanges of
+    it, where a left_semi join would shuffle both sides or need the whole
+    key set broadcast."""
+    key = F.col(key_col)
+    masks = F.lit(_MASKS64)
+    out = df
+    tests = []
+    drop: list[str] = []
+    for i in range(k):
+        pos = _bloom_pos(key, i, m_bits, seed)
+        out = out.withColumn(f"__bw{i}", F.shiftright(pos, 6).cast("int"))
+        out = out.withColumn(
+            f"__bm{i}",
+            F.element_at(masks, (pos.bitwiseAND(F.lit(63)) + 1).cast("int")),
+        )
+        side = bloom.select(
+            F.col("word").alias(f"__bw{i}"), F.col("bits").alias(f"__bb{i}")
+        )
+        out = out.join(F.broadcast(side), f"__bw{i}", "left")
+        tests.append(
+            F.coalesce(F.col(f"__bb{i}"), F.lit(0))
+            .bitwiseAND(F.col(f"__bm{i}"))
+            != 0
+        )
+        drop += [f"__bw{i}", f"__bm{i}", f"__bb{i}"]
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    return out.withColumn(
+        out_col, F.when(key.isNull(), F.lit(False)).otherwise(cond)
+    ).drop(*drop)
+
+
+def bloom_prune_join(
+    big: DataFrame,
+    keys_df: DataFrame,
+    on: str,
+    m_bits: int | None = None,
+    k: int | None = None,
+    target_fpr: float = 0.01,
+    seed: int = 0,
+    exact: bool = False,
+) -> DataFrame:
+    """Semi-join reduction: rows of ``big`` whose ``on`` key is (maybe)
+    present in ``keys_df`` — build a Bloom filter on the selective side,
+    probe the big scan, filter. With ``exact=True`` a real left_semi join
+    against the (bloom-shrunk) key set follows, removing false positives:
+    the result then EQUALS ``big.join(keys, on, "left_semi")``, but the
+    expensive join's left input is already pruned to ~|match| + fpr·|big|
+    rows instead of |big|.
+
+    Filter parameters auto-size from the distinct key count (one bounded
+    scalar over the selective side) for ``target_fpr`` unless given."""
+    if m_bits is None or k is None:
+        n = keys_df.select(on).distinct().count()  # bounded: one scalar
+        m_auto, k_auto = bloom_size(n, target_fpr)
+        m_bits = m_bits if m_bits is not None else m_auto
+        k = k if k is not None else k_auto
+    bloom = bloom_build(keys_df, on, m_bits, k, seed)
+    pruned = (
+        bloom_probe(big, on, bloom, m_bits, k, seed, out_col="__maybe")
+        .filter(F.col("__maybe"))
+        .drop("__maybe")
+    )
+    if exact:
+        pruned = pruned.join(keys_df.select(on).distinct(), on, "left_semi")
+    return pruned
