@@ -6141,6 +6141,40 @@ def sketch_bloom_prune(spark, sf_dir):
     )
 
 
+@q("sketch_cms_freq_est")  # rows-only THIS round: xxhash64 cell positions
+# are engine-specific; guarantees (never-underestimate, ε·N overestimate
+# bound, merge ≡ union) certified in tests/test_bloom.py. Queues for r7.
+def sketch_cms_freq_est(spark, sf_dir):
+    """Count-Min point-frequency estimation (sketch.cms_build/cms_lookup):
+    the DataSketches-family answer to "how often did THIS key occur" under
+    fixed memory — freq_group_sketches keeps only the heavy hitters, CMS
+    answers any key with true ≤ est ≤ true + ε·N. Builds a 5×2048 sketch
+    over the orders fact's customer keys (one map-side-combinable sum to
+    a ≤10Ki-row counters frame), looks up every customer with broadcast
+    joins (lookup side never shuffles), and reports estimate vs exact —
+    the per-key error surface of the sketch at this scale."""
+    from bullet_spark_spark.operators import sketch as sk
+
+    t = _t(spark, sf_dir)
+    cms = sk.cms_build(t["orders"], "o_custkey", w=2048, d=5)
+    exact = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = sk.cms_lookup(exact, "custkey", cms, w=2048, d=5)
+    return (
+        est.select(
+            "custkey",
+            "n_exact",
+            F.col("freq_est").alias("n_est"),
+            (F.col("freq_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("overcount"), F.desc("n_exact"), "custkey")
+        .limit(50)
+    )
+
+
 @q("streaming_ewma_anomalies")
 def streaming_ewma_anomalies(spark, sf_dir):
     """Stateful streaming per-key EWMA anomaly monitor

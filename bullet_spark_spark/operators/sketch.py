@@ -794,3 +794,105 @@ def bloom_prune_join(
     if exact:
         pruned = pruned.join(keys_df.select(on).distinct(), on, "left_semi")
     return pruned
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimates under fixed memory
+# ---------------------------------------------------------------------------
+
+CMS_DEFAULT_W = 2048  # counters per hash row
+CMS_DEFAULT_D = 5  # hash rows
+
+
+def cms_error(w: int = CMS_DEFAULT_W, d: int = CMS_DEFAULT_D) -> dict:
+    """The Count-Min guarantee (Cormode & Muthukrishnan 2005) for a w×d
+    sketch: with probability ≥ 1−δ (δ = e^−d),
+    true ≤ estimate ≤ true + ε·N with ε = e/w, N = total inserted
+    weight. Underestimation is impossible."""
+    return {"epsilon": math.e / float(w), "delta": math.exp(-float(d))}
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    w: int = CMS_DEFAULT_W,
+    d: int = CMS_DEFAULT_D,
+    seed: int = 0,
+) -> DataFrame:
+    """Distributed Count-Min sketch build → a SPARSE counters frame
+    (row int, col int, cnt long), ≤ d·w rows total (10 Ki at the
+    defaults) regardless of key cardinality — the point-frequency
+    counterpart of ``freq_group_sketches``: the frequent-items sketch
+    tracks only the heavy hitters it kept, Count-Min answers
+    "how often did THIS key occur" for ANY key, overestimating by at
+    most ε·N (``cms_error``) and never underestimating.
+
+    Same posture as ``bloom_build``: d positions per key explode inside
+    the scan stage, ONE map-side-combinable sum reduces to the counters
+    frame, state bounded by the sketch size, nothing collected. NULL
+    keys are skipped; ``weight_col`` (default: count 1 per row) admits
+    weighted frequencies (bytes, tokens) under the same bound."""
+    key = F.col(key_col)
+    wgt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(key, F.lit(seed), F.lit(i)), F.lit(w))
+                .cast("int")
+                .alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(F.explode(cells).alias("__c"), wgt.alias("__w"))
+        .groupBy(F.col("__c.row").alias("row"), F.col("__c.col").alias("col"))
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two counters frames built with the SAME (w, d, seed):
+    per-cell sum — Count-Min sketches merge by matrix addition, exactly
+    (the estimate over the merged sketch equals the estimate over the
+    concatenated input). Per-shard sketches roll up to a corpus sketch
+    without touching the corpus."""
+    return (
+        a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    df: DataFrame,
+    key_col: str,
+    cms: DataFrame,
+    w: int = CMS_DEFAULT_W,
+    d: int = CMS_DEFAULT_D,
+    seed: int = 0,
+    out_col: str = "freq_est",
+) -> DataFrame:
+    """Point-frequency estimate per row of ``df`` → ``df`` plus
+    ``out_col`` = min over the d counters the key hashes to (a cell
+    absent from the sparse frame is 0 — the key was definitely never
+    inserted on that row). Like ``bloom_probe``, the LOOKUP SIDE NEVER
+    SHUFFLES: each counter read is a broadcast-hash left join of the
+    ≤ d·w-row counters frame, and the min is plain codegen."""
+    key = F.col(key_col)
+    out = df
+    ests = []
+    drop: list[str] = []
+    for i in range(d):
+        pos = F.pmod(F.xxhash64(key, F.lit(seed), F.lit(i)), F.lit(w)).cast("int")
+        out = out.withColumn(f"__cc{i}", pos)
+        side = cms.filter(F.col("row") == i).select(
+            F.col("col").alias(f"__cc{i}"), F.col("cnt").alias(f"__cv{i}")
+        )
+        out = out.join(F.broadcast(side), f"__cc{i}", "left")
+        ests.append(F.coalesce(F.col(f"__cv{i}"), F.lit(0)))
+        drop += [f"__cc{i}", f"__cv{i}"]
+    return out.withColumn(
+        out_col, F.when(key.isNull(), F.lit(None)).otherwise(F.least(*ests))
+    ).drop(*drop)

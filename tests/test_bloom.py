@@ -110,3 +110,73 @@ def test_bloom_size_formula():
     assert 9.0 <= m / 100_000 <= 10.5
     assert k == 7
     assert sk.bloom_fpr(100_000, m, k) <= 0.0105
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark):
+    """est >= true for every key — the Count-Min hard guarantee."""
+    df = spark.range(10_000).select((F.col("id") % 100).alias("key"))
+    cms = sk.cms_build(df, "key", w=256, d=4)
+    keys = df.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    got = sk.cms_lookup(keys, "key", cms, w=256, d=4)
+    assert got.filter(F.col("freq_est") < F.col("true_cnt")).count() == 0
+
+
+def test_cms_overestimate_within_epsilon_n(spark):
+    """est <= true + eps*N holds for (at least) 1-delta of keys; with
+    w=2048 over N=30k the bound is ~40, so check every key at 3x slack."""
+    df = spark.range(30_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(997))).alias("key")
+    )
+    w, d = 2048, 5
+    cms = sk.cms_build(df, "key", w=w, d=d)
+    keys = df.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    got = sk.cms_lookup(keys, "key", cms, w=w, d=d)
+    bound = 3.0 * sk.cms_error(w, d)["epsilon"] * 30_000
+    assert got.filter(F.col("freq_est") > F.col("true_cnt") + bound).count() == 0
+
+
+def test_cms_merge_equals_union_build(spark):
+    """Per-cell addition merges two sketches into exactly the sketch of
+    the concatenated input."""
+    a = spark.range(5_000).select((F.col("id") % 50).alias("key"))
+    b = spark.range(5_000).select((F.col("id") % 37 + 100).alias("key"))
+    w, d = 128, 3
+    merged = sk.cms_merge(
+        sk.cms_build(a, "key", w=w, d=d), sk.cms_build(b, "key", w=w, d=d)
+    )
+    direct = sk.cms_build(a.unionByName(b), "key", w=w, d=d)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_weighted(spark):
+    """weight_col accumulates weights, not row counts: exact when a key
+    never collides (tiny key set vs w)."""
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("key"), (F.col("id") + 1).alias("wt")
+    )
+    cms = sk.cms_build(df, "key", weight_col="wt", w=4096, d=5)
+    got = {
+        r.key: r.freq_est
+        for r in sk.cms_lookup(
+            df.select("key").distinct(), "key", cms, w=4096, d=5
+        ).collect()
+    }
+    # key 0 holds ids {0,2,4,6,8} -> weights {1,3,5,7,9} = 25; key 1 = 30
+    assert got == {0: 25, 1: 30}
+
+
+def test_cms_lookup_plan_never_shuffles_lookup_side(spark, tables):
+    """The lookup side rides broadcast joins only — same plan property
+    as bloom_probe."""
+    cms = sk.cms_build(tables["orders"], "o_custkey", w=1024, d=3)
+    got = sk.cms_lookup(tables["customer"], "c_custkey", cms, w=1024, d=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
