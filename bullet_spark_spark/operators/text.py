@@ -797,6 +797,7 @@ def bigram_logprob_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     lam: float = 0.8,
+    broadcast_vocab_below: int | None = 5_000_000,
 ) -> DataFrame:
     """Interpolated bigram language-model score per document —
     (id, n_bigrams, logprob) where logprob is the mean per-position
@@ -812,7 +813,10 @@ def bigram_logprob_scores(
     two count aggregations are map-side combinable (state = #distinct
     grams ≪ data). Scoring joins positions→bigram counts on the bigram
     key — ONE corpus-sized shuffle join (the bigram table is too big to
-    broadcast at scale) — while the unigram side rides a broadcast.
+    broadcast at scale) — while the unigram sides ride broadcasts only
+    below ``broadcast_vocab_below`` distinct terms (one bounded scalar
+    over the persisted count frame; a web-scale typo/URL-heavy vocab can
+    exceed any broadcast budget — above it AQE picks the joins).
     Every ln term is rounded to 8 dp and summed as DECIMAL(18,8), the
     engine-portable arithmetic used by bm25/unigram scoring.
     """
@@ -843,6 +847,13 @@ def bigram_logprob_scores(
     # unigram context counts c(w1) over the same positions: sum of cb by w1
     ctx = big.groupBy("w1").agg(F.sum("cb").alias("cc"))
     total = uni.agg(F.sum("cu").cast("double").alias("total"))
+    if broadcast_vocab_below is not None:
+        # bounded: one scalar over the persisted vocab frame; ctx shares
+        # uni's cardinality class (distinct w1 ≤ distinct tokens)
+        vocab_small = uni.count() <= broadcast_vocab_below
+    else:
+        vocab_small = False
+    _b = F.broadcast if vocab_small else (lambda d: d)
     lp = F.round(
         F.log(
             F.lit(float(lam)) * F.col("cb") / F.col("cc")
@@ -852,8 +863,8 @@ def bigram_logprob_scores(
     ).cast("decimal(18,8)")
     scored = (
         pairs.join(big, ["w1", "w2"])  # every pair exists in its own counts
-        .join(F.broadcast(ctx), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w2")), "w2")
+        .join(_b(ctx), "w1")
+        .join(_b(uni.withColumnRenamed("w", "w2")), "w2")
         .crossJoin(F.broadcast(total))
         .withColumn("__lp", lp)
     )

@@ -82,6 +82,9 @@ QUERIES = {
     "multimodal_warc_roundtrip": "codegen record composition -> mapInPandas parse; narrow, no shuffle",
     "pipeline_ingest_warc": "WARC build+parse -> curation CASE -> dedup groupBy -> source report: one agg exchange after the parse stage",
     "graph_hits_trade": "per-iteration: 2 edge-frame groupBys + broadcast score joins; per-round localCheckpoint (two-consumer lineage)",
+    # round-6 late additions
+    "sketch_bloom_prune": "bit positions explode in the scan; bit_or to a words frame; probe = k reused broadcast joins + codegen bit tests — the orders scan never shuffles before the verify semi-join",
+    "sketch_cms_freq_est": "d cell sums to a counters frame; lookup = d broadcast joins + least(); exact counts ride ONE map-side-combinable agg",
 }
 
 
