@@ -180,3 +180,43 @@ def test_cms_lookup_plan_never_shuffles_lookup_side(spark, tables):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sketches_accumulate_over_microbatches(spark, tmp_path):
+    """Bloom and Count-Min as STREAMING state: per-micro-batch partial
+    sketches folded with bloom_merge/cms_merge across a foreachBatch
+    drain equal the one-shot batch build — the partial-combine contract
+    bullet-core's sketch blobs satisfy (FilterStreaming.scala:124
+    partials, JoinStreaming.scala:126 combine), proven for the two new
+    sketch families."""
+    from bullet_spark_spark.sources.streaming import file_drip
+
+    df = spark.range(4_000).select((F.col("id") % 257).alias("key"))
+    stream = file_drip(spark, df, str(tmp_path), chunks=4)
+
+    m, kb, w, d = 1 << 14, 4, 512, 3
+    state = {"bloom": None, "cms": None, "batches": 0}
+
+    def fold(batch, _bid):
+        blm = sk.bloom_build(batch, "key", m_bits=m, k=kb).localCheckpoint()
+        cms = sk.cms_build(batch, "key", w=w, d=d).localCheckpoint()
+        state["bloom"] = (
+            blm if state["bloom"] is None else sk.bloom_merge(state["bloom"], blm)
+        ).localCheckpoint()
+        state["cms"] = (
+            cms if state["cms"] is None else sk.cms_merge(state["cms"], cms)
+        ).localCheckpoint()
+        state["batches"] += 1
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert state["batches"] >= 2  # the drain actually micro-batched
+
+    direct_bloom = sk.bloom_build(df, "key", m_bits=m, k=kb)
+    direct_cms = sk.cms_build(df, "key", w=w, d=d)
+    assert sorted(map(tuple, state["bloom"].collect())) == sorted(
+        map(tuple, direct_bloom.collect())
+    )
+    assert sorted(map(tuple, state["cms"].collect())) == sorted(
+        map(tuple, direct_cms.collect())
+    )
