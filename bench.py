@@ -63,6 +63,9 @@ BENCH = [
     "dedup_ensemble_survivors",  # minhash-LSH ∪ blocked-GEMM cosine + closure
     "pipeline_release_v2",    # full curation capstone composition
     "pipeline_ingest_warc",   # WARC parse → extract → quality-gate capstone
+    # round-6 late additions
+    "sketch_bloom_prune",     # bloom build + shuffle-free probe + exact verify
+    "sketch_cms_freq_est",    # count-min build + broadcast-join lookups
 ]
 
 REPEATS = 3

@@ -865,6 +865,30 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def cms_join_size_estimate(
+    cms_a: DataFrame,
+    cms_b: DataFrame,
+    out_name: str = "join_rows_est",
+) -> DataFrame:
+    """Estimated INNER-JOIN cardinality |A ⋈ B| from the two sides' CMS
+    counters (built with the SAME (w, d, seed) on the join key): the
+    true join size is Σ_key fa(key)·fb(key), and the per-row counter
+    inner product Σ_col a·b never undercounts it — take the min over the
+    d rows (Cormode & Muthukrishnan 2005 §4.2: overestimate ≤ ε·Na·Nb
+    with probability 1−δ).
+
+    The pre-flight a shuffle planner wants at 100 TB: decide broadcast
+    vs sort-merge vs salting from two sketch-sized frames — one inner
+    join of ≤ d·w rows each, one agg — without scanning either side
+    again (absent cells are 0 and contribute nothing, so the sparse
+    inner join is exact). Returns one row: (out_name bigint)."""
+    prods = cms_a.alias("a").join(
+        cms_b.alias("b"), ["row", "col"]
+    ).select("row", (F.col("a.cnt") * F.col("b.cnt")).alias("__p"))
+    per_row = prods.groupBy("row").agg(F.sum("__p").alias("__ip"))
+    return per_row.agg(F.min("__ip").alias(out_name))
+
+
 def cms_lookup(
     df: DataFrame,
     key_col: str,

@@ -6,6 +6,8 @@ contract, FilterStreaming.scala:124), applied to set MEMBERSHIP.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from bullet_spark_spark.operators import sketch as sk
@@ -220,3 +222,19 @@ def test_sketches_accumulate_over_microbatches(spark, tmp_path):
     assert sorted(map(tuple, state["cms"].collect())) == sorted(
         map(tuple, direct_cms.collect())
     )
+
+
+def test_cms_join_size_never_underestimates_and_is_tight(spark):
+    """Sketch inner product >= true join cardinality always, and within
+    the eps*Na*Nb overestimate bound at both a roomy and a colliding
+    width (exactness is NOT guaranteed even at w >> keys — birthday
+    collisions inside each row always overcount a little)."""
+    a = spark.range(6_000).select((F.col("id") % 300).alias("key"))
+    b = spark.range(4_000).select((F.col("id") % 200).alias("key"))
+    true_size = a.join(b, "key").count()
+    for w, d in ((4096, 5), (64, 3)):
+        est = sk.cms_join_size_estimate(
+            sk.cms_build(a, "key", w=w, d=d), sk.cms_build(b, "key", w=w, d=d)
+        ).collect()[0][0]
+        assert est >= true_size, (w, d, est, true_size)
+        assert est <= true_size + 3.0 * (math.e / w) * 6_000 * 4_000, (w, d, est)
