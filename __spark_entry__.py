@@ -6175,6 +6175,27 @@ def sketch_cms_freq_est(spark, sf_dir):
     )
 
 
+@q("dedup_source_overlap_approx")  # rows-only: HLL blob estimates are
+# engine-specific; error-bounded against exact truth in tests/test_bloom.py.
+def dedup_source_overlap_approx(spark, sf_dir):
+    """Sketch-sized corpus-overlap matrix (sketch.hll_overlap_matrix):
+    per-source HLL over the SAME word-5-gram key the exact
+    dedup_source_overlap matrix uses, every pairwise overlap/Jaccard by
+    inclusion-exclusion over the #sources-sized sketch frame — the
+    100 TB stand-in for the exact (source, shingle) pair join: one
+    2^lgk-byte blob per source shuffles instead of every distinct
+    (source, shingle) row."""
+    from bullet_spark_spark.operators import sketch as sk
+
+    t = _t(spark, sf_dir)
+    grams = t["documents"].select(
+        "source", F.explode(tx.word_ngrams(F.col("text"), 5)).alias("gram")
+    )
+    return sk.hll_overlap_matrix(grams, "source", "gram").orderBy(
+        "group_a", "group_b"
+    )
+
+
 @q("streaming_ewma_anomalies")
 def streaming_ewma_anomalies(spark, sf_dir):
     """Stateful streaming per-key EWMA anomaly monitor

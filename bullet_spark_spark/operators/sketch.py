@@ -104,6 +104,56 @@ def hll_merge_slices(
     return out.drop("__all") if not slice_cols else out
 
 
+def hll_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    lgk: int = HLL_DEFAULT_LGK,
+) -> DataFrame:
+    """Approximate pairwise key-overlap between groups →
+    (group_a, group_b, n_a_est, n_b_est, n_union_est, n_overlap_est,
+    jaccard_est) for every unordered group pair — the sketch-sized
+    stand-in for ``dedup.source_overlap_matrix`` when the exact
+    (source, shingle) pair join is too expensive: ONE scan builds a
+    per-group HLL of ``key_col``, then every pair is inclusion-exclusion
+    over sketches (|A∩B| ≈ |A|+|B|−|A∪B| via the scalar ``hll_union``),
+    entirely over a #groups-sized frame. At 100 TB the exact matrix
+    shuffles all distinct (group, key) rows; this shuffles one 2^lgk-byte
+    blob per group.
+
+    Error: each estimate carries the HLL rse (1.04/√2^lgk, ~1.6% at the
+    default), and inclusion-exclusion DIFFERENCES the estimates, so the
+    overlap error is relative to the UNION size, not the overlap — small
+    overlaps between large sets drown in sketch noise (documented HLL
+    limitation; use the exact matrix when overlap ≪ union matters).
+    Estimates are clamped at 0 and rounded to 2 dp."""
+    sks = df.filter(F.col(key_col).isNotNull()).groupBy(group_col).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("__sk")
+    )
+    a = sks.select(
+        F.col(group_col).alias("group_a"), F.col("__sk").alias("__ska")
+    )
+    b = sks.select(
+        F.col(group_col).alias("group_b"), F.col("__sk").alias("__skb")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    n_a = F.hll_sketch_estimate("__ska")
+    n_b = F.hll_sketch_estimate("__skb")
+    n_u = F.hll_sketch_estimate(F.hll_union(F.col("__ska"), F.col("__skb")))
+    n_o = F.greatest(F.lit(0.0), n_a + n_b - n_u)
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.round(n_a, 2).alias("n_a_est"),
+        F.round(n_b, 2).alias("n_b_est"),
+        F.round(n_u, 2).alias("n_union_est"),
+        F.round(n_o, 2).alias("n_overlap_est"),
+        F.round(
+            F.when(n_u > 0, n_o / n_u).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard_est"),
+    )
+
+
 def hist_group_sketches(
     df: DataFrame,
     group_cols: list[str],

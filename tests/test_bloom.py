@@ -238,3 +238,29 @@ def test_cms_join_size_never_underestimates_and_is_tight(spark):
         ).collect()[0][0]
         assert est >= true_size, (w, d, est, true_size)
         assert est <= true_size + 3.0 * (math.e / w) * 6_000 * 4_000, (w, d, est)
+
+
+def test_hll_overlap_matrix_within_sketch_error(spark):
+    """Inclusion-exclusion overlap estimates land within HLL error of
+    truth on a known-overlap construction (A = 0..4999, B = 3000..9999:
+    overlap 2000, union 10000), and the pair grid covers every unordered
+    pair exactly once."""
+    a = spark.range(0, 5_000).select(F.lit("A").alias("src"), F.col("id"))
+    b = spark.range(3_000, 10_000).select(F.lit("B").alias("src"), F.col("id"))
+    c = spark.range(20_000, 21_000).select(F.lit("C").alias("src"), F.col("id"))
+    df = a.unionByName(b).unionByName(c)
+    out = {
+        (r.group_a, r.group_b): r
+        for r in sk.hll_overlap_matrix(df, "src", "id").collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    # rse ~1.6% at lgk=12; the difference estimate is relative to the
+    # union — allow 5x rse of the union (~800 on 10k)
+    tol = 5 * 1.04 / (2**12) ** 0.5 * 10_000
+    assert abs(ab.n_overlap_est - 2_000) <= tol
+    assert abs(ab.n_union_est - 10_000) <= tol
+    assert abs(ab.jaccard_est - 0.2) <= 0.05
+    # disjoint pairs report (near-)zero overlap, never negative
+    assert out[("A", "C")].n_overlap_est <= tol
+    assert out[("A", "C")].n_overlap_est >= 0
