@@ -665,6 +665,85 @@ def theta_merge_slices(
     return out
 
 
+def theta_intersection_estimate(
+    sketch_a: F.Column | str,
+    sketch_b: F.Column | str,
+    k: int = THETA_DEFAULT_K,
+) -> F.Column:
+    """Estimated |A ∩ B| from two bottom-k Theta states built with the
+    same k — the operation the Theta family exists for (DataSketches'
+    headline advantage over HLL, whose only route to an intersection is
+    inclusion-exclusion differencing with error relative to the UNION):
+    take θ = min(θ_A, θ_B), count the COMMON hashes below the θ cutoff,
+    estimate count/θ. Error is relative to the intersection-sample size,
+    so small overlaps between large sets stay resolvable — the exact
+    regime ``hll_overlap_matrix`` documents as its weakness.
+
+    Unsaturated sides (fewer than k distinct keys) have θ = 1 and
+    contribute no cutoff; two unsaturated sketches give the EXACT
+    intersection count. Pure codegen set algebra over the two k-long
+    arrays — the per-element lambda only compares against an O(1)
+    cutoff column (the interpreted-HOF budget rule)."""
+    sa = F.col(sketch_a) if isinstance(sketch_a, str) else sketch_a
+    sb = F.col(sketch_b) if isinstance(sketch_b, str) else sketch_b
+    # kth-smallest hash = the θ cutoff, only when the sketch saturated
+    cut_a = F.when(F.size(sa) >= k, F.element_at(sa, k))
+    cut_b = F.when(F.size(sb) >= k, F.element_at(sb, k))
+    cutoff = F.least(cut_a, cut_b)  # least skips NULLs; NULL ⇒ both θ=1
+    inter = F.array_intersect(sa, sb)
+    below = F.when(cutoff.isNull(), F.size(inter)).otherwise(
+        F.size(F.filter(inter, lambda h: h < cutoff))
+    )
+    theta = F.when(
+        cutoff.isNull(), F.lit(1.0)
+    ).otherwise(
+        (cutoff.cast("double") + F.lit(float(2**63) + 1.0))
+        / F.lit(float(2**64))
+    )
+    return below.cast("double") / theta
+
+
+def theta_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = THETA_DEFAULT_K,
+) -> DataFrame:
+    """Approximate pairwise key-overlap between groups via DIRECT Theta
+    intersection → (group_a, group_b, n_a_est, n_b_est, n_overlap_est,
+    jaccard_est): one bottom-k state per group (one scan), every pair
+    estimated over the #groups-sized sketch frame. The companion to
+    ``hll_overlap_matrix`` for the small-overlap-between-large-sets
+    regime where inclusion-exclusion drowns in union noise; state is
+    k longs per group instead of 2^lgk bytes. Jaccard uses the union
+    estimate from the merged bottom-k state (the Theta union rule)."""
+    sks = theta_group_sketches(df, [group_col], key_col, k=k)
+    a = sks.select(
+        F.col(group_col).alias("group_a"), F.col("theta").alias("__ta")
+    )
+    b = sks.select(
+        F.col(group_col).alias("group_b"), F.col("theta").alias("__tb")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    union_state = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("__ta"), F.col("__tb")))),
+        1,
+        k,
+    )
+    n_o = theta_intersection_estimate(F.col("__ta"), F.col("__tb"), k)
+    n_u = _theta_estimate_col(union_state, k)
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.round(_theta_estimate_col("__ta", k), 2).alias("n_a_est"),
+        F.round(_theta_estimate_col("__tb", k), 2).alias("n_b_est"),
+        F.round(n_o, 2).alias("n_overlap_est"),
+        F.round(
+            F.when(n_u > 0, n_o / n_u).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard_est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: distributed build / probe / merge for semi-join pruning
 # ---------------------------------------------------------------------------

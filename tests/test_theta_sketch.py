@@ -90,3 +90,41 @@ def test_theta_meta_family():
     assert meta["relative_std_error"] == pytest.approx(1.0 / (4094.0**0.5))
     assert meta["bounds"]["2"]["lower"] < 1000.0 < meta["bounds"]["2"]["upper"]
     assert meta["bounds"]["1"]["upper"] < meta["bounds"]["3"]["upper"]
+
+
+def test_theta_intersection_exact_below_k(spark):
+    """Two unsaturated sketches intersect EXACTLY (theta = 1 on both
+    sides), including the disjoint case."""
+    a = spark.range(0, 500).select(F.lit("A").alias("g"), F.col("id"))
+    b = spark.range(300, 900).select(F.lit("B").alias("g"), F.col("id"))
+    c = spark.range(5_000, 5_100).select(F.lit("C").alias("g"), F.col("id"))
+    out = {
+        (r.group_a, r.group_b): r
+        for r in sk.theta_overlap_matrix(
+            a.unionByName(b).unionByName(c), "g", "id", k=4096
+        ).collect()
+    }
+    assert out[("A", "B")].n_overlap_est == 200.0
+    assert out[("A", "C")].n_overlap_est == 0.0
+    assert out[("B", "C")].n_overlap_est == 0.0
+    assert abs(out[("A", "B")].jaccard_est - 200.0 / 900.0) < 1e-6
+
+
+def test_theta_intersection_small_overlap_large_sets(spark):
+    """The regime HLL inclusion-exclusion cannot resolve: overlap of 400
+    between two 40k-key sets (1% of union). Saturated k=1024 sketches
+    estimate it within 5x the per-set rse of the OVERLAP itself — not of
+    the union — because the intersection is sampled directly."""
+    a = spark.range(0, 40_000).select(F.lit("A").alias("g"), F.col("id"))
+    b = spark.range(39_600, 79_600).select(F.lit("B").alias("g"), F.col("id"))
+    k = 1024
+    out = sk.theta_overlap_matrix(a.unionByName(b), "g", "id", k=k).collect()[0]
+    true_overlap = 400.0
+    # direct-sample error: the intersection keeps ~k * overlap/union
+    # points; allow a generous envelope around the expectation
+    assert out.n_overlap_est >= 0
+    assert abs(out.n_overlap_est - true_overlap) <= 0.75 * true_overlap, out
+    # sanity: per-set estimates within the 3-sigma theta envelope
+    rse = 1.0 / (k - 2) ** 0.5
+    assert abs(out.n_a_est - 40_000) <= 3 * rse * 40_000
+    assert abs(out.n_b_est - 40_000) <= 3 * rse * 40_000
