@@ -6332,6 +6332,15 @@ def multimodal_warc_roundtrip(spark, sf_dir):
 # oracle registration this round — they are pytest-certified
 # (test_similarity_blocked.py, test_pca_corr.py) and queue for the r7
 # window, keeping the no-additions-after-cut discipline intact.
+# r7 ORACLE QUEUE (register these as oracle rows when the r7 window is
+# cut, alongside whatever r6 leaves uncertified):
+#   - sketch_bloom_prune with exact=True: result ≡ plain left_semi join —
+#     the DuckDB oracle is the straight semi-join + group agg SQL.
+#   - a blocked-pairs assertion row: cosine_pairs_blocked ⊆ brute-force
+#     pairs at sf0.01 with recall 1.0 (it is exact, just blocked).
+#   - cms/theta/hll overlap entries stay rows-only (engine-seeded
+#     hashing / HLL blobs have no DuckDB equivalent) — their guarantees
+#     live in tests/test_bloom.py and tests/test_theta_sketch.py.
 # Composition: the 22 never-driver-green oracle-eligible queries (the 5 r5
 # reds, now surface-fixed per the OUTPUT-SURFACE CONTRACT above, + the 17
 # late-r5 additions that landed after the r5 window was cut), then the 3
