@@ -94,3 +94,64 @@ def test_theta_union_law_and_exactness(spark, keys, n_parts, k):
     n_distinct = len(set(keys))
     if n_distinct < k:
         assert merged == float(n_distinct)
+
+
+# ---------------------------------------------------------------------------
+# Bloom / Count-Min property laws (round-6 late additions)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60),
+    st.lists(st.integers(-(2**40), 2**40), min_size=0, max_size=60),
+    st.sampled_from([(1 << 10, 3), (1 << 14, 5)]),
+)
+@settings(**_SETTINGS)
+def test_bloom_laws_any_keys(spark, keys_a, keys_b, params):
+    """For ANY key sets and parameters: (1) no false negatives, (2)
+    merge of two builds == build of the union — the two laws that make
+    the filter safe to use as a semi-join pre-filter."""
+    m, k = params
+    a = spark.createDataFrame([(x,) for x in keys_a], "key long")
+    b = (
+        spark.createDataFrame([(x,) for x in keys_b], "key long")
+        if keys_b
+        else spark.createDataFrame([], "key long")
+    )
+    bloom_a = sk.bloom_build(a, "key", m_bits=m, k=k)
+    # law 1: every inserted key tests positive
+    probed = sk.bloom_probe(a, "key", bloom_a, m_bits=m, k=k)
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
+    # law 2: merge == union build (frame-exact)
+    merged = sk.bloom_merge(bloom_a, sk.bloom_build(b, "key", m_bits=m, k=k))
+    direct = sk.bloom_build(a.unionByName(b), "key", m_bits=m, k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=80),
+    st.sampled_from([(16, 2), (256, 4)]),
+)
+@settings(**_SETTINGS)
+def test_cms_laws_any_multiset(spark, keys, params):
+    """For ANY multiset (heavy collisions at w=16 included): estimates
+    never undercount the true multiplicity, and a 2-way split merged
+    equals the direct build."""
+    w, d = params
+    df = spark.createDataFrame([(x,) for x in keys], "key long")
+    cms = sk.cms_build(df, "key", w=w, d=d)
+    truth = df.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    got = sk.cms_lookup(truth, "key", cms, w=w, d=d)
+    assert got.filter(F.col("freq_est") < F.col("n")).count() == 0
+    half = len(keys) // 2
+    p1 = spark.createDataFrame([(x,) for x in keys[:half]], "key long")
+    p2 = spark.createDataFrame([(x,) for x in keys[half:]], "key long")
+    if half:
+        merged = sk.cms_merge(
+            sk.cms_build(p1, "key", w=w, d=d), sk.cms_build(p2, "key", w=w, d=d)
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, cms.collect())
+        )
