@@ -6196,6 +6196,32 @@ def dedup_source_overlap_approx(spark, sf_dir):
     )
 
 
+@q("sim_hard_negatives")  # rows-only THIS round (frozen window): exact
+# brute-force path IS oracle-expressible and queues for r7; geometry and
+# numpy-differential parity in tests/test_similarity_blocked.py.
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): per anchor, the
+    k most-similar corpus vectors that are neither the anchor nor its
+    labeled positives — the negative-selection step between retrieval
+    and contrastive training. Anchors here are the first 8 vectors with
+    their immediate successor as the labeled positive; candidate
+    generation is the exact brute-force path (sf-scale baseline; at
+    100 TB pass candidate_fn=lsh/ivf_ann_topk)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    pos = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            (F.col("vec_id") + 1).alias("positive_id"),
+        )
+    )
+    out = sim.hard_negatives(emb, pos, k=5)
+    return out.select(
+        "anchor_id", "vec_id", F.round("sim", 6).alias("sim"), "rank"
+    ).orderBy("anchor_id", "rank")
+
+
 @q("streaming_ewma_anomalies")
 def streaming_ewma_anomalies(spark, sf_dir):
     """Stateful streaming per-key EWMA anomaly monitor

@@ -1244,3 +1244,83 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_id_col).applyInPandas(rerank, out_schema)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_col: str = "anchor_id",
+    positive_col: str = "positive_id",
+    candidate_fn=None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training →
+    (anchor_id, vec_id, sim, rank): per anchor, the ``k`` corpus vectors
+    MOST similar to it that are neither the anchor itself nor one of its
+    labeled positives — the standard negative-selection step between
+    retrieval and training (random negatives are too easy; the hardest
+    non-positives carry the gradient signal).
+
+    Plan: anchors = corpus semi-joined to the distinct anchor ids; the
+    over-fetch margin is k + (max positives per anchor) + 1 — one bounded
+    scalar over the positives frame — so the top-k survives the
+    exclusion anti-join in the worst case. Candidate generation defaults
+    to ``brute_force_topk`` (exact; the sf-test baseline); at scale pass
+    ``candidate_fn=lambda c, q, fk: lsh_ann_topk(c, q, k=fk, ...)`` (or
+    the IVF/PCA variants) — any callable returning
+    (query_id, id_col, sim[, ...]). Exclusion is a per-(anchor, id)
+    left_anti; final rank is a per-anchor window with (sim desc, id)
+    total order — deterministic across engines and partitionings."""
+    n_margin_row = (
+        positives.groupBy(anchor_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__m"))
+        .collect()  # bounded: one scalar
+    )
+    n_margin = int(n_margin_row[0]["__m"] or 0)
+    fetch_k = k + n_margin + 1
+    anchors = (
+        corpus.join(
+            positives.select(F.col(anchor_col).alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+    )
+    if candidate_fn is None:
+        cands = brute_force_topk(
+            corpus, anchors, k=fetch_k, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cands = candidate_fn(corpus, anchors, fetch_k)
+    banned = (
+        positives.select(
+            F.col(anchor_col).alias("query_id"),
+            F.col(positive_col).alias(id_col),
+        )
+        .unionByName(
+            positives.select(
+                F.col(anchor_col).alias("query_id"),
+                F.col(anchor_col).alias(id_col),
+            )
+        )
+        .distinct()
+    )
+    out = cands.join(banned, ["query_id", id_col], "left_anti")
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(
+            F.col("query_id").alias(anchor_col),
+            id_col,
+            "sim",
+            F.col("__r").alias("rank"),
+        )
+    )

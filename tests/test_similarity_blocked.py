@@ -127,3 +127,51 @@ def test_cosine_join_blocked_plan_no_cartesian(spark, tables):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_excludes_self_and_positives(spark):
+    """Constructed geometry: anchor 0's nearest neighbors in order are
+    1 (its labeled positive), then 2, 3, 4. Hard negatives at k=2 must
+    be exactly [2, 3] — self and the positive excluded, order by sim."""
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),   # positive of 0 (nearest)
+        (2, [0.99, 0.1]),     # hardest negative
+        (3, [0.9, 0.3]),
+        (4, [0.0, 1.0]),      # far
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pos = spark.createDataFrame([(0, 1)], "anchor_id long, positive_id long")
+    got = sim.hard_negatives(corpus, pos, k=2).collect()
+    assert [(r.anchor_id, r.vec_id, r.rank) for r in got] == [(0, 2, 1), (0, 3, 2)]
+
+
+def test_hard_negatives_matches_numpy_replica(spark):
+    """Random corpus + random positive sets: the mined negatives equal a
+    numpy argsort replica with the same exclusions and tie-breaks."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, dim, k = 40, 8, 5
+    mat = rng.randn(n, dim)
+    corpus = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    pos_pairs = [(0, 3), (0, 7), (11, 2)]
+    pos = spark.createDataFrame(pos_pairs, "anchor_id long, positive_id long")
+    got = {
+        (r.anchor_id, r.rank): r.vec_id
+        for r in sim.hard_negatives(corpus, pos, k=k).collect()
+    }
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    for a in {p[0] for p in pos_pairs}:
+        banned = {a} | {p for q, p in pos_pairs if q == a}
+        # replicate the operator's 6-dp sim rounding before ordering
+        order = sorted(
+            (i for i in range(n) if i not in banned),
+            key=lambda i: (-round(float(sims[a, i]), 6), i),
+        )[:k]
+        for rank, i in enumerate(order, 1):
+            assert got[(a, rank)] == i, (a, rank, got[(a, rank)], i)
