@@ -6222,6 +6222,37 @@ def sim_hard_negatives(spark, sf_dir):
     ).orderBy("anchor_id", "rank")
 
 
+@q("sim_retrieval_eval")  # rows-only THIS round (frozen window): the metric
+# panel is SQL-expressible and queues for r7; hand-computed + perfect-
+# retriever invariants in tests/test_similarity_blocked.py.
+def sim_retrieval_eval(spark, sf_dir):
+    """Retrieval evaluation panel (similarity.retrieval_metrics):
+    recall@k / precision@k / MRR / nDCG@k of the LSH ANN against
+    brute-force truth on the same queries — the quality dashboard every
+    ANN deployment watches, computed as one join + one aggregation with
+    a closed-form ideal-DCG lookup (no second ranking pass)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = sim.brute_force_topk(emb, queries, k=5, exclude_self=True).select(
+        "query_id", "vec_id"
+    )
+    # lsh_ann_topk has no self-exclusion: over-fetch one, drop the anchor,
+    # re-rank on the same (sim desc, id) total order
+    from pyspark.sql.window import Window as _W
+
+    raw = sim.lsh_ann_topk(emb, queries, k=6, num_planes=6, num_tables=8)
+    w = _W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    results = (
+        raw.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    return sim.retrieval_metrics(results, truth, k=5).orderBy("query_id")
+
+
 @q("streaming_ewma_anomalies")
 def streaming_ewma_anomalies(spark, sf_dir):
     """Stateful streaming per-key EWMA anomaly monitor

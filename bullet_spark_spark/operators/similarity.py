@@ -1246,6 +1246,74 @@ def mmr_rerank(
     return candidates.groupBy(query_id_col).applyInPandas(rerank, out_schema)
 
 
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval quality → (query_id, n_rel, n_hit, recall_at_k,
+    precision_at_k, mrr, ndcg_at_k): the standard eval panel for any
+    ranked retrieval (the four ANN variants here, BM25, a re-ranker) —
+    ``results`` is a ranked frame (query_id, id, rank), ``truth`` the
+    binary relevance set (query_id, id). Queries present in ``truth``
+    but absent from ``results`` score 0 across the board (a retriever
+    that returns nothing must not be rewarded by dropping the query).
+
+    One join + one aggregation: results cut to rank ≤ k, left-joined to
+    truth per (query, id); per-query conditional aggregates give hits,
+    first-hit rank (MRR) and the DCG sum; the ideal DCG is a closed
+    lookup — element min(n_rel, k) of a k-long literal cumulative
+    1/log2(i+1) array (the literal-array trick the Bloom masks use) —
+    so nDCG needs no second ranking pass. Metrics rounded to 6 dp."""
+    # cumulative ideal-DCG table: idcg[m] = sum_{i=1..m} 1/log2(i+1)
+    acc, idcg = 0.0, []
+    for i in range(1, k + 1):
+        acc += 1.0 / math.log2(i + 1)
+        idcg.append(acc)
+    idcg_lit = F.lit(idcg)
+    t = truth.select(
+        F.col(query_id_col), F.col(id_col), F.lit(1).alias("__rel")
+    ).distinct()
+    n_rel = t.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    cut = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_id_col), F.col(id_col), F.col(rank_col)
+    )
+    joined = cut.join(t, [query_id_col, id_col], "left")
+    rel = F.col("__rel").isNotNull()
+    per_q = joined.groupBy(query_id_col).agg(
+        F.sum(F.when(rel, 1).otherwise(0)).alias("n_hit"),
+        F.min(F.when(rel, F.col(rank_col))).alias("__first"),
+        F.round(
+            F.sum(
+                F.when(rel, F.lit(1.0) / F.log2(F.col(rank_col) + 1)).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            9,
+        ).alias("__dcg"),
+    )
+    # n_rel is the spine: truth-only queries surface with zero metrics
+    out = n_rel.join(per_q, query_id_col, "left")
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    ideal = F.element_at(idcg_lit, F.least(F.col("n_rel"), F.lit(k)).cast("int"))
+    return out.select(
+        query_id_col,
+        "n_rel",
+        n_hit.alias("n_hit"),
+        F.round(n_hit / F.col("n_rel"), 6).alias("recall_at_k"),
+        F.round(n_hit / F.lit(float(k)), 6).alias("precision_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(
+            F.coalesce(F.col("__dcg"), F.lit(0.0)) / ideal, 6
+        ).alias("ndcg_at_k"),
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     positives: DataFrame,

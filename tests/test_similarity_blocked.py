@@ -175,3 +175,46 @@ def test_hard_negatives_matches_numpy_replica(spark):
         )[:k]
         for rank, i in enumerate(order, 1):
             assert got[(a, rank)] == i, (a, rank, got[(a, rank)], i)
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """Hand-checked panel: q1 hits 2 of 3 relevant at ranks 1 and 3;
+    q2 retrieves nothing relevant; q3 is in truth but absent from
+    results (must score 0, not vanish)."""
+    import math as m
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        "query_id long, vec_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 77), (3, 5)],
+        "query_id long, vec_id long",
+    )
+    out = {r.query_id: r for r in sim.retrieval_metrics(results, truth, k=3).collect()}
+    q1 = out[1]
+    assert (q1.n_rel, q1.n_hit) == (3, 2)
+    assert q1.recall_at_k == round(2 / 3, 6)
+    assert q1.precision_at_k == round(2 / 3, 6)
+    assert q1.mrr == 1.0
+    dcg = 1 / m.log2(2) + 1 / m.log2(4)
+    idcg = 1 / m.log2(2) + 1 / m.log2(3) + 1 / m.log2(4)
+    assert abs(q1.ndcg_at_k - dcg / idcg) < 1e-6
+    assert (out[2].n_hit, out[2].mrr, out[2].ndcg_at_k) == (0, 0.0, 0.0)
+    assert (out[3].n_rel, out[3].recall_at_k, out[3].ndcg_at_k) == (1, 0.0, 0.0)
+
+
+def test_retrieval_metrics_perfect_retriever(spark):
+    """A retriever returning exactly the relevant set in any order has
+    recall 1 and ndcg 1."""
+    truth = spark.createDataFrame(
+        [(1, i) for i in range(5)], "query_id long, vec_id long"
+    )
+    results = spark.createDataFrame(
+        [(1, i, r + 1) for r, i in enumerate([4, 2, 0, 3, 1])],
+        "query_id long, vec_id long, rank long",
+    )
+    r = sim.retrieval_metrics(results, truth, k=5).collect()[0]
+    assert (r.recall_at_k, r.precision_at_k, r.mrr, r.ndcg_at_k) == (
+        1.0, 1.0, 1.0, 1.0,
+    )
