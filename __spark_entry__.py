@@ -4,8 +4,8 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + M4/M5
 extensions), each (spark, sf_dir) -> DataFrame. Registration order is the
 driver's check order: the driver certifies the FIRST 50 oracle-eligible
-registrations, so `_WINDOW_R5` (end of file) rotates which 50 sit inside
-the window each round; the rows-only queries register last
+registrations, so the current `_WINDOW_R{N}` list (end of file) rotates
+which 50 sit inside the window each round; the rows-only queries register last
 (engine-specific hashing/sketching or iteration that no engine-independent
 SQL reproduces: minhash/simhash/LSH use Spark's xxhash64, IVF cells are
 engine-trained, multimodal features run in mapInPandas, BPE merges are an
