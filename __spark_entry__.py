@@ -6363,6 +6363,69 @@ def multimodal_warc_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_span_exact",  # registered AFTER the frozen r6 window — first
+    # driver exposure is the r7 rotation; until then check_oracle certifies
+    # it locally every round alongside tests/test_span_dedup.py.
+    r"""WITH t AS (
+         SELECT doc_id,
+                string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                             ' ') AS toks
+         FROM documents),
+       p AS (
+         SELECT doc_id, len(toks) AS n_tokens,
+                unnest(range(1, len(toks) - 8 + 2)) AS pos, toks
+         FROM t WHERE len(toks) >= 8),
+       g AS (
+         SELECT doc_id, n_tokens, pos,
+                array_to_string(toks[pos:pos+7], ' ') AS gram
+         FROM p),
+       d AS (SELECT gram FROM g GROUP BY gram
+             HAVING count(DISTINCT doc_id) > 1),
+       h AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN d USING (gram)),
+       i AS (
+         SELECT doc_id, n_tokens, pos,
+                CASE WHEN pos <= lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos) + 8
+                     THEN 0 ELSE 1 END AS brk
+         FROM h),
+       s AS (
+         SELECT doc_id, n_tokens, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         FROM i),
+       sp AS (
+         SELECT doc_id, n_tokens, isl, count(*) AS n_grams,
+                max(pos) - min(pos) + 8 AS span_toks
+         FROM s GROUP BY doc_id, n_tokens, isl)
+       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(sum(n_grams) AS BIGINT) AS dup_grams,
+              count(*) AS dup_spans,
+              CAST(sum(span_toks) AS BIGINT) AS dup_tokens,
+              round(CAST(sum(span_toks) AS DOUBLE) / n_tokens, 6) AS dup_frac
+       FROM sp GROUP BY doc_id, n_tokens""",
+)
+def dedup_span_exact(spark, sf_dir):
+    """Cross-document exact-substring SPAN dedup (dedup.duplicated_spans):
+    overlapping word 8-grams hashed per position, positions whose gram
+    occurs in >1 distinct document merged into maximal duplicated spans
+    (gaps-and-islands) — the alignment-free passage-level posture of the
+    suffix-array dedup literature that segment-grid dedup cannot catch.
+    Oracle replays the identical pipeline on gram STRINGS (the Spark side
+    ships xxhash64 longs through its shuffles instead; 64-bit collisions
+    are negligible at any checkable sf). Outputs per affected doc:
+    n_tokens, dup_grams, dup_spans, dup_tokens, dup_frac."""
+    t = _t(spark, sf_dir)
+    out = dd.duplicated_spans(t["documents"], "doc_id", "text", k=8, max_df=1)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_grams",
+        "dup_spans",
+        "dup_tokens",
+        "dup_frac",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -6391,6 +6454,8 @@ def multimodal_warc_roundtrip(spark, sf_dir):
 # window, keeping the no-additions-after-cut discipline intact.
 # r7 ORACLE QUEUE (register these as oracle rows when the r7 window is
 # cut, alongside whatever r6 leaves uncertified):
+#   - dedup_span_exact (registered post-freeze with its oracle SQL in
+#     place — check_oracle certifies it locally; first driver row is r7).
 #   - sketch_bloom_prune with exact=True: result ≡ plain left_semi join —
 #     the DuckDB oracle is the straight semi-join + group agg SQL.
 #   - a blocked-pairs assertion row: cosine_pairs_blocked ⊆ brute-force

@@ -1504,3 +1504,94 @@ def plan_lsh_bands(
         if best is None or score < best[0]:
             best = (score, b, r, thr)
     return best[1], best[2], best[3]
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """Cross-document exact-substring span detection over OVERLAPPING
+    word k-grams — the fine-grained sibling of ``segment_dedup``.
+    ``segment_dedup`` only catches repeats aligned to its non-overlapping
+    segment grid; a passage shifted by one word slips through. This is
+    the exact-substring posture of the suffix-array dedup literature
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"), re-expressed distributed: every k-token window is hashed,
+    windows whose gram occurs in more than ``max_df`` DISTINCT documents
+    are duplicated positions, and overlapping/adjacent duplicated
+    positions merge into maximal spans (gaps-and-islands).
+
+    Returns one row per document that contains at least one duplicated
+    span: (id, n_tokens, dup_grams, dup_spans, dup_tokens, dup_frac)
+    where dup_tokens is the total token count covered by merged spans and
+    dup_frac = dup_tokens / n_tokens.
+
+    Scale shape: the (id, pos, gram-hash) frame is linear in corpus
+    tokens and computed once (persisted across its two consumers); grams
+    leave the row as xxhash64 longs — the gram STRINGS never enter a
+    shuffle. Shuffle 1 is the gram-keyed document-frequency aggregate
+    (map-side partial); duplicated positions come back via a left-semi
+    join that AQE broadcasts while the dup-gram set is small. Span
+    merging is one window over (doc, pos) — partitioned by document, no
+    skew beyond document length. No driver collects, no all-pairs
+    stage: cost is O(tokens) + Σ_gram df(gram), not O(docs²).
+
+    The k-gram array is built with slice/transform over a MATERIALIZED
+    token column (HOF lambdas are interpreted — the token split must not
+    be re-evaluated per element), and hashing happens AFTER posexplode so
+    it runs in whole-stage codegen, not inside the lambda.
+
+    Reference analog: none (bullet has no dedup surface); M5 extension
+    family alongside segment_dedup / ngram containment.
+    """
+    from pyspark import StorageLevel
+
+    toks_f = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
+    ).filter(F.size("__toks") >= k)
+    grams = (
+        toks_f.select(
+            "id",
+            F.size("__toks").alias("n_tokens"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - k),
+                    lambda i: F.array_join(
+                        F.slice(F.col("__toks"), i + 1, k), " "
+                    ),
+                )
+            ).alias("pos", "__gram"),
+        )
+        .select("id", "n_tokens", "pos", F.xxhash64("__gram").alias("gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi")
+    w = W.partitionBy("id").orderBy("pos")
+    islands = (
+        hits.withColumn(
+            "__brk",
+            F.when(F.col("pos") <= F.lag("pos").over(w) + k, 0).otherwise(1),
+        )
+        .withColumn("__isl", F.sum("__brk").over(w))
+        .groupBy("id", "n_tokens", "__isl")
+        .agg(
+            F.count(F.lit(1)).alias("__grams"),
+            (F.max("pos") - F.min("pos") + k).alias("__span_toks"),
+        )
+    )
+    return islands.groupBy("id", "n_tokens").agg(
+        F.sum("__grams").alias("dup_grams"),
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum("__span_toks").alias("dup_tokens"),
+        F.round(F.sum("__span_toks") / F.col("n_tokens"), 6).alias("dup_frac"),
+    )

@@ -1,0 +1,120 @@
+"""duplicated_spans: cross-document overlapping-k-gram span dedup.
+
+Hand-computed fixtures (exact span geometry is the point: island merging,
+adjacency, alignment-free detection that segment_dedup's grid misses) plus
+a DuckDB differential on the real documents table — the same SQL replay the
+dedup_span_exact oracle uses, on gram strings instead of xxhash64.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import dedup as dd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_passage_merges_into_one_span(spark):
+    # 12-token shared passage inside otherwise-unique 20-token docs:
+    # positions 0..4 of the passage's 8-grams all duplicate and the
+    # overlapping islands must merge into ONE span of 12 tokens.
+    shared = " ".join(f"s{i}" for i in range(12))
+    a = "a0 a1 a2 a3 " + shared + " a4 a5 a6 a7"
+    b = "b0 b1 b2 b3 " + shared + " b4 b5 b6 b7"
+    out = dd.duplicated_spans(_docs(spark, [(1, a), (2, b)]), k=8).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.n_tokens == 20
+        assert r.dup_spans == 1
+        assert r.dup_grams == 5  # 12 - 8 + 1
+        assert r.dup_tokens == 12
+        assert abs(r.dup_frac - 12 / 20) < 1e-9
+
+
+def test_alignment_free_where_segment_grid_misses(spark):
+    # The same passage shifted by one word relative to a seg_words=10
+    # grid: segment_dedup finds nothing (no identical grid cell), the
+    # overlapping-gram pass still flags the full passage.
+    shared = " ".join(f"s{i}" for i in range(10))
+    a = shared + " " + " ".join(f"a{i}" for i in range(10))
+    b = "x " + shared + " " + " ".join(f"b{i}" for i in range(9))
+    docs = _docs(spark, [(1, a), (2, b)])
+    seg = dd.segment_dedup(docs, seg_words=10).agg(F.sum("n_removed")).first()[0]
+    assert seg == 0
+    spans = {r.doc_id: r for r in
+             dd.duplicated_spans(docs, k=8)
+             .withColumnRenamed("id", "doc_id").collect()}
+    assert spans[1].dup_tokens == 10 and spans[2].dup_tokens == 10
+
+
+def test_within_doc_repeat_not_flagged_and_short_docs_skipped(spark):
+    # max_df counts DISTINCT docs: a passage repeated twice inside ONE
+    # doc is repeated_spans' job, not this operator's; docs under k
+    # tokens produce no grams at all.
+    rep = " ".join(f"r{i}" for i in range(9))
+    rows = [(1, rep + " mid " + rep), (2, "tiny doc"), (3, "unrelated words only here")]
+    assert dd.duplicated_spans(_docs(spark, rows), k=8).count() == 0
+
+
+def test_two_disjoint_spans_stay_disjoint(spark):
+    # Two shared 8-grams separated by >k unique tokens: two islands.
+    s1 = " ".join(f"p{i}" for i in range(8))
+    s2 = " ".join(f"q{i}" for i in range(8))
+    gap_a = " ".join(f"a{i}" for i in range(10))
+    gap_b = " ".join(f"b{i}" for i in range(10))
+    a = s1 + " " + gap_a + " " + s2
+    b = s1 + " " + gap_b + " " + s2
+    out = {r.id: r for r in dd.duplicated_spans(_docs(spark, [(1, a), (2, b)]), k=8).collect()}
+    assert out[1].dup_spans == 2 and out[1].dup_tokens == 16
+    assert out[2].dup_spans == 2 and out[2].dup_tokens == 16
+
+
+def test_duckdb_differential_on_documents(tables, duck):
+    """Full-pipeline differential at sf0.001: Spark (xxhash64 grams)
+    vs DuckDB (string grams) must agree tuple-for-tuple."""
+    spark_rows = sorted(
+        (r.id, r.n_tokens, r.dup_grams, r.dup_spans, r.dup_tokens,
+         round(r.dup_frac, 6))
+        for r in dd.duplicated_spans(tables["documents"], k=8).collect()
+    )
+    duck_rows = sorted(
+        (r[0], r[1], r[2], r[3], r[4], round(r[5], 6))
+        for r in duck.execute(r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)),
+                                                 '\s+', ' ', 'g'), ' ') AS toks
+              FROM documents),
+            p AS (SELECT doc_id, len(toks) AS n_tokens,
+                         unnest(range(1, len(toks) - 8 + 2)) AS pos, toks
+                  FROM t WHERE len(toks) >= 8),
+            g AS (SELECT doc_id, n_tokens, pos,
+                         array_to_string(toks[pos:pos+7], ' ') AS gram
+                  FROM p),
+            d AS (SELECT gram FROM g GROUP BY gram
+                  HAVING count(DISTINCT doc_id) > 1),
+            h AS (SELECT g.doc_id, g.n_tokens, g.pos
+                  FROM g JOIN d USING (gram)),
+            i AS (SELECT doc_id, n_tokens, pos,
+                         CASE WHEN pos <= lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) + 8
+                              THEN 0 ELSE 1 END AS brk
+                  FROM h),
+            s AS (SELECT doc_id, n_tokens, pos,
+                         sum(brk) OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS isl
+                  FROM i),
+            sp AS (SELECT doc_id, n_tokens, isl, count(*) AS n_grams,
+                          max(pos) - min(pos) + 8 AS span_toks
+                   FROM s GROUP BY doc_id, n_tokens, isl)
+            SELECT doc_id, CAST(n_tokens AS BIGINT),
+                   CAST(sum(n_grams) AS BIGINT), count(*),
+                   CAST(sum(span_toks) AS BIGINT),
+                   round(CAST(sum(span_toks) AS DOUBLE) / n_tokens, 6)
+            FROM sp GROUP BY doc_id, n_tokens
+        """).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert len(spark_rows) > 0  # the sf0.001 corpus does carry shared spans
