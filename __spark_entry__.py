@@ -6426,6 +6426,61 @@ def dedup_span_exact(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_span_scrub",  # registered AFTER the frozen r6 window (r7 queue);
+    # check_oracle certifies it locally alongside tests/test_span_dedup.py.
+    r"""WITH t AS (
+         SELECT doc_id,
+                string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                             ' ') AS toks
+         FROM documents),
+       tk AS (
+         SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS tok,
+                unnest(range(1, len(toks) + 1)) AS i
+         FROM t WHERE len(toks) >= 8),
+       p AS (
+         SELECT doc_id, unnest(range(1, len(toks) - 8 + 2)) AS pos, toks
+         FROM t WHERE len(toks) >= 8),
+       g AS (
+         SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+         FROM p),
+       d AS (SELECT gram FROM g GROUP BY gram
+             HAVING count(DISTINCT doc_id) > 1),
+       h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+       cov AS (
+         SELECT DISTINCT h.doc_id, h.pos + u.off AS i
+         FROM h, unnest(range(0, 8)) AS u(off)),
+       clean AS (
+         SELECT tk.doc_id, tk.n_tokens,
+                count(cov.i) AS dup_tokens,
+                coalesce(string_agg(
+                  CASE WHEN cov.i IS NULL THEN tk.tok END,
+                  ' ' ORDER BY tk.i), '') AS text_clean
+         FROM tk LEFT JOIN cov
+           ON tk.doc_id = cov.doc_id AND tk.i = cov.i
+         GROUP BY tk.doc_id, tk.n_tokens)
+       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(dup_tokens AS BIGINT) AS dup_tokens, text_clean
+       FROM clean""",
+)
+def dedup_span_scrub(spark, sf_dir):
+    """Span-level corpus scrub (dedup.scrub_duplicated_spans): every
+    token covered by a cross-document duplicated word-8-gram is dropped
+    from ALL documents and the survivors rejoined in order — detection
+    (dedup_span_exact) carried through to the rebuilt training corpus,
+    at any alignment instead of segment_dedup's fixed grid. The oracle
+    rebuilds text_clean independently via a token/covered-index
+    anti-match string_agg on gram strings."""
+    t = _t(spark, sf_dir)
+    out = dd.scrub_duplicated_spans(t["documents"], "doc_id", "text", k=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        "text_clean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -6454,8 +6509,9 @@ def dedup_span_exact(spark, sf_dir):
 # window, keeping the no-additions-after-cut discipline intact.
 # r7 ORACLE QUEUE (register these as oracle rows when the r7 window is
 # cut, alongside whatever r6 leaves uncertified):
-#   - dedup_span_exact (registered post-freeze with its oracle SQL in
-#     place — check_oracle certifies it locally; first driver row is r7).
+#   - dedup_span_exact / dedup_span_scrub (registered post-freeze with
+#     their oracle SQL in place — check_oracle certifies them locally;
+#     first driver row is r7).
 #   - sketch_bloom_prune with exact=True: result ≡ plain left_semi join —
 #     the DuckDB oracle is the straight semi-join + group agg SQL.
 #   - a blocked-pairs assertion row: cosine_pairs_blocked ⊆ brute-force

@@ -1595,3 +1595,82 @@ def duplicated_spans(
         F.sum("__span_toks").alias("dup_tokens"),
         F.round(F.sum("__span_toks") / F.col("n_tokens"), 6).alias("dup_frac"),
     )
+
+
+def scrub_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """Remove cross-document duplicated SPANS from every document —
+    detection (``duplicated_spans``) carried through to the rebuilt
+    corpus, at span granularity instead of ``segment_dedup``'s fixed
+    grid. Every token covered by any word k-gram that occurs in more
+    than ``max_df`` DISTINCT documents is dropped from ALL documents
+    (the C4/boilerplate posture: repeated passages are chrome, nobody
+    keeps a copy), and the surviving tokens are rejoined in order.
+
+    Returns every document ≥ k tokens: (id, n_tokens, dup_tokens,
+    text_clean); unaffected documents pass through with dup_tokens = 0.
+
+    Scale shape: shares ``duplicated_spans``' linear gram frame and its
+    single gram-keyed shuffle; the covered-token mask is built row-local
+    from the doc's duplicated positions (posexplode of per-position
+    ``sequence(pos, pos+k-1)`` index ranges → collect_set per doc — the
+    set is bounded by document length, NOT corpus size), and the rebuild
+    is an array_except of index arrays exactly like segment_dedup's
+    surviving-segment recovery. No stage touches more than O(corpus
+    tokens) rows.
+    """
+    from pyspark import StorageLevel
+
+    toks_f = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
+    ).filter(F.size("__toks") >= k).persist(StorageLevel.MEMORY_AND_DISK)
+    grams = toks_f.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k),
+                lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, k), " "),
+            )
+        ).alias("pos", "__gram"),
+    ).select("id", "pos", F.xxhash64("__gram").alias("gh"))
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup, "gh", "left_semi")
+        .select("id", F.explode(F.sequence("pos", F.col("pos") + k - 1)).alias("__ti"))
+        .groupBy("id")
+        .agg(F.collect_set("__ti").alias("__cov"))
+    )
+    return (
+        toks_f.join(covered, "id", "left")
+        .withColumn(
+            "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+        )
+        .withColumn(
+            "__keep",
+            F.array_sort(
+                F.array_except(
+                    F.sequence(F.lit(0), F.size("__toks") - 1), F.col("__cov")
+                )
+            ),
+        )
+        .select(
+            "id",
+            F.size("__toks").alias("n_tokens"),
+            F.size("__cov").alias("dup_tokens"),
+            F.array_join(
+                F.transform(F.col("__keep"), lambda i: F.col("__toks")[i]), " "
+            ).alias("text_clean"),
+        )
+    )

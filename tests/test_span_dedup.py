@@ -118,3 +118,24 @@ def test_duckdb_differential_on_documents(tables, duck):
     )
     assert spark_rows == duck_rows
     assert len(spark_rows) > 0  # the sf0.001 corpus does carry shared spans
+
+
+def test_scrub_removes_span_from_all_docs(spark):
+    shared = " ".join(f"s{i}" for i in range(10))
+    a = "a0 a1 " + shared + " a2 a3"
+    b = "b0 b1 b2 " + shared
+    c = "c0 c1 c2 c3 c4 c5 c6 c7 c8"  # unaffected, >= k tokens
+    out = {r.id: r for r in
+           dd.scrub_duplicated_spans(_docs(spark, [(1, a), (2, b), (3, c)]),
+                                     k=8).collect()}
+    assert out[1].text_clean == "a0 a1 a2 a3" and out[1].dup_tokens == 10
+    assert out[2].text_clean == "b0 b1 b2" and out[2].dup_tokens == 10
+    assert out[3].text_clean == c and out[3].dup_tokens == 0
+
+
+def test_scrub_fully_duplicated_doc_empties(spark):
+    t = " ".join(f"w{i}" for i in range(9))
+    out = {r.id: r for r in
+           dd.scrub_duplicated_spans(_docs(spark, [(1, t), (2, t)]), k=8).collect()}
+    for r in out.values():
+        assert r.text_clean == "" and r.dup_tokens == 9 and r.n_tokens == 9
