@@ -6481,6 +6481,65 @@ def dedup_span_scrub(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_winnow_pairs",  # registered AFTER the frozen r6 window (r7
+    # queue); check_oracle certifies it locally. Oracle replays the exact
+    # md5 winnowing selection — the fingerprint CHOICE is engine-portable
+    # because lexicographic min over fixed-width hex+zero-padded-pos is
+    # the same in any engine (position base cancels: both are monotonic).
+    r"""WITH t AS (
+         SELECT doc_id,
+                string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                             ' ') AS toks
+         FROM documents),
+       p AS (
+         SELECT doc_id, len(toks) AS n,
+                unnest(range(1, len(toks) - 5 + 2)) AS pos, toks
+         FROM t WHERE len(toks) >= 5 + 4 - 1),
+       g AS (
+         SELECT doc_id, n, pos,
+                md5(array_to_string(toks[pos:pos+4], ' ')) AS fp
+         FROM p),
+       kd AS (
+         SELECT doc_id, n, pos, fp,
+                fp || '|' || lpad(CAST(pos AS VARCHAR), 8, '0') AS key
+         FROM g),
+       selraw AS (
+         -- window min BEFORE the complete-window filter: tail rows must
+         -- stay in the frame as FOLLOWING rows of earlier windows
+         SELECT doc_id, pos, n,
+                min(key) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+         FROM kd),
+       sel AS (
+         SELECT DISTINCT doc_id, substr(mk, 1, 32) AS fp
+         FROM selraw WHERE pos <= (n - 5 + 1) - 4 + 1),
+       keep AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 1000),
+       f AS (SELECT sel.doc_id, sel.fp FROM sel JOIN keep USING (fp))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING count(*) >= 2""",
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing near-dup pairs (dedup.winnow_fingerprints/winnow_pairs;
+    Schleimer-Wilkerson-Aiken SIGMOD'03, the MOSS fingerprinting
+    algorithm): each w=4 window of consecutive word-5-gram md5 hashes
+    selects its minimum as a fingerprint — guaranteed to catch any
+    shared passage of >= w+k-1 tokens while keeping the posting table at
+    ~2/(w+1) the gram count, so the pair self-join runs on a winnowed
+    postings list with the usual hot-fingerprint prune. Output: doc
+    pairs sharing >= 2 fingerprints."""
+    t = _t(spark, sf_dir)
+    out = dd.winnow_pairs(
+        t["documents"], "doc_id", "text", k=5, w=4, min_shared=2, max_df=1000
+    )
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.col("shared")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -6509,9 +6568,9 @@ def dedup_span_scrub(spark, sf_dir):
 # window, keeping the no-additions-after-cut discipline intact.
 # r7 ORACLE QUEUE (register these as oracle rows when the r7 window is
 # cut, alongside whatever r6 leaves uncertified):
-#   - dedup_span_exact / dedup_span_scrub (registered post-freeze with
-#     their oracle SQL in place — check_oracle certifies them locally;
-#     first driver row is r7).
+#   - dedup_span_exact / dedup_span_scrub / dedup_winnow_pairs (registered
+#     post-freeze with their oracle SQL in place — check_oracle certifies
+#     them locally; first driver row is r7).
 #   - sketch_bloom_prune with exact=True: result ≡ plain left_semi join —
 #     the DuckDB oracle is the straight semi-join + group agg SQL.
 #   - a blocked-pairs assertion row: cosine_pairs_blocked ⊆ brute-force

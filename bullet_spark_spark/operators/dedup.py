@@ -1674,3 +1674,104 @@ def scrub_duplicated_spans(
             ).alias("text_clean"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    window of ``w`` consecutive gram hashes, and select each window's
+    minimum (leftmost on ties). Guarantees: any shared passage of at
+    least w+k-1 tokens produces at least one shared fingerprint
+    (coverage), and the expected selected density is 2/(w+1) — the
+    fingerprint posting table is ~w/2× smaller than the full gram
+    table, which is the whole point at corpus scale: downstream
+    pair-finding joins touch fingerprints, not grams.
+
+    Returns (id, pos, fp) — fp is the gram's md5 hex. md5 (not
+    xxhash64) so the SELECTION is engine-portable: lexicographic min
+    over fixed-width hex equals numeric min over the hash value, and
+    every engine with md5/lpad/window-min replays it exactly (same
+    portability posture as minhash_signatures_md5).
+
+    Scale shape: one window function over (doc, pos) — partitioned by
+    document, the only exchange; selection and dedup are row-local
+    per doc. O(tokens) rows end-to-end, no corpus-global state.
+    """
+    toks_f = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
+    ).filter(F.size("__toks") >= k + w - 1)
+    grams = toks_f.select(
+        "id",
+        F.size("__toks").alias("__n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k),
+                lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, k), " "),
+            )
+        ).alias("pos", "__gram"),
+    ).select("id", "__n", "pos", F.md5("__gram").alias("fp"))
+    # leftmost-min tie-break: the window min of fp||pos picks the smallest
+    # hash, then the smallest position among equal hashes.
+    key = F.concat("fp", F.lit("|"), F.lpad(F.col("pos").cast("string"), 8, "0"))
+    win = (
+        W.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        grams.withColumn("__key", F.min(key).over(win))
+        # complete windows only: starts 0 .. n_grams - w
+        .filter(F.col("pos") <= (F.col("__n") - k + 1) - w)
+        .select(
+            "id",
+            F.substring("__key", 34, 8).cast("int").alias("pos"),
+            F.substring("__key", 1, 32).alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints →
+    (id_a, id_b, shared) with id_a < id_b and shared ≥ ``min_shared``.
+    The posting self-join runs on the winnowed table (≈ 2/(w+1) the
+    gram count) with the same corpus-relative hot-key prune as
+    containment_pairs/tfidf: fingerprints in more than ``max_df``
+    documents are boilerplate and contribute df² pair candidates each,
+    so they are dropped before the join — Σdf² stays bounded."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
+        "id", "fp"
+    ).distinct()
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    from pyspark import StorageLevel
+
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -139,3 +139,61 @@ def test_scrub_fully_duplicated_doc_empties(spark):
            dd.scrub_duplicated_spans(_docs(spark, [(1, t), (2, t)]), k=8).collect()}
     for r in out.values():
         assert r.text_clean == "" and r.dup_tokens == 9 and r.n_tokens == 9
+
+
+# -- winnowing fingerprints (Schleimer/Wilkerson/Aiken) --------------------
+
+def test_winnow_coverage_guarantee(tables):
+    """Winnowing's defining property: every window of w consecutive gram
+    positions contains at least one selected fingerprint position."""
+    k, w = 5, 4
+    docs = tables["documents"].limit(50)
+    sel = {(r.id, r.pos) for r in
+           dd.winnow_fingerprints(docs, k=k, w=w).collect()}
+    toks = {r.doc_id: len(r.text.strip().lower().split()) for r in docs.collect()}
+    for doc, n in toks.items():
+        n_grams = n - k + 1
+        if n_grams < w:
+            continue
+        pos_set = {p for d, p in sel if d == doc}
+        for s in range(0, n_grams - w + 1):
+            assert any(s <= p < s + w for p in pos_set), (doc, s)
+
+
+def test_winnow_density_reduction(tables):
+    """Selected density must sit well under 1 (expected 2/(w+1))."""
+    k, w = 5, 7
+    docs = tables["documents"].limit(100)
+    n_sel = dd.winnow_fingerprints(docs, k=k, w=w).count()
+    n_grams = sum(
+        max(0, len(r.text.strip().lower().split()) - k + 1)
+        for r in docs.collect()
+        if len(r.text.strip().lower().split()) >= k + w - 1
+    )
+    assert 0 < n_sel < 0.6 * n_grams  # 2/(w+1) = 0.25 expected
+
+
+def test_winnow_shared_passage_yields_shared_fingerprint(spark):
+    """Guarantee: a shared passage of >= w+k-1 tokens always shares a
+    fingerprint, regardless of alignment."""
+    k, w = 5, 4
+    shared = " ".join(f"s{i}" for i in range(k + w - 1))  # exactly w+k-1
+    a = " ".join(f"a{i}" for i in range(6)) + " " + shared
+    b = "x " + shared + " " + " ".join(f"b{i}" for i in range(7))
+    pairs = dd.winnow_pairs(
+        _docs(spark, [(1, a), (2, b)]), k=k, w=w, min_shared=1
+    ).collect()
+    assert len(pairs) == 1 and pairs[0].id_a == 1 and pairs[0].id_b == 2
+    assert pairs[0].shared >= 1
+
+
+def test_winnow_identical_docs_share_all(spark):
+    t = " ".join(f"w{i}" for i in range(30))
+    u = " ".join(f"u{i}" for i in range(30))
+    pairs = {(r.id_a, r.id_b): r.shared for r in
+             dd.winnow_pairs(_docs(spark, [(1, t), (2, t), (3, u)]),
+                             k=5, w=4, min_shared=1).collect()}
+    assert set(pairs) == {(1, 2)}
+    n_fp = (dd.winnow_fingerprints(_docs(spark, [(1, t)]), k=5, w=4)
+            .select("fp").distinct().count())
+    assert pairs[(1, 2)] == n_fp
