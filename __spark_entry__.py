@@ -6482,6 +6482,64 @@ def dedup_span_scrub(spark, sf_dir):
 
 
 @q(
+    "dedup_span_scrub_keepfirst",  # r7 queue (post-freeze registration)
+    r"""WITH t AS (
+         SELECT doc_id,
+                string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                             ' ') AS toks
+         FROM documents),
+       tk AS (
+         SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS tok,
+                unnest(range(1, len(toks) + 1)) AS i
+         FROM t WHERE len(toks) >= 8),
+       p AS (
+         SELECT doc_id, unnest(range(1, len(toks) - 8 + 2)) AS pos, toks
+         FROM t WHERE len(toks) >= 8),
+       g AS (
+         SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+         FROM p),
+       d AS (SELECT gram, min(doc_id) AS keeper FROM g GROUP BY gram
+             HAVING count(DISTINCT doc_id) > 1),
+       h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+             WHERE g.doc_id <> d.keeper),
+       cov AS (
+         SELECT DISTINCT h.doc_id, h.pos + u.off AS i
+         FROM h, unnest(range(0, 8)) AS u(off)),
+       clean AS (
+         SELECT tk.doc_id, tk.n_tokens,
+                count(cov.i) AS dup_tokens,
+                coalesce(string_agg(
+                  CASE WHEN cov.i IS NULL THEN tk.tok END,
+                  ' ' ORDER BY tk.i), '') AS text_clean
+         FROM tk LEFT JOIN cov
+           ON tk.doc_id = cov.doc_id AND tk.i = cov.i
+         GROUP BY tk.doc_id, tk.n_tokens)
+       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(dup_tokens AS BIGINT) AS dup_tokens, text_clean
+       FROM clean""",
+)
+def dedup_span_scrub_keepfirst(spark, sf_dir):
+    """Keep-one-occurrence span scrub (scrub_duplicated_spans with
+    keep_first=True — the Lee et al. suffix-array-dedup posture):
+    each duplicated 8-gram elects its minimum document as keeper and
+    covers tokens only in NON-keeper documents, so exactly one copy of
+    every duplicated passage survives the corpus instead of none
+    (dedup_span_scrub's C4/boilerplate posture). Keeper election rides
+    the same gram-keyed aggregate that counts distinct documents — no
+    extra shuffle."""
+    t = _t(spark, sf_dir)
+    out = dd.scrub_duplicated_spans(
+        t["documents"], "doc_id", "text", k=8, keep_first=True
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        "text_clean",
+    )
+
+
+@q(
     "dedup_winnow_pairs",  # registered AFTER the frozen r6 window (r7
     # queue); check_oracle certifies it locally. Oracle replays the exact
     # md5 winnowing selection — the fingerprint CHOICE is engine-portable
@@ -6568,9 +6626,9 @@ def dedup_winnow_pairs(spark, sf_dir):
 # window, keeping the no-additions-after-cut discipline intact.
 # r7 ORACLE QUEUE (register these as oracle rows when the r7 window is
 # cut, alongside whatever r6 leaves uncertified):
-#   - dedup_span_exact / dedup_span_scrub / dedup_winnow_pairs (registered
-#     post-freeze with their oracle SQL in place — check_oracle certifies
-#     them locally; first driver row is r7).
+#   - dedup_span_exact / dedup_span_scrub / dedup_span_scrub_keepfirst /
+#     dedup_winnow_pairs (registered post-freeze with their oracle SQL in
+#     place — check_oracle certifies them locally; first driver row is r7).
 #   - sketch_bloom_prune with exact=True: result ≡ plain left_semi join —
 #     the DuckDB oracle is the straight semi-join + group agg SQL.
 #   - a blocked-pairs assertion row: cosine_pairs_blocked ⊆ brute-force

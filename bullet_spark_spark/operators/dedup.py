@@ -1603,6 +1603,7 @@ def scrub_duplicated_spans(
     text_col: str = "text",
     k: int = 8,
     max_df: int = 1,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Remove cross-document duplicated SPANS from every document —
     detection (``duplicated_spans``) carried through to the rebuilt
@@ -1612,17 +1613,28 @@ def scrub_duplicated_spans(
     (the C4/boilerplate posture: repeated passages are chrome, nobody
     keeps a copy), and the surviving tokens are rejoined in order.
 
+    ``keep_first=True`` switches to the suffix-array-dedup posture (Lee
+    et al.: remove all but ONE occurrence): each duplicated gram keeps a
+    KEEPER document — the minimum id holding it — and only covers tokens
+    in NON-keeper documents, so one copy of every duplicated passage
+    survives the corpus. Keeper choice is per GRAM, so where passages
+    from different keeper documents overlap inside one document the
+    intersection tokens can still be scrubbed everywhere — the price of
+    keeping keeper election a single aggregate instead of a global
+    alignment; deterministic, and the oracle replays it exactly.
+
     Returns every document ≥ k tokens: (id, n_tokens, dup_tokens,
     text_clean); unaffected documents pass through with dup_tokens = 0.
 
     Scale shape: shares ``duplicated_spans``' linear gram frame and its
-    single gram-keyed shuffle; the covered-token mask is built row-local
-    from the doc's duplicated positions (posexplode of per-position
-    ``sequence(pos, pos+k-1)`` index ranges → collect_set per doc — the
-    set is bounded by document length, NOT corpus size), and the rebuild
-    is an array_except of index arrays exactly like segment_dedup's
-    surviving-segment recovery. No stage touches more than O(corpus
-    tokens) rows.
+    single gram-keyed shuffle (keeper election is the same aggregate
+    that counts distinct documents); the covered-token mask is built
+    row-local from the doc's duplicated positions (posexplode of
+    per-position ``sequence(pos, pos+k-1)`` index ranges → collect_set
+    per doc — the set is bounded by document length, NOT corpus size),
+    and the rebuild is an array_except of index arrays exactly like
+    segment_dedup's surviving-segment recovery. No stage touches more
+    than O(corpus tokens) rows.
     """
     from pyspark import StorageLevel
 
@@ -1642,12 +1654,19 @@ def scrub_duplicated_spans(
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.groupBy("gh")
-        .agg(F.count_distinct("id").alias("__df"))
+        .agg(
+            F.count_distinct("id").alias("__df"),
+            F.min("id").alias("__keeper"),
+        )
         .filter(F.col("__df") > max_df)
-        .select("gh")
+        .select("gh", "__keeper")
     )
+    if keep_first:
+        hits = grams.join(dup, "gh").filter(F.col("id") != F.col("__keeper"))
+    else:
+        hits = grams.join(dup.select("gh"), "gh", "left_semi")
     covered = (
-        grams.join(dup, "gh", "left_semi")
+        hits
         .select("id", F.explode(F.sequence("pos", F.col("pos") + k - 1)).alias("__ti"))
         .groupBy("id")
         .agg(F.collect_set("__ti").alias("__cov"))

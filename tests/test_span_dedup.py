@@ -197,3 +197,16 @@ def test_winnow_identical_docs_share_all(spark):
     n_fp = (dd.winnow_fingerprints(_docs(spark, [(1, t)]), k=5, w=4)
             .select("fp").distinct().count())
     assert pairs[(1, 2)] == n_fp
+
+
+def test_scrub_keep_first_preserves_one_copy(spark):
+    shared = " ".join(f"s{i}" for i in range(10))
+    a = "a0 a1 " + shared + " a2 a3"          # doc 1: keeper (min id)
+    b = "b0 b1 b2 " + shared                  # doc 2: scrubbed
+    c = shared + " c0 c1 c2"                  # doc 3: scrubbed
+    out = {r.id: r for r in
+           dd.scrub_duplicated_spans(_docs(spark, [(1, a), (2, b), (3, c)]),
+                                     k=8, keep_first=True).collect()}
+    assert out[1].text_clean == a and out[1].dup_tokens == 0
+    assert out[2].text_clean == "b0 b1 b2" and out[2].dup_tokens == 10
+    assert out[3].text_clean == "c0 c1 c2" and out[3].dup_tokens == 10
