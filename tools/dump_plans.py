@@ -85,6 +85,10 @@ QUERIES = {
     # round-6 late additions
     "sketch_bloom_prune": "bit positions explode in the scan; bit_or to a words frame; probe = k reused broadcast joins + codegen bit tests — the orders scan never shuffles before the verify semi-join",
     "sketch_cms_freq_est": "d cell sums to a counters frame; lookup = d broadcast joins + least(); exact counts ride ONE map-side-combinable agg",
+    # round-6 final additions: span-level dedup family
+    "dedup_span_exact": "gram hashes (not strings) shuffle once for document-frequency; dup positions back via AQE-broadcast semi-join; gaps-and-islands window merges spans per doc",
+    "dedup_span_scrub": "shares the span gram frame; covered-token mask is row-local sequence/explode + collect_set per doc; array_except index rebuild like dedup_segments",
+    "dedup_winnow_pairs": "window-min fingerprint selection (ONE doc-keyed window); pair join runs on the ~2/(w+1)-density winnowed postings with the hot-key prune",
 }
 
 
