@@ -535,3 +535,31 @@ def test_lsh_banded_no_cartesian_single_selfjoin(spark, tables):
     tree = _tree(_plan(df))
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_span_dedup_gram_strings_never_shuffle(spark, qs):
+    """dedup_span_exact contract: the only corpus-sized exchanges carry
+    the xxhash64 gram LONG, never the k-token gram string — hashing
+    happens in the projection before any Exchange — and the dup-gram
+    set comes back via a broadcast semi-join."""
+    plan = _plan(qs["dedup_span_exact"](spark, SF_DIR))
+    tree = _tree(plan)
+    assert "BroadcastHashJoin LeftSemi" in tree
+    # the InMemoryRelation (input to both shuffle consumers) must already
+    # be hashed: its output carries gh, not __gram
+    out_lines = [l for l in plan.splitlines() if "Output" in l and "gh#" in l]
+    assert out_lines, "hashed gram column not found on the cached frame"
+    assert "__gram" not in tree
+
+
+def test_winnow_single_doc_keyed_window(spark, qs):
+    """dedup_winnow_pairs contract: fingerprint selection is ONE window
+    partitioned by doc (no global window — the WindowExec warning class),
+    and the pair join consumes the winnowed postings."""
+    plan = _plan(qs["dedup_winnow_pairs"](spark, SF_DIR))
+    tree = _tree(plan)
+    assert tree.count("Window") >= 1
+    # windows must be partitioned (a global window would move the corpus
+    # to one task): every Window node's spec carries a partition key
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs and all("id#" in s for s in specs)
