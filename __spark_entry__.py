@@ -6598,6 +6598,47 @@ def dedup_winnow_pairs(spark, sf_dir):
     )
 
 
+@q("text_quality_classifier")  # rows-only BY NATURE: MLlib L-BFGS training
+# is iterative with FP-accumulation-order-dependent coefficients — no SQL
+# equivalent; planted-signal recovery + determinism are pytest-certified
+# (tests/test_quality_model.py).
+def text_quality_classifier(spark, sf_dir):
+    """Trained quality filter (operators/quality_model — the FineWeb-Edu
+    / DCLM pattern): heuristic-label a seed split (text.quality_score >=
+    the corpus-typical 0.755), train tokenize→hashingTF→IDF→logistic
+    regression on it (all MLlib, distributed: hashing trick avoids a
+    vocabulary build, L-BFGS treeAggregates gradients, scoring is one
+    broadcast-model map), score the held-out quarter, and report per-lang
+    calibration + held-out ROC AUC — the learned counterpart of the
+    heuristic quality panel."""
+    from bullet_spark_spark.operators import quality_model as qm
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        "lang",
+        "text",
+        (tx.quality_score(F.col("text")) >= 0.755).cast("int").alias("label"),
+    )
+    train = docs.filter(F.col("doc_id") % 4 != 0)
+    test = docs.filter(F.col("doc_id") % 4 == 0)
+    model = qm.train_quality_classifier(train, num_features=1 << 14)
+    scored = qm.score_quality(model, test)
+    auc = qm.classifier_auc(scored, "label")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.round(F.avg("quality_prob"), 4).alias("avg_prob"),
+            F.round(
+                F.avg(F.when(F.col("label") == 1, F.col("quality_prob"))), 4
+            ).alias("avg_prob_pos"),
+        )
+        .withColumn("holdout_auc", F.round(F.lit(auc), 4))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

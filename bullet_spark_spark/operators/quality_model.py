@@ -1,0 +1,110 @@
+"""Trained quality classification — the learned counterpart of
+text.quality_score's heuristics (the FineWeb-Edu / DCLM pattern: label a
+seed set, train a lightweight text classifier, score the full corpus,
+filter on predicted quality).
+
+All stages are Spark-native MLlib, so the whole path is distributed:
+
+- RegexTokenizer + HashingTF are narrow per-row maps (no vocabulary
+  build, no shuffle — the hashing trick is what makes the featurizer
+  viable at corpus scale where a fitted vocabulary would be its own
+  distributed dictionary problem).
+- IDF is one aggregate over the corpus (document frequencies), applied
+  as a broadcast re-scale.
+- LogisticRegression trains via distributed L-BFGS: each iteration is a
+  treeAggregate of per-partition gradient partials, with the coefficient
+  vector (num_features floats) broadcast back — driver state is the
+  coefficient vector, never corpus rows.
+- Scoring is a map over the corpus with the model broadcast.
+
+At 100 TB the seed/training set is sampled (millions of rows, not the
+corpus); scoring is the full-corpus pass and is embarrassingly parallel.
+
+Reference analog: none (bullet has no ML surface); this extends the M5
+quality family the same way bigram_logprob_scores extends lang_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 16,
+    reg_param: float = 0.01,
+    max_iter: int = 40,
+):
+    """Fit tokenize → hashing-TF → IDF → logistic regression on labeled
+    documents; returns the PipelineModel. ``num_features`` is the
+    hashing-trick width (collisions trade accuracy for a fixed-size,
+    vocabulary-free feature space)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
+
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol=text_col, outputCol="__qc_toks", pattern=r"\s+"
+            ),
+            HashingTF(
+                inputCol="__qc_toks",
+                outputCol="__qc_tf",
+                numFeatures=num_features,
+            ),
+            IDF(inputCol="__qc_tf", outputCol="__qc_feat"),
+            LogisticRegression(
+                featuresCol="__qc_feat",
+                labelCol=label_col,
+                regParam=reg_param,
+                maxIter=max_iter,
+            ),
+        ]
+    )
+    return pipe.fit(df)
+
+
+def score_quality(model, df: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
+    """Score a corpus with a trained classifier → input columns (or
+    ``keep_cols``) + ``quality_prob`` (P(label=1)). One distributed map;
+    the model broadcasts."""
+    scored = model.transform(df)
+    prob1 = _vector_element(scored["probability"], 1)
+    out_cols = keep_cols if keep_cols is not None else df.columns
+    return scored.select(*out_cols, prob1.alias("quality_prob"))
+
+
+def _vector_element(vec, i: int):
+    """Element i of an ML Vector column as a double (Spark exposes this
+    as the SQL-accessible vector_to_array)."""
+    from pyspark.ml.functions import vector_to_array
+
+    return vector_to_array(vec)[i].cast("double")
+
+
+def classifier_auc(
+    scored: DataFrame, label_col: str = "label", prob_col: str = "quality_prob"
+) -> float:
+    """Area under the ROC curve of the scored frame, via MLlib's own
+    BinaryClassificationEvaluator (distributed threshold sweep) — the
+    Spark-native evaluator rather than a hand-rolled global rank window,
+    which would move the corpus to one task."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    ev = BinaryClassificationEvaluator(
+        rawPredictionCol=prob_col,
+        labelCol=label_col,
+        metricName="areaUnderROC",
+    )
+    return float(
+        ev.evaluate(
+            scored.select(
+                F.col(prob_col).cast("double").alias(prob_col),
+                F.col(label_col).cast("double").alias(label_col),
+            )
+        )
+    )

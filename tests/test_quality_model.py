@@ -1,0 +1,59 @@
+"""Trained quality classifier (quality_model): the learned counterpart
+of text.quality_score. Planted-signal recovery tests — a classifier
+trained on documents whose label is decided by marker vocabulary must
+rank held-out documents by that vocabulary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import quality_model as qm
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    """200 synthetic docs: positives carry 'signal' vocabulary, negatives
+    'noise' vocabulary, both mixed with shared filler; deterministic."""
+    rows = []
+    for i in range(200):
+        good = i % 2 == 0
+        marker = ["clean", "well", "written", "prose"] if good else [
+            "spam", "junk", "click", "bait"
+        ]
+        filler = [f"word{(i * 7 + j) % 23}" for j in range(10)]
+        text = " ".join(marker * 2 + filler)
+        rows.append((i, text, 1 if good else 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_classifier_recovers_planted_signal(labeled):
+    train = labeled.filter(F.col("doc_id") % 4 != 0)
+    test = labeled.filter(F.col("doc_id") % 4 == 0)
+    model = qm.train_quality_classifier(train, num_features=1 << 12)
+    scored = qm.score_quality(model, test)
+    assert scored.columns == ["doc_id", "text", "label", "quality_prob"]
+    auc = qm.classifier_auc(scored)
+    assert auc > 0.95, auc
+    # probabilities are probabilities
+    mm = scored.agg(F.min("quality_prob"), F.max("quality_prob")).first()
+    assert 0.0 <= mm[0] <= mm[1] <= 1.0
+
+
+def test_scoring_is_deterministic(labeled):
+    model = qm.train_quality_classifier(labeled, num_features=1 << 12)
+    a = sorted((r.doc_id, round(r.quality_prob, 9))
+               for r in qm.score_quality(model, labeled).collect())
+    b = sorted((r.doc_id, round(r.quality_prob, 9))
+               for r in qm.score_quality(model, labeled).collect())
+    assert a == b
+
+
+def test_auc_degenerate_label_is_defined_or_flagged(labeled):
+    one_class = labeled.filter(F.col("label") == 1)
+    model = qm.train_quality_classifier(labeled, num_features=1 << 12)
+    scored = qm.score_quality(model, one_class)
+    # MLlib returns 1.0 or nan-ish values for a single class; the call
+    # must not raise — callers gate on sensible labels
+    val = qm.classifier_auc(scored)
+    assert val == val or val != val  # just: no exception
