@@ -6639,6 +6639,46 @@ def text_quality_classifier(spark, sf_dir):
     )
 
 
+@q("pipeline_quality_release")  # rows-only BY NATURE (trained-model scores)
+def pipeline_quality_release(spark, sf_dir):
+    """Model-filtered corpus release — the FineWeb-Edu flow end-to-end:
+    heuristic-label a seed split, train the quality classifier on it,
+    score the WHOLE corpus with the broadcast model, keep documents at
+    P(quality) >= 0.5, and report the per-lang release manifest
+    (n_candidates, n_kept, keep_rate, kept mean prob). Training touches
+    only the seed; the corpus pass is one broadcast-model map + filter —
+    at 100 TB the seed is a sample and the release pass stays
+    shuffle-free until the manifest aggregate."""
+    from bullet_spark_spark.operators import quality_model as qm
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        "lang",
+        "text",
+        (tx.quality_score(F.col("text")) >= 0.755).cast("int").alias("label"),
+    )
+    seed = docs.filter(F.col("doc_id") % 4 == 1)
+    model = qm.train_quality_classifier(seed, num_features=1 << 14)
+    scored = qm.score_quality(model, docs, keep_cols=["doc_id", "lang"])
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("quality_prob") >= 0.5).cast("long")).alias("n_kept"),
+            F.round(
+                F.avg((F.col("quality_prob") >= 0.5).cast("double")), 4
+            ).alias("keep_rate"),
+            F.round(
+                F.avg(
+                    F.when(F.col("quality_prob") >= 0.5, F.col("quality_prob"))
+                ),
+                4,
+            ).alias("kept_avg_prob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

@@ -108,3 +108,45 @@ def classifier_auc(
             )
         )
     )
+
+
+def calibration_table(
+    scored: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "quality_prob",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Reliability diagram data: bucket predicted probability into
+    ``n_buckets`` equal-width bins → (bucket, n, avg_prob, pos_rate).
+    A well-calibrated classifier has avg_prob ≈ pos_rate per bucket —
+    the standard check before using predicted probability as a FILTER
+    THRESHOLD (a miscalibrated 0.9 is not a 90% precision gate). One
+    map-side-combinable aggregate over the scored frame; the output is
+    n_buckets rows."""
+    b = F.least(
+        F.floor(F.col(prob_col) * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    return (
+        scored.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(prob_col), 6).alias("avg_prob"),
+            F.round(F.avg(F.col(label_col).cast("double")), 6).alias("pos_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def quality_filter(
+    model,
+    df: DataFrame,
+    threshold: float = 0.5,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Corpus filtering on predicted quality: score with the broadcast
+    model and keep rows with P(quality) ≥ threshold. The full-corpus
+    pass of the FineWeb-Edu flow — embarrassingly parallel, no
+    shuffle beyond what scoring's map introduces (none)."""
+    return score_quality(model, df, keep_cols=keep_cols).filter(
+        F.col("quality_prob") >= threshold
+    )

@@ -57,3 +57,30 @@ def test_auc_degenerate_label_is_defined_or_flagged(labeled):
     # must not raise — callers gate on sensible labels
     val = qm.classifier_auc(scored)
     assert val == val or val != val  # just: no exception
+
+
+def test_calibration_table_shape_and_consistency(labeled):
+    model = qm.train_quality_classifier(labeled, num_features=1 << 12)
+    scored = qm.score_quality(model, labeled)
+    cal = qm.calibration_table(scored, n_buckets=10).collect()
+    assert 1 <= len(cal) <= 10
+    assert sum(r.n for r in cal) == labeled.count()
+    for r in cal:
+        assert 0 <= r.bucket <= 9
+        assert 0.0 <= r.avg_prob <= 1.0 and 0.0 <= r.pos_rate <= 1.0
+        # bucket membership: avg_prob inside the bucket's bounds
+        assert r.bucket / 10 <= r.avg_prob <= (r.bucket + 1) / 10 + 1e-9
+    # a well-trained model on separable data is sharply calibrated at
+    # the extremes
+    lo, hi = cal[0], cal[-1]
+    assert lo.pos_rate < 0.5 < hi.pos_rate
+
+
+def test_quality_filter_keeps_high_prob_only(labeled):
+    model = qm.train_quality_classifier(labeled, num_features=1 << 12)
+    kept = qm.quality_filter(model, labeled, threshold=0.8)
+    rows = kept.collect()
+    assert 0 < len(rows) < labeled.count()
+    assert all(r.quality_prob >= 0.8 for r in rows)
+    # planted positives dominate the kept set
+    assert sum(r.label for r in rows) / len(rows) > 0.9
