@@ -84,3 +84,34 @@ def test_quality_filter_keeps_high_prob_only(labeled):
     assert all(r.quality_prob >= 0.8 for r in rows)
     # planted positives dominate the kept set
     assert sum(r.label for r in rows) / len(rows) > 0.9
+
+
+def test_streaming_inference_matches_batch(spark, labeled, tmp_path):
+    """The trained model scores a STREAM (online corpus filtering): a
+    batch-trained PipelineModel transforms a file-drip streaming frame
+    row-for-row identically to the batch pass — MLlib inference is a
+    stateless map, so it rides Structured Streaming unchanged."""
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.sinks import MemorySink
+
+    model = qm.train_quality_classifier(labeled, num_features=1 << 12)
+    stream = file_drip(spark, labeled, str(tmp_path / "drip"), chunks=3)
+    scored = qm.score_quality(model, stream, keep_cols=["doc_id", "label"])
+    sink = MemorySink()
+    q = (
+        scored.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck_qm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    idx = {c: i for i, c in enumerate(sink.columns)}
+    got = sorted(
+        (r[idx["doc_id"]], round(r[idx["quality_prob"]], 9)) for r in sink.rows
+    )
+    want = sorted(
+        (r.doc_id, round(r.quality_prob, 9))
+        for r in qm.score_quality(model, labeled).collect()
+    )
+    assert got == want
