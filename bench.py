@@ -66,9 +66,10 @@ BENCH = [
     # round-6 late additions
     "sketch_bloom_prune",     # bloom build + shuffle-free probe + exact verify
     "sketch_cms_freq_est",    # count-min build + broadcast-join lookups
-    # round-6 final additions: span-level dedup family
+    # round-6 final additions: span-level dedup family + ML quality path
     "dedup_span_scrub",       # overlapping-gram span scrub + corpus rebuild
     "dedup_winnow_pairs",     # MOSS winnowing fingerprints + posting pair join
+    "pipeline_quality_release",  # seed-train MLlib classifier + broadcast-model corpus filter
 ]
 
 REPEATS = 3
