@@ -25,6 +25,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+# Hard cap on the n²-row crossJoin differential path (exact=True in
+# cosine_near_dup_pairs): 100k rows → ≤5e9 candidate pairs is already
+# test-only territory; anything larger must go through the blocked path.
+EXACT_CROSSJOIN_MAX_ROWS = 100_000
+
 
 def dot(a: Column, b: Column) -> Column:
     """Ordered left-fold dot product — deterministic fp accumulation."""
@@ -596,8 +601,22 @@ def cosine_near_dup_pairs(
     materializes (the pre-r6 default was a single 8-plane LSH bucket,
     which at moderate thresholds had ~3% recall — silently wrong as a
     default). For high thresholds (≥ ~0.8) where sub-quadratic candidate
-    generation is sound, call ``cosine_pairs_lsh_banded`` explicitly."""
+    generation is sound, call ``cosine_pairs_lsh_banded`` explicitly.
+
+    ``exact=True`` is CAPPED at ``EXACT_CROSSJOIN_MAX_ROWS`` input rows
+    (one bounded count): it exists only as the differential reference for
+    the blocked path's tests, and an uncapped n²-row crossJoin is one
+    keyword away from a production scale-killer. Use the default (same
+    result set, blocked) for anything real."""
     if exact:
+        n_in = embeddings.count()  # bounded: one scalar, guard only
+        if n_in > EXACT_CROSSJOIN_MAX_ROWS:
+            raise ValueError(
+                f"cosine_near_dup_pairs(exact=True) is the n² differential "
+                f"reference path, capped at {EXACT_CROSSJOIN_MAX_ROWS} rows "
+                f"(got {n_in}); the default blocked path returns the same "
+                f"pair set without the n²-row shuffle"
+            )
         normed = embeddings.withColumn("__n", norm(F.col(vec_col)))
         a = normed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("__n").alias("n_a"))
         b = normed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("__n").alias("n_b"))

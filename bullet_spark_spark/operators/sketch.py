@@ -37,6 +37,27 @@ from pyspark.sql import functions as F
 
 HLL_DEFAULT_LGK = 12
 
+# Broadcast regime ceiling for the probe-side joins (bloom_probe /
+# cms_lookup): the words/counters frame is broadcast-hinted only while its
+# row bound (m_bits/64 resp. w) stays under this, else the hint is omitted
+# and AQE picks the strategy (shuffled hash / sort-merge). 4 Mi rows of
+# (int, long) ≈ 48 MiB of payload — comfortably broadcastable; beyond it a
+# forced broadcast of a frame auto-sized to the KEY COUNT (bloom_size ≈
+# 9.6 bits/key → ~19 M words per billion keys) is exactly the
+# driver/executor OOM class the gate exists to prevent.
+SKETCH_BROADCAST_MAX_ROWS = 4 << 20
+
+
+def _fresh_prefix(df: DataFrame, base: str) -> str:
+    """A temp-column prefix guaranteed absent from ``df.columns`` — keeps
+    bloom_probe/cms_lookup from silently clobbering caller columns that
+    happen to be named like the internals (``__bw0`` …)."""
+    cols = set(df.columns)
+    prefix = base
+    while any(c.startswith(prefix) for c in cols):
+        prefix = "_" + prefix
+    return prefix
+
 
 def hll_result_meta(estimate: float, lgk: int = HLL_DEFAULT_LGK) -> dict:
     """bullet-style sketch metadata for an HLL-estimated COUNT DISTINCT.
@@ -227,7 +248,7 @@ def hist_merge_quantiles(
         F.sum("__cnt").over(part).alias("__total"),
     )
     qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
-    hit = cum.crossJoin(F.broadcast(qdf)).filter(
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(  # bounded: literal quantile list
         F.col("__cum") >= F.ceil(F.col("q") * F.col("__total"))
     )
     return hit.groupBy(*slice_cols, "q").agg(
@@ -370,7 +391,7 @@ def freq_merge_topk(
     ).filter(F.col("rank") <= k)
     if slice_cols:
         return ranked.join(errs, slice_cols)
-    return ranked.crossJoin(F.broadcast(errs))
+    return ranked.crossJoin(F.broadcast(errs))  # bounded: global agg, 1 row
 
 
 _live_rollup_fine: DataFrame | None = None
@@ -489,7 +510,7 @@ def hist_counts_to_quantiles(
         F.sum("cnt").over(part).alias("__total"),
     )
     qdf = counts.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
-    hit = cum.crossJoin(F.broadcast(qdf)).filter(
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(  # bounded: literal quantile list
         F.col("__cum") >= F.ceil(F.col("q") * F.col("__total"))
     )
     return hit.groupBy("window_start", "q").agg(
@@ -516,7 +537,16 @@ def theta_result_meta(estimate: float, k: int = THETA_DEFAULT_K) -> dict:
     the relative standard error is 1/sqrt(k - 2) (~1.56% at k=4096 —
     DataSketches' published Theta accuracy), and the z-sigma bounds
     linearize the same way. ``family`` reports "Theta" so result metadata
-    matches what a bullet-core deployment emits."""
+    matches what a bullet-core deployment emits.
+
+    ``k`` must be ≥ 16 (DataSketches' own minimum nominal entries): below
+    that the 3-sigma denominator 1 − 3/sqrt(k−2) crosses zero (k ≤ 11)
+    and the "upper bound" would come out negative/infinite."""
+    if k < 16:
+        raise ValueError(
+            f"theta_result_meta: k={k} below the minimum 16 "
+            "(DataSketches floor; z-sigma bounds degenerate for small k)"
+        )
     rse = 1.0 / math.sqrt(float(k - 2))
     est = float(estimate)
     return {
@@ -852,35 +882,44 @@ def bloom_probe(
     or a false positive at the ``bloom_fpr`` rate). NULL keys test false.
 
     Scale shape — the entire point of the operator: the PROBE SIDE NEVER
-    SHUFFLES. Each of the k bit tests is a broadcast-hash left join of
-    the ≤ m/64-row words frame onto the scan (one BroadcastExchange,
-    reused k times), and the bit arithmetic is plain codegen — so
-    filtering a 100 TB fact scan down to the rows that might match a
-    selective key set costs one pass over the scan and zero exchanges of
-    it, where a left_semi join would shuffle both sides or need the whole
-    key set broadcast."""
+    SHUFFLES in the broadcast regime. Each of the k bit tests is a
+    broadcast-hash left join of the ≤ m/64-row words frame onto the scan
+    (one BroadcastExchange, reused k times), and the bit arithmetic is
+    plain codegen — so filtering a 100 TB fact scan down to the rows that
+    might match a selective key set costs one pass over the scan and zero
+    exchanges of it, where a left_semi join would shuffle both sides or
+    need the whole key set broadcast.
+
+    Broadcast regime bound: the hint is applied only while
+    ``m_bits/64 ≤ SKETCH_BROADCAST_MAX_ROWS`` (4 Mi words = 256 Mi filter
+    bits ≈ 28 M keys at 1% FPR). Above that — e.g. a bloom_size-d filter
+    for 1 B keys is ~150 M words — forcing the broadcast would OOM the
+    driver, so the hint is omitted and AQE picks the join strategy; the
+    semantics are identical, only the exchange shape changes."""
     key = F.col(key_col)
     masks = F.lit(_MASKS64)
+    hint = (lambda s: F.broadcast(s)) if (m_bits >> 6) <= SKETCH_BROADCAST_MAX_ROWS else (lambda s: s)
+    p = _fresh_prefix(df, "__b")
     out = df
     tests = []
     drop: list[str] = []
     for i in range(k):
         pos = _bloom_pos(key, i, m_bits, seed)
-        out = out.withColumn(f"__bw{i}", F.shiftright(pos, 6).cast("int"))
+        out = out.withColumn(f"{p}w{i}", F.shiftright(pos, 6).cast("int"))
         out = out.withColumn(
-            f"__bm{i}",
+            f"{p}m{i}",
             F.element_at(masks, (pos.bitwiseAND(F.lit(63)) + 1).cast("int")),
         )
         side = bloom.select(
-            F.col("word").alias(f"__bw{i}"), F.col("bits").alias(f"__bb{i}")
+            F.col("word").alias(f"{p}w{i}"), F.col("bits").alias(f"{p}b{i}")
         )
-        out = out.join(F.broadcast(side), f"__bw{i}", "left")
+        out = out.join(hint(side), f"{p}w{i}", "left")
         tests.append(
-            F.coalesce(F.col(f"__bb{i}"), F.lit(0))
-            .bitwiseAND(F.col(f"__bm{i}"))
+            F.coalesce(F.col(f"{p}b{i}"), F.lit(0))
+            .bitwiseAND(F.col(f"{p}m{i}"))
             != 0
         )
-        drop += [f"__bw{i}", f"__bm{i}", f"__bb{i}"]
+        drop += [f"{p}w{i}", f"{p}m{i}", f"{p}b{i}"]
     cond = tests[0]
     for t in tests[1:]:
         cond = cond & t
@@ -1031,21 +1070,25 @@ def cms_lookup(
     ``out_col`` = min over the d counters the key hashes to (a cell
     absent from the sparse frame is 0 — the key was definitely never
     inserted on that row). Like ``bloom_probe``, the LOOKUP SIDE NEVER
-    SHUFFLES: each counter read is a broadcast-hash left join of the
-    ≤ d·w-row counters frame, and the min is plain codegen."""
+    SHUFFLES in the broadcast regime: each counter read is a
+    broadcast-hash left join of a ≤ w-row slice of the counters frame,
+    and the min is plain codegen. The hint is gated the same way
+    (``w ≤ SKETCH_BROADCAST_MAX_ROWS``, else AQE chooses)."""
     key = F.col(key_col)
+    hint = (lambda s: F.broadcast(s)) if w <= SKETCH_BROADCAST_MAX_ROWS else (lambda s: s)
+    p = _fresh_prefix(df, "__c")
     out = df
     ests = []
     drop: list[str] = []
     for i in range(d):
         pos = F.pmod(F.xxhash64(key, F.lit(seed), F.lit(i)), F.lit(w)).cast("int")
-        out = out.withColumn(f"__cc{i}", pos)
+        out = out.withColumn(f"{p}c{i}", pos)
         side = cms.filter(F.col("row") == i).select(
-            F.col("col").alias(f"__cc{i}"), F.col("cnt").alias(f"__cv{i}")
+            F.col("col").alias(f"{p}c{i}"), F.col("cnt").alias(f"{p}v{i}")
         )
-        out = out.join(F.broadcast(side), f"__cc{i}", "left")
-        ests.append(F.coalesce(F.col(f"__cv{i}"), F.lit(0)))
-        drop += [f"__cc{i}", f"__cv{i}"]
+        out = out.join(hint(side), f"{p}c{i}", "left")
+        ests.append(F.coalesce(F.col(f"{p}v{i}"), F.lit(0)))
+        drop += [f"{p}c{i}", f"{p}v{i}"]
     return out.withColumn(
         out_col, F.when(key.isNull(), F.lit(None)).otherwise(F.least(*ests))
     ).drop(*drop)

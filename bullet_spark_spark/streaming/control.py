@@ -259,8 +259,12 @@ class PulsarTransport(ControlTransport):
     default to pulsar-client objects and are injectable for tests; with
     injected clients and no ``status_reader_factory``, replay returns []
     (recovery off). Poll uses ``receive(timeout)`` drained until the
-    client's timeout error — pulsar-client raises on an empty queue rather
-    than returning None, hence the broad except around the drain loop."""
+    client's TIMEOUT error — pulsar-client raises ``pulsar.Timeout`` on an
+    empty queue rather than returning None. Only that type (or
+    ``timeout_exc`` for injected clients; fallback: class-name contains
+    "Timeout") ends the drain loop — auth/deserialization/dead-consumer
+    errors re-raise instead of masquerading as an empty queue and silently
+    stalling registration ingest."""
 
     def __init__(
         self,
@@ -272,8 +276,10 @@ class PulsarTransport(ControlTransport):
         consumer_factory=None,
         producer_factory=None,
         status_reader_factory=None,
+        timeout_exc: type[BaseException] | None = None,
     ) -> None:
         self._client = None
+        self._timeout_exc = timeout_exc
         if consumer_factory is None or producer_factory is None:
             try:
                 import pulsar  # type: ignore
@@ -285,6 +291,9 @@ class PulsarTransport(ControlTransport):
                 ) from e
             client = pulsar.Client(service_url)
             self._client = client
+            if self._timeout_exc is None:
+                # importable at __init__ time on the real client
+                self._timeout_exc = getattr(pulsar, "Timeout", None)
             consumer_factory = consumer_factory or (
                 lambda: client.subscribe(
                     query_topic,
@@ -305,13 +314,23 @@ class PulsarTransport(ControlTransport):
         self._consumer = consumer_factory()
         self._producer = producer_factory()
 
+    def _is_timeout(self, exc: BaseException) -> bool:
+        """True iff ``exc`` is the client's empty-queue timeout: the pinned
+        ``timeout_exc`` type when known, else (injected test clients) a
+        class-name heuristic. Anything else is a REAL consumer failure."""
+        if self._timeout_exc is not None:
+            return isinstance(exc, self._timeout_exc)
+        return "timeout" in type(exc).__name__.lower()
+
     def poll(self) -> list[str]:
         out: list[str] = []
         while True:
             try:
                 msg = self._consumer.receive(timeout_millis=self.poll_timeout_ms)
-            except Exception:
-                break  # pulsar-client raises _pulsar.Timeout on empty queue
+            except Exception as e:
+                if self._is_timeout(e):
+                    break  # pulsar-client raises _pulsar.Timeout on empty queue
+                raise  # auth/deser/dead-consumer: surface, don't stall silently
             if msg is None:
                 break
             data = msg.data()
@@ -334,8 +353,10 @@ class PulsarTransport(ControlTransport):
             while True:
                 try:
                     msg = reader.read_next(timeout_millis=max(self.poll_timeout_ms, 1000))
-                except Exception:
-                    break
+                except Exception as e:
+                    if self._is_timeout(e):
+                        break
+                    raise
                 if msg is None:
                     break
                 data = msg.data()
