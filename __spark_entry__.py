@@ -6064,6 +6064,81 @@ def sim_mmr_rerank(spark, sf_dir):
     )
 
 
+@q(
+    "sketch_theta_exact_rollup",
+    """WITH fine AS (
+         SELECT DISTINCT event_type, user_id % 8 AS bucket, user_id
+         FROM events WHERE user_id IS NOT NULL)
+       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+       FROM fine GROUP BY event_type""",
+)
+def sketch_theta_exact_rollup(spark, sf_dir):
+    """EXACT counterpart of sketch_theta_count_distinct's slice merge: the
+    same fine grain — per-(event_type, user_id-bucket) pre-aggregate —
+    rolled up to per-event_type distinct counts, on the exact path (the
+    distinct (group, bucket, key) frame IS the exact "sketch": mergeable
+    across buckets by set union, which countDistinct over the union
+    realizes). Certifies the fine→coarse rollup semantics the Theta row
+    estimates, value-for-value against DuckDB; the Theta estimates
+    themselves stay rows-only (engine-seeded xxhash64 bottom-k) with
+    their laws in tests/test_theta_sketch.py."""
+    t = _t(spark, sf_dir)
+    fine = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type", (F.col("user_id") % 8).alias("bucket"), "user_id"
+        )
+        .distinct()
+    )
+    return fine.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct")
+    )
+
+
+@q(
+    "sketch_overlap_exact",
+    # identical output surface to hll_overlap_matrix (dedup_source_overlap_approx)
+    # so estimate-vs-exact is a straight per-pair diff on unionable panels
+    """WITH gk AS (
+         SELECT DISTINCT event_type AS g, user_id AS k
+         FROM events WHERE user_id IS NOT NULL),
+       sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM gk GROUP BY g),
+       shared AS (
+         SELECT a.g AS group_a, b.g AS group_b, CAST(count(*) AS BIGINT) AS s
+         FROM gk a JOIN gk b ON a.k = b.k AND a.g < b.g
+         GROUP BY a.g, b.g),
+       spine AS (
+         SELECT sa.g AS group_a, sb.g AS group_b, sa.n AS n_a, sb.n AS n_b
+         FROM sizes sa JOIN sizes sb ON sa.g < sb.g)
+       SELECT group_a, group_b,
+              n_a AS n_a_est,
+              n_b AS n_b_est,
+              CAST(n_a + n_b - coalesce(s, 0) AS BIGINT) AS n_union_est,
+              round(CAST(coalesce(s, 0) AS DOUBLE), 2) AS n_overlap_est,
+              round(CASE WHEN n_a + n_b - coalesce(s, 0) > 0
+                         THEN CAST(coalesce(s, 0) AS DOUBLE) / (n_a + n_b - coalesce(s, 0))
+                         ELSE 0.0 END, 6) AS jaccard_est
+       FROM spine LEFT JOIN shared USING (group_a, group_b)""",
+)
+def sketch_overlap_exact(spark, sf_dir):
+    """EXACT pairwise group-overlap matrix (sketch.overlap_matrix_exact):
+    the oracle-checkable counterpart of hll_overlap_matrix with the
+    identical output columns — per event_type pair, exact shared / union
+    distinct user_id counts and Jaccard by inclusion-exclusion. The HLL
+    estimate row (dedup_source_overlap_approx) stays rows-only (engine
+    HLL blobs); this certifies the matrix pipeline — distinct (group,
+    key) frame, key-keyed pair join, zero-overlap spine, inclusion-
+    exclusion — value-for-value, closing the r6 queue's "HLL overlap
+    exact counterpart" item."""
+    from bullet_spark_spark.operators import sketch as sk
+
+    t = _t(spark, sf_dir)
+    return sk.overlap_matrix_exact(
+        t["events"], group_col="event_type", key_col="user_id"
+    )
+
+
 @q("sketch_theta_count_distinct")  # rows-only: xxhash64 bottom-k state is
 # engine-specific (like dedup_minhash_lsh); estimator properties are
 # differential-tested in tests/test_theta_sketch.py
@@ -6104,10 +6179,19 @@ def sketch_theta_count_distinct(spark, sf_dir):
     )
 
 
-@q("sketch_bloom_prune")  # rows-only THIS round: fully SQL-expressible with
-# exact=True (result ≡ left_semi join) but the r6 driver window is frozen —
-# oracle registration queues for r7. Membership/FPR/merge/plan properties
-# are certified in tests/test_bloom.py.
+@q(
+    "sketch_bloom_prune",
+    # exact=True makes the result ≡ the plain left_semi join — the r6 queue's
+    # promised oracle (false positives removed by the verify join, so the
+    # engine-specific xxhash64 bit positions cancel out of the OUTPUT).
+    """SELECT o_orderstatus,
+              count(*) AS n_orders,
+              round(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price
+       FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0)
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus""",
+)
 def sketch_bloom_prune(spark, sf_dir):
     """Bloom-filter semi-join pruning (sketch.bloom_build/bloom_probe/
     bloom_prune_join): build a 1%-FPR filter from a selective customer
@@ -6175,6 +6259,66 @@ def sketch_cms_freq_est(spark, sf_dir):
     )
 
 
+@q(
+    "sketch_cms_error_md5",
+    # the portable-hash CMS (md5 cell positions) makes the WHOLE sketch —
+    # build, lookup, and therefore the per-key error surface — reproducible
+    # by an engine-independent SQL oracle: same trick as dedup_minhash_md5.
+    """WITH pos AS (
+         SELECT r AS row,
+                CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS col
+         FROM orders CROSS JOIN range(3) t(r)
+         WHERE o_custkey IS NOT NULL),
+       counters AS (
+         SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+         FROM pos GROUP BY row, col),
+       kpos AS (
+         SELECT c_custkey AS custkey, r AS row,
+                CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS col
+         FROM customer CROSS JOIN range(3) t(r)),
+       est AS (
+         SELECT custkey, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS freq_est
+         FROM kpos LEFT JOIN counters USING (row, col)
+         GROUP BY custkey),
+       exact AS (
+         SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS freq_exact
+         FROM orders GROUP BY o_custkey)
+       SELECT e.custkey,
+              CAST(coalesce(x.freq_exact, 0) AS BIGINT) AS freq_exact,
+              e.freq_est,
+              CAST(e.freq_est - coalesce(x.freq_exact, 0) AS BIGINT) AS overcount
+       FROM est e LEFT JOIN exact x USING (custkey)""",
+)
+def sketch_cms_error_md5(spark, sf_dir):
+    """The Count-Min error surface, ORACLE-EXACT: build the sketch with
+    md5-portable cell hashes (sketch.cms_build(portable=True) — any SQL
+    engine reproduces the positions byte-for-byte), look up EVERY customer
+    key (including the never-inserted ones, whose estimate is pure
+    collision noise), and emit estimate vs exact per key. Certifies the
+    whole CMS pipeline — build aggregation, sparse-cell semantics
+    (absent = 0), d-way min lookup, never-underestimate — value-for-value
+    against DuckDB, closing the r6 queue's "CMS error surface" item; the
+    production xxhash64 path (sketch_cms_freq_est) shares every line but
+    the hash and stays rows-only by nature."""
+    from bullet_spark_spark.operators import sketch as sk
+
+    t = _t(spark, sf_dir)
+    cms = sk.cms_build(t["orders"], "o_custkey", w=1024, d=3, portable=True)
+    keys = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    est = sk.cms_lookup(keys, "custkey", cms, w=1024, d=3, portable=True)
+    exact = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("freq_exact"))
+    )
+    return est.join(exact, "custkey", "left").select(
+        "custkey",
+        F.coalesce(F.col("freq_exact"), F.lit(0).cast("long")).alias("freq_exact"),
+        F.col("freq_est"),
+        (F.col("freq_est") - F.coalesce(F.col("freq_exact"), F.lit(0))).alias("overcount"),
+    )
+
+
 @q("dedup_source_overlap_approx")  # rows-only: HLL blob estimates are
 # engine-specific; error-bounded against exact truth in tests/test_bloom.py.
 def dedup_source_overlap_approx(spark, sf_dir):
@@ -6196,9 +6340,33 @@ def dedup_source_overlap_approx(spark, sf_dir):
     )
 
 
-@q("sim_hard_negatives")  # rows-only THIS round (frozen window): exact
-# brute-force path IS oracle-expressible and queues for r7; geometry and
-# numpy-differential parity in tests/test_similarity_blocked.py.
+@q(
+    "sim_hard_negatives",
+    # the exact brute-force candidate path is fully SQL-expressible: the
+    # over-fetch + anti-join + re-rank composition equals "score everything,
+    # drop banned, rank" (fetch margin covers the worst case by construction)
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       a AS (SELECT vec_id AS anchor_id, v AS av FROM e WHERE vec_id < 8),
+       banned AS (
+         SELECT anchor_id, anchor_id + 1 AS vec_id FROM a
+         UNION
+         SELECT anchor_id, anchor_id FROM a),
+       scored AS (
+         SELECT a.anchor_id, e.vec_id,
+                round(list_dot_product(a.av, e.v) /
+                      (sqrt(list_dot_product(a.av, a.av)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+         FROM a CROSS JOIN e),
+       filt AS (
+         SELECT s.* FROM scored s
+         WHERE NOT EXISTS (SELECT 1 FROM banned b
+                           WHERE b.anchor_id = s.anchor_id AND b.vec_id = s.vec_id)),
+       ranked AS (
+         SELECT anchor_id, vec_id, sim,
+                row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rank
+         FROM filt)
+       SELECT anchor_id, vec_id, sim, CAST(rank AS INTEGER) AS rank
+       FROM ranked WHERE rank <= 5""",
+)
 def sim_hard_negatives(spark, sf_dir):
     """Hard-negative mining (similarity.hard_negatives): per anchor, the
     k most-similar corpus vectors that are neither the anchor nor its
@@ -6248,6 +6416,89 @@ def sim_retrieval_eval(spark, sf_dir):
     results = (
         raw.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    return sim.retrieval_metrics(results, truth, k=5).orderBy("query_id")
+
+
+@q(
+    "sim_retrieval_eval_exact",
+    # both the truth (cosine top-5) and the retriever under eval (raw
+    # dot-product top-5 — a deliberately different, weaker ranking, so the
+    # metric values are non-trivial) are exact brute-force rankings any SQL
+    # engine reproduces; the metric formulas mirror retrieval_metrics
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+       cos_scored AS (
+         SELECT q.query_id, e.vec_id,
+                round(list_dot_product(q.qv, e.v) /
+                      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+         FROM q CROSS JOIN e WHERE e.vec_id != q.query_id),
+       truth AS (
+         SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r
+           FROM cos_scored) WHERE r <= 5),
+       dp_scored AS (
+         SELECT q.query_id, e.vec_id, list_dot_product(q.qv, e.v) AS dp
+         FROM q CROSS JOIN e WHERE e.vec_id != q.query_id),
+       results AS (
+         SELECT query_id, vec_id, r AS rank FROM (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS r
+           FROM dp_scored) WHERE r <= 5),
+       joined AS (
+         SELECT r.query_id, r.rank,
+                CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         FROM results r LEFT JOIN truth t
+           ON t.query_id = r.query_id AND t.vec_id = r.vec_id),
+       per_q AS (
+         SELECT query_id,
+                CAST(sum(rel) AS BIGINT) AS n_hit,
+                min(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+                round(sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1) ELSE 0.0 END), 9) AS dcg
+         FROM joined GROUP BY query_id),
+       nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM truth GROUP BY query_id)
+       SELECT nr.query_id, nr.n_rel,
+              CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+              round(coalesce(p.n_hit, 0) / nr.n_rel, 6) AS recall_at_k,
+              round(coalesce(p.n_hit, 0) / 5.0, 6) AS precision_at_k,
+              round(coalesce(1.0 / p.first_hit, 0.0), 6) AS mrr,
+              round(coalesce(p.dcg, 0.0) /
+                    (1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0) + 1.0/log2(5.0) + 1.0/log2(6.0)), 6) AS ndcg_at_k
+       FROM nr LEFT JOIN per_q p USING (query_id)""",
+)
+def sim_retrieval_eval_exact(spark, sf_dir):
+    """Retrieval-eval panel on FULLY EXACT inputs (the r6 queue's
+    "retrieval-eval exact path"): truth = brute-force cosine top-5,
+    retriever under eval = brute-force RAW-DOT-PRODUCT top-5 — a real,
+    deterministic, SQL-expressible retriever whose un-normalized ranking
+    genuinely degrades on differently-normed corpora, so recall/MRR/nDCG
+    land strictly inside (0, 1] and the metric arithmetic
+    (similarity.retrieval_metrics: one join + one agg + closed-form ideal
+    DCG) is certified value-for-value against DuckDB. The LSH-retriever
+    panel (sim_retrieval_eval) stays rows-only (engine-seeded planes)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = sim.brute_force_topk(emb, queries, k=5, exclude_self=True).select(
+        "query_id", "vec_id"
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            sim.dot(F.col("query_vec"), F.col("embedding")).alias("dp"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dp"), F.asc("vec_id"))
+    results = (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
     return sim.retrieval_metrics(results, truth, k=5).orderBy("query_id")
@@ -6677,6 +6928,43 @@ def pipeline_quality_release(spark, sf_dir):
             ).alias("kept_avg_prob"),
         )
     )
+
+
+@q(
+    "quality_filter_frozen",
+    # frozen release gate: pinned coefficients over engine-portable features
+    # (quality_release_v1.json) — the expression tree mirrors
+    # quality_model.frozen_release_gate term for term, strict left-to-right
+    """WITH f AS (
+         SELECT doc_id,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha,
+                CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct,
+                CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                     x -> x IN ('the','and','of','to','in','is','that','it','was','for'))) AS DOUBLE)
+                  / len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS stop,
+                ln(CAST(length(text) AS DOUBLE)) AS log_len
+         FROM documents),
+       s AS (
+         SELECT doc_id,
+                round(1.0 / (1.0 + exp(-(-2.5 + 4.2 * alpha + -6.0 * punct + 3.1 * stop + 0.15 * log_len))), 6) AS score
+         FROM f)
+       SELECT doc_id, score, score >= 0.5 AS kept FROM s""",
+)
+def quality_filter_frozen(spark, sf_dir):
+    """The RELEASE-GATE decision, oracle-certified end-to-end (VERDICT r6
+    task 5): pipeline_quality_release's trained model is rows-only by
+    nature (iterative L-BFGS, hashed features), but a corpus RELEASE is
+    cut with a FROZEN artifact — quality_model.frozen_release_gate scores
+    sigmoid over pinned coefficients (quality_release_v1.json) on
+    engine-portable features and flags kept = score ≥ threshold on the
+    ROUNDED score. Every doc's published probability and filter decision
+    hash-match DuckDB, so the exact semantics of what entered a release
+    are re-verifiable without the training stack. One narrow codegen map,
+    no shuffle, no Python."""
+    from bullet_spark_spark.operators import quality_model as qm
+
+    t = _t(spark, sf_dir)
+    return qm.frozen_release_gate(t["documents"])
 
 
 # ---------------------------------------------------------------------------

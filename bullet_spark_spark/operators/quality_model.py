@@ -137,6 +137,73 @@ def calibration_table(
     )
 
 
+def load_frozen_release(path: str | None = None) -> dict:
+    """Load a frozen release-gate artifact (JSON: intercept, weights,
+    threshold, stopword vocabulary). Defaults to the repo-pinned
+    ``quality_release_v1.json`` next to this module — the distilled,
+    REPRODUCIBLE form of a trained classifier: the MLlib model's hashed
+    features are engine-opaque, so the release gate ships as a linear
+    scorer over interpretable portable features instead (the same
+    distill-for-serving step production quality filters take so a corpus
+    release can be re-verified years later without the training stack)."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "quality_release_v1.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def frozen_release_gate(
+    df: DataFrame,
+    model: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score + filter-flag a corpus with a FROZEN linear quality model →
+    (id_col, score, kept): score = round(sigmoid(intercept + Σ wᵢ·fᵢ), 6),
+    kept = score ≥ threshold — the deterministic release-gate decision.
+    The gate compares the ROUNDED score so the kept flag is a pure
+    function of the emitted surface (no hidden-precision boundary between
+    what is published and what was filtered).
+
+    Features (all engine-portable, the same definitions the heuristic
+    quality family uses): alpha_ratio (alphabetic chars / chars),
+    punct_ratio (punctuation chars / chars), stop_ratio (pinned-vocabulary
+    stopword tokens / tokens), log_len (ln of char length).
+
+    Scale shape: one narrow codegen map over the corpus — no shuffle, no
+    Python, no model object; the "model" is four doubles and a 10-word
+    vocabulary folded into the plan as literals."""
+    m = model if model is not None else load_frozen_release()
+    w = m["weights"]
+    t = F.col(text_col)
+    toks = F.split(F.regexp_replace(F.trim(F.lower(t)), r"\s+", " "), " ")
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double") / F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")).cast("double") / F.length(t)
+    stop = (
+        F.size(F.filter(toks, lambda x: x.isin(*m["stopwords_en"]))).cast("double")
+        / F.size(toks)
+    )
+    log_len = F.log(F.length(t).cast("double"))
+    # strict left-to-right accumulation: the SQL oracle writes the same
+    # expression tree, so the float result is bit-identical pre-rounding
+    z = (
+        F.lit(float(m["intercept"]))
+        + F.lit(float(w["alpha_ratio"])) * alpha
+        + F.lit(float(w["punct_ratio"])) * punct
+        + F.lit(float(w["stop_ratio"])) * stop
+        + F.lit(float(w["log_len"])) * log_len
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= F.lit(float(m["threshold"]))).alias("kept"),
+    )
+
+
 def quality_filter(
     model,
     df: DataFrame,

