@@ -1062,6 +1062,119 @@ def streaming_neardup_ingest(
     return writer.start()
 
 
+def streaming_span_scrub_ingest(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    checkpoint_dir: str | None = None,
+    compact_every: int | None = 16,
+):
+    """CONTINUOUS span-level exact-substring scrubbing (VERDICT r6 task 6):
+    the signature-store pattern of :func:`streaming_neardup_ingest`
+    applied to word-k-gram hashes — every micro-batch's documents are
+    scrubbed of passages already seen, either earlier in the stream or
+    within the same batch, and emit with the
+    ``scrub_duplicated_spans(keep_first=True, max_df=1)`` surface
+    (id, n_tokens, dup_tokens, text_clean).
+
+    DRIP ≡ BATCH: with ids monotone in arrival order (the same contract
+    streaming_neardup_ingest's first-occurrence-wins relies on), the
+    emitted corpus equals the one-shot batch
+    ``scrub_duplicated_spans(keep_first=True, max_df=1)`` over the full
+    input, exactly — a gram's keeper is its min id, which under monotone
+    arrival is the first holder ever seen: already-emitted keepers keep
+    their (unscrubbed) spans, later holders scrub them, and within-batch
+    election picks the same min-id keeper the global run would. The
+    parity holds ONLY for max_df=1 (at higher thresholds a document can
+    be emitted before its gram's corpus-wide df crosses the bar — emitted
+    docs are final), which is why the knob is pinned.
+
+    Per batch (foreachBatch):
+      1. gram the batch once (linear (id, pos, gh) frame, persisted);
+      2. batch grams ∈ the historical gram store → those positions scrub
+         (their keeper already shipped in an earlier epoch);
+      3. grams new to the store but held by ≥2 batch docs → min-id doc
+         keeps, other holders scrub (the same election batch runs);
+      4. rebuild each doc's text from uncovered tokens (shared
+         ``_scrub_rebuild``) and write per-epoch; append the batch's
+         distinct gram hashes to the store per-epoch (both overwrite →
+         retried epochs are idempotent; the store read excludes the
+         in-flight epoch).
+
+    State per DISTINCT corpus gram is one long — ~8 bytes/token worst
+    case, a bounded parquet table any batch job can reuse; every
+    ``compact_every`` closed epochs the store folds into the consolidated
+    ``epoch=-1`` partition (:func:`_compact_sig_store`, schema-agnostic).
+    History is only ever touched through the gram-hash table — the
+    accepted TEXT is never rescanned. Returns the StreamingQuery
+    (Available-Now trigger, same cron-intake posture as
+    streaming_neardup_ingest)."""
+    import os
+
+    from pyspark import StorageLevel
+
+    spark = stream.sparkSession
+    gram_store = os.path.join(state_dir, "grams")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks_f, grams = _span_gram_frames(batch_df, id_col, text_col, k)
+        toks_f = toks_f.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # (3) within-batch election: min-id holder keeps, the rest scrub
+        dup_batch = (
+            grams.groupBy("gh")
+            .agg(F.count_distinct("id").alias("__df"), F.min("id").alias("__keeper"))
+            .filter(F.col("__df") > 1)
+            .select("gh", "__keeper")
+        )
+        hits = (
+            grams.join(dup_batch, "gh")
+            .filter(F.col("id") != F.col("__keeper"))
+            .select("id", "pos")
+        )
+
+        # (2) vs the gram store (absent on the first epoch); the batch side
+        # of the semi-join is the small side — history grams are touched
+        # only through the compact hash table
+        if _sig_store_epochs(spark, gram_store):
+            hist = (
+                spark.read.option("basePath", gram_store).parquet(gram_store)
+                .filter(F.col("epoch") != epoch_id)  # retry safety
+                .select("gh")
+            )
+            hits = hits.unionByName(
+                grams.join(hist, "gh", "left_semi").select("id", "pos")
+            )
+
+        out = _scrub_rebuild(toks_f, hits.distinct(), k)
+
+        # (4) idempotent per-epoch writes: scrubbed docs + the batch's grams
+        # (RAW grams — a scrubbed span still counts toward future dedup,
+        # matching batch df semantics over the raw corpus)
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        grams.select("gh").distinct().write.mode("overwrite").parquet(
+            f"{gram_store}/epoch={epoch_id}"
+        )
+        toks_f.unpersist()
+        grams.unpersist()
+
+        if compact_every:
+            closed = [e for e in _sig_store_epochs(spark, gram_store) if e != epoch_id]
+            if len(closed) >= compact_every:
+                _compact_sig_store(spark, gram_store, keep_epoch=epoch_id)
+
+    writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def text_segments(text: Column, seg_words: int = 10) -> Column:
     """Non-overlapping ``seg_words``-word segments of a document, in
     order. The unit of cross-document exact-substring dedup: fine enough
@@ -1597,6 +1710,68 @@ def duplicated_spans(
     )
 
 
+def _span_gram_frames(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared span-dedup front end → (toks_f, grams): the normalized token
+    array per doc ≥ k tokens, and the linear (id, pos, gh) overlapping
+    word-k-gram frame (xxhash64 longs — gram strings never shuffle). The
+    k-gram array is built with slice/transform over the MATERIALIZED token
+    column (HOF lambdas are interpreted), hashing after posexplode so it
+    runs in codegen. Callers persist as needed."""
+    toks_f = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
+    ).filter(F.size("__toks") >= k)
+    grams = toks_f.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k),
+                lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, k), " "),
+            )
+        ).alias("pos", "__gram"),
+    ).select("id", "pos", F.xxhash64("__gram").alias("gh"))
+    return toks_f, grams
+
+
+def _scrub_rebuild(toks_f: DataFrame, hits: DataFrame, k: int) -> DataFrame:
+    """Shared span-scrub back end: duplicated gram positions (id, pos) →
+    (id, n_tokens, dup_tokens, text_clean). The covered-token mask is
+    row-local (per-position index ranges → collect_set per doc, bounded by
+    document length), and the rebuild is an index-aware array_except —
+    the same recovery segment_dedup uses."""
+    covered = (
+        hits.select(
+            "id", F.explode(F.sequence("pos", F.col("pos") + k - 1)).alias("__ti")
+        )
+        .groupBy("id")
+        .agg(F.collect_set("__ti").alias("__cov"))
+    )
+    return (
+        toks_f.join(covered, "id", "left")
+        .withColumn(
+            "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+        )
+        .withColumn(
+            "__keep",
+            F.array_sort(
+                F.array_except(
+                    F.sequence(F.lit(0), F.size("__toks") - 1), F.col("__cov")
+                )
+            ),
+        )
+        .select(
+            "id",
+            F.size("__toks").alias("n_tokens"),
+            F.size("__cov").alias("dup_tokens"),
+            F.array_join(
+                F.transform(F.col("__keep"), lambda i: F.col("__toks")[i]), " "
+            ).alias("text_clean"),
+        )
+    )
+
+
 def scrub_duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1638,19 +1813,8 @@ def scrub_duplicated_spans(
     """
     from pyspark import StorageLevel
 
-    toks_f = df.select(
-        F.col(id_col).alias("id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
-    ).filter(F.size("__toks") >= k).persist(StorageLevel.MEMORY_AND_DISK)
-    grams = toks_f.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - k),
-                lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, k), " "),
-            )
-        ).alias("pos", "__gram"),
-    ).select("id", "pos", F.xxhash64("__gram").alias("gh"))
+    toks_f, grams = _span_gram_frames(df, id_col, text_col, k)
+    toks_f = toks_f.persist(StorageLevel.MEMORY_AND_DISK)
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.groupBy("gh")
@@ -1665,34 +1829,7 @@ def scrub_duplicated_spans(
         hits = grams.join(dup, "gh").filter(F.col("id") != F.col("__keeper"))
     else:
         hits = grams.join(dup.select("gh"), "gh", "left_semi")
-    covered = (
-        hits
-        .select("id", F.explode(F.sequence("pos", F.col("pos") + k - 1)).alias("__ti"))
-        .groupBy("id")
-        .agg(F.collect_set("__ti").alias("__cov"))
-    )
-    return (
-        toks_f.join(covered, "id", "left")
-        .withColumn(
-            "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
-        )
-        .withColumn(
-            "__keep",
-            F.array_sort(
-                F.array_except(
-                    F.sequence(F.lit(0), F.size("__toks") - 1), F.col("__cov")
-                )
-            ),
-        )
-        .select(
-            "id",
-            F.size("__toks").alias("n_tokens"),
-            F.size("__cov").alias("dup_tokens"),
-            F.array_join(
-                F.transform(F.col("__keep"), lambda i: F.col("__toks")[i]), " "
-            ).alias("text_clean"),
-        )
-    )
+    return _scrub_rebuild(toks_f, hits, k)
 
 
 def winnow_fingerprints(

@@ -210,3 +210,98 @@ def test_scrub_keep_first_preserves_one_copy(spark):
     assert out[1].text_clean == a and out[1].dup_tokens == 0
     assert out[2].text_clean == "b0 b1 b2" and out[2].dup_tokens == 10
     assert out[3].text_clean == "c0 c1 c2" and out[3].dup_tokens == 10
+
+
+# ---------------------------------------------------------------------------
+# Streaming span-scrub ingest: drip ≡ batch (VERDICT r6 task 6)
+# ---------------------------------------------------------------------------
+
+def _ordered_drip(spark, chunks, data_dir):
+    """One parquet file per chunk with strictly increasing mtimes →
+    FileStreamSource (maxFilesPerTrigger=1, oldest-first) replays the
+    chunks as micro-batches IN ORDER — the deterministic drip the
+    monotone-id parity contract needs (file_drip's repartition scatters)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(data_dir, exist_ok=True)
+    t0 = time.time() - 10 * len(chunks)
+    for i, chunk in enumerate(chunks):
+        path = os.path.join(data_dir, f"chunk_{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+                    "text": pa.array([r[1] for r in chunk], pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (t0 + 10 * i, t0 + 10 * i))
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+
+
+def test_streaming_span_scrub_drip_equals_batch(spark, tmp_path):
+    """Dripping the corpus through streaming_span_scrub_ingest in monotone-id
+    micro-batches emits EXACTLY the batch
+    scrub_duplicated_spans(keep_first=True, max_df=1) output — cross-epoch
+    dups (via the gram store), within-epoch dups (min-id election), repeated
+    passages spanning both, and untouched docs all replay identically."""
+    import hashlib
+
+    def w(tag, n):  # unique word streams, no accidental shared grams
+        return " ".join(
+            hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:10] for j in range(n)
+        )
+
+    p1, p2, p3 = w("P1", 10), w("P2", 12), w("P3", 9)
+    docs = [
+        (0, w("a", 6) + " " + p1),            # keeper of P1
+        (1, p2 + " " + w("b", 5)),            # keeper of P2
+        (2, w("c", 4) + " " + p1 + " " + w("d", 4)),  # P1 via store
+        (3, p2),                               # fully scrubbed via store
+        (4, w("e", 14)),                       # untouched
+        (5, w("f", 3) + " " + p3),            # within-batch keeper of P3
+        (6, p3 + " " + w("g", 6)),            # within-batch scrub
+        (7, w("h", 2) + " " + p3 + " " + w("i", 3)),  # P3 via store
+    ]
+    chunks = [docs[0:2], docs[2:5], docs[5:7], docs[7:8]]
+
+    stream = _ordered_drip(spark, chunks, str(tmp_path / "in"))
+    q = dd.streaming_span_scrub_ingest(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        k=8,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["id"], r["n_tokens"], r["dup_tokens"], r["text_clean"])
+        for r in spark.read.option("basePath", str(tmp_path / "out"))
+        .parquet(str(tmp_path / "out"))
+        .drop("epoch")
+        .collect()
+    }
+    batch = {
+        (r["id"], r["n_tokens"], r["dup_tokens"], r["text_clean"])
+        for r in dd.scrub_duplicated_spans(
+            _docs(spark, docs), k=8, keep_first=True, max_df=1
+        ).collect()
+    }
+    assert streamed == batch
+    # and the planted structure actually exercised every path
+    by_id = {t[0]: t for t in streamed}
+    assert by_id[0][2] == 0 and by_id[1][2] == 0      # keepers intact
+    assert by_id[2][2] == 10 and by_id[3][2] == 12    # store-scrubbed
+    assert by_id[4][2] == 0                           # untouched
+    assert by_id[5][2] == 0 and by_id[6][2] == 9      # within-batch election
+    assert by_id[7][2] == 9                           # store after election
