@@ -6993,18 +6993,87 @@ def quality_filter_frozen(spark, sf_dir):
 # oracle registration this round — they are pytest-certified
 # (test_similarity_blocked.py, test_pca_corr.py) and queue for the r7
 # window, keeping the no-additions-after-cut discipline intact.
-# r7 ORACLE QUEUE (register these as oracle rows when the r7 window is
-# cut, alongside whatever r6 leaves uncertified):
-#   - dedup_span_exact / dedup_span_scrub / dedup_span_scrub_keepfirst /
-#     dedup_winnow_pairs (registered post-freeze with their oracle SQL in
-#     place — check_oracle certifies them locally; first driver row is r7).
-#   - sketch_bloom_prune with exact=True: result ≡ plain left_semi join —
-#     the DuckDB oracle is the straight semi-join + group agg SQL.
-#   - a blocked-pairs assertion row: cosine_pairs_blocked ⊆ brute-force
-#     pairs at sf0.01 with recall 1.0 (it is exact, just blocked).
-#   - cms/theta/hll overlap entries stay rows-only (engine-seeded
-#     hashing / HLL blobs have no DuckDB equivalent) — their guarantees
-#     live in tests/test_bloom.py and tests/test_theta_sketch.py.
+# r7 ORACLE QUEUE — ALL REGISTERED THIS ROUND (VERDICT r6 task 1):
+#   - the span family (dedup_span_exact/scrub/scrub_keepfirst) +
+#     dedup_winnow_pairs: oracle SQL was already in place; first driver
+#     row is r7 (locally green via check_oracle at sf0.01 AND sf0.1).
+#   - sketch_bloom_prune: oracle SQL added (exact=True ≡ left_semi).
+#   - sketch_cms_error_md5: NEW md5-portable CMS error surface (the
+#     r6 comment said CMS "stays rows-only" — wrong: the md5 cell-hash
+#     trick that made minhash oracle-checkable applies identically).
+#   - sketch_theta_exact_rollup / sketch_overlap_exact: exact
+#     counterparts of the Theta slice-merge and HLL overlap matrix with
+#     the identical output surface.
+#   - sim_hard_negatives: oracle SQL added (brute-force candidates are
+#     SQL-expressible); sim_retrieval_eval_exact: NEW exact metric panel
+#     (dot-product retriever vs cosine truth).
+#   - quality_filter_frozen: NEW frozen-coefficient release gate
+#     (quality_release_v1.json), scores + kept flags hash-matched.
+#   - still rows-only by nature: xxhash64/engine-seeded sketches
+#     (theta/hll/bloom-probe bits, production CMS), LSH planes, MLlib
+#     training, iterative graph/BPE — laws in pytest as before.
+#
+# Round-7 window (FROZEN at cut): the 11 never-driver-green oracle rows
+# above + 39 sentinels chosen as the STALEST driver greens (15 last
+# certified r3, 24 last certified r4 — nothing in the window has a green
+# newer than r4 except the 11 first-timers), so this round simultaneously
+# closes the new families and refreshes the oldest certifications.
+_WINDOW_R7 = [
+    # -- the 4 span/winnow rows (registered post-freeze in r6) --
+    "dedup_span_exact",
+    "dedup_span_scrub",
+    "dedup_span_scrub_keepfirst",
+    "dedup_winnow_pairs",
+    # -- the 7 new r7 exact-path rows --
+    "sketch_bloom_prune",
+    "sketch_cms_error_md5",
+    "sketch_theta_exact_rollup",
+    "sketch_overlap_exact",
+    "sim_hard_negatives",
+    "sim_retrieval_eval_exact",
+    "quality_filter_frozen",
+    # -- 15 sentinels last driver-green in r3 --
+    "cube_grouping_sets",
+    "expr_json",
+    "expr_string",
+    "expr_temporal",
+    "global_topk_orders",
+    "join_left_full_outer",
+    "join_semi_anti",
+    "pivot_status_by_priority",
+    "setops_intersect_except",
+    "tpch_q14_promo_share",
+    "tpch_q3_shipping",
+    "tpch_q4_late_orders",
+    "tpch_q5_region_revenue",
+    "window_additive",
+    "window_session_30m",
+    # -- 24 sentinels last driver-green in r4 --
+    "behavior_funnel",
+    "bullet_group_agg_sampled",
+    "corpus_report",
+    "decontam_minhash",
+    "decontam_semantic",
+    "dedup_minhash_md5",
+    "dedup_minhash_survivors",
+    "dedup_neardup_components",
+    "dedup_segments",
+    "dedup_simhash_md5",
+    "multiplex_one_pass",
+    "pipeline_release_v2",
+    "quality_drift_psi",
+    "quality_validate",
+    "sampling_exact_n_per_group",
+    "sampling_stratified",
+    "sampling_temperature_mixture",
+    "sampling_weighted",
+    "scale_salted_agg",
+    "scale_salted_join",
+    "sim_cosine_topk",
+    "sim_int8_topk",
+    "sketch_quantile_merge",
+    "sketch_quantile_rollup",
+]
 # Composition: the 22 never-driver-green oracle-eligible queries (the 5 r5
 # reds, now surface-fixed per the OUTPUT-SURFACE CONTRACT above, + the 17
 # late-r5 additions that landed after the r5 window was cut), then the 3
@@ -7242,7 +7311,7 @@ def _rotate_window(priority: list[str]) -> None:
         d.update(snap)
 
 
-_rotate_window(_WINDOW_R6)
+_rotate_window(_WINDOW_R7)
 
 
 # ---------------------------------------------------------------------------
