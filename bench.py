@@ -75,7 +75,11 @@ BENCH = [
 REPEATS = 3
 
 
-QUIET_MAX_WAIT_S = 240  # bounded: the driver's own sweep load decays ~1min half-life
+# Bounded: the 1-min loadavg decays with a ~60 s time constant, so the
+# residual of a just-finished sweep (observed ~7.5 on 32 cpus) crosses the
+# isolation threshold (4) in ~40 s; 150 s covers 3× that while keeping the
+# bench's total wall safely inside any harness timeout.
+QUIET_MAX_WAIT_S = 150
 
 
 def _wait_for_quiet(cpus: int) -> tuple[list[float], float]:
