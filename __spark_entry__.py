@@ -4421,6 +4421,31 @@ def sim_pca_ann(spark, sf_dir):
     return sim.pca_ann_topk(t["embeddings"], queries, k=5, pca_k=8)
 
 
+@q("sim_pq_ann")  # rows-only: sample-trained codebooks are engine-side
+# choices (like IVF cells); full-path numpy differential + cluster-recall
+# + no-crossjoin plan contract in tests/test_pq.py. Registered POST-FREEZE
+# (r7 discipline): first driver row queues for the r8 window.
+def sim_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_train/pq_encode/pq_topk):
+    the fourth ANN family and the MEMORY-BOUND scale path — the corpus
+    compresses to m small ints per vector (~64× vs double arrays at m=8
+    on 64-dim), so a billion-vector index lives in executor memory while
+    the floats stay cold; queries score by ADC table lookup in one pass
+    over the codes frame, each partition emitting only per-query top-k
+    partials (the n×q score matrix never materializes — FAISS's IndexPQ
+    posture, re-expressed as mapInPandas + a final bounded window)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cb = sim.pq_train(emb, m=8, k=64, sample_size=2048)
+    codes = sim.pq_encode(emb, cb)
+    queries = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    )
+    return sim.pq_topk(codes, cb, queries, k=5)
+
+
 @q(
     "text_chunk_sentences",
     """WITH raw AS (

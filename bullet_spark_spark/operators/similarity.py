@@ -901,6 +901,212 @@ def brute_force_topk_int8(
     )
 
 
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> list:
+    """Product-quantization codebooks (Jégou et al. 2011, the FAISS PQ
+    index): split the (L2-normalized) vector into ``m`` contiguous
+    subspaces and train an independent ``k``-centroid L2 k-means per
+    subspace on a deterministic hash-ordered sample — the same bounded
+    training pass the IVF coarse quantizer uses (the sample is metadata;
+    the corpus is never collected). Returns ``codebooks``:
+    m × k × (dim/m) nested lists (≤ m·k·dim/m = k·dim floats — e.g.
+    256×64 dims = 64 Ki floats, trivially broadcastable).
+
+    PQ is the missing rung between int8 (4-8×) and binary sketches on the
+    compression ladder: a dim-d float corpus (8d bytes/vector as Spark
+    doubles) becomes ``m`` SMALL INTS per vector — 64-dim embeddings at
+    m=8 compress ~64×, so a billion-vector index is ~10s of GB and lives
+    in executor memory while the float originals stay cold. Vectors are
+    normalized first, so ADC L2 distance ranks identically to cosine
+    (||a−b||² = 2 − 2·cos on unit vectors) and ``pq_topk`` can report the
+    familiar sim surface.
+
+    Deterministic: hash-ordered sample, farthest-point init from sample
+    row 0 per subspace, ``iters`` Lloyd rounds, empty cells re-seed from
+    the worst-assigned point, ties break to the lowest centroid index."""
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(sample_size)
+        .collect()  # bounded: the training sample, like kmeans_centroids
+    )
+    X = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    kk = min(k, n)
+    codebooks = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        # farthest-point init (L2), deterministic from sample row 0
+        idx = [0]
+        d2 = ((Xs - Xs[0]) ** 2).sum(axis=1)
+        for _ in range(1, kk):
+            nxt = int(np.argmax(d2))
+            idx.append(nxt)
+            d2 = np.minimum(d2, ((Xs - Xs[nxt]) ** 2).sum(axis=1))
+        C = Xs[idx].copy()
+        for _ in range(iters):
+            # assignment: argmin over k centroids (ties -> lowest index)
+            dists = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = dists.argmin(axis=1)
+            for c in range(kk):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+                else:  # empty cell: re-seed from the worst-assigned point
+                    C[c] = Xs[int(dists.min(axis=1).argmax())]
+        codebooks.append(C.tolist())
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode every vector to its PQ codes → (id_col, out_col:
+    array<smallint> of length m) — the compact corpus representation.
+    One Arrow-batched map with the codebooks broadcast in the closure
+    (k·dim floats): per batch, each subspace is one ‖x‖²−2xCᵀ argmin GEMM
+    over the whole batch — vectorized, no per-row Python. No shuffle; at
+    100 TB this is the embarrassingly-parallel index build, and the codes
+    frame (m small ints + id per vector) is what every later query
+    touches."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, ShortType, StructField, StructType
+
+    C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(C)
+    dsub = C[0].shape[1]
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField(out_col, ArrayType(ShortType()), True),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(pdf), m), dtype=np.int16)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                # ||x-c||² = ||x||² - 2xc + ||c||²; ||x||² constant per row
+                d = -2.0 * (Xs @ C[s].T) + (C[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus →
+    (query_id, id, sim, rank): per query, the m×k lookup table
+    T[s][c] = ‖q_s − C_s[c]‖² is precomputed once (queries are bounded —
+    collected like every query panel here), each code vector scores as
+    Σ_s T[s][codes_s] (pure numpy fancy-indexing per Arrow batch), and
+    ``sim = 1 − dist/2`` converts unit-vector L2 back to the cosine
+    surface the exact rankings report.
+
+    Scale shape: ONE pass over the codes frame; each partition emits only
+    its per-query top-k partials (k rows × #queries per batch, never the
+    n×q score matrix), and a final window over ≤ k·#batches·#queries rows
+    picks the global top-k — the same partial-top-k-then-merge shape the
+    salted aggregations use. Approximation error is the PQ quantization
+    error; recall is tested against brute force."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(C)
+    dsub = C[0].shape[1]
+    qrows = queries.select(query_id_col, query_vec_col).collect()  # bounded: query panel
+    qids = [r[0] for r in qrows]
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # tables[qi][s][c] — #queries × m × k, broadcast via closure
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((Q[qi, s * dsub : (s + 1) * dsub][None, :] - C[s]) ** 2).sum(axis=1)
+                    for s in range(m)
+                ]
+            )
+            for qi in range(len(qids))
+        ]
+    )
+    id_field = codes_df.schema[id_col]
+    q_field = queries.schema[query_id_col]
+    out_schema = StructType(
+        [
+            StructField(query_id_col, q_field.dataType, True),
+            StructField(id_col, id_field.dataType, True),
+            StructField("dist", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array(pdf[codes_col].tolist(), dtype=np.int64)  # b × m
+            ids = pdf[id_col].to_numpy()
+            order = np.arange(m)
+            for qi, qid in enumerate(qids):
+                d = tables[qi][order, codes].sum(axis=1)  # b
+                take = min(k, len(d))
+                part = np.argpartition(d, take - 1)[:take]
+                # deterministic partial order: (dist, id)
+                part = part[np.lexsort((ids[part], d[part]))]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: [qid] * take,
+                        id_col: ids[part],
+                        "dist": d[part],
+                    }
+                )
+
+    partials = codes_df.select(id_col, codes_col).mapInPandas(score, out_schema)
+    w = W.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.lit(1.0) - F.col("dist") / 2.0, 6).alias("sim"),
+            "rank",
+        )
+    )
+
+
 def pca_components(
     df: DataFrame,
     vec_col: str = "embedding",
