@@ -70,6 +70,10 @@ BENCH = [
     "dedup_span_scrub",       # overlapping-gram span scrub + corpus rebuild
     "dedup_winnow_pairs",     # MOSS winnowing fingerprints + posting pair join
     "pipeline_quality_release",  # seed-train MLlib classifier + broadcast-model corpus filter
+    # round-7 additions: the new certified families
+    "quality_filter_frozen",  # frozen-coefficient release gate (pure codegen map)
+    "sim_pq_ann",             # PQ codebook train + encode + ADC top-k
+    "sketch_cms_error_md5",   # md5-portable count-min build + full-keyset lookup
 ]
 
 REPEATS = 3

@@ -96,19 +96,33 @@ def test_fixed_scale_csv_matches_across_engines(spark, duck):
     assert srow == "0.500000,-1.250000,0.000000,123.456789,-0.000001"
 
 
-def test_r6_window_is_first_50_oracle_registrations():
+def test_r7_window_is_first_50_oracle_registrations():
     """The driver certifies the FIRST 50 oracle-eligible registrations;
-    the r6 window list must exactly occupy those slots (frozen at round
-    start — a stray registration reordering would silently rotate an
-    uncertified query out of the gate)."""
+    the current round's window list must exactly occupy those slots
+    (frozen at cut — a stray registration reordering would silently
+    rotate an uncertified query out of the gate)."""
     import re
 
     import __spark_entry__ as entry
 
     src = open(entry.__file__).read()
-    win = re.search(r"_WINDOW_R6 = \[(.*?)\]", src, re.S).group(1)
+    win = re.search(r"_WINDOW_R7 = \[(.*?)\]", src, re.S).group(1)
     names = re.findall(r'"([^"]+)"', win)
     assert len(names) == 50
     oracles = entry.oracle_sql()
     first50 = [n for n in entry.queries() if n in oracles][:50]
     assert first50 == names
+    # the 11 never-driver-green rows lead the window (r6 queue, closed r7)
+    assert names[:11] == [
+        "dedup_span_exact",
+        "dedup_span_scrub",
+        "dedup_span_scrub_keepfirst",
+        "dedup_winnow_pairs",
+        "sketch_bloom_prune",
+        "sketch_cms_error_md5",
+        "sketch_theta_exact_rollup",
+        "sketch_overlap_exact",
+        "sim_hard_negatives",
+        "sim_retrieval_eval_exact",
+        "quality_filter_frozen",
+    ]

@@ -89,6 +89,12 @@ QUERIES = {
     "dedup_span_exact": "gram hashes (not strings) shuffle once for document-frequency; dup positions back via AQE-broadcast semi-join; gaps-and-islands window merges spans per doc",
     "dedup_span_scrub": "shares the span gram frame; covered-token mask is row-local sequence/explode + collect_set per doc; array_except index rebuild like dedup_segments",
     "dedup_winnow_pairs": "window-min fingerprint selection (ONE doc-keyed window); pair join runs on the ~2/(w+1)-density winnowed postings with the hot-key prune",
+    # round-7 additions: exact-path certifications + PQ
+    "quality_filter_frozen": "frozen linear gate = ONE narrow codegen map (4 doubles + 10-word vocab as literals); zero Exchange",
+    "sketch_cms_error_md5": "md5-portable cells: build agg + d broadcast-join lookups over the FULL key set; exact counts join back once",
+    "sketch_overlap_exact": "distinct (group,key) shuffle; pair overlap keyed by KEY; #groups² spine from the bounded size table (BNL on metadata, never data)",
+    "sim_hard_negatives": "brute-force candidates w/ precomputed norms; banned anti-join; per-anchor rank window over fetch_k rows",
+    "sim_pq_ann": "codes frame from ONE Arrow map; ADC scan emits per-batch top-k partials — no n×q frame, final window over bounded partials",
 }
 
 
