@@ -45,6 +45,7 @@ from pyspark.sql.window import Window as W
 from bullet_spark_spark.functions.exprs import E
 from bullet_spark_spark.operators import dedup as dd
 from bullet_spark_spark.operators import graph as gr
+from bullet_spark_spark.operators import layout as lay
 from bullet_spark_spark.operators import multimodal as mm
 from bullet_spark_spark.operators import relational as rel
 from bullet_spark_spark.operators import sampling as smp
@@ -2220,6 +2221,174 @@ def scale_salted_join(spark, sf_dir):
     j = salted_skew_join(li, t["orders"].select("o_orderkey", "o_orderpriority"), "o_orderkey")
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"), _dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+# ---- data-layout family (operators/layout.py) — r8 ORACLE QUEUE: added
+# after the r7 window was frozen, so per the freeze discipline these take
+# their first driver row in r8; locally certified via tools/check_oracle.py
+# at sf0.01 and sf0.1 meanwhile. ----
+
+
+def _zorder_sql_expr(c0: str, c1: str, bits: int) -> str:
+    """DuckDB twin of layout.interleave_bits for two columns: bit b of
+    column i lands at position b*2+i (column 0 owns the even bits)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({c0} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({c1} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+# shared base: lineitem scaled into 8-bit dims + z-key + the two layouts'
+# deterministic NTILE bucketings (integer-exact scaling via `//`, the SQL
+# twin of layout.scale_int's (a - a % b)/b identity)
+_ZORDER_CTE = f"""bd AS (
+    SELECT min(l_partkey) AS lop, max(l_partkey) AS hip,
+           min(l_suppkey) AS los, max(l_suppkey) AS his FROM lineitem),
+  zsrc AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           ((l_partkey - lop) * 255) // greatest(1, hip - lop) AS sp,
+           ((l_suppkey - los) * 255) // greatest(1, his - los) AS ss
+    FROM lineitem, bd),
+  zk AS (SELECT *, {_zorder_sql_expr('sp', 'ss', 8)} AS zkey FROM zsrc),
+  zt AS (SELECT *, ntile(64) OVER (ORDER BY zkey, l_orderkey, l_linenumber)
+                   AS bucket FROM zk),
+  zs AS (SELECT bucket, count(*) AS cnt,
+                min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+                min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+         FROM zt GROUP BY bucket)"""
+
+
+@q(
+    "scale_zorder_stats",
+    f"""WITH {_ZORDER_CTE}
+       SELECT bucket, cnt, min_p, max_p, min_s, max_s FROM zs""",
+)
+def scale_zorder_stats(spark, sf_dir):
+    """Z-order zone map (operators/layout.py): lineitem clustered on the
+    Morton interleave of (l_partkey, l_suppkey) into 64 equal-height
+    buckets, per-bucket min/max stats — the file-level metadata a
+    lakehouse OPTIMIZE ZORDER produces. Everything is integer-exact (bit
+    arithmetic + the (a - a%b)/b division identity + standard NTILE), so
+    the layout itself hash-matches DuckDB. Reference has no layout
+    surface; extension per SURVEY §2.5."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = lay.zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    b = lay.assign_buckets_exact(z, ["zkey", "l_orderkey", "l_linenumber"], 64)
+    return lay.bucket_stats(b, ["l_partkey", "l_suppkey"]).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "cnt",
+        F.col("min_l_partkey").alias("min_p"),
+        F.col("max_l_partkey").alias("max_p"),
+        F.col("min_l_suppkey").alias("min_s"),
+        F.col("max_l_suppkey").alias("max_s"),
+    )
+
+
+def _prune_sql(stats: str, dim: str, keys: str, layout: str) -> str:
+    lo = {"l_partkey": "min_p", "l_suppkey": "min_s"}[dim]
+    hi = {"l_partkey": "max_p", "l_suppkey": "max_s"}[dim]
+    return f"""SELECT '{layout}' AS layout, '{dim}' AS dim,
+       round(CAST(sum(t) AS DOUBLE) / count(*), 6) AS avg_buckets,
+       CAST(max(t) AS BIGINT) AS max_buckets
+     FROM (SELECT k, count(*) AS t FROM {keys} JOIN {stats}
+           ON k BETWEEN {lo} AND {hi} GROUP BY k)"""
+
+
+@q(
+    "scale_zorder_pruning",
+    f"""WITH {_ZORDER_CTE},
+  lt AS (SELECT *, ntile(64) OVER (ORDER BY l_partkey, l_orderkey,
+                                   l_linenumber) AS bucket FROM zk),
+  ls AS (SELECT bucket, count(*) AS cnt,
+                min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+                min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+         FROM lt GROUP BY bucket),
+  pk AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+  sk AS (SELECT DISTINCT l_suppkey AS k FROM lineitem)
+  {_prune_sql('zs', 'l_partkey', 'pk', 'zorder')}
+  UNION ALL {_prune_sql('zs', 'l_suppkey', 'sk', 'zorder')}
+  UNION ALL {_prune_sql('ls', 'l_partkey', 'pk', 'linear')}
+  UNION ALL {_prune_sql('ls', 'l_suppkey', 'sk', 'linear')}""",
+)
+def scale_zorder_pruning(spark, sf_dir):
+    """Read-amplification report: for every distinct key of each
+    dimension, how many of the 64 zone-map buckets must a point
+    predicate touch under the Z-ORDER layout vs a LINEAR
+    (lexicographic-by-partkey) layout? The measured contract behind
+    choosing z-order for a 100 TB table: linear prunes only its leading
+    column (the suppkey row degrades to ~all buckets); the interleave
+    keeps BOTH dimensions' averages far below the bucket count. Computed
+    purely on the bounded zone map (keys × 64 stats rows, stats side
+    broadcast) — pruning is measured without rescanning the data, which
+    is the point of zone maps."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    dims = ["l_partkey", "l_suppkey"]
+    z = lay.zorder_key(li, dims, bits=8).persist()
+    zb = lay.assign_buckets_exact(z, ["zkey", "l_orderkey", "l_linenumber"], 64)
+    lb = lay.assign_buckets_exact(
+        z, ["l_partkey", "l_orderkey", "l_linenumber"], 64
+    )
+    zst = lay.bucket_stats(zb, dims).localCheckpoint(eager=True)
+    lst = lay.bucket_stats(lb, dims).localCheckpoint(eager=True)
+    pk = li.select(F.col("l_partkey").alias("k")).distinct()
+    sk = li.select(F.col("l_suppkey").alias("k")).distinct()
+    out = None
+    for layout, st in (("zorder", zst), ("linear", lst)):
+        for dim, keys in (("l_partkey", pk), ("l_suppkey", sk)):
+            rep = lay.pruning_report(st, keys, dim, "k", layout).select(
+                "layout",
+                F.lit(dim).alias("dim"),
+                "avg_buckets",
+                "max_buckets",
+            )
+            out = rep if out is None else out.unionByName(rep)
+    z.unpersist()
+    return out
+
+
+@q(
+    "sim_kmeans_lloyd",
+    sim.oracle_kmeans_sql(
+        "vecs AS (SELECT vec_id AS id, "
+        "[CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)",
+        k=8,
+        iterations=3,
+        select=(
+            "SELECT cluster, n, array_to_string([CAST(CAST(x AS "
+            "DECIMAL(18,6)) AS VARCHAR) FOR x IN centroid], ',') "
+            "AS centroid_csv FROM {last}"
+        ),
+    ),
+)
+def sim_kmeans_lloyd(spark, sf_dir):
+    """Distributed Lloyd's k-means (similarity.kmeans_lloyd), k=8, 3
+    iterations, deterministic smallest-id init — an ITERATIVE ML training
+    loop made oracle-EXACT: assignment reuses the driver-certified
+    decimal squared-L2 argmin (sim_nearest_centroid), centroid updates
+    are floor-quantized exact-decimal means (the pagerank quantization),
+    and oracle_kmeans_sql unrolls the identical fixed point as chained
+    DuckDB CTEs. Per iteration: one broadcast of the k-row centroid
+    frame, one id-keyed window shuffle, one (cluster, pos) aggregate —
+    the canonical distributed-Lloyd shape at 100 TB. r8 oracle queue."""
+    t = _t(spark, sf_dir)
+    out = sim.kmeans_lloyd(t["embeddings"], "vec_id", "embedding", k=8, iterations=3)
+    return out.select(
+        "cluster",
+        "n",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "centroid", lambda x: x.cast("decimal(18,6)").cast("string")
+            ),
+        ).alias("centroid_csv"),
     )
 
 

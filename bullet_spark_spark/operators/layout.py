@@ -1,0 +1,188 @@
+"""Data-layout clustering: Z-order (Morton) interleaving, equal-height
+bucketing, per-bucket zone-map stats, and a pruning report that measures
+how many buckets a point predicate must touch under a given layout.
+
+This is the write-time half of 100 TB efficiency the rest of the repo's
+read-time operators assume: a table clustered on a space-filling curve
+gives every *participating* dimension partial locality, so min/max zone
+maps (parquet row-group stats, Delta/Iceberg file stats) prune point and
+range predicates on ANY of the interleaved dimensions — where a
+lexicographic sort prunes only its leading column. The reference has no
+layout surface at all (its engine consumes a stream, SURVEY §2.1 P2);
+this module extends the engine the way a lakehouse `OPTIMIZE ZORDER BY`
+does, expressed as plain DataFrame ops so Catalyst keeps the whole plan.
+
+Engine-exactness: every step is integer arithmetic (bit shifts, masks,
+exact integer scaling via the `(a - a % b) / b` identity) plus the SQL
+standard's deterministic NTILE over a fully tie-broken ORDER BY — so the
+bucket assignment, the zone-map stats, and the pruning counts all
+hash-match a DuckDB oracle digit-for-digit.
+
+Two bucketing paths, one semantics:
+
+* :func:`assign_buckets_exact` — NTILE over a global sort. This is the
+  ORACLE-PARITY path: equal-height buckets with the standard's exact
+  fill rule (first ``n_rows % n`` buckets take one extra row). A global
+  window sort funnels through a single task, so this path is for
+  certification and for bounded frames (a stats build over file-level
+  metadata, not the 100 TB fact table itself).
+* :func:`cluster_by_range` — ``repartitionByRange`` on the z-key. This
+  is the PRODUCTION path: Spark samples range bounds and range-shuffles,
+  every partition sorted and written independently — the exact shape a
+  real `OPTIMIZE ZORDER` job has (one range exchange, no single-task
+  sort). Bucket boundaries are sample-dependent, so this path is
+  plan-contract tested (exchange shape + per-partition stats monotone in
+  the z-key) rather than value-oracled.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def interleave_bits(cols: Sequence[Column], bits: int = 8) -> Column:
+    """Morton/Z-order key: interleave the low ``bits`` bits of each
+    column → LONG. ``cols[0]`` owns bit positions 0, n, 2n, …; bit b of
+    column i lands at position ``b * len(cols) + i``. Inputs must be
+    non-negative integers already scaled into ``[0, 2**bits)`` (see
+    :func:`scale_int`); total width ``bits * len(cols)`` must be < 63.
+
+    Pure bit arithmetic (shiftright/AND/shiftleft/OR) — identical in any
+    engine, stays inside whole-stage codegen (one projection, no UDF).
+    """
+    n = len(cols)
+    if bits * n >= 63:
+        raise ValueError(f"interleaved width {bits * n} overflows a long")
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return out
+
+
+def scale_int(col: Column, lo: Column, hi: Column, bits: int = 8) -> Column:
+    """Exactly scale an integer column from ``[lo, hi]`` into
+    ``[0, 2**bits)``: ``((x - lo) * (2**bits - 1)) div max(1, hi - lo)``.
+
+    The integer division uses the ``(a - a % b) / b`` identity: ``%`` on
+    longs is exact, the difference is exactly divisible, and an exact
+    double division of values < 2**53 is exact — so the result is
+    bit-identical to DuckDB's ``//`` operator without depending on either
+    engine's float-division rounding. Caller guarantees
+    ``(hi - lo) * (2**bits - 1) < 2**53`` (any real key range at bits<=16).
+    """
+    top = F.lit((1 << bits) - 1).cast("long")
+    a = (col.cast("long") - lo.cast("long")) * top
+    b = F.greatest(F.lit(1).cast("long"), hi.cast("long") - lo.cast("long"))
+    return ((a - a % b) / b).cast("long")
+
+
+def zorder_key(
+    df: DataFrame, dims: Sequence[str], bits: int = 8, out_col: str = "zkey"
+) -> DataFrame:
+    """Append a Z-order key over ``dims``: one bounds aggregate (min/max
+    per dimension, a single 1-row frame broadcast back — map-side
+    partials, no driver collect), then scale + interleave as a single
+    projection. At 100 TB this is one pass over the scan plus a 1-row
+    cross join — the key itself adds no shuffle."""
+    aggs = []
+    for d in dims:
+        aggs.append(F.min(d).alias(f"__lo_{d}"))
+        aggs.append(F.max(d).alias(f"__hi_{d}"))
+    bounds = df.agg(*aggs)
+    scaled = [
+        scale_int(F.col(d), F.col(f"__lo_{d}"), F.col(f"__hi_{d}"), bits)
+        for d in dims
+    ]
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, interleave_bits(scaled, bits))
+        .drop(*[c for d in dims for c in (f"__lo_{d}", f"__hi_{d}")])
+    )
+
+
+def assign_buckets_exact(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    n_buckets: int = 64,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equal-height buckets via NTILE over a global ORDER BY — the SQL
+    standard's deterministic fill (first ``rows % n`` buckets get one
+    extra row), so bucket membership hash-matches any engine given a
+    fully tie-broken ``sort_cols``.
+
+    SCALE NOTE: a global window sort executes in ONE task — this is the
+    certification path and the bounded-metadata path, not the 100 TB
+    write path; :func:`cluster_by_range` is the production layout with
+    the same downstream zone-map semantics."""
+    w = Window.orderBy(*[F.col(c) for c in sort_cols])
+    return df.withColumn(out_col, F.ntile(n_buckets).over(w))
+
+
+def cluster_by_range(
+    df: DataFrame, key_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Production clustering: range-shuffle on ``key_col`` into
+    ``n_buckets`` write partitions (Spark samples split points — one
+    range exchange, each partition independently sorted and written; no
+    single-task sort). Bucket id = ``spark_partition_id()`` after the
+    exchange. Boundaries are sample-dependent → plan-contract tested,
+    not value-oracled."""
+    return (
+        df.repartitionByRange(n_buckets, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .withColumn("bucket", F.spark_partition_id())
+    )
+
+
+def bucket_stats(
+    df: DataFrame, dims: Sequence[str], bucket_col: str = "bucket"
+) -> DataFrame:
+    """Zone map: per-bucket min/max of every dimension + row count — the
+    file-level stats a lakehouse keeps per data file. One aggregation
+    with map-side partials; output is ``n_buckets`` rows regardless of
+    input size."""
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for d in dims:
+        aggs.append(F.min(d).alias(f"min_{d}"))
+        aggs.append(F.max(d).alias(f"max_{d}"))
+    return df.groupBy(bucket_col).agg(*aggs)
+
+
+def pruning_report(
+    stats: DataFrame,
+    keys: DataFrame,
+    dim: str,
+    key_col: str,
+    layout: str,
+) -> DataFrame:
+    """How many buckets must a point predicate ``dim = k`` read under
+    this layout? For every key, count the zone-map rows whose
+    ``[min_dim, max_dim]`` contains it; report the average (rounded 6dp)
+    and the worst case over all keys, labeled with the layout name →
+    one row. The join is keys × n_buckets zone-map rows — the zone map
+    side is bounded (files, not rows), broadcast; this is exactly the
+    planning-time cost a real engine pays to prune, which is the point:
+    the report measures read amplification WITHOUT scanning the data."""
+    touched = (
+        keys.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col(key_col) >= F.col(f"min_{dim}"))
+            & (F.col(key_col) <= F.col(f"max_{dim}"))
+        )
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("touched"))
+    )
+    return touched.agg(
+        F.lit(layout).alias("layout"),
+        F.round(
+            F.sum("touched").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_buckets"),
+        F.max("touched").cast("long").alias("max_buckets"),
+    )

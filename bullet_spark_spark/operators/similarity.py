@@ -1617,3 +1617,153 @@ def hard_negatives(
             F.col("__r").alias("rank"),
         )
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column → (cluster, centroid, n)
+    after a FIXED number of iterations — the distributed clustering loop
+    a curation pipeline runs to group a corpus into topical shards
+    (cluster-balanced sampling, per-cluster quality review, dedup within
+    topic). The reference has no iterative surface at all; this extends
+    the engine the way :mod:`graph` does: a deterministic fixed-point
+    made ENGINE-EXACT so a DuckDB oracle can replay it digit-for-digit
+    (oracle_kmeans_sql unrolls the same chain of CTEs).
+
+    Determinism/exactness contract (the pagerank conventions):
+
+    * init: centroids = the vectors of the ``k`` smallest ids, cluster
+      labels 0..k-1 in id order — no RNG, identical in any engine; the
+      float32 inputs are widened to double ONCE up front (exact).
+    * assign: exact decimal squared-L2 via :func:`centroid_distances`
+      (per-dimension IEEE terms rounded 9 dp, order-independent decimal
+      sums — the driver-certified sim_nearest_centroid convention);
+      ties break toward the smaller cluster label.
+    * update: per-dimension mean = FLOOR-quantized
+      ``floor(double(decimal_sum) / n * 10^dp) / 10^dp`` — floor of an
+      IEEE quotient is bit-identical everywhere, avoiding the round()
+      shortest-repr tie flips pagerank documented.
+    * empty clusters DROP (both engines lose them from the same groupBy)
+      — callers needing exactly k clusters re-seed; documented, not hidden.
+
+    Scale shape: per iteration, ONE broadcast crossJoin of the k-row
+    centroid frame against the vectors (row-local scoring, no shuffle of
+    the vector side), one row_number window keyed by id (single shuffle
+    on id), and one (cluster, pos) aggregate with map-side partials
+    (state = k × dim). The centroid frame is eagerly localCheckpoint'ed
+    each round — k rows, so the materialization is free and the plan
+    stays constant-depth (the HITS lineage lesson). The only driver-side
+    values are none at all: even the init is a LIMIT, not a collect.
+    At 100 TB of vectors each iteration costs one scan + one id-keyed
+    window shuffle — the canonical distributed-Lloyd shape.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).persist()
+    init = (
+        base.orderBy("__id")
+        .limit(k)
+        .withColumn(
+            "cluster",
+            (F.row_number().over(W.orderBy("__id")) - 1).cast("long"),
+        )
+        .select("cluster", F.col("__v").alias("centroid"), F.lit(0).cast("long").alias("n"))
+    )
+    cents = init.localCheckpoint(eager=True)
+    scale = float(10 ** round_dp)
+    for _ in range(iterations):
+        assigned = nearest_centroid_assign(
+            base, cents, "__id", "__v", "cluster", "centroid"
+        ).select("__id", "assigned")
+        per_dim = (
+            base.join(assigned, "__id")
+            .select("assigned", F.posexplode("__v"))
+            .groupBy("assigned", "pos")
+            .agg(
+                (
+                    F.floor(
+                        F.sum(F.col("col").cast("decimal(28,9)")).cast("double")
+                        / F.count(F.lit(1))
+                        * F.lit(scale)
+                    )
+                    / F.lit(scale)
+                ).alias("m"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cents = (
+            per_dim.groupBy("assigned")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("centroid"),
+                F.max("n").alias("n"),
+            )
+            .select(F.col("assigned").alias("cluster"), "centroid", "n")
+            .localCheckpoint(eager=True)
+        )
+    base.unpersist()
+    return cents
+
+
+def oracle_kmeans_sql(
+    vectors_cte: str,
+    k: int = 8,
+    iterations: int = 3,
+    round_dp: int = 6,
+    select: str = "SELECT cluster, n, centroid FROM {last}",
+) -> str:
+    """DuckDB oracle for :func:`kmeans_lloyd`: the same fixed point
+    unrolled as chained CTEs (the oracle_pagerank_sql pattern).
+    ``vectors_cte`` must define ``vecs(id, v)`` with ``v`` a DOUBLE
+    list; ``select`` is the final projection with ``{last}``
+    substituted by the last centroid CTE (columns cluster, centroid, n).
+    """
+    sc = float(10 ** round_dp)
+    parts = [
+        f"WITH {vectors_cte}",
+        f"""c0 AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS cluster,
+                 v AS centroid, CAST(0 AS BIGINT) AS n
+          FROM (SELECT id, v FROM vecs ORDER BY id LIMIT {k}))""",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+              SELECT id, cand AS assigned FROM (
+                SELECT d.id, d.cand,
+                       row_number() OVER (PARTITION BY d.id
+                                          ORDER BY d.d2, d.cand) AS r
+                FROM (SELECT t.id, t.cand, sum(t.t) AS d2 FROM (
+                    SELECT x.id, c.cluster AS cand,
+                           unnest([CAST(round((x.v[j] - c.centroid[j])
+                                              * (x.v[j] - c.centroid[j]), 9)
+                                        AS DECIMAL(28,9))
+                                   FOR j IN range(1, len(x.v) + 1)]) AS t
+                    FROM vecs x, c{p} c) t GROUP BY 1, 2) d)
+              WHERE r = 1)"""
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+              SELECT cluster, list(m ORDER BY p) AS centroid, max(n) AS n
+              FROM (
+                SELECT a.assigned AS cluster, u.p AS p,
+                       floor(CAST(sum(CAST(u.v AS DECIMAL(28,9))) AS DOUBLE)
+                             / count(*) * {sc}) / {sc} AS m,
+                       count(*) AS n
+                FROM vecs x JOIN a{i} a ON a.id = x.id,
+                     LATERAL (SELECT unnest([{{'p': j - 1, 'v': x.v[j]}}
+                                     FOR j IN range(1, len(x.v) + 1)]) AS u)
+                GROUP BY 1, 2)
+              GROUP BY cluster)"""
+        )
+    return ",\n".join(parts) + "\n" + select.format(last=f"c{iterations}")

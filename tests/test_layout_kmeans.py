@@ -1,0 +1,161 @@
+"""Z-order layout (operators/layout.py) and distributed Lloyd's k-means
+(similarity.kmeans_lloyd): bit-level references, the production
+range-cluster path's contracts, the pruning claim itself, and a pure-
+numpy differential for the k-means fixed point."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import layout as lay
+from bullet_spark_spark.operators import similarity as sim
+
+
+def _morton2_py(a: int, b: int, bits: int) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_interleave_bits_matches_python_reference(spark):
+    rows = [(a, b) for a in (0, 1, 5, 127, 255) for b in (0, 3, 64, 200, 255)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn(
+            "z", lay.interleave_bits([F.col("a"), F.col("b")], bits=8)
+        ).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _morton2_py(a, b, 8), (a, b)
+
+
+def test_interleave_overflow_guard(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        lay.interleave_bits([F.col("a"), F.col("b")], bits=32)
+
+
+def test_scale_int_exact_endpoints(spark):
+    # endpoints map to 0 and 2^bits-1; interior uses exact integer division
+    df = spark.createDataFrame(
+        [(7,), (19_999,), (13_313,)], "x long"
+    ).withColumn("lo", F.lit(7).cast("long")).withColumn(
+        "hi", F.lit(19_999).cast("long")
+    )
+    got = [
+        r["s"]
+        for r in df.select(
+            lay.scale_int(F.col("x"), F.col("lo"), F.col("hi"), bits=8).alias("s")
+        ).orderBy("s").collect()
+    ]
+    lo, hi = 7, 19_999
+    want = sorted(((x - lo) * 255) // (hi - lo) for x in (7, 19_999, 13_313))
+    assert got == want == [0, 169, 255]
+
+
+def test_cluster_by_range_partitions_are_disjoint_and_sorted(spark, tables):
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = lay.zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    clustered = lay.cluster_by_range(z, "zkey", n_buckets=8)
+    # production contract: one range exchange, visible in the plan
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    stats = (
+        clustered.groupBy("bucket")
+        .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .orderBy("bucket")
+        .collect()
+    )
+    # zone maps of a range-clustered layout never overlap
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["hi"] <= cur["lo"]
+
+
+def test_zorder_prunes_both_dims_linear_only_leading(spark, tables):
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    dims = ["l_partkey", "l_suppkey"]
+    z = lay.zorder_key(li, dims, bits=8)
+    zb = lay.assign_buckets_exact(z, ["zkey", "l_orderkey", "l_linenumber"], 16)
+    lb = lay.assign_buckets_exact(
+        z, ["l_partkey", "l_orderkey", "l_linenumber"], 16
+    )
+    zst = lay.bucket_stats(zb, dims)
+    lst = lay.bucket_stats(lb, dims)
+    sk = li.select(F.col("l_suppkey").alias("k")).distinct()
+    z_avg = lay.pruning_report(zst, sk, "l_suppkey", "k", "z").collect()[0][
+        "avg_buckets"
+    ]
+    l_avg = lay.pruning_report(lst, sk, "l_suppkey", "k", "l").collect()[0][
+        "avg_buckets"
+    ]
+    # the claim the layout exists for: the non-leading dimension prunes
+    # under z-order but degrades to ~full scan under the linear sort
+    assert z_avg < l_avg
+    assert l_avg > 12  # linear: suppkey predicate touches almost all 16
+    assert z_avg < 12
+
+
+def _kmeans_numpy(vecs: dict[int, np.ndarray], k: int, iters: int, dp=6, tdp=9):
+    """Pure-python Lloyd with the module's exact quantization rules."""
+    ids = sorted(vecs)
+    cents = {c: vecs[i].astype(np.float64) for c, i in enumerate(ids[:k])}
+    scale = float(10**dp)
+    for _ in range(iters):
+        assign: dict[int, int] = {}
+        for i in ids:
+            best = None
+            for c in sorted(cents):
+                d2 = sum(
+                    round(float((vecs[i][j] - cents[c][j]) ** 2), tdp)
+                    for j in range(len(vecs[i]))
+                )
+                if best is None or d2 < best[0] or (d2 == best[0] and c < best[1]):
+                    best = (d2, c)
+            assign[i] = best[1]
+        new = {}
+        for c in sorted(set(assign.values())):
+            members = [vecs[i] for i in ids if assign[i] == c]
+            n = len(members)
+            m = np.zeros(len(members[0]))
+            for j in range(len(m)):
+                s = sum(float(v[j]) for v in members)  # small n: exact enough
+                m[j] = np.floor(s / n * scale) / scale
+            new[c] = (m, n)
+        cents = {c: m for c, (m, n) in new.items()}
+        sizes = {c: n for c, (m, n) in new.items()}
+    return cents, sizes
+
+
+def test_kmeans_lloyd_matches_numpy_reference(spark, tables):
+    emb = tables["embeddings"].limit(60)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    got = {
+        r["cluster"]: (np.array(r["centroid"]), r["n"])
+        for r in sim.kmeans_lloyd(emb, k=4, iterations=2).collect()
+    }
+    want_c, want_n = _kmeans_numpy(vecs, k=4, iters=2)
+    assert set(got) == set(want_c)
+    for c in want_c:
+        assert got[c][1] == want_n[c]
+        np.testing.assert_allclose(got[c][0], want_c[c], atol=2e-6)
+
+
+def test_kmeans_sizes_conserve_rows(spark, tables):
+    emb = tables["embeddings"]
+    total = emb.count()
+    out = sim.kmeans_lloyd(emb, k=8, iterations=1).collect()
+    assert sum(r["n"] for r in out) == total
+    # floor-quantized coordinates: every centroid entry is a 1e-6 multiple
+    for r in out:
+        for x in r["centroid"]:
+            assert abs(round(x * 1e6) - x * 1e6) < 1e-6
