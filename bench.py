@@ -74,6 +74,9 @@ BENCH = [
     "quality_filter_frozen",  # frozen-coefficient release gate (pure codegen map)
     "sim_pq_ann",             # PQ codebook train + encode + ADC top-k
     "sketch_cms_error_md5",   # md5-portable count-min build + full-keyset lookup
+    # round-7 late additions: data-layout + iterative-ML families
+    "scale_zorder_pruning",   # Morton zone maps, both layouts + read-amp report
+    "sim_kmeans_lloyd",       # 3-iteration distributed Lloyd (broadcast centroids)
 ]
 
 REPEATS = 3
