@@ -2393,6 +2393,105 @@ def sim_kmeans_lloyd(spark, sf_dir):
 
 
 @q(
+    "sim_hybrid_rrf",
+    r"""WITH anch AS (SELECT doc_id AS query_id, text AS query_text
+                    FROM documents ORDER BY doc_id LIMIT 3),
+  toks AS (SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)),
+                '\s+', ' ', 'g'), ' ')) AS term FROM documents),
+  dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+  qt AS (SELECT DISTINCT query_id, term FROM
+          (SELECT query_id, unnest(string_split(regexp_replace(trim(lower(query_text)),
+                 '\s+', ' ', 'g'), ' ')) AS term FROM anch)),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+  dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  contrib AS (
+    SELECT qt.query_id, tf.doc_id,
+           CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 8)
+                AS DECIMAL(18,8)) AS c
+    FROM tf JOIN dfreq USING (term) JOIN qt USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats),
+  lexs AS (SELECT query_id, doc_id, sum(c) AS sd FROM contrib
+           WHERE doc_id != query_id GROUP BY 1, 2),
+  lexr AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sd DESC, doc_id) AS r
+           FROM lexs QUALIFY r <= 20),
+  qv AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qvec
+         FROM embeddings e JOIN anch a ON e.vec_id = a.query_id),
+  cvec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  dens AS (SELECT q.query_id, cvec.vec_id AS doc_id,
+                  round(list_dot_product(q.qvec, cvec.v) /
+                        (sqrt(list_dot_product(q.qvec, q.qvec))
+                         * sqrt(list_dot_product(cvec.v, cvec.v))), 6) AS sim
+           FROM cvec, qv q WHERE cvec.vec_id != q.query_id),
+  densr AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, doc_id) AS r
+            FROM dens QUALIFY r <= 20),
+  fused AS (
+    SELECT coalesce(l.query_id, d.query_id) AS query_id,
+           coalesce(l.doc_id, d.doc_id) AS doc_id,
+           coalesce(CAST(round(1.0 / (60 + l.r), 9) AS DECIMAL(18,9)),
+                    CAST(0 AS DECIMAL(18,9)))
+           + coalesce(CAST(round(1.0 / (60 + d.r), 9) AS DECIMAL(18,9)),
+                      CAST(0 AS DECIMAL(18,9))) AS rrf_d,
+           l.r AS rank_lex, d.r AS rank_dense
+    FROM lexr l FULL OUTER JOIN densr d
+      ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+  SELECT query_id, doc_id, round(CAST(rrf_d AS DOUBLE), 6) AS rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_d DESC, doc_id) AS BIGINT) AS rank,
+         CAST(rank_lex AS BIGINT) AS rank_lex,
+         CAST(rank_dense AS BIGINT) AS rank_dense
+  FROM fused QUALIFY rank <= 10""",
+)
+def sim_hybrid_rrf(spark, sf_dir):
+    """HYBRID retrieval with reciprocal-rank fusion (similarity.rrf_fuse):
+    query-by-example over the fixture's 1:1 documents⇄embeddings corpus —
+    each of 3 anchor docs ranks the corpus LEXICALLY (BM25, the anchor's
+    text as query; operators/text.bm25_scores) and DENSELY (exact cosine
+    on the anchor's embedding; brute_force_topk), top-20 each, fused by
+    RRF (Σ 1/(60+rank), decimal-exact for order-independence), top-10
+    out. The standard two-tower curation/RAG merge: only RANKS cross the
+    ranker boundary, so BM25's unbounded scores and cosine's [-1,1] never
+    need calibration. Fusion runs on ranker output (≤ 2×20 rows/query) —
+    free at 100 TB regardless of corpus size. r8 oracle queue."""
+    t = _t(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+    anch = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        )
+    )
+    lex = (
+        tx.bm25_scores(docs, anch)
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    wl = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    lexr = (
+        lex.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    qvecs = emb.join(
+        F.broadcast(anch.select("query_id")),
+        emb["vec_id"] == F.col("query_id"),
+    ).select("query_id", F.col("embedding").alias("query_vec"))
+    densr = sim.brute_force_topk(
+        emb.select("vec_id", "embedding"), qvecs, k=20, exclude_self=True
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return sim.rrf_fuse([("lex", lexr), ("dense", densr)], k=10)
+
+
+@q(
     "decontam_minhash",
     f"""WITH base AS (
          SELECT doc_id, text, {smp.oracle_keep_sql('doc_id', 0.2, 7)} AS is_eval

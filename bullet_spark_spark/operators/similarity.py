@@ -1767,3 +1767,74 @@ def oracle_kmeans_sql(
               GROUP BY cluster)"""
         )
     return ",\n".join(parts) + "\n" + select.format(last=f"c{iterations}")
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N rankers →
+    (query, id, rrf, fused rank, per-ranker ranks) — the standard hybrid-
+    retrieval combiner (BM25 ∪ dense ∪ …): score = Σ_r 1/(rrf_k + rank_r),
+    items missing from a ranker contribute 0. This is how a curation /
+    RAG pipeline merges lexical and semantic evidence without score
+    calibration — only ranks cross the boundary, so the rankers'
+    incomparable score scales never meet.
+
+    ``rankings`` is [(name, df)] where each df carries (query_col,
+    id_col, rank); output column ``rank_<name>`` preserves each input
+    rank (NULL where the ranker missed the item).
+
+    Engine-exactness: each contribution is round(1/(rrf_k+rank), 9) cast
+    DECIMAL(18,9) — division of exact integers is a single IEEE op, the
+    decimal add is order-independent, so the fused ORDER is identical in
+    any engine for ANY number of rankers (a raw double Σ would be
+    order-dependent at 3+). Ties break by id ASC.
+
+    Scale shape: candidate lists are top-K per query (bounded), so the
+    full-outer merge is a small keyed join per ranker pair; the final
+    per-query top-k is one row_number window over ≤ N·K candidates per
+    query. Nothing here touches the corpus — fusion runs on ranker
+    OUTPUT, which is what makes RRF free at 100 TB."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = None
+    for name, df in rankings:
+        part = df.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.col("rank").cast("long").alias(f"rank_{name}"),
+        )
+        fused = part if fused is None else fused.join(
+            part, [query_col, id_col], "full_outer"
+        )
+    contribs = [
+        F.coalesce(
+            F.round(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col(f"rank_{name}")), 9
+            ).cast("decimal(18,9)"),
+            F.lit(0).cast("decimal(18,9)"),
+        )
+        for name, _ in rankings
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = (total + c).cast("decimal(18,9)")
+    scored = fused.withColumn("__rrf", total)
+    w = W.partitionBy(query_col).orderBy(
+        F.col("__rrf").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_col,
+            id_col,
+            F.round(F.col("__rrf").cast("double"), 6).alias("rrf"),
+            "rank",
+            *[F.col(f"rank_{name}") for name, _ in rankings],
+        )
+    )

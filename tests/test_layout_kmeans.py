@@ -159,3 +159,54 @@ def test_kmeans_sizes_conserve_rows(spark, tables):
     for r in out:
         for x in r["centroid"]:
             assert abs(round(x * 1e6) - x * 1e6) < 1e-6
+
+
+def _rrf_py(rankings: dict[str, dict[tuple, int]], rrf_k=60):
+    from decimal import Decimal
+
+    keys = set()
+    for r in rankings.values():
+        keys |= set(r)
+    out = {}
+    for key in keys:
+        s = Decimal(0)
+        for r in rankings.values():
+            if key in r:
+                s += Decimal(str(round(1.0 / (rrf_k + r[key]), 9)))
+        out[key] = s
+    return out
+
+
+def test_rrf_fuse_three_rankers_matches_reference(spark):
+    # three rankers with partial overlap; fused order must match an exact
+    # decimal reference regardless of join/sum order
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id long, doc_id long, rank long"
+    )
+    a = mk([(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    b = mk([(1, 11, 1), (1, 13, 2)])
+    c = mk([(1, 12, 1), (1, 10, 2), (1, 13, 3)])
+    got = sim.rrf_fuse(
+        [("a", a), ("b", b), ("c", c)], k=10
+    ).orderBy("rank").collect()
+    want = _rrf_py(
+        {
+            "a": {(1, 10): 1, (1, 11): 2, (1, 12): 3},
+            "b": {(1, 11): 1, (1, 13): 2},
+            "c": {(1, 12): 1, (1, 10): 2, (1, 13): 3},
+        }
+    )
+    order = sorted(want, key=lambda kk: (-want[kk], kk[1]))
+    assert [(r["query_id"], r["doc_id"]) for r in got] == order
+    for r in got:
+        assert abs(r["rrf"] - float(want[(r["query_id"], r["doc_id"])])) < 1e-6
+    # per-ranker ranks survive fusion; misses are NULL
+    row13 = [r for r in got if r["doc_id"] == 13][0]
+    assert row13["rank_a"] is None and row13["rank_b"] == 2 and row13["rank_c"] == 3
+
+
+def test_rrf_fuse_requires_rankers(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sim.rrf_fuse([])
