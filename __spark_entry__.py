@@ -2392,6 +2392,111 @@ def sim_kmeans_lloyd(spark, sf_dir):
     )
 
 
+def _trunc_eval_sql(dims: list[int], full: int, k: int) -> str:
+    """DuckDB oracle for sim_dim_truncation_eval: per truncation width,
+    top-k by cosine on the PREFIX of the embedding (the sim_cosine_topk
+    scoring convention verbatim), overlap@k and top-1 agreement against
+    the full-width ranking."""
+    base = """t{d} AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.qv[1:{d}], c.v[1:{d}]) /
+                       (sqrt(list_dot_product(q.qv[1:{d}], q.qv[1:{d}]))
+                        * sqrt(list_dot_product(c.v[1:{d}], c.v[1:{d}]))), 6)
+                 DESC, c.vec_id) AS rank
+        FROM cvec c, qvec q WHERE c.vec_id != q.query_id)
+      WHERE rank <= {k})"""
+    parts = [
+        """qvec AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 10)""",
+        "cvec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+    ]
+    for d in dims:
+        parts.append(base.format(d=d, k=k))
+    unions = []
+    for d in dims:
+        unions.append(
+            f"""SELECT {d} AS dim,
+           round(CAST(sum(ov) AS DOUBLE) / count(*), 6) AS avg_overlap,
+           round(CAST(sum(top1) AS DOUBLE) / count(*), 6) AS top1_match
+         FROM (
+           SELECT t.query_id,
+                  sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS ov,
+                  max(CASE WHEN t.rank = 1 AND f.rank = 1 THEN 1 ELSE 0 END) AS top1
+           FROM t{d} t LEFT JOIN t{full} f
+             ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+           GROUP BY t.query_id)"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(unions)
+
+
+@q("sim_dim_truncation_eval", _trunc_eval_sql([8, 16, 32, 64], 64, 5))
+def sim_dim_truncation_eval(spark, sf_dir):
+    """Matryoshka-style dimension-truncation eval: rank the corpus by
+    cosine on the FIRST d dims for d ∈ {8,16,32,64} and measure, per
+    width, overlap@5 and top-1 agreement against the full-width ranking
+    — the measurement that justifies running ANN on truncated prefixes
+    (MRL, Kusupati et al. 2022): retrieval cost scales linearly in d,
+    and this panel quantifies the recall you trade. Each pass is the
+    driver-certified sim_cosine_topk scoring (rounded-6dp cosine, ties
+    by id) over F.slice'd vectors; the overlap join runs on top-k output
+    only (queries × k rows — free at any corpus size). r8 oracle queue."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    full_k = {}
+    out = None
+    for d in (8, 16, 32, 64):
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        queries = trunc.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        topk = sim.brute_force_topk(
+            trunc, queries, k=5, exclude_self=True
+        ).select("query_id", "vec_id", "rank")
+        full_k[d] = topk
+    full = full_k[64].select(
+        F.col("query_id").alias("fq"),
+        F.col("vec_id").alias("fv"),
+        F.col("rank").alias("frank"),
+    ).localCheckpoint(eager=True)
+    for d in (8, 16, 32, 64):
+        per_q = (
+            full_k[d]
+            .join(
+                full,
+                (F.col("fq") == F.col("query_id"))
+                & (F.col("fv") == F.col("vec_id")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("fv").isNotNull(), 1).otherwise(0)
+                ).alias("ov"),
+                F.max(
+                    F.when(
+                        (F.col("rank") == 1) & (F.col("frank") == 1), 1
+                    ).otherwise(0)
+                ).alias("top1"),
+            )
+        )
+        rep = per_q.agg(
+            F.lit(d).cast("long").alias("dim"),
+            F.round(
+                F.sum("ov").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_overlap"),
+            F.round(
+                F.sum("top1").cast("double") / F.count(F.lit(1)), 6
+            ).alias("top1_match"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
 @q(
     "sim_hybrid_rrf",
     r"""WITH anch AS (SELECT doc_id AS query_id, text AS query_text
