@@ -186,3 +186,43 @@ def pruning_report(
         ).alias("avg_buckets"),
         F.max("touched").cast("long").alias("max_buckets"),
     )
+
+
+def zorder_key_fixed(
+    df: DataFrame,
+    bounds: Sequence[tuple[str, int, int]],
+    bits: int = 8,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Z-order key with CALLER-PROVIDED per-dimension bounds — the
+    STREAMING variant: a live stream has no global min/max to aggregate,
+    so production zone-map maintenance pins the bounds from a historical
+    profile (values outside clamp to the edge buckets via greatest/
+    least). Pure projection — works identically on a batch frame and a
+    streaming frame, which is what the drip≡batch parity test exercises.
+
+    ``bounds`` is an ordered [(col, lo, hi), ...]; ordering fixes which
+    column owns bit 0 (same convention as :func:`interleave_bits`)."""
+    scaled = [
+        scale_int(
+            F.greatest(F.lit(lo).cast("long"),
+                       F.least(F.lit(hi).cast("long"), F.col(c).cast("long"))),
+            F.lit(lo), F.lit(hi), bits,
+        )
+        for c, lo, hi in bounds
+    ]
+    return df.withColumn(out_col, interleave_bits(scaled, bits))
+
+
+def prefix_bucket(
+    zkey: Column, total_bits: int, n_buckets: int
+) -> Column:
+    """Fixed-boundary bucket id: the top log2(n_buckets) bits of the
+    z-key — equal-WIDTH z-ranges (unlike NTILE's equal-height), so the
+    assignment is a stateless projection any micro-batch can compute
+    without seeing the rest of the data. ``n_buckets`` must be a power
+    of two ≤ 2**total_bits."""
+    lg = n_buckets.bit_length() - 1
+    if (1 << lg) != n_buckets or lg > total_bits:
+        raise ValueError(f"n_buckets={n_buckets} not a power of two <= 2^{total_bits}")
+    return F.shiftright(zkey, total_bits - lg).cast("long")

@@ -210,3 +210,70 @@ def test_rrf_fuse_requires_rankers(spark):
 
     with pytest.raises(ValueError):
         sim.rrf_fuse([])
+
+
+def test_streaming_zonemap_drip_equals_batch(spark, tables, tmp_path):
+    """Zone-map maintenance is a stateless projection + one keyed agg, so
+    the SAME layout code runs on a stream: drip lineitem in 3 micro-
+    batches, maintain per-bucket stats in complete mode, and the final
+    table equals the batch zone map computed with the same fixed bounds
+    (the streaming variant pins bounds from a profile — no global min/max
+    exists on a stream) and fixed-width z-prefix buckets (no NTILE)."""
+    import os
+
+    li = (
+        tables["lineitem"]
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .limit(3000)
+        .collect()
+    )
+    bounds = [("l_partkey", 0, 1999), ("l_suppkey", 0, 99)]
+
+    data_dir = str(tmp_path / "in")
+    os.makedirs(data_dir)
+    chunks = [li[0:1000], li[1000:2200], li[2200:3000]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(
+            chunk, "l_orderkey long, l_partkey long, l_suppkey long"
+        ).coalesce(1).write.parquet(f"{data_dir}/c{i}")
+
+    def zonemap(df):
+        z = lay.zorder_key_fixed(df, bounds, bits=8)
+        b = z.withColumn("bucket", lay.prefix_bucket(F.col("zkey"), 16, 16))
+        return lay.bucket_stats(b, ["l_partkey", "l_suppkey"])
+
+    stream = (
+        spark.readStream.schema("l_orderkey long, l_partkey long, l_suppkey long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{data_dir}/c*")
+    )
+    q = (
+        zonemap(stream)
+        .writeStream.format("memory")
+        .queryName("zmap_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        tuple(r)
+        for r in spark.sql("select * from zmap_t").collect()
+    }
+    batch_df = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long"
+    )
+    batch = {tuple(r) for r in zonemap(batch_df).collect()}
+    assert streamed == batch
+    assert sum(r[1] for r in streamed) == 3000
+
+
+def test_prefix_bucket_rejects_non_power_of_two(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        lay.prefix_bucket(F.col("z"), 16, 10)
