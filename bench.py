@@ -77,6 +77,7 @@ BENCH = [
     # round-7 late additions: data-layout + iterative-ML families
     "scale_zorder_pruning",   # Morton zone maps, both layouts + read-amp report
     "sim_kmeans_lloyd",       # 3-iteration distributed Lloyd (broadcast centroids)
+    "sim_hybrid_rrf",         # BM25 + dense cosine fused by decimal-exact RRF
 ]
 
 REPEATS = 3
