@@ -563,3 +563,56 @@ def test_winnow_single_doc_keyed_window(spark, qs):
     # to one task): every Window node's spec carries a partition key
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert specs and all("id#" in s for s in specs)
+
+
+def test_kmeans_iteration_broadcasts_centroids_no_smj(spark, tables):
+    """kmeans_lloyd per-iteration shape (similarity.py): the k-row
+    centroid frame is BROADCAST into the scoring crossJoin (k × dim
+    state — never a data-sized build side), assignment rides one
+    id-keyed window shuffle, and nothing sort-merge joins. Pinned on a
+    single live iteration's scoring frame."""
+    from bullet_spark_spark.operators import similarity as sim
+
+    emb = tables["embeddings"].limit(64)
+    out = sim.kmeans_lloyd(emb, k=4, iterations=1)
+    # the returned frame is checkpoint-backed (constant-depth plan); pin
+    # the live shape of one scoring pass instead
+    cents = out.select("cluster", "centroid")
+    scored = sim.nearest_centroid_assign(
+        emb.select(F.col("vec_id").alias("__id"),
+                   F.col("embedding").alias("__v")),
+        cents, "__id", "__v", "cluster", "centroid",
+    )
+    tree = _tree(_plan(scored))
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_hybrid_rrf_broadcasts_bounded_sides_only(spark, qs):
+    """sim_hybrid_rrf: every broadcast in the plan is a BOUNDED frame
+    (query terms, query vectors, ranker top-k output, corpus scalars) —
+    the corpus-sized tokenization and scoring streams are never built
+    into a hash table, and the fused merge never sort-merges a
+    data-sized side."""
+    plan = _tree(_plan(qs["sim_hybrid_rrf"](spark, SF_DIR)))
+    assert "CartesianProduct" not in plan
+    # exactly two NLJs, both bounded builds: the 1-row BM25 (N, avgdl)
+    # scalar frame and the ≤3 query vectors of the dense pass
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    # the ONLY sort-merge join is the fusion full-outer — Spark cannot
+    # broadcast full-outer, and both its inputs are ranker top-k OUTPUT
+    # (≤ queries × 20 rows), so the sort is bounded at any corpus size
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "SortMergeJoin FullOuter" in plan, plan
+
+
+def test_zorder_pruning_runs_on_zonemap_not_data(spark, qs):
+    """scale_zorder_pruning: the report joins distinct predicate keys
+    against the 64-row zone map with the STATS side broadcast — read
+    amplification is measured without a data-sized join (the zone-map
+    point). The only data-sized work is building the layouts."""
+    plan = _tree(_plan(qs["scale_zorder_pruning"](spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" in plan  # keys × stats range join
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
