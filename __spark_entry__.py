@@ -2392,6 +2392,124 @@ def sim_kmeans_lloyd(spark, sf_dir):
     )
 
 
+@q(
+    "sampling_split_leakage",
+    f"""WITH RECURSIVE d AS (
+         SELECT doc_id, list_distinct([
+                  array_to_string(toks[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+                ]) AS shingles
+         FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+               FROM documents)),
+       e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM d),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                count(*) AS n_inter
+         FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4),
+       pairs AS (
+         SELECT id_a, id_b FROM inter
+         WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.12),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       walk(node, comp) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.node),
+       comp AS (SELECT node AS doc_id, min(comp) AS comp FROM walk GROUP BY node),
+       flags AS (
+         SELECT dd.doc_id,
+                {smp.oracle_keep_sql('dd.doc_id', 0.2, 11)} AS ho_row,
+                {smp.oracle_keep_sql('coalesce(c.comp, dd.doc_id)', 0.2, 11)} AS ho_grp
+         FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id),
+       xs AS (
+         SELECT 'row_hash' AS strategy,
+                sum(CASE WHEN a.ho_row != b.ho_row THEN 1 ELSE 0 END) AS crossing_pairs
+         FROM pairs p JOIN flags a ON a.doc_id = p.id_a
+                      JOIN flags b ON b.doc_id = p.id_b
+         UNION ALL
+         SELECT 'group_aware',
+                sum(CASE WHEN a.ho_grp != b.ho_grp THEN 1 ELSE 0 END)
+         FROM pairs p JOIN flags a ON a.doc_id = p.id_a
+                      JOIN flags b ON b.doc_id = p.id_b),
+       sizes AS (
+         SELECT 'row_hash' AS strategy,
+                sum(CASE WHEN NOT ho_row THEN 1 ELSE 0 END) AS n_train,
+                sum(CASE WHEN ho_row THEN 1 ELSE 0 END) AS n_holdout
+         FROM flags
+         UNION ALL
+         SELECT 'group_aware',
+                sum(CASE WHEN NOT ho_grp THEN 1 ELSE 0 END),
+                sum(CASE WHEN ho_grp THEN 1 ELSE 0 END)
+         FROM flags)
+       SELECT s.strategy, CAST(s.n_train AS BIGINT) AS n_train,
+              CAST(s.n_holdout AS BIGINT) AS n_holdout,
+              CAST(coalesce(x.crossing_pairs, 0) AS BIGINT) AS crossing_pairs
+       FROM sizes s JOIN xs x ON x.strategy = s.strategy""",
+)
+def sampling_split_leakage(spark, sf_dir):
+    """Contamination-aware train/holdout splitting, AUDITED: a naive
+    row-hash split strands near-duplicate docs on opposite sides (the
+    holdout 'memorizes' training text — eval leakage), while a
+    GROUP-AWARE split keyed on the near-dup component representative
+    moves whole clusters together, making crossing pairs ZERO by
+    construction. Both strategies' sizes and leakage counts in one
+    panel. Composition of three driver-certified conventions: exact
+    n-gram Jaccard pairs + connected components
+    (dedup_neardup_components) + the md5 keep-fraction hash
+    (sampling_deterministic). Scale shape: the split predicate is a
+    stateless projection; the audit joins the bounded pair list against
+    doc-level flags — no new data-sized shuffle beyond the certified
+    pair build. r8 oracle queue."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12
+    ).select("id_a", "id_b").persist()
+    comps = dd.connected_components(pairs.select("id_a", "id_b"))
+    flags = (
+        docs.select("doc_id")
+        .join(
+            comps.select(F.col("node").alias("doc_id"), "comp"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            smp.keep_fraction(F.col("doc_id"), 0.2, 11).alias("ho_row"),
+            smp.keep_fraction(
+                F.coalesce(F.col("comp"), F.col("doc_id")), 0.2, 11
+            ).alias("ho_grp"),
+        )
+        .persist()
+    )
+    a = flags.select(F.col("doc_id").alias("id_a"), F.col("ho_row").alias("ra"), F.col("ho_grp").alias("ga"))
+    b = flags.select(F.col("doc_id").alias("id_b"), F.col("ho_row").alias("rb"), F.col("ho_grp").alias("gb"))
+    audited = pairs.join(a, "id_a").join(b, "id_b")
+    out = None
+    for strategy, ho, xa, xb in (
+        ("row_hash", "ho_row", "ra", "rb"),
+        ("group_aware", "ho_grp", "ga", "gb"),
+    ):
+        sizes = flags.agg(
+            F.lit(strategy).alias("strategy"),
+            F.sum(F.when(~F.col(ho), 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col(ho), 1).otherwise(0)).alias("n_holdout"),
+        )
+        crossing = audited.agg(
+            F.lit(strategy).alias("strategy"),
+            F.coalesce(
+                F.sum(F.when(F.col(xa) != F.col(xb), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("crossing_pairs"),
+        )
+        rep = sizes.join(crossing, "strategy")
+        out = rep if out is None else out.unionByName(rep)
+    pairs.unpersist()
+    flags.unpersist()
+    return out
+
+
 def _trunc_eval_sql(dims: list[int], full: int, k: int) -> str:
     """DuckDB oracle for sim_dim_truncation_eval: per truncation width,
     top-k by cosine on the PREFIX of the embedding (the sim_cosine_topk
