@@ -2393,6 +2393,106 @@ def sim_kmeans_lloyd(spark, sf_dir):
 
 
 @q(
+    "quality_embedding_drift",
+    """WITH eb AS (
+         SELECT label, unnest([{'p': i - 1, 'v': embedding[i]}
+                  FOR i IN range(1, len(embedding) + 1)]) AS u
+         FROM embeddings WHERE vec_id % 2 = 0),
+       g AS (SELECT label, u.p AS p,
+                    round(CAST(sum(CAST(u.v AS DECIMAL(28,9))) AS DOUBLE)
+                          / count(*), 6) AS m
+             FROM eb GROUP BY label, u.p),
+       cents AS (SELECT label, list(m ORDER BY p) AS centroid
+                 FROM g GROUP BY label),
+       pairs AS (
+         SELECT v.vec_id, v.vec_id % 2 AS side, c.label AS cand,
+                v.embedding AS ve, c.centroid AS ce
+         FROM embeddings v, cents c),
+       terms AS (
+         SELECT vec_id, side, cand,
+                unnest([CAST(round((ve[i] - ce[i]) * (ve[i] - ce[i]), 9)
+                             AS DECIMAL(28,9))
+                        FOR i IN range(1, len(ve) + 1)]) AS t
+         FROM pairs),
+       d AS (SELECT vec_id, side, cand, sum(t) AS d2
+             FROM terms GROUP BY 1, 2, 3),
+       a AS (SELECT vec_id, side, cand,
+                    row_number() OVER (
+                      PARTITION BY vec_id ORDER BY d2, cand) AS r
+             FROM d),
+       counts AS (
+         SELECT cand AS cluster,
+                CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_count,
+                CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_count
+         FROM a WHERE r = 1 GROUP BY 1),
+       f AS (SELECT cluster, ref_count, cur_count,
+                    greatest(ref_count / sum(ref_count) OVER (), 1e-6) rf,
+                    greatest(cur_count / sum(cur_count) OVER (), 1e-6) cf
+             FROM counts)
+       SELECT cluster, ref_count, cur_count,
+              round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac,
+              round((cf - rf) * ln(cf / rf), 6) AS psi
+       FROM f""",
+)
+def quality_embedding_drift(spark, sf_dir):
+    """EMBEDDING-SPACE drift monitor: freeze label-prototype centroids on
+    the baseline snapshot (even vec_ids — the 'training day'), assign
+    BOTH snapshots to their nearest frozen centroid, and report PSI over
+    the cluster-share distribution — the semantic complement of
+    quality_drift_psi's feature-level buckets: it fires when the KIND of
+    content shifts even while scalar features stay stable. Composition
+    of three driver-certified conventions (sim_group_centroids means,
+    sim_nearest_centroid decimal argmin, drift_psi's ln arithmetic).
+    Scale shape: centroids broadcast (|labels| rows), assignment is
+    row-local, shares ride a window over the |clusters|-row count frame.
+    r8 oracle queue."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = sim.group_centroids(base, "label", "embedding").select(
+        "label", "centroid"
+    )
+    assigned = sim.nearest_centroid_assign(emb, cents, "vec_id", "embedding")
+    counts = (
+        assigned.join(
+            emb.select("vec_id", (F.col("vec_id") % 2).alias("side")),
+            "vec_id",
+        )
+        .groupBy(F.col("assigned").alias("cluster"))
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("ref_count"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cur_count"),
+        )
+    )
+    wall = W.partitionBy()
+    f = counts.select(
+        "cluster",
+        "ref_count",
+        "cur_count",
+        F.greatest(
+            F.col("ref_count") / F.sum("ref_count").over(wall), F.lit(1e-6)
+        ).alias("rf"),
+        F.greatest(
+            F.col("cur_count") / F.sum("cur_count").over(wall), F.lit(1e-6)
+        ).alias("cf"),
+    )
+    return f.select(
+        "cluster",
+        "ref_count",
+        "cur_count",
+        F.round("rf", 6).alias("ref_frac"),
+        F.round("cf", 6).alias("cur_frac"),
+        F.round(
+            (F.col("cf") - F.col("rf")) * F.log(F.col("cf") / F.col("rf")), 6
+        ).alias("psi"),
+    )
+
+
+@q(
     "sampling_split_leakage",
     f"""WITH RECURSIVE d AS (
          SELECT doc_id, list_distinct([
