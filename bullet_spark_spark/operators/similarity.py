@@ -1838,3 +1838,43 @@ def rrf_fuse(
             *[F.col(f"rank_{name}") for name, _ in rankings],
         )
     )
+
+
+def nearest_centroid_scorer(
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> tuple[Column, Column]:
+    """STREAMING-SERVABLE nearest-centroid assignment: the batch path
+    (:func:`nearest_centroid_assign`) ranks with a row_number window,
+    which Structured Streaming forbids — this variant takes the FROZEN
+    centroids as driver-side literals (k × dim doubles — the trained
+    model, exactly like quality_model's broadcast coefficients) and
+    compiles assignment into a single stateless projection: a k-element
+    distance array + first-position argmin. Returns (assigned, d2)
+    Columns usable on a batch OR streaming frame.
+
+    Distance arithmetic is the driver-certified convention verbatim
+    (per-dimension IEEE terms rounded 9 dp, order-independent decimal
+    sums), and ``array_position`` takes the FIRST minimum, so with
+    ``centroids`` sorted by label the tie break (smaller label wins)
+    matches the batch path exactly — pinned by the drip≡batch parity
+    test."""
+    cents = sorted(centroids, key=lambda c: c[0])
+    labels = F.array(*[F.lit(int(lab)).cast("long") for lab, _ in cents])
+
+    def d2(cvec):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)).cast("double") for x in cvec]),
+                lambda a, b: F.round((a - b) * (a - b), 9).cast("decimal(28,9)"),
+            ),
+            F.lit(0).cast("decimal(28,9)"),
+            lambda acc, x: (acc + x).cast("decimal(28,9)"),
+        )
+
+    dists = F.array(*[d2(cvec) for _, cvec in cents])
+    idx = F.array_position(dists, F.array_min(dists))
+    assigned = F.element_at(labels, idx.cast("int"))
+    best = F.element_at(dists, idx.cast("int")).cast("double")
+    return assigned, best

@@ -321,3 +321,66 @@ def test_zorder_layout_prunes_real_parquet_footers(spark, tables, tmp_path):
     # and the leading dim still prunes under z-order (locality retained)
     zp_t, _ = files_touched(zdir, "l_partkey", 42)
     assert zp_t <= z_n // 2
+
+
+def test_nearest_centroid_scorer_streaming_drip_equals_batch(
+    spark, tables, tmp_path
+):
+    """Train batch, serve streaming, for clustering: kmeans_lloyd trains
+    on the batch corpus, the frozen centroids compile into the stateless
+    scorer, and dripping the corpus through a stream scores every vector
+    with EXACTLY the batch path's assignment (same decimal distances,
+    same smaller-label tie break)."""
+    import os
+
+    emb = tables["embeddings"]
+    model = sim.kmeans_lloyd(emb, k=4, iterations=2).collect()
+    cents_df = spark.createDataFrame(
+        [(r["cluster"], r["centroid"]) for r in model],
+        "cluster long, centroid array<double>",
+    )
+    batch = {
+        (r["vec_id"], r["assigned"])
+        for r in sim.nearest_centroid_assign(
+            emb, cents_df, "vec_id", "embedding", "cluster", "centroid"
+        ).collect()
+    }
+
+    cents = [(r["cluster"], list(r["centroid"])) for r in model]
+    assigned, d2 = sim.nearest_centroid_scorer(cents)
+
+    data_dir = str(tmp_path / "in")
+    os.makedirs(data_dir)
+    rows = emb.select("vec_id", "embedding").collect()
+    for i, chunk in enumerate([rows[:40], rows[40:]]):
+        spark.createDataFrame(
+            [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in chunk],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.parquet(f"{data_dir}/c{i}")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{data_dir}/c*")
+    )
+    q = (
+        stream.select("vec_id", assigned.alias("assigned"), d2.alias("d2"))
+        .writeStream.format("memory")
+        .queryName("nc_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["vec_id"], r["assigned"])
+        for r in spark.sql("select * from nc_stream_t").collect()
+    }
+    # scorer consumed double vectors; batch consumed the float32 parquet
+    # column — nearest_centroid_assign widens per-term, so both paths
+    # compute on the same widened doubles
+    assert streamed == batch
+    assert len(streamed) == emb.count()
