@@ -7634,6 +7634,16 @@ def quality_filter_frozen(spark, sf_dir):
 # certified r3, 24 last certified r4 — nothing in the window has a green
 # newer than r4 except the 11 first-timers), so this round simultaneously
 # closes the new families and refreshes the oldest certifications.
+#
+# r8 ORACLE QUEUE (registered after the r7 freeze; every row locally
+# green via tools/check_oracle.py at BOTH sf0.01 and sf0.1 — first
+# driver rows land in the r8 window):
+#   scale_zorder_stats, scale_zorder_pruning   (operators/layout.py)
+#   sim_kmeans_lloyd                           (oracle-exact Lloyd)
+#   sim_hybrid_rrf                             (BM25 + dense RRF fusion)
+#   sim_dim_truncation_eval                    (matryoshka prefix eval)
+#   sampling_split_leakage                     (group-aware split audit)
+#   quality_embedding_drift                    (frozen-centroid PSI)
 _WINDOW_R7 = [
     # -- the 4 span/winnow rows (registered post-freeze in r6) --
     "dedup_span_exact",
