@@ -87,6 +87,15 @@ REPEATS = 3
 # residual of a just-finished sweep (observed ~7.5 on 32 cpus) crosses the
 # isolation threshold (4) in ~40 s; 150 s covers 3× that while keeping the
 # bench's total wall safely inside any harness timeout.
+#
+# Run-to-run variance caveat (r7, three consecutive runs ALL isolated=true
+# by the start-load test): shared-subset geomean spanned 0.95–1.09× and
+# individual queries up to 4× (q21 0.9→4.0 s) with no code change — the
+# host has contention phases the START loadavg cannot see. Adjudicate
+# rounds on the shared-subset GEOMEAN plus the streaming_rows_per_sec
+# sanity figure (it collapses ~40% in contended runs), never a single
+# query's delta; prefer the run with the higher streaming rate when two
+# artifacts disagree.
 QUIET_MAX_WAIT_S = 150
 
 
