@@ -2354,6 +2354,48 @@ def scale_zorder_pruning(spark, sf_dir):
     return out
 
 
+@q("scale_hilbert_pruning")  # rows-only: the Hilbert map is a 65k-row
+# lookup (layout.hilbert_table) no engine-independent SQL reproduces;
+# the curve's laws are pytest-certified (bijection + grid adjacency)
+def scale_hilbert_pruning(spark, sf_dir):
+    """Layout shoot-out: read amplification of a point predicate on each
+    dimension under HILBERT vs Z-ORDER vs lexicographic clustering, same
+    64-bucket zone maps — Hilbert's seam-free locality prunes at least
+    as tightly as the Morton interleave, and both leave the linear
+    layout's non-leading dimension near full scan. The Hilbert key rides
+    a broadcast join against the precomputed 2^16-row curve table (pure
+    JVM, no per-row Python); everything downstream is the certified
+    zorder machinery. Deterministic output, rows-only by nature."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    dims = ["l_partkey", "l_suppkey"]
+    keyed = lay.zorder_key(lay.hilbert_key(li, dims, bits=8), dims, bits=8).persist()
+    pk = li.select(F.col("l_partkey").alias("k")).distinct()
+    sk = li.select(F.col("l_suppkey").alias("k")).distinct()
+    out = None
+    for layout, sort_key in (
+        ("hilbert", "hkey"),
+        ("zorder", "zkey"),
+        ("linear", "l_partkey"),
+    ):
+        b = lay.assign_buckets_exact(
+            keyed, [sort_key, "l_orderkey", "l_linenumber"], 64
+        )
+        st = lay.bucket_stats(b, dims).localCheckpoint(eager=True)
+        for dim, keys in (("l_partkey", pk), ("l_suppkey", sk)):
+            rep = lay.pruning_report(st, keys, dim, "k", layout).select(
+                "layout",
+                F.lit(dim).alias("dim"),
+                "avg_buckets",
+                "max_buckets",
+            )
+            out = rep if out is None else out.unionByName(rep)
+    keyed.unpersist()
+    return out
+
+
 @q(
     "sim_kmeans_lloyd",
     sim.oracle_kmeans_sql(

@@ -226,3 +226,76 @@ def prefix_bucket(
     if (1 << lg) != n_buckets or lg > total_bits:
         raise ValueError(f"n_buckets={n_buckets} not a power of two <= 2^{total_bits}")
     return F.shiftright(zkey, total_bits - lg).cast("long")
+
+
+def _hilbert_xy2d(n: int, x: int, y: int) -> int:
+    """Reference Hilbert index (Wikipedia's iterative xy2d): maps (x, y)
+    in [0, n)² onto [0, n²) along the Hilbert curve."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_table(spark, bits: int = 8):
+    """The full 2-D Hilbert mapping as a (hx, hy, hd) DataFrame —
+    2^(2·bits) rows (65 536 at bits=8, ~1 MB): small enough to BROADCAST,
+    which is the whole design. The curve's per-bit rotation state makes a
+    closed-form Column expression explode exponentially in plan size; a
+    broadcast lookup join keeps the computation JVM-side, exact, and
+    plan-friendly at any data size (the r6 interpreted-HOF lesson applied
+    to layout: precompute once, join, never per-row Python)."""
+    n = 1 << bits
+    rows = [
+        (x, y, _hilbert_xy2d(n, x, y)) for x in range(n) for y in range(n)
+    ]
+    return spark.createDataFrame(rows, "hx long, hy long, hd long")
+
+
+def hilbert_key(
+    df: DataFrame,
+    dims: Sequence[str],
+    bits: int = 8,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Append a 2-D Hilbert clustering key: the z-order alternative with
+    strictly better locality (consecutive curve positions are always
+    grid-adjacent — no Z-shape jumps), so zone maps prune a bit tighter
+    on the same bucket count. Bounds scale exactly like
+    :func:`zorder_key`; the curve mapping rides a broadcast hash join
+    against the 2^(2·bits)-row lookup — one scan, no extra shuffle."""
+    if len(dims) != 2:
+        raise ValueError("hilbert_key is 2-D (use zorder_key for N dims)")
+    aggs = []
+    for d in dims:
+        aggs.append(F.min(d).alias(f"__lo_{d}"))
+        aggs.append(F.max(d).alias(f"__hi_{d}"))
+    bounds = df.agg(*aggs)
+    table = hilbert_table(df.sparkSession, bits)
+    scaled = df.crossJoin(F.broadcast(bounds)).select(
+        "*",
+        scale_int(
+            F.col(dims[0]), F.col(f"__lo_{dims[0]}"), F.col(f"__hi_{dims[0]}"), bits
+        ).alias("__sx"),
+        scale_int(
+            F.col(dims[1]), F.col(f"__lo_{dims[1]}"), F.col(f"__hi_{dims[1]}"), bits
+        ).alias("__sy"),
+    )
+    return (
+        scaled.join(
+            F.broadcast(table),
+            (F.col("__sx") == F.col("hx")) & (F.col("__sy") == F.col("hy")),
+        )
+        .withColumn(out_col, F.col("hd"))
+        .drop("hx", "hy", "hd", "__sx", "__sy",
+              *[c for d in dims for c in (f"__lo_{d}", f"__hi_{d}")])
+    )

@@ -384,3 +384,52 @@ def test_nearest_centroid_scorer_streaming_drip_equals_batch(
     # compute on the same widened doubles
     assert streamed == batch
     assert len(streamed) == emb.count()
+
+
+def test_hilbert_table_is_bijective_and_adjacent(spark):
+    """The two properties that make Hilbert a LAYOUT curve: the mapping
+    is a bijection onto [0, n²), and consecutive curve positions are
+    grid-ADJACENT (manhattan distance exactly 1) — the locality z-order
+    gives up at its seam jumps."""
+    bits = 4
+    n = 1 << bits
+    rows = lay.hilbert_table(spark, bits).collect()
+    assert len(rows) == n * n
+    by_d = {r["hd"]: (r["hx"], r["hy"]) for r in rows}
+    assert set(by_d) == set(range(n * n))  # bijection
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d  # adjacency
+
+
+def test_hilbert_vs_zorder_vs_linear_pruning(spark, tables):
+    """Hilbert prunes at least as well as z-order on the non-leading
+    dimension (allowing small-sample slack) and both beat the
+    lexicographic layout by a wide margin."""
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    dims = ["l_partkey", "l_suppkey"]
+    h = lay.hilbert_key(li, dims, bits=8)
+    z = lay.zorder_key(h, dims, bits=8)
+    sk = li.select(F.col("l_suppkey").alias("k")).distinct()
+
+    def avg(sort_key):
+        b = lay.assign_buckets_exact(
+            z, [sort_key, "l_orderkey", "l_linenumber"], 16
+        )
+        st = lay.bucket_stats(b, dims)
+        return lay.pruning_report(st, sk, "l_suppkey", "k", sort_key).collect()[
+            0
+        ]["avg_buckets"]
+
+    h_avg, z_avg, l_avg = avg("hkey"), avg("zkey"), avg("l_partkey")
+    assert h_avg < l_avg and z_avg < l_avg
+    assert h_avg <= z_avg * 1.25  # competitive-or-better locality
+
+
+def test_hilbert_key_requires_two_dims(spark, tables):
+    import pytest
+
+    with pytest.raises(ValueError):
+        lay.hilbert_key(tables["lineitem"], ["l_partkey"], bits=8)
