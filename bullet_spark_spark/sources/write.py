@@ -142,14 +142,15 @@ def zorder_key(
 ) -> "F.Column":
     """Interleave the low ``bits`` bits of per-dimension bucket ranks into
     one Morton (Z-order) value — bit b of dimension d lands at position
-    b*D + d. Pure shift/or column arithmetic, ~bits×dims terms."""
-    dims = len(ranks)
-    z = F.lit(0).cast("long")
-    for b in range(bits):
-        for d, r in enumerate(ranks):
-            bit = F.shiftright(r.cast("long"), b).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, b * dims + d))
-    return z
+    b*D + d. Delegates to operators/layout.interleave_bits (one
+    implementation of the bit arithmetic repo-wide); this module keeps
+    the QUANTILE-rank write path (skew-balanced grid for the 1-GB-file
+    production write), while operators/layout.py owns the exact
+    min/max-scaled ANALYSIS path (oracle-checked zone maps, pruning
+    reports, Hilbert comparison, streaming maintenance)."""
+    from bullet_spark_spark.operators.layout import interleave_bits
+
+    return interleave_bits(ranks, bits)
 
 
 def write_zordered(
