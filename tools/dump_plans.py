@@ -95,6 +95,14 @@ QUERIES = {
     "sketch_overlap_exact": "distinct (group,key) shuffle; pair overlap keyed by KEY; #groups² spine from the bounded size table (BNL on metadata, never data)",
     "sim_hard_negatives": "brute-force candidates w/ precomputed norms; banned anti-join; per-anchor rank window over fetch_k rows",
     "sim_pq_ann": "codes frame from ONE Arrow map; ADC scan emits per-batch top-k partials — no n×q frame, final window over bounded partials",
+    # round-7 late additions: layout + rank-space families
+    "scale_zorder_stats": "1-row bounds broadcast; Morton key is ONE codegen projection; NTILE sort is the documented oracle-parity path (cluster_by_range is the write path)",
+    "scale_zorder_pruning": "two layouts' zone maps localCheckpointed (64 rows each); report = keys × stats BNL on METADATA, data never rejoined",
+    "sim_kmeans_lloyd": "per iteration: k-row centroid broadcast crossJoin (row-local scoring) + id-keyed argmin window + (cluster,pos) agg with k×dim state; centroids checkpoint each round",
+    "sim_hybrid_rrf": "both rankers produce bounded top-20 frames; the ONLY SMJ is the full-outer fusion merge of those frames; corpus-sized streams never build hash tables",
+    "sampling_split_leakage": "split predicates are stateless md5 projections; audit joins the bounded pair list against doc flags — no new data-sized shuffle",
+    "quality_embedding_drift": "frozen centroids broadcast; assignment row-local; PSI window over the |clusters|-row count frame",
+    "scale_hilbert_pruning": "Hilbert map = 2^16-row broadcast lookup join (no per-row Python); downstream identical to the zorder zone-map machinery",
 }
 
 
