@@ -2338,8 +2338,18 @@ def scale_zorder_pruning(spark, sf_dir):
     )
     zst = lay.bucket_stats(zb, dims).localCheckpoint(eager=True)
     lst = lay.bucket_stats(lb, dims).localCheckpoint(eager=True)
-    pk = li.select(F.col("l_partkey").alias("k")).distinct()
-    sk = li.select(F.col("l_suppkey").alias("k")).distinct()
+    # distinct key sets come off the SAME cached frame (scan-audit r7);
+    # checkpointed so the panel never touches data after z is released
+    pk = (
+        z.select(F.col("l_partkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sk = (
+        z.select(F.col("l_suppkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     out = None
     for layout, st in (("zorder", zst), ("linear", lst)):
         for dim, keys in (("l_partkey", pk), ("l_suppkey", sk)):
@@ -2372,8 +2382,16 @@ def scale_hilbert_pruning(spark, sf_dir):
     )
     dims = ["l_partkey", "l_suppkey"]
     keyed = lay.zorder_key(lay.hilbert_key(li, dims, bits=8), dims, bits=8).persist()
-    pk = li.select(F.col("l_partkey").alias("k")).distinct()
-    sk = li.select(F.col("l_suppkey").alias("k")).distinct()
+    pk = (
+        keyed.select(F.col("l_partkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sk = (
+        keyed.select(F.col("l_suppkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     out = None
     for layout, sort_key in (
         ("hilbert", "hkey"),
@@ -2496,10 +2514,9 @@ def quality_embedding_drift(spark, sf_dir):
     )
     assigned = sim.nearest_centroid_assign(emb, cents, "vec_id", "embedding")
     counts = (
-        assigned.join(
-            emb.select("vec_id", (F.col("vec_id") % 2).alias("side")),
-            "vec_id",
-        )
+        # side is derivable from the id the assignment already carries —
+        # no join-back scan of the embeddings table (scan-audit r7)
+        assigned.withColumn("side", F.col("vec_id") % 2)
         .groupBy(F.col("assigned").alias("cluster"))
         .agg(
             F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
@@ -2647,6 +2664,9 @@ def sampling_split_leakage(spark, sf_dir):
         )
         rep = sizes.join(crossing, "strategy")
         out = rep if out is None else out.unionByName(rep)
+    # materialize the 2-row panel while the pair/flag caches are live,
+    # THEN release them — the returned frame never rescans documents
+    out = out.localCheckpoint(eager=True)
     pairs.unpersist()
     flags.unpersist()
     return out
@@ -2703,7 +2723,10 @@ def sim_dim_truncation_eval(spark, sf_dir):
     by id) over F.slice'd vectors; the overlap join runs on top-k output
     only (queries × k rows — free at any corpus size). r8 oracle queue."""
     t = _t(spark, sf_dir)
-    emb = t["embeddings"]
+    # ONE scan: all four widths slice the persisted base (scan-audit r7 —
+    # unpersisted, each width re-read the corpus: 8 scans at 100 TB)
+    emb = t["embeddings"].select("vec_id", "embedding").persist()
+    emb.count()
     full_k = {}
     out = None
     for d in (8, 16, 32, 64):
@@ -2754,6 +2777,9 @@ def sim_dim_truncation_eval(spark, sf_dir):
             ).alias("top1_match"),
         )
         out = rep if out is None else out.unionByName(rep)
+    # 4-row panel materialized off the single cached scan, cache released
+    out = out.localCheckpoint(eager=True)
+    emb.unpersist()
     return out
 
 
@@ -2833,6 +2859,9 @@ def sim_hybrid_rrf(spark, sf_dir):
             F.col("doc_id").alias("query_id"),
             F.col("text").alias("query_text"),
         )
+        # 3 rows, consumed by the lexical query side AND the dense
+        # query-vector join — checkpointed so neither rescans documents
+        .localCheckpoint(eager=True)
     )
     lex = (
         tx.bm25_scores(docs, anch)

@@ -56,6 +56,20 @@ _ACCEPTED = {
     # each pass column-pruned; at scale centroids are k×dim broadcast state
     "sim_nearest_centroid": "centroid train pass + scoring pass + label join-back",
     "sim_cluster_silhouette": "centroid train pass + scoring pass + rank windows",
+    # r7 review — sketch exact-path certifications rescan the BOUNDED side
+    # (the key set / per-cell lookups / the exact verification counts);
+    # the data-sized table scans once and the rescans are column-pruned
+    # key reads (the exact paths exist only to certify the sketch answers
+    # value-for-value — production callers run the sketch path alone)
+    "sketch_bloom_prune": "k per-hash branches + exact verify reread the pruned KEY column; orders scans once",
+    "sketch_cms_error_md5": "build + d lookup branches + exact counts; key column pruned, one wide scan",
+    "sketch_overlap_exact": "per-group distinct + pair + size passes over one pruned (group,key) projection",
+    # r7 review — retrieval certifications: anchors/positives/banned/truth
+    # are tiny pruned subsets of the embeddings table (fixture has no
+    # separate query table); the corpus-sized pass runs once per metric
+    "sim_hard_negatives": "anchor/positive/banned subsets pruned; corpus pass single",
+    "sim_retrieval_eval_exact": "retriever + truth passes + metric joins; subsets pruned",
+    "sim_hybrid_rrf": "bm25's 2 tokenize passes (dl persisted) + the 3-row checkpointed anchors",
 }
 
 
