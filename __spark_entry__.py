@@ -2364,6 +2364,66 @@ def scale_zorder_pruning(spark, sf_dir):
     return out
 
 
+def _hilbert_values_sql(bits: int) -> str:
+    """The full 2-D Hilbert mapping at small ``bits`` as a SQL VALUES
+    list — 2^(2·bits) tuples (256 at bits=4), small enough to EMBED in
+    the oracle text, which upgrades the Hilbert family from rows-only to
+    value-certified: both engines consume the identical mapping, and
+    everything around it (exact scaling, NTILE, zone maps) is already
+    engine-exact."""
+    from bullet_spark_spark.operators.layout import _hilbert_xy2d
+
+    n = 1 << bits
+    vals = ", ".join(
+        f"({x},{y},{_hilbert_xy2d(n, x, y)})" for x in range(n) for y in range(n)
+    )
+    return f"hmap(hx, hy, hd) AS (VALUES {vals})"
+
+
+@q(
+    "scale_hilbert_stats",
+    f"""WITH {_hilbert_values_sql(4)},
+  bd AS (SELECT min(l_partkey) AS lop, max(l_partkey) AS hip,
+                min(l_suppkey) AS los, max(l_suppkey) AS his FROM lineitem),
+  s AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          ((l_partkey - lop) * 15) // greatest(1, hip - lop) AS sx,
+          ((l_suppkey - los) * 15) // greatest(1, his - los) AS sy
+        FROM lineitem, bd),
+  hk AS (SELECT s.*, m.hd AS hkey FROM s JOIN hmap m
+         ON m.hx = s.sx AND m.hy = s.sy),
+  ht AS (SELECT *, ntile(32) OVER (ORDER BY hkey, l_orderkey, l_linenumber)
+                   AS bucket FROM hk),
+  hs AS (SELECT bucket, count(*) AS cnt,
+                min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+                min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+         FROM ht GROUP BY bucket)
+  SELECT bucket, cnt, min_p, max_p, min_s, max_s FROM hs""",
+)
+def scale_hilbert_stats(spark, sf_dir):
+    """VALUE-CERTIFIED Hilbert zone map: lineitem clustered along the
+    bits=4 Hilbert curve (the 256-cell mapping is embedded in the oracle
+    as a VALUES list, so both engines consume the identical curve) into
+    32 equal-height buckets with per-bucket min/max stats. Proves the
+    hilbert_key machinery end-to-end at the resolution SQL can carry;
+    the production bits=8 path (65k-cell broadcast lookup) shares every
+    line of code and is law-tested (bijection + adjacency) plus measured
+    in scale_hilbert_pruning. r8 oracle queue."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    h = lay.hilbert_key(li, ["l_partkey", "l_suppkey"], bits=4)
+    b = lay.assign_buckets_exact(h, ["hkey", "l_orderkey", "l_linenumber"], 32)
+    return lay.bucket_stats(b, ["l_partkey", "l_suppkey"]).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "cnt",
+        F.col("min_l_partkey").alias("min_p"),
+        F.col("max_l_partkey").alias("max_p"),
+        F.col("min_l_suppkey").alias("min_s"),
+        F.col("max_l_suppkey").alias("max_s"),
+    )
+
+
 @q("scale_hilbert_pruning")  # rows-only: the Hilbert map is a 65k-row
 # lookup (layout.hilbert_table) no engine-independent SQL reproduces;
 # the curve's laws are pytest-certified (bijection + grid adjacency)
