@@ -208,3 +208,33 @@ def test_write_zordered_prunes_both_dims(spark, tables, tmp_path):
     got = spark.read.parquet(zpath).agg(F.sum("event_id")).collect()[0][0]
     want = ev.agg(F.sum("event_id")).collect()[0][0]
     assert got == want
+
+
+def test_dynamic_partition_pruning_fires_on_star_join(spark, tables, tmp_path):
+    """Dynamic partition pruning — the star-schema runtime prune: a fact
+    table partitioned on the join key, joined to a dim with a selective
+    filter, scans ONLY the partitions the filtered dim reaches. The scan
+    carries a dynamicpruning expression and the fact read drops to the
+    matching partition count — the Catalyst feature that turns a 100 TB
+    partitioned fact scan into a few directories without any hand-written
+    predicate."""
+    import bullet_spark_spark.sources.write as wr
+
+    fact_path = str(tmp_path / "fact")
+    ev = tables["events"].select("event_type", "user_id", "value")
+    wr.write_partitioned(ev, fact_path, ["event_type"])
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 2.0), ("purchase", 3.0),
+         ("signup", 4.0), ("error", 5.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") < 1.5)  # selects exactly one partition value
+
+    joined = fact.join(dim, "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    got = joined.collect()[0]["cnt"]
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert got == want
