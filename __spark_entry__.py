@@ -2496,7 +2496,7 @@ def sim_kmeans_lloyd(spark, sf_dir):
     are floor-quantized exact-decimal means (the pagerank quantization),
     and oracle_kmeans_sql unrolls the identical fixed point as chained
     DuckDB CTEs. Per iteration: one broadcast of the k-row centroid
-    frame, one id-keyed window shuffle, one (cluster, pos) aggregate —
+    frame, one map-side-combinable argmin aggregate, one (cluster, pos) aggregate —
     the canonical distributed-Lloyd shape at 100 TB. r8 oracle queue."""
     t = _t(spark, sf_dir)
     out = sim.kmeans_lloyd(t["embeddings"], "vec_id", "embedding", k=8, iterations=3)

@@ -1382,7 +1382,16 @@ def nearest_centroid_assign(
     rounded 9 dp (a single IEEE subtract-square each — identical in any
     engine; the decimal sum is order-independent, so the argmin is too);
     ties break by label ASC. Centroids broadcast (|labels| rows); the
-    scoring is row-local — no shuffle of the vector side."""
+    scoring is row-local — no shuffle of the vector side.
+
+    The argmin is ``min(struct(d2, cand))`` — struct ordering is
+    lexicographic, so the minimum is (smallest d2, then smallest label):
+    the SAME deterministic total order the original rank window gave,
+    but as a map-side-combinable hash aggregate. The row_number window
+    shuffled AND sorted the full n×k scored frame by id (k× data
+    amplification through a sort exchange at 100 TB); the aggregate
+    combines each partition down to its distinct ids BEFORE the
+    exchange — measured 4× faster at sf0.1, values bit-identical (r7)."""
     # NOTE the accumulator discipline inside centroid_distances: it stays
     # DECIMAL(28,9) — a (38,9) accumulator widens the add to (39,9) and
     # Spark silently REDUCES the scale to 8, rounding every fold step
@@ -1390,17 +1399,13 @@ def nearest_centroid_assign(
     scored = centroid_distances(
         df, centroids, id_col, vec_col, label_col, centroid_col
     )
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cand").asc())
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(
-            id_col,
-            F.col("cand").alias("assigned"),
-            F.col("d2").cast("double").alias("d2"),
-        )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct("d2", "cand")).alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col("__b.cand").alias("assigned"),
+        F.col("__b.d2").cast("double").alias("d2"),
     )
 
 
@@ -1845,8 +1850,10 @@ def nearest_centroid_scorer(
     vec_col: str = "embedding",
 ) -> tuple[Column, Column]:
     """STREAMING-SERVABLE nearest-centroid assignment: the batch path
-    (:func:`nearest_centroid_assign`) ranks with a row_number window,
-    which Structured Streaming forbids — this variant takes the FROZEN
+    (:func:`nearest_centroid_assign`) aggregates min(struct(d2, label))
+    over the broadcast-scored pairs — fine in batch, but on a stream the
+    scored crossJoin + aggregate would be a stateful shape; this variant
+    takes the FROZEN
     centroids as driver-side literals (k × dim doubles — the trained
     model, exactly like quality_model's broadcast coefficients) and
     compiles assignment into a single stateless projection: a k-element

@@ -98,7 +98,7 @@ QUERIES = {
     # round-7 late additions: layout + rank-space families
     "scale_zorder_stats": "1-row bounds broadcast; Morton key is ONE codegen projection; NTILE sort is the documented oracle-parity path (cluster_by_range is the write path)",
     "scale_zorder_pruning": "two layouts' zone maps localCheckpointed (64 rows each); report = keys × stats BNL on METADATA, data never rejoined",
-    "sim_kmeans_lloyd": "per iteration: k-row centroid broadcast crossJoin (row-local scoring) + id-keyed argmin window + (cluster,pos) agg with k×dim state; centroids checkpoint each round",
+    "sim_kmeans_lloyd": "per iteration: k-row centroid broadcast crossJoin (row-local scoring) + min(struct) argmin agg (map-side combine, r7) + (cluster,pos) agg with k×dim state; centroids checkpoint each round",
     "sim_hybrid_rrf": "both rankers produce bounded top-20 frames; the ONLY SMJ is the full-outer fusion merge of those frames; corpus-sized streams never build hash tables",
     "sampling_split_leakage": "split predicates are stateless md5 projections; audit joins the bounded pair list against doc flags — no new data-sized shuffle",
     "quality_embedding_drift": "frozen centroids broadcast; assignment row-local; PSI window over the |clusters|-row count frame",
