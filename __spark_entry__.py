@@ -5755,26 +5755,29 @@ def sim_cluster_silhouette(spark, sf_dir):
     """Simplified silhouette per cluster (centroid-based: a = distance to
     own prototype, b = distance to the nearest OTHER prototype,
     s = (b−a)/max(a,b)) — the cluster-separation report beside inertia's
-    compactness. Built on the shared centroid_distances frame: one
-    window ranks the candidates, sqrt/ratio are single IEEE expressions,
-    per-vector scores rounded 6 dp and averaged via exact decimal sums."""
-    from pyspark.sql.window import Window as W
-
+    compactness. Built on the shared centroid_distances frame: the top-2
+    candidates come from ONE hash aggregate
+    (slice(array_sort(collect_list(struct)), 1, 2) — struct order is the
+    same (d2 asc, cand asc) total order the original rank window gave,
+    without the window's sort exchange of the n×k scored frame; the
+    collected list is k-bounded per vector). sqrt/ratio are single IEEE
+    expressions, per-vector scores rounded 6 dp and averaged via exact
+    decimal sums."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     cents = sim.group_centroids(emb, "label", "embedding")
     d = sim.centroid_distances(emb, cents, "vec_id", "embedding")
-    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cand").asc())
-    rk = d.withColumn("r", F.row_number().over(w))
-    a = rk.filter(F.col("r") == 1).select(
+    top2 = d.groupBy("vec_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("d2", "cand"))), 1, 2
+        ).alias("t2")
+    )
+    s = top2.select(
         "vec_id",
-        F.col("cand").alias("assigned"),
-        F.sqrt(F.col("d2").cast("double")).alias("da"),
-    )
-    b = rk.filter(F.col("r") == 2).select(
-        "vec_id", F.sqrt(F.col("d2").cast("double")).alias("db")
-    )
-    s = a.join(b, "vec_id").select(
+        F.col("t2")[0]["cand"].alias("assigned"),
+        F.sqrt(F.col("t2")[0]["d2"].cast("double")).alias("da"),
+        F.sqrt(F.col("t2")[1]["d2"].cast("double")).alias("db"),
+    ).select(
         "vec_id",
         "assigned",
         F.when(
