@@ -1631,6 +1631,7 @@ def kmeans_lloyd(
     k: int = 8,
     iterations: int = 3,
     round_dp: int = 6,
+    init_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column → (cluster, centroid, n)
     after a FIXED number of iterations — the distributed clustering loop
@@ -1672,15 +1673,24 @@ def kmeans_lloyd(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     ).persist()
-    init = (
-        base.orderBy("__id")
-        .limit(k)
-        .withColumn(
-            "cluster",
-            (F.row_number().over(W.orderBy("__id")) - 1).cast("long"),
+    if init_centroids is not None:
+        # caller-provided seeding, e.g. kmeans_init_farthest — must carry
+        # (cluster, centroid[, n]); widened/quantized by the caller
+        init = init_centroids.select(
+            F.col("cluster").cast("long"),
+            "centroid",
+            F.lit(0).cast("long").alias("n"),
         )
-        .select("cluster", F.col("__v").alias("centroid"), F.lit(0).cast("long").alias("n"))
-    )
+    else:
+        init = (
+            base.orderBy("__id")
+            .limit(k)
+            .withColumn(
+                "cluster",
+                (F.row_number().over(W.orderBy("__id")) - 1).cast("long"),
+            )
+            .select("cluster", F.col("__v").alias("centroid"), F.lit(0).cast("long").alias("n"))
+        )
     cents = init.localCheckpoint(eager=True)
     scale = float(10 ** round_dp)
     for _ in range(iterations):
@@ -1885,3 +1895,82 @@ def nearest_centroid_scorer(
     assigned = F.element_at(labels, idx.cast("int"))
     best = F.element_at(dists, idx.cast("int")).cast("double")
     return assigned, best
+
+
+def kmeans_init_farthest(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Deterministic farthest-point (Gonzalez 1985 k-center) seeding →
+    (cluster, centroid, n=0): start from the smallest id, then greedily
+    take the vector FARTHEST from every centroid chosen so far (exact
+    decimal distances, ties to the smaller id) — the quality upgrade
+    over naive smallest-k-ids seeding that k-means++ randomizes, made
+    RNG-free so any engine replays it. Plug the result into
+    :func:`kmeans_lloyd` via ``init_centroids``.
+
+    Scale shape: k-1 rounds, each ONE pass over the cached vectors —
+    update the running min-distance column against the single new
+    centroid (1-row broadcast), take the argmax as a
+    ``max(struct(d2, -id))`` aggregate (map-side combinable, no sort).
+    The running state (id, vec, mind2) is eagerly localCheckpoint'ed per
+    round — inherent to ANY k-center traversal (the algorithm is
+    sequential in k); k passes over 100 TB is the honest cost and the
+    reason k stays small at init time."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).persist()
+
+    first = (
+        base.orderBy("__id")
+        .limit(1)
+        .select(
+            F.lit(0).cast("long").alias("cluster"),
+            F.col("__v").alias("centroid"),
+        )
+    )
+    chosen = first.localCheckpoint(eager=True)
+
+    def d2_to(cent_col):
+        return F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                cent_col,
+                lambda a, b: F.round((a - b) * (a - b), 9).cast("decimal(28,9)"),
+            ),
+            F.lit(0).cast("decimal(28,9)"),
+            lambda acc, x: (acc + x).cast("decimal(28,9)"),
+        )
+
+    state = (
+        base.crossJoin(F.broadcast(chosen.select("centroid")))
+        .select("__id", "__v", d2_to(F.col("centroid")).alias("__mind2"))
+        .localCheckpoint(eager=True)
+    )
+    for j in range(1, k):
+        far = state.agg(
+            F.max(F.struct(F.col("__mind2"), (-F.col("__id")).alias("__nid"))).alias("__m")
+        ).select((-F.col("__m.__nid")).alias("__fid"))
+        nxt = (
+            state.join(F.broadcast(far), state["__id"] == F.col("__fid"))
+            .select(
+                F.lit(j).cast("long").alias("cluster"),
+                F.col("__v").alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        chosen = chosen.unionByName(nxt).localCheckpoint(eager=True)
+        state = (
+            state.crossJoin(F.broadcast(nxt.select("centroid")))
+            .select(
+                "__id",
+                "__v",
+                F.least(F.col("__mind2"), d2_to(F.col("centroid"))).alias("__mind2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    base.unpersist()
+    return chosen.withColumn("n", F.lit(0).cast("long"))

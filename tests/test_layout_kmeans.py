@@ -433,3 +433,38 @@ def test_hilbert_key_requires_two_dims(spark, tables):
 
     with pytest.raises(ValueError):
         lay.hilbert_key(tables["lineitem"], ["l_partkey"], bits=8)
+
+
+def test_kmeans_farthest_init_deterministic_and_spread(spark, tables):
+    """Gonzalez farthest-point seeding: RNG-free (two runs identical),
+    k distinct seeds, and the minimum pairwise seed distance is at least
+    the naive smallest-k-ids seeding's — the property the greedy maxmin
+    traversal guarantees and the reason to pay k passes at init time.
+    Plugs into kmeans_lloyd via init_centroids and converges to the same
+    surface shape (k clusters covering every vector)."""
+    import itertools
+
+    emb = tables["embeddings"]
+    a = sim.kmeans_init_farthest(emb, k=4).orderBy("cluster").collect()
+    b = sim.kmeans_init_farthest(emb, k=4).orderBy("cluster").collect()
+    assert [tuple(r["centroid"]) for r in a] == [tuple(r["centroid"]) for r in b]
+    assert len({r["cluster"] for r in a}) == 4
+    seeds = [np.array(r["centroid"]) for r in a]
+    assert len({tuple(s) for s in (tuple(x) for x in seeds)}) == 4
+
+    naive = [
+        np.array(r["embedding"], dtype=np.float64)
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+
+    def min_pair_d2(vs):
+        return min(
+            float(((x - y) ** 2).sum()) for x, y in itertools.combinations(vs, 2)
+        )
+
+    assert min_pair_d2(seeds) >= min_pair_d2(naive)
+
+    out = sim.kmeans_lloyd(
+        emb, k=4, iterations=2, init_centroids=sim.kmeans_init_farthest(emb, k=4)
+    ).collect()
+    assert sum(r["n"] for r in out) == emb.count()
