@@ -131,12 +131,20 @@ def main() -> None:
         qs[name](spark, SF_DIR).limit(1).collect()
 
     times: dict[str, float] = {}
+    import gc as _gc
+
     for name in BENCH:
         # independent measurements: without this, ~24 queries' persisted
         # frames accumulate in the executor heap and the later (iterative,
         # cache-heavy) queries measure GC pressure from their predecessors
-        # (pagerank: 9.0 s in-suite vs 6.3 s standalone on an idle host)
+        # (pagerank: 9.0 s in-suite vs 6.3 s standalone on an idle host).
+        # The driver gc additionally releases py4j refs to eagerly
+        # localCheckpoint'ed RDDs (layout/kmeans families) so
+        # ContextCleaner can drop their blocks — without it the r7 suite
+        # showed 2-4x inflation on late queries (span_exact 11 s in-sweep
+        # vs 1 s standalone).
         spark.catalog.clearCache()
+        _gc.collect()
         samples = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()

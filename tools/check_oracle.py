@@ -201,6 +201,17 @@ def main():
     failures = []
     report: dict[str, dict] = {}
     for name in names:
+        # r7 sweep-hygiene: queries persist / eagerly localCheckpoint
+        # internal frames; without per-query cleanup the block manager
+        # accumulates ~190 queries of debris and LATE queries measure GC
+        # pressure, not themselves (dedup_span_exact: 11 s in-sweep vs
+        # 1 s standalone). clearCache drops persisted frames; the driver
+        # gc releases py4j RDD refs so ContextCleaner frees checkpoint
+        # blocks.
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
         t0 = time.time()
         try:
             df = qs[name](spark, args.sf)
