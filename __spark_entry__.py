@@ -2843,6 +2843,35 @@ def sim_dim_truncation_eval(spark, sf_dir):
     return out
 
 
+@q("sim_kmeans_farthest")  # rows-only: the Gonzalez seeding is k-1
+# sequential maxmin passes — deterministic (pytest-pinned) but the
+# unrolled SQL would be k chained argmax CTEs over full distance
+# recomputation; the default-init kmeans carries the family's oracle
+def sim_kmeans_farthest(spark, sf_dir):
+    """kmeans_lloyd seeded by deterministic farthest-point traversal
+    (kmeans_init_farthest, Gonzalez k-center): the RNG-free quality
+    upgrade over smallest-id seeding — seeds are maximally spread by
+    construction, so Lloyd's iterations start from distinct density
+    regions. Same certified iteration machinery as sim_kmeans_lloyd;
+    deterministic output (cluster sizes + 6-dp centroid CSV)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    init = sim.kmeans_init_farthest(emb, "vec_id", "embedding", k=8)
+    out = sim.kmeans_lloyd(
+        emb, "vec_id", "embedding", k=8, iterations=2, init_centroids=init
+    )
+    return out.select(
+        "cluster",
+        "n",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "centroid", lambda x: x.cast("decimal(18,6)").cast("string")
+            ),
+        ).alias("centroid_csv"),
+    )
+
+
 @q(
     "sim_hybrid_rrf",
     r"""WITH anch AS (SELECT doc_id AS query_id, text AS query_text
