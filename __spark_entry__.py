@@ -2230,13 +2230,16 @@ def scale_salted_join(spark, sf_dir):
 # at sf0.01 and sf0.1 meanwhile. ----
 
 
-def _zorder_sql_expr(c0: str, c1: str, bits: int) -> str:
-    """DuckDB twin of layout.interleave_bits for two columns: bit b of
-    column i lands at position b*2+i (column 0 owns the even bits)."""
+def _zorder_sql_expr(*cols_and_bits) -> str:
+    """DuckDB twin of layout.interleave_bits for N columns: bit b of
+    column i lands at position b*N+i (column 0 owns bit 0). Call as
+    _zorder_sql_expr(c0, c1, ..., bits)."""
+    *cols, bits = cols_and_bits
+    n = len(cols)
     terms = []
     for b in range(bits):
-        terms.append(f"((({c0} >> {b}) & 1) << {2 * b})")
-        terms.append(f"((({c1} >> {b}) & 1) << {2 * b + 1})")
+        for i, c in enumerate(cols):
+            terms.append(f"((({c} >> {b}) & 1) << {b * n + i})")
     return " | ".join(terms)
 
 
@@ -2286,6 +2289,61 @@ def scale_zorder_stats(spark, sf_dir):
         F.col("max_l_partkey").alias("max_p"),
         F.col("min_l_suppkey").alias("min_s"),
         F.col("max_l_suppkey").alias("max_s"),
+    )
+
+
+@q(
+    "scale_zorder3_stats",
+    f"""WITH bd AS (
+    SELECT min(l_partkey) AS lop, max(l_partkey) AS hip,
+           min(l_suppkey) AS los, max(l_suppkey) AS his,
+           min(CAST(l_quantity AS BIGINT)) AS loq,
+           max(CAST(l_quantity AS BIGINT)) AS hiq
+    FROM lineitem),
+  s3 AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(l_quantity AS BIGINT) AS qty,
+           ((l_partkey - lop) * 31) // greatest(1, hip - lop) AS sp,
+           ((l_suppkey - los) * 31) // greatest(1, his - los) AS ss,
+           ((CAST(l_quantity AS BIGINT) - loq) * 31)
+             // greatest(1, hiq - loq) AS sq
+    FROM lineitem, bd),
+  z3 AS (SELECT *, {_zorder_sql_expr('sp', 'ss', 'sq', 5)} AS zkey FROM s3),
+  t3 AS (SELECT *, ntile(32) OVER (ORDER BY zkey, l_orderkey, l_linenumber)
+                   AS bucket FROM z3),
+  st3 AS (SELECT bucket, count(*) AS cnt,
+                 min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+                 min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
+                 min(qty) AS min_q, max(qty) AS max_q
+          FROM t3 GROUP BY bucket)
+  SELECT bucket, cnt, min_p, max_p, min_s, max_s, min_q, max_q FROM st3""",
+)
+def scale_zorder3_stats(spark, sf_dir):
+    """THREE-dimensional Z-order zone map (5 bits/dim over l_partkey,
+    l_suppkey, l_quantity): certifies layout.interleave_bits' N-column
+    claim end-to-end against the oracle, not just the 2-D case the main
+    stats row pins (the 3-D bit placement b·N+i is where an interleave
+    bug would hide; also property-tested vs a Python reference). Same
+    exact-integer scaling and NTILE machinery. r8 oracle queue."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    z = lay.zorder_key(li, ["l_partkey", "l_suppkey", "qty"], bits=5)
+    b = lay.assign_buckets_exact(z, ["zkey", "l_orderkey", "l_linenumber"], 32)
+    return lay.bucket_stats(b, ["l_partkey", "l_suppkey", "qty"]).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "cnt",
+        F.col("min_l_partkey").alias("min_p"),
+        F.col("max_l_partkey").alias("max_p"),
+        F.col("min_l_suppkey").alias("min_s"),
+        F.col("max_l_suppkey").alias("max_s"),
+        F.col("min_qty").alias("min_q"),
+        F.col("max_qty").alias("max_q"),
     )
 
 
