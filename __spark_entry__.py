@@ -7865,6 +7865,10 @@ def quality_filter_frozen(spark, sf_dir):
 #   sim_dim_truncation_eval                    (matryoshka prefix eval)
 #   sampling_split_leakage                     (group-aware split audit)
 #   quality_embedding_drift                    (frozen-centroid PSI)
+#   scale_hilbert_stats                        (VALUES-embedded Hilbert)
+#   scale_zorder3_stats                        (3-D interleave cert)
+#   rows-only additions: scale_hilbert_pruning (65k-row curve lookup),
+#   sim_kmeans_farthest (sequential Gonzalez seeding)
 _WINDOW_R7 = [
     # -- the 4 span/winnow rows (registered post-freeze in r6) --
     "dedup_span_exact",
