@@ -2297,15 +2297,15 @@ def scale_zorder_stats(spark, sf_dir):
     f"""WITH bd AS (
     SELECT min(l_partkey) AS lop, max(l_partkey) AS hip,
            min(l_suppkey) AS los, max(l_suppkey) AS his,
-           min(CAST(l_quantity AS BIGINT)) AS loq,
-           max(CAST(l_quantity AS BIGINT)) AS hiq
+           min(CAST(floor(l_quantity) AS BIGINT)) AS loq,
+           max(CAST(floor(l_quantity) AS BIGINT)) AS hiq
     FROM lineitem),
   s3 AS (
     SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(floor(l_quantity) AS BIGINT) AS qty,
            ((l_partkey - lop) * 31) // greatest(1, hip - lop) AS sp,
            ((l_suppkey - los) * 31) // greatest(1, his - los) AS ss,
-           ((CAST(l_quantity AS BIGINT) - loq) * 31)
+           ((CAST(floor(l_quantity) AS BIGINT) - loq) * 31)
              // greatest(1, hiq - loq) AS sq
     FROM lineitem, bd),
   z3 AS (SELECT *, {_zorder_sql_expr('sp', 'ss', 'sq', 5)} AS zkey FROM s3),
@@ -2324,14 +2324,20 @@ def scale_zorder3_stats(spark, sf_dir):
     claim end-to-end against the oracle, not just the 2-D case the main
     stats row pins (the 3-D bit placement b·N+i is where an interleave
     bug would hide; also property-tested vs a Python reference). Same
-    exact-integer scaling and NTILE machinery. r8 oracle queue."""
+    exact-integer scaling and NTILE machinery. r8 oracle queue.
+
+    The decimal→long conversion is floor() in BOTH engines (r7 advisory):
+    Spark's cast('long') truncates toward zero while DuckDB's CAST AS
+    BIGINT rounds — identical on TPC-H's integer-valued quantities, but a
+    latent divergence for a genuinely fractional dimension. floor is
+    bit-identical everywhere."""
     t = _t(spark, sf_dir)
     li = t["lineitem"].select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
         "l_suppkey",
-        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor("l_quantity").cast("long").alias("qty"),
     )
     z = lay.zorder_key(li, ["l_partkey", "l_suppkey", "qty"], bits=5)
     b = lay.assign_buckets_exact(z, ["zkey", "l_orderkey", "l_linenumber"], 32)
@@ -5859,6 +5865,12 @@ def sim_cluster_silhouette(spark, sf_dir):
             F.array_sort(F.collect_list(F.struct("d2", "cand"))), 1, 2
         ).alias("t2")
     )
+    # k=1 guard (r7 advisory): with a single centroid there is no "nearest
+    # OTHER prototype", so t2[1] is NULL and sil would be NULL — which would
+    # still count in n and the mean denominator, silently deflating
+    # mean_silhouette. Require a genuine second candidate, matching the
+    # oracle's inner join on r = 2 (vectors with no runner-up are dropped).
+    top2 = top2.where(F.size("t2") == 2)
     s = top2.select(
         "vec_id",
         F.col("t2")[0]["cand"].alias("assigned"),
@@ -7869,6 +7881,75 @@ def quality_filter_frozen(spark, sf_dir):
 #   scale_zorder3_stats                        (3-D interleave cert)
 #   rows-only additions: scale_hilbert_pruning (65k-row curve lookup),
 #   sim_kmeans_farthest (sequential Gonzalez seeding)
+#
+# Round-8 window (FROZEN at cut, r8 early): the 9 never-driver-green rows
+# from the r8 oracle queue above — re-verified locally at BOTH sf0.01 and
+# sf0.1 AFTER the r7-advisory fixes (hilbert_key left join, zorder3 floor
+# parity) — + sim_cluster_silhouette (driver-green r5 but its
+# implementation changed this round: the k=1 guard filters vectors with
+# no second centroid candidate, so a changed implementation re-certifies,
+# the r6 blocked-GEMM discipline) + 40 sentinels chosen as the STALEST
+# driver greens (all 22 last certified r4, 18 more last certified r5 —
+# nothing in the window has a green newer than r5 except the 9
+# first-timers), so this round again simultaneously closes the new
+# families and refreshes the oldest certifications.
+_WINDOW_R8 = [
+    # -- the 9 r8-queue rows (registered post-freeze in r7; first rows) --
+    "scale_zorder_stats",
+    "scale_zorder3_stats",
+    "scale_zorder_pruning",
+    "scale_hilbert_stats",
+    "sim_kmeans_lloyd",
+    "quality_embedding_drift",
+    "sampling_split_leakage",
+    "sim_dim_truncation_eval",
+    "sim_hybrid_rrf",
+    # -- changed implementation this round (k=1 guard): re-certify --
+    "sim_cluster_silhouette",
+    # -- all 22 sentinels last driver-green in r4 --
+    "tpch_q13_custdist",
+    "tpch_q19_disjunctive",
+    "tpch_q10_returned_items",
+    "tpch_q7_volume_shipping",
+    "text_bm25_topk",
+    "text_repeated_spans",
+    "text_pii_scrub",
+    "text_curation_funnel",
+    "tpch_q2_min_cost_supp",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q20_dominant_supp",
+    "tpch_q21_waiting_supp",
+    "tpch_q22_idle_customers",
+    "text_unigram_logprob",
+    "text_scrub_spans",
+    "text_chunk_windows",
+    "text_perplexity_buckets",
+    "text_bigram_logprob",
+    # -- 18 sentinels last driver-green in r5 (bullet core + flagship +
+    #    streaming parity first; the remaining 26 r5-age rows rotate r9+) --
+    "bullet_filter_project",
+    "bullet_group_agg",
+    "bullet_count_distinct",
+    "bullet_quantile",
+    "expr_scalar",
+    "window_tumbling_10m",
+    "join_fact_fact",
+    "tpch_q1_pricing",
+    "streaming_window_parity",
+    "dedup_exact",
+    "pack_sequences",
+    "pipeline_end_to_end",
+    "tpch_q12_late_priority",
+    "tpch_q16_supplier_cnt",
+    "quality_uniqueness",
+    "temporal_zscore_anomalies",
+    "behavior_sessionize",
+    "behavior_retention",
+]
 _WINDOW_R7 = [
     # -- the 4 span/winnow rows (registered post-freeze in r6) --
     "dedup_span_exact",
@@ -8162,7 +8243,7 @@ def _rotate_window(priority: list[str]) -> None:
         d.update(snap)
 
 
-_rotate_window(_WINDOW_R7)
+_rotate_window(_WINDOW_R8)
 
 
 # ---------------------------------------------------------------------------

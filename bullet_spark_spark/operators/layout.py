@@ -272,7 +272,12 @@ def hilbert_key(
     grid-adjacent — no Z-shape jumps), so zone maps prune a bit tighter
     on the same bucket count. Bounds scale exactly like
     :func:`zorder_key`; the curve mapping rides a broadcast hash join
-    against the 2^(2·bits)-row lookup — one scan, no extra shuffle."""
+    against the 2^(2·bits)-row lookup — one scan, no extra shuffle.
+
+    Row preservation (r7 advisory): the lookup join is LEFT, so a row
+    with a NULL dimension keeps its place with a NULL ``hkey`` — the
+    same semantics :func:`zorder_key` gives such rows (they sort last
+    under NULLS LAST and never silently disappear from the layout)."""
     if len(dims) != 2:
         raise ValueError("hilbert_key is 2-D (use zorder_key for N dims)")
     aggs = []
@@ -294,6 +299,7 @@ def hilbert_key(
         scaled.join(
             F.broadcast(table),
             (F.col("__sx") == F.col("hx")) & (F.col("__sy") == F.col("hy")),
+            "left",
         )
         .withColumn(out_col, F.col("hd"))
         .drop("hx", "hy", "hd", "__sx", "__sy",

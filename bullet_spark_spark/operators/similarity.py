@@ -1660,14 +1660,18 @@ def kmeans_lloyd(
 
     Scale shape: per iteration, ONE broadcast crossJoin of the k-row
     centroid frame against the vectors (row-local scoring, no shuffle of
-    the vector side), one row_number window keyed by id (single shuffle
-    on id), and one (cluster, pos) aggregate with map-side partials
+    the vector side), the argmin as a ``min(struct(d2, cand))`` hash
+    aggregate keyed by id — map-side combinable, so each partition
+    reduces its n×k scored rows down to its distinct ids BEFORE the
+    exchange (see :func:`nearest_centroid_assign`; this replaced the
+    earlier row_number window, which sorted the full scored frame) —
+    and one (cluster, pos) aggregate with map-side partials
     (state = k × dim). The centroid frame is eagerly localCheckpoint'ed
     each round — k rows, so the materialization is free and the plan
     stays constant-depth (the HITS lineage lesson). The only driver-side
     values are none at all: even the init is a LIMIT, not a collect.
     At 100 TB of vectors each iteration costs one scan + one id-keyed
-    window shuffle — the canonical distributed-Lloyd shape.
+    combinable aggregate exchange — the canonical distributed-Lloyd shape.
     """
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -1918,7 +1922,16 @@ def kmeans_init_farthest(
     The running state (id, vec, mind2) is eagerly localCheckpoint'ed per
     round — inherent to ANY k-center traversal (the algorithm is
     sequential in k); k passes over 100 TB is the honest cost and the
-    reason k stays small at init time."""
+    reason k stays small at init time.
+
+    Fewer-than-k-distinct-vectors behavior (r7 advisory): each chosen id
+    is removed from the running state, and the traversal STOPS EARLY when
+    the max remaining min-distance is exactly 0 — every remaining point
+    duplicates an already-chosen centroid, so emitting more rows would
+    produce duplicate centroid vectors under distinct cluster labels.
+    The result then has fewer than k rows (one per distinct vector).
+    The per-round argmax is a 1-row bounded collect (the traversal is
+    already driver-sequenced per round)."""
     base = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
@@ -1950,12 +1963,36 @@ def kmeans_init_farthest(
         .select("__id", "__v", d2_to(F.col("centroid")).alias("__mind2"))
         .localCheckpoint(eager=True)
     )
+    # Remove the seed row from the running state so no chosen id can ever
+    # be re-selected (r7 advisory: with <k distinct vectors, all remaining
+    # __mind2 hit 0 and max(struct) would re-pick the globally smallest id).
+    state = state.join(
+        F.broadcast(base.orderBy("__id").limit(1).select("__id")),
+        "__id",
+        "left_anti",
+    ).localCheckpoint(eager=True)
     for j in range(1, k):
-        far = state.agg(
-            F.max(F.struct(F.col("__mind2"), (-F.col("__id")).alias("__nid"))).alias("__m")
-        ).select((-F.col("__m.__nid")).alias("__fid"))
+        # 1-row bounded collect: the round's argmax (d2 desc, id asc). The
+        # traversal is already sequential in k, so this adds no extra jobs.
+        top = (
+            state.agg(
+                F.max(
+                    F.struct(F.col("__mind2"), (-F.col("__id")).alias("__nid"))
+                ).alias("__m")
+            )
+            .select(
+                F.col("__m.__mind2").cast("double").alias("__d2"),
+                (-F.col("__m.__nid")).alias("__fid"),
+            )
+            .collect()
+        )
+        if not top or top[0]["__d2"] is None or top[0]["__d2"] <= 0.0:
+            # Fewer than k distinct vectors: every remaining point
+            # duplicates a chosen centroid — stop early (documented).
+            break
+        fid = int(top[0]["__fid"])
         nxt = (
-            state.join(F.broadcast(far), state["__id"] == F.col("__fid"))
+            state.where(F.col("__id") == F.lit(fid))
             .select(
                 F.lit(j).cast("long").alias("cluster"),
                 F.col("__v").alias("centroid"),
@@ -1964,7 +2001,8 @@ def kmeans_init_farthest(
         )
         chosen = chosen.unionByName(nxt).localCheckpoint(eager=True)
         state = (
-            state.crossJoin(F.broadcast(nxt.select("centroid")))
+            state.where(F.col("__id") != F.lit(fid))
+            .crossJoin(F.broadcast(nxt.select("centroid")))
             .select(
                 "__id",
                 "__v",
