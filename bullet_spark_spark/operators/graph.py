@@ -34,7 +34,7 @@ def pagerank(
     damping: float = 0.85,
     teleport: float = 0.15,
     round_dp: int = 10,
-    checkpoint_every: int = 6,
+    checkpoint_every: int = 1,
     broadcast_nodes_below: int = 2_000_000,
     checkpoint_final: bool = True,
 ) -> DataFrame:
@@ -63,12 +63,17 @@ def pagerank(
     every ``checkpoint_every`` rounds (and on the final round) the rank
     frame is eagerly localCheckpoint'ed — truncating the compounding
     lineage BEFORE it reaches the depth that overflows plan analysis
-    (the connected-components diameter-8 lesson) while amortizing the
-    materialization a per-round checkpoint would pay (checkpointing every
-    round made 5 small-graph iterations measurably slower end-to-end; the
-    default single-chains runs of <= 6 iterations into ONE materialized
-    pass — Spark's lazy chaining means un-checkpointed rounds cost plan
-    nodes, not executions). The only
+    (the connected-components diameter-8 lesson). The default is EVERY
+    round: re-measured in r8 after the argmin/broadcast rewrites,
+    chaining 5 iterations into one deep plan costs MORE in Catalyst
+    analysis + codegen of the compounding join tree than the per-round
+    materialization saves (sf0.1 trade graph: 4.8 s at cadence 1 vs
+    7.9–16.9 s at cadence 6 — the r6 measurement that favored chaining
+    predates the per-iteration plan getting two broadcast joins). The
+    materialized frame is NODE-sized, not edge-sized, so at 100 TB of
+    edges the per-round checkpoint is a rounding error against the
+    iteration's edge shuffle; a barrier per round is inherent to the
+    fixed point anyway. The only
     driver materialization is the node COUNT (one scalar). At 100 TB of edges the per-iteration cost is
     two shuffles of the edge frame — the canonical distributed-PageRank
     shape (Pregel/GraphX formulation expressed in DataFrames).
@@ -203,7 +208,7 @@ def hits(
     weight: str = "w",
     iterations: int = 5,
     round_dp: int = 10,
-    checkpoint_every: int = 6,
+    checkpoint_every: int = 1,
     broadcast_nodes_below: int = 2_000_000,
     checkpoint_final: bool = True,
 ) -> DataFrame:
