@@ -7817,6 +7817,157 @@ def quality_filter_frozen(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-8 additions — registered AFTER the r8 window freeze (r9 oracle
+# queue): blocked edit-distance fuzzy dedup, shuffle-key skew diagnostics,
+# frozen-vocab OOV coverage. Each locally certified via
+# tools/check_oracle.py; first driver rows land in the r9 window.
+# ---------------------------------------------------------------------------
+
+_FUZZY_KEYS_SQL = f"""norm AS (
+    SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+  keys0 AS (
+    SELECT doc_id AS id, rpad(substr(t, 1, 24), 24, ' ') AS k
+    FROM norm WHERE length(t) >= 24),
+  corrupt AS (
+    SELECT id + 200000 AS id,
+           substr(k, 1, 4) || 'q' || substr(k, 6, 11) || 'q' || substr(k, 18, 7) AS k
+    FROM keys0 WHERE id % 3 = 0),
+  uni AS (SELECT id, k FROM keys0 UNION ALL SELECT id, k FROM corrupt)"""
+
+
+@q(
+    "dedup_fuzzy_pairs",
+    f"""WITH {_FUZZY_KEYS_SQL},
+  segs AS (
+    SELECT id, k, i AS seg_idx, substr(k, 1 + i * 8, 8) AS seg_val
+    FROM uni, (SELECT unnest([0, 1, 2]) AS i)),
+  cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM segs a JOIN segs b
+      ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val AND a.id < b.id)
+  SELECT c.id_a, c.id_b,
+         CAST(levenshtein(ka.k, kb.k) AS BIGINT) AS dist
+  FROM cand c JOIN uni ka ON ka.id = c.id_a JOIN uni kb ON kb.id = c.id_b
+  WHERE levenshtein(ka.k, kb.k) <= 2""",
+)
+def dedup_fuzzy_pairs(spark, sf_dir):
+    """Blocked EDIT-DISTANCE dedup (dedup.fuzzy_pairs_blocked): the
+    record-linkage surface — typo-level near-dups on fixed-width
+    normalized title keys that token-set operators (minhash/containment)
+    cannot see as similar at all. Candidates come from the PassJoin-style
+    pigeonhole (3 segments of 8 chars: any pair within substitution
+    distance 2 shares one segment exactly — linear blocking, never
+    all-pairs), verified with full Levenshtein (both engines run the same
+    DP, so values hash-match). The typo'd variants are derived
+    deterministically in-query (chars 5 and 17 substituted for id%3=0
+    keys under shifted ids) so both engines mine identical inputs —
+    segment 2 (chars 9-16) stays intact, so every planted pair is
+    guaranteed recalled."""
+    t = _t(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    keys0 = (
+        t["documents"]
+        .select(F.col("doc_id").alias("id"), norm.alias("t"))
+        .where(F.length("t") >= 24)
+        .select("id", F.rpad(F.substring("t", 1, 24), 24, " ").alias("k"))
+    )
+    corrupt = keys0.where(F.col("id") % 3 == 0).select(
+        (F.col("id") + 200000).alias("id"),
+        F.concat(
+            F.substring("k", 1, 4),
+            F.lit("q"),
+            F.substring("k", 6, 11),
+            F.lit("q"),
+            F.substring("k", 18, 7),
+        ).alias("k"),
+    )
+    uni = keys0.unionByName(corrupt)
+    return dd.fuzzy_pairs_blocked(uni, "id", "k", max_dist=2, key_width=24)
+
+
+@q(
+    "scale_skew_report",
+    """WITH keyed AS (
+         SELECT CAST(CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END
+                     AS VARCHAR) AS key
+         FROM events),
+       counts AS (SELECT key, count(*) AS cnt FROM keyed GROUP BY key),
+       stats AS (SELECT sum(cnt) AS rows_, count(*) AS keys_, max(cnt) AS max_
+                 FROM counts),
+       top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 5),
+       per_key AS (
+         SELECT key, cnt,
+                round(CAST(cnt AS DOUBLE) / rows_, 6) AS frac,
+                round(CAST(cnt AS DOUBLE) / (CAST(rows_ AS DOUBLE) / keys_), 6)
+                  AS skew_ratio,
+                CAST(ceil(CAST(cnt AS DOUBLE) / (CAST(rows_ AS DOUBLE) / keys_))
+                     AS BIGINT) AS suggested_salt
+         FROM top, stats),
+       total AS (
+         SELECT '__TOTAL__' AS key, max_ AS cnt,
+                round(CAST(max_ AS DOUBLE) / rows_, 6) AS frac,
+                round(CAST(max_ AS DOUBLE) / (CAST(rows_ AS DOUBLE) / keys_), 6)
+                  AS skew_ratio,
+                CAST(ceil(CAST(max_ AS DOUBLE) / (CAST(rows_ AS DOUBLE) / keys_))
+                     AS BIGINT) AS suggested_salt
+         FROM stats)
+       SELECT * FROM per_key UNION ALL SELECT * FROM total""",
+)
+def scale_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostic (relational.key_skew_report): the
+    pre-flight a pipeline runs before keying a 100 TB join/agg — hot keys
+    with their straggler multiplier (cnt / mean-rows-per-key) and the
+    salt bucket count that levels them (feeds salted_skew_join /
+    salted_group_agg, certified in scale_salted_*). The skewed key is
+    derived in-query (every user_id%10=0 collapses to key 0 — a planted
+    ~10% hot key) so both engines diagnose identical inputs. ONE
+    count-by-key aggregate; everything else is key-space-sized."""
+    t = _t(spark, sf_dir)
+    keyed = t["events"].select(
+        F.when(F.col("user_id") % 10 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("key")
+    )
+    return rel.key_skew_report(keyed, ["key"], top_n=5)
+
+
+@q(
+    "text_vocab_coverage",
+    f"""WITH toks AS (
+         SELECT source,
+                unnest(string_split({_NORM_SQL}, ' ')) AS token
+         FROM documents),
+       toks_f AS (SELECT source, token FROM toks WHERE length(token) > 0),
+       vocab AS (
+         SELECT token FROM (
+           SELECT token, count(*) AS cnt FROM toks_f GROUP BY token)
+         ORDER BY cnt DESC, token LIMIT 500),
+       marked AS (
+         SELECT t.source, t.token, v.token IS NOT NULL AS in_vocab
+         FROM toks_f t LEFT JOIN vocab v ON v.token = t.token)
+       SELECT source,
+              count(*) AS n_tokens,
+              CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+              round(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+                    / count(*), 6) AS oov_rate,
+              count(DISTINCT CASE WHEN NOT in_vocab THEN token END)
+                AS n_oov_types
+       FROM marked GROUP BY source""",
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Frozen-vocabulary OOV audit (text.top_vocab + text.vocab_coverage):
+    per-source token mass falling outside the corpus's top-500 vocabulary
+    — the coverage check run before pinning a tokenizer for training (a
+    high-OOV source fragments into rare pieces under the frozen vocab).
+    Vocab derivation is deterministic (count desc, token asc), the
+    coverage join is against a provably top-N-bounded frame (broadcast
+    regime at any corpus size), one aggregate per source."""
+    t = _t(spark, sf_dir)
+    vocab = tx.top_vocab(t["documents"], "text", n=500)
+    return tx.vocab_coverage(t["documents"], vocab, "text", "source")
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 oracle-eligible

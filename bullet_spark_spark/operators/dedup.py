@@ -1931,3 +1931,86 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def fuzzy_pairs_blocked(
+    keys: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_dist: int = 2,
+    key_width: int = 24,
+) -> DataFrame:
+    """Blocked EDIT-DISTANCE pair mining over short fixed-width keys →
+    (id_a, id_b, dist): the record-linkage / entity-resolution dedup
+    surface (typo-level near-dup on titles, names, normalized prefixes)
+    that none of the token-set operators (minhash/simhash/containment)
+    cover — those see "acme corp" vs "acme c0rp" as disjoint shingle
+    sets, while edit distance sees one substitution.
+
+    Blocking is the PassJoin-style pigeonhole (Li, Deng, Feng 2011 —
+    same family as :func:`hamming_near_dup_pairs`' 16-bit blocks): each
+    key is cut into ``max_dist + 1`` contiguous segments; two
+    equal-width keys within SUBSTITUTION distance ``max_dist`` must
+    agree exactly on at least one (segment_idx, segment_value), so
+    candidates are an equi-join on that pair — linear blocking, never
+    all-pairs. Keys are clipped/padded to exactly ``key_width`` chars
+    (rpad) so segment boundaries align; the guarantee covers
+    substitution edits, and the full Levenshtein VERIFY also admits the
+    insert/delete pairs whose alignment happens to preserve a segment
+    (documented recall posture: exact for Hamming-style typos, best-
+    effort for indels — the common record-linkage trade).
+
+    Scale shape: one posexplode to (d+1)·n segment rows, one
+    segment-keyed equi-join (shuffle on the segment value, no
+    broadcast hint — a hot segment like a boilerplate prefix skews, and
+    AQE's skew split handles it), then the O(key_width²) Levenshtein DP
+    only on candidates — key_width is a constant (≤ ~64), so the verify
+    is O(1) per candidate pair. Deterministic and engine-portable:
+    DuckDB's levenshtein() computes the same DP, so the whole pipeline
+    is oracle-checkable value-for-value."""
+    nseg = max_dist + 1
+    if key_width % nseg != 0:
+        raise ValueError(
+            f"key_width ({key_width}) must be divisible by max_dist+1 ({nseg}) "
+            "so the pigeonhole segments align"
+        )
+    w = key_width // nseg
+    base = _persist_sigs(
+        keys.select(
+            F.col(id_col),
+            F.rpad(F.substring(F.col(key_col), 1, key_width), key_width, " ").alias(
+                "__k"
+            ),
+        )
+    )
+    segs = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.substring(F.col("__k"), 1 + i * w, w) for i in range(nseg)])
+        ).alias("seg_idx", "seg_val"),
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    ka = base.select(F.col(id_col).alias("id_a"), F.col("__k").alias("__ka"))
+    kb = base.select(F.col(id_col).alias("id_b"), F.col("__k").alias("__kb"))
+    return (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__ka"), F.col("__kb")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

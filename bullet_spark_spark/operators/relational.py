@@ -377,3 +377,60 @@ def incremental_join_delta(
     for t in terms[1:]:
         out = out.unionByName(t, allowMissingColumns=False)
     return out
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 5,
+) -> DataFrame:
+    """Shuffle-key SKEW diagnostic → one row per hot key plus a
+    ``__TOTAL__`` summary row: the pre-flight check a pipeline runs
+    BEFORE keying a 100 TB join/agg on a candidate column, to decide
+    between the plain path, :func:`salted_skew_join`, or AQE skew-split.
+
+    Output columns: ``key`` (the composite key rendered as a string, or
+    ``__TOTAL__``), ``cnt`` (rows under that key; for the total row, the
+    max key count), ``frac`` (share of all rows), ``skew_ratio``
+    (cnt / mean-rows-per-key — the straggler multiplier: a task handling
+    this key does ``skew_ratio``× the average task's work), and
+    ``suggested_salt`` (ceil(skew_ratio), the bucket count that levels
+    the hot key back to mean size; 1 = no salting needed).
+
+    Scale shape: ONE count-by-key aggregate (map-side combinable) over
+    the input, then all statistics derive from the key-count frame —
+    key-space-sized, not row-space-sized; the top-N selection is a
+    TakeOrderedAndProject (O(top_n) per partition, no global sort). No
+    sampling: skew estimation by sampling misses exactly the long-tail
+    keys it is supposed to find when the hot key is rare in row order.
+    Deterministic (ties on cnt break by key string), so oracle-checkable."""
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.groupBy(key_str.alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("__rows"),
+        F.count(F.lit(1)).alias("__keys"),
+        F.max("cnt").alias("__max"),
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), "key")
+        .limit(top_n)
+        .crossJoin(F.broadcast(stats))  # 1-row stats frame
+    )
+    mean = F.col("__rows").cast("double") / F.col("__keys")
+    per_key = top.select(
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("__rows"), 6).alias("frac"),
+        F.round(F.col("cnt") / mean, 6).alias("skew_ratio"),
+        F.ceil(F.col("cnt") / mean).cast("long").alias("suggested_salt"),
+    )
+    total = stats.select(
+        F.lit("__TOTAL__").alias("key"),
+        F.col("__max").alias("cnt"),
+        F.round(F.col("__max") / F.col("__rows"), 6).alias("frac"),
+        F.round(F.col("__max") / mean, 6).alias("skew_ratio"),
+        F.ceil(F.col("__max") / mean).cast("long").alias("suggested_salt"),
+    )
+    return per_key.unionByName(total)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
 # language-ID (public-knowledge word lists)
@@ -1340,3 +1341,71 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def top_vocab(df: DataFrame, text_col: str = "text", n: int = 1000) -> DataFrame:
+    """The corpus's top-``n`` token VOCABULARY by frequency → (token, cnt,
+    rank): the frozen word list a tokenizer-coverage audit measures
+    against. Deterministic: rank ties break by token ASC, so any engine
+    derives the identical list. One explode + one count-by-token
+    aggregate (map-side combinable) + a TakeOrderedAndProject — the
+    vocab build never sorts the full token space."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token")).where(
+        F.length("token") > 0
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.orderBy(F.desc("cnt"), "token").limit(n)
+    return ranked.select(
+        "token",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "token"))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary audit per group → (group, n_tokens, n_oov,
+    oov_rate, n_oov_types): how much of each source's token mass falls
+    outside a frozen vocabulary — the coverage check run before pinning
+    a tokenizer/vocab for training (a source with high OOV under the
+    frozen vocab is under-served: its text fragments into rare pieces).
+
+    Scale shape: explode to token rows, LEFT join against the vocab on
+    the token string — the vocab is top-N-sized, so Spark broadcasts it
+    at any corpus size (no hint needed; it is provably bounded by the
+    caller's n) — then ONE aggregate per group. n_oov_types counts
+    distinct missing tokens per group (the retraining shortlist size).
+    All counts exact; oov_rate rounds 6 dp for the oracle surface."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).where(F.length("token") > 0)
+    marked = toks.join(
+        vocab.select("token", F.lit(True).alias("__in_vocab")), "token", "left"
+    )
+    return (
+        marked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+            F.count_distinct(
+                F.when(F.col("__in_vocab").isNull(), F.col("token"))
+            ).alias("n_oov_types"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+            "n_oov_types",
+        )
+    )
