@@ -7967,6 +7967,110 @@ def text_vocab_coverage(spark, sf_dir):
     return tx.vocab_coverage(t["documents"], vocab, "text", "source")
 
 
+@q(
+    "quality_gopher_rules",
+    f"""WITH base AS (
+         SELECT source, text, string_split({_NORM_SQL}, ' ') AS t
+         FROM documents),
+       m AS (
+         SELECT source,
+                len(t) AS n_words,
+                CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                     AS DOUBLE) / len(t) AS mean_len,
+                (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                 + CAST(length(text) - length(replace(text, '...', ''))
+                        AS DOUBLE) / 3) / len(t) AS symbol_ratio,
+                CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                     AS DOUBLE) / len(t) AS alpha_frac,
+                (CAST(list_contains(t, 'the') AS INT)
+                 + CAST(list_contains(t, 'be') AS INT)
+                 + CAST(list_contains(t, 'to') AS INT)
+                 + CAST(list_contains(t, 'of') AS INT)
+                 + CAST(list_contains(t, 'and') AS INT)
+                 + CAST(list_contains(t, 'that') AS INT)
+                 + CAST(list_contains(t, 'have') AS INT)
+                 + CAST(list_contains(t, 'with') AS INT)) AS stop_hits
+         FROM base),
+       v AS (
+         SELECT source,
+                CASE WHEN n_words < 50 THEN 'too_few_words'
+                     WHEN n_words > 100000 THEN 'too_many_words'
+                     WHEN mean_len < 3.0 THEN 'short_words'
+                     WHEN mean_len > 10.0 THEN 'long_words'
+                     WHEN symbol_ratio > 0.1 THEN 'symbol_heavy'
+                     WHEN alpha_frac < 0.8 THEN 'low_alpha_words'
+                     WHEN stop_hits < 2 THEN 'few_stopwords'
+                     ELSE 'keep' END AS verdict
+         FROM m)
+       SELECT source, verdict, count(*) AS cnt FROM v GROUP BY 1, 2""",
+)
+def quality_gopher_rules(spark, sf_dir):
+    """The Gopher heuristic prefilter (text.gopher_verdict — Rae et al.
+    2021 App. A1.1, the de-facto-standard LLM curation rule set) as a
+    per-source funnel report: first-failing-rule verdicts histogrammed
+    by source. One projected CASE over the scan + one count aggregate —
+    the whole published rule set costs a single codegen pass at any
+    corpus size."""
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("source", tx.gopher_verdict(F.col("text")).alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@q("multimodal_vad_segments")  # rows-only: numpy run-length scan in mapInPandas
+def multimodal_vad_segments(spark, sf_dir):
+    """Energy-VAD utterance segmentation (multimodal.energy_segments):
+    per-document synthesized WAV clips with deterministic speech-shaped
+    bursts separated by silence (burst count/placement keyed on doc_id),
+    decoded by the numpy RIFF walker, segmented by 20 ms RMS frames —
+    the silence-cutting prefilter an audio curation pipeline runs before
+    transcription (clip-local mapInPandas; nothing shuffles). Segment
+    boundaries and per-segment RMS are pinned by the synthetic-gap tests
+    (test_r8_operators.py)."""
+    import numpy as np
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 40).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        rate = 8000
+        burst = lambda n: (  # noqa: E731 — local fixture shaping
+            0.5 * np.sin(np.arange(n) * 0.35) * 32767
+        ).astype("<i2")
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                k = 1 + int(did) % 3  # 1-3 bursts per clip
+                gap = np.zeros(rate // 4, dtype="<i2")
+                parts = [gap]
+                for _ in range(k):
+                    parts += [burst(rate // 4), gap]
+                rows.append((int(did), mm.encode_wav(np.concatenate(parts), rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    media = docs.mapInPandas(
+        synth,
+        StructType(
+            [StructField("media_id", LongType()), StructField("bytes", BinaryType())]
+        ),
+    )
+    segs = mm.energy_segments(mm.decode_wav(media))
+    return segs.select(
+        "media_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.round(F.col("start_sec").cast("double"), 6).alias("start_sec"),
+        F.round(F.col("end_sec").cast("double"), 6).alias("end_sec"),
+        F.round(F.col("mean_rms").cast("double"), 6).alias("mean_rms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

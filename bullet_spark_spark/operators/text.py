@@ -1409,3 +1409,63 @@ def vocab_coverage(
             "n_oov_types",
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_verdict(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> Column:
+    """The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", App. A1.1 — public knowledge) as ONE
+    ordered CASE expression, first failing rule wins: word count bounds →
+    mean word length bounds → symbol-to-word ratio (# and ... marks) →
+    alphabetic-word fraction → stop-word presence → keep. The
+    de-facto-standard heuristic prefilter most LLM curation stacks run
+    before model-based scoring (same composition posture as
+    :func:`curation_verdict`, different published rule set).
+
+    Everything is built from the shared whitespace tokens() — a single
+    projected expression, whole-stage codegen over the scan, no shuffle,
+    no Python; the verdict histogram (groupBy verdict) is the funnel
+    report. All arithmetic is count ratios: engine-portable, so the
+    panel is oracle-checkable value-for-value."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    # sum of token lengths via a running aggregate (interpreted-HOF-safe:
+    # one pass, no re-tokenization)
+    len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = len_sum.cast("double") / n_words
+    hash_cnt = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    )
+    ell_cnt = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (hash_cnt + ell_cnt).cast("double") / n_words
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = alpha_words.cast("double") / n_words
+    stop_hits = sum(
+        F.when(F.array_contains(toks, w), 1).otherwise(0)
+        for w in GOPHER_STOPWORDS
+    )
+    return (
+        F.when(n_words < min_words, F.lit("too_few_words"))
+        .when(n_words > max_words, F.lit("too_many_words"))
+        .when(mean_len < min_mean_word_len, F.lit("short_words"))
+        .when(mean_len > max_mean_word_len, F.lit("long_words"))
+        .when(symbol_ratio > max_symbol_ratio, F.lit("symbol_heavy"))
+        .when(alpha_frac < min_alpha_word_frac, F.lit("low_alpha_words"))
+        .when(stop_hits < min_stopwords, F.lit("few_stopwords"))
+        .otherwise(F.lit("keep"))
+    )

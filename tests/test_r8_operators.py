@@ -150,3 +150,112 @@ def test_vocab_coverage_full_coverage_zero_oov(spark):
     vocab = spark.createDataFrame([("x",), ("y",)], "token string")
     row = tx.vocab_coverage(docs, vocab, "text", "source").collect()[0]
     assert row["n_oov"] == 0 and row["oov_rate"] == 0.0 and row["n_oov_types"] == 0
+
+
+# ---------------------------------------------------------------------------
+# gopher_verdict
+# ---------------------------------------------------------------------------
+
+def _verdict(spark, text, **kw):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(tx.gopher_verdict(F.col("text"), **kw).alias("v")).collect()[0]["v"]
+
+
+def test_gopher_too_few_words(spark):
+    assert _verdict(spark, "just a few words here") == "too_few_words"
+
+
+def test_gopher_keep_prose(spark):
+    prose = ("the quick brown fox jumps over that lazy dog and runs to be "
+             "with friends of every kind have fun ") * 5
+    assert _verdict(spark, prose) == "keep"
+
+
+def test_gopher_short_words(spark):
+    # 60 one-char words -> mean len 1 < 3
+    assert _verdict(spark, " ".join(["a"] * 60)) == "short_words"
+
+
+def test_gopher_long_words(spark):
+    assert _verdict(spark, " ".join(["pneumonoultramicroscopic"] * 60)) == "long_words"
+
+
+def test_gopher_symbol_heavy(spark):
+    base = ["word"] * 60
+    text = " ".join(base) + " " + "#" * 20
+    assert _verdict(spark, text) == "symbol_heavy"
+
+
+def test_gopher_low_alpha_words(spark):
+    # 60 tokens, 30 numeric -> alpha frac 0.5 < 0.8 (mean len kept in [3,10])
+    toks = ["word"] * 30 + ["1234"] * 30
+    assert _verdict(spark, " ".join(toks)) == "low_alpha_words"
+
+
+def test_gopher_few_stopwords(spark):
+    # alphabetic words, good lengths, but no stopwords from the Gopher set
+    toks = ["apple", "banana", "cherry"] * 20
+    assert _verdict(spark, " ".join(toks)) == "few_stopwords"
+
+
+def test_gopher_rule_order_first_failure_wins(spark):
+    # short AND symbol-heavy -> word-count rule fires first
+    assert _verdict(spark, "### # #") == "too_few_words"
+
+
+# ---------------------------------------------------------------------------
+# energy_segments (audio VAD)
+# ---------------------------------------------------------------------------
+
+def _wav_df(spark, clips):
+    """clips: list of (media_id, numpy int16 samples, rate)."""
+    from bullet_spark_spark.operators import multimodal as mm
+
+    rows = [(mid, mm.encode_wav(x, rate)) for mid, x, rate in clips]
+    raw = spark.createDataFrame(rows, "media_id long, bytes binary")
+    return mm.decode_wav(raw)
+
+
+def test_vad_finds_two_bursts_with_silence_gap(spark):
+    import numpy as np
+
+    rate = 16000
+    tone = (np.sin(np.arange(rate // 2) * 0.3) * 12000).astype(np.int16)  # 0.5s
+    silence = np.zeros(rate // 2, dtype=np.int16)
+    clip = np.concatenate([silence, tone, silence, tone, silence])
+    from bullet_spark_spark.operators import multimodal as mm
+
+    segs = mm.energy_segments(_wav_df(spark, [(1, clip, rate)])).collect()
+    assert len(segs) == 2
+    s0, s1 = sorted(segs, key=lambda r: r["seg_idx"])
+    assert abs(s0["start_sec"] - 0.5) < 0.05 and abs(s0["end_sec"] - 1.0) < 0.05
+    assert abs(s1["start_sec"] - 1.5) < 0.05 and abs(s1["end_sec"] - 2.0) < 0.05
+    assert s0["mean_rms"] > 0.02
+
+
+def test_vad_silence_only_clip_yields_no_segments(spark):
+    import numpy as np
+    from bullet_spark_spark.operators import multimodal as mm
+
+    clip = np.zeros(16000, dtype=np.int16)
+    segs = mm.energy_segments(_wav_df(spark, [(5, clip, 16000)])).collect()
+    assert segs == []
+
+
+def test_vad_min_frames_drops_short_blips(spark):
+    import numpy as np
+    from bullet_spark_spark.operators import multimodal as mm
+
+    rate = 16000
+    flen = rate * 20 // 1000  # one 20ms frame
+    blip = (np.sin(np.arange(flen) * 0.3) * 12000).astype(np.int16)  # 1 frame
+    clip = np.concatenate([np.zeros(flen * 5, dtype=np.int16), blip,
+                           np.zeros(flen * 5, dtype=np.int16)])
+    segs = mm.energy_segments(
+        _wav_df(spark, [(9, clip, rate)]), min_frames=2
+    ).collect()
+    assert segs == []
+    segs1 = mm.energy_segments(
+        _wav_df(spark, [(9, clip, rate)]), min_frames=1
+    ).collect()
+    assert len(segs1) == 1
