@@ -8071,6 +8071,66 @@ def multimodal_vad_segments(spark, sf_dir):
     )
 
 
+@q(
+    "temporal_seasonal_decompose",
+    """WITH hourly AS (
+         SELECT date_trunc('hour', ts) AS ts, count(*) AS v
+         FROM events GROUP BY 1),
+       b AS (
+         SELECT ts, v,
+                row_number() OVER (ORDER BY ts, v) - 1 AS rn,
+                count(v) OVER w AS c,
+                sum(v) OVER w AS s,
+                first_value(v) OVER w AS fv,
+                last_value(v) OVER w AS lv
+         FROM hourly
+         WINDOW w AS (ORDER BY ts, v ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+       t AS (
+         SELECT ts, v, rn % 24 AS pos,
+                CASE WHEN c = 25
+                     THEN (CAST(s AS DOUBLE) - CAST(fv + lv AS DOUBLE) / 2.0)
+                          / 24.0 END AS trend
+         FROM b),
+       d AS (
+         SELECT pos,
+                CAST(floor((CAST(v AS DOUBLE) - trend) * 1e9) AS BIGINT) AS dq
+         FROM t),
+       sm AS (SELECT pos, sum(dq) AS dsum, count(dq) AS dcnt
+              FROM d GROUP BY pos),
+       sq AS (
+         SELECT pos,
+                CAST(floor(CAST(dsum AS DOUBLE)
+                           / (CAST(dcnt AS DOUBLE) * 1e9) * 1e9) AS BIGINT)
+                  AS sqv
+         FROM sm),
+       ce AS (
+         SELECT pos,
+                (CAST(sqv AS DOUBLE) - avg(CAST(sqv AS DOUBLE)) OVER ()) / 1e9
+                  AS soff
+         FROM sq)
+       SELECT t.ts, CAST(t.v AS DOUBLE) AS value,
+              floor(trend * 1e6) / 1e6 AS trend,
+              floor(soff * 1e6) / 1e6 AS seasonal,
+              floor((CAST(t.v AS DOUBLE) - trend - soff) * 1e6) / 1e6 AS resid
+       FROM t JOIN ce ON ce.pos = t.pos""",
+)
+def temporal_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition
+    (temporal.seasonal_decompose_additive) of the hourly event-count
+    series at period 24 — trend (2×MA centered moving average), daily
+    seasonal profile, residual. The decomposition is value-for-value
+    oracle-exact via the floor-quantization discipline (integer window
+    sums, BIGINT-summed quantized means) — not a tolerance check. The
+    monitoring read: alert on resid, not on the raw seasonal swing."""
+    t = _t(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("ts"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return tmp.seasonal_decompose_additive(hourly, "ts", "v", period=24)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

@@ -143,11 +143,14 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or (
-            it == iterations - 1 and checkpoint_final
-        ):
+        if it == iterations - 1:
             # checkpoint_final=False leaves the last iteration's plan live so
-            # tests can pin its shape (broadcast joins, exchange count)
+            # tests can pin its shape (broadcast joins, exchange count) —
+            # it must override the cadence too, or cadence 1 would
+            # checkpoint the final round regardless
+            if checkpoint_final:
+                ranks = ranks.localCheckpoint(eager=True)
+        elif (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
 
     ecols.unpersist()
@@ -321,9 +324,11 @@ def hits(
             )
         )
         scores = hub.join(bcast(auth), "node").select("node", "hub", "authority")
-        if (it + 1) % checkpoint_every == 0 or (
-            it == iterations - 1 and checkpoint_final
-        ):
+        if it == iterations - 1:
+            # same checkpoint_final override as pagerank (plan-pinning escape)
+            if checkpoint_final:
+                scores = scores.localCheckpoint(eager=True)
+        elif (it + 1) % checkpoint_every == 0:
             scores = scores.localCheckpoint(eager=True)
 
     ecols.unpersist()

@@ -644,3 +644,108 @@ def asof_join_directional(
             .alias(f"{v}{suffix}")
         )
     return out.select(*sel)
+
+def seasonal_decompose_additive(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    key_cols: list[str] | None = None,
+    quant_dp: int = 9,
+) -> DataFrame:
+    """Classical ADDITIVE seasonal decomposition (the moving-average
+    method behind statsmodels' seasonal_decompose — public knowledge) →
+    (key..., ts, value, trend, seasonal, resid):
+
+    * trend     — centered moving average of width ``period`` (even
+      periods use the standard 2×MA half-weight endpoints); NULL where
+      the window is incomplete (the first/last period/2 points).
+    * seasonal  — mean detrended value per position-in-period,
+      re-centered so one period sums to ~0.
+    * resid     — value − trend − seasonal (NULL where trend is NULL).
+
+    The time-series read a monitoring/forecasting stack needs before
+    alerting on a metric with daily/weekly shape — detrended anomalies
+    (resid) don't false-positive on the seasonal swing the way raw
+    zscore_anomalies does.
+
+    Cross-engine determinism (the pagerank floor-quantization
+    discipline): the windowed trend sums run on the value column's
+    ORIGINAL type (pass integer counts for exact window sums — sliding
+    double sums are accumulation-order-dependent); every aggregated mean
+    goes through q(x) = floor(x·10^dp) — an exact small integer in a
+    double — summed as BIGINT and divided back out, so the seasonal
+    means are bit-identical in any engine and the whole decomposition is
+    oracle-checkable value-for-value, not just to a tolerance.
+
+    Scale shape: series are keyed by ``key_cols`` (one shuffle); the
+    moving average is a bounded ROWS window per key; the seasonal means
+    are ONE (key, pos) aggregate joined back — state is period-sized per
+    key, never series-sized. Position-in-period comes from a row_number
+    per key (ties on ts break by value); irregular sampling is the
+    caller's responsibility (resample_ffill regularizes first)."""
+    keys = list(key_cols or [])
+    kpart = [F.col(k) for k in keys]
+    order = W.partitionBy(*kpart).orderBy("ts", "__vraw")
+    scale = float(10 ** quant_dp)
+
+    def q_scaled(col):  # exact integer floor(x·10^dp), carried as long
+        return F.floor(col * F.lit(scale)).cast("long")
+
+    half = period // 2
+    wspec = order.rowsBetween(-half, half)
+    cnt = F.count("__vraw").over(wspec)
+    ssum = F.sum("__vraw").over(wspec)
+    if period % 2 == 0:
+        # standard 2xMA: half weight on both window endpoints
+        first_v = F.first("__vraw").over(wspec)
+        last_v = F.last("__vraw").over(wspec)
+        trend = F.when(
+            cnt == period + 1,
+            (
+                ssum.cast("double")
+                - (first_v + last_v).cast("double") / F.lit(2.0)
+            )
+            / F.lit(float(period)),
+        )
+    else:
+        trend = F.when(
+            cnt == period, ssum.cast("double") / F.lit(float(period))
+        )
+    base = df.select(
+        *keys,
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("__vraw"),
+    ).select(
+        "*",
+        ((F.row_number().over(order) - 1) % period).alias("__pos"),
+        trend.alias("trend"),
+    )
+    detr = base.withColumn(
+        "__dq", q_scaled(F.col("__vraw").cast("double") - F.col("trend"))
+    )
+    smeans = detr.groupBy(*keys, "__pos").agg(
+        F.sum("__dq").alias("__dsum"), F.count("__dq").alias("__dcnt")
+    )
+    smean = F.col("__dsum").cast("double") / (
+        F.col("__dcnt").cast("double") * F.lit(scale)
+    )
+    quant = smeans.select(*keys, "__pos", q_scaled(smean).alias("__sq"))
+    centered = quant.withColumn(
+        "__soff",
+        (
+            F.col("__sq").cast("double")
+            - F.avg(F.col("__sq").cast("double")).over(W.partitionBy(*kpart))
+        )
+        / F.lit(scale),
+    )
+    out = base.join(centered.select(*keys, "__pos", "__soff"), keys + ["__pos"])
+    qout = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return out.select(
+        *keys,
+        "ts",
+        F.col("__vraw").cast("double").alias("value"),
+        qout(F.col("trend")).alias("trend"),
+        qout(F.col("__soff")).alias("seasonal"),
+        qout(F.col("__vraw").cast("double") - F.col("trend") - F.col("__soff")).alias("resid"),
+    )

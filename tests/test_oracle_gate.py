@@ -96,7 +96,7 @@ def test_fixed_scale_csv_matches_across_engines(spark, duck):
     assert srow == "0.500000,-1.250000,0.000000,123.456789,-0.000001"
 
 
-def test_r7_window_is_first_50_oracle_registrations():
+def test_r8_window_is_first_50_oracle_registrations():
     """The driver certifies the FIRST 50 oracle-eligible registrations;
     the current round's window list must exactly occupy those slots
     (frozen at cut — a stray registration reordering would silently
@@ -106,23 +106,23 @@ def test_r7_window_is_first_50_oracle_registrations():
     import __spark_entry__ as entry
 
     src = open(entry.__file__).read()
-    win = re.search(r"_WINDOW_R7 = \[(.*?)\]", src, re.S).group(1)
+    win = re.search(r"_WINDOW_R8 = \[(.*?)\]", src, re.S).group(1)
     names = re.findall(r'"([^"]+)"', win)
     assert len(names) == 50
     oracles = entry.oracle_sql()
     first50 = [n for n in entry.queries() if n in oracles][:50]
     assert first50 == names
-    # the 11 never-driver-green rows lead the window (r6 queue, closed r7)
-    assert names[:11] == [
-        "dedup_span_exact",
-        "dedup_span_scrub",
-        "dedup_span_scrub_keepfirst",
-        "dedup_winnow_pairs",
-        "sketch_bloom_prune",
-        "sketch_cms_error_md5",
-        "sketch_theta_exact_rollup",
-        "sketch_overlap_exact",
-        "sim_hard_negatives",
-        "sim_retrieval_eval_exact",
-        "quality_filter_frozen",
+    # the 9 never-driver-green rows (r8 queue) + the changed-implementation
+    # re-certification lead the window
+    assert names[:10] == [
+        "scale_zorder_stats",
+        "scale_zorder3_stats",
+        "scale_zorder_pruning",
+        "scale_hilbert_stats",
+        "sim_kmeans_lloyd",
+        "quality_embedding_drift",
+        "sampling_split_leakage",
+        "sim_dim_truncation_eval",
+        "sim_hybrid_rrf",
+        "sim_cluster_silhouette",
     ]
