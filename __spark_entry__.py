@@ -8131,6 +8131,67 @@ def temporal_seasonal_decompose(spark, sf_dir):
     return tmp.seasonal_decompose_additive(hourly, "ts", "v", period=24)
 
 
+_BUDGET_WEIGHTS = {  # Pile-style domain weights; remaining sources -> 0
+    "src0": 0.4,
+    "src1": 0.25,
+    "src2": 0.15,
+    "src3": 0.1,
+    "src4": 0.05,
+    "src5": 0.05,
+}
+_BUDGET_TOKENS = 1_000_000
+_BUDGET_W_SQL = " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in _BUDGET_WEIGHTS.items()
+)
+
+
+@q(
+    "sampling_token_budget",
+    f"""WITH per_src AS (
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CAST(len(string_split({_NORM_SQL}, ' ')) AS
+                              DECIMAL(18,0))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source),
+       pl AS (
+         SELECT source, n_docs, n_tokens,
+                CASE source {_BUDGET_W_SQL} ELSE 0.0 END AS weight,
+                CAST(CAST(CASE source {_BUDGET_W_SQL} ELSE 0.0 END
+                          AS DECIMAL(18,8))
+                     * CAST({_BUDGET_TOKENS} AS DECIMAL(18,0)) AS DOUBLE)
+                  AS target_tokens
+         FROM per_src),
+       e AS (
+         SELECT *, target_tokens / n_tokens AS raw_epochs,
+                least(target_tokens / n_tokens, 4.0) AS epochs
+         FROM pl)
+       SELECT source, n_docs, n_tokens,
+              round(CAST(weight AS DOUBLE), 8) AS weight,
+              round(target_tokens, 4) AS target_tokens,
+              round(epochs, 6) AS epochs,
+              round(least(epochs, 1.0), 6) AS sample_rate,
+              round(n_tokens * epochs, 4) AS planned_tokens,
+              raw_epochs > 4.0 AS capped
+       FROM e""",
+)
+def sampling_token_budget(spark, sf_dir):
+    """Token-budget mixture PLAN (sampling.token_budget_plan): given
+    Pile/DoReMi-style domain weights and a 1M-token budget, one row per
+    source with target tokens, epochs (capped at the repeat ceiling),
+    the one-pass sampling rate that implements the plan, and the capped
+    flag that says 'this weight over-asks the data you have'. The
+    budgeting step between curation and launching the run. ONE exact
+    decimal aggregation over the corpus; weights ride a literal map."""
+    t = _t(spark, sf_dir)
+    return smp.token_budget_plan(
+        t["documents"],
+        "source",
+        tx.token_count(F.col("text")),
+        budget_tokens=_BUDGET_TOKENS,
+        weights=_BUDGET_WEIGHTS,
+        max_epochs=4.0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

@@ -393,3 +393,75 @@ def oracle_shard_sql(key_sql: str, n_shards: int, seed: int = 0) -> str:
         f"(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':{seed}'), 1, 8))"
         f"::BIGINT % {n_shards})"
     )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: Column,
+    budget_tokens: int,
+    weights: dict[str, float],
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Mixture PLAN for a fixed training-token budget → one row per
+    source: (source, n_docs, n_tokens, weight, target_tokens, epochs,
+    sample_rate, planned_tokens, capped). The budgeting step between
+    "here is my curated corpus" and "launch the run": given target
+    mixture weights (DoReMi/Pile-style domain weights — public
+    knowledge) and a total token budget, how many epochs of each source
+    do we take, where does over-asking hit the repeat cap, and what
+    single-pass sampling rate implements the plan?
+
+    * ``target_tokens`` = budget × weight (exact decimal product).
+    * ``epochs``       = target / n_tokens, CAPPED at ``max_epochs``
+      (the repeated-data degradation ceiling); ``capped`` flags sources
+      whose ask exceeded the cap — the signal to re-weight or go find
+      more data.
+    * ``sample_rate``  = min(1, epochs) — the keep-fraction a one-pass
+      :func:`keep_fraction` filter needs when epochs < 1 (oversampling
+      above 1 is handled by dataset repetition at load time, not by the
+      sampler).
+    * ``planned_tokens`` = n_tokens × epochs after capping — what the
+      run will actually see from this source.
+
+    ONE aggregation over the corpus (token sums as exact decimals — the
+    plan is engine-portable and oracle-checkable); the weight table
+    rides a broadcast literal map. Sources present in the corpus but
+    absent from ``weights`` get weight 0 (explicitly planned to zero,
+    not silently kept)."""
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col.cast("decimal(18,0)"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    planned = per_src.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.coalesce(wmap[F.col(source_col)], F.lit(0.0)).alias("weight"),
+    ).select(
+        "*",
+        (
+            F.col("weight").cast("decimal(18,8)")
+            * F.lit(int(budget_tokens)).cast("decimal(18,0)")
+        )
+        .cast("double")
+        .alias("target_tokens"),
+    )
+    raw_epochs = F.col("target_tokens") / F.col("n_tokens")
+    epochs = F.least(raw_epochs, F.lit(float(max_epochs)))
+    return planned.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round("weight", 8).alias("weight"),
+        F.round("target_tokens", 4).alias("target_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(F.least(epochs, F.lit(1.0)), 6).alias("sample_rate"),
+        F.round(F.col("n_tokens") * epochs, 4).alias("planned_tokens"),
+        (raw_epochs > F.lit(float(max_epochs))).alias("capped"),
+    )

@@ -259,3 +259,37 @@ def test_vad_min_frames_drops_short_blips(spark):
         _wav_df(spark, [(9, clip, rate)]), min_frames=1
     ).collect()
     assert len(segs1) == 1
+
+
+# ---------------------------------------------------------------------------
+# token_budget_plan
+# ---------------------------------------------------------------------------
+
+def test_token_budget_plan_epochs_and_caps(spark):
+    from bullet_spark_spark.operators import sampling as smp
+
+    # src a: 100 tokens; src b: 1000 tokens; src c: unweighted
+    docs = spark.createDataFrame(
+        [("a", 60), ("a", 40), ("b", 1000), ("c", 10)],
+        "source string, toks long",
+    )
+    plan = {r["source"]: r for r in smp.token_budget_plan(
+        docs, "source", F.col("toks"),
+        budget_tokens=1000, weights={"a": 0.5, "b": 0.5}, max_epochs=4.0,
+    ).collect()}
+    # a: target 500 over 100 tokens -> raw 5 epochs -> capped at 4
+    assert plan["a"]["n_tokens"] == 100
+    assert plan["a"]["target_tokens"] == 500.0
+    assert plan["a"]["epochs"] == 4.0
+    assert plan["a"]["capped"] is True
+    assert plan["a"]["sample_rate"] == 1.0
+    assert plan["a"]["planned_tokens"] == 400.0
+    # b: target 500 over 1000 tokens -> 0.5 epochs -> sample_rate 0.5
+    assert plan["b"]["epochs"] == 0.5
+    assert plan["b"]["capped"] is False
+    assert plan["b"]["sample_rate"] == 0.5
+    assert plan["b"]["planned_tokens"] == 500.0
+    # c: unweighted -> planned to zero, not silently kept
+    assert plan["c"]["weight"] == 0.0
+    assert plan["c"]["planned_tokens"] == 0.0
+    assert plan["c"]["capped"] is False
