@@ -78,6 +78,12 @@ BENCH = [
     "scale_zorder_pruning",   # Morton zone maps, both layouts + read-amp report
     "sim_kmeans_lloyd",       # 3-iteration distributed Lloyd (broadcast centroids)
     "sim_hybrid_rrf",         # BM25 + dense cosine fused by decimal-exact RRF
+    # round-8 additions: the new certified families
+    "dedup_fuzzy_pairs",      # PassJoin pigeonhole blocking + levenshtein verify
+    "quality_gopher_rules",   # Gopher rule-set funnel (single codegen pass)
+    "text_vocab_coverage",    # top-N vocab build + per-source OOV audit
+    "temporal_seasonal_decompose",  # 2xMA trend + quantized seasonal means
+    "sampling_token_budget",  # token-budget mixture plan (1 exact agg)
 ]
 
 REPEATS = 3
