@@ -103,6 +103,13 @@ QUERIES = {
     "sampling_split_leakage": "split predicates are stateless md5 projections; audit joins the bounded pair list against doc flags — no new data-sized shuffle",
     "quality_embedding_drift": "frozen centroids broadcast; assignment row-local; PSI window over the |clusters|-row count frame",
     "scale_hilbert_pruning": "Hilbert map = 2^16-row broadcast lookup join (no per-row Python); downstream identical to the zorder zone-map machinery",
+    # round-8 additions: fuzzy/diagnostic/vocab/seasonal/budget families
+    "dedup_fuzzy_pairs": "PassJoin pigeonhole: (d+1)-segment posexplode; UNHINTED segment-keyed self-join (hot segments are AQE skew territory); Levenshtein DP only on candidates",
+    "scale_skew_report": "ONE count-by-key agg (map-side combine); stats/top-N over the key-space frame; 1-row stats crossJoin broadcast",
+    "text_vocab_coverage": "vocab = count agg + TakeOrderedAndProject(500); coverage join against the provably top-N-bounded frame; one agg per source",
+    "temporal_seasonal_decompose": "one key exchange; bounded ROWS window trend; period-sized quantized seasonal agg joined back",
+    "sampling_token_budget": "ONE exact-decimal corpus agg; weights as a literal map; output is #sources rows",
+    "quality_gopher_rules": "entire Gopher rule set as one projected CASE in the scan stage + one count agg",
 }
 
 
