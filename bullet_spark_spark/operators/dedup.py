@@ -1974,21 +1974,8 @@ def fuzzy_pairs_blocked(
             f"key_width ({key_width}) must be divisible by max_dist+1 ({nseg}) "
             "so the pigeonhole segments align"
         )
-    w = key_width // nseg
-    base = _persist_sigs(
-        keys.select(
-            F.col(id_col),
-            F.rpad(F.substring(F.col(key_col), 1, key_width), key_width, " ").alias(
-                "__k"
-            ),
-        )
-    )
-    segs = base.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[F.substring(F.col("__k"), 1 + i * w, w) for i in range(nseg)])
-        ).alias("seg_idx", "seg_val"),
-    )
+    base = _persist_sigs(_fuzzy_key_frame(keys, id_col, key_col, key_width))
+    segs = _fuzzy_segments(base, id_col, key_width, nseg)
     a, b = segs.alias("a"), segs.alias("b")
     cand = (
         a.join(
@@ -2014,3 +2001,147 @@ def fuzzy_pairs_blocked(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def _fuzzy_key_frame(
+    df: DataFrame, id_col: str, key_col: str, key_width: int
+) -> DataFrame:
+    """(id, __k) with the key clipped/padded to exactly key_width chars —
+    the canonical form fuzzy_pairs_blocked and the streaming store share."""
+    return df.select(
+        F.col(id_col),
+        F.rpad(F.substring(F.col(key_col), 1, key_width), key_width, " ").alias(
+            "__k"
+        ),
+    )
+
+
+def _fuzzy_segments(
+    keys: DataFrame, id_col: str, key_width: int, nseg: int
+) -> DataFrame:
+    """Posexplode a padded-key frame into its pigeonhole segments."""
+    w = key_width // nseg
+    return keys.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[F.substring(F.col("__k"), 1 + i * w, w) for i in range(nseg)]
+            )
+        ).alias("seg_idx", "seg_val"),
+    )
+
+
+def streaming_fuzzy_ingest(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    id_col: str,
+    key_col: str,
+    max_dist: int = 2,
+    key_width: int = 24,
+    checkpoint_dir: str | None = None,
+    compact_every: int | None = 16,
+):
+    """CONTINUOUS fuzzy-dedup intake: every micro-batch is edit-distance-
+    deduplicated against (a) itself and (b) every record ever accepted,
+    via a persisted KEY store — the record-linkage analogue of
+    :func:`streaming_neardup_ingest` (same epoch-partitioned store, same
+    idempotent per-epoch writes, same periodic compaction).
+
+    Per batch (foreachBatch, batch-mode DataFrames):
+      1. canonicalize keys once (:func:`_fuzzy_key_frame`, persisted);
+      2. within-batch :func:`fuzzy_pairs_blocked` pairs ≤ ``max_dist`` —
+         the LARGER id drops (first-occurrence-wins under monotone ids);
+      3. batch pigeonhole segments BROADCAST against the store's
+         segments (a micro-batch is small; history is big) — history is
+         touched only through its key table, cost ∝ segment collisions;
+         candidates verify with the same Levenshtein DP;
+      4. survivors append (id, key) to the store and their full rows to
+         ``out_dir`` — per-epoch overwrite, so a retried epoch is
+         idempotent.
+
+    State per accepted record is ``key_width`` chars — a 100 TB corpus's
+    store is a few GB of parquet any batch job can reuse. Returns the
+    StreamingQuery (AvailableNow trigger — drain-and-stop intake)."""
+    import os
+
+    nseg = max_dist + 1
+    if key_width % nseg != 0:
+        raise ValueError(
+            f"key_width ({key_width}) must be divisible by max_dist+1 ({nseg})"
+        )
+    spark = stream.sparkSession
+    key_store = os.path.join(state_dir, "fuzzy_keys")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keys = _fuzzy_key_frame(batch_df, id_col, key_col, key_width).persist()
+
+        # (2) within-batch: larger id of each close pair drops
+        dup_ids = fuzzy_pairs_blocked(
+            keys.select(F.col(id_col), F.col("__k").alias("k")),
+            id_col,
+            "k",
+            max_dist=max_dist,
+            key_width=key_width,
+        ).select(F.col("id_b").alias(id_col))
+
+        # (3) vs the accepted-history store (absent on the first epoch)
+        if _sig_store_epochs(spark, key_store):
+            hist = (
+                spark.read.option("basePath", key_store).parquet(key_store)
+                .filter(F.col("epoch") != epoch_id)  # retry safety
+                .select(id_col, "__k")
+            )
+            new_seg = _fuzzy_segments(keys, id_col, key_width, nseg)
+            hist_seg = _fuzzy_segments(hist, id_col, key_width, nseg)
+            cands = (
+                hist_seg.join(
+                    F.broadcast(
+                        new_seg.withColumnRenamed(id_col, "__new_id")
+                    ),
+                    ["seg_idx", "seg_val"],
+                )
+                .select(
+                    F.col(id_col).alias("__hist_id"),
+                    F.col("__new_id"),
+                )
+                .distinct()
+            )
+            ka = hist.select(
+                F.col(id_col).alias("__hist_id"), F.col("__k").alias("__ka")
+            )
+            kb = keys.select(
+                F.col(id_col).alias("__new_id"), F.col("__k").alias("__kb")
+            )
+            hist_dups = (
+                cands.join(ka, "__hist_id")
+                .join(kb, "__new_id")
+                .filter(F.levenshtein(F.col("__ka"), F.col("__kb")) <= max_dist)
+                .select(F.col("__new_id").alias(id_col))
+            )
+            dup_ids = dup_ids.unionByName(hist_dups)
+
+        dup_ids = dup_ids.distinct()
+        survivors = batch_df.join(dup_ids, id_col, "left_anti")
+        surviving_keys = keys.join(dup_ids, id_col, "left_anti")
+
+        # (4) idempotent per-epoch writes
+        surviving_keys.write.mode("overwrite").parquet(
+            f"{key_store}/epoch={epoch_id}"
+        )
+        survivors.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        keys.unpersist()
+
+        if compact_every:
+            closed = [
+                e for e in _sig_store_epochs(spark, key_store) if e != epoch_id
+            ]
+            if len(closed) >= compact_every:
+                _compact_sig_store(spark, key_store, keep_epoch=epoch_id)
+
+    writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1,0 +1,124 @@
+"""streaming_fuzzy_ingest: drip ≡ greedy-batch parity for the fuzzy-dedup
+intake (the record-linkage analogue of the minhash/span ingest parity
+contracts)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from bullet_spark_spark.operators import dedup as dd
+
+
+def _ordered_drip(spark, chunks, data_dir):
+    """One parquet file per chunk, strictly increasing mtimes →
+    FileStreamSource (maxFilesPerTrigger=1) replays chunks in order."""
+    os.makedirs(data_dir, exist_ok=True)
+    t0 = time.time() - 10 * len(chunks)
+    for i, chunk in enumerate(chunks):
+        path = os.path.join(data_dir, f"chunk_{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([r[0] for r in chunk], pa.int64()),
+                    "k": pa.array([r[1] for r in chunk], pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (t0 + 10 * i, t0 + 10 * i))
+    return (
+        spark.readStream.schema("id long, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+
+
+def _greedy_reference(rows, max_dist=2, key_width=24):
+    """First-occurrence-wins sequential dedup over padded keys — the
+    semantics the streaming intake implements (id order = arrival order)."""
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = min(
+                    dp[j] + 1,
+                    dp[j - 1] + 1,
+                    prev + (a[i - 1] != b[j - 1]),
+                )
+                prev, dp[j] = dp[j], cur
+        return dp[n]
+
+    kept = []
+    for rid, key in sorted(rows):
+        pk = key[:key_width].ljust(key_width)
+        if all(lev(pk, kk) > max_dist for _, kk in kept):
+            kept.append((rid, pk))
+    return {rid for rid, _ in kept}
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over"),
+    (1, "the quick brawn fox jumps over"),   # 1 sub of 0 -> dropped
+    (2, "a completely different sentence"),
+    (3, "entirely unrelated text content"),
+    (4, "the quick green wolf jumps over"),  # ≥3 edits inside the key -> kept
+    (5, "a completely different sentence"),  # exact dup of 2 via store
+    (6, "entirely unrelatid text contint"),  # 2 subs of 3 -> dropped
+    (7, "brand new never seen before text"),
+]
+
+
+def test_streaming_fuzzy_drip_equals_greedy_batch(spark, tmp_path):
+    chunks = [DOCS[0:3], DOCS[3:5], DOCS[5:8]]
+    stream = _ordered_drip(spark, chunks, str(tmp_path / "in"))
+    q = dd.streaming_fuzzy_ingest(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        id_col="id",
+        key_col="k",
+        max_dist=2,
+        key_width=24,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        r["id"]
+        for r in spark.read.option("basePath", str(tmp_path / "out"))
+        .parquet(str(tmp_path / "out"))
+        .collect()
+    }
+    assert streamed == _greedy_reference(DOCS)
+    # the planted semantics, explicitly:
+    assert 0 in streamed and 1 not in streamed      # within-batch near-dup
+    assert 5 not in streamed                        # exact dup via the store
+    assert 6 not in streamed                        # near-dup via the store
+    assert {2, 3, 4, 7} <= streamed                 # distinct/kept
+
+
+def test_streaming_fuzzy_store_holds_survivor_keys(spark, tmp_path):
+    chunks = [DOCS[0:4], DOCS[4:8]]
+    stream = _ordered_drip(spark, chunks, str(tmp_path / "in"))
+    q = dd.streaming_fuzzy_ingest(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        id_col="id",
+        key_col="k",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    store = spark.read.option(
+        "basePath", str(tmp_path / "state" / "fuzzy_keys")
+    ).parquet(str(tmp_path / "state" / "fuzzy_keys"))
+    ids = {r["id"] for r in store.collect()}
+    assert ids == _greedy_reference(DOCS)
+    # keys stored padded to the canonical width
+    assert all(len(r["__k"]) == 24 for r in store.collect())
