@@ -1345,12 +1345,16 @@ def centroid_distances(
     vec_col: str = "embedding",
     label_col: str = "label",
     centroid_col: str = "centroid",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact squared-L2 of every vector to every centroid → (id, cand,
     d2 DECIMAL) — the shared scoring frame behind nearest-centroid
     assignment and silhouette evaluation. Per-dimension IEEE terms
     rounded 9 dp, order-independent decimal sums (engine-exact);
-    centroids broadcast, scoring row-local."""
+    centroids broadcast, scoring row-local. ``carry_cols`` pass extra
+    vector-side columns through the scored frame (kmeans_lloyd carries
+    the vector itself so its argmin needs no re-join against the
+    input)."""
     d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -1363,8 +1367,11 @@ def centroid_distances(
     cands = centroids.select(
         F.col(label_col).alias("cand"), F.col(centroid_col)
     )
+    extras = [
+        F.col(c) for c in (carry_cols or []) if c not in (id_col,)
+    ]
     return df.crossJoin(F.broadcast(cands)).select(
-        F.col(id_col), F.col("cand"), d2.alias("d2")
+        F.col(id_col), F.col("cand"), d2.alias("d2"), *extras
     )
 
 
@@ -1698,6 +1705,17 @@ def kmeans_lloyd(
     cents = init.localCheckpoint(eager=True)
     scale = float(10 ** round_dp)
     for _ in range(iterations):
+        # Assignment stays the broadcast-scored min(struct) aggregate +
+        # a base re-join. Two rewrites REJECTED by measurement (r8, sf0.1
+        # 50k × dim-64, k=8, 3 iters, baseline ~6.0 s):
+        #  * literal-array row-local scorer (nearest_centroid_scorer,
+        #    no shuffle at all): ~204 s — k separate zip_with/aggregate
+        #    HOFs per row run INTERPRETED (the r6 lesson); the crossJoin
+        #    keeps one codegen'd HOF per scored pair.
+        #  * carrying __v through the argmin agg (first(__v), skip the
+        #    re-join): 6.4–15 s — the 64-dim array rides the ×k
+        #    crossJoin through the exchange (k× array duplication),
+        #    costing more than the join it saves.
         assigned = nearest_centroid_assign(
             base, cents, "__id", "__v", "cluster", "centroid"
         ).select("__id", "assigned")
