@@ -405,8 +405,14 @@ def key_skew_report(
     keys it is supposed to find when the hot key is rare in row order.
     Deterministic (ties on cnt break by key string), so oracle-checkable."""
     key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    counts = df.groupBy(key_str.alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # eager checkpoint: the count frame is KEY-space-sized (it is the
+    # report's own granularity) and has three consumers (stats, top-N,
+    # total row) — without it each consumer re-runs the full input scan
+    # (caught by tools/audit_scans.py: 3 scans -> 1)
+    counts = (
+        df.groupBy(key_str.alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     stats = counts.agg(
         F.sum("cnt").alias("__rows"),
