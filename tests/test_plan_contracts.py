@@ -675,3 +675,54 @@ def test_aqe_skew_join_splits_hot_partition(spark, tables):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# round-8 families
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_pairs_no_cartesian_segment_equijoin(spark, qs):
+    """The PassJoin candidate stage must be a segment-keyed EQUI-join —
+    never a cartesian/BNL over the key frames — and the Levenshtein
+    verify runs AFTER the join (on candidates only)."""
+    tree = _tree(_plan(qs["dedup_fuzzy_pairs"](spark, SF_DIR)))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    full = _plan(qs["dedup_fuzzy_pairs"](spark, SF_DIR))
+    assert "levenshtein" in full, "verify must be expression-level (codegen)"
+
+
+def test_vocab_coverage_vocab_side_broadcast(spark, qs):
+    """The frozen vocab is provably top-N-bounded, so the coverage join
+    must broadcast it — the token explode side never shuffles for the
+    join."""
+    tree = _tree(_plan(qs["text_vocab_coverage"](spark, SF_DIR)))
+    assert "BroadcastHashJoin" in tree, tree
+    # the vocab build is a TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_seasonal_decompose_bounded_windows_one_key_exchange(spark, qs):
+    """Trend is a bounded ROWS window; the seasonal join is against a
+    period-sized frame (broadcast); no unbounded sort pathologies."""
+    tree = _tree(_plan(qs["temporal_seasonal_decompose"](spark, SF_DIR)))
+    assert "Window" in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_token_budget_single_aggregate(spark, qs):
+    """The plan is ONE partial/final aggregate over the corpus plus
+    projections — no joins, no windows over data-sized frames."""
+    tree = _tree(_plan(qs["sampling_token_budget"](spark, SF_DIR)))
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_gopher_rules_single_scan_single_agg(spark, qs):
+    """The whole Gopher rule set is one projected CASE over the scan +
+    one count aggregate: exactly one exchange, no joins."""
+    tree = _tree(_plan(qs["quality_gopher_rules"](spark, SF_DIR)))
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+    assert "Scan parquet" in tree or "Scan ExistingRDD" in tree, tree

@@ -122,3 +122,63 @@ def test_streaming_fuzzy_store_holds_survivor_keys(spark, tmp_path):
     assert ids == _greedy_reference(DOCS)
     # keys stored padded to the canonical width
     assert all(len(r["__k"]) == 24 for r in store.collect())
+
+
+def test_streaming_fuzzy_checkpoint_resume(spark, tmp_path):
+    """Drain the first files, STOP, drop more files, restart with the SAME
+    checkpoint: the store carries accepted history across restarts, the
+    resumed query dedups new arrivals against it, and nothing replays."""
+    d = str(tmp_path / "in")
+    chunks1 = [DOCS[0:3]]
+    _ordered_drip(spark, chunks1, d)
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, k string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = dd.streaming_fuzzy_ingest(
+            stream,
+            str(tmp_path / "state"),
+            str(tmp_path / "out"),
+            id_col="id",
+            key_col="k",
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(180)
+
+    run()  # first drain: docs 0-2
+    out1 = {
+        r["id"]
+        for r in spark.read.option("basePath", str(tmp_path / "out"))
+        .parquet(str(tmp_path / "out"))
+        .collect()
+    }
+    assert out1 == {0, 2}  # 1 is a within-batch near-dup of 0
+
+    # second wave lands AFTER the first drain finished
+    import os
+    import time
+
+    path = os.path.join(d, "chunk_late.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in DOCS[3:8]], pa.int64()),
+                "k": pa.array([r[1] for r in DOCS[3:8]], pa.string()),
+            }
+        ),
+        path,
+    )
+    os.utime(path, (time.time(), time.time()))
+
+    run()  # resume from the same checkpoint
+    out2 = {
+        r["id"]
+        for r in spark.read.option("basePath", str(tmp_path / "out"))
+        .parquet(str(tmp_path / "out"))
+        .collect()
+    }
+    assert out2 == _greedy_reference(DOCS)  # 5 (store dup) and 6 dropped
+    assert 5 not in out2 and 6 not in out2
