@@ -8192,6 +8192,83 @@ def sampling_token_budget(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_eval_fuzzy",
+    f"""WITH {_FUZZY_KEYS_SQL},
+  segs AS (
+    SELECT id, k, i AS seg_idx, substr(k, 1 + i * 8, 8) AS seg_val
+    FROM uni, (SELECT unnest([0, 1, 2]) AS i)),
+  cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM segs a JOIN segs b
+      ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val AND a.id < b.id),
+  pred AS (
+    SELECT DISTINCT least(c.id_a, c.id_b) AS a, greatest(c.id_a, c.id_b) AS b
+    FROM cand c JOIN uni ka ON ka.id = c.id_a JOIN uni kb ON kb.id = c.id_b
+    WHERE levenshtein(ka.k, kb.k) <= 2),
+  truth AS (
+    SELECT DISTINCT least(id, id + 200000) AS a,
+           greatest(id, id + 200000) AS b
+    FROM keys0 WHERE id % 3 = 0),
+  joined AS (
+    SELECT coalesce(p.f, 0) AS pf, coalesce(t.f, 0) AS tf
+    FROM (SELECT a, b, 1 AS f FROM pred) p
+    FULL OUTER JOIN (SELECT a, b, 1 AS f FROM truth) t
+      ON p.a = t.a AND p.b = t.b),
+  m AS (
+    SELECT CAST(sum(pf) AS BIGINT) AS n_pred,
+           CAST(sum(tf) AS BIGINT) AS n_true,
+           CAST(sum(pf * tf) AS BIGINT) AS tp
+    FROM joined)
+  SELECT n_pred, n_true, tp,
+         round(CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+                    ELSE 0.0 END, 6) AS precision,
+         round(CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true
+                    ELSE 0.0 END, 6) AS recall,
+         round(CASE WHEN (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END
+                          + CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true ELSE 0.0 END) > 0
+                    THEN 2 * (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END)
+                           * (CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true ELSE 0.0 END)
+                         / ((CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END)
+                            + (CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true ELSE 0.0 END))
+                    ELSE 0.0 END, 6) AS f1
+  FROM m""",
+)
+def dedup_eval_fuzzy(spark, sf_dir):
+    """Dedup EVALUATION harness (dedup.pair_eval_metrics) scored on the
+    fuzzy family: the planted typo pairs from dedup_fuzzy_pairs' derived
+    corpus are the ground truth; the operator's recovered pairs are the
+    prediction. Recall pins the pigeonhole's planted-pair guarantee at
+    1.0 in both engines; precision < 1 exposes the organic near-dups the
+    corpus already contains — the measurement half a dedup tuning loop
+    optimizes against (the retrieval_metrics analogue for dedup). One
+    full-outer pair join + one aggregate; pair-space-sized throughout."""
+    t = _t(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    keys0 = (
+        t["documents"]
+        .select(F.col("doc_id").alias("id"), norm.alias("t"))
+        .where(F.length("t") >= 24)
+        .select("id", F.rpad(F.substring("t", 1, 24), 24, " ").alias("k"))
+    )
+    corrupt = keys0.where(F.col("id") % 3 == 0).select(
+        (F.col("id") + 200000).alias("id"),
+        F.concat(
+            F.substring("k", 1, 4),
+            F.lit("q"),
+            F.substring("k", 6, 11),
+            F.lit("q"),
+            F.substring("k", 18, 7),
+        ).alias("k"),
+    )
+    uni = keys0.unionByName(corrupt)
+    pred = dd.fuzzy_pairs_blocked(uni, "id", "k", max_dist=2, key_width=24)
+    truth = keys0.where(F.col("id") % 3 == 0).select(
+        F.col("id").alias("id_a"), (F.col("id") + 200000).alias("id_b")
+    )
+    return dd.pair_eval_metrics(pred, truth)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

@@ -1967,7 +1967,16 @@ def fuzzy_pairs_blocked(
     only on candidates — key_width is a constant (≤ ~64), so the verify
     is O(1) per candidate pair. Deterministic and engine-portable:
     DuckDB's levenshtein() computes the same DP, so the whole pipeline
-    is oracle-checkable value-for-value."""
+    is oracle-checkable value-for-value.
+
+    Hot-segment caveat: keys much SHORTER than ``key_width`` pad with
+    spaces, so their trailing segments are all-blank — one shared
+    bucket across every short key (correct, the pigeonhole needs it:
+    two 8-char keys within distance d share only blank segments), but
+    quadratic in the short-key count. Filter the input to
+    ``length >= key_width`` (the registered query does) or size
+    ``key_width`` to the population's minimum when short keys are
+    legitimate data."""
     nseg = max_dist + 1
     if key_width % nseg != 0:
         raise ValueError(
@@ -2145,3 +2154,60 @@ def streaming_fuzzy_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def pair_eval_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Pair-level dedup EVALUATION → one row (n_pred, n_true, tp,
+    precision, recall, f1): score a dedup operator's pair output against
+    ground truth (planted duplicates, a labeled benchmark, or a stronger
+    oracle's pairs) — the measurement half every dedup tuning loop needs
+    (the retrieval_metrics analogue for the dedup family; thresholds and
+    band counts get tuned against THIS, not against eyeballing).
+
+    Pairs are canonicalized (min, max) on both sides so orientation
+    never miscounts. Scale shape: two distinct pair frames, ONE
+    full-outer join on the canonical pair, ONE aggregate — pair-space-
+    sized throughout, no corpus scan, no driver-side counts (stays a
+    lazy DataFrame). Exact integer ratios rounded 6 dp: engine-portable,
+    oracle-checkable."""
+    def canon(df: DataFrame, flag: str) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        ).distinct().withColumn(flag, F.lit(1))
+
+    both = canon(predicted, "__p").join(
+        canon(truth, "__t"), ["a", "b"], "full_outer"
+    )
+    agg = both.agg(
+        F.sum(F.coalesce(F.col("__p"), F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce(F.col("__t"), F.lit(0))).alias("n_true"),
+        F.sum(
+            F.coalesce(F.col("__p"), F.lit(0))
+            * F.coalesce(F.col("__t"), F.lit(0))
+        ).alias("tp"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_true") > 0, F.col("tp") / F.col("n_true")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_pred",
+        "n_true",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    )

@@ -293,3 +293,40 @@ def test_token_budget_plan_epochs_and_caps(spark):
     assert plan["c"]["weight"] == 0.0
     assert plan["c"]["planned_tokens"] == 0.0
     assert plan["c"]["capped"] is False
+
+
+# ---------------------------------------------------------------------------
+# pair_eval_metrics
+# ---------------------------------------------------------------------------
+
+def test_pair_eval_metrics_counts(spark):
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (5, 6), (7, 8)], "id_a long, id_b long"
+    )
+    r = dd.pair_eval_metrics(pred, truth).collect()[0]
+    # orientation canonicalized: (1,2) and (5,6) match
+    assert (r["n_pred"], r["n_true"], r["tp"]) == (3, 3, 2)
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(2 / 3, 6)
+
+
+def test_pair_eval_metrics_empty_prediction(spark):
+    pred = spark.createDataFrame([], "id_a long, id_b long")
+    truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = dd.pair_eval_metrics(pred, truth).collect()[0]
+    assert (r["n_pred"], r["tp"]) == (0, 0)
+    assert r["precision"] == 0.0 and r["recall"] == 0.0 and r["f1"] == 0.0
+
+
+def test_pair_eval_metrics_duplicate_orientations_collapse(spark):
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = dd.pair_eval_metrics(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_true"], r["tp"]) == (1, 1, 1)
+    assert r["f1"] == 1.0
