@@ -8269,6 +8269,48 @@ def dedup_eval_fuzzy(spark, sf_dir):
     return dd.pair_eval_metrics(pred, truth)
 
 
+@q(
+    "dedup_weighted_jaccard",
+    f"""WITH t AS (
+         SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+       g AS (
+         SELECT doc_id,
+                unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        FOR i IN range(1, len(w) - 1)]) AS gram
+         FROM t WHERE len(w) >= 3),
+       tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+       nd AS (SELECT count(*) AS n_docs FROM t),
+       keep AS (
+         SELECT gram FROM (SELECT gram, count(*) AS df FROM tf GROUP BY 1), nd
+         WHERE df <= 0.5 * n_docs),
+       tfp AS (SELECT tf.doc_id, tf.gram, tf.tf FROM tf JOIN keep USING (gram)),
+       tot AS (SELECT doc_id, sum(tf) AS total FROM tfp GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                sum(least(a.tf, b.tf)) AS im
+         FROM tfp a JOIN tfp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              round(CAST(im AS DOUBLE) / (ta.total + tb.total - im), 6)
+                AS wjaccard
+       FROM inter
+       JOIN tot ta ON ta.doc_id = id_a
+       JOIN tot tb ON tb.doc_id = id_b
+       WHERE CAST(im AS DOUBLE) / (ta.total + tb.total - im) >= 0.4""",
+)
+def dedup_weighted_jaccard(spark, sf_dir):
+    """Exact tf-weighted Jaccard near-dup pairs
+    (dedup.weighted_jaccard_pairs, word 3-grams, threshold 0.4,
+    max_df_frac 0.5): the repetition-aware measure set Jaccard flattens
+    — shared-gram min-sums over the posting self-join, union mass via
+    T_a + T_b − Σmin (the union space never materializes). The exact
+    surface a weighted-minhash approximation would be tuned against."""
+    t = _t(spark, sf_dir)
+    return dd.weighted_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.4, max_df_frac=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

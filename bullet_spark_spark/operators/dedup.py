@@ -2211,3 +2211,83 @@ def pair_eval_metrics(
             6,
         ).alias("f1"),
     )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df_frac: float | None = 0.5,
+) -> DataFrame:
+    """Exact TF-WEIGHTED Jaccard pairs → (id_a, id_b, wjaccard):
+    ``Σ_g min(tf_a(g), tf_b(g)) / Σ_g max(tf_a(g), tf_b(g))`` over word
+    n-grams WITH multiplicity — the repetition-aware near-dup measure
+    the set-Jaccard family flattens (a doc that repeats a passage 10×
+    and one containing it once are "identical" to set Jaccard on the
+    shared grams; weighted Jaccard sees the mass difference). The exact
+    counterpart a weighted-minhash (Ioffe CWS) approximation would be
+    tuned against.
+
+    Identity used: Σmax over the union = T_a + T_b − Σmin over shared
+    grams, so only the SHARED-gram posting join is ever materialized —
+    never the union space, never all pairs.
+
+    Scale shape (the containment_pairs posture): (id, gram, tf) postings
+    from one explode + count; grams present in more than
+    ``max_df_frac`` of documents are pruned BEFORE the posting self-join
+    (bounds Σdf² — pass ``None`` for the unpruned exact measure; totals
+    are computed over the SAME pruned gram space so the ratio stays a
+    true weighted Jaccard of that space); one gram-keyed self-join with
+    per-pair min-sums; doc totals broadcast-join back. Integer tf
+    arithmetic end-to-end, ratio rounded 6 dp — oracle-exact."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+    df = widen_thin_input(df)
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_df_frac is not None:
+        n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
+        gram_df = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        keep = (
+            gram_df.crossJoin(F.broadcast(n_docs))  # 1-row count frame
+            .filter(F.col("__df") <= F.lit(max_df_frac) * F.col("__nd"))
+            .select("gram")
+        )
+        tf = tf.join(keep, "gram")
+    tf = _persist_sigs(tf)
+    totals = tf.groupBy("id").agg(F.sum("tf").alias("total"))
+    a, b = tf.alias("a"), tf.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.least(F.col("a.tf"), F.col("b.tf"))).alias("__im"))
+    )
+    ta = totals.select(F.col("id").alias("id_a"), F.col("total").alias("__ta"))
+    tb = totals.select(F.col("id").alias("id_b"), F.col("total").alias("__tb"))
+    return (
+        inter.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__im")
+                / (F.col("__ta") + F.col("__tb") - F.col("__im")),
+                6,
+            ).alias("wjaccard"),
+        )
+        .filter(F.col("wjaccard") >= threshold)
+    )

@@ -330,3 +330,52 @@ def test_pair_eval_metrics_duplicate_orientations_collapse(spark):
     r = dd.pair_eval_metrics(pred, truth).collect()[0]
     assert (r["n_pred"], r["n_true"], r["tp"]) == (1, 1, 1)
     assert r["f1"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# weighted_jaccard_pairs
+# ---------------------------------------------------------------------------
+
+def test_weighted_jaccard_exact_value(spark):
+    # doc1: "a b c" x2 -> grams {"a b c": 2}? n=3 over 6 tokens "a b c a b c"
+    # grams: "a b c","b c a","c a b","a b c" -> tf{"a b c":2, "b c a":1, "c a b":1}, T=4
+    # doc2: "a b c x y z" -> grams "a b c","b c x","c x y","x y z" tf 1 each, T=4
+    # shared: "a b c" min(2,1)=1 -> wJ = 1/(4+4-1) = 1/7
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c x y z")],
+        "doc_id long, text string",
+    )
+    out = dd.weighted_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_df_frac=None
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["wjaccard"] == round(1 / 7, 6)
+
+
+def test_weighted_jaccard_sees_repetition_mass(spark):
+    # identical gram SETS, different multiplicities: set Jaccard = 1,
+    # weighted must be < 1
+    # doc1 grams: tf{p q r:3, q r p:2, r p q:2}; doc2: tf 1 each — same SET
+    docs = spark.createDataFrame(
+        [(1, "p q r p q r p q r"), (2, "p q r p q")],
+        "doc_id long, text string",
+    )
+    out = dd.weighted_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_df_frac=None
+    ).collect()
+    assert len(out) == 1
+    assert 0.0 < out[0]["wjaccard"] < 1.0
+    setj = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0
+    ).collect()
+    assert setj[0]["jaccard"] == 1.0  # the measure this family flattens
+
+
+def test_weighted_jaccard_identical_docs_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "m n o p q"), (2, "m n o p q")], "doc_id long, text string"
+    )
+    out = dd.weighted_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_df_frac=None
+    ).collect()
+    assert out[0]["wjaccard"] == 1.0
