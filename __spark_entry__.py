@@ -8311,6 +8311,52 @@ def dedup_weighted_jaccard(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_weighted_minhash",
+    r"""WITH t AS (
+         SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+                unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        FOR i IN range(1, len(w) - 1)]) AS gram
+         FROM t WHERE len(w) >= 3),
+       tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+       e AS (
+         SELECT doc_id,
+                unnest([gram || '#' || CAST(c AS VARCHAR)
+                        FOR c IN range(tf)]) AS sh
+         FROM tf),
+       h AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+             FROM e CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+       bk AS (SELECT doc_id, j // 2 AS b, string_agg(mh, '|' ORDER BY j) AS bkey
+              FROM h GROUP BY doc_id, j // 2),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       est AS (SELECT c.id_a, c.id_b,
+                      sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+               FROM cand c
+               JOIN h ha ON ha.doc_id = c.id_a
+               JOIN h hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+               GROUP BY c.id_a, c.id_b)
+       SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.4""",
+)
+def dedup_weighted_minhash(spark, sf_dir):
+    """WEIGHTED minhash/LSH (dedup.weighted_minhash_dedup_pairs_md5):
+    the scale-path estimator of dedup_weighted_jaccard's exact measure —
+    integer tf weights reduce to plain minhash over tf distinct gram
+    copies (gram#0…gram#(tf-1)), keeping the md5-portable signature
+    convention, so expansion + banding + verify all hash-match DuckDB.
+    16 hashes, 8 bands × 2 rows, word 3-grams, threshold 0.4."""
+    t = _t(spark, sf_dir)
+    pairs = dd.weighted_minhash_dedup_pairs_md5(
+        t["documents"], "doc_id", "text", threshold=0.4, num_hashes=16, bands=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

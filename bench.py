@@ -84,6 +84,8 @@ BENCH = [
     "text_vocab_coverage",    # top-N vocab build + per-source OOV audit
     "temporal_seasonal_decompose",  # 2xMA trend + quantized seasonal means
     "sampling_token_budget",  # token-budget mixture plan (1 exact agg)
+    "dedup_weighted_jaccard", # tf-weighted Jaccard posting self-join
+    "dedup_eval_fuzzy",       # dedup eval harness (full-outer pair join)
 ]
 
 REPEATS = 3

@@ -2213,6 +2213,25 @@ def pair_eval_metrics(
     )
 
 
+def _gram_tf(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram, tf) term-frequency postings over word n-grams WITH
+    multiplicity (word_shingles deduplicates; the weighted family needs
+    counts). Same zip-of-slices shingling as word_shingles — one split
+    per row, never per shingle (the interpreted-HOF lesson)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)])
+    )
+    return (
+        widen_thin_input(df)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def weighted_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -2242,18 +2261,8 @@ def weighted_jaccard_pairs(
     true weighted Jaccard of that space); one gram-keyed self-join with
     per-pair min-sums; doc totals broadcast-join back. Integer tf
     arithmetic end-to-end, ratio rounded 6 dp — oracle-exact."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
-    grams = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
-    )
+    tf = _gram_tf(df, id_col, text_col, n)
     df = widen_thin_input(df)
-    tf = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
-        .groupBy("id", "gram")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     if max_df_frac is not None:
         n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
         gram_df = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
@@ -2291,3 +2300,56 @@ def weighted_jaccard_pairs(
         )
         .filter(F.col("wjaccard") >= threshold)
     )
+
+
+def weighted_minhash_dedup_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """WEIGHTED minhash near-dup pairs, engine-portable: estimates the
+    tf-weighted (multiset) Jaccard that :func:`weighted_jaccard_pairs`
+    computes exactly — for INTEGER weights, expanding each gram into tf
+    distinct copies (``gram#0 … gram#(tf-1)``) makes plain minhash over
+    the expanded sets an unbiased estimator of Σmin/Σmax (the classic
+    integer-weight reduction; Ioffe's CWS generalizes to real weights).
+    Signature components are min(md5('j:' || copy)) hex strings, so the
+    WHOLE pipeline — expansion, banding, candidate join, verify —
+    hash-matches a DuckDB oracle byte-for-byte, like
+    :func:`minhash_dedup_pairs_md5`.
+
+    Scale shape: the expansion multiplies posting rows by mean tf
+    (bounded by document length, not corpus size — the exploded frame is
+    exactly the pre-grouped gram stream), then ONE groupBy(id) with k
+    partial mins; banding and verify are the shared LSH code paths."""
+    tf = _gram_tf(df, id_col, text_col, shingle_n)
+    copies = tf.select(
+        F.col("id").alias(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("tf") - 1),
+                lambda i: F.concat_ws("#", F.col("gram"), i.cast("string")),
+            )
+        ).alias("__sh"),
+    )
+    mins = copies.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__sh")))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    sigs = _persist_sigs(
+        mins.select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
+        )
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands, deduplicate=False
+    )
+    sims = minhash_similarity(sigs, cands, id_col)
+    return sims.filter(F.col("est_jaccard") >= threshold).distinct()

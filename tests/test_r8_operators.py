@@ -379,3 +379,47 @@ def test_weighted_jaccard_identical_docs_one(spark):
         docs, "doc_id", "text", n=3, threshold=0.0, max_df_frac=None
     ).collect()
     assert out[0]["wjaccard"] == 1.0
+
+
+def test_weighted_minhash_estimates_exact_weighted_jaccard(spark):
+    """Estimator sanity: with 64 hashes, the weighted-minhash estimate of
+    each pair tracks the exact multiset Jaccard within the binomial
+    band (se = sqrt(J(1-J)/64) ~ 0.06)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta " * 4),
+            (2, "alpha beta gamma delta epsilon zeta " * 4 + "eta theta iota"),
+            (3, "totally different words here now okay"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in dd.weighted_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0, max_df_frac=None
+        ).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dd.weighted_minhash_dedup_pairs_md5(
+            docs, "doc_id", "text", threshold=0.0, num_hashes=64, bands=32
+        ).collect()
+    }
+    assert (1, 2) in exact and (1, 2) in est
+    assert abs(est[(1, 2)] - exact[(1, 2)]) < 0.2  # ~3 se
+    # the disjoint doc never pairs in either
+    assert (1, 3) not in exact and (1, 3) not in est
+
+
+def test_weighted_minhash_multiplicity_changes_estimate(spark):
+    """Same gram SET, different multiplicities: the weighted signature
+    must differ (copies gram#k exist only on the heavier side)."""
+    docs = spark.createDataFrame(
+        [(1, "p q r p q r p q r"), (2, "p q r p q")],
+        "doc_id long, text string",
+    )
+    est = dd.weighted_minhash_dedup_pairs_md5(
+        docs, "doc_id", "text", threshold=0.0, num_hashes=64, bands=32
+    ).collect()
+    assert len(est) == 1
+    assert est[0]["est_jaccard"] < 1.0
