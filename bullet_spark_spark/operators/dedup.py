@@ -2261,7 +2261,10 @@ def weighted_jaccard_pairs(
     true weighted Jaccard of that space); one gram-keyed self-join with
     per-pair min-sums; doc totals broadcast-join back. Integer tf
     arithmetic end-to-end, ratio rounded 6 dp — oracle-exact."""
-    tf = _gram_tf(df, id_col, text_col, n)
+    # persist the RAW postings: the df-prune, totals, and the self-join's
+    # two sides all derive from this one frame — without the cache each
+    # consumer re-runs the corpus scan + explode (audit_scans-caught)
+    tf = _persist_sigs(_gram_tf(df, id_col, text_col, n))
     df = widen_thin_input(df)
     if max_df_frac is not None:
         n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
@@ -2272,7 +2275,6 @@ def weighted_jaccard_pairs(
             .select("gram")
         )
         tf = tf.join(keep, "gram")
-    tf = _persist_sigs(tf)
     totals = tf.groupBy("id").agg(F.sum("tf").alias("total"))
     a, b = tf.alias("a"), tf.alias("b")
     inter = (

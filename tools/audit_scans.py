@@ -29,6 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _ACCEPTED = {
     # 4 independent sampling demos unioned in one slot — each scans once
     "sampling_deterministic": "four independent demo variants, one scan each",
+    # keys0/corrupt/truth are three 1-column pruned derivations of one
+    # demo base (the same class as quality_snapshot_diff); the expensive
+    # pair pipeline itself runs on the _persist_sigs-cached key frame
+    "dedup_eval_fuzzy": "pred + truth derive pruned key projections of one demo base; pair pipeline cached",
+    # raw tf postings are eagerly persisted (_persist_sigs); the plan text
+    # re-prints the cached child once per consumer (prune + totals + both
+    # self-join sides) but the corpus scans once at materialization
+    "dedup_weighted_jaccard": "tf postings persisted; plan text re-prints the cached child per consumer",
     # eval side derives from the same table but is a tiny pruned subset
     "decontam_minhash": "eval-subset rescans are pruned and broadcast-sized",
     "decontam_ngram": "eval-subset rescan is pruned and broadcast-sized",
