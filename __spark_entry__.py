@@ -8357,6 +8357,104 @@ def dedup_weighted_minhash(spark, sf_dir):
     )
 
 
+@q(
+    "pipeline_ccnet_buckets",
+    r"""WITH raw AS (
+         SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_extract_all(text, '([^.!?]+[.!?]+|[^.!?]+$)', 1),
+                    x -> trim(x)),
+                  x -> len(x) > 0) AS sents
+         FROM documents),
+       e AS (SELECT doc_id,
+                    unnest([{'i': i, 's': sents[i]}
+                            FOR i IN range(1, len(sents) + 1)]) AS u
+             FROM raw),
+       tok AS (SELECT doc_id, u.i AS i, u.s AS s,
+                      len(string_split(regexp_replace(trim(lower(u.s)),
+                                                      '\s+', ' ', 'g'), ' ')) AS nt
+               FROM e),
+       cum AS (SELECT doc_id, i, s, nt,
+                      coalesce(sum(nt) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+               FROM tok),
+       chunks AS (
+         SELECT doc_id * 10000 + CAST(floor(before / 40) AS BIGINT) AS pid,
+                string_agg(s, ' ' ORDER BY i) AS text
+         FROM cum GROUP BY doc_id, CAST(floor(before / 40) AS BIGINT)),
+       toks AS (
+         SELECT pid,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         FROM chunks),
+       counts AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+       vocab AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT 20),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM counts),
+       scored AS (
+         SELECT t.pid,
+                CAST(round(ln(coalesce(CAST(v.c AS DOUBLE), 0.5) / tot.total), 8)
+                     AS DECIMAL(18,8)) AS lp
+         FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot),
+       per_chunk AS (
+         SELECT pid, CAST(count(*) AS BIGINT) AS n_tokens,
+                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logprob
+         FROM scored GROUP BY 1),
+       bucketed AS (
+         SELECT *, ntile(3) OVER (ORDER BY logprob DESC, pid) AS b
+         FROM per_chunk)
+       SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+              CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              round(CAST(sum(CAST(logprob AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*), 6) AS mean_logprob
+       FROM bucketed GROUP BY b""",
+)
+def pipeline_ccnet_buckets(spark, sf_dir):
+    """The CCNet head/middle/tail PARAGRAPH-quality pipeline (Wenzek et
+    al. 2020, public knowledge) composed from certified pieces: docs
+    split by sentence-aware chunking (text_chunk_sentences machinery),
+    each chunk LM-scored by the corpus-trained unigram model
+    (text_unigram_logprob machinery), chunks ranked into perplexity
+    terciles (head = most in-distribution), one summary row per bucket.
+    The standard corpus-partitioning step before choosing which quality
+    slice trains — here with every stage hash-matched through DuckDB
+    rather than eyeballed."""
+    t = _t(spark, sf_dir)
+    # the chunk frame feeds BOTH scorer passes (LM train + score) — an
+    # eager checkpoint materializes the sentence-window chunking once
+    # instead of re-running it per pass (45.9 s -> 12.5 s at sf0.1); it is
+    # the pipeline's working set (CCNet materializes its paragraph table)
+    chunks = (
+        tx.chunk_by_sentences(t["documents"], "doc_id", "text", budget_tokens=40)
+        .select((F.col("doc_id") * 10000 + F.col("chunk")).alias("pid"), "text")
+        .localCheckpoint(eager=True)
+    )
+    scored = tx.unigram_logprob_scores(chunks, "pid", "text", vocab_size=20)
+    bucketed = scored.withColumn(
+        "b",
+        F.ntile(3).over(W.orderBy(F.desc("logprob"), F.col("pid"))),
+    )
+    return bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("logprob").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_logprob"),
+    ).select(
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_chunks",
+        "n_tokens",
+        "mean_logprob",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

@@ -86,6 +86,7 @@ BENCH = [
     "sampling_token_budget",  # token-budget mixture plan (1 exact agg)
     "dedup_weighted_jaccard", # tf-weighted Jaccard posting self-join
     "dedup_eval_fuzzy",       # dedup eval harness (full-outer pair join)
+    "pipeline_ccnet_buckets", # chunk -> LM-score -> perplexity terciles
 ]
 
 REPEATS = 3
