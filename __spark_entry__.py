@@ -7888,8 +7888,9 @@ def dedup_fuzzy_pairs(spark, sf_dir):
 @q(
     "scale_skew_report",
     """WITH keyed AS (
-         SELECT CAST(CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END
-                     AS VARCHAR) AS key
+         SELECT coalesce(CAST(CASE WHEN user_id % 10 = 0 THEN 0
+                              ELSE user_id END AS VARCHAR),
+                         '<null>') AS key
          FROM events),
        counts AS (SELECT key, count(*) AS cnt FROM keyed GROUP BY key),
        stats AS (SELECT sum(cnt) AS rows_, count(*) AS keys_, max(cnt) AS max_
@@ -7993,7 +7994,8 @@ def text_vocab_coverage(spark, sf_dir):
          FROM base),
        v AS (
          SELECT source,
-                CASE WHEN n_words < 50 THEN 'too_few_words'
+                CASE WHEN n_words IS NULL THEN 'too_few_words'
+                     WHEN n_words < 50 THEN 'too_few_words'
                      WHEN n_words > 100000 THEN 'too_many_words'
                      WHEN mean_len < 3.0 THEN 'short_words'
                      WHEN mean_len > 10.0 THEN 'long_words'
@@ -8149,7 +8151,10 @@ _BUDGET_W_SQL = " ".join(
     "sampling_token_budget",
     f"""WITH per_src AS (
          SELECT source, count(*) AS n_docs,
-                CAST(sum(CAST(len(string_split({_NORM_SQL}, ' ')) AS
+                -- CASE mirrors text.token_count: an empty/whitespace-only
+                -- text counts 0 tokens (len(string_split('')) is 1)
+                CAST(sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(string_split({_NORM_SQL}, ' ')) END AS
                               DECIMAL(18,0))) AS BIGINT) AS n_tokens
          FROM documents GROUP BY source),
        pl AS (
@@ -8296,7 +8301,8 @@ def dedup_eval_fuzzy(spark, sf_dir):
        FROM inter
        JOIN tot ta ON ta.doc_id = id_a
        JOIN tot tb ON tb.doc_id = id_b
-       WHERE CAST(im AS DOUBLE) / (ta.total + tb.total - im) >= 0.4""",
+       WHERE round(CAST(im AS DOUBLE) / (ta.total + tb.total - im), 6)
+             >= 0.4""",
 )
 def dedup_weighted_jaccard(spark, sf_dir):
     """Exact tf-weighted Jaccard near-dup pairs

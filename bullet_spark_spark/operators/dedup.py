@@ -942,6 +942,71 @@ def _compact_sig_store(
     )
 
 
+def _greedy_pair_drops(
+    pairs: DataFrame,
+    pre_dropped: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve close PAIRS (id_a < id_b) into the GREEDY first-occurrence-
+    wins drop set → one column ``id``: id i drops iff some KEPT smaller id
+    is close to it. Dropping the larger id of EVERY pair (the naive
+    pairwise rule) over-deletes on transitive chains — for X<Y<Z with
+    close(X,Y) and close(Y,Z) but not close(X,Z), greedy keeps {X, Z}
+    (Y's deletion un-condemns Z) while pairwise deletes both Y and Z.
+
+    Fixed point of K_{t+1} = {i : no close j < i with j ∈ K_t}, K_0 =
+    everything: by induction, after t rounds the keep/drop decision is
+    FINAL for every id whose smaller-id dependency chain is ≤ t deep, so
+    the iteration converges in (longest chain) rounds — the same bound
+    family as connected_components' diameter loop; exceeding
+    ``max_iterations`` raises rather than silently mis-deleting.
+    ``pre_dropped`` ids (e.g. already condemned by a history store whose
+    members are ALL kept and smaller) start outside K and can never
+    condemn anyone. Each round is two pair-space joins; every frame here
+    is pair-bounded, never corpus-bounded."""
+    p = pairs.select(
+        F.col(id_a).alias("__a"), F.col(id_b).alias("__b")
+    ).distinct().localCheckpoint(eager=True)
+    ids = (
+        p.select(F.col("__a").alias("id"))
+        .unionByName(p.select(F.col("__b").alias("id")))
+        .distinct()
+    )
+    if pre_dropped is not None:
+        pre = pre_dropped.select(F.col("id")).distinct()
+        kept = ids.join(pre, "id", "left_anti").localCheckpoint(eager=True)
+    else:
+        pre = None
+        kept = ids.localCheckpoint(eager=True)
+    base = kept  # ids eligible to be kept at all (pre-dropped excluded)
+    for _ in range(max_iterations):
+        condemned = (
+            p.join(kept, p["__a"] == kept["id"])
+            .select(F.col("__b").alias("id"))
+            .distinct()
+        )
+        new_kept = base.join(condemned, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        # converged when the kept set is stable (symmetric difference empty)
+        if (
+            kept.join(new_kept, "id", "left_anti").isEmpty()
+            and new_kept.join(kept, "id", "left_anti").isEmpty()
+        ):
+            kept = new_kept
+            break
+        kept = new_kept
+    else:
+        raise RuntimeError(
+            f"greedy pair resolution did not converge in {max_iterations} "
+            "rounds (pathologically deep near-dup chain)"
+        )
+    drops = ids.join(kept, "id", "left_anti")
+    return drops
+
+
 def streaming_neardup_ingest(
     stream: DataFrame,
     state_dir: str,
@@ -962,8 +1027,10 @@ def streaming_neardup_ingest(
 
     Per batch (foreachBatch, batch-mode DataFrames):
       1. signature the batch once (persisted for its three uses);
-      2. within-batch LSH pairs → the LARGER id of a pair ≥ threshold drops
-         (first-occurrence-wins under monotone ids);
+      2. within-batch LSH pairs ≥ threshold resolve GREEDILY
+         (first-occurrence-wins under monotone ids: an id drops iff a
+         KEPT smaller id is close — _greedy_pair_drops; naive pairwise
+         dropping over-deletes on transitive chains);
       3. batch bands join the STORE's bands — the batch side broadcasts
          (a micro-batch is small; history is big), so history is touched
          only through its compact signature table, cost ∝ collisions;
@@ -1007,16 +1074,13 @@ def streaming_neardup_ingest(
         new_sigs = sig_fn(batch_df, id_col, text_col, num_hashes).persist()
         new_band = _banded(new_sigs, id_col, bands, rpb)
 
-        # (2) within-batch: larger id of a verified pair drops
-        self_cands = minhash_lsh_candidates(new_sigs, id_col, bands, rpb, deduplicate=False)
-        dup_ids = (
-            verify(self_cands, new_sigs, new_sigs)
-            .select(F.col("id_b").alias(id_col))
-        )
-
-        # (3) vs the accepted-history store (absent on the first epoch);
-        # existence check via the Hadoop FS API so it follows the store's
-        # actual filesystem (S3/HDFS), not the driver's local disk
+        # (2) history FIRST (store members are all kept and smaller under
+        # monotone ids): a batch id close to accepted history is condemned
+        # outright, and must not condemn its own within-batch neighbors
+        # (greedy semantics — _greedy_pair_drops docstring).
+        # Existence check via the Hadoop FS API so it follows the store's
+        # actual filesystem (S3/HDFS), not the driver's local disk.
+        hist_dups = None
         if _sig_store_epochs(spark, sig_store):
             hist = (
                 spark.read.option("basePath", sig_store).parquet(sig_store)
@@ -1035,11 +1099,32 @@ def streaming_neardup_ingest(
                     F.col(id_col).alias("id_a"), F.col("__new_id").alias("id_b")
                 )
             )
-            dup_ids = dup_ids.unionByName(
-                verify(hist_cands, hist, new_sigs).select(
-                    F.col("id_b").alias(id_col)
-                )
+            hist_dups = (
+                verify(hist_cands, hist, new_sigs)
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
+                .localCheckpoint(eager=True)
             )
+
+        # (3) within-batch: GREEDY first-occurrence-wins over the verified
+        # close pairs (pairwise larger-id dropping over-deletes on
+        # transitive chains); history-condemned ids are pre-dropped
+        self_cands = minhash_lsh_candidates(
+            new_sigs, id_col, bands, rpb, deduplicate=False
+        )
+        batch_pairs = verify(self_cands, new_sigs, new_sigs).select(
+            "id_a", "id_b"
+        )
+        pre = (
+            hist_dups.select(F.col(id_col).alias("id"))
+            if hist_dups is not None
+            else None
+        )
+        dup_ids = _greedy_pair_drops(batch_pairs, pre_dropped=pre).select(
+            F.col("id").alias(id_col)
+        )
+        if hist_dups is not None:
+            dup_ids = dup_ids.unionByName(hist_dups)
 
         dup_ids = dup_ids.distinct()
         survivors = batch_df.join(dup_ids, id_col, "left_anti")
@@ -2059,8 +2144,10 @@ def streaming_fuzzy_ingest(
 
     Per batch (foreachBatch, batch-mode DataFrames):
       1. canonicalize keys once (:func:`_fuzzy_key_frame`, persisted);
-      2. within-batch :func:`fuzzy_pairs_blocked` pairs ≤ ``max_dist`` —
-         the LARGER id drops (first-occurrence-wins under monotone ids);
+      2. within-batch :func:`fuzzy_pairs_blocked` pairs ≤ ``max_dist``
+         resolve GREEDILY (first-occurrence-wins: an id drops iff a KEPT
+         smaller id is close — _greedy_pair_drops; naive pairwise
+         dropping over-deletes on transitive chains);
       3. batch pigeonhole segments BROADCAST against the store's
          segments (a micro-batch is small; history is big) — history is
          touched only through its key table, cost ∝ segment collisions;
@@ -2087,16 +2174,11 @@ def streaming_fuzzy_ingest(
             return
         keys = _fuzzy_key_frame(batch_df, id_col, key_col, key_width).persist()
 
-        # (2) within-batch: larger id of each close pair drops
-        dup_ids = fuzzy_pairs_blocked(
-            keys.select(F.col(id_col), F.col("__k").alias("k")),
-            id_col,
-            "k",
-            max_dist=max_dist,
-            key_width=key_width,
-        ).select(F.col("id_b").alias(id_col))
-
-        # (3) vs the accepted-history store (absent on the first epoch)
+        # (2) history FIRST: store members are all kept and smaller (monotone
+        # ids), so a batch id close to any of them is condemned outright —
+        # and a condemned id must not condemn its own within-batch neighbors
+        # (greedy semantics; _greedy_pair_drops takes these as pre_dropped)
+        hist_dups = None
         if _sig_store_epochs(spark, key_store):
             hist = (
                 spark.read.option("basePath", key_store).parquet(key_store)
@@ -2129,7 +2211,30 @@ def streaming_fuzzy_ingest(
                 .join(kb, "__new_id")
                 .filter(F.levenshtein(F.col("__ka"), F.col("__kb")) <= max_dist)
                 .select(F.col("__new_id").alias(id_col))
+                .distinct()
+                .localCheckpoint(eager=True)
             )
+
+        # (3) within-batch: GREEDY first-occurrence-wins over the close
+        # pairs (pairwise larger-id dropping over-deletes on transitive
+        # chains — _greedy_pair_drops docstring); history-condemned ids
+        # can't condemn their own neighbors
+        batch_pairs = fuzzy_pairs_blocked(
+            keys.select(F.col(id_col), F.col("__k").alias("k")),
+            id_col,
+            "k",
+            max_dist=max_dist,
+            key_width=key_width,
+        )
+        pre = (
+            hist_dups.select(F.col(id_col).alias("id"))
+            if hist_dups is not None
+            else None
+        )
+        dup_ids = _greedy_pair_drops(batch_pairs, pre_dropped=pre).select(
+            F.col("id").alias(id_col)
+        )
+        if hist_dups is not None:
             dup_ids = dup_ids.unionByName(hist_dups)
 
         dup_ids = dup_ids.distinct()
@@ -2184,12 +2289,21 @@ def pair_eval_metrics(
     both = canon(predicted, "__p").join(
         canon(truth, "__t"), ["a", "b"], "full_outer"
     )
+    # outer coalesce: sum over ZERO rows (both inputs empty) is NULL, and
+    # the per-row coalesce never runs — the counts must still read 0
     agg = both.agg(
-        F.sum(F.coalesce(F.col("__p"), F.lit(0))).alias("n_pred"),
-        F.sum(F.coalesce(F.col("__t"), F.lit(0))).alias("n_true"),
-        F.sum(
-            F.coalesce(F.col("__p"), F.lit(0))
-            * F.coalesce(F.col("__t"), F.lit(0))
+        F.coalesce(
+            F.sum(F.coalesce(F.col("__p"), F.lit(0))), F.lit(0)
+        ).alias("n_pred"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("__t"), F.lit(0))), F.lit(0)
+        ).alias("n_true"),
+        F.coalesce(
+            F.sum(
+                F.coalesce(F.col("__p"), F.lit(0))
+                * F.coalesce(F.col("__t"), F.lit(0))
+            ),
+            F.lit(0),
         ).alias("tp"),
     )
     prec = F.when(
@@ -2265,8 +2379,10 @@ def weighted_jaccard_pairs(
     # two sides all derive from this one frame — without the cache each
     # consumer re-runs the corpus scan + explode (audit_scans-caught)
     tf = _persist_sigs(_gram_tf(df, id_col, text_col, n))
-    df = widen_thin_input(df)
     if max_df_frac is not None:
+        # count(*) on the RAW frame: a 1-row aggregate needs no parallel
+        # width, so widen_thin_input here would insert a corpus-sized
+        # round-robin exchange whose only consumer is this scalar
         n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
         gram_df = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
         keep = (

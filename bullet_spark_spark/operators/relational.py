@@ -409,7 +409,16 @@ def key_skew_report(
     sampling: skew estimation by sampling misses exactly the long-tail
     keys it is supposed to find when the hot key is rare in row order.
     Deterministic (ties on cnt break by key string), so oracle-checkable."""
-    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    # NULL-distinct rendering: concat_ws SKIPS nulls, which would merge
+    # ('a', NULL) with ('a', '') and diverge from any engine that keeps
+    # NULL — render each component explicitly, NULL as a sentinel
+    key_str = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            for c in key_cols
+        ],
+    )
     # eager checkpoint: the count frame is KEY-space-sized (it is the
     # report's own granularity) and has three consumers (stats, top-N,
     # total row) — without it each consumer re-runs the full input scan

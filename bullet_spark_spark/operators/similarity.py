@@ -1345,16 +1345,12 @@ def centroid_distances(
     vec_col: str = "embedding",
     label_col: str = "label",
     centroid_col: str = "centroid",
-    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact squared-L2 of every vector to every centroid → (id, cand,
     d2 DECIMAL) — the shared scoring frame behind nearest-centroid
     assignment and silhouette evaluation. Per-dimension IEEE terms
     rounded 9 dp, order-independent decimal sums (engine-exact);
-    centroids broadcast, scoring row-local. ``carry_cols`` pass extra
-    vector-side columns through the scored frame (kmeans_lloyd carries
-    the vector itself so its argmin needs no re-join against the
-    input)."""
+    centroids broadcast, scoring row-local."""
     d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -1367,11 +1363,8 @@ def centroid_distances(
     cands = centroids.select(
         F.col(label_col).alias("cand"), F.col(centroid_col)
     )
-    extras = [
-        F.col(c) for c in (carry_cols or []) if c not in (id_col,)
-    ]
     return df.crossJoin(F.broadcast(cands)).select(
-        F.col(id_col), F.col("cand"), d2.alias("d2"), *extras
+        F.col(id_col), F.col("cand"), d2.alias("d2")
     )
 
 

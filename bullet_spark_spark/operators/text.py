@@ -1460,7 +1460,11 @@ def gopher_verdict(
         for w in GOPHER_STOPWORDS
     )
     return (
-        F.when(n_words < min_words, F.lit("too_few_words"))
+        # NULL guard FIRST: every comparison below is NULL (never true)
+        # for a missing text, so without it the otherwise('keep') branch
+        # would pass missing documents through a quality PREfilter
+        F.when(text.isNull(), F.lit("too_few_words"))
+        .when(n_words < min_words, F.lit("too_few_words"))
         .when(n_words > max_words, F.lit("too_many_words"))
         .when(mean_len < min_mean_word_len, F.lit("short_words"))
         .when(mean_len > max_mean_word_len, F.lit("long_words"))

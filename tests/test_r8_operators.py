@@ -423,3 +423,31 @@ def test_weighted_minhash_multiplicity_changes_estimate(spark):
     ).collect()
     assert len(est) == 1
     assert est[0]["est_jaccard"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-8 self-review fixes
+# ---------------------------------------------------------------------------
+
+def test_gopher_null_text_rejected(spark):
+    df = spark.createDataFrame([(None,)], "text string")
+    v = df.select(tx.gopher_verdict(F.col("text")).alias("v")).collect()[0]["v"]
+    assert v == "too_few_words"  # a prefilter must not 'keep' missing docs
+
+
+def test_pair_eval_metrics_both_empty_zero_counts(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r = dd.pair_eval_metrics(empty, empty).collect()[0]
+    assert (r["n_pred"], r["n_true"], r["tp"]) == (0, 0, 0)  # not NULL
+    assert r["precision"] == 0.0 and r["recall"] == 0.0 and r["f1"] == 0.0
+
+
+def test_skew_report_null_key_component_distinct(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("a", "")], "s string, t string"
+    )
+    out = {r["key"]: r["cnt"] for r in
+           rel.key_skew_report(df, ["s", "t"], top_n=5).collect()}
+    # NULL and empty-string components must NOT merge
+    assert out["a|<null>"] == 2
+    assert out["a|"] == 1

@@ -182,3 +182,83 @@ def test_streaming_fuzzy_checkpoint_resume(spark, tmp_path):
     }
     assert out2 == _greedy_reference(DOCS)  # 5 (store dup) and 6 dropped
     assert 5 not in out2 and 6 not in out2
+
+
+def test_greedy_pair_drops_chain_semantics(spark):
+    """X<Y<Z with close(X,Y), close(Y,Z), NOT close(X,Z): greedy keeps
+    {X, Z} — Y's deletion un-condemns Z. Pairwise dropping would delete
+    both Y and Z (the reviewed over-deletion bug)."""
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    drops = {r["id"] for r in dd._greedy_pair_drops(pairs).collect()}
+    assert drops == {1}
+
+
+def test_greedy_pair_drops_pre_dropped_cannot_condemn(spark):
+    """If X is pre-dropped (history), it must not condemn Y; Y kept then
+    condemns Z."""
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    pre = spark.createDataFrame([(0,)], "id long")
+    drops = {r["id"] for r in dd._greedy_pair_drops(pairs, pre_dropped=pre).collect()}
+    assert drops == {0, 2}  # 0 pre-dropped, 1 kept, 2 condemned by 1
+
+
+def test_greedy_pair_drops_four_chain(spark):
+    # 0-1-2-3 path: greedy keeps {0, 2}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    drops = {r["id"] for r in dd._greedy_pair_drops(pairs).collect()}
+    assert drops == {1, 3}
+
+
+def test_streaming_fuzzy_within_batch_chain(spark, tmp_path):
+    """A transitive chain INSIDE one micro-batch: X~Y, Y~Z, X!~Z — greedy
+    keeps X and Z (the naive pairwise rule would also drop Z)."""
+    x = "aaaaaaaabbbbbbbbcccccccc"
+    y = "aaaaaaaabbbbbbbbccccccZZ"   # 2 subs from x (last segment)
+    z = "aaaaaaaabbbbbbZZccccccZZ"   # 2 subs from y, 4 subs from x
+    chain = [(0, x), (1, y), (2, z)]
+    stream = _ordered_drip(spark, [chain], str(tmp_path / "in"))
+    q = dd.streaming_fuzzy_ingest(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        id_col="id",
+        key_col="k",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    kept = {
+        r["id"]
+        for r in spark.read.option("basePath", str(tmp_path / "out"))
+        .parquet(str(tmp_path / "out"))
+        .collect()
+    }
+    assert kept == _greedy_reference(chain) == {0, 2}
+
+
+def test_streaming_fuzzy_history_condemned_cannot_condemn(spark, tmp_path):
+    """H (batch 1) ~ X (batch 2) ~ Y (batch 2), H !~ Y: X drops via the
+    store, so X must NOT condemn Y — greedy keeps {H, Y}."""
+    h = "aaaaaaaabbbbbbbbcccccccc"
+    x = "aaaaaaaabbbbbbbbccccccZZ"   # 2 subs from h
+    y = "aaaaaaaabbbbbbZZccccccZZ"   # 2 subs from x, 4 from h
+    stream = _ordered_drip(
+        spark, [[(0, h)], [(1, x), (2, y)]], str(tmp_path / "in")
+    )
+    q = dd.streaming_fuzzy_ingest(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        id_col="id",
+        key_col="k",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    kept = {
+        r["id"]
+        for r in spark.read.option("basePath", str(tmp_path / "out"))
+        .parquet(str(tmp_path / "out"))
+        .collect()
+    }
+    assert kept == _greedy_reference([(0, h), (1, x), (2, y)]) == {0, 2}
