@@ -110,6 +110,10 @@ QUERIES = {
     "temporal_seasonal_decompose": "one key exchange; bounded ROWS window trend; period-sized quantized seasonal agg joined back",
     "sampling_token_budget": "ONE exact-decimal corpus agg; weights as a literal map; output is #sources rows",
     "quality_gopher_rules": "entire Gopher rule set as one projected CASE in the scan stage + one count agg",
+    "dedup_weighted_jaccard": "raw tf postings persisted (4 consumers); df-pruned posting self-join; union mass via Ta+Tb-Σmin, union space never built",
+    "dedup_weighted_minhash": "multiset-expanded copies -> one groupBy(id) with k md5 mins; banding/verify are the shared LSH paths",
+    "dedup_eval_fuzzy": "pair spaces canonicalized + ONE full-outer pair join + ONE aggregate; pair-space-sized throughout",
+    "pipeline_ccnet_buckets": "chunk frame checkpointed once (feeds LM train + score); ntile over per-chunk rows; 3-row report",
 }
 
 
