@@ -8527,6 +8527,22 @@ def pipeline_ccnet_buckets(spark, sf_dir):
 #   rows-only additions: scale_hilbert_pruning (65k-row curve lookup),
 #   sim_kmeans_farthest (sequential Gonzalez seeding)
 #
+# r9 ORACLE QUEUE (registered after the r8 freeze; every row locally
+# green via tools/check_oracle.py at BOTH sf0.01 and sf0.1, and through
+# the full-inventory sf0.1 sweep in ORACLE_SF01.json — first driver rows
+# land in the r9 window):
+#   dedup_fuzzy_pairs            (PassJoin pigeonhole + levenshtein)
+#   dedup_eval_fuzzy             (pair-level dedup P/R/F1 harness)
+#   dedup_weighted_jaccard       (exact tf-weighted Jaccard)
+#   dedup_weighted_minhash       (multiset-reduction weighted minhash)
+#   scale_skew_report            (hot-key straggler diagnostic)
+#   text_vocab_coverage          (frozen-vocab OOV audit)
+#   quality_gopher_rules         (published Gopher rule funnel)
+#   temporal_seasonal_decompose  (oracle-exact 2xMA decomposition)
+#   sampling_token_budget        (token-budget mixture plan)
+#   pipeline_ccnet_buckets       (chunk -> LM-score -> terciles capstone)
+#   rows-only addition: multimodal_vad_segments (energy-VAD segmentation)
+#
 # Round-8 window (FROZEN at cut, r8 early): the 9 never-driver-green rows
 # from the r8 oracle queue above — re-verified locally at BOTH sf0.01 and
 # sf0.1 AFTER the r7-advisory fixes (hilbert_key left join, zorder3 floor
