@@ -8461,6 +8461,52 @@ def pipeline_ccnet_buckets(spark, sf_dir):
     )
 
 
+@q(
+    "scale_column_stats",
+    """WITH m AS (
+         SELECT 'l_quantity' AS col_, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+         UNION ALL
+         SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem),
+       nulls AS (
+         SELECT col_, count(*) AS total,
+                sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null
+         FROM m GROUP BY 1),
+       r AS (
+         SELECT col_, v,
+                row_number() OVER (PARTITION BY col_ ORDER BY v) AS rk,
+                count(*) OVER (PARTITION BY col_) AS nn
+         FROM m WHERE v IS NOT NULL),
+       s AS (
+         SELECT col_, count(DISTINCT v) AS ndv,
+                round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+                round(max(CASE WHEN rk <= ceil(0.25 * nn) THEN v END), 6) AS q25,
+                round(max(CASE WHEN rk <= ceil(0.5 * nn) THEN v END), 6) AS q50,
+                round(max(CASE WHEN rk <= ceil(0.75 * nn) THEN v END), 6) AS q75
+         FROM r GROUP BY 1)
+       SELECT n.col_ AS "column", CAST(total AS BIGINT) AS n,
+              CAST(n_null AS BIGINT) AS n_null,
+              CAST(coalesce(ndv, 0) AS BIGINT) AS ndv,
+              min_v, max_v, q25, q50, q75
+       FROM nulls n LEFT JOIN s USING (col_)""",
+)
+def scale_column_stats(spark, sf_dir):
+    """ANALYZE-style exact column statistics (relational.column_stats):
+    per-column row/null/exact-NDV counts plus discrete quartiles
+    (percentile-disc at rank ceil(p·n) — deterministic, no interpolation
+    to diverge) over lineitem's numeric columns — the optimizer-stats /
+    profiling panel the layout and skew tooling consumes. One melt + one
+    per-column rank window + one aggregate."""
+    t = _t(spark, sf_dir)
+    return rel.column_stats(
+        t["lineitem"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

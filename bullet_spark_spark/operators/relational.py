@@ -454,3 +454,78 @@ def key_skew_report(
         F.ceil(F.col("__max") / mean).cast("long").alias("suggested_salt"),
     )
     return per_key.unionByName(total)
+
+
+def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column statistics → one row per column: (column, n,
+    n_null, ndv, min_v, max_v, q25, q50, q75) — the optimizer-stats /
+    data-profiling panel a pipeline collects before choosing join
+    strategies, bucket counts, or zone-map dimensions (the repo's own
+    layout and skew tooling consumes exactly these numbers). Exact, not
+    sampled: NDV is a true distinct count, quantiles are discrete
+    (percentile-disc semantics: the value at rank ceil(p·n) of the
+    non-null sort — deterministic and engine-portable, no interpolation
+    arithmetic to diverge).
+
+    Scale shape: columns MELT into (column, value) rows — one projected
+    explode, k× row amplification bounded by the requested column count
+    — then ONE column-keyed window (row_number over the per-column sort,
+    the rank machinery every exact quantile needs) and ONE aggregate:
+    counts/min/max are map-side combinable, each quantile is a
+    conditional max over ranks ≤ its target. Values surface as DOUBLE
+    rounded 6 dp (numeric columns only, by contract)."""
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.column", "m.v")
+    w = W.partitionBy("column").orderBy("v")
+    ranked = melted.where(F.col("v").isNotNull()).select(
+        "column",
+        "v",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(W.partitionBy("column")).alias("__n"),
+    )
+    nulls = (
+        melted.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("__total"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+    )
+
+    def q_at(p: float):
+        target = F.ceil(F.lit(p) * F.col("__n"))
+        return F.max(F.when(F.col("__r") <= target, F.col("v")))
+
+    stats = ranked.groupBy("column").agg(
+        F.count(F.lit(1)).alias("__nn"),
+        F.count_distinct(F.col("v")).alias("ndv"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+        F.round(q_at(0.25), 6).alias("q25"),
+        F.round(q_at(0.5), 6).alias("q50"),
+        F.round(q_at(0.75), 6).alias("q75"),
+    )
+    return (
+        nulls.join(stats, "column", "left")
+        .select(
+            "column",
+            F.col("__total").alias("n"),
+            "n_null",
+            F.coalesce(F.col("ndv"), F.lit(0)).alias("ndv"),
+            "min_v",
+            "max_v",
+            "q25",
+            "q50",
+            "q75",
+        )
+    )

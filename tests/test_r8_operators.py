@@ -451,3 +451,31 @@ def test_skew_report_null_key_component_distinct(spark):
     # NULL and empty-string components must NOT merge
     assert out["a|<null>"] == 2
     assert out["a|"] == 1
+
+
+# ---------------------------------------------------------------------------
+# column_stats
+# ---------------------------------------------------------------------------
+
+def test_column_stats_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 5.0), (2.0, 5.0), (4.0, 7.0)],
+        "a double, b double",
+    )
+    out = {r["column"]: r for r in rel.column_stats(df, ["a", "b"]).collect()}
+    assert out["a"]["n"] == 4 and out["a"]["n_null"] == 0
+    assert out["a"]["ndv"] == 3
+    assert out["a"]["min_v"] == 1.0 and out["a"]["max_v"] == 4.0
+    # ranks: [1.0, 2.0, 2.0, 4.0]; ceil(.25*4)=1 -> 1.0; ceil(.5*4)=2 -> 2.0;
+    # ceil(.75*4)=3 -> 2.0
+    assert (out["a"]["q25"], out["a"]["q50"], out["a"]["q75"]) == (1.0, 2.0, 2.0)
+    assert out["b"]["n"] == 4 and out["b"]["n_null"] == 1
+    assert out["b"]["ndv"] == 2
+    assert out["b"]["q50"] == 5.0  # quantiles over the 3 non-null values
+
+
+def test_column_stats_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "a double")
+    r = rel.column_stats(df, ["a"]).collect()[0]
+    assert (r["n"], r["n_null"], r["ndv"]) == (2, 2, 0)
+    assert r["min_v"] is None and r["q50"] is None
