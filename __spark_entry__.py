@@ -8587,6 +8587,7 @@ def scale_column_stats(spark, sf_dir):
 #   temporal_seasonal_decompose  (oracle-exact 2xMA decomposition)
 #   sampling_token_budget        (token-budget mixture plan)
 #   pipeline_ccnet_buckets       (chunk -> LM-score -> terciles capstone)
+#   scale_column_stats           (ANALYZE-style exact column stats)
 #   rows-only addition: multimodal_vad_segments (energy-VAD segmentation)
 #
 # Round-8 window (FROZEN at cut, r8 early): the 9 never-driver-green rows

@@ -87,6 +87,7 @@ BENCH = [
     "dedup_weighted_jaccard", # tf-weighted Jaccard posting self-join
     "dedup_eval_fuzzy",       # dedup eval harness (full-outer pair join)
     "pipeline_ccnet_buckets", # chunk -> LM-score -> perplexity terciles
+    "scale_column_stats",     # exact NDV + discrete quartiles (rank window)
 ]
 
 REPEATS = 3
