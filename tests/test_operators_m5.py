@@ -1367,3 +1367,38 @@ def test_mmr_matches_numpy_replica(spark, tables):
             sel.append(best)
             rem.remove(best)
             assert got[(qid, rank + 1)] == rows[best]["vec_id"]
+
+
+def test_streaming_neardup_within_batch_chain_greedy(spark, tmp_path):
+    """Transitive chain INSIDE one micro-batch: A~B, B~C, A!~C under
+    Jaccard — greedy first-occurrence-wins keeps A and C (the naive
+    pairwise rule dropped C too). md5 signatures make the estimates
+    deterministic, so the fixture either passes always or fails always."""
+    from bullet_spark_spark.sources.streaming import file_drip
+
+    w = [f"tok{i:02d}" for i in range(24)]
+    a = " ".join(w[0:12])    # J(a,b) = 8/16 = 0.5
+    b = " ".join(w[4:16])    # J(b,c) = 8/16 = 0.5
+    c = " ".join(w[8:20])    # J(a,c) = 4/20 = 0.2
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["doc_id", "text"])
+    stream = file_drip(spark, df, str(tmp_path / "in"), chunks=1)
+    q = dd.streaming_neardup_ingest(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        "doc_id",
+        "text",
+        threshold=0.35,
+        num_hashes=128,
+        bands=64,  # r=2: band collision ~0.18/band at J~0.43 -> recall ~1
+        signature_engine="md5",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    kept = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", str(tmp_path / "out"))
+        .parquet(str(tmp_path / "out"))
+        .collect()
+    }
+    assert kept == {0, 2}
