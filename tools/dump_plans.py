@@ -114,6 +114,7 @@ QUERIES = {
     "dedup_weighted_minhash": "multiset-expanded copies -> one groupBy(id) with k md5 mins; banding/verify are the shared LSH paths",
     "dedup_eval_fuzzy": "pair spaces canonicalized + ONE full-outer pair join + ONE aggregate; pair-space-sized throughout",
     "pipeline_ccnet_buckets": "chunk frame checkpointed once (feeds LM train + score); ntile over per-chunk rows; 3-row report",
+    "scale_column_stats": "columns melt once; ONE per-column rank window + ONE agg (quantiles = conditional max over ranks)",
 }
 
 
