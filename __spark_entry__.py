@@ -8507,6 +8507,89 @@ def scale_column_stats(spark, sf_dir):
     )
 
 
+@q(
+    "distribution_chi2_gof",
+    """WITH counts AS (
+         SELECT event_type AS cat, count(*) AS o FROM events GROUP BY 1),
+       tot AS (SELECT sum(o) AS n_, count(*) AS k_ FROM counts),
+       terms AS (
+         SELECT n_, k_,
+                CAST(round(pow(o - CAST(n_ AS DOUBLE) / k_, 2)
+                           / (CAST(n_ AS DOUBLE) / k_), 8)
+                     AS DECIMAL(18,8)) AS term
+         FROM counts, tot)
+       SELECT CAST(n_ AS BIGINT) AS n, CAST(k_ AS BIGINT) AS k,
+              round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+              CAST(k_ - 1 AS BIGINT) AS dof
+       FROM terms GROUP BY n_, k_""",
+)
+def distribution_chi2_gof(spark, sf_dir):
+    """Chi-square goodness-of-fit (distribution.chi2_gof) of the
+    event-type mix against uniform — the categorical counterpart of the
+    exact KS test (distribution_ks_test): one count-by-category
+    aggregate, per-category (o−e)²/e terms rounded 8 dp and summed as
+    exact decimals. The classical drift statistic beside PSI's
+    magnitude-only report."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    return dist.chi2_gof(t["events"], "event_type")
+
+
+@q(
+    "temporal_holt_forecast",
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d, count(*) AS v
+         FROM events GROUP BY 1, 2),
+       ser AS (
+         SELECT event_type,
+                list(CAST(v AS DOUBLE) ORDER BY d, v) AS vals
+         FROM daily GROUP BY 1),
+       -- the sequential Holt fold as a recursive CTE: l and b on the
+       -- right-hand side are the PREVIOUS step's values by SQL semantics
+       -- (DuckDB 1.0 list_reduce struct lambdas mutate the accumulator
+       -- field-by-field — field b would see the already-updated l)
+       rec AS (
+         SELECT event_type, vals, 1 AS t,
+                vals[1] AS l, CAST(0.0 AS DOUBLE) AS b
+         FROM ser WHERE len(vals) > 0
+         UNION ALL
+         SELECT event_type, vals, t + 1,
+                floor((0.5 * vals[t+1] + 0.5 * (l + b)) * 1e9) / 1e9,
+                floor((0.25 * (floor((0.5 * vals[t+1] + 0.5 * (l + b)) * 1e9) / 1e9
+                               - l)
+                       + 0.75 * b) * 1e9) / 1e9
+         FROM rec WHERE t < len(vals)),
+       st AS (SELECT event_type, l, b FROM rec WHERE t = len(vals))
+       SELECT event_type, CAST(h AS BIGINT) AS h,
+              floor(l * 1e6) / 1e6 AS level,
+              floor(b * 1e6) / 1e6 AS trend,
+              floor(floor((l + h * b) * 1e9) / 1e9 * 1e6) / 1e6 AS forecast
+       FROM st, (SELECT unnest([1, 2, 3]) AS h)""",
+)
+def temporal_holt_forecast(spark, sf_dir):
+    """Holt linear-trend smoothing + 3-step forecast
+    (temporal.holt_linear_forecast, α=0.5 β=0.25 — binary-exact
+    literals) of the per-event-type daily volume — the classical
+    capacity forecast beside seasonal_decompose's shape report. The
+    sequential recurrence folds over each key's ordered series with
+    floor-quantized state updates, and the DuckDB oracle replays the
+    identical fold via list_reduce — an iterative forecaster
+    hash-matched value-for-value."""
+    t = _t(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return tmp.holt_linear_forecast(
+        daily, "d", "v", alpha=0.5, beta=0.25, horizon=3,
+        key_cols=["event_type"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -8588,6 +8671,8 @@ def scale_column_stats(spark, sf_dir):
 #   sampling_token_budget        (token-budget mixture plan)
 #   pipeline_ccnet_buckets       (chunk -> LM-score -> terciles capstone)
 #   scale_column_stats           (ANALYZE-style exact column stats)
+#   distribution_chi2_gof        (chi-square GOF beside the KS test)
+#   temporal_holt_forecast       (Holt linear trend, recursive-CTE oracle)
 #   rows-only addition: multimodal_vad_segments (energy-VAD segmentation)
 #
 # Round-8 window (FROZEN at cut, r8 early): the 9 never-driver-green rows

@@ -519,3 +519,86 @@ def ks_two_sample(
             6,
         ).alias("p_approx"),
     )
+
+
+def chi2_gof(
+    df: DataFrame,
+    category_col: str,
+    expected: dict[str, float] | None = None,
+) -> DataFrame:
+    """Chi-square goodness-of-fit → one row (n, k, chi2, dof): does the
+    observed categorical distribution match the expected one? The
+    categorical counterpart of :func:`ks_two_sample` — the drift check a
+    pipeline runs on event types, sources, or language mixes between
+    corpus snapshots (PSI flags magnitude; chi-square carries the
+    classical test statistic with known asymptotics).
+
+    ``expected`` maps category → probability (must cover every observed
+    category; probabilities need not sum exactly to 1 — they normalize).
+    ``None`` tests against the UNIFORM distribution over the observed
+    categories. Categories in ``expected`` but not observed contribute
+    e_i = n·p_i with o_i = 0 (the full penalty, not silently skipped).
+
+    Scale shape: ONE count-by-category aggregate (map-side combinable,
+    state = one counter per category) + arithmetic over the
+    category-space frame. Per-category terms (o−e)²/e round 8 dp and sum
+    as exact decimals (order-independent), the statistic rounds 6 dp —
+    engine-portable, oracle-checkable."""
+    counts = df.groupBy(F.col(category_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    if expected is not None:
+        spark = df.sparkSession
+        total_p = float(sum(expected.values()))
+        probs = spark.createDataFrame(
+            [(k, float(v) / total_p) for k, v in sorted(expected.items())],
+            "cat string, p double",
+        )
+        joined = probs.join(counts, "cat", "left").select(
+            "cat", F.coalesce(F.col("o"), F.lit(0)).alias("o"), "p"
+        )
+        stats = joined.crossJoin(
+            F.broadcast(
+                joined.agg(
+                    F.sum("o").alias("__n"), F.count(F.lit(1)).alias("__k")
+                )
+            )
+        ).select(
+            "__n",
+            "__k",
+            F.round(
+                F.pow(F.col("o") - F.col("p") * F.col("__n"), 2)
+                / (F.col("p") * F.col("__n")),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("__term"),
+        )
+    else:
+        stats = counts.crossJoin(
+            F.broadcast(
+                counts.agg(
+                    F.sum("o").alias("__n"), F.count(F.lit(1)).alias("__k")
+                )
+            )
+        ).select(
+            "__n",
+            "__k",
+            F.round(
+                F.pow(
+                    F.col("o") - F.col("__n").cast("double") / F.col("__k"), 2
+                )
+                / (F.col("__n").cast("double") / F.col("__k")),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("__term"),
+        )
+    return stats.groupBy("__n", "__k").agg(
+        F.round(F.sum("__term").cast("double"), 6).alias("chi2")
+    ).select(
+        F.col("__n").alias("n"),
+        F.col("__k").alias("k"),
+        "chi2",
+        (F.col("__k") - 1).cast("long").alias("dof"),
+    )

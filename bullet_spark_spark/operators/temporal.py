@@ -749,3 +749,98 @@ def seasonal_decompose_additive(
         qout(F.col("__soff")).alias("seasonal"),
         qout(F.col("__vraw").cast("double") - F.col("trend") - F.col("__soff")).alias("resid"),
     )
+
+
+def holt_linear_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+    key_cols: list[str] | None = None,
+    quant_dp: int = 9,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing + h-step forecast
+    (Holt 1957, the classical double-smoothing method — public
+    knowledge) → one row per key per step: (key..., h, level, trend,
+    forecast):
+
+        l_t = q(α·x_t + (1−α)·(l_{t−1} + b_{t−1}))
+        b_t = q(β·(l_t − l_{t−1}) + (1−β)·b_{t−1})
+        forecast(h) = q(l_n + h·b_n)
+
+    initialized l_0 = x_0, b_0 = 0 (the zero-trend convention — it only
+    matters for very short series, and both engines replay it
+    identically). The one-line capacity/volume forecast a monitoring
+    stack runs after :func:`seasonal_decompose_additive` has taken the
+    seasonal shape out.
+
+    Engine-exactness: the recurrence is inherently sequential, so it
+    evaluates as ONE fold over each key's ordered value list (the ewma
+    posture) with every state update floor-quantized at ``quant_dp``
+    (q(y) = floor(y·10^dp)/10^dp — bit-identical IEEE in any engine; the
+    pagerank discipline). The DuckDB oracle runs the same fold via
+    list_reduce over a struct-transformed list, same order, same
+    quantization — value-for-value hash-matched, not tolerance-checked.
+
+    Scale shape: ONE key-partition shuffle; each key's series collects
+    into a single ordered array (state bounded by series length per key
+    — regularize/bucket first if a key's series exceeds executor memory,
+    e.g. via time_bucket_rollup), then the fold is row-local and the
+    horizon explode emits h rows per key."""
+    keys = list(key_cols or [])
+    scale = float(10 ** quant_dp)
+
+    def q(col):
+        return F.floor(col * F.lit(scale)) / F.lit(scale)
+
+    a, b_ = float(alpha), float(beta)
+    ordered = (
+        df.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("__series")
+        )
+        .withColumn("__vals", F.transform("__series", lambda s: s["v"]))
+    )
+    init = F.struct(
+        F.element_at("__vals", 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    rest = F.slice(F.col("__vals"), 2, F.greatest(F.size("__vals") - 1, F.lit(0)))
+
+    def step(acc, x):
+        new_l = q(F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"]))
+        new_b = q(
+            F.lit(b_) * (new_l - acc["l"]) + F.lit(1.0 - b_) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    fitted = ordered.where(F.size("__vals") > 0).select(
+        *keys, F.aggregate(rest, init, step).alias("__st")
+    )
+    return fitted.select(
+        *keys,
+        F.col("__st.l").alias("level"),
+        F.col("__st.b").alias("trend"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h"),
+    ).select(
+        *keys,
+        F.col("h").cast("long").alias("h"),
+        # floor-quantized output surface (seasonal_decompose posture):
+        # round() on 1e-9-quantized doubles can tie-flip between engines
+        (F.floor(F.col("level") * F.lit(1e6)) / F.lit(1e6)).alias("level"),
+        (F.floor(F.col("trend") * F.lit(1e6)) / F.lit(1e6)).alias("trend"),
+        (
+            F.floor(
+                q(F.col("level") + F.col("h") * F.col("trend")) * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("forecast"),
+    )

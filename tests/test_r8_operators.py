@@ -479,3 +479,82 @@ def test_column_stats_all_null_column(spark):
     r = rel.column_stats(df, ["a"]).collect()[0]
     assert (r["n"], r["n_null"], r["ndv"]) == (2, 2, 0)
     assert r["min_v"] is None and r["q50"] is None
+
+
+# ---------------------------------------------------------------------------
+# chi2_gof
+# ---------------------------------------------------------------------------
+
+def test_chi2_gof_uniform_exact(spark):
+    from bullet_spark_spark.operators import distribution as dist
+
+    # counts 30/10: expected 20 each -> chi2 = 100/20 + 100/20 = 10
+    rows = [("a",)] * 30 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "cat string")
+    r = dist.chi2_gof(df, "cat").collect()[0]
+    assert (r["n"], r["k"], r["dof"]) == (40, 2, 1)
+    assert r["chi2"] == 10.0
+
+
+def test_chi2_gof_expected_probs_and_missing_category(spark):
+    from bullet_spark_spark.operators import distribution as dist
+
+    # observed 'a'x9, 'b'x3; expected p(a)=.5 p(b)=.25 p(c)=.25 over n=12:
+    # e = (6, 3, 3); chi2 = 9/6 + 0 + 9/3 = 4.5; c unobserved -> full penalty
+    rows = [("a",)] * 9 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "cat string")
+    r = dist.chi2_gof(df, "cat", {"a": 0.5, "b": 0.25, "c": 0.25}).collect()[0]
+    assert (r["n"], r["k"], r["dof"]) == (12, 3, 2)
+    assert r["chi2"] == 4.5
+
+
+def test_chi2_gof_perfect_fit_zero(spark):
+    from bullet_spark_spark.operators import distribution as dist
+
+    rows = [("x",)] * 5 + [("y",)] * 5
+    r = dist.chi2_gof(spark.createDataFrame(rows, "cat string"), "cat").collect()[0]
+    assert r["chi2"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# holt_linear_forecast
+# ---------------------------------------------------------------------------
+
+def test_holt_forecast_exact_recurrence(spark):
+    import math
+
+    from bullet_spark_spark.operators import temporal as tmp_ops
+
+    vals = [10.0, 12.0, 11.0, 15.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {r["h"]: r for r in tmp_ops.holt_linear_forecast(
+        df, "t", "v", alpha=0.5, beta=0.25, horizon=2, key_cols=["k"]
+    ).collect()}
+
+    def q(y):
+        return math.floor(y * 1e9) / 1e9
+
+    l, b = vals[0], 0.0
+    for x in vals[1:]:
+        nl = q(0.5 * x + 0.5 * (l + b))
+        nb = q(0.25 * (nl - l) + 0.75 * b)
+        l, b = nl, nb
+    assert out[1]["level"] == math.floor(l * 1e6) / 1e6
+    assert out[1]["trend"] == math.floor(b * 1e6) / 1e6
+    for h in (1, 2):
+        assert out[h]["forecast"] == math.floor(q(l + h * b) * 1e6) / 1e6
+    # upward-trending series forecasts higher ahead
+    assert out[2]["forecast"] > out[1]["forecast"]
+
+
+def test_holt_forecast_single_point_series(spark):
+    from bullet_spark_spark.operators import temporal as tmp_ops
+
+    df = spark.createDataFrame([(1, 0, 7.0)], "k long, t long, v double")
+    out = tmp_ops.holt_linear_forecast(
+        df, "t", "v", horizon=2, key_cols=["k"]
+    ).collect()
+    assert len(out) == 2
+    assert all(r["level"] == 7.0 and r["trend"] == 0.0 and r["forecast"] == 7.0
+               for r in out)
