@@ -88,6 +88,8 @@ BENCH = [
     "dedup_eval_fuzzy",       # dedup eval harness (full-outer pair join)
     "pipeline_ccnet_buckets", # chunk -> LM-score -> perplexity terciles
     "scale_column_stats",     # exact NDV + discrete quartiles (rank window)
+    "distribution_chi2_gof",  # chi-square GOF (one combinable count agg)
+    "temporal_holt_forecast", # Holt fold over per-key ordered series
 ]
 
 REPEATS = 3
