@@ -965,10 +965,23 @@ def _greedy_pair_drops(
     ``pre_dropped`` ids (e.g. already condemned by a history store whose
     members are ALL kept and smaller) start outside K and can never
     condemn anyone. Each round is two pair-space joins; every frame here
-    is pair-bounded, never corpus-bounded."""
-    p = pairs.select(
-        F.col(id_a).alias("__a"), F.col(id_b).alias("__b")
-    ).distinct().localCheckpoint(eager=True)
+    is pair-bounded, never corpus-bounded.
+
+    Input orientation is CANONICALIZED here (least/greatest + self-pair
+    drop), not assumed: both current callers already emit id_a < id_b,
+    but a future caller passing unordered or symmetric pairs would
+    otherwise get a silently wrong drop set (a pair present both ways
+    condemns BOTH members — mutual condemnation — instead of the greedy
+    larger-only rule)."""
+    p = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("__a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("__b"),
+        )
+        .where(F.col("__a") < F.col("__b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ids = (
         p.select(F.col("__a").alias("id"))
         .unionByName(p.select(F.col("__b").alias("id")))

@@ -538,6 +538,14 @@ def chi2_gof(
     ``None`` tests against the UNIFORM distribution over the observed
     categories. Categories in ``expected`` but not observed contribute
     e_i = n·p_i with o_i = 0 (the full penalty, not silently skipped).
+    The coverage contract is ENFORCED, not just stated: an observed
+    category absent from ``expected`` raises (it is the strongest drift
+    signal a drift test could see — silently dropping it from both n and
+    the statistic, which is what the join would otherwise do, understates
+    chi2 exactly when it matters most), and non-positive probabilities
+    raise up front (a zero expected count makes (o−e)²/e a NULL term that
+    sum() would silently skip). Enforcement costs one anti-join count
+    over the category-bounded counts frame — metadata scale.
 
     Scale shape: ONE count-by-category aggregate (map-side combinable,
     state = one counter per category) + arithmetic over the
@@ -548,12 +556,31 @@ def chi2_gof(
         F.count(F.lit(1)).alias("o")
     )
     if expected is not None:
+        if any(float(v) <= 0.0 for v in expected.values()):
+            bad = sorted(k for k, v in expected.items() if float(v) <= 0.0)
+            raise ValueError(
+                "chi2_gof: expected probabilities must be positive; "
+                f"non-positive for categories {bad[:5]}"
+            )
         spark = df.sparkSession
         total_p = float(sum(expected.values()))
         probs = spark.createDataFrame(
             [(k, float(v) / total_p) for k, v in sorted(expected.items())],
             "cat string, p double",
         )
+        uncovered = (
+            counts.join(F.broadcast(probs), "cat", "left_anti")
+            .select("cat")
+            .limit(5)
+            .collect()
+        )
+        if uncovered:
+            raise ValueError(
+                "chi2_gof: observed categories missing from `expected` "
+                f"(first few: {sorted(r['cat'] for r in uncovered)}) — a "
+                "new category is a drift signal, not a row to drop; add "
+                "it to `expected` or test against None (uniform)"
+            )
         joined = probs.join(counts, "cat", "left").select(
             "cat", F.coalesce(F.col("o"), F.lit(0)).alias("o"), "p"
         )

@@ -469,11 +469,20 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
 
     Scale shape: columns MELT into (column, value) rows — one projected
     explode, k× row amplification bounded by the requested column count
-    — then ONE column-keyed window (row_number over the per-column sort,
-    the rank machinery every exact quantile needs) and ONE aggregate:
-    counts/min/max are map-side combinable, each quantile is a
-    conditional max over ranks ≤ its target. Values surface as DOUBLE
+    — then a RANGE-partitioned global rank (the exact_quantiles_distributed
+    posture): repartitionByRange on (column, v) spreads each column's
+    values across many contiguous-range partitions, per-(column,
+    partition) counts roll up to per-column offsets via a window over the
+    tiny column×partition metadata frame, and global rank = offset +
+    row_number within the (column, partition) slice. No task ever sorts
+    an entire column's row set — the naive `row_number over (partition by
+    column order by v)` window funnels each column through ONE reducer
+    (per-column straggler/OOM at scale), which is exactly what this
+    layout avoids while computing the identical exact ranks. One final
+    aggregate: counts/min/max are map-side combinable, each quantile is
+    a conditional max over ranks ≤ its target. Values surface as DOUBLE
     rounded 6 dp (numeric columns only, by contract)."""
+    spark = df.sparkSession
     melted = df.select(
         F.explode(
             F.array(
@@ -487,12 +496,35 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         ).alias("m")
     ).select("m.column", "m.v")
-    w = W.partitionBy("column").orderBy("v")
-    ranked = melted.where(F.col("v").isNotNull()).select(
+    n_range = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        melted.where(F.col("v").isNotNull())
+        .repartitionByRange(n_range, "column", "v")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    pc = ranged.groupBy("column", "__pid").agg(F.count(F.lit(1)).alias("__pc"))
+    # offsets: window over the column×partition METADATA frame (≤ k·P rows)
+    offsets = pc.select(
+        "column",
+        "__pid",
+        (
+            F.sum("__pc").over(
+                W.partitionBy("column").orderBy("__pid")
+            )
+            - F.col("__pc")
+        ).alias("__off"),
+        F.sum("__pc").over(W.partitionBy("column")).alias("__n"),
+    )
+    ranked = ranged.join(F.broadcast(offsets), ["column", "__pid"]).select(
         "column",
         "v",
-        F.row_number().over(w).alias("__r"),
-        F.count(F.lit(1)).over(W.partitionBy("column")).alias("__n"),
+        (
+            F.col("__off")
+            + F.row_number().over(
+                W.partitionBy("column", "__pid").orderBy("v")
+            )
+        ).alias("__r"),
+        "__n",
     )
     nulls = (
         melted.groupBy("column")

@@ -481,6 +481,36 @@ def test_column_stats_all_null_column(spark):
     assert r["min_v"] is None and r["q50"] is None
 
 
+def test_column_stats_distributed_rank_exact(spark):
+    # r9 advisory: quantile ranks now come from a range-partitioned global
+    # rank (offset + per-slice row_number), not a per-column single-reducer
+    # window. Pin exact percentile-disc values over a column large enough
+    # to span many range partitions: v = 1..1000 -> ceil(p*n) ranks.
+    df = spark.range(1, 1001).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"),
+    )
+    out = {r["column"]: r for r in rel.column_stats(df, ["a", "b"]).collect()}
+    assert out["a"]["n"] == 1000 and out["a"]["ndv"] == 1000
+    assert (out["a"]["q25"], out["a"]["q50"], out["a"]["q75"]) == (
+        250.0,
+        500.0,
+        750.0,
+    )
+    assert out["b"]["ndv"] == 7 and out["b"]["min_v"] == 0.0
+    # the row-scale rank window partitions by (column, __pid) — the only
+    # column-alone windows left run over the column×partition METADATA
+    # frame (offsets/__n), never the melted rows; pin that the rank path
+    # is range-partitioned by checking the plan carries a RangePartitioning
+    plan = (
+        rel.column_stats(df, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 # ---------------------------------------------------------------------------
 # chi2_gof
 # ---------------------------------------------------------------------------
@@ -506,6 +536,26 @@ def test_chi2_gof_expected_probs_and_missing_category(spark):
     r = dist.chi2_gof(df, "cat", {"a": 0.5, "b": 0.25, "c": 0.25}).collect()[0]
     assert (r["n"], r["k"], r["dof"]) == (12, 3, 2)
     assert r["chi2"] == 4.5
+
+
+def test_chi2_gof_rejects_uncovered_observed_category(spark):
+    from bullet_spark_spark.operators import distribution as dist
+
+    # r9 advisory: an observed category missing from `expected` is the
+    # strongest drift signal — it must raise, not silently drop from n
+    # and the statistic
+    rows = [("a",)] * 5 + [("b",)] * 5 + [("NEW",)] * 3
+    df = spark.createDataFrame(rows, "cat string")
+    with pytest.raises(ValueError, match="missing from `expected`"):
+        dist.chi2_gof(df, "cat", {"a": 0.5, "b": 0.5}).collect()
+
+
+def test_chi2_gof_rejects_nonpositive_probability(spark):
+    from bullet_spark_spark.operators import distribution as dist
+
+    df = spark.createDataFrame([("a",), ("b",)], "cat string")
+    with pytest.raises(ValueError, match="must be positive"):
+        dist.chi2_gof(df, "cat", {"a": 1.0, "b": 0.0})
 
 
 def test_chi2_gof_perfect_fit_zero(spark):

@@ -202,6 +202,18 @@ def test_greedy_pair_drops_pre_dropped_cannot_condemn(spark):
     assert drops == {0, 2}  # 0 pre-dropped, 1 kept, 2 condemned by 1
 
 
+def test_greedy_pair_drops_canonicalizes_unordered_pairs(spark):
+    """r9 advisory: a caller passing symmetric/unordered pairs must get
+    the canonical greedy drop set, not mutual condemnation. (0,1) given
+    BOTH ways plus a reversed (2,1) and a self-pair (3,3) must resolve
+    identically to the canonical [(0,1),(1,2)] chain: drop {1} only."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 1), (3, 3)], "id_a long, id_b long"
+    )
+    drops = {r["id"] for r in dd._greedy_pair_drops(pairs).collect()}
+    assert drops == {1}
+
+
 def test_greedy_pair_drops_four_chain(spark):
     # 0-1-2-3 path: greedy keeps {0, 2}
     pairs = spark.createDataFrame(
