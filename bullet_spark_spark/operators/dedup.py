@@ -1496,7 +1496,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_cos: float = 0.30,
-    max_df: int | None = None,
+    max_df: int | None = 100_000,
     max_df_frac: float | None = 0.3,
     broadcast_below: int = 2_000_000,
 ) -> DataFrame:
@@ -1514,9 +1514,13 @@ def tfidf_cosine_pairs(
     alone contributes |corpus|² candidate pairs (measured: the unpruned
     join is 24 s at 5 000 docs and quadratic beyond). ``max_df_frac``
     (default 0.3) drops terms appearing in more than that fraction of
-    documents — corpus-relative, so the bound scales with the data;
-    ``max_df`` is the absolute variant; both None = exact (test only).
-    Pruned terms carry near-zero idf anyway — every IR stack does this.
+    documents — corpus-relative boilerplate removal; ``max_df``
+    (absolute, default 100 000) is the cap that actually bounds the join
+    at web scale: a term surviving only the fractional cap contributes
+    (0.3·N)² pairs — quadratic in N — where the absolute cap holds each
+    term's contribution at a constant max_df² (SCALE.md posting-join
+    budget rule). Both None = exact (test only). Pruned terms carry
+    near-zero idf anyway — every IR stack does this.
     Dot products and norms accumulate as ROUNDED-then-DECIMAL terms
     (order-independent, engine-exact); idf is rounded 8 dp before use so
     ln() differences below 1e-8 can't flip the hash.
@@ -1605,7 +1609,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     min_containment: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 100_000,
     max_df_frac: float | None = 0.5,
     broadcast_below: int = 2_000_000,
 ) -> DataFrame:
@@ -1629,10 +1633,12 @@ def containment_pairs(
     ``tfidf_cosine_pairs`` carries, and SpotSigs' stopword-anchor
     argument). Per-doc set sizes are computed AFTER the prune so
     containment stays a well-defined statistic (|A∩B| / min|A|,|B|) on
-    the pruned gram space; ``max_df``/``max_df_frac=None`` = exact
-    (small-sf / test only). Shared counts from the posting self-join —
-    bounded Σ_t df(t)² with df ≤ max(max_df, max_df_frac·N); containment
-    is a pure projection. Fully cross-engine (md5-free: grams compare as
+    the pruned gram space; both caps ``None`` = exact (small-sf / test
+    only). Shared counts from the posting self-join — Σ_t df(t)²
+    candidate pairs with df ≤ min(max_df, max_df_frac·N). The ABSOLUTE
+    ``max_df`` (default 100 000) is the cap that holds at web scale: the
+    fractional cap alone admits (0.5·N)² pairs per surviving gram —
+    quadratic in N (SCALE.md posting-join budget rule). Fully cross-engine (md5-free: grams compare as
     text). Per-doc size frames broadcast only under ``broadcast_below``
     docs (~32 MB at the default) — above that AQE picks the join.
     """
@@ -2365,6 +2371,7 @@ def weighted_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.4,
+    max_df: int | None = 100_000,
     max_df_frac: float | None = 0.5,
 ) -> DataFrame:
     """Exact TF-WEIGHTED Jaccard pairs → (id_a, id_b, wjaccard):
@@ -2381,28 +2388,43 @@ def weighted_jaccard_pairs(
     never the union space, never all pairs.
 
     Scale shape (the containment_pairs posture): (id, gram, tf) postings
-    from one explode + count; grams present in more than
-    ``max_df_frac`` of documents are pruned BEFORE the posting self-join
-    (bounds Σdf² — pass ``None`` for the unpruned exact measure; totals
-    are computed over the SAME pruned gram space so the ratio stays a
-    true weighted Jaccard of that space); one gram-keyed self-join with
-    per-pair min-sums; doc totals broadcast-join back. Integer tf
-    arithmetic end-to-end, ratio rounded 6 dp — oracle-exact."""
+    from one explode + count; grams over EITHER df cap are pruned BEFORE
+    the posting self-join (totals are computed over the SAME pruned gram
+    space so the ratio stays a true weighted Jaccard of that space; pass
+    both ``None`` for the unpruned exact measure — test only); one
+    gram-keyed self-join with per-pair min-sums; doc totals
+    broadcast-join back. Integer tf arithmetic end-to-end, ratio rounded
+    6 dp — oracle-exact.
+
+    Candidate-pair budget (why BOTH caps, and why the ABSOLUTE one is
+    the default that matters): the self-join emits Σ_g df(g)² candidate
+    pairs. ``max_df_frac`` alone is NOT a bound at web scale — a gram
+    surviving a 0.5·N fractional cap contributes (0.5·N)² pairs, i.e.
+    quadratic in corpus size. ``max_df`` (absolute, default 100 000)
+    caps each gram's contribution at a CONSTANT 10¹⁰ regardless of N,
+    making the join linear in the number of surviving grams; the
+    fraction remains the corpus-relative boilerplate knob for small
+    corpora where the absolute cap never binds. The effective cap is
+    min(max_df, max_df_frac·N) — the rule is stated once in SCALE.md's
+    posting-join budget section and shared by containment_pairs and
+    tfidf_cosine_pairs."""
     # persist the RAW postings: the df-prune, totals, and the self-join's
     # two sides all derive from this one frame — without the cache each
     # consumer re-runs the corpus scan + explode (audit_scans-caught)
     tf = _persist_sigs(_gram_tf(df, id_col, text_col, n))
-    if max_df_frac is not None:
-        # count(*) on the RAW frame: a 1-row aggregate needs no parallel
-        # width, so widen_thin_input here would insert a corpus-sized
-        # round-robin exchange whose only consumer is this scalar
-        n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
+    if max_df_frac is not None or max_df is not None:
         gram_df = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
-        keep = (
-            gram_df.crossJoin(F.broadcast(n_docs))  # 1-row count frame
-            .filter(F.col("__df") <= F.lit(max_df_frac) * F.col("__nd"))
-            .select("gram")
-        )
+        cap = F.lit(max_df).cast("double") if max_df is not None else None
+        if max_df_frac is not None:
+            # count(*) on the RAW frame: a 1-row aggregate needs no
+            # parallel width, so widen_thin_input here would insert a
+            # corpus-sized round-robin exchange whose only consumer is
+            # this scalar
+            n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
+            gram_df = gram_df.crossJoin(F.broadcast(n_docs))
+            frac_cap = F.lit(max_df_frac) * F.col("__nd")
+            cap = frac_cap if cap is None else F.least(cap, frac_cap)
+        keep = gram_df.filter(F.col("__df") <= cap).select("gram")
         tf = tf.join(keep, "gram")
     totals = tf.groupBy("id").agg(F.sum("tf").alias("total"))
     a, b = tf.alias("a"), tf.alias("b")

@@ -381,6 +381,50 @@ def test_weighted_jaccard_identical_docs_one(spark):
     assert out[0]["wjaccard"] == 1.0
 
 
+def test_posting_join_absolute_df_cap_bounds_candidates(spark):
+    """r9 verdict task: the exact posting-join family must honor an
+    ABSOLUTE df cap (the fractional cap alone admits (f·N)² candidate
+    pairs — quadratic at web scale). Four docs all share one hot gram
+    (df=4); with max_df=3 and the fraction disabled, pairs through that
+    gram must vanish from all three operators."""
+    # "h1 h2 h3" is the only gram every doc shares (df=4); each doc also
+    # carries private grams so it still has postings after the prune
+    docs = spark.createDataFrame(
+        [(i, f"h1 h2 h3 u{i}a u{i}b u{i}c") for i in range(4)],
+        "doc_id long, text string",
+    )
+    wj = dd.weighted_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0,
+        max_df=3, max_df_frac=None,
+    ).collect()
+    assert wj == []  # the hot gram was the only shared one
+    cp = dd.containment_pairs(
+        docs, "doc_id", "text", n=3, min_containment=0.0,
+        max_df=3, max_df_frac=None,
+    ).collect()
+    assert cp == []
+    tc = dd.tfidf_cosine_pairs(
+        docs, "doc_id", "text", min_cos=0.0,
+        max_df=3, max_df_frac=None,
+    ).collect()
+    # tokens (not grams) here: h1/h2/h3 each have df=4 > 3 — pruned;
+    # private tokens never join across docs
+    assert tc == []
+    # with the cap relaxed the pairs reappear (6 pairs from 4 docs)
+    wj_all = dd.weighted_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0,
+        max_df=None, max_df_frac=None,
+    ).collect()
+    assert len(wj_all) == 6
+    # and the effective cap is min(absolute, fractional): frac=1.0 with
+    # max_df=3 must still prune (absolute wins)
+    wj_min = dd.weighted_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0,
+        max_df=3, max_df_frac=1.0,
+    ).collect()
+    assert wj_min == []
+
+
 def test_weighted_minhash_estimates_exact_weighted_jaccard(spark):
     """Estimator sanity: with 64 hashes, the weighted-minhash estimate of
     each pair tracks the exact multiset Jaccard within the binomial
