@@ -8363,6 +8363,65 @@ def dedup_weighted_minhash(spark, sf_dir):
     )
 
 
+@q("dedup_weighted_minhash_cws")  # rows-only: xxhash64-seeded CWS sampling
+def dedup_weighted_minhash_cws(spark, sf_dir):
+    """Ioffe Consistent Weighted Sampling near-dup pairs
+    (dedup.weighted_minhash_dedup_pairs_cws) — the heavy-tail-safe scale
+    path of the weighted-Jaccard family: O(num_hashes) per DISTINCT gram
+    regardless of tf (the multiset-reduction twin expands tf copies per
+    gram, which degrades on repetition-heavy documents), and real-valued
+    weights. Engine-seeded (xxhash64) → rows-only; the OUTPUT here is the
+    differential itself: each CWS pair carries the exact wjaccard from
+    weighted_jaccard_pairs and its absolute estimator error, and the
+    sweep's quality assert (quality_asserts) pins the mean |err| inside
+    the k=32 binomial band — broken sampling cannot pass silently."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    est = dd.weighted_minhash_dedup_pairs_cws(
+        docs, "doc_id", "text", threshold=0.3, num_hashes=32, bands=16
+    )
+    # pair-sized eager checkpoint: est feeds BOTH the output join and the
+    # id restriction below, and the exact operator's own _persist_sigs
+    # would evict the CWS signature cache (single-slot), re-running the
+    # whole signature stage per consumer without this
+    est = est.localCheckpoint(eager=True)
+    # exact reference restricted to the docs appearing in CWS pairs — a
+    # pair's weighted Jaccard depends only on its two documents, so the
+    # restriction is sound, and the tiny sub-corpus runs UNPRUNED
+    # (max_df=None): the reference is the TRUE multiset Jaccard, not the
+    # pruned-space one
+    ids = (
+        est.select(F.col("id_a").alias("doc_id"))
+        .unionByName(est.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    exact = dd.weighted_jaccard_pairs(
+        docs.join(F.broadcast(ids), "doc_id", "left_semi"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.0,
+        max_df=None,
+        max_df_frac=None,
+    ).select("id_a", "id_b", "wjaccard")
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.coalesce(F.col("wjaccard"), F.lit(0.0)).alias("wjaccard"),
+            F.round(
+                F.abs(
+                    F.col("est_jaccard")
+                    - F.coalesce(F.col("wjaccard"), F.lit(0.0))
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+    )
+
+
 @q(
     "pipeline_ccnet_buckets",
     r"""WITH raw AS (
@@ -9054,3 +9113,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# In-sweep quality asserts for rows-only queries (r9 verdict task 6).
+#
+# A rows-only query has no DuckDB oracle (engine-seeded hashing, trained
+# state, or mapInPandas numerics), so the driver records only a row count.
+# These callables give the LOCAL gate (tools/check_oracle.py) teeth on that
+# ledger: each takes (spark, sf_dir, rows) — the collected output of its
+# query — and raises AssertionError when the engine-seeded surface violates
+# the statistical guarantee its docstring claims. The driver ignores this
+# hook; the committed sweep artifact (ORACLE_SF01.json) records per-query
+# assert status so the certification is a repo artifact, not a claim.
+# ---------------------------------------------------------------------------
+
+def _assert_cws_differential(spark, sf_dir, rows):
+    """CWS estimator error must sit in the k=32 binomial band around the
+    exact weighted Jaccard (per-pair se = sqrt(J(1-J)/32) ≤ 0.0884)."""
+    assert rows, "CWS found no pairs — the fixture plants near-dups"
+    errs = [float(r["abs_err"]) for r in rows]
+    mean_err = sum(errs) / len(errs)
+    assert mean_err <= 0.12, f"mean |est-exact| {mean_err:.4f} > 0.12"
+    assert max(errs) <= 0.50, f"max |est-exact| {max(errs):.4f} > 0.50 (~5 se)"
+
+
+def _assert_cms_guarantees(spark, sf_dir, rows):
+    """Count-Min hard guarantee: NEVER underestimates; soft guarantee:
+    the worst overcount stays within 5·(e/w)·N (per-key failure prob
+    (1/(5e))^d ≈ 2e-6 at d=5 — a catastrophic-bug detector, not a tight
+    bound; the exact md5 twin sketch_cms_error_md5 is the certified
+    error surface)."""
+    import math as _math
+
+    assert all(int(r["overcount"]) >= 0 for r in rows), "CMS underestimated"
+    n = _t(spark, sf_dir)["orders"].count()
+    cap = 5.0 * (_math.e / 2048.0) * n
+    worst = max((int(r["overcount"]) for r in rows), default=0)
+    assert worst <= cap, f"worst overcount {worst} > 5·ε·N = {cap:.1f}"
+
+
+_ASSERTS: dict[str, Callable] = {
+    "dedup_weighted_minhash_cws": _assert_cws_differential,
+    "sketch_cms_freq_est": _assert_cms_guarantees,
+}
+
+
+def quality_asserts() -> dict[str, Callable]:
+    """Optional hook consumed by tools/check_oracle.py (NOT the driver):
+    name -> callable(spark, sf_dir, rows) raising AssertionError."""
+    return dict(_ASSERTS)

@@ -508,6 +508,138 @@ def minhash_dedup_pairs_md5(
     return sims.filter(F.col("est_jaccard") >= threshold).distinct()
 
 
+def _cws_uniform(gram_col, tag: str):
+    """Deterministic uniform in (0,1) seeded by (tag, gram): xxhash64's
+    signed-64 output mapped affinely onto the unit interval, clamped away
+    from {0, 1} so the downstream ln() terms stay finite. One JVM hash +
+    three arithmetic ops — whole-stage codegen, no Python."""
+    h = F.xxhash64(F.concat(F.lit(tag), gram_col))
+    u = h.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    return F.least(F.lit(1.0 - 1e-12), F.greatest(F.lit(1e-12), u))
+
+
+def weighted_minhash_signatures_cws(
+    tf: DataFrame,
+    id_col: str = "id",
+    gram_col: str = "gram",
+    weight_col: str = "tf",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig: array<string>[num_hashes]) — Ioffe CONSISTENT WEIGHTED
+    SAMPLING signatures over a (id, gram, weight) posting frame:
+    P[sig_A[j] = sig_B[j]] = Σ_g min(w_A, w_B) / Σ_g max(w_A, w_B), the
+    generalized (real-weight) Jaccard, for every j independently
+    [Ioffe, ICDM 2010, "Improved Consistent Sampling, Weighted Minhash
+    and L1 Sketching"].
+
+    Why this exists beside :func:`weighted_minhash_dedup_pairs_md5`'s
+    integer-expansion reduction: the expansion materializes tf posting
+    copies per gram (``gram#0..#(tf-1)``) — linear in corpus TOKENS,
+    which degrades badly on heavy-tailed tf (a gram repeated 10⁵ times
+    in one document expands into 10⁵ hash inputs for that document
+    alone). CWS samples in O(num_hashes) work per DISTINCT gram
+    regardless of its weight, and accepts real-valued weights (tf-idf,
+    length-normalized tf) the multiset reduction cannot express.
+
+    Per hash j and posting (id, g, w>0), all hash-seeded and
+    deterministic (no RNG — resume/retry safe):
+
+        r    ~ Gamma(2,1)  = −ln u₁ − ln u₂      (seeded by (j,'r',g))
+        c    ~ Gamma(2,1)  = −ln u₃ − ln u₄      (seeded by (j,'c',g))
+        β    ~ Uniform(0,1)                      (seeded by (j,'b',g))
+        t    = ⌊ln w / r + β⌋
+        ln a = ln c − r·(t − β) − r
+
+    The j-th sample is the (g, t) of the gram minimizing ln a — two
+    documents collide on hash j iff they pick the same gram AT the same
+    quantization level t, which is exactly what makes the estimator
+    weight-aware where plain minhash sees only set membership.
+
+    Plan shape: one projection computing 5·k uniforms per posting row
+    (all xxhash64 + codegen arithmetic, zero Python), then ONE
+    groupBy(id) with k ``min(struct(ln_a, gram, t))`` partial aggregates
+    — identical shuffle profile to every other signature stage here
+    (doc-keyed, k·O(1) state per doc). Rows with non-positive or NULL
+    weight are dropped (ln w undefined — and a zero-weight gram carries
+    no mass by definition)."""
+    g = F.col(gram_col)
+    w = F.col(weight_col).cast("double")
+    rows = tf.where(w > 0).select(
+        F.col(id_col), g.alias("__g"), w.alias("__w")
+    )
+    mins = []
+    lnw = F.log(F.col("__w"))
+    for j in range(num_hashes):
+        r = -(
+            F.log(_cws_uniform(F.col("__g"), f"{j}:r1:"))
+            + F.log(_cws_uniform(F.col("__g"), f"{j}:r2:"))
+        )
+        ln_c = F.log(
+            -(
+                F.log(_cws_uniform(F.col("__g"), f"{j}:c1:"))
+                + F.log(_cws_uniform(F.col("__g"), f"{j}:c2:"))
+            )
+        )
+        beta = _cws_uniform(F.col("__g"), f"{j}:b:")
+        t = F.floor(lnw / r + beta)
+        ln_a = ln_c - r * (t.cast("double") - beta) - r
+        mins.append(
+            F.min(
+                F.struct(
+                    ln_a.alias("ln_a"),
+                    F.col("__g").alias("g"),
+                    t.alias("t"),
+                )
+            ).alias(f"m{j}")
+        )
+    agg = rows.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.concat_ws(
+                    "@", F.col(f"m{j}.g"), F.col(f"m{j}.t").cast("string")
+                )
+                for j in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+
+
+def weighted_minhash_dedup_pairs_cws(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """WEIGHTED near-dup pairs via Ioffe CWS signatures — estimates the
+    same tf-weighted Jaccard :func:`weighted_jaccard_pairs` computes
+    exactly and :func:`weighted_minhash_dedup_pairs_md5` estimates by
+    integer expansion, but in O(num_hashes) per DISTINCT gram (the
+    heavy-tail-safe scale path: signature cost is independent of tf).
+    Banding, candidate join, and verify are the shared LSH code paths;
+    output (id_a, id_b, est_jaccard). Engine-seeded (xxhash64), so this
+    is a rows-only surface — its correctness currency is the
+    differential test against the exact operator."""
+    # _gram_tf standardizes the id column to "id"; surface the caller's name
+    tf = _gram_tf(df, id_col, text_col, shingle_n).select(
+        F.col("id").alias(id_col), "gram", "tf"
+    )
+    sigs = _persist_sigs(
+        weighted_minhash_signatures_cws(
+            tf, id_col, "gram", "tf", num_hashes
+        )
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands, deduplicate=False
+    )
+    sims = minhash_similarity(sigs, cands, id_col)
+    return sims.filter(F.col("est_jaccard") >= threshold).distinct()
+
+
 def cross_corpus_minhash(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -381,6 +381,92 @@ def test_weighted_jaccard_identical_docs_one(spark):
     assert out[0]["wjaccard"] == 1.0
 
 
+def test_cws_estimates_exact_weighted_jaccard(spark):
+    """Ioffe CWS differential vs the exact operator (r9 verdict task):
+    with 64 hashes the estimate of each pair's multiset Jaccard must sit
+    within the binomial band of weighted_jaccard_pairs' exact value."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta " * 4),
+            (2, "alpha beta gamma delta epsilon zeta " * 4 + "eta theta iota"),
+            (3, "totally different words here now okay"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in dd.weighted_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0,
+            max_df=None, max_df_frac=None,
+        ).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dd.weighted_minhash_dedup_pairs_cws(
+            docs, "doc_id", "text", threshold=0.0, num_hashes=64, bands=32
+        ).collect()
+    }
+    assert (1, 2) in exact and (1, 2) in est
+    assert abs(est[(1, 2)] - exact[(1, 2)]) < 0.2  # ~3 se at k=64
+    assert (1, 3) not in est and (2, 3) not in est
+
+
+def _cws_pair_estimate(spark, postings, num_hashes):
+    """Signature-level collision fraction for ids 1 and 2 of a direct
+    (id, gram, tf) posting frame — bypasses text so tests control weights."""
+    tf = spark.createDataFrame(postings, "id long, gram string, tf double")
+    sigs = dd.weighted_minhash_signatures_cws(tf, "id", "gram", "tf", num_hashes)
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    return dd.minhash_similarity(sigs, cands, "id").collect()[0]["est_jaccard"]
+
+
+def test_cws_heavy_tail_weight_no_expansion(spark):
+    """THE reason CWS exists: a gram at tf=100_000 costs the same
+    O(num_hashes) as tf=1 (the integer-expansion variant would explode
+    100k hash inputs for it). A{x:1e5, y:1e5} vs B{x:1e5}: exact
+    weighted Jaccard = 1e5 / 2e5 = 0.5."""
+    est = _cws_pair_estimate(
+        spark,
+        [(1, "x", 100_000.0), (1, "y", 100_000.0), (2, "x", 100_000.0)],
+        num_hashes=128,
+    )
+    assert abs(est - 0.5) < 0.15  # ~3 se at k=128, J=0.5
+
+
+def test_cws_real_valued_weights(spark):
+    """Real weights (the multiset reduction cannot express these):
+    A{x:1.0} vs B{x:0.5} -> generalized Jaccard = 0.5/1.0 = 0.5."""
+    est = _cws_pair_estimate(
+        spark, [(1, "x", 1.0), (2, "x", 0.5)], num_hashes=128
+    )
+    assert abs(est - 0.5) < 0.15
+
+
+def test_cws_identical_weights_collide_always(spark):
+    """Identical (gram, weight) multisets must produce IDENTICAL
+    signatures (consistency property — the sampling is deterministic in
+    the weights), so the estimate is exactly 1."""
+    est = _cws_pair_estimate(
+        spark,
+        [(1, "x", 3.0), (1, "y", 7.0), (2, "x", 3.0), (2, "y", 7.0)],
+        num_hashes=32,
+    )
+    assert est == 1.0
+
+
+def test_cws_drops_nonpositive_weights(spark):
+    """Zero/negative/NULL weights carry no mass: a gram at weight 0 must
+    not influence the signature (ln w would be undefined)."""
+    tf = spark.createDataFrame(
+        [(1, "x", 2.0), (1, "junk", 0.0), (2, "x", 2.0), (2, "junk", -1.0)],
+        "id long, gram string, tf double",
+    )
+    sigs = dd.weighted_minhash_signatures_cws(tf, "id", "gram", "tf", 16)
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    est = dd.minhash_similarity(sigs, cands, "id").collect()[0]["est_jaccard"]
+    assert est == 1.0  # junk ignored on both sides
+
+
 def test_posting_join_absolute_df_cap_bounds_candidates(spark):
     """r9 verdict task: the exact posting-join family must honor an
     ABSOLUTE df cap (the fractional cap alone admits (f·N)² candidate

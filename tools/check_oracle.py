@@ -225,6 +225,34 @@ def main():
             continue
         dt = time.time() - t0
         if name not in oracles:
+            qa = getattr(entry, "quality_asserts", lambda: {})().get(name)
+            if qa is not None:
+                # r9: rows-only queries with a registered statistical
+                # guarantee run it in-sweep — a violated guarantee is a
+                # FAIL, not a shrug (the sweep artifact records which
+                # rows-only entries are asserted vs merely counted)
+                try:
+                    qa(spark, args.sf, [r for r in df.collect()])
+                except AssertionError as e:
+                    print(f"FAIL  {name}: quality assert: {e}")
+                    n_fail += 1
+                    failures.append(name)
+                    report[name] = {
+                        "status": "fail",
+                        "err": f"quality_assert: {str(e)[:160]}",
+                    }
+                    continue
+                print(
+                    f"ROWS+ {name}: {len(srows)} rows ({dt:.1f}s) "
+                    "[rows-only, quality assert PASSED]"
+                )
+                n_rowsonly += 1
+                report[name] = {
+                    "status": "rows_only_asserted",
+                    "rows": len(srows),
+                    "sec": round(dt, 2),
+                }
+                continue
             print(f"ROWS  {name}: {len(srows)} rows ({dt:.1f}s) [no oracle — rows-only]")
             n_rowsonly += 1
             report[name] = {"status": "rows_only", "rows": len(srows), "sec": round(dt, 2)}
