@@ -8745,6 +8745,73 @@ def temporal_holt_forecast(spark, sf_dir):
 # nothing in the window has a green newer than r5 except the 9
 # first-timers), so this round again simultaneously closes the new
 # families and refreshes the oldest certifications.
+# Round-9 window (FROZEN at cut, r9 early): the 13 oracle-eligible r8-queue
+# rows get their FIRST driver rows (every one re-verified locally at BOTH
+# sf0.01 and sf0.1 this round, AFTER the r9-advisory fixes — chi2 coverage
+# enforcement and the distributed column-stats rank both change
+# implementations already in this queue), + 2 re-certifications for the
+# posting-join family whose df-prune defaults changed this round
+# (dedup_containment_pairs, dedup_lexical_cosine — values unchanged at
+# test SF, but a changed implementation re-certifies: the blocked-GEMM
+# discipline), + 35 sentinels chosen as the STALEST driver greens (24 last
+# certified r5, 11 more last certified r6 — nothing in the window has a
+# green newer than r6 except the re-certs).
+_WINDOW_R9 = [
+    # -- the 13 r9-queue rows (registered post-freeze in r8; first rows) --
+    "dedup_fuzzy_pairs",
+    "dedup_eval_fuzzy",
+    "dedup_weighted_jaccard",
+    "dedup_weighted_minhash",
+    "scale_skew_report",
+    "text_vocab_coverage",
+    "quality_gopher_rules",
+    "temporal_seasonal_decompose",
+    "sampling_token_budget",
+    "pipeline_ccnet_buckets",
+    "scale_column_stats",
+    "distribution_chi2_gof",
+    "temporal_holt_forecast",
+    # -- changed implementation this round (absolute df-cap defaults) --
+    "dedup_containment_pairs",
+    "dedup_lexical_cosine",
+    # -- 24 sentinels last driver-green in r5 --
+    "behavior_ab_test",
+    "behavior_top_paths",
+    "behavior_transitions",
+    "bql_lateral_explode",
+    "bql_select_distinct",
+    "dedup_source_novelty",
+    "dedup_source_overlap",
+    "distribution_mad_outliers",
+    "distribution_winsorize",
+    "quality_correlations",
+    "quality_profile",
+    "quality_snapshot_diff",
+    "relational_scd2_history",
+    "relational_unpivot",
+    "sampling_shards",
+    "sim_nearest_centroid",
+    "temporal_period_over_period",
+    "temporal_resample_ffill",
+    "temporal_trailing_window",
+    "text_char_entropy",
+    "text_chunk_sentences",
+    "text_collocations_pmi",
+    "text_corpus_pareto",
+    "text_tfidf_keywords",
+    # -- 11 sentinels last driver-green in r6 --
+    "bql_filter_project",
+    "bql_group_having",
+    "bullet_group_all",
+    "bullet_having_orderby",
+    "bullet_raw_limit",
+    "bullet_topk_freq",
+    "decontam_ngram",
+    "dedup_ensemble_survivors",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_survivors",
+]
 _WINDOW_R8 = [
     # -- the 9 r8-queue rows (registered post-freeze in r7; first rows) --
     "scale_zorder_stats",
@@ -9095,7 +9162,7 @@ def _rotate_window(priority: list[str]) -> None:
         d.update(snap)
 
 
-_rotate_window(_WINDOW_R8)
+_rotate_window(_WINDOW_R9)
 
 
 # ---------------------------------------------------------------------------

@@ -274,3 +274,51 @@ def test_streaming_fuzzy_history_condemned_cannot_condemn(spark, tmp_path):
         .collect()
     }
     assert kept == _greedy_reference([(0, h), (1, x), (2, y)]) == {0, 2}
+
+
+def test_streaming_fuzzy_store_compaction_plateaus(spark, tmp_path):
+    """r9 verdict task 5: the fuzzy KEY store stays a BOUNDED partition
+    set across many epochs — the minhash store's compaction discipline
+    applied to fuzzy keys. 18 single-row epochs with compact_every=4
+    must fold closed epochs into the consolidated epoch=-1 partition
+    (never one dir per micro-batch), and dedup against COMPACTED history
+    must still hold: a late 1-edit variant of the first-epoch doc drops
+    even after that epoch's partition was folded away."""
+    import hashlib
+
+    def _key(i):  # 24-char keys, pairwise distant
+        return hashlib.md5(f"doc{i}".encode()).hexdigest()[:24]
+
+    rows = [(i, _key(i)) for i in range(17)]
+    late_dup = (17, _key(0)[:-1] + "Z")  # 1 sub of doc 0 (epoch 0)
+    chunks = [[r] for r in rows] + [[late_dup]]  # 18 epochs, 1 row each
+    stream = _ordered_drip(spark, chunks, str(tmp_path / "in"))
+    q = dd.streaming_fuzzy_ingest(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        id_col="id",
+        key_col="k",
+        checkpoint_dir=str(tmp_path / "ck"),
+        compact_every=4,
+    )
+    q.awaitTermination(300)
+
+    kept = {
+        r["id"]
+        for r in spark.read.option("basePath", str(tmp_path / "out"))
+        .parquet(str(tmp_path / "out"))
+        .collect()
+    }
+    assert kept == _greedy_reference(rows + [late_dup]) == set(range(17))
+
+    key_store = str(tmp_path / "state" / "fuzzy_keys")
+    # store content survives compaction byte-for-byte: exactly the
+    # survivors' keys
+    keys = spark.read.option("basePath", key_store).parquet(key_store)
+    assert {r["id"] for r in keys.collect()} == set(range(17))
+    # and the partition count PLATEAUS: ≤ compact_every open epochs +
+    # consolidated epoch=-1 + the in-flight epoch — NOT 18 dirs
+    epoch_dirs = [d for d in os.listdir(key_store) if d.startswith("epoch=")]
+    assert len(epoch_dirs) <= 4 + 2, epoch_dirs
+    assert "epoch=-1" in epoch_dirs
