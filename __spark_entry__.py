@@ -8663,6 +8663,170 @@ def temporal_holt_forecast(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-9 additions (registered AFTER the frozen r9 window — first driver
+# rows land in r10; each locally certified at sf0.01 + sf0.1)
+# ---------------------------------------------------------------------------
+
+@q(
+    "text_zipf_fit",
+    r"""WITH toks AS (
+         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+         FROM documents),
+       counts AS (SELECT token, count(*) AS cnt FROM toks
+                  WHERE len(token) > 0 GROUP BY 1),
+       ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                  FROM counts ORDER BY cnt DESC, token LIMIT 500),
+       xy AS (SELECT round(ln(CAST(rank AS DOUBLE)), 8) AS x,
+                     round(ln(CAST(cnt AS DOUBLE)), 8) AS y
+              FROM ranked),
+       xy2 AS (SELECT x, y,
+                      round(x * y, 8) AS xy, round(x * x, 8) AS xx,
+                      round(y * y, 8) AS yy
+               FROM xy),
+       s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                    CAST(sum(CAST(x  AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+                    CAST(sum(CAST(y  AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+                    CAST(sum(CAST(xy AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+                    CAST(sum(CAST(xx AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+                    CAST(sum(CAST(yy AS DECIMAL(28,8))) AS DOUBLE) AS syy
+             FROM xy2)
+       SELECT CAST(n AS BIGINT) AS n_terms,
+              round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+              round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                    / n, 6) AS intercept,
+              round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       FROM s""",
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law OLS fit of ln(freq) on ln(rank) over the top-500 terms
+    (text.zipf_fit): the one-number lexical-health probe — natural
+    language sits near slope −1 with high r²; template spam flattens the
+    head, repetition steepens it. One token aggregate + a
+    TakeOrderedAndProject; the OLS runs on the 500-row ranked frame with
+    decimal-exact sums."""
+    t = _t(spark, sf_dir)
+    return tx.zipf_fit(t["documents"], "text", top_n=500)
+
+
+@q(
+    "text_unigram_kl",
+    r"""WITH tp AS (
+         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         FROM documents WHERE source IN ('src0','src1','src2')),
+       tq AS (
+         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         FROM documents WHERE source IN ('src3','src4','src5')),
+       cp AS (SELECT term, count(*) AS cp FROM tp WHERE len(term) > 0 GROUP BY 1),
+       cq AS (SELECT term, count(*) AS cq FROM tq WHERE len(term) > 0 GROUP BY 1),
+       j AS (SELECT coalesce(cp.term, cq.term) AS term,
+                    coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+             FROM cp FULL OUTER JOIN cq USING (term)),
+       tot AS (SELECT count(*) AS v, sum(cp) AS np, sum(cq) AS nq FROM j),
+       terms AS (
+         SELECT tot.v, tot.np, tot.nq,
+                CAST(round(
+                  ((cp + 0.5) / (np + 0.5 * v))
+                  * log2(((cp + 0.5) / (np + 0.5 * v))
+                         / ((cq + 0.5) / (nq + 0.5 * v))), 8)
+                AS DECIMAL(28,8)) AS t
+         FROM j CROSS JOIN tot)
+       SELECT CAST(v AS BIGINT) AS n_terms,
+              CAST(np AS BIGINT) AS n_tokens_p,
+              CAST(nq AS BIGINT) AS n_tokens_q,
+              round(CAST(sum(t) AS DOUBLE), 6) AS kl_bits
+       FROM terms GROUP BY v, np, nq""",
+)
+def text_unigram_kl(spark, sf_dir):
+    """Unigram KL divergence D(P‖Q) in bits between two source groups
+    (text.unigram_kl, add-0.5 smoothing over the union vocabulary): the
+    lexical drift monitor beside quality_embedding_drift's embedding-space
+    PSI. One count-by-term aggregate per side, one full-outer term join,
+    decimal-exact contribution sums."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    p = docs.where(F.col("source").isin("src0", "src1", "src2"))
+    qd = docs.where(F.col("source").isin("src3", "src4", "src5"))
+    return tx.unigram_kl(p, qd, "text", k_smooth=0.5)
+
+
+@q(
+    "scale_shard_manifest",
+    """WITH h AS (
+         SELECT source AS shard,
+                CAST(('0x' || substr(md5(
+                  CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)
+                  AS hh
+         FROM documents)
+       SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+              bit_xor(hh) AS checksum
+       FROM h GROUP BY shard""",
+)
+def scale_shard_manifest(spark, sf_dir):
+    """Per-shard integrity manifest (sampling.shard_manifest): row count +
+    order-independent bit_xor content checksum over md5-derived 60-bit row
+    hashes — the release artifact a reader re-derives after every
+    transfer/rewrite to prove no row was dropped, duplicated, or
+    corrupted. One projected hash + one shard-keyed aggregate with
+    16-byte per-shard state; the checksum itself is engine-portable, so
+    the manifest hash-matches the oracle, not just the counts."""
+    t = _t(spark, sf_dir)
+    return smp.shard_manifest(t["documents"], "source", ["doc_id", "text"])
+
+
+def _bootstrap_oracle_sql() -> str:
+    w = smp.oracle_poisson1_weight_sql("u")
+    return f"""WITH rows_x AS (
+         SELECT CAST(doc_id AS VARCHAR) AS k,
+                round(CAST(n_chars AS DOUBLE), 6) AS x
+         FROM documents),
+       reps AS (
+         SELECT k, x, r,
+                CAST(('0x' || substr(md5(k || ':' || CAST(r AS VARCHAR)), 1, 15))
+                     AS BIGINT) / 1152921504606846976.0 AS u
+         FROM rows_x CROSS JOIN range(64) t(r)),
+       weighted AS (SELECT r, {w} AS w, x FROM reps),
+       rep_means AS (
+         SELECT r,
+                round(CAST(sum(CAST(round(w * x, 6) AS DECIMAL(28,6)))
+                           AS DOUBLE) / sum(w), 6) AS m
+         FROM weighted GROUP BY r HAVING sum(w) > 0),
+       ranked AS (
+         SELECT m, row_number() OVER (ORDER BY m ASC, r ASC) AS rk
+         FROM rep_means),
+       ci AS (
+         SELECT max(CASE WHEN rk = 2  THEN m END) AS ci_lo,
+                max(CASE WHEN rk = 63 THEN m END) AS ci_hi
+         FROM ranked),
+       pt AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                      / count(*), 6) AS mean
+         FROM rows_x)
+       SELECT n, CAST(64 AS BIGINT) AS b, mean, ci_lo, ci_hi
+       FROM pt CROSS JOIN ci"""
+
+
+@q("sampling_bootstrap_ci", None)
+def sampling_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for mean document length
+    (sampling.poisson_bootstrap_ci, B=64): the one-pass distributed
+    bootstrap — every row draws a Poisson(1) multiplicity per replicate
+    from an md5-seeded uniform (no resample shuffles; the classical
+    bootstrap would be B full passes), replicate means are weighted
+    means, the CI is percentile-disc over the B-row frame. Hash-seeded
+    end to end, so even the resampling randomness reproduces in the
+    DuckDB oracle."""
+    t = _t(spark, sf_dir)
+    return smp.poisson_bootstrap_ci(
+        t["documents"], "n_chars", "doc_id", b=64, alpha=0.05
+    )
+
+
+_ORACLE["sampling_bootstrap_ci"] = _bootstrap_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 oracle-eligible
@@ -8746,6 +8910,17 @@ def temporal_holt_forecast(spark, sf_dir):
 #   distribution_chi2_gof        (chi-square GOF beside the KS test)
 #   temporal_holt_forecast       (Holt linear trend, recursive-CTE oracle)
 #   rows-only addition: multimodal_vad_segments (energy-VAD segmentation)
+#
+# r10 ORACLE QUEUE (registered after the r9 freeze; every row locally
+# green via tools/check_oracle.py at BOTH sf0.01 and sf0.1 — first driver
+# rows land in the r10 window):
+#   text_zipf_fit                (Zipf OLS lexical-health probe)
+#   text_unigram_kl              (cross-source unigram KL drift, bits)
+#   scale_shard_manifest         (bit_xor md5 integrity manifest)
+#   sampling_bootstrap_ci        (Poisson-bootstrap CI, md5-seeded)
+#   rows-only addition: dedup_weighted_minhash_cws (Ioffe CWS estimator
+#   whose OUTPUT is the differential vs the exact weighted Jaccard, with
+#   an in-sweep binomial-band quality assert)
 #
 # Round-8 window (FROZEN at cut, r8 early): the 9 never-driver-green rows
 # from the r8 oracle queue above — re-verified locally at BOTH sf0.01 and

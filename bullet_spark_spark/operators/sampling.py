@@ -465,3 +465,163 @@ def token_budget_plan(
         F.round(F.col("n_tokens") * epochs, 4).alias("planned_tokens"),
         (raw_epochs > F.lit(float(max_epochs))).alias("capped"),
     )
+
+
+def shard_manifest(
+    df: DataFrame, shard_col: str, key_cols: list[str]
+) -> DataFrame:
+    """Per-shard INTEGRITY manifest → (shard, n_rows, checksum): row count
+    plus an ORDER-INDEPENDENT content checksum — bit_xor over each row's
+    md5-derived 60-bit integer (md5 of the '|'-joined key columns). The
+    release artifact a 100 TB corpus ships next to its shards: a reader
+    re-derives the manifest after transfer/rewrite and any dropped,
+    duplicated, or corrupted row flips the XOR (a duplicated row pair
+    cancels in XOR but trips n_rows — the two checks cover each other).
+
+    Scale shape: one projected hash per row + ONE shard-keyed aggregate
+    (both count and bit_xor are map-side combinable — per-shard state is
+    16 bytes regardless of shard size). md5 → first 15 hex chars →
+    integer keeps the whole pipeline engine-portable (DuckDB:
+    ('0x' || substr(md5(k),1,15))::BIGINT), so the manifest itself is
+    oracle-checkable, not just the row counts."""
+    row_key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(row_key), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(F.col(shard_col).alias("shard"), h.alias("__h"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__h)").alias("checksum"),
+        )
+    )
+
+
+# Poisson(1) CDF, exact doubles shared by the Spark expression and the
+# oracle SQL generator — identical literals on both engines by construction
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+    0.9999998885745216,
+    0.9999999899522336,
+    0.9999999991683892,
+    0.9999999999364022,
+]
+_U_DENOM = float(1 << 60)  # 15 hex chars = 60 uniform bits
+
+
+def _poisson1_weight(u: Column) -> Column:
+    """Inverse-CDF Poisson(1) draw from a uniform in [0,1): the classic
+    Poisson-bootstrap resample weight. λ=1 is fixed, so the inverse CDF
+    is a 13-branch CASE over precomputed cumulative terms (residual mass
+    above the last threshold ~6e-11 → 13)."""
+    expr = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def oracle_poisson1_weight_sql(u_sql: str) -> str:
+    """DuckDB CASE expression mirroring :func:`_poisson1_weight` branch
+    order and literals exactly."""
+    branches = " ".join(
+        f"WHEN {u_sql} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"(CASE {branches} ELSE {len(_POISSON1_CDF)} END)"
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    b: int = 64,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Bootstrap confidence interval for the corpus MEAN of ``value_col``
+    → ONE row (n, b, mean, ci_lo, ci_hi) via the POISSON bootstrap —
+    the one-pass distributed bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012; public): instead
+    of materializing B resamples (impossible at 100 TB — each is a full
+    shuffle), every row draws a Poisson(1) multiplicity PER REPLICATE
+    from a hash-seeded uniform, and replicate means are weighted means.
+    For large n this converges to the classical multinomial bootstrap.
+
+    Scale shape: one explode to b× rows (b is a small constant — the
+    amplification is the entire cost, and it pipelines into ONE
+    replicate-keyed aggregate with 2-counter state), then a b-row frame
+    for the percentile-disc CI (ceil-rank over row_number — a window
+    over B rows, metadata scale). Values round 6 dp before weighting;
+    weighted sums accumulate as exact decimals; hash-seeded draws are
+    md5-based, so the WHOLE machinery — uniforms, inverse CDF, replicate
+    means, CI ranks — reproduces in any SQL engine with md5()."""
+    from pyspark.sql.window import Window as W
+
+    reps = df.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.round(F.col(value_col).cast("double"), 6).alias("__x"),
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("__k"), F.col("__r"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_U_DENOM)
+    )
+    weighted = reps.select(
+        "__r",
+        _poisson1_weight(u).alias("__w"),
+        "__x",
+    )
+    rep_means = (
+        weighted.groupBy("__r")
+        .agg(
+            F.sum(
+                F.round(F.col("__w") * F.col("__x"), 6).cast("decimal(28,6)")
+            ).alias("__sx"),
+            F.sum("__w").alias("__sw"),
+        )
+        .where(F.col("__sw") > 0)
+        .select(
+            "__r",
+            F.round(F.col("__sx").cast("double") / F.col("__sw"), 6).alias(
+                "__m"
+            ),
+        )
+    )
+    import math
+
+    lo_rank = max(1, math.ceil(alpha / 2.0 * b))
+    hi_rank = math.ceil((1.0 - alpha / 2.0) * b)
+    ranked = rep_means.select(
+        "__m",
+        F.row_number()
+        .over(W.orderBy(F.col("__m").asc(), F.col("__r").asc()))
+        .alias("__rk"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("__rk") == lo_rank, F.col("__m"))).alias("ci_lo"),
+        F.max(F.when(F.col("__rk") == hi_rank, F.col("__m"))).alias("ci_hi"),
+    )
+    point = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n", F.lit(b).cast("long").alias("b"), "mean", "ci_lo", "ci_hi"
+    )

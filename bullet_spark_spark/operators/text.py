@@ -1473,3 +1473,115 @@ def gopher_verdict(
         .when(stop_hits < min_stopwords, F.lit("few_stopwords"))
         .otherwise(F.lit("keep"))
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """Zipf's-law fit over the corpus's rank-frequency curve → ONE row
+    (n_terms, slope, intercept, r2): ordinary least squares of
+    ln(frequency) on ln(rank) over the top-``top_n`` terms. A healthy
+    natural-language corpus sits near slope ≈ −1 with r² close to 1;
+    template spam flattens the head (|slope| shrinks), boilerplate
+    repetition steepens it, and a low r² flags a mixture of regimes —
+    the one-number lexical-health probe a corpus snapshot diff watches
+    alongside entropy and repetition.
+
+    Scale shape: one token explode + count-by-term aggregate (map-side
+    combinable) + a TakeOrderedAndProject for the top-n — the full term
+    space is never sorted (:func:`top_vocab`). The OLS then runs over
+    the n-row ranked frame: ln(rank)/ln(cnt) round 8 dp, their products
+    round 8 dp and sum as exact decimals (order-independent), the
+    closed-form slope/intercept/r² round 6 dp — engine-portable,
+    oracle-checkable value-for-value."""
+    ranked = top_vocab(df, text_col, top_n)
+    xy = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 8).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 8).alias("y"),
+    ).select(
+        "x",
+        "y",
+        F.round(F.col("x") * F.col("y"), 8).alias("xy"),
+        F.round(F.col("x") * F.col("x"), 8).alias("xx"),
+        F.round(F.col("y") * F.col("y"), 8).alias("yy"),
+    )
+    d = lambda c: F.sum(F.col(c).cast("decimal(28,8)")).cast("double")
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d("x").alias("sx"),
+        d("y").alias("sy"),
+        d("xy").alias("sxy"),
+        d("xx").alias("sxx"),
+        d("yy").alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
+def unigram_kl(
+    df_p: DataFrame,
+    df_q: DataFrame,
+    text_col: str = "text",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """KL divergence between two corpora's unigram distributions → ONE
+    row (n_terms, n_tokens_p, n_tokens_q, kl_bits): D(P‖Q) with add-k
+    smoothing over the UNION vocabulary (so q(t)=0 never divides), in
+    bits. The lexical drift monitor beside the embedding-space PSI
+    (quality_embedding_drift): a new-crawl snapshot whose unigram KL
+    against the accepted corpus jumps is importing different language —
+    template change, spam influx, or a domain shift worth a look before
+    it trains.
+
+    Scale shape: one count-by-term aggregate per side (map-side
+    combinable), one FULL OUTER join on term (union-vocab-keyed shuffle),
+    one final 1-row aggregate. Per-term contributions
+    p·log2(p/q) round 8 dp and sum as exact decimals; output rounds
+    6 dp — engine-portable, oracle-checkable."""
+
+    def counts(df, name):
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+            .where(F.length("term") > 0)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    cp, cq = counts(df_p, "cp"), counts(df_q, "cq")
+    joined = cp.join(cq, "term", "full_outer").select(
+        "term",
+        F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
+        F.coalesce(F.col("cq"), F.lit(0)).alias("cq"),
+    )
+    totals = joined.agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum("cp").alias("__np"),
+        F.sum("cq").alias("__nq"),
+    )
+    k = F.lit(float(k_smooth))
+    with_t = joined.crossJoin(F.broadcast(totals))
+    p = (F.col("cp") + k) / (F.col("__np") + k * F.col("__v"))
+    q = (F.col("cq") + k) / (F.col("__nq") + k * F.col("__v"))
+    terms = with_t.select(
+        "__v",
+        "__np",
+        "__nq",
+        F.round(p * F.log2(p / q), 8).cast("decimal(28,8)").alias("__t"),
+    )
+    return terms.groupBy("__v", "__np", "__nq").agg(
+        F.round(F.sum("__t").cast("double"), 6).alias("kl_bits")
+    ).select(
+        F.col("__v").cast("long").alias("n_terms"),
+        F.col("__np").cast("long").alias("n_tokens_p"),
+        F.col("__nq").cast("long").alias("n_tokens_q"),
+        "kl_bits",
+    )

@@ -1,0 +1,195 @@
+"""Round-9 operator additions: Zipf OLS fit, unigram KL drift,
+shard integrity manifest, Poisson-bootstrap CI."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import sampling as smp
+from bullet_spark_spark.operators import text as tx
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+def _ols_reference(pairs):
+    """(x, y) OLS with the operator's rounding discipline."""
+    xs = [round(math.log(r), 8) for r, _ in pairs]
+    ys = [round(math.log(c), 8) for _, c in pairs]
+    n = float(len(pairs))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(round(x * y, 8) for x, y in zip(xs, ys))
+    sxx = sum(round(x * x, 8) for x in xs)
+    syy = sum(round(y * y, 8) for y in ys)
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return (
+        round(cov / varx, 6),
+        round((sy - (cov / varx) * sx) / n, 6),
+        round(cov * cov / (varx * vary), 6),
+    )
+
+
+def test_zipf_fit_matches_hand_ols(spark):
+    # frequencies 8/4/2/1 for tokens a/b/c/d -> ranks 1..4
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = tx.zipf_fit(df, "text", top_n=10).collect()[0]
+    slope, intercept, r2 = _ols_reference([(1, 8), (2, 4), (3, 2), (4, 1)])
+    assert r["n_terms"] == 4
+    assert r["slope"] == slope and r["intercept"] == intercept
+    assert r["r2"] == r2
+    assert r["slope"] < 0  # frequency falls with rank
+
+
+def test_zipf_fit_perfect_power_law(spark):
+    # freq = 16/rank at ranks 1,2,4,8,16 -> EXACT line in log-log space:
+    # slope -1, r2 1 (within the 8dp input rounding)
+    freqs = {1: 16, 2: 8, 4: 4, 8: 2, 16: 1}
+    words = []
+    for rank, f in freqs.items():
+        words += [f"w{rank:02d}"] * f
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = tx.zipf_fit(df, "text", top_n=10).collect()[0]
+    # ranks here are 1..5 (dense), freqs 16,8,4,2,1: ln f = ln16 - (rk-1)ln2
+    # which is linear in RANK; use the true power-law pairs instead via the
+    # reference to pin the operator's exact arithmetic
+    slope, intercept, r2 = _ols_reference(
+        [(1, 16), (2, 8), (3, 4), (4, 2), (5, 1)]
+    )
+    assert (r["slope"], r["intercept"], r["r2"]) == (slope, intercept, r2)
+
+
+def test_zipf_fit_flat_head_on_uniform(spark):
+    # uniform frequencies -> slope 0, r2 NULL/degenerate (vary = 0)
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd aa bb cc dd")], "doc_id long, text string"
+    )
+    r = tx.zipf_fit(df, "text", top_n=10).collect()[0]
+    assert r["slope"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# unigram_kl
+# ---------------------------------------------------------------------------
+
+def test_unigram_kl_identical_corpora_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z x y"), (2, "z z y x")], "doc_id long, text string"
+    )
+    r = tx.unigram_kl(df, df).collect()[0]
+    assert r["kl_bits"] == 0.0
+    assert r["n_tokens_p"] == r["n_tokens_q"] == 9
+
+
+def test_unigram_kl_hand_computed(spark):
+    # P: {a:2, b:1}; Q: {a:1, c:2}; union vocab V=3, k=0.5
+    p = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    q = spark.createDataFrame([(1, "a c c")], "doc_id long, text string")
+    V, k, Np, Nq = 3, 0.5, 3, 3
+
+    def pr(c, N):
+        return (c + k) / (N + k * V)
+
+    expected = 0.0
+    for cp, cq in [(2, 1), (1, 0), (0, 2)]:
+        expected += round(
+            pr(cp, Np) * math.log2(pr(cp, Np) / pr(cq, Nq)), 8
+        )
+    r = tx.unigram_kl(p, q).collect()[0]
+    assert r["n_terms"] == 3
+    assert r["kl_bits"] == round(expected, 6)
+    # and KL is asymmetric: D(Q||P) differs
+    r2 = tx.unigram_kl(q, p).collect()[0]
+    assert r2["kl_bits"] != r["kl_bits"]
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest
+# ---------------------------------------------------------------------------
+
+def test_shard_manifest_order_independent_and_corruption_sensitive(spark):
+    rows = [(i, f"shard{i % 2}", f"payload-{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, shard string, text string")
+    base = {
+        r["shard"]: (r["n_rows"], r["checksum"])
+        for r in smp.shard_manifest(df, "shard", ["id", "text"]).collect()
+    }
+    assert base["shard0"][0] == base["shard1"][0] == 10
+    # order/partitioning invariant
+    reshuffled = df.repartition(7).sortWithinPartitions(F.desc("id"))
+    again = {
+        r["shard"]: (r["n_rows"], r["checksum"])
+        for r in smp.shard_manifest(
+            reshuffled, "shard", ["id", "text"]
+        ).collect()
+    }
+    assert again == base
+    # a single corrupted byte flips that shard's checksum only
+    corrupt = df.withColumn(
+        "text",
+        F.when(F.col("id") == 4, F.lit("payload-X")).otherwise(F.col("text")),
+    )
+    c = {
+        r["shard"]: (r["n_rows"], r["checksum"])
+        for r in smp.shard_manifest(corrupt, "shard", ["id", "text"]).collect()
+    }
+    assert c["shard0"] != base["shard0"] and c["shard1"] == base["shard1"]
+    # a single EXTRA copy of a row flips the checksum (odd count change)...
+    dup1 = df.unionByName(df.where(F.col("id") == 3))
+    d1 = {
+        r["shard"]: (r["n_rows"], r["checksum"])
+        for r in smp.shard_manifest(dup1, "shard", ["id", "text"]).collect()
+    }
+    assert d1["shard1"][1] != base["shard1"][1]
+    # ...while TWO extra copies cancel in XOR — the documented blind spot
+    # n_rows exists to cover (the checks cover each other)
+    dup2 = dup1.unionByName(df.where(F.col("id") == 3))
+    d2 = {
+        r["shard"]: (r["n_rows"], r["checksum"])
+        for r in smp.shard_manifest(dup2, "shard", ["id", "text"]).collect()
+    }
+    assert d2["shard1"][1] == base["shard1"][1]  # XOR blind
+    assert d2["shard1"][0] == 12  # count catches it
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+def test_poisson_bootstrap_ci_deterministic_and_ordered(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 50).cast("double").alias("v")
+    )
+    r1 = smp.poisson_bootstrap_ci(df, "v", "k", b=64).collect()[0]
+    r2 = smp.poisson_bootstrap_ci(df, "v", "k", b=64).collect()[0]
+    assert r1 == r2  # md5-seeded: no RNG, fully reproducible
+    assert r1["n"] == 400 and r1["b"] == 64
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+    # the CI brackets the true mean (24.5) for this well-behaved sample
+    assert r1["ci_lo"] <= 24.5 <= r1["ci_hi"]
+    # and it shrinks roughly like 1/sqrt(n): a 4x corpus gives a
+    # narrower interval
+    big = spark.range(0, 1600).select(
+        F.col("id").alias("k"), (F.col("id") % 50).cast("double").alias("v")
+    )
+    rb = smp.poisson_bootstrap_ci(big, "v", "k", b=64).collect()[0]
+    assert (rb["ci_hi"] - rb["ci_lo"]) < (r1["ci_hi"] - r1["ci_lo"])
+
+
+def test_poisson1_weight_mean_near_one(spark):
+    # the inverse-CDF weights must average ~1 (resample size ~ n)
+    df = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("k")), 1, 15), 16, 10).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    m = df.select(smp._poisson1_weight(u).alias("w")).agg(
+        F.avg("w").alias("m"), F.max("w").alias("mx")
+    ).collect()[0]
+    assert abs(m["m"] - 1.0) < 0.05  # se = 1/sqrt(5000) ~ 0.014
+    assert m["mx"] <= 13
