@@ -87,9 +87,14 @@ BENCH = [
     "dedup_weighted_jaccard", # tf-weighted Jaccard posting self-join
     "dedup_eval_fuzzy",       # dedup eval harness (full-outer pair join)
     "pipeline_ccnet_buckets", # chunk -> LM-score -> perplexity terciles
-    "scale_column_stats",     # exact NDV + discrete quartiles (rank window)
+    "scale_column_stats",     # exact NDV + quartiles (range-partitioned rank)
     "distribution_chi2_gof",  # chi-square GOF (one combinable count agg)
     "temporal_holt_forecast", # Holt fold over per-key ordered series
+    # round-9 additions
+    "text_zipf_fit",          # top-n vocab + 500-row OLS (decimal sums)
+    "text_unigram_kl",        # two token aggs + full-outer term join
+    "scale_shard_manifest",   # md5-hash + bit_xor shard aggregate
+    "sampling_bootstrap_ci",  # 64x Poisson-replicate explode + 2 aggs
 ]
 
 REPEATS = 3

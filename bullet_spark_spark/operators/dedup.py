@@ -508,14 +508,26 @@ def minhash_dedup_pairs_md5(
     return sims.filter(F.col("est_jaccard") >= threshold).distinct()
 
 
-def _cws_uniform(gram_col, tag: str):
-    """Deterministic uniform in (0,1) seeded by (tag, gram): xxhash64's
-    signed-64 output mapped affinely onto the unit interval, clamped away
-    from {0, 1} so the downstream ln() terms stay finite. One JVM hash +
-    three arithmetic ops — whole-stage codegen, no Python."""
+_CWS_MASK30 = (1 << 30) - 1
+
+
+def _cws_uniform2(gram_col, tag: str):
+    """TWO deterministic uniforms in (0,1) from ONE xxhash64 seeded by
+    (tag, gram): the high and low 30-bit fields, each mapped to
+    (k + 0.5)/2³⁰ — strictly inside (0,1) by construction (no clamp
+    chain), 2⁻³⁰ lattice granularity (ample for Gamma inversion). One
+    JVM hash + two shift/mask/divide pairs; halving the hash count and
+    dropping the least/greatest clamps shrinks the per-hash expression
+    tree ~2.5×, which is the dominant (codegen-compile) cost of the
+    signature stage."""
     h = F.xxhash64(F.concat(F.lit(tag), gram_col))
-    u = h.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
-    return F.least(F.lit(1.0 - 1e-12), F.greatest(F.lit(1e-12), u))
+    lo = F.shiftrightunsigned(h, 2).bitwiseAND(F.lit(_CWS_MASK30))
+    hi = F.shiftrightunsigned(h, 34).bitwiseAND(F.lit(_CWS_MASK30))
+    scale = F.lit(float(1 << 30))
+    return (
+        (lo.cast("double") + F.lit(0.5)) / scale,
+        (hi.cast("double") + F.lit(0.5)) / scale,
+    )
 
 
 def weighted_minhash_signatures_cws(
@@ -555,8 +567,9 @@ def weighted_minhash_signatures_cws(
     quantization level t, which is exactly what makes the estimator
     weight-aware where plain minhash sees only set membership.
 
-    Plan shape: one projection computing 5·k uniforms per posting row
-    (all xxhash64 + codegen arithmetic, zero Python), then ONE
+    Plan shape: one projection computing 3·k hashes per posting row —
+    each xxhash64 yields TWO 30-bit uniforms (all codegen arithmetic,
+    zero Python) — then ONE
     groupBy(id) with k ``min(struct(ln_a, gram, t))`` partial aggregates
     — identical shuffle profile to every other signature stage here
     (doc-keyed, k·O(1) state per doc). Rows with non-positive or NULL
@@ -570,17 +583,11 @@ def weighted_minhash_signatures_cws(
     mins = []
     lnw = F.log(F.col("__w"))
     for j in range(num_hashes):
-        r = -(
-            F.log(_cws_uniform(F.col("__g"), f"{j}:r1:"))
-            + F.log(_cws_uniform(F.col("__g"), f"{j}:r2:"))
-        )
-        ln_c = F.log(
-            -(
-                F.log(_cws_uniform(F.col("__g"), f"{j}:c1:"))
-                + F.log(_cws_uniform(F.col("__g"), f"{j}:c2:"))
-            )
-        )
-        beta = _cws_uniform(F.col("__g"), f"{j}:b:")
+        u1, u2 = _cws_uniform2(F.col("__g"), f"{j}:r:")
+        u3, u4 = _cws_uniform2(F.col("__g"), f"{j}:c:")
+        beta, _ = _cws_uniform2(F.col("__g"), f"{j}:b:")
+        r = -(F.log(u1) + F.log(u2))
+        ln_c = F.log(-(F.log(u3) + F.log(u4)))
         t = F.floor(lnw / r + beta)
         ln_a = ln_c - r * (t.cast("double") - beta) - r
         mins.append(
