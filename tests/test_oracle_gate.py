@@ -96,7 +96,7 @@ def test_fixed_scale_csv_matches_across_engines(spark, duck):
     assert srow == "0.500000,-1.250000,0.000000,123.456789,-0.000001"
 
 
-def test_r8_window_is_first_50_oracle_registrations():
+def test_r9_window_is_first_50_oracle_registrations():
     """The driver certifies the FIRST 50 oracle-eligible registrations;
     the current round's window list must exactly occupy those slots
     (frozen at cut — a stray registration reordering would silently
@@ -106,23 +106,28 @@ def test_r8_window_is_first_50_oracle_registrations():
     import __spark_entry__ as entry
 
     src = open(entry.__file__).read()
-    win = re.search(r"_WINDOW_R8 = \[(.*?)\]", src, re.S).group(1)
+    win = re.search(r"_WINDOW_R9 = \[(.*?)\]", src, re.S).group(1)
     names = re.findall(r'"([^"]+)"', win)
     assert len(names) == 50
     oracles = entry.oracle_sql()
     first50 = [n for n in entry.queries() if n in oracles][:50]
     assert first50 == names
-    # the 9 never-driver-green rows (r8 queue) + the changed-implementation
-    # re-certification lead the window
-    assert names[:10] == [
-        "scale_zorder_stats",
-        "scale_zorder3_stats",
-        "scale_zorder_pruning",
-        "scale_hilbert_stats",
-        "sim_kmeans_lloyd",
-        "quality_embedding_drift",
-        "sampling_split_leakage",
-        "sim_dim_truncation_eval",
-        "sim_hybrid_rrf",
-        "sim_cluster_silhouette",
+    # the 13 never-driver-green rows (r9 queue) + the two
+    # changed-implementation re-certifications lead the window
+    assert names[:15] == [
+        "dedup_fuzzy_pairs",
+        "dedup_eval_fuzzy",
+        "dedup_weighted_jaccard",
+        "dedup_weighted_minhash",
+        "scale_skew_report",
+        "text_vocab_coverage",
+        "quality_gopher_rules",
+        "temporal_seasonal_decompose",
+        "sampling_token_budget",
+        "pipeline_ccnet_buckets",
+        "scale_column_stats",
+        "distribution_chi2_gof",
+        "temporal_holt_forecast",
+        "dedup_containment_pairs",
+        "dedup_lexical_cosine",
     ]
