@@ -147,7 +147,11 @@ def test_duration_expiry(spark, tables, tmp_path, runtime):
     spec = Query(
         source="events",
         aggregation=GroupAgg(fields=["event_type"], operations=[(AggOp.COUNT, None, "cnt")]),
-        duration_ms=1500,
+        # 5 s, not 1.5 s: the duration must outlive FIRST-batch latency
+        # (file-index + scan warmup, multi-second on a loaded host) or the
+        # query legitimately expires with zero emissions and the one-shot
+        # final_result contract below has nothing to check (r9 flake)
+        duration_ms=5000,
     )
     handle = runtime.register(spec, stream, trigger_ms=100)
     deadline = time.time() + 60

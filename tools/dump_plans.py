@@ -114,7 +114,13 @@ QUERIES = {
     "dedup_weighted_minhash": "multiset-expanded copies -> one groupBy(id) with k md5 mins; banding/verify are the shared LSH paths",
     "dedup_eval_fuzzy": "pair spaces canonicalized + ONE full-outer pair join + ONE aggregate; pair-space-sized throughout",
     "pipeline_ccnet_buckets": "chunk frame checkpointed once (feeds LM train + score); ntile over per-chunk rows; 3-row report",
-    "scale_column_stats": "columns melt once; ONE per-column rank window + ONE agg (quantiles = conditional max over ranks)",
+    "scale_column_stats": "columns melt once; RANGE-partitioned global rank (per-slice row_number + metadata-frame offsets, r9 — no per-column single reducer) + ONE agg (quantiles = conditional max over ranks)",
+    # round-9 additions: lexical-health / drift / integrity / bootstrap
+    "text_zipf_fit": "token count agg + TakeOrderedAndProject(500); OLS over the 500-row frame with decimal sums — term space never sorted",
+    "text_unigram_kl": "one count-by-term agg per side; FULL OUTER term join; 1-row totals crossJoin broadcast; decimal contribution sum",
+    "scale_shard_manifest": "one projected md5->60-bit hash; ONE shard-keyed agg (count + bit_xor, both map-side combinable, 16B state)",
+    "sampling_bootstrap_ci": "explode to Bx rows pipelines into ONE replicate-keyed agg; CI = percentile-disc window over the B-row frame",
+    "dedup_weighted_minhash_cws": "one projection (3k hashes, 2 uniforms each) -> ONE groupBy(id) with k min(struct) partials; banding/verify shared LSH paths",
 }
 
 
