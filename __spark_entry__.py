@@ -8774,6 +8774,49 @@ def scale_shard_manifest(spark, sf_dir):
     return smp.shard_manifest(t["documents"], "source", ["doc_id", "text"])
 
 
+@q(
+    "window_hopping_10m_5m",
+    """WITH e AS (
+         SELECT event_type,
+                (epoch_us(ts) // 300000000) * 300000000 AS w1
+         FROM events),
+       x AS (
+         SELECT event_type,
+                make_timestamp(w1 - k * 300000000) AS window_start
+         FROM e CROSS JOIN range(2) t(k))
+       SELECT window_start, event_type, count(*) AS cnt
+       FROM x GROUP BY 1, 2""",
+)
+def window_hopping_10m_5m(spark, sf_dir):
+    """HOPPING (sliding) event-time windows — 10-minute windows starting
+    every 5 minutes, so each event counts in exactly dur/slide = 2
+    overlapping windows (Window.slide_every, a capability upgrade: the
+    reference's window model has no overlap concept — JoinStreaming.scala
+    windows only tumble). Compiled through the spec API; Spark's
+    window(col, dur, slide) replicates rows inside the aggregate's
+    Expand, so the 2× amplification never widens the scan. The oracle
+    derives the same slide-aligned window starts arithmetically
+    (floor-to-slide minus k·slide for k < dur/slide)."""
+    from bullet_spark_spark.plans.spec import Window as BWindow, WindowUnit
+
+    return compile_query(
+        spark,
+        Query(
+            source="events",
+            aggregation=GroupAgg(
+                fields=["event_type"],
+                operations=[(AggOp.COUNT, None, "cnt")],
+            ),
+            window=BWindow(
+                emit_every=600_000,
+                emit_unit=WindowUnit.TIME,
+                slide_every=300_000,
+                event_time_field="ts",
+            ),
+        ),
+    )
+
+
 def _bootstrap_oracle_sql() -> str:
     w = smp.oracle_poisson1_weight_sql("u")
     return f"""WITH rows_x AS (

@@ -126,7 +126,20 @@ def _apply_window_grouping(df: DataFrame, query: Query) -> DataFrame:
         and w.event_time_field
         and isinstance(query.aggregation, GroupAgg)
     ):
-        dur = f"{w.emit_every // 1000} seconds" if w.emit_every % 1000 == 0 else f"{w.emit_every} milliseconds"
+        def _dur(ms: int) -> str:
+            return f"{ms // 1000} seconds" if ms % 1000 == 0 else f"{ms} milliseconds"
+
+        dur = _dur(w.emit_every)
+        if w.slide_every is not None and w.slide_every != w.emit_every:
+            # hopping window (capability upgrade — the reference has no
+            # overlap concept): each event lands in
+            # ceil(emit_every/slide_every) windows; Spark's window()
+            # replicates rows inside the aggregate's Expand, so the
+            # amplification never materializes a wider scan
+            return df.withColumn(
+                "__window",
+                F.window(F.col(w.event_time_field), dur, _dur(w.slide_every)),
+            )
         return df.withColumn("__window", F.window(F.col(w.event_time_field), dur))
     return df
 

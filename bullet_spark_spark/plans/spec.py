@@ -168,6 +168,12 @@ class Window:
     emit_every: int | None = None  # ms for TIME, count for RECORD
     emit_unit: WindowUnit | None = None
     include: WindowUnit | None = None  # ALL → additive
+    # capability upgrade over the reference: HOPPING (sliding) windows —
+    # a window of emit_every ms STARTING every slide_every ms, each event
+    # counted in ceil(emit_every/slide_every) overlapping windows. The
+    # reference's window model has no overlap concept at all; Spark's
+    # window(col, dur, slide) provides it natively. TIME unit only.
+    slide_every: int | None = None
     # capability upgrade over the reference (W5): event-time windows with a
     # declared timestamp field; the reference is processing-time only
     # (JoinStreaming.scala:118-122)
@@ -225,4 +231,13 @@ class Query:
                 errors.append("DISTRIBUTION needs points or (start, end, num_buckets)")
         if self.window.emit_unit is WindowUnit.RECORD and not self.window.emit_every:
             errors.append("RECORD window needs emit_every")
+        if self.window.slide_every is not None:
+            w = self.window
+            if w.emit_unit is not WindowUnit.TIME or not w.emit_every:
+                errors.append("slide_every needs a TIME window with emit_every")
+            elif w.slide_every <= 0 or w.slide_every > w.emit_every:
+                errors.append(
+                    "slide_every must be in (0, emit_every] — a slide larger "
+                    "than the window drops events from all windows"
+                )
         return errors
