@@ -8961,6 +8961,7 @@ _ORACLE["sampling_bootstrap_ci"] = _bootstrap_oracle_sql()
 #   text_unigram_kl              (cross-source unigram KL drift, bits)
 #   scale_shard_manifest         (bit_xor md5 integrity manifest)
 #   sampling_bootstrap_ci        (Poisson-bootstrap CI, md5-seeded)
+#   window_hopping_10m_5m        (sliding windows via Window.slide_every)
 #   rows-only addition: dedup_weighted_minhash_cws (Ioffe CWS estimator
 #   whose OUTPUT is the differential vs the exact weighted Jaccard, with
 #   an in-sweep binomial-band quality assert)

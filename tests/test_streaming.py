@@ -97,6 +97,73 @@ def test_event_time_tumbling_window(spark, tables, tmp_path, runtime):
     assert final == expected
 
 
+def test_event_time_hopping_window(spark, tables, tmp_path, runtime):
+    """r9 capability upgrade: HOPPING windows (slide_every < emit_every)
+    stream-drain to the same per-window groups the batch plan computes —
+    each event in exactly dur/slide overlapping windows."""
+    stream = _events_stream(spark, tables, tmp_path)
+    spec = Query(
+        source="events",
+        aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "cnt")]),
+        window=Window(
+            emit_every=3_600_000,
+            emit_unit=WindowUnit.TIME,
+            slide_every=1_800_000,
+            event_time_field="ts",
+        ),
+    )
+    handle = runtime.run_available(spec, stream, checkpoint_dir=str(tmp_path / "ck"))
+    final = {}
+    for batch in handle.sink.batches:
+        for row in batch:
+            final[row[0]] = row[1]
+    expected = {
+        r["window_start"]: r["cnt"]
+        for r in tables["events"]
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes")["start"].alias("window_start")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert final == expected
+    # every event is in exactly 2 windows: total count doubles tumbling's
+    assert sum(final.values()) == 2 * tables["events"].count()
+
+
+def test_hopping_window_validation():
+    """slide_every is TIME-only and must not exceed the window."""
+    base = dict(
+        source="events",
+        aggregation=GroupAgg(fields=[], operations=[(AggOp.COUNT, None, "cnt")]),
+    )
+    bad_unit = Query(
+        **base,
+        window=Window(emit_every=10, emit_unit=WindowUnit.RECORD, slide_every=5),
+    )
+    assert any("TIME window" in e for e in bad_unit.validate())
+    too_big = Query(
+        **base,
+        window=Window(
+            emit_every=600_000,
+            emit_unit=WindowUnit.TIME,
+            slide_every=900_000,
+            event_time_field="ts",
+        ),
+    )
+    assert any("slide_every" in e for e in too_big.validate())
+    ok = Query(
+        **base,
+        window=Window(
+            emit_every=600_000,
+            emit_unit=WindowUnit.TIME,
+            slide_every=300_000,
+            event_time_field="ts",
+        ),
+    )
+    assert ok.validate() == []
+
+
 def test_watermark_eviction_plan(spark, tables, tmp_path):
     """W5: a declared watermark compiles to an EventTimeWatermark node over
     an event-time window group (state eviction engages); without it the
