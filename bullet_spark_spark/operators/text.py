@@ -1557,11 +1557,18 @@ def unigram_kl(
         )
 
     cp, cq = counts(df_p, "cp"), counts(df_q, "cq")
+    from pyspark import StorageLevel
+
+    # persisted: BOTH the totals aggregate and the contribution pass
+    # consume this frame — unpersisted, each consumer re-runs both token
+    # aggregates (4 corpus scans instead of 2, audit_scans-caught). The
+    # frame is UNION-VOCAB-sized (words, not corpus rows) — cacheable at
+    # any realistic scale, spills if not.
     joined = cp.join(cq, "term", "full_outer").select(
         "term",
         F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
         F.coalesce(F.col("cq"), F.lit(0)).alias("cq"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = joined.agg(
         F.count(F.lit(1)).alias("__v"),
         F.sum("cp").alias("__np"),

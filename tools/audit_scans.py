@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _ACCEPTED = {
     # 4 independent sampling demos unioned in one slot — each scans once
     "sampling_deterministic": "four independent demo variants, one scan each",
+    # the pc/ranked branches share the literal range exchange — verified
+    # ReusedExchange=1 in the executed plan, so real base scans = 2
+    # (nulls + ranged), both column-pruned; the pre-AQE text shows 3
+    "scale_column_stats": "range exchange reused at runtime (ReusedExchange=1); nulls branch is a pruned second scan",
     # keys0/corrupt/truth are three 1-column pruned derivations of one
     # demo base (the same class as quality_snapshot_diff); the expensive
     # pair pipeline itself runs on the _persist_sigs-cached key frame
