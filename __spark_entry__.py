@@ -8775,6 +8775,107 @@ def scale_shard_manifest(spark, sf_dir):
 
 
 @q(
+    "text_unigram_js",
+    r"""WITH tp AS (
+         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         FROM documents WHERE lang IN ('en','de')),
+       tq AS (
+         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         FROM documents WHERE lang IN ('fr','es')),
+       cp AS (SELECT term, count(*) AS cp FROM tp WHERE len(term) > 0 GROUP BY 1),
+       cq AS (SELECT term, count(*) AS cq FROM tq WHERE len(term) > 0 GROUP BY 1),
+       j AS (SELECT coalesce(cp.term, cq.term) AS term,
+                    coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+             FROM cp FULL OUTER JOIN cq USING (term)),
+       tot AS (SELECT count(*) AS v, sum(cp) AS np, sum(cq) AS nq FROM j),
+       terms AS (
+         SELECT tot.v, tot.np, tot.nq,
+                CAST(round(
+                  ((cp + 0.5) / (np + 0.5 * v))
+                    * log2(((cp + 0.5) / (np + 0.5 * v))
+                           / ((((cp + 0.5) / (np + 0.5 * v))
+                               + ((cq + 0.5) / (nq + 0.5 * v))) / 2)) / 2
+                  + ((cq + 0.5) / (nq + 0.5 * v))
+                    * log2(((cq + 0.5) / (nq + 0.5 * v))
+                           / ((((cp + 0.5) / (np + 0.5 * v))
+                               + ((cq + 0.5) / (nq + 0.5 * v))) / 2)) / 2, 8)
+                AS DECIMAL(28,8)) AS t
+         FROM j CROSS JOIN tot)
+       SELECT CAST(v AS BIGINT) AS n_terms,
+              CAST(np AS BIGINT) AS n_tokens_p,
+              CAST(nq AS BIGINT) AS n_tokens_q,
+              round(CAST(sum(t) AS DOUBLE), 6) AS js_bits
+       FROM terms GROUP BY v, np, nq""",
+)
+def text_unigram_js(spark, sf_dir):
+    """Jensen–Shannon divergence between the Germanic and Romance lang
+    slices (text.unigram_js): the symmetric, [0,1]-bounded lexical-drift
+    number a dashboard thresholds — the companion of text_unigram_kl's
+    direction-sensitive statistic. Same union-vocab smoothing and
+    decimal-exact sums."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    p = docs.where(F.col("lang").isin("en", "de"))
+    qd = docs.where(F.col("lang").isin("fr", "es"))
+    return tx.unigram_js(p, qd, "text", k_smooth=0.5)
+
+
+def _bootstrap_by_oracle_sql() -> str:
+    w = smp.oracle_poisson1_weight_sql("u")
+    return f"""WITH rows_x AS (
+         SELECT lang, CAST(doc_id AS VARCHAR) AS k,
+                round(CAST(n_chars AS DOUBLE), 6) AS x
+         FROM documents),
+       reps AS (
+         SELECT lang, k, x, r,
+                CAST(('0x' || substr(md5(k || ':' || CAST(r AS VARCHAR)), 1, 15))
+                     AS BIGINT) / 1152921504606846976.0 AS u
+         FROM rows_x CROSS JOIN range(64) t(r)),
+       weighted AS (SELECT lang, r, {w} AS w, x FROM reps),
+       rep_means AS (
+         SELECT lang, r,
+                round(CAST(sum(CAST(round(w * x, 6) AS DECIMAL(28,6)))
+                           AS DOUBLE) / sum(w), 6) AS m
+         FROM weighted GROUP BY lang, r HAVING sum(w) > 0),
+       ranked AS (
+         SELECT lang, m,
+                row_number() OVER (PARTITION BY lang ORDER BY m ASC, r ASC) AS rk,
+                count(*) OVER (PARTITION BY lang) AS cnt
+         FROM rep_means),
+       ci AS (
+         SELECT lang,
+                max(CASE WHEN rk = greatest(1, CAST(ceiling(0.025 * cnt) AS BIGINT))
+                         THEN m END) AS ci_lo,
+                max(CASE WHEN rk = CAST(ceiling(0.975 * cnt) AS BIGINT)
+                         THEN m END) AS ci_hi
+         FROM ranked GROUP BY lang),
+       pt AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                      / count(*), 6) AS mean
+         FROM rows_x GROUP BY lang)
+       SELECT pt.lang, n, CAST(64 AS BIGINT) AS b, mean, ci_lo, ci_hi
+       FROM pt JOIN ci ON ci.lang = pt.lang"""
+
+
+@q("sampling_bootstrap_by_lang")
+def sampling_bootstrap_by_lang(spark, sf_dir):
+    """Per-language Poisson-bootstrap CIs for mean document length
+    (sampling.poisson_bootstrap_ci_by, B=64): the uncertainty panel a
+    mixture report reads — is a language slice's mean genuinely
+    different, or inside resampling noise? One (group, replicate)-keyed
+    aggregate; replicate draws seed from the row key alone, so each
+    row's resample weight is identical whichever grouping consumes it."""
+    t = _t(spark, sf_dir)
+    return smp.poisson_bootstrap_ci_by(
+        t["documents"], "n_chars", "doc_id", ["lang"], b=64, alpha=0.05
+    )
+
+
+_ORACLE["sampling_bootstrap_by_lang"] = _bootstrap_by_oracle_sql()
+
+
+@q(
     "window_hopping_10m_5m",
     """WITH e AS (
          SELECT event_type,
@@ -8962,6 +9063,8 @@ _ORACLE["sampling_bootstrap_ci"] = _bootstrap_oracle_sql()
 #   scale_shard_manifest         (bit_xor md5 integrity manifest)
 #   sampling_bootstrap_ci        (Poisson-bootstrap CI, md5-seeded)
 #   window_hopping_10m_5m        (sliding windows via Window.slide_every)
+#   text_unigram_js              (symmetric bounded JS divergence)
+#   sampling_bootstrap_by_lang   (per-group Poisson-bootstrap CIs)
 #   rows-only addition: dedup_weighted_minhash_cws (Ioffe CWS estimator
 #   whose OUTPUT is the differential vs the exact weighted Jaccard, with
 #   an in-sweep binomial-band quality assert)

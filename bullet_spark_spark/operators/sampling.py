@@ -625,3 +625,96 @@ def poisson_bootstrap_ci(
     return point.crossJoin(F.broadcast(ci)).select(
         "n", F.lit(b).cast("long").alias("b"), "mean", "ci_lo", "ci_hi"
     )
+
+
+def poisson_bootstrap_ci_by(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str],
+    b: int = 64,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-GROUP Poisson-bootstrap CIs → one row per group (group cols, n,
+    b, mean, ci_lo, ci_hi): the uncertainty panel a mixture report needs —
+    "is source A's quality really above source B's, or is the gap inside
+    the resampling noise?" Same one-pass machinery as
+    :func:`poisson_bootstrap_ci` (hash-seeded Poisson(1) multiplicities,
+    weighted replicate means, percentile-disc CI), with every stage keyed
+    by (group, replicate): the explode pipelines into one aggregate whose
+    state is 2 counters × groups × b, and the CI window partitions the
+    groups×b metadata frame. Replicate draws seed from the ROW key alone,
+    so a row's resample weight is identical whichever grouping consumes
+    it (group-consistent resampling). Rank thresholds derive from each
+    group's surviving replicate count (a tiny group can lose replicates
+    to all-zero weights; the ceil-rank stays well-defined)."""
+    from pyspark.sql.window import Window as W
+
+    reps = df.select(
+        *group_cols,
+        F.col(key_col).cast("string").alias("__k"),
+        F.round(F.col(value_col).cast("double"), 6).alias("__x"),
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("__k"), F.col("__r"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_U_DENOM)
+    )
+    weighted = reps.select(
+        *group_cols, "__r", _poisson1_weight(u).alias("__w"), "__x"
+    )
+    rep_means = (
+        weighted.groupBy(*group_cols, "__r")
+        .agg(
+            F.sum(
+                F.round(F.col("__w") * F.col("__x"), 6).cast("decimal(28,6)")
+            ).alias("__sx"),
+            F.sum("__w").alias("__sw"),
+        )
+        .where(F.col("__sw") > 0)
+        .select(
+            *group_cols,
+            "__r",
+            F.round(F.col("__sx").cast("double") / F.col("__sw"), 6).alias(
+                "__m"
+            ),
+        )
+    )
+    gw = W.partitionBy(*group_cols)
+    ranked = rep_means.select(
+        *group_cols,
+        "__m",
+        F.row_number()
+        .over(gw.orderBy(F.col("__m").asc(), F.col("__r").asc()))
+        .alias("__rk"),
+        F.count(F.lit(1)).over(gw).alias("__cnt"),
+    )
+    lo_rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.lit(alpha / 2.0) * F.col("__cnt")),
+    )
+    hi_rank = F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("__cnt"))
+    ci = ranked.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("__rk") == lo_rank, F.col("__m"))).alias("ci_lo"),
+        F.max(F.when(F.col("__rk") == hi_rank, F.col("__m"))).alias("ci_hi"),
+    )
+    point = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(
+                F.round(F.col(value_col).cast("double"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+    )
+    return point.join(ci, group_cols).select(
+        *group_cols, "n", F.lit(b).cast("long").alias("b"),
+        "mean", "ci_lo", "ci_hi",
+    )

@@ -1592,3 +1592,68 @@ def unigram_kl(
         F.col("__nq").cast("long").alias("n_tokens_q"),
         "kl_bits",
     )
+
+
+def unigram_js(
+    df_p: DataFrame,
+    df_q: DataFrame,
+    text_col: str = "text",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpora's unigram
+    distributions → ONE row (n_terms, n_tokens_p, n_tokens_q, js_bits):
+    JS(P,Q) = ½·D(P‖M) + ½·D(Q‖M) with M = (P+Q)/2, in bits — the
+    SYMMETRIC, [0,1]-bounded companion of :func:`unigram_kl` (KL is
+    unbounded and direction-dependent; JS is the number a dashboard
+    thresholds: 0 = same language, 1 = disjoint vocabularies). Same
+    add-k smoothing over the union vocabulary and the same scale shape:
+    one count-by-term aggregate per side, one full-outer term join
+    (persisted — two consumers), decimal-exact contribution sums,
+    output rounded 6 dp."""
+
+    def counts(df, name):
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+            .where(F.length("term") > 0)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    from pyspark import StorageLevel
+
+    joined = (
+        counts(df_p, "cp")
+        .join(counts(df_q, "cq"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
+            F.coalesce(F.col("cq"), F.lit(0)).alias("cq"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = joined.agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum("cp").alias("__np"),
+        F.sum("cq").alias("__nq"),
+    )
+    k = F.lit(float(k_smooth))
+    with_t = joined.crossJoin(F.broadcast(totals))
+    p = (F.col("cp") + k) / (F.col("__np") + k * F.col("__v"))
+    q = (F.col("cq") + k) / (F.col("__nq") + k * F.col("__v"))
+    m = (p + q) / 2
+    terms = with_t.select(
+        "__v",
+        "__np",
+        "__nq",
+        F.round(
+            p * F.log2(p / m) / 2 + q * F.log2(q / m) / 2, 8
+        ).cast("decimal(28,8)").alias("__t"),
+    )
+    return terms.groupBy("__v", "__np", "__nq").agg(
+        F.round(F.sum("__t").cast("double"), 6).alias("js_bits")
+    ).select(
+        F.col("__v").cast("long").alias("n_terms"),
+        F.col("__np").cast("long").alias("n_tokens_p"),
+        F.col("__nq").cast("long").alias("n_tokens_q"),
+        "js_bits",
+    )

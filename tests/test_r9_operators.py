@@ -193,3 +193,55 @@ def test_poisson1_weight_mean_near_one(spark):
     ).collect()[0]
     assert abs(m["m"] - 1.0) < 0.05  # se = 1/sqrt(5000) ~ 0.014
     assert m["mx"] <= 13
+
+
+# ---------------------------------------------------------------------------
+# unigram_js
+# ---------------------------------------------------------------------------
+
+def test_unigram_js_symmetric_bounded_zero(spark):
+    p = spark.createDataFrame([(1, "a a b c")], "doc_id long, text string")
+    q = spark.createDataFrame([(1, "a d d e e")], "doc_id long, text string")
+    ab = tx.unigram_js(p, q).collect()[0]
+    ba = tx.unigram_js(q, p).collect()[0]
+    # symmetric (KL is not) and bounded in [0, 1] bits
+    assert ab["js_bits"] == ba["js_bits"]
+    assert 0.0 < ab["js_bits"] <= 1.0
+    same = tx.unigram_js(p, p).collect()[0]
+    assert same["js_bits"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_ci_by
+# ---------------------------------------------------------------------------
+
+def test_poisson_bootstrap_by_group_consistent(spark):
+    df = spark.range(0, 600).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 40).cast("double").alias("v"),
+    )
+    out = {
+        r["g"]: r
+        for r in smp.poisson_bootstrap_ci_by(df, "v", "k", ["g"], b=64).collect()
+    }
+    assert set(out) == {"0", "1", "2"}
+    for r in out.values():
+        assert r["n"] == 200 and r["b"] == 64
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    # deterministic across invocations
+    again = {
+        r["g"]: r
+        for r in smp.poisson_bootstrap_ci_by(df, "v", "k", ["g"], b=64).collect()
+    }
+    assert again == out
+    # group-consistent resampling: the single-group CI over a filtered
+    # frame equals that group's row in the grouped run (weights seed from
+    # the row key alone)
+    g0 = df.where(F.col("g") == "0")
+    single = smp.poisson_bootstrap_ci(g0, "v", "k", b=64).collect()[0]
+    assert (single["mean"], single["ci_lo"], single["ci_hi"]) == (
+        out["0"]["mean"],
+        out["0"]["ci_lo"],
+        out["0"]["ci_hi"],
+    )
