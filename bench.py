@@ -95,6 +95,11 @@ BENCH = [
     "text_unigram_kl",        # two token aggs + full-outer term join
     "scale_shard_manifest",   # md5-hash + bit_xor shard aggregate
     "sampling_bootstrap_ci",  # 64x Poisson-replicate explode + 2 aggs
+    # round-9 late additions
+    "window_hopping_10m_5m",  # sliding windows (2x in-aggregate Expand)
+    "text_unigram_js",        # symmetric JS over the persisted term frame
+    "sampling_bootstrap_by_lang",  # per-group replicate agg + CI window
+    "dedup_weighted_minhash_cws",  # row-wise CWS + exact-differential join
 ]
 
 REPEATS = 3
