@@ -8775,6 +8775,70 @@ def scale_shard_manifest(spark, sf_dir):
 
 
 @q(
+    "temporal_cusum_volume",
+    """WITH daily AS (
+         SELECT event_type,
+                make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS d,
+                CAST(count(*) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT event_type,
+                floor((CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                       / count(*)) * 1e9) / 1e9 AS mean,
+                floor(sqrt(greatest(
+                  CAST(sum(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+                  - (CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+                    * (CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*)),
+                  0.0)) * 1e9) / 1e9 AS std
+         FROM daily GROUP BY 1),
+       z AS (
+         SELECT d.event_type, d.d, d.v,
+                CAST(floor(((d.v - s.mean)
+                            / CASE WHEN s.std > 0 THEN s.std ELSE 1.0 END)
+                           * 1e9) / 1e9 AS DECIMAL(28,9)) AS zq
+         FROM daily d JOIN stats s USING (event_type)),
+       cs AS (
+         SELECT event_type, d, v, zq,
+                sum(zq - CAST(0.5 AS DECIMAL(28,9))) OVER w AS csp,
+                sum(-zq - CAST(0.5 AS DECIMAL(28,9))) OVER w AS csn
+         FROM z
+         WINDOW w AS (PARTITION BY event_type ORDER BY d
+                      ROWS UNBOUNDED PRECEDING)),
+       sp AS (
+         SELECT event_type, d, v, zq,
+                csp - least(CAST(0 AS DECIMAL(28,9)), min(csp) OVER w) AS spv,
+                csn - least(CAST(0 AS DECIMAL(28,9)), min(csn) OVER w) AS snv
+         FROM cs
+         WINDOW w AS (PARTITION BY event_type ORDER BY d
+                      ROWS UNBOUNDED PRECEDING))
+       SELECT event_type, d AS ts, v AS value,
+              CAST(floor(zq * 1000000) AS BIGINT) / 1e6 AS z,
+              CAST(floor(spv * 1000000) AS BIGINT) / 1e6 AS s_pos,
+              CAST(floor(snv * 1000000) AS BIGINT) / 1e6 AS s_neg,
+              (spv > CAST(4.0 AS DECIMAL(28,9))
+               OR snv > CAST(4.0 AS DECIMAL(28,9))) AS alarm
+       FROM sp""",
+)
+def temporal_cusum_volume(spark, sf_dir):
+    """Two-sided CUSUM change-point monitor over daily event volume per
+    type (temporal.cusum_path, Page 1954): accumulates SUSTAINED sub-σ
+    shifts a z-score spike monitor can't see. The max(0,·) recurrence
+    computes via its reflection closed form — prefix-sum minus running
+    minimum, ONE key exchange + two window passes, no per-key fold or
+    collect (the scale win over the Holt family's inherently sequential
+    recurrence). Decimal-exact prefix sums; floor-quantized surfaces."""
+    t = _t(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return tmp.cusum_path(
+        daily, "d", "v", key_cols=["event_type"], k_slack=0.5, h_threshold=4.0
+    )
+
+
+@q(
     "text_unigram_js",
     r"""WITH tp AS (
          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

@@ -844,3 +844,137 @@ def holt_linear_forecast(
             / F.lit(1e6)
         ).alias("forecast"),
     )
+
+
+def cusum_path(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    k_slack: float = 0.5,
+    h_threshold: float = 4.0,
+    quant_dp: int = 9,
+) -> DataFrame:
+    """Two-sided CUSUM change-point statistic per observation (Page 1954,
+    the classical sequential drift detector — public knowledge) → one row
+    per (key..., ts): (value, z, s_pos, s_neg, alarm). A z-score monitor
+    flags single spikes; CUSUM accumulates SUSTAINED small shifts — the
+    "source quietly degraded 0.3σ three weeks ago" signal a corpus/
+    telemetry pipeline wants:
+
+        s⁺_t = max(0, s⁺_{t−1} + z_t − k)      (upward shift)
+        s⁻_t = max(0, s⁻_{t−1} − z_t − k)      (downward shift)
+        alarm iff s⁺_t > h or s⁻_t > h
+
+    with z standardized per key and k the slack (shifts below k·σ are
+    ignored), h the decision threshold.
+
+    THE SCALE TRICK — no sequential fold: the max(0, ·) recurrence has
+    the classical reflection closed form s⁺_t = cs_t − min(0, min_{j≤t}
+    cs_j) with cs the prefix sum of (z − k), so the whole path computes
+    as ONE key exchange + running-sum and running-min windows — no
+    per-key collect_list, no O(series) driver state, no list fold (the
+    Holt recurrence has no such closed form; this one does, so use it).
+    Engine-exactness: z floor-quantizes at ``quant_dp`` and accumulates
+    as DECIMAL(28,9) (exact prefix sums — window sums of doubles drift
+    across engines), statistics surface floor-quantized at 6 dp."""
+    keys = list(key_cols or [])
+    scale = float(10 ** quant_dp)
+
+    def q(col):
+        return F.floor(col * F.lit(scale)) / F.lit(scale)
+
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__sx"),
+        F.sum(
+            (F.col(value_col).cast("double") * F.col(value_col).cast("double"))
+            .cast("decimal(38,6)")
+        ).alias("__sxx"),
+    )
+    # plain multiply, not pow(x, 2): libm pow differs from x*x in the last
+    # ulp across engines (the ks_two_sample lesson) — under a 1e9 floor
+    # quantizer one ulp flips the bucket
+    mean_raw = F.col("__sx").cast("double") / F.col("__n")
+    stats = stats.select(
+        *keys,
+        q(mean_raw).alias("__mean"),
+        q(
+            F.sqrt(
+                F.greatest(
+                    F.col("__sxx").cast("double") / F.col("__n")
+                    - mean_raw * mean_raw,
+                    F.lit(0.0),
+                )
+            )
+        ).alias("__std"),
+    )
+    j = df.join(stats, keys) if keys else df.crossJoin(F.broadcast(stats))
+    z = q(
+        (F.col(value_col).cast("double") - F.col("__mean"))
+        / F.when(F.col("__std") > 0, F.col("__std")).otherwise(F.lit(1.0))
+    )
+    base = j.select(
+        *keys,
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        z.cast("decimal(28,9)").alias("__z"),
+    )
+    w = W.partitionBy(*keys).orderBy("ts") if keys else W.orderBy("ts")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    k = F.lit(float(k_slack)).cast("decimal(28,9)")
+    # prefix sums downcast to decimal(20,9) IMMEDIATELY: Spark's window
+    # sum widens decimals to precision 38, and the reflection subtraction
+    # below would then need 39 — which trips allowPrecisionLoss and
+    # silently ROUNDS the result to scale 6 (this surfaced as a 1e-6
+    # oracle flip at exactly a 6-dp boundary). z-scaled prefix sums are
+    # bounded by ~series_len·(|z|+k), far inside decimal(20,9).
+    with_cs = base.select(
+        *keys,
+        "ts",
+        "value",
+        "__z",
+        F.sum(F.col("__z") - k).over(run).cast("decimal(20,9)").alias("__csp"),
+        F.sum(-F.col("__z") - k).over(run).cast("decimal(20,9)").alias("__csn"),
+    )
+    zero = F.lit(0).cast("decimal(20,9)")
+    with_min = with_cs.select(
+        *keys,
+        "ts",
+        "value",
+        "__z",
+        (
+            F.col("__csp") - F.least(zero, F.min("__csp").over(run))
+        ).alias("__sp"),
+        (
+            F.col("__csn") - F.least(zero, F.min("__csn").over(run))
+        ).alias("__sn"),
+    )
+
+    # DECIMAL-space 6-dp floor: ×10⁶ (exact), floor (exact), integer/1e6
+    # (one IEEE division of an exact integer — identical everywhere). A
+    # double-space floor here is boundary-hostile: the exact statistic
+    # often IS a representable 6-dp value, and the two engines' decimal→
+    # double casts differ below the ulp, flipping floor(x·10⁶) by one.
+    # The ×10⁶ product must STAY inside precision 38: at decimal(38,9)
+    # Spark's multiply overflows and silently ROUNDS the result scale
+    # (allowPrecisionLoss), which is how 1345934.998 became 1345935
+    # before the floor — downcast to decimal(20,9) first (CUSUM paths
+    # are z-scaled: magnitudes are tiny) so p = 20+7+1 = 28 stays exact.
+    def out6(dec):
+        return (
+            F.floor(dec.cast("decimal(20,9)") * F.lit(1_000_000)).cast("long")
+            / F.lit(1e6)
+        )
+
+    h = F.lit(float(h_threshold)).cast("decimal(28,9)")
+    return with_min.select(
+        *keys,
+        "ts",
+        "value",
+        out6(F.col("__z")).alias("z"),
+        out6(F.col("__sp")).alias("s_pos"),
+        out6(F.col("__sn")).alias("s_neg"),
+        # decimal comparison: exact on both engines
+        ((F.col("__sp") > h) | (F.col("__sn") > h)).alias("alarm"),
+    )

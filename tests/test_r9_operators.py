@@ -245,3 +245,63 @@ def test_poisson_bootstrap_by_group_consistent(spark):
         out["0"]["ci_lo"],
         out["0"]["ci_hi"],
     )
+
+
+# ---------------------------------------------------------------------------
+# cusum_path
+# ---------------------------------------------------------------------------
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """The windowed reflection closed form s+_t = cs_t - min(0, min cs_j)
+    must equal the textbook sequential recurrence exactly."""
+    from bullet_spark_spark.operators import temporal as tmp
+
+    vals = [10, 11, 9, 10, 30, 31, 32, 29, 30, 31]  # level shift at t=5
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "ts long, v double"
+    )
+    out = {
+        r["ts"]: r
+        for r in tmp.cusum_path(df, "ts", "v", k_slack=0.5, h_threshold=2.0)
+        .collect()
+    }
+    # python reference on the same quantized z
+    n = len(vals)
+    mean = sum(vals) / n
+    std = (sum(v * v for v in vals) / n - mean**2) ** 0.5
+
+    def q9(x):
+        return math.floor(x * 1e9) / 1e9
+
+    mean, std = q9(mean), q9(std)
+    sp = sn = 0.0
+    for i, v in enumerate(vals):
+        z = q9((v - mean) / std)
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        assert out[i]["s_pos"] == math.floor(sp * 1e6) / 1e6, (i, sp)
+        assert out[i]["s_neg"] == math.floor(sn * 1e6) / 1e6, (i, sn)
+    # both sides of the level shift deviate from the GLOBAL mean, so the
+    # prefix accumulates a DOWNWARD alarm and the suffix an UPWARD one —
+    # textbook two-sided CUSUM on a standardized series with a shift
+    assert not out[0]["alarm"]  # one step can't clear h
+    assert out[3]["alarm"] and out[3]["s_neg"] > 2.0 and out[3]["s_pos"] == 0.0
+    # the suffix accumulates upward mass monotonically (z-k ~ +0.26/step
+    # here — below this h, which is exactly CUSUM's slack behavior)
+    assert 0.0 < out[6]["s_pos"] < out[9]["s_pos"]
+    assert out[9]["s_neg"] == 0.0  # the upward run drains the down side
+
+
+def test_cusum_per_key_and_constant_series(spark):
+    from bullet_spark_spark.operators import temporal as tmp
+
+    rows = [("a", i, float(10 + (5 if i >= 8 else 0))) for i in range(12)]
+    rows += [("b", i, 7.0) for i in range(12)]  # constant: std=0 guard
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = tmp.cusum_path(
+        df, "ts", "v", key_cols=["k"], k_slack=0.5, h_threshold=2.0
+    ).collect()
+    a = [r for r in out if r["k"] == "a"]
+    b = [r for r in out if r["k"] == "b"]
+    assert any(r["alarm"] for r in a)  # shift detected within key a
+    assert all(not r["alarm"] and r["z"] == 0.0 for r in b)  # flat + no NaN
