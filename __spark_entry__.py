@@ -9129,6 +9129,7 @@ _ORACLE["sampling_bootstrap_ci"] = _bootstrap_oracle_sql()
 #   window_hopping_10m_5m        (sliding windows via Window.slide_every)
 #   text_unigram_js              (symmetric bounded JS divergence)
 #   sampling_bootstrap_by_lang   (per-group Poisson-bootstrap CIs)
+#   temporal_cusum_volume        (CUSUM via the reflection closed form)
 #   rows-only addition: dedup_weighted_minhash_cws (Ioffe CWS estimator
 #   whose OUTPUT is the differential vs the exact weighted Jaccard, with
 #   an in-sweep binomial-band quality assert)

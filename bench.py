@@ -100,6 +100,7 @@ BENCH = [
     "text_unigram_js",        # symmetric JS over the persisted term frame
     "sampling_bootstrap_by_lang",  # per-group replicate agg + CI window
     "dedup_weighted_minhash_cws",  # row-wise CWS + exact-differential join
+    "temporal_cusum_volume",  # CUSUM reflection form (2 window passes)
 ]
 
 REPEATS = 3
