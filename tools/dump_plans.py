@@ -121,6 +121,11 @@ QUERIES = {
     "scale_shard_manifest": "one projected md5->60-bit hash; ONE shard-keyed agg (count + bit_xor, both map-side combinable, 16B state)",
     "sampling_bootstrap_ci": "explode to Bx rows pipelines into ONE replicate-keyed agg; CI = percentile-disc window over the B-row frame",
     "dedup_weighted_minhash_cws": "j explodes to rows -> pipelined groupBy(id,j) min(struct) + k-bounded collect (5x faster per row than the k-wide projection); banding/verify shared LSH paths",
+    # round-9 late additions
+    "window_hopping_10m_5m": "hopping window(dur, slide): 2x replication INSIDE the aggregate Expand; one partial->final HashAggregate pair",
+    "text_unigram_js": "two token aggs + persisted full-outer term join; symmetric contributions sum as decimals",
+    "sampling_bootstrap_by_lang": "explode to Bx rows -> ONE (group, replicate) agg; CI window over the groupsxB metadata frame",
+    "temporal_cusum_volume": "reflection closed form: ONE key exchange + running-sum and running-min windows; decimal(20,9) prefix sums (precision-38 loss documented)",
 }
 
 
