@@ -8839,6 +8839,64 @@ def temporal_cusum_volume(spark, sf_dir):
 
 
 @q(
+    "temporal_trend_robust",
+    """WITH daily AS (
+         SELECT event_type,
+                make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS d,
+                CAST(count(*) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2),
+       idx AS (
+         SELECT event_type, v,
+                row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+         FROM daily),
+       pairs AS (
+         SELECT a.event_type,
+                CAST(sign(b.v - a.v) AS BIGINT) AS sgn,
+                CAST(floor(((b.v - a.v) / CAST(b.i - a.i AS DOUBLE)) * 1e9)
+                     / 1e9 AS DECIMAL(20,9)) AS slope
+         FROM idx a JOIN idx b
+           ON a.event_type = b.event_type AND a.i < b.i),
+       ranked AS (
+         SELECT event_type, sgn, slope,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY slope ASC) AS rk,
+                count(*) OVER (PARTITION BY event_type) AS m
+         FROM pairs),
+       agg AS (
+         SELECT event_type,
+                CAST(max(CASE WHEN rk = CAST(ceiling(CAST(m AS DOUBLE) / 2)
+                                        AS BIGINT)
+                              THEN slope END) AS DOUBLE) AS med,
+                sum(sgn) AS s, count(*) AS npairs
+         FROM ranked GROUP BY 1)
+       SELECT event_type,
+              CAST(round((1 + sqrt(1 + 8 * CAST(npairs AS DOUBLE))) / 2, 0)
+                   AS BIGINT) AS n_points,
+              CAST(s AS BIGINT) AS s_kendall,
+              round(CAST(s AS DOUBLE) / npairs, 6) AS tau,
+              round(med, 6) AS slope
+       FROM agg""",
+)
+def temporal_trend_robust(spark, sf_dir):
+    """Robust trend panel over daily event volume per type
+    (temporal.theil_sen_trend): Theil–Sen slope (median of pairwise
+    slopes — tolerates ~29% corruption where OLS is one outlier from
+    nonsense) + Mann–Kendall S and τ (distribution-free monotone-trend
+    verdict), both from ONE per-key ordinal self-join (O(series²) per
+    key — monitoring-series-sized by construction; pre-bucket first,
+    like the Holt/CUSUM families). Median = percentile-disc LOWER over
+    decimal-quantized slopes; S/τ are integer/ratio arithmetic —
+    hash-matched, not tolerance-checked."""
+    t = _t(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return tmp.theil_sen_trend(daily, "d", "v", key_cols=["event_type"])
+
+
+@q(
     "text_unigram_js",
     r"""WITH tp AS (
          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
@@ -9130,6 +9188,7 @@ _ORACLE["sampling_bootstrap_ci"] = _bootstrap_oracle_sql()
 #   text_unigram_js              (symmetric bounded JS divergence)
 #   sampling_bootstrap_by_lang   (per-group Poisson-bootstrap CIs)
 #   temporal_cusum_volume        (CUSUM via the reflection closed form)
+#   temporal_trend_robust        (Theil-Sen slope + Mann-Kendall tau)
 #   rows-only addition: dedup_weighted_minhash_cws (Ioffe CWS estimator
 #   whose OUTPUT is the differential vs the exact weighted Jaccard, with
 #   an in-sweep binomial-band quality assert)

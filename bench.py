@@ -101,6 +101,7 @@ BENCH = [
     "sampling_bootstrap_by_lang",  # per-group replicate agg + CI window
     "dedup_weighted_minhash_cws",  # row-wise CWS + exact-differential join
     "temporal_cusum_volume",  # CUSUM reflection form (2 window passes)
+    "temporal_trend_robust",  # Theil-Sen/Mann-Kendall pair self-join
 ]
 
 REPEATS = 3

@@ -978,3 +978,88 @@ def cusum_path(
         # decimal comparison: exact on both engines
         ((F.col("__sp") > h) | (F.col("__sn") > h)).alias("alarm"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    quant_dp: int = 9,
+) -> DataFrame:
+    """Robust trend per key — Theil–Sen slope + the Mann–Kendall test
+    statistic → one row per key: (key..., n_points, s_kendall, tau,
+    slope). The OLS slope (zipf_fit's machinery) is one outlier away
+    from nonsense; Theil–Sen (median of all pairwise slopes) tolerates
+    ~29% corruption, and Mann–Kendall's S = Σ_{i<j} sign(v_j − v_i)
+    gives the distribution-free monotone-trend verdict (τ = S / C(n,2))
+    — the standard pair for "is this source's quality actually
+    drifting, robustly?" (Theil 1950 / Sen 1968 / Mann 1945 — public
+    knowledge).
+
+    Scale shape: ONE key exchange; the pair frame is a per-key
+    self-join on ordinal index i<j — O(per-key series length²), which
+    is the operator's honest cost and fine for the MONITORING series it
+    exists for (daily/hourly rollups: 365 points = 66k pairs per key;
+    pre-bucket with time_bucket_rollup first, exactly like the Holt and
+    CUSUM families). Slopes floor-quantize at ``quant_dp`` into
+    decimal(20,9); the median is PERCENTILE-DISC LOWER (the value at
+    rank ceil(m/2) of the ascending slope sort — deterministic and
+    engine-portable, no midpoint interpolation to diverge); S and τ are
+    integer/ratio arithmetic — everything hash-matchable."""
+    keys = list(key_cols or [])
+    scale = float(10 ** quant_dp)
+    w = W.partitionBy(*keys).orderBy("ts") if keys else W.orderBy("ts")
+    idx = df.select(
+        *keys,
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("v"),
+    ).withColumn("__i", F.row_number().over(w))
+    a, b = idx.alias("a"), idx.alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys] + [
+        F.col("a.__i") < F.col("b.__i")
+    ]
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{k}").alias(k) for k in keys],
+        F.signum(F.col("b.v") - F.col("a.v")).cast("long").alias("__sgn"),
+        (
+            F.floor(
+                (F.col("b.v") - F.col("a.v"))
+                / (F.col("b.__i") - F.col("a.__i")).cast("double")
+                * F.lit(scale)
+            )
+            / F.lit(scale)
+        ).cast("decimal(20,9)").alias("__slope"),
+    )
+    pw = (
+        W.partitionBy(*keys).orderBy(F.col("__slope").asc())
+        if keys
+        else W.orderBy(F.col("__slope").asc())
+    )
+    ranked = pairs.select(
+        *keys,
+        "__sgn",
+        "__slope",
+        F.row_number().over(pw).alias("__rk"),
+        F.count(F.lit(1)).over(W.partitionBy(*keys)).alias("__m"),
+    )
+    med_rank = F.ceil(F.col("__m").cast("double") / 2)
+    return ranked.groupBy(*keys).agg(
+        F.max(F.when(F.col("__rk") == med_rank, F.col("__slope"))).cast(
+            "double"
+        ).alias("__med"),
+        F.sum("__sgn").alias("s_kendall"),
+        F.count(F.lit(1)).alias("__npairs"),
+    ).select(
+        *keys,
+        # n from C(n,2) = m: n = (1 + sqrt(1+8m)) / 2 — exact for any
+        # true pair frame, avoids a second scan of the base
+        F.round((1 + F.sqrt(1 + 8 * F.col("__npairs").cast("double"))) / 2, 0)
+        .cast("long")
+        .alias("n_points"),
+        F.col("s_kendall").cast("long").alias("s_kendall"),
+        F.round(
+            F.col("s_kendall").cast("double") / F.col("__npairs"), 6
+        ).alias("tau"),
+        F.round(F.col("__med"), 6).alias("slope"),
+    )

@@ -305,3 +305,49 @@ def test_cusum_per_key_and_constant_series(spark):
     b = [r for r in out if r["k"] == "b"]
     assert any(r["alarm"] for r in a)  # shift detected within key a
     assert all(not r["alarm"] and r["z"] == 0.0 for r in b)  # flat + no NaN
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend
+# ---------------------------------------------------------------------------
+
+def _py_theil_sen(vals, dp=9):
+    n = len(vals)
+    slopes, s = [], 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = vals[j] - vals[i]
+            s += (d > 0) - (d < 0)
+            slopes.append(math.floor((d / (j - i)) * 10**dp) / 10**dp)
+    slopes.sort()
+    m = len(slopes)
+    med = slopes[math.ceil(m / 2) - 1]  # percentile-disc LOWER
+    return n, s, round(s / m, 6), round(med, 6)
+
+
+def test_theil_sen_matches_reference_and_resists_outlier(spark):
+    from bullet_spark_spark.operators import temporal as tmp
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0, 6.0, 7.0, 8.0]  # one wild outlier
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "k string, ts long, v double",
+    )
+    r = tmp.theil_sen_trend(df, "ts", "v", key_cols=["k"]).collect()[0]
+    n, s, tau, med = _py_theil_sen(vals)
+    assert (r["n_points"], r["s_kendall"], r["tau"], r["slope"]) == (
+        n,
+        s,
+        tau,
+        med,
+    )
+    # robustness: the Theil-Sen slope stays ~1 despite the outlier, where
+    # OLS would be dragged far above it
+    assert 0.9 <= r["slope"] <= 1.5
+    # perfectly monotone series: tau == 1
+    mono = spark.createDataFrame(
+        [("k", i, float(i) * 2) for i in range(6)],
+        "k string, ts long, v double",
+    )
+    rm = tmp.theil_sen_trend(mono, "ts", "v", key_cols=["k"]).collect()[0]
+    assert rm["tau"] == 1.0 and rm["slope"] == 2.0

@@ -126,6 +126,7 @@ QUERIES = {
     "text_unigram_js": "two token aggs + persisted full-outer term join; symmetric contributions sum as decimals",
     "sampling_bootstrap_by_lang": "explode to Bx rows -> ONE (group, replicate) agg; CI window over the groupsxB metadata frame",
     "temporal_cusum_volume": "reflection closed form: ONE key exchange + running-sum and running-min windows; decimal(20,9) prefix sums (precision-38 loss documented)",
+    "temporal_trend_robust": "per-key ordinal self-join (series^2 bounded) -> slope-ranked window -> one agg; median = percentile-disc lower",
 }
 
 
