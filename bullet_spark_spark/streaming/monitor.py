@@ -118,3 +118,92 @@ def ewma_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("sp", StringType()),  # repr(float) — exact roundtrip
+        StructField("sn", StringType()),
+    ]
+)
+
+
+def cusum_monitor(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    mean: float,
+    std: float,
+    k_slack: float = 0.5,
+    h_threshold: float = 4.0,
+    baselines: dict[tuple, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Streaming per-key two-sided CUSUM against a FROZEN baseline →
+    (keys…, ts, value, z, s_pos, s_neg, alarm): the in-flight companion
+    of temporal.cusum_path (which standardizes against the batch's own
+    statistics — a stream can't see those, and drift-from-a-pinned-
+    baseline is the statistically honest streaming question anyway: the
+    baseline comes from the accepted corpus, exactly like the frozen
+    quality classifier and frozen drift centroids).
+
+        s⁺ ← max(0, s⁺ + z − k)   s⁻ ← max(0, s⁻ − z − k)
+        alarm iff s⁺ > h or s⁻ > h   (judged AFTER absorbing the record)
+
+    ``baselines`` optionally maps key tuples to per-key (mean, std) —
+    key-space-sized, captured in the closure like the frozen-model
+    coefficient broadcasts; ``mean``/``std`` are the fallback. Per-key
+    state is TWO scalars (bounded forever; RocksDB-ready). Rows within a
+    micro-batch process in (ts, value) order; cross-batch order is
+    arrival order, as for any streaming fold — the drip ≡ one-batch
+    parity test pins that the state carries exactly."""
+    keys = list(key_cols)
+    base = dict(baselines or {})
+    out_fields = [StructField(k, df.schema[k].dataType) for k in keys]
+    out_fields += [
+        StructField("ts", df.schema[ts_col].dataType),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+    out_schema = StructType(out_fields)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sp_s, sn_s = state.get
+            sp, sn = float(sp_s), float(sn_s)
+        else:
+            sp, sn = 0.0, 0.0
+        m, s = base.get(key, (mean, std))
+        s = s if s and s > 0 else 1.0
+
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+            for ts, x in zip(pdf[ts_col], pdf[value_col]):
+                if x is None:
+                    continue
+                xv = float(x)
+                z = (xv - m) / s
+                sp = max(0.0, sp + z - k_slack)
+                sn = max(0.0, sn - z - k_slack)
+                alarm = bool(sp > h_threshold or sn > h_threshold)
+                rows.append(key + (ts, xv, z, sp, sn, alarm))
+
+        state.update((repr(sp), repr(sn)))
+        yield pd.DataFrame(
+            rows,
+            columns=keys + ["ts", "value", "z", "s_pos", "s_neg", "alarm"],
+        )
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

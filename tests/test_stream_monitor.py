@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from bullet_spark_spark.sources.streaming import file_drip
-from bullet_spark_spark.streaming.monitor import ewma_anomalies
+from bullet_spark_spark.streaming.monitor import cusum_monitor, ewma_anomalies
 
 
 def _drain(spark, src_df, tmp_path, chunks, **kw):
@@ -97,3 +97,118 @@ def test_ewma_keys_are_independent(spark, tmp_path):
     assert {k: len(v) for k, v in by_key.items()} == {"a": 12, "b": 12}
     assert all(r["ewma"] == 1.0 for r in by_key["a"])
     assert all(r["ewma"] == 100.0 for r in by_key["b"])
+
+
+# ---------------------------------------------------------------------------
+# cusum_monitor (r9)
+# ---------------------------------------------------------------------------
+
+def _ordered_cusum_drip(spark, rows, data_dir, chunks):
+    """ts-contiguous chunks with increasing mtimes -> FileStreamSource
+    (maxFilesPerTrigger=1) replays them in ts order; file_drip's
+    round-robin repartition scatters rows across chunks, which is wrong
+    for an order-sensitive recurrence test."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(data_dir, exist_ok=True)
+    per = -(-len(rows) // chunks)
+    t0 = time.time() - 10 * chunks
+    for c in range(chunks):
+        part = rows[c * per : (c + 1) * per]
+        if not part:
+            continue
+        path = os.path.join(data_dir, f"chunk_{c}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in part], pa.string()),
+                    "ts": pa.array([r[1] for r in part]),
+                    "v": pa.array([r[2] for r in part], pa.float64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (t0 + 10 * c, t0 + 10 * c))
+    return (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+
+
+def _drain_cusum(spark, rows, tmp_path, chunks, name, **kw):
+    stream = _ordered_cusum_drip(spark, rows, str(tmp_path / "in"), chunks)
+    out = cusum_monitor(stream, ["k"], "ts", "v", **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sorted(
+        spark.sql(f"SELECT * FROM {name}").collect(), key=lambda r: r["ts"]
+    )
+
+
+def _cusum_replica(vals, mean, std, k=0.5, h=4.0):
+    sp = sn = 0.0
+    out = []
+    for x in vals:
+        z = (x - mean) / (std if std > 0 else 1.0)
+        sp = max(0.0, sp + z - k)
+        sn = max(0.0, sn - z - k)
+        out.append((z, sp, sn, sp > h or sn > h))
+    return out
+
+
+def test_cusum_monitor_matches_replica_and_carries_state(spark, tmp_path):
+    """Frozen-baseline streaming CUSUM: the drained path must equal the
+    sequential recurrence, and splitting the SAME rows across three
+    micro-batches must not change a single value (state carry-over)."""
+    import datetime
+
+    vals = [10.0, 10.5, 9.5, 10.2, 14.0, 14.5, 15.0, 14.2, 14.8, 15.1]
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0, i, 0), v)
+        for i, v in enumerate(vals)
+    ]
+    kw = dict(mean=10.0, std=1.0, k_slack=0.5, h_threshold=4.0)
+    one = _drain_cusum(spark, rows, tmp_path / "one", 1, "cusum_one", **kw)
+    drip = _drain_cusum(spark, rows, tmp_path / "drip", 3, "cusum_drip", **kw)
+    ref = _cusum_replica(vals, 10.0, 1.0)
+    for got in (one, drip):
+        assert len(got) == len(vals)
+        for r, (z, sp, sn, alarm) in zip(got, ref):
+            assert abs(r["z"] - z) < 1e-12
+            assert abs(r["s_pos"] - sp) < 1e-12
+            assert abs(r["s_neg"] - sn) < 1e-12
+            assert r["alarm"] == alarm
+    # the sustained +4-sigma shift alarms; the stable prefix does not
+    assert not one[2]["alarm"] and one[-1]["alarm"]
+
+
+def test_cusum_monitor_per_key_baselines(spark, tmp_path):
+    """Per-key frozen baselines: key 'b' has a higher pinned mean, so the
+    same values alarm for 'a' but not for 'b'."""
+    import datetime
+
+    rows = []
+    for i in range(8):
+        rows.append(("a", datetime.datetime(2024, 1, 1, 0, i, 0), 20.0))
+        rows.append(("b", datetime.datetime(2024, 1, 1, 0, i, 0), 20.0))
+    got = _drain_cusum(
+        spark, rows, tmp_path, 1, "cusum_keys",
+        mean=10.0, std=1.0, k_slack=0.5, h_threshold=4.0,
+        baselines={("b",): (20.0, 1.0)},
+    )
+    a = [r for r in got if r["k"] == "a"]
+    b = [r for r in got if r["k"] == "b"]
+    assert any(r["alarm"] for r in a)       # 10 sigma above its baseline
+    assert all(not r["alarm"] for r in b)   # on-baseline
