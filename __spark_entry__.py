@@ -7402,6 +7402,63 @@ def streaming_ewma_anomalies(spark, sf_dir):
     )
 
 
+@q("streaming_cusum_monitor")  # rows-only BY NATURE: stateful streaming
+# drain (applyInPandasWithState) — no SQL equivalent; drip ≡ one-batch
+# parity and the sequential recurrence are pytest-certified
+# (tests/test_stream_monitor.py).
+def streaming_cusum_monitor(spark, sf_dir):
+    """Stateful streaming per-key CUSUM drift monitor against a FROZEN
+    baseline (streaming/monitor.cusum_monitor): drain an event-type-keyed
+    daily-volume stream and accumulate Page's two-sided statistic per key
+    — the in-flight companion of temporal_cusum_volume's batch panel
+    (which standardizes on the batch's own stats; the stream pins the
+    accepted corpus's). Two scalars of state per key; rows-only by nature
+    (cross-batch fold order is arrival order, not SQL-reproducible)."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import cusum_monitor as _cm
+
+    t = _t(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    base = {
+        (r["event_type"],): (float(r["m"]), float(r["s"]))
+        for r in daily.groupBy("event_type")
+        .agg(F.avg("v").alias("m"), F.stddev_pop("v").alias("s"))
+        .collect()  # bounded: one row per event type (frozen baseline)
+    }
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, daily, work, chunks=2)
+        out = _cm(
+            stream,
+            ["event_type"],
+            "d",
+            "v",
+            mean=0.0,
+            std=1.0,
+            k_slack=0.5,
+            h_threshold=4.0,
+            baselines=base,
+        )
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName("__cusum_monitor")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(180)
+    return spark.sql(
+        "SELECT event_type, ts, value, round(s_pos, 6) AS s_pos, "
+        "round(s_neg, 6) AS s_neg, alarm FROM __cusum_monitor"
+    )
+
+
 _HITS_EDGES_CTE = """base AS (
     SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
            count(*) AS w
@@ -9189,6 +9246,8 @@ _ORACLE["sampling_bootstrap_ci"] = _bootstrap_oracle_sql()
 #   sampling_bootstrap_by_lang   (per-group Poisson-bootstrap CIs)
 #   temporal_cusum_volume        (CUSUM via the reflection closed form)
 #   temporal_trend_robust        (Theil-Sen slope + Mann-Kendall tau)
+#   rows-only addition: streaming_cusum_monitor (frozen-baseline
+#   stateful drift intake; drip parity pytest-certified)
 #   rows-only addition: dedup_weighted_minhash_cws (Ioffe CWS estimator
 #   whose OUTPUT is the differential vs the exact weighted Jaccard, with
 #   an in-sweep binomial-band quality assert)
