@@ -9149,6 +9149,65 @@ def sampling_bootstrap_ci(spark, sf_dir):
 _ORACLE["sampling_bootstrap_ci"] = _bootstrap_oracle_sql()
 
 
+_TRIANGLE_EDGES_CTE = """sl AS (
+    SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+  co AS (
+    SELECT a.s AS src, b.s AS dst
+    FROM sl a JOIN sl b ON a.ok = b.ok AND a.s < b.s
+    GROUP BY 1, 2 HAVING count(*) >= 5),
+  edges AS (SELECT src, dst FROM co)"""
+
+
+@q(
+    "graph_triangles_supplier",
+    gr.oracle_triangle_sql(
+        _TRIANGLE_EDGES_CTE,
+        select="""SELECT CAST(node AS BIGINT) AS suppkey,
+                         degree, triangles, clustering
+                  FROM {last}
+                  ORDER BY triangles DESC, suppkey LIMIT 25""",
+    ),
+)
+def graph_triangles_supplier(spark, sf_dir):
+    """Triangle participation + local clustering coefficient
+    (graph.triangle_counts) over the RECURRING-partnership supplier
+    graph — suppliers co-appearing on >= 5 of the same orders. The
+    curation read pagerank/HITS can't give: triangle density separates
+    genuinely interlinked supplier communities from star-shaped hubs of
+    identical degree (a spam farm links widely but its neighbors don't
+    link each other — clustering ~0). The co-occurrence builder is
+    per-order pair expansion (order size is bounded, so linear at any
+    corpus scale) with the >= 5 HAVING prune keeping the graph sparse;
+    the count itself orients every edge lower-degree -> higher
+    (Suri-Vassilvitskii), capping wedge fan-out at O(m^1.5) even if a
+    celebrity supplier appears. All-integer until the final 6-dp ratio."""
+    t = _t(spark, sf_dir)
+    sl = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = sl.alias("a"), sl.alias("b")
+    co = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
+    )
+    panel = gr.triangle_counts(co)
+    return (
+        panel.select(
+            F.col("node").cast("bigint").alias("suppkey"),
+            "degree",
+            "triangles",
+            "clustering",
+        )
+        .orderBy(F.desc("triangles"), "suppkey")
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

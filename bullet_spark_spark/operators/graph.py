@@ -336,6 +336,153 @@ def hits(
     return scores
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient over
+    an undirected simple graph → (node, degree, triangles, clustering).
+    The corpus-curation read: triangle density separates genuinely
+    interlinked communities (citation/source clusters worth keeping
+    together) from star-shaped spam hubs whose degree looks identical —
+    degree-only authority (pagerank/HITS above) can't tell them apart.
+
+    Semantics: input edges are canonicalized to the undirected simple
+    graph (self-loops dropped, duplicate/multi/reverse edges collapsed);
+    degree counts distinct neighbors; ``triangles`` is the number of
+    unordered triangles the node belongs to; ``clustering`` = 2T /
+    (d·(d−1)) rounded 6 dp (0.0 when d < 2). Everything but the final
+    ratio is exact integer arithmetic — hash-matchable by construction;
+    the ratio is one IEEE expression written token-identically in SQL.
+
+    Scale shape (Suri–Vassilvitskii / Cohen MapReduce triangle counting —
+    public knowledge): every canonical edge is ORIENTED from its lower-
+    (degree, node) endpoint to the higher, which caps every node's
+    out-degree at O(√m) on any graph — so the wedge self-join on the
+    oriented source (the only quadratic-looking step) fans out at most
+    out-deg² = O(m^1.5) total wedges instead of Σ deg² (a single
+    celebrity node would otherwise explode the join). Closure is ONE
+    equi-semi-join of wedges against oriented edges on (v, w); per-node
+    counts are one explode + hash aggregate. No driver materialization
+    anywhere: two groupBys, three joins, all keyed — the plan survives a
+    100× scale-up wherever the edge shuffle itself does.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    low_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    o1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    # wedge (x, y) ordered by the SAME (degree, node) total order the
+    # orientation used, so the closing edge can only exist as x -> y
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    ).select("u", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                    / (F.col("deg").cast("double") * (F.col("deg") - F.lit(1))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+    # no unpersist here: the returned frame is LAZY — dropping the cache
+    # before the caller's action would force e/oriented to recompute per
+    # consuming branch (ks_two_sample's persist-and-return precedent)
+    return out
+
+
+def oracle_triangle_sql(edges_cte: str, select: str) -> str:
+    """DuckDB oracle for :func:`triangle_counts`: the same orient → wedge
+    → close pipeline. ``edges_cte`` must define ``edges(src, dst)``;
+    ``select`` is the final projection over ``{last}`` =
+    panel(node, degree, triangles, clustering)."""
+    return f"""WITH {edges_cte},
+       ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges
+              WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+       deg AS (SELECT node, count(*) AS deg
+               FROM (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+               GROUP BY 1),
+       ed AS (SELECT ce.a, ce.b, da.deg AS da, db.deg AS db
+              FROM ce JOIN deg da ON da.node = ce.a
+                      JOIN deg db ON db.node = ce.b),
+       o AS (SELECT CASE WHEN da < db OR (da = db AND a < b)
+                         THEN a ELSE b END AS u,
+                    CASE WHEN da < db OR (da = db AND a < b)
+                         THEN b ELSE a END AS v,
+                    CASE WHEN da < db OR (da = db AND a < b)
+                         THEN db ELSE da END AS dv
+             FROM ed),
+       tri AS (SELECT o1.u, o1.v AS x, o2.v AS y
+               FROM o o1 JOIN o o2 ON o1.u = o2.u
+                AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+               WHERE EXISTS (SELECT 1 FROM o oe
+                             WHERE oe.u = o1.v AND oe.v = o2.v)),
+       pn AS (SELECT node, count(*) AS t
+              FROM (SELECT u AS node FROM tri
+                    UNION ALL SELECT x FROM tri
+                    UNION ALL SELECT y FROM tri)
+              GROUP BY 1),
+       panel AS (
+         SELECT deg.node,
+                CAST(deg.deg AS BIGINT) AS degree,
+                CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles,
+                CASE WHEN deg.deg >= 2
+                     THEN round(2.0 * CAST(coalesce(pn.t, 0) AS DOUBLE)
+                                / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6)
+                     ELSE 0.0 END AS clustering
+         FROM deg LEFT JOIN pn ON pn.node = deg.node)
+       {select.format(last="panel")}"""
+
+
 def oracle_hits_sql(
     edges_cte: str,
     iterations: int = 5,
