@@ -9208,6 +9208,134 @@ def graph_triangles_supplier(spark, sf_dir):
     )
 
 
+@q(
+    "distribution_mannwhitney",
+    """WITH ca AS (SELECT value AS v, count(*) AS ca FROM events
+                   WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1),
+       cb AS (SELECT value AS v, count(*) AS cb FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+       m AS (SELECT coalesce(ca.v, cb.v) AS v,
+                    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+             FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+       r AS (SELECT ca, cb, ca + cb AS t,
+                    CAST(sum(ca + cb) OVER (ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) - (ca + cb) AS BIGINT) AS cx
+             FROM m),
+       s AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+                    sum(CAST(ca AS DECIMAL(38,0)) * (2 * cx + t + 1)) AS ra2,
+                    sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS ties
+             FROM r),
+       f AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                    round((CAST(ra2 AS DOUBLE)
+                           - CAST(na AS DOUBLE) * (na + 1)) / 2, 6) AS u_a,
+                    round(CAST(na AS DOUBLE) * nb / 2, 6) AS mu_u,
+                    round(sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                          * (CAST(na + nb AS DOUBLE) + 1.0
+                             - CAST(ties AS DOUBLE)
+                               / (CAST(na + nb AS DOUBLE)
+                                  * (CAST(na + nb AS DOUBLE) - 1.0)))), 6)
+                      AS sigma_u,
+                    CASE WHEN sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                          * (CAST(na + nb AS DOUBLE) + 1.0
+                             - CAST(ties AS DOUBLE)
+                               / (CAST(na + nb AS DOUBLE)
+                                  * (CAST(na + nb AS DOUBLE) - 1.0)))) > 0
+                         THEN round(((CAST(ra2 AS DOUBLE)
+                                      - CAST(na AS DOUBLE) * (na + 1)) / 2
+                                     - CAST(na AS DOUBLE) * nb / 2)
+                              / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                                * (CAST(na + nb AS DOUBLE) + 1.0
+                                   - CAST(ties AS DOUBLE)
+                                     / (CAST(na + nb AS DOUBLE)
+                                        * (CAST(na + nb AS DOUBLE) - 1.0)))), 6)
+                         END AS z
+             FROM s)
+       SELECT n_a, n_b, u_a, mu_u, sigma_u, z,
+              CASE WHEN z IS NOT NULL THEN abs(z) > 1.959964 END AS reject_95
+       FROM f""",
+)
+def distribution_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (distribution.mann_whitney_u) on the
+    same click-vs-purchase value slices as distribution_ks_test: KS asks
+    "same distribution?", U asks the directional "does one slice run
+    stochastically higher?" — and being rank-based it shrugs off the
+    heavy tail that would dominate a mean test. Tie-corrected normal
+    approximation; integer-exact through the rank sums (average ranks
+    enter doubled), shared two-level-cumsum plumbing with KS."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    return dist.mann_whitney_u(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
+@q(
+    "distribution_welch_ttest",
+    """WITH s AS (
+         SELECT count(*) FILTER (WHERE event_type = 'click' AND value IS NOT NULL)
+                  AS na,
+                count(*) FILTER (WHERE event_type = 'purchase' AND value IS NOT NULL)
+                  AS nb,
+                sum(CAST(value AS DECIMAL(18,6)))
+                  FILTER (WHERE event_type = 'click' AND value IS NOT NULL) AS sa,
+                sum(CAST(value AS DECIMAL(18,6)))
+                  FILTER (WHERE event_type = 'purchase' AND value IS NOT NULL) AS sb,
+                sum(CAST(round(value * value, 8) AS DECIMAL(28,8)))
+                  FILTER (WHERE event_type = 'click' AND value IS NOT NULL) AS qa,
+                sum(CAST(round(value * value, 8) AS DECIMAL(28,8)))
+                  FILTER (WHERE event_type = 'purchase' AND value IS NOT NULL) AS qb
+         FROM events),
+       d AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+                    CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
+             FROM s),
+       v AS (SELECT n_a, n_b, nad, nbd, sad, sbd,
+                    (qad - sad * sad / nad) / (nad - 1.0) AS va,
+                    (qbd - sbd * sbd / nbd) / (nbd - 1.0) AS vb
+             FROM d),
+       e AS (SELECT n_a, n_b, nad, nbd, sad, sbd, va, vb,
+                    va / nad AS ea, vb / nbd AS eb
+             FROM v),
+       f AS (SELECT n_a, n_b,
+                    round(sad / nad, 6) AS mean_a,
+                    round(sbd / nbd, 6) AS mean_b,
+                    round(va, 6) AS var_a,
+                    round(vb, 6) AS var_b,
+                    CASE WHEN ea + eb > 0
+                         THEN round((sad / nad - sbd / nbd) / sqrt(ea + eb), 6)
+                         END AS t_stat,
+                    CASE WHEN ea + eb > 0
+                         THEN round(((ea + eb) * (ea + eb))
+                              / (ea * ea / (nad - 1.0)
+                                 + eb * eb / (nbd - 1.0)), 6)
+                         END AS dof
+             FROM e)
+       SELECT n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, dof,
+              CASE WHEN t_stat IS NOT NULL
+                   THEN abs(t_stat) > 1.959964 END AS reject_95
+       FROM f""",
+)
+def distribution_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test (distribution.welch_ttest) on the
+    click-vs-purchase value slices — the parametric member of the
+    two-sample panel (KS: distribution shape; U: stochastic order;
+    Welch: the mean, without the equal-variance assumption that
+    pipeline slices never satisfy). ONE map-side-combinable aggregate
+    whose state is six numbers; decimal-exact moments per the
+    quality_correlations discipline."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    return dist.welch_ttest(
+        t["events"], "value", "event_type", "click", "purchase"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

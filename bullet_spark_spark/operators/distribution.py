@@ -389,30 +389,16 @@ def mad_outliers(
     return df.withColumn(flag_col, flag)
 
 
-def ks_two_sample(
-    a: DataFrame,
-    b: DataFrame,
-    col: str,
-) -> DataFrame:
-    """Exact two-sample Kolmogorov–Smirnov test → one row
-    (d_stat, n_a, n_b, p_approx): the distribution-level drift gate that
-    complements quality.drift_report's binned PSI — KS is bin-free (the
-    supremum of |F_a(x) − F_b(x)| over the EXACT empirical CDFs), so it
-    catches shape drift PSI's bucketing can wash out.
-
-    Plan: per-side value counts (map-side combinable), full-outer merged
-    on value, then the running CDFs via the TWO-LEVEL cumsum pattern
-    (pack_sequences, sampling.py): range-bucket the value domain with one
-    approxQuantile pass (boundaries only need to be order-aligned, not
-    exact), running-sum within each bucket, add broadcast per-bucket
-    prefixes — a continuous column (every value distinct) never lands in
-    a single-partition window. The gap maximum is a plain aggregate.
-    p_approx is the asymptotic two-sided tail
-    2·exp(−2·d²·n_a·n_b/(n_a+n_b)) rounded 6 dp.
-
-    NULLs drop (no order position). Exact counts make each CDF a ratio of
-    integers; the gap is rounded 9 dp before the max so evaluation order
-    can't flip the supremum's last bit."""
+def _merged_rank_counts(a: DataFrame, b: DataFrame, col: str):
+    """Shared plumbing for the rank-based two-sample tests (KS, Mann–
+    Whitney): per-distinct-value counts of both sides full-outer merged
+    on value, plus INCLUSIVE running cumulative counts in value order via
+    the two-level cumsum pattern (range-bucket the domain with one
+    approxQuantile pass, running-sum within buckets, broadcast per-bucket
+    prefixes) — a continuous column never lands in one single-partition
+    window. Returns ``(cum_frame, merged_persisted)`` where ``cum_frame``
+    carries (v, ca, cb, __cum_a, __cum_b) and ``merged_persisted`` is the
+    (v, ca, cb) frame for totals aggregates."""
     ca = (
         a.select(F.col(col).alias("v"))
         .filter(F.col("v").isNotNull())
@@ -470,6 +456,9 @@ def ks_two_sample(
             .withColumn("__crb", F.sum("cb").over(w_in))
             .join(F.broadcast(prefix), "__bkt")
             .select(
+                "v",
+                "ca",
+                "cb",
                 (F.col("__cra") + F.col("__pa")).alias("__cum_a"),
                 (F.col("__crb") + F.col("__pb")).alias("__cum_b"),
             )
@@ -477,8 +466,40 @@ def ks_two_sample(
     else:
         w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
         cum = merged.select(
-            F.sum("ca").over(w).alias("__cum_a"), F.sum("cb").over(w).alias("__cum_b")
+            "v",
+            "ca",
+            "cb",
+            F.sum("ca").over(w).alias("__cum_a"),
+            F.sum("cb").over(w).alias("__cum_b"),
         )
+    return cum, merged
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test → one row
+    (d_stat, n_a, n_b, p_approx): the distribution-level drift gate that
+    complements quality.drift_report's binned PSI — KS is bin-free (the
+    supremum of |F_a(x) − F_b(x)| over the EXACT empirical CDFs), so it
+    catches shape drift PSI's bucketing can wash out.
+
+    Plan: per-side value counts (map-side combinable), full-outer merged
+    on value, then the running CDFs via the TWO-LEVEL cumsum pattern
+    (pack_sequences, sampling.py): range-bucket the value domain with one
+    approxQuantile pass (boundaries only need to be order-aligned, not
+    exact), running-sum within each bucket, add broadcast per-bucket
+    prefixes — a continuous column (every value distinct) never lands in
+    a single-partition window. The gap maximum is a plain aggregate.
+    p_approx is the asymptotic two-sided tail
+    2·exp(−2·d²·n_a·n_b/(n_a+n_b)) rounded 6 dp.
+
+    NULLs drop (no order position). Exact counts make each CDF a ratio of
+    integers; the gap is rounded 9 dp before the max so evaluation order
+    can't flip the supremum's last bit."""
+    cum, merged = _merged_rank_counts(a, b, col)
     totals_row = merged.agg(
         F.sum("ca").alias("__na"), F.sum("cb").alias("__nb")
     )
@@ -518,6 +539,183 @@ def ks_two_sample(
             ),
             6,
         ).alias("p_approx"),
+    )
+
+
+def mann_whitney_u(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test → one row (n_a, n_b, u_a,
+    mu_u, sigma_u, z, reject_95): does sample A tend to produce LARGER
+    values than sample B? The rank-based companion of
+    :func:`ks_two_sample` — KS asks "same distribution?", U asks the
+    directional "is A stochastically greater?", and being rank-based it
+    ignores outlier magnitude entirely (the robust alternative to a
+    t-test on heavy-tailed pipeline metrics).
+
+    Semantics (classical, tie-corrected normal approximation — Mann &
+    Whitney 1947, public knowledge): ties share AVERAGE ranks; U_a =
+    R_a − n_a(n_a+1)/2; σ² carries the tie correction
+    n_a·n_b/12·((N+1) − Σ(t³−t)/(N(N−1))); z = (U_a − μ)/σ with no
+    continuity correction (documented choice — keeps the statistic one
+    IEEE expression); ``reject_95`` thresholds |z| at 1.959964 and is
+    NULL when σ = 0 (every value tied). NULLs drop.
+
+    Engine-exactness: everything through R_a is INTEGER arithmetic —
+    avg ranks enter doubled (2·cum_excl + t + 1, exact bigints) and
+    summed as exact decimals, so U_a is an exact half-integer; μ, σ, z
+    are single IEEE expressions over those exact sums, written
+    token-identically in the oracle.
+
+    Scale shape: reuses :func:`_merged_rank_counts` — two map-side-
+    combinable value-count aggregates, one full-outer merge, the
+    two-level cumsum (no single-partition window), then ONE final
+    aggregate. State is distinct-value-sized, never row-sized."""
+    cum, merged = _merged_rank_counts(a, b, col)
+    t = (F.col("ca") + F.col("cb")).alias("t")
+    per_value = cum.select(
+        "ca",
+        "cb",
+        t,
+        # exclusive cumulative count of ALL pooled rows before v
+        (F.col("__cum_a") + F.col("__cum_b") - (F.col("ca") + F.col("cb"))).alias(
+            "cx"
+        ),
+    )
+    agg = per_value.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        # 2·R_a = Σ ca·(2·cum_excl + t + 1): exact decimal of exact bigints
+        F.sum(
+            F.col("ca").cast("decimal(38,0)")
+            * (2 * F.col("cx") + F.col("t") + 1)
+        ).alias("ra2"),
+        # tie term Σ (t³ − t), decimal-cubed to dodge bigint overflow
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("ties"),
+    )
+    zexpr = (
+        (
+            F.col("ra2").cast("double")
+            - F.col("na").cast("double") * (F.col("na") + 1)
+        )
+        / 2
+        - F.col("na").cast("double") * F.col("nb") / 2
+    ) / F.sqrt(
+        F.col("na").cast("double")
+        * F.col("nb")
+        / 12.0
+        * (
+            (F.col("na") + F.col("nb")).cast("double")
+            + 1.0
+            - F.col("ties").cast("double")
+            / (
+                (F.col("na") + F.col("nb")).cast("double")
+                * ((F.col("na") + F.col("nb")).cast("double") - 1.0)
+            )
+        )
+    )
+    sigma = F.sqrt(
+        F.col("na").cast("double")
+        * F.col("nb")
+        / 12.0
+        * (
+            (F.col("na") + F.col("nb")).cast("double")
+            + 1.0
+            - F.col("ties").cast("double")
+            / (
+                (F.col("na") + F.col("nb")).cast("double")
+                * ((F.col("na") + F.col("nb")).cast("double") - 1.0)
+            )
+        )
+    )
+    stats = agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(
+            (
+                F.col("ra2").cast("double")
+                - F.col("na").cast("double") * (F.col("na") + 1)
+            )
+            / 2,
+            6,
+        ).alias("u_a"),
+        F.round(F.col("na").cast("double") * F.col("nb") / 2, 6).alias("mu_u"),
+        F.round(sigma, 6).alias("sigma_u"),
+        F.when(sigma > 0, F.round(zexpr, 6)).alias("z"),
+    )
+    return stats.withColumn(
+        "reject_95",
+        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) > F.lit(1.959964)),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two slices of one frame →
+    one row (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, dof,
+    reject_95): is the MEAN genuinely different? The parametric
+    companion of :func:`mann_whitney_u` (which tests stochastic order) —
+    Welch because pipeline slices rarely share variance, and the classic
+    equal-variance pooling is exactly the assumption that breaks
+    (Welch 1947, public knowledge).
+
+    t = (x̄_a − x̄_b)/√(s²_a/n_a + s²_b/n_b); dof is Welch–Satterthwaite.
+    ``reject_95`` thresholds |t| at 1.959964 — the NORMAL approximation,
+    exact for the large-n slices this runs on (dof > 60 matches the
+    t-table to 2 dp); NULL when the standard error is 0. NULLs drop.
+
+    Engine-exactness follows quality.correlation_matrix: one aggregation
+    pass collects n, Σx (exact decimal) and Σ round(x², 8) (exact
+    decimal) per side via conditional sums; means/variances/t/dof are
+    single IEEE expressions over those exact sums, token-identical in
+    the oracle. Scale shape: ONE map-side-combinable aggregate, state =
+    six numbers — no shuffle beyond the final single-row reduce."""
+    v = F.col(value_col).cast("double")
+    in_a = (F.col(group_col) == F.lit(group_a)) & v.isNotNull()
+    in_b = (F.col(group_col) == F.lit(group_b)) & v.isNotNull()
+    agg = df.agg(
+        F.count(F.when(in_a, 1)).alias("na"),
+        F.count(F.when(in_b, 1)).alias("nb"),
+        F.sum(F.when(in_a, v.cast("decimal(18,6)"))).alias("sa"),
+        F.sum(F.when(in_b, v.cast("decimal(18,6)"))).alias("sb"),
+        F.sum(F.when(in_a, F.round(v * v, 8).cast("decimal(28,8)"))).alias("qa"),
+        F.sum(F.when(in_b, F.round(v * v, 8).cast("decimal(28,8)"))).alias("qb"),
+    )
+    na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa_d, sb_d = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa_d, qb_d = F.col("qa").cast("double"), F.col("qb").cast("double")
+    va = (qa_d - sa_d * sa_d / na_d) / (na_d - 1.0)
+    vb = (qb_d - sb_d * sb_d / nb_d) / (nb_d - 1.0)
+    ea, eb = va / na_d, vb / nb_d
+    texpr = (sa_d / na_d - sb_d / nb_d) / F.sqrt(ea + eb)
+    dof = ((ea + eb) * (ea + eb)) / (
+        ea * ea / (na_d - 1.0) + eb * eb / (nb_d - 1.0)
+    )
+    stats = agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(sa_d / na_d, 6).alias("mean_a"),
+        F.round(sb_d / nb_d, 6).alias("mean_b"),
+        F.round(va, 6).alias("var_a"),
+        F.round(vb, 6).alias("var_b"),
+        F.when(ea + eb > 0, F.round(texpr, 6)).alias("t_stat"),
+        F.when(ea + eb > 0, F.round(dof, 6)).alias("dof"),
+    )
+    return stats.withColumn(
+        "reject_95",
+        F.when(
+            F.col("t_stat").isNotNull(), F.abs(F.col("t_stat")) > F.lit(1.959964)
+        ),
     )
 
 

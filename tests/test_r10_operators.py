@@ -3,8 +3,11 @@ parametric two-sample tests, temporal autocorrelation."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
+from bullet_spark_spark.operators import distribution as dist
 from bullet_spark_spark.operators import graph as gr
 
 
@@ -63,3 +66,108 @@ def test_triangle_counts_no_cartesian_in_plan(spark):
     plan = gr.triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u / welch_ttest
+# ---------------------------------------------------------------------------
+
+def _mwu_reference(xs, ys):
+    """Pure-Python tie-corrected Mann-Whitney U (average ranks)."""
+    pooled = sorted(set(xs) | set(ys))
+    # average rank per distinct value
+    ranks, start = {}, 1
+    for v in pooled:
+        t = xs.count(v) + ys.count(v)
+        ranks[v] = start + (t - 1) / 2.0
+        start += t
+    na, nb, nn = len(xs), len(ys), len(xs) + len(ys)
+    ra = sum(ranks[v] for v in xs)
+    ua = ra - na * (na + 1) / 2.0
+    mu = na * nb / 2.0
+    ties = sum(
+        (xs.count(v) + ys.count(v)) ** 3 - (xs.count(v) + ys.count(v))
+        for v in pooled
+    )
+    sigma = math.sqrt(
+        na * nb / 12.0 * ((nn + 1.0) - ties / (nn * (nn - 1.0)))
+    )
+    return na, nb, ua, mu, sigma, (ua - mu) / sigma
+
+
+def test_mann_whitney_hand_example(spark):
+    xs, ys = [1.0, 2.0, 3.0], [2.0, 3.0, 4.0]
+    a = spark.createDataFrame([(v,) for v in xs], "value double")
+    b = spark.createDataFrame([(v,) for v in ys], "value double")
+    row = dist.mann_whitney_u(a, b, "value").collect()[0]
+    na, nb, ua, mu, sigma, z = _mwu_reference(xs, ys)
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert row["u_a"] == round(ua, 6) == 2.0
+    assert row["mu_u"] == round(mu, 6) == 4.5
+    assert row["sigma_u"] == round(sigma, 6)
+    assert row["z"] == round(z, 6)
+    assert row["reject_95"] is False
+
+
+def test_mann_whitney_random_with_ties(spark):
+    import random
+
+    rng = random.Random(47)
+    xs = [float(rng.randint(0, 30)) for _ in range(400)]
+    ys = [float(rng.randint(5, 35)) for _ in range(300)]
+    a = spark.createDataFrame([(v,) for v in xs], "value double")
+    b = spark.createDataFrame([(v,) for v in ys], "value double")
+    row = dist.mann_whitney_u(a, b, "value").collect()[0]
+    na, nb, ua, mu, sigma, z = _mwu_reference(xs, ys)
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert row["u_a"] == round(ua, 6)
+    assert abs(row["sigma_u"] - sigma) < 1e-5
+    assert abs(row["z"] - z) < 1e-5
+    assert row["reject_95"] is True  # B is shifted +5: strong signal
+
+
+def test_mann_whitney_all_tied_null_z(spark):
+    a = spark.createDataFrame([(1.0,)] * 4, "value double")
+    b = spark.createDataFrame([(1.0,)] * 3, "value double")
+    row = dist.mann_whitney_u(a, b, "value").collect()[0]
+    assert row["sigma_u"] == 0.0
+    assert row["z"] is None and row["reject_95"] is None
+
+
+def _welch_reference(xs, ys):
+    na, nb = len(xs), len(ys)
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    va = sum((x - ma) ** 2 for x in xs) / (na - 1)
+    vb = sum((y - mb) ** 2 for y in ys) / (nb - 1)
+    ea, eb = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(ea + eb)
+    dof = (ea + eb) ** 2 / (ea * ea / (na - 1) + eb * eb / (nb - 1))
+    return ma, mb, va, vb, t, dof
+
+
+def test_welch_ttest_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    xs = [round(rng.gauss(10.0, 2.0), 3) for _ in range(500)]
+    ys = [round(rng.gauss(10.5, 4.0), 3) for _ in range(350)]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys] + [("c", 99.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    row = dist.welch_ttest(df, "value", "g", "a", "b").collect()[0]
+    ma, mb, va, vb, t, dof = _welch_reference(xs, ys)
+    assert (row["n_a"], row["n_b"]) == (500, 350)
+    assert abs(row["mean_a"] - ma) < 1e-6 and abs(row["mean_b"] - mb) < 1e-6
+    assert abs(row["var_a"] - va) < 1e-5 and abs(row["var_b"] - vb) < 1e-5
+    assert abs(row["t_stat"] - t) < 1e-5
+    assert abs(row["dof"] - dof) < 1e-3
+    assert row["reject_95"] == (abs(t) > 1.959964)
+
+
+def test_welch_ttest_ignores_nulls_and_other_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", 5.0), ("b", 7.0),
+         ("z", 1000.0)],
+        "g string, value double",
+    )
+    row = dist.welch_ttest(df, "value", "g", "a", "b").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (2, 2)
+    assert row["mean_a"] == 1.5 and row["mean_b"] == 6.0
