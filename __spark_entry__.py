@@ -9336,6 +9336,62 @@ def distribution_welch_ttest(spark, sf_dir):
     )
 
 
+@q(
+    "temporal_acf",
+    """WITH daily AS (
+         SELECT event_type,
+                make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS d,
+                CAST(count(*) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2),
+       idx AS (
+         SELECT event_type, v,
+                row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+         FROM daily),
+       st AS (
+         SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+         FROM idx GROUP BY 1),
+       dev AS (
+         SELECT idx.event_type, i, n, v - m AS dv
+         FROM idx JOIN st USING (event_type)),
+       den AS (
+         SELECT event_type,
+                CAST(sum(CAST(floor(dv * dv * 1000000000.0) AS DECIMAL(28,0)))
+                     AS DOUBLE) / 1000000000.0 AS den
+         FROM dev GROUP BY 1),
+       num AS (
+         SELECT a.event_type, l.k AS lag, max(a.n) AS n,
+                CAST(sum(CAST(floor(a.dv * b.dv * 1000000000.0)
+                              AS DECIMAL(28,0))) AS DOUBLE)
+                  / 1000000000.0 AS num
+         FROM dev a
+         CROSS JOIN range(1, 8) l(k)
+         JOIN dev b ON b.event_type = a.event_type AND b.i = a.i + l.k
+         GROUP BY 1, 2)
+       SELECT num.event_type, CAST(lag AS BIGINT) AS lag,
+              CAST(n AS BIGINT) AS n,
+              CASE WHEN den > 0 THEN round(num / den, 6) END AS acf
+       FROM num JOIN den USING (event_type)""",
+)
+def temporal_acf(spark, sf_dir):
+    """Per-type autocorrelation of daily event volume at lags 1..7
+    (temporal.acf): the seasonality DETECTOR in front of
+    temporal_seasonal_decompose — a weekly cycle spikes at lag 7 before
+    anyone hardcodes period=7, and slow acf decay is the drift signature
+    the CUSUM monitor then localizes. Standard biased estimator (shared
+    denominator across lags keeps |r| <= 1); mean = one IEEE division of
+    the exact decimal sum, cross-products floor-quantized and
+    decimal-summed (the pagerank discipline) — hash-matched, not
+    tolerance-checked."""
+    t = _t(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    return tmp.acf(daily, "d", "v", key_cols=["event_type"], max_lag=7)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

@@ -1063,3 +1063,102 @@ def theil_sen_trend(
         ).alias("tau"),
         F.round(F.col("__med"), 6).alias("slope"),
     )
+
+
+def acf(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    max_lag: int = 7,
+    quant_dp: int = 9,
+) -> DataFrame:
+    """Sample autocorrelation function per key → one row per (key, lag)
+    for lag = 1..``max_lag``: (key..., lag, n, acf). The seasonality
+    DETECTOR in front of seasonal_decompose_additive (which requires the
+    period as an input): a weekly cycle shows up as an acf spike at
+    lag 7 before anyone tells the pipeline "period=7", and a slowly
+    decaying acf is the drift signature CUSUM then localizes.
+
+    Semantics: the standard biased estimator r_k = Σ_{i}(x_i − x̄)
+    (x_{i+k} − x̄) / Σ_i(x_i − x̄)² over the ts-ordered series (same
+    denominator for every lag — guarantees |r_k| ≤ 1 and a positive
+    semidefinite sequence, the textbook choice). Lags longer than a
+    key's series simply emit no row.
+
+    Engine-exactness: x̄ is ONE IEEE division of an exact decimal sum by
+    the exact count; every cross-product floor-quantizes to 10^-dp
+    integer units and sums as exact decimals (the pagerank discipline),
+    so r_k hash-matches. Scale shape: ONE key exchange for the per-key
+    row_number (monitoring series — pre-bucket first, like the
+    Holt/CUSUM/Theil-Sen family), then one equi-join of the
+    lag-exploded deviations frame (n·max_lag rows, linear) back onto
+    itself on (key, i+k) — no per-key fold, no window wider than the
+    series."""
+    keys = list(key_cols or [])
+    scale = float(10 ** quant_dp)
+    w = W.partitionBy(*keys).orderBy("ts") if keys else W.orderBy("ts")
+    idx = (
+        df.select(
+            *keys,
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .withColumn("__i", F.row_number().over(w))
+    )
+    st = idx.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        (
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__m"),
+    )
+    dev = (
+        idx.join(st, keys) if keys else idx.crossJoin(F.broadcast(st))
+    ).select(
+        *keys, "__i", "__n", (F.col("v") - F.col("__m")).alias("__dv")
+    ).persist()
+    den = dev.groupBy(*keys).agg(
+        (
+            F.sum(
+                F.floor(F.col("__dv") * F.col("__dv") * F.lit(scale)).cast(
+                    "decimal(28,0)"
+                )
+            ).cast("double")
+            / F.lit(scale)
+        ).alias("__den")
+    )
+    a = dev.withColumn(
+        "lag", F.explode(F.sequence(F.lit(1), F.lit(int(max_lag))))
+    ).alias("a")
+    b = dev.select(
+        *keys, F.col("__i").alias("__j"), F.col("__dv").alias("__db")
+    ).alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys] + [
+        F.col("a.__i") + F.col("a.lag") == F.col("b.__j")
+    ]
+    num = (
+        a.join(b, cond)
+        .groupBy(*[F.col(f"a.{k}").alias(k) for k in keys], F.col("a.lag"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("a.__dv") * F.col("b.__db") * F.lit(scale)
+                    ).cast("decimal(28,0)")
+                ).cast("double")
+                / F.lit(scale)
+            ).alias("__num"),
+            F.max(F.col("a.__n")).alias("__n"),
+        )
+    )
+    out = (num.join(den, keys) if keys else num.crossJoin(F.broadcast(den))).select(
+        *keys,
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.when(
+            F.col("__den") > 0, F.round(F.col("__num") / F.col("__den"), 6)
+        ).alias("acf"),
+    )
+    return out

@@ -171,3 +171,78 @@ def test_welch_ttest_ignores_nulls_and_other_groups(spark):
     row = dist.welch_ttest(df, "value", "g", "a", "b").collect()[0]
     assert (row["n_a"], row["n_b"]) == (2, 2)
     assert row["mean_a"] == 1.5 and row["mean_b"] == 6.0
+
+# ---------------------------------------------------------------------------
+# temporal acf
+# ---------------------------------------------------------------------------
+
+def _acf_reference(xs, max_lag):
+    n = len(xs)
+    m = sum(xs) / n
+    den = sum((x - m) ** 2 for x in xs)
+    out = {}
+    for k in range(1, max_lag + 1):
+        if k >= n or den <= 0:
+            continue
+        out[k] = round(
+            sum((xs[i] - m) * (xs[i + k] - m) for i in range(n - k)) / den, 6
+        )
+    return out
+
+
+def test_acf_periodic_series(spark):
+    from datetime import datetime, timedelta
+
+    from bullet_spark_spark.operators import temporal as tmp
+
+    xs = [1.0, 5.0, 2.0, 4.0] * 6  # period-4 cycle
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0 + timedelta(days=i), v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = {
+        r["lag"]: r["acf"]
+        for r in tmp.acf(df, "ts", "v", ["g"], max_lag=6).collect()
+    }
+    ref = _acf_reference(xs, 6)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 2e-6, (k, got[k], ref[k])
+    # the period shows: lag-4 autocorrelation dominates every other lag
+    assert got[4] == max(got.values())
+    assert got[4] > 0.8
+
+
+def test_acf_constant_series_null(spark):
+    from datetime import datetime, timedelta
+
+    from bullet_spark_spark.operators import temporal as tmp
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0 + timedelta(days=i), 3.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = tmp.acf(df, "ts", "v", ["g"], max_lag=3).collect()
+    assert len(out) == 3 and all(r["acf"] is None for r in out)
+
+
+def test_acf_keys_are_independent(spark):
+    from datetime import datetime, timedelta
+
+    from bullet_spark_spark.operators import temporal as tmp
+
+    t0 = datetime(2024, 1, 1)
+    xs = [1.0, 2.0, 4.0, 8.0, 16.0, 13.0, 7.0, 5.0]
+    ys = [9.0, 1.0, 9.0, 1.0, 9.0, 1.0, 9.0, 1.0]
+    rows = [("a", t0 + timedelta(days=i), v) for i, v in enumerate(xs)]
+    rows += [("b", t0 + timedelta(days=i), v) for i, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = {
+        (r["g"], r["lag"]): r["acf"]
+        for r in tmp.acf(df, "ts", "v", ["g"], max_lag=2).collect()
+    }
+    ra, rb = _acf_reference(xs, 2), _acf_reference(ys, 2)
+    for k in ra:
+        assert abs(got[("a", k)] - ra[k]) < 2e-6
+    for k in rb:
+        assert abs(got[("b", k)] - rb[k]) < 2e-6
+    # alternating series: lag-1 = -112/128 = -0.875 (biased estimator)
+    assert got[("b", 1)] == -0.875
