@@ -9392,6 +9392,62 @@ def temporal_acf(spark, sf_dir):
     return tmp.acf(daily, "d", "v", key_cols=["event_type"], max_lag=7)
 
 
+@q(
+    "distribution_spearman",
+    """WITH rows_xy AS (
+         SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+         WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+       cx AS (SELECT x AS v, count(*) AS t FROM rows_xy GROUP BY 1),
+       rx AS (SELECT v,
+                     CAST(2 * (sum(t) OVER (ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) - t) + t + 1
+                          AS BIGINT) AS r2
+              FROM cx),
+       cy AS (SELECT y AS v, count(*) AS t FROM rows_xy GROUP BY 1),
+       ry AS (SELECT v,
+                     CAST(2 * (sum(t) OVER (ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) - t) + t + 1
+                          AS BIGINT) AS r2
+              FROM cy),
+       j AS (SELECT rx.r2 AS r2x, ry.r2 AS r2y
+             FROM rows_xy JOIN rx ON rx.v = rows_xy.x
+                          JOIN ry ON ry.v = rows_xy.y),
+       s AS (SELECT count(*) AS n,
+                    sum(CAST(r2x AS DECIMAL(38,0))) AS sx,
+                    sum(CAST(r2y AS DECIMAL(38,0))) AS sy,
+                    sum(CAST(r2x AS DECIMAL(38,0)) * r2x) AS sxx,
+                    sum(CAST(r2y AS DECIMAL(38,0)) * r2y) AS syy,
+                    sum(CAST(r2x AS DECIMAL(38,0)) * r2y) AS sxy
+             FROM j)
+       SELECT CAST(n AS BIGINT) AS n,
+              CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+                   THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   END AS rho
+       FROM s""",
+)
+def distribution_spearman(spark, sf_dir):
+    """Spearman rank correlation (distribution.spearman_corr) between
+    l_quantity and l_extendedprice — the monotone-association companion
+    of quality_correlations' Pearson matrix on the same measures
+    (l_quantity's 50-value domain is ALL ties: exactly the average-rank
+    machinery a continuous-only implementation gets wrong). Doubled
+    average ranks keep every moment integer-exact through the final
+    one-IEEE-expression correlation; two-level-cumsum rank maps, no
+    single-partition window."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    return dist.spearman_corr(t["lineitem"], "l_quantity", "l_extendedprice")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

@@ -389,16 +389,79 @@ def mad_outliers(
     return df.withColumn(flag_col, flag)
 
 
+def _bucketed_running_sums(
+    frame: DataFrame, order_col: str, sum_cols: list[str]
+) -> DataFrame:
+    """INCLUSIVE running sums of ``sum_cols`` in ``order_col`` order via
+    the two-level cumsum pattern: range-bucket the value domain with one
+    approxQuantile pass (boundaries only need to be order-aligned, not
+    exact), running-sum within each bucket, add broadcast per-bucket
+    exclusive prefixes — a continuous column never lands in one
+    single-partition window. Falls back to the plain global window when
+    the domain can't be bucketed (non-castable or empty). Returns the
+    input columns plus ``__cum_<c>`` per sum column."""
+    nbuckets = int(
+        frame.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    try:
+        probs = [i / nbuckets for i in range(1, nbuckets)]
+        bounds = sorted(
+            set(
+                frame.select(F.col(order_col).cast("double").alias("__o"))
+                .stat.approxQuantile("__o", probs, 0.001)
+            )
+        )
+    except Exception:
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(
+            F.filter(barr, lambda bb: F.col(order_col).cast("double") > bb)
+        )
+        bucketed = frame.withColumn("__bkt", bkt)
+        w_in = (
+            W.partitionBy("__bkt")
+            .orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        totals = bucketed.groupBy("__bkt").agg(
+            *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+        )
+        w_pref = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+        prefix = totals.select(
+            "__bkt",
+            *[
+                F.coalesce(F.sum(f"__t_{c}").over(w_pref), F.lit(0)).alias(
+                    f"__p_{c}"
+                )
+                for c in sum_cols
+            ],
+        )
+        out = bucketed
+        for c in sum_cols:
+            out = out.withColumn(f"__r_{c}", F.sum(c).over(w_in))
+        return out.join(F.broadcast(prefix), "__bkt").select(
+            *frame.columns,
+            *[
+                (F.col(f"__r_{c}") + F.col(f"__p_{c}")).alias(f"__cum_{c}")
+                for c in sum_cols
+            ],
+        )
+    w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return frame.select(
+        *frame.columns,
+        *[F.sum(c).over(w).alias(f"__cum_{c}") for c in sum_cols],
+    )
+
+
 def _merged_rank_counts(a: DataFrame, b: DataFrame, col: str):
     """Shared plumbing for the rank-based two-sample tests (KS, Mann–
     Whitney): per-distinct-value counts of both sides full-outer merged
-    on value, plus INCLUSIVE running cumulative counts in value order via
-    the two-level cumsum pattern (range-bucket the domain with one
-    approxQuantile pass, running-sum within buckets, broadcast per-bucket
-    prefixes) — a continuous column never lands in one single-partition
-    window. Returns ``(cum_frame, merged_persisted)`` where ``cum_frame``
-    carries (v, ca, cb, __cum_a, __cum_b) and ``merged_persisted`` is the
-    (v, ca, cb) frame for totals aggregates."""
+    on value, plus INCLUSIVE running cumulative counts in value order
+    (:func:`_bucketed_running_sums`). Returns ``(cum_frame,
+    merged_persisted)`` where ``cum_frame`` carries (v, ca, cb, __cum_a,
+    __cum_b) and ``merged_persisted`` is the (v, ca, cb) frame for
+    totals aggregates."""
     ca = (
         a.select(F.col(col).alias("v"))
         .filter(F.col("v").isNotNull())
@@ -422,56 +485,13 @@ def _merged_rank_counts(a: DataFrame, b: DataFrame, col: str):
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nbuckets = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    try:
-        probs = [i / nbuckets for i in range(1, nbuckets)]
-        bounds = sorted(
-            set(
-                merged.select(F.col("v").cast("double").alias("__o"))
-                .stat.approxQuantile("__o", probs, 0.001)
-            )
-        )
-    except Exception:
-        bounds = []
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bkt = F.size(F.filter(barr, lambda bb: F.col("v").cast("double") > bb))
-        bucketed = merged.withColumn("__bkt", bkt)
-        w_in = (
-            W.partitionBy("__bkt")
-            .orderBy("v")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        totals = bucketed.groupBy("__bkt").agg(
-            F.sum("ca").alias("__ta"), F.sum("cb").alias("__tb")
-        )
-        w_pref = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
-        prefix = totals.select(
-            "__bkt",
-            F.coalesce(F.sum("__ta").over(w_pref), F.lit(0)).alias("__pa"),
-            F.coalesce(F.sum("__tb").over(w_pref), F.lit(0)).alias("__pb"),
-        )
-        cum = (
-            bucketed.withColumn("__cra", F.sum("ca").over(w_in))
-            .withColumn("__crb", F.sum("cb").over(w_in))
-            .join(F.broadcast(prefix), "__bkt")
-            .select(
-                "v",
-                "ca",
-                "cb",
-                (F.col("__cra") + F.col("__pa")).alias("__cum_a"),
-                (F.col("__crb") + F.col("__pb")).alias("__cum_b"),
-            )
-        )
-    else:
-        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-        cum = merged.select(
-            "v",
-            "ca",
-            "cb",
-            F.sum("ca").over(w).alias("__cum_a"),
-            F.sum("cb").over(w).alias("__cum_b"),
-        )
+    cum = _bucketed_running_sums(merged, "v", ["ca", "cb"]).select(
+        "v",
+        "ca",
+        "cb",
+        F.col("__cum_ca").alias("__cum_a"),
+        F.col("__cum_cb").alias("__cum_b"),
+    )
     return cum, merged
 
 
@@ -716,6 +736,79 @@ def welch_ttest(
         F.when(
             F.col("t_stat").isNotNull(), F.abs(F.col("t_stat")) > F.lit(1.959964)
         ),
+    )
+
+
+def _value_avg_ranks(df: DataFrame, col: str) -> DataFrame:
+    """Average-rank map for one column → (v, __r2) with ``__r2`` =
+    2·(average rank of v over the value-ordered rows) = 2·cum_excl + t
+    + 1 — an exact BIGINT (the doubling dodges the .5 fractions; any
+    rank-based statistic that is scale-invariant, like a correlation,
+    can consume doubled ranks unchanged). Built on
+    :func:`_bucketed_running_sums`, so no single-partition window."""
+    counts = (
+        df.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    cum = _bucketed_running_sums(counts, "v", ["t"])
+    return cum.select(
+        "v",
+        (
+            2 * (F.col("__cum_t") - F.col("t")) + F.col("t") + 1
+        ).cast("bigint").alias("__r2"),
+    )
+
+
+def spearman_corr(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Spearman rank correlation → one row (n, rho): the monotone-
+    association companion of quality.correlation_matrix's Pearson —
+    rank-based, so a heavy tail or a nonlinear-but-monotone relation
+    that wrecks/hides Pearson leaves Spearman untouched. Ties get
+    AVERAGE ranks (the classical treatment); rho is then Pearson over
+    the rank vectors, which the doubled-rank trick keeps INTEGER-exact:
+    ranks enter as exact bigints 2·rank, the five moments sum as exact
+    decimals, and the correlation is one IEEE expression over them
+    (doubling cancels — correlation is scale-invariant). Rows with a
+    NULL in either column drop.
+
+    Scale shape: two value-count aggregates + two two-level cumsums
+    (:func:`_bucketed_running_sums`, distinct-value-sized state), two
+    equi-joins of the rank maps back onto the rows, ONE final
+    map-side-combinable moment aggregate."""
+    rows = (
+        df.select(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .persist()
+    )
+    rx = _value_avg_ranks(rows, "x").select(
+        F.col("v").alias("x"), F.col("__r2").alias("r2x")
+    )
+    ry = _value_avg_ranks(rows, "y").select(
+        F.col("v").alias("y"), F.col("__r2").alias("r2y")
+    )
+    ranked = rows.join(rx, "x").join(ry, "y")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r2x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("r2y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("r2x").cast("decimal(38,0)") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y").cast("decimal(38,0)") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x").cast("decimal(38,0)") * F.col("r2y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx_d, syy_d = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    denom = F.sqrt(
+        (n_d * sxx_d - sx_d * sx_d) * (n_d * syy_d - sy_d * sy_d)
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            denom > 0, F.round((n_d * sxy_d - sx_d * sy_d) / denom, 6)
+        ).alias("rho"),
     )
 
 

@@ -246,3 +246,62 @@ def test_acf_keys_are_independent(spark):
         assert abs(got[("b", k)] - rb[k]) < 2e-6
     # alternating series: lag-1 = -112/128 = -0.875 (biased estimator)
     assert got[("b", 1)] == -0.875
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+# ---------------------------------------------------------------------------
+
+def _spearman_reference(xs, ys):
+    def avg_ranks(vs):
+        order = sorted(vs)
+        first = {}
+        for i, v in enumerate(order):
+            first.setdefault(v, i + 1)
+        return [first[v] + (vs.count(v) - 1) / 2.0 for v in vs]
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    return num / den
+
+
+def test_spearman_monotone_transform_is_one(spark):
+    # exp() is monotone: Pearson degrades, Spearman stays exactly 1
+    rows = [(float(i), math.exp(i / 3.0)) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    row = dist.spearman_corr(df, "x", "y").collect()[0]
+    assert row["n"] == 39 and row["rho"] == 1.0
+
+
+def test_spearman_with_ties_matches_reference(spark):
+    import random
+
+    rng = random.Random(5)
+    xs = [float(rng.randint(1, 8)) for _ in range(300)]  # heavy ties
+    ys = [x * 2 + rng.gauss(0, 3.0) for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    row = dist.spearman_corr(df, "x", "y").collect()[0]
+    ref = _spearman_reference(xs, ys)
+    assert row["n"] == 300
+    assert abs(row["rho"] - ref) < 1e-6
+
+
+def test_spearman_constant_column_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+    )
+    row = dist.spearman_corr(df, "x", "y").collect()[0]
+    assert row["rho"] is None
+
+
+def test_spearman_drops_null_rows(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 4.0), (None, 9.0), (3.0, None), (4.0, 16.0)],
+        "x double, y double",
+    )
+    row = dist.spearman_corr(df, "x", "y").collect()[0]
+    assert row["n"] == 3 and row["rho"] == 1.0
