@@ -9448,6 +9448,47 @@ def distribution_spearman(spark, sf_dir):
     return dist.spearman_corr(t["lineitem"], "l_quantity", "l_extendedprice")
 
 
+@q(
+    "scale_compaction_plan",
+    """WITH files AS (
+         SELECT lang, doc_id % 97 AS file_id,
+                CAST(sum(n_chars) AS BIGINT) AS bytes
+         FROM documents GROUP BY 1, 2),
+       cum AS (
+         SELECT lang, bytes,
+                sum(bytes) OVER (PARTITION BY lang
+                                 ORDER BY bytes DESC, file_id
+                                 ROWS UNBOUNDED PRECEDING) - bytes AS cx
+         FROM files),
+       a AS (SELECT lang, CAST(floor(cx / 20000.0) AS BIGINT) AS shard, bytes
+             FROM cum)
+       SELECT lang, shard,
+              CAST(count(*) AS BIGINT) AS file_count,
+              CAST(sum(bytes) AS BIGINT) AS total_bytes,
+              round(CAST(sum(bytes) AS DOUBLE) / 20000.0, 6) AS fill_ratio
+       FROM a GROUP BY 1, 2""",
+)
+def scale_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan (layout.compaction_plan) over a
+    simulated per-language file inventory (documents bucketed into 97
+    files per lang, byte size = summed n_chars): which files merge into
+    which ~20 KB rewrite task. The declarative first-fit-decreasing
+    variant — size-DESC exclusive cumsum striped by the target — so
+    every shard misses target by at most one member file and the
+    small-file tail pools instead of sprinkling. The inventory is
+    metadata-scale at ANY corpus size (one row per file), which is what
+    makes the per-partition window safe at 100 TB."""
+    t = _t(spark, sf_dir)
+    files = (
+        t["documents"]
+        .groupBy("lang", (F.col("doc_id") % 97).alias("file_id"))
+        .agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    )
+    return lay.compaction_plan(
+        files, "bytes", 20_000, partition_cols=["lang"], file_id_col="file_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

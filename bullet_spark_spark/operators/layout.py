@@ -305,3 +305,67 @@ def hilbert_key(
         .drop("hx", "hy", "hd", "__sx", "__sy",
               *[c for d in dims for c in (f"__lo_{d}", f"__hi_{d}")])
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    partition_cols: Sequence[str] | None = None,
+    file_id_col: str | None = None,
+) -> DataFrame:
+    """Small-file compaction plan → one row per planned output shard:
+    (partition..., shard, file_count, total_bytes, fill_ratio). The
+    table-maintenance half of the layout family: zorder_key decides
+    ROW order inside files; this decides which existing small FILES
+    merge into which ~``target_bytes`` rewrite task (the OPTIMIZE /
+    bin-packing step every long-lived 100 TB table needs, or read
+    amplification accretes one tiny parquet footer at a time).
+
+    Semantics: within each partition, files sort size-DESC (id
+    tiebreak) and the exclusive cumulative byte count assigns shard =
+    floor(cum_excl / target) — the deterministic, fully-declarative
+    variant of first-fit-decreasing: bin boundaries stripe the
+    cumulative byte axis, so every shard's total differs from target
+    by at most one member file, oversized files isolate into their own
+    shard, and the DESC order pools the long small-file tail into the
+    final stripes instead of sprinkling stragglers everywhere.
+    Integer-exact except ``fill_ratio`` (one IEEE division, 6 dp).
+
+    Scale shape: a file INVENTORY is metadata-scale (100 TB at 128 MB
+    ≈ 800k rows), so the per-partition cumsum window is one shuffle of
+    almost nothing; the plan never touches the data files themselves —
+    execute it by feeding each (partition, shard) group to a rewrite
+    job."""
+    keys = list(partition_cols or [])
+    order = [F.col(size_col).desc()]
+    if file_id_col:
+        order.append(F.col(file_id_col).asc())
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        if keys
+        else Window.partitionBy().orderBy(*order)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cx = F.sum(size_col).over(w) - F.col(size_col)
+    assigned = files.withColumn(
+        "__shard",
+        F.floor(cx / F.lit(float(target_bytes))).cast("bigint"),
+    )
+    return (
+        assigned.groupBy(*keys, "__shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("file_count"),
+            F.sum(size_col).cast("bigint").alias("total_bytes"),
+        )
+        .select(
+            *keys,
+            F.col("__shard").alias("shard"),
+            "file_count",
+            "total_bytes",
+            F.round(
+                F.col("total_bytes").cast("double")
+                / F.lit(float(target_bytes)),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )

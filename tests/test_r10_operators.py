@@ -305,3 +305,60 @@ def test_spearman_drops_null_rows(spark):
     )
     row = dist.spearman_corr(df, "x", "y").collect()[0]
     assert row["n"] == 3 and row["rho"] == 1.0
+
+# ---------------------------------------------------------------------------
+# compaction_plan
+# ---------------------------------------------------------------------------
+
+def test_compaction_plan_stripes_by_target(spark):
+    from bullet_spark_spark.operators import layout as lay
+
+    # one partition, sizes desc: 90, 60, 30, 20, 10 — target 100
+    # cum_excl: 0, 90, 150, 180, 200 -> shards 0, 0, 1, 1, 2
+    files = spark.createDataFrame(
+        [("p", i, s) for i, s in enumerate([90, 60, 30, 20, 10])],
+        "part string, fid long, bytes long",
+    )
+    rows = {
+        r["shard"]: (r["file_count"], r["total_bytes"], r["fill_ratio"])
+        for r in lay.compaction_plan(
+            files, "bytes", 100, ["part"], "fid"
+        ).collect()
+    }
+    assert rows == {
+        0: (2, 150, 1.5),
+        1: (2, 50, 0.5),
+        2: (1, 10, 0.1),
+    }
+
+
+def test_compaction_plan_oversized_file_isolates(spark):
+    from bullet_spark_spark.operators import layout as lay
+
+    files = spark.createDataFrame(
+        [("p", 1, 350), ("p", 2, 40), ("p", 3, 30)],
+        "part string, fid long, bytes long",
+    )
+    rows = {
+        r["shard"]: (r["file_count"], r["total_bytes"])
+        for r in lay.compaction_plan(
+            files, "bytes", 100, ["part"], "fid"
+        ).collect()
+    }
+    # cum_excl: 0, 350, 390 -> shards 0, 3, 3: the giant sits alone,
+    # both small files pool into one rewrite task
+    assert rows == {0: (1, 350), 3: (2, 70)}
+
+
+def test_compaction_plan_partitions_independent(spark):
+    from bullet_spark_spark.operators import layout as lay
+
+    files = spark.createDataFrame(
+        [("a", 1, 80), ("a", 2, 80), ("b", 1, 80), ("b", 2, 80)],
+        "part string, fid long, bytes long",
+    )
+    out = lay.compaction_plan(files, "bytes", 100, ["part"], "fid").collect()
+    # cumsum restarts per partition: each plans ONE shard of its own two
+    # files (cum_excl 0 and 80 both stripe 0) — no cross-partition bleed
+    assert sorted((r["part"], r["shard"]) for r in out) == [("a", 0), ("b", 0)]
+    assert all(r["file_count"] == 2 and r["total_bytes"] == 160 for r in out)
