@@ -9591,6 +9591,13 @@ def scale_compaction_plan(spark, sf_dir):
 #   rows-only addition: dedup_weighted_minhash_cws (Ioffe CWS estimator
 #   whose OUTPUT is the differential vs the exact weighted Jaccard, with
 #   an in-sweep binomial-band quality assert)
+#   late-r9 batch 2 (certified locally at BOTH sf0.01 and sf0.1):
+#   graph_triangles_supplier     (degree-oriented triangle counting)
+#   distribution_mannwhitney     (tie-corrected rank-sum U test)
+#   distribution_welch_ttest     (unequal-variance mean test)
+#   distribution_spearman        (doubled-avg-rank correlation)
+#   temporal_acf                 (per-key autocorrelation, lags 1..7)
+#   scale_compaction_plan        (FFD small-file bin packing)
 #
 # Round-8 window (FROZEN at cut, r8 early): the 9 never-driver-green rows
 # from the r8 oracle queue above — re-verified locally at BOTH sf0.01 and

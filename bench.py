@@ -102,6 +102,13 @@ BENCH = [
     "dedup_weighted_minhash_cws",  # row-wise CWS + exact-differential join
     "temporal_cusum_volume",  # CUSUM reflection form (2 window passes)
     "temporal_trend_robust",  # Theil-Sen/Mann-Kendall pair self-join
+    # round-9 final additions (r10 oracle queue)
+    "graph_triangles_supplier",  # degree-oriented wedge join + closure semi-join
+    "distribution_mannwhitney",  # tie-corrected rank-sum (two-level cumsum)
+    "distribution_welch_ttest",  # one combinable 6-number aggregate
+    "distribution_spearman",  # doubled-avg-rank maps + one moment agg
+    "temporal_acf",           # lag-exploded deviation self-join (lags 1..7)
+    "scale_compaction_plan",  # FFD striping over the file inventory
 ]
 
 REPEATS = 3
