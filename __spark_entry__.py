@@ -9489,6 +9489,70 @@ def scale_compaction_plan(spark, sf_dir):
     )
 
 
+@q(
+    "temporal_ccf",
+    """WITH daily AS (
+         SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+                  AS d,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                     AS DOUBLE) AS x,
+                CAST(count(*) FILTER (WHERE event_type = 'click')
+                     AS DOUBLE) AS y
+         FROM events GROUP BY 1),
+       idx AS (
+         SELECT x, y, row_number() OVER (ORDER BY d) AS i FROM daily),
+       st AS (
+         SELECT count(*) AS n,
+                CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mx,
+                CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS my
+         FROM idx),
+       dev AS (
+         SELECT i, n, x - mx AS dx, y - my AS dy FROM idx CROSS JOIN st),
+       den AS (
+         SELECT CAST(sum(CAST(floor(dx * dx * 1000000000.0)
+                               AS DECIMAL(28,0))) AS DOUBLE)
+                  / 1000000000.0 AS denx,
+                CAST(sum(CAST(floor(dy * dy * 1000000000.0)
+                               AS DECIMAL(28,0))) AS DOUBLE)
+                  / 1000000000.0 AS deny
+         FROM dev),
+       num AS (
+         SELECT l.k AS lag, max(a.n) AS n,
+                CAST(sum(CAST(floor(a.dx * b.dy * 1000000000.0)
+                              AS DECIMAL(28,0))) AS DOUBLE)
+                  / 1000000000.0 AS num
+         FROM dev a
+         CROSS JOIN range(-7, 8) l(k)
+         JOIN dev b ON b.i = a.i + l.k
+         GROUP BY 1)
+       SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+              CASE WHEN denx * deny > 0
+                   THEN round(num / sqrt(denx * deny), 6) END AS ccf
+       FROM num CROSS JOIN den""",
+)
+def temporal_ccf(spark, sf_dir):
+    """Cross-correlation between daily purchase volume and daily click
+    volume at lags -7..7 (temporal.ccf): the lead/lag DIRECTION probe —
+    a peak at positive lag means purchases lead clicks; acf tells you a
+    series rhymes with itself, ccf tells you which of two series moves
+    FIRST. Same discipline as temporal_acf: exact-decimal means,
+    floor-quantized cross-products, one lag-exploded equi-join; the
+    pivot to one (x, y)-per-day grid is a single conditional-count
+    aggregate."""
+    t = _t(spark, sf_dir)
+    daily = t["events"].groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("double")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("double")
+        .alias("y"),
+    )
+    return tmp.ccf(daily, "d", "x", "y", key_cols=None, max_lag=7)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

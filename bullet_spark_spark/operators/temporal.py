@@ -1162,3 +1162,119 @@ def acf(
         ).alias("acf"),
     )
     return out
+
+
+def ccf(
+    df: DataFrame,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    key_cols: list[str] | None = None,
+    max_lag: int = 7,
+    quant_dp: int = 9,
+) -> DataFrame:
+    """Sample cross-correlation between two aligned series per key → one
+    row per (key, lag) for lag = −``max_lag``..``max_lag``: (key...,
+    lag, n, ccf). r_k correlates x_t with y_{t+k}, so a PEAK at a
+    positive lag means x LEADS y by k steps — the causality-direction
+    probe :func:`acf` can't make (does click volume lead purchase
+    volume? does a quality dip lead a dedup-rate spike?). lag 0 is the
+    plain correlation of the two series.
+
+    Semantics: r_k = Σ_t (x_t − x̄)(y_{t+k} − ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²)
+    — the standard biased estimator (shared normalizer across lags,
+    |r_k| ≤ 1). Input rows carry BOTH series on one timestamp grid
+    (pivot first); NULL in either column drops the row. Lags longer
+    than the series emit no row.
+
+    Engine-exactness and scale shape are :func:`acf`'s: means are one
+    IEEE division of exact decimal sums, cross-products floor-quantize
+    to 10^-dp units and sum as exact decimals, ONE key exchange + one
+    lag-exploded equi-join (n·(2·max_lag+1) rows, linear), no fold."""
+    keys = list(key_cols or [])
+    scale = float(10 ** quant_dp)
+    w = W.partitionBy(*keys).orderBy("ts") if keys else W.orderBy("ts")
+    idx = (
+        df.select(
+            *keys,
+            F.col(ts_col).alias("ts"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .withColumn("__i", F.row_number().over(w))
+    )
+    st = idx.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        (
+            F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__mx"),
+        (
+            F.sum(F.col("y").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__my"),
+    )
+    dev = (
+        idx.join(st, keys) if keys else idx.crossJoin(F.broadcast(st))
+    ).select(
+        *keys,
+        "__i",
+        "__n",
+        (F.col("x") - F.col("__mx")).alias("__dx"),
+        (F.col("y") - F.col("__my")).alias("__dy"),
+    ).persist()
+    den = dev.groupBy(*keys).agg(
+        (
+            F.sum(
+                F.floor(F.col("__dx") * F.col("__dx") * F.lit(scale)).cast(
+                    "decimal(28,0)"
+                )
+            ).cast("double")
+            / F.lit(scale)
+        ).alias("__denx"),
+        (
+            F.sum(
+                F.floor(F.col("__dy") * F.col("__dy") * F.lit(scale)).cast(
+                    "decimal(28,0)"
+                )
+            ).cast("double")
+            / F.lit(scale)
+        ).alias("__deny"),
+    )
+    a = dev.withColumn(
+        "lag",
+        F.explode(F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))),
+    ).alias("a")
+    b = dev.select(
+        *keys, F.col("__i").alias("__j"), F.col("__dy").alias("__db")
+    ).alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys] + [
+        F.col("a.__i") + F.col("a.lag") == F.col("b.__j")
+    ]
+    num = (
+        a.join(b, cond)
+        .groupBy(*[F.col(f"a.{k}").alias(k) for k in keys], F.col("a.lag"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("a.__dx") * F.col("b.__db") * F.lit(scale)
+                    ).cast("decimal(28,0)")
+                ).cast("double")
+                / F.lit(scale)
+            ).alias("__num"),
+            F.max(F.col("a.__n")).alias("__n"),
+        )
+    )
+    return (num.join(den, keys) if keys else num.crossJoin(F.broadcast(den))).select(
+        *keys,
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.when(
+            F.col("__denx") * F.col("__deny") > 0,
+            F.round(
+                F.col("__num") / F.sqrt(F.col("__denx") * F.col("__deny")), 6
+            ),
+        ).alias("ccf"),
+    )

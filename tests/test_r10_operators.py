@@ -362,3 +362,76 @@ def test_compaction_plan_partitions_independent(spark):
     # files (cum_excl 0 and 80 both stripe 0) — no cross-partition bleed
     assert sorted((r["part"], r["shard"]) for r in out) == [("a", 0), ("b", 0)]
     assert all(r["file_count"] == 2 and r["total_bytes"] == 160 for r in out)
+
+# ---------------------------------------------------------------------------
+# temporal ccf
+# ---------------------------------------------------------------------------
+
+def _ccf_reference(xs, ys, max_lag):
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    den = math.sqrt(
+        sum((x - mx) ** 2 for x in xs) * sum((y - my) ** 2 for y in ys)
+    )
+    out = {}
+    for k in range(-max_lag, max_lag + 1):
+        pairs = [
+            (xs[i] - mx) * (ys[i + k] - my)
+            for i in range(n)
+            if 0 <= i + k < n
+        ]
+        if pairs and den > 0:
+            out[k] = round(sum(pairs) / den, 6)
+    return out
+
+
+def test_ccf_detects_lead(spark):
+    from datetime import datetime, timedelta
+
+    from bullet_spark_spark.operators import temporal as tmp
+
+    import random
+
+    rng = random.Random(3)
+    base = [rng.uniform(0, 10) for _ in range(40)]
+    xs = base[:]                      # x leads:
+    ys = [0.0, 0.0] + base[:-2]      # y is x delayed by 2 steps
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (t0 + timedelta(days=i), x, y) for i, (x, y) in enumerate(zip(xs, ys))
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, x double, y double")
+    got = {
+        r["lag"]: r["ccf"]
+        for r in tmp.ccf(df, "ts", "x", "y", max_lag=4).collect()
+    }
+    ref = _ccf_reference(xs, ys, 4)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 2e-6, (k, got[k], ref[k])
+    # x_t correlates with y_{t+2}: the peak sits at lag +2
+    assert max(got, key=got.get) == 2
+    # the two zero-padded head values dilute the peak slightly below 0.9
+    assert got[2] > 0.85
+
+
+def test_ccf_lag_zero_is_plain_correlation(spark):
+    from datetime import datetime, timedelta
+
+    from bullet_spark_spark.operators import temporal as tmp
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 6.0, 8.0, 10.0]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (t0 + timedelta(days=i), x, y) for i, (x, y) in enumerate(zip(xs, ys))
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, x double, y double")
+    got = {
+        r["lag"]: r["ccf"]
+        for r in tmp.ccf(df, "ts", "x", "y", max_lag=2).collect()
+    }
+    assert got[0] == 1.0
+    ref = _ccf_reference(xs, ys, 2)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 2e-6
