@@ -435,3 +435,55 @@ def test_ccf_lag_zero_is_plain_correlation(spark):
     ref = _ccf_reference(xs, ys, 2)
     for k in ref:
         assert abs(got[k] - ref[k]) < 2e-6
+
+# ---------------------------------------------------------------------------
+# invariance properties
+# ---------------------------------------------------------------------------
+
+def test_mwu_invariant_under_monotone_transform(spark):
+    # U is rank-based: exp() must leave every output except nothing changed
+    import random
+
+    rng = random.Random(9)
+    xs = [float(rng.randint(0, 20)) for _ in range(150)]
+    ys = [float(rng.randint(3, 25)) for _ in range(120)]
+    a1 = spark.createDataFrame([(v,) for v in xs], "value double")
+    b1 = spark.createDataFrame([(v,) for v in ys], "value double")
+    a2 = spark.createDataFrame([(math.exp(v / 5),) for v in xs], "value double")
+    b2 = spark.createDataFrame([(math.exp(v / 5),) for v in ys], "value double")
+    r1 = dist.mann_whitney_u(a1, b1, "value").collect()[0]
+    r2 = dist.mann_whitney_u(a2, b2, "value").collect()[0]
+    assert r1.asDict() == r2.asDict()
+
+
+def test_spearman_is_symmetric(spark):
+    import random
+
+    rng = random.Random(21)
+    rows = [
+        (float(rng.randint(1, 9)), rng.uniform(0, 100)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r_xy = dist.spearman_corr(df, "x", "y").collect()[0]["rho"]
+    r_yx = dist.spearman_corr(df, "y", "x").collect()[0]["rho"]
+    assert r_xy == r_yx
+
+
+def test_triangles_relabel_invariant_and_divisible(spark):
+    import random
+
+    rng = random.Random(13)
+    edges = list({
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randint(0, 24), rng.randint(0, 24)) for _ in range(120)
+        )
+        if a != b
+    })
+    base = _tri_rows(spark, edges)
+    total = sum(t for _, t, _ in base.values())
+    assert total % 3 == 0  # each triangle counted once per member node
+    # relabel nodes by a fixed permutation: per-node stats must transport
+    perm = {i: (i * 7 + 3) % 101 for i in range(25)}
+    relabeled = _tri_rows(spark, [(perm[a], perm[b]) for a, b in edges])
+    assert {perm[n]: v for n, v in base.items()} == relabeled
