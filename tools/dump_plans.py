@@ -127,6 +127,13 @@ QUERIES = {
     "sampling_bootstrap_by_lang": "explode to Bx rows -> ONE (group, replicate) agg; CI window over the groupsxB metadata frame",
     "temporal_cusum_volume": "reflection closed form: ONE key exchange + running-sum and running-min windows; decimal(20,9) prefix sums (precision-38 loss documented)",
     "temporal_trend_robust": "per-key ordinal self-join (series^2 bounded) -> slope-ranked window -> one agg; median = percentile-disc lower",
+    "graph_triangles_supplier": "degree-ordered orientation caps wedge fan-out at O(m^1.5); closure = one equi-semi-join; no cartesian anywhere",
+    "distribution_mannwhitney": "two value-count aggs + full-outer merge + two-level cumsum (no single-partition window) + one final agg",
+    "distribution_welch_ttest": "ONE map-side-combinable aggregate, state = six numbers; no shuffle beyond the single-row reduce",
+    "distribution_spearman": "two doubled-avg-rank maps joined back to rows; one moment aggregate; rank maps distinct-value-sized",
+    "temporal_acf": "one key exchange for row_number; lag-exploded deviations equi-join (n*L rows); shared denominator computed once",
+    "temporal_ccf": "acf shape with lags -L..L over the pivoted (x,y) grid; pivot is one conditional-count aggregate",
+    "scale_compaction_plan": "per-partition size-DESC cumsum over the metadata-scale file inventory; one groupBy to shards",
 }
 
 
