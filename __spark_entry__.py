@@ -9302,14 +9302,14 @@ def distribution_mannwhitney(spark, sf_dir):
                     va / nad AS ea, vb / nbd AS eb
              FROM v),
        f AS (SELECT n_a, n_b,
-                    round(sad / nad, 6) AS mean_a,
-                    round(sbd / nbd, 6) AS mean_b,
-                    round(va, 6) AS var_a,
-                    round(vb, 6) AS var_b,
-                    CASE WHEN ea + eb > 0
+                    CASE WHEN n_a > 0 THEN round(sad / nad, 6) END AS mean_a,
+                    CASE WHEN n_b > 0 THEN round(sbd / nbd, 6) END AS mean_b,
+                    CASE WHEN n_a > 1 THEN round(va, 6) END AS var_a,
+                    CASE WHEN n_b > 1 THEN round(vb, 6) END AS var_b,
+                    CASE WHEN n_a > 1 AND n_b > 1 AND ea + eb > 0
                          THEN round((sad / nad - sbd / nbd) / sqrt(ea + eb), 6)
                          END AS t_stat,
-                    CASE WHEN ea + eb > 0
+                    CASE WHEN n_a > 1 AND n_b > 1 AND ea + eb > 0
                          THEN round(((ea + eb) * (ea + eb))
                               / (ea * ea / (nad - 1.0)
                                  + eb * eb / (nbd - 1.0)), 6)

@@ -721,15 +721,18 @@ def welch_ttest(
     dof = ((ea + eb) * (ea + eb)) / (
         ea * ea / (na_d - 1.0) + eb * eb / (nb_d - 1.0)
     )
+    # n <= 1 on either side: the variance denominator is 0 — surface NULL
+    # rather than a quiet IEEE Inf/NaN that differs in meaning per engine
+    both_var = (F.col("na") > 1) & (F.col("nb") > 1)
     stats = agg.select(
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
-        F.round(sa_d / na_d, 6).alias("mean_a"),
-        F.round(sb_d / nb_d, 6).alias("mean_b"),
-        F.round(va, 6).alias("var_a"),
-        F.round(vb, 6).alias("var_b"),
-        F.when(ea + eb > 0, F.round(texpr, 6)).alias("t_stat"),
-        F.when(ea + eb > 0, F.round(dof, 6)).alias("dof"),
+        F.when(F.col("na") > 0, F.round(sa_d / na_d, 6)).alias("mean_a"),
+        F.when(F.col("nb") > 0, F.round(sb_d / nb_d, 6)).alias("mean_b"),
+        F.when(F.col("na") > 1, F.round(va, 6)).alias("var_a"),
+        F.when(F.col("nb") > 1, F.round(vb, 6)).alias("var_b"),
+        F.when(both_var & (ea + eb > 0), F.round(texpr, 6)).alias("t_stat"),
+        F.when(both_var & (ea + eb > 0), F.round(dof, 6)).alias("dof"),
     )
     return stats.withColumn(
         "reject_95",

@@ -336,7 +336,8 @@ def compaction_plan(
     ≈ 800k rows), so the per-partition cumsum window is one shuffle of
     almost nothing; the plan never touches the data files themselves —
     execute it by feeding each (partition, shard) group to a rewrite
-    job."""
+    job. Pass ``file_id_col`` whenever sizes can tie — it is the sort
+    tiebreak that keeps shard membership deterministic across runs."""
     keys = list(partition_cols or [])
     order = [F.col(size_col).desc()]
     if file_id_col:

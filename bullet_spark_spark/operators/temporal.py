@@ -1094,10 +1094,12 @@ def acf(
     Holt/CUSUM/Theil-Sen family), then one equi-join of the
     lag-exploded deviations frame (n·max_lag rows, linear) back onto
     itself on (key, i+k) — no per-key fold, no window wider than the
-    series."""
+    series. Ties on ``ts`` break by value, so a non-unique grid still
+    indexes deterministically (pre-bucketed rollups are unique)."""
     keys = list(key_cols or [])
     scale = float(10 ** quant_dp)
-    w = W.partitionBy(*keys).orderBy("ts") if keys else W.orderBy("ts")
+    order = [F.col("ts"), F.col("v")]
+    w = W.partitionBy(*keys).orderBy(*order) if keys else W.orderBy(*order)
     idx = (
         df.select(
             *keys,
@@ -1190,10 +1192,13 @@ def ccf(
     Engine-exactness and scale shape are :func:`acf`'s: means are one
     IEEE division of exact decimal sums, cross-products floor-quantize
     to 10^-dp units and sum as exact decimals, ONE key exchange + one
-    lag-exploded equi-join (n·(2·max_lag+1) rows, linear), no fold."""
+    lag-exploded equi-join (n·(2·max_lag+1) rows, linear), no fold.
+    Ties on ``ts`` break by (x, y) so a non-unique grid still indexes
+    deterministically (pivoted rollups are unique)."""
     keys = list(key_cols or [])
     scale = float(10 ** quant_dp)
-    w = W.partitionBy(*keys).orderBy("ts") if keys else W.orderBy("ts")
+    order = [F.col("ts"), F.col("x"), F.col("y")]
+    w = W.partitionBy(*keys).orderBy(*order) if keys else W.orderBy(*order)
     idx = (
         df.select(
             *keys,

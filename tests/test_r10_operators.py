@@ -487,3 +487,50 @@ def test_triangles_relabel_invariant_and_divisible(spark):
     perm = {i: (i * 7 + 3) % 101 for i in range(25)}
     relabeled = _tri_rows(spark, [(perm[a], perm[b]) for a, b in edges])
     assert {perm[n]: v for n, v in base.items()} == relabeled
+
+# ---------------------------------------------------------------------------
+# hardening regressions (round-9 self-review)
+# ---------------------------------------------------------------------------
+
+def test_welch_singleton_group_yields_nulls_not_inf(spark):
+    # n=1 has no variance: every variance-dependent output must be NULL,
+    # never a quiet IEEE Inf/NaN
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)],
+        "g string, value double",
+    )
+    row = dist.welch_ttest(df, "value", "g", "a", "b").collect()[0]
+    assert row["n_a"] == 1 and row["mean_a"] == 5.0
+    assert row["var_a"] is None
+    assert row["t_stat"] is None and row["dof"] is None
+    assert row["reject_95"] is None
+
+
+def test_welch_empty_group_yields_nulls(spark):
+    df = spark.createDataFrame(
+        [("b", 1.0), ("b", 2.0)], "g string, value double"
+    )
+    row = dist.welch_ttest(df, "value", "g", "a", "b").collect()[0]
+    assert row["n_a"] == 0
+    assert row["mean_a"] is None and row["var_a"] is None
+    assert row["t_stat"] is None
+
+
+def test_acf_tied_timestamps_deterministic(spark):
+    from datetime import datetime
+
+    from bullet_spark_spark.operators import temporal as tmp
+
+    # two rows share a timestamp: the value tiebreak pins the index, so
+    # repeated runs (and both engines) agree
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0, 5.0), ("k", t0, 1.0), ("k", t0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    a = {(r["lag"], r["acf"]) for r in tmp.acf(df, "ts", "v", ["g"], 2).collect()}
+    b = {(r["lag"], r["acf"]) for r in tmp.acf(df, "ts", "v", ["g"], 2).collect()}
+    assert a == b
+    # value order 1,3,5: lag-1 of a monotone 3-point series is 1/8
+    ref = _acf_reference([1.0, 3.0, 5.0], 2)
+    got = dict(a)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 2e-6
