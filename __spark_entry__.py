@@ -9661,6 +9661,7 @@ def temporal_ccf(spark, sf_dir):
 #   distribution_welch_ttest     (unequal-variance mean test)
 #   distribution_spearman        (doubled-avg-rank correlation)
 #   temporal_acf                 (per-key autocorrelation, lags 1..7)
+#   temporal_ccf                 (cross-correlation lead/lag probe)
 #   scale_compaction_plan        (FFD small-file bin packing)
 #
 # Round-8 window (FROZEN at cut, r8 early): the 9 never-driver-green rows

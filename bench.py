@@ -108,6 +108,7 @@ BENCH = [
     "distribution_welch_ttest",  # one combinable 6-number aggregate
     "distribution_spearman",  # doubled-avg-rank maps + one moment agg
     "temporal_acf",           # lag-exploded deviation self-join (lags 1..7)
+    "temporal_ccf",           # same shape, lags -7..7 over the (x,y) pivot
     "scale_compaction_plan",  # FFD striping over the file inventory
 ]
 
