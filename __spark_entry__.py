@@ -9553,6 +9553,60 @@ def temporal_ccf(spark, sf_dir):
     return tmp.ccf(daily, "d", "x", "y", key_cols=None, max_lag=7)
 
 
+@q("streaming_heavy_hitters")  # rows-only BY NATURE: stateful streaming
+# summary sketch (applyInPandasWithState Space-Saving) — cross-batch
+# result is arrival-order-dependent like every summary sketch; the
+# exact-regime drip ≡ one-shot parity and the Metwally guarantees are
+# pytest-certified (tests/test_stream_monitor.py) and the guarantee
+# re-checks in-sweep via quality_asserts.
+def streaming_heavy_hitters(spark, sf_dir):
+    """Continuous Space-Saving heavy hitters over the document TOKEN
+    stream (streaming/monitor.heavy_hitters_monitor, m=32 x 4 shards):
+    "which tokens dominate the ingest right now" with EXACTLY m counters
+    per shard of state forever — per-key counting on an open vocabulary
+    grows without bound; Space-Saving guarantees est >= true >= est-err
+    and that anything above the n/m frequency floor is tracked. Keys
+    hash-route to ONE shard, so the final per-shard snapshots merge by
+    union. Returns the top 30 of the final snapshot."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import (
+        heavy_hitters_monitor as _hh,
+    )
+
+    t = _t(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+    )
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, toks, work, chunks=3)
+        out = _hh(stream, "tok", m=32, n_shards=4)
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName("__hh_monitor")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    snap = spark.table("__hh_monitor")
+    final = snap.withColumn(
+        "__mx", F.max("n_seen").over(W.partitionBy("shard"))
+    ).filter(F.col("n_seen") == F.col("__mx"))
+    return (
+        final.select("key", "est", "err")
+        .orderBy(F.desc("est"), "key")
+        .limit(30)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -9663,6 +9717,9 @@ def temporal_ccf(spark, sf_dir):
 #   temporal_acf                 (per-key autocorrelation, lags 1..7)
 #   temporal_ccf                 (cross-correlation lead/lag probe)
 #   scale_compaction_plan        (FFD small-file bin packing)
+#   rows-only addition: streaming_heavy_hitters (Space-Saving token
+#   monitor, m counters of state per shard forever; Metwally guarantees
+#   pinned in pytest AND re-checked in-sweep via quality_asserts)
 #
 # Round-8 window (FROZEN at cut, r8 early): the 9 never-driver-green rows
 # from the r8 oracle queue above — re-verified locally at BOTH sf0.01 and
@@ -10171,11 +10228,39 @@ def _assert_simhash_pairs(spark, sf_dir, rows):
     assert all(0 <= int(r["hamming"]) <= 3 for r in rows)
 
 
+def _assert_heavy_hitters(spark, sf_dir, rows):
+    """Space-Saving guarantees against the exact batch token counts:
+    est >= true >= est − err for every emitted counter (keys hash-route
+    to ONE shard, so per-key est compares to the GLOBAL true count), and
+    the true top-3 tokens — far above any shard's n/m floor on a
+    Zipfian stream — must be tracked."""
+    assert rows, "heavy-hitter snapshot is empty"
+    toks = (
+        _t(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = toks.orderBy(F.desc("c"), "tok").limit(200).collect()
+    true = {r["tok"]: int(r["c"]) for r in top}
+    emitted = {r["key"]: (int(r["est"]), int(r["err"])) for r in rows}
+    for k, (est, err) in emitted.items():
+        if k in true:  # outside top-200 true counts aren't collected
+            assert est >= true[k] >= est - err, (k, est, err, true[k])
+    for r in top[:3]:
+        assert r["tok"] in emitted, f"true top token {r['tok']!r} untracked"
+
+
 _ASSERTS: dict[str, Callable] = {
     "dedup_weighted_minhash_cws": _assert_cws_differential,
     "sketch_cms_freq_est": _assert_cms_guarantees,
     "sim_retrieval_eval": _assert_lsh_retrieval_floor,
     "dedup_simhash": _assert_simhash_pairs,
+    "streaming_heavy_hitters": _assert_heavy_hitters,
 }
 
 

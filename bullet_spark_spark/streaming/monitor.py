@@ -207,3 +207,114 @@ def cusum_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("summary", StringType()),  # json {"k": [...], "c": [...], "e": [...]}
+    ]
+)
+
+
+def heavy_hitters_monitor(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming Space-Saving heavy hitters → a per-micro-batch summary
+    SNAPSHOT: (shard, key, est, err, n_seen). The continuous version of
+    the batch mergeable frequent-items sketch (operators/sketch.py) and
+    the answer to "which sources/domains/tokens dominate the stream
+    RIGHT NOW" without a per-key state explosion — per-key counting on
+    an open-vocabulary stream grows without bound; Space-Saving
+    (Metwally–Agrawal–El Abbadi 2005, public knowledge) holds exactly
+    ``m`` counters per shard forever.
+
+    Guarantees (per shard, n = rows absorbed by that shard):
+      * est >= true >= est − err for every tracked key;
+      * any key with true count > n/m is guaranteed tracked;
+      * state is EXACTLY min(m, distinct-so-far) counters — bounded for
+        the life of the stream (RocksDB-ready, like the CUSUM scalars).
+
+    Keys hash-shard via ``pmod(xxhash64(key), n_shards)`` so the state
+    per group stays m-sized while throughput scales with shards; a
+    consumer merges shards by summing est/err per key (the guarantees
+    add). Rows within a micro-batch process in sorted key order and the
+    eviction victim ties break by (count, key) — deterministic given
+    the same batch boundaries; cross-batch result is order-dependent
+    like every summary sketch (the exact-regime drip ≡ one-shot parity
+    test pins the state carry; the constrained regime pins the
+    guarantees instead). Each batch APPENDS a fresh snapshot; ``n_seen``
+    is the snapshot version (consumers keep the max per shard)."""
+    import json as _json
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("key", StringType()),
+            StructField("est", LongType()),
+            StructField("err", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    sharded = df.select(
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("bigint")
+        .alias("__shard"),
+        F.col(key_col).cast("string").alias("__k"),
+    ).filter(F.col("__k").isNotNull())
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, summary_s = state.get
+            d = _json.loads(summary_s)
+            counters = {
+                k: [c, e] for k, c, e in zip(d["k"], d["c"], d["e"])
+            }
+        else:
+            n, counters = 0, {}
+
+        for pdf in pdfs:
+            for k in pdf.sort_values("__k", kind="mergesort")["__k"]:
+                n += 1
+                if k in counters:
+                    counters[k][0] += 1
+                elif len(counters) < m:
+                    counters[k] = [1, 0]
+                else:
+                    vk = min(counters, key=lambda x: (counters[x][0], x))
+                    verr = counters.pop(vk)[0]
+                    counters[k] = [verr + 1, verr]
+
+        ks = sorted(counters, key=lambda x: (-counters[x][0], x))
+        state.update(
+            (
+                n,
+                _json.dumps(
+                    {
+                        "k": ks,
+                        "c": [counters[k][0] for k in ks],
+                        "e": [counters[k][1] for k in ks],
+                    }
+                ),
+            )
+        )
+        yield pd.DataFrame(
+            [
+                (key[0], k, counters[k][0], counters[k][1], n)
+                for k in ks
+            ],
+            columns=["shard", "key", "est", "err", "n_seen"],
+        )
+
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

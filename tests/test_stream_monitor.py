@@ -212,3 +212,82 @@ def test_cusum_monitor_per_key_baselines(spark, tmp_path):
     b = [r for r in got if r["k"] == "b"]
     assert any(r["alarm"] for r in a)       # 10 sigma above its baseline
     assert all(not r["alarm"] for r in b)   # on-baseline
+
+
+# ---------------------------------------------------------------------------
+# Space-Saving heavy-hitters monitor
+# ---------------------------------------------------------------------------
+
+def _drain_hh(spark, src_df, tmp_path, chunks, name, **kw):
+    from bullet_spark_spark.streaming.monitor import heavy_hitters_monitor
+
+    stream = file_drip(spark, src_df, str(tmp_path / "in"), chunks=chunks)
+    out = heavy_hitters_monitor(stream, "k", **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _final_snapshot(rows):
+    """Keep each shard's last (max n_seen) summary."""
+    latest = {}
+    for r in rows:
+        if r["shard"] not in latest or r["n_seen"] > latest[r["shard"]]:
+            latest[r["shard"]] = r["n_seen"]
+    return {
+        (r["shard"], r["key"]): (r["est"], r["err"])
+        for r in rows
+        if r["n_seen"] == latest[r["shard"]]
+    }
+
+
+def test_heavy_hitters_exact_regime_drip_parity(spark, tmp_path):
+    # m exceeds the distinct-key count: Space-Saving degenerates to exact
+    # counting, so est == true, err == 0, and drip == one-shot
+    truth = {f"k{i:02d}": i + 1 for i in range(10)}
+    rows = [(k,) for k, c in truth.items() for _ in range(c)]
+    src = spark.createDataFrame(rows, "k string")
+    drip = _final_snapshot(
+        _drain_hh(spark, src, tmp_path / "d", 3, "hh_drip", m=64, n_shards=4)
+    )
+    once = _final_snapshot(
+        _drain_hh(spark, src, tmp_path / "o", 1, "hh_once", m=64, n_shards=4)
+    )
+    assert drip == once
+    got = {k: est for (_, k), (est, err) in drip.items() if err == 0}
+    assert got == truth
+    assert all(err == 0 for _, err in drip.values())
+
+
+def test_heavy_hitters_guarantees_under_eviction(spark, tmp_path):
+    import random
+
+    rng = random.Random(17)
+    truth = {"heavy": 200, "warm": 60}
+    for i in range(40):
+        truth[f"tail{i:02d}"] = rng.randint(1, 5)
+    rows = [(k,) for k, c in truth.items() for _ in range(c)]
+    rng.shuffle(rows)
+    src = spark.createDataFrame(rows, "k string")
+    snap = _final_snapshot(
+        _drain_hh(spark, src, tmp_path, 3, "hh_evict", m=8, n_shards=1)
+    )
+    n = sum(truth.values())
+    # bounded state: never more than m counters in the snapshot
+    assert 0 < len(snap) <= 8
+    for (_, k), (est, err) in snap.items():
+        # Metwally guarantees: est >= true >= est - err
+        assert est >= truth[k] >= est - err, (k, est, err, truth[k])
+    # every key above the n/m frequency floor is guaranteed tracked
+    tracked = {k for (_, k) in snap}
+    for k, c in truth.items():
+        if c > n / 8:
+            assert k in tracked, (k, c)
+    assert "heavy" in tracked and "warm" in tracked
