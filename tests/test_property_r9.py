@@ -20,6 +20,14 @@ from bullet_spark_spark.operators import temporal as tmp
 
 
 def _py_cusum(vals, k=0.5, dp=9):
+    """Textbook recurrence folded in EXACT rational arithmetic. The
+    operator accumulates exact decimals (that is the whole point of its
+    reflection closed form), so the replica must too: a float fold
+    drifts an ulp per step and the 1e-6 output floor amplifies exactly
+    at grid boundaries — hypothesis found vals=[189,373,723,260,...]
+    where the float replica reads 1.032976 against the exact 1.032977."""
+    from fractions import Fraction
+
     n = len(vals)
     mean = sum(vals) / n
     var = max(sum(v * v for v in vals) / n - mean * mean, 0.0)
@@ -29,16 +37,20 @@ def _py_cusum(vals, k=0.5, dp=9):
 
     mean, std = q(mean), q(math.sqrt(var))
     out = []
-    sp = sn = 0.0
+    sp = sn = Fraction(0)
+    kf = Fraction(1, 2) if k == 0.5 else Fraction(repr(k))
     for v in vals:
-        z = q((v - mean) / (std if std > 0 else 1.0))
-        sp = max(0.0, sp + z - k)
-        sn = max(0.0, sn - z - k)
+        # z is quantized to the 1e-9 grid by the SAME float expression
+        # the operator codegens; from here on everything is exact
+        zi = math.floor((v - mean) / (std if std > 0 else 1.0) * 10**dp)
+        z = Fraction(zi, 10**dp)
+        sp = max(Fraction(0), sp + z - kf)
+        sn = max(Fraction(0), sn - z - kf)
         out.append(
             (
-                math.floor(z * 1e6) / 1e6,
-                math.floor(sp * 1e6) / 1e6,
-                math.floor(sn * 1e6) / 1e6,
+                (zi // 10 ** (dp - 6)) / 1e6,
+                math.floor(sp * 10**6) / 1e6,
+                math.floor(sn * 10**6) / 1e6,
             )
         )
     return out
