@@ -9607,6 +9607,50 @@ def streaming_heavy_hitters(spark, sf_dir):
     )
 
 
+@q(
+    "relational_frequent_pairs",
+    """WITH baskets AS (
+         SELECT DISTINCT o_custkey AS b, p_brand AS i
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                     JOIN part ON p_partkey = l_partkey),
+       nb AS (SELECT count(DISTINCT b) AS nb FROM baskets),
+       ic AS (SELECT i, count(*) AS n FROM baskets GROUP BY 1),
+       pc AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+              FROM baskets a JOIN baskets b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING count(*) >= 5),
+       e AS (SELECT item_a, item_b, ia.n AS n_a, ib.n AS n_b, n_ab, nb.nb
+             FROM pc JOIN ic ia ON ia.i = pc.item_a
+                     JOIN ic ib ON ib.i = pc.item_b
+                     CROSS JOIN nb)
+       SELECT item_a, item_b,
+              CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              CAST(n_ab AS BIGINT) AS n_ab,
+              round(CAST(n_ab AS DOUBLE) / nb, 6) AS support,
+              round(CAST(n_ab AS DOUBLE) / n_a, 6) AS conf_a_b,
+              round(CAST(n_ab AS DOUBLE) / n_b, 6) AS conf_b_a,
+              round(CAST(n_ab AS DOUBLE) * nb
+                    / (CAST(n_a AS DOUBLE) * n_b), 6) AS lift
+       FROM e ORDER BY lift DESC, item_a, item_b LIMIT 40""",
+)
+def relational_frequent_pairs(spark, sf_dir):
+    """Association rules over customer x part-brand baskets
+    (relational.frequent_pairs): which brands share customers, with
+    support / directional confidence / lift — Agrawal-Srikant 2-itemset
+    semantics, the co-occurrence panel a curation pipeline runs on
+    domains or tags. Presence-based baskets, one per-basket self-join
+    (fan-out = basket_size^2, facet-bounded), counts exact bigints,
+    the three ratios single IEEE expressions. Top 40 by lift."""
+    t = _t(spark, sf_dir)
+    baskets = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .select("o_custkey", "p_brand")
+    )
+    out = rel.frequent_pairs(baskets, "o_custkey", "p_brand", min_pair_count=5)
+    return out.orderBy(F.desc("lift"), "item_a", "item_b").limit(40)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -9717,6 +9761,7 @@ def streaming_heavy_hitters(spark, sf_dir):
 #   temporal_acf                 (per-key autocorrelation, lags 1..7)
 #   temporal_ccf                 (cross-correlation lead/lag probe)
 #   scale_compaction_plan        (FFD small-file bin packing)
+#   relational_frequent_pairs    (association rules: support/conf/lift)
 #   rows-only addition: streaming_heavy_hitters (Space-Saving token
 #   monitor, m counters of state per shard forever; Metwally guarantees
 #   pinned in pytest AND re-checked in-sweep via quality_asserts)

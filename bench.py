@@ -110,6 +110,7 @@ BENCH = [
     "temporal_acf",           # lag-exploded deviation self-join (lags 1..7)
     "temporal_ccf",           # same shape, lags -7..7 over the (x,y) pivot
     "scale_compaction_plan",  # FFD striping over the file inventory
+    "relational_frequent_pairs",  # basket self-join + lift panel
 ]
 
 REPEATS = 3

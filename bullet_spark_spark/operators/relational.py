@@ -561,3 +561,89 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             "q75",
         )
     )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Association-rule mining for item PAIRS → one row per co-occurring
+    (item_a < item_b): (item_a, item_b, n_a, n_b, n_ab, support,
+    conf_a_b, conf_b_a, lift). The market-basket read for data curation:
+    which domains co-occur in the same user's history, which tags ride
+    together, which brands share customers — `lift > 1` is genuine
+    affinity, `lift < 1` is avoidance, and confidence gives the rule
+    direction (Agrawal–Srikant 1994 semantics restricted to 2-itemsets,
+    which is the size that matters for co-occurrence panels and the one
+    that stays oracle-exact).
+
+    support = n_ab/N (N = distinct baskets), conf_a_b = n_ab/n_a,
+    lift = n_ab·N/(n_a·n_b) — all single IEEE expressions over exact
+    bigint counts, rounded 6 dp. Presence-based: duplicate (basket,
+    item) rows collapse first.
+
+    Scale shape: one distinct + two hash aggregates + ONE per-basket
+    self-join whose fan-out is Σ basket_size² — bounded when the item
+    vocabulary is a facet (brands, tags, domains); for unbounded items
+    cap the basket first (top-N per basket), exactly like the posting-
+    join family's df caps. The basket count N rides a broadcast
+    one-row frame — nothing collects."""
+    baskets = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .filter(F.col("b").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+        .persist()
+    )
+    nb = baskets.select(F.count_distinct(F.col("b")).alias("__nb"))
+    item_counts = baskets.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b")) & (F.col("a.i") < F.col("b.i")),
+        )
+        .groupBy(
+            F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair_count))
+    )
+    enriched = (
+        pair_counts.join(
+            item_counts.select(
+                F.col("i").alias("item_a"), F.col("n").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("i").alias("item_b"), F.col("n").alias("n_b")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    return enriched.select(
+        "item_a",
+        "item_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.round(F.col("n_ab").cast("double") / F.col("__nb"), 6).alias(
+            "support"
+        ),
+        F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+            "conf_a_b"
+        ),
+        F.round(F.col("n_ab").cast("double") / F.col("n_b"), 6).alias(
+            "conf_b_a"
+        ),
+        F.round(
+            F.col("n_ab").cast("double")
+            * F.col("__nb")
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )

@@ -534,3 +534,45 @@ def test_acf_tied_timestamps_deterministic(spark):
     got = dict(a)
     for k in ref:
         assert abs(got[k] - ref[k]) < 2e-6
+
+# ---------------------------------------------------------------------------
+# frequent_pairs (association rules)
+# ---------------------------------------------------------------------------
+
+def test_frequent_pairs_hand_example(spark):
+    from bullet_spark_spark.operators import relational as rel
+
+    # 4 baskets: {x,y}, {x,y}, {x,z}, {y}
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in rel.frequent_pairs(df, "b", "i", min_pair_count=1).collect()
+    }
+    xy = out[("x", "y")]
+    assert (xy["n_a"], xy["n_b"], xy["n_ab"]) == (3, 3, 2)
+    assert xy["support"] == 0.5                      # 2 of 4 baskets
+    assert xy["conf_a_b"] == round(2 / 3, 6)
+    assert xy["conf_b_a"] == round(2 / 3, 6)
+    assert xy["lift"] == round(2 * 4 / (3 * 3), 6)   # 0.888889
+    xz = out[("x", "z")]
+    assert (xz["n_ab"], xz["lift"]) == (1, round(1 * 4 / (3 * 1), 6))
+    assert ("y", "z") not in out                     # never co-occur
+
+
+def test_frequent_pairs_presence_based_and_threshold(spark):
+    from bullet_spark_spark.operators import relational as rel
+
+    # duplicate (basket, item) rows collapse; threshold prunes pairs
+    rows = [(1, "x")] * 5 + [(1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r["item_a"], r["item_b"]): r["n_ab"]
+        for r in rel.frequent_pairs(df, "b", "i", min_pair_count=2).collect()
+    }
+    assert out == {("x", "y"): 2}  # x appears once per basket despite dups
