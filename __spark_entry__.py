@@ -9651,6 +9651,53 @@ def relational_frequent_pairs(spark, sf_dir):
     return out.orderBy(F.desc("lift"), "item_a", "item_b").limit(40)
 
 
+@q(
+    "graph_adamic_adar",
+    gr.oracle_adamic_adar_sql(
+        _TRIANGLE_EDGES_CTE,
+        select="""SELECT CAST(node_a AS BIGINT) AS supp_a,
+                         CAST(node_b AS BIGINT) AS supp_b,
+                         n_common, score
+                  FROM {last}
+                  ORDER BY score DESC, supp_a, supp_b LIMIT 30""",
+    ),
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (graph.adamic_adar_pairs) over the
+    same recurring-partnership supplier graph as the triangle panel:
+    which supplier pairs are PROBABLY related even without a direct
+    co-order edge — common neighbors weighted by 1/ln(degree), so a
+    shared rare partner outweighs a shared hub. The wedge expansion is
+    honestly Sigma deg(z)^2 (no orientation trick exists for AA), which
+    is why the hub cap is an ABSOLUTE default (the posting-join df-cap
+    lesson); the cap never binds at test SF, so the panel is exact."""
+    t = _t(spark, sf_dir)
+    sl = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = sl.alias("a"), sl.alias("b")
+    co = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
+    )
+    pairs = gr.adamic_adar_pairs(co)
+    return (
+        pairs.select(
+            F.col("node_a").cast("bigint").alias("supp_a"),
+            F.col("node_b").cast("bigint").alias("supp_b"),
+            "n_common",
+            "score",
+        )
+        .orderBy(F.desc("score"), "supp_a", "supp_b")
+        .limit(30)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -9762,6 +9809,7 @@ def relational_frequent_pairs(spark, sf_dir):
 #   temporal_ccf                 (cross-correlation lead/lag probe)
 #   scale_compaction_plan        (FFD small-file bin packing)
 #   relational_frequent_pairs    (association rules: support/conf/lift)
+#   graph_adamic_adar            (link prediction, hub-capped wedges)
 #   rows-only addition: streaming_heavy_hitters (Space-Saving token
 #   monitor, m counters of state per shard forever; Metwally guarantees
 #   pinned in pytest AND re-checked in-sweep via quality_asserts)

@@ -111,6 +111,7 @@ BENCH = [
     "temporal_ccf",           # same shape, lags -7..7 over the (x,y) pivot
     "scale_compaction_plan",  # FFD striping over the file inventory
     "relational_frequent_pairs",  # basket self-join + lift panel
+    "graph_adamic_adar",      # hub-capped wedge expansion + decimal term sums
 ]
 
 REPEATS = 3

@@ -439,6 +439,114 @@ def triangle_counts(
     return out
 
 
+def adamic_adar_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 10_000,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected simple graph → one
+    row per node pair sharing ≥1 neighbor: (node_a, node_b, n_common,
+    score) with score = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg(z)) (Adamic & Adar
+    2003 — public knowledge). THE classical "which edges are missing"
+    baseline: common neighbors weighted so that sharing a RARE neighbor
+    counts for much more than sharing a hub everyone touches — for a
+    curation pipeline, which sources/suppliers/domains are probably
+    related even though no direct edge was observed.
+
+    Semantics: input canonicalizes like :func:`triangle_counts`
+    (self-loops dropped, duplicates/reverses collapsed); the pair (a<b)
+    may or may not itself be an edge (callers anti-join the edge set
+    when they only want NEW-link candidates). deg(z)=1 nodes have no
+    pair through them (need ≥2 neighbors), so ln never sees 1.
+
+    Engine-exactness: each 1/ln(deg) term is one IEEE expression
+    floor-quantized to 10^-9 and summed as exact decimals (the pagerank
+    discipline); n_common is exact integers.
+
+    Scale shape: the wedge expansion through z is Σ_z deg(z)² — and
+    UNLIKE triangle counting no orientation trick applies (Adamic–Adar
+    needs every pair through z), so the hub cap IS the algorithm's
+    scale bound: ``max_degree`` drops centers with more neighbors
+    (their terms are the smallest anyway — 1/ln(10⁴) ≈ 0.109 — and a
+    single 10⁶-degree hub alone would emit 5·10¹¹ wedges). The default
+    is an ABSOLUTE cap, the posting-join df-cap lesson; pass None to
+    disable where the degree distribution is known-bounded."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    ).persist()
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg") <= int(max_degree))
+    centers = adj.join(deg, "z")
+    c1 = centers.select("z", F.col("n").alias("x"), "deg")
+    c2 = centers.select("z", F.col("n").alias("y"))
+    wedges = c1.join(c2, "z").filter(F.col("x") < F.col("y"))
+    scale = 1e9
+    return (
+        wedges.groupBy(
+            F.col("x").alias("node_a"), F.col("y").alias("node_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            (
+                F.sum(
+                    F.floor(
+                        F.lit(1.0) / F.log(F.col("deg").cast("double"))
+                        * F.lit(scale)
+                    ).cast("decimal(28,0)")
+                ).cast("double")
+                / F.lit(scale)
+            ).alias("__s"),
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            F.round(F.col("__s"), 6).alias("score"),
+        )
+    )
+
+
+def oracle_adamic_adar_sql(
+    edges_cte: str, select: str, max_degree: int = 10_000
+) -> str:
+    """DuckDB oracle for :func:`adamic_adar_pairs`. ``edges_cte`` must
+    define ``edges(src, dst)``; ``select`` projects over ``{last}`` =
+    pairs(node_a, node_b, n_common, score)."""
+    return f"""WITH {edges_cte},
+       ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges
+              WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+       adj AS (SELECT a AS z, b AS n FROM ce
+               UNION ALL SELECT b AS z, a AS n FROM ce),
+       deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1
+               HAVING count(*) <= {int(max_degree)}),
+       centers AS (SELECT adj.z, adj.n, deg.deg
+                   FROM adj JOIN deg ON deg.z = adj.z),
+       wedges AS (SELECT c1.z, c1.n AS x, c2.n AS y, c1.deg
+                  FROM centers c1 JOIN centers c2 ON c1.z = c2.z
+                  WHERE c1.n < c2.n),
+       pairs AS (
+         SELECT x AS node_a, y AS node_b,
+                CAST(count(*) AS BIGINT) AS n_common,
+                round(CAST(sum(CAST(floor(1.0 / ln(CAST(deg AS DOUBLE))
+                                          * 1000000000.0)
+                                    AS DECIMAL(28,0))) AS DOUBLE)
+                      / 1000000000.0, 6) AS score
+         FROM wedges GROUP BY 1, 2)
+       {select.format(last="pairs")}"""
+
+
 def oracle_triangle_sql(edges_cte: str, select: str) -> str:
     """DuckDB oracle for :func:`triangle_counts`: the same orient → wedge
     → close pipeline. ``edges_cte`` must define ``edges(src, dst)``;

@@ -576,3 +576,62 @@ def test_frequent_pairs_presence_based_and_threshold(spark):
         for r in rel.frequent_pairs(df, "b", "i", min_pair_count=2).collect()
     }
     assert out == {("x", "y"): 2}  # x appears once per basket despite dups
+
+# ---------------------------------------------------------------------------
+# adamic_adar_pairs
+# ---------------------------------------------------------------------------
+
+def test_adamic_adar_hand_graph(spark):
+    import math as _m
+
+    # path graph 1-2-3 plus 2-4: pairs through z=2 (deg 3): (1,3),(1,4),(3,4)
+    # each scoring 1/ln(3); plus (2,?) through z=1/3/4? deg-1 centers have
+    # no pairs. Edge (1,3) itself absent — AA predicts it anyway.
+    df = spark.createDataFrame([(1, 2), (2, 3), (2, 4)], "src long, dst long")
+    got = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["score"])
+        for r in gr.adamic_adar_pairs(df).collect()
+    }
+    term = _m.floor(1.0 / _m.log(3.0) * 1e9) / 1e9
+    assert got == {
+        (1, 3): (1, round(term, 6)),
+        (1, 4): (1, round(term, 6)),
+        (3, 4): (1, round(term, 6)),
+    }
+
+
+def test_adamic_adar_rare_neighbor_outweighs_hub(spark):
+    # x,y share BOTH a rare neighbor (deg 2) and a hub (deg 12):
+    # the pair's score must exceed a pair sharing only the hub
+    edges = [("x", "r"), ("y", "r")]
+    edges += [("x", "h"), ("y", "h")]
+    edges += [(f"u{i}", "h") for i in range(10)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["node_a"], r["node_b"]): r["score"]
+        for r in gr.adamic_adar_pairs(df).collect()
+    }
+    import math as _m
+
+    xy = got[("x", "y")]
+    hub_only = got[("u0", "u1")]
+    assert xy > hub_only
+    exp_xy = (
+        _m.floor(1.0 / _m.log(2.0) * 1e9) + _m.floor(1.0 / _m.log(12.0) * 1e9)
+    ) / 1e9
+    assert xy == round(exp_xy, 6)
+
+
+def test_adamic_adar_hub_cap_prunes_centers(spark):
+    # cap below the hub's degree: only the rare-neighbor term survives
+    import math as _m
+
+    edges = [("x", "r"), ("y", "r")] + [("x", "h"), ("y", "h")]
+    edges += [(f"u{i}", "h") for i in range(10)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["node_a"], r["node_b"]): r["score"]
+        for r in gr.adamic_adar_pairs(df, max_degree=5).collect()
+    }
+    assert got[("x", "y")] == round(_m.floor(1.0 / _m.log(2.0) * 1e9) / 1e9, 6)
+    assert ("u0", "u1") not in got  # hub pruned: no center connects them
