@@ -134,6 +134,8 @@ QUERIES = {
     "temporal_acf": "one key exchange for row_number; lag-exploded deviations equi-join (n*L rows); shared denominator computed once",
     "temporal_ccf": "acf shape with lags -L..L over the pivoted (x,y) grid; pivot is one conditional-count aggregate",
     "scale_compaction_plan": "per-partition size-DESC cumsum over the metadata-scale file inventory; one groupBy to shards",
+    "relational_frequent_pairs": "per-basket self-join (facet-bounded fan-out) + two item-count joins + broadcast N frame",
+    "graph_adamic_adar": "hub-capped wedge expansion (Sigma deg^2 honest cost) + one decimal-sum aggregate",
 }
 
 
