@@ -9149,6 +9149,27 @@ def sampling_bootstrap_ci(spark, sf_dir):
 _ORACLE["sampling_bootstrap_ci"] = _bootstrap_oracle_sql()
 
 
+def _supplier_co_edges(t):
+    """Recurring-partnership supplier graph shared by the triangle and
+    Adamic-Adar panels (the Spark-side twin of _TRIANGLE_EDGES_CTE):
+    suppliers co-appearing on >= 5 of the same orders. One distinct +
+    one per-order pair self-join (order size is schema-bounded, so the
+    expansion is linear) + the HAVING-equivalent count prune."""
+    sl = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = sl.alias("a"), sl.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
+    )
+
+
 _TRIANGLE_EDGES_CTE = """sl AS (
     SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
   co AS (
@@ -9182,19 +9203,7 @@ def graph_triangles_supplier(spark, sf_dir):
     (Suri-Vassilvitskii), capping wedge fan-out at O(m^1.5) even if a
     celebrity supplier appears. All-integer until the final 6-dp ratio."""
     t = _t(spark, sf_dir)
-    sl = (
-        t["lineitem"]
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    a, b = sl.alias("a"), sl.alias("b")
-    co = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 5)
-        .select("src", "dst")
-    )
+    co = _supplier_co_edges(t)
     panel = gr.triangle_counts(co)
     return (
         panel.select(
@@ -9295,8 +9304,8 @@ def distribution_mannwhitney(spark, sf_dir):
                     CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
              FROM s),
        v AS (SELECT n_a, n_b, nad, nbd, sad, sbd,
-                    (qad - sad * sad / nad) / (nad - 1.0) AS va,
-                    (qbd - sbd * sbd / nbd) / (nbd - 1.0) AS vb
+                    greatest((qad - sad * sad / nad) / (nad - 1.0), 0.0) AS va,
+                    greatest((qbd - sbd * sbd / nbd) / (nbd - 1.0), 0.0) AS vb
              FROM d),
        e AS (SELECT n_a, n_b, nad, nbd, sad, sbd, va, vb,
                     va / nad AS ea, vb / nbd AS eb
@@ -9672,19 +9681,7 @@ def graph_adamic_adar(spark, sf_dir):
     is why the hub cap is an ABSOLUTE default (the posting-join df-cap
     lesson); the cap never binds at test SF, so the panel is exact."""
     t = _t(spark, sf_dir)
-    sl = (
-        t["lineitem"]
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    a, b = sl.alias("a"), sl.alias("b")
-    co = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 5)
-        .select("src", "dst")
-    )
+    co = _supplier_co_edges(t)
     pairs = gr.adamic_adar_pairs(co)
     return (
         pairs.select(

@@ -398,12 +398,23 @@ def _bucketed_running_sums(
     exact), running-sum within each bucket, add broadcast per-bucket
     exclusive prefixes — a continuous column never lands in one
     single-partition window. Falls back to the plain global window when
-    the domain can't be bucketed (non-castable or empty). Returns the
-    input columns plus ``__cum_<c>`` per sum column."""
+    the domain can't be bucketed: empty, non-castable, or a type whose
+    cast to double is NOT order-preserving (strings sort '10' < '9'
+    lexicographically but 9.0 < 10.0 as doubles — bucketing by the cast
+    while ordering natively would combine prefixes in the wrong order).
+    Returns the input columns plus ``__cum_<c>`` per sum column."""
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    dtype = frame.schema[order_col].dataType
+    cast_preserves_order = isinstance(
+        dtype, (NumericType, DateType, TimestampType)
+    )
     nbuckets = int(
         frame.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     try:
+        if not cast_preserves_order:
+            raise ValueError("order column cast is not order-preserving")
         probs = [i / nbuckets for i in range(1, nbuckets)]
         bounds = sorted(
             set(
@@ -618,27 +629,6 @@ def mann_whitney_u(
             - F.col("t")
         ).alias("ties"),
     )
-    zexpr = (
-        (
-            F.col("ra2").cast("double")
-            - F.col("na").cast("double") * (F.col("na") + 1)
-        )
-        / 2
-        - F.col("na").cast("double") * F.col("nb") / 2
-    ) / F.sqrt(
-        F.col("na").cast("double")
-        * F.col("nb")
-        / 12.0
-        * (
-            (F.col("na") + F.col("nb")).cast("double")
-            + 1.0
-            - F.col("ties").cast("double")
-            / (
-                (F.col("na") + F.col("nb")).cast("double")
-                * ((F.col("na") + F.col("nb")).cast("double") - 1.0)
-            )
-        )
-    )
     sigma = F.sqrt(
         F.col("na").cast("double")
         * F.col("nb")
@@ -653,6 +643,14 @@ def mann_whitney_u(
             )
         )
     )
+    zexpr = (
+        (
+            F.col("ra2").cast("double")
+            - F.col("na").cast("double") * (F.col("na") + 1)
+        )
+        / 2
+        - F.col("na").cast("double") * F.col("nb") / 2
+    ) / sigma
     stats = agg.select(
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
@@ -714,8 +712,15 @@ def welch_ttest(
     na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
     sa_d, sb_d = F.col("sa").cast("double"), F.col("sb").cast("double")
     qa_d, qb_d = F.col("qa").cast("double"), F.col("qb").cast("double")
-    va = (qa_d - sa_d * sa_d / na_d) / (na_d - 1.0)
-    vb = (qb_d - sb_d * sb_d / nb_d) / (nb_d - 1.0)
+    # clamp at 0: Σx quantizes at 6 dp while Σ round(x²,8) quantizes the
+    # squares, so a near-constant column can compute an epsilon-NEGATIVE
+    # variance from the mismatched roundings — truth is 0, surface 0
+    va = F.greatest(
+        (qa_d - sa_d * sa_d / na_d) / (na_d - 1.0), F.lit(0.0)
+    )
+    vb = F.greatest(
+        (qb_d - sb_d * sb_d / nb_d) / (nb_d - 1.0), F.lit(0.0)
+    )
     ea, eb = va / na_d, vb / nb_d
     texpr = (sa_d / na_d - sb_d / nb_d) / F.sqrt(ea + eb)
     dof = ((ea + eb) * (ea + eb)) / (

@@ -518,19 +518,24 @@ def adamic_adar_pairs(
 
 
 def oracle_adamic_adar_sql(
-    edges_cte: str, select: str, max_degree: int = 10_000
+    edges_cte: str, select: str, max_degree: int | None = 10_000
 ) -> str:
     """DuckDB oracle for :func:`adamic_adar_pairs`. ``edges_cte`` must
     define ``edges(src, dst)``; ``select`` projects over ``{last}`` =
-    pairs(node_a, node_b, n_common, score)."""
+    pairs(node_a, node_b, n_common, score). ``max_degree=None`` emits
+    an uncapped oracle, mirroring the engine's disable switch."""
+    having = (
+        f"\n               HAVING count(*) <= {int(max_degree)}"
+        if max_degree is not None
+        else ""
+    )
     return f"""WITH {edges_cte},
        ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
               FROM edges
               WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
        adj AS (SELECT a AS z, b AS n FROM ce
                UNION ALL SELECT b AS z, a AS n FROM ce),
-       deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1
-               HAVING count(*) <= {int(max_degree)}),
+       deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1{having}),
        centers AS (SELECT adj.z, adj.n, deg.deg
                    FROM adj JOIN deg ON deg.z = adj.z),
        wedges AS (SELECT c1.z, c1.n AS x, c2.n AS y, c1.deg

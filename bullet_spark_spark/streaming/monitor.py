@@ -278,17 +278,25 @@ def heavy_hitters_monitor(
         else:
             n, counters = 0, {}
 
-        for pdf in pdfs:
-            for k in pdf.sort_values("__k", kind="mergesort")["__k"]:
-                n += 1
-                if k in counters:
-                    counters[k][0] += 1
-                elif len(counters) < m:
-                    counters[k] = [1, 0]
-                else:
-                    vk = min(counters, key=lambda x: (counters[x][0], x))
-                    verr = counters.pop(vk)[0]
-                    counters[k] = [verr + 1, verr]
+        # concat ALL Arrow chunks before the one sort: a >maxRecordsPerBatch
+        # micro-batch arrives as several chunks in nondeterministic fetch
+        # order, and per-chunk sorting would make eviction order (hence
+        # est/err) vary across reruns of the identical batch
+        chunks = [pdf for pdf in pdfs]
+        batch = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else (chunks[0] if chunks else pd.DataFrame({"__k": []}))
+        )
+        for k in batch.sort_values("__k", kind="mergesort")["__k"]:
+            n += 1
+            if k in counters:
+                counters[k][0] += 1
+            elif len(counters) < m:
+                counters[k] = [1, 0]
+            else:
+                vk = min(counters, key=lambda x: (counters[x][0], x))
+                verr = counters.pop(vk)[0]
+                counters[k] = [verr + 1, verr]
 
         ks = sorted(counters, key=lambda x: (-counters[x][0], x))
         state.update(

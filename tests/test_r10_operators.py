@@ -635,3 +635,48 @@ def test_adamic_adar_hub_cap_prunes_centers(spark):
     }
     assert got[("x", "y")] == round(_m.floor(1.0 / _m.log(2.0) * 1e9) / 1e9, 6)
     assert ("u0", "u1") not in got  # hub pruned: no center connects them
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+# ---------------------------------------------------------------------------
+
+def test_welch_near_constant_clamps_variance_at_zero(spark):
+    # Σx quantizes at 6 dp while Σround(x²,8) quantizes the squares: a
+    # near-constant column can compute an epsilon-negative variance from
+    # the mismatched roundings — the clamp surfaces 0, never < 0
+    rows = [("a", 1000.0000005)] * 50 + [("b", 1.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    row = dist.welch_ttest(df, "value", "g", "a", "b").collect()[0]
+    assert row["var_a"] is not None and row["var_a"] >= 0.0
+    # b's variance is genuine (1.0): the t-test still runs
+    assert row["var_b"] == 1.0 and row["t_stat"] is not None
+
+
+def test_bucketed_cumsum_string_column_uses_safe_fallback(spark):
+    from bullet_spark_spark.operators.distribution import (
+        _bucketed_running_sums,
+    )
+
+    # numeric-looking strings order '10' < '9' natively but 9.0 < 10.0
+    # as doubles — the helper must NOT bucket by the cast
+    rows = [(str(v), 1) for v in [9, 10, 100, 2, 20]]
+    df = spark.createDataFrame(rows, "v string, c long")
+    got = {
+        r["v"]: r["__cum_c"]
+        for r in _bucketed_running_sums(df, "v", ["c"]).collect()
+    }
+    order = sorted(got)  # lexicographic: 10, 100, 2, 20, 9
+    assert [got[v] for v in order] == [1, 2, 3, 4, 5]
+
+
+def test_adamic_adar_oracle_supports_uncapped(spark):
+    # max_degree=None must emit a valid uncapped oracle (engine parity)
+    import duckdb
+
+    sql = gr.oracle_adamic_adar_sql(
+        "edges AS (SELECT * FROM (VALUES (1, 2), (2, 3), (2, 4)) t(src, dst))",
+        select="SELECT node_a, node_b, n_common, score FROM {last}",
+        max_degree=None,
+    )
+    out = duckdb.sql(sql).fetchall()
+    assert len(out) == 3  # pairs (1,3),(1,4),(3,4) through z=2
