@@ -9695,6 +9695,60 @@ def graph_adamic_adar(spark, sf_dir):
     )
 
 
+@q("streaming_distinct_monitor")  # rows-only BY NATURE: stateful streaming
+# summary sketch (applyInPandasWithState bottom-k KMV). Unlike the
+# heavy-hitter sketch the bottom-k union is a SEMILATTICE, so drip ==
+# one-shot at every regime (pytest-pinned); the rse bound re-checks
+# in-sweep via quality_asserts.
+def streaming_distinct_monitor(spark, sf_dir):
+    """Continuous distinct-token count per language over the document
+    token stream (streaming/monitor.distinct_monitor, k=256 KMV): "how
+    rich is each slice's vocabulary so far" with the k smallest token
+    hashes as the ENTIRE per-group state — exact below k distinct,
+    (k-1)/theta beyond it (the batch Theta family's estimator,
+    rse = 1/sqrt(k-2) ~ 6.3%). Completes the streaming-sketch trio
+    beside the windowed quantiles and the Space-Saving heavy hitters."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import (
+        distinct_monitor as _dm,
+    )
+
+    t = _t(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, toks, work, chunks=3)
+        out = _dm(stream, "lang", "tok", k=256)
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName("__kmv_monitor")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    snap = spark.table("__kmv_monitor")
+    final = snap.withColumn(
+        "__mx", F.max("n_seen").over(W.partitionBy("key"))
+    ).filter(F.col("n_seen") == F.col("__mx"))
+    return final.select(
+        F.col("key").alias("lang"),
+        F.col("n_seen").cast("bigint").alias("n_tokens"),
+        F.round("est_distinct", 6).alias("est_distinct"),
+        "is_exact",
+    ).orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -9810,6 +9864,9 @@ def graph_adamic_adar(spark, sf_dir):
 #   rows-only addition: streaming_heavy_hitters (Space-Saving token
 #   monitor, m counters of state per shard forever; Metwally guarantees
 #   pinned in pytest AND re-checked in-sweep via quality_asserts)
+#   rows-only addition: streaming_distinct_monitor (bottom-k KMV
+#   vocabulary richness per lang; semilattice union so drip == one-shot
+#   at every regime, rse bound asserted in-sweep)
 #
 # Round-8 window (FROZEN at cut, r8 early): the 9 never-driver-green rows
 # from the r8 oracle queue above — re-verified locally at BOTH sf0.01 and
@@ -10345,12 +10402,47 @@ def _assert_heavy_hitters(spark, sf_dir, rows):
         assert r["tok"] in emitted, f"true top token {r['tok']!r} untracked"
 
 
+def _assert_distinct_monitor(spark, sf_dir, rows):
+    """KMV guarantee against exact batch distinct counts per lang:
+    exact groups must match exactly; saturated groups must sit inside
+    5·rse (rse = 1/√(k−2) at k=256 — a catastrophic-bug detector, like
+    the CMS cap)."""
+    import math as _math
+
+    assert rows, "distinct-monitor snapshot is empty"
+    exact = {
+        r["lang"]: int(r["d"])
+        for r in _t(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("lang")
+        .agg(F.count_distinct("tok").alias("d"))
+        .collect()
+    }
+    rse = 1.0 / _math.sqrt(256 - 2)
+    for r in rows:
+        true = exact[r["lang"]]
+        if r["is_exact"]:
+            assert r["est_distinct"] == float(true), (r["lang"], r, true)
+        else:
+            assert abs(r["est_distinct"] - true) <= 5 * rse * true, (
+                r["lang"],
+                r["est_distinct"],
+                true,
+            )
+
+
 _ASSERTS: dict[str, Callable] = {
     "dedup_weighted_minhash_cws": _assert_cws_differential,
     "sketch_cms_freq_est": _assert_cms_guarantees,
     "sim_retrieval_eval": _assert_lsh_retrieval_floor,
     "dedup_simhash": _assert_simhash_pairs,
     "streaming_heavy_hitters": _assert_heavy_hitters,
+    "streaming_distinct_monitor": _assert_distinct_monitor,
 }
 
 

@@ -326,3 +326,92 @@ def heavy_hitters_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("exact_lt_k", LongType()),  # 1 while below saturation
+        StructField("hashes", StringType()),    # json sorted bottom-k ints
+    ]
+)
+
+
+def distinct_monitor(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Streaming distinct-count monitor → a per-micro-batch snapshot per
+    group: (key, n_seen, est_distinct, is_exact). Completes the
+    streaming-sketch trio (windowed quantiles, Space-Saving heavy
+    hitters, THIS): "how many distinct tokens/users/domains has each
+    slice produced so far" with the k smallest value hashes as the
+    ENTIRE state — per-group exact counting on an open vocabulary grows
+    without bound; bottom-k (KMV) never exceeds k 63-bit integers.
+
+    The estimator is the batch Theta family's (operators/sketch.py
+    theta_*, Beyer et al. 2007): EXACT while distinct-so-far < k
+    (``is_exact`` true, the set IS the state), then (k−1)/θ with θ =
+    kth-smallest-hash/2^63, rse = 1/√(k−2) (≈6.3% at k=256). Hashing is
+    md5-derived 63-bit (stable across restarts); merging batches is
+    set-union + retruncate, so cross-batch results are ORDER-INDEPENDENT
+    — unlike the heavy-hitter sketch, drip ≡ one-shot exactly, at every
+    regime (the parity test pins it)."""
+    import hashlib as _hashlib
+    import json as _json
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n_seen", LongType()),
+            StructField("est_distinct", DoubleType()),
+            StructField("is_exact", BooleanType()),
+        ]
+    )
+    src = df.select(
+        F.col(key_col).cast("string").alias("__g"),
+        F.col(value_col).cast("string").alias("__v"),
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+
+    def _h(v: str) -> int:
+        return int.from_bytes(
+            _hashlib.md5(v.encode("utf-8")).digest()[:8], "big"
+        ) & ((1 << 63) - 1)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, _, hashes_s = state.get
+            bottom = set(_json.loads(hashes_s))
+        else:
+            n, bottom = 0, set()
+
+        for pdf in pdfs:
+            vals = pdf["__v"]
+            n += int(len(vals))
+            bottom.update(_h(v) for v in set(vals))
+        # retruncate to the k smallest — set-union then cut keeps the
+        # result identical for ANY batch slicing of the same rows
+        kept = sorted(bottom)[:k]
+        is_exact = len(bottom) < k or len(kept) < k
+        if len(kept) == k and not is_exact:
+            theta = kept[-1] / float(1 << 63)
+            est = (k - 1) / theta
+        else:
+            est = float(len(kept))
+        state.update((n, 1 if is_exact else 0, _json.dumps(kept)))
+        yield pd.DataFrame(
+            [(key[0], n, est, bool(is_exact))],
+            columns=["key", "n_seen", "est_distinct", "is_exact"],
+        )
+
+    return src.groupBy("__g").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -291,3 +291,58 @@ def test_heavy_hitters_guarantees_under_eviction(spark, tmp_path):
         if c > n / 8:
             assert k in tracked, (k, c)
     assert "heavy" in tracked and "warm" in tracked
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count monitor
+# ---------------------------------------------------------------------------
+
+def _drain_kmv(spark, src_df, tmp_path, chunks, name, **kw):
+    from bullet_spark_spark.streaming.monitor import distinct_monitor
+
+    stream = file_drip(spark, src_df, str(tmp_path / "in"), chunks=chunks)
+    out = distinct_monitor(stream, "g", "v", **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _kmv_final(rows):
+    latest = {}
+    for r in rows:
+        if r["key"] not in latest or r["n_seen"] > latest[r["key"]][0]:
+            latest[r["key"]] = (r["n_seen"], r["est_distinct"], r["is_exact"])
+    return {k: (e, x) for k, (_, e, x) in latest.items()}
+
+
+def test_kmv_exact_regime_and_drip_parity(spark, tmp_path):
+    rows = [("a", f"v{i % 40}") for i in range(200)]
+    rows += [("b", f"w{i % 7}") for i in range(50)]
+    src = spark.createDataFrame(rows, "g string, v string")
+    drip = _kmv_final(_drain_kmv(spark, src, tmp_path / "d", 3, "kmv_d", k=256))
+    once = _kmv_final(_drain_kmv(spark, src, tmp_path / "o", 1, "kmv_o", k=256))
+    assert drip == once
+    assert drip["a"] == (40.0, True) and drip["b"] == (7.0, True)
+
+
+def test_kmv_estimate_regime_bounds_and_order_independence(spark, tmp_path):
+    import math
+
+    n_distinct, k = 5000, 64
+    rows = [("a", f"tok{i}") for i in range(n_distinct)]
+    src = spark.createDataFrame(rows, "g string, v string")
+    drip = _kmv_final(_drain_kmv(spark, src, tmp_path / "d", 4, "kmv_e", k=k))
+    once = _kmv_final(_drain_kmv(spark, src, tmp_path / "o", 1, "kmv_e1", k=k))
+    # bottom-k union is a semilattice: drip == one-shot even when evicting
+    assert drip == once
+    est, is_exact = drip["a"]
+    assert is_exact is False
+    rse = 1.0 / math.sqrt(k - 2)
+    assert abs(est - n_distinct) <= 5 * rse * n_distinct, est
