@@ -9749,6 +9749,53 @@ def streaming_distinct_monitor(spark, sf_dir):
     ).orderBy("lang")
 
 
+@q(
+    "sampling_neyman_alloc",
+    """WITH per AS (
+         SELECT lang, count(*) AS n,
+                CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                CAST(sum(CAST(round(n_chars * n_chars, 8) AS DECIMAL(28,8)))
+                     AS DOUBLE) AS q
+         FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+       sds AS (
+         SELECT lang, n,
+                CASE WHEN n > 1
+                     THEN sqrt(greatest((q - s * s / CAST(n AS DOUBLE))
+                               / (CAST(n AS DOUBLE) - 1.0), 0.0))
+                     ELSE 0.0 END AS sd
+         FROM per),
+       wtd AS (
+         SELECT lang, n, sd,
+                CAST(round(CAST(n AS DOUBLE) * sd, 6) AS DECIMAL(28,6)) AS w
+         FROM sds),
+       tot AS (SELECT sum(w) AS tw FROM wtd)
+       SELECT lang, CAST(n AS BIGINT) AS n_rows, round(sd, 6) AS sd,
+              round(CAST(w AS DOUBLE), 6) AS weight,
+              CASE WHEN tw > 0
+                   THEN round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+                   END AS share,
+              CASE WHEN tw > 0
+                   THEN CAST(floor(1000.0 * (CAST(w AS DOUBLE)
+                                             / CAST(tw AS DOUBLE)))
+                        AS BIGINT) END AS alloc_n
+       FROM wtd CROSS JOIN tot""",
+)
+def sampling_neyman_alloc(spark, sf_dir):
+    """Neyman optimal allocation of a 1000-row sample budget across
+    language strata by document-length variability
+    (sampling.neyman_allocation): n_h proportional to N_h*sigma_h — big AND
+    volatile strata earn rows; proportional allocation would waste
+    budget on huge near-constant slices. The sampling-DESIGN front end
+    of sample_exact_n_per_group. One combinable moment aggregate to
+    the metadata-sized stratum frame; per-stratum weights round to
+    6 dp and total as exact decimals (a double grand sum over strata
+    would be order-dependent across engines)."""
+    t = _t(spark, sf_dir)
+    return smp.neyman_allocation(
+        t["documents"], ["lang"], "n_chars", total_n=1000
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -9861,6 +9908,7 @@ def streaming_distinct_monitor(spark, sf_dir):
 #   scale_compaction_plan        (FFD small-file bin packing)
 #   relational_frequent_pairs    (association rules: support/conf/lift)
 #   graph_adamic_adar            (link prediction, hub-capped wedges)
+#   sampling_neyman_alloc        (optimal stratified allocation)
 #   rows-only addition: streaming_heavy_hitters (Space-Saving token
 #   monitor, m counters of state per shard forever; Metwally guarantees
 #   pinned in pytest AND re-checked in-sweep via quality_asserts)

@@ -112,6 +112,7 @@ BENCH = [
     "scale_compaction_plan",  # FFD striping over the file inventory
     "relational_frequent_pairs",  # basket self-join + lift panel
     "graph_adamic_adar",      # hub-capped wedge expansion + decimal term sums
+    "sampling_neyman_alloc",  # one moment agg + broadcast total
 ]
 
 REPEATS = 3

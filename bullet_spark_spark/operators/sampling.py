@@ -718,3 +718,79 @@ def poisson_bootstrap_ci_by(
         *group_cols, "n", F.lit(b).cast("long").alias("b"),
         "mean", "ci_lo", "ci_hi",
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_cols: list[str],
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman optimal stratified-sample allocation → one row per stratum:
+    (strata..., n_rows, sd, weight, share, alloc_n). Given a total
+    sample budget, allocate n_h ∝ N_h·σ_h (Neyman 1934, public
+    knowledge): big AND variable strata get more of the budget —
+    proportional allocation wastes rows on huge near-constant slices
+    and starves small volatile ones, which is exactly the shape of a
+    web corpus's language/source mix. Feed ``alloc_n`` per stratum to
+    sample_exact_n_per_group to draw the actual rows.
+
+    Engine-exactness: per-stratum moments are the decimal-exact sums of
+    the quality_correlations discipline (σ clamps at 0 against the
+    mixed-quantization epsilon — the Welch lesson); each weight
+    N_h·σ_h rounds to 6 dp and the GRAND total sums those roundings as
+    exact decimals (a plain double Σ over strata would be
+    order-dependent across engines). ``alloc_n`` floors — Σ alloc_n ≤
+    total_n with at most one row of slack per stratum, never over
+    budget. Scale shape: ONE map-side-combinable aggregate to the
+    stratum frame (metadata-sized) + a broadcast one-row total."""
+    keys = list(stratum_cols)
+    v = F.col(value_col).cast("double")
+    per = df.filter(v.isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v.cast("decimal(18,6)")).alias("__s"),
+        F.sum(F.round(v * v, 8).cast("decimal(28,8)")).alias("__q"),
+    )
+    n_d = F.col("__n").cast("double")
+    s_d, q_d = F.col("__s").cast("double"), F.col("__q").cast("double")
+    sd = F.when(
+        F.col("__n") > 1,
+        F.sqrt(
+            F.greatest(
+                (q_d - s_d * s_d / n_d) / (n_d - 1.0), F.lit(0.0)
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    weighted = per.select(
+        *keys,
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.round(sd, 6).alias("sd"),
+        F.round(n_d * sd, 6).cast("decimal(28,6)").alias("__w"),
+    )
+    total = weighted.agg(F.sum("__w").alias("__tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            "sd",
+            F.round(F.col("__w").cast("double"), 6).alias("weight"),
+            F.when(
+                F.col("__tw") > 0,
+                F.round(
+                    F.col("__w").cast("double") / F.col("__tw").cast("double"),
+                    6,
+                ),
+            ).alias("share"),
+            F.when(
+                F.col("__tw") > 0,
+                F.floor(
+                    F.lit(float(total_n))
+                    * (
+                        F.col("__w").cast("double")
+                        / F.col("__tw").cast("double")
+                    )
+                ).cast("bigint"),
+            ).alias("alloc_n"),
+        )
+    )

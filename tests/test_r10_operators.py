@@ -680,3 +680,69 @@ def test_adamic_adar_oracle_supports_uncapped(spark):
     )
     out = duckdb.sql(sql).fetchall()
     assert len(out) == 3  # pairs (1,3),(1,4),(3,4) through z=2
+
+# ---------------------------------------------------------------------------
+# neyman_allocation
+# ---------------------------------------------------------------------------
+
+def test_neyman_allocation_favors_big_volatile_strata(spark):
+    import random
+
+    from bullet_spark_spark.operators import sampling as smp
+
+    rng = random.Random(7)
+    rows = [("big_flat", 100.0 + rng.uniform(-0.01, 0.01)) for _ in range(500)]
+    rows += [("small_wild", rng.uniform(0, 1000)) for _ in range(100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r
+        for r in smp.neyman_allocation(df, ["g"], "v", 100).collect()
+    }
+    # 100 volatile rows out-earn 500 near-constant ones
+    assert got["small_wild"]["alloc_n"] > got["big_flat"]["alloc_n"]
+    assert sum(r["alloc_n"] for r in got.values()) <= 100  # floor: never over
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-5
+
+
+def test_neyman_allocation_matches_reference(spark):
+    import math
+    import random
+
+    from bullet_spark_spark.operators import sampling as smp
+
+    rng = random.Random(3)
+    data = {
+        "a": [rng.gauss(10, 2) for _ in range(200)],
+        "b": [rng.gauss(50, 20) for _ in range(80)],
+        "c": [rng.gauss(5, 0.5) for _ in range(300)],
+    }
+    rows = [(g, round(v, 3)) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r for r in smp.neyman_allocation(df, ["g"], "v", 500).collect()
+    }
+    ws = {}
+    for g, vs in data.items():
+        vs = [round(v, 3) for v in vs]
+        n = len(vs)
+        m = sum(vs) / n
+        sd = math.sqrt(sum((x - m) ** 2 for x in vs) / (n - 1))
+        ws[g] = round(n * sd, 6)
+    tw = sum(ws.values())
+    for g in data:
+        assert got[g]["n_rows"] == len(data[g])
+        assert abs(got[g]["weight"] - ws[g]) < 1e-4
+        assert got[g]["alloc_n"] == math.floor(500.0 * ws[g] / tw)
+
+
+def test_neyman_singleton_stratum_gets_zero_sd(spark):
+    from bullet_spark_spark.operators import sampling as smp
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0), ("b", 3.0)], "g string, v double"
+    )
+    got = {
+        r["g"]: r for r in smp.neyman_allocation(df, ["g"], "v", 10).collect()
+    }
+    assert got["a"]["sd"] == 0.0 and got["a"]["alloc_n"] == 0
+    assert got["b"]["alloc_n"] == 10  # all weight on the only varying stratum
