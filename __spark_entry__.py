@@ -9938,6 +9938,74 @@ def sampling_neyman_alloc(spark, sf_dir):
 # discipline), + 35 sentinels chosen as the STALEST driver greens (24 last
 # certified r5, 11 more last certified r6 — nothing in the window has a
 # green newer than r6 except the re-certs).
+_WINDOW_R10 = [
+    # -- the 19 r10-queue oracle rows (registered post-freeze in r9; first
+    #    driver rows — VERDICT r9 task 1) --
+    "distribution_mannwhitney",
+    "distribution_welch_ttest",
+    "distribution_spearman",
+    "graph_triangles_supplier",
+    "graph_adamic_adar",
+    "temporal_acf",
+    "temporal_ccf",
+    "temporal_cusum_volume",
+    "temporal_trend_robust",
+    "sampling_bootstrap_ci",
+    "sampling_bootstrap_by_lang",
+    "sampling_neyman_alloc",
+    "text_zipf_fit",
+    "text_unigram_kl",
+    "text_unigram_js",
+    "scale_compaction_plan",
+    "scale_shard_manifest",
+    "window_hopping_10m_5m",
+    "relational_frequent_pairs",
+    # -- the 6 asserted rows-only conversions (VERDICT r9 task 1: first
+    #    driver rows; the driver records rows-only checks for these — the
+    #    in-sweep quality asserts are the certification surface) --
+    "dedup_simhash",
+    "dedup_weighted_minhash_cws",
+    "sketch_cms_freq_est",
+    "sim_retrieval_eval",
+    "streaming_heavy_hitters",
+    "streaming_distinct_monitor",
+    # -- changed implementation this round (shared df-stats frame across
+    #    the posting-scan family, VERDICT r9 task 4): re-certify --
+    "dedup_weighted_jaccard",
+    "dedup_containment_pairs",
+    "dedup_lexical_cosine",
+    "pipeline_ccnet_buckets",
+    # -- oldest sentinels: last driver-green r5/r6 --
+    "graph_pagerank_trade",
+    "bullet_pmf_cdf",
+    "distribution_ks_test",
+    "expr_container_anyall",
+    "graph_hits_trade",
+    "join_asof",
+    "join_asof_nearest",
+    "join_inner_broadcast",
+    "join_range_bands",
+    "multimodal_warc_roundtrip",
+    "pipeline_ingest_warc",
+    "pipeline_warehouse_sync",
+    "quality_benford",
+    "quality_fd_violations",
+    "quality_hot_keys",
+    "quality_k_anonymity",
+    "quality_profile_diff",
+    "quality_referential_integrity",
+    "relational_incremental_agg",
+    "relational_incremental_join",
+    "rollup_region_nation",
+    # -- overflow sentinels (positions 51-56): inside the window iff the
+    #    driver skips the 6 rows-only rows when counting to 50 --
+    "sampling_deterministic",
+    "sim_cluster_inertia",
+    "sim_cosine_neardup",
+    "sim_group_centroids",
+    "streaming_static_enrich_parity",
+    "temporal_ewma",
+]
 _WINDOW_R9 = [
     # -- the 13 r9-queue rows (registered post-freeze in r8; first rows) --
     "dedup_fuzzy_pairs",
@@ -10344,7 +10412,7 @@ def _rotate_window(priority: list[str]) -> None:
         d.update(snap)
 
 
-_rotate_window(_WINDOW_R9)
+_rotate_window(_WINDOW_R10)
 
 
 # ---------------------------------------------------------------------------
