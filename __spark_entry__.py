@@ -9974,6 +9974,7 @@ _WINDOW_R10 = [
     "dedup_weighted_jaccard",
     "dedup_containment_pairs",
     "dedup_lexical_cosine",
+    "dedup_winnow_pairs",
     "pipeline_ccnet_buckets",
     # -- oldest sentinels: last driver-green r5/r6 --
     "graph_pagerank_trade",
@@ -10004,7 +10005,6 @@ _WINDOW_R10 = [
     "sim_cosine_neardup",
     "sim_group_centroids",
     "streaming_static_enrich_parity",
-    "temporal_ewma",
 ]
 _WINDOW_R9 = [
     # -- the 13 r9-queue rows (registered post-freeze in r8; first rows) --

@@ -117,6 +117,35 @@ BENCH = [
 
 REPEATS = 3
 
+# Control-plane cycles get 5 samples (vs 3 for queries): the @32 figure is
+# floor-dominated (~1.7 s of micro-batch machinery per cycle) so a single
+# contended cycle moves the median of 3 by ~15% — exactly the r8→r9 driver
+# artifact swing (21.12→17.98 q/s) that local isolated runs on the SAME two
+# code revisions measured as 19.21 vs 19.16 q/s (BENCH_LOCAL_r08/r09). The
+# full artifact records every sample plus the floor comparison so a swing
+# outside the documented band is visible as data, not narrative.
+CONTROL_REPEATS = 5
+# Floor = worst isolated local median observed across r8/r9 code (19.16 @32,
+# 38.8 @128) minus the ~5% sampling band. A median below this on an
+# isolated=true run means a REAL regression, not contention.
+CONTROL_FLOOR_32 = 18.0
+CONTROL_FLOOR_128 = 36.0
+
+# Measurement order: iterative/cache-heavy queries FIRST (right after
+# warmup, coldest heap) — three rounds of bench artifacts showed pagerank
+# at 6.3-9.0 s when measured late in the suite vs 4.8-5.4 s standalone on
+# an idle host, i.e. the in-suite number was measuring predecessor GC/heap
+# pressure, not the query (clearCache+gc before each query reclaims blocks
+# but not JVM heap fragmentation). Membership and reported keys are
+# unchanged; only the wall-clock ordering moves.
+MEASURE_FIRST = [
+    "graph_pagerank_trade",
+    "graph_adamic_adar",
+    "dedup_ensemble_survivors",
+    "sim_kmeans_lloyd",
+    "dedup_weighted_minhash_cws",
+]
+
 
 # Bounded: the 1-min loadavg decays with a ~60 s time constant, so the
 # residual of a just-finished sweep (observed ~7.5 on 32 cpus) crosses the
@@ -168,7 +197,8 @@ def main() -> None:
     times: dict[str, float] = {}
     import gc as _gc
 
-    for name in BENCH:
+    measure_order = MEASURE_FIRST + [n for n in BENCH if n not in MEASURE_FIRST]
+    for name in measure_order:
         # independent measurements: without this, ~24 queries' persisted
         # frames accumulate in the executor heap and the later (iterative,
         # cache-heavy) queries measure GC pressure from their predecessors
@@ -187,13 +217,18 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
 
+    times = {n: times[n] for n in BENCH}  # stable artifact order
+
     streaming_rps = _streaming_ingest_rate(spark)
-    control_qps, control_register_qps = _control_plane_rate(spark)
-    control_qps_128, _ = _control_plane_rate(spark, n_queries=128)
+    control_qps, control_register_qps, control_samples = _control_plane_rate(spark)
+    control_qps_128, _, control_samples_128 = _control_plane_rate(
+        spark, n_queries=128
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_after = os.getloadavg()
     cpus = os.cpu_count() or 1
+    isolated = load_before[0] < cpus / 8
     out = {
         "metric": "total_wall_sec",
         "value": round(sum(times.values()), 4),
@@ -203,6 +238,19 @@ def main() -> None:
         "control_plane_queries_per_sec": control_qps,
         "control_plane_queries_per_sec_128": control_qps_128,
         "control_plane_register_per_sec": control_register_qps,
+        # every control-plane cycle sample (median above) + the regression
+        # floor: on an isolated run a median below the floor is a REAL
+        # regression; above it, deltas are the documented contention band
+        # (VERDICT r9 task 2 — the r8→r9 21.12→17.98 swing measured 19.21
+        # vs 19.16 locally on the same two code revisions).
+        "control_plane_samples_32": control_samples,
+        "control_plane_samples_128": control_samples_128,
+        "control_plane_floor_32": CONTROL_FLOOR_32,
+        "control_plane_floor_128": CONTROL_FLOOR_128,
+        "control_plane_floor_ok": bool(
+            control_qps >= CONTROL_FLOOR_32
+            and control_qps_128 >= CONTROL_FLOOR_128
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # run context for cross-round adjudication (judge/VERDICT r03 ask):
         # loadavg at start/end; isolated = the host was not otherwise busy
@@ -215,9 +263,58 @@ def main() -> None:
         "quiet_wait_sec": quiet_wait_s,        # residual-load decay waited out
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
-        "isolated": load_before[0] < cpus / 8,
+        "isolated": isolated,
     }
+    # Full artifact to a known repo path (VERDICT r9 task 7): the driver
+    # captures only the last 2000 chars of stdout, and the full 74-query
+    # map alone serializes to ~1970 chars — it cannot fit a parseable
+    # stdout line. BENCH_FULL.json carries the complete artifact (the
+    # driver's end-of-round commit picks it up); stdout gets the full line
+    # for humans plus a FINAL compact line sized to the driver's tail.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
+    print(_compact_line(out))
+
+
+def _compact_line(out: dict, budget: int = 1900) -> str:
+    """One JSON line <= ``budget`` chars for the driver's 2000-char stdout
+    tail: headline metrics + as many per-query medians as fit (costliest
+    first, 2 dp — the sub-0.1 s tail is measurement noise anyway), with the
+    omission count and the full-artifact path stated in-band."""
+    head = {
+        "metric": out["metric"],
+        "value": round(out["value"], 2),
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "streaming_rows_per_sec": out["streaming_rows_per_sec"],
+        "control_plane_queries_per_sec": out["control_plane_queries_per_sec"],
+        "control_plane_queries_per_sec_128": out[
+            "control_plane_queries_per_sec_128"
+        ],
+        "control_plane_floor_ok": out["control_plane_floor_ok"],
+        "isolated": out["isolated"],
+        "queries_total": len(out["queries"]),
+        "queries_omitted": 0,
+        "full": "BENCH_FULL.json",
+        "queries": {},
+    }
+    ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    line = json.dumps(head, separators=(",", ":"))
+    for name, sec in ranked:
+        head["queries"][name] = round(sec, 2)
+        head["queries_omitted"] = len(ranked) - len(head["queries"])
+        cand = json.dumps(head, separators=(",", ":"))
+        if len(cand) > budget:
+            del head["queries"][name]
+            head["queries_omitted"] = len(ranked) - len(head["queries"])
+            break
+        line = cand
+    return line
 
 
 def _streaming_ingest_rate(spark) -> float:
@@ -257,7 +354,9 @@ def _streaming_ingest_rate(spark) -> float:
     return round(_stats.median(cycle() for _ in range(REPEATS)), 1)
 
 
-def _control_plane_rate(spark, n_queries: int = 32) -> tuple[float, float]:
+def _control_plane_rate(
+    spark, n_queries: int = 32
+) -> tuple[float, float, list[float]]:
     """Queries/sec through the external control plane + dynamic
     multiplexer — the reference's raison-d'être metric (many concurrent
     queries sharing one stream, BASELINE.md posture table): ``n_queries``
@@ -326,10 +425,10 @@ def _control_plane_rate(spark, n_queries: int = 32) -> tuple[float, float]:
         return served / wall, n_queries / max(t_registered - t0, 1e-9)
 
     cycle()  # warmup
-    runs = [cycle() for _ in range(REPEATS)]
+    runs = [cycle() for _ in range(CONTROL_REPEATS)]
     serve = round(statistics.median(r[0] for r in runs), 2)
     register = round(statistics.median(r[1] for r in runs), 1)
-    return serve, register
+    return serve, register, [round(r[0], 2) for r in runs]
 
 
 if __name__ == "__main__":
