@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from bullet_spark_spark.operators._cache import persist_generation
+
 
 def exact_quantiles_distributed(
     df: DataFrame, col: str, probs: list[float], num_partitions: int | None = None
@@ -409,10 +411,13 @@ def _bucketed_running_sums(
     cast_preserves_order = isinstance(
         dtype, (NumericType, DateType, TimestampType)
     )
-    nbuckets = int(
-        frame.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
     try:
+        # inside the try: a non-numeric conf value (e.g. "auto" under some
+        # AQE configurations) degrades to the safe global-window fallback
+        # instead of raising (ADVICE r9)
+        nbuckets = int(
+            frame.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
         if not cast_preserves_order:
             raise ValueError("order column cast is not order-preserving")
         probs = [i / nbuckets for i in range(1, nbuckets)]
@@ -438,6 +443,9 @@ def _bucketed_running_sums(
         totals = bucketed.groupBy("__bkt").agg(
             *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
         )
+        # unpartitioned by design: `totals` has ≤ shuffle.partitions rows
+        # (one per bucket), bounded — the WindowExec single-partition
+        # warning here is cosmetic, not a scale risk
         w_pref = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
         prefix = totals.select(
             "__bkt",
@@ -458,6 +466,8 @@ def _bucketed_running_sums(
                 for c in sum_cols
             ],
         )
+    # documented fallback: empty/un-castable order domain only — the
+    # bucketed path above is the scale path
     w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
     return frame.select(
         *frame.columns,
@@ -487,14 +497,16 @@ def _merged_rank_counts(a: DataFrame, b: DataFrame, col: str):
     )
     from pyspark import StorageLevel
 
-    merged = (
-        ca.join(cb, "v", "full_outer")
-        .select(
-            "v",
-            F.coalesce("ca", F.lit(0)).alias("ca"),
-            F.coalesce("cb", F.lit(0)).alias("cb"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    merged = ca.join(cb, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    # bounded cache generation (ADVICE r9): released on the next call
+    (merged,) = persist_generation(
+        "distribution._merged_rank_counts",
+        merged,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
     )
     cum = _bucketed_running_sums(merged, "v", ["ca", "cb"]).select(
         "v",
@@ -697,7 +709,15 @@ def welch_ttest(
     decimal) per side via conditional sums; means/variances/t/dof are
     single IEEE expressions over those exact sums, token-identical in
     the oracle. Scale shape: ONE map-side-combinable aggregate, state =
-    six numbers — no shuffle beyond the final single-row reduce."""
+    six numbers — no shuffle beyond the final single-row reduce.
+
+    Magnitude bound (ADVICE r9): the decimal(18,6) / decimal(28,8)
+    intermediates hold |x| < 1e12 and x² < 1e20 (|x| < 1e10). In
+    non-ANSI Spark an out-of-range value casts to NULL and silently
+    drops from the sum while the count still includes the row; DuckDB
+    raises instead. Pre-scale (divide by a unit constant) before calling
+    on columns that can exceed |x| ≈ 1e10 — the same discipline as
+    quality.correlation_matrix."""
     v = F.col(value_col).cast("double")
     in_a = (F.col(group_col) == F.lit(group_a)) & v.isNotNull()
     in_b = (F.col(group_col) == F.lit(group_b)) & v.isNotNull()
@@ -785,11 +805,11 @@ def spearman_corr(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     (:func:`_bucketed_running_sums`, distinct-value-sized state), two
     equi-joins of the rank maps back onto the rows, ONE final
     map-side-combinable moment aggregate."""
-    rows = (
-        df.select(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
-        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-        .persist()
+    rows = df.select(F.col(col_x).alias("x"), F.col(col_y).alias("y")).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
     )
+    # bounded cache generation (ADVICE r9): released on the next call
+    (rows,) = persist_generation("distribution.spearman_corr", rows)
     rx = _value_avg_ranks(rows, "x").select(
         F.col("v").alias("x"), F.col("__r2").alias("r2x")
     )

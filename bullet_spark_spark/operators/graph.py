@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bullet_spark_spark.operators._cache import persist_generation
+
 
 def pagerank(
     edges: DataFrame,
@@ -376,14 +378,12 @@ def triangle_counts(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .persist()
     )
     ed = e.join(
         deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
@@ -395,7 +395,13 @@ def triangle_counts(
         F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).persist()
+    )
+    # one bounded cache generation per call site (ADVICE r9): the returned
+    # frame is LAZY, so these must outlive the call — the NEXT call
+    # releases them (see operators._cache)
+    e, deg, oriented = persist_generation(
+        "graph.triangle_counts", e, deg, oriented
+    )
     o1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     o2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     # wedge (x, y) ordered by the SAME (degree, node) total order the
@@ -435,7 +441,8 @@ def triangle_counts(
     )
     # no unpersist here: the returned frame is LAZY — dropping the cache
     # before the caller's action would force e/oriented to recompute per
-    # consuming branch (ks_two_sample's persist-and-return precedent)
+    # consuming branch (ks_two_sample's persist-and-return precedent);
+    # the persist_generation registry releases them on the NEXT call
     return out
 
 
@@ -483,7 +490,8 @@ def adamic_adar_pairs(
     )
     adj = e.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
         e.select(F.col("b").alias("z"), F.col("a").alias("n"))
-    ).persist()
+    )
+    (adj,) = persist_generation("graph.adamic_adar_pairs", adj)
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
         deg = deg.filter(F.col("deg") <= int(max_degree))

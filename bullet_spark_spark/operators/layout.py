@@ -338,10 +338,16 @@ def compaction_plan(
     execute it by feeding each (partition, shard) group to a rewrite
     job. Pass ``file_id_col`` whenever sizes can tie — it is the sort
     tiebreak that keeps shard membership deterministic across runs."""
+    if target_bytes <= 0:
+        # floor(cum/0) would yield NULL/Inf shard ids — a silent garbage
+        # plan rather than an error (ADVICE r9)
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
     keys = list(partition_cols or [])
     order = [F.col(size_col).desc()]
     if file_id_col:
         order.append(F.col(file_id_col).asc())
+    # unpartitioned-by-design fallback: a FILE INVENTORY is metadata-
+    # scale (~800k rows at 100 TB / 128 MB), bounded
     w = (
         Window.partitionBy(*keys).orderBy(*order)
         if keys

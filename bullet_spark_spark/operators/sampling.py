@@ -194,6 +194,8 @@ def pack_sequences(
         bucketed = base.withColumn("__bkt", bkt)
         cum_in = bucketed.withColumn("__cum_in", F.sum(size_col).over(w_in))
         totals = bucketed.groupBy("__bkt").agg(F.sum(size_col).alias("__tot"))
+        # unpartitioned by design: `totals` has ≤ shuffle.partitions rows
+        # (one per bucket), bounded — the WindowExec warning is cosmetic
         w_pref = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
         prefix = totals.select(
             "__bkt",
@@ -600,6 +602,8 @@ def poisson_bootstrap_ci(
 
     lo_rank = max(1, math.ceil(alpha / 2.0 * b))
     hi_rank = math.ceil((1.0 - alpha / 2.0) * b)
+    # unpartitioned by design: `rep_means` has exactly b (=64) rows —
+    # one per bootstrap replicate — bounded
     ranked = rep_means.select(
         "__m",
         F.row_number()
@@ -743,7 +747,13 @@ def neyman_allocation(
     order-dependent across engines). ``alloc_n`` floors — Σ alloc_n ≤
     total_n with at most one row of slack per stratum, never over
     budget. Scale shape: ONE map-side-combinable aggregate to the
-    stratum frame (metadata-sized) + a broadcast one-row total."""
+    stratum frame (metadata-sized) + a broadcast one-row total.
+
+    Magnitude bound (ADVICE r9, same as distribution.welch_ttest): the
+    decimal(18,6)/decimal(28,8) moment sums hold |x| < 1e12 and
+    x² < 1e20; beyond that non-ANSI Spark nulls the cast and silently
+    drops the value from the sum while the count keeps the row. Pre-
+    scale value columns that can exceed |x| ≈ 1e10."""
     keys = list(stratum_cols)
     v = F.col(value_col).cast("double")
     per = df.filter(v.isNotNull()).groupBy(*keys).agg(

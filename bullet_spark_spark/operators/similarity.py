@@ -1686,6 +1686,7 @@ def kmeans_lloyd(
             F.lit(0).cast("long").alias("n"),
         )
     else:
+        # unpartitioned by design: frame is limit(k) — k rows, bounded
         init = (
             base.orderBy("__id")
             .limit(k)

@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from bullet_spark_spark.operators._cache import persist_generation
+
 
 def asof_join(
     left: DataFrame,
@@ -338,6 +340,8 @@ def zscore_anomalies(
             6,
         ).cast("decimal(18,6)").alias("m"),
     )
+    # unpartitioned by design: one row per TIME BUCKET (range/width-
+    # bounded), not per record
     w = _W.orderBy("bucket").rowsBetween(-trailing, -1)
     s1 = F.sum("m").over(w).cast("double")
     s2 = F.sum(F.col("m") * F.col("m")).over(w).cast("double")
@@ -920,6 +924,8 @@ def cusum_path(
         F.col(value_col).cast("double").alias("value"),
         z.cast("decimal(28,9)").alias("__z"),
     )
+    # no-keys fallback = ONE series by definition (unpartitioned window
+    # over a single bounded series, by design)
     w = W.partitionBy(*keys).orderBy("ts") if keys else W.orderBy("ts")
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     k = F.lit(float(k_slack)).cast("decimal(28,9)")
@@ -1031,6 +1037,8 @@ def theil_sen_trend(
             / F.lit(scale)
         ).cast("decimal(20,9)").alias("__slope"),
     )
+    # no-keys fallback = ONE series' pair slopes (series-length-bounded
+    # by the resample grid, by design)
     pw = (
         W.partitionBy(*keys).orderBy(F.col("__slope").asc())
         if keys
@@ -1120,7 +1128,9 @@ def acf(
         idx.join(st, keys) if keys else idx.crossJoin(F.broadcast(st))
     ).select(
         *keys, "__i", "__n", (F.col("v") - F.col("__m")).alias("__dv")
-    ).persist()
+    )
+    # bounded cache generation (ADVICE r9): released on the next call
+    (dev,) = persist_generation("temporal.acf", dev)
     den = dev.groupBy(*keys).agg(
         (
             F.sum(
@@ -1228,7 +1238,9 @@ def ccf(
         "__n",
         (F.col("x") - F.col("__mx")).alias("__dx"),
         (F.col("y") - F.col("__my")).alias("__dy"),
-    ).persist()
+    )
+    # bounded cache generation (ADVICE r9): released on the next call
+    (dev,) = persist_generation("temporal.ccf", dev)
     den = dev.groupBy(*keys).agg(
         (
             F.sum(

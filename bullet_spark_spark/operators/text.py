@@ -1355,6 +1355,7 @@ def top_vocab(df: DataFrame, text_col: str = "text", n: int = 1000) -> DataFrame
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     ranked = counts.orderBy(F.desc("cnt"), "token").limit(n)
+    # unpartitioned by design: `ranked` is limit(n) — n rows, bounded
     return ranked.select(
         "token",
         "cnt",

@@ -297,6 +297,8 @@ def _compile_distribution(df: DataFrame, agg: DistributionAgg) -> DataFrame:
 
     from pyspark.sql.window import Window as W
 
+    # unpartitioned by design: `pmf` has one row per bucket (points/width
+    # spec-bounded), not per record — the WindowExec warning is cosmetic
     cum = pmf.withColumn(
         "cum_count", F.sum("count").over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
     ).drop("count")
