@@ -10552,6 +10552,318 @@ def _assert_distinct_monitor(spark, sf_dir, rows):
             )
 
 
+def _ann_recall(spark, sf_dir, rows, max_query_id, k=5):
+    """Mean recall@k of an ANN result vs the exact brute-force cosine
+    top-k (self-hits dropped from BOTH sides so the two conventions
+    can't skew the ratio)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact: dict[int, set] = {}
+    for r in sim.brute_force_topk(emb, queries, k=k, exclude_self=True).collect():
+        exact.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    got: dict[int, set] = {}
+    for r in rows:
+        if int(r["vec_id"]) != int(r["query_id"]):
+            got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    recs = [
+        len(got.get(q, set()) & exact[q]) / float(len(exact[q])) for q in exact
+    ]
+    return sum(recs) / len(recs)
+
+
+def _assert_lsh_ann_recall(spark, sf_dir, rows):
+    """LSH ANN (8 planes × 8 tables) vs exact cosine: measured recall@5 is
+    ~0.12 at sf0.01 (8 planes trade recall for bucket sparsity — the
+    6-plane eval row measures 0.30+); a broken bucket join collapses it
+    to ~0, so the floor is the bug detector, not the quality bar."""
+    r = _ann_recall(spark, sf_dir, rows, max_query_id=10)
+    assert r >= 0.05, f"LSH ANN mean recall@5 {r:.3f} < 0.05"
+
+
+def _assert_ivf_ann_recall(spark, sf_dir, rows):
+    """IVF-flat (16 cells, nprobe=4) recall floor vs exact — density-
+    trained cells beat oblivious LSH at matched candidate budget."""
+    r = _ann_recall(spark, sf_dir, rows, max_query_id=10)
+    assert r >= 0.30, f"IVF ANN mean recall@5 {r:.3f} < 0.30"
+
+
+def _assert_pq_ann_recall(spark, sf_dir, rows):
+    """PQ/ADC (m=8, k=64) recall floor vs exact."""
+    r = _ann_recall(spark, sf_dir, rows, max_query_id=8)
+    assert r >= 0.30, f"PQ ANN mean recall@5 {r:.3f} < 0.30"
+
+
+def _assert_pca_ann_recall(spark, sf_dir, rows):
+    """PCA-coarse + exact-rerank (k×4 candidates) vs exact: measured
+    ~0.38 at sf0.01 (8 of 64 components on a flat-spectrum synthetic
+    corpus — the adversarial case for PCA); floor at the bug-detector
+    level, the spectrum argument lives in the docstring."""
+    r = _ann_recall(spark, sf_dir, rows, max_query_id=8)
+    assert r >= 0.20, f"PCA ANN mean recall@5 {r:.3f} < 0.20"
+
+
+def _assert_pca_project_laws(spark, sf_dir, rows):
+    """PCA projection laws on the emitted components: centered (component
+    means ≈ 0) and variance-ordered (var(pc1) ≥ var(pc2)) — either
+    breaks if the eigendecomposition or the moment reduction is wrong."""
+    import statistics as _st
+
+    pc1 = [float(r["pc1"]) for r in rows]
+    pc2 = [float(r["pc2"]) for r in rows]
+    assert len(pc1) > 100
+    sd1, sd2 = _st.pstdev(pc1), _st.pstdev(pc2)
+    assert sd1 >= sd2 > 0, (sd1, sd2)
+    assert abs(_st.mean(pc1)) <= 0.05 * sd1, "pc1 not centered"
+    assert abs(_st.mean(pc2)) <= 0.05 * sd2, "pc2 not centered"
+
+
+def _assert_kmeans_farthest(spark, sf_dir, rows):
+    """Gonzalez-seeded Lloyd: exactly k non-empty clusters partitioning
+    the corpus (sizes sum to N), centroids pairwise distinct."""
+    t = _t(spark, sf_dir)
+    n = t["embeddings"].count()
+    assert len(rows) == 8, f"expected 8 clusters, got {len(rows)}"
+    assert sum(int(r["n"]) for r in rows) == n
+    assert all(int(r["n"]) > 0 for r in rows)
+    assert len({r["centroid_csv"] for r in rows}) == 8, "duplicate centroids"
+
+
+def _assert_mmr_laws(spark, sf_dir, rows):
+    """MMR invariants: per query, ranks are 1..k over distinct docs and
+    the FIRST pick equals the pure-relevance argmax (λ conditioning only
+    starts at pick 2)."""
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        ranks = sorted(int(r["rank"]) for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), (q, ranks)
+        assert len({int(r["vec_id"]) for r in rs}) == len(rs), f"dup doc in {q}"
+        first = min(rs, key=lambda r: int(r["rank"]))
+        assert float(first["relevance"]) == max(
+            float(r["relevance"]) for r in rs
+        ), f"query {q}: first pick is not the relevance argmax"
+
+
+def _assert_minhash_estimates(spark, sf_dir, rows):
+    """64-hash minhash estimate vs the EXACT Jaccard of each emitted pair
+    (same word-shingle space): per-pair se = sqrt(J(1-J)/64) ≤ 0.0625,
+    so mean |est-exact| ≤ 0.10 and max ≤ 0.35 (~5 se) or the estimator
+    is wired wrong."""
+    assert rows, "no minhash pairs — the fixture plants near-dups"
+    t = _t(spark, sf_dir)
+    ids = {int(r["id_a"]) for r in rows} | {int(r["id_b"]) for r in rows}
+    grams: dict[int, set] = {}
+    for r in (
+        t["documents"]
+        .filter(F.col("doc_id").isin(*ids))
+        .select("doc_id", dd.word_shingles(F.col("text"), 3).alias("g"))
+        .collect()
+    ):
+        grams[int(r["doc_id"])] = set(r["g"])
+    errs = []
+    for r in rows:
+        a, b = grams[int(r["id_a"])], grams[int(r["id_b"])]
+        true_j = len(a & b) / float(len(a | b)) if (a | b) else 0.0
+        errs.append(abs(float(r["est_jaccard"]) - true_j))
+    mean_err = sum(errs) / len(errs)
+    assert mean_err <= 0.10, f"mean |est-exact| {mean_err:.4f} > 0.10"
+    assert max(errs) <= 0.35, f"max |est-exact| {max(errs):.4f} > 0.35"
+
+
+def _assert_theta_distinct(spark, sf_dir, rows):
+    """Theta bottom-k (k=1024) estimates vs exact per-group distincts:
+    within 5·rse (rse = 1/√(k−2) ≈ 3.1%) — a catastrophic-bug detector
+    band, like the CMS cap; exact regime (< k distinct) must be exact."""
+    import math as _math
+
+    exact = {
+        r["event_type"]: int(r["d"])
+        for r in _t(spark, sf_dir)["events"]
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    rse = 1.0 / _math.sqrt(1024 - 2)
+    for r in rows:
+        true = exact[r["event_type"]]
+        est = float(r["n_distinct_est"])
+        if true < 1024:
+            assert est == float(true), (r["event_type"], est, true)
+        else:
+            assert abs(est - true) <= 5 * rse * true, (r["event_type"], est, true)
+
+
+def _assert_hll_overlap(spark, sf_dir, rows):
+    """HLL overlap matrix vs the exact per-source distinct-gram counts:
+    per-source cardinality within 15% (Spark HLL default rse ~2-6%;
+    inclusion-exclusion compounds it for the overlap columns, so the
+    derived jaccard_est gets a looser |Δ| ≤ 0.15 band vs exact."""
+    from bullet_spark_spark.operators import sketch as sk
+
+    t = _t(spark, sf_dir)
+    grams = t["documents"].select(
+        "source", F.explode(tx.word_ngrams(F.col("text"), 5)).alias("gram")
+    )
+    exact = {
+        (r["group_a"], r["group_b"]): r
+        for r in sk.overlap_matrix_exact(grams, "source", "gram").collect()
+    }
+    assert rows and len(rows) == len(exact)
+    for r in rows:
+        e = exact[(r["group_a"], r["group_b"])]
+        for col in ("n_a_est", "n_b_est"):
+            true = float(e[col])
+            assert abs(float(r[col]) - true) <= 0.15 * true, (col, r, e)
+        assert abs(float(r["jaccard_est"]) - float(e["jaccard_est"])) <= 0.15, (r, e)
+
+
+def _assert_hilbert_pruning(spark, sf_dir, rows):
+    """Layout shoot-out laws: space-filling layouts (hilbert, zorder) must
+    prune BOTH dimensions strictly better than the linear layout's
+    non-leading dimension; hilbert's seam-free locality must be at least
+    as tight as Morton on every dimension (equal allowed)."""
+    got = {(r["layout"], r["dim"]): float(r["avg_buckets"]) for r in rows}
+    assert len(got) == 6, got
+    for dim in ("l_partkey", "l_suppkey"):
+        assert got[("hilbert", dim)] <= got[("zorder", dim)] + 1e-9, got
+    # linear prunes its own leading dim perfectly but leaves the other
+    # near full scan; the curves must beat it there by a wide margin
+    assert got[("hilbert", "l_suppkey")] < 0.5 * got[("linear", "l_suppkey")], got
+    assert got[("zorder", "l_suppkey")] < 0.5 * got[("linear", "l_suppkey")], got
+
+
+def _assert_bpe_vocab(spark, sf_dir, rows):
+    """BPE induction surface: multi-char merged tokens exist (the 15
+    rounds actually merged), counts positive, n_words ≤ total."""
+    assert rows
+    assert any(len(r["token"]) > 1 for r in rows), "no merges materialized"
+    for r in rows:
+        assert int(r["total"]) >= int(r["n_words"]) >= 1, r
+
+
+def _assert_compression_ratio(spark, sf_dir, rows):
+    """zlib degeneracy signal sanity: every ratio in (0, 1.2] (tiny docs
+    can exceed 1 via the zlib header), prose sits well under 1, and the
+    corpus shows real spread (a constant column = broken plumbing)."""
+    ratios = [float(r["compression_ratio"]) for r in rows]
+    assert ratios and all(0.0 < x <= 1.2 for x in ratios)
+    assert min(ratios) < 0.9, "no compressible text found"
+    assert max(ratios) - min(ratios) > 0.01, "ratio column is constant"
+
+
+def _assert_audio_spectral(spark, sf_dir, rows):
+    """The fixture synthesizes a pure tone at 200 + (doc_id%20)·40 Hz per
+    clip: the FFT dominant bin must land within one bin width (~15.6 Hz
+    at 8 kHz / 512-pt) of the planted frequency, and flatness must read
+    tonal (≪ 1)."""
+    assert rows
+    for r in rows:
+        f0 = 200.0 + (int(r["media_id"]) % 20) * 40.0
+        assert abs(float(r["dominant_hz"]) - f0) <= 16.0, (r, f0)
+        assert float(r["flatness"]) < 0.5, r
+
+
+def _assert_multimodal_features(spark, sf_dir, rows):
+    """Codec roundtrip laws on every image: PNG decode reproduces the PPM
+    plane bit-for-bit (lossless) and JPEG stays quantization-bounded."""
+    assert rows
+    assert all(bool(r["png_lossless"]) for r in rows), "PNG roundtrip drifted"
+    assert all(bool(r["jpeg_close"]) for r in rows), "JPEG error exceeded bound"
+
+
+def _assert_video_frames(spark, sf_dir, rows):
+    """Stride-2 sampling of 4-frame clips keeps exactly 2 frames per
+    video; the gradient fixture guarantees inter-frame motion."""
+    assert rows
+    for r in rows:
+        assert int(r["n_frames_sampled"]) == 2, r
+        assert float(r["r_spread"]) > 0.0, r
+
+
+def _assert_phash_pairs(spark, sf_dir, rows):
+    """Every planted (base, +8-brightness) duplicate pair must be found —
+    the pigeonhole band join guarantees recall at Hamming ≤ 3."""
+    t = _t(spark, sf_dir)
+    base_ids = {
+        int(r["doc_id"])
+        for r in t["documents"].filter(F.col("doc_id") < 40).select("doc_id").collect()
+    }
+    found = {(int(r["id_a"]), int(r["id_b"])) for r in rows}
+    for i in sorted(base_ids):
+        assert (i, i + 100000) in found, f"planted pair {i} missed"
+
+
+def _assert_vad_segments(spark, sf_dir, rows):
+    """The fixture plants 1 + doc_id%3 speech bursts separated by hard
+    silence: segment count per clip must equal the planted burst count."""
+    from collections import Counter as _Counter
+
+    per = _Counter(int(r["media_id"]) for r in rows)
+    assert per
+    for mid, n_segs in per.items():
+        assert n_segs == 1 + mid % 3, (mid, n_segs)
+
+
+def _assert_ewma_stream(spark, sf_dir, rows):
+    """Streaming EWMA monitor surface: complete drain (row per input
+    event), finite ewma everywhere, and anomalies stay a small tail
+    (< 10% — the state math replica is pinned in pytest)."""
+    import math as _math
+
+    t = _t(spark, sf_dir)
+    n_in = t["events"].filter(F.col("user_id") % 50 == 0).count()
+    assert len(rows) == n_in, (len(rows), n_in)
+    assert all(_math.isfinite(float(r["ewma"])) for r in rows)
+    flags = sum(1 for r in rows if r["is_anomaly"])
+    assert flags <= 0.10 * len(rows), f"{flags}/{len(rows)} anomalies"
+
+
+def _assert_cusum_stream(spark, sf_dir, rows):
+    """Streaming CUSUM invariants: both one-sided statistics are
+    non-negative reflections (Page's recurrence) and the drain is
+    complete (one row per daily-volume input)."""
+    t = _t(spark, sf_dir)
+    n_in = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .count()
+        .count()
+    )
+    assert len(rows) == n_in, (len(rows), n_in)
+    for r in rows:
+        assert float(r["s_pos"]) >= 0.0 and float(r["s_neg"]) >= 0.0, r
+
+
+def _assert_quality_classifier(spark, sf_dir, rows):
+    """The classifier must actually learn the (recoverable-by-design)
+    heuristic labels: held-out AUC ≥ 0.8 and positives score above the
+    slice mean in every language."""
+    assert rows
+    assert all(float(r["holdout_auc"]) >= 0.80 for r in rows), rows
+    for r in rows:
+        if r["avg_prob_pos"] is not None and int(r["n_pos"]) > 0:
+            assert float(r["avg_prob_pos"]) >= float(r["avg_prob"]), r
+
+
+def _assert_quality_release(spark, sf_dir, rows):
+    """Release-manifest laws: kept ⊆ candidates, keep_rate ∈ [0,1]
+    consistent with the counts, kept mean probability ≥ the 0.5 gate."""
+    assert rows
+    for r in rows:
+        assert 0 <= int(r["n_kept"]) <= int(r["n_candidates"]), r
+        assert abs(
+            float(r["keep_rate"]) - int(r["n_kept"]) / int(r["n_candidates"])
+        ) <= 1e-3, r
+        if int(r["n_kept"]) > 0:
+            assert float(r["kept_avg_prob"]) >= 0.5, r
+
+
 _ASSERTS: dict[str, Callable] = {
     "dedup_weighted_minhash_cws": _assert_cws_differential,
     "sketch_cms_freq_est": _assert_cms_guarantees,
@@ -10559,6 +10871,30 @@ _ASSERTS: dict[str, Callable] = {
     "dedup_simhash": _assert_simhash_pairs,
     "streaming_heavy_hitters": _assert_heavy_hitters,
     "streaming_distinct_monitor": _assert_distinct_monitor,
+    # r10 additions (VERDICT r9 task 6): every remaining rows-only row
+    # carries an in-sweep assert — the full ledger is README §rows-only
+    "sim_lsh_ann": _assert_lsh_ann_recall,
+    "sim_ivf_ann": _assert_ivf_ann_recall,
+    "sim_pq_ann": _assert_pq_ann_recall,
+    "sim_pca_ann": _assert_pca_ann_recall,
+    "sim_pca_project": _assert_pca_project_laws,
+    "sim_kmeans_farthest": _assert_kmeans_farthest,
+    "sim_mmr_rerank": _assert_mmr_laws,
+    "dedup_minhash_lsh": _assert_minhash_estimates,
+    "sketch_theta_count_distinct": _assert_theta_distinct,
+    "dedup_source_overlap_approx": _assert_hll_overlap,
+    "scale_hilbert_pruning": _assert_hilbert_pruning,
+    "text_bpe_vocab": _assert_bpe_vocab,
+    "text_compression_ratio": _assert_compression_ratio,
+    "multimodal_audio_spectral": _assert_audio_spectral,
+    "multimodal_features": _assert_multimodal_features,
+    "multimodal_video_frames": _assert_video_frames,
+    "multimodal_phash_neardup": _assert_phash_pairs,
+    "multimodal_vad_segments": _assert_vad_segments,
+    "streaming_ewma_anomalies": _assert_ewma_stream,
+    "streaming_cusum_monitor": _assert_cusum_stream,
+    "text_quality_classifier": _assert_quality_classifier,
+    "pipeline_quality_release": _assert_quality_release,
 }
 
 
