@@ -9797,6 +9797,251 @@ def sampling_neyman_alloc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r11 oracle queue — registered POST-FREEZE (r7 discipline): first driver
+# rows land in the r11 window; every row locally green via
+# tools/check_oracle.py at both SFs before registration.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_bbit_minhash",
+    r"""WITH d AS (
+         SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+         FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+               FROM documents)),
+       e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+       h AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+             FROM e CROSS JOIN range(32) r(j) GROUP BY doc_id, j),
+       bk AS (SELECT doc_id, j // 2 AS b, string_agg(mh, '|' ORDER BY j) AS bkey
+              FROM h GROUP BY doc_id, j // 2),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       est AS (SELECT c.id_a, c.id_b,
+                      sum(CASE WHEN substr(ha.mh, 32, 1) = substr(hb.mh, 32, 1)
+                               THEN 1 ELSE 0 END) AS cm
+               FROM cand c
+               JOIN h ha ON ha.doc_id = c.id_a
+               JOIN h hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+               GROUP BY c.id_a, c.id_b)
+       SELECT id_a, id_b, CAST(cm AS BIGINT) AS c_match,
+              round((cm / 32.0 - 0.0625) / 0.9375, 6) AS est_jaccard_bbit
+       FROM est WHERE (cm / 32.0 - 0.0625) / 0.9375 >= 0.35""",
+)
+def dedup_bbit_minhash(spark, sf_dir):
+    """b-BIT minhash near-dup pairs (dedup.bbit_minhash_pairs_md5 — Li &
+    König 2010): the verify sketch keeps only each md5 component's LAST
+    HEX CHARACTER (b=4 bits, 32× smaller resident index than the hex
+    components), bias-corrected Ĵ = (C − 2⁻⁴)/(1 − 2⁻⁴). Banding runs on
+    the full components (b-bit bands would flood buckets); 32 hashes ×
+    16 bands. Fully oracle-checkable: the b-bit extraction is
+    substr(md5, 32, 1) in any dialect and the correction divides by
+    exact binary constants."""
+    t = _t(spark, sf_dir)
+    return dd.bbit_minhash_pairs_md5(
+        t["documents"], "doc_id", "text", threshold=0.35
+    )
+
+
+@q(
+    "distribution_ab_power",
+    """WITH s AS (
+         SELECT count(*) FILTER (WHERE user_id % 2 = 0 AND value IS NOT NULL)
+                  AS na,
+                count(*) FILTER (WHERE user_id % 2 = 1 AND value IS NOT NULL)
+                  AS nb,
+                sum(CAST(value AS DECIMAL(18,6)))
+                  FILTER (WHERE user_id % 2 = 0 AND value IS NOT NULL) AS sa,
+                sum(CAST(value AS DECIMAL(18,6)))
+                  FILTER (WHERE user_id % 2 = 1 AND value IS NOT NULL) AS sb,
+                sum(CAST(round(value * value, 8) AS DECIMAL(28,8)))
+                  FILTER (WHERE user_id % 2 = 0 AND value IS NOT NULL) AS qa,
+                sum(CAST(round(value * value, 8) AS DECIMAL(28,8)))
+                  FILTER (WHERE user_id % 2 = 1 AND value IS NOT NULL) AS qb
+         FROM events WHERE user_id IS NOT NULL),
+       d AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+                    CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
+             FROM s),
+       v AS (SELECT *, greatest((qad - sad * sad / nad) / (nad - 1.0), 0.0) AS va,
+                       greatest((qbd - sbd * sbd / nbd) / (nbd - 1.0), 0.0) AS vb
+             FROM d),
+       w AS (SELECT *, sqrt(va / nad + vb / nbd) AS se,
+                       sad / nad - sbd / nbd AS effect
+             FROM v)
+       SELECT n_a, n_b,
+              CASE WHEN n_a > 0 THEN round(sad / nad, 6) END AS mean_a,
+              CASE WHEN n_b > 0 THEN round(sbd / nbd, 6) END AS mean_b,
+              CASE WHEN n_a > 1 AND n_b > 1 THEN round(effect, 6) END AS effect,
+              CASE WHEN n_a > 1 AND n_b > 1 THEN round(se, 6) END AS se,
+              CASE WHEN n_a > 1 AND n_b > 1
+                   THEN round(2.801585 * se, 6) END AS mde_abs,
+              CASE WHEN n_a > 1 AND n_b > 1 AND abs(sbd / nbd) > 0
+                   THEN round(2.801585 * se / abs(sbd / nbd), 6) END AS mde_rel,
+              CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+                   THEN abs(effect) >= 2.801585 * se END AS powered
+       FROM w""",
+)
+def distribution_ab_power(spark, sf_dir):
+    """Experiment POWER panel (distribution.ab_power_panel) on the
+    even-vs-odd user split of event values: minimum detectable effect at
+    α=0.05 / 80% power (MDE = 2.801585·SE, Welch unpooled SE) next to
+    the observed effect — the "was this A/B test even able to see what
+    it claims" gate. ONE six-number map-side-combinable aggregate, the
+    welch_ttest discipline verbatim."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    df = t["events"].filter(F.col("user_id").isNotNull()).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        "value",
+    )
+    return dist.ab_power_panel(df, "value", "g", "a", "b")
+
+
+@q(
+    "temporal_interval_overlap",
+    """WITH u AS (
+         SELECT user_id AS uid,
+                CAST(epoch_us(min(ts)) AS BIGINT) AS ulo,
+                CAST(epoch_us(max(ts)) AS BIGINT) AS uhi
+         FROM events
+         WHERE user_id IS NOT NULL AND user_id % 25 = 0 AND ts IS NOT NULL
+         GROUP BY user_id
+         HAVING epoch_us(min(ts)) < epoch_us(max(ts))),
+       days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+                WHERE ts IS NOT NULL),
+       w AS (SELECT CAST(epoch_us(d + INTERVAL 2 HOUR) AS BIGINT) AS wlo,
+                    CAST(epoch_us(d + INTERVAL 8 HOUR) AS BIGINT) AS whi
+             FROM days
+             UNION ALL
+             SELECT CAST(epoch_us(d + INTERVAL 12 HOUR) AS BIGINT),
+                    CAST(epoch_us(d + INTERVAL 18 HOUR) AS BIGINT)
+             FROM days)
+       SELECT u.uid, w.wlo AS window_start_us,
+              round((least(u.uhi, w.whi) - greatest(u.ulo, w.wlo)) / 1e6, 6)
+                AS overlap_sec
+       FROM u JOIN w ON u.ulo < w.whi AND w.wlo < u.uhi""",
+)
+def temporal_interval_overlap(spark, sf_dir):
+    """Interval × interval OVERLAP join (temporal.interval_overlap_join):
+    per-user activity spans against twice-daily 6-hour maintenance
+    windows → (uid, window_start_us, overlap_sec). Completes the temporal
+    join trio (asof: point←point; range: point∈interval; THIS:
+    interval∩interval) — the bucket-exploded equi-join keeps candidate
+    pairs bucket-local and the first-shared-bucket rule emits each pair
+    exactly once with NO post-join distinct over the candidate space.
+    Bucket width = 6 h in µs (the median window length)."""
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("ts").isNotNull())
+    u = (
+        ev.filter(F.col("user_id").isNotNull() & (F.col("user_id") % 25 == 0))
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(
+            # ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("ulo"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("uhi"),
+        )
+        .filter(F.col("ulo") < F.col("uhi"))
+    )
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("d")
+    ).distinct()
+    hours_us = 3_600_000_000
+    w = days.select(
+        (F.unix_micros("d") + 2 * hours_us).alias("wlo"),
+        (F.unix_micros("d") + 8 * hours_us).alias("whi"),
+    ).unionByName(
+        days.select(
+            (F.unix_micros("d") + 12 * hours_us).alias("wlo"),
+            (F.unix_micros("d") + 18 * hours_us).alias("whi"),
+        )
+    )
+    pairs = tmp.interval_overlap_join(
+        u, w, "ulo", "uhi", "wlo", "whi", bucket_width=float(6 * hours_us)
+    )
+    return pairs.select(
+        "uid",
+        F.col("wlo").alias("window_start_us"),
+        F.round(
+            (F.least("uhi", "whi") - F.greatest("ulo", "wlo")) / F.lit(1e6), 6
+        ).alias("overlap_sec"),
+    )
+
+
+@q(
+    "streaming_sample_drain",
+    """WITH src AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                    WHERE user_id IS NOT NULL),
+       tot AS (SELECT count(*) AS n FROM src),
+       dk AS (SELECT DISTINCT k FROM src)
+       SELECT k AS key, md5(k || ':0') AS priority,
+              CAST(n AS BIGINT) AS n_seen
+       FROM dk CROSS JOIN tot
+       ORDER BY priority LIMIT 32""",
+)
+def streaming_sample_drain(spark, sf_dir):
+    """Streaming DETERMINISTIC sample, fully drained — and therefore
+    ORACLE-CHECKED, a streaming query with a hash-matched DuckDB twin
+    (the streaming_static_enrich_parity precedent): the
+    streaming/monitor.sample_monitor bottom-k-by-md5 state is a
+    SEMILATTICE (union, truncate), so the drained sample is independent
+    of batch slicing and equals the batch ORDER BY md5 LIMIT k — drip ≡
+    one-shot EXACTLY, which is the whole point of hash-priority sampling
+    over Vitter's RNG reservoir."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import sample_monitor as _sm
+
+    t = _t(spark, sf_dir)
+    src = t["events"].filter(F.col("user_id").isNotNull()).select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, src, work, chunks=3)
+        out = _sm(stream, "k", k=32)
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName("__sample_drain")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    snap = spark.table("__sample_drain")
+    return (
+        snap.filter(
+            F.col("n_seen")
+            == snap.select(F.max("n_seen")).first()[0]
+        )
+        .select("key", "priority", F.col("n_seen").cast("bigint").alias("n_seen"))
+    )
+
+
+@q("graph_kcore_trade")  # rows-only BY NATURE: iterative peeling fixpoint
+# (a recursive-CTE oracle cannot name "the LAST iteration's set" under
+# UNION semantics); certified by the SELF-VERIFYING law instead — the
+# in-sweep assert recomputes every returned node's degree WITHIN the
+# returned set and checks ≥ k (plus pytest's cascade/maximality pins).
+def graph_kcore_trade(spark, sf_dir):
+    """3-CORE of the recurring-partnership supplier graph (graph.kcore —
+    Seidman 1983 peeling): the dense backbone that survives iterative
+    removal of degree-<3 nodes — the cheap prefilter in front of the
+    triangle/Adamic-Adar wedge work and the spam-ring vs community
+    separator degree alone can't make. Each round is one map-side
+    degree aggregate + two semi-joins on a monotonically shrinking edge
+    frame, per-round localCheckpoint (the pagerank discipline)."""
+    t = _t(spark, sf_dir)
+    co = _supplier_co_edges(t)
+    return gr.kcore(co, k=3).select(
+        F.col("node").cast("bigint").alias("suppkey"), "core_degree"
+    ).orderBy("suppkey")
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 oracle-eligible
@@ -10851,6 +11096,26 @@ def _assert_quality_classifier(spark, sf_dir, rows):
             assert float(r["avg_prob_pos"]) >= float(r["avg_prob"]), r
 
 
+def _assert_kcore_law(spark, sf_dir, rows):
+    """k-core's SELF-VERIFYING law: every returned node must hold ≥ k
+    neighbors WITHIN the returned set — the defining invariant of the
+    maximal subgraph, recomputed here from the edge frame (so a peeling
+    bug cannot certify itself)."""
+    assert rows, "3-core is empty — the supplier graph has dense cliques"
+    core = {int(r["suppkey"]) for r in rows}
+    edges = _supplier_co_edges(_t(spark, sf_dir)).collect()
+    adj: dict[int, set] = {}
+    for e in edges:
+        a, b = int(e["src"]), int(e["dst"])
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in rows:
+        n = int(r["suppkey"])
+        in_core = len(adj[n] & core)
+        assert in_core >= 3, (n, in_core)
+        assert int(r["core_degree"]) == in_core, (n, r["core_degree"], in_core)
+
+
 def _assert_quality_release(spark, sf_dir, rows):
     """Release-manifest laws: kept ⊆ candidates, keep_rate ∈ [0,1]
     consistent with the counts, kept mean probability ≥ the 0.5 gate."""
@@ -10895,6 +11160,7 @@ _ASSERTS: dict[str, Callable] = {
     "streaming_cusum_monitor": _assert_cusum_stream,
     "text_quality_classifier": _assert_quality_classifier,
     "pipeline_quality_release": _assert_quality_release,
+    "graph_kcore_trade": _assert_kcore_law,
 }
 
 

@@ -113,6 +113,11 @@ BENCH = [
     "relational_frequent_pairs",  # basket self-join + lift panel
     "graph_adamic_adar",      # hub-capped wedge expansion + decimal term sums
     "sampling_neyman_alloc",  # one moment agg + broadcast total
+    # round-10 additions (r11 oracle queue)
+    "dedup_bbit_minhash",     # 32x-compressed b-bit verify after full-sig banding
+    "distribution_ab_power",  # MDE/power panel (one 6-number aggregate)
+    "temporal_interval_overlap",  # interval x interval bucket-exploded join
+    "graph_kcore_trade",      # iterative peeling to the 3-core fixpoint
 ]
 
 REPEATS = 3

@@ -2620,6 +2620,74 @@ def weighted_jaccard_pairs(
     )
 
 
+def bbit_minhash_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.35,
+    num_hashes: int = 32,
+    bands: int = 16,
+    b: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """b-BIT minhash near-dup pairs (Li & König, WWW 2010 — public
+    knowledge): store only the lowest ``b`` bits of each of the k minhash
+    components — k·b bits of resident sketch per document instead of
+    k·128 (32× smaller at b=4) — and undo the collision bias with
+    ``Ĵ = (C − 2⁻ᵇ) / (1 − 2⁻ᵇ)`` where C is the matching fraction of
+    b-bit components. THE memory-bound variant for a billion-document
+    resident index: the full md5 components exist only transiently for
+    banding (b-bit bands would flood buckets — 16 values per band row);
+    the verify step touches nothing but the b-bit sketch.
+
+    Engine-portable end-to-end: b is pinned to 4 so the b-bit component
+    IS the md5 hex string's last character (``substr(h, 32, 1)`` in any
+    SQL dialect), and the bias correction divides by exact binary
+    constants (2⁻⁴ = 0.0625) — the whole pipeline hash-matches a DuckDB
+    oracle like :func:`minhash_dedup_pairs_md5`.
+
+    → (id_a, id_b, c_match, est_jaccard_bbit), est ≥ ``threshold``.
+    Variance note: Var(Ĵ_bbit) ≈ Var(Ĵ_full)/(1−2⁻ᵇ)² + collision noise,
+    so k should be ~2× the full-width k for matched precision (default 32
+    vs the md5 row's 16) — still a 16× memory cut."""
+    if b != 4:
+        raise ValueError(
+            "engine-portable extraction uses the md5 hex LAST CHARACTER; "
+            "b must be 4"
+        )
+    sigs = _persist_sigs(
+        minhash_signatures_md5(df, id_col, text_col, num_hashes, shingle_n)
+    )
+    bbit = sigs.select(
+        F.col(id_col),
+        F.transform("sig", lambda h: F.substring(h, 32, 1)).alias("bsig"),
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands, deduplicate=False
+    )
+    sa = bbit.select(F.col(id_col).alias("id_a"), F.col("bsig").alias("ba"))
+    sb = bbit.select(F.col(id_col).alias("id_b"), F.col("bsig").alias("bb"))
+    joined = cands.join(sa, "id_a").join(sb, "id_b")
+    c_match = F.size(
+        F.filter(
+            F.zip_with(F.col("ba"), F.col("bb"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    r = 2.0 ** (-b)
+    est = (c_match / F.lit(float(num_hashes)) - F.lit(r)) / F.lit(1.0 - r)
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            c_match.cast("bigint").alias("c_match"),
+            F.round(est, 6).alias("est_jaccard_bbit"),
+        )
+        .filter(F.col("est_jaccard_bbit") >= threshold)
+        .distinct()
+    )
+
+
 def weighted_minhash_dedup_pairs_md5(
     df: DataFrame,
     id_col: str,

@@ -767,6 +767,67 @@ def welch_ttest(
     )
 
 
+def ab_power_panel(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Experiment POWER panel — the design-side companion of
+    :func:`welch_ttest`: given two observed groups, what effect size was
+    this test even able to see? → one row: (n_a, n_b, mean_a, mean_b,
+    effect, se, mde_abs, mde_rel, powered).
+
+    ``mde_abs = (z_{α/2} + z_{power})·SE`` is the minimum detectable
+    effect at α = 0.05 two-sided and 80% power (1.959964 + 0.841621 —
+    normal constants, exact for the large-n slices this runs on; Cohen
+    1988, public knowledge). ``powered`` says whether the OBSERVED
+    |effect| clears it — the "your A/B test was underpowered" gate every
+    experimentation stack reports next to the p-value, so a null result
+    can be read as "no effect" vs "couldn't have seen one". SE is the
+    Welch unpooled form √(s²_a/n_a + s²_b/n_b).
+
+    Engine-exactness and scale shape are welch_ttest's verbatim: ONE
+    map-side-combinable six-number aggregate (decimal-exact Σx and
+    Σ round(x²,8); |x| < 1e10 bound documented there), every derived
+    column a single IEEE expression over the exact sums."""
+    v = F.col(value_col).cast("double")
+    in_a = (F.col(group_col) == F.lit(group_a)) & v.isNotNull()
+    in_b = (F.col(group_col) == F.lit(group_b)) & v.isNotNull()
+    agg = df.agg(
+        F.count(F.when(in_a, 1)).alias("na"),
+        F.count(F.when(in_b, 1)).alias("nb"),
+        F.sum(F.when(in_a, v.cast("decimal(18,6)"))).alias("sa"),
+        F.sum(F.when(in_b, v.cast("decimal(18,6)"))).alias("sb"),
+        F.sum(F.when(in_a, F.round(v * v, 8).cast("decimal(28,8)"))).alias("qa"),
+        F.sum(F.when(in_b, F.round(v * v, 8).cast("decimal(28,8)"))).alias("qb"),
+    )
+    na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa_d, sb_d = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa_d, qb_d = F.col("qa").cast("double"), F.col("qb").cast("double")
+    va = F.greatest((qa_d - sa_d * sa_d / na_d) / (na_d - 1.0), F.lit(0.0))
+    vb = F.greatest((qb_d - sb_d * sb_d / nb_d) / (nb_d - 1.0), F.lit(0.0))
+    se = F.sqrt(va / na_d + vb / nb_d)
+    effect = sa_d / na_d - sb_d / nb_d
+    mde = F.lit(1.959964 + 0.841621) * se
+    ok = (F.col("na") > 1) & (F.col("nb") > 1)
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.when(F.col("na") > 0, F.round(sa_d / na_d, 6)).alias("mean_a"),
+        F.when(F.col("nb") > 0, F.round(sb_d / nb_d, 6)).alias("mean_b"),
+        F.when(ok, F.round(effect, 6)).alias("effect"),
+        F.when(ok, F.round(se, 6)).alias("se"),
+        F.when(ok, F.round(mde, 6)).alias("mde_abs"),
+        F.when(
+            ok & (F.abs(sb_d / nb_d) > 0),
+            F.round(mde / F.abs(sb_d / nb_d), 6),
+        ).alias("mde_rel"),
+        F.when(ok & (se > 0), F.abs(effect) >= mde).alias("powered"),
+    )
+
+
 def _value_avg_ranks(df: DataFrame, col: str) -> DataFrame:
     """Average-rank map for one column → (v, __r2) with ``__r2`` =
     2·(average rank of v over the value-ordered rows) = 2·cum_excl + t

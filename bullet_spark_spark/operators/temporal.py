@@ -148,6 +148,65 @@ def range_join_bucketed(
     return p.join(iv, on="__b").filter(pred).drop("__b")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Interval × interval OVERLAP join: every (l, r) pair with
+    ``l.lo < r.hi AND r.lo < l.hi`` (half-open [lo, hi) overlap — the
+    Allen-algebra "not before, not after" union). Completes the temporal
+    join trio: asof (point←latest point), range (point∈interval), THIS
+    (interval∩interval ≠ ∅) — outage windows × sessions, maintenance ×
+    SLAs, speech segments × annotation spans.
+
+    ``broadcast_right=True`` (small right side): plain theta-join over a
+    broadcast build — BroadcastNestedLoop is optimal for a tiny build
+    side. Otherwise BOTH sides explode to every width-``bucket_width``
+    bucket they touch and the join is a bucket equi-join + residual
+    overlap predicate; a pair overlapping across several shared buckets
+    would duplicate, so the pair is kept only in the FIRST shared bucket
+    — ``greatest(floor(l.lo/w), floor(r.lo/w)) = bucket`` — a pure
+    per-row predicate (no post-join distinct over the candidate space).
+    Candidate pairs are bucket-local; pick ``bucket_width`` near the
+    median interval length to bound the explode factor (an interval
+    explodes to ~len/w + 1 rows)."""
+    pred = (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
+    if broadcast_right:
+        return left.join(F.broadcast(right), on=pred)
+    w = float(bucket_width)
+
+    def explode_side(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        stop = F.floor(F.col(hi) / F.lit(w)) - F.when(
+            F.col(hi) % F.lit(w) == 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        # degenerate (hi <= lo) intervals match nothing AND would explode
+        # a descending sequence — drop before the explode (range_join
+        # precedent)
+        return df.filter(F.col(lo) < F.col(hi)).withColumn(
+            "__b",
+            F.explode(
+                F.sequence(F.floor(F.col(lo) / F.lit(w)), F.greatest(stop, F.floor(F.col(lo) / F.lit(w))))
+            ),
+        )
+
+    l = explode_side(left, left_lo, left_hi)
+    r = explode_side(right, right_lo, right_hi)
+    first_shared = F.greatest(
+        F.floor(F.col(left_lo) / F.lit(w)), F.floor(F.col(right_lo) / F.lit(w))
+    )
+    return (
+        l.join(r, on="__b")
+        .filter(pred & (F.col("__b") == first_shared))
+        .drop("__b")
+    )
+
+
 def time_bucket_rollup(
     df: DataFrame,
     ts_col: str,

@@ -415,3 +415,91 @@ def distinct_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SAMPLE_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("items", StringType()),  # json [[priority, key], ...]
+    ]
+)
+
+
+def sample_monitor(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming DETERMINISTIC uniform sample → per-micro-batch snapshot:
+    (key, priority, n_seen). Completes the bounded-state quartet (EWMA,
+    Space-Saving, KMV, THIS): "give me k representative rows of
+    everything that has flowed past" with k (priority, key) pairs as the
+    ENTIRE state.
+
+    Instead of Vitter's Algorithm R (RNG tied to arrival order — rerun a
+    stream, get a different sample), the priority is the SAMPLING HASH
+    (md5 of "key:seed", operators/sampling.sample_hash): the sample is
+    the k keys with the smallest hashes — a uniform k-subset under the
+    md5 ordering that any engine reproduces. Bottom-k-by-hash is a
+    SEMILATTICE (union then truncate), so the drained sample is
+    independent of batch slicing — drip ≡ one-shot EXACTLY, and the
+    fully-drained result equals the batch ``sample_exact_n``
+    (ORDER BY md5 LIMIT k), which makes this streaming operator
+    ORACLE-CHECKABLE, like streaming_static_enrich_parity.
+
+    Dedup semantics: keyed on the VALUE (a key seen twice holds one
+    sample slot — it is a distinct-key sample, the useful kind for
+    drawing inspection rows from a keyed stream). ``n_seen`` counts rows
+    absorbed. State: ≤ k pairs forever (RocksDB-ready)."""
+    import hashlib as _hashlib
+    import json as _json
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("priority", StringType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    src = (
+        df.select(F.col(key_col).cast("string").alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .withColumn("__g", F.lit(0))
+    )
+
+    def _pri(v: str) -> str:
+        return _hashlib.md5(f"{v}:{seed}".encode("utf-8")).hexdigest()
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, items_s = state.get
+            items = {kk: p for p, kk in _json.loads(items_s)}
+        else:
+            n, items = 0, {}
+        for pdf in pdfs:
+            vals = pdf["__k"]
+            n += int(len(vals))
+            for v in set(vals):
+                items[v] = _pri(v)
+        # union then truncate: keep the k smallest (priority, key) pairs —
+        # identical for ANY batch slicing of the same rows
+        kept = sorted(((p, kk) for kk, p in items.items()))[:k]
+        state.update((n, _json.dumps(kept)))
+        yield pd.DataFrame(
+            [(kk, p, n) for p, kk in kept],
+            columns=["key", "priority", "n_seen"],
+        )
+
+    # single group: the sample is GLOBAL (k rows of the whole stream);
+    # the state is k pairs, so one group is not a scale problem — shard
+    # like heavy_hitters_monitor if per-slice samples are wanted
+    return src.groupBy("__g").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_SAMPLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

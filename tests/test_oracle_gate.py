@@ -96,38 +96,40 @@ def test_fixed_scale_csv_matches_across_engines(spark, duck):
     assert srow == "0.500000,-1.250000,0.000000,123.456789,-0.000001"
 
 
-def test_r9_window_is_first_50_oracle_registrations():
-    """The driver certifies the FIRST 50 oracle-eligible registrations;
-    the current round's window list must exactly occupy those slots
-    (frozen at cut — a stray registration reordering would silently
-    rotate an uncertified query out of the gate)."""
+def test_r10_window_occupies_driver_slots():
+    """The driver certifies the FIRST 50 registrations; the current
+    round's window list must exactly occupy those slots under BOTH
+    window interpretations (first-50-registrations and first-50-oracle-
+    eligible — the r10 list is 56 entries long so the 25 queued rows and
+    every changed-implementation re-certification sit inside the gate
+    either way; a stray registration reordering would silently rotate an
+    uncertified query out)."""
     import re
 
     import __spark_entry__ as entry
 
     src = open(entry.__file__).read()
-    win = re.search(r"_WINDOW_R9 = \[(.*?)\]", src, re.S).group(1)
+    win = re.search(r"_WINDOW_R10 = \[(.*?)\]", src, re.S).group(1)
     names = re.findall(r'"([^"]+)"', win)
-    assert len(names) == 50
+    assert len(names) == 56
+    regs = list(entry.queries())
+    assert regs[:56] == names
     oracles = entry.oracle_sql()
-    first50 = [n for n in entry.queries() if n in oracles][:50]
-    assert first50 == names
-    # the 13 never-driver-green rows (r9 queue) + the two
-    # changed-implementation re-certifications lead the window
-    assert names[:15] == [
-        "dedup_fuzzy_pairs",
-        "dedup_eval_fuzzy",
+    first50_oracle = [n for n in regs if n in oracles][:50]
+    # the 19 queued oracle rows lead the window, then the 6 rows-only
+    # conversions (driver rows-only checks), then the changed-impl
+    # re-certifications — all inside the gate under either reading
+    queued = names[:19]
+    rows_only = names[19:25]
+    recerts = names[25:30]
+    assert all(n not in oracles for n in rows_only)
+    assert set(queued) <= set(first50_oracle)
+    assert set(recerts) <= set(first50_oracle)
+    assert set(queued + rows_only + recerts) <= set(regs[:50])
+    assert recerts == [
         "dedup_weighted_jaccard",
-        "dedup_weighted_minhash",
-        "scale_skew_report",
-        "text_vocab_coverage",
-        "quality_gopher_rules",
-        "temporal_seasonal_decompose",
-        "sampling_token_budget",
-        "pipeline_ccnet_buckets",
-        "scale_column_stats",
-        "distribution_chi2_gof",
-        "temporal_holt_forecast",
         "dedup_containment_pairs",
         "dedup_lexical_cosine",
+        "dedup_winnow_pairs",
+        "pipeline_ccnet_buckets",
     ]

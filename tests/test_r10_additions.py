@@ -1,0 +1,285 @@
+"""Round-10 additions: b-bit minhash, A/B power panel, interval-overlap
+join, k-core decomposition, streaming deterministic sample."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bullet_spark_spark.operators import dedup as dd
+from bullet_spark_spark.operators import distribution as dist
+from bullet_spark_spark.operators import graph as gr
+from bullet_spark_spark.operators import temporal as tmp
+
+
+# ---------------------------------------------------------------------------
+# b-bit minhash
+# ---------------------------------------------------------------------------
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base + " tonight"),            # near-dup of 0
+        (2, "completely different words about spark catalyst optimizer plans"),
+        (3, base.replace("quick", "slow")),  # near-dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bbit_minhash_finds_planted_neardups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in dd.bbit_minhash_pairs_md5(
+            _docs(spark), "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 3) in pairs
+    # bias-corrected estimate sits near the true Jaccard for the near-dups
+    for p in ((0, 1), (0, 3)):
+        assert float(pairs[p]["est_jaccard_bbit"]) >= 0.3
+    # the unrelated doc never pairs with anything
+    assert not any(2 in p for p in pairs)
+
+
+def test_bbit_estimator_is_bias_corrected(spark):
+    # identical docs: every b-bit component matches -> C = 1 -> est = 1
+    rows = [(0, "same text here twice over"), (1, "same text here twice over")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.bbit_minhash_pairs_md5(df, "doc_id", "text", threshold=0.5).collect()
+    assert len(out) == 1
+    assert int(out[0]["c_match"]) == 32
+    assert float(out[0]["est_jaccard_bbit"]) == 1.0
+
+
+def test_bbit_requires_b4(spark):
+    with pytest.raises(ValueError, match="b must be 4"):
+        dd.bbit_minhash_pairs_md5(_docs(spark), "doc_id", "text", b=2)
+
+
+def test_bbit_matches_duckdb_last_nibble(spark):
+    """The engine's b-bit component (substring(md5, 32, 1)) equals
+    DuckDB's substr(md5, 32, 1) byte-for-byte."""
+    import duckdb
+
+    got = spark.sql(
+        "SELECT substring(md5('0:the quick brown'), 32, 1) AS c"
+    ).first()["c"]
+    want = duckdb.sql(
+        "SELECT substr(md5('0:the quick brown'), 32, 1) AS c"
+    ).fetchone()[0]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# A/B power panel
+# ---------------------------------------------------------------------------
+
+def test_ab_power_panel_math(spark):
+    rows = [("a", float(v)) for v in (10, 12, 11, 13, 9, 11)] + [
+        ("b", float(v)) for v in (10, 10, 11, 9, 10, 10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = dist.ab_power_panel(df, "v", "g", "a", "b").collect()[0]
+    va = 2.0  # sample variance of a
+    vb = 0.4
+    se = math.sqrt(va / 6 + vb / 6)
+    assert r["n_a"] == r["n_b"] == 6
+    assert r["effect"] == pytest.approx(11.0 - 10.0, abs=1e-6)
+    assert r["se"] == pytest.approx(se, abs=1e-5)
+    assert r["mde_abs"] == pytest.approx((1.959964 + 0.841621) * se, abs=1e-5)
+    assert r["mde_rel"] == pytest.approx(r["mde_abs"] / 10.0, abs=1e-5)
+    # observed effect 1.0 < mde ~1.77 -> underpowered
+    assert r["powered"] is False
+
+
+def test_ab_power_detects_powered_effect(spark):
+    rows = [("a", 100.0 + (i % 3) * 0.1) for i in range(200)] + [
+        ("b", 90.0 + (i % 3) * 0.1) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = dist.ab_power_panel(df, "v", "g", "a", "b").collect()[0]
+    assert r["powered"] is True
+    assert abs(r["effect"] - 10.0) < 1e-6
+
+
+def test_ab_power_degenerate_groups_null(spark):
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+    r = dist.ab_power_panel(df, "v", "g", "a", "b").collect()[0]
+    assert r["mde_abs"] is None and r["powered"] is None
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join
+# ---------------------------------------------------------------------------
+
+def _brute_overlap(ls, rs):
+    return {
+        (l[0], r[0])
+        for l in ls
+        for r in rs
+        if l[1] < r[2] and r[1] < l[2]
+    }
+
+
+def test_interval_overlap_matches_brute_force(spark):
+    ls = [(i, float(i * 3), float(i * 3 + 5)) for i in range(40)]
+    rs = [(j, float(j * 7 + 1), float(j * 7 + 4)) for j in range(25)]
+    l = spark.createDataFrame(ls, "lid long, llo double, lhi double")
+    r = spark.createDataFrame(rs, "rid long, rlo double, rhi double")
+    for width in (1.0, 3.0, 10.0):
+        got = {
+            (x["lid"], x["rid"])
+            for x in tmp.interval_overlap_join(
+                l, r, "llo", "lhi", "rlo", "rhi", bucket_width=width
+            ).collect()
+        }
+        assert got == _brute_overlap(ls, rs), f"width={width}"
+    # broadcast path agrees too
+    got_b = {
+        (x["lid"], x["rid"])
+        for x in tmp.interval_overlap_join(
+            l, r, "llo", "lhi", "rlo", "rhi", bucket_width=1.0,
+            broadcast_right=True,
+        ).collect()
+    }
+    assert got_b == _brute_overlap(ls, rs)
+
+
+def test_interval_overlap_no_duplicate_pairs(spark):
+    # one long interval overlapping one other across MANY shared buckets
+    l = spark.createDataFrame([(1, 0.0, 100.0)], "lid long, llo double, lhi double")
+    r = spark.createDataFrame([(2, 50.0, 60.0)], "rid long, rlo double, rhi double")
+    out = tmp.interval_overlap_join(
+        l, r, "llo", "lhi", "rlo", "rhi", bucket_width=5.0
+    ).collect()
+    assert len(out) == 1  # first-shared-bucket rule, no post-join distinct
+
+
+def test_interval_overlap_half_open_and_degenerate(spark):
+    l = spark.createDataFrame(
+        [(1, 0.0, 5.0), (2, 7.0, 7.0)], "lid long, llo double, lhi double"
+    )
+    r = spark.createDataFrame([(9, 5.0, 8.0)], "rid long, rlo double, rhi double")
+    out = tmp.interval_overlap_join(
+        l, r, "llo", "lhi", "rlo", "rhi", bucket_width=2.0
+    ).collect()
+    # [0,5) does not overlap [5,8) (half-open); the degenerate [7,7) matches nothing
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+def test_kcore_peels_tendrils(spark):
+    # a 4-clique (3-core) with a pendant chain hanging off it
+    clique = ["c0", "c1", "c2", "c3"]
+    edges = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    edges += [("c0", "p1"), ("p1", "p2"), ("p2", "p3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["core_degree"] for r in gr.kcore(df, k=3).collect()}
+    assert set(got) == set(clique)
+    assert all(d == 3 for d in got.values())
+    # k=1 keeps everything; k=4 empties (no 4-core exists)
+    assert len(gr.kcore(df, k=1).collect()) == 7
+    assert gr.kcore(df, k=4).collect() == []
+
+
+def test_kcore_self_verifying_law(spark):
+    # random-ish deterministic graph: every returned node must hold >= k
+    # neighbors WITHIN the returned set (the defining invariant)
+    edges = [
+        (f"n{i}", f"n{(i * 7 + j) % 30}") for i in range(30) for j in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    k = 3
+    core = {r["node"] for r in gr.kcore(df, k=k).collect()}
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    for n in core:
+        assert len(adj[n] & core) >= k, n
+    # maximality: greedy re-peel of the complement finds nothing addable
+    outside = set(adj) - core
+    assert all(len(adj[n] & core) < k or len(adj[n] & (core | {n})) < k
+               or n in core for n in outside)
+
+
+def test_kcore_cascade_requires_iterations(spark):
+    # chain into a triangle: peeling the chain end cascades node by node —
+    # a single-pass degree filter would wrongly keep chain interiors
+    edges = [("t0", "t1"), ("t1", "t2"), ("t2", "t0"),
+             ("t0", "a"), ("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"] for r in gr.kcore(df, k=2).collect()}
+    assert got == {"t0", "t1", "t2"}
+
+
+# ---------------------------------------------------------------------------
+# streaming deterministic sample
+# ---------------------------------------------------------------------------
+
+def test_sample_monitor_drip_equals_batch(spark, tmp_path):
+    """Fully drained streaming sample == batch sample_exact_n (the
+    semilattice property), regardless of batch slicing."""
+    from bullet_spark_spark.operators.sampling import sample_hash
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import sample_monitor
+
+    rows = [(f"user{i}",) for i in range(200)]
+    src = spark.createDataFrame(rows, "key string")
+    want = [
+        r["key"]
+        for r in src.orderBy(sample_hash(F.col("key")).asc(), F.col("key").asc())
+        .limit(16)
+        .collect()
+    ]
+    stream = file_drip(spark, src, str(tmp_path / "in"), chunks=8)
+    out = sample_monitor(stream, "key", k=16)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sample_mon")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = spark.sql(
+        "SELECT key FROM sample_mon WHERE n_seen = "
+        "(SELECT max(n_seen) FROM sample_mon) ORDER BY priority"
+    ).collect()
+    assert [r["key"] for r in final] == sorted(
+        want,
+        key=lambda kk: __import__("hashlib").md5(f"{kk}:0".encode()).hexdigest(),
+    )
+    assert set(r["key"] for r in final) == set(want)
+
+
+def test_sample_monitor_state_is_bounded(spark, tmp_path):
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import sample_monitor
+
+    rows = [(f"k{i}",) for i in range(500)]
+    src = spark.createDataFrame(rows, "key string")
+    stream = file_drip(spark, src, str(tmp_path / "in"), chunks=4)
+    out = sample_monitor(stream, "key", k=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sample_bounded")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    per_batch = spark.sql(
+        "SELECT n_seen, count(*) AS c FROM sample_bounded GROUP BY n_seen"
+    ).collect()
+    assert per_batch and all(int(r["c"]) <= 8 for r in per_batch)
+    assert max(int(r["n_seen"]) for r in per_batch) == 500
