@@ -10041,6 +10041,61 @@ def graph_kcore_trade(spark, sf_dir):
     ).orderBy("suppkey")
 
 
+@q(
+    "distribution_kruskal",
+    """WITH src AS (SELECT event_type AS g, value AS v FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       vc AS (SELECT v, count(*) AS t FROM src GROUP BY v),
+       rk AS (SELECT v, t,
+                     2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS r2
+              FROM vc),
+       tot AS (SELECT sum(t) AS n,
+                      sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS ties
+               FROM vc),
+       gv AS (SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2),
+       pg AS (SELECT g, sum(c) AS ng,
+                     sum(CAST(c AS DECIMAL(38,0)) * r2) AS r2sum
+              FROM gv JOIN rk USING (v) GROUP BY g),
+       terms AS (SELECT CAST(round(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
+                                   / (4.0 * CAST(ng AS DOUBLE)), 9)
+                        AS DECIMAL(38,9)) AS term
+                 FROM pg),
+       ag AS (SELECT (SELECT n FROM tot) AS n, (SELECT ties FROM tot) AS ties,
+                     count(*) AS k, sum(term) AS s
+              FROM terms),
+       fin AS (SELECT CAST(n AS BIGINT) AS n_total, CAST(k AS BIGINT) AS n_groups,
+                      12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                        * CAST(s AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+                      1.0 - CAST(ties AS DOUBLE)
+                        / (CAST(CAST(n AS DECIMAL(38,0)) * n * n AS DOUBLE)
+                           - CAST(n AS DOUBLE)) AS c
+               FROM ag)
+       SELECT n_total, n_groups,
+              CASE WHEN n_total > 0 AND n_groups > 1 THEN round(h, 6) END AS h_stat,
+              CASE WHEN n_total > 0 AND n_groups > 1 THEN round(c, 6) END AS tie_correction,
+              CASE WHEN n_total > 0 AND n_groups > 1 AND c > 0
+                   THEN round(h / c, 6) END AS h_corrected,
+              CASE WHEN n_total > 0 AND n_groups > 1 AND c > 0
+                   THEN round(h / c, 6) > 9.487729 END AS reject_95
+       FROM fin""",
+)
+def distribution_kruskal(spark, sf_dir):
+    """Kruskal–Wallis H across the five event-type value slices
+    (distribution.kruskal_wallis): the k-SAMPLE member completing the
+    rank-statistics panel (KS/U/Welch/Spearman/χ² are all ≤2-sample or
+    categorical). Doubled average ranks keep every moment integer-exact;
+    the k per-group H terms round 9 dp and sum as exact decimals;
+    reject_95 thresholds the tie-corrected H at χ²₍₄,0.95₎ = 9.487729
+    (the fixture's five groups → df = 4)."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    df = t["events"].filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    return dist.kruskal_wallis(df, "value", "event_type", crit_95=9.487729)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

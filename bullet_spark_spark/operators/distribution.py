@@ -828,6 +828,102 @@ def ab_power_panel(
     )
 
 
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    crit_95: float | None = None,
+) -> DataFrame:
+    """Kruskal–Wallis H test (1952, public knowledge) → one row
+    (n_total, n_groups, h_stat, tie_correction, h_corrected[, reject_95]):
+    the k-SAMPLE extension of Mann–Whitney — "do these k slices come from
+    the same distribution?" asked rank-wise, so outlier magnitude is
+    ignored. Completes the panel: KS (shape, 2), U (order, 2), Welch
+    (means, 2), Spearman (association), χ² (categorical), THIS (k-sample).
+
+    H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1), ties corrected by
+    C = 1 − Σ(t³−t)/(N³−N), H' = H/C. ``crit_95`` (the χ²_{k−1,0.95}
+    quantile for the CALLER-KNOWN group count — no χ² inverse exists as
+    a builtin in either engine) adds ``reject_95 = H' > crit``.
+
+    Engine-exactness (the mann_whitney discipline): avg ranks enter
+    DOUBLED (2·cum_excl + t + 1 — exact bigints), per-group rank sums
+    accumulate as exact decimals, and the k per-group H terms are rounded
+    9 dp and summed as exact decimals (a raw double Σ over groups would
+    be order-dependent across engines); tie cubes ride decimal(38,0).
+
+    Scale shape: one value-count aggregate (map-side combinable), the
+    two-level bucketed cumsum for ranks (no single-partition window),
+    one (group, value)-count aggregate joined to the distinct-value-sized
+    rank map, one k-row final reduce. State is distinct-value-sized."""
+    rows = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+    vc = rows.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    cum = _bucketed_running_sums(vc, "v", ["t"])
+    rankmap = cum.select(
+        "v",
+        "t",
+        # doubled average rank of value v: 2·cum_excl + t + 1 (exact)
+        (2 * (F.col("__cum_t") - F.col("t")) + F.col("t") + 1).alias("r2"),
+    )
+    tot = vc.agg(
+        F.sum("t").alias("n"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("ties"),
+    )
+    gv = rows.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    per_g = (
+        gv.join(rankmap, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("r2")).alias("r2sum"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    # per-group H term R_g²/n_g with doubled ranks: r2sum²/(4·n_g) —
+    # rounded 9 dp and decimal-summed so the k-term Σ is order-independent
+    term = F.round(
+        F.col("r2sum").cast("double") * F.col("r2sum").cast("double")
+        / (4.0 * F.col("ng").cast("double")),
+        9,
+    ).cast("decimal(38,9)")
+    agg = (
+        per_g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("ties").alias("ties"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum(term).alias("s"),
+        )
+    )
+    h = 12.0 / (nd * (nd + 1.0)) * F.col("s").cast("double") - 3.0 * (nd + 1.0)
+    n3 = F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n")
+    c_expr = 1.0 - F.col("ties").cast("double") / (
+        n3.cast("double") - nd
+    )
+    ok = (F.col("n") > 0) & (F.col("k") > 1)
+    out = agg.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.when(ok, F.round(h, 6)).alias("h_stat"),
+        F.when(ok, F.round(c_expr, 6)).alias("tie_correction"),
+        F.when(ok & (c_expr > 0), F.round(h / c_expr, 6)).alias("h_corrected"),
+    )
+    if crit_95 is not None:
+        out = out.withColumn(
+            "reject_95",
+            F.when(
+                F.col("h_corrected").isNotNull(),
+                F.col("h_corrected") > F.lit(float(crit_95)),
+            ),
+        )
+    return out
+
+
 def _value_avg_ranks(df: DataFrame, col: str) -> DataFrame:
     """Average-rank map for one column → (v, __r2) with ``__r2`` =
     2·(average rank of v over the value-ordered rows) = 2·cum_excl + t

@@ -283,3 +283,53 @@ def test_sample_monitor_state_is_bounded(spark, tmp_path):
     ).collect()
     assert per_batch and all(int(r["c"]) <= 8 for r in per_batch)
     assert max(int(r["n_seen"]) for r in per_batch) == 500
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis
+# ---------------------------------------------------------------------------
+
+def _kw_replica(groups):
+    """Sequential tie-corrected H over {g: [values]}."""
+    pooled = sorted(v for vs in groups.values() for v in vs)
+    n = len(pooled)
+    # average rank per value (1-based)
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    ranks, start = {}, 1
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = start + (t - 1) / 2.0
+        start += t
+    s = sum(
+        (sum(ranks[v] for v in vs) ** 2) / len(vs) for vs in groups.values()
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    ties = sum(t**3 - t for t in cnt.values())
+    c = 1 - ties / (n**3 - n)
+    return h, c, h / c
+
+
+def test_kruskal_wallis_matches_replica(spark):
+    groups = {
+        "a": [1.0, 2.0, 3.0, 4.0, 2.0],
+        "b": [2.0, 4.0, 6.0, 8.0, 10.0],
+        "c": [5.0, 5.0, 7.0, 9.0, 11.0, 13.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = dist.kruskal_wallis(df, "v", "g", crit_95=5.991465).collect()[0]
+    h, c, hc = _kw_replica(groups)
+    assert r["n_total"] == 16 and r["n_groups"] == 3
+    assert r["h_stat"] == pytest.approx(h, abs=1e-5)
+    assert r["tie_correction"] == pytest.approx(c, abs=1e-6)
+    assert r["h_corrected"] == pytest.approx(hc, abs=1e-5)
+    assert r["reject_95"] == (hc > 5.991465)
+
+
+def test_kruskal_wallis_identical_groups_h_near_zero(spark):
+    rows = [(g, float(v)) for g in ("a", "b", "c") for v in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = dist.kruskal_wallis(df, "v", "g").collect()[0]
+    assert abs(r["h_stat"]) < 1e-6  # identical distributions -> H ~ 0
