@@ -10096,6 +10096,43 @@ def distribution_kruskal(spark, sf_dir):
     return dist.kruskal_wallis(df, "value", "event_type", crit_95=9.487729)
 
 
+@q(
+    "sampling_apportion_lrm",
+    """WITH b AS (
+         SELECT lang, round(CAST(sum(n_chars) AS DOUBLE), 9) AS w
+         FROM documents WHERE n_chars IS NOT NULL
+         GROUP BY lang
+         HAVING round(CAST(sum(n_chars) AS DOUBLE), 9) > 0),
+       t AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS tw FROM b),
+       q AS (SELECT lang, w, w / tw * 1000.0 AS q FROM b CROSS JOIN t),
+       f AS (SELECT lang, w, q, CAST(floor(q) AS BIGINT) AS base,
+                    q - floor(q) AS rem
+             FROM q)
+       SELECT lang, round(w, 6) AS weight, round(q, 6) AS quota,
+              CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                                    <= 1000 - (SELECT sum(base) FROM f)
+                               THEN 1 ELSE 0 END AS BIGINT) AS alloc_n
+       FROM f""",
+)
+def sampling_apportion_lrm(spark, sf_dir):
+    """Hamilton largest-remainder apportionment of a 1000-row budget
+    across language strata by total characters
+    (sampling.apportion_largest_remainder): the closing step after
+    neyman_allocation — floors leave up to one row of slack per stratum,
+    largest-remainder distributes the leftover so Σ alloc_n == budget
+    EXACTLY. Quotas are single IEEE expressions over a decimal-exact
+    weight total; both windows run over the metadata-sized stratum
+    frame."""
+    t = _t(spark, sf_dir)
+    w = (
+        t["documents"]
+        .filter(F.col("n_chars").isNotNull())
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("w"))
+    )
+    return smp.apportion_largest_remainder(w, ["lang"], "w", 1000)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

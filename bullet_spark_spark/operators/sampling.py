@@ -804,3 +804,61 @@ def neyman_allocation(
             ).alias("alloc_n"),
         )
     )
+
+
+def apportion_largest_remainder(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Hamilton / largest-remainder apportionment (public knowledge — the
+    US-House seat method): integer allocations per stratum from
+    fractional quotas with ``Σ alloc_n == total_n`` EXACTLY. The closing
+    step after :func:`neyman_allocation` (whose floor leaves up to one
+    row of slack per stratum): quota_h = w_h/Σw · total_n, every stratum
+    takes floor(quota), and the leftover seats go to the largest
+    fractional remainders (ties broken by the group key — deterministic).
+
+    → (strata..., weight, quota, alloc_n). Quotas are single IEEE
+    expressions over a decimal-exact weight total, so allocations are
+    engine-portable; both windows here run over the STRATUM frame
+    (metadata-sized, bounded by design — the WindowExec warning is
+    cosmetic)."""
+    from pyspark.sql.window import Window as W
+
+    if total_n < 0:
+        raise ValueError(f"total_n must be >= 0, got {total_n}")
+    w = F.col(weight_col).cast("double")
+    base = df.filter(w > 0).select(
+        *group_cols, F.round(w, 9).alias("__w")
+    )
+    tot = base.agg(
+        F.sum(F.col("__w").cast("decimal(38,9)")).cast("double").alias("__tw")
+    )
+    j = base.crossJoin(F.broadcast(tot))
+    quota = F.col("__w") / F.col("__tw") * F.lit(float(total_n))
+    j = j.select(
+        *group_cols,
+        F.col("__w"),
+        quota.alias("__q"),
+        F.floor(quota).cast("bigint").alias("__base"),
+        (quota - F.floor(quota)).alias("__rem"),
+    )
+    # unpartitioned by design: stratum frame, metadata-sized, bounded
+    w_all = W.partitionBy()
+    w_rank = W.orderBy(F.col("__rem").desc(), *[F.col(c) for c in group_cols])
+    out = j.select(
+        *group_cols,
+        F.round("__w", 6).alias("weight"),
+        F.round("__q", 6).alias("quota"),
+        (
+            F.col("__base")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= F.lit(total_n) - F.sum("__base").over(w_all),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("alloc_n"),
+    )
+    return out

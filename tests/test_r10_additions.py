@@ -333,3 +333,37 @@ def test_kruskal_wallis_identical_groups_h_near_zero(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = dist.kruskal_wallis(df, "v", "g").collect()[0]
     assert abs(r["h_stat"]) < 1e-6  # identical distributions -> H ~ 0
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder apportionment
+# ---------------------------------------------------------------------------
+
+def test_apportion_sums_exactly_and_orders_remainders(spark):
+    from bullet_spark_spark.operators import sampling as smp
+
+    rows = [("a", 10.0), ("b", 25.0), ("c", 33.0), ("d", 32.0)]
+    df = spark.createDataFrame(rows, "g string, w double")
+    got = {r["g"]: r for r in smp.apportion_largest_remainder(
+        df, ["g"], "w", 10).collect()}
+    # quotas: 1.0, 2.5, 3.3, 3.2 -> floors 1,2,3,3 = 9; leftover 1 seat
+    # goes to the largest remainder (b, .5)
+    assert {g: r["alloc_n"] for g, r in got.items()} == {
+        "a": 1, "b": 3, "c": 3, "d": 3
+    }
+    assert sum(r["alloc_n"] for r in got.values()) == 10
+
+
+def test_apportion_tiebreak_and_zero_weights(spark):
+    from bullet_spark_spark.operators import sampling as smp
+
+    rows = [("x", 1.0), ("y", 1.0), ("z", 0.0), ("w", -2.0)]
+    df = spark.createDataFrame(rows, "g string, w double")
+    got = {r["g"]: r["alloc_n"] for r in smp.apportion_largest_remainder(
+        df, ["g"], "w", 3).collect()}
+    # zero/negative weights excluded; quotas 1.5/1.5 tie -> group-key order
+    assert got == {"x": 2, "y": 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        smp.apportion_largest_remainder(df, ["g"], "w", -1)
