@@ -10135,52 +10135,54 @@ def sampling_apportion_lrm(spark, sf_dir):
 
 @q(
     "streaming_join_drain",
-    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+    """SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
               round(epoch_us(p.ts) / 1e6 - epoch_us(c.ts) / 1e6, 6) AS lag_sec
        FROM (SELECT user_id, event_id, ts FROM events
-             WHERE event_type = 'click' AND user_id IS NOT NULL
-               AND user_id % 10 = 0) c
-       JOIN (SELECT user_id, event_id, ts FROM events
              WHERE event_type = 'purchase' AND user_id IS NOT NULL
                AND user_id % 10 = 0) p
+       JOIN (SELECT user_id, event_id, ts FROM events
+             WHERE event_type = 'click' AND user_id IS NOT NULL
+               AND user_id % 10 = 0) c
          ON c.user_id = p.user_id
-        AND p.ts >= c.ts - INTERVAL 30 MINUTE
-        AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+        AND c.ts <= p.ts
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE""",
 )
 def streaming_join_drain(spark, sf_dir):
     """Watermarked STREAM × STREAM inner join, fully drained — and
     oracle-checked against the batch range join (the inner join is a
     deterministic match set, the streaming_static_enrich_parity
-    precedent): click and purchase event streams correlate per user
-    within ±30 min (streaming/joins.stream_stream_join). The range
+    precedent): purchases attribute to the clicks of the preceding 30
+    minutes per user (temporal.stream_stream_interval_join). The range
     conjunct + double watermark is what lets Spark EVICT join state —
     per-side state is rate × horizon, not the stream; the horizon here
-    covers the fixture drip's full disorder (watermark ≥ out-of-orderness
-    is the operator's documented contract)."""
+    covers the fixture drip's full disorder (a drip chunk may carry
+    day-90 rows before day-1 rows, so max_delay spans the fixture —
+    production streams size it to their real out-of-orderness)."""
     import tempfile
 
     from bullet_spark_spark.sources.streaming import file_drip
-    from bullet_spark_spark.streaming.joins import stream_stream_join as _ssj
 
     t = _t(spark, sf_dir)
     ev = t["events"].filter(
         F.col("user_id").isNotNull() & (F.col("user_id") % 10 == 0)
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), F.col("ts").cast("timestamp").alias("cts")
-    )
     buys = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").cast("timestamp").alias("pts")
+        "user_id",
+        F.col("user_id").alias("uid_out"),  # survives the same-name join
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("cts"),
     )
     with tempfile.TemporaryDirectory() as work:
-        ls = file_drip(spark, clicks, f"{work}/l", chunks=2)
-        rs = file_drip(spark, buys, f"{work}/r", chunks=2)
-        out = _ssj(
-            ls, rs, ["user_id"], "cts", "pts",
-            max_lag_sec=1800,
-            # fixture spans ~90 days and drip chunks arrive unordered:
-            # the horizon must cover that disorder (contract above)
-            watermark_sec=120 * 86400,
+        ls = file_drip(spark, buys, f"{work}/l", chunks=2)
+        rs = file_drip(spark, clicks, f"{work}/r", chunks=2)
+        out = tmp.stream_stream_interval_join(
+            ls, rs, ["user_id"], "pts", "cts",
+            max_delay="4320 hours", lookback_sec=1800,
         )
         q_ = (
             out.writeStream.format("memory")
@@ -10192,7 +10194,7 @@ def streaming_join_drain(spark, sf_dir):
         )
         q_.awaitTermination(300)
     return spark.sql(
-        "SELECT user_id, click_id, purchase_id, "
+        "SELECT uid_out AS user_id, click_id, purchase_id, "
         "round(unix_micros(pts) / 1e6 - unix_micros(cts) / 1e6, 6) AS lag_sec "
         "FROM __ssj_drain"
     )
@@ -10204,17 +10206,17 @@ def streaming_join_drain(spark, sf_dir):
        WHERE user_id IS NOT NULL ORDER BY user_id""",
 )
 def streaming_dedup_drain(spark, sf_dir):
-    """Streaming EXACT dedup, fully drained (streaming/joins.dedup_stream
-    — dropDuplicatesWithinWatermark): one surviving row per user_id
+    """Streaming EXACT dedup, fully drained (dedup.streaming_dedup —
+    dropDuplicatesWithinWatermark): one surviving row per user_id
     across every micro-batch. The surviving KEY SET is deterministic
     (which payload row survives is arrival-order-dependent, so only the
     keys surface — that is what makes a streaming dedup oracle-checkable
     at all). The watermark variant is the bounded-state production shape:
-    the key store evicts once the watermark passes a key's event time."""
+    the key store evicts once the watermark passes a key's event time
+    (the horizon spans the fixture drip's disorder, like the join row)."""
     import tempfile
 
     from bullet_spark_spark.sources.streaming import file_drip
-    from bullet_spark_spark.streaming.joins import dedup_stream as _ds
 
     t = _t(spark, sf_dir)
     ev = t["events"].filter(F.col("user_id").isNotNull()).select(
@@ -10222,8 +10224,9 @@ def streaming_dedup_drain(spark, sf_dir):
     )
     with tempfile.TemporaryDirectory() as work:
         stream = file_drip(spark, ev, work, chunks=3)
-        out = _ds(
-            stream, ["user_id"], ts_col="ets", watermark_sec=120 * 86400
+        out = dd.streaming_dedup(
+            stream, ["user_id"], event_time_col="ets",
+            watermark_delay="4320 hours",
         )
         q_ = (
             out.writeStream.format("memory")
