@@ -9949,15 +9949,23 @@ def temporal_interval_overlap(spark, sf_dir):
         F.date_trunc("day", F.col("ts")).cast("timestamp").alias("d")
     ).distinct()
     hours_us = 3_600_000_000
+    # both windows from ONE pass over the day frame (a self-union would
+    # scan events twice through it — audit_scans-caught)
+    d_us = F.unix_micros("d")
     w = days.select(
-        (F.unix_micros("d") + 2 * hours_us).alias("wlo"),
-        (F.unix_micros("d") + 8 * hours_us).alias("whi"),
-    ).unionByName(
-        days.select(
-            (F.unix_micros("d") + 12 * hours_us).alias("wlo"),
-            (F.unix_micros("d") + 18 * hours_us).alias("whi"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    (d_us + 2 * hours_us).alias("wlo"),
+                    (d_us + 8 * hours_us).alias("whi"),
+                ),
+                F.struct(
+                    (d_us + 12 * hours_us).alias("wlo"),
+                    (d_us + 18 * hours_us).alias("whi"),
+                ),
+            )
+        ).alias("w")
+    ).select("w.wlo", "w.whi")
     pairs = tmp.interval_overlap_join(
         u, w, "ulo", "uhi", "wlo", "whi", bucket_width=float(6 * hours_us)
     )

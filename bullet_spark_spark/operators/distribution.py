@@ -860,6 +860,10 @@ def kruskal_wallis(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
     ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
     vc = rows.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    # persist the distinct-value-sized count frame: three consumers (the
+    # cumsum's quantile pass, the rank map, the totals) would otherwise
+    # each re-scan the base table — 2 base scans (vc + gv) is the floor
+    (vc,) = persist_generation("distribution.kruskal_wallis", vc)
     cum = _bucketed_running_sums(vc, "v", ["t"])
     rankmap = cum.select(
         "v",
