@@ -118,6 +118,7 @@ BENCH = [
     "distribution_ab_power",  # MDE/power panel (one 6-number aggregate)
     "temporal_interval_overlap",  # interval x interval bucket-exploded join
     "graph_kcore_trade",      # iterative peeling to the 3-core fixpoint
+    "distribution_kruskal",   # k-sample rank panel (two-level cumsum ranks)
 ]
 
 REPEATS = 3

@@ -136,6 +136,13 @@ QUERIES = {
     "scale_compaction_plan": "per-partition size-DESC cumsum over the metadata-scale file inventory; one groupBy to shards",
     "relational_frequent_pairs": "per-basket self-join (facet-bounded fan-out) + two item-count joins + broadcast N frame",
     "graph_adamic_adar": "hub-capped wedge expansion (Sigma deg^2 honest cost) + one decimal-sum aggregate",
+    # round-10 additions
+    "dedup_bbit_minhash": "banding on full md5 components; verify touches only the last-nibble b-bit sketch; drop-side df prune",
+    "distribution_ab_power": "ONE six-number map-side-combinable aggregate (welch shape); MDE as a single IEEE expression",
+    "distribution_kruskal": "value counts persisted (2 base scans: vc + per-group); two-level cumsum ranks; k-row decimal-summed reduce",
+    "temporal_interval_overlap": "both sides bucket-exploded from ONE pass each; equi-join on bucket + first-shared-bucket residual (no distinct)",
+    "graph_kcore_trade": "iterative peel: per-round degree agg + two semi-joins on a shrinking localCheckpoint'ed edge frame",
+    "sampling_apportion_lrm": "stratum-frame quotas over a broadcast decimal-exact total; two bounded windows (metadata-sized)",
 }
 
 
