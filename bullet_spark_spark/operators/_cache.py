@@ -22,6 +22,22 @@ from pyspark.sql import DataFrame
 _live: dict[str, list[DataFrame]] = {}
 
 
+def _same_cached(old: DataFrame, new: DataFrame) -> bool:
+    """True when ``old`` is still materialized in the cache AND computes
+    the same result as ``new`` (analyzed-plan equality via sameResult)."""
+    try:
+        jdf_old = old._jdf
+        if jdf_old.storageLevel().equals(
+            old.sparkSession._jvm.org.apache.spark.storage.StorageLevel.NONE()
+        ):
+            return False
+        return jdf_old.queryExecution().analyzed().sameResult(
+            new._jdf.queryExecution().analyzed()
+        )
+    except Exception:
+        return False
+
+
 def persist_generation(
     slot: str, *frames: DataFrame, storage_level=None
 ) -> tuple[DataFrame, ...]:
@@ -29,12 +45,28 @@ def persist_generation(
     releasing the previous generation. Returns the persisted frames in
     order (PySpark's ``persist`` marks the plan in place, so downstream
     frames already built from these objects hit the cache too — the
-    CacheManager matches by analyzed plan, not object identity)."""
-    for old in _live.get(slot, []):
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # session torn down; nothing to release
+    CacheManager matches by analyzed plan, not object identity).
+
+    IDENTICAL-CALL fast path: when every new frame computes the same
+    result as its still-cached predecessor (sameResult on the analyzed
+    plans), the PREVIOUS generation is returned untouched — a server
+    re-running the same query hits the warm cache instead of
+    re-materializing it, exactly as the pre-registry inline persists
+    did via CacheManager plan matching (measured: the triangle/AA panel
+    repeated-call medians tripled without this)."""
+    prev = _live.get(slot)
+    if (
+        prev is not None
+        and len(prev) == len(frames)
+        and all(_same_cached(o, n) for o, n in zip(prev, frames))
+    ):
+        return tuple(prev)
+    if prev is not None:
+        for old in prev:
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # session torn down; nothing to release
     out = [
         f.persist(storage_level) if storage_level is not None else f.persist()
         for f in frames
