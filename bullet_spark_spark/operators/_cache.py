@@ -22,6 +22,17 @@ from pyspark.sql import DataFrame
 _live: dict[str, list[DataFrame]] = {}
 
 
+def same_plan(old: DataFrame, new: DataFrame) -> bool:
+    """True when the two frames compute the same result (analyzed-plan
+    ``sameResult``) — cache-state-independent."""
+    try:
+        return old._jdf.queryExecution().analyzed().sameResult(
+            new._jdf.queryExecution().analyzed()
+        )
+    except Exception:
+        return False
+
+
 def _same_cached(old: DataFrame, new: DataFrame) -> bool:
     """True when ``old`` is still materialized in the cache AND computes
     the same result as ``new`` (analyzed-plan equality via sameResult)."""

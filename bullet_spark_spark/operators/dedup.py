@@ -1623,6 +1623,9 @@ def source_overlap_matrix(
     return out
 
 
+_cap_memo: dict[str, tuple] = {}  # gram_col -> (postings, cap, n_drop, drop)
+
+
 def df_capped_postings(
     postings: DataFrame,
     gram_col: str = "gram",
@@ -1663,13 +1666,25 @@ def df_capped_postings(
     if max_df_frac is not None:
         caps.append(int(max_df_frac * n_docs))
     cap = min(caps)
-    drop = (
-        postings.groupBy(gram_col)
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") > cap)
-        .select(gram_col)
-    )
-    n_drop = drop.count()  # bounded: ≤ |postings|/cap rows
+    # identical-call memo (the persist_generation fast-path idea): the
+    # drop COUNT is an eager job per call, so a server re-running the
+    # same dedup query would pay one extra posting pass per invocation —
+    # if the posting plan and cap match the previous call's, reuse its
+    # drop decision outright
+    from bullet_spark_spark.operators._cache import same_plan
+
+    memo = _cap_memo.get(gram_col)
+    if memo is not None and memo[1] == cap and same_plan(memo[0], postings):
+        n_drop, drop = memo[2], memo[3]
+    else:
+        drop = (
+            postings.groupBy(gram_col)
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > cap)
+            .select(gram_col)
+        )
+        n_drop = drop.count()  # bounded: ≤ |postings|/cap rows
+        _cap_memo[gram_col] = (postings, cap, n_drop, drop)
     if n_drop == 0:
         return postings
     if n_drop <= drop_broadcast_below:
@@ -1841,6 +1856,12 @@ def containment_pairs(
         .filter(F.length("gram") > 0)
         .distinct()
     )
+    from pyspark import StorageLevel
+
+    # persist BEFORE the cap: df_capped_postings takes an eager action
+    # (the drop count), which would otherwise compute the shingle explode
+    # twice — once for the count, once for the join pipeline
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df_frac is not None or max_df is not None:
         n_docs = df.select(id_col).distinct().count()  # bounded: one scalar
         grams = df_capped_postings(
@@ -1848,9 +1869,6 @@ def containment_pairs(
         )
     else:
         n_docs = None
-    from pyspark import StorageLevel
-
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
@@ -2194,11 +2212,13 @@ def winnow_pairs(
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
         "id", "fp"
     ).distinct()
-    # drop-side anti-join, not keep-side semi-join: see df_capped_postings
-    fps = df_capped_postings(fps, "fp", max_df=max_df)
     from pyspark import StorageLevel
 
+    # persist BEFORE the cap (the drop count is an eager action — without
+    # the cache it recomputes the winnowing pass); drop-side anti-join,
+    # not keep-side semi-join: see df_capped_postings
     fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    fps = df_capped_postings(fps, "fp", max_df=max_df)
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, "fp")
