@@ -10250,6 +10250,49 @@ def streaming_dedup_drain(spark, sf_dir):
     )
 
 
+@q(
+    "distribution_group_quantiles",
+    """WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+                  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       ranked AS (SELECT g, v,
+                         row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS r
+                  FROM v),
+       counts AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+       ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                             CAST(0.99 AS DOUBLE)]) AS p),
+       probe AS (SELECT g, p,
+                        CAST(floor((n - 1) * p) AS BIGINT) AS lo,
+                        CAST(least(floor((n - 1) * p) + 1, n - 1) AS BIGINT) AS hi,
+                        (n - 1) * p - floor((n - 1) * p) AS frac
+                 FROM counts CROSS JOIN ps),
+       j AS (SELECT pr.g, pr.p, pr.frac,
+                    min(CASE WHEN rk.r = pr.lo THEN rk.v END) AS vlo,
+                    min(CASE WHEN rk.r = pr.hi THEN rk.v END) AS vhi
+             FROM probe pr JOIN ranked rk
+               ON rk.g = pr.g AND (rk.r = pr.lo OR rk.r = pr.hi)
+             GROUP BY 1, 2, 3)
+       SELECT g AS l_returnflag, p AS prob,
+              round(vlo + (vhi - vlo) * frac, 6) AS value
+       FROM j""",
+)
+def distribution_group_quantiles(spark, sf_dir):
+    """EXACT per-group quantiles (distribution.group_quantiles): p50/p90/
+    p99 of extended price per return flag — the grouped companion of the
+    global exact paths, and the shape that SCALES where they range-
+    partition one domain: the rank window partitions BY GROUP (fully
+    parallel), boundary ranks ride a broadcast (groups × probs)-row
+    probe, interpolation matches DuckDB quantile_cont token for token."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    return dist.group_quantiles(
+        t["lineitem"].withColumnRenamed("l_returnflag", "g"),
+        ["g"],
+        "l_extendedprice",
+        [0.5, 0.9, 0.99],
+    ).select(F.col("g").alias("l_returnflag"), "prob", "value")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

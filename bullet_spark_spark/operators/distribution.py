@@ -828,6 +828,73 @@ def ab_power_panel(
     )
 
 
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """EXACT linear-interpolation quantiles PER GROUP → one row per
+    (group, prob): (groups..., prob, value). The grouped companion of the
+    global exact paths: the global sort-based path range-partitions ONE
+    value domain, but per-group quantiles partition naturally — the
+    ``row_number`` window is PARTITIONED by the group (fully parallel,
+    never a single-partition window), so the whole thing is one shuffle
+    keyed by group + a broadcast-sized boundary probe.
+
+    Interpolation matches DuckDB ``quantile_cont`` (h = (n−1)·p, linear
+    between the floor/ceil ranks), written token-identically in the
+    oracle so values hash-match. Plan: per-group counts (combinable
+    aggregate) → a (group × prob) probe frame carrying the two boundary
+    ranks + fraction (groups × probs rows — metadata-sized, broadcast)
+    → ONE conditional aggregate over the ranked rows picks both boundary
+    values per (group, prob); the result is a single IEEE expression."""
+    g = [F.col(c) for c in group_cols]
+    vals = df.select(
+        *g, F.col(value_col).cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+    w = W.partitionBy(*group_cols).orderBy("v")
+    ranked = vals.withColumn("__r", F.row_number().over(w) - 1)
+    counts = vals.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    probe = None
+    for p in probs:
+        h = (F.col("__n") - 1) * F.lit(float(p))
+        one = counts.select(
+            *group_cols,
+            F.lit(float(p)).alias("prob"),
+            F.floor(h).cast("bigint").alias("__lo"),
+            F.least(F.floor(h) + 1, F.col("__n") - 1).cast("bigint").alias("__hi"),
+            (h - F.floor(h)).alias("__frac"),
+        )
+        probe = one if probe is None else probe.unionByName(one)
+    probe_r = probe.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        "prob",
+        "__lo",
+        "__hi",
+        "__frac",
+    )
+    cond = (F.col("__r") == F.col("__lo")) | (F.col("__r") == F.col("__hi"))
+    for c in group_cols:
+        cond = cond & (F.col(c) == F.col(f"__g_{c}"))
+    j = ranked.join(F.broadcast(probe_r), on=cond)
+    return (
+        j.groupBy(*group_cols, "prob", "__frac")
+        .agg(
+            F.min(F.when(F.col("__r") == F.col("__lo"), F.col("v"))).alias("__vlo"),
+            F.min(F.when(F.col("__r") == F.col("__hi"), F.col("v"))).alias("__vhi"),
+        )
+        .select(
+            *group_cols,
+            "prob",
+            F.round(
+                F.col("__vlo") + (F.col("__vhi") - F.col("__vlo")) * F.col("__frac"),
+                6,
+            ).alias("value"),
+        )
+    )
+
+
 def kruskal_wallis(
     df: DataFrame,
     value_col: str,

@@ -367,3 +367,36 @@ def test_apportion_tiebreak_and_zero_weights(spark):
 
     with _pt.raises(ValueError):
         smp.apportion_largest_remainder(df, ["g"], "w", -1)
+
+
+# ---------------------------------------------------------------------------
+# per-group exact quantiles
+# ---------------------------------------------------------------------------
+
+def test_group_quantiles_match_numpy_linear(spark):
+    import numpy as np
+
+    data = {
+        "a": [1.0, 3.0, 2.0, 8.0, 5.0, 13.0, 21.0],
+        "b": [10.0, 20.0, 30.0, 40.0],
+        "c": [7.0],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r["g"], r["prob"]): r["value"]
+        for r in dist.group_quantiles(df, ["g"], "v", probs).collect()
+    }
+    for g, vs in data.items():
+        for p in probs:
+            want = float(np.quantile(vs, p, method="linear"))
+            assert got[(g, p)] == pytest.approx(want, abs=1e-6), (g, p)
+
+
+def test_group_quantiles_nulls_drop(spark):
+    rows = [("a", 1.0), ("a", None), ("a", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["prob"]: r["value"]
+           for r in dist.group_quantiles(df, ["g"], "v", [0.5]).collect()}
+    assert got[0.5] == 2.0
