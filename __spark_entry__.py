@@ -10251,6 +10251,60 @@ def streaming_dedup_drain(spark, sf_dir):
 
 
 @q(
+    "streaming_sample_by_lang",
+    """WITH src AS (SELECT lang, CAST(doc_id AS VARCHAR) AS k FROM documents
+                    WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+       tot AS (SELECT lang, count(*) AS n FROM src GROUP BY lang),
+       pri AS (SELECT DISTINCT lang, k, md5(k || ':0') AS priority FROM src),
+       ranked AS (SELECT lang, k, priority,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY priority) AS r
+                  FROM pri)
+       SELECT ranked.lang, k AS key, priority, CAST(n AS BIGINT) AS n_seen
+       FROM ranked JOIN tot ON ranked.lang = tot.lang
+       WHERE r <= 8""",
+)
+def streaming_sample_by_lang(spark, sf_dir):
+    """PER-GROUP deterministic streaming sample (monitor.sample_monitor
+    with group_col): 8 inspection documents per language, held as k
+    (priority, key) pairs of state per group forever. Same semilattice
+    argument as the global row — bottom-k-by-md5 union is batch-slicing-
+    independent — so the drained per-group samples hash-match the batch
+    per-group ORDER BY md5 LIMIT k oracle."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import sample_monitor as _sm
+
+    t = _t(spark, sf_dir)
+    src = t["documents"].filter(
+        F.col("doc_id").isNotNull() & F.col("lang").isNotNull()
+    ).select("lang", F.col("doc_id").cast("string").alias("k"))
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, src, work, chunks=3)
+        out = _sm(stream, "k", k=8, group_col="lang")
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName("__sample_by_lang")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    snap = spark.table("__sample_by_lang")
+    final = snap.withColumn(
+        "__mx", F.max("n_seen").over(W.partitionBy("group"))
+    ).filter(F.col("n_seen") == F.col("__mx"))
+    return final.select(
+        F.col("group").alias("lang"),
+        "key",
+        "priority",
+        F.col("n_seen").cast("bigint").alias("n_seen"),
+    )
+
+
+@q(
     "distribution_group_quantiles",
     """WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
                   FROM lineitem WHERE l_extendedprice IS NOT NULL),

@@ -430,6 +430,7 @@ def sample_monitor(
     key_col: str,
     k: int = 64,
     seed: int = 0,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Streaming DETERMINISTIC uniform sample → per-micro-batch snapshot:
     (key, priority, n_seen). Completes the bounded-state quartet (EWMA,
@@ -457,15 +458,22 @@ def sample_monitor(
 
     out_schema = StructType(
         [
+            StructField("group", StringType()),
             StructField("key", StringType()),
             StructField("priority", StringType()),
             StructField("n_seen", LongType()),
         ]
     )
+    # per-group sampling (``group_col``): one bounded k-pair state per
+    # group — the per-slice inspection sample; None = one GLOBAL sample
+    grp = (
+        F.col(group_col).cast("string")
+        if group_col is not None
+        else F.lit("__all__")
+    )
     src = (
-        df.select(F.col(key_col).cast("string").alias("__k"))
-        .filter(F.col("__k").isNotNull())
-        .withColumn("__g", F.lit(0))
+        df.select(grp.alias("__g"), F.col(key_col).cast("string").alias("__k"))
+        .filter(F.col("__k").isNotNull() & F.col("__g").isNotNull())
     )
 
     def _pri(v: str) -> str:
@@ -489,8 +497,8 @@ def sample_monitor(
         kept = sorted(((p, kk) for kk, p in items.items()))[:k]
         state.update((n, _json.dumps(kept)))
         yield pd.DataFrame(
-            [(kk, p, n) for p, kk in kept],
-            columns=["key", "priority", "n_seen"],
+            [(key[0], kk, p, n) for p, kk in kept],
+            columns=["group", "key", "priority", "n_seen"],
         )
 
     # single group: the sample is GLOBAL (k rows of the whole stream);
