@@ -10251,6 +10251,72 @@ def streaming_dedup_drain(spark, sf_dir):
 
 
 @q(
+    "temporal_resample_interp",
+    """WITH pb AS (
+         SELECT user_id,
+                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                CAST(value AS DOUBLE) AS v,
+                row_number() OVER (
+                  PARTITION BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                  ORDER BY ts DESC, value DESC) AS rn
+         FROM events WHERE user_id >= 30 AND user_id < 60),
+       pb1 AS (SELECT user_id, b, v FROM pb WHERE rn = 1),
+       spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+                 FROM pb1 GROUP BY user_id),
+       grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM spans),
+       j AS (SELECT g.user_id, g.b, p.v
+             FROM grid g LEFT JOIN pb1 p
+               ON p.user_id = g.user_id AND p.b = g.b),
+       wnd AS (SELECT user_id, b, v,
+                      last_value(v IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                      last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY b
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb2,
+                      first_value(v IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY b
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                      first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY b
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb2
+               FROM j)
+       SELECT user_id, b * 3600 AS bucket_epoch,
+              floor((CASE WHEN v IS NOT NULL THEN v
+                          WHEN pb2 IS NULL THEN nv
+                          WHEN nb2 IS NULL THEN pv
+                          ELSE pv + (nv - pv)
+                               * (CAST(b - pb2 AS DOUBLE)
+                                  / CAST(nb2 - pb2 AS DOUBLE)) END) * 1e6)
+                / 1e6 AS value,
+              v IS NULL AS is_interp
+       FROM wnd""",
+)
+def temporal_resample_interp(spark, sf_dir):
+    """Linear-interpolation resampling (temporal.resample_interpolate):
+    the measurement-series companion of the forward-fill row — gaps on
+    the hourly grid take v_prev + Δv·(b−b_prev)/(b_next−b_prev) from one
+    backward + one forward key-partitioned window instead of holding the
+    last read (which biases every downstream rate). Same explode grid,
+    same per-key parallelism; every IEEE expression token-identical in
+    the oracle."""
+    t = _t(spark, sf_dir)
+    out = tmp.resample_interpolate(
+        t["events"].filter((F.col("user_id") >= 30) & (F.col("user_id") < 60)),
+        "user_id",
+        "ts",
+        "value",
+        3600,
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "value",
+        "is_interp",
+    )
+
+
+@q(
     "streaming_sample_by_lang",
     """WITH src AS (SELECT lang, CAST(doc_id AS VARCHAR) AS k FROM documents
                     WHERE doc_id IS NOT NULL AND lang IS NOT NULL),

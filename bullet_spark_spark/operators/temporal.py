@@ -496,6 +496,93 @@ def resample_ffill(
     return filled
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Regularize an irregular per-key series onto a fixed grid with
+    LINEAR INTERPOLATION → (key, bucket_ts, value, is_interp): the
+    measurement companion of :func:`resample_ffill` (forward-fill is
+    right for STATE series — a config that held until changed; linear
+    interpolation is right for MEASUREMENT series — a gauge sampled
+    irregularly, where holding the last read biases every downstream
+    rate/derivative).
+
+    Same grid machinery as resample_ffill (per-key span, sequence +
+    explode — rows ∝ output, no calendar join); gaps take
+    ``v_prev + (v_next − v_prev)·(b − b_prev)/(b_next − b_prev)`` from
+    one backward and one forward last/first-non-null window per key —
+    both PARTITIONED by key (parallel). Grid edges always coincide with
+    observations (the span is the key's own min/max bucket), so every
+    gap is interior and the interpolation is total. Observations with a
+    NULL value are treated as missing (interpolated over). One IEEE
+    expression per gap, written token-identically in the oracle."""
+    from pyspark.sql.window import Window as W
+
+    bucket = (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
+    per_bucket = (
+        df.withColumn("__b", bucket)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(key_col, "__b").orderBy(
+                    F.col(ts_col).desc(), F.col(value_col).desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            key_col,
+            "__b",
+            F.col(value_col).cast("double").alias("__v"),
+            F.lit(True).alias("__present"),
+        )
+    )
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = spans.select(
+        key_col, F.explode(F.sequence("__lo", "__hi")).alias("__b")
+    )
+    joined = grid.join(per_bucket, [key_col, "__b"], "left")
+    back = (
+        W.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_b = F.when(F.col("__v").isNotNull(), F.col("__b"))
+    pv = F.last("__v", ignorenulls=True).over(back)
+    pb = F.last(known_b, ignorenulls=True).over(back)
+    nv = F.first("__v", ignorenulls=True).over(fwd)
+    nb = F.first(known_b, ignorenulls=True).over(fwd)
+    interp = pv + (nv - pv) * (
+        (F.col("__b") - pb).cast("double") / (nb - pb).cast("double")
+    )
+    out_v = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+        # one-sided edges (all-NULL observed values on a side) degrade to
+        # the available neighbor
+        F.when(pb.isNull(), nv).when(nb.isNull(), pv).otherwise(interp)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.to_timestamp(F.col("__b") * step_seconds).alias("bucket_ts"),
+        # floor quantization, not round(): interpolation fractions like
+        # 1/2 land EXACTLY on .5 micro-boundaries where engine round()
+        # tie-breaking differs (HALF_UP vs HALF_EVEN — the sim_int8
+        # lesson); floor is IEEE-identical everywhere
+        (F.floor(out_v * F.lit(1e6)) / F.lit(1e6)).alias("value"),
+        F.col("__v").isNull().alias("is_interp"),
+    )
+
+
 def period_over_period(
     df: DataFrame,
     ts_col: str,

@@ -400,3 +400,43 @@ def test_group_quantiles_nulls_drop(spark):
     got = {r["prob"]: r["value"]
            for r in dist.group_quantiles(df, ["g"], "v", [0.5]).collect()}
     assert got[0.5] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# linear-interpolation resampling
+# ---------------------------------------------------------------------------
+
+def test_resample_interpolate_linear_gaps(spark):
+    rows = [
+        ("k", "2024-01-01 00:00:00", 10.0),
+        ("k", "2024-01-01 00:03:00", 40.0),   # 2 missing minutes between
+        ("k", "2024-01-01 00:04:00", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.to_timestamp("ts").alias("ts"), "v"
+    )
+    got = {
+        r["bucket_ts"].minute: (r["value"], r["is_interp"])
+        for r in tmp.resample_interpolate(df, "k", "ts", "v", 60).collect()
+    }
+    assert got[0] == (10.0, False)
+    assert got[1] == (20.0, True)   # 10 + (40-10)*1/3
+    assert got[2] == (30.0, True)
+    assert got[3] == (40.0, False)
+    assert got[4] == (0.0, False)
+
+
+def test_resample_interpolate_null_observation_interpolated_over(spark):
+    rows = [
+        ("k", "2024-01-01 00:00:00", 0.0),
+        ("k", "2024-01-01 00:01:00", None),  # real row, null gauge read
+        ("k", "2024-01-01 00:02:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.to_timestamp("ts").alias("ts"), "v"
+    )
+    got = {
+        r["bucket_ts"].minute: (r["value"], r["is_interp"])
+        for r in tmp.resample_interpolate(df, "k", "ts", "v", 60).collect()
+    }
+    assert got[1] == (4.0, True)  # interpolated, not held at 0
