@@ -143,6 +143,8 @@ QUERIES = {
     "temporal_interval_overlap": "both sides bucket-exploded from ONE pass each; equi-join on bucket + first-shared-bucket residual (no distinct)",
     "graph_kcore_trade": "iterative peel: per-round degree agg + two semi-joins on a shrinking localCheckpoint'ed edge frame",
     "sampling_apportion_lrm": "stratum-frame quotas over a broadcast decimal-exact total; two bounded windows (metadata-sized)",
+    "distribution_group_quantiles": "group-PARTITIONED rank window (parallel) + broadcast (groups x probs) boundary probe; one conditional agg",
+    "temporal_resample_interp": "per-key explode grid; one backward + one forward key-partitioned window; no calendar join",
 }
 
 
