@@ -17,9 +17,19 @@ dedup._persist_sigs contract).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _live: dict[str, list[DataFrame]] = {}
+# One global lock: the read-unpersist-persist-update sequence below is not
+# atomic, and two concurrent calls on the same slot (a long-lived
+# multi-threaded driver server) would otherwise both read `prev`, both
+# persist, and the loser's generation would stay persisted forever with no
+# registry reference — the exact orphan leak this module exists to bound.
+# persist()/unpersist() only mark plans (no job runs under the lock), so a
+# single module-level lock costs microseconds, not serialization of work.
+_lock = threading.Lock()
 
 
 def same_plan(old: DataFrame, new: DataFrame) -> bool:
@@ -65,22 +75,25 @@ def persist_generation(
     re-materializing it, exactly as the pre-registry inline persists
     did via CacheManager plan matching (measured: the triangle/AA panel
     repeated-call medians tripled without this)."""
-    prev = _live.get(slot)
-    if (
-        prev is not None
-        and len(prev) == len(frames)
-        and all(_same_cached(o, n) for o, n in zip(prev, frames))
-    ):
-        return tuple(prev)
-    if prev is not None:
-        for old in prev:
-            try:
-                old.unpersist()
-            except Exception:
-                pass  # session torn down; nothing to release
-    out = [
-        f.persist(storage_level) if storage_level is not None else f.persist()
-        for f in frames
-    ]
-    _live[slot] = out
-    return tuple(out)
+    with _lock:
+        prev = _live.get(slot)
+        if (
+            prev is not None
+            and len(prev) == len(frames)
+            and all(_same_cached(o, n) for o, n in zip(prev, frames))
+        ):
+            return tuple(prev)
+        if prev is not None:
+            for old in prev:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # session torn down; nothing to release
+        out = [
+            f.persist(storage_level)
+            if storage_level is not None
+            else f.persist()
+            for f in frames
+        ]
+        _live[slot] = out
+        return tuple(out)

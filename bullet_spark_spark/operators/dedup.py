@@ -1623,7 +1623,23 @@ def source_overlap_matrix(
     return out
 
 
-_cap_memo: dict[str, tuple] = {}  # gram_col -> (postings, cap, n_drop, drop)
+# gram_col -> (postings, cap, n_drop, drop, (memo_epoch, data_epoch))
+_cap_memo: dict[str, tuple] = {}
+_cap_memo_epoch: int = 0
+
+
+def invalidate_cap_memo() -> None:
+    """Drop every memoized df-cap decision (and the DataFrame references
+    the memo pins). The memo's fast path keys on ANALYZED-PLAN equality
+    (``sameResult``), which — like Spark's own CacheManager — assumes
+    immutable inputs: re-running the same dedup query after the
+    underlying source FILES changed would otherwise reuse a stale drop
+    set. Call this on source refresh / catalog invalidation (the same
+    moment you'd call ``spark.catalog.refreshTable``), or at session
+    teardown in a long-lived server to release the py4j references."""
+    global _cap_memo_epoch
+    _cap_memo.clear()
+    _cap_memo_epoch += 1
 
 
 def df_capped_postings(
@@ -1633,6 +1649,7 @@ def df_capped_postings(
     max_df_frac: float | None = None,
     n_docs: int | None = None,
     drop_broadcast_below: int = 1_000_000,
+    data_epoch: object = None,
 ) -> DataFrame:
     """Apply the posting-join df budget rule (SCALE.md) to a (doc, gram)
     posting frame: drop every posting row whose gram's document frequency
@@ -1670,11 +1687,22 @@ def df_capped_postings(
     # drop COUNT is an eager job per call, so a server re-running the
     # same dedup query would pay one extra posting pass per invocation —
     # if the posting plan and cap match the previous call's, reuse its
-    # drop decision outright
+    # drop decision outright. sameResult compares PLANS, not data: like
+    # Spark's CacheManager the fast path assumes immutable inputs. When
+    # sources are mutable, pass ``data_epoch`` (any hashable version
+    # token — a snapshot id, refresh counter, mtime) so a data change
+    # invalidates the memo, or call :func:`invalidate_cap_memo` on
+    # refresh. One entry per gram_col, keyed to the CURRENT epoch only —
+    # size stays O(#gram spaces), refs released on invalidation.
     from bullet_spark_spark.operators._cache import same_plan
 
     memo = _cap_memo.get(gram_col)
-    if memo is not None and memo[1] == cap and same_plan(memo[0], postings):
+    if (
+        memo is not None
+        and memo[1] == cap
+        and memo[4] == (_cap_memo_epoch, data_epoch)
+        and same_plan(memo[0], postings)
+    ):
         n_drop, drop = memo[2], memo[3]
     else:
         drop = (
@@ -1684,7 +1712,13 @@ def df_capped_postings(
             .select(gram_col)
         )
         n_drop = drop.count()  # bounded: ≤ |postings|/cap rows
-        _cap_memo[gram_col] = (postings, cap, n_drop, drop)
+        _cap_memo[gram_col] = (
+            postings,
+            cap,
+            n_drop,
+            drop,
+            (_cap_memo_epoch, data_epoch),
+        )
     if n_drop == 0:
         return postings
     if n_drop <= drop_broadcast_below:

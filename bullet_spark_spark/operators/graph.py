@@ -568,6 +568,7 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
+    converged = False
     for it in range(max_iterations):
         deg = (
             e.select(F.col("a").alias("node"))
@@ -584,8 +585,20 @@ def kcore(
         n2 = e2.count()  # bounded: one scalar per round
         e = e2
         if n2 == n_edges:
+            converged = True
             break
         n_edges = n2
+    if not converged:
+        # Returning the partially-peeled subgraph would violate the
+        # documented invariant (every returned node has core_degree >= k
+        # within the returned set) — a 2(max_iterations)-node path needs
+        # ~len/2 rounds, so a silent fall-through here is a wrong answer,
+        # not a degraded one.
+        raise RuntimeError(
+            f"kcore(k={k}) did not reach the peeling fixpoint within "
+            f"max_iterations={max_iterations} (edge count still shrinking: "
+            f"{n_edges} edges at the last round); raise max_iterations."
+        )
     return (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))

@@ -833,6 +833,15 @@ def apportion_largest_remainder(
     base = df.filter(w > 0).select(
         *group_cols, F.round(w, 9).alias("__w")
     )
+    if total_n > 0 and not base.take(1):
+        # An all-null/non-positive weight frame would return EMPTY, so the
+        # budget would silently vanish — a contract violation, not a
+        # degenerate allocation. One take(1) on a metadata-sized frame.
+        raise ValueError(
+            f"apportion_largest_remainder: total_n={total_n} but no stratum "
+            f"has a positive {weight_col!r}; cannot satisfy "
+            "sum(alloc_n) == total_n"
+        )
     tot = base.agg(
         F.sum(F.col("__w").cast("decimal(38,9)")).cast("double").alias("__tw")
     )
