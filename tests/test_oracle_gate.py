@@ -133,3 +133,47 @@ def test_r10_window_occupies_driver_slots():
         "dedup_winnow_pairs",
         "pipeline_ccnet_buckets",
     ]
+
+
+# ---------------------------------------------------------------------------
+# r11: rows-only meta-gate (VERDICT r10 "what's wrong" #2)
+# ---------------------------------------------------------------------------
+
+def test_meta_gate_flags_unasserted_rows_only_fixture():
+    from tools.check_oracle import unasserted_rows_only
+
+    qs = {"a": None, "b": None, "c": None}
+    oracles = {"a": "SELECT 1"}
+    asserts = {"b": None}
+    # "c" is rows-only with no quality assert -> the sweep must fail on it
+    assert unasserted_rows_only(qs, oracles, asserts) == ["c"]
+    # covering "c" clears the gate
+    assert unasserted_rows_only(qs, oracles, {"b": None, "c": None}) == []
+
+
+def test_meta_gate_exits_nonzero_on_unasserted_registration(monkeypatch, capsys):
+    # end-to-end: main() must sys.exit(2) BEFORE running any query when
+    # the live inventory is polluted with an unasserted rows-only entry
+    import sys as _sys
+
+    import __spark_entry__ as entry
+    from tools import check_oracle
+
+    polluted = dict(entry.queries())
+    polluted["__r11_unasserted__"] = lambda spark, sf: None
+    monkeypatch.setattr(entry, "queries", lambda: polluted)
+    monkeypatch.setattr(_sys, "argv", ["check_oracle.py"])
+    with pytest.raises(SystemExit) as exc:
+        check_oracle.main()
+    assert exc.value.code == 2
+    assert "__r11_unasserted__" in capsys.readouterr().out
+
+
+def test_meta_gate_clean_on_live_inventory():
+    import __spark_entry__ as entry
+    from tools.check_oracle import unasserted_rows_only
+
+    missing = unasserted_rows_only(
+        entry.queries(), entry.oracle_sql(), entry.quality_asserts()
+    )
+    assert missing == [], f"rows-only queries without asserts: {missing}"

@@ -174,6 +174,19 @@ def surface_violations(sdf) -> list[str]:
     return bad
 
 
+def unasserted_rows_only(queries, oracles, quality_asserts) -> list[str]:
+    """Meta-gate (VERDICT r10 #2): every registered query WITHOUT an
+    oracle must carry a ``quality_asserts()`` entry. Before this gate, a
+    new rows-only registration silently landed as status ``rows_only``
+    — counted, never checked — and the "all 29 rows-only are asserted"
+    program invariant could regress invisibly. Returns the offending
+    names (empty == gate passes); :func:`main` fails the WHOLE sweep on
+    any hit, before running a single query."""
+    return sorted(
+        n for n in queries if n not in oracles and n not in quality_asserts
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -187,6 +200,22 @@ def main():
     from bullet_spark_spark import get_spark
     from bullet_spark_spark.sources.batch import TABLES
 
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    qa_map = getattr(entry, "quality_asserts", lambda: {})()
+    # registration-level invariant: checked over the FULL inventory even
+    # when a name filter narrows the run — an unasserted rows-only query
+    # is a program regression regardless of which subset executes today.
+    # Runs BEFORE Spark startup so the failure is instant.
+    missing_asserts = unasserted_rows_only(qs, oracles, qa_map)
+    if missing_asserts:
+        print(
+            "META-GATE FAIL: rows-only queries without a quality_asserts() "
+            "entry (every non-oracle registration must carry an in-sweep "
+            f"assert): {' '.join(missing_asserts)}"
+        )
+        sys.exit(2)
+
     spark = get_spark(app_name="check-oracle", shuffle_partitions=16)
     conn = duckdb.connect()
     for name in TABLES:
@@ -194,8 +223,6 @@ def main():
         if os.path.exists(path):
             conn.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
     names = args.names or list(qs)
     n_pass = n_fail = n_rowsonly = 0
     failures = []
@@ -225,7 +252,7 @@ def main():
             continue
         dt = time.time() - t0
         if name not in oracles:
-            qa = getattr(entry, "quality_asserts", lambda: {})().get(name)
+            qa = qa_map.get(name)
             if qa is not None:
                 # r9: rows-only queries with a registered statistical
                 # guarantee run it in-sweep — a violated guarantee is a
