@@ -9997,10 +9997,14 @@ def streaming_sample_drain(spark, sf_dir):
     SEMILATTICE (union, truncate), so the drained sample is independent
     of batch slicing and equals the batch ORDER BY md5 LIMIT k — drip ≡
     one-shot EXACTLY, which is the whole point of hash-priority sampling
-    over Vitter's RNG reservoir."""
+    over Vitter's RNG reservoir. Global mode hash-SHARDS the stream
+    (r11: per-shard bottom-k states, no single-reducer funnel); the
+    k-truncating merged_sample drain is exact by the same semilattice
+    property, so the oracle is unchanged."""
     import tempfile
 
     from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import merged_sample
     from bullet_spark_spark.streaming.monitor import sample_monitor as _sm
 
     t = _t(spark, sf_dir)
@@ -10009,7 +10013,7 @@ def streaming_sample_drain(spark, sf_dir):
     )
     with tempfile.TemporaryDirectory() as work:
         stream = file_drip(spark, src, work, chunks=3)
-        out = _sm(stream, "k", k=32)
+        out = _sm(stream, "k", k=32, n_shards=8)
         q_ = (
             out.writeStream.format("memory")
             .queryName("__sample_drain")
@@ -10019,13 +10023,8 @@ def streaming_sample_drain(spark, sf_dir):
             .start()
         )
         q_.awaitTermination(300)
-    snap = spark.table("__sample_drain")
-    return (
-        snap.filter(
-            F.col("n_seen")
-            == snap.select(F.max("n_seen")).first()[0]
-        )
-        .select("key", "priority", F.col("n_seen").cast("bigint").alias("n_seen"))
+    return merged_sample(spark.table("__sample_drain"), k=32).select(
+        "key", "priority", F.col("n_seen").cast("bigint").alias("n_seen")
     )
 
 

@@ -431,12 +431,13 @@ def sample_monitor(
     k: int = 64,
     seed: int = 0,
     group_col: str | None = None,
+    n_shards: int = 8,
 ) -> DataFrame:
     """Streaming DETERMINISTIC uniform sample → per-micro-batch snapshot:
-    (key, priority, n_seen). Completes the bounded-state quartet (EWMA,
-    Space-Saving, KMV, THIS): "give me k representative rows of
+    (group, key, priority, n_seen). Completes the bounded-state quartet
+    (EWMA, Space-Saving, KMV, THIS): "give me k representative rows of
     everything that has flowed past" with k (priority, key) pairs as the
-    ENTIRE state.
+    ENTIRE state per group.
 
     Instead of Vitter's Algorithm R (RNG tied to arrival order — rerun a
     stream, get a different sample), the priority is the SAMPLING HASH
@@ -449,11 +450,24 @@ def sample_monitor(
     (ORDER BY md5 LIMIT k), which makes this streaming operator
     ORACLE-CHECKABLE, like streaming_static_enrich_parity.
 
+    SCALE (VERDICT r10 #1): global mode (``group_col=None``) does NOT
+    funnel the stream through one state partition. Keys hash-shard via
+    ``pmod(xxhash64(key), n_shards)`` — the heavy_hitters_monitor
+    posture — so each shard holds its own bottom-k and throughput scales
+    with shards. The SAME semilattice property makes per-shard bottom-k
+    + a k-truncating merge at drain (:func:`merged_sample`) EXACTLY
+    equal to the single-group sample: hash-sharding sends each key to
+    exactly one shard, the global bottom-k therefore lives inside the
+    union of per-shard bottom-k's, and union-then-truncate is the
+    semilattice join. ``n_shards=1`` reproduces the single-group plan.
+    The priority is computed as a COLUMN (``F.md5``, JVM-side) before
+    the stateful stage — no per-key Python hashing in the fold.
+
     Dedup semantics: keyed on the VALUE (a key seen twice holds one
     sample slot — it is a distinct-key sample, the useful kind for
     drawing inspection rows from a keyed stream). ``n_seen`` counts rows
-    absorbed. State: ≤ k pairs forever (RocksDB-ready)."""
-    import hashlib as _hashlib
+    absorbed BY THAT GROUP. State: ≤ k pairs per group forever
+    (RocksDB-ready)."""
     import json as _json
 
     out_schema = StructType(
@@ -464,20 +478,23 @@ def sample_monitor(
             StructField("n_seen", LongType()),
         ]
     )
+    key_s = F.col(key_col).cast("string")
     # per-group sampling (``group_col``): one bounded k-pair state per
-    # group — the per-slice inspection sample; None = one GLOBAL sample
-    grp = (
-        F.col(group_col).cast("string")
-        if group_col is not None
-        else F.lit("__all__")
-    )
-    src = (
-        df.select(grp.alias("__g"), F.col(key_col).cast("string").alias("__k"))
-        .filter(F.col("__k").isNotNull() & F.col("__g").isNotNull())
-    )
-
-    def _pri(v: str) -> str:
-        return _hashlib.md5(f"{v}:{seed}".encode("utf-8")).hexdigest()
+    # group — the per-slice inspection sample; None = GLOBAL sample,
+    # hash-sharded so no single reducer absorbs the whole stream
+    if group_col is not None:
+        grp = F.col(group_col).cast("string")
+    elif n_shards > 1:
+        grp = F.concat(
+            F.lit("__shard"), F.pmod(F.xxhash64(key_s), F.lit(n_shards))
+        )
+    else:
+        grp = F.lit("__all__")
+    src = df.select(
+        grp.alias("__g"),
+        key_s.alias("__k"),
+        F.md5(F.concat(key_s, F.lit(f":{seed}"))).alias("__p"),
+    ).filter(F.col("__k").isNotNull() & F.col("__g").isNotNull())
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -488,10 +505,9 @@ def sample_monitor(
         else:
             n, items = 0, {}
         for pdf in pdfs:
-            vals = pdf["__k"]
-            n += int(len(vals))
-            for v in set(vals):
-                items[v] = _pri(v)
+            n += int(len(pdf))
+            sub = pdf.drop_duplicates(subset="__k")
+            items.update(zip(sub["__k"], sub["__p"]))
         # union then truncate: keep the k smallest (priority, key) pairs —
         # identical for ANY batch slicing of the same rows
         kept = sorted(((p, kk) for kk, p in items.items()))[:k]
@@ -501,13 +517,38 @@ def sample_monitor(
             columns=["group", "key", "priority", "n_seen"],
         )
 
-    # single group: the sample is GLOBAL (k rows of the whole stream);
-    # the state is k pairs, so one group is not a scale problem — shard
-    # like heavy_hitters_monitor if per-slice samples are wanted
     return src.groupBy("__g").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=_SAMPLE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merged_sample(snapshot: DataFrame, k: int) -> DataFrame:
+    """k-truncating merge of :func:`sample_monitor` snapshots → the
+    GLOBAL bottom-k: (key, priority, n_seen) where ``n_seen`` is the
+    total rows absorbed across all shards. Exact by the semilattice
+    property (see sample_monitor): take each shard's LATEST snapshot
+    (max n_seen per group — n_seen is monotone per shard), union, keep
+    the k smallest priorities. Batch operator over the drained sink
+    table; input is shards × k rows per snapshot — metadata-sized, the
+    unpartitioned-window warning is cosmetic."""
+    from pyspark.sql.window import Window as W
+
+    latest = snapshot.withColumn(
+        "__mx", F.max("n_seen").over(W.partitionBy("group"))
+    ).filter(F.col("n_seen") == F.col("__mx"))
+    total = (
+        latest.select("group", "n_seen")
+        .distinct()
+        .agg(F.sum("n_seen").cast("bigint").alias("__tot"))
+    )
+    return (
+        latest.select("key", "priority")
+        .orderBy("priority", "key")
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+        .select("key", "priority", F.col("__tot").alias("n_seen"))
     )

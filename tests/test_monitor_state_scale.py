@@ -24,6 +24,8 @@ from bullet_spark_spark.sources.streaming import file_drip
 from bullet_spark_spark.streaming.monitor import (
     distinct_monitor,
     heavy_hitters_monitor,
+    merged_sample,
+    sample_monitor,
 )
 
 _ROCKS_CONFS = {
@@ -151,3 +153,51 @@ def test_distinct_monitor_state_plateaus_under_rocksdb(spark, tmp_path):
     ).first()["est_distinct"]
     rse = 1.0 / (k - 2) ** 0.5
     assert abs(final - 480) / 480 <= 5 * rse, final
+
+
+def test_sample_monitor_state_plateaus_under_rocksdb(spark, tmp_path):
+    """Same drip for the bottom-k SAMPLE store (r11 sharded global mode):
+    state per shard is EXACTLY <= k (priority, key) pairs at epoch N and
+    at epoch 2N — pair count identical once saturated, bytes within
+    noise — while the distinct-key vocabulary doubles between the two
+    checkpoints. Closes the bounded-state proof over the full monitor
+    quartet (EWMA scalars are trivially bounded; Space-Saving, KMV and
+    THIS are proven from the live RocksDB store, not the output)."""
+    k, n_shards = 8, 2
+    rows = [(f"s{i}_{j}",) for i in range(24) for j in range(20)]
+    src = spark.createDataFrame(rows, "key string")
+    ck, batches = _drain_rocksdb(
+        spark,
+        src,
+        tmp_path,
+        lambda s: sample_monitor(s, "key", k=k, n_shards=n_shards),
+        "sample_plateau",
+    )
+    mid, last = batches[len(batches) // 2], batches[-1]
+    sizes = {}
+    for b in (mid, last):
+        state = _state_at(spark, ck, b)
+        assert len(state) == n_shards  # one state row per shard, forever
+        n_pairs, n_bytes = 0, 0
+        for r in state:
+            items = json.loads(r["value"]["groupState"]["items"])
+            assert len(items) <= k
+            # invariant: pairs sorted ascending by (priority, key) — the
+            # bottom-k of everything the shard absorbed
+            assert items == sorted(items)
+            n_pairs += len(items)
+            n_bytes += len(r["value"]["groupState"]["items"])
+        sizes[b] = (n_pairs, n_bytes)
+    assert sizes[mid][0] == sizes[last][0] == k * n_shards, sizes
+    assert sizes[last][1] <= sizes[mid][1] * 1.15, sizes
+    # drain-merge sanity on the same run: the merged global sample equals
+    # the batch bottom-k over all 480 keys (semilattice exactness)
+    import hashlib
+
+    want = sorted(
+        (hashlib.md5(f"{kk}:0".encode()).hexdigest(), kk)
+        for (kk,) in rows
+    )[:k]
+    got = merged_sample(spark.table("sample_plateau"), k=k).collect()
+    assert [(r["priority"], r["key"]) for r in got] == want
+    assert all(int(r["n_seen"]) == 480 for r in got)

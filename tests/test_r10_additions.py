@@ -224,12 +224,15 @@ def test_kcore_cascade_requires_iterations(spark):
 # streaming deterministic sample
 # ---------------------------------------------------------------------------
 
-def test_sample_monitor_drip_equals_batch(spark, tmp_path):
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_sample_monitor_drip_equals_batch(spark, tmp_path, n_shards):
     """Fully drained streaming sample == batch sample_exact_n (the
-    semilattice property), regardless of batch slicing."""
+    semilattice property), regardless of batch slicing — at S=1 (the
+    single-group plan) AND S>1 (r11 sharded global mode + k-truncating
+    merged_sample drain; exactness is the same semilattice law)."""
     from bullet_spark_spark.operators.sampling import sample_hash
     from bullet_spark_spark.sources.streaming import file_drip
-    from bullet_spark_spark.streaming.monitor import sample_monitor
+    from bullet_spark_spark.streaming.monitor import merged_sample, sample_monitor
 
     rows = [(f"user{i}",) for i in range(200)]
     src = spark.createDataFrame(rows, "key string")
@@ -240,35 +243,34 @@ def test_sample_monitor_drip_equals_batch(spark, tmp_path):
         .collect()
     ]
     stream = file_drip(spark, src, str(tmp_path / "in"), chunks=8)
-    out = sample_monitor(stream, "key", k=16)
+    out = sample_monitor(stream, "key", k=16, n_shards=n_shards)
+    name = f"sample_mon_s{n_shards}"
     q = (
         out.writeStream.format("memory")
-        .queryName("sample_mon")
+        .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(180)
-    final = spark.sql(
-        "SELECT key FROM sample_mon WHERE n_seen = "
-        "(SELECT max(n_seen) FROM sample_mon) ORDER BY priority"
-    ).collect()
-    assert [r["key"] for r in final] == sorted(
+    merged = merged_sample(spark.table(name), k=16).collect()
+    assert [r["key"] for r in merged] == sorted(
         want,
         key=lambda kk: __import__("hashlib").md5(f"{kk}:0".encode()).hexdigest(),
     )
-    assert set(r["key"] for r in final) == set(want)
+    assert set(r["key"] for r in merged) == set(want)
+    assert all(int(r["n_seen"]) == 200 for r in merged)
 
 
 def test_sample_monitor_state_is_bounded(spark, tmp_path):
     from bullet_spark_spark.sources.streaming import file_drip
-    from bullet_spark_spark.streaming.monitor import sample_monitor
+    from bullet_spark_spark.streaming.monitor import merged_sample, sample_monitor
 
     rows = [(f"k{i}",) for i in range(500)]
     src = spark.createDataFrame(rows, "key string")
     stream = file_drip(spark, src, str(tmp_path / "in"), chunks=4)
-    out = sample_monitor(stream, "key", k=8)
+    out = sample_monitor(stream, "key", k=8)  # default sharded global mode
     q = (
         out.writeStream.format("memory")
         .queryName("sample_bounded")
@@ -278,11 +280,15 @@ def test_sample_monitor_state_is_bounded(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
-    per_batch = spark.sql(
-        "SELECT n_seen, count(*) AS c FROM sample_bounded GROUP BY n_seen"
+    # every snapshot (one per shard per batch-with-rows) holds <= k pairs
+    per_snap = spark.sql(
+        "SELECT group, n_seen, count(*) AS c FROM sample_bounded "
+        "GROUP BY group, n_seen"
     ).collect()
-    assert per_batch and all(int(r["c"]) <= 8 for r in per_batch)
-    assert max(int(r["n_seen"]) for r in per_batch) == 500
+    assert per_snap and all(int(r["c"]) <= 8 for r in per_snap)
+    # shards partition the stream: latest per-shard counts sum to the total
+    merged = merged_sample(spark.table("sample_bounded"), k=8).collect()
+    assert len(merged) == 8 and all(int(r["n_seen"]) == 500 for r in merged)
 
 
 # ---------------------------------------------------------------------------
