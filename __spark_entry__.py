@@ -9932,7 +9932,9 @@ def temporal_interval_overlap(spark, sf_dir):
     interval∩interval) — the bucket-exploded equi-join keeps candidate
     pairs bucket-local and the first-shared-bucket rule emits each pair
     exactly once with NO post-join distinct over the candidate space.
-    Bucket width = 6 h in µs (the median window length)."""
+    Bucket width AUTO-DERIVED in-engine (r11: median valid-interval
+    length across both sides — one cheap agg) with the long-interval
+    split cap live at its default; the oracle is width-independent."""
     t = _t(spark, sf_dir)
     ev = t["events"].filter(F.col("ts").isNotNull())
     u = (
@@ -9966,9 +9968,7 @@ def temporal_interval_overlap(spark, sf_dir):
             )
         ).alias("w")
     ).select("w.wlo", "w.whi")
-    pairs = tmp.interval_overlap_join(
-        u, w, "ulo", "uhi", "wlo", "whi", bucket_width=float(6 * hours_us)
-    )
+    pairs = tmp.interval_overlap_join(u, w, "ulo", "uhi", "wlo", "whi")
     return pairs.select(
         "uid",
         F.col("wlo").alias("window_start_us"),
@@ -10397,10 +10397,11 @@ def streaming_sample_by_lang(spark, sf_dir):
 def distribution_group_quantiles(spark, sf_dir):
     """EXACT per-group quantiles (distribution.group_quantiles): p50/p90/
     p99 of extended price per return flag — the grouped companion of the
-    global exact paths, and the shape that SCALES where they range-
-    partition one domain: the rank window partitions BY GROUP (fully
-    parallel), boundary ranks ride a broadcast (groups × probs)-row
-    probe, interpolation matches DuckDB quantile_cont token for token."""
+    global exact paths. r11 scale shape: the in-group rank is RANGE-
+    partitioned on (group, v) (the column_stats posture — a hot group
+    spreads across many contiguous-range partitions; no single-task
+    sort), boundary ranks ride a broadcast (groups × probs)-row probe,
+    interpolation matches DuckDB quantile_cont token for token."""
     from bullet_spark_spark.operators import distribution as dist
 
     t = _t(spark, sf_dir)
@@ -10410,6 +10411,151 @@ def distribution_group_quantiles(spark, sf_dir):
         "l_extendedprice",
         [0.5, 0.9, 0.99],
     ).select(F.col("g").alias("l_returnflag"), "prob", "value")
+
+
+@q(
+    "distribution_group_quantiles_skew",
+    """WITH v AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'hot'
+                              ELSE 'cold' || CAST(l_orderkey % 3 AS VARCHAR)
+                         END AS g,
+                         CAST(l_extendedprice AS DOUBLE) AS v
+                  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       ranked AS (SELECT g, v,
+                         row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS r
+                  FROM v),
+       counts AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+       ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                             CAST(0.99 AS DOUBLE)]) AS p),
+       probe AS (SELECT g, p,
+                        CAST(floor((n - 1) * p) AS BIGINT) AS lo,
+                        CAST(least(floor((n - 1) * p) + 1, n - 1) AS BIGINT) AS hi,
+                        (n - 1) * p - floor((n - 1) * p) AS frac
+                 FROM counts CROSS JOIN ps),
+       j AS (SELECT pr.g, pr.p, pr.frac,
+                    min(CASE WHEN rk.r = pr.lo THEN rk.v END) AS vlo,
+                    min(CASE WHEN rk.r = pr.hi THEN rk.v END) AS vhi
+             FROM probe pr JOIN ranked rk
+               ON rk.g = pr.g AND (rk.r = pr.lo OR rk.r = pr.hi)
+             GROUP BY 1, 2, 3)
+       SELECT g, p AS prob, round(vlo + (vhi - vlo) * frac, 6) AS value
+       FROM j""",
+)
+def distribution_group_quantiles_skew(spark, sf_dir):
+    """Per-group exact quantiles on a DELIBERATELY SKEWED grouping
+    (VERDICT r10 task 7): a planted 90/10 split — l_orderkey % 10 <> 0
+    funnels ~90% of lineitem into ONE 'hot' group, the rest into three
+    small cold groups — certifying exactly the hot-group path the r11
+    range-partitioned in-group rank exists for (the fixtures' natural
+    keys are near-uniform and never exercise it). Values must remain
+    bit-identical to the sequential h=(n−1)p interpolation regardless of
+    how many range partitions the hot group spans."""
+    from bullet_spark_spark.operators import distribution as dist
+
+    t = _t(spark, sf_dir)
+    g = F.when(F.col("l_orderkey") % 10 != 0, F.lit("hot")).otherwise(
+        F.concat(F.lit("cold"), (F.col("l_orderkey") % 3).cast("string"))
+    )
+    df = t["lineitem"].select(g.alias("g"), "l_extendedprice")
+    return dist.group_quantiles(df, ["g"], "l_extendedprice", [0.5, 0.9, 0.99])
+
+
+@q(
+    "temporal_interval_overlap_skew",
+    """WITH ev AS (SELECT user_id, ts FROM events
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       s AS (SELECT user_id AS uid, 's' AS kind,
+                    CAST(epoch_us(min(ts)) AS BIGINT) AS ulo,
+                    CAST(epoch_us(max(ts)) AS BIGINT) AS uhi
+             FROM ev WHERE user_id % 25 = 0
+             GROUP BY user_id, date_trunc('day', ts)
+             HAVING min(ts) < max(ts)),
+       l AS (SELECT user_id AS uid, 'l' AS kind,
+                    CAST(epoch_us(min(ts)) AS BIGINT) AS ulo,
+                    CAST(epoch_us(max(ts)) AS BIGINT) AS uhi
+             FROM ev WHERE user_id % 125 = 0
+             GROUP BY user_id
+             HAVING min(ts) < max(ts)),
+       u AS (SELECT * FROM s UNION ALL SELECT * FROM l),
+       days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM ev),
+       w AS (SELECT CAST(epoch_us(d + INTERVAL 2 HOUR) AS BIGINT) AS wlo,
+                    CAST(epoch_us(d + INTERVAL 8 HOUR) AS BIGINT) AS whi
+             FROM days
+             UNION ALL
+             SELECT CAST(epoch_us(d + INTERVAL 12 HOUR) AS BIGINT),
+                    CAST(epoch_us(d + INTERVAL 18 HOUR) AS BIGINT)
+             FROM days)
+       SELECT u.uid, u.kind, w.wlo AS window_start_us,
+              round((least(u.uhi, w.whi) - greatest(u.ulo, w.wlo)) / 1e6, 6)
+                AS overlap_sec
+       FROM u JOIN w ON u.ulo < w.whi AND w.wlo < u.uhi""",
+)
+def temporal_interval_overlap_skew(spark, sf_dir):
+    """Interval-overlap join on a LONG-TAIL interval mix (VERDICT r10
+    task 7): intra-day activity sessions (the short 90%+) UNIONED with
+    full-month spans for user_id % 125 == 0 (the planted year-long-
+    outage analogue) against twice-daily 6-hour maintenance windows.
+    Runs with the AUTO-derived width and max_buckets_per_row=16 so the
+    month-long spans exceed cap·w and route through the broadcast
+    theta path — certifying the r11 split against a hash-matched oracle
+    (the plain theta-join SQL; pairs are width- and cap-independent)."""
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    ts = F.col("ts").cast("timestamp")
+    s = (
+        ev.filter(F.col("user_id") % 25 == 0)
+        .groupBy(
+            F.col("user_id").alias("uid"),
+            F.date_trunc("day", F.col("ts")).alias("__d"),
+        )
+        .agg(
+            F.unix_micros(F.min(ts)).alias("ulo"),
+            F.unix_micros(F.max(ts)).alias("uhi"),
+        )
+        .drop("__d")
+        .filter(F.col("ulo") < F.col("uhi"))
+        .select("uid", F.lit("s").alias("kind"), "ulo", "uhi")
+    )
+    long_spans = (
+        ev.filter(F.col("user_id") % 125 == 0)
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(
+            F.unix_micros(F.min(ts)).alias("ulo"),
+            F.unix_micros(F.max(ts)).alias("uhi"),
+        )
+        .filter(F.col("ulo") < F.col("uhi"))
+        .select("uid", F.lit("l").alias("kind"), "ulo", "uhi")
+    )
+    u = s.unionByName(long_spans)
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("d")
+    ).distinct()
+    hours_us = 3_600_000_000
+    d_us = F.unix_micros("d")
+    w = days.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (d_us + 2 * hours_us).alias("wlo"),
+                    (d_us + 8 * hours_us).alias("whi"),
+                ),
+                F.struct(
+                    (d_us + 12 * hours_us).alias("wlo"),
+                    (d_us + 18 * hours_us).alias("whi"),
+                ),
+            )
+        ).alias("w")
+    ).select("w.wlo", "w.whi")
+    pairs = tmp.interval_overlap_join(
+        u, w, "ulo", "uhi", "wlo", "whi", max_buckets_per_row=16
+    )
+    return pairs.select(
+        "uid",
+        "kind",
+        F.col("wlo").alias("window_start_us"),
+        F.round(
+            (F.least("uhi", "whi") - F.greatest("ulo", "wlo")) / F.lit(1e6), 6
+        ).alias("overlap_sec"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -836,26 +836,59 @@ def group_quantiles(
 ) -> DataFrame:
     """EXACT linear-interpolation quantiles PER GROUP → one row per
     (group, prob): (groups..., prob, value). The grouped companion of the
-    global exact paths: the global sort-based path range-partitions ONE
-    value domain, but per-group quantiles partition naturally — the
-    ``row_number`` window is PARTITIONED by the group (fully parallel,
-    never a single-partition window), so the whole thing is one shuffle
-    keyed by group + a broadcast-sized boundary probe.
+    global exact paths.
 
     Interpolation matches DuckDB ``quantile_cont`` (h = (n−1)·p, linear
     between the floor/ceil ranks), written token-identically in the
-    oracle so values hash-match. Plan: per-group counts (combinable
-    aggregate) → a (group × prob) probe frame carrying the two boundary
-    ranks + fraction (groups × probs rows — metadata-sized, broadcast)
-    → ONE conditional aggregate over the ranked rows picks both boundary
-    values per (group, prob); the result is a single IEEE expression."""
+    oracle so values hash-match.
+
+    Scale shape (r11, VERDICT r10 #3): the in-group rank is RANGE-
+    partitioned on (group, v) — the column_stats / exact_quantiles_
+    distributed posture — NOT a ``row_number over (partition by group
+    order by v)`` window. The window form is parallel across groups but
+    sorts each group on ONE task, so a hot group (one language at 80% of
+    a corpus) becomes a straggler/OOM at 100×. Here repartitionByRange
+    spreads a hot group across many contiguous-range partitions,
+    per-(group, partition) counts roll up to in-group offsets via a
+    window over the group×partition METADATA frame, and in-group rank =
+    offset + row_number within the (group, partition) slice — identical
+    ranks, no single-task sort anywhere. Then: per-group counts → a
+    (group × prob) probe frame carrying the two boundary ranks +
+    fraction (metadata-sized, broadcast) → ONE conditional aggregate
+    picks both boundary values per (group, prob); the result is a
+    single IEEE expression."""
+    spark = df.sparkSession
     g = [F.col(c) for c in group_cols]
     vals = df.select(
         *g, F.col(value_col).cast("double").alias("v")
     ).filter(F.col("v").isNotNull())
-    w = W.partitionBy(*group_cols).orderBy("v")
-    ranked = vals.withColumn("__r", F.row_number().over(w) - 1)
-    counts = vals.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    n_range = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = vals.repartitionByRange(n_range, *group_cols, "v").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    pc = ranged.groupBy(*group_cols, "__pid").agg(
+        F.count(F.lit(1)).alias("__pc")
+    )
+    offsets = pc.select(
+        *group_cols,
+        "__pid",
+        (
+            F.sum("__pc").over(W.partitionBy(*group_cols).orderBy("__pid"))
+            - F.col("__pc")
+        ).alias("__off"),
+    )
+    ranked = ranged.join(F.broadcast(offsets), [*group_cols, "__pid"]).select(
+        *group_cols,
+        "v",
+        (
+            F.col("__off")
+            + F.row_number().over(
+                W.partitionBy(*group_cols, "__pid").orderBy("v")
+            )
+            - 1
+        ).alias("__r"),
+    )
+    counts = pc.groupBy(*group_cols).agg(F.sum("__pc").alias("__n"))
     probe = None
     for p in probs:
         h = (F.col("__n") - 1) * F.lit(float(p))

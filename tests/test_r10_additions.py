@@ -158,6 +158,63 @@ def test_interval_overlap_no_duplicate_pairs(spark):
     assert len(out) == 1  # first-shared-bucket rule, no post-join distinct
 
 
+def test_interval_overlap_auto_width_matches_brute_force(spark):
+    """r11: bucket_width=None derives the median interval length
+    in-engine; pairs are width-independent, so auto == brute force."""
+    ls = [(i, float(i * 3), float(i * 3 + 5)) for i in range(40)]
+    rs = [(j, float(j * 7 + 1), float(j * 7 + 4)) for j in range(25)]
+    l = spark.createDataFrame(ls, "lid long, llo double, lhi double")
+    r = spark.createDataFrame(rs, "rid long, rlo double, rhi double")
+    got = {
+        (x["lid"], x["rid"])
+        for x in tmp.interval_overlap_join(
+            l, r, "llo", "lhi", "rlo", "rhi"
+        ).collect()
+    }
+    assert got == _brute_overlap(ls, rs)
+
+
+def test_interval_overlap_long_tail_split_pins_explode(spark):
+    """r11 explode cap: ONE year-long outage among second-scale sessions
+    must not multiply rows — the long interval routes through the
+    broadcast theta path, and the bucket-side explode stays ~2 rows per
+    short interval. Result still equals brute force."""
+    # 300 one-second sessions + one ~year-long (3e7 s) outage on the left
+    ls = [(i, float(i * 10), float(i * 10 + 1)) for i in range(300)]
+    ls.append((999, 0.0, 3.0e7))
+    rs = [(j, float(j * 13), float(j * 13 + 2)) for j in range(200)]
+    l = spark.createDataFrame(ls, "lid long, llo double, lhi double")
+    r = spark.createDataFrame(rs, "rid long, rlo double, rhi double")
+    out = tmp.interval_overlap_join(
+        l, r, "llo", "lhi", "rlo", "rhi", bucket_width=1.0,
+        max_buckets_per_row=64,
+    )
+    got = {(x["lid"], x["rid"]) for x in out.collect()}
+    assert got == _brute_overlap(ls, rs)
+    # pin the explode factor: only intervals <= cap*w enter the bucket
+    # path, so its total explode is bounded by ~2 rows per short session —
+    # the year-long row (3e7 buckets at w=1) never reaches a generate node
+    exploded_rows = (
+        l.filter((F.col("lhi") - F.col("llo")) <= 64 * 1.0)
+        .withColumn(
+            "__n",
+            F.floor(F.col("lhi") / F.lit(1.0)) - F.floor(F.col("llo") / F.lit(1.0)) + 1,
+        )
+        .agg(F.sum("__n"))
+        .first()[0]
+    )
+    assert exploded_rows <= 300 * 2  # short sessions only, ~2 buckets each
+    # same fixture, same answer at a different cap (split boundary moves)
+    got2 = {
+        (x["lid"], x["rid"])
+        for x in tmp.interval_overlap_join(
+            l, r, "llo", "lhi", "rlo", "rhi", bucket_width=1.0,
+            max_buckets_per_row=1000,
+        ).collect()
+    }
+    assert got2 == got
+
+
 def test_interval_overlap_half_open_and_degenerate(spark):
     l = spark.createDataFrame(
         [(1, 0.0, 5.0), (2, 7.0, 7.0)], "lid long, llo double, lhi double"
