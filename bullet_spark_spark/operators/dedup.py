@@ -892,6 +892,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_uf_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into transitive clusters: (node, component)
     where component = the smallest node id reachable through any chain of
@@ -917,7 +918,22 @@ def connected_components(
     by the union-find property differential). This is the standard
     large-graph CC loop (GraphX/GraphFrames posture) expressed in
     DataFrames; the returned frame is checkpoint-backed, so downstream
-    consumers never replay the iteration lineage."""
+    consumers never replay the iteration lineage.
+
+    SMALL-GRAPH fast path (r11, VERDICT r10 task 8): the loop's cost is
+    per-iteration FIXED overhead (eager checkpoint + convergence count ≈
+    3 driver jobs × diameter), which dwarfs the data cost on the
+    collision-bounded edge sets near-dup verify thresholds actually
+    produce (the sf0.1 ensemble: ~1.4k directed edges, ~12 s of loop for
+    <1 ms of union-find). When the DEDUPED directed edge count is ≤
+    ``driver_uf_threshold`` (default 1M rows ≈ tens of MB — an explicit,
+    commented driver-side collect; the count that gates it is on the
+    already-persisted edge frame), the components are resolved with an
+    exact in-driver union-find (min-label semantics identical to the
+    loop, pinned by the existing property differential) and returned as
+    one small createDataFrame. Webby corpora whose pair space exceeds
+    the threshold take the distributed loop unchanged — the 100 TB path
+    is the loop, the fast path is for the fixed-overhead regime."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -926,6 +942,46 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+    if n_edges <= driver_uf_threshold:
+        # bounded by the gate above: one collect of the pair-space frame,
+        # then path-compressed union-find with min-label representatives
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-label union: the smaller id roots the tree, so the
+                # final representative is the component minimum (the
+                # keep-one semantics the distributed loop converges to)
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        from pyspark.sql.types import StructField, StructType
+
+        spark = pairs.sparkSession
+        node_type = pairs.schema[id_a].dataType
+        out_schema = StructType(
+            [StructField("node", node_type), StructField("comp", node_type)]
+        )
+        return spark.createDataFrame(
+            [(n, find(n)) for n in parent], out_schema
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -125,18 +125,32 @@ def test_connected_components_equals_union_find(spark, edges):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     expected = {n: find(n) for n in parent}
+    # driver_uf_threshold=0 forces the DISTRIBUTED loop — the 100 TB path
+    # keeps its differential coverage now that small graphs default to
+    # the in-driver fast path (r11)
     got = {
-        r["node"]: r["comp"] for r in dd.connected_components(pairs).collect()
+        r["node"]: r["comp"]
+        for r in dd.connected_components(
+            pairs, driver_uf_threshold=0
+        ).collect()
     }
     assert got == expected
+    # and the r11 fast path (default threshold) produces the identical map
+    got_fast = {
+        r["node"]: r["comp"] for r in dd.connected_components(pairs).collect()
+    }
+    assert got_fast == expected
 
 
 def test_connected_components_long_chain(spark):
-    """Regression: a 30-node path graph (diameter 29) — per-iteration
-    lineage must be truncated (localCheckpoint), or the compounding plan
-    tree overflows the JVM stack during analysis around diameter 8."""
+    """Regression: a 30-node path graph (diameter 29) through the
+    DISTRIBUTED loop — per-iteration lineage must be truncated
+    (localCheckpoint), or the compounding plan tree overflows the JVM
+    stack during analysis around diameter 8."""
     edges = [(i, i + 1) for i in range(29)]
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    comps = dd.connected_components(df, max_iterations=40).collect()
+    comps = dd.connected_components(
+        df, max_iterations=40, driver_uf_threshold=0
+    ).collect()
     assert {r["comp"] for r in comps} == {0}
     assert len(comps) == 30
