@@ -201,6 +201,7 @@ def main() -> None:
         qs[name](spark, SF_DIR).limit(1).collect()
 
     times: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     import gc as _gc
 
     measure_order = MEASURE_FIRST + [n for n in BENCH if n not in MEASURE_FIRST]
@@ -222,8 +223,16 @@ def main() -> None:
             n = qs[name](spark, SF_DIR).count()
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
+        all_samples[name] = [round(s, 4) for s in samples]
 
     times = {n: times[n] for n in BENCH}  # stable artifact order
+    # r11 (VERDICT r10 task 9): the committed artifact carries every
+    # sample for the TOP-10 most expensive queries, so round-over-round
+    # comparisons of the heavy family stop adjudicating single-sample
+    # noise (the control-plane floor got this in r10; this is the query
+    # side of the same discipline)
+    top10 = sorted(times, key=times.get, reverse=True)[:10]
+    queries_samples = {n: all_samples[n] for n in top10}
 
     streaming_rps = _streaming_ingest_rate(spark)
     control_qps, control_register_qps, control_samples = _control_plane_rate(spark)
@@ -240,6 +249,9 @@ def main() -> None:
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
+        # median-of-REPEATS is what `queries` carries; the raw samples for
+        # the 10 most expensive queries ride along (VERDICT r10 task 9)
+        "queries_samples_top10": queries_samples,
         "streaming_rows_per_sec": streaming_rps,
         "control_plane_queries_per_sec": control_qps,
         "control_plane_queries_per_sec_128": control_qps_128,
@@ -310,9 +322,19 @@ def _compact_line(out: dict, budget: int = 1900) -> str:
         "queries": {},
     }
     ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    samples = out.get("queries_samples_top10", {})
     line = json.dumps(head, separators=(",", ":"))
-    for name, sec in ranked:
-        head["queries"][name] = round(sec, 2)
+    for i, (name, sec) in enumerate(ranked):
+        # top 10 carry {m: median, s: [raw samples]} (VERDICT r10 task 9 —
+        # the driver-recorded line stops carrying single-sample noise for
+        # the heavy family); the tail stays compact medians
+        if i < 10 and name in samples:
+            head["queries"][name] = {
+                "m": round(sec, 2),
+                "s": [round(s, 2) for s in samples[name]],
+            }
+        else:
+            head["queries"][name] = round(sec, 2)
         head["queries_omitted"] = len(ranked) - len(head["queries"])
         cand = json.dumps(head, separators=(",", ":"))
         if len(cand) > budget:
