@@ -11174,7 +11174,76 @@ def _rotate_window(priority: list[str]) -> None:
         d.update(snap)
 
 
-_rotate_window(_WINDOW_R10)
+_WINDOW_R11 = [
+    # -- the 11 r11-queue oracle rows (registered post-freeze in r10; first
+    #    driver rows — VERDICT r10 task 1, frozen at round start) --
+    "dedup_bbit_minhash",
+    "distribution_ab_power",
+    "distribution_group_quantiles",
+    "distribution_kruskal",
+    "sampling_apportion_lrm",
+    "temporal_interval_overlap",
+    "temporal_resample_interp",
+    "streaming_sample_drain",
+    "streaming_sample_by_lang",
+    "streaming_join_drain",
+    "streaming_dedup_drain",
+    # -- new r11 skewed-fixture certifications (VERDICT r10 task 7): the
+    #    hot-group quantile rank and the long-interval split at planted
+    #    90/10 skew --
+    "distribution_group_quantiles_skew",
+    "temporal_interval_overlap_skew",
+    # -- changed implementation this round: connected_components driver
+    #    union-find fast path (task 8) and the df-cap memo epoch — every
+    #    closure/cap consumer re-certifies --
+    "dedup_neardup_components",
+    "dedup_minhash_survivors",
+    "dedup_semantic_survivors",
+    "dedup_ensemble_survivors",
+    "sampling_split_leakage",
+    "dedup_weighted_jaccard",
+    "dedup_containment_pairs",
+    "dedup_winnow_pairs",
+    "dedup_fuzzy_pairs",
+    # -- long-green sentinels spanning the core families --
+    "bullet_filter_project",
+    "bullet_group_agg",
+    "bullet_count_distinct",
+    "bullet_quantile",
+    "bullet_topk_freq",
+    "bullet_group_all",
+    "bullet_raw_limit",
+    "bullet_having_orderby",
+    "bullet_pmf_cdf",
+    "expr_scalar",
+    "expr_string",
+    "expr_json",
+    "expr_temporal",
+    "expr_container_anyall",
+    "tpch_q1_pricing",
+    "tpch_q6_forecast",
+    "tpch_q21_waiting_supp",
+    "join_asof",
+    "join_inner_broadcast",
+    "join_range_bands",
+    "window_tumbling_10m",
+    "window_hopping_10m_5m",
+    "dedup_exact",
+    "dedup_span_exact",
+    "sim_cosine_neardup",
+    "sim_cluster_inertia",
+    "text_flesch",
+    "sampling_deterministic",
+    # -- overflow sentinels (positions 51-56): inside the window iff the
+    #    driver skips rows-only rows when counting to 50 --
+    "quality_gopher_rules",
+    "streaming_static_enrich_parity",
+    "scale_column_stats",
+    "graph_pagerank_trade",
+    "multimodal_warc_roundtrip",
+    "relational_incremental_agg",
+]
+_rotate_window(_WINDOW_R11)
 
 
 # ---------------------------------------------------------------------------

@@ -96,42 +96,49 @@ def test_fixed_scale_csv_matches_across_engines(spark, duck):
     assert srow == "0.500000,-1.250000,0.000000,123.456789,-0.000001"
 
 
-def test_r10_window_occupies_driver_slots():
+def test_r11_window_occupies_driver_slots():
     """The driver certifies the FIRST 50 registrations; the current
     round's window list must exactly occupy those slots under BOTH
     window interpretations (first-50-registrations and first-50-oracle-
-    eligible — the r10 list is 56 entries long so the 25 queued rows and
-    every changed-implementation re-certification sit inside the gate
-    either way; a stray registration reordering would silently rotate an
-    uncertified query out)."""
+    eligible — the r11 list is all-oracle-eligible, so the 11 queued
+    rows, the 2 skewed-fixture rows, and every changed-implementation
+    re-certification sit inside the gate either way; a stray
+    registration reordering would silently rotate an uncertified query
+    out)."""
     import re
 
     import __spark_entry__ as entry
 
     src = open(entry.__file__).read()
-    win = re.search(r"_WINDOW_R10 = \[(.*?)\]", src, re.S).group(1)
+    win = re.search(r"_WINDOW_R11 = \[(.*?)\]\n_rotate_window", src, re.S).group(1)
     names = re.findall(r'"([^"]+)"', win)
     assert len(names) == 56
     regs = list(entry.queries())
     assert regs[:56] == names
     oracles = entry.oracle_sql()
     first50_oracle = [n for n in regs if n in oracles][:50]
-    # the 19 queued oracle rows lead the window, then the 6 rows-only
-    # conversions (driver rows-only checks), then the changed-impl
-    # re-certifications — all inside the gate under either reading
-    queued = names[:19]
-    rows_only = names[19:25]
-    recerts = names[25:30]
-    assert all(n not in oracles for n in rows_only)
+    # the 11 queued oracle rows lead the window, then the 2 skewed
+    # fixtures, then the changed-impl re-certifications (closure fast
+    # path + df-cap memo epoch consumers) — all inside the gate under
+    # either reading
+    queued = names[:11]
+    skewed = names[11:13]
+    recerts = names[13:22]
+    assert all(n in oracles for n in names)  # r11: no rows-only in-window
     assert set(queued) <= set(first50_oracle)
+    assert set(skewed) <= set(first50_oracle)
     assert set(recerts) <= set(first50_oracle)
-    assert set(queued + rows_only + recerts) <= set(regs[:50])
+    assert set(queued + skewed + recerts) <= set(regs[:50])
     assert recerts == [
+        "dedup_neardup_components",
+        "dedup_minhash_survivors",
+        "dedup_semantic_survivors",
+        "dedup_ensemble_survivors",
+        "sampling_split_leakage",
         "dedup_weighted_jaccard",
         "dedup_containment_pairs",
-        "dedup_lexical_cosine",
         "dedup_winnow_pairs",
-        "pipeline_ccnet_buckets",
+        "dedup_fuzzy_pairs",
     ]
 
 
