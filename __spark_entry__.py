@@ -10559,6 +10559,232 @@ def temporal_interval_overlap_skew(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r11-late additions (registered POST-freeze — r12 driver queue):
+# MaxSim late-interaction rerank, DSIR importance weights, exact-regime
+# streaming top-k drain, SemDeDup cluster-local pruning.
+# ---------------------------------------------------------------------------
+
+
+def _maxsim_oracle_sql(m: int = 4, dim: int = 64, mod: int = 400, k: int = 5) -> str:
+    """DuckDB twin of similarity.maxsim_topk on the embeddings fixture:
+    m equal slices per vector, score = Σ_i max_j cos(q_i, d_j), built by
+    the same loops that build the Spark expressions."""
+    sub = dim // m
+
+    def sl(col: str, i: int) -> str:
+        return f"{col}[{i * sub + 1}:{(i + 1) * sub}]"
+
+    c_norms = ", ".join(
+        f"sqrt(list_dot_product({sl('v', j)}, {sl('v', j)})) AS n{j}"
+        for j in range(m)
+    )
+    def cos_ij(i: int, j: int) -> str:
+        return (
+            f"CASE WHEN qn{i} * n{j} > 0 THEN "
+            f"list_dot_product({sl('qv', i)}, {sl('v', j)}) / (qn{i} * n{j}) "
+            f"ELSE 0.0 END"
+        )
+
+    best = [
+        "greatest(" + ", ".join(cos_ij(i, j) for j in range(m)) + ")"
+        for i in range(m)
+    ]
+    score = " + ".join(best)
+    q_norms = ", ".join(f"n{i} AS qn{i}" for i in range(m))
+    return f"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+       c AS (SELECT vec_id, v, {c_norms} FROM ev),
+       q AS (SELECT vec_id AS qid, v AS qv, {q_norms}
+             FROM c WHERE vec_id % {mod} = 0),
+       s AS (SELECT q.qid, c.vec_id,
+                    round({score}, 6) AS score
+             FROM q JOIN c ON c.vec_id <> q.qid),
+       rk AS (SELECT qid, vec_id, score,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+              FROM s)
+       SELECT qid AS query_id, vec_id, score, CAST(rank AS INT) AS rank
+       FROM rk WHERE rank <= {k}"""
+
+
+@q("sim_maxsim_rerank", _maxsim_oracle_sql())
+def sim_maxsim_rerank(spark, sf_dir):
+    """ColBERT-style MaxSim LATE-INTERACTION rerank
+    (similarity.maxsim_topk — Khattab & Zaharia 2020): each vector is m=4
+    equal sub-vector slices and score(q, d) = Σ_i max_j cos(q_i, d_j) —
+    partial/multi-aspect matches score where single-vector cosine
+    averages them away. All pure Catalyst (slice → ordered-fold dot →
+    greatest → fixed-order sum), per-slice norms precomputed per side
+    before the broadcast pair join; hash-matched against the DuckDB
+    list-slice twin generated by the SAME loops. The exact |Q|·|C|·m²
+    baseline — at scale it reranks an ANN candidate set."""
+    t = _t(spark, sf_dir)
+    ev = t["embeddings"]
+    queries = ev.filter(F.col("vec_id") % 400 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return sim.maxsim_topk(
+        ev, queries, k=5, n_subvectors=4, exclude_self=True
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@q(
+    "text_dsir_weights",
+    """WITH tt AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                 '\\s+')) AS term
+                   FROM documents WHERE lang = 'en'),
+       tsrc AS (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                              '\\s+')) AS term
+                FROM documents),
+       ft AS (SELECT ('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024 AS f,
+                     count(*) AS ct
+              FROM tt WHERE len(term) > 0 GROUP BY 1),
+       fall AS (SELECT doc_id,
+                       ('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024 AS f
+                FROM tsrc WHERE len(term) > 0),
+       fsrc AS (SELECT f, count(*) AS cs FROM fall GROUP BY 1),
+       j AS (SELECT coalesce(ft.f, fsrc.f) AS f,
+                    coalesce(ct, 0) AS ct, coalesce(cs, 0) AS cs
+             FROM ft FULL OUTER JOIN fsrc USING (f)),
+       tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM j),
+       lam AS (SELECT f,
+                      CAST(round(ln((ct + 1.0) / (nt + 1024.0))
+                                 - ln((cs + 1.0) / (ns + 1024.0)), 8)
+                           AS DECIMAL(18,8)) AS lam
+               FROM j CROSS JOIN tot),
+       dc AS (SELECT doc_id, f, count(*) AS c FROM fall GROUP BY 1, 2)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              round(CAST(sum(CAST(c AS DECIMAL(10,0)) * lam) AS DOUBLE), 6)
+                AS logweight
+       FROM dc JOIN lam USING (f) GROUP BY doc_id""",
+)
+def text_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (text.dsir_importance_weights — Xie et al.
+    2023): hashed-unigram log-likelihood ratio of the TARGET distribution
+    (lang='en' documents) against the raw corpus, the resample-∝-exp(w)
+    signal that selects pretraining data to MATCH a target distribution
+    rather than pass a threshold. Engine-portable md5 feature buckets
+    (B=1024), λ_f rounded 8 dp, per-doc Σ c_f·λ_f in exact DECIMAL —
+    hash-matched end to end."""
+    from bullet_spark_spark.operators import text as _tx
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    return _tx.dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024, smoothing=1.0
+    )
+
+
+@q(
+    "streaming_topk_exact_drain",
+    """WITH src AS (SELECT CAST(user_id % 1000 AS VARCHAR) AS key
+                    FROM events WHERE user_id IS NOT NULL),
+       c AS (SELECT key, count(*) AS cnt FROM src GROUP BY key)
+       SELECT key, CAST(cnt AS BIGINT) AS cnt
+       FROM c ORDER BY cnt DESC, key LIMIT 20""",
+)
+def streaming_topk_exact_drain(spark, sf_dir):
+    """Streaming heavy hitters in the EXACT regime, fully drained and
+    therefore ORACLE-CHECKED (the streaming_sample_drain precedent):
+    with m ≥ per-shard distinct keys, Space-Saving never evicts, so
+    est == true and err == 0 for every key — the drained per-shard
+    snapshots merge by plain summation into the exact global counts,
+    hash-matched against GROUP BY count ORDER BY LIMIT. One operator,
+    two certified regimes: constrained (streaming_heavy_hitters,
+    guarantee-asserted) and exact (THIS, value-exact)."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import (
+        heavy_hitters_monitor as _hh,
+    )
+
+    t = _t(spark, sf_dir)
+    src = t["events"].filter(F.col("user_id").isNotNull()).select(
+        (F.col("user_id") % 1000).cast("string").alias("k")
+    )
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, src, work, chunks=3)
+        out = _hh(stream, "k", m=512, n_shards=4)
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName("__topk_exact")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    snap = spark.table("__topk_exact")
+    final = snap.withColumn(
+        "__mx", F.max("n_seen").over(W.partitionBy("shard"))
+    ).filter(F.col("n_seen") == F.col("__mx"))
+    return (
+        final.groupBy("key")
+        .agg(F.sum("est").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "key")
+        .limit(20)
+    )
+
+
+@q(
+    "dedup_semdedup_prune",
+    f"""WITH RECURSIVE {_CENTROID_CTE},
+       evd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+       pd AS (SELECT evd.vec_id, c.label AS cand, evd.v AS ve,
+                     c.centroid AS ce
+              FROM evd, cents c),
+       terms AS (SELECT vec_id, cand,
+                        unnest([CAST(round((ve[i] - ce[i]) * (ve[i] - ce[i]), 9)
+                                     AS DECIMAL(28,9))
+                                FOR i IN range(1, len(ve) + 1)]) AS t
+                 FROM pd),
+       d AS (SELECT vec_id, cand, sum(t) AS d2 FROM terms GROUP BY 1, 2),
+       rk AS (SELECT vec_id, cand,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cand) AS r
+              FROM d),
+       asg AS (SELECT vec_id, cand AS assigned FROM rk WHERE r = 1),
+       av AS (SELECT a.vec_id, a.assigned, evd.v,
+                     sqrt(list_dot_product(evd.v, evd.v)) AS n
+              FROM asg a JOIN evd USING (vec_id)),
+       pairs AS (SELECT p1.vec_id AS id_a, p2.vec_id AS id_b
+                 FROM av p1 JOIN av p2
+                   ON p1.assigned = p2.assigned AND p1.vec_id < p2.vec_id
+                 WHERE CASE WHEN p1.n * p2.n > 0
+                            THEN round(list_dot_product(p1.v, p2.v)
+                                       / (p1.n * p2.n), 6)
+                            ELSE 0.0 END >= 0.42),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       walk(node, comp) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.node),
+       drops AS (SELECT node FROM walk GROUP BY node HAVING min(comp) <> node)
+       SELECT vec_id FROM embeddings
+       WHERE vec_id NOT IN (SELECT node FROM drops)""",
+)
+def dedup_semdedup_prune(spark, sf_dir):
+    """SemDeDup (dedup.semdedup_survivors — Abbas et al. 2023):
+    CLUSTER-LOCAL semantic dedup — nearest-centroid assignment (exact
+    decimal argmin over the per-label prototypes), cosine pairs ONLY
+    within a cluster (a plain equi-join on the assigned label — pair
+    space Σ_c n_c², never n²), transitive sets collapse through the
+    components closure, smallest id survives. The certified contract is
+    the paper's: a cross-cluster duplicate pair is NOT a candidate by
+    design, and the oracle encodes the same rule."""
+    t = _t(spark, sf_dir)
+    cents = sim.group_centroids(t["embeddings"])
+    return dd.semdedup_survivors(
+        t["embeddings"], cents, threshold=0.42
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 oracle-eligible

@@ -2849,3 +2849,80 @@ def weighted_minhash_dedup_pairs_md5(
     )
     sims = minhash_similarity(sigs, cands, id_col)
     return sims.filter(F.col("est_jaccard") >= threshold).distinct()
+
+
+def semdedup_survivors(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public knowledge): semantic
+    deduplication with CLUSTER-LOCAL pair generation → the surviving
+    (id) set. Every embedding is assigned to its nearest centroid
+    (k-means fit or per-label prototypes — exact decimal argmin,
+    similarity.nearest_centroid_assign), cosine pairs are computed ONLY
+    within a cluster, transitive duplicate sets resolve through
+    connected_components, and the smallest id per set survives.
+
+    Why this exists next to the global paths (semantic survivors /
+    blocked GEMM): the pair candidate space drops from n² (all blocks)
+    to Σ_c n_c² — with k balanced clusters a k× reduction, and the
+    within-cluster join is a plain EQUI-join on the assigned label
+    (bucket-local shuffle, no grid). The trade is by DESIGN: a
+    duplicate pair straddling two clusters is not a candidate (the
+    paper's premise is that near-dups share a cluster at sane k); the
+    oracle encodes the same cluster-local rule, so the certification
+    is of THIS contract, not of global dedup. Skew note: one giant
+    cluster degrades toward n² — pick k (or cap cluster size) so
+    max n_c is bounded, exactly like the banded-LSH df caps.
+
+    Cosine is the engine-portable expression (ordered-fold dot /
+    (sqrt·sqrt), rounded 6 dp); ties and survivors inherit the
+    connected_components min-label semantics."""
+    from bullet_spark_spark.operators.similarity import (
+        dot as _dot,
+        nearest_centroid_assign,
+        norm as _norm,
+    )
+
+    assign = nearest_centroid_assign(
+        embeddings, centroids, id_col, vec_col, label_col, centroid_col
+    ).select(F.col(id_col), F.col("assigned"))
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__n")
+    ).join(assign, id_col)
+    a = vecs.select(
+        F.col("assigned"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = vecs.select(
+        F.col("assigned"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    prod = F.col("__na") * F.col("__nb")
+    pairs = (
+        a.join(b, "assigned")  # cluster-local equi-join, never a grid
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(
+                prod > 0,
+                F.round(_dot(F.col("__va"), F.col("__vb")) / prod, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return neardup_survivors(
+        embeddings.select(id_col), pairs.select("id_a", "id_b"), id_col
+    )

@@ -101,6 +101,94 @@ def brute_force_topk(
     )
 
 
+def maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subvectors: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """ColBERT-style MaxSim LATE-INTERACTION retrieval (Khattab & Zaharia
+    2020, public knowledge) → (query_id, id, score, rank): each side is a
+    BAG of sub-vectors and score(q, d) = Σ_i max_j cos(q_i, d_j) — every
+    query sub-vector finds its best-matching doc sub-vector, so partial /
+    multi-aspect matches score where single-vector cosine averages them
+    away. Here the m sub-vectors are EQUAL SLICES of one embedding column
+    (any true token-vector layout flattens to the same shape); m² cosines
+    per pair, all pure Catalyst expressions (slice → ordered-fold dot →
+    greatest → sum), no UDF.
+
+    Plan: per-slice norms precomputed ONCE per side before the pair join
+    (the brute_force_topk discipline — per pair only m² dots remain);
+    queries broadcast; per-query top-k via row_number with id tiebreak.
+    Each cosine is the established engine-portable expression
+    (ordered-fold dot / (sqrt·sqrt), zero-norm-safe → 0.0), summed in
+    fixed slice order and rounded 6 dp — hash-matchable against a DuckDB
+    list-slice oracle. Scale: exact baseline is |Q|·|C|·m² dots with Q
+    broadcast — the rerank stage over an ANN candidate set; don't run it
+    corpus × corpus."""
+    dim_probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_probe is None:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, score double, rank int"
+        )
+    d = int(dim_probe["d"])
+    m = int(n_subvectors)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by n_subvectors {m}")
+    sub = d // m
+
+    def slices(col):
+        return [F.slice(col, i * sub + 1, sub) for i in range(m)]
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[norm(s).alias(f"__cn{j}") for j, s in enumerate(slices(F.col(vec_col)))],
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        *[
+            norm(s).alias(f"__qn{i}")
+            for i, s in enumerate(slices(F.col(query_vec_col)))
+        ],
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
+    qs = slices(F.col(query_vec_col))
+    cs = slices(F.col(vec_col))
+
+    def cos_ij(i: int, j: int):
+        prod = F.col(f"__qn{i}") * F.col(f"__cn{j}")
+        return F.when(prod > 0, dot(qs[i], cs[j]) / prod).otherwise(F.lit(0.0))
+
+    per_query_best = [
+        F.greatest(*[cos_ij(i, j) for j in range(m)]) for i in range(m)
+    ]
+    score = per_query_best[0]
+    for b in per_query_best[1:]:  # fixed slice order — oracle-identical sum
+        score = score + b
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(score, 6).alias("score"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG-based; no numpy
     needed at plan-build time, stable across runs)."""

@@ -965,6 +965,100 @@ def collocations_pmi(
     )
 
 
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023 — public knowledge) over HASHED unigram features →
+    (id, n_tokens, logweight): logweight(x) = Σ_f c_f(x) · λ_f with
+    λ_f = ln p̂_target(f) − ln p̂_source(f), add-``smoothing`` estimates
+    over ``n_buckets`` md5 hash buckets. THE pretraining-data selection
+    signal: resample raw documents ∝ exp(logweight) and the selected set
+    matches the TARGET distribution (Wikipedia/books/a domain slice) in
+    hashed-feature space — quality filtering that aims at a
+    distribution, not a threshold. ``df`` doubles as the source/raw
+    distribution (the standard DSIR setup).
+
+    Engine-portable determinism: feature bucket =
+    ``conv(md5(term)[:8], 16, 10) % n_buckets`` (the sampling-hash
+    convention); each bucket's λ_f is rounded 8 dp and the per-doc sum
+    Σ c_f·λ_f accumulates in DECIMAL (exact, order-independent — the
+    unigram-LM posture) before the final 6 dp round.
+
+    Scale shape: two tokenize passes (target, source) reduce to two
+    ≤``n_buckets``-row count frames — map-side combinable, bucket-bounded
+    state; the λ frame (B rows) broadcasts into the per-doc scoring
+    aggregate, which is one shuffle keyed by doc. Empty docs produce no
+    tokens and are absent (tokenizer convention)."""
+    tok = F.explode(tokens(F.col(text_col))).alias("term")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    ).alias("f")
+
+    def feats(frame: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        t = frame.select(*cols, tok).filter(F.length(F.col("term")) > 0)
+        return t.select(*cols, bucket)
+
+    tgt = feats(target, False).groupBy("f").agg(F.count(F.lit(1)).alias("ct"))
+    src = feats(df, False).groupBy("f").agg(F.count(F.lit(1)).alias("cs"))
+    # λ frame: every OBSERVED bucket (full outer, absent side counts 0);
+    # a bucket absent from BOTH sides can't appear in any document, so
+    # the dense B-row frame is unnecessary
+    s = float(smoothing)
+    b = float(n_buckets)
+    from bullet_spark_spark.operators._cache import persist_generation
+
+    joined = tgt.join(src, "f", "full_outer").select(
+        "f",
+        F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+    )
+    # bucket-bounded (≤ B rows), read by totals AND λ — one live
+    # generation per call site (the persist registry discipline)
+    (joined,) = persist_generation("text.dsir.bucket_counts", joined)
+    totals = joined.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cs").cast("double").alias("ns"),
+    )
+    lam = (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            F.round(
+                F.log((F.col("ct") + F.lit(s)) / (F.col("nt") + F.lit(s * b)))
+                - F.log((F.col("cs") + F.lit(s)) / (F.col("ns") + F.lit(s * b))),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("lam"),
+        )
+    )
+    doc_feats = feats(df, True).groupBy(id_col, "f").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        doc_feats.join(F.broadcast(lam), "f")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(10,0)") * F.col("lam")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("logweight"),
+        )
+    )
+
+
 def char_entropy(text: Column) -> Column:
     """Shannon entropy (nats) of a document's character distribution —
     the gibberish/boilerplate detector: natural text sits in a band,

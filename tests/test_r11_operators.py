@@ -78,3 +78,186 @@ def test_group_quantiles_no_pergroup_window(spark):
             # assert __pid rides every partition spec
             if "row_number" in line:
                 assert "__pid" in line, line
+
+
+# ---------------------------------------------------------------------------
+# MaxSim late interaction
+# ---------------------------------------------------------------------------
+
+def test_maxsim_prefers_partial_match_over_diluted_cosine(spark):
+    """The signature MaxSim property: a doc matching ONE query sub-vector
+    perfectly outranks a doc that is mediocre everywhere, even when
+    single-vector cosine would prefer the latter."""
+    from bullet_spark_spark.operators import similarity as sim
+
+    dim, m = 8, 4  # slices of 2
+    q = [1.0, 0.0] + [0.0] * 6
+    # doc 1: perfect on slice 0, orthogonal elsewhere
+    d1 = [1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+    # doc 2: weakly aligned on every slice
+    d2 = [0.5, 0.5] * 4
+    corpus = spark.createDataFrame(
+        [(1, d1), (2, d2)], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(100, q)], "query_id long, query_vec array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["score"], r["rank"])
+        for r in sim.maxsim_topk(corpus, queries, k=2, n_subvectors=m).collect()
+    }
+    # d1: slice0 cos=1 vs q slice0; q slices 1-3 are zero vectors -> cos 0
+    assert got[1][0] == pytest.approx(1.0, abs=1e-6)
+    assert got[1][1] == 1
+    # d2 against q slice0 ([1,0] vs [.5,.5]) = cos 45deg ~ 0.7071
+    assert got[2][0] == pytest.approx(0.707107, abs=1e-5)
+
+
+def test_maxsim_sequential_replica(spark):
+    """Random vectors: scores equal the numpy replica of
+    sum_i max_j cos(q_i, d_j) on every pair."""
+    from bullet_spark_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(3)
+    dim, m = 16, 4
+    docs = [(i, [float(x) for x in rng.randn(dim)]) for i in range(20)]
+    qs = [(100 + i, [float(x) for x in rng.randn(dim)]) for i in range(3)]
+    corpus = spark.createDataFrame(docs, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        qs, "query_id long, query_vec array<double>"
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in sim.maxsim_topk(corpus, queries, k=20, n_subvectors=m).collect()
+    }
+
+    def np_maxsim(qv, dv):
+        s = 0.0
+        sub = dim // m
+        for i in range(m):
+            qi = np.array(qv[i * sub:(i + 1) * sub])
+            best = max(
+                float(
+                    qi @ np.array(dv[j * sub:(j + 1) * sub])
+                    / (np.linalg.norm(qi) * np.linalg.norm(dv[j * sub:(j + 1) * sub]))
+                )
+                for j in range(m)
+            )
+            s += best
+        return round(s, 6)
+
+    for qid, qv in qs:
+        for did, dv in docs:
+            assert got[(qid, did)] == pytest.approx(np_maxsim(qv, dv), abs=2e-6)
+
+
+def test_maxsim_rejects_indivisible_dim(spark):
+    from bullet_spark_spark.operators import similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0] * 6)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        sim.maxsim_topk(corpus, corpus.selectExpr(
+            "vec_id as query_id", "embedding as query_vec"), n_subvectors=4)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Docs drawn from the target vocabulary get higher logweight than
+    docs from a disjoint vocabulary; mixed docs sit between."""
+    from bullet_spark_spark.operators import text as tx
+
+    target_rows = [(100 + i, "alpha beta gamma delta epsilon") for i in range(20)]
+    raw_rows = [
+        (1, "alpha beta gamma alpha beta"),        # target-like
+        (2, "zeta eta theta iota kappa"),           # off-target
+        (3, "alpha beta zeta eta gamma"),           # mixed
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(target_rows, "doc_id long, text string")
+    # source = raw + enough off-target mass that the ratio separates
+    got = {
+        r["doc_id"]: r["logweight"]
+        for r in tx.dsir_importance_weights(raw, tgt, n_buckets=64).collect()
+    }
+    assert got[1] > got[3] > got[2]
+    n_tok = {
+        r["doc_id"]: r["n_tokens"]
+        for r in tx.dsir_importance_weights(raw, tgt, n_buckets=64).collect()
+    }
+    assert n_tok == {1: 5, 2: 5, 3: 5}
+
+
+def test_dsir_weights_sequential_replica(spark):
+    """Exact replica: hashed-bucket counts, add-1 smoothing, rounded
+    lambda, decimal sum — computed sequentially in Python."""
+    import hashlib
+
+    from bullet_spark_spark.operators import text as tx
+
+    B = 32
+    raw_rows = [(1, "a b b c"), (2, "c d d d"), (3, "x y z")]
+    tgt_rows = [(10, "a b c c"), (11, "b b a")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B
+
+    from collections import Counter
+
+    ct = Counter(bucket(t) for _, s in tgt_rows for t in s.split())
+    cs = Counter(bucket(t) for _, s in raw_rows for t in s.split())
+    nt, ns = sum(ct.values()), sum(cs.values())
+    lam = {
+        f: round(
+            __import__("math").log((ct.get(f, 0) + 1.0) / (nt + B))
+            - __import__("math").log((cs.get(f, 0) + 1.0) / (ns + B)),
+            8,
+        )
+        for f in set(ct) | set(cs)
+    }
+    want = {}
+    for did, s in raw_rows:
+        c = Counter(bucket(t) for t in s.split())
+        want[did] = round(sum(n * lam[f] for f, n in c.items()), 6)
+    got = {
+        r["doc_id"]: r["logweight"]
+        for r in tx.dsir_importance_weights(raw, tgt, n_buckets=B).collect()
+    }
+    for did in want:
+        assert got[did] == pytest.approx(want[did], abs=1e-6), did
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup cluster-local pruning
+# ---------------------------------------------------------------------------
+
+def test_semdedup_prunes_within_cluster_only(spark):
+    """Two tight clusters: near-dups INSIDE a cluster collapse to the
+    min id; an equally-similar pair straddling clusters survives (the
+    paper's cluster-local contract)."""
+    from bullet_spark_spark.operators import dedup as dd
+    from bullet_spark_spark.operators import similarity as sim
+
+    # cluster A around e0, cluster B around e1 (orthogonal)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "A"),
+        (2, [0.99, 0.01, 0.0, 0.0], "A"),   # near-dup of 1 (same cluster)
+        (3, [0.0, 1.0, 0.0, 0.0], "B"),
+        (4, [0.01, 0.99, 0.0, 0.0], "B"),   # near-dup of 3 (same cluster)
+        (5, [0.0, 0.0, 1.0, 0.0], "B"),     # distinct within B
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    cents = sim.group_centroids(df)
+    got = sorted(
+        r["vec_id"]
+        for r in dd.semdedup_survivors(df, cents, threshold=0.95).collect()
+    )
+    assert got == [1, 3, 5]
