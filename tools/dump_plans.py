@@ -140,11 +140,17 @@ QUERIES = {
     "dedup_bbit_minhash": "banding on full md5 components; verify touches only the last-nibble b-bit sketch; drop-side df prune",
     "distribution_ab_power": "ONE six-number map-side-combinable aggregate (welch shape); MDE as a single IEEE expression",
     "distribution_kruskal": "value counts persisted (2 base scans: vc + per-group); two-level cumsum ranks; k-row decimal-summed reduce",
-    "temporal_interval_overlap": "both sides bucket-exploded from ONE pass each; equi-join on bucket + first-shared-bucket residual (no distinct)",
+    "temporal_interval_overlap": "auto width from ONE median-length agg (r11); short intervals bucket-explode + first-shared-bucket equi-join; long tail routes to broadcast theta (cap x width split)",
     "graph_kcore_trade": "iterative peel: per-round degree agg + two semi-joins on a shrinking localCheckpoint'ed edge frame",
     "sampling_apportion_lrm": "stratum-frame quotas over a broadcast decimal-exact total; two bounded windows (metadata-sized)",
-    "distribution_group_quantiles": "group-PARTITIONED rank window (parallel) + broadcast (groups x probs) boundary probe; one conditional agg",
+    "distribution_group_quantiles": "RANGE-partitioned in-group rank (r11: repartitionByRange(group,v) + metadata-frame offsets — no single-task group sort) + broadcast (groups x probs) boundary probe; one conditional agg",
     "temporal_resample_interp": "per-key explode grid; one backward + one forward key-partitioned window; no calendar join",
+    # round-11 additions
+    "distribution_group_quantiles_skew": "same range-partitioned rank exercised at a PLANTED 90/10 group split — the hot group spans many range partitions",
+    "temporal_interval_overlap_skew": "month-long spans exceed cap*w and take the broadcast theta path; intra-day sessions stay bucket-local (cap=16 forces the split in-fixture)",
+    "sim_maxsim_rerank": "per-slice norms precomputed per side; broadcast query pair join; m^2 ordered-fold dots per pair, all codegen; per-query top-k window",
+    "text_dsir_weights": "two token passes reduce to <=B-row bucket frames (map-side combine); lambda frame broadcast into ONE doc-keyed scoring agg",
+    "dedup_semdedup_prune": "nearest-centroid argmin (broadcast centroids, row-local) -> cluster-local EQUI-join pairs (Sigma n_c^2, never a grid) -> components closure",
 }
 
 
