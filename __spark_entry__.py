@@ -10677,6 +10677,74 @@ def text_dsir_weights(spark, sf_dir):
     )
 
 
+_DSIR_CTE = """tt AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                 '\\s+')) AS term
+                   FROM documents WHERE lang = 'en'),
+       tsrc AS (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                              '\\s+')) AS term
+                FROM documents),
+       ft AS (SELECT ('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024 AS f,
+                     count(*) AS ct
+              FROM tt WHERE len(term) > 0 GROUP BY 1),
+       fall AS (SELECT doc_id,
+                       ('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024 AS f
+                FROM tsrc WHERE len(term) > 0),
+       fsrc AS (SELECT f, count(*) AS cs FROM fall GROUP BY 1),
+       jj AS (SELECT coalesce(ft.f, fsrc.f) AS f,
+                    coalesce(ct, 0) AS ct, coalesce(cs, 0) AS cs
+             FROM ft FULL OUTER JOIN fsrc USING (f)),
+       tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM jj),
+       lam AS (SELECT f,
+                      CAST(round(ln((ct + 1.0) / (nt + 1024.0))
+                                 - ln((cs + 1.0) / (ns + 1024.0)), 8)
+                           AS DECIMAL(18,8)) AS lam
+               FROM jj CROSS JOIN tot),
+       dc AS (SELECT doc_id, f, count(*) AS c FROM fall GROUP BY 1, 2),
+       dw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     round(CAST(sum(CAST(c AS DECIMAL(10,0)) * lam)
+                                AS DOUBLE), 6) AS logweight
+              FROM dc JOIN lam USING (f) GROUP BY doc_id)"""
+
+
+@q(
+    "pipeline_dsir_select",
+    f"""WITH {_DSIR_CTE},
+       keyed AS (SELECT doc_id, n_tokens, logweight,
+                        round(logweight
+                              - ln(-ln((('0x' || substr(md5(doc_id || ':0'),
+                                                        1, 13))::UBIGINT
+                                        + 1.0) / 4503599627370497.0)), 9)
+                          AS g
+                 FROM dw),
+       rk AS (SELECT doc_id, n_tokens, logweight,
+                     row_number() OVER (ORDER BY g DESC, doc_id) AS rank
+              FROM keyed)
+       SELECT doc_id, n_tokens, logweight, CAST(rank AS INT) AS rank
+       FROM rk WHERE rank <= 50""",
+)
+def pipeline_dsir_select(spark, sf_dir):
+    """The COMPLETE DSIR selection pipeline (Xie et al. 2023): hashed
+    importance LOG-weights toward the lang='en' target
+    (text.dsir_importance_weights) closed by GUMBEL-TOP-K resampling
+    (sampling.gumbel_topk_select) — P[doc selected] ∝ exp(logweight)
+    without ever exponentiating (corpus-scale log-weights overflow
+    doubles; the Gumbel key logweight − ln(−ln u) never leaves log
+    space). Deterministic md5 uniforms, 9 dp keys, doc-id tiebreak —
+    the selected 50 hash-match the DuckDB twin end to end. Plan:
+    bucket-bounded weight aggregation + TakeOrderedAndProject (per-
+    partition heaps — no global sort of the corpus)."""
+    from bullet_spark_spark.operators import sampling as _smp
+    from bullet_spark_spark.operators import text as _tx
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    weights = _tx.dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024, smoothing=1.0
+    )
+    return _smp.gumbel_topk_select(weights, "doc_id", "logweight", n=50)
+
+
 @q(
     "streaming_topk_exact_drain",
     """WITH src AS (SELECT CAST(user_id % 1000 AS VARCHAR) AS key

@@ -321,6 +321,49 @@ def weighted_key(key: Column, weight: Column, seed: int = 0) -> Column:
     return F.round(F.log(u) / weight, 12)
 
 
+def gumbel_topk_select(
+    df: DataFrame,
+    key_col: str,
+    logweight_col: str,
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic top-``n`` selection with P[row selected] ∝
+    exp(logweight), WITHOUT ever exponentiating — the Gumbel-max trick
+    (public knowledge; the without-replacement top-k form is the
+    Efraimidis–Spirakis equivalence, Vieira 2014): key = logweight −
+    ln(−ln u) with u the deterministic md5 uniform, take the n largest.
+    THE closing stage of a DSIR pipeline: importance LOG-weights span
+    hundreds of nats at corpus scale, so exp(logweight) under- and
+    overflows doubles — the Gumbel key never leaves log space.
+
+    Engine-portable: u = (first 13 md5 hex chars + 1)/(16¹³+1) is exact
+    integer arithmetic in doubles (the weighted_key convention); the
+    double-ln composition differs across libms only in the last ulps, so
+    the key is rounded 9 dp and ties break on the row key — a total
+    order any engine reproduces. Physical plan is TakeOrderedAndProject
+    (per-partition heaps, no global sort); the rank window runs over the
+    already-selected n rows."""
+    u = (
+        F.conv(F.substring(sample_hash(F.col(key_col), seed), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_U_DENOM)
+    g = F.round(F.col(logweight_col).cast("double") - F.log(-F.log(u)), 9)
+    from pyspark.sql.window import Window as W
+
+    picked = (
+        df.withColumn("__g", g)
+        .orderBy(F.col("__g").desc(), F.col(key_col).asc())
+        .limit(n)
+    )
+    w = W.orderBy(F.col("__g").desc(), F.col(key_col).asc())
+    return (
+        picked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .drop("__g")
+    )
+
+
 def weighted_sample_n(
     df: DataFrame, key_col: str, weight_col: str, n: int, seed: int = 0
 ) -> DataFrame:
@@ -515,7 +558,7 @@ _POISSON1_CDF = [
     0.9999999991683892,
     0.9999999999364022,
 ]
-_U_DENOM = float(1 << 60)  # 15 hex chars = 60 uniform bits
+_U_DENOM_60 = float(1 << 60)  # 15 hex chars = 60 uniform bits
 
 
 def _poisson1_weight(u: Column) -> Column:
@@ -575,7 +618,7 @@ def poisson_bootstrap_ci(
             16,
             10,
         ).cast("double")
-        / F.lit(_U_DENOM)
+        / F.lit(_U_DENOM_60)
     )
     weighted = reps.select(
         "__r",
@@ -666,7 +709,7 @@ def poisson_bootstrap_ci_by(
             16,
             10,
         ).cast("double")
-        / F.lit(_U_DENOM)
+        / F.lit(_U_DENOM_60)
     )
     weighted = reps.select(
         *group_cols, "__r", _poisson1_weight(u).alias("__w"), "__x"

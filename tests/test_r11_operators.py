@@ -261,3 +261,54 @@ def test_semdedup_prunes_within_cluster_only(spark):
         for r in dd.semdedup_survivors(df, cents, threshold=0.95).collect()
     )
     assert got == [1, 3, 5]
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k + the _U_DENOM shadowing regression
+# ---------------------------------------------------------------------------
+
+def test_weighted_key_uniform_spans_unit_interval(spark):
+    """Regression (r11): a second module-level `_U_DENOM = float(1 << 60)`
+    SHADOWED weighted_key's documented 16^13+1 denominator, squashing the
+    ES uniforms into (0, 0.0039] — a constant −ln(256) shift on ln(u)
+    that distorts cross-weight comparisons. The uniform must span (0, 1]."""
+    from bullet_spark_spark.operators import sampling as smp
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    u = (
+        F.conv(F.substring(smp.sample_hash(F.col("k"), 0), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(smp._U_DENOM)
+    stats = df.select(F.min(u).alias("lo"), F.max(u).alias("hi")).first()
+    assert stats["hi"] > 0.99  # would be <= 0.0039 under the shadowed 2^60
+    assert 0.0 < stats["lo"] < 0.01
+    # and the bootstrap's own 60-bit denominator is untouched
+    assert smp._U_DENOM_60 == float(1 << 60)
+    assert smp._U_DENOM == float(16**13 + 1)
+
+
+def test_gumbel_topk_selects_proportional_to_exp_logweight(spark):
+    """Inclusion frequency rises with logweight: weight-4-nats rows
+    dominate a 100-of-1000 selection against weight-0 rows."""
+    from bullet_spark_spark.operators import sampling as smp
+
+    rows = [(i, 4.0 if i < 500 else 0.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, lw double")
+    got = smp.gumbel_topk_select(df, "id", "lw", n=100).collect()
+    heavy = sum(1 for r in got if r["lw"] == 4.0)
+    assert heavy > 85  # e^4 ~ 55x relative odds
+    assert [r["rank"] for r in got] == sorted(r["rank"] for r in got)
+    assert len(got) == 100
+
+
+def test_gumbel_topk_never_leaves_log_space(spark):
+    """Log-weights far outside exp()'s double range still select fine —
+    the whole point of the Gumbel key over exp(lw) ES weights."""
+    from bullet_spark_spark.operators import sampling as smp
+
+    rows = [(1, 900.0), (2, -900.0), (3, 800.0), (4, -800.0)]
+    df = spark.createDataFrame(rows, "id long, lw double")
+    got = [r["id"] for r in smp.gumbel_topk_select(df, "id", "lw", n=2).collect()]
+    assert got == [1, 3]  # the two high-logweight rows, rank order
