@@ -10746,6 +10746,107 @@ def pipeline_dsir_select(spark, sf_dir):
 
 
 @q(
+    "text_dsir_bigram_weights",
+    """WITH toks AS (SELECT doc_id, lang,
+                            regexp_split_to_array(trim(lower(text)), '\\s+')
+                              AS toks
+                     FROM documents),
+       feats AS (
+         SELECT doc_id, lang, term FROM (
+           SELECT doc_id, lang, unnest(toks) AS term FROM toks
+           UNION ALL
+           SELECT doc_id, lang,
+                  unnest([array_to_string(toks[i:i+1], ' ')
+                          FOR i IN range(1, greatest(len(toks) - 1, 0) + 1)])
+                    AS term
+           FROM toks)
+         WHERE len(term) > 0),
+       ft AS (SELECT ('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024 AS f,
+                     count(*) AS ct
+              FROM feats WHERE lang = 'en' GROUP BY 1),
+       fall AS (SELECT doc_id,
+                       ('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024 AS f
+                FROM feats),
+       fsrc AS (SELECT f, count(*) AS cs FROM fall GROUP BY 1),
+       j AS (SELECT coalesce(ft.f, fsrc.f) AS f,
+                    coalesce(ct, 0) AS ct, coalesce(cs, 0) AS cs
+             FROM ft FULL OUTER JOIN fsrc USING (f)),
+       tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM j),
+       lam AS (SELECT f,
+                      CAST(round(ln((ct + 1.0) / (nt + 1024.0))
+                                 - ln((cs + 1.0) / (ns + 1024.0)), 8)
+                           AS DECIMAL(18,8)) AS lam
+               FROM j CROSS JOIN tot),
+       dc AS (SELECT doc_id, f, count(*) AS c FROM fall GROUP BY 1, 2)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              round(CAST(sum(CAST(c AS DECIMAL(10,0)) * lam) AS DOUBLE), 6)
+                AS logweight
+       FROM dc JOIN lam USING (f) GROUP BY doc_id""",
+)
+def text_dsir_bigram_weights(spark, sf_dir):
+    """DSIR with the paper's FULL feature set — hashed unigrams AND word
+    bigrams in one bucket space (text.dsir_importance_weights,
+    ngram_max=2): bigrams carry the collocational signal ('prime
+    minister' vs 'prime number') that bag-of-words ratios miss. Same
+    bucket-bounded plan; the token explode doubles. Note: the target
+    here is the lang='en' slice WITH its bigram features — the oracle
+    replicates the identical feature construction (DuckDB list-slice
+    comprehension == arrays_zip shifted slices)."""
+    from bullet_spark_spark.operators import text as _tx
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    return _tx.dsir_importance_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n_buckets=1024,
+        smoothing=1.0,
+        ngram_max=2,
+    )
+
+
+@q(
+    "sampling_gumbel_by_lang",
+    """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS nc
+                  FROM documents
+                  WHERE n_chars IS NOT NULL AND n_chars > 0
+                    AND lang IS NOT NULL),
+       k AS (SELECT doc_id, lang,
+                    round(ln(nc)
+                          - ln(-ln((('0x' || substr(md5(doc_id || ':0'),
+                                                    1, 13))::UBIGINT
+                                    + 1.0) / 4503599627370497.0)), 9) AS g
+             FROM d),
+       rk AS (SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY g DESC, doc_id) AS rank
+              FROM k)
+       SELECT lang, doc_id, CAST(rank AS INT) AS rank
+       FROM rk WHERE rank <= 10""",
+)
+def sampling_gumbel_by_lang(spark, sf_dir):
+    """Domain-balanced quota selection (sampling.gumbel_topk_by_group):
+    exactly 10 documents PER LANGUAGE, selected ∝ exp(logweight) within
+    each language (logweight = ln(n_chars) — size-proportional odds) —
+    the mixing stage where every domain keeps its seat count while
+    weights pick which rows fill the seats. Deterministic Gumbel keys,
+    one group-keyed shuffle, fully parallel across groups."""
+    from bullet_spark_spark.operators import sampling as _smp
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(
+        F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+        & F.col("lang").isNotNull()
+    ).select(
+        "doc_id", "lang", F.log(F.col("n_chars").cast("double")).alias("lw")
+    )
+    return _smp.gumbel_topk_by_group(
+        d, "doc_id", "lw", ["lang"], n_per_group=10
+    ).select("lang", "doc_id", "rank")
+
+
+@q(
     "streaming_topk_exact_drain",
     """WITH src AS (SELECT CAST(user_id % 1000 AS VARCHAR) AS key
                     FROM events WHERE user_id IS NOT NULL),

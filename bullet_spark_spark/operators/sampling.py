@@ -364,6 +364,41 @@ def gumbel_topk_select(
     )
 
 
+def gumbel_topk_by_group(
+    df: DataFrame,
+    key_col: str,
+    logweight_col: str,
+    group_cols: list[str],
+    n_per_group: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group :func:`gumbel_topk_select` — a fixed QUOTA of
+    ``n_per_group`` rows per group, selected ∝ exp(logweight) within the
+    group (domain-balanced data mixing: every language/source keeps a
+    seat count while quality log-weights pick WHICH rows fill the
+    seats). Same deterministic Gumbel key; the rank window partitions by
+    the group, so selection is one shuffle keyed by group — fully
+    parallel across groups, n_per_group rows of state per group in the
+    rank."""
+    from pyspark.sql.window import Window as W
+
+    u = (
+        F.conv(F.substring(sample_hash(F.col(key_col), seed), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_U_DENOM)
+    g = F.round(F.col(logweight_col).cast("double") - F.log(-F.log(u)), 9)
+    w = W.partitionBy(*group_cols).orderBy(
+        F.col("__g").desc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__g", g)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n_per_group)
+        .drop("__g")
+    )
+
+
 def weighted_sample_n(
     df: DataFrame, key_col: str, weight_col: str, n: int, seed: int = 0
 ) -> DataFrame:

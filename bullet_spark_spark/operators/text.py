@@ -972,6 +972,7 @@ def dsir_importance_weights(
     text_col: str = "text",
     n_buckets: int = 1024,
     smoothing: float = 1.0,
+    ngram_max: int = 1,
 ) -> DataFrame:
     """DSIR importance weights (Data Selection via Importance Resampling,
     Xie et al. 2023 — public knowledge) over HASHED unigram features →
@@ -994,8 +995,22 @@ def dsir_importance_weights(
     ≤``n_buckets``-row count frames — map-side combinable, bucket-bounded
     state; the λ frame (B rows) broadcasts into the per-doc scoring
     aggregate, which is one shuffle keyed by doc. Empty docs produce no
-    tokens and are absent (tokenizer convention)."""
-    tok = F.explode(tokens(F.col(text_col))).alias("term")
+    tokens and are absent (tokenizer convention).
+
+    ``ngram_max=2`` hashes word BIGRAMS into the same bucket space
+    alongside unigrams — the paper's actual feature set (hashed n-grams,
+    n ≤ 2): bigrams catch the collocational signal ("prime minister" vs
+    "prime number") that bag-of-words ratios miss. Same plan; the token
+    explode roughly doubles."""
+    feat_arrays = [tokens(F.col(text_col))]
+    for n in range(2, int(ngram_max) + 1):
+        feat_arrays.append(word_ngrams(F.col(text_col), n))
+    feats_arr = (
+        feat_arrays[0]
+        if len(feat_arrays) == 1
+        else F.concat(*feat_arrays)
+    )
+    tok = F.explode(feats_arr).alias("term")
     bucket = (
         F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
         .cast("long")

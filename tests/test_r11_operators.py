@@ -312,3 +312,48 @@ def test_gumbel_topk_never_leaves_log_space(spark):
     df = spark.createDataFrame(rows, "id long, lw double")
     got = [r["id"] for r in smp.gumbel_topk_select(df, "id", "lw", n=2).collect()]
     assert got == [1, 3]  # the two high-logweight rows, rank order
+
+
+def test_gumbel_by_group_quota_and_order(spark):
+    from bullet_spark_spark.operators import sampling as smp
+
+    rows = [(i, "a" if i % 2 == 0 else "b", float(i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, lw double")
+    got = smp.gumbel_topk_by_group(df, "id", "lw", ["g"], n_per_group=5).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r["rank"])
+    assert set(by_g) == {"a", "b"}
+    assert sorted(by_g["a"]) == [1, 2, 3, 4, 5]
+    assert sorted(by_g["b"]) == [1, 2, 3, 4, 5]
+
+
+def test_dsir_bigram_features_separate_collocations(spark):
+    """Bigram features distinguish docs whose unigram distributions are
+    IDENTICAL: same words, different adjacency."""
+    from bullet_spark_spark.operators import text as tx
+
+    tgt = spark.createDataFrame(
+        [(100 + i, "prime minister speaks today") for i in range(10)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "prime minister speaks today"),   # target word ORDER
+            (2, "minister prime today speaks"),   # same words, shuffled
+        ],
+        "doc_id long, text string",
+    )
+    uni = {
+        r["doc_id"]: r["logweight"]
+        for r in tx.dsir_importance_weights(raw, tgt, n_buckets=256).collect()
+    }
+    bi = {
+        r["doc_id"]: r["logweight"]
+        for r in tx.dsir_importance_weights(
+            raw, tgt, n_buckets=256, ngram_max=2
+        ).collect()
+    }
+    # unigram-only cannot separate them; bigrams rank the ordered doc higher
+    assert uni[1] == pytest.approx(uni[2], abs=1e-9)
+    assert bi[1] > bi[2]
