@@ -863,8 +863,23 @@ def group_quantiles(
         *g, F.col(value_col).cast("double").alias("v")
     ).filter(F.col("v").isNotNull())
     n_range = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    from pyspark import StorageLevel
+
     ranged = vals.repartitionByRange(n_range, *group_cols, "v").withColumn(
         "__pid", F.spark_partition_id()
+    )
+    # MUST be persisted, not merely deduped by exchange reuse:
+    # repartitionByRange SAMPLES its boundaries with a fresh seed per
+    # execution, so the (group, __pid) → count frame and the ranked join
+    # below are only consistent when they read the SAME materialization —
+    # an independent re-execution assigns different pids and silently
+    # corrupts every offset (caught by the skew differential when a pc
+    # persist broke the reuse pairing). Same discipline as
+    # exact_quantiles_distributed's ranged.persist().
+    (ranged,) = persist_generation(
+        "distribution.group_quantiles.ranged",
+        ranged,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
     )
     pc = ranged.groupBy(*group_cols, "__pid").agg(
         F.count(F.lit(1)).alias("__pc")
@@ -889,17 +904,23 @@ def group_quantiles(
         ).alias("__r"),
     )
     counts = pc.groupBy(*group_cols).agg(F.sum("__pc").alias("__n"))
-    probe = None
-    for p in probs:
-        h = (F.col("__n") - 1) * F.lit(float(p))
-        one = counts.select(
-            *group_cols,
-            F.lit(float(p)).alias("prob"),
-            F.floor(h).cast("bigint").alias("__lo"),
-            F.least(F.floor(h) + 1, F.col("__n") - 1).cast("bigint").alias("__hi"),
-            (h - F.floor(h)).alias("__frac"),
-        )
-        probe = one if probe is None else probe.unionByName(one)
+    # (group × prob) probe from ONE explode over the counts frame — the
+    # per-prob unionByName form gave every prob its own consumer of the
+    # counts aggregate and re-executed the corpus scan per prob
+    h = (F.col("__n") - 1) * F.col("prob")
+    probe = counts.select(
+        *group_cols,
+        F.explode(
+            F.array(*[F.lit(float(p)) for p in probs])
+        ).alias("prob"),
+        F.col("__n"),
+    ).select(
+        *group_cols,
+        "prob",
+        F.floor(h).cast("bigint").alias("__lo"),
+        F.least(F.floor(h) + 1, F.col("__n") - 1).cast("bigint").alias("__hi"),
+        (h - F.floor(h)).alias("__frac"),
+    )
     probe_r = probe.select(
         *[F.col(c).alias(f"__g_{c}") for c in group_cols],
         "prob",

@@ -497,10 +497,25 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         ).alias("m")
     ).select("m.column", "m.v")
     n_range = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    from pyspark import StorageLevel
+
+    from bullet_spark_spark.operators._cache import persist_generation
+
     ranged = (
         melted.where(F.col("v").isNotNull())
         .repartitionByRange(n_range, "column", "v")
         .withColumn("__pid", F.spark_partition_id())
+    )
+    # MUST be persisted: repartitionByRange samples boundaries with a
+    # fresh seed per execution, so the per-(column, pid) counts and the
+    # rank join are only consistent reading the SAME materialization —
+    # previously this relied on Spark's exchange reuse, which any plan
+    # divergence (pruning, AQE) silently breaks (r11, found via the
+    # group_quantiles skew differential).
+    (ranged,) = persist_generation(
+        "relational.column_stats.ranged",
+        ranged,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
     )
     pc = ranged.groupBy("column", "__pid").agg(F.count(F.lit(1)).alias("__pc"))
     # offsets: window over the column×partition METADATA frame (≤ k·P rows)

@@ -200,17 +200,28 @@ def interval_overlap_join(
         return left.filter(valid_l).join(
             F.broadcast(right.filter(valid_r)), on=pred
         )
+    # each side fans out to several consumers (median-width agg, the
+    # long/short split filters, the broadcast theta builds) — unpersisted,
+    # every consumer re-executes the side's upstream lineage (audit_scans:
+    # 9 base-table scans on the skew fixture). One bounded generation per
+    # call site; sides are interval frames, typically aggregates of the
+    # base tables.
+    from bullet_spark_spark.operators._cache import persist_generation
+
+    left, right = persist_generation(
+        "temporal.interval_overlap.sides",
+        left.filter(valid_l),
+        right.filter(valid_r),
+    )
     if bucket_width is None:
         # one cheap agg: approx median of valid-interval lengths, both
         # sides pooled — a plan-shape parameter, not an answer, so the
         # sketch percentile is fine (deterministic for fixed input)
-        lens = (
-            left.filter(valid_l)
-            .select((F.col(left_hi) - F.col(left_lo)).cast("double").alias("__len"))
-            .unionByName(
-                right.filter(valid_r).select(
-                    (F.col(right_hi) - F.col(right_lo)).cast("double").alias("__len")
-                )
+        lens = left.select(
+            (F.col(left_hi) - F.col(left_lo)).cast("double").alias("__len")
+        ).unionByName(
+            right.select(
+                (F.col(right_hi) - F.col(right_lo)).cast("double").alias("__len")
             )
         )
         med = lens.agg(F.percentile_approx("__len", 0.5).alias("m")).first()["m"]
@@ -220,14 +231,14 @@ def interval_overlap_join(
 
     if max_buckets_per_row is not None:
         long_len = float(w) * int(max_buckets_per_row)
-        long_l = valid_l & ((F.col(left_hi) - F.col(left_lo)) > long_len)
-        long_r = valid_r & ((F.col(right_hi) - F.col(right_lo)) > long_len)
+        long_l = (F.col(left_hi) - F.col(left_lo)) > long_len
+        long_r = (F.col(right_hi) - F.col(right_lo)) > long_len
         left_long = left.filter(long_l)
         right_long = right.filter(long_r)
-        left_bkt = left.filter(valid_l & ~long_l)
-        right_bkt = right.filter(valid_r & ~long_r)
+        left_bkt = left.filter(~long_l)
+        right_bkt = right.filter(~long_r)
     else:
-        left_bkt, right_bkt = left.filter(valid_l), right.filter(valid_r)
+        left_bkt, right_bkt = left, right
         left_long = right_long = None
 
     def explode_side(df: DataFrame, lo: str, hi: str) -> DataFrame:
@@ -258,7 +269,7 @@ def interval_overlap_join(
     )
     if max_buckets_per_row is not None:
         # (long l × every valid r): broadcast the long LEFT build side
-        pairs_ll = right.filter(valid_r).join(F.broadcast(left_long), on=pred)
+        pairs_ll = right.join(F.broadcast(left_long), on=pred)
         # (short l × long r): broadcast the long RIGHT build side
         pairs_sr = left_bkt.join(F.broadcast(right_long), on=pred)
         out = out.unionByName(

@@ -1022,8 +1022,25 @@ def dsir_importance_weights(
         t = frame.select(*cols, tok).filter(F.length(F.col("term")) > 0)
         return t.select(*cols, bucket)
 
+    from bullet_spark_spark.operators._cache import persist_generation
+
     tgt = feats(target, False).groupBy("f").agg(F.count(F.lit(1)).alias("ct"))
-    src = feats(df, False).groupBy("f").agg(F.count(F.lit(1)).alias("cs"))
+    # per-doc feature counts computed ONCE: both the source bucket totals
+    # and the final scoring aggregate read this frame — unpersisted, each
+    # would re-tokenize the corpus (audit_scans: 3 base scans). Size is
+    # distinct (doc, bucket) pairs — bounded by docs × n_buckets, the
+    # same class the scoring shuffle moves anyway.
+    doc_feats = feats(df, True).groupBy(id_col, "f").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark import StorageLevel
+
+    (doc_feats,) = persist_generation(
+        "text.dsir.doc_feats",
+        doc_feats,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
+    src = doc_feats.groupBy("f").agg(F.sum("c").alias("cs"))
     # λ frame: every OBSERVED bucket (full outer, absent side counts 0);
     # a bucket absent from BOTH sides can't appear in any document, so
     # the dense B-row frame is unnecessary
@@ -1055,9 +1072,6 @@ def dsir_importance_weights(
             .cast("decimal(18,8)")
             .alias("lam"),
         )
-    )
-    doc_feats = feats(df, True).groupBy(id_col, "f").agg(
-        F.count(F.lit(1)).alias("c")
     )
     return (
         doc_feats.join(F.broadcast(lam), "f")

@@ -82,6 +82,11 @@ _ACCEPTED = {
     "sim_hard_negatives": "anchor/positive/banned subsets pruned; corpus pass single",
     "sim_retrieval_eval_exact": "retriever + truth passes + metric joins; subsets pruned",
     "sim_hybrid_rrf": "bm25's 2 tokenize passes (dl persisted) + the 3-row checkpointed anchors",
+    # r11 review — the skew fixture derives THREE different interval sets
+    # from one pruned events scan (intra-day sessions, per-user month
+    # spans, day windows); the join sides themselves persist inside
+    # interval_overlap_join, so the fan-out stops at these derivations
+    "temporal_interval_overlap_skew": "3 independent interval derivations (sessions/spans/windows) of one pruned scan; join sides persisted in-operator",
 }
 
 
