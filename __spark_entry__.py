@@ -10651,8 +10651,8 @@ def sim_maxsim_rerank(spark, sf_dir):
        tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM j),
        lam AS (SELECT f,
                       CAST(round(ln((ct + 1.0) / (nt + 1024.0))
-                                 - ln((cs + 1.0) / (ns + 1024.0)), 8)
-                           AS DECIMAL(18,8)) AS lam
+                                 - ln((cs + 1.0) / (ns + 1024.0)), 6)
+                           AS DECIMAL(18,6)) AS lam
                FROM j CROSS JOIN tot),
        dc AS (SELECT doc_id, f, count(*) AS c FROM fall GROUP BY 1, 2)
        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
@@ -10666,8 +10666,8 @@ def text_dsir_weights(spark, sf_dir):
     (lang='en' documents) against the raw corpus, the resample-∝-exp(w)
     signal that selects pretraining data to MATCH a target distribution
     rather than pass a threshold. Engine-portable md5 feature buckets
-    (B=1024), λ_f rounded 8 dp, per-doc Σ c_f·λ_f in exact DECIMAL —
-    hash-matched end to end."""
+    (B=1024), λ_f rounded 6 dp (libm-ln-flip-safe), per-doc Σ c_f·λ_f in
+    exact DECIMAL — hash-matched end to end."""
     from bullet_spark_spark.operators import text as _tx
 
     t = _t(spark, sf_dir)
@@ -10697,8 +10697,8 @@ _DSIR_CTE = """tt AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
        tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM jj),
        lam AS (SELECT f,
                       CAST(round(ln((ct + 1.0) / (nt + 1024.0))
-                                 - ln((cs + 1.0) / (ns + 1024.0)), 8)
-                           AS DECIMAL(18,8)) AS lam
+                                 - ln((cs + 1.0) / (ns + 1024.0)), 6)
+                           AS DECIMAL(18,6)) AS lam
                FROM jj CROSS JOIN tot),
        dc AS (SELECT doc_id, f, count(*) AS c FROM fall GROUP BY 1, 2),
        dw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
@@ -10774,8 +10774,8 @@ def pipeline_dsir_select(spark, sf_dir):
        tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM j),
        lam AS (SELECT f,
                       CAST(round(ln((ct + 1.0) / (nt + 1024.0))
-                                 - ln((cs + 1.0) / (ns + 1024.0)), 8)
-                           AS DECIMAL(18,8)) AS lam
+                                 - ln((cs + 1.0) / (ns + 1024.0)), 6)
+                           AS DECIMAL(18,6)) AS lam
                FROM j CROSS JOIN tot),
        dc AS (SELECT doc_id, f, count(*) AS c FROM fall GROUP BY 1, 2)
        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,

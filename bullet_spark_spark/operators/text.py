@@ -987,7 +987,9 @@ def dsir_importance_weights(
 
     Engine-portable determinism: feature bucket =
     ``conv(md5(term)[:8], 16, 10) % n_buckets`` (the sampling-hash
-    convention); each bucket's λ_f is rounded 8 dp and the per-doc sum
+    convention); each bucket's λ_f is rounded 6 dp (coarse enough that a last-ulp libm
+    ln disagreement cannot flip the rounding — an 8 dp λ DID flip once at
+    sf0.1, r11) and the per-doc sum
     Σ c_f·λ_f accumulates in DECIMAL (exact, order-independent — the
     unigram-LM posture) before the final 6 dp round.
 
@@ -1067,9 +1069,9 @@ def dsir_importance_weights(
             F.round(
                 F.log((F.col("ct") + F.lit(s)) / (F.col("nt") + F.lit(s * b)))
                 - F.log((F.col("cs") + F.lit(s)) / (F.col("ns") + F.lit(s * b))),
-                8,
+                6,
             )
-            .cast("decimal(18,8)")
+            .cast("decimal(18,6)")
             .alias("lam"),
         )
     )

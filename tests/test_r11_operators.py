@@ -217,7 +217,7 @@ def test_dsir_weights_sequential_replica(spark):
         f: round(
             __import__("math").log((ct.get(f, 0) + 1.0) / (nt + B))
             - __import__("math").log((cs.get(f, 0) + 1.0) / (ns + B)),
-            8,
+            6,
         )
         for f in set(ct) | set(cs)
     }
