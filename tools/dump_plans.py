@@ -151,6 +151,10 @@ QUERIES = {
     "sim_maxsim_rerank": "per-slice norms precomputed per side; broadcast query pair join; m^2 ordered-fold dots per pair, all codegen; per-query top-k window",
     "text_dsir_weights": "two token passes reduce to <=B-row bucket frames (map-side combine); lambda frame broadcast into ONE doc-keyed scoring agg",
     "dedup_semdedup_prune": "nearest-centroid argmin (broadcast centroids, row-local) -> cluster-local EQUI-join pairs (Sigma n_c^2, never a grid) -> components closure",
+    "text_dsir_bigram_weights": "unigram+bigram features from ONE tokenize (arrays concat); per-doc feature frame persisted, source totals derived from it",
+    "pipeline_dsir_select": "DSIR weight agg (bucket-bounded) -> Gumbel key projection -> TakeOrderedAndProject(50); never leaves log space",
+    "sampling_gumbel_by_lang": "Gumbel key is one codegen projection; per-group rank window over the lang-keyed exchange; quota rows only",
+    "sim_maxsim_ann_rerank": "per-slice LSH retrieval (slice-unique composite ids) -> candidate equi-join -> m^2 codegen cosines on survivors only; no crossJoin",
 }
 
 
