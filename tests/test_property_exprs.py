@@ -6,11 +6,41 @@ property-based tests at all, SURVEY §5.1 'Not present')."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from bullet_spark_spark.functions.exprs import E, Expr
 from bullet_spark_spark.plans import Projection, Query, RawAgg, compile_query
+
+SF_DIR = __import__("os").environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
+
+def _oracle_rows(sql: str):
+    """Run generated oracle SQL on a DISPOSABLE DuckDB connection,
+    rejecting (hypothesis.assume) examples that crash the ORACLE itself.
+    A duckdb InternalException is FATAL to its whole database — one
+    crashing example on the shared session fixture invalidated every
+    downstream differential test (19 suite failures, r11). Known trigger
+    pinned by test_duckdb_internal_bug_is_oracle_side: duplicated OR
+    branches of a degenerate BETWEEN on a parquet view, e.g.
+    ``(a AND v BETWEEN 0 AND 0) OR (a AND v BETWEEN 0 AND 0)`` —
+    a DuckDB optimizer bug, not an engine behavior."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/events.parquet')"
+        )
+        try:
+            return con.execute(sql).fetchall()
+        except duckdb.InternalException:
+            assume(False)  # oracle crashed — reject the example
+    finally:
+        con.close()
 
 # -- paired (Expr, SQL) generators -----------------------------------------
 
@@ -118,9 +148,9 @@ def test_random_group_aggs_match_duckdb(spark, tables, duck, spec, pred):
     group = f"GROUP BY {', '.join(keys)}" if keys else ""
     drows = sorted(
         tuple(r)
-        for r in duck.execute(
+        for r in _oracle_rows(
             f"SELECT {sel_keys}{sel_ops} FROM events WHERE {sql_pred} {group}"
-        ).fetchall()
+        )
     )
     # (global agg on empty input: both engines return one row of 0/NULLs)
     assert srows == drows
@@ -142,7 +172,8 @@ def test_random_filters_match_duckdb(spark, tables, duck, pred):
     )
     got = sorted(r[0] for r in compile_query(spark, q).collect())
     want = sorted(
-        r[0] for r in duck.execute(f"SELECT event_id FROM events WHERE {sql_text}").fetchall()
+        r[0]
+        for r in _oracle_rows(f"SELECT event_id FROM events WHERE {sql_text}")
     )
     assert got == want, f"mismatch for: {sql_text} ({len(got)} vs {len(want)} rows)"
 
@@ -171,3 +202,46 @@ def test_sql_renderer_matches_col_path(spark, tables, pred):
         r[0] for r in ev.filter(F.expr(expr.sql())).select("event_id").collect()
     )
     assert got_col == got_sql
+
+
+def test_duckdb_internal_bug_is_oracle_side(spark, tables):
+    """Document the r11 finding: this predicate crashes DuckDB itself
+    (InternalException, fatal to its database) while the ENGINE evaluates
+    it fine — the falsifying example hypothesis found, pinned so the
+    _oracle_rows rejection path stays exercised and so a future duckdb
+    upgrade that fixes the bug is visible (this test will keep passing;
+    the rejection simply stops firing)."""
+    import duckdb
+    import pytest as _pt
+
+    sql = (
+        "SELECT event_id FROM events WHERE "
+        "(((event_type = 'purchase') AND (value BETWEEN 0 AND 0)) "
+        "OR ((event_type = 'purchase') AND (value BETWEEN 0 AND 0)))"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    crashed = False
+    try:
+        con.execute(sql).fetchall()
+    except duckdb.InternalException:
+        crashed = True
+    con.close()
+    # engine side: same predicate, no problem
+    expr = (E.f("event_type") == "purchase") & E.f("value").between(0, 0) | (
+        (E.f("event_type") == "purchase") & E.f("value").between(0, 0)
+    )
+    q = Query(
+        source="events",
+        filter=expr,
+        projection=Projection(fields=[("event_id", E.f("event_id"))]),
+        aggregation=RawAgg(limit=100_000_000),
+    )
+    rows = compile_query(spark, q).collect()
+    assert isinstance(rows, list)  # evaluates cleanly (0 matches is fine)
+    if not crashed:
+        # duckdb fixed the bug — compare values outright
+        assert sorted(r[0] for r in rows) == []
