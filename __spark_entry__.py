@@ -10991,6 +10991,61 @@ def dedup_semdedup_prune(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+_BFS_EDGES_CTE = """base AS (
+    SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2 HAVING count(*) >= 2),
+  edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)"""
+
+
+@q(
+    "graph_bfs_khop",
+    gr.oracle_bfs_sql(
+        _BFS_EDGES_CTE,
+        "srcs AS (SELECT 's' || s_suppkey AS node FROM supplier"
+        " WHERE s_nationkey = 0)",
+        max_hops=3,
+        select="SELECT node, dist FROM dists",
+    ),
+)
+def graph_bfs_khop(spark, sf_dir):
+    """Multi-source BFS k-hop reach (graph.bfs_distances): every node
+    within 3 trade hops of nation-0's suppliers, with its hop distance —
+    the seed-set expansion primitive (grow a curated crawl frontier
+    outward from trusted domains) and the blast-radius query. Edges are
+    the symmetrized customer⇄supplier graph sparsified to repeat
+    relationships (≥2 lineitems), which keeps the hop profile
+    non-degenerate (sf0.1: 49 seeds → 631 → 496 → 4588 instead of
+    2-hop saturation). Integer-exact; the oracle is a recursive CTE
+    (oracle_bfs_sql) whose UNION recursion dedups (node, dist) rows.
+    Iterative frontier joins with per-hop localCheckpoint + empty-frontier
+    early exit — the connected_components lineage discipline."""
+    t = _t(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    edges = base.select(
+        F.explode(
+            F.array(
+                F.struct("src", "dst"),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.*")
+    srcs = t["supplier"].filter(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return gr.bfs_distances(edges, srcs, max_hops=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

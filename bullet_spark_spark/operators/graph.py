@@ -742,3 +742,88 @@ def oracle_hits_sql(
               FROM hr{i} h JOIN a{i} a ON a.node = h.node)"""
         )
     return ",\n".join(parts) + "\n" + select.format(last=f"s{iterations}")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: (node, dist) = minimum hop count from any node in
+    ``sources`` (dist 0), following directed ``edges(src, dst)``, out to
+    ``max_hops``. The k-hop-neighborhood primitive behind seed-set corpus
+    expansion (grow a trusted-domain crawl frontier outward from curated
+    seeds, RefinedWeb/CCNet posture) and blast-radius queries ("every
+    entity within 3 trades of this supplier"). Source nodes are reported
+    at dist 0 whether or not they appear in the edge list — the semantics
+    are "distance from the source SET", not "distance within the graph".
+
+    Level-synchronous frontier expansion, the Pregel/GraphX BFS shape in
+    DataFrames: each hop is ONE shuffle join of the current frontier
+    (frontier-sized, never graph-sized) against the edge list, then an
+    anti-join against the visited set so settled nodes never re-enter.
+    Every new frontier is eagerly ``localCheckpoint``-ed — same lineage
+    discipline as ``dedup.connected_components`` (iteration depth ≥ 8
+    overflows the analyzer stack on compounding plans) — and the loop
+    exits early on an empty frontier (one driver-side COUNT per hop, a
+    scalar; the 100 TB cost per hop is the edge join, which shuffles
+    edge-bytes not corpus-bytes). Integer-exact, so the DuckDB oracle
+    (:func:`oracle_bfs_sql`, a recursive CTE) hash-matches with no
+    rounding protocol.
+
+    Reference has no graph surface (nearest keyed iteration:
+    JoinStreaming.scala:40); extension per SURVEY §2.5.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    ecols = edges.select(F.col("src"), F.col("dst")).distinct().persist()
+    visited = (
+        sources.select(F.col("node").cast("string").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(ecols, frontier["node"] == ecols["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            fresh = (
+                nxt.join(visited.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(hop).cast("long"))
+                .localCheckpoint()  # eager: truncates per-hop lineage
+            )
+            if fresh.count() == 0:  # driver scalar — the convergence probe
+                break
+            visited = visited.unionByName(fresh).localCheckpoint()
+            frontier = fresh
+    finally:
+        ecols.unpersist()
+    return visited
+
+
+def oracle_bfs_sql(
+    edges_cte: str,
+    sources_cte: str,
+    max_hops: int = 3,
+    select: str = "SELECT node, dist FROM dists",
+) -> str:
+    """DuckDB oracle for :func:`bfs_distances`: a recursive CTE whose UNION
+    (not UNION ALL) recursion dedups (node, dist) rows, bounded by the
+    ``dist < max_hops`` guard; min(dist) per node is the BFS distance.
+    ``edges_cte`` must define ``edges(src, dst)`` (extra columns fine);
+    ``sources_cte`` must define ``srcs(node)``."""
+    return f"""WITH RECURSIVE {edges_cte},
+{sources_cte},
+walk(node, dist) AS (
+    SELECT node, 0 FROM srcs
+    UNION
+    SELECT e.dst, w.dist + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.dist < {max_hops}),
+dists AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+          FROM walk GROUP BY node)
+{select}"""
