@@ -11046,6 +11046,55 @@ def graph_bfs_khop(spark, sf_dir):
     return gr.bfs_distances(edges, srcs, max_hops=3)
 
 
+@q(
+    "relational_record_linkage",
+    """WITH n AS (SELECT doc_id, lang, substr(lower(text), 1, 48) AS norm,
+                         n_chars
+                  FROM documents),
+       cand AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.norm AS na, b.norm AS nb
+         FROM n a JOIN n b
+           ON a.lang = b.lang
+          AND substr(a.norm, 1, 6) = substr(b.norm, 1, 6)
+          AND a.doc_id < b.doc_id
+          AND abs(a.n_chars - b.n_chars) <= 8
+         UNION
+         SELECT a.doc_id, b.doc_id, a.norm, b.norm
+         FROM n a JOIN n b
+           ON a.lang = b.lang
+          AND substr(a.norm, 7, 6) = substr(b.norm, 7, 6)
+          AND a.doc_id < b.doc_id
+          AND abs(a.n_chars - b.n_chars) <= 8)
+       SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+       FROM cand WHERE levenshtein(na, nb) <= 8""",
+)
+def relational_record_linkage(spark, sf_dir):
+    """Blocked fuzzy record linkage (relational.record_linkage): the
+    Fellegi-Sunter match step over documents — two-pass blocking (lang +
+    one of two disjoint 6-char windows of the lowered 48-char prefix,
+    so a single early edit can't hide a pair from both passes), an
+    ±8-char length band as a blocking rule, then
+    levenshtein(prefix) <= 8 with Spark's bounded early-exit form.
+    Both engines' levenshtein are the classic unit-cost DP (verified
+    identical on a probe set); the oracle repeats the blocking verbatim
+    so the candidate sets are equal by construction. sf0.1: 2302
+    candidates -> 79 matched pairs; candidate generation shuffles on
+    (lang, window) — block-sized, never corpus-sized."""
+    t = _t(spark, sf_dir)
+    return rel.record_linkage(
+        t["documents"],
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang"],
+        prefix_len=48,
+        block_width=6,
+        max_dist=8,
+        length_col="n_chars",
+        length_band=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------

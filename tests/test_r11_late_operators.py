@@ -66,3 +66,85 @@ def test_bfs_matches_recursive_oracle(spark, duck):
     want = dict(duck.execute(sql).fetchall())
     got = _bfs(spark, edges, ["n0", "n1"], max_hops=4)
     assert got == want
+
+
+from bullet_spark_spark.operators import relational as rel
+
+
+def _linkage_rows(spark, recs, **kw):
+    df = spark.createDataFrame(recs, "rid long, txt string, grp string, ln long")
+    out = rel.record_linkage(
+        df, id_col="rid", text_col="txt", block_cols=["grp"],
+        length_col="ln", **kw,
+    )
+    return {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+
+
+def test_linkage_finds_planted_near_dup(spark):
+    recs = [
+        (1, "alpha beta gamma delta epsilon", "en", 30),
+        (2, "alpha beta gamma delta epsilom", "en", 30),   # 1 sub
+        (3, "totally different text here", "en", 27),
+        (4, "alpha beta gamma delta epsilon", "fr", 30),   # other block
+    ]
+    got = _linkage_rows(spark, recs, prefix_len=48, block_width=6,
+                        max_dist=3, length_band=5)
+    assert got == {(1, 2): 1}
+
+
+def test_linkage_second_window_catches_early_edit(spark):
+    # an edit INSIDE the first 6-char window breaks pass-1 blocking;
+    # the disjoint second window still pairs them
+    recs = [
+        (1, "abcdefghijklmnop", "en", 16),
+        (2, "Xbcdefghijklmnop", "en", 16),
+    ]
+    got = _linkage_rows(spark, recs, prefix_len=48, block_width=6,
+                        max_dist=2, length_band=4)
+    assert got == {(1, 2): 1}
+
+
+def test_linkage_length_band_blocks_pair(spark):
+    recs = [
+        (1, "abcdefghijkl", "en", 10),
+        (2, "abcdefghijkl", "en", 500),  # same text, wild length metadata
+    ]
+    got = _linkage_rows(spark, recs, prefix_len=48, block_width=6,
+                        max_dist=2, length_band=4)
+    assert got == {}
+
+
+def test_linkage_max_block_drops_hot_block(spark):
+    # 12 identical records in one block; cap 5 drops the whole block
+    recs = [(i, "same same same", "en", 14) for i in range(12)]
+    recs.append((100, "zq unique text", "en", 14))
+    got = _linkage_rows(spark, recs, prefix_len=48, block_width=6,
+                        max_dist=2, length_band=4, max_block=5)
+    assert got == {}
+    got2 = _linkage_rows(spark, recs, prefix_len=48, block_width=6,
+                         max_dist=2, length_band=4)
+    assert len(got2) == 12 * 11 // 2
+
+
+def test_linkage_bounded_levenshtein_matches_plain(spark, duck):
+    recs = [
+        (i, t, "en", len(t))
+        for i, t in enumerate(
+            ["the quick brown fox", "the quick brown fix", "the quick brwn fox",
+             "a quick brown fox", "the quack brown fax", "unrelated string xyz"]
+        )
+    ]
+    got = _linkage_rows(spark, recs, prefix_len=48, block_width=6,
+                        max_dist=4, length_band=10)
+    import itertools
+    want = {}
+    norm = {i: t.lower()[:48] for i, t, _, _ in recs}
+    for a, b in itertools.combinations(sorted(norm), 2):
+        na, nb = norm[a], norm[b]
+        blocked = na[:6] == nb[:6] or na[6:12] == nb[6:12]
+        if not blocked or abs(len(recs[a][1]) - len(recs[b][1])) > 10:
+            continue
+        d = duck.execute("SELECT levenshtein(?, ?)", [na, nb]).fetchone()[0]
+        if d <= 4:
+            want[(a, b)] = d
+    assert got == want
