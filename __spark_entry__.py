@@ -11047,6 +11047,81 @@ def graph_bfs_khop(spark, sf_dir):
 
 
 @q(
+    "streaming_session_drain",
+    """WITH marked AS (
+         SELECT user_id, ts,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events WHERE user_id IS NOT NULL AND user_id % 7 = 3),
+       islands AS (
+         SELECT user_id, ts,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS island
+         FROM marked)
+       SELECT user_id, min(ts) AS session_start, count(*) AS cnt
+       FROM islands GROUP BY user_id, island""",
+)
+def streaming_session_drain(spark, sf_dir):
+    """Streaming SESSION WINDOWS, fully drained and oracle-checked against
+    the batch gaps-and-islands rewrite (the window_session_30m oracle, on
+    a disjoint user slice): F.session_window in APPEND mode over a
+    TIME-ORDERED drip (sources.file_drip_ordered — chunk k strictly
+    precedes chunk k+1 in event time, so a 30-minute watermark never
+    drops a row as late), with two far-future sentinel chunks pushing the
+    final watermark past every real session end so append mode emits ALL
+    sessions — the flush idiom that doesn't depend on a trailing no-data
+    micro-batch. Session state is merged per (user, session) and evicted
+    as the watermark passes each session's close: state is live-sessions-
+    sized, never stream-sized — the production posture for sessionization
+    at 100 TB/day. Sentinel rows carry user_id -1 and are filtered from
+    the result surface."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip_ordered
+
+    t = _t(spark, sf_dir)
+    ev = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") % 7 == 3))
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    hi = ev.agg(F.max("ts").alias("m"))
+    sent1 = hi.select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.col("m") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+    )
+    sent2 = hi.select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.col("m") + F.expr("INTERVAL 200 DAYS")).alias("ts"),
+    )
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip_ordered(
+            spark, ev, work, "ts", chunks=4, extra_chunks=(sent1, sent2)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min("ts").alias("session_start"))
+        )
+        q_ = (
+            agg.writeStream.format("memory")
+            .queryName("__sess_drain")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    return spark.sql(
+        "SELECT user_id, session_start, cnt FROM __sess_drain "
+        "WHERE user_id >= 0"
+    )
+
+
+@q(
     "relational_record_linkage",
     """WITH n AS (SELECT doc_id, lang, substr(lower(text), 1, 48) AS norm,
                          n_chars

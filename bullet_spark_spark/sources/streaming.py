@@ -198,3 +198,71 @@ def stream_stream_interval_join(
         joined.withColumnRenamed(lt, left_time)
         .withColumnRenamed(rt, right_time)
     )
+
+
+def file_drip_ordered(
+    spark: SparkSession,
+    df: DataFrame,
+    work_dir: str,
+    order_col: str,
+    chunks: int = 4,
+    extra_chunks: tuple[DataFrame, ...] = (),
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """TIME-ORDERED replay of a historical frame through the streaming
+    path: like :func:`file_drip`, but chunk k contains strictly earlier
+    ``order_col`` ranges than chunk k+1 (ntile over the global order) and
+    the files carry strictly increasing mtimes so FileStreamSource's
+    oldest-first listing replays them in event-time order. That is the
+    backfill/replay posture: a watermark of any positive delay never
+    drops a row as late, because cross-chunk disorder is zero by
+    construction (rows inside one micro-batch are never late — the
+    watermark only advances at batch end).
+
+    ``extra_chunks``: frames appended as their OWN ordered chunk files
+    after the data — the watermark-flush idiom for append-mode drains.
+    Two far-future sentinel chunks guarantee every real window/session
+    finalizes: the first sentinel pushes the watermark past all real
+    event time once the SECOND sentinel's batch runs, independent of
+    whether the engine schedules a trailing no-data micro-batch.
+
+    Harness-scale util (the global ntile sort is one task): production
+    replay at 100 TB would range-partition by event time and replay
+    partition directories in order — the same contract, different writer.
+    """
+    import shutil
+    import time as _time
+
+    data_dir = os.path.join(work_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    from pyspark.sql.window import Window as _W
+
+    chunked = df.withColumn(
+        "__c", F.ntile(chunks).over(_W.orderBy(F.col(order_col)))
+    )
+    base_t = _time.time() - 3600
+    seq = 0
+
+    def _write_one(frame: DataFrame, seq: int) -> None:
+        tmp = os.path.join(work_dir, f"__tmp{seq}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        dest = os.path.join(data_dir, f"chunk_{seq:04d}.parquet")
+        shutil.move(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        t = base_t + seq * 2.0
+        os.utime(dest, (t, t))
+
+    for c in range(1, chunks + 1):
+        _write_one(chunked.filter(F.col("__c") == c).drop("__c"), seq)
+        seq += 1
+    for ex in extra_chunks:
+        _write_one(ex.select(*df.columns), seq)
+        seq += 1
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(data_dir)
+    )

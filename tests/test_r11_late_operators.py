@@ -148,3 +148,85 @@ def test_linkage_bounded_levenshtein_matches_plain(spark, duck):
         if d <= 4:
             want[(a, b)] = d
     assert got == want
+
+
+def test_file_drip_ordered_chunks_are_time_ordered(spark, tmp_path):
+    import os
+    from datetime import datetime, timedelta
+
+    import duckdb as _duck
+
+    from bullet_spark_spark.sources.streaming import file_drip_ordered
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(minutes=7 * i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    file_drip_ordered(spark, df, str(tmp_path), "ts", chunks=4)
+    data = os.path.join(str(tmp_path), "data")
+    files = sorted(os.listdir(data))
+    assert files == [f"chunk_{i:04d}.parquet" for i in range(4)]
+    mtimes = [os.path.getmtime(os.path.join(data, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+    con = _duck.connect()
+    prev_max = None
+    for f in files:
+        lo, hi = con.execute(
+            f"SELECT min(ts), max(ts) FROM '{data}/{f}'"
+        ).fetchone()
+        if prev_max is not None:
+            assert lo >= prev_max  # chunk k+1 never precedes chunk k
+        prev_max = hi
+
+
+def test_streaming_session_drain_matches_batch(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from bullet_spark_spark.sources.streaming import file_drip_ordered
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: two sessions (gap 45 min), user 2: one long merged session
+    for m in (0, 10, 20, 65, 70):
+        rows.append((1, t0 + timedelta(minutes=m)))
+    for m in (0, 25, 50, 75):
+        rows.append((2, t0 + timedelta(minutes=m)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from pyspark.sql import functions as F2
+
+    sent = [
+        spark.createDataFrame(
+            [(-1, t0 + timedelta(days=d))], "user_id long, ts timestamp"
+        )
+        for d in (100, 200)
+    ]
+    stream = file_drip_ordered(
+        spark, df, str(tmp_path), "ts", chunks=3, extra_chunks=tuple(sent)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F2.session_window("ts", "30 minutes").alias("w"))
+        .agg(F2.count(F2.lit(1)).alias("cnt"), F2.min("ts").alias("start"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("__sess_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start"]): r["cnt"]
+        for r in spark.sql(
+            "SELECT user_id, start, cnt FROM __sess_t WHERE user_id >= 0"
+        ).collect()
+    }
+    batch = (
+        df.groupBy("user_id", F2.session_window("ts", "30 minutes").alias("w"))
+        .agg(F2.count(F2.lit(1)).alias("cnt"), F2.min("ts").alias("start"))
+    )
+    want = {(r["user_id"], r["start"]): r["cnt"] for r in batch.collect()}
+    assert got == want
+    assert got[(1, t0)] == 3 and got[(1, t0 + timedelta(minutes=65))] == 2
+    assert got[(2, t0)] == 4
