@@ -11170,6 +11170,49 @@ def relational_record_linkage(spark, sf_dir):
     )
 
 
+@q("dedup_cdc_chunks")  # rows-only: gear boundaries aren't SQL-expressible;
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup panel (dedup.cdc_chunks — FastCDC
+    posture): gear-hash chunk boundaries, md5 chunk fingerprints, per-lang
+    chunk-level dedup stats. The in-sweep quality assert pins the laws the
+    algorithm must satisfy on ANY input: Σ chunk bytes == Σ utf-8 document
+    bytes per lang (lossless cover), every interior chunk within
+    [min_size, max_size], and a positive dup ratio on the planted-near-dup
+    corpus (shared runs of text produce shared chunks — the whole point of
+    content-defined over fixed-size boundaries). Map-only chunking stage,
+    zero shuffle; the dedup groupBy shuffles chunk-space, not corpus-space."""
+    t = _t(spark, sf_dir)
+    ch = dd.cdc_chunks(
+        t["documents"], "doc_id", "text", avg_bits=6, min_size=16, max_size=256
+    )
+    withlang = ch.join(t["documents"].select("doc_id", "lang"), "doc_id")
+    last = withlang.withColumn(
+        "__last",
+        F.col("chunk_idx")
+        == F.max("chunk_idx").over(W.partitionBy("doc_id")),
+    )
+    return (
+        last.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_uniq_chunks"),
+            F.sum("chunk_len").alias("sum_bytes"),
+            F.max("chunk_len").alias("max_chunk_len"),
+            F.min(
+                F.when(~F.col("__last"), F.col("chunk_len"))
+            ).alias("min_interior_len"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                1.0 - F.col("n_uniq_chunks") / F.col("n_chunks"), 6
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window rotation
 # ---------------------------------------------------------------------------
@@ -12362,7 +12405,35 @@ def _assert_maxsim_ann_recall(spark, sf_dir, rows):
     assert mean_recall >= 0.6, (mean_recall, recalls)
 
 
+def _assert_cdc_chunks(spark, sf_dir, rows):
+    """CDC laws on the aggregated panel: lossless cover (per-lang chunk
+    bytes == per-lang utf-8 document bytes), size clamps honored by every
+    interior chunk, and chunk-level duplication present on the
+    planted-near-dup corpus."""
+    assert rows, "no languages — documents fixture is non-empty"
+    t = _t(spark, sf_dir)
+    truth = {
+        r["lang"]: r["b"]
+        for r in t["documents"]
+        .groupBy("lang")
+        .agg(F.sum(F.octet_length("text")).alias("b"))
+        .collect()
+    }
+    for r in rows:
+        assert int(r["sum_bytes"]) == int(truth[r["lang"]]), (
+            f"lang {r['lang']}: chunk bytes {r['sum_bytes']} != "
+            f"document bytes {truth[r['lang']]} — cover is not lossless"
+        )
+        assert int(r["max_chunk_len"]) <= 256, r
+        if r["min_interior_len"] is not None:
+            assert int(r["min_interior_len"]) >= 16, r
+    total = sum(int(r["n_chunks"]) for r in rows)
+    uniq = sum(int(r["n_uniq_chunks"]) for r in rows)
+    assert uniq < total, "zero chunk-level duplication on a near-dup corpus"
+
+
 _ASSERTS: dict[str, Callable] = {
+    "dedup_cdc_chunks": _assert_cdc_chunks,  # r11-late
     "sim_maxsim_ann_rerank": _assert_maxsim_ann_recall,  # r11
     "dedup_weighted_minhash_cws": _assert_cws_differential,
     "sketch_cms_freq_est": _assert_cms_guarantees,

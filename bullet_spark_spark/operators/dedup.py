@@ -2926,3 +2926,163 @@ def semdedup_survivors(
     return neardup_survivors(
         embeddings.select(id_col), pairs.select("id_a", "id_b"), id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — gear-hash boundaries, FastCDC posture
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+# 256-entry gear table, derived deterministically from md5 so import is
+# reproducible with no runtime RNG (the FastCDC paper draws these random;
+# any fixed high-entropy table satisfies the boundary-uniformity argument).
+_GEAR = tuple(
+    int.from_bytes(_hashlib.md5(bytes([i])).digest()[:8], "big")
+    for i in range(256)
+)
+
+
+def _cdc_mask(avg_bits: int) -> int:
+    """A SPREAD mask with ``avg_bits`` set bits over positions 13..63.
+    Gear's shift-register update ``h = (h << 1) + gear[b]`` means bit p of
+    h only sees the last p+1 bytes — a low-bit mask would judge boundaries
+    on a few bytes of context. Spreading the tested bits high keeps the
+    effective context window wide (the reason FastCDC's published masks
+    are spread), while P[boundary] stays 2^-avg_bits per position."""
+    if not 1 <= avg_bits <= 20:
+        raise ValueError(f"avg_bits must be in [1, 20], got {avg_bits}")
+    positions = [13 + (50 * i) // max(avg_bits - 1, 1) for i in range(avg_bits)]
+    if avg_bits == 1:
+        positions = [45]
+    mask = 0
+    for p in positions:
+        mask |= 1 << min(p, 63)
+    return mask
+
+
+def _cdc_cuts(n: int, candidates, min_size: int, max_size: int) -> list[int]:
+    """Boundary positions (cut AFTER index) honoring min/max: candidates
+    closer than ``min_size`` to the previous cut are skipped, and a cut is
+    FORCED at ``max_size`` when no candidate fired — the classic CDC size
+    clamp. Sequential by nature, but runs over the sparse candidate list
+    (≈ n / 2^avg_bits entries), not every byte."""
+    cuts: list[int] = []
+    start = 0
+    ci = 0
+    m = len(candidates)
+    while n - start > max_size:
+        nxt = None
+        while ci < m:
+            c = int(candidates[ci])
+            if c < start + min_size:
+                ci += 1
+                continue
+            if c >= start + max_size:
+                break
+            nxt = c
+            ci += 1
+            break
+        if nxt is None:
+            nxt = start + max_size - 1  # forced cut
+        cuts.append(nxt)
+        start = nxt + 1
+    return cuts
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    avg_bits: int = 6,
+    min_size: int = 16,
+    max_size: int = 256,
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING: split each document at gear-hash
+    boundaries (FastCDC posture — Xia et al., ATC'16) and fingerprint each
+    chunk, the storage-dedup primitive that also powers sub-document
+    near-dup removal in training corpora: unlike fixed-size blocks, an
+    insertion early in a document shifts only the chunks it touches — all
+    downstream boundaries re-synchronize because each boundary depends
+    only on the trailing 64 bytes of content, never on absolute position.
+
+    Per byte, ``h = (h << 1) + GEAR[b]`` (uint64 wrap); position t is a
+    boundary candidate when ``h & mask == 0`` with a SPREAD high-bit mask
+    (see :func:`_cdc_mask`); ``min_size``/``max_size`` clamp degenerate
+    chunks (expected size ≈ 2^avg_bits bytes before clamping). Boundaries
+    are computed VECTORIZED: h_t = Σ_{k<64} GEAR[b_{t-k}] << k (the shift
+    register forgets after 64 steps), evaluated as 64 lagged uint64 adds
+    per Arrow batch — no per-byte Python. Only the sparse candidate list
+    walks through Python (the min/max clamp is inherently sequential).
+
+    Returns (id, chunk_idx, chunk_pos, chunk_len, chunk_hash): a MAP-ONLY
+    stage — zero shuffle; at 100 TB it parallelizes over input splits and
+    every downstream dedup is a groupBy on chunk_hash (chunk-space, smaller
+    than corpus-space by the dedup ratio). chunk_hash is md5 of the chunk
+    bytes (engine-neutral, collision-safe at catalog scale).
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    mask = _cdc_mask(avg_bits)
+    base = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    out_schema = StructType(
+        [
+            base.schema[id_col],
+            StructField("chunk_idx", LongType()),
+            StructField("chunk_pos", LongType()),
+            StructField("chunk_len", LongType()),
+            StructField("chunk_hash", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        gear = np.array(_GEAR, dtype=np.uint64)
+        msk = np.uint64(mask)
+        err = np.seterr(over="ignore")  # uint64 wrap IS the hash semantics
+        try:
+            for pdf in batches:
+                ids, idxs, poss, lens, hashes = [], [], [], [], []
+                for rid, t in zip(pdf[id_col].values, pdf["__t"]):
+                    raw = (t or "").encode("utf-8")
+                    n = len(raw)
+                    if n == 0:
+                        continue
+                    g = gear[np.frombuffer(raw, dtype=np.uint8)]
+                    h = g.copy()
+                    for k in range(1, 64):
+                        if k >= n:
+                            break
+                        h[k:] += g[:-k] << np.uint64(k)
+                    cand = np.flatnonzero((h & msk) == np.uint64(0))
+                    cuts = _cdc_cuts(n, cand, min_size, max_size)
+                    bounds = [0] + [c + 1 for c in cuts] + [n]
+                    for i in range(len(bounds) - 1):
+                        s, e = bounds[i], bounds[i + 1]
+                        ids.append(rid)
+                        idxs.append(i)
+                        poss.append(s)
+                        lens.append(e - s)
+                        hashes.append(hashlib.md5(raw[s:e]).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.array(ids, dtype="int64"),
+                        "chunk_idx": pd.array(idxs, dtype="int64"),
+                        "chunk_pos": pd.array(poss, dtype="int64"),
+                        "chunk_len": pd.array(lens, dtype="int64"),
+                        "chunk_hash": hashes,
+                    }
+                )
+        finally:
+            np.seterr(**err)
+
+    return base.mapInPandas(gen, schema=out_schema)

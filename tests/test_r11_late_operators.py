@@ -230,3 +230,85 @@ def test_streaming_session_drain_matches_batch(spark, tmp_path):
     assert got == want
     assert got[(1, t0)] == 3 and got[(1, t0 + timedelta(minutes=65))] == 2
     assert got[(2, t0)] == 4
+
+
+from bullet_spark_spark.operators.dedup import (
+    _GEAR,
+    _cdc_cuts,
+    _cdc_mask,
+    cdc_chunks,
+)
+
+
+def test_cdc_vectorized_hash_matches_sequential_reference():
+    import numpy as np
+
+    raw = bytes(np.random.RandomState(11).randint(0, 256, 700, dtype=np.uint8))
+    g = np.array(_GEAR, dtype=np.uint64)[np.frombuffer(raw, dtype=np.uint8)]
+    h = g.copy()
+    old = np.seterr(over="ignore")
+    try:
+        for k in range(1, 64):
+            h[k:] += g[:-k] << np.uint64(k)
+    finally:
+        np.seterr(**old)
+    hs, seq = 0, []
+    for b in raw:
+        hs = ((hs << 1) + _GEAR[b]) & 0xFFFFFFFFFFFFFFFF
+        seq.append(hs)
+    assert (h == np.array(seq, dtype=np.uint64)).all()
+
+
+def test_cdc_cuts_enforce_min_and_force_max():
+    # candidate too close to previous cut is skipped; no candidate in a
+    # max_size span forces a cut at start + max_size - 1
+    cuts = _cdc_cuts(1000, [5, 30, 33, 700], min_size=16, max_size=100)
+    assert cuts[0] == 30           # 5 skipped (< min), 30 taken
+    assert cuts[1] == 130          # 33 < 30+16 skipped, none < 30+100: forced
+    assert all(b - a >= 16 for a, b in zip(cuts, cuts[1:]))
+    assert all(b - a <= 100 for a, b in zip(cuts, cuts[1:]))
+
+
+def test_cdc_chunks_lossless_and_deterministic(spark):
+    docs = [
+        (1, "spark catalyst tungsten " * 30),
+        (2, ""),                       # empty doc: zero chunks
+        (3, "short"),                  # below min_size: one chunk
+    ]
+    df = spark.createDataFrame(docs, "id long, t string")
+    out = cdc_chunks(df, "id", "t").collect()
+    assert not [r for r in out if r.id == 2]
+    one = [r for r in out if r.id == 3]
+    assert len(one) == 1 and one[0].chunk_len == 5
+    c1 = sorted((r.chunk_pos, r.chunk_len, r.chunk_hash) for r in out if r.id == 1)
+    assert sum(l for _, l, _ in c1) == len(docs[0][1].encode())
+    # contiguous cover
+    end = 0
+    for pos, ln, _ in c1:
+        assert pos == end
+        end += ln
+    out2 = sorted(
+        (r.chunk_pos, r.chunk_len, r.chunk_hash)
+        for r in cdc_chunks(df, "id", "t").collect()
+        if r.id == 1
+    )
+    assert out2 == c1
+
+
+def test_cdc_resynchronizes_after_insertion(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 25
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED-PREFIX! " + base)], "id long, t string"
+    )
+    out = cdc_chunks(df, "id", "t").collect()
+    h1 = {r.chunk_hash for r in out if r.id == 1}
+    h2 = {r.chunk_hash for r in out if r.id == 2}
+    # fixed-size chunking would share ~0 blocks after a prefix shift;
+    # CDC re-synchronizes, so most chunks survive
+    assert len(h1 & h2) / len(h1) >= 0.5
+
+
+def test_cdc_mask_is_spread_high():
+    m = _cdc_mask(6)
+    assert bin(m).count("1") == 6
+    assert m & 0xFFF == 0  # no low bits: boundary context stays wide
