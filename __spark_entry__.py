@@ -11170,6 +11170,64 @@ def relational_record_linkage(spark, sf_dir):
     )
 
 
+@q(
+    "scale_bucketed_join",
+    """SELECT o_orderpriority, l_returnflag, count(*) AS cnt,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                AS sum_price
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderstatus = 'F'
+       GROUP BY o_orderpriority, l_returnflag""",
+)
+def scale_bucketed_join(spark, sf_dir):
+    """SHUFFLE-FREE co-located join via write-time bucketing
+    (layout.write_bucketed + bucketed_join): both sides land as external
+    bucketed tables hash-routed on the join key (8 buckets, sorted within
+    bucket), so the sort-merge join plans with ZERO Exchange operators —
+    asserted IN the query (assert_no_join_exchange), so the driver row
+    certifies the plan contract along with the values. This is the
+    pre-shuffle-once-join-forever posture for 100 TB fact-fact joins:
+    the exchange deleted here is the join's dominant cost, and repeated
+    joins on the same key amortize the one-time bucketed write. The
+    oracle is the plain join — bucketing must not change a single value."""
+    import re
+    import tempfile
+
+    from bullet_spark_spark.operators import layout as lay2
+
+    t = _t(spark, sf_dir)
+    tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir).strip("_")
+    base = tempfile.mkdtemp(prefix="bktjoin_")
+    lay2.write_bucketed(
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority"),
+        f"bkt_orders_{tag}",
+        "o_orderkey",
+        8,
+        f"{base}/o",
+    )
+    lay2.write_bucketed(
+        t["lineitem"].select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_returnflag",
+            "l_extendedprice",
+        ),
+        f"bkt_lineitem_{tag}",
+        "o_orderkey",
+        8,
+        f"{base}/l",
+    )
+    j = lay2.bucketed_join(
+        spark, f"bkt_orders_{tag}", f"bkt_lineitem_{tag}", "o_orderkey"
+    )
+    lay2.assert_no_join_exchange(j)
+    return j.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _dsum(F.col("l_extendedprice"), "sum_price"),
+    )
+
+
 @q("dedup_cdc_chunks")  # rows-only: gear boundaries aren't SQL-expressible;
 def dedup_cdc_chunks(spark, sf_dir):
     """Content-defined chunking dedup panel (dedup.cdc_chunks — FastCDC

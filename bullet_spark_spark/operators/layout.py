@@ -376,3 +376,62 @@ def compaction_plan(
             ).alias("fill_ratio"),
         )
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | Sequence[str],
+    buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as an EXTERNAL BUCKETED table: rows are hash-routed
+    into ``buckets`` files per partition by ``key`` (Spark's Murmur3
+    bucket spec), optionally sorted within each bucket. This is the
+    write-time contract that makes later joins and aggregations on the
+    bucket key SHUFFLE-FREE: two tables bucketed on the same key with
+    compatible bucket counts sort-merge-join with no Exchange on either
+    side — at 100 TB the exchange this deletes IS the join's cost.
+    Idempotent: an existing table of the same name is replaced."""
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df.write.bucketBy(buckets, keys[0], *keys[1:])
+    if sort:
+        w = w.sortBy(keys[0], *keys[1:])
+    w.option("path", path).mode("overwrite").format("parquet").saveAsTable(
+        table
+    )
+
+
+def bucketed_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two ALREADY-BUCKETED catalog tables on their bucket key. With
+    matching bucket specs Catalyst reports both scans as pre-partitioned
+    (HashPartitioning over the bucket columns), so the sort-merge join
+    plans with ZERO Exchange operators — verify with
+    :func:`assert_no_join_exchange` in tests. Broadcast is disabled for
+    this one join via hints (a broadcast would hide the co-location
+    contract being exercised)."""
+    lt = spark.table(left_table).hint("SHUFFLE_MERGE")
+    rt = spark.table(right_table)
+    keys = [on] if isinstance(on, str) else list(on)
+    return lt.join(rt, on=keys, how=how)
+
+
+def assert_no_join_exchange(df: DataFrame) -> None:
+    """Raise when the physical plan contains any Exchange (shuffle or
+    broadcast) — the bucketed-join plan contract. Call on the raw join
+    BEFORE any re-keyed aggregation (which legitimately shuffles)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed join planned an Exchange — co-location contract "
+            "broken:\n" + plan
+        )

@@ -312,3 +312,39 @@ def test_cdc_mask_is_spread_high():
     m = _cdc_mask(6)
     assert bin(m).count("1") == 6
     assert m & 0xFFF == 0  # no low bits: boundary context stays wide
+
+
+def test_bucketed_join_is_shuffle_free(spark, tables, tmp_path_factory):
+    from bullet_spark_spark.operators import layout as lay
+
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    lay.write_bucketed(
+        tables["orders"].select("o_orderkey", "o_orderpriority"),
+        "t_bkt_orders", "o_orderkey", 4, f"{base}/o",
+    )
+    lay.write_bucketed(
+        tables["lineitem"]
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_bkt_lineitem", "o_orderkey", 4, f"{base}/l",
+    )
+    j = lay.bucketed_join(spark, "t_bkt_orders", "t_bkt_lineitem", "o_orderkey")
+    lay.assert_no_join_exchange(j)  # the co-location contract
+    # and the values are the plain join's values
+    want = (
+        tables["orders"]
+        .select("o_orderkey", "o_orderpriority")
+        .join(
+            tables["lineitem"].select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+            ),
+            "o_orderkey",
+        )
+        .count()
+    )
+    assert j.count() == want
+    # a non-bucket-key aggregation after the join still shuffles (sanity:
+    # the no-exchange assert is about the JOIN, not the whole query)
+    agg = j.groupBy("o_orderpriority").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
