@@ -119,6 +119,12 @@ BENCH = [
     "temporal_interval_overlap",  # interval x interval bucket-exploded join
     "graph_kcore_trade",      # iterative peeling to the 3-core fixpoint
     "distribution_kruskal",   # k-sample rank panel (two-level cumsum ranks)
+    # round-11 late additions (r12 oracle queue)
+    "graph_bfs_khop",         # level-synchronous frontier BFS, 3 hops
+    "relational_record_linkage",  # 2-pass blocked levenshtein linkage
+    "streaming_session_drain",  # session windows drained through append mode
+    "dedup_cdc_chunks",       # gear-hash CDC chunking panel (map-only)
+    "scale_bucketed_join",    # write-time bucketing, zero-Exchange SMJ
 ]
 
 REPEATS = 3

@@ -155,6 +155,11 @@ QUERIES = {
     "pipeline_dsir_select": "DSIR weight agg (bucket-bounded) -> Gumbel key projection -> TakeOrderedAndProject(50); never leaves log space",
     "sampling_gumbel_by_lang": "Gumbel key is one codegen projection; per-group rank window over the lang-keyed exchange; quota rows only",
     "sim_maxsim_ann_rerank": "per-slice LSH retrieval (slice-unique composite ids) -> candidate equi-join -> m^2 codegen cosines on survivors only; no crossJoin",
+    # round-11 late additions (r12 oracle queue)
+    "graph_bfs_khop": "level-synchronous frontier: per-hop edge join + visited anti-join, localCheckpoint truncates lineage; frontier-sized shuffles",
+    "relational_record_linkage": "two block-keyed self-joins (lang x 6-char window) union'd + bounded levenshtein on candidates; block-sized shuffles only",
+    "scale_bucketed_join": "both scans pre-partitioned by bucket spec: SMJ with ZERO Exchange (asserted in-query); only the re-keyed agg shuffles",
+    "dedup_cdc_chunks": "map-only mapInPandas chunker (zero shuffle) -> lang join + chunk-space groupBy",
 }
 
 
