@@ -11228,6 +11228,44 @@ def scale_bucketed_join(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_rate_estimate",
+    f"""WITH k AS (SELECT md5({_NORM_SQL}) AS ck,
+                          substr(md5({_NORM_SQL}), 1, 1) = '0' AS inx
+                   FROM documents),
+       a AS (SELECT count(*) AS n_total,
+                    count(DISTINCT ck) AS u_total,
+                    count(*) FILTER (inx) AS n_sample,
+                    count(DISTINCT ck) FILTER (inx) AS u_sample
+             FROM k)
+       SELECT n_sample AS n_sample_docs, u_sample AS n_sample_uniq,
+              CASE WHEN n_sample > 0
+                   THEN round(1.0 - CAST(u_sample AS DOUBLE) / n_sample, 6)
+              END AS est_dup_rate,
+              round(1.0 - CAST(u_total AS DOUBLE) / n_total, 6)
+                AS exact_dup_rate,
+              round(abs(CASE WHEN n_sample > 0
+                             THEN round(1.0 - CAST(u_sample AS DOUBLE)
+                                        / n_sample, 6) END
+                        - round(1.0 - CAST(u_total AS DOUBLE) / n_total, 6)),
+                    6) AS abs_err
+       FROM a""",
+)
+def dedup_rate_estimate(spark, sf_dir):
+    """Pre-flight dedup-rate estimation (dedup.dedup_rate_estimate):
+    CONTENT-KEY cluster sampling — a doc is in-sample iff the first hex
+    char of md5(normalized text) is '0' (1/16), so every copy of the same
+    content is kept or dropped TOGETHER; per-document sampling would
+    underestimate duplication because duplicate pairs cross the sample
+    boundary. One combinable aggregate computes sample and exact sides in
+    a single scan; the emitted panel is the differential (estimated vs
+    exact dup rate + |error|), deterministic end-to-end, full oracle.
+    At 100 TB only the sample side runs: one string-column scan, four
+    counters of aggregate state."""
+    t = _t(spark, sf_dir)
+    return dd.dedup_rate_estimate(t["documents"], "doc_id", "text")
+
+
 @q("dedup_cdc_chunks")  # rows-only: gear boundaries aren't SQL-expressible;
 def dedup_cdc_chunks(spark, sf_dir):
     """Content-defined chunking dedup panel (dedup.cdc_chunks — FastCDC

@@ -3086,3 +3086,54 @@ def cdc_chunks(
             np.seterr(**err)
 
     return base.mapInPandas(gen, schema=out_schema)
+
+
+def dedup_rate_estimate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hex_prefix: str = "0",
+    round_dp: int = 6,
+) -> DataFrame:
+    """PRE-FLIGHT dedup-rate estimation by CONTENT-KEY cluster sampling —
+    the 100 TB question "is this corpus duplicated enough to be worth a
+    full dedup pass?" answered from a 1/16 sample whose cost is one scan.
+
+    The estimator's correctness hinges on WHAT gets sampled: sampling
+    documents uniformly UNDERESTIMATES duplication (a duplicate pair
+    crosses the sample boundary with probability 2p(1-p)), so the sample
+    is drawn by CONTENT KEY — a document is in-sample iff the first hex
+    char of md5(normalized text) equals ``hex_prefix`` — which keeps or
+    drops every copy of the same content TOGETHER. Group-level inclusion
+    makes both the sampled doc count and the sampled unique count
+    unbiased (scaled) estimates; their ratio is the standard consistent
+    ratio estimator for the dup rate. Deterministic (no RNG), so the
+    differential vs the exact full-corpus rate is oracle-checkable.
+
+    One combinable aggregate computes sample AND exact sides in a single
+    scan (conditional counts — no second pass, no join); output is a
+    one-row panel: sample counts, estimated rate, exact rate, |error|.
+    At 100 TB you run ONLY the sample side (drop the exact columns): the
+    scan reads one string column and the agg state is two counters plus
+    two distinct sketches.
+    """
+    ck = F.md5(normalize_text(F.col(text_col)))
+    flag = F.substring(ck, 1, 1) == hex_prefix
+    agg = df.select(ck.alias("ck"), flag.alias("inx")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("ck").alias("u_total"),
+        F.count(F.when(F.col("inx"), F.lit(1))).alias("n_sample"),
+        F.countDistinct(F.when(F.col("inx"), F.col("ck"))).alias("u_sample"),
+    )
+    est = F.when(
+        F.col("n_sample") > 0,
+        F.round(1.0 - F.col("u_sample") / F.col("n_sample"), round_dp),
+    )
+    exact = F.round(1.0 - F.col("u_total") / F.col("n_total"), round_dp)
+    return agg.select(
+        F.col("n_sample").alias("n_sample_docs"),
+        F.col("u_sample").alias("n_sample_uniq"),
+        est.alias("est_dup_rate"),
+        exact.alias("exact_dup_rate"),
+        F.round(F.abs(est - exact), round_dp).alias("abs_err"),
+    )

@@ -348,3 +348,51 @@ def test_bucketed_join_is_shuffle_free(spark, tables, tmp_path_factory):
     agg = j.groupBy("o_orderpriority").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan
+
+
+def test_cdc_chunks_multibyte_utf8_lossless(spark):
+    # chunk_pos/chunk_len are BYTE offsets; multibyte chars may split
+    # across chunks but the byte-level cover must stay exact
+    text = ("héllo wörld — 数据去重分块测试 🚀 " * 40)
+    df = spark.createDataFrame([(1, text)], "id long, t string")
+    out = sorted(
+        (r.chunk_pos, r.chunk_len, r.chunk_hash)
+        for r in cdc_chunks(df, "id", "t").collect()
+    )
+    raw = text.encode("utf-8")
+    assert sum(l for _, l, _ in out) == len(raw)
+    import hashlib as _h
+
+    end = 0
+    for pos, ln, hx in out:
+        assert pos == end
+        assert _h.md5(raw[pos : pos + ln]).hexdigest() == hx
+        end += ln
+    assert end == len(raw)
+
+
+def test_dedup_rate_estimate_group_level_sampling(spark):
+    from bullet_spark_spark.operators.dedup import dedup_rate_estimate
+
+    # 40 docs: 10 contents x 4 exact copies -> dup rate 0.75 exactly;
+    # group-level sampling keeps copies together, so WHATEVER subset of
+    # contents lands in-sample, the estimated rate is 0.75 or null
+    docs = [(i, f"content number {i % 10}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = dedup_rate_estimate(df, "doc_id", "text").collect()[0]
+    assert row["exact_dup_rate"] == 0.75
+    assert row["n_sample_docs"] % 4 == 0  # whole groups only
+    if row["n_sample_docs"]:
+        assert row["est_dup_rate"] == 0.75
+        assert row["abs_err"] == 0.0
+
+
+def test_dedup_rate_estimate_unique_corpus(spark):
+    from bullet_spark_spark.operators.dedup import dedup_rate_estimate
+
+    docs = [(i, f"totally unique text {i}") for i in range(64)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = dedup_rate_estimate(df, "doc_id", "text").collect()[0]
+    assert row["exact_dup_rate"] == 0.0
+    if row["n_sample_docs"]:
+        assert row["est_dup_rate"] == 0.0
