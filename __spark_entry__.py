@@ -11229,6 +11229,78 @@ def scale_bucketed_join(spark, sf_dir):
 
 
 @q(
+    "behavior_attribution",
+    """WITH t AS (SELECT user_id, event_id AS tid, ts AS tts,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+                           AS channel
+                  FROM events
+                  WHERE event_type IN ('click', 'view') AND user_id % 5 = 1),
+       c AS (SELECT user_id, event_id AS cid, ts AS cts, value
+             FROM events
+             WHERE event_type = 'purchase' AND user_id % 5 = 1),
+       j AS (SELECT c.cid, c.value, t.channel, t.tts, t.tid
+             FROM c JOIN t ON c.user_id = t.user_id
+              AND t.tts <= c.cts
+              AND t.tts >= c.cts - INTERVAL 172800 SECOND),
+       r AS (SELECT channel, value,
+                    row_number() OVER (PARTITION BY cid
+                                       ORDER BY tts, tid) AS rf,
+                    row_number() OVER (PARTITION BY cid
+                                       ORDER BY tts DESC, tid DESC) AS rl,
+                    count(*) OVER (PARTITION BY cid) AS n
+             FROM j)
+       SELECT channel,
+              CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS first_touch_convs,
+              CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS last_touch_convs,
+              round(CAST(sum(CAST(round(1.0 / n, 9) AS DECIMAL(18,9)))
+                         AS DOUBLE), 6) AS linear_credit,
+              round(CAST(sum(CAST(CASE WHEN rl = 1 THEN value ELSE 0.0 END
+                                  AS DECIMAL(18,4))) AS DOUBLE), 6)
+                AS last_touch_value
+       FROM r GROUP BY channel""",
+)
+def behavior_attribution(spark, sf_dir):
+    """Multi-touch attribution (behavior.attribution): purchases credited
+    to the click/view touches of the preceding 48 hours per user, under
+    first-touch, last-touch, and linear models in ONE pass — the
+    credit-assignment read a product-analytics store answers that the
+    reference's forward-only streams cannot. Channel is derived from the
+    JSON props (k % 4). One user-keyed join bounded by the lookback
+    range conjunct, three windows over the same conversion partitioning
+    (one exchange); linear credits are per-term rounded then
+    decimal-summed so the float surface is engine-identical."""
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") % 5 == 1)
+    ch = (
+        F.get_json_object(F.col("props"), "$.k").cast("bigint") % 4
+    ).alias("channel")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("touch_ts"),
+        ch,
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    import bullet_spark_spark.operators.behavior as bh
+
+    return bh.attribution(
+        touches,
+        convs,
+        user_col="user_id",
+        channel_col="channel",
+        value_col="value",
+        lookback_sec=172800,
+    )
+
+
+@q(
     "dedup_rate_estimate",
     f"""WITH k AS (SELECT md5({_NORM_SQL}) AS ck,
                           substr(md5({_NORM_SQL}), 1, 1) = '0' AS inx

@@ -270,3 +270,106 @@ def ab_test_report(
         ).alias("lift"),
         z.alias("z_score"),
     )
+
+
+def attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    user_col: str,
+    channel_col: str,
+    touch_ts: str = "touch_ts",
+    conv_ts: str = "conv_ts",
+    conv_id: str = "conv_id",
+    touch_id: str = "touch_id",
+    value_col: str | None = None,
+    lookback_sec: int = 7 * 24 * 3600,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multi-touch MARKETING ATTRIBUTION: credit each conversion to the
+    touches (clicks/views, tagged with a channel) that preceded it within
+    ``lookback_sec``, under the three standard models at once —
+    FIRST-touch (the discovery channel), LAST-touch (the closer), and
+    LINEAR (1/n credit to each of the n touches in the window). Output is
+    one row per channel: first/last conversion counts, linear credit, and
+    last-touch-attributed value.
+
+    Shape: one equi-join on the user key with the lookback as a range
+    conjunct (per-user touch × conversion pairs — bounded by activity per
+    user, never a cross of the event table), then three window functions
+    over the SAME (conversion) partitioning, one exchange. Conversions
+    with no in-window touch are unattributed and drop out (the standard
+    convention; count them upstream if needed). Determinism: ties in
+    touch time are broken by touch id; linear credits are per-term
+    rounded then summed as exact decimals so the float result is
+    engine-reproducible.
+
+    At 100 TB the join shuffles on user — activity skew (a bot user with
+    1e6 touches) multiplies pairs; route through the salting/df-cap
+    posture upstream if the per-user event cap isn't already enforced at
+    ingest (it usually is in product-analytics stores).
+    """
+    t = touches.select(
+        F.col(user_col).alias("__u"),
+        F.col(touch_id).alias("__tid"),
+        F.col(touch_ts).alias("__tts"),
+        F.col(channel_col).alias("channel"),
+    )
+    c = conversions.select(
+        F.col(user_col).alias("__u"),
+        F.col(conv_id).alias("__cid"),
+        F.col(conv_ts).alias("__cts"),
+        *(
+            [F.col(value_col).alias("__val")]
+            if value_col is not None
+            else [F.lit(0.0).alias("__val")]
+        ),
+    )
+    j = c.join(t, "__u").filter(
+        (F.col("__tts") <= F.col("__cts"))
+        & (
+            F.col("__tts")
+            >= F.col("__cts") - F.expr(f"INTERVAL {int(lookback_sec)} SECONDS")
+        )
+    )
+    wf = W.partitionBy("__cid").orderBy(F.col("__tts").asc(), F.col("__tid").asc())
+    wl = W.partitionBy("__cid").orderBy(F.col("__tts").desc(), F.col("__tid").desc())
+    wn = W.partitionBy("__cid")
+    ranked = j.select(
+        "channel",
+        "__val",
+        F.row_number().over(wf).alias("__rf"),
+        F.row_number().over(wl).alias("__rl"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("__rf") == 1, 1).otherwise(0)).alias(
+                "first_touch_convs"
+            ),
+            F.sum(F.when(F.col("__rl") == 1, 1).otherwise(0)).alias(
+                "last_touch_convs"
+            ),
+            F.sum(
+                F.round(1.0 / F.col("__n"), 9).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("__lin"),
+            F.sum(
+                F.when(F.col("__rl") == 1, F.col("__val"))
+                .otherwise(0.0)
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("last_touch_value"),
+        )
+        .select(
+            "channel",
+            "first_touch_convs",
+            "last_touch_convs",
+            F.round(F.col("__lin"), round_dp).alias("linear_credit"),
+            F.round(F.col("last_touch_value"), round_dp).alias(
+                "last_touch_value"
+            ),
+        )
+    )

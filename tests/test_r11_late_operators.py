@@ -396,3 +396,70 @@ def test_dedup_rate_estimate_unique_corpus(spark):
     assert row["exact_dup_rate"] == 0.0
     if row["n_sample_docs"]:
         assert row["est_dup_rate"] == 0.0
+
+
+def test_attribution_three_models(spark):
+    from datetime import datetime, timedelta
+
+    import bullet_spark_spark.operators.behavior as bh
+
+    t0 = datetime(2024, 1, 1)
+    # user 1: touches on channels A(t0), B(t0+1h), conversion at t0+2h
+    #   -> first=A, last=B, linear 0.5 each
+    # user 2: single touch C then conversion -> all models give C
+    # user 3: touch outside lookback -> unattributed, drops out
+    touches = spark.createDataFrame(
+        [
+            (1, 101, t0, "A"),
+            (1, 102, t0 + timedelta(hours=1), "B"),
+            (2, 201, t0, "C"),
+            (3, 301, t0 - timedelta(days=10), "A"),
+        ],
+        "user_id long, touch_id long, touch_ts timestamp, channel string",
+    )
+    convs = spark.createDataFrame(
+        [
+            (1, 901, t0 + timedelta(hours=2), 10.0),
+            (2, 902, t0 + timedelta(hours=3), 20.0),
+            (3, 903, t0, 30.0),
+        ],
+        "user_id long, conv_id long, conv_ts timestamp, value double",
+    )
+    out = {
+        r["channel"]: r
+        for r in bh.attribution(
+            touches, convs, "user_id", "channel",
+            value_col="value", lookback_sec=86400,
+        ).collect()
+    }
+    assert set(out) == {"A", "B", "C"}
+    assert out["A"]["first_touch_convs"] == 1 and out["A"]["last_touch_convs"] == 0
+    assert out["B"]["first_touch_convs"] == 0 and out["B"]["last_touch_convs"] == 1
+    assert out["A"]["linear_credit"] == 0.5 and out["B"]["linear_credit"] == 0.5
+    assert out["B"]["last_touch_value"] == 10.0
+    assert out["C"]["first_touch_convs"] == 1 and out["C"]["last_touch_convs"] == 1
+    assert out["C"]["linear_credit"] == 1.0 and out["C"]["last_touch_value"] == 20.0
+
+
+def test_attribution_tie_broken_by_touch_id(spark):
+    from datetime import datetime
+
+    import bullet_spark_spark.operators.behavior as bh
+
+    t0 = datetime(2024, 1, 1)
+    touches = spark.createDataFrame(
+        [(1, 5, t0, "X"), (1, 6, t0, "Y")],
+        "user_id long, touch_id long, touch_ts timestamp, channel string",
+    )
+    convs = spark.createDataFrame(
+        [(1, 9, t0, 1.0)],
+        "user_id long, conv_id long, conv_ts timestamp, value double",
+    )
+    out = {
+        r["channel"]: r
+        for r in bh.attribution(
+            touches, convs, "user_id", "channel", value_col="value"
+        ).collect()
+    }
+    assert out["X"]["first_touch_convs"] == 1  # lower touch_id wins asc
+    assert out["Y"]["last_touch_convs"] == 1   # higher touch_id wins desc
