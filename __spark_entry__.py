@@ -11229,6 +11229,74 @@ def scale_bucketed_join(spark, sf_dir):
 
 
 @q(
+    "relational_merge_upsert",
+    """WITH tgt AS (SELECT p_partkey, p_retailprice, p_brand FROM part
+                    WHERE p_partkey < 1500),
+       src AS (SELECT l_partkey AS p_partkey,
+                      CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+                      sum(l_quantity) AS qty
+               FROM lineitem WHERE l_partkey % 3 = 0 GROUP BY l_partkey),
+       j AS (SELECT coalesce(t.p_partkey, s.p_partkey) AS p_partkey,
+                    t.p_retailprice, t.p_brand, s.rev, s.qty,
+                    t.p_partkey IS NOT NULL AS tp,
+                    s.p_partkey IS NOT NULL AS sp
+             FROM tgt t FULL OUTER JOIN src s ON t.p_partkey = s.p_partkey)
+       SELECT p_partkey,
+              round(CASE WHEN tp AND sp THEN p_retailprice + rev
+                         WHEN tp THEN p_retailprice
+                         ELSE rev END, 6) AS p_retailprice,
+              CASE WHEN tp THEN p_brand ELSE 'Brand#NEW' END AS p_brand
+       FROM j WHERE NOT (tp AND sp AND qty > 900)""",
+)
+def relational_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (relational.merge_upsert — the Delta/Iceberg
+    daily-upsert primitive as one full-outer join + codegen branch
+    projections): target = the part catalog slice, source = per-part
+    revenue deltas from lineitem. All four MERGE branches exercised and
+    oracle-checked: matched-and-delete (quantity > 900 movers dropped),
+    matched-update (retailprice += revenue), not-matched-by-source
+    (target rows pass through), not-matched-by-target (new parts
+    inserted under 'Brand#NEW'). Match detection uses source-side
+    presence flags, not key nullability. One shuffle on the merge key;
+    at 100 TB the small daily delta side broadcasts."""
+    t = _t(spark, sf_dir)
+    tgt = t["part"].filter(F.col("p_partkey") < 1500).select(
+        "p_partkey", "p_retailprice", "p_brand"
+    )
+    src = (
+        t["lineitem"]
+        .filter(F.col("l_partkey") % 3 == 0)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "rev"
+            ),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+    merged = rel.merge_upsert(
+        tgt,
+        src,
+        keys=["p_partkey"],
+        update_cols={
+            "p_retailprice": F.col("t.p_retailprice") + F.col("s.rev"),
+            "p_brand": F.col("t.p_brand"),
+        },
+        insert_cols={
+            "p_retailprice": F.col("s.rev"),
+            "p_brand": F.lit("Brand#NEW"),
+        },
+        delete_cond=F.col("s.qty") > 900,
+    )
+    return merged.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice"), 6).alias("p_retailprice"),
+        "p_brand",
+    )
+
+
+@q(
     "behavior_attribution",
     """WITH t AS (SELECT user_id, event_id AS tid, ts AS tts,
                          CAST(json_extract_string(props, '$.k') AS BIGINT) % 4

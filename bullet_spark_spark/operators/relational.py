@@ -759,3 +759,58 @@ def record_linkage(
         F.col("__id_b").alias("id_b"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: dict[str, Column],
+    insert_cols: dict[str, Column],
+    delete_cond: Column | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg warehouse upsert) as ONE
+    full-outer join — no table format required, the same row algebra:
+
+    - MATCHED and ``delete_cond``        → row dropped
+    - MATCHED otherwise                  → target row with ``update_cols``
+      expressions applied (reference ``t.<col>`` / ``s.<col>``)
+    - NOT MATCHED BY SOURCE (target-only)→ target row unchanged
+    - NOT MATCHED BY TARGET (source-only)→ inserted via ``insert_cols``
+
+    Output schema is the TARGET schema (key columns + non-key columns);
+    every non-key target column must appear in both ``update_cols`` and
+    ``insert_cols``. Match detection uses a source-side literal flag, not
+    key nullability, so NULL join keys in data can't masquerade as
+    non-matches.
+
+    Scale shape: one shuffle on the merge keys for the full-outer join
+    (broadcast if the source delta is small — the usual case for daily
+    upserts); all branch logic is per-row CASE projections, codegen'd,
+    no second pass. This is exactly the physical plan Delta's MERGE
+    executes under the hood (join + per-row branch), minus the
+    transaction-log commit.
+    """
+    tcols = target.columns
+    non_keys = [c for c in tcols if c not in keys]
+    missing = [c for c in non_keys if c not in update_cols or c not in insert_cols]
+    if missing:
+        raise ValueError(f"update/insert specs must cover target columns: {missing}")
+    t = target.alias("t").withColumn("__t_present", F.lit(1))
+    s = source.alias("s").withColumn("__s_present", F.lit(1))
+    j = t.join(s, keys, "full_outer")
+    matched = F.col("__t_present").isNotNull() & F.col("__s_present").isNotNull()
+    t_only = F.col("__s_present").isNull()
+    if delete_cond is not None:
+        j = j.filter(~(matched & delete_cond))
+    out_cols = []
+    for c in keys:
+        out_cols.append(F.col(c).alias(c))  # coalesced by the USING join
+    for c in non_keys:
+        out_cols.append(
+            F.when(matched, update_cols[c])
+            .when(t_only, F.col(f"t.{c}"))
+            .otherwise(insert_cols[c])
+            .alias(c)
+        )
+    return j.select(*out_cols)

@@ -463,3 +463,45 @@ def test_attribution_tie_broken_by_touch_id(spark):
     }
     assert out["X"]["first_touch_convs"] == 1  # lower touch_id wins asc
     assert out["Y"]["last_touch_convs"] == 1   # higher touch_id wins desc
+
+
+def test_merge_upsert_all_four_branches(spark):
+    import bullet_spark_spark.operators.relational as rel2
+
+    tgt = spark.createDataFrame(
+        [(1, 10.0, "keep"), (2, 20.0, "update-me"), (3, 30.0, "delete-me")],
+        "k long, v double, tag string",
+    )
+    src = spark.createDataFrame(
+        [(2, 5.0), (3, 99.0), (4, 40.0)], "k long, delta double"
+    )
+    out = {
+        r["k"]: (r["v"], r["tag"])
+        for r in rel2.merge_upsert(
+            tgt, src, ["k"],
+            update_cols={"v": F.col("t.v") + F.col("s.delta"),
+                         "tag": F.col("t.tag")},
+            insert_cols={"v": F.col("s.delta"), "tag": F.lit("new")},
+            delete_cond=F.col("s.delta") > 50,
+        ).collect()
+    }
+    assert out == {
+        1: (10.0, "keep"),        # not matched by source: unchanged
+        2: (25.0, "update-me"),   # matched: updated
+        4: (40.0, "new"),         # not matched by target: inserted
+    }                             # 3 deleted (delta 99 > 50)
+
+
+def test_merge_upsert_requires_full_column_spec(spark):
+    import pytest as _pytest
+
+    import bullet_spark_spark.operators.relational as rel2
+
+    tgt = spark.createDataFrame([(1, 1.0, "x")], "k long, v double, tag string")
+    src = spark.createDataFrame([(1, 2.0)], "k long, delta double")
+    with _pytest.raises(ValueError, match="tag"):
+        rel2.merge_upsert(
+            tgt, src, ["k"],
+            update_cols={"v": F.col("s.delta")},
+            insert_cols={"v": F.col("s.delta")},
+        )
