@@ -11229,6 +11229,63 @@ def scale_bucketed_join(spark, sf_dir):
 
 
 @q(
+    "graph_cheapest_path",
+    gr.oracle_shortest_paths_sql(
+        """base AS (
+    SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+           count(*) AS cnt
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2 HAVING count(*) >= 2),
+  edges AS (SELECT src, dst, 101 - least(cnt, 100) AS w FROM base
+            UNION ALL SELECT dst, src, 101 - least(cnt, 100) FROM base)""",
+        "srcs AS (SELECT 's' || s_suppkey AS node FROM supplier"
+        " WHERE s_nationkey = 0)",
+        max_hops=3,
+        select="SELECT node, cost FROM dists",
+    ),
+)
+def graph_cheapest_path(spark, sf_dir):
+    """Bounded-hop WEIGHTED shortest paths (graph.shortest_paths —
+    Bellman-Ford with the delta-frontier worklist): cheapest ≤3-hop trade
+    chain from nation-0's suppliers, edge weight = 101 − min(count, 100)
+    (stronger relationships are cheaper), so the cost ranks multi-hop
+    REACHABILITY STRENGTH — the trust-propagation read for source
+    weighting. Unlike BFS hop counts, a 2-hop chain of strong edges can
+    beat a 1-hop weak edge, which is what makes the relaxation (and its
+    improved-only worklist) necessary. Integer-exact; the oracle carries
+    a hop counter through the recursive CTE so cycles terminate."""
+    t = _t(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.lit(101) - F.least(F.col("cnt"), F.lit(100))).alias("w"),
+        )
+    )
+    edges = base.select(
+        F.explode(
+            F.array(
+                F.struct("src", "dst", "w"),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    srcs = t["supplier"].filter(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return gr.shortest_paths(edges, srcs, max_hops=3)
+
+
+@q(
     "relational_merge_upsert",
     """WITH tgt AS (SELECT p_partkey, p_retailprice, p_brand FROM part
                     WHERE p_partkey < 1500),

@@ -827,3 +827,99 @@ walk(node, dist) AS (
 dists AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
           FROM walk GROUP BY node)
 {select}"""
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths (multi-source): (node, cost) =
+    minimum total edge weight over any path of at most ``max_hops`` edges
+    from the source set, following ``edges(src, dst, w)`` with
+    non-negative integer weights. The Bellman-Ford relaxation,
+    level-synchronous, with the DELTA optimization that keeps each
+    round's join FRONTIER-sized: only nodes whose best cost IMPROVED
+    last round re-relax their out-edges (an unimproved node cannot
+    improve a neighbor this round — the standard worklist argument), so
+    at 100 TB the per-hop shuffle is (improved nodes × their edges),
+    never graph-sized. Costs are exact integer sums, so the DuckDB
+    oracle (:func:`oracle_shortest_paths_sql`) hash-matches with no
+    rounding protocol. Same lineage discipline as :func:`bfs_distances`
+    (per-round localCheckpoint, empty-worklist early exit).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    ecols = (
+        edges.select(
+            F.col("src"), F.col("dst"), F.col("w").cast("long").alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        .persist()
+    )
+    best = (
+        sources.select(F.col("node").cast("string").alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = best
+    try:
+        for _hop in range(1, max_hops + 1):
+            cand = (
+                frontier.join(ecols, frontier["node"] == ecols["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("cost") + F.col("w")).alias("cost"),
+                )
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+            )
+            merged = (
+                best.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+            )
+            improved = (
+                merged.join(
+                    best.withColumnRenamed("cost", "__old"), "node", "left"
+                )
+                .filter(
+                    F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
+                )
+                .select("node", "cost")
+                .localCheckpoint()
+            )
+            if improved.count() == 0:
+                break
+            best = merged.localCheckpoint()
+            frontier = improved
+    finally:
+        ecols.unpersist()
+    return best
+
+
+def oracle_shortest_paths_sql(
+    edges_cte: str,
+    sources_cte: str,
+    max_hops: int = 3,
+    select: str = "SELECT node, cost FROM dists",
+) -> str:
+    """DuckDB oracle for :func:`shortest_paths`: recursive CTE carrying a
+    hop counter so cyclic graphs terminate (rows bounded by nodes ×
+    distinct (hops, cost) pairs under the hop cap); min(cost) per node is
+    the answer. ``edges_cte`` must define ``edges(src, dst, w)``;
+    ``sources_cte`` must define ``srcs(node)``."""
+    return f"""WITH RECURSIVE {edges_cte},
+{sources_cte},
+ew AS (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+       FROM edges GROUP BY src, dst),
+walk(node, hops, cost) AS (
+    SELECT node, 0, CAST(0 AS BIGINT) FROM srcs
+    UNION
+    SELECT e.dst, wk.hops + 1, wk.cost + e.w
+    FROM walk wk JOIN ew e ON e.src = wk.node
+    WHERE wk.hops < {max_hops}),
+dists AS (SELECT node, min(cost) AS cost FROM walk GROUP BY node)
+{select}"""

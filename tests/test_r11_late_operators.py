@@ -505,3 +505,49 @@ def test_merge_upsert_requires_full_column_spec(spark):
             update_cols={"v": F.col("s.delta")},
             insert_cols={"v": F.col("s.delta")},
         )
+
+
+def _sssp(spark, triples, sources, max_hops):
+    edges = spark.createDataFrame(triples, "src string, dst string, w long")
+    srcs = spark.createDataFrame([(s,) for s in sources], "node string")
+    out = gr.shortest_paths(edges, srcs, max_hops=max_hops)
+    return {r["node"]: r["cost"] for r in out.collect()}
+
+
+def test_sssp_two_cheap_hops_beat_one_expensive(spark):
+    edges = [("a", "c", 10), ("a", "b", 2), ("b", "c", 3)]
+    got = _sssp(spark, edges, ["a"], max_hops=3)
+    assert got == {"a": 0, "b": 2, "c": 5}
+    # with only 1 hop allowed, the direct edge is the best reachable
+    got1 = _sssp(spark, edges, ["a"], max_hops=1)
+    assert got1 == {"a": 0, "b": 2, "c": 10}
+
+
+def test_sssp_parallel_edges_keep_cheapest_and_cycles_terminate(spark):
+    edges = [("a", "b", 7), ("a", "b", 4), ("b", "a", 1), ("b", "c", 1)]
+    got = _sssp(spark, edges, ["a"], max_hops=5)
+    assert got == {"a": 0, "b": 4, "c": 5}
+
+
+def test_sssp_matches_recursive_oracle(spark, duck):
+    import random
+
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(30)]
+    triples = sorted(
+        {
+            (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 9))
+            for _ in range(100)
+        }
+    )
+    triples = [(s, d, w) for s, d, w in triples if s != d]
+    vals = ", ".join(f"('{s}', '{d}', {w})" for s, d, w in triples)
+    sql = gr.oracle_shortest_paths_sql(
+        f"edges(src, dst, w) AS (VALUES {vals})",
+        "srcs(node) AS (VALUES ('n0'), ('n1'))",
+        max_hops=4,
+        select="SELECT node, cost FROM dists ORDER BY node",
+    )
+    want = dict(duck.execute(sql).fetchall())
+    got = _sssp(spark, triples, ["n0", "n1"], max_hops=4)
+    assert got == want
