@@ -125,6 +125,10 @@ BENCH = [
     "streaming_session_drain",  # session windows drained through append mode
     "dedup_cdc_chunks",       # gear-hash CDC chunking panel (map-only)
     "scale_bucketed_join",    # write-time bucketing, zero-Exchange SMJ
+    "dedup_rate_estimate",    # content-key cluster-sampled dup rate
+    "behavior_attribution",   # first/last/linear multi-touch credit
+    "relational_merge_upsert",  # MERGE INTO as one full-outer join
+    "graph_cheapest_path",    # delta-frontier Bellman-Ford, 3 hops
 ]
 
 REPEATS = 3

@@ -160,6 +160,10 @@ QUERIES = {
     "relational_record_linkage": "two block-keyed self-joins (lang x 6-char window) union'd + bounded levenshtein on candidates; block-sized shuffles only",
     "scale_bucketed_join": "both scans pre-partitioned by bucket spec: SMJ with ZERO Exchange (asserted in-query); only the re-keyed agg shuffles",
     "dedup_cdc_chunks": "map-only mapInPandas chunker (zero shuffle) -> lang join + chunk-space groupBy",
+    "dedup_rate_estimate": "ONE combinable aggregate: sample + exact sides as conditional counts, no join, no second pass",
+    "behavior_attribution": "user-keyed join bounded by lookback conjunct; 3 windows over ONE conversion partitioning; decimal-summed credits",
+    "relational_merge_upsert": "one full-outer join on the merge key -> codegen CASE branch projections (the Delta MERGE plan, minus the log)",
+    "graph_cheapest_path": "delta-frontier relaxation: improved-only worklist joins edges per hop; min-merge groupBy; localCheckpoint per round",
 }
 
 
