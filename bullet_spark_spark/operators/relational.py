@@ -705,6 +705,8 @@ def record_linkage(
     the drop count surfaces in Spark metrics, and any oracle must apply
     the same rule.
     """
+    from bullet_spark_spark.operators._cache import persist_generation
+
     block_cols = list(block_cols or [])
     norm = F.lower(F.substring(F.col(text_col), 1, prefix_len))
     base = df.select(
@@ -717,6 +719,10 @@ def record_linkage(
             else []
         ),
     )
+    # the normalized projection feeds 4 consumers (2 blocking passes x 2
+    # join sides): persisted (bounded generation) or each re-scans the
+    # corpus — the audit_scans double-consumer hazard
+    (base,) = persist_generation("relational.record_linkage.base", base)
 
     def pass_pairs(offset: int) -> DataFrame:
         keyed = base.withColumn(
