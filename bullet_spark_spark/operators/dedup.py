@@ -2965,17 +2965,22 @@ def _cdc_cuts(n: int, candidates, min_size: int, max_size: int) -> list[int]:
     """Boundary positions (cut AFTER index) honoring min/max: candidates
     closer than ``min_size`` to the previous cut are skipped, and a cut is
     FORCED at ``max_size`` when no candidate fired — the classic CDC size
-    clamp. Sequential by nature, but runs over the sparse candidate list
-    (≈ n / 2^avg_bits entries), not every byte."""
+    clamp. Natural boundaries are honored in the TAIL too (a remainder
+    that already fits in one chunk still cuts at its candidates): that is
+    what keeps a document and its suffix-extension sharing their final
+    chunks — suffix stability, the mirror of the insertion re-sync
+    property. A candidate at the last byte is skipped (it would cut an
+    empty final chunk). Sequential by nature, but runs over the sparse
+    candidate list (≈ n / 2^avg_bits entries), not every byte."""
     cuts: list[int] = []
     start = 0
     ci = 0
     m = len(candidates)
-    while n - start > max_size:
+    while True:
         nxt = None
         while ci < m:
             c = int(candidates[ci])
-            if c < start + min_size:
+            if c < start + min_size or c >= n - 1:
                 ci += 1
                 continue
             if c >= start + max_size:
@@ -2984,6 +2989,8 @@ def _cdc_cuts(n: int, candidates, min_size: int, max_size: int) -> list[int]:
             ci += 1
             break
         if nxt is None:
+            if n - start <= max_size:
+                break
             nxt = start + max_size - 1  # forced cut
         cuts.append(nxt)
         start = nxt + 1

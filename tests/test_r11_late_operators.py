@@ -551,3 +551,36 @@ def test_sssp_matches_recursive_oracle(spark, duck):
     want = dict(duck.execute(sql).fetchall())
     got = _sssp(spark, triples, ["n0", "n1"], max_hops=4)
     assert got == want
+
+
+def test_cdc_suffix_stability_and_tail_candidates():
+    # tail candidates still cut (suffix stability), and a candidate at
+    # the last byte never produces an empty final chunk
+    assert _cdc_cuts(90, [40], min_size=16, max_size=100) == [40]
+    assert _cdc_cuts(50, [49], min_size=16, max_size=100) == []
+
+    import hashlib
+
+    import numpy as np
+
+    def chunk_hashes(raw):
+        g = np.array(_GEAR, dtype=np.uint64)[np.frombuffer(raw, dtype=np.uint8)]
+        h = g.copy()
+        old = np.seterr(over="ignore")
+        try:
+            for k in range(1, min(64, len(raw))):
+                h[k:] += g[:-k] << np.uint64(k)
+        finally:
+            np.seterr(**old)
+        cand = np.flatnonzero((h & np.uint64(_cdc_mask(6))) == np.uint64(0))
+        cuts = _cdc_cuts(len(raw), cand, 16, 256)
+        b = [0] + [c + 1 for c in cuts] + [len(raw)]
+        return [
+            hashlib.md5(raw[b[i] : b[i + 1]]).hexdigest()
+            for i in range(len(b) - 1)
+        ]
+
+    base = ("the quick brown fox jumps over the lazy dog " * 25).encode()
+    h1 = chunk_hashes(base)
+    h2 = chunk_hashes(base + b" APPENDED SUFFIX CONTENT HERE")
+    assert h1[:-1] == h2[: len(h1) - 1]  # every interior chunk identical
