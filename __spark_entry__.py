@@ -11425,6 +11425,40 @@ def behavior_attribution(spark, sf_dir):
     )
 
 
+@q("text_bpe_token_stats")  # rows-only: the merge table is an iterative
+def text_bpe_token_stats(spark, sf_dir):
+    """Tokenizer APPLICATION at corpus scale (bpe.bpe_encode — the half
+    the pipeline actually runs per-document once training is done):
+    train a 20-merge table on the corpus, encode every document with the
+    rank-priority loop (one Arrow-batched pandas UDF, per-word memoized,
+    narrow/no shuffle), and report per-lang token economics — the
+    numbers a token-budget planner consumes (tokens per doc, subword
+    fan-out vs whitespace words, vocabulary in use). The in-sweep assert
+    re-derives the invariants from a recomputed slice: BPE segmentation
+    is LOSSLESS (concat of a word's subwords == the word) and
+    token counts are bounded below by word counts."""
+    from bullet_spark_spark.operators import bpe
+
+    t = _t(spark, sf_dir)
+    merges, _seg = bpe.bpe_train(t["documents"], num_merges=20)
+    enc = bpe.bpe_encode(t["documents"], merges)
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))).alias(
+                "n_words"
+            ),
+            F.sum(F.size("bpe_tokens")).alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6),
+        )
+        .orderBy("lang")
+    )
+
+
 @q(
     "dedup_rate_estimate",
     f"""WITH k AS (SELECT md5({_NORM_SQL}) AS ck,
@@ -12725,7 +12759,36 @@ def _assert_cdc_chunks(spark, sf_dir, rows):
     assert uniq < total, "zero chunk-level duplication on a near-dup corpus"
 
 
+def _assert_bpe_token_stats(spark, sf_dir, rows):
+    """BPE application laws on the per-lang panel + a recomputed slice:
+    every lang present, n_tokens >= n_words (a word is >= 1 subword,
+    whitespace tokenization is the word baseline), tokens_per_word in
+    [1, 20] (merges can only shrink from char-level, 20-char words cap
+    the fan-out), and LOSSLESSNESS re-proven on a recomputed 20-doc
+    slice: concatenating each word's subwords reproduces the word."""
+    assert rows and all(int(r["n_tokens"]) >= int(r["n_words"]) for r in rows)
+    assert all(1.0 <= float(r["tokens_per_word"]) <= 20.0 for r in rows)
+    from bullet_spark_spark.operators import bpe
+
+    t = _t(spark, sf_dir)
+    sl = t["documents"].filter(F.col("doc_id") < 20)
+    merges, _ = bpe.bpe_train(sl, num_merges=10)
+    enc = bpe.bpe_encode(sl, merges).select("text", "bpe_tokens").collect()
+    for r in enc:
+        words = (r["text"] or "").lower().strip().split()
+        toks = list(r["bpe_tokens"])
+        # greedy re-consume: subwords must concatenate back to each word
+        for w in words:
+            built = ""
+            while built != w:
+                assert toks, f"ran out of subwords rebuilding {w!r}"
+                built += toks.pop(0)
+            assert built == w
+        assert not toks, "leftover subwords after rebuilding all words"
+
+
 _ASSERTS: dict[str, Callable] = {
+    "text_bpe_token_stats": _assert_bpe_token_stats,  # r11-late
     "dedup_cdc_chunks": _assert_cdc_chunks,  # r11-late
     "sim_maxsim_ann_rerank": _assert_maxsim_ann_recall,  # r11
     "dedup_weighted_minhash_cws": _assert_cws_differential,
