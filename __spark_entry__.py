@@ -11425,6 +11425,60 @@ def behavior_attribution(spark, sf_dir):
     )
 
 
+@q(
+    "scale_bucketed_agg",
+    """SELECT l_orderkey AS o_orderkey, count(*) AS cnt,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                AS sum_qty
+       FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 6""",
+)
+def scale_bucketed_agg(spark, sf_dir):
+    """SHUFFLE-FREE aggregation on the bucket key (the third leg of the
+    bucketing contract, after the zero-Exchange join and the pruned point
+    scan): groupBy on a bucketed table's bucket key consumes the scan's
+    HashPartitioning directly — Catalyst collapses partial+final into one
+    exchange-free stage, asserted IN the query. At 100 TB this is the
+    daily per-key rollup over a pre-bucketed fact table: zero shuffle,
+    the aggregation cost is the scan. Values oracle-checked against the
+    plain GROUP BY."""
+    import re
+    import tempfile
+
+    from bullet_spark_spark.operators import layout as lay2
+
+    t = _t(spark, sf_dir)
+    tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir).strip("_")
+    base = tempfile.mkdtemp(prefix="bktagg_")
+    lay2.write_bucketed(
+        t["lineitem"].select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        ),
+        f"bkt_li_agg_{tag}",
+        "o_orderkey",
+        8,
+        f"{base}/l",
+    )
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        agg = (
+            spark.table(f"bkt_li_agg_{tag}")
+            .groupBy("o_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                _dsum(F.col("l_quantity"), "sum_qty"),
+            )
+            .filter(F.col("cnt") >= 6)
+        )
+        lay2.assert_no_exchange(agg, "bucketed aggregation")
+        return agg
+    finally:
+        spark.conf.unset(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        )
+
+
 @q("text_bpe_token_stats")  # rows-only: the merge table is an iterative
 def text_bpe_token_stats(spark, sf_dir):
     """Tokenizer APPLICATION at corpus scale (bpe.bpe_encode — the half

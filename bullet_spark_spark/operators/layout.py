@@ -425,13 +425,22 @@ def bucketed_join(
     return lt.join(rt, on=keys, how=how)
 
 
-def assert_no_join_exchange(df: DataFrame) -> None:
+def assert_no_exchange(df: DataFrame, what: str = "bucketed plan") -> None:
     """Raise when the physical plan contains any Exchange (shuffle or
-    broadcast) — the bucketed-join plan contract. Call on the raw join
-    BEFORE any re-keyed aggregation (which legitimately shuffles)."""
+    broadcast) — the bucketing co-location contract, shared by the join
+    form (both sides pre-partitioned) and the aggregation form (groupBy
+    on the bucket key consumes the scan's HashPartitioning directly,
+    collapsing partial+final into one stage)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     if "Exchange" in plan:
         raise AssertionError(
-            "bucketed join planned an Exchange — co-location contract "
-            "broken:\n" + plan
+            f"{what} planned an Exchange — co-location contract broken:\n"
+            + plan
         )
+
+
+def assert_no_join_exchange(df: DataFrame) -> None:
+    """Join-form alias of :func:`assert_no_exchange`: call on the raw
+    bucketed join BEFORE any re-keyed aggregation (which legitimately
+    shuffles)."""
+    assert_no_exchange(df, "bucketed join")

@@ -609,3 +609,31 @@ def test_bucketed_scan_prunes_buckets_on_point_lookup(spark, tables, tmp_path_fa
         assert got == want
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+def test_bucketed_agg_is_shuffle_free(spark, tables, tmp_path_factory):
+    from bullet_spark_spark.operators import layout as lay
+
+    base = str(tmp_path_factory.mktemp("bktagg"))
+    lay.write_bucketed(
+        tables["lineitem"].select(
+            F.col("l_orderkey").alias("k"), "l_quantity"
+        ),
+        "t_bkt_agg", "k", 4, f"{base}/l",
+    )
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        agg = spark.table("t_bkt_agg").groupBy("k").count()
+        lay.assert_no_exchange(agg, "bucketed aggregation")
+        # same agg on the unbucketed frame DOES shuffle (the assert isn't
+        # vacuous)
+        plain = tables["lineitem"].groupBy("l_orderkey").count()
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+        got = dict((r["k"], r["count"]) for r in agg.collect())
+        want = dict(
+            (r["l_orderkey"], r["count"]) for r in plain.collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
