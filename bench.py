@@ -129,6 +129,7 @@ BENCH = [
     "behavior_attribution",   # first/last/linear multi-touch credit
     "relational_merge_upsert",  # MERGE INTO as one full-outer join
     "graph_cheapest_path",    # delta-frontier Bellman-Ford, 3 hops
+    "scale_bucketed_agg",     # exchange-free agg on the bucket key
 ]
 
 REPEATS = 3

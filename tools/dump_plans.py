@@ -164,6 +164,7 @@ QUERIES = {
     "behavior_attribution": "user-keyed join bounded by lookback conjunct; 3 windows over ONE conversion partitioning; decimal-summed credits",
     "relational_merge_upsert": "one full-outer join on the merge key -> codegen CASE branch projections (the Delta MERGE plan, minus the log)",
     "graph_cheapest_path": "delta-frontier relaxation: improved-only worklist joins edges per hop; min-merge groupBy; localCheckpoint per round",
+    "scale_bucketed_agg": "bucketed scan's HashPartitioning feeds the groupBy directly: ONE exchange-free stage (asserted in-query)",
 }
 
 
