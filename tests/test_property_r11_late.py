@@ -190,3 +190,98 @@ def test_cdc_laws_on_random_text(spark, texts):
                 assert r["chunk_len"] >= 8  # interior min clamp
             end += r["chunk_len"]
         assert end == len(raw)  # lossless
+
+
+def _py_attribution(touches, convs, lookback):
+    # touches: (user, tid, tts, channel); convs: (user, cid, cts, value)
+    out = {}
+    for u, cid, cts, val in convs:
+        win = sorted(
+            [
+                (tts, tid, ch)
+                for (tu, tid, tts, ch) in touches
+                if tu == u and tts <= cts and tts >= cts - lookback
+            ]
+        )
+        if not win:
+            continue
+        first_ch, last_ch = win[0][2], win[-1][2]
+        n = len(win)
+        for _, _, ch in win:
+            d = out.setdefault(ch, [0, 0, 0.0, 0.0])
+            d[2] += round(1.0 / n, 9)
+        out[first_ch][0] += 1
+        out[last_ch][1] += 1
+        out[last_ch][3] += val
+    return {
+        ch: (f, l, round(lin, 6), round(v, 6))
+        for ch, (f, l, lin, v) in out.items()
+    }
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),      # user
+            st.integers(0, 500),    # touch time (seconds)
+            st.integers(0, 2),      # channel
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),      # user
+            st.integers(0, 500),    # conversion time
+            st.integers(1, 50),     # value
+        ),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+)
+def test_attribution_matches_python_reference(spark, raw_touch, raw_conv):
+    from datetime import datetime, timedelta
+
+    import bullet_spark_spark.operators.behavior as bh
+
+    t0 = datetime(2024, 1, 1)
+    touches = [
+        (u, i + 1000, t0 + timedelta(seconds=s), f"ch{c}")
+        for i, (u, s, c) in enumerate(raw_touch)
+    ]
+    convs = [
+        (u, i + 9000, t0 + timedelta(seconds=s), float(v))
+        for i, (u, s, v) in enumerate(raw_conv)
+    ]
+    lookback = 120
+    tdf = spark.createDataFrame(
+        touches, "user_id long, touch_id long, touch_ts timestamp, channel string"
+    )
+    cdf = spark.createDataFrame(
+        convs, "user_id long, conv_id long, conv_ts timestamp, value double"
+    )
+    got = {
+        r["channel"]: (
+            r["first_touch_convs"],
+            r["last_touch_convs"],
+            r["linear_credit"],
+            r["last_touch_value"],
+        )
+        for r in bh.attribution(
+            tdf, cdf, "user_id", "channel",
+            value_col="value", lookback_sec=lookback,
+        ).collect()
+    }
+    want = _py_attribution(
+        [(u, tid, ts, ch) for u, tid, ts, ch in touches],
+        [(u, cid, ts, v) for u, cid, ts, v in convs],
+        timedelta(seconds=lookback),
+    )
+    assert got == want
