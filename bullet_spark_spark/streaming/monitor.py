@@ -432,6 +432,7 @@ def sample_monitor(
     seed: int = 0,
     group_col: str | None = None,
     n_shards: int = 8,
+    payload_col: str | None = None,
 ) -> DataFrame:
     """Streaming DETERMINISTIC uniform sample → per-micro-batch snapshot:
     (group, key, priority, n_seen). Completes the bounded-state quartet
@@ -467,7 +468,18 @@ def sample_monitor(
     sample slot — it is a distinct-key sample, the useful kind for
     drawing inspection rows from a keyed stream). ``n_seen`` counts rows
     absorbed BY THAT GROUP. State: ≤ k pairs per group forever
-    (RocksDB-ready)."""
+    (RocksDB-ready).
+
+    ``payload_col`` carries one inspection value per sampled key through
+    the state (→ output column ``payload``; None without it). To keep
+    drip ≡ one-shot EXACT even when one key arrives with several payloads
+    across batches, the state keeps the MIN payload string per key —
+    (key → min payload) is itself a semilattice, so the drained payload
+    is batch-slicing-independent and any engine reproduces it
+    (``min(payload) GROUP BY key`` in SQL). With k sampled payloads at
+    drain this is a bounded-state streaming QUANTILE estimator: the
+    percentiles of a deterministic uniform k-sample, oracle-checkable
+    because the sampled key set and its payloads are both deterministic."""
     import json as _json
 
     out_schema = StructType(
@@ -475,6 +487,7 @@ def sample_monitor(
             StructField("group", StringType()),
             StructField("key", StringType()),
             StructField("priority", StringType()),
+            StructField("payload", StringType()),
             StructField("n_seen", LongType()),
         ]
     )
@@ -490,31 +503,71 @@ def sample_monitor(
         )
     else:
         grp = F.lit("__all__")
+    has_payload = payload_col is not None
+    pay = (
+        F.col(payload_col).cast("string")
+        if has_payload
+        else F.lit(None).cast("string")
+    )
     src = df.select(
         grp.alias("__g"),
         key_s.alias("__k"),
         F.md5(F.concat(key_s, F.lit(f":{seed}"))).alias("__p"),
+        pay.alias("__v"),
     ).filter(F.col("__k").isNotNull() & F.col("__g").isNotNull())
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # state JSON: [priority, key] pairs, or [priority, key, payload]
+        # triples when a payload rides along — both sorted ascending
         if state.exists:
             n, items_s = state.get
-            items = {kk: p for p, kk in _json.loads(items_s)}
+            items = {t[1]: (t[0], t[2] if len(t) > 2 else None)
+                     for t in _json.loads(items_s)}
         else:
             n, items = 0, {}
         for pdf in pdfs:
             n += int(len(pdf))
-            sub = pdf.drop_duplicates(subset="__k")
-            items.update(zip(sub["__k"], sub["__p"]))
+            if has_payload:
+                # min payload per key within the batch, then min against
+                # state: (key → min payload) is a semilattice, so the
+                # kept payload is independent of batch slicing
+                agg = (
+                    pdf.dropna(subset="__v")
+                    .groupby("__k", sort=False)
+                    .agg(__p=("__p", "first"), __v=("__v", "min"))
+                )
+                for kk, p, v in zip(agg.index, agg["__p"], agg["__v"]):
+                    old = items.get(kk)
+                    if old is None or old[1] is None or v < old[1]:
+                        items[kk] = (p, v)
+            else:
+                sub = pdf.drop_duplicates(subset="__k")
+                items.update(
+                    (kk, (p, None)) for kk, p in zip(sub["__k"], sub["__p"])
+                )
         # union then truncate: keep the k smallest (priority, key) pairs —
         # identical for ANY batch slicing of the same rows
-        kept = sorted(((p, kk) for kk, p in items.items()))[:k]
-        state.update((n, _json.dumps(kept)))
+        kept = sorted(((p, kk, v) for kk, (p, v) in items.items()))[:k]
+        state.update((
+            n,
+            _json.dumps(
+                [[p, kk, v] for p, kk, v in kept]
+                if has_payload
+                else [[p, kk] for p, kk, _ in kept]
+            ),
+        ))
+        # count-carrier sentinel: a shard that absorbed rows but holds no
+        # sampled key yet (payload mode, all payloads null so far) must
+        # still report its n_seen or the drain's total under-counts;
+        # merged_sample uses null-key rows for totals only
+        out_rows = [(key[0], kk, p, v, n) for p, kk, v in kept] or [
+            (key[0], None, None, None, n)
+        ]
         yield pd.DataFrame(
-            [(key[0], kk, p, n) for p, kk in kept],
-            columns=["group", "key", "priority", "n_seen"],
+            out_rows,
+            columns=["group", "key", "priority", "payload", "n_seen"],
         )
 
     return src.groupBy("__g").applyInPandasWithState(
@@ -545,10 +598,14 @@ def merged_sample(snapshot: DataFrame, k: int) -> DataFrame:
         .distinct()
         .agg(F.sum("n_seen").cast("bigint").alias("__tot"))
     )
+    cols = ["key", "priority"] + (
+        ["payload"] if "payload" in snapshot.columns else []
+    )
     return (
-        latest.select("key", "priority")
+        latest.filter(F.col("key").isNotNull())  # drop count-carrier rows
+        .select(*cols)
         .orderBy("priority", "key")
         .limit(k)
         .crossJoin(F.broadcast(total))
-        .select("key", "priority", F.col("__tot").alias("n_seen"))
+        .select(*cols, F.col("__tot").alias("n_seen"))
     )
