@@ -12200,6 +12200,95 @@ _WINDOW_R4 = [
 ]
 
 
+@q(
+    "streaming_quantile_drain",
+    """WITH src AS (SELECT CAST(event_id AS VARCHAR) AS k,
+                           CAST(value AS DOUBLE) AS v
+                    FROM events WHERE event_id IS NOT NULL),
+       tot AS (SELECT count(*) AS n_rows FROM src),
+       pri AS (SELECT k, md5(k || ':0') AS priority, min(v) AS v
+               FROM src WHERE v IS NOT NULL GROUP BY k),
+       samp AS (SELECT v FROM pri ORDER BY priority, k LIMIT 256),
+       ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM samp),
+       cnt AS (SELECT count(*) AS n FROM samp),
+       ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                             CAST(0.99 AS DOUBLE)]) AS p),
+       probe AS (SELECT p,
+                        CAST(floor((n - 1) * p) AS BIGINT) AS lo,
+                        CAST(least(floor((n - 1) * p) + 1, n - 1) AS BIGINT) AS hi,
+                        (n - 1) * p - floor((n - 1) * p) AS frac,
+                        n
+                 FROM cnt CROSS JOIN ps),
+       j AS (SELECT pr.p, pr.frac, pr.n,
+                    min(CASE WHEN rk.r = pr.lo THEN rk.v END) AS vlo,
+                    min(CASE WHEN rk.r = pr.hi THEN rk.v END) AS vhi
+             FROM probe pr JOIN ranked rk ON rk.r = pr.lo OR rk.r = pr.hi
+             GROUP BY 1, 2, 3)
+       SELECT p AS prob, round(vlo + (vhi - vlo) * frac, 6) AS value,
+              CAST(n AS BIGINT) AS n_sample,
+              CAST((SELECT n_rows FROM tot) AS BIGINT) AS n_seen
+       FROM j""",
+)
+def streaming_quantile_drain(spark, sf_dir):
+    """STREAMING QUANTILES at bounded state, fully drained and
+    hash-matched against a DuckDB oracle — the quantile monitor that
+    completes the panel (EWMA, CUSUM, Space-Saving, KMV, bottom-k
+    sample had no quantile member). Mechanism: NOT a merge-order-
+    sensitive sketch (GK/KLL estimates depend on batch slicing — correct
+    but never oracle-checkable); instead the event VALUE rides the
+    deterministic bottom-k sample as a payload
+    (monitor.sample_monitor(payload_col=...)). The sampled key set is
+    the md5 bottom-k (semilattice) and the payload per key is
+    min(payload-string) (also a semilattice), so the drained k-sample —
+    keys AND values — is batch-slicing-independent, and the percentiles
+    of that sample are a deterministic quantile estimate any engine
+    replays: drip ≡ one-shot EXACTLY. Estimator quality is the standard
+    uniform-sample bound (rank error O(n/sqrt(k)) w.h.p.); state is k
+    (priority, key, value) triples per shard forever, hash-sharded so no
+    single reducer absorbs the stream (r11 sample_monitor posture).
+    Interpolation is type-7 (pos = p·(n−1)) on BOTH engines — Spark
+    ``percentile`` natively, the oracle via the explicit lo/hi/frac
+    join (the distribution_group_quantiles precedent)."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import merged_sample
+    from bullet_spark_spark.streaming.monitor import sample_monitor as _sm
+
+    t = _t(spark, sf_dir)
+    src = t["events"].filter(F.col("event_id").isNotNull()).select(
+        F.col("event_id").cast("string").alias("k"), "value"
+    )
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, src, work, chunks=3)
+        out = _sm(stream, "k", k=256, n_shards=8, payload_col="value")
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName("__quantile_drain")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    merged = merged_sample(spark.table("__quantile_drain"), k=256).select(
+        F.col("payload").cast("double").alias("v"), "n_seen"
+    )
+    agg = merged.agg(
+        F.percentile("v", 0.5).alias("p50"),
+        F.percentile("v", 0.9).alias("p90"),
+        F.percentile("v", 0.99).alias("p99"),
+        F.count("*").alias("n_sample"),
+        F.max("n_seen").alias("n_seen"),
+    )
+    return agg.selectExpr(
+        "stack(3, CAST(0.5 AS DOUBLE), p50, CAST(0.9 AS DOUBLE), p90, "
+        "CAST(0.99 AS DOUBLE), p99) AS (prob, value)",
+        "CAST(n_sample AS BIGINT) AS n_sample",
+        "CAST(n_seen AS BIGINT) AS n_seen",
+    ).select("prob", F.round("value", 6).alias("value"), "n_sample", "n_seen")
+
+
 def _rotate_window(priority: list[str]) -> None:
     """Reorder _QUERIES/_ORACLE so `priority` registers first (driver window)."""
     ordered = [n for n in priority if n in _QUERIES]
