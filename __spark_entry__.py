@@ -12289,6 +12289,105 @@ def streaming_quantile_drain(spark, sf_dir):
     ).select("prob", F.round("value", 6).alias("value"), "n_sample", "n_seen")
 
 
+@q(
+    "streaming_quantile_by_type",
+    """WITH src AS (SELECT event_type AS g, CAST(event_id AS VARCHAR) AS k,
+                           CAST(value AS DOUBLE) AS v
+                    FROM events
+                    WHERE event_id IS NOT NULL AND event_type IS NOT NULL),
+       tot AS (SELECT g, count(*) AS n_rows FROM src GROUP BY g),
+       pri AS (SELECT g, k, md5(k || ':0') AS priority, min(v) AS v
+               FROM src WHERE v IS NOT NULL GROUP BY g, k),
+       samp AS (SELECT g, v FROM (
+                  SELECT g, v, row_number() OVER (PARTITION BY g
+                           ORDER BY priority, k) AS rk FROM pri)
+                WHERE rk <= 64),
+       ranked AS (SELECT g, v, row_number() OVER (PARTITION BY g
+                           ORDER BY v) - 1 AS r FROM samp),
+       cnt AS (SELECT g, count(*) AS n FROM samp GROUP BY g),
+       ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+       probe AS (SELECT g, p,
+                        CAST(floor((n - 1) * p) AS BIGINT) AS lo,
+                        CAST(least(floor((n - 1) * p) + 1, n - 1) AS BIGINT) AS hi,
+                        (n - 1) * p - floor((n - 1) * p) AS frac,
+                        n
+                 FROM cnt CROSS JOIN ps),
+       j AS (SELECT pr.g, pr.p, pr.frac, pr.n,
+                    min(CASE WHEN rk.r = pr.lo THEN rk.v END) AS vlo,
+                    min(CASE WHEN rk.r = pr.hi THEN rk.v END) AS vhi
+             FROM probe pr JOIN ranked rk
+               ON rk.g = pr.g AND (rk.r = pr.lo OR rk.r = pr.hi)
+             GROUP BY 1, 2, 3, 4)
+       SELECT j.g AS event_type, p AS prob,
+              round(vlo + (vhi - vlo) * frac, 6) AS value,
+              CAST(n AS BIGINT) AS n_sample,
+              CAST(n_rows AS BIGINT) AS n_seen
+       FROM j JOIN tot ON j.g = tot.g""",
+)
+def streaming_quantile_by_type(spark, sf_dir):
+    """PER-GROUP streaming quantiles at bounded state (the grouped
+    companion of streaming_quantile_drain, via
+    monitor.sample_monitor(group_col=..., payload_col=...)): p50/p90 of
+    event value per event type, each group holding exactly k
+    (priority, key, value) triples of state forever. Same double
+    semilattice (bottom-k keys, min payload-string per key) so the
+    drained per-group samples — and their type-7 percentiles — are
+    batch-slicing-independent and hash-match the DuckDB replay."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+    from bullet_spark_spark.streaming.monitor import sample_monitor as _sm
+
+    t = _t(spark, sf_dir)
+    src = t["events"].filter(
+        F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "event_type", F.col("event_id").cast("string").alias("k"), "value"
+    )
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, src, work, chunks=3)
+        out = _sm(stream, "k", k=64, group_col="event_type", payload_col="value")
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName("__quantile_by_type")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    snap = spark.table("__quantile_by_type")
+    latest = snap.withColumn(
+        "__mx", F.max("n_seen").over(W.partitionBy("group"))
+    ).filter(
+        (F.col("n_seen") == F.col("__mx")) & F.col("key").isNotNull()
+    )
+    samp = latest.withColumn(
+        "__rk",
+        F.row_number().over(
+            W.partitionBy("group").orderBy("priority", "key")
+        ),
+    ).filter(F.col("__rk") <= 64).select(
+        "group", F.col("payload").cast("double").alias("v"), "n_seen"
+    )
+    agg = samp.groupBy("group").agg(
+        F.percentile("v", 0.5).alias("p50"),
+        F.percentile("v", 0.9).alias("p90"),
+        F.count("*").alias("n_sample"),
+        F.max("n_seen").alias("n_seen"),
+    )
+    return agg.selectExpr(
+        "group AS event_type",
+        "stack(2, CAST(0.5 AS DOUBLE), p50, CAST(0.9 AS DOUBLE), p90)"
+        " AS (prob, value)",
+        "CAST(n_sample AS BIGINT) AS n_sample",
+        "CAST(n_seen AS BIGINT) AS n_seen",
+    ).select(
+        "event_type", "prob", F.round("value", 6).alias("value"),
+        "n_sample", "n_seen",
+    )
+
+
 def _rotate_window(priority: list[str]) -> None:
     """Reorder _QUERIES/_ORACLE so `priority` registers first (driver window)."""
     ordered = [n for n in priority if n in _QUERIES]

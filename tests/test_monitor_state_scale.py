@@ -201,3 +201,55 @@ def test_sample_monitor_state_plateaus_under_rocksdb(spark, tmp_path):
     got = merged_sample(spark.table("sample_plateau"), k=k).collect()
     assert [(r["priority"], r["key"]) for r in got] == want
     assert all(int(r["n_seen"]) == 480 for r in got)
+
+
+def test_sample_payload_state_plateaus_under_rocksdb(spark, tmp_path):
+    """Payload mode (r11-late): the bottom-k sample carrying a VALUE per
+    sampled key still plateaus — state per shard is EXACTLY <= k
+    [priority, key, payload] TRIPLES at epoch N and epoch 2N while the
+    vocabulary doubles, and every stored triple keeps a non-null payload
+    (the quantile estimate never dilutes). Extends the store-level proof
+    to the panel's newest member, streaming_quantile_drain's state."""
+    k, n_shards = 8, 2
+    rows = [(f"s{i}_{j}", float(i * 100 + j)) for i in range(24) for j in range(20)]
+    src = spark.createDataFrame(rows, "key string, value double")
+    ck, batches = _drain_rocksdb(
+        spark,
+        src,
+        tmp_path,
+        lambda s: sample_monitor(
+            s, "key", k=k, n_shards=n_shards, payload_col="value"
+        ),
+        "sample_payload_plateau",
+    )
+    mid, last = batches[len(batches) // 2], batches[-1]
+    sizes = {}
+    for b in (mid, last):
+        state = _state_at(spark, ck, b)
+        assert len(state) == n_shards
+        n_triples, n_bytes = 0, 0
+        for r in state:
+            items = json.loads(r["value"]["groupState"]["items"])
+            assert len(items) <= k
+            assert items == sorted(items)
+            # every kept entry is a triple with a parseable payload
+            assert all(len(t) == 3 and t[2] is not None for t in items)
+            assert all(float(t[2]) >= 0.0 for t in items)
+            n_triples += len(items)
+            n_bytes += len(r["value"]["groupState"]["items"])
+        sizes[b] = (n_triples, n_bytes)
+    assert sizes[mid][0] == sizes[last][0] == k * n_shards, sizes
+    assert sizes[last][1] <= sizes[mid][1] * 1.15, sizes
+    # drained quantile sanity: merged sample carries the payloads, and
+    # the payloads equal the batch truth for the sampled keys
+    import hashlib
+
+    by_key = {kk: v for kk, v in rows}
+    got = merged_sample(
+        spark.table("sample_payload_plateau"), k=k
+    ).collect()
+    want = sorted(
+        (hashlib.md5(f"{kk}:0".encode()).hexdigest(), kk) for kk in by_key
+    )[:k]
+    assert [(r["priority"], r["key"]) for r in got] == want
+    assert all(float(r["payload"]) == by_key[r["key"]] for r in got)
