@@ -253,3 +253,93 @@ def test_sample_payload_state_plateaus_under_rocksdb(spark, tmp_path):
     )[:k]
     assert [(r["priority"], r["key"]) for r in got] == want
     assert all(float(r["payload"]) == by_key[r["key"]] for r in got)
+
+
+def test_stream_stream_join_state_evicts_under_watermark(spark, tmp_path):
+    """Watermark EVICTION proof for the stream-stream interval join, from
+    the STORE (the monitor-plateau discipline applied to Spark's own
+    stateful operator): an in-order replay with a short watermark keeps
+    the join's buffered-row state at "rate x horizon", NOT "all rows so
+    far" — the property the operator's docstring claims
+    (temporal.stream_stream_interval_join) and streaming_join_drain
+    cannot exercise (its max_delay spans the whole fixture). Asserted
+    by time-traveling the checkpoint: buffered rows at the last batch
+    are no more than at the midpoint (plateau) and a small fraction of
+    the rows absorbed by then."""
+    import datetime as _dt
+
+    from bullet_spark_spark.operators.temporal import stream_stream_interval_join
+    from bullet_spark_spark.sources.streaming import file_drip_ordered
+
+    base = _dt.datetime(2024, 1, 1)
+    n = 240
+    lrows = [
+        (f"u{i % 5}", i, base + _dt.timedelta(minutes=i)) for i in range(n)
+    ]
+    rrows = [
+        (f"u{i % 5}", 10_000 + i, base + _dt.timedelta(minutes=i, seconds=-30))
+        for i in range(n)
+    ]
+    left = spark.createDataFrame(lrows, "k string, lid long, lts timestamp")
+    right = spark.createDataFrame(rrows, "k string, rid long, rts timestamp")
+    prior = {}
+    for kk, v in _ROCKS_CONFS.items():
+        try:
+            prior[kk] = spark.conf.get(kk)
+        except Exception:
+            prior[kk] = None
+        spark.conf.set(kk, v)
+    try:
+        ls = file_drip_ordered(
+            spark, left, str(tmp_path / "l"), "lts", chunks=24
+        )
+        rs = file_drip_ordered(
+            spark, right, str(tmp_path / "r"), "rts", chunks=24
+        )
+        out = stream_stream_interval_join(
+            ls, rs, ["k"], "lts", "rts",
+            max_delay="2 minutes", lookback_sec=60,
+        )
+        ck = str(tmp_path / "ck")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ssj_evict")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        for kk, v in prior.items():
+            if v is None:
+                spark.conf.unset(kk)
+            else:
+                spark.conf.set(kk, v)
+    batches = sorted(
+        int(f) for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()
+    )
+    assert len(batches) >= 20, batches
+    # matches flowed: each right row 30 s before the same-indexed left
+    # row shares its key (lag 30 s <= 60 s lookback)
+    n_out = spark.table("ssj_evict").count()
+    assert n_out > n // 2, n_out
+
+    def _buffered(batch_id, side):
+        return (
+            spark.read.format("statestore")
+            .option("batchId", batch_id)
+            .option("joinSide", side)
+            .load(ck)
+            .count()
+        )
+
+    mid, last = batches[len(batches) // 2], batches[-2]
+    mid_rows = _buffered(mid, "left") + _buffered(mid, "right")
+    last_rows = _buffered(last, "left") + _buffered(last, "right")
+    # plateau: late-epoch state is no bigger than mid-epoch state (within
+    # one chunk of slack), and far below "every row so far" (~2N rows by
+    # the last batch without eviction)
+    per_chunk = 2 * n // 24
+    assert last_rows <= mid_rows + per_chunk, (mid_rows, last_rows)
+    assert last_rows <= 2 * n // 4, (last_rows, 2 * n)
