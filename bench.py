@@ -130,6 +130,7 @@ BENCH = [
     "relational_merge_upsert",  # MERGE INTO as one full-outer join
     "graph_cheapest_path",    # delta-frontier Bellman-Ford, 3 hops
     "scale_bucketed_agg",     # exchange-free agg on the bucket key
+    "streaming_quantile_drain",  # bounded-state streaming quantiles (payload sample)
 ]
 
 REPEATS = 3
