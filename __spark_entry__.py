@@ -12388,6 +12388,46 @@ def streaming_quantile_by_type(spark, sf_dir):
     )
 
 
+@q(
+    "graph_communities_lpa",
+    gr.oracle_lpa_sql(
+        _TRIANGLE_EDGES_CTE,
+        rounds=3,
+        select="""SELECT CAST(node AS BIGINT) AS suppkey,
+                         CAST(label AS BIGINT) AS community,
+                         CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+                           AS community_size
+                  FROM l3 ORDER BY suppkey""",
+    ),
+)
+def graph_communities_lpa(spark, sf_dir):
+    """COMMUNITY DETECTION via fixed-round synchronous label propagation
+    (graph.label_propagation — Raghavan et al. 2007, deterministic
+    min-label-tie variant) on the recurring-partnership supplier graph:
+    3 rounds of "adopt your neighbors' majority label", then community
+    sizes. The graph panel's missing member — triangles/AA score local
+    structure, k-core extracts the backbone, PageRank ranks authority;
+    LPA PARTITIONS the graph. Fixed rounds + deterministic ties are
+    what buy a FULL oracle (unrolled non-recursive CTEs from the same
+    parameters, integer-only — oracle_lpa_sql); per round one
+    edge-sized join + a combinable count + a degree-bounded top-1
+    window, per-round localCheckpoint (pagerank discipline)."""
+    t = _t(spark, sf_dir)
+    co = _supplier_co_edges(t)
+    labels = gr.label_propagation(co, rounds=3)
+    # community_size window: label-space frame (nodes), bounded — and the
+    # per-node surface keeps the oracle hash over every assignment, not a
+    # 3-row summary
+    return labels.select(
+        F.col("node").cast("bigint").alias("suppkey"),
+        F.col("label").cast("bigint").alias("community"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("label"))
+        .cast("bigint")
+        .alias("community_size"),
+    ).orderBy("suppkey")
+
+
 def _rotate_window(priority: list[str]) -> None:
     """Reorder _QUERIES/_ORACLE so `priority` registers first (driver window)."""
     ordered = [n for n in priority if n in _QUERIES]

@@ -131,6 +131,7 @@ BENCH = [
     "graph_cheapest_path",    # delta-frontier Bellman-Ford, 3 hops
     "scale_bucketed_agg",     # exchange-free agg on the bucket key
     "streaming_quantile_drain",  # bounded-state streaming quantiles (payload sample)
+    "graph_communities_lpa",  # 3-round deterministic label propagation
 ]
 
 REPEATS = 3

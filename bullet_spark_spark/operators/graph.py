@@ -607,6 +607,103 @@ def kcore(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """FIXED-ROUND synchronous label propagation → (node, label): the
+    community-detection member of the graph panel (Raghavan et al. 2007,
+    public). Label⁰(v) = v; each round every node adopts the MOST
+    FREQUENT label among its neighbors, ties broken by the SMALLEST
+    label — the deterministic synchronous variant (async LPA's
+    visit-order randomness is what makes the textbook algorithm
+    non-reproducible; fixed rounds + min-label ties make this one
+    hash-stable across engines AND expressible as chained non-recursive
+    CTEs, so it carries a FULL oracle where an until-convergence loop
+    could not name its last iteration).
+
+    Scale shape per round: one edge⋈labels join (edge-sized, the same
+    shuffle a pagerank round pays), one (node, label) count aggregate
+    (map-side combinable), one per-node top-1 window over the node's
+    DISTINCT NEIGHBOR LABELS — bounded by degree, shrinking with
+    convergence, NOT the stream of neighbor rows. Per-round eager
+    localCheckpoint truncates lineage (the pagerank discipline).
+    Isolated nodes (none in an edge-list representation) and nodes
+    whose neighbors are all themselves keep their label via the
+    fallback coalesce."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for it in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        new = (
+            cnt.withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("node").orderBy(
+                        F.desc("c"), F.asc("label")
+                    )
+                ),
+            )
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+        )
+        labels = new
+        if checkpoint_every and (it % checkpoint_every == 0):
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def oracle_lpa_sql(edges_cte: str, rounds: int, select: str) -> str:
+    """DuckDB twin of :func:`label_propagation`: the fixed-round update
+    unrolled as chained non-recursive CTEs from the same parameters —
+    integer counts and min-label ties only, so the fixpoint prefix is
+    engine-exact with no float protocol. ``edges_cte`` must define
+    ``edges(src, dst)``; ``select`` reads the final ``l{rounds}(node,
+    label)``."""
+    parts = [
+        edges_cte,
+        """sym AS (
+    SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+    UNION
+    SELECT dst AS u, src AS v FROM edges WHERE src <> dst)""",
+        """l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS (
+    SELECT s.u AS node, l.label, count(*) AS c
+    FROM sym s JOIN l{r - 1} l ON s.v = l.node
+    GROUP BY 1, 2),
+  l{r} AS (
+    SELECT node, label FROM (
+      SELECT node, label,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, label) AS rk
+      FROM c{r})
+    WHERE rk = 1)"""
+        )
+    return "WITH " + ",\n  ".join(parts) + "\n" + select
+
+
 def oracle_adamic_adar_sql(
     edges_cte: str, select: str, max_degree: int | None = 10_000
 ) -> str:

@@ -150,3 +150,74 @@ def test_sample_monitor_null_payload_rows_counted_not_sampled(spark, tmp_path):
     assert {r["key"] for r in merged} == {f"k{i}" for i in range(0, 30, 2)}
     assert all(r["payload"] is not None for r in merged)
     assert all(int(r["n_seen"]) == 30 for r in merged)
+
+
+# ---------------------------------------------------------------------------
+# fixed-round label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+def test_lpa_separates_planted_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: 3 synchronous rounds with
+    min-label ties assign each clique one label and do not merge them
+    across the bridge."""
+    from bullet_spark_spark.operators import graph as gr
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(3, 10)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in gr.label_propagation(edges, rounds=3).collect()
+    }
+    labels1 = {got[n] for n in range(4)}
+    labels2 = {got[n] for n in range(10, 14)}
+    assert len(labels1) == 1 and len(labels2) == 1
+    assert labels1 != labels2
+
+
+def test_lpa_min_label_tie_break_deterministic(spark):
+    """A path a-b-c: b's neighbors {a, c} tie at count 1 each round —
+    the min label must win, every run (the determinism that buys the
+    full oracle)."""
+    from bullet_spark_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    for _ in range(2):
+        got = {
+            r["node"]: r["label"]
+            for r in gr.label_propagation(edges, rounds=1).collect()
+        }
+        # round 1: node 2 sees {1, 3} -> tie -> 1; nodes 1 and 3 see {2}
+        assert got == {1: 2, 2: 1, 3: 2}
+
+
+def test_lpa_matches_unrolled_duckdb(spark):
+    """Engine differential on a random-ish deterministic graph: the Spark
+    loop and the unrolled-CTE oracle agree row-for-row at rounds=3."""
+    import duckdb
+
+    from bullet_spark_spark.operators import graph as gr
+
+    rows = [((i * 7) % 23, (i * 11 + 3) % 23) for i in range(60)]
+    rows = [(a, b) for a, b in rows if a != b]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted(
+        (r["node"], r["label"])
+        for r in gr.label_propagation(edges, rounds=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES %s) AS t(src, dst)"
+        % ", ".join(f"({a}, {b})" for a, b in rows)
+    )
+    sql = gr.oracle_lpa_sql(
+        "edges AS (SELECT src, dst FROM e)",
+        rounds=3,
+        select="SELECT node, label FROM l3 ORDER BY node",
+    )
+    want = sorted((int(a), int(b)) for a, b in con.execute(sql).fetchall())
+    assert got == want
