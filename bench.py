@@ -132,6 +132,7 @@ BENCH = [
     "scale_bucketed_agg",     # exchange-free agg on the bucket key
     "streaming_quantile_drain",  # bounded-state streaming quantiles (payload sample)
     "graph_communities_lpa",  # 3-round deterministic label propagation
+    "multimodal_wds_roundtrip",  # ustar shard compose + checksum-verify parse
 ]
 
 REPEATS = 3
