@@ -12477,6 +12477,145 @@ def multimodal_wds_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_drift_psi_drain",
+    """WITH ref AS (
+         SELECT CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+                count(*) AS n
+         FROM events
+         WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'
+         GROUP BY 1),
+       live AS (
+         SELECT CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+                count(*) AS n
+         FROM events
+         WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'
+         GROUP BY 1),
+       b AS (SELECT unnest(range(0, 10)) AS bucket),
+       tr AS (SELECT sum(n) AS t FROM ref),
+       tl AS (SELECT sum(n) AS t FROM live),
+       j AS (SELECT b.bucket,
+                    COALESCE(ref.n, 0) AS n_ref,
+                    COALESCE(live.n, 0) AS n_live,
+                    greatest(CAST(COALESCE(ref.n, 0) AS DOUBLE)
+                             / (SELECT t FROM tr), 0.000001) AS pr,
+                    greatest(CAST(COALESCE(live.n, 0) AS DOUBLE)
+                             / (SELECT t FROM tl), 0.000001) AS pl
+             FROM b LEFT JOIN ref USING (bucket)
+                    LEFT JOIN live USING (bucket)),
+       terms AS (SELECT bucket, n_ref, n_live,
+                        CAST(round((pl - pr) * ln(pl / pr), 9)
+                             AS DECIMAL(28,9)) AS term
+                 FROM j)
+       SELECT CAST(bucket AS BIGINT) AS bucket,
+              CAST(n_ref AS BIGINT) AS n_ref,
+              CAST(n_live AS BIGINT) AS n_live,
+              round(CAST(term AS DOUBLE), 6) AS psi_term,
+              round(CAST(sum(term) OVER () AS DOUBLE), 6) AS psi_total
+       FROM terms ORDER BY bucket""",
+)
+def streaming_drift_psi_drain(spark, sf_dir):
+    """STREAMING DRIFT DETECTION, fully drained and oracle-checked: PSI
+    (population stability index — the standard deploy-time distribution
+    drift score) between a frozen REFERENCE window (first half-month of
+    events, batch) and the LIVE stream (the rest, dripped through a
+    streaming bucket-count aggregate in complete mode). Bucket counts
+    are sums — deterministic under any batch slicing — so unlike every
+    sketch-based monitor the drained drift panel hash-matches a DuckDB
+    replay exactly. ε-smoothing (p floored at 1e-6) keeps empty-bucket
+    ln() finite with the identical single-IEEE expression on both
+    engines; per-bucket terms round 9 dp then sum as exact decimals
+    (the graph-panel float protocol). State: 10 bucket counters,
+    bounded by construction; the batch-side reference is one combinable
+    aggregate joined broadcast-size (10 rows) into the drained counts."""
+    import tempfile
+
+    from bullet_spark_spark.sources.streaming import file_drip
+
+    t = _t(spark, sf_dir)
+    cutoff = "2024-01-16"
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("bigint")
+    ev = t["events"].filter(F.col("value").isNotNull())
+    ref = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    live_src = ev.filter(F.col("ts") >= cutoff).select("value")
+    with tempfile.TemporaryDirectory() as work:
+        stream = file_drip(spark, live_src, work, chunks=3)
+        counts = stream.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_live")
+        )
+        q_ = (
+            counts.writeStream.format("memory")
+            .queryName("__psi_drain")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    live = spark.table("__psi_drain")
+    buckets = spark.range(10).select(F.col("id").alias("bucket"))
+    j = (
+        buckets.join(F.broadcast(ref), "bucket", "left")
+        .join(F.broadcast(live), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_live", F.lit(0)).alias("n_live"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ref.agg(F.sum("n_ref").alias("tr")).crossJoin(
+                    live.agg(F.sum("n_live").alias("tl"))
+                )
+            )
+        )
+    )
+    terms = j.select(
+        "bucket",
+        "n_ref",
+        "n_live",
+        F.round(
+            (
+                F.greatest(
+                    F.col("n_live").cast("double") / F.col("tl"),
+                    F.lit(0.000001),
+                )
+                - F.greatest(
+                    F.col("n_ref").cast("double") / F.col("tr"),
+                    F.lit(0.000001),
+                )
+            )
+            * F.log(
+                F.greatest(
+                    F.col("n_live").cast("double") / F.col("tl"),
+                    F.lit(0.000001),
+                )
+                / F.greatest(
+                    F.col("n_ref").cast("double") / F.col("tr"),
+                    F.lit(0.000001),
+                )
+            ),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("term"),
+    )
+    # 10-row unpartitioned window: bucket-count scale, bounded
+    return terms.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_live").cast("bigint").alias("n_live"),
+        F.round(F.col("term").cast("double"), 6).alias("psi_term"),
+        F.round(
+            F.sum("term").over(W.partitionBy(F.lit(1))).cast("double"), 6
+        ).alias("psi_total"),
+    ).orderBy("bucket")
+
+
 def _rotate_window(priority: list[str]) -> None:
     """Reorder _QUERIES/_ORACLE so `priority` registers first (driver window)."""
     ordered = [n for n in priority if n in _QUERIES]

@@ -133,6 +133,7 @@ BENCH = [
     "streaming_quantile_drain",  # bounded-state streaming quantiles (payload sample)
     "graph_communities_lpa",  # 3-round deterministic label propagation
     "multimodal_wds_roundtrip",  # ustar shard compose + checksum-verify parse
+    "streaming_drift_psi_drain",  # PSI drift panel through a complete-mode drain
 ]
 
 REPEATS = 3
