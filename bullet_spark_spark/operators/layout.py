@@ -20,12 +20,14 @@ hash-match a DuckDB oracle digit-for-digit.
 
 Two bucketing paths, one semantics:
 
-* :func:`assign_buckets_exact` — NTILE over a global sort. This is the
+* :func:`assign_buckets_exact` — NTILE semantics over a DISTRIBUTED
+  global rank (range partition + per-partition sort + broadcast
+  offsets; r11 — previously a one-task window sort). This is the
   ORACLE-PARITY path: equal-height buckets with the standard's exact
-  fill rule (first ``n_rows % n`` buckets take one extra row). A global
-  window sort funnels through a single task, so this path is for
-  certification and for bounded frames (a stats build over file-level
-  metadata, not the 100 TB fact table itself).
+  fill rule (first ``n_rows % n`` buckets take one extra row),
+  boundary-independent for a fully tie-broken sort, so it stays
+  hash-identical to true NTILE while scaling like a sort-merge
+  exchange.
 * :func:`cluster_by_range` — ``repartitionByRange`` on the z-key. This
   is the PRODUCTION path: Spark samples range bounds and range-shuffles,
   every partition sorted and written independently — the exact shape a
@@ -112,17 +114,64 @@ def assign_buckets_exact(
     n_buckets: int = 64,
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Equal-height buckets via NTILE over a global ORDER BY — the SQL
-    standard's deterministic fill (first ``rows % n`` buckets get one
-    extra row), so bucket membership hash-matches any engine given a
-    fully tie-broken ``sort_cols``.
+    """Equal-height buckets with NTILE semantics — the SQL standard's
+    deterministic fill (first ``rows % n`` buckets get one extra row),
+    so bucket membership hash-matches any engine given a fully
+    tie-broken ``sort_cols``.
 
-    SCALE NOTE: a global window sort executes in ONE task — this is the
-    certification path and the bounded-metadata path, not the 100 TB
-    write path; :func:`cluster_by_range` is the production layout with
-    the same downstream zone-map semantics."""
-    w = Window.orderBy(*[F.col(c) for c in sort_cols])
-    return df.withColumn(out_col, F.ntile(n_buckets).over(w))
+    Computed WITHOUT the single-task global window sort ntile implies
+    (r11): range-partition on ``sort_cols``, per-partition sort, then
+    global rank = per-partition row_number + broadcast per-partition
+    offsets (the exact_quantiles_distributed pattern), and the ntile
+    fill rule applied to the rank arithmetically. Partition boundaries
+    are SAMPLED by repartitionByRange, but the global rank — and hence
+    the bucket id — is boundary-independent for a total order, so the
+    oracle surface is bit-identical to true NTILE. The ranged frame is
+    pinned by an eager localCheckpoint (NOT persist_generation: callers
+    bucketize the same source twice per query — z-order vs linear — and
+    a shared generation slot would release the first materialization
+    while it is still feeding its consumer; an independent re-execution
+    re-samples pids and corrupts the offset pairing, the
+    group_quantiles lesson)."""
+    spark = df.sparkSession
+    n_range = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cols = [F.col(c) for c in sort_cols]
+    # lazy: materializes once at the first consuming action, every later
+    # action (the offset build, the final join) reads the same blocks —
+    # same pid-consistency guarantee as eager, one fewer scheduling round
+    ranged = (
+        df.repartitionByRange(n_range, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    pc = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pc"))
+    # pid-count frame: ≤ shuffle-partitions rows — both windows bounded
+    off = pc.select(
+        "__pid",
+        (
+            F.sum("__pc").over(Window.orderBy("__pid")) - F.col("__pc")
+        ).alias("__off"),
+        F.sum("__pc").over(Window.partitionBy(F.lit(1))).alias("__n"),
+    )
+    rank = (
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+        + F.col("__off")
+        - 1
+    )
+    base = F.floor(F.col("__n") / n_buckets)
+    big = F.col("__n") % n_buckets
+    head = big * (base + 1)  # rows living in the big (base+1)-sized buckets
+    bucket = (
+        F.when(F.col("__rank") < head, F.floor(F.col("__rank") / (base + 1)))
+        .otherwise(big + F.floor((F.col("__rank") - head) / base))
+        + 1
+    )
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        .withColumn("__rank", rank)
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__pid", "__off", "__n", "__rank")
+    )
 
 
 def cluster_by_range(

@@ -329,3 +329,60 @@ def test_wds_samples_groups_modalities(spark):
     for r in samples:
         assert bytes(r["txt_payload"]).decode() == f"text {r['key']}"
         assert bytes(r["json_payload"]).decode() == '{"lang": "en"}'
+
+
+# ---------------------------------------------------------------------------
+# distributed exact bucketing (ntile parity without the one-task sort)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_rows,n_buckets", [(1000, 64), (37, 64), (9973, 32)])
+def test_assign_buckets_exact_matches_ntile(spark, n_rows, n_buckets):
+    """The distributed global-rank path is bit-identical to true NTILE
+    over the same tie-broken order — including N < n (every row its own
+    bucket) and the uneven-fill remainder rule."""
+    from pyspark.sql.window import Window as W
+
+    from bullet_spark_spark.operators import layout as lay
+
+    rows = [((i * 48271) % 2147483647, i) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "k long, tb long")
+    got = lay.assign_buckets_exact(df, ["k", "tb"], n_buckets).select(
+        "k", "tb", "bucket"
+    )
+    want = df.withColumn(
+        "bucket", F.ntile(n_buckets).over(W.orderBy("k", "tb"))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_assign_buckets_exact_repeated_calls_stay_consistent(spark):
+    """Two bucketings of the same source in one plan (the
+    zorder-vs-linear read-amp report shape) do not disturb each other —
+    the regression the shared persist slot caused: releasing the first
+    materialization re-samples range boundaries and corrupts offsets."""
+    from pyspark.sql.window import Window as W
+
+    from bullet_spark_spark.operators import layout as lay
+
+    rows = [((i * 37) % 1009, (i * 101) % 997, i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "a long, b long, tb long")
+    za = lay.assign_buckets_exact(df, ["a", "tb"], 16, out_col="ba")
+    zb = lay.assign_buckets_exact(df, ["b", "tb"], 16, out_col="bb")
+    # consume interleaved: build both, then collect both
+    got_a = {(r["tb"]): r["ba"] for r in za.collect()}
+    got_b = {(r["tb"]): r["bb"] for r in zb.collect()}
+    want_a = {
+        r["tb"]: r["ba"]
+        for r in df.withColumn(
+            "ba", F.ntile(16).over(W.orderBy("a", "tb"))
+        ).collect()
+    }
+    want_b = {
+        r["tb"]: r["bb"]
+        for r in df.withColumn(
+            "bb", F.ntile(16).over(W.orderBy("b", "tb"))
+        ).collect()
+    }
+    assert got_a == want_a
+    assert got_b == want_b
