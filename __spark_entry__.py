@@ -12616,6 +12616,40 @@ def streaming_drift_psi_drain(spark, sf_dir):
     ).orderBy("bucket")
 
 
+@q(
+    "winfunc_rank_family",
+    """SELECT o_orderkey,
+              CAST(dense_rank() OVER w AS BIGINT) AS drank,
+              round(percent_rank() OVER w, 6) AS prank,
+              round(cume_dist() OVER w, 6) AS cdist,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile
+       FROM orders WHERE o_custkey < 100
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def winfunc_rank_family(spark, sf_dir):
+    """The remaining SQL-standard rank family beside winfunc_lag_frames:
+    dense_rank, percent_rank ((r−1)/(n−1)), cume_dist, and NTILE
+    quartiles per customer — fully tie-broken ORDER so every engine
+    agrees, fractions as single IEEE divisions rounded 6 dp. Per-key
+    windows parallelize across customers; frames are order-count sized."""
+    t = _t(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            F.dense_rank().over(w).cast("bigint").alias("drank"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+    )
+
+
 def _rotate_window(priority: list[str]) -> None:
     """Reorder _QUERIES/_ORACLE so `priority` registers first (driver window)."""
     ordered = [n for n in priority if n in _QUERIES]
