@@ -63,6 +63,16 @@ def tar_member_col(name: Column, payload: Column) -> Column:
     checksum is an ``aggregate``/``ascii`` fold over the header chars
     (all ASCII/NUL by construction, so char sum == byte sum)."""
     size = F.length(F.encode(payload, "UTF-8"))
+    # rpad would TRUNCATE a >100-char name to a plausible-looking member
+    # with a valid checksum — fail loudly instead (ustar long names need
+    # the pax extension this stage doesn't claim)
+    name = F.when(
+        F.length(name) <= 100, name
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit("tar member name exceeds ustar 100 bytes: "), name)
+        )
+    )
     pre = F.concat(
         F.rpad(name, 100, _NUL),                       # name
         F.lit("0000644" + _NUL),                       # mode

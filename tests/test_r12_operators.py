@@ -386,3 +386,16 @@ def test_assign_buckets_exact_repeated_calls_stay_consistent(spark):
     }
     assert got_a == want_a
     assert got_b == want_b
+
+
+def test_tar_member_name_over_100_bytes_raises(spark):
+    """A >100-char member name must fail loudly — rpad would truncate it
+    into a DIFFERENT valid-checksum member name (silent key corruption)."""
+    from bullet_spark_spark.operators import webdataset as wds
+
+    df = spark.createDataFrame([("k" * 101, "x")], "name string, text string")
+    bad = df.select(
+        wds.tar_member_col(F.col("name"), F.col("text")).alias("m")
+    )
+    with pytest.raises(Exception, match="100 bytes"):
+        bad.collect()
