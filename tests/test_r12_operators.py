@@ -399,3 +399,47 @@ def test_tar_member_name_over_100_bytes_raises(spark):
     )
     with pytest.raises(Exception, match="100 bytes"):
         bad.collect()
+
+
+def test_parse_tar_blob_property_vs_stdlib(spark):
+    """Property differential on the PURE parser (no Spark per example):
+    archives composed by stdlib tarfile from adversarial payloads —
+    empty members, 'ustar' magic INSIDE payloads, header-boundary sizes
+    (511/512/513), NULs and high bytes — parse back name- and
+    byte-exact."""
+    import io
+    import tarfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bullet_spark_spark.operators.webdataset import _parse_tar_blob
+
+    payload = st.one_of(
+        st.binary(min_size=0, max_size=40),
+        st.sampled_from(
+            [
+                b"",
+                b"ustar\x0000",                 # magic bytes inside a payload
+                b"\x00" * 512,                  # a zero block as DATA
+                b"x" * 511, b"x" * 512, b"x" * 513,
+                b"WARC/1.0\r\n\r\n",
+            ]
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(payload, min_size=1, max_size=6))
+    def check(payloads):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for i, data in enumerate(payloads):
+                info = tarfile.TarInfo(name=f"m{i}.bin")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        got = _parse_tar_blob(buf.getvalue())
+        assert [(n, p, e) for n, p, e in got] == [
+            (f"m{i}.bin", data, None) for i, data in enumerate(payloads)
+        ]
+
+    check()
