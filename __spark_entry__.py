@@ -12650,6 +12650,132 @@ def winfunc_rank_family(spark, sf_dir):
     )
 
 
+@q(
+    "pipeline_wds_release",
+    """WITH gated AS (
+         SELECT doc_id, text, lang FROM documents
+         WHERE text IS NOT NULL AND lang IS NOT NULL
+           AND n_chars BETWEEN 30 AND 20000),
+       keep AS (
+         SELECT doc_id, text, lang FROM (
+           SELECT doc_id, text, lang,
+                  row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rk
+           FROM gated)
+         WHERE rk = 1),
+       h AS (
+         SELECT doc_id % 8 AS shard,
+                CAST(('0x' || substr(md5(
+                  CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang),
+                  1, 15)) AS BIGINT) AS hh
+         FROM keep)
+       SELECT CAST(shard AS BIGINT) AS shard,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              bit_xor(hh) AS content_fingerprint
+       FROM h GROUP BY shard ORDER BY shard""",
+)
+def pipeline_wds_release(spark, sf_dir):
+    """Curation-to-EXPORT capstone: quality gate (length band + lang
+    present) → exact dedup keep-first (min doc_id per md5(text)) →
+    8-way sharding → WebDataset TAR export ({doc_id}.txt +
+    {doc_id}.json members, operators/webdataset.py) → and the release
+    manifest computed FROM THE PARSED-BACK SHARDS, not the input: every
+    byte in the fingerprint made the round trip through real tar blobs.
+    The manifest is the shard_manifest shape (order-free bit_xor of
+    per-doc md5s + counts), so the oracle replays gate+dedup+shard in
+    SQL and must meet the post-roundtrip fingerprints exactly — one
+    query certifying the whole export path a trainer would consume."""
+    from bullet_spark_spark.operators import webdataset as wds
+
+    t = _t(spark, sf_dir)
+    gated = t["documents"].filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").between(30, 20000)
+    )
+    keep = (
+        gated.withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    members = keep.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        wds.tar_member_col(
+            F.concat(F.col("doc_id").cast("string"), F.lit(".txt")),
+            F.col("text"),
+        ).alias("member"),
+    ).unionByName(
+        keep.select(
+            (F.col("doc_id") % 8).alias("shard"),
+            wds.tar_member_col(
+                F.concat(F.col("doc_id").cast("string"), F.lit(".json")),
+                F.to_json(F.struct("lang")),
+            ).alias("member"),
+        )
+    )
+    shards = wds.pack_tar(members, "shard")
+    parsed = wds.parse_tar(shards, "tar_file", keep_cols=["shard"])
+    # wds_samples with the shard kept: one parse, one combinable agg
+    samples = (
+        parsed.filter(F.col("tar_error").isNull())
+        .select(
+            "shard",
+            F.substring_index("tar_name", ".", 1).alias("key"),
+            F.expr(
+                "substring(tar_name,"
+                " length(substring_index(tar_name, '.', 1)) + 2)"
+            ).alias("__ext"),
+            "payload",
+        )
+        .groupBy("shard", "key")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("__ext") == e, F.col("payload"))
+                ).alias(f"{e}_payload")
+                for e in ("txt", "json")
+            ]
+        )
+    )
+    fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("key"),
+                    F.decode("txt_payload", "UTF-8"),
+                    F.get_json_object(
+                        F.decode("json_payload", "UTF-8"), "$.lang"
+                    ),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        samples.select(F.col("shard"), fp.alias("hh"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.bit_xor("hh").alias("content_fingerprint"),
+        )
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "content_fingerprint",
+        )
+        .orderBy("shard")
+    )
+
+
 def _rotate_window(priority: list[str]) -> None:
     """Reorder _QUERIES/_ORACLE so `priority` registers first (driver window)."""
     ordered = [n for n in priority if n in _QUERIES]
