@@ -134,6 +134,7 @@ BENCH = [
     "graph_communities_lpa",  # 3-round deterministic label propagation
     "multimodal_wds_roundtrip",  # ustar shard compose + checksum-verify parse
     "streaming_drift_psi_drain",  # PSI drift panel through a complete-mode drain
+    "pipeline_wds_release",   # gate -> dedup -> shard -> tar export -> manifest
 ]
 
 REPEATS = 3
