@@ -12776,6 +12776,70 @@ def pipeline_wds_release(spark, sf_dir):
     )
 
 
+@q(
+    "scale_join_size_estimate",
+    """WITH l AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                  WHERE event_type = 'click' AND user_id IS NOT NULL),
+       r AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+             WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+       lc AS (SELECT k, count(*) AS c FROM l GROUP BY k),
+       rc AS (SELECT k, count(*) AS c FROM r GROUP BY k),
+       exact AS (SELECT CAST(sum(CAST(lc.c AS DECIMAL(38,0)) * rc.c)
+                              AS BIGINT) AS exact_size
+                 FROM lc JOIN rc USING (k)),
+       lb256 AS (SELECT CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) % 256
+                          AS b, count(*) AS c FROM l GROUP BY 1),
+       rb256 AS (SELECT CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) % 256
+                          AS b, count(*) AS c FROM r GROUP BY 1),
+       e256 AS (SELECT CAST(sum(CAST(lb256.c AS DECIMAL(38,0)) * rb256.c)
+                            AS BIGINT) AS est_256
+                FROM lb256 JOIN rb256 USING (b)),
+       lb4k AS (SELECT CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) % 4096
+                         AS b, count(*) AS c FROM l GROUP BY 1),
+       rb4k AS (SELECT CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) % 4096
+                         AS b, count(*) AS c FROM r GROUP BY 1),
+       e4k AS (SELECT CAST(sum(CAST(lb4k.c AS DECIMAL(38,0)) * rb4k.c)
+                           AS BIGINT) AS est_4096
+               FROM lb4k JOIN rb4k USING (b))
+       SELECT (SELECT count(*) FROM l) AS n_left,
+              (SELECT count(*) FROM r) AS n_right,
+              exact_size,
+              est_256,
+              round(CAST(est_256 - exact_size AS DOUBLE) / exact_size, 6)
+                AS overest_256,
+              est_4096,
+              round(CAST(est_4096 - exact_size AS DOUBLE) / exact_size, 6)
+                AS overest_4096
+       FROM exact CROSS JOIN e256 CROSS JOIN e4k""",
+)
+def scale_join_size_estimate(spark, sf_dir):
+    """Pre-flight JOIN-SIZE estimation (relational.join_size_estimate):
+    how many rows will clicks ⋈ purchases on user_id emit, WITHOUT
+    running the join — the shuffle-write sizing / cost-gating companion
+    of scale_skew_report. Bucketed md5-hash histograms at two
+    resolutions (256, 4096) beside the exact Σ_k l(k)·r(k): the
+    estimate is an overestimate that tightens as buckets pass the
+    distinct-key count, and the emitted overest_* columns measure that
+    convergence. Everything is integer arithmetic on count frames —
+    metadata-scale against the join being estimated — and portable-hash
+    bucketing makes even the ESTIMATES engine-exact."""
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    return rel.join_size_estimate(
+        ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").cast("string").alias("user_id")
+        ),
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").cast("string").alias("user_id")
+        ),
+        "user_id",
+        bucket_counts=(256, 4096),
+    ).select(
+        "n_left", "n_right", "exact_size",
+        "est_256", "overest_256", "est_4096", "overest_4096",
+    )
+
+
 def _rotate_window(priority: list[str]) -> None:
     """Reorder _QUERIES/_ORACLE so `priority` registers first (driver window)."""
     ordered = [n for n in priority if n in _QUERIES]

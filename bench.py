@@ -135,6 +135,7 @@ BENCH = [
     "multimodal_wds_roundtrip",  # ustar shard compose + checksum-verify parse
     "streaming_drift_psi_drain",  # PSI drift panel through a complete-mode drain
     "pipeline_wds_release",   # gate -> dedup -> shard -> tar export -> manifest
+    "scale_join_size_estimate",  # bucketed-histogram join cardinality panel
 ]
 
 REPEATS = 3

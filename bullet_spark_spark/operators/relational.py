@@ -15,6 +15,8 @@ physical strategy. Scale posture:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -820,3 +822,88 @@ def merge_upsert(
             .alias(c)
         )
     return j.select(*out_cols)
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    bucket_counts: Sequence[int] = (256, 4096),
+) -> DataFrame:
+    """Pre-flight equi-join OUTPUT-SIZE estimate → one row with the
+    bucketed-histogram estimates beside the exact size: the companion of
+    :func:`key_skew_report` for the OTHER pre-flight question — not "is
+    one key hot" but "how many rows will this join emit" (shuffle-write
+    sizing, AQE broadcast-threshold sanity, cost gating a 100 TB join
+    before paying for it).
+
+    Estimator: hash keys into ``m`` buckets (md5-derived — portable, so
+    any engine reproduces the exact same estimate), count per bucket on
+    each side, estimate = Σ_b |L_b|·|R_b|. That is the classic
+    equi-width hash-histogram bound: an OVERestimate that tightens to
+    the exact Σ_k l(k)·r(k) as m grows past the distinct-key count
+    (each bucket → one key); reporting two resolutions shows the
+    convergence. Cost: one combinable count-agg per side per resolution
+    over m-row frames — metadata-scale against the join itself. The
+    EXACT side is Σ_k l(k)·r(k) via per-key counts + an inner join on
+    the (distinct-key-sized) count frames — never materializing the
+    join. All integer arithmetic: the whole panel is engine-exact."""
+
+    def _bucket(col: Column, m: int) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("bigint"),
+            F.lit(m),
+        )
+
+    l_k = left.select(F.col(key_col).alias("k")).filter(F.col("k").isNotNull())
+    r_k = right.select(F.col(key_col).alias("k")).filter(F.col("k").isNotNull())
+    lc = l_k.groupBy("k").agg(F.count(F.lit(1)).alias("cl"))
+    rc = r_k.groupBy("k").agg(F.count(F.lit(1)).alias("cr"))
+    exact = (
+        lc.join(rc, "k")
+        .agg(
+            F.sum(
+                F.col("cl").cast("decimal(38,0)") * F.col("cr")
+            ).alias("exact")
+        )
+        .select(F.col("exact").cast("bigint").alias("exact_size"))
+    )
+    ests = []
+    for m in bucket_counts:
+        lb = l_k.groupBy(_bucket(F.col("k"), m).alias("b")).agg(
+            F.count(F.lit(1)).alias("cl")
+        )
+        rb = r_k.groupBy(_bucket(F.col("k"), m).alias("b")).agg(
+            F.count(F.lit(1)).alias("cr")
+        )
+        ests.append(
+            lb.join(rb, "b")
+            .agg(
+                F.sum(
+                    F.col("cl").cast("decimal(38,0)") * F.col("cr")
+                ).alias("e")
+            )
+            .select(F.col("e").cast("bigint").alias(f"est_{m}"))
+        )
+    tot = (
+        l_k.agg(F.count(F.lit(1)).cast("bigint").alias("n_left"))
+        .crossJoin(F.broadcast(r_k.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_right")
+        )))
+    )
+    # 1-row frames: broadcast crossJoins are stat-panel assembly, bounded
+    out = tot.crossJoin(F.broadcast(exact))
+    for e in ests:
+        out = out.crossJoin(F.broadcast(e))
+    cols = [F.col("n_left"), F.col("n_right"), F.col("exact_size")]
+    for m in bucket_counts:
+        cols.append(F.col(f"est_{m}"))
+        cols.append(
+            F.round(
+                (F.col(f"est_{m}") - F.col("exact_size")).cast("double")
+                / F.col("exact_size"),
+                6,
+            ).alias(f"overest_{m}")
+        )
+    return out.select(*cols)

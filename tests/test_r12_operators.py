@@ -443,3 +443,27 @@ def test_parse_tar_blob_property_vs_stdlib(spark):
         ]
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# join size estimation
+# ---------------------------------------------------------------------------
+
+def test_join_size_estimate_laws(spark):
+    """exact == brute-force join count; every bucketed estimate >= exact
+    (collisions only add cross terms); higher resolution is no worse;
+    and with buckets >> keys the estimate IS exact."""
+    from bullet_spark_spark.operators import relational as rel
+
+    lrows = [(f"u{i % 17}",) for i in range(300)]
+    rrows = [(f"u{i % 13}",) for i in range(200)]
+    left = spark.createDataFrame(lrows, "k string")
+    right = spark.createDataFrame(rrows, "k string")
+    got = rel.join_size_estimate(
+        left, right, "k", bucket_counts=(4, 64, 4096)
+    ).first()
+    brute = left.join(right, "k").count()
+    assert got["exact_size"] == brute
+    assert got["est_4"] >= got["est_64"] >= got["est_4096"] >= brute
+    assert got["est_4096"] == brute  # 4096 buckets, 17 keys: no collisions
+    assert got["n_left"] == 300 and got["n_right"] == 200
