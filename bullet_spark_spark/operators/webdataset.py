@@ -125,17 +125,25 @@ def pack_tar(
     (the caller bounds groups like real shards, ~1 GB); member order
     inside a shard is byte-sorted for determinism — tar semantics don't
     order members, and the sample GROUPING after parse re-keys by name
-    anyway."""
-    return df.groupBy(group_col).agg(
-        F.concat(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.col(member_col))),
-                F.lit(b""),
-                lambda acc, x: F.concat(acc, x),
-            ),
-            F.encode(F.lit(_NUL * (2 * _BLOCK)), "UTF-8"),
-        ).alias(out_col)
-    )
+    anyway.
+
+    LINEAR concatenation via one Arrow-batched ``applyInPandas`` join
+    per group — NOT an ``aggregate(collect_list, concat)`` fold, which
+    re-copies the accumulated prefix per element (quadratic bytes: a
+    1250-member shard of 1 KB members would copy ~0.8 GB)."""
+    import pandas as pd
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {gtype}, {out_col} binary"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = sorted(bytes(m) for m in pdf[member_col])
+        blob = b"".join(members) + b"\x00" * (2 * _BLOCK)
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], out_col: [blob]}
+        )
+
+    return df.groupBy(group_col).applyInPandas(fn, schema)
 
 
 def _parse_tar_blob(blob: bytes) -> list[tuple[str | None, bytes, str | None]]:
