@@ -165,6 +165,14 @@ QUERIES = {
     "relational_merge_upsert": "one full-outer join on the merge key -> codegen CASE branch projections (the Delta MERGE plan, minus the log)",
     "graph_cheapest_path": "delta-frontier relaxation: improved-only worklist joins edges per hop; min-merge groupBy; localCheckpoint per round",
     "scale_bucketed_agg": "bucketed scan's HashPartitioning feeds the groupBy directly: ONE exchange-free stage (asserted in-query)",
+    # round-11 third wave
+    "graph_communities_lpa": "per round: edge join + combinable (node,label) count + degree-bounded top-1 window; localCheckpoint per round",
+    "multimodal_wds_roundtrip": "codegen ustar compose (checksum = aggregate/ascii fold) -> group-sized pack -> mapInPandas parse -> one sample-key agg",
+    "streaming_drift_psi_drain": "10 bucket counters of stream state; reference + totals broadcast; PSI terms codegen, 10-row window total",
+    "winfunc_rank_family": "four rank functions over ONE customer-keyed window spec: a single exchange + sort",
+    "pipeline_wds_release": "gate/dedup windows on md5(text) partitioning -> shard-keyed pack -> parse -> fingerprint agg; one exchange per stage",
+    "scale_join_size_estimate": "count frames only: per-key and per-bucket aggs, estimate joins on m-row frames — the estimated join never runs",
+    "scale_zorder_pruning": "both layouts now bucket via range exchange + pid-offset rank (no one-task ntile sort); stats/panel unchanged",
 }
 
 
