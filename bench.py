@@ -379,6 +379,15 @@ def _streaming_ingest_rate(spark) -> float:
     n_rows = events.count()
 
     def cycle() -> float:
+        # same isolation discipline as the query loop: the driver gc
+        # releases py4j refs from prior cycles/queries so ContextCleaner
+        # can reclaim their JVM-side objects — without it, consecutive
+        # cycles in one process measure accumulated driver garbage, not
+        # ingest capacity (r11 opt: repro showed monotone 19.0→14.5 q/s
+        # decay no-gc vs stable 17–20 q/s with inter-cycle gc)
+        import gc as _gc
+
+        _gc.collect()
         rt = EngineRuntime(spark)
         with tempfile.TemporaryDirectory() as work:
             stream = file_drip(spark, events, work, chunks=8, max_files_per_trigger=4)
@@ -429,6 +438,15 @@ def _control_plane_rate(
     events = load_table(spark, "events", SF_DIR)
 
     def cycle() -> tuple[float, float]:
+        # inter-cycle driver gc: identical rationale to the query loop's
+        # clearCache+gc (bench isolation) — the control-plane baseline
+        # artifact showed monotone in-process decay ([19.73 … 12.53] over
+        # 5 cycles) that reproduces under heap pressure without gc and
+        # disappears with it; the metric is control-plane capacity, not
+        # predecessor garbage
+        import gc as _gc
+
+        _gc.collect()
         with tempfile.TemporaryDirectory() as work:
             mux = DynamicMultiplexer(spark)
             plane = ControlPlane(
