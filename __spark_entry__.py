@@ -2393,26 +2393,34 @@ def scale_zorder_pruning(spark, sf_dir):
     broadcast) — pruning is measured without rescanning the data, which
     is the point of zone maps."""
     t = _t(spark, sf_dir)
-    li = t["lineitem"].select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    # persist the NARROW SOURCE, not the keyed frame (r11, guide §6.1
+    # one-scan discipline): caching li makes the bounds aggregate inside
+    # zorder_key the cache-fill pass, so parquet is read ONCE (persisting
+    # z instead read it twice: bounds pass + fill pass), and the linear
+    # bucketization / distinct-key branches read li directly, pruning the
+    # zkey projection out of their plans entirely
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .persist()
     )
     dims = ["l_partkey", "l_suppkey"]
-    z = lay.zorder_key(li, dims, bits=8).persist()
+    z = lay.zorder_key(li, dims, bits=8)
     zb = lay.assign_buckets_exact(z, ["zkey", "l_orderkey", "l_linenumber"], 64)
     lb = lay.assign_buckets_exact(
-        z, ["l_partkey", "l_orderkey", "l_linenumber"], 64
+        li, ["l_partkey", "l_orderkey", "l_linenumber"], 64
     )
     zst = lay.bucket_stats(zb, dims).localCheckpoint(eager=True)
     lst = lay.bucket_stats(lb, dims).localCheckpoint(eager=True)
     # distinct key sets come off the SAME cached frame (scan-audit r7);
-    # checkpointed so the panel never touches data after z is released
+    # checkpointed so the panel never touches data after li is released
     pk = (
-        z.select(F.col("l_partkey").alias("k"))
+        li.select(F.col("l_partkey").alias("k"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     sk = (
-        z.select(F.col("l_suppkey").alias("k"))
+        li.select(F.col("l_suppkey").alias("k"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -2426,7 +2434,7 @@ def scale_zorder_pruning(spark, sf_dir):
                 "max_buckets",
             )
             out = rep if out is None else out.unionByName(rep)
-    z.unpersist()
+    li.unpersist()
     return out
 
 
