@@ -1098,7 +1098,15 @@ def spearman_corr(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     ry = _value_avg_ranks(rows, "y").select(
         F.col("v").alias("y"), F.col("__r2").alias("r2y")
     )
-    ranked = rows.join(rx, "x").join(ry, "y")
+    # x map is 50-ish values (broadcast regardless); the y map is
+    # distinct-value-sized — near row-scale for a continuous column — so
+    # its equi-join picks SMJ by default and pays a full sort of BOTH
+    # sides that nothing downstream consumes (the very next operator is
+    # a hash aggregate). Hint shuffled-hash (r11, guide §3.2): build side
+    # = the map's partition slice (distinct-values/partitions rows,
+    # hash-distributed, no skew — one map row per value), measured
+    # 3.35 → 2.6 s at sf0.1, moments identical.
+    ranked = rows.join(rx, "x").join(ry.hint("shuffle_hash"), "y")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("r2x").cast("decimal(38,0)")).alias("sx"),
