@@ -898,16 +898,25 @@ def bfs_distances(
             nxt = (
                 frontier.join(ecols, frontier["node"] == ecols["src"])
                 .select(F.col("dst").alias("node"))
-                .distinct()
-            )
-            fresh = (
-                nxt.join(visited.select("node"), "node", "left_anti")
                 .withColumn("dist", F.lit(hop).cast("long"))
+            )
+            # One min-aggregate over visited ∪ frontier-expansion merges the
+            # visited set, dedups the expansion AND identifies the fresh
+            # frontier (dist == hop exactly for first-reached nodes, since
+            # every visited node carries dist < hop): the former
+            # distinct + anti-join + union (three exchanges, two eager
+            # checkpoints per hop) collapses to one exchange and one
+            # checkpoint. Settled nodes keep their min dist by construction.
+            agg = (
+                visited.unionByName(nxt)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
                 .localCheckpoint()  # eager: truncates per-hop lineage
             )
+            fresh = agg.filter(F.col("dist") == hop)
             if fresh.count() == 0:  # driver scalar — the convergence probe
                 break
-            visited = visited.unionByName(fresh).localCheckpoint()
+            visited = agg
             frontier = fresh
     finally:
         ecols.unpersist()
@@ -985,24 +994,35 @@ def shortest_paths(
                 .groupBy("node")
                 .agg(F.min("cost").alias("cost"))
             )
-            merged = (
-                best.unionByName(cand)
+            # One tagged union-aggregate yields the merged best table AND
+            # the improved-worklist test: min over (best ∪ cand) is the new
+            # best, min over the best-tagged rows alone recovers the prior
+            # cost (each node appears at most once in best), and a node
+            # improved iff it had no prior cost or the new min undercuts
+            # it. Replaces the former merge-aggregate + left-join probe
+            # (two exchanges + a join) and two eager checkpoints per hop
+            # with one exchange and one checkpoint.
+            agg = (
+                best.select("node", "cost", F.lit(True).alias("__old"))
+                .unionByName(
+                    cand.select("node", "cost", F.lit(False).alias("__old"))
+                )
                 .groupBy("node")
-                .agg(F.min("cost").alias("cost"))
-            )
-            improved = (
-                merged.join(
-                    best.withColumnRenamed("cost", "__old"), "node", "left"
+                .agg(
+                    F.min("cost").alias("cost"),
+                    F.min(F.when(F.col("__old"), F.col("cost"))).alias(
+                        "__oldcost"
+                    ),
                 )
-                .filter(
-                    F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
-                )
-                .select("node", "cost")
                 .localCheckpoint()
             )
+            improved = agg.filter(
+                F.col("__oldcost").isNull()
+                | (F.col("cost") < F.col("__oldcost"))
+            ).select("node", "cost")
             if improved.count() == 0:
                 break
-            best = merged.localCheckpoint()
+            best = agg.select("node", "cost")
             frontier = improved
     finally:
         ecols.unpersist()
