@@ -625,6 +625,7 @@ def label_propagation(
     dst: str = "dst",
     rounds: int = 3,
     checkpoint_every: int = 1,
+    broadcast_nodes_below: int = 2_000_000,
 ) -> DataFrame:
     """FIXED-ROUND synchronous label propagation → (node, label): the
     community-detection member of the graph panel (Raghavan et al. 2007,
@@ -659,24 +660,39 @@ def label_propagation(
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    # Checkpoint-backed label frames are stat-less leaves, so Catalyst
+    # would sort-merge the edge⋈labels join every round; the label frame
+    # is NODE-sized by construction — broadcast it while the node count
+    # fits (the pagerank gate), shuffle-join beyond it.
+    n_nodes = labels.count()  # bounded: one scalar
+    bcast = (
+        (lambda d: F.broadcast(d))
+        if n_nodes <= broadcast_nodes_below
+        else (lambda d: d)
+    )
     for it in range(rounds):
         nbr = sym.join(
-            labels.select(F.col("node").alias("v"), "label"), "v"
+            bcast(labels.select(F.col("node").alias("v"), "label")), "v"
         ).select(F.col("u").alias("node"), "label")
         cnt = nbr.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("c")
         )
+        # top-1 per node as an aggregate: min(struct(-c, label)) orders
+        # by count DESC then label ASC — exactly the former
+        # row_number(desc(c), asc(label)) == 1 pick. Compiles to a
+        # SortAggregate WITH a partial pass: the exchange carries one
+        # candidate per node per map partition, where the window shipped
+        # every (node, label, c) row and sorted it again post-shuffle.
         new = (
-            cnt.withColumn(
-                "__rk",
-                F.row_number().over(
-                    Window.partitionBy("node").orderBy(
-                        F.desc("c"), F.asc("label")
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
                     )
-                ),
+                ).alias("t")
             )
-            .filter(F.col("__rk") == 1)
-            .select("node", "label")
+            .select("node", F.col("t.l").alias("label"))
         )
         labels = new
         if checkpoint_every and (it % checkpoint_every == 0):
