@@ -544,6 +544,7 @@ def kcore(
     dst: str = "dst",
     max_iterations: int = 50,
     checkpoint_every: int = 1,
+    broadcast_edges_below: int = 2_000_000,
 ) -> DataFrame:
     """The k-CORE of an undirected simple graph → (node, core_degree):
     the maximal subgraph in which every node keeps ≥ k neighbors
@@ -580,6 +581,16 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
+    # Checkpoint-backed edge frames are stat-less leaves, so the per-round
+    # semi-joins against the node-sized keep set would sort-merge; the
+    # keep set is bounded by 2·|edges| and shrinks monotonically —
+    # broadcast it while the (known) edge count fits, shuffle beyond
+    # (the pagerank gate).
+    bcast = (
+        (lambda d: F.broadcast(d))
+        if n_edges <= broadcast_edges_below
+        else (lambda d: d)
+    )
     converged = False
     for it in range(max_iterations):
         deg = (
@@ -590,8 +601,8 @@ def kcore(
         )
         keep = deg.filter(F.col("deg") >= k).select("node")
         e2 = e.join(
-            keep.select(F.col("node").alias("a")), "a", "left_semi"
-        ).join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            bcast(keep.select(F.col("node").alias("a"))), "a", "left_semi"
+        ).join(bcast(keep.select(F.col("node").alias("b"))), "b", "left_semi")
         if checkpoint_every and (it % checkpoint_every == 0):
             e2 = e2.localCheckpoint(eager=True)
         n2 = e2.count()  # bounded: one scalar per round
