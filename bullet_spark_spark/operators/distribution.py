@@ -497,7 +497,12 @@ def _merged_rank_counts(a: DataFrame, b: DataFrame, col: str):
     )
     from pyspark import StorageLevel
 
-    merged = ca.join(cb, "v", "full_outer").select(
+    # SHUFFLE_HASH: both sides are distinct-value-space count frames —
+    # per-partition build is a uniform hash slice of the value domain
+    # (no skew, one row per distinct value), and the hint removes the
+    # two full sorts a SortMergeJoin pays feeding straight into the
+    # bucketed running sums (the spearman y-rank-map fix, same shape).
+    merged = ca.hint("SHUFFLE_HASH").join(cb, "v", "full_outer").select(
         "v",
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
