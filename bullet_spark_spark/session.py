@@ -66,6 +66,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner choose shuffled-hash over sort-merge when its
+        # size conditions hold, and let AQE rewrite SMJ->SHJ at runtime
+        # when every post-shuffle partition fits the local-map threshold
+        # (both from the optimization guide's baseline config; env-
+        # parameterised so a cluster profile can flip them without code)
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "0"),
+        )
         # local mode: keep the UI off and the driver quiet
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
