@@ -467,3 +467,47 @@ def test_join_size_estimate_laws(spark):
     assert got["est_4"] >= got["est_64"] >= got["est_4096"] >= brute
     assert got["est_4096"] == brute  # 4096 buckets, 17 keys: no collisions
     assert got["n_left"] == 300 and got["n_right"] == 200
+
+
+# ---------------------------------------------------------------------------
+# r11 optimization round: the broadcast-gate FALLBACK branches (the
+# shuffle path a >2M-node/edge graph takes) must produce bit-identical
+# results to the broadcast path the fixtures exercise by default.
+# ---------------------------------------------------------------------------
+
+def test_lpa_shuffle_path_matches_broadcast_path(spark):
+    from bullet_spark_spark.operators import graph as gr
+
+    rows = [((i * 7) % 23, (i * 11 + 3) % 23) for i in range(60)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in rows if a != b], "src long, dst long"
+    )
+    bc = sorted(
+        (r["node"], r["label"])
+        for r in gr.label_propagation(edges, rounds=3).collect()
+    )
+    sh = sorted(
+        (r["node"], r["label"])
+        for r in gr.label_propagation(
+            edges, rounds=3, broadcast_nodes_below=0
+        ).collect()
+    )
+    assert bc == sh
+
+
+def test_kcore_shuffle_path_matches_broadcast_path(spark):
+    from bullet_spark_spark.operators import graph as gr
+
+    rows = [((i * 5) % 19, (i * 13 + 2) % 19) for i in range(70)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in rows if a != b], "src long, dst long"
+    )
+    bc = sorted(
+        (r["node"], r["core_degree"])
+        for r in gr.kcore(edges, k=3).collect()
+    )
+    sh = sorted(
+        (r["node"], r["core_degree"])
+        for r in gr.kcore(edges, k=3, broadcast_edges_below=0).collect()
+    )
+    assert bc == sh
