@@ -11106,7 +11106,11 @@ def streaming_session_drain(spark, sf_dir):
         .filter(F.col("user_id").isNotNull() & (F.col("user_id") % 7 == 3))
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
     )
-    hi = ev.agg(F.max("ts").alias("m"))
+    # persisted 1-row frame: BOTH sentinel chunk writes derive from it —
+    # unpersisted, each write re-ran the max aggregate's full scan of ev
+    # (r11 job-count audit); the first write fills the cache, the second
+    # reads one cached row
+    hi = ev.agg(F.max("ts").alias("m")).persist()
     sent1 = hi.select(
         F.lit(-1).cast("long").alias("user_id"),
         (F.col("m") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
@@ -11119,6 +11123,7 @@ def streaming_session_drain(spark, sf_dir):
         stream = file_drip_ordered(
             spark, ev, work, "ts", chunks=4, extra_chunks=(sent1, sent2)
         )
+        hi.unpersist()  # sentinel chunks are on disk; the 1-row cache is done
         agg = (
             stream.withWatermark("ts", "30 minutes")
             .groupBy(

@@ -294,9 +294,15 @@ def file_drip_ordered(
     os.makedirs(data_dir, exist_ok=True)
     from pyspark.sql.window import Window as _W
 
+    # persist the ntile'd frame: the per-chunk writes below would otherwise
+    # each recompute the GLOBAL sort the window implies — chunks+0..2 full
+    # sorts of the replayed frame at construction time (measured: the
+    # session drain paid 4 ntile sorts + 2 sentinel aggregate scans before
+    # the drain started, r11 job-count audit). One sort fills the cache on
+    # the first chunk write; the rest filter the cached single partition.
     chunked = df.withColumn(
         "__c", F.ntile(chunks).over(_W.orderBy(F.col(order_col)))
-    )
+    ).persist()
     base_t = _time.time() - 3600
     seq = 0
 
@@ -312,12 +318,15 @@ def file_drip_ordered(
         t = base_t + seq * 2.0
         os.utime(dest, (t, t))
 
-    for c in range(1, chunks + 1):
-        _write_one(chunked.filter(F.col("__c") == c).drop("__c"), seq)
-        seq += 1
-    for ex in extra_chunks:
-        _write_one(ex.select(*df.columns), seq)
-        seq += 1
+    try:
+        for c in range(1, chunks + 1):
+            _write_one(chunked.filter(F.col("__c") == c).drop("__c"), seq)
+            seq += 1
+        for ex in extra_chunks:
+            _write_one(ex.select(*df.columns), seq)
+            seq += 1
+    finally:
+        chunked.unpersist()
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
