@@ -119,35 +119,37 @@ def pagerank(
     ).localCheckpoint(eager=True)
 
     for it in range(iterations):
-        contribs = (
-            e_norm.join(bcast(ranks), e_norm["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(
-                # exact integer-unit sum, accumulated as LONGs (r11): each
-                # term floor(rank·w/out_w·10^dp) ≤ rank·10^dp and the ranks
-                # sum to ≤ ~1 by mass conservation, so a node's sum is
-                # ≤ ~10^dp ≪ 2⁶³ at ANY graph scale — the long sum equals
-                # the previous decimal(28,0) accumulator digit-for-digit
-                # and avoids its per-row widen/unscale (measured faster,
-                # bit-identical; HITS keeps decimal — its weighted-degree
-                # bound is NOT mass-conserved)
-                F.sum(
-                    F.floor(
-                        F.col("rank") * F.col("w") / F.col("out_w") * F.lit(scale)
-                    )
-                )
-                .cast("double")
-                .alias("s")
-            )
+        # exact integer-unit terms, accumulated as LONGs (r11): each term
+        # floor(rank·w/out_w·10^dp) ≤ rank·10^dp and the ranks sum to
+        # ≤ ~1 by mass conservation, so a node's sum is ≤ ~10^dp ≪ 2⁶³
+        # at ANY graph scale — the long sum equals the previous
+        # decimal(28,0) accumulator digit-for-digit and avoids its
+        # per-row widen/unscale (measured faster, bit-identical; HITS
+        # keeps decimal — its weighted-degree bound is NOT mass-conserved)
+        terms = e_norm.join(bcast(ranks), e_norm["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            F.floor(
+                F.col("rank") * F.col("w") / F.col("out_w") * F.lit(scale)
+            ).alias("__t"),
         )
+        # union-with-zeros instead of nodes LEFT JOIN broadcast(contribs)
+        # (r11 continuation, guide §2.4/§5): the zero row per node keeps
+        # dangling-inbound nodes in the result through the SAME aggregate
+        # (sum + 0 ≡ coalesce(sum, 0) — bit-identical), so one exchange
+        # replaces the aggregate + a second broadcast build (a per-
+        # iteration node-sized driver collect) + the join — the same
+        # one-pass union-aggregate shape the BFS/Bellman-Ford hops moved
+        # to earlier this round
+        zeros = nodes.select("node", F.lit(0).cast("bigint").alias("__t"))
         ranks = (
-            nodes.join(bcast(contribs), nodes["node"] == contribs["dst"], "left")
+            terms.unionByName(zeros)
+            .groupBy("node")
+            .agg(F.sum("__t").cast("double").alias("s"))
             .select(
                 "node",
                 q(
                     F.lit(teleport) / F.lit(n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(scale))
+                    + F.lit(damping) * (F.col("s") / F.lit(scale))
                 ).alias("rank"),
             )
         )

@@ -114,10 +114,16 @@ def test_pagerank_contribution_sum_accumulates_longs(spark, tables):
     plan = _plan(ranks)
     # r11 (commit ba27541): the per-iteration contribution sum is a long
     # sum of floor-quantized terms (bounded ~10^dp by mass conservation),
-    # not a decimal(28,0) accumulator
-    assert "sum(FLOOR(" in plan, plan
-    assert "sum(cast(FLOOR" not in plan, plan
+    # not a decimal(28,0) accumulator. r11 continuation: the terms are
+    # FLOOR-projected before a union-with-zeros and summed through ONE
+    # aggregate — no decimal anywhere, and the old second per-iteration
+    # join (nodes LEFT JOIN broadcast(contribs), a node-sized driver
+    # collect every round) is gone from the plan
+    assert "FLOOR(" in plan, plan
+    assert "sum(__t" in plan, plan
     assert "decimal(28" not in plan, plan
+    assert "Union" in plan, plan
+    assert "LeftOuter" not in plan, plan
 
 
 def test_drain_shuffle_partitions_sizes_and_restores(spark):
