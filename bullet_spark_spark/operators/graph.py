@@ -274,24 +274,33 @@ def hits(
     # stays constant per round, and the materialized frame is node-sized
     # (cheap) — the HITS-specific variant of the connected-components
     # lineage lesson.
+    # union-with-zeros instead of nodes LEFT JOIN broadcast(raw) (r11
+    # continuation, the pagerank iteration shape): the zero row per node
+    # rides the SAME aggregate (decimal sum + 0 ≡ coalesce(sum, 0),
+    # bit-identical), removing per-iteration a second broadcast build —
+    # a node-sized driver collect — and the join, twice per round here
+    # (authority and hub halves). The decimal accumulator itself stays:
+    # HITS's weighted-degree bound is NOT mass-conserved, so a long
+    # could overflow on extreme in-degree × weight.
     for it in range(iterations):
-        a_raw = (
+        a_terms = (
             ecols.join(bcast(scores.select("node", "hub")), ecols["src"] == F.col("node"))
-            .groupBy("dst")
-            .agg(
-                F.sum(
-                    F.floor(F.col("hub") * F.col("w") * F.lit(scale)).cast(
-                        "decimal(28,0)"
-                    )
-                )
-                .cast("double")
-                .alias("s")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("hub") * F.col("w") * F.lit(scale)).cast(
+                    "decimal(28,0)"
+                ).alias("__t"),
             )
-            .select(F.col("dst").alias("node"), (F.col("s") / F.lit(scale)).alias("a_raw"))
+        )
+        a_zeros = nodes.select(
+            "node", F.lit(0).cast("decimal(28,0)").alias("__t")
         )
         a_frame = (
-            nodes.join(bcast(a_raw), "node", "left")
-            .select("node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+            a_terms.unionByName(a_zeros)
+            .groupBy("node")
+            .agg(
+                (F.sum("__t").cast("double") / F.lit(scale)).alias("a_raw")
+            )
             .localCheckpoint(eager=True)
         )
         amax = a_frame.agg(F.max("a_raw").alias("m"))
@@ -304,23 +313,24 @@ def hits(
                 .alias("authority"),
             )
         )
-        h_raw = (
+        h_terms = (
             ecols.join(bcast(auth), ecols["dst"] == auth["node"])
-            .groupBy("src")
-            .agg(
-                F.sum(
-                    F.floor(F.col("authority") * F.col("w") * F.lit(scale)).cast(
-                        "decimal(28,0)"
-                    )
-                )
-                .cast("double")
-                .alias("s")
+            .select(
+                F.col("src").alias("node"),
+                F.floor(F.col("authority") * F.col("w") * F.lit(scale)).cast(
+                    "decimal(28,0)"
+                ).alias("__t"),
             )
-            .select(F.col("src").alias("node"), (F.col("s") / F.lit(scale)).alias("h_raw"))
+        )
+        h_zeros = nodes.select(
+            "node", F.lit(0).cast("decimal(28,0)").alias("__t")
         )
         h_frame = (
-            nodes.join(bcast(h_raw), "node", "left")
-            .select("node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"))
+            h_terms.unionByName(h_zeros)
+            .groupBy("node")
+            .agg(
+                (F.sum("__t").cast("double") / F.lit(scale)).alias("h_raw")
+            )
             .localCheckpoint(eager=True)
         )
         hmax = h_frame.agg(F.max("h_raw").alias("m"))
