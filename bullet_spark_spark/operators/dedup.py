@@ -1004,14 +1004,23 @@ def connected_components(
         neighbor_min = edges.join(
             labels, edges["dst"] == labels["node"]
         ).groupBy("src").agg(F.min("comp").alias("__ncomp"))
+        # union-with-self instead of labels LEFT JOIN neighbor_min (r11
+        # continuation, the pagerank/HITS iteration shape with min as the
+        # merge): min(old comp, neighbor mins) ≡ least(comp,
+        # coalesce(__ncomp, comp)) — the node's own label IS the
+        # absorbing row, so isolated-this-round nodes keep their comp
+        # through the SAME aggregate and the per-iteration node-scale
+        # join of two stat-less checkpoint-backed frames (an SMJ at
+        # plan time) is gone
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                labels["node"],
-                F.least(
-                    labels["comp"], F.coalesce(F.col("__ncomp"), labels["comp"])
-                ).alias("comp"),
+            labels.select("node", "comp")
+            .unionByName(
+                neighbor_min.select(
+                    F.col("src").alias("node"), F.col("__ncomp").alias("comp")
+                )
             )
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
             # eager localCheckpoint: caches AND cuts the plan tree — the
             # nested per-iteration lineage otherwise overflows the JVM
             # stack at diameter ≳8
