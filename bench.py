@@ -217,6 +217,15 @@ def main() -> None:
     for name in BENCH:
         qs[name](spark, SF_DIR).limit(1).collect()
 
+    # Host-health probe (VERDICT r11 task 2): median wall of a warm
+    # 1-task job. Healthy band: TENS of ms. 200-700 ms reproduces only on
+    # a contended/degraded host (measured in r11 on a vanilla SparkSession
+    # with zero repo code) and inflates overhead-bound queries uniformly —
+    # a consumer comparing rounds should trust per-query deltas only when
+    # both runs' probes are in the healthy band. Measured twice (post-
+    # warmup and end-of-run); the compact line carries the first.
+    probe_start_ms = _probe_1task_ms(spark)
+
     times: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
     import gc as _gc
@@ -257,6 +266,8 @@ def main() -> None:
         spark, n_queries=128
     )
 
+    probe_end_ms = _probe_1task_ms(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_after = os.getloadavg()
     cpus = os.cpu_count() or 1
@@ -269,6 +280,10 @@ def main() -> None:
         # median-of-REPEATS is what `queries` carries; the raw samples for
         # the 10 most expensive queries ride along (VERDICT r10 task 9)
         "queries_samples_top10": queries_samples,
+        # warm 1-task-job medians in ms: healthy host = tens of ms;
+        # 200-700 ms = degraded/contended window (see _probe_1task_ms)
+        "probe_1task_ms": probe_start_ms,
+        "probe_1task_ms_end": probe_end_ms,
         "streaming_rows_per_sec": streaming_rps,
         "control_plane_queries_per_sec": control_qps,
         "control_plane_queries_per_sec_128": control_qps_128,
@@ -316,16 +331,38 @@ def main() -> None:
     print(_compact_line(out))
 
 
+# Compact-line budget policy for the raw-sample block. The r11 driver's
+# PERF comparator treats any non-numeric value in `queries` as a missing
+# query, so samples must NEVER ride inside `queries` (that format made the
+# 7 heaviest-and-most-optimized queries read as "dropped" in PERF_r11) —
+# they get their own `queries_samples_top10` key, truncated to the top
+# SAMPLES_IN_COMPACT entries / SAMPLES_RESERVE chars so the medians map
+# keeps its tail coverage (each sample entry costs ~1.7 median entries;
+# the full top-10 block lives in BENCH_FULL.json either way).
+SAMPLES_RESERVE = 240
+SAMPLES_IN_COMPACT = 5
+
+
 def _compact_line(out: dict, budget: int = 1900) -> str:
     """One JSON line <= ``budget`` chars for the driver's 2000-char stdout
-    tail: headline metrics + as many per-query medians as fit (costliest
-    first, 2 dp — the sub-0.1 s tail is measurement noise anyway), with the
-    omission count and the full-artifact path stated in-band."""
+    tail: headline + host-health metrics, as many per-query medians as fit
+    (costliest first, 2 dp — the sub-0.1 s tail is measurement noise
+    anyway; every value in `queries` is PLAIN NUMERIC so the driver's
+    round-over-round comparator can parse it), raw samples for the heavy
+    family in the separate `queries_samples_top10` key (truncated to fit),
+    with the omission count and the full-artifact path stated in-band."""
     head = {
         "metric": out["metric"],
         "value": round(out["value"], 2),
         "unit": out["unit"],
         "sf": out["sf"],
+        # host-health fields (VERDICT r11 task 2): probe_1task_ms is the
+        # median wall of a warm 1-task job — tens of ms on a healthy host,
+        # 200-700 ms in the degraded/contended windows that inflated the
+        # r7/r11 driver artifacts. A consumer seeing a high probe (or a
+        # streaming rate ~half the committed isolated figure) should read
+        # uniform slowdowns as host contention, not plan regressions.
+        "probe_1task_ms": out["probe_1task_ms"],
         "streaming_rows_per_sec": out["streaming_rows_per_sec"],
         "control_plane_queries_per_sec": out["control_plane_queries_per_sec"],
         "control_plane_queries_per_sec_128": out[
@@ -337,29 +374,66 @@ def _compact_line(out: dict, budget: int = 1900) -> str:
         "queries_omitted": 0,
         "full": "BENCH_FULL.json",
         "queries": {},
+        "queries_samples_top10": {},
     }
     ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
     samples = out.get("queries_samples_top10", {})
-    line = json.dumps(head, separators=(",", ":"))
-    for i, (name, sec) in enumerate(ranked):
-        # top 10 carry {m: median, s: [raw samples]} (VERDICT r10 task 9 —
-        # the driver-recorded line stops carrying single-sample noise for
-        # the heavy family); the tail stays compact medians
-        if i < 10 and name in samples:
-            head["queries"][name] = {
-                "m": round(sec, 2),
-                "s": [round(s, 2) for s in samples[name]],
-            }
-        else:
-            head["queries"][name] = round(sec, 2)
+
+    def fits(limit: int) -> bool:
+        return len(json.dumps(head, separators=(",", ":"))) <= limit
+
+    # Pass 1: plain numeric medians, costliest first, leaving headroom for
+    # the samples block.
+    for name, sec in ranked:
+        head["queries"][name] = round(sec, 2)
         head["queries_omitted"] = len(ranked) - len(head["queries"])
-        cand = json.dumps(head, separators=(",", ":"))
-        if len(cand) > budget:
+        if not fits(budget - SAMPLES_RESERVE):
             del head["queries"][name]
             head["queries_omitted"] = len(ranked) - len(head["queries"])
             break
-        line = cand
-    return line
+    # Pass 2: raw samples for the heaviest queries (VERDICT r10 task 9 —
+    # round-over-round adjudication of the heavy family needs the sample
+    # band, not a single median), truncated to the compact-line cap.
+    for name, _ in ranked:
+        if name not in samples:
+            continue
+        if len(head["queries_samples_top10"]) >= SAMPLES_IN_COMPACT:
+            break
+        head["queries_samples_top10"][name] = [
+            round(s, 2) for s in samples[name]
+        ]
+        if not fits(budget):
+            del head["queries_samples_top10"][name]
+            break
+    # Pass 3: if the samples block under-used its reserve, give the space
+    # back to the medians tail.
+    for name, sec in ranked:
+        if name in head["queries"]:
+            continue
+        head["queries"][name] = round(sec, 2)
+        head["queries_omitted"] = len(ranked) - len(head["queries"])
+        if not fits(budget):
+            del head["queries"][name]
+            head["queries_omitted"] = len(ranked) - len(head["queries"])
+            break
+    return json.dumps(head, separators=(",", ":"))
+
+
+def _probe_1task_ms(spark, n: int = 7) -> float:
+    """Median wall-clock (ms) of a warm single-task job — the in-band host
+    health probe (VERDICT r11 task 2). On a healthy host this is tens of
+    ms (task scheduling + one empty task); on a contended/degraded host it
+    was measured at 200-700 ms on a vanilla SparkSession with zero repo
+    code, the same windows in which overhead-bound bench queries inflate
+    uniformly 2-4x. It measures the scheduler/JVM floor, not any query."""
+    sc = spark.sparkContext
+    sc.parallelize([1], 1).count()  # warm the RDD path itself
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        sc.parallelize([1], 1).count()
+        samples.append((time.perf_counter() - t0) * 1000)
+    return round(statistics.median(samples), 1)
 
 
 def _streaming_ingest_rate(spark) -> float:
