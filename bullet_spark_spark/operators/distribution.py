@@ -392,19 +392,44 @@ def mad_outliers(
 
 
 def _bucketed_running_sums(
-    frame: DataFrame, order_col: str, sum_cols: list[str]
+    frame: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    bounds_slot: str = "distribution._bucketed_running_sums.bounds",
 ) -> DataFrame:
     """INCLUSIVE running sums of ``sum_cols`` in ``order_col`` order via
-    the two-level cumsum pattern: range-bucket the value domain with one
-    approxQuantile pass (boundaries only need to be order-aligned, not
-    exact), running-sum within each bucket, add broadcast per-bucket
+    the two-level cumsum pattern: range-bucket the value domain with
+    LAZY, IN-PLAN boundaries (a 1-row ``percentile_approx`` aggregate
+    broadcast onto the frame — boundaries only need to be order-aligned,
+    not exact), running-sum within each bucket, add broadcast per-bucket
     exclusive prefixes — a continuous column never lands in one
     single-partition window. Falls back to the plain global window when
-    the domain can't be bucketed: empty, non-castable, or a type whose
-    cast to double is NOT order-preserving (strings sort '10' < '9'
+    the domain can't be bucketed: non-castable, or a type whose cast to
+    double is NOT order-preserving (strings sort '10' < '9'
     lexicographically but 9.0 < 10.0 as doubles — bucketing by the cast
     while ordering natively would combine prefixes in the wrong order).
-    Returns the input columns plus ``__cum_<c>`` per sum column."""
+    Returns the input columns plus ``__cum_<c>`` per sum column.
+
+    r12 (VERDICT r11 task 3): the boundary pass used to be an EAGER
+    driver-side ``approxQuantile`` — 4-7 serial construct-time driver
+    jobs per rank-family query (measured with tools/count_jobs.py),
+    including a full cache fill of the input lineage BEFORE the action.
+    The lazy form computes the same sketch in-plan.
+
+    BRANCH-CONSISTENCY CONTRACT (the group_quantiles lesson): the
+    bucketed frame feeds TWO consumers (the in-bucket cumsum and the
+    per-bucket totals), and ``percentile_approx`` is not merge-order-
+    deterministic, so per-branch recomputation could produce DIFFERENT
+    boundary sets and silently wrong prefix sums. The bounds frame is
+    therefore PERSISTED under ``bounds_slot`` (1 row — the CacheManager
+    replaces every consumer's subtree with one shared InMemoryRelation,
+    and block-level locking guarantees a single evaluation), and the
+    result is only correct while that persist survives the consumer's
+    action. Consequently ``bounds_slot`` MUST be unique per live
+    construction: a caller that builds two of these frames with
+    DIFFERENT inputs before actioning either must pass distinct slots
+    (every current call site does — audited r12; identical inputs are
+    safe regardless via the persist_generation identical-call path)."""
     from pyspark.sql.types import DateType, NumericType, TimestampType
 
     dtype = frame.schema[order_col].dataType
@@ -421,20 +446,40 @@ def _bucketed_running_sums(
         if not cast_preserves_order:
             raise ValueError("order column cast is not order-preserving")
         probs = [i / nbuckets for i in range(1, nbuckets)]
-        bounds = sorted(
-            set(
-                frame.select(F.col(order_col).cast("double").alias("__o"))
-                .stat.approxQuantile("__o", probs, 0.001)
-            )
-        )
     except Exception:
-        bounds = []
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        probs = []
+    if probs:
+        bounds_df = frame.agg(
+            F.percentile_approx(
+                F.col(order_col).cast("double"),
+                F.array(*[F.lit(p) for p in probs]),
+                F.lit(10000),
+            ).alias("__bounds")
+        )
+        (bounds_df,) = persist_generation(bounds_slot, bounds_df)
+        # empty/all-null input: percentile_approx yields NULL — coalesce
+        # to the empty array so every row lands in bucket 0 (the frame is
+        # empty or single-bucket anyway; same result as the old eager
+        # fallback, without a construct-time job to detect it)
+        barr = F.coalesce(
+            F.col("__bounds"), F.array().cast("array<double>")
+        )
         bkt = F.size(
             F.filter(barr, lambda bb: F.col(order_col).cast("double") > bb)
         )
-        bucketed = frame.withColumn("__bkt", bkt)
+        # scalar-subquery attachment, NOT a crossJoin: Spark's size-only
+        # join estimation MULTIPLIES child sizeInBytes, so joining even a
+        # 1-row bounds frame inflates every downstream estimate by the
+        # bounds frame's byte size (~2 KB for 199 doubles) — measured to
+        # flip the spearman x-rank-map join from auto-broadcast to
+        # SortMergeJoin. A scalar subquery leaves the main plan's stats
+        # untouched; physical subquery instances dedupe via ReuseSubquery
+        # and, independently of that, all read the one persisted plan.
+        bucketed = (
+            frame.withColumn("__bounds", bounds_df.scalar())
+            .withColumn("__bkt", bkt)
+            .drop("__bounds")
+        )
         w_in = (
             W.partitionBy("__bkt")
             .orderBy(order_col)
@@ -466,8 +511,9 @@ def _bucketed_running_sums(
                 for c in sum_cols
             ],
         )
-    # documented fallback: empty/un-castable order domain only — the
-    # bucketed path above is the scale path
+    # documented fallback: un-castable order domain / unparsable shuffle
+    # conf only — the bucketed path above is the scale path (empty and
+    # all-null domains now ride the bucketed path as a single bucket)
     w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
     return frame.select(
         *frame.columns,
@@ -513,7 +559,12 @@ def _merged_rank_counts(a: DataFrame, b: DataFrame, col: str):
         merged,
         storage_level=StorageLevel.MEMORY_AND_DISK,
     )
-    cum = _bucketed_running_sums(merged, "v", ["ca", "cb"]).select(
+    cum = _bucketed_running_sums(
+        merged,
+        "v",
+        ["ca", "cb"],
+        bounds_slot="distribution._merged_rank_counts.bounds",
+    ).select(
         "v",
         "ca",
         "cb",
@@ -990,7 +1041,9 @@ def kruskal_wallis(
     # cumsum's quantile pass, the rank map, the totals) would otherwise
     # each re-scan the base table — 2 base scans (vc + gv) is the floor
     (vc,) = persist_generation("distribution.kruskal_wallis", vc)
-    cum = _bucketed_running_sums(vc, "v", ["t"])
+    cum = _bucketed_running_sums(
+        vc, "v", ["t"], bounds_slot="distribution.kruskal_wallis.bounds"
+    )
     rankmap = cum.select(
         "v",
         "t",
@@ -1067,7 +1120,12 @@ def _value_avg_ranks(df: DataFrame, col: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("t"))
     )
-    cum = _bucketed_running_sums(counts, "v", ["t"])
+    # slot keyed by the ranked column: spearman builds BOTH rank maps (x
+    # and y) before its action, so the two live bounds frames need
+    # distinct slots (the _bucketed_running_sums contract)
+    cum = _bucketed_running_sums(
+        counts, "v", ["t"], bounds_slot=f"distribution._value_avg_ranks.{col}"
+    )
     return cum.select(
         "v",
         (

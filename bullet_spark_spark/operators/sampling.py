@@ -117,13 +117,15 @@ def _persist_pack_base(base: DataFrame) -> DataFrame:
     """Persist the pack input, releasing the previous call's (plans get
     fresh expression ids per call, so the CacheManager never dedupes them
     — without the release a driver packing in a loop leaks one
-    InMemoryRelation per call). Eager count materializes the cache."""
+    InMemoryRelation per call). Lazy since r12: the cache fills at the
+    caller's action (block-level locking keeps concurrent readers
+    consistent); the old eager ``count()`` was a construct-time driver
+    job serialized before the action (guide §5)."""
     global _live_pack_base
     if _live_pack_base is not None:
         _live_pack_base.unpersist()
     base = base.persist()
     _live_pack_base = base
-    base.count()
     return base
 
 
@@ -146,9 +148,10 @@ def pack_sequences(
     the global cumsum is NOT a single-partition window — an unpartitioned
     ``Window.orderBy`` moves every row into one task (WindowExec warns
     exactly this). Instead, a two-level cumsum: split the order domain into
-    contiguous range buckets (boundaries from one approxQuantile pass —
-    they only need to be order-ALIGNED, not exact, for the result to be
-    exact), running-sum WITHIN each bucket, and add each bucket's prefix.
+    contiguous range buckets (boundaries from one lazy in-plan percentile
+    sketch — they only need to be order-ALIGNED, not exact, for the result
+    to be exact), running-sum WITHIN each bucket, and add each bucket's
+    prefix.
     Per-bucket totals are a #buckets-row table, so the prefix window is
     trivially small and joins back as a broadcast. The only full-data
     shuffle is the hash partition by bucket; the totals aggregation ships
@@ -159,7 +162,7 @@ def pack_sequences(
     castable to double (exotic types) — correct, but not the scale path.
 
     The projected (id, size, order) frame is PERSISTED for the call's
-    three readers — the approxQuantile boundary pass, the in-bucket
+    three readers — the boundary-sketch aggregate, the in-bucket
     cumsum, and the bucket totals — so a pack at the end of a long
     pipeline materializes its reduced input once instead of re-deriving
     the whole upstream lineage three times (pinned by the
@@ -171,27 +174,48 @@ def pack_sequences(
     base = _persist_pack_base(
         df.select(F.col(id_col), F.col(size_col), F.col(order).alias("__ord"))
     )
-    nbuckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    # LAZY in-plan boundary pass (r12, VERDICT r11 task 3): the same
+    # percentile sketch the old eager driver-side approxQuantile computed,
+    # as a persisted 1-row aggregate attached by scalar subquery (a join
+    # would inflate downstream size estimates — Spark's size-only join
+    # estimation multiplies child sizes). The persist guarantees one
+    # evaluation shared by the cumsum and totals branches (the
+    # _bucketed_running_sums branch-consistency contract); a non-castable
+    # order key fails analysis inside the try and falls back, and an
+    # all-null cast domain yields a NULL sketch -> empty array -> every
+    # row in bucket 0, the same single-window shape as the old fallback.
     try:
-        probs = [i / nbuckets for i in range(1, nbuckets)]
-        bounds = sorted(
-            set(
-                base.select(F.col("__ord").cast("double").alias("__o"))
-                .filter(F.col("__o").isNotNull())
-                .stat.approxQuantile("__o", probs, 0.001)
-            )
+        nbuckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
+        probs = [i / nbuckets for i in range(1, nbuckets)]
+        bounds_df = base.agg(
+            F.percentile_approx(
+                F.col("__ord").cast("double"),
+                F.array(*[F.lit(p) for p in probs]),
+                F.lit(10000),
+            ).alias("__bounds")
+        )
+        from bullet_spark_spark.operators._cache import persist_generation
+
+        (bounds_df,) = persist_generation(
+            "sampling.pack_sequences.bounds", bounds_df
+        )
+        barr = F.coalesce(F.col("__bounds"), F.array().cast("array<double>"))
     except Exception:
-        bounds = []
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bounds_df = None
+    if bounds_df is not None:
         bkt = F.size(F.filter(barr, lambda b: F.col("__ord").cast("double") > b))
         w_in = (
             W.partitionBy("__bkt")
             .orderBy("__ord")
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        bucketed = base.withColumn("__bkt", bkt)
+        bucketed = (
+            base.withColumn("__bounds", bounds_df.scalar())
+            .withColumn("__bkt", bkt)
+            .drop("__bounds")
+        )
         cum_in = bucketed.withColumn("__cum_in", F.sum(size_col).over(w_in))
         totals = bucketed.groupBy("__bkt").agg(F.sum(size_col).alias("__tot"))
         # unpartitioned by design: `totals` has ≤ shuffle.partitions rows

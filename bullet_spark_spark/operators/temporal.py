@@ -216,7 +216,16 @@ def interval_overlap_join(
     if bucket_width is None:
         # one cheap agg: approx median of valid-interval lengths, both
         # sides pooled — a plan-shape parameter, not an answer, so the
-        # sketch percentile is fine (deterministic for fixed input)
+        # sketch percentile is fine. LAZY since r12 (VERDICT r11 task 3):
+        # the old ``.first()`` was 4-6 serial construct-time driver jobs
+        # (it materialized both persisted sides before the action); the
+        # width is now a persisted 1-row aggregate attached by scalar
+        # subquery everywhere a literal width was used. The persist is
+        # the consistency guarantee: the width feeds MANY branches (the
+        # long/short routing filters, both explodes, the first-shared-
+        # bucket dedup), and a per-branch re-evaluation of the sketch
+        # could route a pair long on one side and short on the other —
+        # all branches must (and do) read the one cached row.
         lens = left.select(
             (F.col(left_hi) - F.col(left_lo)).cast("double").alias("__len")
         ).unionByName(
@@ -224,13 +233,20 @@ def interval_overlap_join(
                 (F.col(right_hi) - F.col(right_lo)).cast("double").alias("__len")
             )
         )
-        med = lens.agg(F.percentile_approx("__len", 0.5).alias("m")).first()["m"]
-        w = float(med) if med is not None and med > 0 else 1.0
+        wdf = lens.agg(F.percentile_approx("__len", F.lit(0.5)).alias("__m")).select(
+            F.when(
+                F.col("__m").isNotNull() & (F.col("__m") > 0), F.col("__m")
+            )
+            .otherwise(F.lit(1.0))
+            .alias("__w")
+        )
+        (wdf,) = persist_generation("temporal.interval_overlap.width", wdf)
+        wcol = wdf.scalar()
     else:
-        w = float(bucket_width)
+        wcol = F.lit(float(bucket_width))
 
     if max_buckets_per_row is not None:
-        long_len = float(w) * int(max_buckets_per_row)
+        long_len = wcol * F.lit(int(max_buckets_per_row))
         long_l = (F.col(left_hi) - F.col(left_lo)) > long_len
         long_r = (F.col(right_hi) - F.col(right_lo)) > long_len
         left_long = left.filter(long_l)
@@ -242,25 +258,25 @@ def interval_overlap_join(
         left_long = right_long = None
 
     def explode_side(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        stop = F.floor(F.col(hi) / F.lit(w)) - F.when(
-            F.col(hi) % F.lit(w) == 0, F.lit(1)
+        start = F.floor(F.col(lo) / wcol)
+        stop = F.floor(F.col(hi) / wcol) - F.when(
+            F.col(hi) % wcol == 0, F.lit(1)
         ).otherwise(F.lit(0))
         # degenerate (hi <= lo) intervals match nothing AND would explode
-        # a descending sequence — dropped upstream (valid_* filters)
-        return df.withColumn(
-            "__b",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(lo) / F.lit(w)),
-                    F.greatest(stop, F.floor(F.col(lo) / F.lit(w))),
-                )
-            ),
+        # a descending sequence — dropped upstream (valid_* filters).
+        # Bucket endpoints are projected BEFORE the explode: a scalar
+        # subquery is legal in a Project/Filter but not inside a Generate.
+        return (
+            df.withColumn("__bs", start)
+            .withColumn("__be", F.greatest(stop, start))
+            .withColumn("__b", F.explode(F.sequence("__bs", "__be")))
+            .drop("__bs", "__be")
         )
 
     l = explode_side(left_bkt, left_lo, left_hi)
     r = explode_side(right_bkt, right_lo, right_hi)
     first_shared = F.greatest(
-        F.floor(F.col(left_lo) / F.lit(w)), F.floor(F.col(right_lo) / F.lit(w))
+        F.floor(F.col(left_lo) / wcol), F.floor(F.col(right_lo) / wcol)
     )
     out = (
         l.join(r, on="__b")
