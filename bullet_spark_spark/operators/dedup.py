@@ -1979,6 +1979,14 @@ def containment_pairs(
     else:
         n_docs = None
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # persist the doc-sized size frame (r12): sa and sb broadcast-build
+    # from it independently and their canonical plans differ enough that
+    # neither static ReuseExchange nor AQE stage reuse dedups them — the
+    # n_grams aggregate over the posting cache ran TWICE per query
+    # (measured two ~0.7 s 65-task subexecutions at sf0.1)
+    from bullet_spark_spark.operators._cache import persist_generation
+
+    (sizes,) = persist_generation("dedup.containment_pairs.sizes", sizes)
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
