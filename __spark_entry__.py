@@ -11120,8 +11120,18 @@ def streaming_session_drain(spark, sf_dir):
         (F.col("m") + F.expr("INTERVAL 200 DAYS")).alias("ts"),
     )
     with tempfile.TemporaryDirectory() as work:
+        # backlog batch sizing (r12, VERDICT r11 task 5): the 4 real
+        # chunks drain in ONE trigger and the sentinels in the NEXT —
+        # the sentinel-after-data ordering (the append-mode flush idiom)
+        # is preserved, and the emitted session set is batch-slicing-
+        # independent (hash-verified identical at mfpt 1/2/4/6; isolated
+        # A/B 4.0-4.4 s -> 2.3-2.6 s — the ~0.45 s/micro-batch
+        # offset-log/state-commit floor × 4 fewer batches). Fine-grained
+        # multi-batch watermark progression stays pinned by the
+        # drip≡one-shot parity tests, which drive max_files_per_trigger=1.
         stream = file_drip_ordered(
-            spark, ev, work, "ts", chunks=4, extra_chunks=(sent1, sent2)
+            spark, ev, work, "ts", chunks=4, extra_chunks=(sent1, sent2),
+            max_files_per_trigger=4,
         )
         hi.unpersist()  # sentinel chunks are on disk; the 1-row cache is done
         agg = (
@@ -12286,7 +12296,13 @@ def streaming_quantile_drain(spark, sf_dir):
         F.col("event_id").cast("string").alias("k"), "value"
     )
     with tempfile.TemporaryDirectory() as work:
-        stream = file_drip(spark, src, work, chunks=3)
+        # backlog batch sizing (r12, VERDICT r11 task 5): the drained
+        # sample is batch-slicing-independent BY CONSTRUCTION (semilattice
+        # state — the docstring's drip ≡ one-shot property), so the
+        # backlog drains in one trigger; measured 4.1-4.5 s -> 2.4-2.8 s
+        # with bit-identical percentiles. Slicing-independence stays
+        # pinned by the parity tests at max_files_per_trigger=1.
+        stream = file_drip(spark, src, work, chunks=3, max_files_per_trigger=3)
         out = _sm(stream, "k", k=256, n_shards=8, payload_col="value")
         with drain_shuffle_partitions(spark, src):
             q_ = (
@@ -12571,7 +12587,14 @@ def streaming_drift_psi_drain(spark, sf_dir):
     )
     live_src = ev.filter(F.col("ts") >= cutoff).select("value")
     with tempfile.TemporaryDirectory() as work:
-        stream = file_drip(spark, live_src, work, chunks=3)
+        # backlog batch sizing (r12, VERDICT r11 task 5): bucket counts
+        # are sums — deterministic under ANY batch slicing (docstring) —
+        # and complete mode rewrites the sink per batch, so draining the
+        # backlog in one trigger removes two dead rewrites; measured
+        # 1.5-1.6 s -> 0.9 s with identical final counts (hash-checked).
+        stream = file_drip(
+            spark, live_src, work, chunks=3, max_files_per_trigger=3
+        )
         counts = stream.groupBy(bucket.alias("bucket")).agg(
             F.count(F.lit(1)).alias("n_live")
         )
