@@ -9168,10 +9168,25 @@ def _supplier_co_edges(t):
     suppliers co-appearing on >= 5 of the same orders. One distinct +
     one per-order pair self-join (order size is schema-bounded, so the
     expansion is linear) + the HAVING-equivalent count prune."""
+    # single-shuffle dedup (r12, VERDICT r11 task 6 third attempt):
+    # dedup via lag() over (partition by ok, order by s) instead of
+    # distinct(). At bench SFs the self-join is a broadcast join and the
+    # win is local — the sort-dedup beats the two-stage (ok, s) hash
+    # aggregate (isolated A/B: triangles 3.54→3.27 s, adamic-adar
+    # 5.01→4.50 s, co-build alone 1.42→1.27 s warm). At scale, where the
+    # self-join becomes sort-merge, the window's hashpartitioning(ok) +
+    # (ok, s) sort satisfy BOTH the join's distribution and its ordering
+    # requirement (sorted by (ok, s) ⇒ sorted by ok), so the join adds
+    # no exchange and no sort — vs distinct()'s (ok, s) exchange PLUS
+    # the join's ok exchange + sort. Output verified identical
+    # (exceptAll both ways = 0; null s cannot occur in lineitem).
+    w_dedup = W.partitionBy("ok").orderBy("s")
     sl = (
         t["lineitem"]
         .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .withColumn("__p", F.lag("s").over(w_dedup))
+        .filter(F.col("__p").isNull() | (F.col("__p") != F.col("s")))
+        .drop("__p")
     )
     a, b = sl.alias("a"), sl.alias("b")
     return (
