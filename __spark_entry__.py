@@ -2410,20 +2410,23 @@ def scale_zorder_pruning(spark, sf_dir):
     lb = lay.assign_buckets_exact(
         li, ["l_partkey", "l_orderkey", "l_linenumber"], 64
     )
-    zst = lay.bucket_stats(zb, dims).localCheckpoint(eager=True)
-    lst = lay.bucket_stats(lb, dims).localCheckpoint(eager=True)
-    # distinct key sets come off the SAME cached frame (scan-audit r7);
-    # checkpointed so the panel never touches data after li is released
-    pk = (
-        li.select(F.col("l_partkey").alias("k"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    sk = (
-        li.select(F.col("l_suppkey").alias("k"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # the four panel inputs (two zone maps, two distinct key sets) are
+    # INDEPENDENT eager materializations off the same cached li — run
+    # them from a small thread pool so the driver overlaps their jobs
+    # (guide §2.6) instead of paying four serial stage chains; the li
+    # cache fill is raced safely (block-level locking computes each
+    # partition once). Checkpointed so the panel never touches data
+    # after li is released (scan-audit r7).
+    from concurrent.futures import ThreadPoolExecutor
+
+    zst_l = lay.bucket_stats(zb, dims)
+    lst_l = lay.bucket_stats(lb, dims)
+    pk_l = li.select(F.col("l_partkey").alias("k")).distinct()
+    sk_l = li.select(F.col("l_suppkey").alias("k")).distinct()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        zst, lst, pk, sk = pool.map(
+            lambda d: d.localCheckpoint(eager=True), [zst_l, lst_l, pk_l, sk_l]
+        )
     out = None
     for layout, st in (("zorder", zst), ("linear", lst)):
         for dim, keys in (("l_partkey", pk), ("l_suppkey", sk)):
