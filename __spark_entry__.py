@@ -11147,11 +11147,16 @@ def streaming_session_drain(spark, sf_dir):
         # offset-log/state-commit floor × 4 fewer batches). Fine-grained
         # multi-batch watermark progression stays pinned by the
         # drip≡one-shot parity tests, which drive max_files_per_trigger=1.
-        stream = file_drip_ordered(
-            spark, ev, work, "ts", chunks=4, extra_chunks=(sent1, sent2),
-            max_files_per_trigger=4,
-        )
-        hi.unpersist()  # sentinel chunks are on disk; the 1-row cache is done
+        try:
+            stream = file_drip_ordered(
+                spark, ev, work, "ts", chunks=4, extra_chunks=(sent1, sent2),
+                max_files_per_trigger=4,
+            )
+        finally:
+            # sentinel chunks are on disk (or the drip raised); either
+            # way the 1-row cache is done — without the finally a write
+            # failure leaked it for the session (ADVICE r11)
+            hi.unpersist()
         agg = (
             stream.withWatermark("ts", "30 minutes")
             .groupBy(

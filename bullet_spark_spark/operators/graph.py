@@ -60,8 +60,11 @@ def pagerank(
     Scale shape: ``out_w`` is a window sum over the edge partitioning by
     ``src`` — ONE shuffle, reused by every iteration through the persisted
     normalized edge frame. Each iteration is one join of the rank frame
-    (node-sized) against the edges (edge-sized) + one groupBy(dst) with
-    map-side partial sums, then a left join back onto the node frame;
+    (node-sized) against the edges (edge-sized), then the per-edge
+    contribution terms UNIONED with a zero row per node through ONE
+    groupBy(node) aggregate with map-side partial sums (the r11
+    union-with-zeros shape — no second join, no per-iteration contribs
+    broadcast; the zero row keeps dangling-inbound nodes in the result);
     every ``checkpoint_every`` rounds (and on the final round) the rank
     frame is eagerly localCheckpoint'ed — truncating the compounding
     lineage BEFORE it reaches the depth that overflows plan analysis
@@ -76,12 +79,22 @@ def pagerank(
     edges the per-round checkpoint is a rounding error against the
     iteration's edge shuffle; a barrier per round is inherent to the
     fixed point anyway. The only
-    driver materialization is the node COUNT (one scalar). At 100 TB of edges the per-iteration cost is
-    two shuffles of the edge frame — the canonical distributed-PageRank
-    shape (Pregel/GraphX formulation expressed in DataFrames).
+    driver materialization is the node COUNT (one scalar). At 100 TB of
+    edges the per-iteration cost is the rank join against the edge frame
+    plus ONE aggregate exchange of the contribution terms — the
+    canonical distributed-PageRank shape (Pregel/GraphX formulation
+    expressed in DataFrames).
     """
     ecols = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).filter(
+        # null endpoints dropped up front (ADVICE r11): the pre-r12
+        # union-with-zeros aggregate would otherwise MERGE null-dst
+        # contributions into a null node's group, where the old
+        # nodes-LEFT-JOIN-contribs shape silently dropped them — pinning
+        # the filter keeps the two shapes equivalent on any input (every
+        # current caller already feeds non-null ids)
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
     ).persist()
     nodes = (
         ecols.select(F.col("src").alias("node"))

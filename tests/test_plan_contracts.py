@@ -411,9 +411,15 @@ def test_pagerank_iteration_broadcast_rank_bounded_exchanges(spark, tables):
     )
     ranks = gr.pagerank(edges, iterations=1, checkpoint_final=False)
     tree = _tree(_plan(ranks))
-    # both per-iteration joins are broadcast: edges x ranks and nodes x contribs
+    # the joins actually expected since the r11 union-with-zeros shape:
+    # the per-iteration edges x ranks join plus the one-time out_w build
+    # are broadcast; the old nodes x contribs join is GONE — its place is
+    # the Union feeding one aggregate (ADVICE r11: name the joins, and
+    # pin the Union so the iteration shape can't silently regress)
     assert tree.count("BroadcastHashJoin") >= 2, tree
+    assert "Union" in tree, tree
     assert "SortMergeJoin" not in tree
+    assert "LeftOuter" not in tree, tree
 
     # live (non-cached-lineage) shuffle exchanges: the groupBy(dst) partial
     # sum, plus at most the one-time out_w aggregate whose cache is not yet
